@@ -1,13 +1,470 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Tables
+import graft.expr.BandExpressionCompiler
+import graft.functions.{DedupFunctions => D, SimilarityFunctions => Sim, TextFunctions => T}
+import graft.meta.MetaQueries
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`. The TPC-H-ish
+  * driver testdata (TESTDATA.md) stands in for the reference's catalog
+  * tables: `orders`/`lineitem` play activities/executions, `events` plays
+  * the activity-history stream, `documents`/`embeddings` drive the
+  * training-data-pipeline operators.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_top_revenue")(spark, "/root/testdata/sf0.001")
+
+  private def r2(c: Column): Column = round(c, 2)
+  private def r4(c: Column): Column = round(c, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.4 A1/A2-class aggregation (TPC-H Q1 shape) -------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc"),
+          r2(avg(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // ---- §2.2 P1 conjunctive dynamic filter (controller.py:86–110) -------
+    "q02_conj_filter" -> ((s, d) => {
+      MetaQueries.conjunctiveFilter(Tables.lineitem(s, d), Seq(
+        col("l_returnflag").isin("R"),
+        col("l_quantity") >= 30,
+        col("l_shipdate").between(lit("1996-01-01"), lit("1996-12-31"))))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    // ---- §2.3 J1 3-way join + top-k (controller.py:438–443 shape) --------
+    "q03_top_revenue" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate").cast("date").as("o_date"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // ---- §2.3 J6 semi-join EXISTS (controller.py:298–316) ----------------
+    "q04_exists_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // ---- §2.4 A1 count-by-status (controller.py:438–445) -----------------
+    "q05_count_by_status" -> ((s, d) =>
+      MetaQueries.countBy(Tables.orders(s, d), Seq(col("o_orderstatus")))
+        .orderBy(col("o_orderstatus"))),
+    // ---- §2.4 A2 count-by-(day,type) (controller.py:460–468) -------------
+    "q06_count_by_day_type" -> ((s, d) =>
+      MetaQueries.countBy(Tables.events(s, d),
+          Seq(col("ts").cast("date").as("day"), col("event_type")))
+        .orderBy(col("day"), col("event_type"))),
+    // ---- §2.2 P3 anti-join not-yet-published (controller.py:298–337) -----
+    "q07_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    // ---- §2.3 J5 / §2.6 O3 latest-per-group window (controller.py:479–495)
+    "q08_latest_per_user" -> ((s, d) =>
+      MetaQueries.latestPerGroup(Tables.events(s, d),
+          Seq(col("user_id")), col("ts"), Seq(col("event_id")))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))),
+    // ---- §2.3 J5 latest-run-failed count (controller.py:479–495) ---------
+    "q09_latest_failed_count" -> ((s, d) =>
+      MetaQueries.latestPerGroup(Tables.events(s, d),
+          Seq(col("user_id")), col("ts"), Seq(col("event_id")))
+        .filter(col("event_type") === "error")
+        .agg(count(lit(1)).as("n_failed"))),
+    // ---- §2.3 J3 / §2.4 A4 join + distinct (controller.py:683–690) -------
+    "q10_distinct_join" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"))
+        .select(col("n_name")).distinct()
+        .orderBy(col("n_name"))
+    }),
+    // ---- §2.3 J4 / §2.6 O1 priority-ordered join (collect.py:108–120) ----
+    "q11_priority_order" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name").startsWith("A"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+    // ---- §2.1 S14 / §2.6 O4 pagination (views.py:37–49) ------------------
+    "q12_pagination" -> ((s, d) =>
+      MetaQueries.paginate(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), r2(col("o_totalprice")).as("total")),
+        Seq(col("o_orderkey")), page = 3, perPage = 10)),
+    // ---- §2.2 P5 interval-overlap (controller.py:571–575) ----------------
+    "q13_interval_overlap" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_end", col("o_orderdate") + expr("interval 30 days"))
+      o.filter(MetaQueries.intervalOverlap(col("o_orderdate"), col("o_end"),
+          lit("1997-06-01").cast("timestamp"), lit("1997-07-15").cast("timestamp")))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // ---- §2.2 P4 bbox-overlap prefilter (controller.py:563–570) ----------
+    "q14_bbox_filter" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      p.filter(MetaQueries.bboxOverlap(
+          xmin = col("p_size"), ymin = col("p_retailprice"),
+          xmax = col("p_size") + 3, ymax = col("p_retailprice") + 100,
+          qxmin = 10, qymin = 1000, qxmax = 20, qymax = 1500))
+        .select(col("p_partkey"), col("p_size"), r2(col("p_retailprice")).as("price"))
+        .orderBy(col("p_partkey"))
+    }),
+    // ---- §2.7 SET2 union+distinct (controller.py:595–602) ----------------
+    "q15_union_distinct" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy(col("nationkey"))),
+    // ---- §2.7 SET3 except (controller.py:607–616) ------------------------
+    "q16_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+    // ---- §2.4 A7 count-distinct per group (controller.py:604–618) --------
+    "q17_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+    // ---- §2.4 A5 max-per-group (controller.py:481–486) -------------------
+    "q18_max_per_group" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).cast("date").as("last_ship"), count(lit(1)).as("n_lines"))
+        .orderBy(col("l_orderkey"))),
+    // ---- §2.4 A6 scalar count (controller.py:494) ------------------------
+    "q19_scalar_count" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_discount") > 0.05)
+        .agg(count(lit(1)).as("n"))),
+    // ---- top-k aggregation over join -------------------------------------
+    "q20_top_customers" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("total").desc, col("c_custkey"))
+        .limit(10)
+    }),
+    // ---- §2.8 R1 band-math expression compiler (index_generator.py:58–149)
+    "q21_band_expr" -> ((s, d) => {
+      val ndvi = BandExpressionCompiler.compile(
+        "10000. * ((B08 - B04) / (B08 + B04))",
+        Map("B08" -> col("l_extendedprice"), "B04" -> col("l_quantity") * 100))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), r2(ndvi).as("ndvi"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    // ---- similarity: embedding L2 norm (aggregate over array<float>) -----
+    "q22_emb_norm" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), r4(Sim.norm(col("embedding"))).as("l2"))
+        .orderBy(col("vec_id"))),
+    // ---- text analysis: token/punct counts -------------------------------
+    "q23_token_stats" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tokens"),
+          T.punctCount(col("text")).as("n_punct"))
+        .orderBy(col("doc_id"))),
+    // ---- dedup: exact duplicate groups (md5) -----------------------------
+    "q24_exact_dup_groups" -> ((s, d) =>
+      D.exactDupGroups(Tables.documents(s, d), "text", "doc_id", includeSingletons = true)
+        .orderBy(col("digest"))),
+    // ---- dedup: corpus summary -------------------------------------------
+    "q25_dedup_summary" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(D.exactKey(col("text"))).as("n_distinct"))),
+    // ---- dedup: MinHash signature (3-shingles, 2 salted hashes) ----------
+    "q26_minhash" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          D.minhash(col("text"), 3, "s0").as("mh0"),
+          D.minhash(col("text"), 3, "s1").as("mh1"))
+        .orderBy(col("doc_id"))),
+    // ---- dedup: LSH band-bucket histogram --------------------------------
+    "q27_lsh_buckets" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(D.lshBandKey(col("text"), 3, 0, 2).as("band_key"))
+        .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("band_key"))),
+    // ---- similarity search: brute-force cosine top-k ---------------------
+    "q28_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Sim.topKCosine(emb, "embedding", "vec_id", query, 10)
+        .select(col("vec_id"), r4(col("score")).as("score"))
+    }),
+    // ---- text analysis: language-ID heuristic ----------------------------
+    "q29_lang_guess" -> ((s, d) => {
+      val toks = transform(T.tokens(col("text")), t => lower(t))
+      def score(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*)))
+      val sEn = score(Seq("the", "a", "of"))
+      val sEs = score(Seq("key", "value", "row"))
+      val sDe = score(Seq("join", "merge", "group"))
+      Tables.documents(s, d).select(col("doc_id"),
+          when(sEn >= sEs && sEn >= sDe, "en")
+            .when(sEs >= sDe, "es").otherwise("de").as("guess"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- §2.9 JSON extraction (tasks.py:86–89 args JSON) -----------------
+    "q30_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))),
+    // ---- §2.11 ST9 calendar-month periods (controller.py:45–68) ----------
+    "q31_monthly_counts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("month"))),
+    // ---- §2.9 string parsing (tasks.py:283–289, publish.py:411) ----------
+    "q32_string_parse" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+          element_at(split(col("p_type"), " "), 1).as("type_head"),
+          regexp_replace(col("p_brand"), "#", "_").as("brand"))
+        .orderBy(col("p_partkey"))),
+    // ---- window running sum (O3 family) ----------------------------------
+    "q33_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), r2(sum(col("value")).over(w)).as("run"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // ---- text analysis: composite quality score --------------------------
+    "q34_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), r4(T.qualityScore(col("text"))).as("quality"))
+        .orderBy(col("doc_id"))),
+    // ---- dedup: SimHash (no oracle: xxhash64 is Spark-specific) ----------
+    "q35_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), D.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+    // ---- text: rolling-hash fingerprint (no oracle: crc32 fold) ----------
+    "q36_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")))
+  )
+
+  /** DuckDB-runnable oracle SQL per query; column names/aliases match the
+    * Spark side exactly (the driver sorts columns by name before hashing).
+    * Doubles are rounded identically on both sides. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+        |  round(avg(l_quantity),2) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_conj_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_returnflag IN ('R') AND l_quantity >= 30
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_top_revenue" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_exists_semi" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_count_by_status" ->
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q06_count_by_day_type" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_latest_per_user" ->
+      """SELECT user_id, event_id, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q09_latest_failed_count" ->
+      """SELECT count(*) AS n_failed FROM (
+        |  SELECT user_id, event_type FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |WHERE event_type = 'error'""".stripMargin,
+    "q10_distinct_join" ->
+      """SELECT DISTINCT n_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey ORDER BY n_name""".stripMargin,
+    "q11_priority_order" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name LIKE 'A%' ORDER BY n_nationkey""".stripMargin,
+    "q12_pagination" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS total
+        |FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20""".stripMargin,
+    "q13_interval_overlap" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date FROM orders
+        |WHERE o_orderdate <= TIMESTAMP '1997-07-15'
+        |  AND o_orderdate + INTERVAL 30 DAY >= TIMESTAMP '1997-06-01'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q14_bbox_filter" ->
+      """SELECT p_partkey, p_size, round(p_retailprice,2) AS price FROM part
+        |WHERE NOT (p_size + 3 < 10 OR p_size > 20
+        |        OR p_retailprice + 100 < 1000 OR p_retailprice > 1500)
+        |ORDER BY p_partkey""".stripMargin,
+    "q15_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q16_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q17_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_max_per_group" ->
+      """SELECT l_orderkey, CAST(max(l_shipdate) AS DATE) AS last_ship, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q19_scalar_count" ->
+      "SELECT count(*) AS n FROM lineitem WHERE l_discount > 0.05",
+    "q20_top_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice),2) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY total DESC, c_custkey LIMIT 10""".stripMargin,
+    "q21_band_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(10000.0 * ((l_extendedprice - l_quantity*100) /
+        |                   (l_extendedprice + l_quantity*100)), 2) AS ndvi
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q22_emb_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x*x), 'sum')), 4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q23_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+        |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
+    "q24_exact_dup_groups" ->
+      """SELECT md5(text) AS digest, count(*) AS n_dups, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+    "q25_dedup_summary" ->
+      "SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct FROM documents",
+    "q26_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text),'\s+')) - 2, 0)),
+        |    i -> regexp_split_to_array(trim(text),'\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text),'\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text),'\s+')[i+2]) AS shingles
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(shingles, s -> md5('s0' || s)), 'min') AS mh0,
+        |  list_aggregate(list_transform(shingles, s -> md5('s1' || s)), 'min') AS mh1
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q27_lsh_buckets" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text),'\s+')) - 2, 0)),
+        |    i -> regexp_split_to_array(trim(text),'\s+')[i] || ' ' ||
+        |         regexp_split_to_array(trim(text),'\s+')[i+1] || ' ' ||
+        |         regexp_split_to_array(trim(text),'\s+')[i+2]) AS shingles
+        |  FROM documents),
+        |keys AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(shingles, s -> md5('s0' || s)), 'min') || '|' ||
+        |    list_aggregate(list_transform(shingles, s -> md5('s1' || s)), 'min') AS band_key
+        |  FROM sh)
+        |SELECT band_key, count(*) AS n FROM keys GROUP BY band_key
+        |HAVING count(*) > 1 ORDER BY band_key""".stripMargin,
+    "q28_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 4) AS score
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q29_lang_guess" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)) AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('key','value','row'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('join','merge','group'))) AS s_de
+        |  FROM t)
+        |SELECT doc_id, CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+        |                    WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS guess
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q30_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q31_monthly_counts" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q32_string_parse" ->
+      """SELECT p_partkey, regexp_split_to_array(p_type, ' ')[1] AS type_head,
+        |  regexp_replace(p_brand, '#', '_', 'g') AS brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q33_running_sum" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING), 2) AS run
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q34_quality_score" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+        |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_letter
+        |  FROM documents WHERE n_chars > 0),
+        |sc AS (SELECT doc_id,
+        |  least(n_tok / 100.0, 1.0) AS len_score,
+        |  CAST(n_punct AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+        |  CASE WHEN n_letter = 0 THEN 0.0 ELSE CAST(n_upper AS DOUBLE)/n_letter END AS upper_ratio
+        |  FROM b)
+        |SELECT doc_id, round(
+        |  len_score*0.4 +
+        |  (CASE WHEN punct_ratio > 0.2 THEN 0.0 ELSE 1.0 - punct_ratio*5.0*0.5 END)*0.3 +
+        |  (1.0 - upper_ratio*0.5)*0.3, 4) AS quality
+        |FROM sc ORDER BY doc_id""".stripMargin
+    // q35_simhash / q36_fingerprint intentionally omitted: they fold
+    // xxhash64/crc32 (Spark-native hashes) — driver records rows-only check.
+  )
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash/LSH,
+  * SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB): every variant is a narrow projection to a compact
+  * key (digest / band signature / simhash bucket) followed by ONE shuffle on
+  * that key. Document payloads never shuffle — only (key, doc_id) pairs —
+  * so the shuffle volume is O(rows × key width), not O(corpus bytes).
+  * Candidate verification (Jaccard) happens only within buckets.
+  */
+object DedupFunctions {
+
+  /** Exact-duplicate key: md5 of the raw text. Deterministic across engines
+    * (used by the DuckDB oracle too). */
+  def exactKey(text: Column): Column = md5(text.cast("string"))
+
+  /** Exact dedup: keep the lowest-id row per identical text.
+    * One hash-shuffle on the 128-bit digest; skew-safe (identical docs are
+    * the skew, and they collapse in the map-side partial agg). */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(exactKey(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate groups: (digest, n_dups, canonical_id), groups of 1
+    * included only when `includeSingletons`. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String,
+                     includeSingletons: Boolean = false): DataFrame = {
+    val g = df.groupBy(exactKey(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+    if (includeSingletons) g else g.filter(col("n_dups") > 1)
+  }
+
+  /** Word n-gram shingles of a text column (n ≥ 1). n=1 → tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    val toks = TextFunctions.tokens(text)
+    if (n == 1) toks
+    else when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** One MinHash value: min over shingles of md5(salt ++ shingle), kept as
+    * the hex digest string so the DuckDB oracle can reproduce it exactly.
+    * (Production note: xxhash64 is cheaper; md5 keeps cross-engine parity.) */
+  def minhash(text: Column, n: Int, salt: String): Column =
+    array_min(transform(shingles(text, n), s => md5(concat(lit(salt), s))))
+
+  /** MinHash signature of `numHashes` salted hashes. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    array((0 until numHashes).map(i => minhash(text, n, s"s$i")): _*)
+
+  /** LSH band key: concat of the band's minhashes — docs sharing any band
+    * key are near-dup candidates. */
+  def lshBandKey(text: Column, n: Int, band: Int, rowsPerBand: Int): Column =
+    concat_ws("|", (0 until rowsPerBand).map(r =>
+      minhash(text, n, s"s${band * rowsPerBand + r}")): _*)
+
+  /** MinHash-LSH candidate pairs: explode docs into (band, bandKey) and
+    * self-join within buckets. Returns (id_a, id_b, band) with id_a < id_b.
+    * Shuffle is on band keys only; bucket sizes are bounded by real
+    * near-dup cluster sizes, and AQE's skew-join split handles pathological
+    * buckets at scale.
+    */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val keyed = df.select(
+      col(idCol).as("id"),
+      posexplode(array((0 until bands).map(b =>
+        lshBandKey(col(textCol), n, b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
+    val a = keyed.select(col("id").as("id_a"), col("band"), col("band_key"))
+    val b = keyed.select(col("id").as("id_b"), col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "band").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two text columns (candidate
+    * verification step after LSH). */
+  def jaccard(textA: Column, textB: Column, n: Int): Column = {
+    val sa = array_distinct(shingles(textA, n))
+    val sb = array_distinct(shingles(textB, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit majority vote of token
+    * hashes. Single `aggregate` pass with a 64-counter array accumulator —
+    * one fold over the tokens regardless of bit width, no UDF. Near-dups
+    * differ in few bits; group by (simhash >> k) prefixes or multi-probe to
+    * bucket. */
+  def simhash64(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bitIdx,
+        (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, bitIdx,
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

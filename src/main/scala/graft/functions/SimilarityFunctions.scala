@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design: brute-force scoring is a narrow projection (no shuffle)
+  * against a broadcast query vector — at 100 TB the cost is the scan. Top-k
+  * is per-partition top-k + a single driver merge (`orderBy.limit` compiles
+  * to TakeOrderedAndProject — no global sort materialization). The LSH
+  * variant prunes the scan with a bucket equality filter; the IVF variant
+  * prunes by nearest-centroid assignment with the centroid table broadcast.
+  */
+object SimilarityFunctions {
+
+  /** Dot product of two array<float/double> columns — single fused
+    * `aggregate(zip_with(...))`, runs in codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Brute-force cosine top-k against one query vector (given as a literal
+    * Scala array, i.e. already collected/broadcast — never a join). */
+  def topKCosine(df: DataFrame, embCol: String, idCol: String,
+                 query: Array[Float], k: Int): DataFrame = {
+    val q = lit(query.map(_.toDouble))
+    df.select(col(idCol), cosine(col(embCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucket id (b signed projections → b-bit bucket).
+    * Hyperplanes are generated deterministically from `seed` so the same
+    * bucketing reproduces across runs/engines. */
+  def rhpBucket(emb: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, lit(p)) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-pruned cosine top-k: score only rows whose bucket matches the
+    * query's bucket (recall < 1, cost ≈ 1/2^bits of the scan). */
+  def topKCosineLsh(df: DataFrame, embCol: String, idCol: String,
+                    query: Array[Float], k: Int, bits: Int, seed: Long): DataFrame = {
+    val dim = query.length
+    val qd = query.map(_.toDouble)
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      if (p.zip(qd).map { case (x, y) => x * y }.sum >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+    df.filter(rhpBucket(col(embCol), dim, bits, seed) === qBucket)
+      .select(col(idCol), cosine(col(embCol), lit(qd)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** IVF coarse quantization: assign every row to its nearest centroid
+    * (centroids broadcast as literals); search probes only the query's
+    * nearest `nProbe` cells. Returns the assignment column. */
+  def ivfAssign(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val diff = zip_with(emb, lit(c), (x, y) => x.cast("double") - y)
+      struct(aggregate(diff, lit(0.0), (acc, v) => acc + v * v).as("dist"),
+        lit(i).as("cell"))
+    }
+    least(scored: _*).getField("cell")
+  }
+
+  /** All-pairs cosine above a threshold within LSH buckets (embedding
+    * near-dup detection): bucket equi-join keeps the candidate set small;
+    * only candidates pay the O(dim) cosine. */
+  def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                   dim: Int, threshold: Double, bits: Int, seed: Long): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      rhpBucket(col(embCol), dim, bits, seed).as("bucket"))
+    val a = bucketed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}
