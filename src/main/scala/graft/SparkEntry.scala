@@ -274,7 +274,52 @@ object SparkEntry {
     "q36_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // ---- §2.8 R1 bandMath over tiles (embeddings arrays as pixels) -------
+    "q37_bandmath_tiles" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val tiles = emb.select(col("vec_id").cast("string").as("scene_id"),
+          lit("B08").as("band"), lit(0).as("window_row"), lit(0).as("window_col"),
+          lit(8).as("height"), lit(8).as("width"), lit(-9999.0).as("nodata"),
+          col("embedding").as("pixels"))
+        .unionByName(emb.select(col("vec_id").cast("string").as("scene_id"),
+          lit("B04").as("band"), lit(0).as("window_row"), lit(0).as("window_col"),
+          lit(8).as("height"), lit(8).as("width"), lit(-9999.0).as("nodata"),
+          reverse(col("embedding")).as("pixels")))
+      graft.raster.RasterKernels.bandMath(
+          graft.raster.RasterKernels.pivotBands(tiles),
+          "B08 * 2. + B04", "OUT", -9999.0, -10000.0, 10000.0)
+        .select(col("scene_id").cast("long").as("vec_id"),
+          r4(aggregate(col("pixels"), lit(0.0), (a, p) => a + p.cast("double"))).as("checksum"))
+        .orderBy(col("vec_id"))
+    }),
+    // ---- §2.8 R3 nearest resample over tiles -----------------------------
+    "q38_resample_tiles" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          r4(aggregate(
+            graft.raster.RasterKernels.resampleNearest(col("embedding"), lit(8), lit(8), 4, 4),
+            lit(0.0), (a, p) => a + p.cast("double"))).as("checksum"))
+        .orderBy(col("vec_id"))),
+    // ---- §2.8 R4 quicklook scaling ---------------------------------------
+    "q39_quicklook_scale" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          r4(aggregate(
+            graft.raster.RasterKernels.quicklookScale(col("embedding"), lit(-9999.0)),
+            lit(0.0), (a, p) => a + p.cast("double"))).as("checksum"))
+        .orderBy(col("vec_id"))),
+    // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
+    "q40_plan_activities" -> ((s, d) => {
+      import graft.pipeline.Pipeline
+      implicit val sp: SparkSession = s
+      val scenes = Tables.supplier(s, d).select(col("s_name"))
+      val tree = Pipeline.TaskNode("download",
+        Seq(Pipeline.TaskNode("correction"), Pipeline.TaskNode("publish")))
+      val (acts, _) = Pipeline.planActivities(scenes, "s_name", 1, tree)
+      acts.groupBy(col("activity_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("activity_type"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -463,7 +508,31 @@ object SparkEntry {
         |  len_score*0.4 +
         |  (CASE WHEN punct_ratio > 0.2 THEN 0.0 ELSE 1.0 - punct_ratio*5.0*0.5 END)*0.3 +
         |  (1.0 - upper_ratio*0.5)*0.3, 4) AS quality
-        |FROM sc ORDER BY doc_id""".stripMargin
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q37_bandmath_tiles" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS b08,
+        |  list_reverse(CAST(embedding AS DOUBLE[])) AS b04 FROM embeddings)
+        |SELECT vec_id, round(list_aggregate(list_transform(
+        |  generate_series(1, len(b08)),
+        |  i -> CAST(greatest(least(b08[i]*2.0 + b04[i], 10000.0), -10000.0) AS FLOAT)),
+        |  'sum'), 4) AS checksum
+        |FROM t ORDER BY vec_id""".stripMargin,
+    "q38_resample_tiles" ->
+      """SELECT vec_id, round(list_aggregate(list_transform(
+        |  generate_series(0, 15),
+        |  i -> embedding[((i // 4) * 2) * 8 + (i % 4) * 2 + 1]),
+        |  'sum'), 4) AS checksum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q39_quicklook_scale" ->
+      """SELECT vec_id, round(list_aggregate(list_transform(
+        |  CAST(embedding AS DOUBLE[]),
+        |  x -> CAST(least(x/10000.0*255.0, 255.0) AS FLOAT)),
+        |  'sum'), 4) AS checksum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q40_plan_activities" ->
+      """SELECT t.activity_type, (SELECT count(DISTINCT s_name) FROM supplier) AS n
+        |FROM (VALUES ('download'), ('correction'), ('publish')) AS t(activity_type)
+        |ORDER BY t.activity_type""".stripMargin
     // q35_simhash / q36_fingerprint intentionally omitted: they fold
     // xxhash64/crc32 (Spark-native hashes) — driver records rows-only check.
   )

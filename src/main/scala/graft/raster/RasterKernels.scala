@@ -1,0 +1,161 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.BandExpressionCompiler
+
+/** One raster block window as a row: the engine's distributed unit of pixel
+  * work. The reference iterates `rasterio` block windows sequentially
+  * (collections/index_generator.py:121–136, collections/utils.py:350–373);
+  * here each block is a row of a `raster_tiles` DataFrame and kernels are
+  * Catalyst array expressions — blocks process in parallel across
+  * executors, and multi-band arithmetic is fused per pixel inside
+  * whole-stage codegen.
+  *
+  * Scale design: block size is chosen at ingest (256²–1024² px ⇒ 0.25–4 MB
+  * rows) so a 100 TB collection becomes billions of independent rows;
+  * kernels are narrow (no shuffle) except the per-scene regroup, which
+  * shuffles only (scene, window) keys plus the band payloads actually used.
+  */
+final case class RasterTile(
+    scene_id: String,
+    band: String,
+    window_row: Int,
+    window_col: Int,
+    height: Int,
+    width: Int,
+    nodata: Double,
+    pixels: Array[Float])
+
+object RasterKernels {
+
+  /** Regroup a long tiles DataFrame (one row per scene/band/window) into one
+    * row per (scene, window) with a band→pixels map — the shape every
+    * multi-band kernel consumes. Single shuffle on (scene_id, window). */
+  def pivotBands(tiles: DataFrame): DataFrame =
+    tiles.groupBy(col("scene_id"), col("window_row"), col("window_col"),
+        col("height"), col("width"))
+      .agg(map_from_entries(collect_list(struct(col("band"), col("pixels")))).as("bands"),
+        map_from_entries(collect_list(struct(col("band"), col("nodata")))).as("nodatas"))
+
+  /** R1 — band-math expression evaluation (index_generator.py:58–149).
+    * Computes `expression` per pixel over the pivoted band map, masking any
+    * pixel where a source band equals its nodata, then clamping to
+    * [minValue, maxValue] (the reference's dtype clamp at
+    * index_generator.py:131–135) and emitting `outNodata` at masked
+    * positions. One `transform` pass — all bands read once per pixel.
+    */
+  def bandMath(pivoted: DataFrame, expression: String, outBand: String,
+               outNodata: Double, minValue: Double, maxValue: Double): DataFrame = {
+    val ast = BandExpressionCompiler.parse(expression)
+    val refs = BandExpressionCompiler.references(ast).toSeq.sorted
+    require(refs.nonEmpty, "expression references no bands")
+    val first = element_at(col("bands"), refs.head)
+    val out = transform(
+      sequence(lit(0), size(first) - 1),
+      i => {
+        val masked = refs.map { b =>
+          element_at(element_at(col("bands"), b), i + 1) === element_at(col("nodatas"), b).cast("float")
+        }.reduce(_ || _)
+        val value = BandExpressionCompiler.compile(ast,
+          b => element_at(element_at(col("bands"), b), i + 1).cast("double"))
+        when(masked, lit(outNodata))
+          .otherwise(BandExpressionCompiler.clamp(value, minValue, maxValue))
+          .cast("float")
+      })
+    pivoted.select(col("scene_id"), lit(outBand).as("band"),
+      col("window_row"), col("window_col"), col("height"), col("width"),
+      lit(outNodata).as("nodata"), out.as("pixels"))
+  }
+
+  /** R2/A10 — nodata propagation into the quality band
+    * (collections/utils.py:277–378): positions where ANY spectral band is
+    * nodata get `qualityNodata` in the quality band. The per-window union
+    * of nodata masks is a boolean-OR fold over the pivoted band map —
+    * exact positions, no sketch, matching utils.py:361–369's
+    * `numpy.union1d` semantics. */
+  def propagateNodata(pivoted: DataFrame, spectralBands: Seq[String],
+                      qualityBand: String, qualityNodata: Double): DataFrame = {
+    val quality = element_at(col("bands"), qualityBand)
+    val out = transform(
+      sequence(lit(0), size(quality) - 1),
+      i => {
+        val anyNodata = spectralBands.map { b =>
+          element_at(element_at(col("bands"), b), i + 1) === element_at(col("nodatas"), b).cast("float")
+        }.reduce(_ || _)
+        when(anyNodata, lit(qualityNodata)).otherwise(element_at(quality, i + 1)).cast("float")
+      })
+    pivoted.select(col("scene_id"), lit(qualityBand).as("band"),
+      col("window_row"), col("window_col"), col("height"), col("width"),
+      lit(qualityNodata).as("nodata"), out.as("pixels"))
+  }
+
+  /** R3 — nearest-neighbour resample of a (height×width) tile to
+    * (outH×outW) (collections/utils.py:317–348's out_shape read). Pure
+    * index arithmetic inside one `transform`. */
+  def resampleNearest(pixels: Column, height: Column, width: Column,
+                      outH: Int, outW: Int): Column =
+    transform(
+      sequence(lit(0), lit(outH * outW - 1)),
+      i => {
+        val or = floor(i / outW).cast("long")
+        val oc = i % outW
+        val sr = floor((or * height.cast("long")) / outH).cast("long")
+        val sc = floor((oc * width.cast("long")) / outW).cast("long")
+        element_at(pixels, (sr * width + sc).cast("int") + 1)
+      })
+
+  /** R4 — RGB quicklook composite scaling (celery/publish.py:59–91):
+    * x/10000*255 clipped to [0,255], nodata → 0 (transparent). Applied
+    * per band; the caller resamples each band to the quicklook grid first
+    * and zips three of these into an image. */
+  def quicklookScale(pixels: Column, nodata: Column): Column =
+    transform(pixels, p =>
+      when(p === nodata.cast("float"), lit(0.0f))
+        .otherwise(least(p.cast("double") / 10000.0 * 255.0, lit(255.0)).cast("float")))
+
+  /** A9 — per-tile min/max (publish.py:85 empty-band guard), as columns. */
+  def tileMin(pixels: Column, nodata: Column): Column =
+    array_min(filter(pixels, p => p =!= nodata.cast("float")))
+  def tileMax(pixels: Column, nodata: Column): Column =
+    array_max(filter(pixels, p => p =!= nodata.cast("float")))
+
+  /** Per-scene empty-band check: true when every valid pixel of every tile
+    * of the band is absent/zero (publish.py:85 guards `min!=0 or max!=0`). */
+  def emptyBands(tiles: DataFrame): DataFrame =
+    tiles.groupBy(col("scene_id"), col("band"))
+      .agg(max(tileMax(col("pixels"), col("nodata"))).as("mx"),
+        min(tileMin(col("pixels"), col("nodata"))).as("mn"))
+      .filter((col("mx").isNull && col("mn").isNull) || (col("mx") === 0 && col("mn") === 0))
+      .select(col("scene_id"), col("band"))
+
+  /** S8 — overview pyramid (collections/utils.py:381–401 build_overviews
+    * factors 2..64): per factor, a downsampled tile set via
+    * `resampleNearest`; emitted as extra rows tagged with the factor. */
+  def overviews(tiles: DataFrame, factors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64)): DataFrame = {
+    val perFactor = factors.map { f =>
+      tiles.filter(col("height") % f === 0 && col("width") % f === 0)
+        .withColumn("factor", lit(f))
+        .withColumn("out_h", (col("height") / f).cast("int"))
+        .withColumn("out_w", (col("width") / f).cast("int"))
+    }
+    perFactor.reduce(_ unionByName _)
+      .select(col("scene_id"), col("band"), col("window_row"), col("window_col"),
+        col("factor"), col("out_h").as("height"), col("out_w").as("width"), col("nodata"),
+        resampleNearestDyn(col("pixels"), col("height"), col("width"),
+          col("out_h"), col("out_w")).as("pixels"))
+  }
+
+  /** resampleNearest with column output dims (used by overviews). */
+  def resampleNearestDyn(pixels: Column, height: Column, width: Column,
+                         outH: Column, outW: Column): Column =
+    transform(
+      sequence(lit(0), (outH * outW - 1).cast("int")),
+      i => {
+        val or = floor(i.cast("long") / outW).cast("long")
+        val oc = i.cast("long") % outW
+        val sr = floor((or * height) / outH).cast("long")
+        val sc = floor((oc * width) / outW).cast("long")
+        element_at(pixels, (sr * width + sc).cast("int") + 1)
+      })
+}

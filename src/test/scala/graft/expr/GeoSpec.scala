@@ -1,0 +1,83 @@
+package graft.expr
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSpec {
+  import Geo._
+
+  test("convex hull of an L-shaped mask (FIXTURES.md §6)") {
+    // L-shape: unit squares (0,0)-(2,1) plus (0,1)-(1,3)
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0),
+      (1.0, 2.0), (1.0, 3.0), (0.0, 3.0), (0.0, 1.0), (0.5, 0.5))
+    val hull = convexHull(pts)
+    assert(hull.toSet == Set((0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 3.0), (0.0, 3.0)))
+  }
+
+  test("convex hull degenerate cases") {
+    assert(convexHull(Seq((1.0, 1.0))) == Seq((1.0, 1.0)))
+    assert(convexHull(Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))).toSet ==
+      Set((0.0, 0.0), (2.0, 2.0))) // collinear
+  }
+
+  test("point in polygon incl. boundary") {
+    val sq = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    assert(pointInPolygon((2.0, 2.0), sq))
+    assert(pointInPolygon((0.0, 2.0), sq)) // boundary
+    assert(!pointInPolygon((5.0, 2.0), sq))
+  }
+
+  test("polygon intersection: overlap, containment, disjoint, edge-touch") {
+    val a = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val b = Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0))
+    val c = Seq((5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0))
+    val inner = Seq((0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5))
+    val touch = Seq((2.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0))
+    assert(polygonsIntersect(a, b))
+    assert(polygonsIntersect(a, inner)) // containment
+    assert(!polygonsIntersect(a, c))
+    assert(polygonsIntersect(a, touch)) // shared edge
+  }
+
+  test("bboxIntersects column predicate matches exact check") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0, 2.0, 2.0, 1.0, 1.0, 3.0, 3.0, true),
+      (0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0, false))
+      .toDF("ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1", "expected")
+    val got = df.select(bboxIntersects(
+      bbox(col("ax0"), col("ay0"), col("ax1"), col("ay1")),
+      bbox(col("bx0"), col("by0"), col("bx1"), col("by1"))).as("got"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
+  test("tileRowExtremePoints + hull = scene footprint (R6 pipeline)") {
+    import spark.implicits._
+    // 4×4 tile with a diamond of valid pixels
+    val px = Array(
+      -9999f, -9999f, 1f, -9999f,
+      -9999f, 1f, 1f, 1f,
+      1f, 1f, 1f, 1f,
+      -9999f, 1f, 1f, -9999f)
+    val df = Seq((px, -9999.0, 4, 4, 0, 0)).toDF("pixels", "nodata", "h", "w", "wr", "wc")
+    val pts = df.select(tileRowExtremePoints(col("pixels"), col("nodata"),
+      col("h"), col("w"), col("wr"), col("wc")).as("pts"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // row extremes: (2,0),(2,0),(1,1),(3,1),(0,2),(3,2),(1,3),(2,3)
+    assert(pts.toSet == Set((2.0, 0.0), (1.0, 1.0), (3.0, 1.0), (0.0, 2.0),
+      (3.0, 2.0), (1.0, 3.0), (2.0, 3.0)))
+    val hull = convexHull(pts)
+    // (1,1) is collinear on the (0,2)-(2,0) edge, so it is not a vertex
+    assert(hull.toSet == Set((2.0, 0.0), (3.0, 1.0), (3.0, 2.0), (2.0, 3.0),
+      (1.0, 3.0), (0.0, 2.0)))
+  }
+
+  test("polygonBbox computes extent struct (R5)") {
+    import spark.implicits._
+    val df = Seq(Seq((1.0, 5.0), (3.0, 2.0), (2.0, 8.0))).toDF("poly")
+      .select(col("poly").cast("array<struct<x:double,y:double>>").as("poly"))
+    val r = df.select(polygonBbox(col("poly")).as("b")).head().getStruct(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == (1.0, 2.0, 3.0, 8.0))
+  }
+}

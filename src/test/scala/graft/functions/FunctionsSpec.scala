@@ -1,0 +1,117 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scene-id parsing across the three grammars (R9)") {
+    val df = Seq(
+      "S2A_MSIL1C_20200110T132231_N0208_R038_T23LLF_20200110T145523",
+      "LC08_L1TP_223064_20200110_20200120_02_T1",
+      "MOD13Q1.A2020009.h13v10.006.2020026").toDF("sid")
+    val got = df.select(
+      SceneFunctions.sceneFamily(col("sid")).as("fam"),
+      SceneFunctions.s2Tile(col("sid")).as("tile"),
+      SceneFunctions.landsatPathRow(col("sid")).as("pr"),
+      SceneFunctions.modisTile(col("sid")).as("mtile")).collect()
+    assert(got(0).getString(0) == "S2" && got(0).getString(1) == "23LLF")
+    assert(got(1).getString(0) == "LANDSAT" && got(1).getString(2) == "223064")
+    assert(got(2).getString(0) == "MODIS" && got(2).getString(3) == "h13v10")
+  }
+
+  test("MODIS tile rewrite h13v10 ↔ 013010 (publish.py:306, controller.py:552)") {
+    val df = Seq("h13v10").toDF("t")
+    val six = df.select(SceneFunctions.modisTileTo6Digit(col("t"))).head().getString(0)
+    assert(six == "013010")
+    val back = Seq(six).toDF("c")
+      .select(SceneFunctions.sixDigitToModisTile(col("c"))).head().getString(0)
+    assert(back == "h13v10")
+  }
+
+  test("band/mime from asset path (publish.py:49–56, 263–270)") {
+    val df = Seq("x/T23LLF_20200110T132231_B04_10m.jp2", "y/scene_B8A.tif", "z/q.png")
+      .toDF("p")
+    val got = df.select(SceneFunctions.bandFromPath(col("p")).as("b"),
+      SceneFunctions.mimeByExtension(col("p")).as("m")).collect()
+    assert(got(0).getString(0) == "B04" && got(0).getString(1) == "image/jp2")
+    assert(got(1).getString(0) == "B8A" && got(1).getString(1).contains("geotiff"))
+    assert(got(2).getString(1) == "image/png")
+  }
+
+  test("tokens/quality edge cases") {
+    val df = Seq("", "   ", "one", "Two words.").toDF("t")
+    val got = df.select(TextFunctions.tokenCount(col("t"))).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 1, 2))
+  }
+
+  test("jaccard on 2-shingles") {
+    val df = Seq(("a b c d", "a b c e")).toDF("x", "y")
+    val j = df.select(DedupFunctions.jaccard(col("x"), col("y"), 2)).head().getDouble(0)
+    // shingles x: {ab,bc,cd}, y: {ab,bc,ce} → inter 2, union 4
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("simhash: near-dup texts are close, different texts far") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      ("c", "completely unrelated words describing satellite imagery pipelines")).toDF("id", "t")
+    val h = df.select(col("id"), DedupFunctions.simhash64(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h("a"), h("b")) < ham(h("a"), h("c")))
+    assert(ham(h("a"), h("b")) <= 16)
+  }
+
+  test("dedupExact keeps lowest id per text") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val got = DedupFunctions.dedupExact(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("lshCandidatePairs finds near-dups, misses unrelated") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pairs = DedupFunctions.lshCandidatePairs(df, "text", "doc_id", n = 2,
+      bands = 4, rowsPerBand = 1)
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("cosine top-k exact vs LSH recall") {
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(16)(rng.nextGaussian().toFloat)
+    def perturb(eps: Double) = base.map(v => (v + rng.nextGaussian() * eps).toFloat)
+    val rows = (0 until 50).map(i => (i.toLong, perturb(if (i < 5) 0.01 else 2.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = SimilarityFunctions.topKCosine(df, "embedding", "vec_id", base, 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(0L, 1L, 2L, 3L, 4L)) // the 5 tight perturbations
+    val lsh = SimilarityFunctions.topKCosineLsh(df, "embedding", "vec_id", base, 5,
+      bits = 4, seed = 42L).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.subsetOf(exact) || lsh.intersect(exact).size >= 3) // high recall on tight cluster
+  }
+
+  test("ivfAssign puts identical vectors in the same cell") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f))).toDF("id", "emb")
+    val got = df.select(col("id"), SimilarityFunctions.ivfAssign(col("emb"), centroids).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 0 && got(2L) == 1)
+  }
+
+  test("langIdHeuristic marker scoring") {
+    val markers = Map("en" -> Seq("the", "of"), "fr" -> Seq("le", "la"))
+    val df = Seq("the cat of the house", "le chat dans la maison", "xyzzy").toDF("t")
+    val got = df.select(TextFunctions.langIdHeuristic(col("t"), markers)).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("en", "fr", "und"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.meta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MetaQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("conjunctiveFilter requires at least one predicate (controller.py:99)") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assertThrows[IllegalArgumentException](MetaQueries.conjunctiveFilter(df, Nil))
+    assert(MetaQueries.conjunctiveFilter(df, Seq(col("x") > 1, col("x") < 3)).count() == 1)
+  }
+
+  test("latestPerGroup deterministic with tie-breakers") {
+    val df = Seq((1, "t1", "a"), (1, "t1", "b"), (2, "t0", "c")).toDF("g", "ts", "v")
+    val got = MetaQueries.latestPerGroup(df, Seq(col("g")), col("ts"), Seq(col("v")))
+      .orderBy("g").collect().map(_.getString(2)).toSeq
+    assert(got == Seq("b", "c"))
+  }
+
+  test("intervalOverlap covers the three OR arms (controller.py:571–575)") {
+    val df = Seq(
+      ("inside", "2020-02-01", "2020-02-10"),
+      ("left", "2020-01-01", "2020-02-05"),
+      ("right", "2020-02-20", "2020-03-15"),
+      ("covering", "2020-01-01", "2020-03-15"),
+      ("disjoint", "2020-05-01", "2020-06-01")).toDF("name", "s", "e")
+    val got = df.filter(MetaQueries.intervalOverlap(col("s"), col("e"),
+      lit("2020-02-01"), lit("2020-02-28"))).collect().map(_.getString(0)).toSet
+    assert(got == Set("inside", "left", "right", "covering"))
+  }
+
+  test("periods generates calendar-aligned months (controller.py:45–68)") {
+    val df = Seq(("2020-01-15", "2020-04-02")).toDF("s", "e")
+    val got = MetaQueries.periods(df, col("s").cast("timestamp"), col("e").cast("timestamp"))
+      .select(date_format(col("period_start"), "yyyy-MM-dd").as("ps"),
+        date_format(col("period_end"), "yyyy-MM-dd").as("pe"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("2020-01-01", "2020-01-31"), ("2020-02-01", "2020-02-29"),
+      ("2020-03-01", "2020-03-31"), ("2020-04-01", "2020-04-30")))
+  }
+
+  test("paginate = ORDER BY LIMIT OFFSET (views.py:37–49)") {
+    val df = (1 to 100).toDF("id")
+    val got = MetaQueries.paginate(df, Seq(col("id")), page = 3, perPage = 10)
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == (21 to 30))
+  }
+
+  test("notPublished/published anti/semi joins (controller.py:298–337)") {
+    val cand = Seq(("a", 1), ("b", 1), ("c", 2)).toDF("name", "collection_id")
+    val items = Seq(("a", 1), ("c", 1)).toDF("name", "collection_id")
+    assert(MetaQueries.notPublished(cand, items, Seq("name", "collection_id"))
+      .collect().map(_.getString(0)).toSet == Set("b", "c"))
+    assert(MetaQueries.published(cand, items, Seq("name", "collection_id"))
+      .collect().map(_.getString(0)).toSet == Set("a"))
+  }
+
+  test("entry smoke: flagship query returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.raster
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RasterKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES.md §6 synthetic tiles: 2×(2×2 px) windows for two bands.
+  private def tiles = Seq(
+    RasterTile("scene1", "B08", 0, 0, 2, 2, -9999.0, Array(8000f, 4000f, -9999f, 100f)),
+    RasterTile("scene1", "B04", 0, 0, 2, 2, -9999.0, Array(2000f, 4000f, 5f, -9999f)),
+    RasterTile("scene1", "B08", 0, 1, 2, 2, -9999.0, Array(1f, 2f, 3f, 4f)),
+    RasterTile("scene1", "B04", 0, 1, 2, 2, -9999.0, Array(1f, 1f, 1f, 1f))
+  ).toDF()
+
+  test("bandMath NDVI with nodata masking and clamp (R1)") {
+    val piv = RasterKernels.pivotBands(tiles)
+    val out = RasterKernels.bandMath(piv, "10000. * ((B08 - B04) / (B08 + B04))",
+      "NDVI", -9999.0, -10000.0, 10000.0)
+    val px = out.orderBy("window_col").collect()
+      .map(r => (r.getInt(r.fieldIndex("window_col")), r.getSeq[Float](r.fieldIndex("pixels"))))
+      .toMap
+    val w0 = px(0)
+    assert(w0(0) == 6000.0f)           // (8000-2000)/(8000+2000)*10000
+    assert(w0(1) == 0.0f)              // equal bands
+    assert(w0(2) == -9999.0f)          // B08 nodata → masked
+    assert(w0(3) == -9999.0f)          // B04 nodata → masked
+    val w1 = px(1)
+    assert(w1(0) == 0.0f)
+    assert(math.abs(w1(1) - 10000.0 * (2.0 - 1.0) / 3.0) < 0.5)
+  }
+
+  test("bandMath clamps to dtype range (index_generator.py:131–135)") {
+    val t = Seq(
+      RasterTile("s", "A", 0, 0, 1, 2, -9999.0, Array(30000f, -30000f)),
+      RasterTile("s", "B", 0, 0, 1, 2, -9999.0, Array(1f, 1f))).toDF()
+    val out = RasterKernels.bandMath(RasterKernels.pivotBands(t),
+      "A * B", "OUT", -9999.0, -10000.0, 10000.0)
+    val px = out.head().getSeq[Float](out.columns.indexOf("pixels"))
+    assert(px == Seq(10000.0f, -10000.0f))
+  }
+
+  test("propagateNodata unions masks into quality band (R2/A10)") {
+    val t = Seq(
+      RasterTile("s", "B04", 0, 0, 2, 2, -9999.0, Array(1f, -9999f, 3f, 4f)),
+      RasterTile("s", "B08", 0, 0, 2, 2, -9999.0, Array(1f, 2f, -9999f, 4f)),
+      RasterTile("s", "Fmask4", 0, 0, 2, 2, 255.0, Array(0f, 2f, 4f, 1f))).toDF()
+    val out = RasterKernels.propagateNodata(RasterKernels.pivotBands(t),
+      Seq("B04", "B08"), "Fmask4", 255.0)
+    val px = out.head().getSeq[Float](out.columns.indexOf("pixels"))
+    assert(px == Seq(0f, 255f, 255f, 1f))
+  }
+
+  test("resampleNearest 4x4 checkerboard → 2x2 (R3, utils.py:317–348)") {
+    val checker = Array.tabulate(16)(i => if ((i / 4 + i % 4) % 2 == 0) 1f else 0f)
+    val df = Seq((checker, 4, 4)).toDF("pixels", "h", "w")
+    val out = df.select(RasterKernels.resampleNearest(col("pixels"), col("h"), col("w"), 2, 2).as("p"))
+      .head().getSeq[Float](0)
+    // nearest with factor 2 picks rows 0,2 cols 0,2 → values at (0,0),(0,2),(2,0),(2,2)
+    assert(out == Seq(1f, 1f, 1f, 1f))
+  }
+
+  test("quicklookScale scales/clips and maps nodata to 0 (R4, publish.py:59–91)") {
+    val df = Seq((Array(5000f, 20000f, -9999f, 0f), -9999.0)).toDF("pixels", "nodata")
+    val out = df.select(RasterKernels.quicklookScale(col("pixels"), col("nodata")).as("p"))
+      .head().getSeq[Float](0)
+    assert(out(0) == 127.5f)
+    assert(out(1) == 255f)   // clipped
+    assert(out(2) == 0f)     // nodata → transparent
+    assert(out(3) == 0f)
+  }
+
+  test("emptyBands flags all-zero/all-nodata bands (A9, publish.py:85)") {
+    val t = Seq(
+      RasterTile("s", "EMPTY", 0, 0, 1, 2, -9999.0, Array(0f, -9999f)),
+      RasterTile("s", "OK", 0, 0, 1, 2, -9999.0, Array(0f, 7f))).toDF()
+    val got = RasterKernels.emptyBands(t).collect().map(_.getString(1)).toSeq
+    assert(got == Seq("EMPTY"))
+  }
+
+  test("overviews produce the 2..64 pyramid for divisible tiles (S8)") {
+    val t = Seq(RasterTile("s", "B", 0, 0, 8, 8, -9999.0,
+      Array.tabulate(64)(_.toFloat))).toDF()
+    val out = RasterKernels.overviews(t, Seq(2, 4, 8))
+    val sizes = out.select("factor", "height", "width").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(sizes == Seq((2, 4, 4), (4, 2, 2), (8, 1, 1)))
+    val f8 = out.filter(col("factor") === 8).head().getSeq[Float](out.columns.indexOf("pixels"))
+    assert(f8 == Seq(0f)) // top-left nearest sample
+  }
+}
