@@ -309,6 +309,30 @@ object SparkEntry {
             graft.raster.RasterKernels.quicklookScale(col("embedding"), lit(-9999.0)),
             lit(0.0), (a, p) => a + p.cast("double"))).as("checksum"))
         .orderBy(col("vec_id"))),
+    // ---- §3.3 check-scenes composite: periods × interval-overlap join ----
+    "q41_reconcile_periods" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("o_end", col("o_orderdate") + expr("interval 30 days"))
+      val periods = s.range(1).select(explode(sequence(
+          lit("1997-01-01").cast("timestamp"), lit("1997-12-01").cast("timestamp"),
+          expr("interval 1 month"))).as("period_start"))
+        .withColumn("period_end",
+          col("period_start") + expr("interval 1 month") - expr("interval 1 second"))
+      o.join(broadcast(periods), MetaQueries.intervalOverlap(
+          col("o_orderdate"), col("o_end"), col("period_start"), col("period_end")))
+        .groupBy(col("period_start").cast("date").as("month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("month"))
+    }),
+    // ---- multimodal: binary payload + stub meta columns ------------------
+    "q42_media_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        .select(col("doc_id"),
+          graft.functions.MultimodalFunctions.mediaMetaColumns(col("content")).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.duration_ms").as("duration_ms"))
+        .orderBy(col("doc_id"))),
     // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
     "q40_plan_activities" -> ((s, d) => {
       import graft.pipeline.Pipeline
@@ -532,7 +556,25 @@ object SparkEntry {
     "q40_plan_activities" ->
       """SELECT t.activity_type, (SELECT count(DISTINCT s_name) FROM supplier) AS n
         |FROM (VALUES ('download'), ('correction'), ('publish')) AS t(activity_type)
-        |ORDER BY t.activity_type""".stripMargin
+        |ORDER BY t.activity_type""".stripMargin,
+    "q41_reconcile_periods" ->
+      """WITH p AS (SELECT unnest(generate_series(TIMESTAMP '1997-01-01',
+        |    TIMESTAMP '1997-12-01', INTERVAL 1 MONTH)) AS period_start)
+        |SELECT CAST(period_start AS DATE) AS month, count(*) AS n
+        |FROM p JOIN orders
+        |  ON o_orderdate <= period_start + INTERVAL 1 MONTH - INTERVAL 1 SECOND
+        | AND o_orderdate + INTERVAL 30 DAY >= period_start
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+    "q42_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(upper(hex(encode(text))), 1, 4) = 'FFD8' THEN 'jpeg'
+        |       WHEN substr(upper(hex(encode(text))), 1, 4) = '8950' THEN 'png'
+        |       WHEN substr(upper(hex(encode(text))), 1, 4) = '5249' THEN 'wav'
+        |       ELSE 'raw' END AS format,
+        |  octet_length(encode(text)) % 640 + 1 AS width,
+        |  octet_length(encode(text)) % 480 + 1 AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally omitted: they fold
     // xxhash64/crc32 (Spark-native hashes) — driver records rows-only check.
   )

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import MultimodalFunctions._
+  import spark.implicits._
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  private def jpegBytes(n: Int): Array[Byte] = {
+    val b = Array.tabulate(n)(i => (i % 251).toByte)
+    b(0) = 0xFF.toByte; b(1) = 0xD8.toByte; b
+  }
+
+  test("media schema + stub meta columns are deterministic") {
+    val df = Seq((1L, jpegBytes(1000)), (2L, Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+      .toDF("media_id", "content")
+    val got = df.select(col("media_id"), mediaMetaColumns(col("content")).as("meta"))
+      .select("media_id", "meta.format", "meta.width", "meta.duration_ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(got(0) == ((1L, "jpeg", 1000 % 640 + 1, 1000L)))
+    assert(got(1) == ((2L, "png", 5, 4L)))
+  }
+
+  test("extractFeatures: fixed-width vectors, deterministic, partition-count independent") {
+    val rows = (0 until 20).map(i => MediaRow(i.toLong, "image", jpegBytes(100 + i * 37),
+      StubCodec.decodeMeta(jpegBytes(100 + i * 37))))
+    val ds1 = spark.createDataset(rows).repartition(1)
+    val ds4 = spark.createDataset(rows).repartition(4)
+    val f1 = extractFeatures(ds1, dim = 16).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val f4 = extractFeatures(ds4, dim = 16).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(f1 == f4)                       // partitioning must not change results
+    assert(f1.values.forall(_.size == 16)) // fixed width for downstream ANN
+    assert(f1(0L) != f1(1L))               // content-sensitive
+  }
+
+  test("balanceBySize range-partitions by payload size") {
+    val rows = (0 until 100).map(i => (i.toLong, Array.fill[Byte](if (i < 50) 10 else 10000)(1)))
+    val df = rows.toDF("media_id", "content")
+    val parts = balanceBySize(df, 4)
+      .select(spark_partition_id().as("p"), length(col("content")).as("sz"))
+      .groupBy("p").agg(max("sz").as("mx"), min("sz").as("mn"))
+      .collect()
+    // each partition holds similar sizes (range partitioning on size)
+    assert(parts.forall(r => r.getInt(1) == r.getInt(2) || parts.length <= 2))
+  }
+
+  test("frame sampling stub is bounded and deterministic") {
+    val offs = StubCodec.sampleFrameOffsets(100000L, 4096)
+    assert(offs == StubCodec.sampleFrameOffsets(100000L, 4096))
+    assert(offs.size <= 32 && offs.forall(_ < 100000L))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingRunnerSpec extends SparkSpec {
+
+  test("streaming chain download→publish with retry and execution log (ST1–ST3)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream").toString
+    val queueDir = s"$base/queue"
+    val ckpt = s"$base/ckpt"
+    val execDir = s"$base/exec"
+
+    // seed: two scenes at the download stage
+    val seed = Seq(("s1", 1, "download", 0), ("s2", 1, "download", 0))
+      .toDF("sceneid", "collection_id", "activity_type", "retry_count")
+      .withColumn("not_before", current_timestamp())
+    StreamingRunner.enqueue(seed, queueDir)
+
+    // download: s1 succeeds; s2 transient-fails once then succeeds
+    val download: Pipeline.StageKernel = df => df.withColumn("status",
+      when(col("sceneid") === "s1", "SUCCESS")
+        .when(col("sceneid") === "s2" && col("retry_count") >= 1, "SUCCESS")
+        .otherwise("RETRY"))
+    val publish: Pipeline.StageKernel = df => df.withColumn("status", lit("SUCCESS"))
+
+    val q1 = StreamingRunner.runStage(spark, queueDir, ckpt, execDir,
+      "download", download, childStages = Seq("publish"),
+      maxRetries = 3, retryDelaySeconds = 0L)
+    val q2 = StreamingRunner.runStage(spark, queueDir, ckpt, execDir,
+      "publish", publish, childStages = Nil)
+
+    // drive the micro-batches until the chain settles
+    val deadline = System.currentTimeMillis() + 60000
+    def publishedOk(): Boolean =
+      new java.io.File(execDir).exists() &&
+        spark.read.parquet(execDir)
+          .filter(col("activity_type") === "publish" && col("status") === "SUCCESS")
+          .select("sceneid").distinct().count() == 2
+    while (System.currentTimeMillis() < deadline && !publishedOk()) {
+      q1.processAllAvailable(); q2.processAllAvailable()
+    }
+    q1.stop(); q2.stop()
+
+    assert(publishedOk(), "both scenes must reach publish SUCCESS")
+    val execs = spark.read.parquet(execDir)
+    // s2 retried at least once at download
+    assert(execs.filter(col("sceneid") === "s2" && col("activity_type") === "download" &&
+      col("status") === "RETRY").count() >= 1)
+    // progress introspection (ST8)
+    val prog = StreamingRunner.stageProgress(spark, execDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(prog(("publish", "SUCCESS")) == 2L)
+  }
+}
