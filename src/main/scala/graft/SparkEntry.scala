@@ -201,14 +201,16 @@ object SparkEntry {
         countDistinct(D.exactKey(col("text"))).as("n_distinct"))),
     // ---- dedup: MinHash signature (3-shingles, 2 salted hashes) ----------
     "q26_minhash" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-          D.minhash(col("text"), 3, "s0").as("mh0"),
-          D.minhash(col("text"), 3, "s1").as("mh1"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), D.minhashSignature(col("text"), 3, 2).as("sig"))
+        .select(col("doc_id"), element_at(col("sig"), 1).as("mh0"),
+          element_at(col("sig"), 2).as("mh1"))
         .orderBy(col("doc_id"))),
     // ---- dedup: LSH band-bucket histogram --------------------------------
     "q27_lsh_buckets" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(D.lshBandKey(col("text"), 3, 0, 2).as("band_key"))
+        .select(D.minhashSignature(col("text"), 3, 2).as("sig"))
+        .select(D.bandKeyFromSignature(col("sig"), 0, 2).as("band_key"))
         .groupBy(col("band_key")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .orderBy(col("band_key"))),

@@ -1,0 +1,13 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Column wrappers for the engine's native Catalyst expressions. */
+object NativeFunctions {
+
+  /** k-hash MinHash signature over word n-gram shingles (lowercase-hex md5
+    * minima; identical semantics to the HOF formulation and DuckDB oracle). */
+  def minhash_signature(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(text), n, k))
+}

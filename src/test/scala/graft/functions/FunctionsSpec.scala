@@ -107,6 +107,20 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L) == 0 && got(2L) == 1)
   }
 
+  test("native minhash_signature matches the HOF specification on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val native = docs.select(col("doc_id"),
+      DedupFunctions.minhashSignature(col("text"), 3, 4).as("sig"))
+    val hof = docs.select(col("doc_id"),
+      DedupFunctions.minhashSignatureHof(col("text"), 3, 4).as("sig"))
+    assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+    // edge cases: empty text, fewer tokens than n
+    val edge = Seq((1L, ""), (2L, "only two"), (3L, "   ")).toDF("doc_id", "text")
+    val en = edge.select(DedupFunctions.minhashSignature(col("text"), 3, 2).as("s")).collect()
+    val eh = edge.select(DedupFunctions.minhashSignatureHof(col("text"), 3, 2).as("s")).collect()
+    assert(en.map(_.toString).toSeq == eh.map(_.toString).toSeq)
+  }
+
   test("langIdHeuristic marker scoring") {
     val markers = Map("en" -> Seq("the", "of"), "fr" -> Seq("le", "la"))
     val df = Seq("the cat of the house", "le chat dans la maison", "xyzzy").toDF("t")
