@@ -103,9 +103,12 @@ object Geo {
   private def toPts(rows: Seq[org.apache.spark.sql.Row]): Seq[Pt] =
     if (rows == null) Seq.empty else rows.map(r => (r.getDouble(0), r.getDouble(1)))
 
+  /** Named point row so UDF results carry x/y struct fields. */
+  final case class PtRow(x: Double, y: Double)
+
   /** UDF: convex hull of an array<struct<x,y>> column. */
   val convexHullUdf = udf { rows: Seq[org.apache.spark.sql.Row] =>
-    convexHull(toPts(rows)).map { case (x, y) => (x, y) }
+    convexHull(toPts(rows)).map { case (x, y) => PtRow(x, y) }
   }
 
   /** UDF: exact polygon intersects (use after [[bboxIntersects]] prefilter). */

@@ -1,0 +1,122 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+
+/** Scene ↔ tile conversion and edge sinks (SURVEY.md S5/S7/S8/S10).
+  *
+  *  - S5: the reference reads rasterio block windows
+  *    (index_generator.py:121, utils.py:351); here a full-scene band row
+  *    explodes into block-window tiles — block boundaries become row
+  *    boundaries, so one scene's blocks process on many executors.
+  *  - S7/S8: the engine-native "COG" sink is parquet partitioned by
+  *    (scene_id, band) with the overview pyramid as extra factor-tagged
+  *    rows (RasterKernels.overviews); a real GeoTIFF export is an edge
+  *    job outside the engine (needs GDAL).
+  *  - S10: quicklook PNG encode uses JDK ImageIO — driver-side, on an
+  *    already-downsampled 768×768 composite (publish.py:59–91), so the
+  *    collect is ≤ 768·768·3 bytes per scene regardless of input size.
+  */
+object SceneIO {
+
+  /** S5 — explode a full-scene band image into block-window tiles.
+    * Input rows: (scene_id, band, height, width, nodata, pixels).
+    * Output: RasterTile rows, one per (blockRow, blockCol) window. */
+  def tileScene(scene: DataFrame, blockH: Int, blockW: Int): DataFrame = {
+    val nBlockRows = ceil(col("height") / lit(blockH.toDouble)).cast("int")
+    val nBlockCols = ceil(col("width") / lit(blockW.toDouble)).cast("int")
+    scene
+      .withColumn("window_row", explode(sequence(lit(0), nBlockRows - 1)))
+      .withColumn("window_col", explode(sequence(lit(0), nBlockCols - 1)))
+      .withColumn("tile_h",
+        least(lit(blockH), col("height") - col("window_row") * blockH).cast("int"))
+      .withColumn("tile_w",
+        least(lit(blockW), col("width") - col("window_col") * blockW).cast("int"))
+      .withColumn("pixels", transform(
+        sequence(lit(0), col("tile_h") * col("tile_w") - 1),
+        i => {
+          val r = floor(i / col("tile_w")).cast("int") + col("window_row") * blockH
+          val c = (i % col("tile_w")) + col("window_col") * blockW
+          element_at(col("pixels"), (r * col("width") + c) + 1)
+        }))
+      .select(col("scene_id"), col("band"), col("window_row"), col("window_col"),
+        col("tile_h").as("height"), col("tile_w").as("width"), col("nodata"), col("pixels"))
+  }
+
+  /** Inverse of [[tileScene]] for small scenes (test/quicklook path):
+    * reassemble one band image from its tiles. Driver-side collect. */
+  def assembleScene(tiles: DataFrame, sceneId: String, band: String): (Int, Int, Array[Float]) = {
+    val rows = tiles.filter(col("scene_id") === sceneId && col("band") === band)
+      .select("window_row", "window_col", "height", "width", "pixels").collect()
+    require(rows.nonEmpty, s"no tiles for $sceneId/$band")
+    val blockH = rows.map(r => r.getInt(2)).max
+    val blockW = rows.map(r => r.getInt(3)).max
+    val totalH = rows.map(r => r.getInt(0) * blockH + r.getInt(2)).max
+    val totalW = rows.map(r => r.getInt(1) * blockW + r.getInt(3)).max
+    val out = new Array[Float](totalH * totalW)
+    rows.foreach { r =>
+      val (wr, wc, h, w) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      val px = r.getSeq[Float](4)
+      var i = 0
+      while (i < h * w) {
+        val gr = wr * blockH + i / w
+        val gc = wc * blockW + i % w
+        out(gr * totalW + gc) = px(i)
+        i += 1
+      }
+    }
+    (totalH, totalW, out)
+  }
+
+  /** S7/S8 — engine-native tile sink: parquet partitioned by (scene, band),
+    * zstd-compressed (the reference's deflate rewrite, publish.py:94–111,
+    * becomes a codec setting — SURVEY §2.1 S9). */
+  def writeTiles(tiles: DataFrame, path: String): Unit =
+    tiles.write.mode("overwrite")
+      .partitionBy("scene_id", "band")
+      .option("compression", "zstd")
+      .parquet(path)
+
+  /** S10 — RGB quicklook PNG (publish.py:59–91): three pre-scaled 0–255
+    * band images of identical shape → PNG bytes via JDK ImageIO; 0 = fully
+    * transparent (the reference's alpha mask). */
+  def encodeQuicklookPng(h: Int, w: Int, r: Array[Float], g: Array[Float],
+                         b: Array[Float]): Array[Byte] = {
+    require(r.length == h * w && g.length == h * w && b.length == h * w)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    var i = 0
+    while (i < h * w) {
+      val rv = math.max(0, math.min(255, r(i).toInt))
+      val gv = math.max(0, math.min(255, g(i).toInt))
+      val bv = math.max(0, math.min(255, b(i).toInt))
+      val alpha = if (rv == 0 && gv == 0 && bv == 0) 0 else 255
+      img.setRGB(i % w, i / w, (alpha << 24) | (rv << 16) | (gv << 8) | bv)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Full quicklook pipeline for one scene (publish.py:59–91): downsample
+    * each RGB band to (qlH×qlW) via nearest, scale/clip/nodata→0, collect,
+    * encode. Distributed until the ≤768² collect. */
+  def quicklook(tiles: DataFrame, sceneId: String, rgb: (String, String, String),
+                qlH: Int = 768, qlW: Int = 768): Array[Byte] = {
+    def bandImage(band: String): Array[Float] = {
+      val (h, w, px) = assembleScene(
+        tiles.filter(col("scene_id") === sceneId && col("band") === band)
+          .withColumn("pixels",
+            RasterKernels.quicklookScale(col("pixels"), col("nodata"))),
+        sceneId, band)
+      // nearest downsample driver-side on the already-scaled image
+      Array.tabulate(qlH * qlW) { i =>
+        val sr = (i / qlW) * h / qlH
+        val sc = (i % qlW) * w / qlW
+        px(sr * w + sc)
+      }
+    }
+    encodeQuicklookPng(qlH, qlW, bandImage(rgb._1), bandImage(rgb._2), bandImage(rgb._3))
+  }
+}

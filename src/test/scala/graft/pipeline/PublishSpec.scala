@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.expr.Geo
+import graft.raster.{RasterTile, SceneIO}
+import org.apache.spark.sql.functions._
+
+class PublishSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  test("assets from paths + routing (S12/P8, publish.py:411–472, tasks.py:411–419)") {
+    val df = Seq(Seq("p/T1_B04_10m.jp2", "p/T1_B08.jp2", "p/T1_Fmask4.tif")).toDF("paths")
+    val assets = df.select(Publish.assetsFromPaths(col("paths")).as("assets"))
+    val routed = assets.select(Publish.routeAssets(col("assets")).as("r"))
+      .select(map_keys(col("r.bands")).as("bands"), col("r.quality.href").as("q"))
+      .head()
+    assert(routed.getSeq[String](0).toSet == Set("B04", "B08"))
+    assert(routed.getString(1) == "p/T1_Fmask4.tif")
+  }
+
+  test("footprint from Sentinel MTD XML (R7, publish.py:159–174)") {
+    val xml = """<n1:Level-1C><EXT_POS_LIST>
+                | -10.5 -45.25 -10.5 -44.0 -11.0 -44.0 -11.0 -45.25
+                |</EXT_POS_LIST></n1:Level-1C>""".stripMargin
+    val pts = Seq(xml).toDF("xml")
+      .select(Publish.footprintFromXml(col("xml")).as("fp"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // x = lon, y = lat
+    assert(pts == Seq((-45.25, -10.5), (-44.0, -10.5), (-44.0, -11.0), (-45.25, -11.0)))
+  }
+
+  test("UTM zone → EPSG (R8, utils.py:486–522)") {
+    val df = Seq((23, false), (33, true)).toDF("zone", "north")
+    val got = df.select(Publish.sridForUtmZone(col("zone"), col("north")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(32723, 32633))
+  }
+
+  test("assembleItems + idempotent publish (S12, publish.py:575–605)") {
+    val tiles = Seq(
+      RasterTile("SC1", "B04", 0, 0, 2, 2, -9999.0, Array(1f, 1f, -9999f, 1f)),
+      RasterTile("SC1", "B04", 0, 1, 2, 2, -9999.0, Array(1f, -9999f, 1f, -9999f))).toDF()
+    val fps = tiles.select(col("scene_id"),
+      Geo.tileRowExtremePoints(col("pixels"), col("nodata"), col("height"), col("width"),
+        col("window_row"), col("window_col")).as("points"))
+    val scenes = Seq(("SC1", 7, "2020-01-10 00:00:00", "2020-01-10 23:59:59", 12.5,
+      Seq("p/SC1_B04.jp2"), "23LLF"))
+      .toDF("scene_id", "collection_id", "start_date", "end_date", "cloud_cover",
+        "asset_paths", "tile")
+      .withColumn("start_date", col("start_date").cast("timestamp"))
+      .withColumn("end_date", col("end_date").cast("timestamp"))
+    val items = Publish.assembleItems(scenes, fps)
+    val row = items.head()
+    assert(row.getAs[String]("name") == "SC1")
+    val bbox = row.getAs[org.apache.spark.sql.Row]("bbox")
+    assert(bbox.getDouble(0) == 0.0 && bbox.getDouble(2) == 2.0) // xmin..xmax across both windows
+    // idempotent merge: republish updates, not duplicates
+    val again = Publish.publishItems(items, items)
+    assert(again.count() == 1)
+  }
+
+  test("scene tiling round-trips (S5) and quicklook PNG encodes (S10)") {
+    val px = Array.tabulate(16 * 16)(i => (i % 7).toFloat * 2000)
+    val scene = Seq(("SC2", "B04", 16, 16, -9999.0, px))
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+    val tiles = SceneIO.tileScene(scene, 8, 8)
+    assert(tiles.count() == 4)
+    val (h, w, out) = SceneIO.assembleScene(tiles, "SC2", "B04")
+    assert(h == 16 && w == 16 && out.toSeq == px.toSeq)
+    // non-divisible block size → ragged edge tiles
+    val ragged = SceneIO.tileScene(scene, 6, 6)
+    assert(ragged.count() == 9)
+    val (h2, w2, out2) = SceneIO.assembleScene(ragged, "SC2", "B04")
+    assert(h2 == 16 && w2 == 16 && out2.toSeq == px.toSeq)
+    // quicklook over the tiled scene (all three bands = B04)
+    val t3 = tiles.unionByName(tiles.withColumn("band", lit("B03")))
+      .unionByName(tiles.withColumn("band", lit("B02")))
+    val png = SceneIO.quicklook(t3, "SC2", ("B04", "B03", "B02"), qlH = 32, qlW = 32)
+    assert(png.length > 8)
+    // PNG magic
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 32 && img.getHeight == 32)
+  }
+
+  test("external processor: success, failure→RETRY, timeout (X1/X2)") {
+    import ExternalProcessor._
+    val jobs = spark.createDataset(Seq(
+      ProcJob("ok", Seq("0")), ProcJob("fail", Seq("3"))))
+    val res = runPerScene(jobs, Seq("sh", "-c", "exit $0"), timeoutSeconds = 30)
+      .collect().map(r => r.sceneid -> r).toMap
+    assert(res("ok").status == "SUCCESS" && res("ok").exit_code == 0)
+    assert(res("fail").status == "RETRY" && res("fail").exit_code == 3)
+    val slow = spark.createDataset(Seq(ProcJob("slow", Seq("10"))))
+    val tres = runPerScene(slow, Seq("sh", "-c", "sleep $0"), timeoutSeconds = 1)
+      .collect().head
+    assert(tres.timed_out && tres.status == "RETRY")
+  }
+}

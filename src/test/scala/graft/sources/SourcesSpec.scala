@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.io.ByteArrayOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream, GZIPOutputStream}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def zipOf(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (n, b) =>
+      z.putNextEntry(new ZipEntry(n)); z.write(b); z.closeEntry()
+    }
+    z.close(); bos.toByteArray
+  }
+
+  test("zip validity + kind sniff + corruption detection (S3, utils.py:404–436)") {
+    val good = zipOf("S2A_SAFE/manifest.xml" -> "hello".getBytes,
+      "S2A_SAFE/B04.jp2" -> Array.fill[Byte](1000)(7))
+    // flip a byte just before the central directory (inside the last
+    // entry's data/descriptor) so the corruption is in data ZipInputStream
+    // actually reads, not in the central directory it ignores
+    val cdPos = good.indices.find(i => i + 3 < good.length && good(i) == 'P' &&
+      good(i + 1) == 'K' && good(i + 2) == 1 && good(i + 3) == 2).get
+    val corrupt = good.clone(); corrupt(cdPos - 6) = (corrupt(cdPos - 6) ^ 0xFF).toByte
+    assert(ArchiveFunctions.archiveKind(good) == "zip")
+    assert(ArchiveFunctions.isValidZip(good))
+    assert(!ArchiveFunctions.isValidZip(corrupt))
+    assert(!ArchiveFunctions.isValidZip("not a zip".getBytes))
+    val gz = { val b = new ByteArrayOutputStream(); val g = new GZIPOutputStream(b)
+      g.write("data".getBytes); g.close(); b.toByteArray }
+    assert(ArchiveFunctions.archiveKind(gz) == "gzip")
+    assert(ArchiveFunctions.isValidGzip(gz))
+  }
+
+  test("zip extraction + internal SAFE name as DataFrame ops (S4)") {
+    val payload = zipOf("SCENE.SAFE/a.xml" -> "x".getBytes, "SCENE.SAFE/b.jp2" -> "y".getBytes)
+    val df = Seq(("s1", payload)).toDF("scene_id", "content")
+    val entries = df.select(col("scene_id"),
+        ArchiveFunctions.explodeArchive(col("content")).as("e"))
+      .select(col("scene_id"), col("e._1").as("name"), col("e._2").as("bytes"))
+    val got = entries.collect().map(r => r.getString(1)).toSet
+    assert(got == Set("SCENE.SAFE/a.xml", "SCENE.SAFE/b.jp2"))
+    assert(ArchiveFunctions.internalName(got.toSeq) == Some("SCENE.SAFE"))
+    assert(ArchiveFunctions.internalName(Seq("a/x", "b/y")).isEmpty)
+  }
+
+  test("catalog search: three modes with pushable predicates (S1)") {
+    val snap = Seq(
+      ("SC_A", "23LLF", "2020-01-05", 10.0, 0.0, 0.0, 1.0, 1.0),
+      ("SC_B", "23LLF", "2020-02-05", 60.0, 0.0, 0.0, 1.0, 1.0),
+      ("SC_C", "24LLF", "2020-01-10", 5.0, 10.0, 10.0, 11.0, 11.0))
+      .toDF("scene_id", "tile", "d", "cloud_cover", "x0", "y0", "x1", "y1")
+      .select(col("scene_id"), col("tile"), col("d").cast("timestamp").as("sensing_date"),
+        col("cloud_cover"),
+        struct(col("x0").as("xmin"), col("y0").as("ymin"),
+          col("x1").as("xmax"), col("y1").as("ymax")).as("bbox"))
+    assert(CatalogSearch.searchScenes(snap, Seq("SC_A", "SC_A", "SC_C"))
+      .count() == 2)
+    assert(CatalogSearch.searchTiles(snap, Seq("23LLF"), "2020-01-01", "2020-01-31")
+      .select("scene_id").head().getString(0) == "SC_A")
+    assert(CatalogSearch.searchBbox(snap, 9.5, 9.5, 12.0, 12.0, "2020-01-01", "2020-12-31")
+      .select("scene_id").head().getString(0) == "SC_C")
+    assert(CatalogSearch.searchTiles(snap, Seq("23LLF"), "2020-01-01", "2020-12-31",
+      cloudCover = 50.0).count() == 1)
+  }
+
+  test("memoized search: uncached (tile, period) cells (ST7)") {
+    val snapshot = Seq(("23LLF", "2020-01"), ("23LLF", "2020-02")).toDF("tile", "period")
+    val needed = Seq(("23LLF", "2020-01"), ("23LLF", "2020-03"), ("24LLF", "2020-01"))
+      .toDF("tile", "period")
+    val miss = CatalogSearch.uncachedCells(needed, snapshot)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(miss == Set(("23LLF", "2020-03"), ("24LLF", "2020-01")))
+  }
+}
