@@ -1,0 +1,59 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.meta.MetaQueries
+import graft.sources.CatalogSearch
+
+/** Thin API layer (SURVEY.md §7.7): the reference's Flask routes
+  * (views.py) as functions DataFrame-in → JSON-out. Each call builds a
+  * lazy plan and collects only the page/aggregate actually returned —
+  * the DB round-trip of the reference becomes a Spark job.
+  */
+object Api {
+
+  private def toJson(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  /** GET /api/activities (views.py:33–49): dynamic filters + pagination. */
+  def listActivities(activities: DataFrame, sceneId: Option[String] = None,
+                     collectionId: Option[Int] = None, activityTypeContains: Option[String] = None,
+                     page: Int = 1, perPage: Int = 10): String = {
+    val preds = Seq(
+      sceneId.map(s => col("sceneid") === s),
+      collectionId.map(c => col("collection_id") === c),
+      activityTypeContains.map(t => col("activity_type").contains(t))).flatten
+    val filtered = if (preds.isEmpty) activities
+      else activities.filter(preds.reduce(_ && _))
+    val total = filtered.count()
+    val rows = MetaQueries.paginate(filtered, Seq(col("sceneid"), col("activity_type")),
+      page, perPage)
+    s"""{"total":$total,"page":$page,"per_page":$perPage,"items":${toJson(rows)}}"""
+  }
+
+  /** GET /api/count-activities (controller.py:426–445). */
+  def countActivities(activities: DataFrame): String =
+    toJson(MetaQueries.countBy(activities, Seq(col("activity_type"), col("status")))
+      .orderBy(col("activity_type"), col("status")))
+
+  /** GET /api/count-activities-date (controller.py:448–468). */
+  def countActivitiesByDay(executions: DataFrame): String =
+    toJson(MetaQueries.countBy(executions,
+        Seq(to_date(col("ts")).cast("string").as("day"), col("status")))
+      .orderBy(col("day"), col("status")))
+
+  /** Latest-run-failed count (controller.py:471–495, J5). */
+  def countUnsuccessfullyActivities(executions: DataFrame): String = {
+    val n = MetaQueries.latestPerGroup(executions,
+        Seq(col("sceneid")), col("ts"), Seq(col("attempt")))
+      .filter(col("status") =!= "SUCCESS").count()
+    s"""{"failed":$n}"""
+  }
+
+  /** POST /api/radcor search preview (controller.py:389–391 response). */
+  def radcorPreview(snapshot: DataFrame, tiles: Seq[String], startDate: String,
+                    endDate: String, cloud: Double): String =
+    toJson(CatalogSearch.searchTiles(snapshot, tiles, startDate, endDate, cloud)
+      .select(col("scene_id"), col("cloud_cover"), col("link"))
+      .orderBy(col("scene_id")))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.{FormattedMode, SimpleMode}
+
+/** Plan-quality regression gate: the properties that make these queries
+  * scale are asserted on the optimized plans, so a refactor that silently
+  * loses pushdown/broadcast/top-k fails CI, not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution
+      .explainString(FormattedMode)
+
+  private def simplePlanOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001).queryExecution
+      .explainString(SimpleMode)
+
+  test("q01: filter pushed to parquet scan + column pruning") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey"), "pruned columns must not be read")
+  }
+
+  test("q02: conjunctive predicates all pushed") {
+    val p = planOf("q02_conj_filter")
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"))
+  }
+
+  test("q03: broadcast joins + top-k as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q03_top_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"), "small dims must broadcast at this scale")
+  }
+
+  test("q07: anti-join broadcasts the membership side") {
+    val p = planOf("q07_anti_join")
+    assert(p.contains("BroadcastHashJoin LeftAnti"))
+  }
+
+  test("q28: ANN top-k is a narrow scan + TakeOrderedAndProject") {
+    val p = simplePlanOf("q28_ann_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange"), "brute-force ANN must not shuffle")
+  }
+
+  test("q24: dedup groups is one hash-shuffle with partial aggregation") {
+    val p = simplePlanOf("q24_exact_dup_groups")
+    // partial_count before the exchange = map-side combine
+    assert(p.contains("partial_count"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+}
