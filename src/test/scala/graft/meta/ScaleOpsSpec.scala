@@ -1,0 +1,55 @@
+package graft.meta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("check-scenes reconciliation report (§3.3)") {
+    val snapshot = Seq(
+      ("SC1", "23LLF", "2020-01-05"), ("SC2", "23LLF", "2020-02-07"),
+      ("SC3", "24LLF", "2020-01-09"), ("SC4", "99ZZZ", "2020-01-09"))
+      .toDF("scene_id", "tile", "d")
+      .withColumn("sensing_date", col("d").cast("timestamp"))
+    val items = Seq(("SC1", 1, "23LLF"), ("SC2", 2, "23LLF"))
+      .toDF("name", "collection_id", "tile_id")
+    val rep = CheckScenes.report(spark, snapshot, items,
+      Seq("23LLF", "24LLF"), "2020-01-01", "2020-03-31", Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // external universe = SC1,SC2,SC3 (99ZZZ tile filtered out)
+    assert(rep(-1) == 3)
+    assert(rep(1) == 2)  // collection 1 has SC1 → missing SC2,SC3
+    assert(rep(2) == 2)  // collection 2 has SC2 → missing SC1,SC3
+    val diff = CheckScenes.collectionDiff(items, 1, 2).collect().map(_.getString(0)).toSeq
+    assert(diff == Seq("SC1"))
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) "hot" else s"k${i % 37}", i.toDouble))
+      .toDF("key", "v")
+    val plain = df.groupBy("key").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = ScaleOps.saltedSumCount(df, col("key"), col("v"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
+    ScaleOps.writeBucketed(a, "bucketed_a", "k", 4)
+    ScaleOps.writeBucketed(b, "bucketed_b", "k", 4)
+    // force the non-broadcast path so the bucketed co-location is what the
+    // planner must rely on (at real scale neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
