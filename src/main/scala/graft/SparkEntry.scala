@@ -335,6 +335,44 @@ object SparkEntry {
         .select(col("doc_id"), col("m.format").as("format"), col("m.width").as("width"),
           col("m.height").as("height"), col("m.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))),
+    // ---- dedup: LSH candidates verified by exact n-gram Jaccard ----------
+    "q43_neardup_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keyed = docs.select(col("doc_id"),
+          D.bandKeyFromSignature(D.minhashSignature(col("text"), 3, 2), 0, 2).as("band_key"))
+      val a = keyed.select(col("doc_id").as("id_a"), col("band_key"))
+      val b = keyed.select(col("doc_id").as("id_b"), col("band_key"))
+      val pairs = a.join(b, Seq("band_key")).filter(col("id_a") < col("id_b"))
+      val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          r4(D.jaccard(col("text_a"), col("text_b"), 3)).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---- similarity: IVF coarse-quantization cell histogram --------------
+    "q44_ivf_cells" -> ((s, d) => {
+      val centroids = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
+      Tables.embeddings(s, d)
+        .select(Sim.ivfAssign(col("embedding"), centroids).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cell"))
+    }),
+    // ---- text: stopword ratio + mean token length ------------------------
+    "q45_text_ratios" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"),
+          r4(T.stopwordRatio(col("text"), Seq("the", "a", "of", "and"))).as("stop_ratio"),
+          r4(T.meanTokenLen(col("text"))).as("mean_tok_len"))
+        .orderBy(col("doc_id"))),
+    // ---- §2.9 JSON bucket aggregation ------------------------------------
+    "q46_json_buckets" -> ((s, d) =>
+      Tables.events(s, d)
+        .select((floor(get_json_object(col("props"), "$.k").cast("int") / 10)).cast("int").as("k_bucket"),
+          col("value"))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("k_bucket"))),
     // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
     "q40_plan_activities" -> ((s, d) => {
       import graft.pipeline.Pipeline
@@ -576,7 +614,43 @@ object SparkEntry {
         |  octet_length(encode(text)) % 640 + 1 AS width,
         |  octet_length(encode(text)) % 480 + 1 AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q43_neardup_pairs" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, text, list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS shingles FROM toks),
+        |keys AS (SELECT doc_id, text, shingles,
+        |    list_aggregate(list_transform(shingles, s -> md5('s0' || s)), 'min') || '|' ||
+        |    list_aggregate(list_transform(shingles, s -> md5('s1' || s)), 'min') AS band_key
+        |  FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+        |    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+        |       - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))), 4) AS jaccard
+        |FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q44_ivf_cells" ->
+      """WITH d AS (SELECT
+        |  list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> (x-0.5)*(x-0.5)), 'sum') AS d0,
+        |  list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> (x+0.5)*(x+0.5)), 'sum') AS d1
+        |  FROM embeddings)
+        |SELECT CASE WHEN d0 <= d1 THEN 0 ELSE 1 END AS cell, count(*) AS n
+        |FROM d GROUP BY 1 ORDER BY cell""".stripMargin,
+    "q45_text_ratios" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS tk FROM documents WHERE n_chars > 0)
+        |SELECT doc_id,
+        |  round(CAST(len(list_filter(tk, x -> lower(x) IN ('the','a','of','and'))) AS DOUBLE)
+        |        / len(tk), 4) AS stop_ratio,
+        |  round(CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE)
+        |        / len(tk), 4) AS mean_tok_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q46_json_buckets" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
     // q35_simhash / q36_fingerprint intentionally omitted: they fold
     // xxhash64/crc32 (Spark-native hashes) — driver records rows-only check.
   )
