@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming aggregates over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference has no event-time aggregation (SURVEY.md §2.11 notes
+  * this); these exist for the training-data-pipeline side of the engine —
+  * monitoring ingest throughput and per-type rates over a live stream with
+  * the same code in batch (the functions are shape-agnostic: pass a batch
+  * DataFrame and they run as plain group-bys).
+  */
+object EventAggregates {
+
+  /** Tumbling-window counts+sums per event type with a watermark for state
+    * eviction. Works on streaming and batch inputs alike. */
+  def windowedTypeCounts(events: DataFrame, windowLen: String = "5 minutes",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Calendar-aligned (month) counts — the batch analogue the reference's
+    * period loops produce (ST9): streaming `window()` is NOT calendar
+    * aligned, so month grouping uses date_trunc (SURVEY §2.11 ST9 note). */
+  def monthlyCounts(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Sessionization: gap-based sessions per user via session_window —
+    * the stateful-grouping capability (mapGroupsWithState class) expressed
+    * with the built-in session window. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+  }
+}

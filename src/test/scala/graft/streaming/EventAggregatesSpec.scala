@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.catalog.Tables
+import org.apache.spark.sql.functions._
+
+class EventAggregatesSpec extends SparkSpec {
+
+  test("windowed counts: streaming over real events == batch group-by") {
+    val batch = Tables.events(spark, sf0001)
+    val expected = EventAggregates.windowedTypeCounts(batch)
+      .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+
+    // drive the same data through a real streaming query (file source)
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(dir)
+    val q = EventAggregates.windowedTypeCounts(stream)
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("winagg")
+        .orderBy("window_start", "event_type").collect().map(_.toString).toSeq
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionization groups events by gap per user") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 10:10:00", 7L, "click", 2.0),  // same session (10 min gap < 30)
+      (3L, "2024-01-01 12:00:00", 7L, "click", 3.0),  // new session
+      (4L, "2024-01-01 10:05:00", 8L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val sessions = EventAggregates.userSessions(ev).collect()
+    assert(sessions.count(_.getLong(2) == 7L) == 2)
+    assert(sessions.count(_.getLong(2) == 8L) == 1)
+    val firstSession = sessions.filter(r => r.getLong(2) == 7L && r.getLong(3) == 2).head
+    assert(firstSession.getDouble(4) == 3.0) // 1.0 + 2.0
+  }
+}
