@@ -74,5 +74,5 @@ object SceneFunctions {
   /** Band name from an asset path: `..._B04.jp2`/`..._B04_10m.jp2` → `B04`
     * (publish.py:263–270 glob + 440/472 `_10m` suffix strip). */
   def bandFromPath(path: Column): Column =
-    regexp_extract(path, "_(B[0-9A-Z]{2,3}|SCL|AOT|WVP|TCI|Fmask4)(?:_\\d+m)?\\.[a-z0-9]+$", 1)
+    regexp_extract(path, "_(B[0-9A-Z]{2,3}|SCL|AOT|WVP|TCI|Fmask4|NDVI|EVI)(?:_\\d+m)?\\.[a-z0-9]+$", 1)
 }
