@@ -101,6 +101,50 @@ object DedupFunctions {
       .select("id_a", "id_b", "band").distinct()
   }
 
+  /** Full near-dedup: LSH candidates → exact-Jaccard verification →
+    * connected components (iterative min-id label propagation over the
+    * verified-pair graph) → keep one canonical doc per component.
+    *
+    * Scale notes: label propagation converges in O(diameter) rounds —
+    * near-dup clusters are small and dense, so `maxIterations` = 5 covers
+    * real corpora; each round is one join on the pair edges (keys only, no
+    * text payload). Returns the deduplicated corpus.
+    */
+  def dedupNear(df: DataFrame, textCol: String, idCol: String,
+                n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                jaccardThreshold: Double = 0.8, maxIterations: Int = 5): DataFrame = {
+    val ids = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    val cand = lshCandidatePairs(df, textCol, idCol, n, bands, rowsPerBand)
+      .select("id_a", "id_b").distinct()
+    val verified = cand
+      .join(ids.select(col("id").as("id_a"), col("__text").as("__ta")), Seq("id_a"))
+      .join(ids.select(col("id").as("id_b"), col("__text").as("__tb")), Seq("id_b"))
+      .filter(jaccard(col("__ta"), col("__tb"), n) >= jaccardThreshold)
+      .select("id_a", "id_b")
+    // undirected edges both ways + self loops
+    val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col("id"), col("id").as("label"))
+    var i = 0
+    var converged = false
+    while (i < maxIterations && !converged) {
+      val neighbourLabels = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dst_label")).as("min_neighbour"))
+      val next = labels.join(neighbourLabels, labels("id") === neighbourLabels("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_neighbour"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).head(1).isEmpty
+      labels = next
+      i += 1
+    }
+    // canonical = min id per component; keep only canonical rows
+    val keep = labels.filter(col("id") === col("label")).select(col("id"))
+    df.join(keep.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns (candidate
     * verification step after LSH). */
   def jaccard(textA: Column, textB: Column, n: Int): Column = {

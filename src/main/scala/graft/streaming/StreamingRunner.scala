@@ -58,12 +58,16 @@ object StreamingRunner {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val due = batch.filter(col("not_before") <= current_timestamp())
         val deferred = batch.filter(col("not_before") > current_timestamp())
+        // per-stage subdirectory: concurrent stage queries must not share a
+        // FileOutputCommitter _temporary dir (committer collisions corrupt
+        // appends) — same isolation a per-queue Celery worker had
+        val stageExecDir = s"$executionsDir/stage=$stage"
         if (!due.isEmpty) {
           val res = kernel(due).localCheckpoint(true)
           res.select(col("sceneid"), col("collection_id"), col("activity_type"),
               col("status"), col("retry_count"), lit(batchId).as("batch_id"),
               current_timestamp().as("ts"))
-            .write.mode("append").parquet(executionsDir)
+            .write.mode("append").parquet(stageExecDir)
           val retry = res.filter(col("status") === "RETRY" && col("retry_count") < maxRetries)
             .withColumn("retry_count", col("retry_count") + 1)
             .withColumn("not_before",
@@ -74,7 +78,7 @@ object StreamingRunner {
             dead.select(col("sceneid"), col("collection_id"), col("activity_type"),
                 col("status"), col("retry_count"), lit(batchId).as("batch_id"),
                 current_timestamp().as("ts"))
-              .write.mode("append").parquet(executionsDir)
+              .write.mode("append").parquet(stageExecDir)
           if (!retry.isEmpty) enqueue(retry, queueDir)
           // chain: SUCCESS rows spawn the child stage activities (ST2)
           val ok = res.filter(col("status") === "SUCCESS")
@@ -96,7 +100,7 @@ object StreamingRunner {
   /** Stage-progress introspection (celery/utils.py:27–38 inspect()):
     * per-stage status counts from the executions log. */
   def stageProgress(spark: SparkSession, executionsDir: String): DataFrame =
-    spark.read.parquet(executionsDir)
+    spark.read.option("basePath", executionsDir).parquet(s"$executionsDir/stage=*")
       .groupBy(col("activity_type"), col("status"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("activity_type"), col("status"))

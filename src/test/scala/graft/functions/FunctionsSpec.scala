@@ -121,6 +121,21 @@ class FunctionsSpec extends SparkSpec {
     assert(en.map(_.toString).toSeq == eh.map(_.toString).toSeq)
   }
 
+  test("dedupNear collapses a near-dup cluster to its canonical doc") {
+    val df = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 10
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  // exact dup of 10
+      (20L, "one two three four five six seven eight nine ten"),
+      (30L, "unrelated totally different words appear in this document here"))
+      .toDF("doc_id", "text")
+    val kept = DedupFunctions.dedupNear(df, "text", "doc_id",
+      n = 2, bands = 4, rowsPerBand = 1, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L) && !kept.contains(11L) && !kept.contains(12L))
+    assert(kept.contains(20L) && kept.contains(30L))
+  }
+
   test("langIdHeuristic marker scoring") {
     val markers = Map("en" -> Seq("the", "of"), "fr" -> Seq("le", "la"))
     val df = Seq("the cat of the house", "le chat dans la maison", "xyzzy").toDF("t")

@@ -36,9 +36,9 @@ class StreamingRunnerSpec extends SparkSpec {
     // drive the micro-batches until the chain settles
     val deadline = System.currentTimeMillis() + 60000
     def publishedOk(): Boolean =
-      new java.io.File(execDir).exists() &&
-        spark.read.parquet(execDir)
-          .filter(col("activity_type") === "publish" && col("status") === "SUCCESS")
+      new java.io.File(s"$execDir/stage=publish").exists() &&
+        spark.read.parquet(s"$execDir/stage=publish")
+          .filter(col("status") === "SUCCESS")
           .select("sceneid").distinct().count() == 2
     while (System.currentTimeMillis() < deadline && !publishedOk()) {
       q1.processAllAvailable(); q2.processAllAvailable()
@@ -46,7 +46,7 @@ class StreamingRunnerSpec extends SparkSpec {
     q1.stop(); q2.stop()
 
     assert(publishedOk(), "both scenes must reach publish SUCCESS")
-    val execs = spark.read.parquet(execDir)
+    val execs = spark.read.option("basePath", execDir).parquet(s"$execDir/stage=*")
     // s2 retried at least once at download
     assert(execs.filter(col("sceneid") === "s2" && col("activity_type") === "download" &&
       col("status") === "RETRY").count() >= 1)
