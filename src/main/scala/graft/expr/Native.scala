@@ -10,4 +10,8 @@ object NativeFunctions {
     * minima; identical semantics to the HOF formulation and DuckDB oracle). */
   def minhash_signature(text: Column, n: Int, k: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(text), n, k))
+
+  /** Codegen'd dot product over two array<float|double> columns. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

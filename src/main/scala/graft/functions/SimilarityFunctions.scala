@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityFunctions {
 
-  /** Dot product of two array<float/double> columns — single fused
-    * `aggregate(zip_with(...))`, runs in codegen. */
+  /** Dot product of two array<float/double> columns — native codegen'd
+    * expression ([[graft.expr.DotProductExpr]]): primitive loop over the
+    * array buffers, no per-element lambda interpretation. */
   def dot(a: Column, b: Column): Column =
+    graft.expr.NativeFunctions.dot_product(a, b)
+
+  /** HOF formulation of [[dot]] — executable specification for tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

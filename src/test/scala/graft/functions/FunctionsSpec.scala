@@ -136,6 +136,18 @@ class FunctionsSpec extends SparkSpec {
     assert(kept.contains(20L) && kept.contains(30L))
   }
 
+  test("native dot_product matches the HOF specification bit-for-bit") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(200)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val qd = lit(q.map(_.toDouble).toArray)
+    val native = emb.select(col("vec_id"), SimilarityFunctions.dot(col("embedding"), qd).as("d"))
+    val hof = emb.select(col("vec_id"), SimilarityFunctions.dotHof(col("embedding"), qd).as("d"))
+    assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+    // double×double inputs too
+    val dd = emb.select(SimilarityFunctions.dot(qd, qd).as("d")).head().getDouble(0)
+    assert(math.abs(dd - q.map(v => v.toDouble * v).sum) < 1e-9)
+  }
+
   test("langIdHeuristic marker scoring") {
     val markers = Map("en" -> Seq("the", "of"), "fr" -> Seq("le", "la"))
     val df = Seq("the cat of the house", "le chat dans la maison", "xyzzy").toDF("t")
