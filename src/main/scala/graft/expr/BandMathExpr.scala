@@ -1,0 +1,116 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
+
+/** Native multi-band math kernel: evaluates a whitelisted band expression
+  * over N pixel arrays in one primitive loop per tile.
+  *
+  * The composable formulation (`transform(sequence, i -> …element_at…)`)
+  * interprets the lambda per pixel — profiled at ~12 MB/s on 8 cores for
+  * NDVI over 256² tiles. This expression closure-compiles the AST once
+  * ([[BandExpressionCompiler.parse]] grammar) and runs ~GB/s: per pixel it
+  * reads each band's float, applies the reference's masking rule (any
+  * source == its nodata → outNodata, index_generator.py:121–136), evaluates
+  * the compiled closure, masks non-finite results (numpy masked-division
+  * semantics for 0/0), clamps to the dtype range, and writes a primitive
+  * float array.
+  *
+  * Children: one `array<float>` expression per referenced band, in
+  * `bandOrder`. Returns null if any input array is null.
+  */
+case class BandMathExpr(
+    arrays: Seq[Expression],
+    nodatas: Seq[Expression],
+    bandOrder: Seq[String],
+    expressionSrc: String,
+    outNodata: Double,
+    minValue: Double,
+    maxValue: Double)
+  extends Expression with CodegenFallback {
+
+  require(arrays.length == bandOrder.length && arrays.length == nodatas.length,
+    "arrays/bandOrder/nodatas must align")
+
+  override def children: Seq[Expression] = arrays ++ nodatas
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "band_math"
+
+  /** AST → closure over the per-pixel band-value buffer. Compiled once. */
+  @transient private lazy val fn: Array[Double] => Double = {
+    val idx = bandOrder.zipWithIndex.toMap
+    import BandExpressionCompiler._
+    def c(ast: Ast): Array[Double] => Double = ast match {
+      case Num(v) => _ => v
+      case Ref(n) =>
+        val i = idx.getOrElse(n,
+          throw new IllegalArgumentException(s"unbound band $n")); env => env(i)
+      case Un("-", a) => val f = c(a); env => -f(env)
+      case Un(op, _) => throw new IllegalArgumentException(s"unary $op")
+      case Bin("+", a, b) => val f = c(a); val g = c(b); env => f(env) + g(env)
+      case Bin("-", a, b) => val f = c(a); val g = c(b); env => f(env) - g(env)
+      case Bin("*", a, b) => val f = c(a); val g = c(b); env => f(env) * g(env)
+      case Bin("/", a, b) => val f = c(a); val g = c(b); env => f(env) / g(env) // inf/nan masked below
+      case Bin("**", a, b) => val f = c(a); val g = c(b); env => math.pow(f(env), g(env))
+      case Bin(op, _, _) => throw new IllegalArgumentException(s"binary $op")
+      case Fn("min", List(a, b)) => val f = c(a); val g = c(b); env => math.min(f(env), g(env))
+      case Fn("max", List(a, b)) => val f = c(a); val g = c(b); env => math.max(f(env), g(env))
+      case Fn("abs", List(a)) => val f = c(a); env => math.abs(f(env))
+      case Fn("sqrt", List(a)) => val f = c(a); env => math.sqrt(f(env))
+      case Fn(n, as) => throw new IllegalArgumentException(s"function $n/${as.length}")
+    }
+    c(BandExpressionCompiler.parse(expressionSrc))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val datas = new Array[ArrayData](arrays.length)
+    val nd = new Array[Float](arrays.length)
+    var b = 0
+    while (b < arrays.length) {
+      val v = arrays(b).eval(input)
+      if (v == null) return null
+      datas(b) = v.asInstanceOf[ArrayData]
+      val ndv = nodatas(b).eval(input)
+      nd(b) = if (ndv == null) Float.NaN else ndv match {
+        case d: java.lang.Double => d.toFloat
+        case fl: java.lang.Float => fl.floatValue()
+        case other => other.toString.toFloat
+      }
+      b += 1
+    }
+    val n = datas(0).numElements()
+    val out = new Array[Float](n)
+    val env = new Array[Double](arrays.length)
+    val f = fn
+    var i = 0
+    while (i < n) {
+      var masked = false
+      var b2 = 0
+      while (b2 < datas.length) {
+        val v = datas(b2).getFloat(i)
+        if (v == nd(b2)) masked = true
+        env(b2) = v.toDouble
+        b2 += 1
+      }
+      out(i) =
+        if (masked) outNodata.toFloat
+        else {
+          val r = f(env)
+          if (java.lang.Double.isNaN(r) || java.lang.Double.isInfinite(r)) outNodata.toFloat
+          else math.max(minValue, math.min(maxValue, r)).toFloat
+        }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(arrays = newChildren.take(arrays.length),
+      nodatas = newChildren.drop(arrays.length))
+}

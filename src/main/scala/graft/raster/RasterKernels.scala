@@ -48,6 +48,23 @@ object RasterKernels {
   def bandMath(pivoted: DataFrame, expression: String, outBand: String,
                outNodata: Double, minValue: Double, maxValue: Double): DataFrame = {
     val ast = BandExpressionCompiler.parse(expression)
+    val refs0 = BandExpressionCompiler.references(ast).toSeq.sorted
+    require(refs0.nonEmpty, "expression references no bands")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val native = ColumnBridge.column(graft.expr.BandMathExpr(
+      refs0.map(b => ColumnBridge.expression(element_at(col("bands"), b))),
+      refs0.map(b => ColumnBridge.expression(element_at(col("nodatas"), b))),
+      refs0, expression, outNodata, minValue, maxValue))
+    pivoted.select(col("scene_id"), lit(outBand).as("band"),
+      col("window_row"), col("window_col"), col("height"), col("width"),
+      lit(outNodata).as("nodata"), native.as("pixels"))
+  }
+
+  /** HOF formulation of [[bandMath]] — executable specification the native
+    * [[graft.expr.BandMathExpr]] is tested against. */
+  def bandMathHof(pivoted: DataFrame, expression: String, outBand: String,
+               outNodata: Double, minValue: Double, maxValue: Double): DataFrame = {
+    val ast = BandExpressionCompiler.parse(expression)
     val refs = BandExpressionCompiler.references(ast).toSeq.sorted
     require(refs.nonEmpty, "expression references no bands")
     val first = element_at(col("bands"), refs.head)
@@ -60,7 +77,8 @@ object RasterKernels {
         val value = BandExpressionCompiler.compile(ast,
           b => element_at(element_at(col("bands"), b), i + 1).cast("double"))
         when(masked, lit(outNodata))
-          .otherwise(BandExpressionCompiler.clamp(value, minValue, maxValue))
+          .otherwise(coalesce(BandExpressionCompiler.clamp(value, minValue, maxValue),
+            lit(outNodata))) // NULL (e.g. 0/0 pixel) → nodata, not null
           .cast("float")
       })
     pivoted.select(col("scene_id"), lit(outBand).as("band"),

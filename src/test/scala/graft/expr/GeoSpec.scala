@@ -73,6 +73,21 @@ class GeoSpec extends SparkSpec {
       (1.0, 3.0), (0.0, 2.0)))
   }
 
+  test("WKB polygon round-trip incl. Column codecs (publish.py:272–273)") {
+    val ring = Seq((-45.25, -10.5), (-44.0, -10.5), (-44.0, -11.0), (-45.25, -11.0))
+    val wkb = Wkb.fromPolygon(ring)
+    assert(Wkb.toPolygon(wkb) == Right(ring))
+    assert(Wkb.toPolygon("junk".getBytes).isLeft)
+    assert(Wkb.toPolygon(Array[Byte](1, 2, 0, 0, 0)).isLeft) // LINESTRING type
+    import spark.implicits._
+    val df = Seq(Seq((-45.25, -10.5), (-44.0, -10.5), (-44.0, -11.0))).toDF("poly")
+      .select(col("poly").cast("array<struct<x:double,y:double>>").as("poly"))
+    val rt = df.select(Wkb.toPolygonUdf(Wkb.fromPolygonUdf(col("poly"))).as("back"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rt == Seq((-45.25, -10.5), (-44.0, -10.5), (-44.0, -11.0)))
+  }
+
   test("polygonBbox computes extent struct (R5)") {
     import spark.implicits._
     val df = Seq(Seq((1.0, 5.0), (3.0, 2.0), (2.0, 8.0))).toDF("poly")

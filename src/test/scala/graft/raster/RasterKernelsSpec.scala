@@ -31,6 +31,37 @@ class RasterKernelsSpec extends SparkSpec {
     assert(math.abs(w1(1) - 10000.0 * (2.0 - 1.0) / 3.0) < 0.5)
   }
 
+  test("bandMath masks 0-division pixels to nodata (FIXTURES.md §6)") {
+    val t = Seq(
+      RasterTile("s", "B08", 0, 0, 1, 2, -9999.0, Array(0f, 100f)),
+      RasterTile("s", "B04", 0, 0, 1, 2, -9999.0, Array(0f, 100f))).toDF()
+    val out = RasterKernels.bandMath(RasterKernels.pivotBands(t),
+      "10000. * ((B08 - B04) / (B08 + B04))", "NDVI", -9999.0, -10000.0, 10000.0)
+    val px = out.head().getSeq[Float](out.columns.indexOf("pixels"))
+    assert(px == Seq(-9999.0f, 0.0f)) // 0/0 → nodata; equal bands → 0
+  }
+
+  test("native bandMath matches the HOF specification on random tiles") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 20).map { i =>
+      def px = Array.fill(64)(if (rng.nextDouble() < 0.1) -9999f
+        else (rng.nextInt(20001) - 10000).toFloat)
+      Seq(RasterTile(s"s$i", "B04", 0, 0, 8, 8, -9999.0, px),
+        RasterTile(s"s$i", "B08", 0, 0, 8, 8, -9999.0, px),
+        RasterTile(s"s$i", "B02", 0, 0, 8, 8, -9999.0, px))
+    }.flatten
+    val piv = RasterKernels.pivotBands(rows.toDF())
+    for (e <- Seq("10000. * ((B08 - B04) / (B08 + B04))",
+      "2.5 * (B08 - B04) / (B08 + 6. * B04 - 7.5 * B02 + 10000.)",
+      "sqrt(abs(B08 * B04)) - min(B02, B04)")) {
+      val nat = RasterKernels.bandMath(piv, e, "OUT", -9999.0, -10000.0, 10000.0)
+        .select("scene_id", "pixels")
+      val hof = RasterKernels.bandMathHof(piv, e, "OUT", -9999.0, -10000.0, 10000.0)
+        .select("scene_id", "pixels")
+      assert(nat.exceptAll(hof).count() == 0 && hof.exceptAll(nat).count() == 0, s"expr $e")
+    }
+  }
+
   test("bandMath clamps to dtype range (index_generator.py:131–135)") {
     val t = Seq(
       RasterTile("s", "A", 0, 0, 1, 2, -9999.0, Array(30000f, -30000f)),
