@@ -94,6 +94,23 @@ object RasterKernels {
     * `numpy.union1d` semantics. */
   def propagateNodata(pivoted: DataFrame, spectralBands: Seq[String],
                       qualityBand: String, qualityNodata: Double): DataFrame = {
+    // native path: BandMathExpr with the identity expression over the
+    // quality band, masking on the spectral bands — same primitive loop
+    // that makes bandMath ~40× the interpreted fold
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bands = spectralBands :+ qualityBand
+    val native = ColumnBridge.column(graft.expr.BandMathExpr(
+      bands.map(b => ColumnBridge.expression(element_at(col("bands"), b))),
+      bands.map(b => ColumnBridge.expression(element_at(col("nodatas"), b))),
+      bands, qualityBand, qualityNodata, -Float.MaxValue.toDouble, Float.MaxValue.toDouble))
+    pivoted.select(col("scene_id"), lit(qualityBand).as("band"),
+      col("window_row"), col("window_col"), col("height"), col("width"),
+      lit(qualityNodata).as("nodata"), native.as("pixels"))
+  }
+
+  /** HOF formulation of [[propagateNodata]] — executable specification. */
+  def propagateNodataHof(pivoted: DataFrame, spectralBands: Seq[String],
+                      qualityBand: String, qualityNodata: Double): DataFrame = {
     val quality = element_at(col("bands"), qualityBand)
     val out = transform(
       sequence(lit(0), size(quality) - 1),

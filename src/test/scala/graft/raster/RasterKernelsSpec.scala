@@ -77,10 +77,14 @@ class RasterKernelsSpec extends SparkSpec {
       RasterTile("s", "B04", 0, 0, 2, 2, -9999.0, Array(1f, -9999f, 3f, 4f)),
       RasterTile("s", "B08", 0, 0, 2, 2, -9999.0, Array(1f, 2f, -9999f, 4f)),
       RasterTile("s", "Fmask4", 0, 0, 2, 2, 255.0, Array(0f, 2f, 4f, 1f))).toDF()
-    val out = RasterKernels.propagateNodata(RasterKernels.pivotBands(t),
-      Seq("B04", "B08"), "Fmask4", 255.0)
+    val piv = RasterKernels.pivotBands(t)
+    val out = RasterKernels.propagateNodata(piv, Seq("B04", "B08"), "Fmask4", 255.0)
     val px = out.head().getSeq[Float](out.columns.indexOf("pixels"))
     assert(px == Seq(0f, 255f, 255f, 1f))
+    // native == HOF specification
+    val hof = RasterKernels.propagateNodataHof(piv, Seq("B04", "B08"), "Fmask4", 255.0)
+      .head().getSeq[Float](out.columns.indexOf("pixels"))
+    assert(px == hof)
   }
 
   test("resampleNearest 4x4 checkerboard → 2x2 (R3, utils.py:317–348)") {
