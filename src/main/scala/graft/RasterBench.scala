@@ -52,7 +52,19 @@ object RasterBench {
     val checksum = out.agg(sum(element_at(col("pixels"), 1))).head().getDouble(0)
     val sec = (System.nanoTime() - t0) / 1e9
     val mbps = bytes / 1e6 / sec
-    println(f"""{"tiles":$nTiles,"pixels_per_tile":$px,"input_mb":${bytes / 1e6}%.0f,"pivot_sec":$pivotSec%.2f,"math_sec":$sec%.2f,"math_mb_per_sec":$mbps%.0f,"checksum":$checksum%.0f}""")
+    // ingest-path tiling: full 2048x2048 scenes -> 256x256 blocks (S5)
+    val sceneSide = 2048
+    val scenes = spark.range(math.max(1, nScenes / 8))
+      .select(concat(lit("big"), col("id")).as("scene_id"), lit("B04").as("band"),
+        lit(sceneSide).as("height"), lit(sceneSide).as("width"), lit(-9999.0).as("nodata"),
+        transform(sequence(lit(0), lit(sceneSide * sceneSide - 1)),
+          i => (i % 10000).cast("float")).as("pixels"))
+      .localCheckpoint(true)
+    val sceneBytes = scenes.count() * sceneSide.toLong * sceneSide * 4
+    val tt0 = System.nanoTime()
+    val nOut = graft.raster.SceneIO.tileScene(scenes, side, side).count()
+    val tileSec = (System.nanoTime() - tt0) / 1e9
+    println(f"""{"tiles":$nTiles,"pixels_per_tile":$px,"input_mb":${bytes / 1e6}%.0f,"pivot_sec":$pivotSec%.2f,"math_sec":$sec%.2f,"math_mb_per_sec":$mbps%.0f,"tile_scene_mb_per_sec":${sceneBytes / 1e6 / tileSec}%.0f,"tiles_out":$nOut,"checksum":$checksum%.0f}""")
     spark.stop()
   }
 }

@@ -24,24 +24,17 @@ object SceneIO {
     * Input rows: (scene_id, band, height, width, nodata, pixels).
     * Output: RasterTile rows, one per (blockRow, blockCol) window. */
   def tileScene(scene: DataFrame, blockH: Int, blockW: Int): DataFrame = {
-    val nBlockRows = ceil(col("height") / lit(blockH.toDouble)).cast("int")
-    val nBlockCols = ceil(col("width") / lit(blockW.toDouble)).cast("int")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tiles = ColumnBridge.column(graft.expr.TileSceneExpr(
+      ColumnBridge.expression(col("pixels")),
+      ColumnBridge.expression(col("height")),
+      ColumnBridge.expression(col("width")), blockH, blockW))
     scene
-      .withColumn("window_row", explode(sequence(lit(0), nBlockRows - 1)))
-      .withColumn("window_col", explode(sequence(lit(0), nBlockCols - 1)))
-      .withColumn("tile_h",
-        least(lit(blockH), col("height") - col("window_row") * blockH).cast("int"))
-      .withColumn("tile_w",
-        least(lit(blockW), col("width") - col("window_col") * blockW).cast("int"))
-      .withColumn("pixels", transform(
-        sequence(lit(0), col("tile_h") * col("tile_w") - 1),
-        i => {
-          val r = floor(i / col("tile_w")).cast("int") + col("window_row") * blockH
-          val c = (i % col("tile_w")) + col("window_col") * blockW
-          element_at(col("pixels"), (r * col("width") + c) + 1)
-        }))
-      .select(col("scene_id"), col("band"), col("window_row"), col("window_col"),
-        col("tile_h").as("height"), col("tile_w").as("width"), col("nodata"), col("pixels"))
+      .select(col("scene_id"), col("band"), col("nodata"), explode(tiles).as("t"))
+      .select(col("scene_id"), col("band"),
+        col("t.window_row").as("window_row"), col("t.window_col").as("window_col"),
+        col("t.h").as("height"), col("t.w").as("width"), col("nodata"),
+        col("t.pixels").as("pixels"))
   }
 
   /** Inverse of [[tileScene]] for small scenes (test/quicklook path):
