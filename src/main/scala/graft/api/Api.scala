@@ -50,6 +50,26 @@ object Api {
     s"""{"failed":$n}"""
   }
 
+  /** POST /api/radcor/restart (controller.py:86–151): reset matching
+    * activities to PENDING so the runner re-dispatches them. Requires at
+    * least one restriction (the reference errors on unrestricted restarts,
+    * controller.py:99); `errorsOnly` mirrors `restart_errors`. Returns the
+    * updated activities table (caller persists via merge). */
+  def restartActivities(activities: DataFrame, sceneIds: Seq[String] = Nil,
+                        collectionId: Option[Int] = None, activityType: Option[String] = None,
+                        errorsOnly: Boolean = true): DataFrame = {
+    val preds = Seq(
+      if (sceneIds.nonEmpty) Some(col("sceneid").isin(sceneIds: _*)) else None,
+      collectionId.map(c => col("collection_id") === c),
+      activityType.map(t => col("activity_type") === t)).flatten
+    val restriction = MetaQueries.conjunctiveFilter(activities, preds)
+    val target = if (errorsOnly) restriction.filter(col("status") === "FAILURE") else restriction
+    val reset = target.withColumn("status", lit("PENDING"))
+      .withColumn("retry_count", lit(0))
+    graft.pipeline.Pipeline.mergeByKey(activities, reset,
+      Seq("sceneid", "collection_id", "activity_type"))
+  }
+
   /** POST /api/radcor search preview (controller.py:389–391 response). */
   def radcorPreview(snapshot: DataFrame, tiles: Seq[String], startDate: String,
                     endDate: String, cloud: Double): String =

@@ -40,6 +40,18 @@ class FormsSpec extends AnyFunSuite {
     assert(e.size == 2)
   }
 
+  test("WKT round-trips through WKB for random convex rings") {
+    val rng = new scala.util.Random(3)
+    for (_ <- 1 to 25) {
+      val pts = graft.expr.Geo.convexHull(
+        Seq.fill(12)((rng.nextDouble() * 100, rng.nextDouble() * 100)))
+      if (pts.size >= 3) {
+        val wkb = graft.expr.Wkb.fromPolygon(pts)
+        assert(graft.expr.Wkb.toPolygon(wkb) == Right(pts))
+      }
+    }
+  }
+
   test("WKT POLYGON parse + failure modes (forms.py:222–234)") {
     val ok = parseWktPolygon("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
     assert(ok == Right(Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))))
