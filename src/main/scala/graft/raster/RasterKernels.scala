@@ -60,6 +60,31 @@ object RasterKernels {
       lit(outNodata).as("nodata"), native.as("pixels"))
   }
 
+  /** All derived bands of a collection in one pass over the pivot
+    * (index_generator.py:93–149): each expression band is attempted
+    * independently — a band whose expression fails to compile or references
+    * missing bands is SKIPPED with its error recorded, without failing the
+    * scene (the reference swallows per-band errors at
+    * index_generator.py:143–147). Returns (tiles of successful bands,
+    * skipped (band, error) pairs). The single pivot is amortized across
+    * all expression bands. */
+  def bandMathAll(pivoted: DataFrame, collection: graft.model.CollectionDef)
+      : (Option[DataFrame], Seq[(String, String)]) = {
+    val available = collection.bands.map(_.name).toSet
+    val results = collection.bands.filter(_.expression.isDefined).map { b =>
+      scala.util.Try {
+        val refs = BandExpressionCompiler.references(
+          BandExpressionCompiler.parse(b.expression.get))
+        val missing = refs -- available
+        require(missing.isEmpty, s"references unknown bands: ${missing.mkString(",")}")
+        bandMath(pivoted, b.expression.get, b.name, b.nodata, b.min_value, b.max_value)
+      }.toEither.left.map(e => (b.name, e.getMessage))
+    }
+    val ok = results.collect { case Right(df) => df }
+    val skipped = results.collect { case Left(err) => err }
+    (ok.reduceOption(_ unionByName _), skipped)
+  }
+
   /** HOF formulation of [[bandMath]] — executable specification the native
     * [[graft.expr.BandMathExpr]] is tested against. */
   def bandMathHof(pivoted: DataFrame, expression: String, outBand: String,

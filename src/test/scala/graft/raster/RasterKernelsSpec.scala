@@ -72,6 +72,24 @@ class RasterKernelsSpec extends SparkSpec {
     assert(px == Seq(10000.0f, -10000.0f))
   }
 
+  test("bandMathAll skips failing expression bands per-band (index_generator.py:143–147)") {
+    import graft.model.{BandDef, CollectionDef}
+    val coll = CollectionDef(name = "C", bands = Seq(
+      BandDef("B04"), BandDef("B08"),
+      BandDef("NDVI", nodata = -9999.0, min_value = -10000, max_value = 10000,
+        expression = Some("10000. * ((B08 - B04) / (B08 + B04))")),
+      BandDef("BROKEN", expression = Some("__import__('os') +")),
+      BandDef("MISSING", expression = Some("B99 * 2."))))
+    val piv = RasterKernels.pivotBands(tiles)
+    val (ok, skipped) = RasterKernels.bandMathAll(piv, coll)
+    assert(ok.get.select("band").distinct().collect().map(_.getString(0)).toSet == Set("NDVI"))
+    assert(skipped.map(_._1).toSet == Set("BROKEN", "MISSING")) // parse error + unknown refs
+    // MISSING parses but references an absent band: rows yield null pixels
+    // (masked at read), scene does not fail
+    val missing = RasterKernels.bandMath(piv, "B99 * 2.", "M", -9999.0, -10000.0, 10000.0)
+    assert(missing.collect().forall(_.isNullAt(missing.columns.indexOf("pixels"))))
+  }
+
   test("propagateNodata unions masks into quality band (R2/A10)") {
     val t = Seq(
       RasterTile("s", "B04", 0, 0, 2, 2, -9999.0, Array(1f, -9999f, 3f, 4f)),

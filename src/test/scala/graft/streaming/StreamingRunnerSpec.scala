@@ -42,7 +42,7 @@ class StreamingRunnerSpec extends SparkSpec {
           .select("sceneid").distinct().count() == 2
     while (System.currentTimeMillis() < deadline && !publishedOk()) {
       q1.processAllAvailable(); q2.processAllAvailable()
-    }
+}
     q1.stop(); q2.stop()
 
     assert(publishedOk(), "both scenes must reach publish SUCCESS")
@@ -54,5 +54,34 @@ class StreamingRunnerSpec extends SparkSpec {
     val prog = StreamingRunner.stageProgress(spark, execDir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(prog(("publish", "SUCCESS")) == 2L)
+  }
+
+  test("streaming group fan-out: download → [correction, publish] run in parallel (ST2)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
+    val queueDir = s"$base/queue"
+    StreamingRunner.enqueue(
+      Seq(("sA", 1, "download", 0)).toDF("sceneid", "collection_id", "activity_type", "retry_count")
+        .withColumn("not_before", current_timestamp()), queueDir)
+    val okKernel: Pipeline.StageKernel = df => df.withColumn("status", lit("SUCCESS"))
+    val qs = Seq(
+      StreamingRunner.runStage(spark, queueDir, s"$base/ckpt", s"$base/exec",
+        "download", okKernel, childStages = Seq("correction", "publish")),
+      StreamingRunner.runStage(spark, queueDir, s"$base/ckpt", s"$base/exec",
+        "correction", okKernel, childStages = Nil),
+      StreamingRunner.runStage(spark, queueDir, s"$base/ckpt", s"$base/exec",
+        "publish", okKernel, childStages = Nil))
+    val deadline = System.currentTimeMillis() + 60000
+    def done(): Boolean =
+      Seq("correction", "publish").forall { st =>
+        new java.io.File(s"$base/exec/stage=$st").exists() &&
+          spark.read.parquet(s"$base/exec/stage=$st")
+            .filter(col("status") === "SUCCESS").count() == 1
+      }
+    try {
+      while (System.currentTimeMillis() < deadline && !done())
+        qs.foreach(_.processAllAvailable())
+      assert(done(), "both group branches must complete from one parent SUCCESS")
+    } finally qs.foreach(_.stop())
   }
 }
