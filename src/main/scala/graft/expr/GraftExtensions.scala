@@ -1,0 +1,89 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions registration for the engine's native expressions,
+  * so SQL users get them too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * spark.sql("SELECT doc_id, minhash_signature(text, 3, 4) FROM docs")
+  * spark.sql("SELECT dot_product(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+object GraftExtensions {
+  /** Register the native functions on an already-running session (the
+    * builder-time `withExtensions` path needs a fresh session; this path
+    * covers notebooks/REPLs attaching to an existing one). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new GraftExtensions
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", ext.makeMinhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", ext.makeDot, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "band_math", ext.makeBandMath, "scala_udf")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private[expr] val makeMinhash = (args: Seq[Expression]) => {
+    require(args.length == 3, "minhash_signature(text, n, k)")
+    MinHashSignatureExpr(args.head, intArg(args(1), "n"), intArg(args(2), "k"))
+      : Expression
+  }
+
+  private[expr] val makeDot = (args: Seq[Expression]) => {
+    require(args.length == 2, "dot_product(a, b)")
+    DotProductExpr(args.head, args(1)): Expression
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_signature"),
+      makeMinhash))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      makeDot))
+    ext.injectFunction((
+      new FunctionIdentifier("band_math"),
+      new ExpressionInfo(classOf[BandMathExpr].getName, "band_math"),
+      makeBandMath))
+  }
+
+  private[expr] val makeBandMath = (args: Seq[Expression]) => {
+        // band_math(expr_string, out_nodata, min, max, band_name..., band_array..., band_nodata...)
+        require(args.length >= 7, "band_math(expr, nodata, min, max, names..., arrays..., nodatas...)")
+        val src = args.head match {
+          case Literal(s, org.apache.spark.sql.types.StringType) => s.toString
+          case other => throw new IllegalArgumentException(s"expr must be a string literal: $other")
+        }
+        def dbl(e: Expression, n: String): Double = e match {
+          case Literal(v: Double, _) => v
+          case Literal(v: Int, _) => v.toDouble
+          case other => throw new IllegalArgumentException(s"$n must be numeric literal: $other")
+        }
+        val rest = args.drop(4)
+        require(rest.length % 3 == 0, "names/arrays/nodatas must align")
+        val k = rest.length / 3
+        val names = rest.take(k).map {
+          case Literal(s, org.apache.spark.sql.types.StringType) => s.toString
+          case other => throw new IllegalArgumentException(s"band name must be literal: $other")
+        }
+        BandMathExpr(rest.slice(k, 2 * k), rest.slice(2 * k, 3 * k), names,
+          src, dbl(args(1), "nodata"), dbl(args(2), "min"), dbl(args(3), "max"))
+          : Expression
+  }
+}

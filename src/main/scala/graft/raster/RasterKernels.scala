@@ -155,6 +155,11 @@ object RasterKernels {
     * index arithmetic inside one `transform`. */
   def resampleNearest(pixels: Column, height: Column, width: Column,
                       outH: Int, outW: Int): Column =
+    resampleNearestDyn(pixels, height, width, lit(outH), lit(outW))
+
+  /** HOF formulation of [[resampleNearest]] — executable specification. */
+  def resampleNearestHof(pixels: Column, height: Column, width: Column,
+                      outH: Int, outW: Int): Column =
     transform(
       sequence(lit(0), lit(outH * outW - 1)),
       i => {
@@ -206,16 +211,14 @@ object RasterKernels {
           col("out_h"), col("out_w")).as("pixels"))
   }
 
-  /** resampleNearest with column output dims (used by overviews). */
+  /** resampleNearest with column output dims (used by overviews) — native
+    * [[graft.expr.ResampleNearestExpr]]. */
   def resampleNearestDyn(pixels: Column, height: Column, width: Column,
-                         outH: Column, outW: Column): Column =
-    transform(
-      sequence(lit(0), (outH * outW - 1).cast("int")),
-      i => {
-        val or = floor(i.cast("long") / outW).cast("long")
-        val oc = i.cast("long") % outW
-        val sr = floor((or * height) / outH).cast("long")
-        val sc = floor((oc * width) / outW).cast("long")
-        element_at(pixels, (sr * width + sc).cast("int") + 1)
-      })
+                         outH: Column, outW: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expr.ResampleNearestExpr(
+      ColumnBridge.expression(pixels), ColumnBridge.expression(height),
+      ColumnBridge.expression(width), ColumnBridge.expression(outH),
+      ColumnBridge.expression(outW)))
+  }
 }

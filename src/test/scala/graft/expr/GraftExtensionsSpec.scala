@@ -1,0 +1,37 @@
+package graft.expr
+
+import graft.SparkSpec
+
+/** Uses the shared session via GraftExtensions.register (the
+  * withExtensions builder path needs a fresh JVM-wide session; register()
+  * covers attaching to a live one — both install the same function set). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("native functions are callable from SQL after registration") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "alpha beta gamma delta", Array(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "text", "emb").createOrReplaceTempView("graft_ext_docs")
+    val row = spark.sql(
+      """SELECT minhash_signature(text, 2, 2) AS sig,
+        |       dot_product(emb, emb) AS d FROM graft_ext_docs""".stripMargin).head()
+    assert(row.getSeq[String](0).length == 2)
+    assert(row.getSeq[String](0).forall(_.length == 32))
+    assert(row.getDouble(1) == 14.0)
+    // SQL result matches the DataFrame-API formulation
+    val api = Seq("alpha beta gamma delta").toDF("text")
+      .select(graft.functions.DedupFunctions.minhashSignature(
+        org.apache.spark.sql.functions.col("text"), 2, 2))
+      .head().getSeq[String](0)
+    assert(row.getSeq[String](0) == api)
+    // band_math from SQL over array columns
+    Seq((Array(8000f, -9999f), Array(2000f, 1000f))).toDF("B08", "B04")
+      .createOrReplaceTempView("graft_ext_tiles")
+    val px = spark.sql(
+      """SELECT band_math('10000. * ((B08 - B04) / (B08 + B04))',
+        |  -9999.0D, -10000.0D, 10000.0D,
+        |  'B04', 'B08', B04, B08, -9999.0D, -9999.0D) AS p
+        |FROM graft_ext_tiles""".stripMargin).head().getSeq[Float](0)
+    assert(px == Seq(6000.0f, -9999.0f))
+  }
+}

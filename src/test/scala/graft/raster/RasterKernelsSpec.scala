@@ -114,6 +114,20 @@ class RasterKernelsSpec extends SparkSpec {
     assert(out == Seq(1f, 1f, 1f, 1f))
   }
 
+  test("native resample matches HOF spec on random tiles incl. non-divisible sizes") {
+    val rng = new scala.util.Random(5)
+    val cases = Seq((8, 8, 4, 4), (16, 16, 8, 8), (7, 5, 3, 2), (10, 6, 10, 6), (9, 9, 2, 7))
+    for ((h, w, oh, ow) <- cases) {
+      val px = Array.fill(h * w)(rng.nextInt(10000).toFloat)
+      val df = Seq((px, h, w)).toDF("pixels", "h", "w")
+      val nat = df.select(RasterKernels.resampleNearest(col("pixels"), col("h"), col("w"), oh, ow))
+        .head().getSeq[Float](0)
+      val hof = df.select(RasterKernels.resampleNearestHof(col("pixels"), col("h"), col("w"), oh, ow))
+        .head().getSeq[Float](0)
+      assert(nat == hof, s"case ($h,$w)->($oh,$ow)")
+    }
+  }
+
   test("quicklookScale scales/clips and maps nodata to 0 (R4, publish.py:59–91)") {
     val df = Seq((Array(5000f, 20000f, -9999f, 0f), -9999.0)).toDF("pixels", "nodata")
     val out = df.select(RasterKernels.quicklookScale(col("pixels"), col("nodata")).as("p"))
