@@ -373,6 +373,28 @@ object SparkEntry {
         .groupBy(col("k_bucket"))
         .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
         .orderBy(col("k_bucket"))),
+    // ---- dedup end-to-end: near-dup removal, dropped doc ids -------------
+    "q47_dedup_near_dropped" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = D.dedupNear(docs, "text", "doc_id",
+        n = 3, bands = 1, rowsPerBand = 2, jaccardThreshold = 0.8)
+      docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    // ---- sessionization via lag/cumsum (gap = 10 minutes) ----------------
+    "q48_sessionization" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) > 600000000L, 1)
+        .otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_id", sum(col("new_s")).over(byUser).cast("int"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
     // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
     "q40_plan_activities" -> ((s, d) => {
       import graft.pipeline.Pipeline
@@ -593,6 +615,41 @@ object SparkEntry {
         |  x -> CAST(least(x/10000.0*255.0, 255.0) AS FLOAT)),
         |  'sum'), 4) AS checksum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q47_dedup_near_dropped" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS shingles FROM toks),
+        |keys AS (SELECT doc_id, shingles,
+        |    list_aggregate(list_transform(shingles, s -> md5('s0' || s)), 'min') || '|' ||
+        |    list_aggregate(list_transform(shingles, s -> md5('s1' || s)), 'min') AS band_key
+        |  FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+        |    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+        |       - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |labels AS (
+        |  WITH RECURSIVE reach(id, label) AS (
+        |    SELECT doc_id, doc_id FROM documents
+        |    UNION
+        |    SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+        |    WHERE r.label < e.src)
+        |  SELECT id, min(label) AS label FROM reach GROUP BY id)
+        |SELECT id AS doc_id FROM labels WHERE label < id ORDER BY doc_id""".stripMargin,
+    "q48_sessionization" ->
+      """WITH g AS (SELECT user_id, event_id, value, ts,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_id, value,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q40_plan_activities" ->
       """SELECT t.activity_type, (SELECT count(DISTINCT s_name) FROM supplier) AS n
         |FROM (VALUES ('download'), ('correction'), ('publish')) AS t(activity_type)

@@ -121,28 +121,54 @@ object DedupFunctions {
       .join(ids.select(col("id").as("id_b"), col("__text").as("__tb")), Seq("id_b"))
       .filter(jaccard(col("__ta"), col("__tb"), n) >= jaccardThreshold)
       .select("id_a", "id_b")
-    // undirected edges both ways + self loops
-    val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = ids.select(col("id"), col("id").as("label"))
-    var i = 0
-    var converged = false
-    while (i < maxIterations && !converged) {
-      val neighbourLabels = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("dst_label")).as("min_neighbour"))
-      val next = labels.join(neighbourLabels, labels("id") === neighbourLabels("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("min_neighbour"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).head(1).isEmpty
-      labels = next
-      i += 1
+    // The verified-pair graph is tiny relative to the corpus (only real
+    // near-dups survive Jaccard), so components resolve driver-side with
+    // union-find on the collected edges and the drop-set broadcasts back —
+    // zero iterative jobs. Distributed min-label propagation remains the
+    // fallback for a pathological edge volume.
+    val materialized = verified.localCheckpoint(true) // one pipeline run
+    val edgeCount = materialized.count()
+    if (edgeCount <= 10_000_000L) {
+      val pairs = materialized.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val dropped = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .filter(id => find(id) != id)
+      if (dropped.isEmpty) df
+      else df.filter(!col(idCol).isin(dropped: _*))
+    } else {
+      val edges = materialized.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(materialized.select(col("id_b").as("src"), col("id_a").as("dst")))
+      var labels = ids.select(col("id"), col("id").as("label"))
+      var i = 0
+      var converged = false
+      while (i < maxIterations && !converged) {
+        val neighbourLabels = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("dst_label")).as("min_neighbour"))
+        val next = labels.join(neighbourLabels, labels("id") === neighbourLabels("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("min_neighbour"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .filter(col("label") =!= col("old")).head(1).isEmpty
+        labels = next
+        i += 1
+      }
+      // canonical = min id per component; keep only canonical rows
+      val keep = labels.filter(col("id") === col("label")).select(col("id"))
+      df.join(keep.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
     }
-    // canonical = min id per component; keep only canonical rows
-    val keep = labels.filter(col("id") === col("label")).select(col("id"))
-    df.join(keep.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
   }
 
   /** Exact n-gram Jaccard similarity between two text columns (candidate
