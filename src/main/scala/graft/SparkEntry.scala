@@ -395,6 +395,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
         .orderBy(col("user_id"), col("session_id"))
     }),
+    // ---- correlated-aggregate shape (TPC-H Q17): below-avg-quantity ------
+    "q49_small_qty_revenue" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val avgQty = l.groupBy(col("l_partkey").as("p_key"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+      l.join(avgQty, l("l_partkey") === avgQty("p_key"))
+        .filter(col("l_quantity") < col("half_avg"))
+        .agg(r2(sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    }),
+    // ---- max-over-aggregate shape (TPC-H Q15): top supplier by revenue ---
+    "q50_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-03-31")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("mx"))
+      rev.join(broadcast(maxRev), rev("total_rev") === maxRev("mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), r2(col("total_rev")).as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }),
     // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
     "q40_plan_activities" -> ((s, d) => {
       import graft.pipeline.Pipeline
@@ -650,6 +671,22 @@ object SparkEntry {
         |                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id FROM g)
         |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q49_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS p_key, avg(l_quantity) * 0.5 AS half_avg
+        |      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.p_key
+        |WHERE l.l_quantity < a.half_avg""".stripMargin,
+    "q50_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q40_plan_activities" ->
       """SELECT t.activity_type, (SELECT count(DISTINCT s_name) FROM supplier) AS n
         |FROM (VALUES ('download'), ('correction'), ('publish')) AS t(activity_type)
