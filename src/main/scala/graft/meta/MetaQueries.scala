@@ -81,6 +81,22 @@ object MetaQueries {
                   qxmin: Double, qymin: Double, qxmax: Double, qymax: Double): Column =
     !(xmax < lit(qxmin) || xmin > lit(qxmax) || ymax < lit(qymin) || ymin > lit(qymax))
 
+  /** Two-phase spatial search (controller.py:563–570): cheap bbox-struct
+    * overlap predicate (codegen, pushdown-friendly) prunes the scan, exact
+    * polygon intersection (UDF) runs only on bbox survivors — the same
+    * envelope-then-exact split PostGIS uses with its GiST index. `items`
+    * needs `bbox` (struct) and `footprint` (array<struct<x,y>>) columns. */
+  def spatialSearch(items: DataFrame, queryPoly: Seq[(Double, Double)]): DataFrame = {
+    import graft.expr.Geo
+    require(queryPoly.size >= 3, "query polygon needs >= 3 points")
+    val qxs = queryPoly.map(_._1); val qys = queryPoly.map(_._2)
+    val qBbox = Geo.bbox(lit(qxs.min), lit(qys.min), lit(qxs.max), lit(qys.max))
+    val qLit = typedLit(queryPoly.map { case (x, y) => Geo.PtRow(x, y) })
+    items
+      .filter(Geo.bboxIntersects(col("bbox"), qBbox))
+      .filter(Geo.polygonsIntersectUdf(col("footprint"), qLit))
+  }
+
   /** Set reconciliation (controller.py:595–618): external − internal. */
   def missingScenes(external: DataFrame, internal: DataFrame, key: String): DataFrame =
     external.join(internal, Seq(key), "left_anti")

