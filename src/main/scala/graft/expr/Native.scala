@@ -14,4 +14,8 @@ object NativeFunctions {
   /** Codegen'd dot product over two array<float|double> columns. */
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native 64-bit SimHash over whitespace tokens. */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
 }

@@ -186,7 +186,11 @@ object DedupFunctions {
     * one fold over the tokens regardless of bit width, no UDF. Near-dups
     * differ in few bits; group by (simhash >> k) prefixes or multi-probe to
     * bucket. */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.expr.NativeFunctions.simhash64(text)
+
+  /** HOF formulation of [[simhash64]] — executable specification. */
+  def simhash64Hof(text: Column): Column = {
     val toks = TextFunctions.tokens(text)
     val hashes = transform(toks, t => xxhash64(t))
     val bitIdx = sequence(lit(0), lit(63))

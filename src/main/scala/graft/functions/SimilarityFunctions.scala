@@ -84,6 +84,29 @@ object SimilarityFunctions {
     least(scored: _*).getField("cell")
   }
 
+  /** IVF top-k search: probe only the `nProbe` cells nearest the query
+    * (centroids are driver-side constants — at scale, k-means outputs of a
+    * sampled pass). The cell assignment is usually a precomputed partition
+    * column (`ivfAssign` at ingest), making the probe a partition-pruned
+    * scan; this function also works ad hoc by computing assignments
+    * on the fly when `assignedCol` is absent. */
+  def ivfSearch(df: DataFrame, embCol: String, idCol: String,
+                centroids: Array[Array[Double]], query: Array[Float], k: Int,
+                nProbe: Int, assignedCol: Option[String] = None): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qd).map { case (x, y) => (x - y) * (x - y) }.sum) }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val withCell = assignedCol match {
+      case Some(c) => df.withColumn("__cell", col(c))
+      case None => df.withColumn("__cell", ivfAssign(col(embCol), centroids))
+    }
+    withCell.filter(col("__cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(col(embCol), lit(qd)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs cosine above a threshold within LSH buckets (embedding
     * near-dup detection): bucket equi-join keeps the candidate set small;
     * only candidates pay the O(dim) cosine. */

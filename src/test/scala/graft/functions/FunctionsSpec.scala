@@ -99,6 +99,32 @@ class FunctionsSpec extends SparkSpec {
     assert(lsh.subsetOf(exact) || lsh.intersect(exact).size >= 3) // high recall on tight cluster
   }
 
+  test("ivfSearch recalls the exact top-k when probing the right cells") {
+    val rng = new scala.util.Random(13)
+    // two clusters around +1 and -1 per dim
+    val rows = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Array.fill(8)((base + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val centroids = Array(Array.fill(8)(1.0), Array.fill(8)(-1.0))
+    val query = Array.fill(8)(1.0f)
+    val exact = SimilarityFunctions.topKCosine(df, "embedding", "vec_id", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    val ivf1 = SimilarityFunctions.ivfSearch(df, "embedding", "vec_id",
+      centroids, query, 5, nProbe = 1).collect().map(_.getLong(0)).toSet
+    assert(ivf1 == exact) // the +1 cluster cell contains all true neighbours
+    val ivf2 = SimilarityFunctions.ivfSearch(df, "embedding", "vec_id",
+      centroids, query, 5, nProbe = 2).collect().map(_.getLong(0)).toSet
+    assert(ivf2 == exact) // full probe = exact
+    // precomputed assignment column path
+    val pre = df.withColumn("cell", SimilarityFunctions.ivfAssign(col("embedding"), centroids))
+    val ivfPre = SimilarityFunctions.ivfSearch(pre, "embedding", "vec_id",
+      centroids, query, 5, nProbe = 1, assignedCol = Some("cell"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ivfPre == exact)
+  }
+
   test("ivfAssign puts identical vectors in the same cell") {
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f))).toDF("id", "emb")
@@ -134,6 +160,17 @@ class FunctionsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(10L) && !kept.contains(11L) && !kept.contains(12L))
     assert(kept.contains(20L) && kept.contains(30L))
+  }
+
+  test("native simhash64 matches the HOF specification on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val nat = docs.select(col("doc_id"), DedupFunctions.simhash64(col("text")).as("h"))
+    val hof = docs.select(col("doc_id"), DedupFunctions.simhash64Hof(col("text")).as("h"))
+    assert(nat.exceptAll(hof).count() == 0 && hof.exceptAll(nat).count() == 0)
+    val edge = Seq((1L, ""), (2L, "  "), (3L, "one")).toDF("doc_id", "text")
+    val en = edge.select(DedupFunctions.simhash64(col("text"))).collect().map(_.getLong(0)).toSeq
+    val eh = edge.select(DedupFunctions.simhash64Hof(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(en == eh)
   }
 
   test("native dot_product matches the HOF specification bit-for-bit") {
