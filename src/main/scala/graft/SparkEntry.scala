@@ -166,13 +166,14 @@ object SparkEntry {
     "q19_scalar_count" -> ((s, d) =>
       Tables.lineitem(s, d).filter(col("l_discount") > 0.05)
         .agg(count(lit(1)).as("n"))),
-    // ---- top-k aggregation over join -------------------------------------
+    // ---- top-k aggregation over join (pre-agg before join, see q03) ------
     "q20_top_customers" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(r2(sum(col("o_totalprice"))).as("total"))
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("tot"))
+      c.join(perCust, c("c_custkey") === perCust("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), r2(col("tot")).as("total"))
         .orderBy(col("total").desc, col("c_custkey"))
         .limit(10)
     }),
