@@ -35,6 +35,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "small dims must broadcast at this scale")
   }
 
+  test("q03: revenue aggregation happens before the joins (pre-agg pattern)") {
+    val p = simplePlanOf("q03_top_revenue")
+    // the partial aggregate must sit below the join in the plan text:
+    val aggIdx = p.indexOf("partial_sum")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(aggIdx > 0 && joinIdx > 0 && aggIdx > joinIdx,
+      "lineitem revenue must aggregate before joining (plan lists joins above their inputs)")
+  }
+
   test("q07: anti-join broadcasts the membership side") {
     val p = planOf("q07_anti_join")
     assert(p.contains("BroadcastHashJoin LeftAnti"))
