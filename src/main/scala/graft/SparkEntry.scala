@@ -343,20 +343,11 @@ object SparkEntry {
           col("m.height").as("height"), col("m.duration_ms").as("duration_ms"))
         .orderBy(col("doc_id"))),
     // ---- dedup: LSH candidates verified by exact n-gram Jaccard ----------
-    "q43_neardup_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val keyed = docs.select(col("doc_id"),
-          D.bandKeyFromSignature(D.minhashSignature(col("text"), 3, 2), 0, 2).as("band_key"))
-      val a = keyed.select(col("doc_id").as("id_a"), col("band_key"))
-      val b = keyed.select(col("doc_id").as("id_b"), col("band_key"))
-      val pairs = a.join(b, Seq("band_key")).filter(col("id_a") < col("id_b"))
-      val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
-      val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
-      pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          r4(D.jaccard(col("text_a"), col("text_b"), 3)).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q43_neardup_pairs" -> ((s, d) =>
+      D.neardupPairsLocal(Tables.documents(s, d), "text", "doc_id",
+          n = 3, bands = 1, rowsPerBand = 2, jaccardThreshold = 0.0)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
     // ---- similarity: IVF coarse-quantization cell histogram --------------
     "q44_ivf_cells" -> ((s, d) => {
       val centroids = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))

@@ -18,4 +18,8 @@ object NativeFunctions {
   /** Native 64-bit SimHash over whitespace tokens. */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(text)))
+
+  /** Native distinct word n-gram shingles (first-occurrence order). */
+  def word_ngrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(text), n))
 }

@@ -101,6 +101,62 @@ object DedupFunctions {
       .select("id_a", "id_b", "band").distinct()
   }
 
+  /** Near-dup pairs with **bucket-local** verification — the scale path.
+    *
+    * Docs explode into (band, bandKey) rows carrying their distinct shingle
+    * set; ONE shuffle groups them by key; pairs and exact Jaccard are then
+    * computed inside each bucket from the carried arrays. Compared to the
+    * self-join formulation ([[lshCandidatePairs]] + text re-joins) this
+    * removes the join shuffle, the candidate `distinct`, and two text joins
+    * — the verified-pair pipeline is a single exchange.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b (bucket members are
+    * sorted by id, pairs are ordered combinations). A pair sharing k > 1
+    * band keys appears k times; downstream union-find / min-label
+    * aggregation absorbs duplicates, or call `.distinct()` when a unique
+    * pair list is required.
+    *
+    * Scale notes: shuffle volume is O(rows × bands × shingle bytes) — the
+    * shingle payload rides the one exchange instead of texts riding two
+    * join exchanges. Bucket width is bounded by real near-dup cluster
+    * sizes; a degenerate key (e.g. the empty-signature bucket) is capped by
+    * `maxBucket` — larger buckets are dropped from pair generation (they
+    * are hash collisions, not near-dup clusters; at 100 TB route them
+    * through [[lshCandidatePairs]]'s AQE-skew-split join instead).
+    */
+  def neardupPairsLocal(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                        jaccardThreshold: Double = 0.8,
+                        maxBucket: Int = 10000): DataFrame = {
+    val keyed = df.select(
+        col(idCol).as("id"),
+        graft.expr.NativeFunctions.word_ngrams(col(textCol), n).as("sh"),
+        minhashSignature(col(textCol), n, bands * rowsPerBand).as("__sig"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          bandKeyFromSignature(col("__sig"), b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
+    val buckets = keyed
+      .groupBy(col("band"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    val ms = col("ms")
+    val pairs = buckets.select(explode(flatten(transform(ms, (a, i) =>
+        transform(slice(ms, i + lit(2), size(ms)), b => struct(
+          a.getField("id").as("id_a"),
+          b.getField("id").as("id_b"),
+          jaccardFromDistinct(a.getField("sh"), b.getField("sh")).as("jaccard")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
+    pairs.filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Jaccard similarity from two already-distinct shingle arrays
+    * (|A∪B| = |A| + |B| − |A∩B| — one intersect, no union materialized). */
+  def jaccardFromDistinct(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = (size(sa) + size(sb)).cast("double") - inter
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
   /** Full near-dedup: LSH candidates → exact-Jaccard verification →
     * connected components (iterative min-id label propagation over the
     * verified-pair graph) → keep one canonical doc per component.
@@ -113,23 +169,18 @@ object DedupFunctions {
   def dedupNear(df: DataFrame, textCol: String, idCol: String,
                 n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                 jaccardThreshold: Double = 0.8, maxIterations: Int = 5): DataFrame = {
-    val ids = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-    val cand = lshCandidatePairs(df, textCol, idCol, n, bands, rowsPerBand)
-      .select("id_a", "id_b").distinct()
-    val verified = cand
-      .join(ids.select(col("id").as("id_a"), col("__text").as("__ta")), Seq("id_a"))
-      .join(ids.select(col("id").as("id_b"), col("__text").as("__tb")), Seq("id_b"))
-      .filter(jaccard(col("__ta"), col("__tb"), n) >= jaccardThreshold)
+    val verified = neardupPairsLocal(df, textCol, idCol, n, bands, rowsPerBand, jaccardThreshold)
       .select("id_a", "id_b")
     // The verified-pair graph is tiny relative to the corpus (only real
     // near-dups survive Jaccard), so components resolve driver-side with
     // union-find on the collected edges and the drop-set broadcasts back —
     // zero iterative jobs. Distributed min-label propagation remains the
-    // fallback for a pathological edge volume.
-    val materialized = verified.localCheckpoint(true) // one pipeline run
-    val edgeCount = materialized.count()
-    if (edgeCount <= 10_000_000L) {
-      val pairs = materialized.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // fallback for a pathological edge volume. head(N+1) doubles as the
+    // size probe — no separate count job.
+    val maxDriverEdges = 10_000_000
+    val headEdges = verified.head(maxDriverEdges + 1)
+    if (headEdges.length <= maxDriverEdges) {
+      val pairs = headEdges.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -147,9 +198,10 @@ object DedupFunctions {
       if (dropped.isEmpty) df
       else df.filter(!col(idCol).isin(dropped: _*))
     } else {
+      val materialized = verified.localCheckpoint(true)
       val edges = materialized.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(materialized.select(col("id_b").as("src"), col("id_a").as("dst")))
-      var labels = ids.select(col("id"), col("id").as("label"))
+      var labels = df.select(col(idCol).as("id"), col(idCol).as("label"))
       var i = 0
       var converged = false
       while (i < maxIterations && !converged) {
@@ -173,13 +225,10 @@ object DedupFunctions {
 
   /** Exact n-gram Jaccard similarity between two text columns (candidate
     * verification step after LSH). */
-  def jaccard(textA: Column, textB: Column, n: Int): Column = {
-    val sa = array_distinct(shingles(textA, n))
-    val sb = array_distinct(shingles(textB, n))
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_union(sa, sb)).cast("double")
-    when(uni === 0, 0.0).otherwise(inter / uni)
-  }
+  def jaccard(textA: Column, textB: Column, n: Int): Column =
+    jaccardFromDistinct(
+      graft.expr.NativeFunctions.word_ngrams(textA, n),
+      graft.expr.NativeFunctions.word_ngrams(textB, n))
 
   /** 64-bit SimHash over word tokens: per-bit majority vote of token
     * hashes. Single `aggregate` pass with a 64-counter array accumulator —

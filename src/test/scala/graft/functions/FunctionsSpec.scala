@@ -147,6 +147,33 @@ class FunctionsSpec extends SparkSpec {
     assert(en.map(_.toString).toSeq == eh.map(_.toString).toSeq)
   }
 
+  test("native word_ngrams matches array_distinct(shingles) HOF spec on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    for (n <- Seq(1, 3)) {
+      val native = docs.select(col("doc_id"),
+        graft.expr.NativeFunctions.word_ngrams(col("text"), n).as("sh"))
+      val hof = docs.select(col("doc_id"),
+        array_distinct(DedupFunctions.shingles(col("text"), n)).as("sh"))
+      assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+    }
+    val edge = Seq((1L, ""), (2L, "only two"), (3L, "   "), (4L, "a b a b a")).toDF("doc_id", "text")
+    val en = edge.select(graft.expr.NativeFunctions.word_ngrams(col("text"), 2)).collect()
+    val eh = edge.select(array_distinct(DedupFunctions.shingles(col("text"), 2))).collect()
+    assert(en.map(_.toString).toSeq == eh.map(_.toString).toSeq)
+  }
+
+  test("neardupPairsLocal equals the self-join candidate+verify formulation") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val local = DedupFunctions.neardupPairsLocal(docs, "text", "doc_id",
+        n = 3, bands = 2, rowsPerBand = 2, jaccardThreshold = 0.0)
+      .select("id_a", "id_b").distinct()
+    val ids = docs.select(col("doc_id"), col("text"))
+    val joined = DedupFunctions.lshCandidatePairs(docs, "text", "doc_id",
+        n = 3, bands = 2, rowsPerBand = 2)
+      .select("id_a", "id_b").distinct()
+    assert(local.exceptAll(joined).count() == 0 && joined.exceptAll(local).count() == 0)
+  }
+
   test("dedupNear collapses a near-dup cluster to its canonical doc") {
     val df = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
