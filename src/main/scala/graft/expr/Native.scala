@@ -22,4 +22,8 @@ object NativeFunctions {
   /** Native distinct word n-gram shingles (first-occurrence order). */
   def word_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(text), n))
+
+  /** Native 16-bit md5-based SimHash (cross-engine-reproducible). */
+  def simhash_md5_16(text: Column): Column =
+    ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))
 }

@@ -254,4 +254,28 @@ object DedupFunctions {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit md5-based SimHash — cross-engine-reproducible variant of
+    * [[simhash64]] (md5 token hash instead of xxhash64) so the DuckDB
+    * oracle verifies it bit-for-bit. Production uses [[simhash64]]
+    * (xxhash64 is ~10× cheaper than md5); this variant is the parity
+    * witness for the simhash family. */
+  def simhashMd5(text: Column): Column =
+    graft.expr.NativeFunctions.simhash_md5_16(text)
+
+  /** HOF formulation of [[simhashMd5]] — executable specification.
+    * Bit i votes on bit (i%4) of hex digit (i/4) of md5(token). */
+  def simhashMd5Hof(text: Column): Column = {
+    val hs = transform(TextFunctions.tokens(text), t => md5(t))
+    val bitIdx = sequence(lit(0), lit(15))
+    val votes = aggregate(hs, array_repeat(lit(0), 16),
+      (acc, h) => zip_with(acc, bitIdx, (a, i) => {
+        val digit = conv(element_at(split(h, ""), (floor(i / 4) + 1).cast("int")), 16, 10).cast("int")
+        val bit = call_function("shiftright", digit, (i % 4).cast("int")).bitwiseAND(1)
+        a + when(bit === 1, 1).otherwise(-1)
+      }))
+    aggregate(zip_with(votes, bitIdx, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
 }

@@ -87,4 +87,15 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1003L),
       (acc, t) => pmod(acc * 1000003L + crc32(t).cast("long"), lit(1000000007L)))
+
+  /** Cross-engine-reproducible fingerprint: same mod-prime rolling hash as
+    * [[fingerprint]] but the per-token value is the first 24 bits of
+    * md5(token) (crc32 has no DuckDB counterpart). Production uses
+    * [[fingerprint]]; this variant is the oracle-verified parity witness.
+    * No overflow under ANSI: acc < 1e9+7, so acc*1000003 + 2^24 < 2^50. */
+  def fingerprintMd5(text: Column): Column =
+    aggregate(tokens(text), lit(1003L),
+      (acc, t) => pmod(
+        acc * 1000003L + conv(substring(md5(t), 1, 6), 16, 10).cast("long"),
+        lit(1000000007L)))
 }

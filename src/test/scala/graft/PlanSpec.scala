@@ -35,13 +35,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "small dims must broadcast at this scale")
   }
 
-  test("q03: revenue aggregation happens before the joins (pre-agg pattern)") {
+  test("q03: segment semi-join restricts lineitem before the revenue aggregation") {
     val p = simplePlanOf("q03_top_revenue")
-    // the partial aggregate must sit below the join in the plan text:
+    // filter-first shape: the lineitem⋈orders join sits BELOW the revenue
+    // aggregate (plan lists operators above their inputs), so the agg input
+    // is already segment-filtered; the orders restriction is a semi-join.
     val aggIdx = p.indexOf("partial_sum")
     val joinIdx = p.indexOf("BroadcastHashJoin")
-    assert(aggIdx > 0 && joinIdx > 0 && aggIdx > joinIdx,
-      "lineitem revenue must aggregate before joining (plan lists joins above their inputs)")
+    assert(p.contains("LeftSemi"), "orders must be restricted via semi-join")
+    assert(aggIdx > 0 && joinIdx > 0 && joinIdx > aggIdx,
+      "revenue aggregation must consume the join output (join listed above the agg)")
   }
 
   test("q07: anti-join broadcasts the membership side") {

@@ -174,6 +174,18 @@ class FunctionsSpec extends SparkSpec {
     assert(local.exceptAll(joined).count() == 0 && joined.exceptAll(local).count() == 0)
   }
 
+  test("native simhash_md5_16 matches the HOF specification on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val native = docs.select(col("doc_id"), DedupFunctions.simhashMd5(col("text")).as("h"))
+    val hof = docs.select(col("doc_id"), DedupFunctions.simhashMd5Hof(col("text")).as("h"))
+    assert(native.exceptAll(hof).count() == 0 && hof.exceptAll(native).count() == 0)
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val en = edge.select(DedupFunctions.simhashMd5(col("text"))).collect().map(_.getLong(0)).toSeq
+    val eh = edge.select(DedupFunctions.simhashMd5Hof(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(en == eh)
+    assert(en.take(2) == Seq(0L, 0L), "empty text hashes to 0")
+  }
+
   test("dedupNear collapses a near-dup cluster to its canonical doc") {
     val df = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
