@@ -452,6 +452,14 @@ object SparkEntry {
       Sim.ivfSearch(e, "embedding", "vec_id", centroids, query, 10, nProbe = 2)
         .select(col("vec_id"), r4(col("score")).as("score"))
     }),
+    // ---- multimodal: frame-sample explode (video frame plumbing) ---------
+    "q55_frame_sample" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+        .select(col("doc_id"),
+          explode(graft.functions.MultimodalFunctions.frameOffsets(
+            octet_length(col("content")), everyNth = 256, maxFrames = 32)).as("frame_offset"))
+        .orderBy(col("doc_id"), col("frame_offset"))),
     // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
     "q40_plan_activities" -> ((s, d) => {
       import graft.pipeline.Pipeline
@@ -811,6 +819,11 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q55_frame_sample" ->
+      """SELECT doc_id, unnest(generate_series(0,
+        |    CAST(octet_length(encode(text)) AS BIGINT) - 1, 256)[1:32]) AS frame_offset
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY doc_id, frame_offset""".stripMargin,
     "q54_ivf_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 1)
         |SELECT vec_id,

@@ -96,6 +96,33 @@ object MultimodalFunctions {
     }
   }
 
+  /** STUB resize/transcode: deterministic fake payload at the target
+    * dimensions (real impl: decode → resample pixels → encode). The real
+    * part is the plumbing: a typed kernel that replaces the payload and
+    * rewrites the meta struct, with one codec init per partition. */
+  def resize(ds: Dataset[MediaRow], w: Int, h: Int)
+            (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      // real impl: initialize the codec once here
+      it.map { r =>
+        val src = if (r.content.isEmpty) Array[Byte](0) else r.content
+        val out = new Array[Byte](math.min(w * h, 4096))
+        var i = 0
+        while (i < out.length) { out(i) = src(math.floorMod(i * 31, src.length)); i += 1 }
+        r.copy(content = out, meta = r.meta.copy(width = w, height = h))
+      }
+    }
+  }
+
+  /** Frame-sample offsets as a Column (video frame extraction plumbing):
+    * every `everyNth` byte offset, capped at `maxFrames` — codegen-built-in
+    * sequence/slice, ready for `explode` into one row per frame. Caller
+    * guards `nBytes > 0` (a zero-length payload has no frames). */
+  def frameOffsets(nBytes: org.apache.spark.sql.Column, everyNth: Int,
+                   maxFrames: Int): org.apache.spark.sql.Column =
+    slice(sequence(lit(0L), (nBytes - 1).cast("long"), lit(everyNth.toLong)), 1, maxFrames)
+
   /** Column-level stub meta extraction — codegen-friendly plumbing for the
     * metadata columns (length/format sniff need no real codec). */
   def mediaMetaColumns(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -56,45 +56,65 @@ object StreamingRunner {
       .option("checkpointLocation", s"$checkpointDir/$stage")
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val due = batch.filter(col("not_before") <= current_timestamp())
-        val deferred = batch.filter(col("not_before") > current_timestamp())
-        // per-stage subdirectory: concurrent stage queries must not share a
-        // FileOutputCommitter _temporary dir (committer collisions corrupt
-        // appends) — same isolation a per-queue Celery worker had
-        val stageExecDir = s"$executionsDir/stage=$stage"
-        if (!due.isEmpty) {
-          val res = kernel(due).localCheckpoint(true)
-          res.select(col("sceneid"), col("collection_id"), col("activity_type"),
-              col("status"), col("retry_count"), lit(batchId).as("batch_id"),
-              current_timestamp().as("ts"))
-            .write.mode("append").parquet(stageExecDir)
-          val retry = res.filter(col("status") === "RETRY" && col("retry_count") < maxRetries)
-            .withColumn("retry_count", col("retry_count") + 1)
-            .withColumn("not_before",
-              col("not_before") + expr(s"interval $retryDelaySeconds seconds"))
-          val dead = res.filter(col("status") === "RETRY" && col("retry_count") >= maxRetries)
-            .withColumn("status", lit("FAILURE"))
-          if (!dead.isEmpty)
-            dead.select(col("sceneid"), col("collection_id"), col("activity_type"),
-                col("status"), col("retry_count"), lit(batchId).as("batch_id"),
-                current_timestamp().as("ts"))
-              .write.mode("append").parquet(stageExecDir)
-          if (!retry.isEmpty) enqueue(retry, queueDir)
-          // chain: SUCCESS rows spawn the child stage activities (ST2)
-          val ok = res.filter(col("status") === "SUCCESS")
-          childStages.foreach { child =>
-            if (!ok.isEmpty)
-              enqueue(ok.withColumn("activity_type", lit(child))
-                .withColumn("retry_count", lit(0))
-                .withColumn("not_before", current_timestamp()), queueDir)
-          }
-        }
-        // rows not yet due simply re-enter the queue (bounded: files are
-        // consumed exactly once, so this re-materializes them for later)
-        if (!deferred.isEmpty) enqueue(deferred, queueDir)
-        ()
+        processBatch(batch, batchId, queueDir, executionsDir, stage, kernel,
+          childStages, maxRetries, retryDelaySeconds)
       }
       .start()
+  }
+
+  /** One micro-batch of a stage queue — factored out of `foreachBatch` so
+    * replay semantics are testable.
+    *
+    * Exactly-once story (acks-late, celery/__init__.py:59–72): after a
+    * crash the checkpoint replays the batch with the SAME `batchId`. The
+    * executions log is written with dynamic partition-overwrite on
+    * `batch_id`, so a replay overwrites its own partition instead of
+    * appending duplicates — the log is exactly-once. Re-enqueues (retry /
+    * deferred / child stages) are at-least-once appends; duplicates there
+    * are absorbed by the idempotent activity MERGE key downstream
+    * (Pipeline.mergeByKey = the reference's get_or_create, utils.py:64–91),
+    * which is the same effective-exactly-once contract the reference runs.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, queueDir: String,
+                   executionsDir: String, stage: String, kernel: Pipeline.StageKernel,
+                   childStages: Seq[String], maxRetries: Int = 72,
+                   retryDelaySeconds: Long = 900L): Unit = {
+    val due = batch.filter(col("not_before") <= current_timestamp())
+    val deferred = batch.filter(col("not_before") > current_timestamp())
+    // per-stage subdirectory: concurrent stage queries must not share a
+    // FileOutputCommitter _temporary dir (committer collisions corrupt
+    // appends) — same isolation a per-queue Celery worker had
+    val stageExecDir = s"$executionsDir/stage=$stage"
+    if (!due.isEmpty) {
+      val res = kernel(due).localCheckpoint(true)
+      val dead = res.filter(col("status") === "RETRY" && col("retry_count") >= maxRetries)
+        .withColumn("status", lit("FAILURE"))
+      res.unionByName(dead)
+        .select(col("sceneid"), col("collection_id"), col("activity_type"),
+          col("status"), col("retry_count"), current_timestamp().as("ts"),
+          lit(batchId).as("batch_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(stageExecDir)
+      val retry = res.filter(col("status") === "RETRY" && col("retry_count") < maxRetries)
+        .withColumn("retry_count", col("retry_count") + 1)
+        .withColumn("not_before",
+          col("not_before") + expr(s"interval $retryDelaySeconds seconds"))
+      if (!retry.isEmpty) enqueue(retry, queueDir)
+      // chain: SUCCESS rows spawn the child stage activities (ST2)
+      val ok = res.filter(col("status") === "SUCCESS")
+      childStages.foreach { child =>
+        if (!ok.isEmpty)
+          enqueue(ok.withColumn("activity_type", lit(child))
+            .withColumn("retry_count", lit(0))
+            .withColumn("not_before", current_timestamp()), queueDir)
+      }
+    }
+    // rows not yet due simply re-enter the queue (bounded: files are
+    // consumed exactly once, so this re-materializes them for later)
+    if (!deferred.isEmpty) enqueue(deferred, queueDir)
+    ()
   }
 
   /** Stage-progress introspection (celery/utils.py:27–38 inspect()):

@@ -51,4 +51,25 @@ class MultimodalSpec extends SparkSpec {
     assert(offs == StubCodec.sampleFrameOffsets(100000L, 4096))
     assert(offs.size <= 32 && offs.forall(_ < 100000L))
   }
+
+  test("frameOffsets column matches the stub sampler and caps at maxFrames") {
+    val df = Seq((1L, 100000L), (2L, 300L), (3L, 1L)).toDF("media_id", "n_bytes")
+    val got = df.select(col("media_id"),
+        frameOffsets(col("n_bytes"), everyNth = 4096, maxFrames = 32).as("offs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == StubCodec.sampleFrameOffsets(100000L, 4096))
+    assert(got(2L) == Seq(0L) && got(3L) == Seq(0L))
+  }
+
+  test("resize kernel rewrites payload + meta, deterministic across partitioning") {
+    val rows = (0 until 10).map(i => MediaRow(i.toLong, "image", jpegBytes(500 + i),
+      StubCodec.decodeMeta(jpegBytes(500 + i))))
+    val r1 = resize(spark.createDataset(rows).repartition(1), 64, 48).collect()
+      .map(r => r.media_id -> (r.content.toSeq, r.meta)).toMap
+    val r4 = resize(spark.createDataset(rows).repartition(4), 64, 48).collect()
+      .map(r => r.media_id -> (r.content.toSeq, r.meta)).toMap
+    assert(r1 == r4)
+    assert(r1.values.forall { case (bytes, meta) =>
+      bytes.size == 64 * 48 && meta.width == 64 && meta.height == 48 })
+  }
 }

@@ -56,6 +56,28 @@ class StreamingRunnerSpec extends SparkSpec {
     assert(prog(("publish", "SUCCESS")) == 2L)
   }
 
+  test("executions log is exactly-once under micro-batch replay (ST4 acks-late)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-replay").toString
+    val batch = Seq(("r1", 1, "download", 0), ("r2", 1, "download", 0))
+      .toDF("sceneid", "collection_id", "activity_type", "retry_count")
+      .withColumn("not_before", current_timestamp())
+    val kernel: Pipeline.StageKernel = df => df.withColumn("status", lit("SUCCESS"))
+    // a crash between the executions write and the checkpoint commit makes
+    // Structured Streaming re-run the SAME batchId — the sink must not
+    // duplicate
+    StreamingRunner.processBatch(batch, batchId = 7L, s"$base/queue", s"$base/exec",
+      "download", kernel, childStages = Nil)
+    StreamingRunner.processBatch(batch, batchId = 7L, s"$base/queue", s"$base/exec",
+      "download", kernel, childStages = Nil)
+    val execs = spark.read.parquet(s"$base/exec/stage=download")
+    assert(execs.count() == 2, "replayed batch must overwrite its own partition, not append")
+    // a genuinely new batch appends alongside
+    StreamingRunner.processBatch(batch, batchId = 8L, s"$base/queue", s"$base/exec",
+      "download", kernel, childStages = Nil)
+    assert(spark.read.parquet(s"$base/exec/stage=download").count() == 4)
+  }
+
   test("streaming group fan-out: download → [correction, publish] run in parallel (ST2)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
