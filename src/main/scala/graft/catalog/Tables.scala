@@ -19,9 +19,18 @@ object Tables {
     * timestamps — the same truncation DuckDB applies, keeping oracle
     * comparisons exact.
     */
+  // Schema cache: footer-based inference costs a driver-side file read per
+  // spark.read.parquet call; a query surface that re-reads the same tables
+  // hundreds of times should pay it once per path. (At cluster scale this
+  // is the catalog's job — a metastore table carries its schema.)
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    if (name == "events" && schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     else df
   }

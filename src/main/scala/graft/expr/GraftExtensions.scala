@@ -25,6 +25,12 @@ object GraftExtensions {
       "dot_product", ext.makeDot, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "band_math", ext.makeBandMath, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", ext.makeSimhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5_16", ext.makeSimhashMd5, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", ext.makeWordNgrams, "scala_udf")
   }
 }
 
@@ -48,6 +54,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     DotProductExpr(args.head, args(1)): Expression
   }
 
+  private[expr] val makeSimhash = (args: Seq[Expression]) => {
+    require(args.length == 1, "simhash64(text)")
+    SimHashExpr(args.head): Expression
+  }
+
+  private[expr] val makeSimhashMd5 = (args: Seq[Expression]) => {
+    require(args.length == 1, "simhash_md5_16(text)")
+    SimHashMd5Expr(args.head): Expression
+  }
+
+  private[expr] val makeWordNgrams = (args: Seq[Expression]) => {
+    require(args.length == 2, "word_ngrams(text, n)")
+    WordNgramsExpr(args.head, intArg(args(1), "n")): Expression
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
@@ -61,6 +82,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("band_math"),
       new ExpressionInfo(classOf[BandMathExpr].getName, "band_math"),
       makeBandMath))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "simhash64"),
+      makeSimhash))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_md5_16"),
+      new ExpressionInfo(classOf[SimHashMd5Expr].getName, "simhash_md5_16"),
+      makeSimhashMd5))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
+      makeWordNgrams))
   }
 
   private[expr] val makeBandMath = (args: Seq[Expression]) => {

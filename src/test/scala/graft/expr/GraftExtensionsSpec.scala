@@ -33,5 +33,17 @@ class GraftExtensionsSpec extends SparkSpec {
         |  'B04', 'B08', B04, B08, -9999.0D, -9999.0D) AS p
         |FROM graft_ext_tiles""".stripMargin).head().getSeq[Float](0)
     assert(px == Seq(6000.0f, -9999.0f))
+    // hash/shingle family from SQL
+    val h = spark.sql(
+      """SELECT simhash64(text) AS s64, simhash_md5_16(text) AS s16,
+        |       word_ngrams(text, 2) AS ng FROM graft_ext_docs""".stripMargin).head()
+    val apiH = Seq("alpha beta gamma delta").toDF("text").select(
+      graft.functions.DedupFunctions.simhash64(org.apache.spark.sql.functions.col("text")),
+      graft.functions.DedupFunctions.simhashMd5(org.apache.spark.sql.functions.col("text")),
+      NativeFunctions.word_ngrams(org.apache.spark.sql.functions.col("text"), 2)).head()
+    assert(h.getLong(0) == apiH.getLong(0))
+    assert(h.getLong(1) == apiH.getLong(1))
+    assert(h.getSeq[String](2) == apiH.getSeq[String](2))
+    assert(h.getSeq[String](2) == Seq("alpha beta", "beta gamma", "gamma delta"))
   }
 }
