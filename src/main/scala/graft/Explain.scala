@@ -9,7 +9,7 @@ object Explain {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_pricing_summary","q02_conj_filter","q03_top_revenue","q07_anti_join","q28_ann_topk")) {
+    for (q <- sys.env.getOrElse("EXPLAIN_QS","q43_neardup_pairs,q53_emb_neighbors,q47_dedup_near_dropped").split(",").toSeq) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

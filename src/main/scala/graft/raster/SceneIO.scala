@@ -37,6 +37,44 @@ object SceneIO {
         col("t.pixels").as("pixels"))
   }
 
+  /** S5 pivot-free multi-band tiling: tile ALL bands of a scene in one
+    * explode, emitting rows already in the pivoted (scene, window) →
+    * band-map shape that [[RasterKernels.bandMath]] consumes — the
+    * (scene, window) regroup shuffle of `tileScene → pivotBands`
+    * disappears entirely, because every band's native tiling yields its
+    * windows in the same deterministic row-major order and `arrays_zip`
+    * aligns them scan-side.
+    *
+    * Input rows: (scene_id, height, width, bands: map<band,pixels>,
+    * nodatas: map<band,nodata>) — the shape a multi-band scene reader
+    * produces. At 100 TB this turns derived-band computation into a pure
+    * narrow pipeline: scan → tile → band math → write, no exchange.
+    */
+  def tileSceneMultiBand(scene: DataFrame, bandNames: Seq[String],
+                         blockH: Int, blockW: Int): DataFrame = {
+    require(bandNames.nonEmpty, "bandNames must be non-empty")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tileCols = bandNames.map { b =>
+      ColumnBridge.column(graft.expr.TileSceneExpr(
+        ColumnBridge.expression(element_at(col("bands"), b)),
+        ColumnBridge.expression(col("height")),
+        ColumnBridge.expression(col("width")), blockH, blockW)).as(s"__t_$b")
+    }
+    val head = s"__t_${bandNames.head}"
+    scene.select(col("scene_id") +: col("nodatas") +: tileCols: _*)
+      .select(col("scene_id"), col("nodatas"),
+        explode(arrays_zip(bandNames.map(b => col(s"__t_$b")): _*)).as("z"))
+      .select(col("scene_id"),
+        col(s"z.$head.window_row").as("window_row"),
+        col(s"z.$head.window_col").as("window_col"),
+        col(s"z.$head.h").as("height"),
+        col(s"z.$head.w").as("width"),
+        map_from_arrays(
+          array(bandNames.map(lit(_)): _*),
+          array(bandNames.map(b => col(s"z.__t_$b.pixels")): _*)).as("bands"),
+        col("nodatas"))
+  }
+
   /** Inverse of [[tileScene]] for small scenes (test/quicklook path):
     * reassemble one band image from its tiles. Driver-side collect. */
   def assembleScene(tiles: DataFrame, sceneId: String, band: String): (Int, Int, Array[Float]) = {

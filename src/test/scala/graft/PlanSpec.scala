@@ -58,6 +58,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "brute-force ANN must not shuffle")
   }
 
+  test("q43: bucket-local near-dup pairs shuffle exactly once, no join") {
+    val p = simplePlanOf("q43_neardup_pairs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "the band-key regroup must be the only hash shuffle")
+    assert(!p.contains("Join"), "pair generation must be bucket-local, not a self-join")
+  }
+
+  test("q53: brute-force pair scoring is a broadcast nested-loop, no hash shuffle") {
+    val p = simplePlanOf("q53_emb_neighbors")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "all-pairs scoring must broadcast one side, not shuffle both")
+  }
+
   test("q24: dedup groups is one hash-shuffle with partial aggregation") {
     val p = simplePlanOf("q24_exact_dup_groups")
     // partial_count before the exchange = map-side combine
