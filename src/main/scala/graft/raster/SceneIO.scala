@@ -54,24 +54,17 @@ object SceneIO {
                          blockH: Int, blockW: Int): DataFrame = {
     require(bandNames.nonEmpty, "bandNames must be non-empty")
     import org.apache.spark.sql.graft.ColumnBridge
-    val tileCols = bandNames.map { b =>
-      ColumnBridge.column(graft.expr.TileSceneExpr(
-        ColumnBridge.expression(element_at(col("bands"), b)),
-        ColumnBridge.expression(col("height")),
-        ColumnBridge.expression(col("width")), blockH, blockW)).as(s"__t_$b")
-    }
-    val head = s"__t_${bandNames.head}"
-    scene.select(col("scene_id") +: col("nodatas") +: tileCols: _*)
-      .select(col("scene_id"), col("nodatas"),
-        explode(arrays_zip(bandNames.map(b => col(s"__t_$b")): _*)).as("z"))
+    val tiles = ColumnBridge.column(graft.expr.TileSceneMultiExpr(
+      ColumnBridge.expression(col("bands")),
+      ColumnBridge.expression(col("height")),
+      ColumnBridge.expression(col("width")), bandNames, blockH, blockW))
+    scene.select(col("scene_id"), col("nodatas"), explode(tiles).as("t"))
       .select(col("scene_id"),
-        col(s"z.$head.window_row").as("window_row"),
-        col(s"z.$head.window_col").as("window_col"),
-        col(s"z.$head.h").as("height"),
-        col(s"z.$head.w").as("width"),
-        map_from_arrays(
-          array(bandNames.map(lit(_)): _*),
-          array(bandNames.map(b => col(s"z.__t_$b.pixels")): _*)).as("bands"),
+        col("t.window_row").as("window_row"),
+        col("t.window_col").as("window_col"),
+        col("t.h").as("height"),
+        col("t.w").as("width"),
+        col("t.bands").as("bands"),
         col("nodatas"))
   }
 

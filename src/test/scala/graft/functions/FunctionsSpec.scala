@@ -174,6 +174,29 @@ class FunctionsSpec extends SparkSpec {
     assert(local.exceptAll(joined).count() == 0 && joined.exceptAll(local).count() == 0)
   }
 
+  test("property: word_ngrams and simhash_md5_16 match their HOF specs on random texts") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("a", "über", "日本", "x-y", "§"))
+    val sep = Gen.oneOf(" ", "  ", "\t", " \n ")
+    val text = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(math.max(n - 1, 0), sep)
+      pad <- Gen.oneOf("", " ", "  ")
+    } yield pad + ws.zipAll(ss, "", "").map { case (w, s) => w + s }.mkString + pad
+    val texts = Iterator.continually(text.sample).flatten.take(60).toSeq
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select(col("id"), graft.expr.NativeFunctions.word_ngrams(col("text"), n).as("v"))
+      val hof = df.select(col("id"), array_distinct(DedupFunctions.shingles(col("text"), n)).as("v"))
+      assert(native.collect().map(_.toString).toSeq == hof.collect().map(_.toString).toSeq,
+        s"word_ngrams n=$n diverged from HOF spec")
+    }
+    val sNative = df.select(DedupFunctions.simhashMd5(col("text"))).collect().map(_.getLong(0)).toSeq
+    val sHof = df.select(DedupFunctions.simhashMd5Hof(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(sNative == sHof, "simhash_md5_16 diverged from HOF spec")
+  }
+
   test("native simhash_md5_16 matches the HOF specification on real docs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
     val native = docs.select(col("doc_id"), DedupFunctions.simhashMd5(col("text")).as("h"))
