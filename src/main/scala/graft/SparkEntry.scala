@@ -452,6 +452,12 @@ object SparkEntry {
       Sim.ivfSearch(e, "embedding", "vec_id", centroids, query, 10, nProbe = 2)
         .select(col("vec_id"), r4(col("score")).as("score"))
     }),
+    // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
+    "q56_keyset_page" -> ((s, d) =>
+      MetaQueries.paginateKeyset(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          r2(col("o_totalprice")).as("total")),
+        col("o_orderkey"), lastSeen = 30L, perPage = 10)),
     // ---- multimodal: frame-sample explode (video frame plumbing) ---------
     "q55_frame_sample" -> ((s, d) =>
       Tables.documents(s, d).filter(col("n_chars") > 0)
@@ -819,6 +825,9 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q56_keyset_page" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS total
+        |FROM orders WHERE o_orderkey > 30 ORDER BY o_orderkey LIMIT 10""".stripMargin,
     "q55_frame_sample" ->
       """SELECT doc_id, unnest(generate_series(0,
         |    CAST(octet_length(encode(text)) AS BIGINT) - 1, 256)[1:32]) AS frame_offset

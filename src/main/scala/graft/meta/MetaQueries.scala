@@ -68,6 +68,14 @@ object MetaQueries {
   def paginate(df: DataFrame, order: Seq[Column], page: Int, perPage: Int = 10): DataFrame =
     df.orderBy(order: _*).offset((page - 1) * perPage).limit(perPage)
 
+  /** Keyset pagination — the deep-page scale path: `key > lastSeen` pushes
+    * to the scan (row-group pruning on a sorted/partitioned key), and the
+    * plan is TakeOrderedAndProject — per-partition top-k, no global sort,
+    * no OFFSET scan of the skipped pages. Page N costs the same as page 1
+    * at any depth. */
+  def paginateKeyset(df: DataFrame, key: Column, lastSeen: Any, perPage: Int = 10): DataFrame =
+    df.filter(key > lit(lastSeen)).orderBy(key.asc).limit(perPage)
+
   /** Temporal interval-overlap predicate (controller.py:571–575). The three
     * OR arms of the reference collapse to `s <= pe && e >= ps`.
     */

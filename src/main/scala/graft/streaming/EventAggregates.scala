@@ -32,6 +32,19 @@ object EventAggregates {
     events.groupBy(date_trunc("month", col("ts")).cast("date").as("month"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming dedup (the dedup family × streams): drop duplicate
+    * event_ids, keeping state only within the watermark horizon — the
+    * training-pipeline guard against at-least-once upstream delivery
+    * (e.g. the queue re-enqueues of StreamingRunner). Batch inputs fall
+    * back to a plain dropDuplicates. State is bounded: one key per
+    * event_id seen within the watermark, evicted as the watermark
+    * advances. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Sessionization: gap-based sessions per user via session_window —
     * the stateful-grouping capability (mapGroupsWithState class) expressed
     * with the built-in session window. */

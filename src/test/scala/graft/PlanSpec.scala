@@ -72,6 +72,12 @@ class PlanSpec extends SparkSpec {
       "all-pairs scoring must broadcast one side, not shuffle both")
   }
 
+  test("q56: keyset pagination pushes the key predicate and avoids a global sort") {
+    val p = planOf("q56_keyset_page")
+    assert(p.contains("GreaterThan(o_orderkey,30)"), "keyset predicate must reach the scan")
+    assert(p.contains("TakeOrderedAndProject"), "deep pages must be per-partition top-k")
+  }
+
   test("q24: dedup groups is one hash-shuffle with partial aggregation") {
     val p = simplePlanOf("q24_exact_dup_groups")
     // partial_count before the exchange = map-side combine

@@ -29,6 +29,31 @@ class EventAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 1.0),
+      (1L, "2024-01-01 10:00:30", 7L, "click", 1.0), // duplicate delivery
+      (2L, "2024-01-01 10:01:00", 7L, "click", 2.0),
+      (2L, "2024-01-01 10:01:00", 7L, "click", 2.0), // duplicate delivery
+      (3L, "2024-01-01 10:02:00", 8L, "view", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = EventAggregates.dedupEvents(stream)
+      .writeStream.format("memory").queryName("dedupev")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedupev").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L), "one row per event_id must survive")
+    } finally q.stop()
+    // batch path: plain dropDuplicates
+    assert(EventAggregates.dedupEvents(ev).count() == 3)
+  }
+
   test("sessionization groups events by gap per user") {
     import spark.implicits._
     val ev = Seq(
