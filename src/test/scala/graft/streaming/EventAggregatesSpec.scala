@@ -54,6 +54,27 @@ class EventAggregatesSpec extends SparkSpec {
     assert(EventAggregates.dedupEvents(ev).count() == 3)
   }
 
+  test("progress listener records per-batch metrics of a stage query (ST8)") {
+    import spark.implicits._
+    val listener = Metrics.attach(spark)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-prog").toString
+      val ev = Seq((1L, "2024-01-01 10:00:00", 7L, "click", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      ev.write.mode("overwrite").parquet(dir)
+      val q = spark.readStream.schema(ev.schema).parquet(dir)
+        .writeStream.format("memory").queryName("progq").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are delivered asynchronously — poll briefly
+      val deadline = System.currentTimeMillis() + 20000
+      def recorded() = listener.progress(spark)
+        .filter(col("query_name") === "progq" && col("input_rows") > 0)
+      while (System.currentTimeMillis() < deadline && recorded().isEmpty) Thread.sleep(100)
+      assert(!recorded().isEmpty, "listener must record the batch that read the row")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("sessionization groups events by gap per user") {
     import spark.implicits._
     val ev = Seq(
