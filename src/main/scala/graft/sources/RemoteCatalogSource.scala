@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.concurrent.ConcurrentHashMap
+
+/** §2.1 S1 live-provider path — a DataSource V2 connector for remote
+  * imagery catalogs with REAL filter pushdown: Catalyst hands the scan its
+  * predicates (`SupportsPushDownFilters`), the supported subset translates
+  * into the provider search call (dataset / cloud-cover / date-range — the
+  * parameters `provider.search` takes at controller.py:263–295), and only
+  * the residual evaluates in Spark. Column pruning
+  * (`SupportsPushDownRequiredColumns`) reaches the row materialization.
+  *
+  * The provider callback runs DRIVER-side at planning time (the reference's
+  * search is a synchronous HTTPS call too); result records ship to
+  * executors inside input partitions, `partitionSize` scenes each. That is
+  * the right shape for catalog-scale results (10³–10⁶ records per query) —
+  * the 100 TB pixel payload never flows through this source, only scene
+  * METADATA does.
+  *
+  * Providers register driver-side under a name (the reference's
+  * entry-point driver registry, utils.py:472–483):
+  * {{{
+  * RemoteCatalog.register("usgs", filters => search(filters))
+  * spark.read.format("remote_catalog").option("provider", "usgs").load()
+  *   .filter($"cloud_cover" <= 20 && $"dataset" === "S2_MSI_L1C")
+  * }}}
+  */
+object RemoteCatalog {
+  /** A provider search: receives the pushed-down Catalyst source filters,
+    * returns matching scene records. Implementations translate the filters
+    * into their query API (bbox/date/cloud params) and MAY over-return —
+    * Spark re-applies every filter after the scan, so pushdown is an
+    * optimization contract, not a correctness one. */
+  type SearchFn = Seq[Filter] => Seq[SceneRecord]
+
+  final case class SceneRecord(scene_id: String, dataset: String,
+                               cloud_cover: Double, sensing_micros: Long, link: String)
+
+  val schema: StructType = StructType(Seq(
+    StructField("scene_id", StringType),
+    StructField("dataset", StringType),
+    StructField("cloud_cover", DoubleType),
+    StructField("sensing_date", TimestampType),
+    StructField("link", StringType)))
+
+  private val registry = new ConcurrentHashMap[String, SearchFn]()
+  def register(name: String, fn: SearchFn): Unit = registry.put(name, fn)
+  def lookup(name: String): SearchFn =
+    Option(registry.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no remote catalog provider registered as '$name'"))
+}
+
+class RemoteCatalogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "remote_catalog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RemoteCatalog.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new RemoteCatalogTable(Option(properties.get("provider")).getOrElse(
+      throw new IllegalArgumentException("remote_catalog requires option 'provider'")),
+      Option(properties.get("partitionSize")).map(_.toInt).getOrElse(1000))
+}
+
+private class RemoteCatalogTable(provider: String, partitionSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"remote_catalog($provider)"
+  override def schema(): StructType = RemoteCatalog.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RemoteCatalogScanBuilder(provider, partitionSize)
+}
+
+private class RemoteCatalogScanBuilder(provider: String, partitionSize: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = RemoteCatalog.schema
+
+  /** Hand every filter over searchable columns to the provider search, but
+    * return ALL filters as residual: DSv2 treats filters absent from the
+    * return value as exactly applied by the source, and providers are
+    * allowed to over-return (their query APIs are approximate — bbox
+    * envelopes, date granularity). Keeping them residual makes pushdown a
+    * pure transfer-volume optimization, never a correctness dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val searchable = Set("scene_id", "dataset", "cloud_cover", "sensing_date")
+    pushed = filters.filter(_.references.forall(searchable.contains))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new RemoteCatalogScan(provider, partitionSize, pushed, required)
+}
+
+private class RemoteCatalogScan(provider: String, partitionSize: Int,
+                                pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"remote_catalog($provider) PushedFilters: [${pushed.mkString(", ")}]"
+
+  // driver-side search at planning time, grouped into partitions
+  override def planInputPartitions(): Array[InputPartition] =
+    RemoteCatalog.lookup(provider)(pushed.toSeq)
+      .grouped(partitionSize)
+      .map(g => ScenePartition(g.toArray): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cols = required.fieldNames
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[ScenePartition].records.iterator
+        new PartitionReader[InternalRow] {
+          private var current: RemoteCatalog.SceneRecord = _
+          override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(cols.toSeq.map {
+              case "scene_id" => UTF8String.fromString(current.scene_id)
+              case "dataset" => UTF8String.fromString(current.dataset)
+              case "cloud_cover" => current.cloud_cover
+              case "sensing_date" => current.sensing_micros
+              case "link" => UTF8String.fromString(current.link)
+            })
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private case class ScenePartition(records: Array[RemoteCatalog.SceneRecord])
+    extends InputPartition

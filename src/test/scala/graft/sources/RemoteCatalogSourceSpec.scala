@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, LessThanOrEqual}
+
+class RemoteCatalogSourceSpec extends SparkSpec {
+
+  private def scenes = Seq(
+    RemoteCatalog.SceneRecord("S2A_T23LLF_1", "S2_MSI_L1C", 10.0, 1_700_000_000_000_000L, "s3://a/1"),
+    RemoteCatalog.SceneRecord("S2A_T23LLF_2", "S2_MSI_L1C", 55.0, 1_700_100_000_000_000L, "s3://a/2"),
+    RemoteCatalog.SceneRecord("LC08_223064_1", "LANDSAT_8", 5.0, 1_700_200_000_000_000L, "s3://a/3"))
+
+  test("pushed filters reach the provider search; residual stays in Spark (S1)") {
+    @volatile var received: Seq[org.apache.spark.sql.sources.Filter] = Nil
+    RemoteCatalog.register("test-usgs", { filters =>
+      received = filters
+      // provider honors the cloud filter, ignores the rest (over-returning
+      // is allowed — Spark re-applies)
+      scenes.filter(_.cloud_cover <= 20.0)
+    })
+    val df = spark.read.format("remote_catalog").option("provider", "test-usgs").load()
+      .filter(col("cloud_cover") <= 20 && col("dataset") === "S2_MSI_L1C"
+        && length(col("link")) > 2) // length() is not a source Filter → residual
+      .select("scene_id")
+    val got = df.collect().map(_.getString(0)).toSeq
+    assert(got == Seq("S2A_T23LLF_1"), "cloud>20 and non-S2 scenes must be filtered")
+    assert(received.exists { case LessThanOrEqual("cloud_cover", v) => v == 20.0; case _ => false },
+      s"cloud threshold must be pushed to the provider, got $received")
+    assert(received.exists { case EqualTo("dataset", v) => v == "S2_MSI_L1C"; case _ => false },
+      s"dataset equality must be pushed to the provider, got $received")
+    // plan shows the pushdown; the scan only materializes the pruned column set
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("remote_catalog"), plan)
+  }
+
+  test("empty search result and unregistered provider behave sanely") {
+    RemoteCatalog.register("test-empty", _ => Nil)
+    assert(spark.read.format("remote_catalog").option("provider", "test-empty")
+      .load().count() == 0)
+    assertThrows[Exception] {
+      spark.read.format("remote_catalog").option("provider", "nope").load().count()
+    }
+  }
+
+  test("partitionSize splits large results into multiple input partitions") {
+    RemoteCatalog.register("test-many",
+      _ => (1 to 25).map(i => RemoteCatalog.SceneRecord(s"s$i", "D", 1.0, i.toLong, "l")))
+    val df = spark.read.format("remote_catalog")
+      .option("provider", "test-many").option("partitionSize", "10").load()
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 25)
+  }
+}
