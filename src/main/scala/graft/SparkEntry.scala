@@ -452,6 +452,16 @@ object SparkEntry {
       Sim.ivfSearch(e, "embedding", "vec_id", centroids, query, 10, nProbe = 2)
         .select(col("vec_id"), r4(col("score")).as("score"))
     }),
+    // ---- §2.7 set op: intersect (nations with both customers+suppliers) --
+    "q57_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+    // ---- text: BPE-ish subword token counting ----------------------------
+    "q58_subword_count" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), T.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))),
     // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
     "q56_keyset_page" -> ((s, d) =>
       MetaQueries.paginateKeyset(
@@ -825,6 +835,13 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q57_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "q58_subword_count" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
     "q56_keyset_page" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS total
         |FROM orders WHERE o_orderkey > 30 ORDER BY o_orderkey LIMIT 10""".stripMargin,

@@ -20,12 +20,12 @@ object TextFunctions {
   /** Token count (whitespace tokens). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count estimate: word-piece regex split — words,
-    * numbers, and individual punctuation each count as a token, the common
-    * pre-tokenizer shape used by BPE vocabularies. */
+  /** BPE-ish subword count estimate: alphanumeric runs + each non-space
+    * symbol count as one token — the common pre-tokenizer shape used by
+    * BPE vocabularies. One regexp_extract_all pass; the pattern avoids
+    * lookaround so the DuckDB (RE2) oracle computes it identically. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =

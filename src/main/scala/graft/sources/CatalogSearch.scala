@@ -38,6 +38,22 @@ object CatalogSearch {
         col("sensing_date").between(lit(startDate), lit(endDate)) &&
         col("cloud_cover") <= cloudCover)
 
+  /** Live-provider entry point: the same search surface over the
+    * [[RemoteCatalogSource]] DSv2 connector — DataFrame filters compose
+    * exactly like the snapshot modes and Catalyst pushes the supported
+    * predicates into the provider's search call. Callers filter the
+    * result like any DataFrame:
+    * {{{
+    * CatalogSearch.live(spark, "usgs")
+    *   .filter(col("dataset") === "S2_MSI_L1C" && col("cloud_cover") <= 20)
+    * }}} */
+  def live(spark: org.apache.spark.sql.SparkSession, provider: String,
+           partitionSize: Int = 1000): DataFrame =
+    spark.read.format("remote_catalog")
+      .option("provider", provider)
+      .option("partitionSize", partitionSize.toString)
+      .load()
+
   /** ST7 — memoized search: which (tile, period) cells are NOT yet in the
     * snapshot and need a remote fetch. The reference's Redis get/set
     * pipeline becomes one anti-join of the needed grid against the
