@@ -38,6 +38,20 @@ class EndToEndSpec extends SparkSpec {
       form.startDate.get, form.endDate.get, form.cloud)
     assert(found.count() == 2)
 
+    // 2b. the same search through the live DSv2 connector (S1 live path):
+    // the provider over-returns everything; Catalyst pushes the supported
+    // predicates into the search call and re-applies all of them post-scan
+    graft.sources.RemoteCatalog.register("e2e-prov", _ =>
+      snapshot.collect().toSeq.map(r => graft.sources.RemoteCatalog.SceneRecord(
+        r.getString(0), "S2MSI1C", r.getDouble(3),
+        r.getTimestamp(5).getTime * 1000L, r.getString(4))))
+    val live = CatalogSearch.live(spark, "e2e-prov")
+      .filter(col("scene_id").startsWith("S2A_T23LLF") &&
+        col("cloud_cover") <= form.cloud &&
+        col("sensing_date").between(lit(form.startDate.get), lit(form.endDate.get)))
+    assert(live.select("scene_id").collect().map(_.getString(0)).sorted.toSeq ==
+      found.select("scene_id").collect().map(_.getString(0)).sorted.toSeq)
+
     // 3. skip already-published (controller.py:298–337): 0001 already exists
     val items0 = Seq(("S2A_T23LLF_0001", 1)).toDF("name", "collection_id")
     val work = MetaQueries.notPublished(

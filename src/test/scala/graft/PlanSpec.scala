@@ -22,6 +22,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey"), "pruned columns must not be read")
   }
 
+  test("q01/q21: hot paths run inside whole-stage codegen") {
+    for (q <- Seq("q01_pricing_summary", "q21_band_expr")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect() // drive THIS query execution's AQE to its final plan
+      val p = df.queryExecution.executedPlan.toString
+      // codegen'd operators print as "*(id) Op" in the final adaptive plan
+      assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+        s"$q must keep a whole-stage-codegen span:\n$p")
+    }
+  }
+
   test("q02: conjunctive predicates all pushed") {
     val p = planOf("q02_conj_filter")
     assert(p.contains("EqualTo(l_returnflag,R)"))
