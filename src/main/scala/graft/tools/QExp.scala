@@ -22,6 +22,31 @@ object QExp {
         println(s"[exp] $name run$i: ${math.round((System.nanoTime() - t0) / 1e6) / 1000.0} s ($n rows)")
       }
 
+    time("q41_bnlj") {
+      val o = Tables.orders(spark, d)
+        .withColumn("o_end", col("o_orderdate") + expr("interval 30 days"))
+      val periods = spark.range(1).select(explode(sequence(
+          lit("1997-01-01").cast("timestamp"), lit("1997-12-01").cast("timestamp"),
+          expr("interval 1 month"))).as("period_start"))
+        .withColumn("period_end",
+          col("period_start") + expr("interval 1 month") - expr("interval 1 second"))
+      o.join(broadcast(periods),
+          col("o_orderdate") <= col("period_end") && col("o_end") >= col("period_start"))
+        .groupBy(col("period_start").cast("date").as("month"))
+        .agg(count(lit(1)).as("n")).count()
+    }
+    time("q41_explode") {
+      val o = Tables.orders(spark, d)
+        .withColumn("o_end", col("o_orderdate") + expr("interval 30 days"))
+      o.select(explode(sequence(
+          date_trunc("month", col("o_orderdate")),
+          date_trunc("month", col("o_end")),
+          expr("interval 1 month"))).as("month_ts"))
+        .filter(col("month_ts").between(
+          lit("1997-01-01").cast("timestamp"), lit("1997-12-01").cast("timestamp")))
+        .groupBy(col("month_ts").cast("date").as("month"))
+        .agg(count(lit(1)).as("n")).count()
+    }
     time("q46_get_json_object") {
       Tables.events(spark, d)
         .select((floor(get_json_object(col("props"), "$.k").cast("int") / 10)).cast("int").as("k_bucket"),
