@@ -113,6 +113,21 @@ object MetaQueries {
     * windows over [start, end], as a DataFrame of (period_start, period_end).
     * Built with sequence+explode — no driver-side loop.
     */
+  /** Cube-item end-date from the collection's temporal composition
+    * (publish.py:321–330): `start + (step−1) unit` with the clock pinned
+    * to 23:59:59 — e.g. a 16-day MODIS composite starting 2020-01-01 ends
+    * 2020-01-16 23:59:59. */
+  def compositionEnd(start: Column, step: Int, unit: String): Column = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val base = unit match {
+      case "day"   => start + expr(s"interval ${step - 1} days")
+      case "month" => add_months(start, step - 1)
+      case "year"  => add_months(start, (step - 1) * 12)
+      case other   => throw new IllegalArgumentException(s"unit must be day|month|year, got $other")
+    }
+    to_timestamp(concat(date_format(base, "yyyy-MM-dd"), lit(" 23:59:59")))
+  }
+
   def periods(df: DataFrame, start: Column, end: Column, unit: String = "month"): DataFrame = {
     val step = unit match {
       case "month" => expr("interval 1 month")

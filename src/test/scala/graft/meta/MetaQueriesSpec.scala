@@ -93,6 +93,19 @@ class MetaQueriesSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet == Set("a"))
   }
 
+  test("compositionEnd: cube end-date from temporal composition (publish.py:321–330)") {
+    import spark.implicits._
+    val df = Seq("2020-01-01").toDF("s").withColumn("s", col("s").cast("timestamp"))
+    def end(step: Int, unit: String): String =
+      df.select(MetaQueries.compositionEnd(col("s"), step, unit).cast("string"))
+        .head().getString(0)
+    assert(end(16, "day") == "2020-01-16 23:59:59")   // MODIS 16-day composite
+    assert(end(1, "day") == "2020-01-01 23:59:59")    // daily: same day
+    assert(end(3, "month") == "2020-03-01 23:59:59")
+    assert(end(1, "year") == "2020-01-01 23:59:59")
+    assertThrows[IllegalArgumentException](end(2, "week"))
+  }
+
   test("entry smoke: flagship query returns rows on sf0.001") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
