@@ -468,6 +468,22 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("n_chars") > 0)
         .select(col("doc_id"), T.subwordCount(col("text")).as("n_subwords"))
         .orderBy(col("doc_id"))),
+    // ---- dedup: normalized exact-dup summary (canonicalize → hash) -------
+    "q59_norm_dedup" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(D.exactKey(col("text"))).as("n_exact"),
+        countDistinct(D.exactKey(T.normalizeForDedup(col("text")))).as("n_norm"))),
+    // ---- text: corpus top n-grams by document frequency ------------------
+    // Explode the native distinct-shingle arrays -> ONE hash aggregation
+    // with map-side partials; at 100 TB the shuffle carries (ngram, count)
+    // partials, not documents, and top-k is TakeOrderedAndProject.
+    "q60_top_ngrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.expr.NativeFunctions.word_ngrams(col("text"), 3)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)),
     // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
     "q56_keyset_page" -> ((s, d) =>
       MetaQueries.paginateKeyset(
@@ -841,6 +857,20 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q59_norm_dedup" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_exact,
+        |  count(DISTINCT md5(trim(regexp_replace(
+        |    regexp_replace(lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')))) AS n_norm
+        |FROM documents""".stripMargin,
+    "q60_top_ngrams" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |ng AS (SELECT unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS ngram FROM toks)
+        |SELECT ngram, count(*) AS n FROM ng
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
     "q57_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,

@@ -27,6 +27,14 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Dedup-normalization: lowercase, non-alphanumerics → space, collapse
+    * runs, trim — the canonicalization pass run before exact-hashing so
+    * trivially-reformatted copies collapse (RE2-compatible for the DuckDB
+    * oracle). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(trim(text)), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
