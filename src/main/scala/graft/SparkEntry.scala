@@ -484,6 +484,13 @@ object SparkEntry {
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)),
+    // ---- text: TF-IDF (smooth idf, sklearn convention) -------------------
+    "q61_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      T.tfIdf(docs, "text", "doc_id", nDocs = docs.count())
+        .select(col("doc_id"), col("term"), col("tf"), r4(col("tfidf")).as("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
     // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
     "q56_keyset_page" -> ((s, d) =>
       MetaQueries.paginateKeyset(
@@ -857,6 +864,18 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q61_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |           x -> lower(x))) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT doc_id, term, tf,
+        |  round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+        |FROM tf JOIN dfreq USING (term), n
+        |ORDER BY doc_id, term""".stripMargin,
     "q59_norm_dedup" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_exact,
         |  count(DISTINCT md5(trim(regexp_replace(

@@ -27,6 +27,29 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** TF-IDF over lowercased whitespace terms (smooth idf:
+    * `ln((N+1)/(df+1)) + 1`, the sklearn convention). Returns
+    * (idCol, term, tf, tfidf).
+    *
+    * Scale shape: one explode feeds BOTH aggregations — (doc, term)
+    * term-frequency and per-term document frequency — each a hash
+    * aggregation with map-side partials; the (term, df) dictionary is
+    * compact (vocabulary-sized, not corpus-sized) so Catalyst broadcasts
+    * it into the final join when it fits, and AQE handles the skewed
+    * stopword terms otherwise. `nDocs` is passed in (callers know their
+    * corpus count) to keep this a pure plan builder. */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+            nDocs: Long): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(docFreq, "term")
+      .select(col(idCol), col("term"), col("tf"),
+        (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)).as("tfidf"))
+  }
+
   /** Dedup-normalization: lowercase, non-alphanumerics → space, collapse
     * runs, trim — the canonicalization pass run before exact-hashing so
     * trivially-reformatted copies collapse (RE2-compatible for the DuckDB
