@@ -491,6 +491,13 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), r4(col("tfidf")).as("tfidf"))
         .orderBy(col("doc_id"), col("term"))
     }),
+    // ---- pipeline: deterministic content-hash train/test split -----------
+    "q62_hash_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(when(T.hashBucket(col("text"), 100) < 10, "holdout")
+          .otherwise("train").as("split"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"))),
     // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
     "q56_keyset_page" -> ((s, d) =>
       MetaQueries.paginateKeyset(
@@ -864,6 +871,13 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q62_hash_split" ->
+      """WITH b AS (SELECT CASE WHEN
+        |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |       CAST(strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1 AS BIGINT)
+        |         << (4 * (6 - j))), 'sum') AS BIGINT) % 100 < 10
+        |  THEN 'holdout' ELSE 'train' END AS split FROM documents)
+        |SELECT split, count(*) AS n FROM b GROUP BY split ORDER BY split""".stripMargin,
     "q61_tfidf" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),

@@ -50,6 +50,15 @@ object TextFunctions {
         (col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0)).as("tfidf"))
   }
 
+  /** Deterministic content-hash bucket in [0, buckets) — the train/test/
+    * holdout split primitive: engine-independent (md5), stable across
+    * runs/partitionings, and correlated with nothing in the data. Split
+    * membership is `hashBucket(text, 100) < 10` for a 10% holdout. */
+  def hashBucket(text: Column, buckets: Int): Column = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    pmod(conv(substring(md5(text), 1, 6), 16, 10).cast("long"), lit(buckets.toLong))
+  }
+
   /** Dedup-normalization: lowercase, non-alphanumerics → space, collapse
     * runs, trim — the canonicalization pass run before exact-hashing so
     * trivially-reformatted copies collapse (RE2-compatible for the DuckDB

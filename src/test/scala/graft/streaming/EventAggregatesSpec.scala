@@ -66,8 +66,9 @@ class EventAggregatesSpec extends SparkSpec {
       val q = spark.readStream.schema(ev.schema).parquet(dir)
         .writeStream.format("memory").queryName("progq").outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      // listener events are delivered asynchronously — poll briefly
-      val deadline = System.currentTimeMillis() + 20000
+      // listener events are delivered asynchronously — poll generously
+      // (the parallel suite can starve the listener bus for a while)
+      val deadline = System.currentTimeMillis() + 90000
       def recorded() = listener.progress(spark)
         .filter(col("query_name") === "progq" && col("input_rows") > 0)
       while (System.currentTimeMillis() < deadline && recorded().isEmpty) Thread.sleep(100)
