@@ -36,10 +36,9 @@ case class MinHashSignatureExpr(child: Expression, n: Int, k: Int)
     Array.tabulate(k)(j => s"s$j".getBytes("UTF-8"))
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
     val mins = new Array[Array[Byte]](k)
-    if (text.nonEmpty) {
-      val toks = text.split("\\s+")
+    val toks = TextTok.tokens(input.asInstanceOf[UTF8String].toString)
+    locally {
       if (toks.length >= n) {
         val md = java.security.MessageDigest.getInstance("MD5")
         val sb = new java.lang.StringBuilder(64)

@@ -20,21 +20,18 @@ case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFa
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
     val votes = new Array[Int](64)
-    if (text.nonEmpty) {
-      val toks = text.split("\\s+")
-      var i = 0
-      while (i < toks.length) {
-        val u = UTF8String.fromString(toks(i))
-        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
-        var bit = 0
-        while (bit < 64) {
-          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
-          bit += 1
-        }
-        i += 1
+    val toks = TextTok.tokens(input.asInstanceOf[UTF8String].toString)
+    var i = 0
+    while (i < toks.length) {
+      val u = UTF8String.fromString(toks(i))
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
       }
+      i += 1
     }
     var out = 0L
     var bit = 0

@@ -22,24 +22,21 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression with Codege
   override def prettyName: String = "simhash_md5_16"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
     val votes = new Array[Int](16)
-    if (text.nonEmpty) {
-      val toks = text.split("\\s+")
-      val md = java.security.MessageDigest.getInstance("MD5")
-      var t = 0
-      while (t < toks.length) {
-        md.reset()
-        val digest = md.digest(toks(t).getBytes("UTF-8"))
-        var i = 0
-        while (i < 16) {
-          val j = i >> 2 // hex digit index
-          val v = if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xF else digest(j >> 1) & 0xF
-          if (((v >> (i & 3)) & 1) == 1) votes(i) += 1 else votes(i) -= 1
-          i += 1
-        }
-        t += 1
+    val toks = TextTok.tokens(input.asInstanceOf[UTF8String].toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val digest = md.digest(toks(t).getBytes("UTF-8"))
+      var i = 0
+      while (i < 16) {
+        val j = i >> 2 // hex digit index
+        val v = if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xF else digest(j >> 1) & 0xF
+        if (((v >> (i & 3)) & 1) == 1) votes(i) += 1 else votes(i) -= 1
+        i += 1
       }
+      t += 1
     }
     var out = 0L
     var i = 0

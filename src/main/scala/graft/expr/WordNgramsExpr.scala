@@ -29,9 +29,7 @@ case class WordNgramsExpr(child: Expression, n: Int)
   override def prettyName: String = "word_ngrams"
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
-    if (text.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val toks = text.split("\\s+")
+    val toks = TextTok.tokens(input.asInstanceOf[UTF8String].toString)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)

@@ -178,13 +178,18 @@ class FunctionsSpec extends SparkSpec {
     import org.scalacheck.Gen
     val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("a", "über", "日本", "x-y", "§"))
     val sep = Gen.oneOf(" ", "  ", "\t", " \n ")
+    // pads include non-space whitespace: SQL trim strips spaces ONLY, so
+    // leading/trailing \t or \n must produce the same (empty) tokens in
+    // the native expressions as in the HOF/oracle formulation
+    val pad = Gen.oneOf("", " ", "  ", "\t", "\n", " \t", "\n ")
     val text = for {
       n <- Gen.choose(0, 12)
       ws <- Gen.listOfN(n, word)
       ss <- Gen.listOfN(math.max(n - 1, 0), sep)
-      pad <- Gen.oneOf("", " ", "  ")
-    } yield pad + ws.zipAll(ss, "", "").map { case (w, s) => w + s }.mkString + pad
-    val texts = Iterator.continually(text.sample).flatten.take(60).toSeq
+      p1 <- pad
+      p2 <- pad
+    } yield p1 + ws.zipAll(ss, "", "").map { case (w, s) => w + s }.mkString + p2
+    val texts = Iterator.continually(text.sample).flatten.take(120).toSeq
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     for (n <- Seq(1, 2, 3)) {
       val native = df.select(col("id"), graft.expr.NativeFunctions.word_ngrams(col("text"), n).as("v"))
@@ -195,6 +200,12 @@ class FunctionsSpec extends SparkSpec {
     val sNative = df.select(DedupFunctions.simhashMd5(col("text"))).collect().map(_.getLong(0)).toSeq
     val sHof = df.select(DedupFunctions.simhashMd5Hof(col("text"))).collect().map(_.getLong(0)).toSeq
     assert(sNative == sHof, "simhash_md5_16 diverged from HOF spec")
+    val mNative = df.select(DedupFunctions.minhashSignature(col("text"), 2, 2)).collect().map(_.toString).toSeq
+    val mHof = df.select(DedupFunctions.minhashSignatureHof(col("text"), 2, 2)).collect().map(_.toString).toSeq
+    assert(mNative == mHof, "minhash_signature diverged from HOF spec")
+    val xNative = df.select(DedupFunctions.simhash64(col("text"))).collect().map(_.getLong(0)).toSeq
+    val xHof = df.select(DedupFunctions.simhash64Hof(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(xNative == xHof, "simhash64 diverged from HOF spec")
   }
 
   test("native simhash_md5_16 matches the HOF specification on real docs") {
