@@ -498,6 +498,18 @@ object SparkEntry {
           .otherwise("train").as("split"))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"))),
+    // ---- text: exact length percentiles (length-filter thresholds) -------
+    // exact `percentile` (linear interpolation, same as DuckDB
+    // quantile_cont) — percentile_approx is the sketch alternative when a
+    // single-pass approximate answer suffices at corpus scale
+    "q63_len_quantiles" -> ((s, d) => {
+      Tables.documents(s, d)
+        .agg(expr("percentile(n_chars, 0.5)").as("p50_raw"),
+          expr("percentile(n_chars, 0.9)").as("p90_raw"),
+          expr("percentile(n_chars, 0.99)").as("p99_raw"))
+        .select(r2(col("p50_raw")).as("p50"), r2(col("p90_raw")).as("p90"),
+          r2(col("p99_raw")).as("p99"))
+    }),
     // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
     "q56_keyset_page" -> ((s, d) =>
       MetaQueries.paginateKeyset(
@@ -871,6 +883,11 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q63_len_quantiles" ->
+      """SELECT round(quantile_cont(n_chars, 0.5), 2) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 2) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 2) AS p99
+        |FROM documents""".stripMargin,
     "q62_hash_split" ->
       """WITH b AS (SELECT CASE WHEN
         |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
