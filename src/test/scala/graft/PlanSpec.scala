@@ -76,11 +76,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "pair generation must be bucket-local, not a self-join")
   }
 
-  test("q53: brute-force pair scoring is a broadcast nested-loop, no hash shuffle") {
-    val p = simplePlanOf("q53_emb_neighbors")
-    assert(p.contains("BroadcastNestedLoopJoin"))
-    assert(!p.contains("Exchange hashpartitioning"),
-      "all-pairs scoring must broadcast one side, not shuffle both")
+  test("q53: blocked all-pairs scoring shuffles once (block regroup), joins blocks not rows") {
+    val df = SparkEntry.queries("q53_emb_neighbors")(spark, sf0001)
+    df.collect() // drive AQE to the final physical plan
+    // the adaptive plan string appends the pre-AQE "Initial Plan" — only
+    // the final section reflects what actually ran
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // both self-join sides plan the same block regroup; at runtime the
+    // second one must resolve to a ReusedExchange, leaving ONE real shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val reused = p.contains("ReusedExchange")
+    assert(exchanges == 1 || (exchanges == 2 && reused),
+      s"the block regroup must be the only materialized hash shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "block pairs join via broadcast nested loop (O((n/B)²) rows)")
   }
 
   test("q56: keyset pagination pushes the key predicate and avoids a global sort") {

@@ -208,6 +208,22 @@ class FunctionsSpec extends SparkSpec {
     assert(xNative == xHof, "simhash64 diverged from HOF spec")
   }
 
+  test("blocked all-pairs cosine equals the row-wise BNLJ formulation") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val blocked = SimilarityFunctions.allPairsCosineBlocked(emb, "embedding", "vec_id",
+        threshold = -2.0, blockSize = 16) // -2 <= min cosine: keep every pair
+      .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("c"))
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      SimilarityFunctions.norm(col("embedding")).as("nrm"))
+    val a = withN.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withN.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val rowwise = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(SimilarityFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 9).as("c"))
+    assert(blocked.count() == rowwise.count())
+    assert(blocked.exceptAll(rowwise).count() == 0 && rowwise.exceptAll(blocked).count() == 0)
+  }
+
   test("native simhash_md5_16 matches the HOF specification on real docs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
     val native = docs.select(col("doc_id"), DedupFunctions.simhashMd5(col("text")).as("h"))
