@@ -76,4 +76,20 @@ object Api {
     toJson(CatalogSearch.searchTiles(snapshot, tiles, startDate, endDate, cloud)
       .select(col("scene_id"), col("cloud_cover"), col("link"))
       .orderBy(col("scene_id")))
+
+  /** GET /api/collections (controller.py:623–630): ordered by id. */
+  def listCollections(collections: DataFrame): String =
+    toJson(collections.select(col("id"), col("name"), col("collection_type"))
+      .orderBy(col("id")))
+
+  /** GET /api/grids (controller.py:633–641): ordered by name. */
+  def listGrids(grids: DataFrame): String =
+    toJson(grids.select(col("name"), col("description")).orderBy(col("name")))
+
+  /** GET /api/collections/<id>/tiles (controller.py:683–690, J3/A4):
+    * distinct tile names of a collection's published items. */
+  def listCollectionTiles(items: DataFrame, tiles: DataFrame, collectionId: Int): String =
+    toJson(tiles.join(items.filter(col("collection_id") === collectionId),
+        tiles("id") === items("tile_id"))
+      .select(tiles("tile").as("tile")).distinct().orderBy(col("tile")))
 }

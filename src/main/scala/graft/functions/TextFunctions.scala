@@ -40,8 +40,10 @@ object TextFunctions {
     * corpus count) to keep this a pure plan builder. */
   def tfIdf(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
             nDocs: Long): org.apache.spark.sql.DataFrame = {
+    // lower() the document once (codegen) rather than per token through an
+    // interpreted transform lambda; \s boundaries are case-invariant
     val toks = df.select(col(idCol),
-      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+      explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val docFreq = toks.select(col(idCol), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))

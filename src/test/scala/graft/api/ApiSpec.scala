@@ -27,6 +27,18 @@ class ApiSpec extends SparkSpec {
     assert(all.filter(col("sceneid") === "s2").head().getAs[String]("status") == "PENDING")
   }
 
+  test("collections/grids/tiles listing routes (controller.py:623–690)") {
+    val collections = Seq((2, "S2_L2A", "collection"), (1, "CB4", "cube"))
+      .toDF("id", "name", "collection_type")
+    assert(Api.listCollections(collections) ==
+      """[{"id":1,"name":"CB4","collection_type":"cube"},{"id":2,"name":"S2_L2A","collection_type":"collection"}]""")
+    val grids = Seq(("MGRS", "Sentinel-2 grid")).toDF("name", "description")
+    assert(Api.listGrids(grids).contains("\"name\":\"MGRS\""))
+    val tiles = Seq((10, "23LLF"), (11, "24XXX")).toDF("id", "tile")
+    val items = Seq(("a", 1, 10), ("b", 1, 10), ("c", 2, 11)).toDF("name", "collection_id", "tile_id")
+    assert(Api.listCollectionTiles(items, tiles, 1) == """[{"tile":"23LLF"}]""")
+  }
+
   test("listActivities envelope + filters (views.py:33–49)") {
     val json = Api.listActivities(acts, collectionId = Some(1), activityTypeContains = Some("down"))
     assert(json.contains("\"total\":2"))
