@@ -22,6 +22,11 @@ object QExp {
         println(s"[exp] $name run$i: ${math.round((System.nanoTime() - t0) / 1e6) / 1000.0} s ($n rows)")
       }
 
+    for (bs <- Seq(32, 64, 128, 250)) time(s"q53_block$bs") {
+      graft.functions.SimilarityFunctions.allPairsCosineBlocked(
+          Tables.embeddings(spark, d), "embedding", "vec_id", 0.45, bs)
+        .orderBy("id_a", "id_b").count()
+    }
     time("q41_bnlj") {
       val o = Tables.orders(spark, d)
         .withColumn("o_end", col("o_orderdate") + expr("interval 30 days"))

@@ -78,6 +78,35 @@ class StreamingRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/exec/stage=download").count() == 4)
   }
 
+  test("stage query restarts from its checkpoint without reprocessing (ST1/ST4)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-restart").toString
+    def enq(ids: String*): Unit = StreamingRunner.enqueue(
+      ids.map((_, 1, "download", 0)).toDF("sceneid", "collection_id", "activity_type", "retry_count")
+        .withColumn("not_before", current_timestamp()), s"$base/queue")
+    val kernel: Pipeline.StageKernel = df => df.withColumn("status", lit("SUCCESS"))
+    def startStage() = StreamingRunner.runStage(spark, s"$base/queue", s"$base/ckpt",
+      s"$base/exec", "download", kernel, childStages = Nil)
+
+    enq("r1", "r2")
+    val q1 = startStage()
+    try q1.processAllAvailable() finally q1.stop()
+    def execCount() = spark.read.parquet(s"$base/exec/stage=download")
+      .select("sceneid", "batch_id").distinct().count()
+    val afterFirst = execCount()
+    assert(afterFirst >= 2, "first run must process both seeds")
+
+    // second incarnation on the SAME checkpoint: picks up only new work
+    enq("r3")
+    val q2 = startStage()
+    try q2.processAllAvailable() finally q2.stop()
+    val execs = spark.read.parquet(s"$base/exec/stage=download")
+    assert(execs.filter(col("sceneid") === "r3").count() == 1, "new row processed once")
+    assert(execs.filter(col("sceneid").isin("r1", "r2")).select("sceneid").distinct().count() == 2)
+    assert(execs.groupBy("sceneid").count().filter(col("count") > 1).isEmpty,
+      "restart must not reprocess checkpointed batches")
+  }
+
   test("streaming group fan-out: download → [correction, publish] run in parallel (ST2)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
