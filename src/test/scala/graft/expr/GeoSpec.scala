@@ -95,4 +95,48 @@ class GeoSpec extends SparkSpec {
     val r = df.select(polygonBbox(col("poly")).as("b")).head().getStruct(0)
     assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) == (1.0, 2.0, 3.0, 8.0))
   }
+
+  test("UTM↔WGS84: anchors, round-trip, hemisphere handling (R5/R8, §7(c))") {
+    // anchor: a point ON the central meridian at the equator maps to the
+    // false easting with northing 0 (north) / 1e7 (south)
+    val (e0, n0) = Crs.wgs84ToUtm(0.0, -45.0, zone = 23, north = true)
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    val (_, nS) = Crs.wgs84ToUtm(0.0, -45.0, zone = 23, north = false)
+    assert(math.abs(nS - 10000000.0) < 1e-6)
+    // scale at the central meridian is k0: 1° of latitude ≈ 110574.39 m * k0⁻¹…
+    // checked via round-trip instead of absolute values:
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val lat = rnd.nextDouble() * 160 - 80          // stay off the poles
+      val lon = -45.0 + (rnd.nextDouble() * 6 - 3)   // inside zone 23
+      val north = lat >= 0
+      val (e, n) = Crs.wgs84ToUtm(lat, lon, 23, north)
+      val (lat2, lon2) = Crs.utmToWgs84(e, n, 23, north)
+      assert(math.abs(lat2 - lat) < 1e-7 && math.abs(lon2 - lon) < 1e-7,
+        s"round-trip drifted at ($lat, $lon) -> ($lat2, $lon2)")
+    }
+    // a Sentinel-2 scene corner (T23LLF-ish): forward then inverse lands
+    // within a micrometre, and easting/northing are in-range for the zone
+    val (se, sn) = Crs.wgs84ToUtm(-9.5, -45.8, 23, north = false)
+    assert(se > 100000 && se < 900000 && sn > 0 && sn < 10000000)
+    // Column wrapper
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Seq((se, sn)).toDF("e", "n")
+      .select(Crs.utmToWgs84Col(col("e"), col("n"), lit(23), lit(false)).as("p"))
+      .head().getStruct(0)
+    assert(math.abs(got.getDouble(0) - (-9.5)) < 1e-7 && math.abs(got.getDouble(1) - (-45.8)) < 1e-7)
+  }
+
+  test("MODIS sinusoidal round-trip (hdf.py grid)") {
+    for ((lat, lon) <- Seq((0.0, 0.0), (-10.0, -52.3), (45.0, 120.0))) {
+      val (x, y) = Crs.wgs84ToSinusoidal(lat, lon)
+      val (lat2, lon2) = Crs.sinusoidalToWgs84(x, y)
+      assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9)
+    }
+    // h13v10-style tile offsets are metres on a 6371007.181 m sphere:
+    // 10° of longitude at the equator ≈ 1111950.9 m
+    val (x10, _) = Crs.wgs84ToSinusoidal(0.0, 10.0)
+    assert(math.abs(x10 - 1111950.9) < 1.0)
+  }
 }
