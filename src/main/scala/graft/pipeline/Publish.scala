@@ -72,6 +72,23 @@ object Publish {
         current_timestamp().as("updated"))
   }
 
+  /** Reproject a UTM footprint polygon to EPSG:4326 (x=lon, y=lat)
+    * vertices — the reference publishes footprints in 4326
+    * (publish.py:272–273 `from_shape(..., srid=4326)`); scene geometry
+    * arrives in the scene's UTM zone. A few vertices per scene → UDF off
+    * the hot path, math in [[graft.expr.Crs]]. */
+  private val footprintToWgs84Udf = org.apache.spark.sql.functions.udf {
+    (pts: Seq[org.apache.spark.sql.Row], zone: Int, north: Boolean) =>
+      if (pts == null) null
+      else pts.map { p =>
+        val (lat, lon) = graft.expr.Crs.utmToWgs84(p.getDouble(0), p.getDouble(1), zone, north)
+        (lon, lat)
+      }
+  }
+
+  def footprintToWgs84(footprint: Column, zone: Column, north: Column): Column =
+    footprintToWgs84Udf(footprint, zone, north).cast("array<struct<x:double,y:double>>")
+
   /** Idempotent publish: MERGE by (name, collection_id) — publish.py:575–605
     * nested-transaction upsert becomes one batched merge. */
   def publishItems(existing: DataFrame, staged: DataFrame): DataFrame =

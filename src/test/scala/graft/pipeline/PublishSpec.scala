@@ -61,6 +61,25 @@ class PublishSpec extends SparkSpec {
     assert(again.count() == 1)
   }
 
+  test("footprint reprojects from UTM to EPSG:4326 lon/lat (publish.py:272–273)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a Sentinel-ish footprint square in zone 23 south, metres
+    val utmPts = Seq((400000.0, 8900000.0), (500000.0, 8900000.0),
+      (500000.0, 9000000.0), (400000.0, 9000000.0))
+    val df = Seq(Tuple1(utmPts)).toDF("fp")
+      .select(col("fp").cast("array<struct<x:double,y:double>>").as("fp"))
+    val got = df.select(Publish.footprintToWgs84(col("fp"), lit(23), lit(false)).as("p"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(got.length == 4)
+    got.zip(utmPts).foreach { case (row, (e, n)) =>
+      val (lat, lon) = graft.expr.Crs.utmToWgs84(e, n, 23, north = false)
+      assert(math.abs(row.getDouble(0) - lon) < 1e-9 && math.abs(row.getDouble(1) - lat) < 1e-9)
+    }
+    // sanity: southern hemisphere, inside zone 23's longitude band
+    assert(got.forall(r => r.getDouble(1) < 0 && r.getDouble(0) > -48 && r.getDouble(0) < -42))
+  }
+
   test("scene tiling round-trips (S5) and quicklook PNG encodes (S10)") {
     val px = Array.tabulate(16 * 16)(i => (i % 7).toFloat * 2000)
     val scene = Seq(("SC2", "B04", 16, 16, -9999.0, px))
