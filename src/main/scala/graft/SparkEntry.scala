@@ -506,6 +506,19 @@ object SparkEntry {
         .select(r2(col("p50_raw")).as("p50"), r2(col("p90_raw")).as("p90"),
           r2(col("p99_raw")).as("p99"))
     }),
+    // ---- window: top-N per group via dense_rank (O3 generalized) ---------
+    "q64_top2_per_nation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = Tables.supplier(s, d)
+      val rev = Tables.lineitem(s, d).groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val w = Window.partitionBy(col("s_nationkey")).orderBy(col("rev").desc, col("s_suppkey"))
+      sup.join(rev, sup("s_suppkey") === rev("l_suppkey"))
+        .withColumn("rnk", dense_rank().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("s_nationkey"), col("rnk"), col("s_suppkey"), r2(col("rev")).as("rev"))
+        .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
+    }),
     // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
     "q56_keyset_page" -> ((s, d) =>
       MetaQueries.paginateKeyset(
@@ -879,6 +892,16 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q64_top2_per_nation" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_nationkey,
+        |  dense_rank() OVER (PARTITION BY s_nationkey ORDER BY r DESC, s_suppkey) AS rnk,
+        |  s_suppkey, round(r, 2) AS rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |QUALIFY rnk <= 2
+        |ORDER BY s_nationkey, rnk, s_suppkey""".stripMargin,
     "q63_len_quantiles" ->
       """SELECT round(quantile_cont(n_chars, 0.5), 2) AS p50,
         |  round(quantile_cont(n_chars, 0.9), 2) AS p90,
