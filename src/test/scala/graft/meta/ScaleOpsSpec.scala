@@ -35,6 +35,39 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed join partition (the hot-LSH-bucket countermeasure)") {
+    // one hot key holds ~99% of the rows; with the skew thresholds lowered
+    // to test scale, OptimizeSkewedJoin must split that partition
+    val pay = "x" * 120
+    val hot = (1 to 60000).map(_ => (0L, pay)) ++ (1L to 500L).map(i => (i, "y"))
+    val left = hot.toDF("k", "v").repartition(8)
+    val right = (0L to 500L).map(i => (i, s"r$i")).toDF("k", "w").repartition(8)
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" ->
+        spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // splitting adds a shuffle-read stage; force it the way a real skewed
+      // cluster run would accept the trade
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 60500) // drives THIS execution's AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join side as split:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle") {
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
