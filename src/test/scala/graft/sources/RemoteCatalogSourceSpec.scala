@@ -32,6 +32,9 @@ class RemoteCatalogSourceSpec extends SparkSpec {
     // plan shows the pushdown; the scan only materializes the pruned column set
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("remote_catalog"), plan)
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(!scanLine.contains("sensing_date"),
+      s"unused columns must be pruned out of the scan: $scanLine")
   }
 
   test("empty search result and unregistered provider behave sanely") {
