@@ -519,6 +519,17 @@ object SparkEntry {
         .select(col("s_nationkey"), col("rnk"), col("s_suppkey"), r2(col("rev")).as("rev"))
         .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
     }),
+    // ---- conditional aggregation (CASE pivot over status) ----------------
+    "q65_status_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+          r2(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(0.0))).as("f_total"))
+        .orderBy(col("o_orderpriority"))),
     // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
     "q56_keyset_page" -> ((s, d) =>
       MetaQueries.paginateKeyset(
@@ -892,6 +903,13 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q65_status_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS f_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q64_top2_per_nation" ->
       """WITH rev AS (
         |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS r

@@ -48,13 +48,17 @@ object StreamingRunner {
   def runStage(spark: SparkSession, queueDir: String, checkpointDir: String,
                executionsDir: String, stage: String, kernel: Pipeline.StageKernel,
                childStages: Seq[String], maxRetries: Int = 72,
-               retryDelaySeconds: Long = 900L): StreamingQuery = {
+               retryDelaySeconds: Long = 900L,
+               drainAndStop: Boolean = false): StreamingQuery = {
     val in = spark.readStream.schema(queueSchema).json(queueDir)
       .filter(col("activity_type") === stage)
     in.writeStream
       .queryName(s"stage-$stage")
       .option("checkpointLocation", s"$checkpointDir/$stage")
-      .trigger(Trigger.ProcessingTime("1 second"))
+      // drainAndStop = Trigger.AvailableNow: process everything enqueued so
+      // far, checkpoint, and terminate — the batch-deployment mode (run the
+      // four stage queries in sequence from a cron, exactly-once preserved)
+      .trigger(if (drainAndStop) Trigger.AvailableNow() else Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, queueDir, executionsDir, stage, kernel,
           childStages, maxRetries, retryDelaySeconds)

@@ -107,6 +107,21 @@ class StreamingRunnerSpec extends SparkSpec {
       "restart must not reprocess checkpointed batches")
   }
 
+  test("drain-and-stop mode processes the backlog then terminates (AvailableNow)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-drain").toString
+    StreamingRunner.enqueue(
+      Seq(("d1", 1, "download", 0), ("d2", 1, "download", 0))
+        .toDF("sceneid", "collection_id", "activity_type", "retry_count")
+        .withColumn("not_before", current_timestamp()), s"$base/queue")
+    val kernel: Pipeline.StageKernel = df => df.withColumn("status", lit("SUCCESS"))
+    val q = StreamingRunner.runStage(spark, s"$base/queue", s"$base/ckpt",
+      s"$base/exec", "download", kernel, childStages = Nil, drainAndStop = true)
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(spark.read.parquet(s"$base/exec/stage=download")
+      .filter(col("status") === "SUCCESS").select("sceneid").distinct().count() == 2)
+  }
+
   test("streaming group fan-out: download → [correction, publish] run in parallel (ST2)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
