@@ -131,6 +131,24 @@ object SimilarityFunctions {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cos").as("cos"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — 4× memory/IO
+    * reduction for the vector stack (the difference between an index that
+    * fits executor memory and one that spills at 10⁹ vectors). Returns
+    * struct(scale: float, q: array<byte>) with `x ≈ q * scale`,
+    * scale = max|x| / 127. Cosine on dequantized vectors preserves
+    * neighbor ranking (recall@k asserted in FunctionsSpec).
+    */
+  def quantizeInt8(emb: Column): Column = {
+    val mx = array_max(transform(emb, v => abs(v.cast("float"))))
+    val scale = when(mx === 0f, 1f).otherwise(mx / 127f)
+    struct(scale.as("scale"),
+      transform(emb, v => round(v.cast("float") / scale).cast("byte")).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: back to array<float>. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"), v => v.cast("float") * qs.getField("scale"))
+
   /** All-pairs cosine above a threshold within LSH buckets (embedding
     * near-dup detection): bucket equi-join keeps the candidate set small;
     * only candidates pay the O(dim) cosine. */

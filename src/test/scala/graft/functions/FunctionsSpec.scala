@@ -208,6 +208,29 @@ class FunctionsSpec extends SparkSpec {
     assert(xNative == xHof, "simhash64 diverged from HOF spec")
   }
 
+  test("int8 quantization: 4x smaller, bounded error, preserves top-k neighbors") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.select(col("vec_id"), col("embedding"),
+      SimilarityFunctions.dequantizeInt8(
+        SimilarityFunctions.quantizeInt8(col("embedding"))).as("deq"))
+    // per-element error bounded by half a quantization step (scale/2)
+    val maxErr = q.select(max(aggregate(
+        zip_with(col("embedding"), col("deq"), (a, b) => abs(a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, v) => greatest(acc, v))).as("e")).head().getDouble(0)
+    val maxScale = q.select(max(array_max(transform(col("embedding"),
+      v => abs(v.cast("double")) / 127.0)))).head().getDouble(0)
+    assert(maxErr <= maxScale * 0.5 + 1e-6, s"error $maxErr exceeds half-step $maxScale")
+    // neighbor preservation: top-10 of a query over dequantized vectors
+    // recalls >= 8 of the exact top-10
+    val query = emb.filter(col("vec_id") === 3).select("embedding").head().getSeq[Float](0).toArray
+    val exact = SimilarityFunctions.topKCosine(emb, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val deqDf = q.select(col("vec_id"), col("deq").as("embedding"))
+    val approx = SimilarityFunctions.topKCosine(deqDf, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect approx).size >= 8, s"recall too low: $exact vs $approx")
+  }
+
   test("blocked all-pairs cosine equals the row-wise BNLJ formulation") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val blocked = SimilarityFunctions.allPairsCosineBlocked(emb, "embedding", "vec_id",
