@@ -530,6 +530,11 @@ object SparkEntry {
           r2(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
             .otherwise(0.0))).as("f_total"))
         .orderBy(col("o_orderpriority"))),
+    // ---- text: n-gram repetition ratio (repetitive-text filter) ----------
+    "q66_repetition" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), r4(T.repetitionRatio(col("text"), 3)).as("rep_ratio"))
+        .orderBy(col("doc_id"))),
     // ---- §2.6 O4 keyset pagination (deep-page scale path) ----------------
     "q56_keyset_page" -> ((s, d) =>
       MetaQueries.paginateKeyset(
@@ -903,6 +908,17 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "q66_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents WHERE n_chars > 0),
+        |g AS (SELECT doc_id, greatest(len(tk) - 2, 0) AS total,
+        |    len(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(tk) - 2, 0)),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS dist
+        |  FROM t)
+        |SELECT doc_id, CASE WHEN total = 0 THEN 0.0
+        |  ELSE round(1.0 - CAST(dist AS DOUBLE) / total, 4) END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q65_status_pivot" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,

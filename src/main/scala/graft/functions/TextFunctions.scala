@@ -61,6 +61,17 @@ object TextFunctions {
     pmod(conv(substring(md5(text), 1, 6), 16, 10).cast("long"), lit(buckets.toLong))
   }
 
+  /** n-gram repetition ratio — the repetitive-text quality signal
+    * (boilerplate/spam filtering): fraction of n-gram occurrences that are
+    * repeats, `1 − distinct/total`. 0 for fully novel text and for texts
+    * shorter than n tokens; → 1 for looping text. Distinct counting rides
+    * the native shingle expression. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = greatest(tokenCount(text) - (n - 1), lit(0)).cast("double")
+    val distinctN = size(graft.expr.NativeFunctions.word_ngrams(text, n)).cast("double")
+    when(total === 0, 0.0).otherwise(lit(1.0) - distinctN / total)
+  }
+
   /** Dedup-normalization: lowercase, non-alphanumerics → space, collapse
     * runs, trim — the canonicalization pass run before exact-hashing so
     * trivially-reformatted copies collapse (RE2-compatible for the DuckDB
