@@ -26,4 +26,9 @@ object NativeFunctions {
   /** Native 16-bit md5-based SimHash (cross-engine-reproducible). */
   def simhash_md5_16(text: Column): Column =
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))
+
+  /** Native one-pass int8 embedding quantization →
+    * struct(scale: double, q: array<byte>). */
+  def quantize_int8(emb: Column): Column =
+    ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(emb)))
 }

@@ -119,10 +119,19 @@ object DedupFunctions {
     * Scale notes: shuffle volume is O(rows × bands × shingle bytes) — the
     * shingle payload rides the one exchange instead of texts riding two
     * join exchanges. Bucket width is bounded by real near-dup cluster
-    * sizes; a degenerate key (e.g. the empty-signature bucket) is capped by
-    * `maxBucket` — larger buckets are dropped from pair generation (they
-    * are hash collisions, not near-dup clusters; at 100 TB route them
-    * through [[lshCandidatePairs]]'s AQE-skew-split join instead).
+    * sizes; a degenerate key (e.g. the empty-signature bucket shared by
+    * every sub-n-token doc) would make `collect_list` materialize one
+    * giant row, so keys wider than `maxBucket` are routed through a
+    * band-key self-join instead — losslessly: results are identical to
+    * the unlimited local formulation at any `maxBucket`, nothing is
+    * dropped. The routing itself costs no extra exchange: bucket sizes
+    * come from a partition-only window count over the SAME
+    * (band, band_key) hash partitioning, so the regroup, the window, and
+    * both self-join sides all consume the one shuffle (ReusedExchange;
+    * the window spills oversized partitions instead of OOMing, which is
+    * the point). The join path streams O(k²) pairs for a k-wide
+    * degenerate key out of one task — slow but memory-bounded, and such
+    * keys are hash collisions, not real near-dup clusters.
     */
   def neardupPairsLocal(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
@@ -135,18 +144,27 @@ object DedupFunctions {
       .select(col("id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           bandKeyFromSignature(col("__sig"), b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
-    val buckets = keyed
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))
+    val sized = keyed.withColumn("cnt", count(lit(1)).over(w))
+    val buckets = sized.filter(col("cnt") <= maxBucket)
       .groupBy(col("band"), col("band_key"))
       .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
-      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+      .filter(size(col("ms")) > 1)
     val ms = col("ms")
-    val pairs = buckets.select(explode(flatten(transform(ms, (a, i) =>
+    val localPairs = buckets.select(explode(flatten(transform(ms, (a, i) =>
         transform(slice(ms, i + lit(2), size(ms)), b => struct(
           a.getField("id").as("id_a"),
           b.getField("id").as("id_b"),
           jaccardFromDistinct(a.getField("sh"), b.getField("sh")).as("jaccard")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
-    pairs.filter(col("jaccard") >= jaccardThreshold)
+    val big = sized.filter(col("cnt") > maxBucket)
+    val bigA = big.select(col("band"), col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val bigB = big.select(col("band"), col("band_key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val joinPairs = bigA.join(bigB, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardFromDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
+    localPairs.unionByName(joinPairs).filter(col("jaccard") >= jaccardThreshold)
   }
 
   /** Jaccard similarity from two already-distinct shingle arrays
@@ -169,18 +187,22 @@ object DedupFunctions {
   def dedupNear(df: DataFrame, textCol: String, idCol: String,
                 n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                 jaccardThreshold: Double = 0.8, maxIterations: Int = 5): DataFrame = {
-    val verified = neardupPairsLocal(df, textCol, idCol, n, bands, rowsPerBand, jaccardThreshold)
-      .select("id_a", "id_b")
     // The verified-pair graph is tiny relative to the corpus (only real
     // near-dups survive Jaccard), so components resolve driver-side with
     // union-find on the collected edges and the drop-set broadcasts back —
     // zero iterative jobs. Distributed min-label propagation remains the
-    // fallback for a pathological edge volume. head(N+1) doubles as the
-    // size probe — no separate count job.
+    // fallback for a pathological edge volume. The pair pipeline is
+    // materialized ONCE (localCheckpoint) before the size probe, so the
+    // pathological branch neither recomputes it nor collects a 10M-row
+    // probe to the driver — the probe is a limit+count on the
+    // checkpointed frame and rows reach the driver only on the small
+    // branch that actually wants them.
+    val verified = neardupPairsLocal(df, textCol, idCol, n, bands, rowsPerBand, jaccardThreshold)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
     val maxDriverEdges = 10_000_000
-    val headEdges = verified.head(maxDriverEdges + 1)
-    if (headEdges.length <= maxDriverEdges) {
-      val pairs = headEdges.map(r => (r.getLong(0), r.getLong(1)))
+    if (verified.limit(maxDriverEdges + 1).count() <= maxDriverEdges) {
+      val pairs = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -198,9 +220,8 @@ object DedupFunctions {
       if (dropped.isEmpty) df
       else df.filter(!col(idCol).isin(dropped: _*))
     } else {
-      val materialized = verified.localCheckpoint(true)
-      val edges = materialized.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(materialized.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
       var labels = df.select(col(idCol).as("id"), col(idCol).as("label"))
       var i = 0
       var converged = false

@@ -138,7 +138,15 @@ object SimilarityFunctions {
     * scale = max|x| / 127. Cosine on dequantized vectors preserves
     * neighbor ranking (recall@k asserted in FunctionsSpec).
     */
-  def quantizeInt8(emb: Column): Column = {
+  def quantizeInt8(emb: Column): Column =
+    graft.expr.NativeFunctions.quantize_int8(emb)
+
+  /** Composable spec twin of [[quantizeInt8]] — the HOF formulation the
+    * native [[graft.expr.QuantizeInt8Expr]] is tested bit-for-bit against.
+    * Not for the hot path: the `scale` subtree is re-evaluated inside the
+    * per-element lambda (O(d²) per row interpreted), which is exactly why
+    * the native expression exists. */
+  def quantizeInt8Hof(emb: Column): Column = {
     val mx = array_max(transform(emb, v => abs(v.cast("float"))))
     val scale = when(mx === 0f, 1f).otherwise(mx / 127f)
     struct(scale.as("scale"),

@@ -109,10 +109,6 @@ object MetaQueries {
   def missingScenes(external: DataFrame, internal: DataFrame, key: String): DataFrame =
     external.join(internal, Seq(key), "left_anti")
 
-  /** Calendar periods (controller.py:45–68): month- or year-aligned tumbling
-    * windows over [start, end], as a DataFrame of (period_start, period_end).
-    * Built with sequence+explode — no driver-side loop.
-    */
   /** Cube-item end-date from the collection's temporal composition
     * (publish.py:321–330): `start + (step−1) unit` with the clock pinned
     * to 23:59:59 — e.g. a 16-day MODIS composite starting 2020-01-01 ends
@@ -128,6 +124,10 @@ object MetaQueries {
     to_timestamp(concat(date_format(base, "yyyy-MM-dd"), lit(" 23:59:59")))
   }
 
+  /** Calendar periods (controller.py:45–68): month- or year-aligned tumbling
+    * windows over [start, end], as a DataFrame of (period_start, period_end).
+    * Built with sequence+explode — no driver-side loop.
+    */
   def periods(df: DataFrame, start: Column, end: Column, unit: String = "month"): DataFrame = {
     val step = unit match {
       case "month" => expr("interval 1 month")

