@@ -549,6 +549,72 @@ object SparkEntry {
           explode(graft.functions.MultimodalFunctions.frameOffsets(
             octet_length(col("content")), everyNth = 256, maxFrames = 32)).as("frame_offset"))
         .orderBy(col("doc_id"), col("frame_offset"))),
+    // ---- as-of join (union–window, no join node; see TemporalJoins) ------
+    // For each purchase event: the user's most recent error event at or
+    // before it. One shuffle on user_id; DuckDB ASOF JOIN is the oracle.
+    "q67_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.filter(col("event_type") === "purchase")
+      val right = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("err_event_id"))
+      graft.meta.TemporalJoins.asofJoin(left, right,
+          Seq("user_id"), Seq("user_id"), "ts", "ts", Seq("err_event_id"))
+        .select(col("event_id"), col("user_id"),
+          // no-match → -1, not null: a nullable int column round-trips as
+          // float NaN through the driver's pandas compare
+          coalesce(col("err_event_id"), lit(-1L)).as("err_event_id"))
+        .orderBy(col("event_id"))
+    }),
+    // ---- range join via time bucketing (no BNLJ; see TemporalJoins) ------
+    // Low-priority orders placed within 2 days after an urgent order,
+    // counted per month — the interval join the naive `between` condition
+    // would plan as a broadcast nested loop.
+    "q68_range_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("u_key"), col("o_orderdate").as("u_start"),
+          (col("o_orderdate") + expr("interval 2 days")).as("u_end"))
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_orderkey").as("l_key"), col("o_orderdate").as("l_ts"))
+      graft.meta.TemporalJoins.rangeJoinBuckets(low, urgent,
+          "l_ts", "u_start", "u_end", bucketSeconds = 2L * 86400)
+        .groupBy(date_trunc("month", col("l_ts")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("month"))
+    }),
+    // ---- rollup (subtotal hierarchy over status × priority) --------------
+    "q69_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+    // ---- skew-safe salted aggregation (ScaleOps) — oracle = plain GROUP BY
+    "q70_salted_agg" -> ((s, d) =>
+      graft.meta.ScaleOps.saltedSumCount(Tables.lineitem(s, d),
+          col("l_returnflag"), col("l_quantity"))
+        .select(col("k"), r2(col("sum_v")).as("sum_v"), col("n"))
+        .orderBy(col("k"))),
+    // ---- window: ntile quartiles per nation ------------------------------
+    "q71_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_custkey"))
+    }),
+    // ---- window: lead (time-to-next-event per user) ----------------------
+    "q72_lead_gap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          coalesce(unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")),
+            lit(-1L)).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
     // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
     "q40_plan_activities" -> ((s, d) => {
       import graft.pipeline.Pipeline
@@ -989,6 +1055,37 @@ object SparkEntry {
         |    CAST(octet_length(encode(text)) AS BIGINT) - 1, 256)[1:32]) AS frame_offset
         |FROM documents WHERE n_chars > 0
         |ORDER BY doc_id, frame_offset""".stripMargin,
+    "q67_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, max(event_id) AS err_event_id
+        |           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, coalesce(r.err_event_id, -1) AS err_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q68_range_join" ->
+      """SELECT CAST(date_trunc('month', l.o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_pairs
+        |FROM (SELECT * FROM orders WHERE o_orderpriority = '5-LOW') l
+        |JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') u
+        |  ON l.o_orderdate BETWEEN u.o_orderdate AND u.o_orderdate + INTERVAL 2 DAY
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+    "q69_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q70_salted_agg" ->
+      """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_v, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
+    "q71_ntile" ->
+      """SELECT c_custkey, ntile(4) OVER
+        |  (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q72_lead_gap" ->
+      """SELECT event_id,
+        |  coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    - epoch_us(ts), -1) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
     "q54_ivf_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 1)
         |SELECT vec_id,

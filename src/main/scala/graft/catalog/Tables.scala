@@ -31,7 +31,10 @@ object Tables {
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
     val df = spark.read.schema(schema).parquet(path)
     if (name == "events" && schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, not `/`: double division loses sub-µs precision for
+      // epoch-nanos beyond 2^53 and drifts ±1 µs from the oracle's
+      // truncating nanos→micros conversion
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 
