@@ -615,6 +615,36 @@ object SparkEntry {
             lit(-1L)).as("gap_us"))
         .orderBy(col("event_id"))
     }),
+    // ---- LLM-pipeline: overlapping token-window chunking -----------------
+    "q73_chunks" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), explode(T.chunkTokens(col("text"), 32, 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.chunk_text").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    // ---- LLM-pipeline: sequence packing into ~2000-token bins ------------
+    "q74_pack_bins" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), T.tokenCount(col("text")).as("n_tok"))
+        .withColumn("bin", T.packBins(col("n_tok"), 2000,
+          Seq(col("source")), Seq(col("doc_id"))))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("source"), col("bin"))),
+    // ---- LLM-pipeline: deterministic stratified sampling by content hash -
+    "q75_stratified_sample" -> ((s, d) =>
+      graft.functions.SamplingFunctions.stratifiedHashSample(
+          Tables.documents(s, d), col("lang"), col("text"),
+          Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.2, buckets = 100)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))),
+    // ---- LLM-pipeline: k-means refinement step (IVF centroid update) -----
+    "q76_kmeans_step" -> ((s, d) => {
+      val centroids = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
+      Sim.kmeansStep(Tables.embeddings(s, d), "embedding", centroids)
+        .select(col("cell"), col("pos"), r4(col("mean_v")).as("mean_v"))
+        .orderBy(col("cell"), col("pos"))
+    }),
     // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
     "q40_plan_activities" -> ((s, d) => {
       import graft.pipeline.Pipeline
@@ -1086,6 +1116,46 @@ object SparkEntry {
         |  coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
         |    - epoch_us(ts), -1) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "q73_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  array_to_string(tk[i*24+1 : least(i*24+32, len(tk))], ' ') AS chunk_text
+        |FROM t, unnest(generate_series(0, (len(tk)-1)//24)) AS u(i)
+        |WHERE len(tk) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q74_pack_bins" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM documents),
+        |b AS (SELECT source, doc_id, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT source, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "q75_stratified_sample" ->
+      """WITH h AS (SELECT lang,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1 AS BIGINT)
+        |        << (4 * (6 - j))), 'sum') AS BIGINT) % 100 AS hb
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept FROM h
+        |WHERE hb < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 100 ELSE 20 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q76_kmeans_step" ->
+      """WITH d AS (SELECT embedding,
+        |  list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> (x-0.5)*(x-0.5)), 'sum') AS d0,
+        |  list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> (x+0.5)*(x+0.5)), 'sum') AS d1
+        |  FROM embeddings),
+        |a AS (SELECT CASE WHEN d0 <= d1 THEN 0 ELSE 1 END AS cell, embedding FROM d),
+        |e AS (SELECT cell, unnest(generate_series(1, len(embedding))) - 1 AS pos,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS v FROM a)
+        |SELECT cell, pos, round(avg(v), 4) AS mean_v
+        |FROM e GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
     "q54_ivf_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 1)
         |SELECT vec_id,

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * All sampling here is CONTENT-HASH based, not RNG based: the keep/drop
+  * decision for a row is a pure function of the row itself, so the same
+  * corpus samples identically across engines, runs, partition counts, and
+  * cluster sizes — the property an auditable 100 TB data pipeline needs
+  * (`rand()`-based sampling changes under AQE re-partitioning). The hash
+  * is the first 24 bits of md5 ([[TextFunctions.hashBucket]]), so a DuckDB
+  * oracle reproduces every decision bit-for-bit.
+  */
+object SamplingFunctions {
+
+  /** Uniform deterministic sample: keep ~`fraction` of rows by content
+    * hash. Pure filter — no shuffle, fully pushed into the scan stage. */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
+                 buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.filter(TextFunctions.hashBucket(keyCol, buckets) <
+      lit(math.round(fraction * buckets)))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fractions (e.g.
+    * downsample boilerplate-heavy sources, keep all rare-language docs).
+    * Strata absent from `fractions` keep `defaultFraction`. The per-row
+    * decision is still a pure hash filter — the fractions map compiles to
+    * a CASE chain, no join, no shuffle; at scale this is the
+    * "rebalance the language mix" pass over the full corpus scan. */
+  def stratifiedHashSample(df: DataFrame, strataCol: Column, keyCol: Column,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 1.0,
+                           buckets: Int = 10000): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fractions must be in [0,1], got $f"))
+    val threshold = fractions.foldLeft(lit(math.round(defaultFraction * buckets))) {
+      case (acc, (stratum, f)) =>
+        when(strataCol === stratum, lit(math.round(f * buckets))).otherwise(acc)
+    }
+    df.filter(TextFunctions.hashBucket(keyCol, buckets) < threshold)
+  }
+}

@@ -157,6 +157,27 @@ object SimilarityFunctions {
   def dequantizeInt8(qs: Column): Column =
     transform(qs.getField("q"), v => v.cast("float") * qs.getField("scale"))
 
+  /** One k-means refinement step for the IVF coarse quantizer: assign every
+    * vector to its nearest centroid ([[ivfAssign]]) and recompute the
+    * per-cell mean, returned long-form as (cell, pos, mean_v) — one row per
+    * centroid dimension.
+    *
+    * Scale shape: posexplode turns each row into `dim` (cell, pos, value)
+    * triples and ONE hash aggregation with map-side partials reduces them —
+    * shuffle volume is O(cells × dim) partials per task, independent of row
+    * count. Iterate k times driver-side, collecting the (small) centroid
+    * table between steps; at 10⁹ vectors each step is one scan + one
+    * fixed-size shuffle. */
+  def kmeansStep(df: DataFrame, embCol: String,
+                 centroids: Array[Array[Double]]): DataFrame =
+    // cell in its own select: a generator in the same projection re-resolves
+    // the expression tree and strips the struct-field aliases ivfAssign's
+    // argmin relies on
+    df.select(ivfAssign(col(embCol), centroids).as("cell"), col(embCol).as("__e"))
+      .select(col("cell"), posexplode(col("__e")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("mean_v"))
+
   /** All-pairs cosine above a threshold within LSH buckets (embedding
     * near-dup detection): bucket equi-join keeps the candidate set small;
     * only candidates pay the O(dim) cosine. */

@@ -151,4 +151,52 @@ object TextFunctions {
       (acc, t) => pmod(
         acc * 1000003L + conv(substring(md5(t), 1, 6), 16, 10).cast("long"),
         lit(1000000007L)))
+
+  /** Token-window chunking for LLM context preparation: overlapping windows
+    * of `chunkSize` tokens stepping by `chunkSize - overlap`. Returns
+    * `array<struct<chunk_idx int, chunk_text string>>` — explode it into
+    * one training sample per chunk. Chunk i covers tokens
+    * [i·step, i·step + chunkSize); the final chunk may be short; an
+    * empty/whitespace text yields an empty array (no chunks).
+    *
+    * Pure expression tree (split/slice/concat_ws inside codegen) — chunking
+    * 100 TB is a narrow projection with zero shuffle, and the downstream
+    * explode multiplies rows ~len/step× without materializing the token
+    * array more than once per row. */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    val emptySchema = "array<struct<chunk_idx:int,chunk_text:string>>"
+    when(n === 0, array().cast(emptySchema)).otherwise(
+      transform(
+        sequence(lit(0), floor((n - 1) / step).cast("int")),
+        i => struct(
+          i.cast("int").as("chunk_idx"),
+          concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize))).as("chunk_text"))))
+  }
+
+  /** Sequence packing: assign each document a bin id so every bin holds
+    * ~`targetTokens` tokens — the sample-packing step that turns a ragged
+    * corpus into fixed-budget training batches. Bin = cumulative token
+    * count (before this doc) ÷ target, accumulated per `part` partition in
+    * `ord` order — deterministic, one shuffle on the partition key, and an
+    * oversized doc overflows its own bin without shifting earlier ones.
+    *
+    * Scale note: the window cumsum keeps each partition's packing
+    * independent, so 100 TB packs as (partitions × linear scan); the
+    * alternative greedy first-fit is inherently sequential and does not
+    * distribute. */
+  def packBins(tokenCount: Column, targetTokens: Long, part: Seq[Column],
+               ord: Seq[Column]): Column = {
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*).orderBy(ord: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(tokenCount).over(w), lit(0L))
+    floor(before / targetTokens).cast("long")
+  }
 }

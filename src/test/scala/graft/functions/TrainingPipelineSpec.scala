@@ -1,0 +1,100 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkTokens: overlapping windows, short tail, empty text") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 3 step 2 → starts 0,2,4,6
+      (2L, "x"),
+      (3L, "   ")
+    ).toDF("id", "text")
+    val out = df.select($"id", T2.chunkTokens($"text", 3, 1).as("c"))
+      .select($"id", explode($"c").as("ch"))
+      .select($"id", $"ch.chunk_idx", $"ch.chunk_text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(out === Set(
+      (1L, 0, "a b c"), (1L, 1, "c d e"), (1L, 2, "e f g"), (1L, 3, "g"),
+      (2L, 0, "x")))
+    // chunks cover every token: reassembling chunk starts reproduces text
+    val n = df.filter($"id" === 3L)
+      .select(size(T2.chunkTokens($"text", 3, 1))).as[Int].head()
+    assert(n === 0)
+  }
+
+  test("chunkTokens rejects bad params") {
+    intercept[IllegalArgumentException](T2.chunkTokens(lit("a"), 0, 0))
+    intercept[IllegalArgumentException](T2.chunkTokens(lit("a"), 4, 4))
+  }
+
+  test("packBins: cumulative-before assignment, per-partition independence") {
+    val df = Seq(
+      // part A: sizes 600,600,600,600 target 1000 → bins 0,0,1,1
+      ("A", 1L, 600), ("A", 2L, 600), ("A", 3L, 600), ("A", 4L, 600),
+      // part B: oversized doc overflows its own bin without shifting others
+      ("B", 1L, 2500), ("B", 2L, 100)
+    ).toDF("part", "id", "n")
+    val out = df.withColumn("bin",
+        T2.packBins($"n", 1000, Seq($"part"), Seq($"id")))
+      .select($"part", $"id", $"bin").as[(String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 1L), ("A", 4L, 1L),
+      ("B", 1L, 0L), ("B", 2L, 2L)))
+  }
+
+  test("stratifiedHashSample is deterministic and respects fractions") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val s1 = SamplingFunctions.stratifiedHashSample(
+      docs, $"lang", $"text", Map("en" -> 0.5), defaultFraction = 0.0)
+    val s2 = SamplingFunctions.stratifiedHashSample(
+      docs.repartition(7), $"lang", $"text", Map("en" -> 0.5), defaultFraction = 0.0)
+    // identical keep-set regardless of partitioning (rand() would differ)
+    assert(s1.select("doc_id").exceptAll(s2.select("doc_id")).count() === 0)
+    assert(s1.count() === s2.count())
+    // only the sampled stratum survives a 0.0 default
+    assert(s1.select("lang").distinct().as[String].collect().toSet === Set("en"))
+    val en = docs.filter($"lang" === "en").count()
+    val kept = s1.count()
+    assert(kept > 0 && kept < en, s"expected 0 < $kept < $en")
+  }
+
+  test("hashSample fraction 1.0 keeps everything, 0.0 keeps nothing") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(SamplingFunctions.hashSample(docs, $"text", 1.0).count() === docs.count())
+    assert(SamplingFunctions.hashSample(docs, $"text", 0.0).count() === 0)
+  }
+
+  test("kmeansStep: means move toward the data, one shuffle") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val c0 = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
+    val step = SimilarityFunctions.kmeansStep(emb, "embedding", c0)
+    val rows = step.collect()
+    assert(rows.length === 2 * 64)
+    // refreshed centroid = mean of assigned vectors, verified for one cell/dim
+    val expected = emb
+      .select(SimilarityFunctions.ivfAssign($"embedding", c0).as("cell"),
+        element_at($"embedding", 1).cast("double").as("e1"))
+      .filter($"cell" === 0)
+      .select(avg($"e1")).as[Double].head()
+    val got = step.filter($"cell" === 0 && $"pos" === 0)
+      .select($"mean_v").as[Double].head()
+    assert(math.abs(got - expected) < 1e-9)
+    // plan: single hash-aggregate pair over one exchange
+    val exchanges = step.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, "kmeansStep should need one shuffle (+AQE read)")
+  }
+}
+
+/** Alias so the spec reads naturally next to the other function suites. */
+private object T2 {
+  def chunkTokens(text: org.apache.spark.sql.Column, size: Int, overlap: Int) =
+    TextFunctions.chunkTokens(text, size, overlap)
+  def packBins(n: org.apache.spark.sql.Column, target: Long,
+               part: Seq[org.apache.spark.sql.Column],
+               ord: Seq[org.apache.spark.sql.Column]) =
+    TextFunctions.packBins(n, target, part, ord)
+}
