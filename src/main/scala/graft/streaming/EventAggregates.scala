@@ -45,6 +45,38 @@ object EventAggregates {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-static enrichment: attach dimension attributes to a live event
+    * stream. The dimension side is a plain batch DataFrame — Spark re-reads
+    * it per micro-batch (picking up slowly-changing updates) and broadcasts
+    * it, so the stream side never shuffles. Works identically on a batch
+    * `events` input. */
+  def enrichEvents(events: DataFrame, dim: DataFrame,
+                   eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === dim(dimKey), "left")
+
+  /** Stream-stream correlation join: pair each left event with the right
+    * events of the same `key` whose timestamp falls within the trailing
+    * `gapSeconds` window (r.ts ∈ [l.ts − gap, l.ts]) — e.g. purchases with
+    * the errors that preceded them. Both sides carry watermarks, and the
+    * two-sided time constraint lets Spark bound the join state and evict
+    * buffered rows as the watermark advances — without it, stream-stream
+    * join state grows forever. Columns are prefixed l_/r_ to keep the pair
+    * schema explicit. Batch inputs run the same join unwatermarked. */
+  def correlateWithin(lhs: DataFrame, rhs: DataFrame, key: String,
+                      gapSeconds: Long,
+                      watermark: String = "30 minutes"): DataFrame = {
+    def side(df: DataFrame, p: String) = {
+      val wm = if (df.isStreaming) df.withWatermark("ts", watermark) else df
+      wm.select(col(key).as(s"${p}_key"), col("ts").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"))
+    }
+    val l = side(lhs, "l")
+    val r = side(rhs, "r")
+    l.join(r, col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") - expr(s"interval $gapSeconds seconds") &&
+      col("r_ts") <= col("l_ts"))
+  }
+
   /** Sessionization: gap-based sessions per user via session_window —
     * the stateful-grouping capability (mapGroupsWithState class) expressed
     * with the built-in session window. */

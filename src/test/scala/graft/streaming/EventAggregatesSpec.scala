@@ -91,4 +91,55 @@ class EventAggregatesSpec extends SparkSpec {
     val firstSession = sessions.filter(r => r.getLong(2) == 7L && r.getLong(3) == 2).head
     assert(firstSession.getDouble(4) == 3.0) // 1.0 + 2.0
   }
+
+  test("stream-static enrichment: broadcast dim join, streaming == batch") {
+    val batch = Tables.events(spark, sf0001)
+    val dim = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val expected = EventAggregates.enrichEvents(batch, dim, "user_id", "c_custkey")
+      .groupBy("c_mktsegment").count()
+      .orderBy("c_mktsegment").collect().map(_.toString).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventAggregates.enrichEvents(stream, dim, "user_id", "c_custkey")
+      .groupBy("c_mktsegment").count()
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .orderBy("c_mktsegment").collect().map(_.toString).toSeq
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-stream correlation: watermarked interval join == batch join") {
+    val batch = Tables.events(spark, sf0001)
+    val purchases = batch.filter(col("event_type") === "purchase")
+    val errors = batch.filter(col("event_type") === "error")
+    val gap = 14L * 86400
+    val expected = EventAggregates.correlateWithin(purchases, errors, "user_id", gap)
+      .select("l_id", "r_id").collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "fixture should correlate some pairs")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-corr").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val sp = stream.filter(col("event_type") === "purchase")
+    val se = stream.filter(col("event_type") === "error")
+    // watermark ≥ data span: nothing is late in a replayed file stream
+    val q = EventAggregates.correlateWithin(sp, se, "user_id", gap,
+        watermark = "90 days")
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("corr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("corr").collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
