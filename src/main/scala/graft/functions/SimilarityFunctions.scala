@@ -178,6 +178,46 @@ object SimilarityFunctions {
       .groupBy(col("cell"), col("pos"))
       .agg(avg(col("v").cast("double")).as("mean_v"))
 
+  /** Train an IVF coarse quantizer: k-means via repeated [[kmeansStep]].
+    * Initialization is DETERMINISTIC — the first `k` vectors in id order
+    * (ids are content-stable), so the same corpus trains the same
+    * centroids on any cluster layout. Each iteration is one distributed
+    * scan + one O(k × dim) shuffle; only the centroid table (k × dim
+    * doubles) ever reaches the driver. Empty cells keep their previous
+    * centroid. At 10⁹ vectors, train on a [[graft.functions
+    * .SamplingFunctions.hashSample]] of the corpus — k-means quality
+    * saturates long before the full scan pays off. */
+  def kmeansFit(df: DataFrame, embCol: String, idCol: String, k: Int,
+                iterations: Int = 5): Array[Array[Double]] = {
+    require(k >= 1 && iterations >= 1, "k and iterations must be >= 1")
+    var centroids = df.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.length == k, s"need >= $k rows to seed $k centroids")
+    for (_ <- 1 to iterations) {
+      val means = kmeansStep(df, embCol, centroids).collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        means.get(i).map(_.toArray).getOrElse(old)
+      }
+    }
+    centroids
+  }
+
+  /** Mean squared distance to the assigned centroid — the k-means
+    * objective, for convergence monitoring. */
+  def kmeansDistortion(df: DataFrame, embCol: String,
+                       centroids: Array[Array[Double]]): Double = {
+    val dists = centroids.map(c => {
+      val diff = zip_with(col(embCol), lit(c), (x, y) => x.cast("double") - y)
+      aggregate(diff, lit(0.0), (acc, v) => acc + v * v)
+    })
+    df.select(least(dists: _*).as("d")).agg(avg(col("d"))).head().getDouble(0)
+  }
+
   /** All-pairs cosine above a threshold within LSH buckets (embedding
     * near-dup detection): bucket equi-join keeps the candidate set small;
     * only candidates pay the O(dim) cosine. */

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupFunctions => D, SimilarityFunctions => Sim, TextFunctions => T}
+
+/** Scale-factor sweep: replicate the sf0.1 corpus K× (perturbed ids/texts
+  * so dup structure stays realistic) and measure the heavy operators at 1×
+  * and K×. A scan-bound operator should scale ≈K; a shuffle-shaped one
+  * stays ≈K as long as its exchange volume is per-row-bounded. Results are
+  * recorded in SCALE.md. Not part of the library surface.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+
+    // K perturbed replicas: ids offset per replica, one replica-tag token
+    // appended so texts are near-dups of their siblings, not exact dups
+    val base = spark.read.parquet(s"$d/documents.parquet")
+    val embBase = spark.read.parquet(s"$d/embeddings.parquet")
+    val docsDir = s"/tmp/graft-scale-docs-x$k"
+    val embDir = s"/tmp/graft-scale-emb-x$k"
+    if (!new java.io.File(docsDir).exists()) {
+      (0 until k).map(i => base
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(docsDir)
+      (0 until k).map(i => embBase
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(embDir)
+    }
+
+    def time(name: String, runs: Int = 3)(f: => Long): Double = {
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val best = times.map(_._1).min
+      println(f"[scale] $name%-28s best=${best}%.2fs rows=${times.head._2}")
+      best
+    }
+
+    def suite(tag: String, docs: DataFrame, emb: DataFrame): Map[String, Double] = {
+      println(s"== $tag: ${docs.count()} docs, ${emb.count()} vectors ==")
+      Map(
+        "exact_dup_groups" -> time(s"$tag exact_dup_groups") {
+          D.exactDupGroups(docs, "text", "doc_id", includeSingletons = true).count()
+        },
+        "minhash_sig" -> time(s"$tag minhash_sig") {
+          docs.select(D.minhashSignature(col("text"), 3, 8).as("s"))
+            .agg(count(col("s"))).head().getLong(0)
+        },
+        "neardup_pairs" -> time(s"$tag neardup_pairs") {
+          D.neardupPairsLocal(docs, "text", "doc_id",
+            n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.8).count()
+        },
+        "tfidf" -> time(s"$tag tfidf") {
+          T.tfIdf(docs, "text", "doc_id", nDocs = docs.count()).count()
+        },
+        "top_ngrams" -> time(s"$tag top_ngrams") {
+          docs.select(explode(graft.expr.NativeFunctions.word_ngrams(col("text"), 3)).as("g"))
+            .groupBy("g").count().orderBy(desc("count")).limit(20).count()
+        },
+        "quality_score" -> time(s"$tag quality_score") {
+          docs.select(T.qualityScore(col("text")).as("q"))
+            .agg(count(col("q"))).head().getLong(0)
+        },
+        "kmeans_step" -> time(s"$tag kmeans_step") {
+          val c = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
+          Sim.kmeansStep(emb, "embedding", c).count()
+        },
+        "ann_topk" -> time(s"$tag ann_topk") {
+          val q = embBase.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0).toArray
+          Sim.topKCosine(emb, "embedding", "vec_id", q, 10).count()
+        })
+    }
+
+    val r1 = suite("1x", base, embBase)
+    val rk = suite(s"${k}x",
+      spark.read.parquet(docsDir), spark.read.parquet(embDir))
+    println(f"== scaling ratios (${k}x / 1x wall, ideal <= $k) ==")
+    r1.keys.toSeq.sorted.foreach { op =>
+      println(f"[ratio] $op%-20s ${rk(op) / r1(op)}%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -67,6 +67,22 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(SamplingFunctions.hashSample(docs, $"text", 0.0).count() === 0)
   }
 
+  test("kmeansFit: distortion decreases monotonically-ish over iterations") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val seed = SimilarityFunctions.kmeansFit(emb, "embedding", "vec_id", k = 4,
+      iterations = 1)
+    val trained = SimilarityFunctions.kmeansFit(emb, "embedding", "vec_id", k = 4,
+      iterations = 5)
+    val d1 = SimilarityFunctions.kmeansDistortion(emb, "embedding", seed)
+    val d5 = SimilarityFunctions.kmeansDistortion(emb, "embedding", trained)
+    assert(d5 <= d1 + 1e-9, s"training must not increase distortion ($d1 -> $d5)")
+    assert(trained.length === 4 && trained.forall(_.length === 64))
+    // determinism: same corpus, same result
+    val again = SimilarityFunctions.kmeansFit(emb, "embedding", "vec_id", k = 4,
+      iterations = 5)
+    assert(trained.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("kmeansStep: means move toward the data, one shuffle") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val c0 = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
