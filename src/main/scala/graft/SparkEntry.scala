@@ -645,6 +645,17 @@ object SparkEntry {
         .select(col("cell"), col("pos"), r4(col("mean_v")).as("mean_v"))
         .orderBy(col("cell"), col("pos"))
     }),
+    // ---- statistical aggregates (corr / covar / stddev / linear fit) -----
+    "q77_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          r4(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
+          r4(stddev_samp(col("l_quantity"))).as("sd_q"),
+          r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+          r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("icept"))
+        .orderBy(col("l_returnflag"))),
     // ---- §2.11 ST2/ST4 activity planning (fan-out × task tree) -----------
     "q40_plan_activities" -> ((s, d) => {
       import graft.pipeline.Pipeline
@@ -1156,6 +1167,14 @@ object SparkEntry {
         |             unnest(CAST(embedding AS DOUBLE[])) AS v FROM a)
         |SELECT cell, pos, round(avg(v), 4) AS mean_v
         |FROM e GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
+    "q77_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+        |  round(stddev_samp(l_quantity), 4) AS sd_q,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q54_ivf_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 1)
         |SELECT vec_id,
