@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for corpus statistics at scales where exact answers
+  * stop fitting. The built-in sketch paths (`approx_count_distinct` HLL,
+  * `percentile_approx`) cover cardinality and quantiles; this adds
+  * frequency estimation — a count-min sketch as a typed `Aggregator`, the
+  * custom-UDAF surface of SURVEY §2.10 applied to the training-pipeline
+  * side.
+  *
+  * Scale story: exact n-gram counting (q60) shuffles one partial per
+  * distinct n-gram per task — fine until the vocabulary explodes (web-scale
+  * 5-grams ≫ executor memory). The sketch is a FIXED depth×width table:
+  * map-side partials are merged elementwise, the shuffle carries
+  * depth×width longs per task regardless of vocabulary, and the result
+  * answers any point frequency query with error ≤ εN (ε = e/width) at
+  * confidence 1−δ (δ = e^−depth) — overestimates only, never under.
+  */
+object Sketches {
+
+  /** depth×width count table, flattened row-major. */
+  type CMS = Array[Long]
+
+  private def bucket(s: String, row: Int, width: Int): Int = {
+    // xxhash-free: deterministic, engine-independent seeded FNV-1a
+    var h = 0x811c9dc5 ^ (row * 0x9e3779b9)
+    var i = 0
+    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x01000193; i += 1 }
+    math.floorMod(h, width)
+  }
+
+  /** Typed Aggregator building a count-min sketch over a string column. */
+  class CountMinAggregator(depth: Int, width: Int)
+      extends Aggregator[String, CMS, CMS] with Serializable {
+    require(depth >= 1 && width >= 1, "depth and width must be >= 1")
+    def zero: CMS = new Array[Long](depth * width)
+    def reduce(buf: CMS, s: String): CMS = {
+      if (s != null) {
+        var r = 0
+        while (r < depth) { buf(r * width + bucket(s, r, width)) += 1; r += 1 }
+      }
+      buf
+    }
+    def merge(a: CMS, b: CMS): CMS = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(buf: CMS): CMS = buf
+    def bufferEncoder: Encoder[CMS] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CMS]()
+    def outputEncoder: Encoder[CMS] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CMS]()
+  }
+
+  /** Sketch a string column into one depth×width table (single row out). */
+  def countMin(df: DataFrame, col0: Column, depth: Int = 4,
+               width: Int = 1 << 14): CMS = {
+    val agg = udaf(new CountMinAggregator(depth, width))
+    df.select(agg(col0.cast("string")).as("cms"))
+      .head().getSeq[Long](0).toArray
+  }
+
+  /** Point frequency estimate: min over the depth rows (≥ true count,
+    * ≤ true count + εN w.h.p.). */
+  def estimate(cms: CMS, depth: Int, width: Int, s: String): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      best = math.min(best, cms(r * width + bucket(s, r, width)))
+      r += 1
+    }
+    best
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min: estimates dominate true counts, heavy hitters within eps*N") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val grams = docs.select(
+      explode(graft.expr.NativeFunctions.word_ngrams($"text", 3)).as("g"))
+    val exact = grams.groupBy("g").count()
+      .orderBy(desc("count"), $"g").limit(50)
+      .as[(String, Long)].collect()
+    val n = grams.count()
+    val (depth, width) = (4, 1 << 14)
+    val cms = Sketches.countMin(grams, $"g", depth, width)
+    val epsN = math.ceil(math.E / width * n).toLong + 1
+    exact.foreach { case (g, c) =>
+      val est = Sketches.estimate(cms, depth, width, g)
+      assert(est >= c, s"CMS must never underestimate ($g: $est < $c)")
+      assert(est <= c + epsN, s"heavy hitter $g off by ${est - c} > eps*N=$epsN")
+    }
+  }
+
+  test("count-min sketch total mass equals row count per depth row") {
+    val df = Seq("a", "b", "a", "c", "a", "b").toDF("s")
+    val (depth, width) = (3, 16)
+    val cms = Sketches.countMin(df, $"s", depth, width)
+    (0 until depth).foreach { r =>
+      assert(cms.slice(r * width, (r + 1) * width).sum === 6L)
+    }
+    assert(Sketches.estimate(cms, depth, width, "a") >= 3L)
+  }
+
+  test("built-in sketch paths: HLL cardinality and approx quantiles track exact") {
+    val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val exactD = l.select(countDistinct($"l_partkey")).as[Long].head()
+    val approxD = l.select(approx_count_distinct($"l_partkey")).as[Long].head()
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.1,
+      s"HLL estimate $approxD vs exact $exactD")
+    val exactP = l.select(expr("percentile(l_quantity, 0.5)")).as[Double].head()
+    val approxP = l.select(percentile_approx($"l_quantity", lit(0.5), lit(10000)))
+      .as[Double].head()
+    assert(math.abs(approxP - exactP) <= 1.0,
+      s"approx median $approxP vs exact $exactP")
+  }
+}
