@@ -43,6 +43,9 @@ object TemporalJoins {
     require(leftKeys.length == rightKeys.length, "key lists must align")
     require(Seq("backward", "forward").contains(direction),
       s"direction must be backward|forward, got $direction")
+    val reserved = Seq("__t", "__p", "__side", "__m")
+    require(!left.columns.exists(reserved.contains),
+      s"left input must not use the reserved columns ${reserved.mkString(", ")}")
     val p = struct(payload.map(col): _*)
     // Right side: keys renamed to the left's names, payload boxed into one
     // nullable struct so unionByName can null-fill it for left rows.
@@ -88,6 +91,9 @@ object TemporalJoins {
                        tsCol: String, startCol: String, endCol: String,
                        bucketSeconds: Long): DataFrame = {
     val b = lit(bucketSeconds)
+    // Malformed intervals (end < start) are safe: sequence() emits a
+    // descending bucket range, but every such pair fails the containment
+    // residual, so they contribute no rows (never wrong ones).
     // cast("timestamp") tolerates TIMESTAMP_NTZ columns (parquet default);
     // the session timezone is pinned to UTC so the epoch is deterministic
     def secs(c: Column) = unix_seconds(c.cast("timestamp"))

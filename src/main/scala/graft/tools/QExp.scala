@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.catalog.Tables
+import graft.functions.{DedupFunctions => D}
 
 /** Micro-benchmark harness for comparing query formulations at sf0.1
   * before they land in SparkEntry (not part of the library surface). */
@@ -22,34 +23,20 @@ object QExp {
         println(s"[exp] $name run$i: ${math.round((System.nanoTime() - t0) / 1e6) / 1000.0} s ($n rows)")
       }
 
-    def lowUrgent() = {
-      val o = Tables.orders(spark, d)
-      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey").as("u_key"), col("o_orderdate").as("u_start"),
-          (col("o_orderdate") + expr("interval 2 days")).as("u_end"))
-      val low = o.filter(col("o_orderpriority") === "5-LOW")
-        .select(col("o_orderkey").as("l_key"), col("o_orderdate").as("l_ts"))
-      (low, urgent)
+    val docs = Tables.documents(spark, d)
+    time("scan_only_sig_sh") {
+      docs.select(
+          graft.expr.NativeFunctions.word_ngrams(col("text"), 3).as("sh"),
+          D.minhashSignature(col("text"), 3, 2).as("sig"))
+        .agg(count(col("sig"))).head().getLong(0)
     }
-    time("q68_bucketed_2d") {
-      val (low, urgent) = lowUrgent()
-      graft.meta.TemporalJoins.rangeJoinBuckets(low, urgent,
-          "l_ts", "u_start", "u_end", bucketSeconds = 2L * 86400)
-        .groupBy(date_trunc("month", col("l_ts")).cast("date").as("month"))
-        .agg(count(lit(1)).as("n_pairs")).count()
+    time("scan_only_sig") {
+      docs.select(D.minhashSignature(col("text"), 3, 2).as("sig"))
+        .agg(count(col("sig"))).head().getLong(0)
     }
-    time("q68_bucketed_7d") {
-      val (low, urgent) = lowUrgent()
-      graft.meta.TemporalJoins.rangeJoinBuckets(low, urgent,
-          "l_ts", "u_start", "u_end", bucketSeconds = 7L * 86400)
-        .groupBy(date_trunc("month", col("l_ts")).cast("date").as("month"))
-        .agg(count(lit(1)).as("n_pairs")).count()
-    }
-    time("q68_broadcast_bnlj") {
-      val (low, urgent) = lowUrgent()
-      low.join(broadcast(urgent), col("l_ts").between(col("u_start"), col("u_end")))
-        .groupBy(date_trunc("month", col("l_ts")).cast("date").as("month"))
-        .agg(count(lit(1)).as("n_pairs")).count()
+    time("q43_full") {
+      D.neardupPairsLocal(docs, "text", "doc_id",
+        n = 3, bands = 1, rowsPerBand = 2, jaccardThreshold = 0.0).count()
     }
     spark.stop()
   }
