@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * pipelines: media as opaque `binary` columns plus typed metadata structs.
   *
   * The Spark-side plumbing — schema, batch shape, partition balancing,
-  * kernel signatures — is real and tested. The codec itself is STUBBED
-  * (`StubCodec`): this container has no image/audio libraries, so decode
-  * produces a deterministic fake derived from the bytes. Swapping in a real
-  * codec (JNI/javacv or a Python `mapInPandas` stage on a PySpark cluster)
-  * changes only the function body, not the plan shape.
+  * kernel signatures — is real and tested. The IMAGE codec is real too:
+  * [[ImageCodec]] decodes PNG/JPEG/BMP/GIF with the JDK's ImageIO (no
+  * external dependency), yielding true dimensions, an 8×8 intensity-grid
+  * feature vector, and real resize. Audio/video decode is STUBBED
+  * (`StubCodec`): the container has no sound/video libraries, so those
+  * paths produce a deterministic fake derived from the bytes. Swapping in
+  * a real codec (JNI/javacv or a Python `mapInPandas` stage on a PySpark
+  * cluster) changes only the function body, not the plan shape.
   *
   * Scale design: media rows are large and skewed → `balanceBySize`
   * range-partitions on byte length so one partition ≈ one codec batch of
@@ -66,6 +69,68 @@ object MultimodalFunctions {
       (0L until nBytes by everyNth.toLong).take(32)
   }
 
+  /** ===== REAL image codec (JDK ImageIO: PNG/JPEG/BMP/GIF) ===== */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    private def read(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** True dimensions/channels from the decoded image; None if the payload
+      * is not a decodable image. */
+    def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] = read(bytes).map { img =>
+      MediaMeta(StubCodec.sniffFormat(bytes), img.getWidth, img.getHeight,
+        channels = img.getColorModel.getNumComponents,
+        sampleRate = 0, durationMs = 0L)
+    }
+
+    /** `grid`×`grid` mean-pooled luma vector in [0,1] — the classic
+      * thumbnail-intensity embedding; feeds the cosine/ANN operators
+      * directly and powers perceptual near-dup detection (two images that
+      * resize to similar thumbnails land near each other). */
+    def intensityFeatures(bytes: Array[Byte], grid: Int = 8): Option[Array[Float]] =
+      read(bytes).map { img =>
+        val out = new Array[Float](grid * grid)
+        val counts = new Array[Int](grid * grid)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            val cell = math.min(y * grid / h, grid - 1) * grid +
+              math.min(x * grid / w, grid - 1)
+            out(cell) += luma / 255.0f
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < out.length) { if (counts(i) > 0) out(i) /= counts(i); i += 1 }
+        out
+      }
+
+    /** Real resize: decode → bilinear-interpolated redraw → PNG re-encode.
+      * None if the payload is not a decodable image. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      read(bytes).map { img =>
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+  }
+
   /** Binary-file ingestion (`spark.read.format("binaryFile")`) normalized to
     * the media schema — the entry point for real media directories. */
   def readMediaDir(spark: SparkSession, dir: String, mediaType: String): DataFrame =
@@ -87,30 +152,40 @@ object MultimodalFunctions {
   def extractFeatures(ds: Dataset[MediaRow], dim: Int)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val grid = math.sqrt(dim).toInt
+    val squareDim = grid * grid == dim
     ds.mapPartitions { it =>
-      // real impl: initialize the codec/model once here
+      // codec init happens once per partition (ImageIO caches readers)
       it.map { row =>
+        val real = if (squareDim) ImageCodec.intensityFeatures(row.content, grid)
+          else None
         MediaFeatures(row.media_id, row.media_type, row.content.length.toLong,
-          StubCodec.extractFeatures(row.content, dim))
+          real.getOrElse(StubCodec.extractFeatures(row.content, dim)))
       }
     }
   }
 
-  /** STUB resize/transcode: deterministic fake payload at the target
-    * dimensions (real impl: decode → resample pixels → encode). The real
-    * part is the plumbing: a typed kernel that replaces the payload and
-    * rewrites the meta struct, with one codec init per partition. */
+  /** Resize/transcode kernel: decodable images take the REAL path
+    * (ImageIO decode → bilinear redraw → PNG re-encode); anything else
+    * falls back to the deterministic stub payload so mixed-media corpora
+    * keep flowing. One kernel per partition, payload and meta rewritten
+    * together. */
   def resize(ds: Dataset[MediaRow], w: Int, h: Int)
             (implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     ds.mapPartitions { it =>
-      // real impl: initialize the codec once here
       it.map { r =>
-        val src = if (r.content.isEmpty) Array[Byte](0) else r.content
-        val out = new Array[Byte](math.min(w * h, 4096))
-        var i = 0
-        while (i < out.length) { out(i) = src(math.floorMod(i * 31, src.length)); i += 1 }
-        r.copy(content = out, meta = r.meta.copy(width = w, height = h))
+        ImageCodec.resize(r.content, w, h) match {
+          case Some(png) =>
+            r.copy(content = png,
+              meta = r.meta.copy(format = "png", width = w, height = h))
+          case None =>
+            val src = if (r.content.isEmpty) Array[Byte](0) else r.content
+            val out = new Array[Byte](math.min(w * h, 4096))
+            var i = 0
+            while (i < out.length) { out(i) = src(math.floorMod(i * 31, src.length)); i += 1 }
+            r.copy(content = out, meta = r.meta.copy(width = w, height = h))
+        }
       }
     }
   }

@@ -61,6 +61,61 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == Seq(0L) && got(3L) == Seq(0L))
   }
 
+  private def realPng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed * 101) & 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageCodec decodes real PNGs: true dimensions, not the stub fake") {
+    val bytes = realPng(37, 23, seed = 1)
+    val meta = ImageCodec.decodeMeta(bytes).get
+    assert(meta.width === 37 && meta.height === 23 && meta.format === "png")
+    // the stub would have derived width from byte length — ensure the real
+    // path is actually used for decodable payloads
+    assert(ImageCodec.decodeMeta("not an image".getBytes).isEmpty)
+  }
+
+  test("ImageCodec intensity features: 8x8 luma grid in [0,1], brightness ordering") {
+    val dark = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos) // all black
+      bos.toByteArray
+    }
+    val fDark = ImageCodec.intensityFeatures(dark).get
+    val fPat = ImageCodec.intensityFeatures(realPng(64, 64, 2)).get
+    assert(fDark.length === 64 && fPat.length === 64)
+    assert(fDark.forall(_ == 0.0f), "black image → zero luma everywhere")
+    assert(fPat.forall(v => v >= 0f && v <= 1f))
+    assert(fPat.sum > fDark.sum)
+  }
+
+  test("resize real path: decoded output has the target dimensions") {
+    val resized = ImageCodec.resize(realPng(100, 80, 3), 50, 40).get
+    val meta = ImageCodec.decodeMeta(resized).get
+    assert(meta.width === 50 && meta.height === 40)
+  }
+
+  test("extractFeatures kernel: real images get intensity features, mixed media still flows") {
+    implicit val s = spark
+    val img = MediaRow(1L, "image", realPng(32, 32, 4),
+      ImageCodec.decodeMeta(realPng(32, 32, 4)).get)
+    val junk = MediaRow(2L, "audio", Array.fill[Byte](100)(7),
+      StubCodec.decodeMeta(Array.fill[Byte](100)(7)))
+    val out = extractFeatures(spark.createDataset(Seq(img, junk)), dim = 64)
+      .collect().map(f => f.media_id -> f.features).toMap
+    assert(out(1L).toSeq ===
+      ImageCodec.intensityFeatures(realPng(32, 32, 4)).get.toSeq)
+    assert(out(2L).toSeq ===
+      StubCodec.extractFeatures(Array.fill[Byte](100)(7), 64).toSeq)
+  }
+
   test("resize kernel rewrites payload + meta, deterministic across partitioning") {
     val rows = (0 until 10).map(i => MediaRow(i.toLong, "image", jpegBytes(500 + i),
       StubCodec.decodeMeta(jpegBytes(500 + i))))
