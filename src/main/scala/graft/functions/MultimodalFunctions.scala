@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * kernel signatures — is real and tested. The IMAGE codec is real too:
   * [[ImageCodec]] decodes PNG/JPEG/BMP/GIF with the JDK's ImageIO (no
   * external dependency), yielding true dimensions, an 8×8 intensity-grid
-  * feature vector, and real resize. Audio/video decode is STUBBED
-  * (`StubCodec`): the container has no sound/video libraries, so those
-  * paths produce a deterministic fake derived from the bytes. Swapping in
-  * a real codec (JNI/javacv or a Python `mapInPandas` stage on a PySpark
-  * cluster) changes only the function body, not the plan shape.
+  * feature vector, and real resize. The AUDIO codec is real as well:
+  * [[AudioCodec]] parses WAV/AIFF/AU with `javax.sound.sampled` (header
+  * meta + RMS-energy envelope features over the PCM stream). Only VIDEO
+  * decode is STUBBED (`StubCodec`): the JDK has no container demuxer.
+  * Swapping in a real one (JNI/javacv or a Python `mapInPandas` stage on
+  * a PySpark cluster) changes only the function body, not the plan shape.
   *
   * Scale design: media rows are large and skewed → `balanceBySize`
   * range-partitions on byte length so one partition ≈ one codec batch of
@@ -131,6 +132,62 @@ object MultimodalFunctions {
       }
   }
 
+  /** ===== REAL audio codec (JDK javax.sound.sampled: WAV/AIFF/AU) ===== */
+  object AudioCodec {
+    import javax.sound.sampled.AudioSystem
+
+    /** True sample rate / channels / duration from the audio header. */
+    def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+        try {
+          val f = in.getFormat
+          val frames = in.getFrameLength
+          val durMs = if (frames >= 0 && f.getFrameRate > 0)
+            (frames * 1000L / f.getFrameRate).toLong else 0L
+          Some(MediaMeta("wav", width = 0, height = 0,
+            channels = f.getChannels, sampleRate = f.getSampleRate.toInt,
+            durationMs = durMs))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** `dim` RMS-energy windows over the decoded 16-bit PCM stream — the
+      * loudness-envelope embedding (silence → zeros, constant tone → flat
+      * positive vector). Feeds the cosine/ANN operators like any other
+      * fixed-width feature. */
+    def rmsFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16) None
+          else {
+            val pcm = in.readAllBytes()
+            val nSamples = pcm.length / 2
+            if (nSamples == 0) Some(new Array[Float](dim))
+            else {
+              val sumSq = new Array[Double](dim)
+              val counts = new Array[Int](dim)
+              val le = !f.isBigEndian
+              var i = 0
+              while (i < nSamples) {
+                val lo = pcm(2 * i) & 0xFF; val hi = pcm(2 * i + 1) & 0xFF
+                val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort / 32768.0
+                val cell = math.min(i.toLong * dim / nSamples, dim - 1).toInt
+                sumSq(cell) += s * s
+                counts(cell) += 1
+                i += 1
+              }
+              Some(Array.tabulate(dim)(c =>
+                if (counts(c) == 0) 0f else math.sqrt(sumSq(c) / counts(c)).toFloat))
+            }
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
   /** Binary-file ingestion (`spark.read.format("binaryFile")`) normalized to
     * the media schema — the entry point for real media directories. */
   def readMediaDir(spark: SparkSession, dir: String, mediaType: String): DataFrame =
@@ -157,8 +214,8 @@ object MultimodalFunctions {
     ds.mapPartitions { it =>
       // codec init happens once per partition (ImageIO caches readers)
       it.map { row =>
-        val real = if (squareDim) ImageCodec.intensityFeatures(row.content, grid)
-          else None
+        val real = (if (squareDim) ImageCodec.intensityFeatures(row.content, grid)
+          else None).orElse(AudioCodec.rmsFeatures(row.content, dim))
         MediaFeatures(row.media_id, row.media_type, row.content.length.toLong,
           real.getOrElse(StubCodec.extractFeatures(row.content, dim)))
       }

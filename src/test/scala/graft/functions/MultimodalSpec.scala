@@ -116,6 +116,55 @@ class MultimodalSpec extends SparkSpec {
       StubCodec.extractFeatures(Array.fill[Byte](100)(7), 64).toSeq)
   }
 
+  private def realWav(seconds: Double, hz: Double, sampleRate: Int = 8000): Array[Byte] = {
+    val n = (seconds * sampleRate).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / sampleRate) * 16384).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioCodec decodes real WAVs: header meta + RMS envelope features") {
+    val wav = realWav(seconds = 0.5, hz = 440)
+    val meta = AudioCodec.decodeMeta(wav).get
+    assert(meta.sampleRate === 8000 && meta.channels === 1)
+    assert(math.abs(meta.durationMs - 500L) <= 1)
+    val tone = AudioCodec.rmsFeatures(wav, 16).get
+    assert(tone.length === 16)
+    // a constant-amplitude sine has RMS amplitude/sqrt(2) ≈ 0.354 everywhere
+    tone.foreach(v => assert(math.abs(v - 16384.0 / 32768 / math.sqrt(2)) < 0.01))
+    // silence → zeros
+    val silent = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](8000)), fmt, 4000L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(AudioCodec.rmsFeatures(silent, 16).get.forall(_ === 0f))
+    assert(AudioCodec.decodeMeta("not audio".getBytes).isEmpty)
+  }
+
+  test("extractFeatures kernel routes WAV payloads through the audio codec") {
+    implicit val s = spark
+    val wav = realWav(0.25, 220)
+    val row = MediaRow(9L, "audio", wav, AudioCodec.decodeMeta(wav).get)
+    val out = extractFeatures(spark.createDataset(Seq(row)), dim = 10)
+      .collect().head
+    assert(out.features.toSeq === AudioCodec.rmsFeatures(wav, 10).get.toSeq)
+  }
+
   test("resize kernel rewrites payload + meta, deterministic across partitioning") {
     val rows = (0 until 10).map(i => MediaRow(i.toLong, "image", jpegBytes(500 + i),
       StubCodec.decodeMeta(jpegBytes(500 + i))))
