@@ -645,6 +645,20 @@ object SparkEntry {
         .select(col("cell"), col("pos"), r4(col("mean_v")).as("mean_v"))
         .orderBy(col("cell"), col("pos"))
     }),
+    // ---- LLM-pipeline: PII redaction (synthetic PII appended per doc) ----
+    "q78_pii_redact" -> ((s, d) => {
+      val pii = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256), lit(".7"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(pii).as("len_raw"),
+          length(T.redactPii(pii)).as("len_redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- LLM-pipeline: character-entropy quality signal ------------------
+    "q79_char_entropy" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), r4(T.charEntropy(col("text"))).as("entropy"))
+        .orderBy(col("doc_id"))),
     // ---- statistical aggregates (corr / covar / stddev / linear fit) -----
     "q77_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1167,6 +1181,25 @@ object SparkEntry {
         |             unnest(CAST(embedding AS DOUBLE[])) AS v FROM a)
         |SELECT cell, pos, round(avg(v), 4) AS mean_v
         |FROM e GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
+    "q78_pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.'
+        |         || (doc_id % 256) || '.7' AS pii
+        |  FROM documents)
+        |SELECT doc_id, length(pii) AS len_raw,
+        |  length(regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\+?\d[\d -]{7,}\d\b', '<PHONE>', 'g')) AS len_redacted
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q79_char_entropy" ->
+      """WITH c AS (SELECT doc_id, regexp_split_to_array(text, '') AS ch
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, round(-list_aggregate(list_transform(list_distinct(ch),
+        |    u -> (CAST(len(list_filter(ch, x -> x = u)) AS DOUBLE) / len(ch))
+        |         * ln(CAST(len(list_filter(ch, x -> x = u)) AS DOUBLE) / len(ch))),
+        |  'sum'), 4) AS entropy
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q77_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,

@@ -152,6 +152,33 @@ object TextFunctions {
         acc * 1000003L + conv(substring(md5(t), 1, 6), 16, 10).cast("long"),
         lit(1000000007L)))
 
+  /** PII redaction: emails, dotted-quad IPs, and phone-like digit runs
+    * replaced by typed placeholders — the scrubbing pass a training corpus
+    * gets before anything else sees it. Three codegen'd regexp_replace
+    * passes (RE2-compatible patterns: no lookaround, so the same patterns
+    * run in DuckDB/Go/Rust scrubbers bit-identically); zero shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\b\\+?\\d[\\d -]{7,}\\d\\b", "<PHONE>")
+
+  /** Shannon entropy (nats) of the character distribution — the
+    * perplexity-proxy quality signal: gibberish and repeated-char spam sit
+    * at the extremes, natural text in a narrow band. O(distinct·len) per
+    * row as a pure expression tree; a native expression is the upgrade
+    * path if profiles demand (distinct alphabet is small, so it hasn't). */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val n = size(chars).cast("double")
+    aggregate(array_distinct(chars), lit(0.0), (acc, c) => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      acc - p * log(p)
+    })
+  }
+
   /** Token-window chunking for LLM context preparation: overlapping windows
     * of `chunkSize` tokens stepping by `chunkSize - overlap`. Returns
     * `array<struct<chunk_idx int, chunk_text string>>` — explode it into
