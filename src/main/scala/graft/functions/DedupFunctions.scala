@@ -186,7 +186,8 @@ object DedupFunctions {
     */
   def dedupNear(df: DataFrame, textCol: String, idCol: String,
                 n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                jaccardThreshold: Double = 0.8, maxIterations: Int = 5): DataFrame = {
+                jaccardThreshold: Double = 0.8, maxIterations: Int = 5,
+                maxDriverEdges: Int = 10_000_000): DataFrame = {
     // The verified-pair graph is tiny relative to the corpus (only real
     // near-dups survive Jaccard), so components resolve driver-side with
     // union-find on the collected edges and the drop-set broadcasts back —
@@ -200,7 +201,6 @@ object DedupFunctions {
     val verified = neardupPairsLocal(df, textCol, idCol, n, bands, rowsPerBand, jaccardThreshold)
       .select("id_a", "id_b")
       .localCheckpoint(true)
-    val maxDriverEdges = 10_000_000
     if (verified.limit(maxDriverEdges + 1).count() <= maxDriverEdges) {
       val pairs = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]

@@ -297,6 +297,19 @@ class FunctionsSpec extends SparkSpec {
     assert(kept.contains(20L) && kept.contains(30L))
   }
 
+  test("dedupNear distributed label-propagation branch matches the driver union-find") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def run(maxDriverEdges: Int) =
+      DedupFunctions.dedupNear(docs, "text", "doc_id",
+          n = 3, bands = 1, rowsPerBand = 2, jaccardThreshold = 0.8,
+          maxDriverEdges = maxDriverEdges)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val driverPath = run(maxDriverEdges = 10_000_000)
+    val distributedPath = run(maxDriverEdges = 0) // forces label propagation
+    assert(driverPath === distributedPath)
+    assert(driverPath.size < docs.count(), "fixture contains near-dups to drop")
+  }
+
   test("native simhash64 matches the HOF specification on real docs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
     val nat = docs.select(col("doc_id"), DedupFunctions.simhash64(col("text")).as("h"))
