@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{DedupFunctions => D, SamplingFunctions, TextFunctions => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The full training-data curation pipeline, end to end: scrub → quality
+  * filter → exact dedup → near dedup → chunk → pack → split. Every stage
+  * is one of the engine's first-class operators; the test pins the row
+  * flow, determinism under repartitioning, and the invariants a corpus
+  * build must hold (no PII survives, no duplicate survives, every chunk
+  * respects the token budget).
+  */
+class TrainingDataPipelineEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pipeline(docs: DataFrame): DataFrame = {
+    val scrubbed = docs.withColumn("text", T.redactPii($"text"))
+    val quality = scrubbed
+      .filter(T.tokenCount($"text") >= 5 && T.charEntropy($"text") > 1.0)
+    val exact = D.dedupExact(quality, "text", "doc_id")
+    val near = D.dedupNear(exact, "text", "doc_id",
+      n = 3, bands = 2, rowsPerBand = 2, jaccardThreshold = 0.8)
+    val chunked = near
+      .select($"doc_id", $"source", explode(T.chunkTokens($"text", 64, 8)).as("c"))
+      .select($"doc_id", $"source", $"c.chunk_idx".as("chunk_idx"),
+        $"c.chunk_text".as("chunk_text"))
+    val packed = chunked
+      .withColumn("n_tok", T.tokenCount($"chunk_text"))
+      .withColumn("bin", T.packBins($"n_tok", 256,
+        Seq($"source"), Seq($"doc_id", $"chunk_idx")))
+    packed.withColumn("split",
+      when(T.hashBucket($"chunk_text", 100) < 90, "train").otherwise("holdout"))
+  }
+
+  test("curation pipeline: invariants hold and output is partition-invariant") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      // plant PII + an exact dup + near-dup pair to prove the stages act
+      .unionByName(Seq(
+        (90001L, "reach me at alice@example.com or 10.1.2.3 about the quarterly data results soon", "planted", "en", 80L),
+        (90002L, "the quick brown fox jumps over the lazy dog every single morning", "planted", "en", 64L),
+        (90003L, "the quick brown fox jumps over the lazy dog every single morning", "planted", "en", 64L), // exact dup
+        (90004L, "the quick brown fox jumps over the lazy dog every single evening", "planted", "en", 64L)  // near dup
+      ).toDF("doc_id", "text", "source", "lang", "n_chars"))
+
+    val out = pipeline(docs).cache()
+
+    // 1. no raw PII survives scrubbing
+    assert(out.filter($"chunk_text".contains("example.com") ||
+      $"chunk_text".rlike("\\b10\\.1\\.2\\.3\\b")).count() === 0)
+    assert(out.filter($"chunk_text".contains("<EMAIL>")).count() > 0,
+      "planted email must surface as a placeholder")
+    // 2. dedup kept exactly one of the planted trio
+    val planted = out.filter($"doc_id" >= 90002L && $"doc_id" <= 90004L)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(planted === Set(90002L), s"expected only the canonical doc, got $planted")
+    // 3. chunks respect the token budget
+    assert(out.filter(T.tokenCount($"chunk_text") > 64).count() === 0)
+    // 4. packing: a bin holds ≤ budget + one overflowing chunk's tokens
+    val maxBin = out.groupBy($"source", $"bin").agg(sum($"n_tok").as("t"))
+      .agg(max($"t")).as[Long].head()
+    assert(maxBin <= 256 + 64, s"bin of $maxBin tokens exceeds budget+overflow")
+    // 5. split fractions are sane and content-determined
+    val splits = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits("train") > splits.getOrElse("holdout", 0L))
+    // 6. identical output regardless of input partitioning
+    val again = pipeline(docs.repartition(13))
+      .select("doc_id", "chunk_idx", "chunk_text", "bin", "split")
+    val base = out.select("doc_id", "chunk_idx", "chunk_text", "bin", "split")
+    assert(base.exceptAll(again).count() === 0 && again.exceptAll(base).count() === 0)
+    out.unpersist()
+  }
+}
