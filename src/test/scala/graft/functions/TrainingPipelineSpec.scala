@@ -67,6 +67,57 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(SamplingFunctions.hashSample(docs, $"text", 0.0).count() === 0)
   }
 
+  test("property: chunkTokens covers every token with the declared overlap") {
+    import org.scalacheck.Gen
+    val word = Gen.choose('a', 'z').flatMap(c => Gen.choose(1, 5)
+      .map(len => c.toString * len))
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, word)
+      size <- Gen.choose(2, 8)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (ws, size, overlap)
+    val cases = Iterator.continually(gen.sample).flatten.take(25).toSeq
+    for ((ws, size, overlap) <- cases) {
+      val text = ws.mkString(" ")
+      val chunks = Seq(text).toDF("t")
+        .select(T2.chunkTokens($"t", size, overlap).as("c"))
+        .select(explode($"c").as("ch")).select($"ch.chunk_text")
+        .as[String].collect().toSeq.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+      if (ws.isEmpty) assert(chunks.isEmpty)
+      else {
+        // full coverage, in order, with the declared overlap between chunks
+        val reassembled = chunks.head ++ chunks.tail.flatMap(_.drop(overlap))
+        assert(reassembled === ws, s"coverage broken for size=$size overlap=$overlap")
+        assert(chunks.forall(_.length <= size))
+      }
+    }
+  }
+
+  test("property: packBins is monotone and respects the budget+overflow bound") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      sizes <- Gen.listOfN(n, Gen.choose(1, 500))
+      target <- Gen.choose(100, 1000)
+    } yield (sizes, target)
+    val cases = Iterator.continually(gen.sample).flatten.take(25).toSeq
+    for ((sizes, target) <- cases) {
+      val rows = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val out = rows.toDF("id", "n")
+        .withColumn("bin", T2.packBins($"n", target.toLong, Seq(lit(1)), Seq($"id")))
+        .orderBy($"id").select($"bin", $"n").as[(Long, Int)].collect()
+      // bins are nondecreasing in pack order
+      assert(out.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+      // each bin's mass ≤ target + its last (overflowing) element
+      out.groupBy(_._1).foreach { case (_, members) =>
+        val mass = members.map(_._2.toLong).sum
+        assert(mass <= target + members.last._2,
+          s"bin mass $mass exceeds target=$target + overflow")
+      }
+    }
+  }
+
   test("kmeansFit: distortion decreases monotonically-ish over iterations") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val seed = SimilarityFunctions.kmeansFit(emb, "embedding", "vec_id", k = 4,
