@@ -659,6 +659,23 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("n_chars") > 0)
         .select(col("doc_id"), r4(T.charEntropy(col("text"))).as("entropy"))
         .orderBy(col("doc_id"))),
+    // ---- LLM-pipeline: IQR-fence length-outlier filter -------------------
+    // The quartile row is a 1-row broadcast (scalar-subquery shape): the
+    // corpus scan is filtered against it with no shuffle beyond the final
+    // small aggregation. Fence multiplier 0.25 suits the synthetic
+    // length distribution (1.5 is the textbook default).
+    "q80_len_outliers" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = docs.agg(
+        expr("percentile(n_chars, 0.25)").as("q1"),
+        expr("percentile(n_chars, 0.75)").as("q3"))
+      val iqr = col("q3") - col("q1")
+      docs.crossJoin(broadcast(q))
+        .filter(col("n_chars") < col("q1") - iqr * 0.25 ||
+          col("n_chars") > col("q3") + iqr * 0.25)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_outliers"))
+        .orderBy(col("source"))
+    }),
     // ---- statistical aggregates (corr / covar / stddev / linear fit) -----
     "q77_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1181,6 +1198,12 @@ object SparkEntry {
         |             unnest(CAST(embedding AS DOUBLE[])) AS v FROM a)
         |SELECT cell, pos, round(avg(v), 4) AS mean_v
         |FROM e GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
+    "q80_len_outliers" ->
+      """WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+        |                 quantile_cont(n_chars, 0.75) AS q3 FROM documents)
+        |SELECT source, count(*) AS n_outliers FROM documents, q
+        |WHERE n_chars < q1 - 0.25 * (q3 - q1) OR n_chars > q3 + 0.25 * (q3 - q1)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q78_pii_redact" ->
       """WITH a AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com from 10.0.'
