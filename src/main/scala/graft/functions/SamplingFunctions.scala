@@ -24,6 +24,29 @@ object SamplingFunctions {
       lit(math.round(fraction * buckets)))
   }
 
+  /** Temperature-flattened mixing fractions: keep-fraction per stratum so
+    * the sampled mix follows p_s ∝ count_s^alpha (alpha=1 → natural mix,
+    * alpha=0 → uniform across strata, 0<alpha<1 → the standard flattening
+    * that up-weights low-resource languages/sources). Normalized so the
+    * largest resulting fraction is 1.0 (pure downsampling — a hash filter
+    * cannot upsample). Feed the result to [[stratifiedHashSample]]. The
+    * stratum histogram is one small aggregation; at 100 TB it's the only
+    * pass before the filter. */
+  def temperatureFractions(df: DataFrame, strataCol: Column,
+                           alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(strataCol.as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val total = counts.values.sum
+    // target share ∝ count^alpha; fraction_s = targetShare_s·total / count_s,
+    // scaled so max fraction = 1
+    val weights = counts.map { case (s, c) => s -> math.pow(c, alpha) }
+    val wTotal = weights.values.sum
+    val raw = counts.map { case (s, c) => s -> (weights(s) / wTotal) * total / c }
+    val mx = raw.values.max
+    raw.map { case (s, f) => s -> f / mx }
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (e.g.
     * downsample boilerplate-heavy sources, keep all rare-language docs).
     * Strata absent from `fractions` keep `defaultFraction`. The per-row

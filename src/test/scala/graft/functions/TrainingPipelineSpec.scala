@@ -61,6 +61,27 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(kept > 0 && kept < en, s"expected 0 < $kept < $en")
   }
 
+  test("temperatureFractions: alpha=1 natural, alpha=0 uniform-ish, flattening in between") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val natural = SamplingFunctions.temperatureFractions(docs, $"lang", alpha = 1.0)
+    assert(natural.values.forall(f => math.abs(f - 1.0) < 1e-9),
+      "alpha=1 keeps the natural mix (all fractions 1)")
+    val counts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val biggest = counts.maxBy(_._2)._1
+    val smallest = counts.minBy(_._2)._1
+    val flat = SamplingFunctions.temperatureFractions(docs, $"lang", alpha = 0.0)
+    // uniform target: the biggest stratum is downsampled hardest
+    assert(flat(biggest) < flat(smallest))
+    assert(math.abs(flat(smallest) - 1.0) < 1e-9)
+    // sampled mix approaches uniform: expected kept counts equal across strata
+    val kept = counts.map { case (s, c) => c * flat(s) }
+    assert(kept.max / kept.min < 1.0001)
+    // half-temperature sits between
+    val half = SamplingFunctions.temperatureFractions(docs, $"lang", alpha = 0.5)
+    assert(half(biggest) > flat(biggest) && half(biggest) < 1.0)
+  }
+
   test("hashSample fraction 1.0 keeps everything, 0.0 keeps nothing") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     assert(SamplingFunctions.hashSample(docs, $"text", 1.0).count() === docs.count())
