@@ -659,6 +659,16 @@ object SparkEntry {
       Tables.documents(s, d).filter(col("n_chars") > 0)
         .select(col("doc_id"), r4(T.charEntropy(col("text"))).as("entropy"))
         .orderBy(col("doc_id"))),
+    // ---- LLM-pipeline: metadata × features join (norm per language) ------
+    "q81_norm_by_lang" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Tables.documents(s, d)
+        .join(e, col("doc_id") === col("vec_id"))
+        .groupBy(col("lang"))
+        .agg(r4(avg(Sim.norm(col("embedding")))).as("avg_l2"),
+          count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
     // ---- LLM-pipeline: IQR-fence length-outlier filter -------------------
     // The quartile row is a 1-row broadcast (scalar-subquery shape): the
     // corpus scan is filtered against it with no shuffle beyond the final
@@ -1198,6 +1208,13 @@ object SparkEntry {
         |             unnest(CAST(embedding AS DOUBLE[])) AS v FROM a)
         |SELECT cell, pos, round(avg(v), 4) AS mean_v
         |FROM e GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
+    "q81_norm_by_lang" ->
+      """SELECT lang,
+        |  round(avg(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |        x -> x*x), 'sum'))), 4) AS avg_l2,
+        |  count(*) AS n
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q80_len_outliers" ->
       """WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
         |                 quantile_cont(n_chars, 0.75) AS q3 FROM documents)
