@@ -686,6 +686,25 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_outliers"))
         .orderBy(col("source"))
     }),
+    // ---- grouping sets with grouping() indicators ------------------------
+    "q82_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).as("g_status"),
+          grouping(col("o_orderpriority")).as("g_prio"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+    // ---- ordered array aggregation (top-3 totals per priority) -----------
+    "q83_top3_array" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(slice(sort_array(collect_list(r2(col("o_totalprice"))), asc = false),
+          1, 3).as("top3"))
+        .orderBy(col("o_orderpriority"))),
     // ---- statistical aggregates (corr / covar / stddev / linear fit) -----
     "q77_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1208,6 +1227,16 @@ object SparkEntry {
         |             unnest(CAST(embedding AS DOUBLE[])) AS v FROM a)
         |SELECT cell, pos, round(avg(v), 4) AS mean_v
         |FROM e GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
+    "q82_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio, count(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q83_top3_array" ->
+      """SELECT o_orderpriority,
+        |  (list_sort(list(round(o_totalprice, 2)), 'DESC'))[1:3] AS top3
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q81_norm_by_lang" ->
       """SELECT lang,
         |  round(avg(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
