@@ -37,6 +37,36 @@ class StatefulAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (Spark 4 API): streaming over RocksDB == batch group-by") {
+    val batch = Tables.events(spark, sf0001)
+    val expected = batch.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StatefulAggregates.runningUserTotalsTws(stream)
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("tws")
+          .groupBy("user_id").agg(max("n_events").as("n"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected)
+        assert(got.nonEmpty)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("batch input runs the same state function as per-key totals") {
     val batch = Tables.events(spark, sf0001)
     val got = StatefulAggregates.runningUserTotals(batch)
