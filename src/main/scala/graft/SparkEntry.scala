@@ -566,6 +566,20 @@ object SparkEntry {
           coalesce(col("err_event_id"), lit(-1L)).as("err_event_id"))
         .orderBy(col("event_id"))
     }),
+    // ---- as-of join, forward direction (next error after purchase) -------
+    "q84_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val left = ev.filter(col("event_type") === "purchase")
+      val right = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("next_err"))
+      graft.meta.TemporalJoins.asofJoin(left, right,
+          Seq("user_id"), Seq("user_id"), "ts", "ts", Seq("next_err"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("next_err"), lit(-1L)).as("next_err"))
+        .orderBy(col("event_id"))
+    }),
     // ---- range join via time bucketing (no BNLJ; see TemporalJoins) ------
     // Low-priority orders placed within 2 days after an urgent order,
     // counted per month — the interval join the naive `between` condition
@@ -1162,6 +1176,13 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, coalesce(r.err_event_id, -1) AS err_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
         |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q84_asof_forward" ->
+      """WITH r AS (SELECT user_id, ts, max(event_id) AS next_err
+        |           FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, coalesce(r.next_err, -1) AS next_err
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
         |ORDER BY l.event_id""".stripMargin,
     "q68_range_join" ->
       """SELECT CAST(date_trunc('month', l.o_orderdate) AS DATE) AS month,
