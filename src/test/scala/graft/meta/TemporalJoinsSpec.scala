@@ -59,6 +59,24 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("asofJoin forward matches the brute-force non-equi formulation on real data") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val left = ev.filter($"event_type" === "purchase")
+    val right = ev.filter($"event_type" === "error")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("next_err"))
+    val fast = TemporalJoins.asofJoin(left, right,
+        Seq("user_id"), Seq("user_id"), "ts", "ts", Seq("next_err"),
+        direction = "forward")
+      .select($"event_id", $"next_err")
+    // brute force: earliest right at-or-after each left row
+    val r = right.toDF("r_uid", "r_ts", "r_eid")
+    val brute = left.join(r, $"user_id" === $"r_uid" && $"ts" <= $"r_ts", "left")
+      .groupBy($"event_id")
+      .agg(min_by($"r_eid", struct($"r_ts", $"r_eid")).as("next_err"))
+    val diff = fast.exceptAll(brute).count() + brute.exceptAll(fast).count()
+    assert(diff === 0)
+  }
+
   test("asofJoin plans no join node — union + one window, one shuffle") {
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
     val left = ev.filter($"event_type" === "purchase")
