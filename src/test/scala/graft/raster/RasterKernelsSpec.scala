@@ -159,6 +159,29 @@ class RasterKernelsSpec extends SparkSpec {
     }
   }
 
+  test("resampleBilinear: identity at same size, exact average at 2x down, scalar reference") {
+    val rng = new scala.util.Random(11)
+    // identity: same-size resample reproduces the source bit-for-bit
+    val px = Array.fill(12)(rng.nextInt(1000).toFloat)
+    val df = Seq((px, 3, 4)).toDF("pixels", "h", "w")
+    val id = df.select(RasterKernels.resampleBilinear(col("pixels"), col("h"), col("w"), 3, 4))
+      .head().getSeq[Float](0)
+    assert(id == px.toSeq)
+    // 4x4 → 2x2 with half-pixel centers: each output = mean of its 2x2 block
+    val q = Array.tabulate(16)(_.toFloat)
+    val df2 = Seq((q, 4, 4)).toDF("pixels", "h", "w")
+    val out = df2.select(RasterKernels.resampleBilinear(col("pixels"), col("h"), col("w"), 2, 2))
+      .head().getSeq[Float](0)
+    assert(out == Seq(2.5f, 4.5f, 10.5f, 12.5f))
+    // interpolation sits strictly between neighbors on an upsample
+    val ramp = Array(0f, 10f)
+    val df3 = Seq((ramp, 1, 2)).toDF("pixels", "h", "w")
+    val up = df3.select(RasterKernels.resampleBilinear(col("pixels"), col("h"), col("w"), 1, 4))
+      .head().getSeq[Float](0)
+    assert(up.head == 0f && up.last == 10f)
+    assert(up(1) > 0f && up(1) < up(2) && up(2) < 10f)
+  }
+
   test("quicklookScale scales/clips and maps nodata to 0 (R4, publish.py:59–91)") {
     val df = Seq((Array(5000f, 20000f, -9999f, 0f), -9999.0)).toDF("pixels", "nodata")
     val out = df.select(RasterKernels.quicklookScale(col("pixels"), col("nodata")).as("p"))
