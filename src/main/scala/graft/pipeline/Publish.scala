@@ -93,4 +93,32 @@ object Publish {
     * nested-transaction upsert becomes one batched merge. */
   def publishItems(existing: DataFrame, staged: DataFrame): DataFrame =
     Pipeline.mergeByKey(existing, staged, Seq("name", "collection_id"))
+
+  /** STAC 1.0.0 Feature JSON for an assembled item row — the export shape
+    * the reference's catalog consumers read (publish.py:575–605 writes the
+    * same fields into the PostGIS `Item`: id/collection/bbox/footprint/
+    * datetime/cloud cover/assets). One `to_json` projection; the polygon
+    * ring is closed (first vertex repeated) per the GeoJSON spec. */
+  def stacItemJson(item: DataFrame): DataFrame = {
+    val ring = concat(
+      transform(col("footprint"), p => array(p.getField("x"), p.getField("y"))),
+      slice(transform(col("footprint"), p => array(p.getField("x"), p.getField("y"))),
+        1, 1))
+    item.select(col("name"), to_json(struct(
+      lit("Feature").as("type"),
+      lit("1.0.0").as("stac_version"),
+      col("name").as("id"),
+      col("collection_id").cast("string").as("collection"),
+      array(col("bbox.xmin"), col("bbox.ymin"), col("bbox.xmax"), col("bbox.ymax"))
+        .as("bbox"),
+      when(col("footprint").isNotNull,
+        struct(lit("Polygon").as("type"), array(ring).as("coordinates")))
+        .as("geometry"),
+      struct(
+        date_format(col("start_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("datetime"),
+        date_format(col("start_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_datetime"),
+        date_format(col("end_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("end_datetime"),
+        col("cloud_cover").as("eo:cloud_cover")).as("properties"),
+      col("assets").as("assets"))).as("stac_json"))
+  }
 }

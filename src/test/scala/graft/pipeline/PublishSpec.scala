@@ -59,6 +59,28 @@ class PublishSpec extends SparkSpec {
     // idempotent merge: republish updates, not duplicates
     val again = Publish.publishItems(items, items)
     assert(again.count() == 1)
+    // STAC export: valid Feature JSON with the reference's fields
+    val stac = Publish.stacItemJson(items)
+      .select(col("name"), col("stac_json"),
+        get_json_object(col("stac_json"), "$.type").as("t"),
+        get_json_object(col("stac_json"), "$.id").as("id"),
+        get_json_object(col("stac_json"), "$.collection").as("c"),
+        get_json_object(col("stac_json"), "$.properties.datetime").as("dt"),
+        get_json_object(col("stac_json"), "$['properties']['eo:cloud_cover']").as("cc"),
+        get_json_object(col("stac_json"), "$.geometry.type").as("gt"))
+      .head()
+    assert(stac.getAs[String]("t") == "Feature")
+    assert(stac.getAs[String]("id") == "SC1")
+    assert(stac.getAs[String]("c") == "7")
+    assert(stac.getAs[String]("dt") == "2020-01-10T00:00:00Z")
+    assert(stac.getAs[String]("cc") == "12.5")
+    assert(stac.getAs[String]("gt") == "Polygon")
+    // polygon ring closes: first coordinate pair == last
+    val coords = stac.getAs[String]("stac_json")
+    val ring = get_json_object(lit(coords), "$.geometry.coordinates[0]")
+    val ringStr = spark.range(1).select(ring).head().getString(0)
+    val pts = ringStr.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+    assert(pts.head == pts.last && pts.length >= 4)
   }
 
   test("footprint reprojects from UTM to EPSG:4326 lon/lat (publish.py:272–273)") {
