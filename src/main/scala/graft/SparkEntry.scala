@@ -314,6 +314,17 @@ object SparkEntry {
             graft.raster.RasterKernels.resampleNearest(col("embedding"), lit(8), lit(8), 4, 4),
             lit(0.0), (a, p) => a + p.cast("double"))).as("checksum"))
         .orderBy(col("vec_id"))),
+    // ---- §2.8 R3 bilinear resample over tiles (8x8 → 4x4) ----------------
+    // At an exact 2× downsample the half-pixel four-tap lerp reduces to
+    // 2x2 block means, which the oracle reproduces in closed form.
+    "q85_bilinear_tiles" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          r4(aggregate(
+            graft.raster.RasterKernels.resampleBilinear(
+              col("embedding"), lit(8), lit(8), 4, 4),
+            lit(0.0), (a, p) => a + p.cast("double"))).as("checksum"))
+        .orderBy(col("vec_id"))),
     // ---- §2.8 R4 quicklook scaling ---------------------------------------
     "q39_quicklook_scale" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -942,6 +953,16 @@ object SparkEntry {
       """SELECT vec_id, round(list_aggregate(list_transform(
         |  generate_series(0, 15),
         |  i -> embedding[((i // 4) * 2) * 8 + (i % 4) * 2 + 1]),
+        |  'sum'), 4) AS checksum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q85_bilinear_tiles" ->
+      """SELECT vec_id, round(list_aggregate(list_transform(
+        |  generate_series(0, 15),
+        |  i -> CAST((CAST(embedding[(i // 4 * 2) * 8 + (i % 4) * 2 + 1] AS DOUBLE)
+        |           + CAST(embedding[(i // 4 * 2) * 8 + (i % 4) * 2 + 2] AS DOUBLE)
+        |           + CAST(embedding[(i // 4 * 2 + 1) * 8 + (i % 4) * 2 + 1] AS DOUBLE)
+        |           + CAST(embedding[(i // 4 * 2 + 1) * 8 + (i % 4) * 2 + 2] AS DOUBLE))
+        |           / 4.0 AS FLOAT)),
         |  'sum'), 4) AS checksum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q39_quicklook_scale" ->
