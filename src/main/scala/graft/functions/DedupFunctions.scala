@@ -220,25 +220,11 @@ object DedupFunctions {
       if (dropped.isEmpty) df
       else df.filter(!col(idCol).isin(dropped: _*))
     } else {
-      val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
-      var labels = df.select(col(idCol).as("id"), col(idCol).as("label"))
-      var i = 0
-      var converged = false
-      while (i < maxIterations && !converged) {
-        val neighbourLabels = edges
-          .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
-          .groupBy(col("src")).agg(min(col("dst_label")).as("min_neighbour"))
-        val next = labels.join(neighbourLabels, labels("id") === neighbourLabels("src"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("min_neighbour"), col("label"))).as("label"))
-          .localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .filter(col("label") =!= col("old")).head(1).isEmpty
-        labels = next
-        i += 1
-      }
       // canonical = min id per component; keep only canonical rows
+      val labels = GraphFunctions.connectedComponents(
+        df.select(col(idCol)), verified,
+        idCol = idCol, srcCol = "id_a", dstCol = "id_b",
+        maxIterations = maxIterations)
       val keep = labels.filter(col("id") === col("label")).select(col("id"))
       df.join(keep.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
     }

@@ -297,6 +297,20 @@ class FunctionsSpec extends SparkSpec {
     assert(kept.contains(20L) && kept.contains(30L))
   }
 
+  test("connectedComponents labels chains, cycles, and singletons") {
+    import spark.implicits._
+    val vertices = (1L to 9L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L),           // chain 1-2-3
+      (4L, 5L), (5L, 6L), (6L, 4L), // cycle 4-5-6
+      (7L, 8L)                      // pair; 9 is a singleton
+    ).toDF("src", "dst")
+    val labels = GraphFunctions.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("dedupNear distributed label-propagation branch matches the driver union-find") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(maxDriverEdges: Int) =
