@@ -12,6 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object TableLayout {
 
+  /** Training-shard writer: the output stage of the curation pipeline.
+    * Samples land in `shards` evenly-sized parquet files (range-partitioned
+    * on a content-hash shard id so shard membership is deterministic and
+    * re-runs produce identical shards), each capped at `maxRecordsPerFile`;
+    * returns the manifest (shard → rows) read back from the written data.
+    *
+    * Scale notes: training readers want many equal shards, not one file
+    * per reducer — range partitioning on the hash id gives uniform sizes
+    * regardless of upstream skew, and `maxRecordsPerFile` bounds any
+    * single file without an extra shuffle. */
+  def writeShards(samples: DataFrame, keyCol: String, path: String,
+                  shards: Int, maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = samples.sparkSession
+    samples
+      .withColumn("shard", pmod(xxhash64(col(keyCol)), lit(shards)).cast("int"))
+      .repartitionByRange(shards, col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("shard"))
+  }
+
   /** Write items partitioned by month(start_date). */
   def writeItems(items: DataFrame, path: String): Unit =
     items

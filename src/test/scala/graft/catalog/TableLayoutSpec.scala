@@ -22,4 +22,25 @@ class TableLayoutSpec extends SparkSpec {
     val files = q.select(input_file_name()).distinct().collect().map(_.getString(0))
     assert(files.forall(f => f.contains("month=2020-01") || f.contains("month=2020-02")))
   }
+
+  test("writeShards: deterministic shard membership, even sizes, manifest adds up") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val p1 = Files.createTempDirectory("graft-shards1").toString
+    val p2 = Files.createTempDirectory("graft-shards2").toString
+    val m1 = TableLayout.writeShards(docs, "text", p1, shards = 8)
+      .as[(Int, Long)].collect().toMap
+    val m2 = TableLayout.writeShards(docs.repartition(13), "text", p2, shards = 8)
+      .as[(Int, Long)].collect().toMap
+    assert(m1 === m2, "shard membership must not depend on input partitioning")
+    assert(m1.values.sum === docs.count())
+    assert(m1.size === 8)
+    // even-ish: no shard more than 3x the smallest (hash uniformity at n=500)
+    assert(m1.values.max <= m1.values.min * 3)
+    // re-reading a single shard prunes to its directory
+    val one = spark.read.parquet(p1).filter(col("shard") === 3)
+    val files = one.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("shard=3")))
+  }
 }
