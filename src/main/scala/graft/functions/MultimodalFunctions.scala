@@ -139,6 +139,9 @@ object MultimodalFunctions {
     /** True sample rate / channels / duration from the audio header. */
     def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] =
       try {
+        val container = AudioSystem.getAudioFileFormat(
+          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+          .getType.getExtension // "wav" | "aif" | "au" — the real container
         val in = AudioSystem.getAudioInputStream(
           new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
         try {
@@ -146,7 +149,7 @@ object MultimodalFunctions {
           val frames = in.getFrameLength
           val durMs = if (frames >= 0 && f.getFrameRate > 0)
             (frames * 1000L / f.getFrameRate).toLong else 0L
-          Some(MediaMeta("wav", width = 0, height = 0,
+          Some(MediaMeta(container, width = 0, height = 0,
             channels = f.getChannels, sampleRate = f.getSampleRate.toInt,
             durationMs = durMs))
         } finally in.close()

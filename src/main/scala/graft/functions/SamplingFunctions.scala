@@ -35,8 +35,13 @@ object SamplingFunctions {
   def temperatureFractions(df: DataFrame, strataCol: Column,
                            alpha: Double): Map[String, Double] = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
-    val counts = df.groupBy(strataCol.as("s")).count()
+    // cast to string (works for any stratum type) and drop NULL strata:
+    // stratifiedHashSample's equality CASE can never match NULL anyway
+    // (those rows keep defaultFraction)
+    val counts = df.groupBy(strataCol.cast("string").as("s")).count()
+      .filter(org.apache.spark.sql.functions.col("s").isNotNull)
       .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    if (counts.isEmpty) return Map.empty
     val total = counts.values.sum
     // target share ∝ count^alpha; fraction_s = targetShare_s·total / count_s,
     // scaled so max fraction = 1

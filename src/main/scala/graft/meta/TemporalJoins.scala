@@ -49,8 +49,13 @@ object TemporalJoins {
     val p = struct(payload.map(col): _*)
     // Right side: keys renamed to the left's names, payload boxed into one
     // nullable struct so unionByName can null-fill it for left rows.
-    val r = right.select(
-      rightKeys.map(col) ++ Seq(col(rightTs).as("__t"), p.as("__p")): _*)
+    // Null-key right rows are dropped: SQL equality (and DuckDB ASOF JOIN)
+    // never matches NULL = NULL, but window partitionBy groups NULLs
+    // together — without the filter, null-key left rows would wrongly
+    // receive null-key right payloads.
+    val r = right
+      .filter(rightKeys.map(col(_).isNotNull).reduce(_ && _))
+      .select(rightKeys.map(col) ++ Seq(col(rightTs).as("__t"), p.as("__p")): _*)
       .toDF(leftKeys ++ Seq("__t", "__p"): _*)
       .withColumn("__side", lit(0))
     val l = left

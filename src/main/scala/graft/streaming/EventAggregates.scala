@@ -52,7 +52,9 @@ object EventAggregates {
     * `events` input. */
   def enrichEvents(events: DataFrame, dim: DataFrame,
                    eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === dim(dimKey), "left")
+    // side-qualified columns: col(eventKey) would be AMBIGUOUS_REFERENCE
+    // whenever the dim carries a same-named key (the common case)
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
 
   /** Stream-stream correlation join: pair each left event with the right
     * events of the same `key` whose timestamp falls within the trailing
@@ -64,11 +66,12 @@ object EventAggregates {
     * schema explicit. Batch inputs run the same join unwatermarked. */
   def correlateWithin(lhs: DataFrame, rhs: DataFrame, key: String,
                       gapSeconds: Long,
-                      watermark: String = "30 minutes"): DataFrame = {
+                      watermark: String = "30 minutes",
+                      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
     def side(df: DataFrame, p: String) = {
-      val wm = if (df.isStreaming) df.withWatermark("ts", watermark) else df
-      wm.select(col(key).as(s"${p}_key"), col("ts").as(s"${p}_ts"),
-        col("event_id").as(s"${p}_id"))
+      val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+      wm.select(col(key).as(s"${p}_key"), col(tsCol).as(s"${p}_ts"),
+        col(idCol).as(s"${p}_id"))
     }
     val l = side(lhs, "l")
     val r = side(rhs, "r")

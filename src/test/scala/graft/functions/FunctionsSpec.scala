@@ -311,6 +311,18 @@ class FunctionsSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("connectedComponents: pointer jumping resolves a 64-chain in default rounds; refuses to return non-converged labels") {
+    import spark.implicits._
+    val vertices = (0L until 64L).toDF("id")
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = GraphFunctions.connectedComponents(vertices, chain)
+      .as[(Long, Long)].collect()
+    assert(labels.forall(_._2 == 0L), "entire chain must collapse to label 0")
+    intercept[IllegalArgumentException] {
+      GraphFunctions.connectedComponents(vertices, chain, maxIterations = 1)
+    }
+  }
+
   test("dedupNear distributed label-propagation branch matches the driver union-find") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(maxDriverEdges: Int) =

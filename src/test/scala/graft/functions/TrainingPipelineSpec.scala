@@ -82,6 +82,15 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(half(biggest) > flat(biggest) && half(biggest) < 1.0)
   }
 
+  test("temperatureFractions handles non-string strata and empty input") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("src_num", abs(hash($"source")) % 5) // int strata column
+    val f = SamplingFunctions.temperatureFractions(docs, $"src_num", alpha = 0.5)
+    assert(f.nonEmpty && f.keys.forall(_.forall(_.isDigit)))
+    assert(SamplingFunctions.temperatureFractions(
+      docs.filter(lit(false)), $"src_num", 0.5) === Map.empty)
+  }
+
   test("hashSample fraction 1.0 keeps everything, 0.0 keeps nothing") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     assert(SamplingFunctions.hashSample(docs, $"text", 1.0).count() === docs.count())

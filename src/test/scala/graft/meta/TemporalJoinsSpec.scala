@@ -77,6 +77,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("asofJoin: null keys never match (SQL equality semantics, not window-NULL grouping)") {
+    val left = Seq(
+      (1L, Some(10L), ts("2024-01-01 10:00:00")),
+      (2L, None, ts("2024-01-01 10:00:00")) // null key → must stay unmatched
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Some(10L), ts("2024-01-01 09:00:00"), "a"),
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), "nullrow")
+    ).toDF("k", "t", "v")
+    val out = TemporalJoins.asofJoin(left, right,
+        Seq("k"), Seq("k"), "t", "t", Seq("v"))
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(1L -> Some("a"), 2L -> None))
+  }
+
   test("asofJoin plans no join node — union + one window, one shuffle") {
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
     val left = ev.filter($"event_type" === "purchase")

@@ -116,6 +116,16 @@ class EventAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichEvents resolves when the dim key shares the event key's name") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001).limit(50)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("tier", col("user_id") % 3)
+    val out = EventAggregates.enrichEvents(ev, dim, "user_id", "user_id")
+    assert(out.count() === 50)
+    assert(out.columns.count(_ == "user_id") === 2) // both sides kept, qualified
+  }
+
   test("stream-stream correlation: watermarked interval join == batch join") {
     val batch = Tables.events(spark, sf0001)
     val purchases = batch.filter(col("event_type") === "purchase")
