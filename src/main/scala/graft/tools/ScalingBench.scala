@@ -86,9 +86,37 @@ object ScalingBench {
         })
     }
 
-    val r1 = suite("1x", base, embBase)
+    def temporalSuite(tag: String, events: DataFrame): Map[String, Double] = Map(
+      "asof_join" -> time(s"$tag asof_join") {
+        val left = events.filter(col("event_type") === "purchase")
+        val right = events.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("e"))
+        graft.meta.TemporalJoins.asofJoin(left, right,
+          Seq("user_id"), Seq("user_id"), "ts", "ts", Seq("e")).count()
+      },
+      "range_join" -> time(s"$tag range_join") {
+        val pts = events.filter(col("event_type") === "click")
+          .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val ivs = events.filter(col("event_type") === "error")
+          .select(col("event_id").as("i_id"), col("ts").as("i_start"),
+            (col("ts") + expr("interval 10 minutes")).as("i_end"))
+        graft.meta.TemporalJoins.rangeJoinBuckets(pts, ivs,
+          "p_ts", "i_start", "i_end", bucketSeconds = 600).count()
+      })
+
+    val evBase = graft.catalog.Tables.events(spark, d)
+    val evDir = s"/tmp/graft-scale-ev-x$k"
+    if (!new java.io.File(evDir).exists())
+      (0 until k).map(i => evBase
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 100_000_000L))
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 10_000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(evDir)
+
+    val r1 = suite("1x", base, embBase) ++ temporalSuite("1x", evBase)
     val rk = suite(s"${k}x",
-      spark.read.parquet(docsDir), spark.read.parquet(embDir))
+      spark.read.parquet(docsDir), spark.read.parquet(embDir)) ++
+      temporalSuite(s"${k}x", spark.read.parquet(evDir))
     println(f"== scaling ratios (${k}x / 1x wall, ideal <= $k) ==")
     r1.keys.toSeq.sorted.foreach { op =>
       println(f"[ratio] $op%-20s ${rk(op) / r1(op)}%.1f")
