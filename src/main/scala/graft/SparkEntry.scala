@@ -751,7 +751,29 @@ object SparkEntry {
       val (acts, _) = Pipeline.planActivities(scenes, "s_name", 1, tree)
       acts.groupBy(col("activity_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("activity_type"))
-    })
+    }),
+    // ---- test-set decontamination (n-gram leakage guard) -----------------
+    // Benchmark = every 97th doc; survivors share no 5-gram with it.
+    "q86_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.functions.DedupFunctions.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", n = 5)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_clean"))
+        .orderBy(col("source"))
+    }),
+    // ---- deterministic per-source cap (domain balancing) -----------------
+    "q87_cap_per_source" -> ((s, d) =>
+      graft.functions.SamplingFunctions.capPerGroup(
+          Tables.documents(s, d), col("source"), col("doc_id"), 20)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))),
+    // ---- boilerplate n-gram flagging (top-20 corpus 3-grams per doc) -----
+    "q88_boilerplate" -> ((s, d) =>
+      graft.functions.TextFunctions.boilerplateHits(
+          Tables.documents(s, d), "text", "doc_id", n = 3, topK = 20)
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -1325,7 +1347,39 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 4) AS score
         |FROM embeddings
         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, vec_id
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q86_decontaminate" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |btk AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 97 = 0 AND trim(text) <> ''),
+        |bg AS (SELECT DISTINCT unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 4, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+        |  FROM btk),
+        |ctk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM corpus WHERE trim(text) <> ''),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 4, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+        |  FROM ctk),
+        |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+        |SELECT source, count(*) AS n_clean FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q87_cap_per_source" ->
+      """SELECT source, doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+        |ORDER BY source, doc_id""".stripMargin,
+    "q88_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |ng AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g FROM toks),
+        |top AS (SELECT g FROM ng GROUP BY g ORDER BY count(*) DESC, g LIMIT 20)
+        |SELECT doc_id, count(*) AS boilerplate_hits FROM ng JOIN top USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

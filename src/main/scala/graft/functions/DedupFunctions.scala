@@ -270,6 +270,28 @@ object DedupFunctions {
   def simhashMd5(text: Column): Column =
     graft.expr.NativeFunctions.simhash_md5_16(text)
 
+  /** Test-set decontamination: drop corpus docs that share any distinct word
+    * n-gram with a benchmark set (the standard guard against evaluation
+    * leakage in training corpora; n=13 in published pipelines, parameterized
+    * here).
+    *
+    * Scale shape (100 TB corpus, benchmark ≪ corpus): the benchmark n-gram
+    * dictionary is benchmark-sized — thousands of docs, not billions — so it
+    * broadcasts; corpus n-grams are computed scan-side by the native
+    * [[graft.expr.WordNgramsExpr]] and probe the broadcast set with no
+    * corpus shuffle. Only the (small) contaminated-id set is broadcast back
+    * for the anti-join, so the corpus payload never crosses an exchange.
+    * Docs too short to have an n-gram cannot leak and survive. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    val g = graft.expr.NativeFunctions.word_ngrams(col(textCol), n)
+    val benchGrams = benchmark.select(explode(g).as("__g")).distinct()
+    val contaminated = corpus.select(col(idCol), explode(g).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** HOF formulation of [[simhashMd5]] — executable specification.
     * Bit i votes on bit (i%4) of hex digit (i/4) of md5(token). */
   def simhashMd5Hof(text: Column): Column = {

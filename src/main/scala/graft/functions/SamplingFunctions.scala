@@ -70,4 +70,23 @@ object SamplingFunctions {
     }
     df.filter(TextFunctions.hashBucket(keyCol, buckets) < threshold)
   }
+
+  /** Deterministic per-group cap (domain balancing): keep at most
+    * `maxPerGroup` rows per group, chosen by content-hash order — the
+    * standard "no single domain dominates the corpus" guard. Hash order
+    * (md5 of the key) rather than arrival order makes the kept subset a
+    * uniform, engine- and partitioning-independent sample of each group;
+    * ties broken by the key itself so the cut is total.
+    *
+    * Scale shape: ONE shuffle on the group key; within-group sort is
+    * bounded by group size, and the only groups that matter are the hot
+    * ones the cap exists to trim. */
+  def capPerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+                  maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(md5(keyCol.cast("string")).asc, keyCol.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup).drop("__rn")
+  }
 }

@@ -226,4 +226,27 @@ object TextFunctions {
     val before = coalesce(sum(tokenCount).over(w), lit(0L))
     floor(before / targetTokens).cast("long")
   }
+
+  /** Boilerplate flagging: per-doc count of distinct word n-grams that land
+    * in the corpus-wide top-`topK` most frequent n-grams (navigation chrome,
+    * license headers, cookie banners — the text every crawl repeats). Docs
+    * with zero hits are dropped; downstream either filters on a hit
+    * threshold or strips the flagged grams.
+    *
+    * Scale shape: the top-K dictionary comes from one explode + hash
+    * aggregation with map-side partials (n-grams computed scan-side by the
+    * native [[graft.expr.WordNgramsExpr]]), and K rows broadcast back — the
+    * corpus is scanned twice but never shuffled beyond fixed-size
+    * (gram, count) partials. Top-K tie at the boundary is broken by the
+    * gram itself, keeping the dictionary deterministic. */
+  def boilerplateHits(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String, n: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val grams = df.select(col(idCol),
+      explode(graft.expr.NativeFunctions.word_ngrams(col(textCol), n)).as("__g"))
+    val top = grams.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__g")).limit(topK).select(col("__g"))
+    grams.join(broadcast(top), "__g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("boilerplate_hits"))
+  }
 }

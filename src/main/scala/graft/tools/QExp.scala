@@ -1,9 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.catalog.Tables
-import graft.functions.{DedupFunctions => D}
 
 /** Micro-benchmark harness for comparing query formulations at sf0.1
   * before they land in SparkEntry (not part of the library surface). */
@@ -23,20 +20,15 @@ object QExp {
         println(s"[exp] $name run$i: ${math.round((System.nanoTime() - t0) / 1e6) / 1000.0} s ($n rows)")
       }
 
-    val docs = Tables.documents(spark, d)
-    time("scan_only_sig_sh") {
-      docs.select(
-          graft.expr.NativeFunctions.word_ngrams(col("text"), 3).as("sh"),
-          D.minhashSignature(col("text"), 3, 2).as("sig"))
-        .agg(count(col("sig"))).head().getLong(0)
-    }
-    time("scan_only_sig") {
-      docs.select(D.minhashSignature(col("text"), 3, 2).as("sig"))
-        .agg(count(col("sig"))).head().getLong(0)
-    }
-    time("q43_full") {
-      D.neardupPairsLocal(docs, "text", "doc_id",
-        n = 3, bands = 1, rowsPerBand = 2, jaccardThreshold = 0.0).count()
+    // plan shape + wall for the new curation queries
+    Seq("q86_decontaminate", "q87_cap_per_source", "q88_boilerplate").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, d)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"[exp] $q joins: " +
+        "BroadcastHashJoin".r.findAllIn(plan).length + " broadcast, " +
+        "SortMergeJoin".r.findAllIn(plan).length + " sort-merge, " +
+        "NestedLoop".r.findAllIn(plan).length + " nested-loop")
+      time(q) { df.count() }
     }
     spark.stop()
   }

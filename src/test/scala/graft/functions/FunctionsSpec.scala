@@ -366,4 +366,43 @@ class FunctionsSpec extends SparkSpec {
       .map(_.getString(0)).toSeq
     assert(got == Seq("en", "fr", "und"))
   }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x y alpha beta gamma delta epsilon z"), // contains the 5-gram → dropped
+      (2L, "alpha beta gamma delta other words here"), // only a 4-gram overlap → kept
+      (3L, "completely unrelated text with many distinct words"),
+      (4L, "short doc")) // too short for any 5-gram → kept
+      .toDF("doc_id", "text")
+    val kept = DedupFunctions.decontaminate(corpus, bench, "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L))
+  }
+
+  test("capPerGroup keeps at most N per group, deterministically under repartitioning") {
+    val df = (1L to 100L).map(i => (if (i <= 90) "big" else "small", i))
+      .toDF("source", "doc_id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SamplingFunctions.capPerGroup(d, col("source"), col("doc_id"), 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val kept = run(df)
+    assert(kept.count(_._1 == "big") == 10, "hot group capped at 10")
+    assert(kept.count(_._1 == "small") == 10, "small group kept whole")
+    assert(run(df.repartition(7, col("doc_id"))) === kept,
+      "membership is a pure function of content, not partitioning")
+  }
+
+  test("boilerplateHits counts per-doc top-K n-gram occurrences") {
+    val df = Seq(
+      (1L, "cookie banner text cookie banner text unique one"),
+      (2L, "cookie banner text and some other words"),
+      (3L, "totally different content nothing shared at all"))
+      .toDF("doc_id", "text")
+    // with topK=1 the single most frequent 3-gram is "cookie banner text"
+    // (df=2; distinct-per-doc so doc 1's repeat doesn't inflate its count)
+    val hits = TextFunctions.boilerplateHits(df, "text", "doc_id", n = 3, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits === Map(1L -> 1L, 2L -> 1L))
+  }
 }
