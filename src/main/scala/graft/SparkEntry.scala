@@ -773,7 +773,16 @@ object SparkEntry {
     "q88_boilerplate" -> ((s, d) =>
       graft.functions.TextFunctions.boilerplateHits(
           Tables.documents(s, d), "text", "doc_id", n = 3, topK = 20)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // ---- batched k-NN join (bounded-buffer per-query top-k) --------------
+    "q89_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.functions.SimilarityFunctions.knnJoin(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        .select(col("q_id"), col("c_id"), r4(col("score")).as("score"))
+        .orderBy(col("q_id"), col("c_id"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -1379,7 +1388,17 @@ object SparkEntry {
         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g FROM toks),
         |top AS (SELECT g FROM ng GROUP BY g ORDER BY count(*) DESC, g LIMIT 20)
         |SELECT doc_id, count(*) AS boilerplate_hits FROM ng JOIN top USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q89_knn_join" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id >= 5)
+        |SELECT q_id, c_id, round(list_cosine_similarity(c.e, q.e), 4) AS score
+        |FROM q CROSS JOIN c
+        |QUALIFY row_number() OVER (PARTITION BY q_id
+        |  ORDER BY list_cosine_similarity(c.e, q.e) DESC, c_id) <= 5
+        |ORDER BY q_id, c_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

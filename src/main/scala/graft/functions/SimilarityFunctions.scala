@@ -44,6 +44,62 @@ object SimilarityFunctions {
       .limit(k)
   }
 
+  /** Bounded top-k buffer for [[knnJoin]]: keeps the k best (score, id)
+    * pairs, score-descending with id-ascending tie-break (the same total
+    * order a `row_number` oracle uses). The buffer is compacted whenever it
+    * doubles, so reduce stays amortized O(log k) and the merge/shuffle
+    * payload is ≤ k pairs per (partition, query) — the property that makes
+    * per-query top-k scale: map-side partial aggregation bounds the
+    * exchange at partitions × queries × k, independent of corpus size. */
+  class TopKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Array[(Double, Long)], Array[(Double, Long)]]
+      with Serializable {
+    require(k >= 1, s"k must be >= 1, got $k")
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def top(xs: Array[(Double, Long)]): Array[(Double, Long)] =
+      xs.sortWith(better).take(k)
+    def zero: Array[(Double, Long)] = Array.empty
+    def reduce(buf: Array[(Double, Long)], x: (Double, Long)): Array[(Double, Long)] = {
+      val grown = buf :+ x
+      if (grown.length >= 2 * k) top(grown) else grown
+    }
+    def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] =
+      top(a ++ b)
+    def finish(buf: Array[(Double, Long)]): Array[(Double, Long)] = top(buf)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+  }
+
+  /** Batched k-NN join: for every query row, the k nearest corpus rows by
+    * cosine — the primitive behind retrieval eval sets and hard-negative
+    * mining. Output: (q_id, c_id, score), k rows per query.
+    *
+    * Scale shape (10⁹-row corpus, 10²–10⁴ queries): the query set
+    * broadcasts; scoring is a narrow pass over the corpus scan (native
+    * [[graft.expr.DotProductExpr]] per pair); the per-query top-k runs as
+    * a bounded-buffer Aggregator, so map-side partials reduce each
+    * partition to ≤ k candidates per query BEFORE the one exchange on
+    * q_id. A window `row_number` formulation would shuffle every scored
+    * pair (rows × queries); this shuffles partitions × queries × k. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame,
+              qIdCol: String, qEmbCol: String,
+              cIdCol: String, cEmbCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    corpus
+      .join(broadcast(queries.select(col(qIdCol).as("q_id"), col(qEmbCol).as("__qe"))))
+      .select(col("q_id"), cosine(col(cEmbCol), col("__qe")).as("__s"),
+        col(cIdCol).cast("long").as("__c"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("__s"), col("__c")).as("__nn"))
+      .select(col("q_id"), explode(col("__nn")).as("__p"))
+      .select(col("q_id"), col("__p._2").as("c_id"), col("__p._1").as("score"))
+  }
+
   /** Random-hyperplane LSH bucket id (b signed projections → b-bit bucket).
     * Hyperplanes are generated deterministically from `seed` so the same
     * bucketing reproduces across runs/engines. */

@@ -393,6 +393,31 @@ class FunctionsSpec extends SparkSpec {
       "membership is a pure function of content, not partitioning")
   }
 
+  test("knnJoin matches the window row_number formulation; partial-aggregates before the shuffle") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (queries, corpus) = (emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3))
+    val got = SimilarityFunctions.knnJoin(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 7)
+    // reference: score everything, window top-k
+    val scored = corpus.crossJoin(
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        SimilarityFunctions.cosine(col("embedding"), col("qe")).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id").asc)
+    val ref = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7).drop("rn")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    assert(got.count() == 3 * 7)
+    // the scale property: a partial (map-side) aggregate runs before the exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected object/sort aggregate for the bounded top-k buffer, got:\n$plan")
+    assert("partial_topkaggregator|partial\\(".r.findFirstIn(plan.toLowerCase).isDefined
+      || plan.toLowerCase.contains("partial"),
+      "expected a partial aggregation phase before the shuffle")
+  }
+
   test("boilerplateHits counts per-doc top-K n-gram occurrences") {
     val df = Seq(
       (1L, "cookie banner text cookie banner text unique one"),
