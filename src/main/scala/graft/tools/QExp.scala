@@ -1,6 +1,8 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupFunctions => D}
 
 /** Micro-benchmark harness for comparing query formulations at sf0.1
   * before they land in SparkEntry (not part of the library surface). */
@@ -20,15 +22,60 @@ object QExp {
         println(s"[exp] $name run$i: ${math.round((System.nanoTime() - t0) / 1e6) / 1000.0} s ($n rows)")
       }
 
-    // plan shape + wall for the new curation queries
-    Seq("q86_decontaminate", "q87_cap_per_source", "q88_boilerplate").foreach { q =>
-      val df = graft.SparkEntry.queries(q)(spark, d)
-      val plan = df.queryExecution.executedPlan.toString
-      println(s"[exp] $q joins: " +
-        "BroadcastHashJoin".r.findAllIn(plan).length + " broadcast, " +
-        "SortMergeJoin".r.findAllIn(plan).length + " sort-merge, " +
-        "NestedLoop".r.findAllIn(plan).length + " nested-loop")
-      time(q) { df.count() }
+    val docs = graft.catalog.Tables.documents(spark, d)
+    val (n, bands, rowsPerBand, thr) = (3, 4, 2, 0.8)
+
+    time("a_current_window") {
+      D.neardupPairsLocal(docs, "text", "doc_id", n, bands, rowsPerBand, thr).count()
+    }
+
+    // b: no size guard at all — the old silent-drop-free happy path
+    time("b_plain_groupby") {
+      val keyed = docs.select(
+          col("doc_id").as("id"),
+          graft.expr.NativeFunctions.word_ngrams(col("text"), n).as("sh"),
+          posexplode(array((0 until bands).map(b =>
+            D.bandKeyFromSignature(D.minhashSignature(col("text"), n, bands * rowsPerBand), b, rowsPerBand)): _*))
+            .as(Seq("band", "band_key")))
+      val buckets = keyed.groupBy(col("band"), col("band_key"))
+        .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      val ms = col("ms")
+      buckets.select(explode(flatten(transform(ms, (a, i) =>
+          transform(slice(ms, i + lit(2), size(ms)), b => struct(
+            a.getField("id").as("id_a"),
+            b.getField("id").as("id_b"),
+            D.jaccardFromDistinct(a.getField("sh"), b.getField("sh")).as("jaccard")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.jaccard").as("j"))
+        .filter(col("j") >= thr).count()
+    }
+
+    // c: cheap signature-only count pre-pass, driver-side branch
+    time("c_prepass_branch") {
+      val sigOnly = docs.select(posexplode(array((0 until bands).map(b =>
+          D.bandKeyFromSignature(D.minhashSignature(col("text"), n, bands * rowsPerBand), b, rowsPerBand)): _*))
+        .as(Seq("band", "band_key")))
+      val nBig = sigOnly.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 10000).count()
+      require(nBig == 0)
+      // happy path = b
+      val keyed = docs.select(
+          col("doc_id").as("id"),
+          graft.expr.NativeFunctions.word_ngrams(col("text"), n).as("sh"),
+          posexplode(array((0 until bands).map(b =>
+            D.bandKeyFromSignature(D.minhashSignature(col("text"), n, bands * rowsPerBand), b, rowsPerBand)): _*))
+            .as(Seq("band", "band_key")))
+      val buckets = keyed.groupBy(col("band"), col("band_key"))
+        .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      val ms = col("ms")
+      buckets.select(explode(flatten(transform(ms, (a, i) =>
+          transform(slice(ms, i + lit(2), size(ms)), b => struct(
+            a.getField("id").as("id_a"),
+            b.getField("id").as("id_b"),
+            D.jaccardFromDistinct(a.getField("sh"), b.getField("sh")).as("jaccard")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.jaccard").as("j"))
+        .filter(col("j") >= thr).count()
     }
     spark.stop()
   }

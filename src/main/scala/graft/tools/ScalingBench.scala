@@ -83,6 +83,10 @@ object ScalingBench {
           val q = embBase.filter(col("vec_id") === 0)
             .select(col("embedding")).head().getSeq[Float](0).toArray
           Sim.topKCosine(emb, "embedding", "vec_id", q, 10).count()
+        },
+        "knn_join" -> time(s"$tag knn_join") {
+          Sim.knnJoin(embBase.filter(col("vec_id") < 16), emb,
+            "vec_id", "embedding", "vec_id", "embedding", 10).count()
         })
     }
 
