@@ -782,7 +782,12 @@ object SparkEntry {
           "vec_id", "embedding", "vec_id", "embedding", k = 5)
         .select(col("q_id"), col("c_id"), r4(col("score")).as("score"))
         .orderBy(col("q_id"), col("c_id"))
-    })
+    }),
+    // ---- C4-style corpus span dedup + document reassembly ----------------
+    "q90_span_dedup" -> ((s, d) =>
+      graft.functions.DedupFunctions.dedupSpans(
+          Tables.documents(s, d), "text", "doc_id", spanTokens = 20)
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -1398,7 +1403,18 @@ object SparkEntry {
         |FROM q CROSS JOIN c
         |QUALIFY row_number() OVER (PARTITION BY q_id
         |  ORDER BY list_cosine_similarity(c.e, q.e) DESC, c_id) <= 5
-        |ORDER BY q_id, c_id""".stripMargin
+        |ORDER BY q_id, c_id""".stripMargin,
+    "q90_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |idx AS (SELECT doc_id, tk, unnest(generate_series(0,
+        |    CAST(ceil(len(tk) / 20.0) AS INT) - 1)) AS chunk_idx FROM toks),
+        |spans AS (SELECT doc_id, chunk_idx,
+        |    array_to_string(tk[chunk_idx*20+1 : chunk_idx*20+20], ' ') AS t FROM idx),
+        |kept AS (SELECT doc_id, chunk_idx, t, row_number() OVER (PARTITION BY t
+        |    ORDER BY doc_id, chunk_idx) AS rn FROM spans)
+        |SELECT doc_id, string_agg(t, ' ' ORDER BY chunk_idx) AS text
+        |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -270,6 +270,37 @@ object DedupFunctions {
   def simhashMd5(text: Column): Column =
     graft.expr.NativeFunctions.simhash_md5_16(text)
 
+  /** Corpus-level span dedup with document reassembly (the C4-style "drop
+    * repeated spans, keep the first occurrence" pass): documents are cut
+    * into non-overlapping `spanTokens`-token spans, every span that already
+    * occurred earlier in the corpus (global order: (id, span position)) is
+    * dropped, and each document is rebuilt from its surviving spans in
+    * order. Documents whose spans are all duplicates disappear. Returns
+    * (idCol, text) with the deduplicated text.
+    *
+    * Scale shape: two shuffles, both unavoidable for these semantics — the
+    * keep-first decision groups identical spans (hash partition on the
+    * span digest; identical spans collapse map-side only in count, not in
+    * the argmin, so the window sort bounds memory by spilling), and the
+    * reassembly groups a document's surviving spans (partition on id).
+    * Shuffle payload is the span text riding each exchange once —
+    * O(corpus bytes), inherent to rewriting the corpus. At 100 TB this is
+    * the same two-exchange budget as a global sort, and the hot key (a
+    * boilerplate span repeated 10⁹×) is exactly the key whose duplicates
+    * the window discards after rank 1. */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+                 spanTokens: Int): DataFrame = {
+    val spans = df.select(col(idCol),
+        explode(TextFunctions.chunkTokens(col(textCol), spanTokens, 0)).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").as("__i"), col("__c.chunk_text").as("__t"))
+    val w = Window.partitionBy(col("__t")).orderBy(col(idCol).asc, col("__i").asc)
+    spans.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__i"), col("__t")))),
+        s => s.getField("__t"))).as(textCol))
+  }
+
   /** Test-set decontamination: drop corpus docs that share any distinct word
     * n-gram with a benchmark set (the standard guard against evaluation
     * leakage in training corpora; n=13 in published pipelines, parameterized

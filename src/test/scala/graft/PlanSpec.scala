@@ -112,6 +112,26 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
   }
 
+  test("q86: decontamination joins are broadcast-only — the corpus payload never shuffles") {
+    val df = SparkEntry.queries("q86_decontaminate")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"benchmark grams and contaminated ids must broadcast, not shuffle the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the n-gram probe is a broadcast hash join")
+  }
+
+  test("q89: knn join partial-aggregates the top-k buffer before its one exchange") {
+    val df = SparkEntry.queries("q89_knn_join")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"bounded top-k buffer must run as a typed aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"), "query set must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one exchange on q_id, carrying <= k pairs per (partition, query):\n$p")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

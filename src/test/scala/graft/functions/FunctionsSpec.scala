@@ -393,6 +393,18 @@ class FunctionsSpec extends SparkSpec {
       "membership is a pure function of content, not partitioning")
   }
 
+  test("dedupSpans drops repeated spans keep-first and reassembles documents") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // spans (K=3): "a b c", "d e f"
+      (2L, "a b c x y z"),   // "a b c" already seen in doc 1 → only "x y z" survives
+      (3L, "d e f"),         // entirely a duplicate of doc 1's second span → doc vanishes
+      (4L, "g h"))           // short doc, one partial span, unique
+      .toDF("doc_id", "text")
+    val got = DedupFunctions.dedupSpans(df, "text", "doc_id", spanTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "a b c d e f", 2L -> "x y z", 4L -> "g h"))
+  }
+
   test("knnJoin matches the window row_number formulation; partial-aggregates before the shuffle") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
