@@ -310,17 +310,27 @@ object DedupFunctions {
     * dictionary is benchmark-sized — thousands of docs, not billions — so it
     * broadcasts; corpus n-grams are computed scan-side by the native
     * [[graft.expr.WordNgramsExpr]] and probe the broadcast set with no
-    * corpus shuffle. Only the (small) contaminated-id set is broadcast back
-    * for the anti-join, so the corpus payload never crosses an exchange.
-    * Docs too short to have an n-gram cannot leak and survive. */
+    * corpus shuffle. The contaminated-id set is then broadcast back for
+    * the anti-join, so the corpus payload never crosses an exchange.
+    * Docs too short to have an n-gram cannot leak and survive.
+    *
+    * `assumeSmallContamination` (default true) pins that contract: the
+    * contaminated-id broadcast is forced, which is right whenever the
+    * benchmark is benchmark-shaped (thousands of docs → the hit set is
+    * bounded by docs sharing a gram with it). Set it false for the
+    * pathological regime — a "benchmark" overlapping most of the corpus
+    * makes the hit set corpus-sized — and the anti-join strategy is left
+    * to Catalyst/AQE (the corpus pays a shuffle; it has to). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-                    textCol: String, idCol: String, n: Int = 13): DataFrame = {
+                    textCol: String, idCol: String, n: Int = 13,
+                    assumeSmallContamination: Boolean = true): DataFrame = {
     val g = graft.expr.NativeFunctions.word_ngrams(col(textCol), n)
     val benchGrams = benchmark.select(explode(g).as("__g")).distinct()
     val contaminated = corpus.select(col(idCol), explode(g).as("__g"))
       .join(broadcast(benchGrams), "__g")
       .select(col(idCol)).distinct()
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    val ids = if (assumeSmallContamination) broadcast(contaminated) else contaminated
+    corpus.join(ids, Seq(idCol), "left_anti")
   }
 
   /** HOF formulation of [[simhashMd5]] — executable specification.

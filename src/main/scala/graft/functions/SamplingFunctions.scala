@@ -76,7 +76,10 @@ object SamplingFunctions {
     * standard "no single domain dominates the corpus" guard. Hash order
     * (md5 of the key) rather than arrival order makes the kept subset a
     * uniform, engine- and partitioning-independent sample of each group;
-    * ties broken by the key itself so the cut is total.
+    * ties broken by the key itself so the cut is total. `keyCol` must be
+    * unique within each group (it is the row's identity — e.g. doc_id):
+    * duplicate keys tie even after the tie-break, and which duplicate
+    * survives a cut between them would be partition-dependent.
     *
     * Scale shape: ONE shuffle on the group key; within-group sort is
     * bounded by group size, and the only groups that matter are the hot

@@ -56,8 +56,13 @@ object SimilarityFunctions {
         (Double, Long), Array[(Double, Long)], Array[(Double, Long)]]
       with Serializable {
     require(k >= 1, s"k must be >= 1, got $k")
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // java.lang.Double.compare gives a TOTAL order (NaN ranks largest,
+    // matching Spark's sort semantics and the row_number oracle; a naive
+    // `>` comparator is intransitive under NaN and can blow up sortWith)
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     private def top(xs: Array[(Double, Long)]): Array[(Double, Long)] =
       xs.sortWith(better).take(k)
     def zero: Array[(Double, Long)] = Array.empty
@@ -88,6 +93,15 @@ object SimilarityFunctions {
   def knnJoin(queries: DataFrame, corpus: DataFrame,
               qIdCol: String, qEmbCol: String,
               cIdCol: String, cEmbCol: String, k: Int): DataFrame = {
+    // the bounded buffer carries (score, id) as primitive (Double, Long) —
+    // an integral id is required; a silent cast of e.g. a string id would
+    // null out and corrupt the aggregation
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val t = corpus.schema(cIdCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"knnJoin requires an integral corpus id column, got ${t.simpleString} for '$cIdCol'")
+    }
     val topk = udaf(new TopKAggregator(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     corpus

@@ -421,13 +421,13 @@ class FunctionsSpec extends SparkSpec {
       .filter(col("rn") <= 7).drop("rn")
     assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
     assert(got.count() == 3 * 7)
-    // the scale property: a partial (map-side) aggregate runs before the exchange
+    // the scale property: the top-k buffer itself partial-aggregates
+    // map-side (not merely some unrelated partial_count elsewhere)
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"expected object/sort aggregate for the bounded top-k buffer, got:\n$plan")
-    assert("partial_topkaggregator|partial\\(".r.findFirstIn(plan.toLowerCase).isDefined
-      || plan.toLowerCase.contains("partial"),
-      "expected a partial aggregation phase before the shuffle")
+    assert(plan.toLowerCase.contains("partial_topkaggregator"),
+      s"expected a partial TopKAggregator phase before the exchange, got:\n$plan")
   }
 
   test("boilerplateHits counts per-doc top-K n-gram occurrences") {
