@@ -87,6 +87,13 @@ object ScalingBench {
         "knn_join" -> time(s"$tag knn_join") {
           Sim.knnJoin(embBase.filter(col("vec_id") < 16), emb,
             "vec_id", "embedding", "vec_id", "embedding", 10).count()
+        },
+        "span_dedup" -> time(s"$tag span_dedup") {
+          D.dedupSpans(docs, "text", "doc_id", spanTokens = 20).count()
+        },
+        "decontaminate" -> time(s"$tag decontaminate") {
+          // fixed-size benchmark (the realistic regime): 500 base docs
+          D.decontaminate(docs, base.limit(500), "text", "doc_id", n = 5).count()
         })
     }
 
