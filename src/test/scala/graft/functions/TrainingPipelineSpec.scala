@@ -184,6 +184,75 @@ class TrainingPipelineSpec extends SparkSpec {
       .linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, "kmeansStep should need one shuffle (+AQE read)")
   }
+
+  test("property: dedupSpans keeps exactly the first occurrence of every span, in doc order") {
+    import org.scalacheck.Gen
+    // tiny alphabet forces span collisions across documents
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      nDocs <- Gen.choose(1, 8)
+      texts <- Gen.listOfN(nDocs, doc)
+      k <- Gen.choose(1, 4)
+    } yield (texts, k)
+    val cases = Iterator.continually(gen.sample).flatten.take(20).toSeq
+    for ((texts, k) <- cases) {
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = DedupFunctions.dedupSpans(rows.toDF("doc_id", "text"), "text", "doc_id", k)
+        .as[(Long, String)].collect().toMap
+      // driver-side reference: first-occurrence filter over (doc, span idx) order
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = rows.flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        val spans = toks.grouped(k).map(_.mkString(" ")).toSeq
+        val kept = spans.filter(s => seen.add(s))
+        if (kept.isEmpty) None else Some(id -> kept.mkString(" "))
+      }.toMap
+      assert(got === expected, s"k=$k texts=$texts")
+    }
+  }
+
+  test("property: decontaminate output shares no n-gram with the benchmark; drops are minimal") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      corpus <- Gen.listOfN(8, doc)
+      bench <- Gen.listOfN(2, doc)
+      n <- Gen.choose(2, 3)
+    } yield (corpus, bench, n)
+    def grams(t: String, n: Int): Set[String] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val cases = Iterator.continually(gen.sample).flatten.take(20).toSeq
+    for ((corpus, bench, n) <- cases) {
+      val rows = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val benchGrams = bench.flatMap(grams(_, n)).toSet
+      val kept = DedupFunctions.decontaminate(
+          rows.toDF("doc_id", "text"),
+          bench.toDF("text"), "text", "doc_id", n)
+        .as[(Long, String)].collect().toMap
+      val expected = rows.filter { case (_, t) => grams(t, n).intersect(benchGrams).isEmpty }
+      assert(kept.keySet === expected.map(_._1).toSet, s"n=$n corpus=$corpus bench=$bench")
+    }
+  }
+
+  test("property: capPerGroup keeps the md5-smallest N ids of each group exactly") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = (1L to 60L).map(i => (s"g${i % 3}", i))
+    val kept = SamplingFunctions.capPerGroup(
+        rows.toDF("source", "doc_id"), col("source"), col("doc_id"), 4)
+      .as[(String, Long)].collect().toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, members) =>
+      members.sortBy { case (_, id) => (md5hex(id.toString), id) }.take(4)
+    }.toSet
+    assert(kept === expected)
+  }
 }
 
 /** Alias so the spec reads naturally next to the other function suites. */
