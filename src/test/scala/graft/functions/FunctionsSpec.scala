@@ -430,6 +430,22 @@ class FunctionsSpec extends SparkSpec {
       s"expected a partial TopKAggregator phase before the exchange, got:\n$plan")
   }
 
+  test("knnJoin survives NaN scores with row_number-consistent ordering") {
+    // a NaN component makes cosine NaN for that corpus row; the aggregator's
+    // total order must rank it like Spark's sort (NaN = largest) instead of
+    // corrupting the comparator (a naive `>` is intransitive under NaN)
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(Float.NaN, 1f)), (13L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val got = SimilarityFunctions.knnJoin(queries, corpus,
+        "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .select("c_id").as[Long].collect().toSet
+    // NaN ranks first (Spark sort order), then the exact match
+    assert(got === Set(12L, 10L))
+  }
+
   test("boilerplateHits counts per-doc top-K n-gram occurrences") {
     val df = Seq(
       (1L, "cookie banner text cookie banner text unique one"),
