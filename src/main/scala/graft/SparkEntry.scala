@@ -787,7 +787,27 @@ object SparkEntry {
     "q90_span_dedup" -> ((s, d) =>
       graft.functions.DedupFunctions.dedupSpans(
           Tables.documents(s, d), "text", "doc_id", spanTokens = 20)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // ---- cross-corpus near-dup join (train × eval leak check) ------------
+    "q91_cross_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      D.crossNeardupPairs(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", "doc_id",
+          n = 3, bands = 1, rowsPerBand = 2, jaccardThreshold = 0.0)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---- embedding-space outliers (distance to nearest centroid) ---------
+    "q92_emb_outliers" -> ((s, d) => {
+      val centroids = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Sim.outlierScore(col("embedding"), centroids).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), r4(col("dist")).as("dist"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -1414,7 +1434,31 @@ object SparkEntry {
         |kept AS (SELECT doc_id, chunk_idx, t, row_number() OVER (PARTITION BY t
         |    ORDER BY doc_id, chunk_idx) AS rn FROM spans)
         |SELECT doc_id, string_agg(t, ' ' ORDER BY chunk_idx) AS text
-        |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM kept WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q91_cross_neardup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS shingles FROM toks),
+        |keys AS (SELECT doc_id, shingles,
+        |    list_aggregate(list_transform(shingles, s -> md5('s0' || s)), 'min') || '|' ||
+        |    list_aggregate(list_transform(shingles, s -> md5('s1' || s)), 'min') AS band_key
+        |  FROM sh)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+        |    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+        |       - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))), 4) AS jaccard
+        |FROM keys a JOIN keys b ON a.band_key = b.band_key
+        |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q92_emb_outliers" ->
+      """WITH d AS (SELECT vec_id, least(
+        |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> (x-0.5)*(x-0.5)), 'sum'),
+        |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> (x+0.5)*(x+0.5)), 'sum')) AS dist
+        |  FROM embeddings)
+        |SELECT vec_id, round(dist, 4) AS dist FROM d
+        |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

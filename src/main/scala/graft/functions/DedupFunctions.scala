@@ -101,6 +101,35 @@ object DedupFunctions {
       .select("id_a", "id_b", "band").distinct()
   }
 
+  /** Cross-corpus near-duplicate pairs: MinHash-LSH candidates between two
+    * DIFFERENT corpora (e.g. "is any eval doc a near-dup of a training
+    * doc" — the document-level complement of [[decontaminate]]'s n-gram
+    * test), verified with exact Jaccard. Returns (id_a, id_b, jaccard)
+    * where id_a comes from `dfA` and id_b from `dfB`.
+    *
+    * Scale shape: both corpora shuffle band keys + distinct shingle sets
+    * (computed scan-side by the native [[graft.expr.WordNgramsExpr]]) —
+    * never raw text — and verification happens inside the bucket join.
+    * When one side is small (an eval set), its keyed form broadcasts and
+    * the big corpus never shuffles at all. */
+  def crossNeardupPairs(dfA: DataFrame, dfB: DataFrame, textCol: String,
+                        idColA: String, idColB: String,
+                        n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                        jaccardThreshold: Double = 0.8): DataFrame = {
+    def keyed(df: DataFrame, idCol: String, side: String) = df.select(
+        col(idCol).as(s"id_$side"),
+        graft.expr.NativeFunctions.word_ngrams(col(textCol), n).as(s"sh_$side"),
+        minhashSignature(col(textCol), n, bands * rowsPerBand).as("__sig"))
+      .select(col(s"id_$side"), col(s"sh_$side"),
+        posexplode(array((0 until bands).map(b =>
+          bandKeyFromSignature(col("__sig"), b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
+    keyed(dfA, idColA, "a").join(keyed(dfB, idColB, "b"), Seq("band", "band_key"))
+      .select(col("id_a"), col("id_b"),
+        jaccardFromDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .distinct()
+  }
+
   /** Near-dup pairs with **bucket-local** verification — the scale path.
     *
     * Docs explode into (band, bandKey) rows carrying their distinct shingle

@@ -288,6 +288,20 @@ object SimilarityFunctions {
     df.select(least(dists: _*).as("d")).agg(avg(col("d"))).head().getDouble(0)
   }
 
+  /** Outlier score: squared Euclidean distance to the NEAREST of the given
+    * centroids — the standard embedding-space anomaly signal (mislabeled,
+    * corrupted, or off-distribution rows sit far from every cluster).
+    * Centroids are driver-side constants (a [[kmeansFit]] output), so this
+    * is a narrow projection: no shuffle, scan-bound at any corpus size. */
+  def outlierScore(emb: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "outlierScore needs at least one centroid")
+    val dists = centroids.map { c =>
+      val diff = zip_with(emb, lit(c), (x, y) => x.cast("double") - y)
+      aggregate(diff, lit(0.0), (acc, v) => acc + v * v)
+    }
+    least(dists: _*)
+  }
+
   /** All-pairs cosine above a threshold within LSH buckets (embedding
     * near-dup detection): bucket equi-join keeps the candidate set small;
     * only candidates pay the O(dim) cosine. */

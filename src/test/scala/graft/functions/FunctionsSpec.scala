@@ -367,6 +367,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("en", "fr", "und"))
   }
 
+  test("crossNeardupPairs finds near-dups across corpora, never within one") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 10, same side
+      (20L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 10/12
+      (200L, "totally unrelated evaluation document with distinct words here"))
+      .toDF("doc_id", "text")
+    val pairs = DedupFunctions.crossNeardupPairs(train, eval_, "text",
+        "doc_id", "doc_id", n = 2, bands = 4, rowsPerBand = 1,
+        jaccardThreshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 100L), (12L, 100L)),
+      "cross pairs only — the same-side 10~12 exact dup must not appear")
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
@@ -428,6 +446,21 @@ class FunctionsSpec extends SparkSpec {
       s"expected object/sort aggregate for the bounded top-k buffer, got:\n$plan")
     assert(plan.toLowerCase.contains("partial_topkaggregator"),
       s"expected a partial TopKAggregator phase before the exchange, got:\n$plan")
+  }
+
+  test("outlierScore ranks a planted off-distribution vector highest") {
+    val centroids = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val df = Seq(
+      (1L, Array(0.1f, -0.1f)),   // near centroid 0
+      (2L, Array(0.9f, 1.1f)),    // near centroid 1
+      (3L, Array(10f, -10f)))     // far from both
+      .toDF("vec_id", "embedding")
+    val top = df.select($"vec_id",
+        SimilarityFunctions.outlierScore($"embedding", centroids).as("d"))
+      .orderBy($"d".desc).select("vec_id").as[Long].head()
+    assert(top === 3L)
+    intercept[IllegalArgumentException](
+      SimilarityFunctions.outlierScore($"embedding", Array.empty))
   }
 
   test("knnJoin survives NaN scores with row_number-consistent ordering") {
