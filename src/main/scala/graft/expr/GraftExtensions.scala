@@ -31,6 +31,8 @@ object GraftExtensions {
       "simhash_md5_16", ext.makeSimhashMd5, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", ext.makeWordNgrams, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_int8", ext.makeQuantize, "scala_udf")
   }
 }
 
@@ -69,6 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     WordNgramsExpr(args.head, intArg(args(1), "n")): Expression
   }
 
+  private[expr] val makeQuantize = (args: Seq[Expression]) => {
+    require(args.length == 1, "quantize_int8(embedding)")
+    QuantizeInt8Expr(args.head): Expression
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
@@ -94,6 +101,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
       makeWordNgrams))
+    ext.injectFunction((
+      new FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "quantize_int8"),
+      makeQuantize))
   }
 
   private[expr] val makeBandMath = (args: Seq[Expression]) => {

@@ -45,5 +45,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(h.getLong(1) == apiH.getLong(1))
     assert(h.getSeq[String](2) == apiH.getSeq[String](2))
     assert(h.getSeq[String](2) == Seq("alpha beta", "beta gamma", "gamma delta"))
+    // int8 quantization from SQL (struct result, round-trips via scale)
+    val q = spark.sql(
+      "SELECT quantize_int8(emb) AS q FROM graft_ext_docs").head().getStruct(0)
+    assert(q.getSeq[Byte](1).length == 3)
+    assert(math.abs(q.getSeq[Byte](1)(2) * q.getDouble(0) - 3.0) < 3.0 / 127 + 1e-6)
   }
 }
