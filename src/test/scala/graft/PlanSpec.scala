@@ -132,6 +132,22 @@ class PlanSpec extends SparkSpec {
       s"one exchange on q_id, carrying <= k pairs per (partition, query):\n$p")
   }
 
+  test("q90: span dedup stays at its two-exchange minimum (regroup + reassembly)") {
+    val df = SparkEntry.queries("q90_span_dedup")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"span dedup is keep-first regroup + per-doc reassembly — two shuffles, no more:\n$p")
+  }
+
+  test("q91: cross-corpus near-dup joins on band keys, never a nested loop") {
+    val df = SparkEntry.queries("q91_cross_neardup")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("NestedLoop"),
+      s"candidate generation must be the band-key equi-join, not a cross product:\n$p")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
