@@ -798,6 +798,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // ---- MinHash Jaccard estimate vs exact, on cross-corpus candidates ---
+    // The planet-scale verification path: score candidate pairs from the 8
+    // signature components already shuffled for LSH; exact Jaccard shown
+    // alongside to expose the estimator error.
+    "q93_minhash_est" -> ((s, d) => {
+      val keyed = Tables.documents(s, d).select(
+          col("doc_id"),
+          D.minhashSignature(col("text"), 3, 8).as("sig"),
+          graft.expr.NativeFunctions.word_ngrams(col("text"), 3).as("sh"))
+        .withColumn("band_key", D.bandKeyFromSignature(col("sig"), 0, 2))
+      val a = keyed.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+          col("sh").as("sh_a"), col("band_key"))
+      val b = keyed.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+          col("sh").as("sh_b"), col("band_key"))
+      a.join(b, "band_key")
+        .select(col("id_a"), col("id_b"),
+          r4(D.jaccardEstimateFromSignatures(col("sig_a"), col("sig_b"))).as("est"),
+          r4(D.jaccardFromDistinct(col("sh_a"), col("sh_b"))).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     // ---- embedding-space outliers (distance to nearest centroid) ---------
     "q92_emb_outliers" -> ((s, d) => {
       val centroids = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
@@ -1450,6 +1472,24 @@ object SparkEntry {
         |    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
         |       - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))), 4) AS jaccard
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
+        |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q93_minhash_est" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS shingles FROM toks),
+        |keys AS (SELECT doc_id, shingles, list_transform(generate_series(0, 7), j ->
+        |    list_aggregate(list_transform(shingles, s -> md5('s' || CAST(j AS VARCHAR) || s)), 'min')) AS sig
+        |  FROM sh),
+        |k2 AS (SELECT doc_id, shingles, sig, sig[1] || '|' || sig[2] AS band_key FROM keys)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_filter(generate_series(1, 8), j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 8, 4) AS est,
+        |  round(CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+        |    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+        |       - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))), 4) AS jaccard
+        |FROM k2 a JOIN k2 b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_a, id_b""".stripMargin,
     "q92_emb_outliers" ->

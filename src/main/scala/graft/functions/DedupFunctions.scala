@@ -196,6 +196,19 @@ object DedupFunctions {
     localPairs.unionByName(joinPairs).filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** MinHash estimate of Jaccard similarity from two equal-length
+    * signatures: the fraction of agreeing components (an unbiased
+    * estimator with stderr ≈ sqrt(J(1−J)/k)). This is the verification
+    * path that matters at 10¹⁰ docs: candidates are scored from the k
+    * hashes already shuffled for LSH — the shingle sets never leave the
+    * scan stage at all. Null/length-mismatched signatures → null. */
+  def jaccardEstimateFromSignatures(sigA: Column, sigB: Column): Column =
+    when(size(sigA) === 0 || size(sigA) =!= size(sigB),
+        lit(null).cast("double"))
+      .otherwise(
+        aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / size(sigA))
+
   /** Jaccard similarity from two already-distinct shingle arrays
     * (|A∪B| = |A| + |B| − |A∩B| — one intersect, no union materialized). */
   def jaccardFromDistinct(sa: Column, sb: Column): Column = {

@@ -367,6 +367,28 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("en", "fr", "und"))
   }
 
+  test("jaccardEstimateFromSignatures: agreement fraction, null on shape mismatch, tracks exact") {
+    val df = Seq(
+      (Seq("h1", "h2", "h3", "h4"), Seq("h1", "h2", "x", "y")), // 2/4 agree
+      (Seq("h1"), Seq("h1", "h2")),                             // length mismatch
+      (Seq.empty[String], Seq.empty[String]))                   // empty
+      .toDF("a", "b")
+    val got = df.select(DedupFunctions.jaccardEstimateFromSignatures($"a", $"b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got === Seq(Some(0.5), None, None))
+    // on real docs the k=8 estimate correlates with exact Jaccard: identical
+    // docs estimate 1.0, disjoint docs estimate 0.0
+    val docs = Seq(
+      ("alpha beta gamma delta epsilon", "alpha beta gamma delta epsilon"),
+      ("alpha beta gamma delta epsilon", "one two three four five six"))
+      .toDF("ta", "tb")
+    val est = docs.select(DedupFunctions.jaccardEstimateFromSignatures(
+        DedupFunctions.minhashSignature($"ta", 2, 8),
+        DedupFunctions.minhashSignature($"tb", 2, 8)))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(est === Seq(1.0, 0.0))
+  }
+
   test("crossNeardupPairs finds near-dups across corpora, never within one") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
