@@ -829,7 +829,14 @@ object SparkEntry {
         .orderBy(col("dist").desc, col("vec_id"))
         .limit(20)
         .select(col("vec_id"), r4(col("dist")).as("dist"))
-    })
+    }),
+    // ---- cube (all 4 grouping combinations of status × priority) ---------
+    "q94_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -1294,6 +1301,11 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q94_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q70_salted_agg" ->
       """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_v, count(*) AS n
