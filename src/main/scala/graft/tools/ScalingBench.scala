@@ -94,6 +94,17 @@ object ScalingBench {
         "decontaminate" -> time(s"$tag decontaminate") {
           // fixed-size benchmark (the realistic regime): 500 base docs
           D.decontaminate(docs, base.limit(500), "text", "doc_id", n = 5).count()
+        },
+        "cross_neardup" -> time(s"$tag cross_neardup") {
+          // fixed-size eval side vs the growing corpus
+          D.crossNeardupPairs(docs, base.limit(500), "text",
+            "doc_id", "doc_id", n = 3, bands = 1, rowsPerBand = 2,
+            jaccardThreshold = 0.8).count()
+        },
+        "outlier_score" -> time(s"$tag outlier_score") {
+          val c = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
+          emb.select(Sim.outlierScore(col("embedding"), c).as("d"))
+            .agg(count(col("d"))).head().getLong(0)
         })
     }
 
