@@ -830,6 +830,12 @@ object SparkEntry {
         .limit(20)
         .select(col("vec_id"), r4(col("dist")).as("dist"))
     }),
+    // ---- signature-only near-dup (no shingle payload — the 10^10 path) ---
+    "q95_sig_neardup" -> ((s, d) =>
+      D.neardupPairsBySignature(Tables.documents(s, d), "text", "doc_id",
+          n = 3, bands = 4, rowsPerBand = 2, estThreshold = 0.5)
+        .select(col("id_a"), col("id_b"), r4(col("est")).as("est"))
+        .orderBy(col("id_a"), col("id_b"))),
     // ---- cube (all 4 grouping combinations of status × priority) ---------
     "q94_cube" -> ((s, d) =>
       Tables.orders(s, d)
@@ -1504,6 +1510,24 @@ object SparkEntry {
         |FROM k2 a JOIN k2 b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q95_sig_neardup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS shingles FROM toks),
+        |keys AS (SELECT doc_id, list_transform(generate_series(0, 7), j ->
+        |    list_aggregate(list_transform(shingles, s -> md5('s' || CAST(j AS VARCHAR) || s)), 'min')) AS sig
+        |  FROM sh),
+        |k2 AS (SELECT doc_id, sig, unnest([
+        |    '0:' || sig[1] || '|' || sig[2], '1:' || sig[3] || '|' || sig[4],
+        |    '2:' || sig[5] || '|' || sig[6], '3:' || sig[7] || '|' || sig[8]]) AS band_key
+        |  FROM keys),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(generate_series(1, 8), j -> a.sig[j] = b.sig[j])) AS DOUBLE) / 8 AS e
+        |  FROM k2 a JOIN k2 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(e, 4) AS est FROM pairs
+        |WHERE e >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q92_emb_outliers" ->
       """WITH d AS (SELECT vec_id, least(
         |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> (x-0.5)*(x-0.5)), 'sum'),

@@ -209,6 +209,36 @@ object DedupFunctions {
         aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / size(sigA))
 
+  /** Near-dup pairs verified by the MinHash ESTIMATE only — the
+    * configuration for corpora where even shingle sets are too heavy to
+    * shuffle (10¹⁰ docs): each doc ships exactly (id, k×32-byte
+    * signature); band keys are sliced from the signature already in hand;
+    * candidate pairs are scored with [[jaccardEstimateFromSignatures]]
+    * inside the bucket join. Precision is the estimator's (stderr ≈
+    * sqrt(J(1−J)/k)) — the exact-verification paths
+    * ([[neardupPairsLocal]]/[[crossNeardupPairs]]) remain for when the
+    * shingle payload is affordable. Returns (id_a, id_b, est), id_a < id_b. */
+  def neardupPairsBySignature(df: DataFrame, textCol: String, idCol: String,
+                              n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                              estThreshold: Double = 0.8): DataFrame = {
+    val keyed = df.select(
+        col(idCol).as("id"),
+        minhashSignature(col(textCol), n, bands * rowsPerBand).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          bandKeyFromSignature(col("sig"), b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
+    val a = keyed.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_key"))
+    val b = keyed.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_key"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardEstimateFromSignatures(col("sig_a"), col("sig_b")).as("est"))
+      .filter(col("est") >= estThreshold)
+      .distinct()
+  }
+
   /** Jaccard similarity from two already-distinct shingle arrays
     * (|A∪B| = |A| + |B| − |A∩B| — one intersect, no union materialized). */
   def jaccardFromDistinct(sa: Column, sb: Column): Column = {

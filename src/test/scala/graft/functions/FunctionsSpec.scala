@@ -389,6 +389,22 @@ class FunctionsSpec extends SparkSpec {
     assert(est === Seq(1.0, 0.0))
   }
 
+  test("neardupPairsBySignature recalls the exact-path duplicates without shipping shingles") {
+    // real corpus plus planted exact duplicates (ids offset by 100000)
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+    val docs = base.unionByName(
+      base.limit(50).withColumn("doc_id", col("doc_id") + 100000L))
+    val exact = DedupFunctions.neardupPairsLocal(docs, "text", "doc_id",
+        n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sig = DedupFunctions.neardupPairsBySignature(docs, "text", "doc_id",
+        n = 3, bands = 4, rowsPerBand = 2, estThreshold = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical shingle sets → identical signatures: estimate 1.0 is exact
+    assert(exact.subsetOf(sig), "signature path must recall every exact duplicate")
+    assert(exact.size >= 50, "planted duplicates must be found")
+  }
+
   test("crossNeardupPairs finds near-dups across corpora, never within one") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
