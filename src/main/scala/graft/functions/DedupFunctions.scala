@@ -220,21 +220,41 @@ object DedupFunctions {
     * shingle payload is affordable. Returns (id_a, id_b, est), id_a < id_b. */
   def neardupPairsBySignature(df: DataFrame, textCol: String, idCol: String,
                               n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                              estThreshold: Double = 0.8): DataFrame = {
+                              estThreshold: Double = 0.8,
+                              maxBucket: Int = 10000): DataFrame = {
+    // same one-exchange bucket-local shape as [[neardupPairsLocal]], with
+    // the signature standing in for the shingle payload: regroup once on
+    // (band, band_key), pair + estimate inside each bucket; keys wider
+    // than maxBucket route losslessly through the self-join path off the
+    // SAME exchange (the window/regroup/join partitionings line up)
     val keyed = df.select(
         col(idCol).as("id"),
         minhashSignature(col(textCol), n, bands * rowsPerBand).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(array((0 until bands).map(b =>
           bandKeyFromSignature(col("sig"), b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
-    val a = keyed.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("band_key"))
-    val b = keyed.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))
+    val sized = keyed.withColumn("cnt", count(lit(1)).over(w))
+    val buckets = sized.filter(col("cnt") <= maxBucket)
+      .groupBy(col("band"), col("band_key"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val ms = col("ms")
+    val localPairs = buckets.select(explode(flatten(transform(ms, (a, i) =>
+        transform(slice(ms, i + lit(2), size(ms)), b => struct(
+          a.getField("id").as("id_a"),
+          b.getField("id").as("id_b"),
+          jaccardEstimateFromSignatures(
+            a.getField("sig"), b.getField("sig")).as("est")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.est").as("est"))
+    val big = sized.filter(col("cnt") > maxBucket)
+    val bigA = big.select(col("band"), col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val bigB = big.select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val joinPairs = bigA.join(bigB, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardEstimateFromSignatures(col("sig_a"), col("sig_b")).as("est"))
+    localPairs.unionByName(joinPairs)
       .filter(col("est") >= estThreshold)
       .distinct()
   }
