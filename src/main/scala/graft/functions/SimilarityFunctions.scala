@@ -237,7 +237,16 @@ object SimilarityFunctions {
     * shuffle volume is O(cells × dim) partials per task, independent of row
     * count. Iterate k times driver-side, collecting the (small) centroid
     * table between steps; at 10⁹ vectors each step is one scan + one
-    * fixed-size shuffle. */
+    * fixed-size shuffle.
+    *
+    * The per-cell mean is computed in 1e-8 fixed point (floor-quantize each
+    * component to a long, sum exactly, divide once): floating-point sums
+    * depend on partition/accumulation order, so a plain `avg` gives a
+    * different last-ulp answer on every cluster layout. Exact integer
+    * summation makes the step bit-reproducible — the same corpus refines to
+    * the same centroids anywhere — at a quantization cost (1e-8 per
+    * component) far below float input precision. Long overflow headroom:
+    * |v| ≤ 20 leaves room for ~4e9 rows per (cell, pos) group. */
   def kmeansStep(df: DataFrame, embCol: String,
                  centroids: Array[Array[Double]]): DataFrame =
     // cell in its own select: a generator in the same projection re-resolves
@@ -246,7 +255,8 @@ object SimilarityFunctions {
     df.select(ivfAssign(col(embCol), centroids).as("cell"), col(embCol).as("__e"))
       .select(col("cell"), posexplode(col("__e")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("mean_v"))
+      .agg(((sum(floor(col("v").cast("double") * 1e8).cast("long")) / 1e8) /
+        count(lit(1))).as("mean_v"))
 
   /** Train an IVF coarse quantizer: k-means via repeated [[kmeansStep]].
     * Initialization is DETERMINISTIC — the first `k` vectors in id order
