@@ -30,10 +30,52 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+
+    // ---- per-query regression gate: compare against the previous recorded
+    // run (same sf), persist this run, surface >1.5x risers. Round-over-
+    // round swings were previously invisible noise; now they are printed
+    // (stderr) and carried in the JSON. SPARK_GRAFT_BENCH_STRICT=1 turns
+    // them into a non-zero exit for CI-style gating.
+    val historyPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val previous: Map[String, Double] =
+      if (java.nio.file.Files.exists(historyPath)) {
+        val lines = java.nio.file.Files.readAllLines(historyPath)
+        lines.toArray(Array.empty[String]).reverseIterator
+          .map(l => scala.util.Try(mapper.readTree(l)).toOption)
+          .collectFirst {
+            case Some(n) if n.path("sf").asText() == sfDir =>
+              val q = n.path("queries")
+              val it = q.properties().iterator()
+              val b = Map.newBuilder[String, Double]
+              while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+              b.result()
+          }.getOrElse(Map.empty)
+      } else Map.empty
+    val regressions = results.flatMap { case (name, sec) =>
+      previous.get(name) match {
+        case Some(old) if old > 0 && sec > old * 1.5 && sec - old >= 0.15 =>
+          System.err.println(
+            f"BENCH REGRESSION $name: $old%.2fs -> $sec%.2fs (${sec / old}%.1fx)")
+          Some(name -> (sec / old))
+        case _ => None
+      }
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val regs = regressions.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}"""
+    println(line)
+    // persist AFTER computing the comparison so this run becomes the next baseline
+    java.nio.file.Files.write(historyPath, java.util.List.of(line),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
+    if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
+      System.exit(2)
   }
 }

@@ -666,8 +666,13 @@ object SparkEntry {
     // ---- LLM-pipeline: k-means refinement step (IVF centroid update) -----
     "q76_kmeans_step" -> ((s, d) => {
       val centroids = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
+      // `when(x === 0, 0.0)` folds IEEE −0.0 into +0.0: DuckDB's round keeps
+      // the sign of a zero result, Spark's BigDecimal path cannot — both
+      // sides are normalized (oracle adds `+ 0`) so the hash agrees.
+      val m = r4(col("mean_v"))
       Sim.kmeansStep(Tables.embeddings(s, d), "embedding", centroids)
-        .select(col("cell"), col("pos"), r4(col("mean_v")).as("mean_v"))
+        .select(col("cell"), col("pos"),
+          when(m === 0, lit(0.0)).otherwise(m).as("mean_v"))
         .orderBy(col("cell"), col("pos"))
     }),
     // ---- LLM-pipeline: PII redaction (synthetic PII appended per doc) ----
@@ -724,11 +729,18 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
     // ---- ordered array aggregation (top-3 totals per priority) -----------
+    // The array is serialized to a comma-joined string of DECIMAL(18,2)
+    // renderings: the driver's pandas hash-compare cannot hash an
+    // array-typed column, and decimal-cast strings render identically in
+    // Spark and DuckDB (no thousands separators, fixed 2 decimals).
     "q83_top3_array" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
-        .agg(slice(sort_array(collect_list(r2(col("o_totalprice"))), asc = false),
-          1, 3).as("top3"))
+        .agg(concat_ws(",",
+          transform(
+            slice(sort_array(collect_list(r2(col("o_totalprice"))), asc = false),
+              1, 3),
+            x => x.cast("decimal(18,2)").cast("string"))).as("top3"))
         .orderBy(col("o_orderpriority"))),
     // ---- statistical aggregates (corr / covar / stddev / linear fit) -----
     "q77_stats" -> ((s, d) =>
@@ -1363,7 +1375,7 @@ object SparkEntry {
         |a AS (SELECT CASE WHEN d0 <= d1 THEN 0 ELSE 1 END AS cell, embedding FROM d),
         |e AS (SELECT cell, unnest(generate_series(1, len(embedding))) - 1 AS pos,
         |             unnest(CAST(embedding AS DOUBLE[])) AS v FROM a)
-        |SELECT cell, pos, round(avg(v), 4) AS mean_v
+        |SELECT cell, pos, round(avg(v), 4) + 0 AS mean_v
         |FROM e GROUP BY 1, 2 ORDER BY cell, pos""".stripMargin,
     "q82_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
@@ -1373,7 +1385,9 @@ object SparkEntry {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q83_top3_array" ->
       """SELECT o_orderpriority,
-        |  (list_sort(list(round(o_totalprice, 2)), 'DESC'))[1:3] AS top3
+        |  array_to_string(list_transform(
+        |    (list_sort(list(round(o_totalprice, 2)), 'DESC'))[1:3],
+        |    x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS top3
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q81_norm_by_lang" ->
       """SELECT lang,

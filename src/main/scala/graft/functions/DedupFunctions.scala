@@ -279,7 +279,7 @@ object DedupFunctions {
   def dedupNear(df: DataFrame, textCol: String, idCol: String,
                 n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                 jaccardThreshold: Double = 0.8, maxIterations: Int = 5,
-                maxDriverEdges: Int = 10_000_000): DataFrame = {
+                maxDriverEdges: Int = 100_000): DataFrame = {
     // The verified-pair graph is tiny relative to the corpus (only real
     // near-dups survive Jaccard), so components resolve driver-side with
     // union-find on the collected edges and the drop-set broadcasts back —
@@ -310,7 +310,17 @@ object DedupFunctions {
       val dropped = pairs.flatMap(p => Seq(p._1, p._2)).distinct
         .filter(id => find(id) != id)
       if (dropped.isEmpty) df
-      else df.filter(!col(idCol).isin(dropped: _*))
+      else {
+        // Drop via a broadcast anti-join, NOT `isin`: a literal Catalyst
+        // `In` of up to maxDriverEdges ids blows up plan size and codegen
+        // long before the data does. A one-column broadcast hash table is
+        // O(|dropped|) memory on each executor and leaves the plan small.
+        val spark = df.sparkSession
+        import spark.implicits._
+        val dropDf = broadcast(
+          spark.createDataset(dropped.toIndexedSeq).toDF(idCol))
+        df.join(dropDf, Seq(idCol), "left_anti")
+      }
     } else {
       // canonical = min id per component; keep only canonical rows
       val labels = GraphFunctions.connectedComponents(

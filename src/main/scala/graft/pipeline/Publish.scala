@@ -19,11 +19,18 @@ object Publish {
     element_at(assets, "Fmask4").as("quality"))
 
   /** Asset map entries from per-band file paths (publish.py:411–472 asset
-    * assembly): band name parsed from the path, mime from the extension. */
+    * assembly): band name parsed from the path, mime from the extension.
+    * Paths whose band token is not in the known grammar (e.g. HDF-derived
+    * `<base>_Surface_Reflectance_Band_1.tif`, hdf.py:85) key on the file
+    * stem instead — every file keeps a distinct, stable asset key. */
   def assetsFromPaths(paths: Column): Column =
-    map_from_entries(transform(paths, p => struct(
-      SceneFunctions.bandFromPath(p).as("band"),
-      struct(p.as("href"), SceneFunctions.mimeByExtension(p).as("mime_type")).as("asset"))))
+    map_from_entries(transform(paths, p => {
+      val parsed = SceneFunctions.bandFromPath(p)
+      val stem = regexp_extract(p, "([^/]+?)(?:\\.[A-Za-z0-9]+)?$", 1)
+      struct(
+        when(parsed =!= "", parsed).otherwise(stem).as("band"),
+        struct(p.as("href"), SceneFunctions.mimeByExtension(p).as("mime_type")).as("asset"))
+    }))
 
   /** R7 — Sentinel footprint from MTD XML content (publish.py:159–174):
     * EXT_POS_LIST is "lat lon lat lon ..."; emit array<struct<x,y>> with
@@ -98,12 +105,20 @@ object Publish {
     * the reference's catalog consumers read (publish.py:575–605 writes the
     * same fields into the PostGIS `Item`: id/collection/bbox/footprint/
     * datetime/cloud cover/assets). One `to_json` projection; the polygon
-    * ring is closed (first vertex repeated) per the GeoJSON spec. */
+    * ring is closed (first vertex repeated) per the GeoJSON spec.
+    * `ignoreNullFields=false` keeps an explicit `"geometry": null` for
+    * footprint-less items (GeoJSON REQUIRES the key), and the 'Z'-suffixed
+    * datetimes are shifted through `to_utc_timestamp(current_timezone())`
+    * so they are UTC-correct under ANY session time zone, not only when
+    * the caller pinned spark.sql.session.timeZone=UTC. */
   def stacItemJson(item: DataFrame): DataFrame = {
     val ring = concat(
       transform(col("footprint"), p => array(p.getField("x"), p.getField("y"))),
       slice(transform(col("footprint"), p => array(p.getField("x"), p.getField("y"))),
         1, 1))
+    def utcIso(ts: Column): Column =
+      date_format(to_utc_timestamp(ts, current_timezone()),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
     item.select(col("name"), to_json(struct(
       lit("Feature").as("type"),
       lit("1.0.0").as("stac_version"),
@@ -115,10 +130,11 @@ object Publish {
         struct(lit("Polygon").as("type"), array(ring).as("coordinates")))
         .as("geometry"),
       struct(
-        date_format(col("start_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("datetime"),
-        date_format(col("start_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("start_datetime"),
-        date_format(col("end_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("end_datetime"),
+        utcIso(col("start_date")).as("datetime"),
+        utcIso(col("start_date")).as("start_datetime"),
+        utcIso(col("end_date")).as("end_datetime"),
         col("cloud_cover").as("eo:cloud_cover")).as("properties"),
-      col("assets").as("assets"))).as("stac_json"))
+      col("assets").as("assets")),
+      Map("ignoreNullFields" -> "false")).as("stac_json"))
   }
 }

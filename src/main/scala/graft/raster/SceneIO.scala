@@ -102,6 +102,59 @@ object SceneIO {
       .option("compression", "zstd")
       .parquet(path)
 
+  /** S5 physical layer — read a directory of GeoTIFF files into scene-band
+    * rows (scene_id, band, height, width, nodata, pixels) ready for
+    * [[tileScene]]. File naming convention `<scene_id>_<band>.tif` (the
+    * reference derives the same identity from file names,
+    * collections/utils.py:335–342). The decode runs on EXECUTORS via
+    * Spark's binaryFile source — one file per task unit, so a 100 TB
+    * archive decodes with no driver involvement and no shuffle; tiling
+    * afterwards is a narrow explode. */
+  def readGeoTiffScenes(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tif*")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val stem = name.substring(0, name.lastIndexOf('.'))
+        val us = stem.lastIndexOf('_')
+        val (sceneId, band) =
+          if (us > 0) (stem.substring(0, us), stem.substring(us + 1))
+          else (stem, "B1")
+        val img = GeoTiff.decode(bytes)
+        val m = img.main
+        (sceneId, band, m.height, m.width,
+          img.meta.nodata.map(_.toFloat).getOrElse(0f), m.pixels)
+      }
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+  }
+
+  /** S7/S8 physical layer — assemble one (scene, band) from its tiles and
+    * write a real tiled-deflate GeoTIFF with a factor-2..64 overview
+    * pyramid (reference cog_translate utils.py:113–154 + build_overviews
+    * :381–401). The assemble is the same bounded collect as [[quicklook]];
+    * the fan-out across (scene, band) pairs is the caller's loop or a
+    * foreachPartition over the distinct key set. */
+  def writeGeoTiff(tiles: DataFrame, sceneId: String, band: String,
+                   file: java.nio.file.Path,
+                   meta: GeoTiff.GeoMeta = GeoTiff.GeoMeta(),
+                   tileSize: Int = 256,
+                   overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64)): Unit = {
+    val (h, w, px) = assembleScene(tiles, sceneId, band)
+    val nodata = meta.nodata.orElse {
+      tiles.filter(col("scene_id") === sceneId && col("band") === band)
+        .select(col("nodata")).head(1).headOption.map(_.getFloat(0).toDouble)
+    }
+    val bytes = GeoTiff.encode(h, w, px, meta.copy(nodata = nodata),
+      tileSize, overviewFactors)
+    java.nio.file.Files.write(file, bytes)
+    ()
+  }
+
   /** S10 — RGB quicklook PNG (publish.py:59–91): three pre-scaled 0–255
     * band images of identical shape → PNG bytes via JDK ImageIO; 0 = fully
     * transparent (the reference's alpha mask). */

@@ -1,0 +1,142 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.sources._
+import java.net.{InetSocketAddress, URI, URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+
+/** HTTP-backed catalog provider for [[RemoteCatalog]] (SURVEY.md S1 live
+  * path). The reference's provider drivers are synchronous HTTPS search
+  * calls parameterized by dataset / date window / cloud cover
+  * (collections/collect.py:80–137 dispatching into the bdc_collectors
+  * entry points); [[searchFn]] is that driver shape: it translates the
+  * pushed-down Catalyst `Filter`s into query-string parameters, performs
+  * one GET per Spark search, and parses the JSON feature list back into
+  * [[RemoteCatalog.SceneRecord]]s.
+  *
+  * The search runs DRIVER-side at planning time (same as the reference),
+  * so executor count is irrelevant to it; only the parsed metadata
+  * records ship to executors. Pushdown is a transfer-volume optimization:
+  * the provider may over-return and Spark re-applies every filter.
+  *
+  * [[FixtureCatalogServer]] is the zero-egress stand-in for the remote
+  * side: a loopback JDK HttpServer replaying recorded (canned) responses
+  * and logging the query string it received — which lets a spec assert
+  * the predicate actually traveled over the wire, not just through the
+  * plan. The same [[searchFn]] pointed at a real provider URL is the
+  * production path.
+  */
+object HttpCatalogProvider {
+
+  private val mapper = new ObjectMapper()
+
+  /** Translate pushed filters into provider query params (the subset the
+    * reference's search APIs accept: dataset, cloud ceiling, date range). */
+  def queryParams(filters: Seq[Filter]): Map[String, String] = {
+    def iso(v: Any): String = v match {
+      case t: java.sql.Timestamp => t.toInstant.toString
+      case i: Instant => i.toString
+      case other => String.valueOf(other)
+    }
+    filters.flatMap {
+      case EqualTo("dataset", v) => Seq("dataset" -> String.valueOf(v))
+      case LessThanOrEqual("cloud_cover", v) => Seq("max_cloud" -> String.valueOf(v))
+      case LessThan("cloud_cover", v) => Seq("max_cloud" -> String.valueOf(v))
+      case GreaterThanOrEqual("sensing_date", v) => Seq("start" -> iso(v))
+      case GreaterThan("sensing_date", v) => Seq("start" -> iso(v))
+      case LessThanOrEqual("sensing_date", v) => Seq("end" -> iso(v))
+      case LessThan("sensing_date", v) => Seq("end" -> iso(v))
+      case EqualTo("scene_id", v) => Seq("scene_id" -> String.valueOf(v))
+      case _ => Nil // residual-only predicates never reach the wire
+    }.toMap
+  }
+
+  /** A [[RemoteCatalog.SearchFn]] that searches `<baseUrl>/search` over
+    * HTTP. Register it like any provider:
+    * `RemoteCatalog.register("usgs", HttpCatalogProvider.searchFn(url))`. */
+  def searchFn(baseUrl: String): RemoteCatalog.SearchFn = { filters =>
+    val qs = queryParams(filters)
+      .map { case (k, v) => s"$k=${URLEncoder.encode(v, UTF_8)}" }
+      .toSeq.sorted.mkString("&")
+    val url = new URI(s"$baseUrl/search" + (if (qs.isEmpty) "" else s"?$qs")).toURL
+    val conn = url.openConnection()
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    val in = conn.getInputStream
+    val body = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    parseFeatures(body)
+  }
+
+  /** Parse a feature-list search response (the STAC-ish wire shape the
+    * reference's providers return) into scene records. */
+  def parseFeatures(json: String): Seq[RemoteCatalog.SceneRecord] = {
+    val root = mapper.readTree(json)
+    val feats = root.path("features")
+    require(feats.isArray, s"search response has no 'features' array: $json")
+    (0 until feats.size()).map { i =>
+      val f: JsonNode = feats.get(i)
+      RemoteCatalog.SceneRecord(
+        scene_id = f.path("scene_id").asText(),
+        dataset = f.path("dataset").asText(),
+        cloud_cover = f.path("cloud_cover").asDouble(),
+        sensing_micros = Instant.parse(f.path("sensing_date").asText())
+          .toEpochMilli * 1000L,
+        link = f.path("link").asText())
+    }
+  }
+
+  def toJson(records: Seq[RemoteCatalog.SceneRecord]): String = {
+    val arr = mapper.createArrayNode()
+    records.foreach { r =>
+      val o = mapper.createObjectNode()
+      o.put("scene_id", r.scene_id)
+      o.put("dataset", r.dataset)
+      o.put("cloud_cover", r.cloud_cover)
+      o.put("sensing_date", Instant.ofEpochMilli(r.sensing_micros / 1000L).toString)
+      o.put("link", r.link)
+      arr.add(o)
+    }
+    val root = mapper.createObjectNode()
+    root.set[JsonNode]("features", arr)
+    root.toString
+  }
+}
+
+/** Loopback replay server: serves the canned record set at `/search`,
+  * honouring the dataset/max_cloud/start/end params, and records every
+  * query string received so tests can assert what reached the wire. */
+class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord]) {
+  @volatile var queries: List[String] = Nil
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/search", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      queries = raw :: queries
+      val params = raw.split('&').filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> URLDecoder.decode(v, UTF_8)
+      }.toMap
+      val hit = records.filter { r =>
+        params.get("dataset").forall(_ == r.dataset) &&
+          params.get("scene_id").forall(_ == r.scene_id) &&
+          params.get("max_cloud").forall(c => r.cloud_cover <= c.toDouble) &&
+          params.get("start").forall(s =>
+            r.sensing_micros >= Instant.parse(s).toEpochMilli * 1000L) &&
+          params.get("end").forall(e =>
+            r.sensing_micros <= Instant.parse(e).toEpochMilli * 1000L)
+      }
+      val body = HttpCatalogProvider.toJson(hit).getBytes(UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    }
+  })
+  server.start()
+
+  def baseUrl: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+}

@@ -297,6 +297,29 @@ class FunctionsSpec extends SparkSpec {
     assert(kept.contains(20L) && kept.contains(30L))
   }
 
+  test("dedupNear drops >10k ids via a broadcast anti-join, not an In literal") {
+    // 12k exact-dup pairs → 12k dropped ids. A literal `isin` of that many
+    // ids would blow up plan size / codegen; the drop-set must reach the
+    // plan as a broadcast left_anti join instead.
+    val nPairs = 12000
+    // vocabulary is fully disjoint across pairs — shared tokens would put
+    // every doc in one LSH bucket and blow the candidate set up to n²
+    val df = (0 until nPairs).flatMap { i =>
+      val text = s"a$i b$i c$i d$i e$i f$i g$i h$i"
+      Seq((2L * i, text), (2L * i + 1, text))
+    }.toDF("doc_id", "text")
+    val kept = DedupFunctions.dedupNear(df, "text", "doc_id",
+      n = 2, bands = 4, rowsPerBand = 1, jaccardThreshold = 0.5)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti-join in plan:\n$plan")
+    assert(!plan.contains("INSET") && !plan.toLowerCase.contains(" in ("),
+      "drop-filter must not be an In/InSet literal")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == nPairs, "one survivor per pair")
+    assert((0 until nPairs).forall(i => ids.contains(2L * i)),
+      "canonical (min-id) member of each pair survives")
+  }
+
   test("connectedComponents labels chains, cycles, and singletons") {
     import spark.implicits._
     val vertices = (1L to 9L).toDF("id")

@@ -83,6 +83,43 @@ class PublishSpec extends SparkSpec {
     assert(pts.head == pts.last && pts.length >= 4)
   }
 
+  test("S6: Item from HDF4 metadata (hdf.py:38–108) + explicit null geometry in STAC") {
+    import graft.sources.Hdf4
+    // hand-assembled HDF4 fixture (independent generator): CoreMetadata.0
+    // ODL with QAPERCENTCLOUDCOVER=37 and two Var0.0 subdatasets
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_modis.hdf").toURI))
+    assert(Hdf4.isValid(bytes))
+    assert(!Hdf4.isValid("not an hdf".getBytes))
+    val meta = Hdf4.parse(bytes)
+    assert(meta.cloudCover == 37.0)
+    assert(meta.subdatasets.map(_.bandName) ==
+      Seq("Surface_Reflectance_Band_1", "Surface_Reflectance_Band_2"))
+    assert(meta.subdatasets.map(_.dims) == Seq(Seq(2400, 2400), Seq(1200, 1200)))
+
+    // the reference's to_geotiff file fan-out: <base>_<band>.tif per subdataset
+    val base = "MOD13Q1.A2020009.h13v10.006.2020026"
+    val files = meta.subdatasets.map(sd => s"out/${base}_${sd.bandName}.tif")
+    val scenes = Seq((base, 9, "2020-01-09 00:00:00", "2020-01-09 23:59:59",
+        meta.cloudCover, files, "h13v10"))
+      .toDF("scene_id", "collection_id", "start_date", "end_date", "cloud_cover",
+        "asset_paths", "tile")
+      .withColumn("start_date", col("start_date").cast("timestamp"))
+      .withColumn("end_date", col("end_date").cast("timestamp"))
+    val noFootprints = Seq.empty[(String, Seq[(Double, Double)])]
+      .toDF("scene_id", "points")
+      .select(col("scene_id"), col("points").cast("array<struct<x:double,y:double>>"))
+    val items = Publish.assembleItems(scenes, noFootprints)
+    val row = items.head()
+    assert(row.getAs[String]("name") == base)
+    assert(row.getAs[Double]("cloud_cover") == 37.0)
+    assert(row.isNullAt(row.fieldIndex("footprint")))
+    // GeoJSON requires the geometry KEY even when null — the export must
+    // emit "geometry":null, not drop the field
+    val json = Publish.stacItemJson(items).select("stac_json").head().getString(0)
+    assert(json.contains("\"geometry\":null"), json)
+  }
+
   test("footprint reprojects from UTM to EPSG:4326 lon/lat (publish.py:272–273)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

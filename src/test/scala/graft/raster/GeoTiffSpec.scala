@@ -1,0 +1,90 @@
+package graft.raster
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class GeoTiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodes the checked-in fixture (big-endian, stripped, deflate, int16)") {
+    // tiny_scene_B1.tif was hand-assembled byte-by-byte by an independent
+    // generator (not this codec): MM byte order, one deflate strip of
+    // signed 16-bit samples v = row*10 + col on a 4×6 grid, with
+    // ModelPixelScale/Tiepoint, EPSG 32633 GeoKeys and GDAL nodata -32768.
+    val bytes = Files.readAllBytes(Paths.get(
+      getClass.getResource("/tiny_scene_B1.tif").toURI))
+    val img = GeoTiff.decode(bytes)
+    assert(img.pages.length == 1 && !img.main.isOverview)
+    assert(img.main.height == 4 && img.main.width == 6)
+    val expected = Array.tabulate(4 * 6)(i => (i / 6 * 10 + i % 6).toFloat)
+    assert(img.main.pixels.toSeq == expected.toSeq)
+    assert(img.meta.pixelScale.contains((30.0, 30.0)))
+    assert(img.meta.tiepoint.contains((500000.0, 7300000.0)))
+    assert(img.meta.epsg.contains(32633))
+    assert(img.meta.nodata.contains(-32768.0))
+  }
+
+  test("encode → decode round-trips pixels, meta and the overview pyramid") {
+    val (h, w) = (100, 75) // ragged against 16×16 tiles
+    val px = Array.tabulate(h * w)(i => (math.sin(i * 0.37) * 1000).toFloat)
+    val meta = GeoTiff.GeoMeta(
+      pixelScale = Some((10.0, 10.0)), tiepoint = Some((600000.0, 8100000.0)),
+      epsg = Some(4326), nodata = Some(-9999.0))
+    val bytes = GeoTiff.encode(h, w, px, meta, tileSize = 16,
+      overviewFactors = Seq(2, 4, 8, 16, 32, 64))
+    val img = GeoTiff.decode(bytes)
+    assert(img.main.height == h && img.main.width == w)
+    assert(img.main.pixels.toSeq == px.toSeq, "float32 payload must be bit-exact")
+    assert(img.meta == meta)
+    // factors 2..64 all keep both dims >= 1 pixel here
+    assert(img.overviews.map(o => (o.height, o.width)) ==
+      Seq((50, 37), (25, 18), (12, 9), (6, 4), (3, 2), (1, 1)))
+    // overview content is the nearest-neighbour reduction of the main page
+    val o2 = img.overviews.head
+    val expect2 = Array.tabulate(50 * 37)(i => px((i / 37) * 2 * w + (i % 37) * 2))
+    assert(o2.pixels.toSeq == expect2.toSeq)
+  }
+
+  test("readGeoTiffScenes → tileScene → bandMath runs distributed over real files") {
+    val dir = Files.createTempDirectory("gtiff")
+    val (h, w) = (20, 24)
+    val b08 = Array.tabulate(h * w)(i => 4000f + (i % 7))
+    val b04 = Array.tabulate(h * w)(i => 2000f + (i % 5))
+    val meta = GeoTiff.GeoMeta(nodata = Some(-9999.0))
+    Files.write(dir.resolve("sceneG_B08.tif"), GeoTiff.encode(h, w, b08, meta, 16, Nil))
+    Files.write(dir.resolve("sceneG_B04.tif"), GeoTiff.encode(h, w, b04, meta, 16, Nil))
+
+    val scenes = SceneIO.readGeoTiffScenes(spark, dir.toString)
+    val rows = scenes.select("scene_id", "band", "height", "width", "nodata").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("sceneG", "B08"), ("sceneG", "B04")))
+    assert(rows.forall(r => r.getInt(2) == h && r.getInt(3) == w && r.getFloat(4) == -9999f))
+
+    val piv = RasterKernels.pivotBands(SceneIO.tileScene(scenes, 8, 8))
+    val ndvi = RasterKernels.bandMath(piv, "10000. * ((B08 - B04) / (B08 + B04))",
+      "NDVI", -9999.0, -10000.0, 10000.0)
+    val (ah, aw, out) = SceneIO.assembleScene(ndvi, "sceneG", "NDVI")
+    assert(ah == h && aw == w)
+    val i0 = 0 // pixel 0: (4000-2000)/(4000+2000)
+    assert(math.abs(out(i0) - 10000.0 * (b08(i0) - b04(i0)) / (b08(i0) + b04(i0))) < 0.5)
+    assert(out.forall(v => v > 2000 && v < 4500), "all NDVI values in expected range")
+  }
+
+  test("writeGeoTiff exports tiles to a COG-shaped file that re-reads identically") {
+    val dir = Files.createTempDirectory("gtiffw")
+    val (h, w) = (64, 64)
+    val px = Array.tabulate(h * w)(_.toFloat)
+    val scene = Seq(("sceneW", "B02", h, w, -1f, px))
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+    val tiles = SceneIO.tileScene(scene, 16, 16)
+    val file = dir.resolve("sceneW_B02.tif")
+    SceneIO.writeGeoTiff(tiles, "sceneW", "B02", file,
+      GeoTiff.GeoMeta(epsg = Some(32633)), tileSize = 16, overviewFactors = Seq(2, 4))
+    val img = GeoTiff.decode(Files.readAllBytes(file))
+    assert(img.main.pixels.toSeq == px.toSeq)
+    assert(img.meta.epsg.contains(32633))
+    assert(img.meta.nodata.contains(-1.0), "nodata inferred from the tile rows")
+    assert(img.overviews.map(o => (o.height, o.width)) == Seq((32, 32), (16, 16)))
+  }
+}

@@ -37,6 +37,32 @@ class RemoteCatalogSourceSpec extends SparkSpec {
       s"unused columns must be pruned out of the scan: $scanLine")
   }
 
+  test("recorded-fixture HTTP provider: pushdown travels the wire as query params") {
+    val server = new FixtureCatalogServer(scenes)
+    try {
+      RemoteCatalog.register("http-fixture",
+        HttpCatalogProvider.searchFn(server.baseUrl))
+      val df = spark.read.format("remote_catalog")
+        .option("provider", "http-fixture").load()
+        .filter(col("cloud_cover") <= 20 && col("dataset") === "S2_MSI_L1C")
+        .select("scene_id", "cloud_cover")
+      val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("S2A_T23LLF_1", 10.0)))
+      // the predicate must reach the WIRE, not just the plan: the replay
+      // server records the query string it served
+      val q = server.queries.headOption.getOrElse("")
+      assert(q.contains("max_cloud=20") && q.contains("dataset=S2_MSI_L1C"),
+        s"pushed filters must arrive as provider query params, got '$q'")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("remote_catalog"), plan)
+    } finally server.stop()
+  }
+
+  test("HTTP provider round-trips timestamps and JSON symmetric encode/decode") {
+    val back = HttpCatalogProvider.parseFeatures(HttpCatalogProvider.toJson(scenes))
+    assert(back == scenes)
+  }
+
   test("empty search result and unregistered provider behave sanely") {
     RemoteCatalog.register("test-empty", _ => Nil)
     assert(spark.read.format("remote_catalog").option("provider", "test-empty")
