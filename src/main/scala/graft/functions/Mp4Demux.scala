@@ -1,0 +1,196 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** Real MP4 / ISO-BMFF container demuxer (video path of SURVEY §multimodal).
+  *
+  * The JDK has no video DECODER, but container demux needs none: the ISO
+  * base-media box structure (ftyp/moov/trak/mdia/minf/stbl) is plain
+  * big-endian byte parsing, the same class of work as the
+  * [[graft.raster.GeoTiff]] and [[graft.sources.Hdf4]] layers. From the
+  * sample tables (stsd/stts/stsz/stsc/stco/stss) this recovers, per video
+  * track, the REAL frame inventory: byte offset + size + timestamp + sync
+  * flag for every sample — which is exactly what frame-sampling pipelines
+  * need (cut keyframe payloads, ship them to a decode stage). Decoding the
+  * H.264/H.265 payload itself remains out of scope (no JDK codec); the
+  * payload bytes come out verbatim for a downstream decoder.
+  *
+  * Parsing is executor-local and allocation-light; at corpus scale it runs
+  * inside `mapPartitions` over `binaryFile` rows like the other codecs.
+  */
+object Mp4Demux {
+
+  final case class Track(handler: String, codec: String, timescale: Long,
+                         durationMs: Long, width: Int, height: Int,
+                         sampleCount: Int)
+  /** One sample (= one video frame for video tracks): real byte range in
+    * the file, presentation time, and whether it is a sync (key) frame. */
+  final case class Sample(index: Int, offset: Long, size: Int,
+                          timeMs: Long, sync: Boolean)
+  final case class Mp4Info(brand: String, tracks: Seq[Track],
+                           videoSamples: Seq[Sample])
+
+  /** None when the payload is not ISO-BMFF. */
+  def demux(bytes: Array[Byte]): Option[Mp4Info] = {
+    if (bytes.length < 16) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    if (fourcc(buf, 4) != "ftyp") return None
+    try {
+      val brand = fourcc(buf, 8)
+      val tracks = ArrayBuffer.empty[Track]
+      var videoSamples: Seq[Sample] = Nil
+      foreachBox(buf, 0, bytes.length) { (typ, start, end) =>
+        if (typ == "moov") foreachBox(buf, start, end) { (t2, s2, e2) =>
+          if (t2 == "trak") {
+            val (track, samples) = parseTrak(buf, s2, e2)
+            tracks += track
+            if (track.handler == "vide" && videoSamples.isEmpty)
+              videoSamples = samples
+          }
+        }
+      }
+      Some(Mp4Info(brand, tracks.toSeq, videoSamples))
+    } catch { case _: Exception => None }
+  }
+
+  /** Every `everyNth`-th video frame (up to `maxFrames`), with real byte
+    * ranges — the container-true replacement for byte-stride sampling. */
+  def sampleFrames(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Seq[Sample] =
+    demux(bytes).map(_.videoSamples.grouped(everyNth).map(_.head)
+      .take(maxFrames).toSeq).getOrElse(Nil)
+
+  /** Keyframes only (the usual thumbnail/shot-detection sampling set). */
+  def keyframes(bytes: Array[Byte], maxFrames: Int = Int.MaxValue): Seq[Sample] =
+    demux(bytes).map(_.videoSamples.filter(_.sync).take(maxFrames)).getOrElse(Nil)
+
+  /** Cut a sample's payload out of the container (verbatim coded bytes). */
+  def samplePayload(bytes: Array[Byte], s: Sample): Array[Byte] = {
+    require(s.offset >= 0 && s.offset + s.size <= bytes.length,
+      s"sample range [${s.offset}, ${s.offset + s.size}) outside payload")
+    java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.size)
+  }
+
+  // ------------------------------------------------------------------ boxes
+
+  private def fourcc(buf: ByteBuffer, pos: Int): String =
+    new String(Array(buf.get(pos), buf.get(pos + 1), buf.get(pos + 2),
+      buf.get(pos + 3)), "US-ASCII")
+
+  /** Iterate the child boxes of [from, until): f(type, payloadStart, payloadEnd). */
+  private def foreachBox(buf: ByteBuffer, from: Int, until: Int)
+                        (f: (String, Int, Int) => Unit): Unit = {
+    var p = from
+    while (p + 8 <= until) {
+      val size32 = buf.getInt(p).toLong & 0xffffffffL
+      val typ = fourcc(buf, p + 4)
+      val (size, hdr) =
+        if (size32 == 1) (buf.getLong(p + 8), 16) // 64-bit largesize
+        else if (size32 == 0) ((until - p).toLong, 8) // box runs to EOF
+        else (size32, 8)
+      require(size >= hdr && p + size <= until, s"malformed box '$typ' at $p")
+      f(typ, p + hdr, p + size.toInt)
+      p += size.toInt
+    }
+  }
+
+  private def findBox(buf: ByteBuffer, from: Int, until: Int,
+                      typ: String): Option[(Int, Int)] = {
+    var r: Option[(Int, Int)] = None
+    foreachBox(buf, from, until) { (t, s, e) => if (t == typ && r.isEmpty) r = Some((s, e)) }
+    r
+  }
+
+  private def parseTrak(buf: ByteBuffer, from: Int, until: Int): (Track, Seq[Sample]) = {
+    val (mdiaS, mdiaE) = findBox(buf, from, until, "mdia")
+      .getOrElse(throw new IllegalArgumentException("trak without mdia"))
+    // mdhd: version(1)+flags(3), then v0: ctime/mtime u32 ×2, timescale u32, duration u32
+    val (mdhdS, _) = findBox(buf, mdiaS, mdiaE, "mdhd")
+      .getOrElse(throw new IllegalArgumentException("mdia without mdhd"))
+    val v = buf.get(mdhdS) & 0xff
+    val (timescale, duration) =
+      if (v == 1) (buf.getInt(mdhdS + 20).toLong & 0xffffffffL, buf.getLong(mdhdS + 24))
+      else (buf.getInt(mdhdS + 12).toLong & 0xffffffffL,
+        buf.getInt(mdhdS + 16).toLong & 0xffffffffL)
+    val (hdlrS, _) = findBox(buf, mdiaS, mdiaE, "hdlr")
+      .getOrElse(throw new IllegalArgumentException("mdia without hdlr"))
+    val handler = fourcc(buf, hdlrS + 8)
+    val (minfS, minfE) = findBox(buf, mdiaS, mdiaE, "minf")
+      .getOrElse(throw new IllegalArgumentException("mdia without minf"))
+    val (stblS, stblE) = findBox(buf, minfS, minfE, "stbl")
+      .getOrElse(throw new IllegalArgumentException("minf without stbl"))
+
+    // stsd: entry count, then first sample entry: size u32 + fourcc; for
+    // video entries width/height live at fixed offsets 24/26 into the entry
+    val (codec, width, height) = findBox(buf, stblS, stblE, "stsd").map { case (s, _) =>
+      val entry = s + 8
+      val cc = fourcc(buf, entry + 4)
+      if (handler == "vide")
+        (cc, buf.getShort(entry + 32) & 0xffff, buf.getShort(entry + 34) & 0xffff)
+      else (cc, 0, 0)
+    }.getOrElse(("", 0, 0))
+
+    val sizes: Array[Int] = findBox(buf, stblS, stblE, "stsz").map { case (s, _) =>
+      val fixed = buf.getInt(s + 4)
+      val n = buf.getInt(s + 8)
+      if (fixed != 0) Array.fill(n)(fixed)
+      else Array.tabulate(n)(i => buf.getInt(s + 12 + 4 * i))
+    }.getOrElse(Array.empty)
+
+    val chunkOffsets: Array[Long] =
+      findBox(buf, stblS, stblE, "stco").map { case (s, _) =>
+        val n = buf.getInt(s + 4)
+        Array.tabulate(n)(i => buf.getInt(s + 8 + 4 * i).toLong & 0xffffffffL)
+      }.orElse(findBox(buf, stblS, stblE, "co64").map { case (s, _) =>
+        val n = buf.getInt(s + 4)
+        Array.tabulate(n)(i => buf.getLong(s + 8 + 8 * i))
+      }).getOrElse(Array.empty)
+
+    // stsc runs: (first_chunk, samples_per_chunk, desc_idx)
+    val stscRuns: Array[(Int, Int)] = findBox(buf, stblS, stblE, "stsc").map { case (s, _) =>
+      val n = buf.getInt(s + 4)
+      Array.tabulate(n)(i =>
+        (buf.getInt(s + 8 + 12 * i), buf.getInt(s + 12 + 12 * i)))
+    }.getOrElse(Array.empty)
+
+    // stts runs: (sample_count, sample_delta) → per-sample decode times
+    val sttsRuns: Array[(Int, Int)] = findBox(buf, stblS, stblE, "stts").map { case (s, _) =>
+      val n = buf.getInt(s + 4)
+      Array.tabulate(n)(i => (buf.getInt(s + 8 + 8 * i), buf.getInt(s + 12 + 8 * i)))
+    }.getOrElse(Array.empty)
+
+    val syncSet: Set[Int] = findBox(buf, stblS, stblE, "stss").map { case (s, _) =>
+      val n = buf.getInt(s + 4)
+      (0 until n).map(i => buf.getInt(s + 8 + 4 * i)).toSet // 1-based
+    }.getOrElse(Set.empty)
+    val allSync = syncSet.isEmpty // no stss box ⇒ every sample is sync
+
+    // walk chunks: expand stsc runs, lay samples into chunk offsets
+    val samples = ArrayBuffer.empty[Sample]
+    if (sizes.nonEmpty && chunkOffsets.nonEmpty && stscRuns.nonEmpty) {
+      val times = sttsRuns.iterator.flatMap { case (c, d) => Iterator.fill(c)(d.toLong) }
+        .scanLeft(0L)(_ + _).toArray
+      var sample = 0
+      var chunk = 0
+      while (chunk < chunkOffsets.length && sample < sizes.length) {
+        val perChunk = stscRuns.reverseIterator
+          .find(_._1 <= chunk + 1).map(_._2).getOrElse(1)
+        var ofs = chunkOffsets(chunk)
+        var i = 0
+        while (i < perChunk && sample < sizes.length) {
+          val tMs = if (sample < times.length && timescale > 0)
+            times(sample) * 1000L / timescale else 0L
+          samples += Sample(sample, ofs, sizes(sample), tMs,
+            allSync || syncSet.contains(sample + 1))
+          ofs += sizes(sample)
+          sample += 1
+          i += 1
+        }
+        chunk += 1
+      }
+    }
+    val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+    (Track(handler, codec, timescale, durMs, width, height, sizes.length),
+      samples.toSeq)
+  }
+}

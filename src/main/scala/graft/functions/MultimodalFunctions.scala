@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * external dependency), yielding true dimensions, an 8×8 intensity-grid
   * feature vector, and real resize. The AUDIO codec is real as well:
   * [[AudioCodec]] parses WAV/AIFF/AU with `javax.sound.sampled` (header
-  * meta + RMS-energy envelope features over the PCM stream). Only VIDEO
-  * decode is STUBBED (`StubCodec`): the JDK has no container demuxer.
-  * Swapping in a real one (JNI/javacv or a Python `mapInPandas` stage on
-  * a PySpark cluster) changes only the function body, not the plan shape.
+  * meta + RMS-energy envelope features over the PCM stream). VIDEO
+  * container demux is real for MP4/ISO-BMFF ([[Mp4Demux]]: track meta +
+  * per-frame byte ranges/timestamps/sync flags straight from the sample
+  * tables); only the CODED-FRAME decode (H.264/H.265) is stubbed — the JDK
+  * has no video codec, and swapping one in (JNI/javacv or a Python
+  * `mapInPandas` stage) changes only the function body, not the plan shape.
   *
   * Scale design: media rows are large and skewed → `balanceBySize`
   * range-partitions on byte length so one partition ≈ one codec batch of
@@ -189,6 +191,41 @@ object MultimodalFunctions {
           }
         } finally in.close()
       } catch { case _: Exception => None }
+  }
+
+  /** Real video-container meta from an MP4 payload: codec fourcc,
+    * dimensions and duration from the first video track ([[Mp4Demux]]).
+    * None for non-ISO-BMFF payloads. */
+  def videoMeta(bytes: Array[Byte]): Option[MediaMeta] =
+    Mp4Demux.demux(bytes).flatMap { info =>
+      info.tracks.find(_.handler == "vide").map { t =>
+        MediaMeta(t.codec, t.width, t.height, channels = 0,
+          sampleRate = t.timescale.toInt, durationMs = t.durationMs)
+      }
+    }
+
+  /** One extracted frame: verbatim coded payload + container-true
+    * timing/sync metadata. */
+  final case class FrameRow(media_id: Long, frame_index: Int, time_ms: Long,
+                            sync: Boolean, payload: Array[Byte])
+
+  /** Container-true frame sampling kernel: every `everyNth`-th frame (up
+    * to `maxFrames` per video) cut from the MP4 sample tables — real byte
+    * ranges, not byte-stride guesses. Non-MP4 payloads yield no rows.
+    * Same mapPartitions batching as the other codec kernels; output rows
+    * carry only the sampled frames, so a 1h clip ships k frames, not the
+    * container. */
+  def videoFrames(ds: Dataset[MediaRow], everyNth: Int, maxFrames: Int)
+                 (implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { row =>
+        Mp4Demux.sampleFrames(row.content, everyNth, maxFrames).map { s =>
+          FrameRow(row.media_id, s.index, s.timeMs, s.sync,
+            Mp4Demux.samplePayload(row.content, s))
+        }
+      }
+    }
   }
 
   /** Binary-file ingestion (`spark.read.format("binaryFile")`) normalized to

@@ -165,6 +165,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out.features.toSeq === AudioCodec.rmsFeatures(wav, 10).get.toSeq)
   }
 
+  test("Mp4Demux: real frame inventory from the checked-in MP4 fixture") {
+    // tiny_clip.mp4 was hand-assembled by an independent generator: one
+    // avc1 64x48 track, timescale 600, 6 samples of sizes 10..20 in two
+    // 3-sample chunks, sync samples {1, 4}, 100-tick (166 ms) frame spacing
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_clip.mp4").toURI))
+    val info = Mp4Demux.demux(bytes).get
+    assert(info.brand == "isom")
+    val t = info.tracks.find(_.handler == "vide").get
+    assert(t.codec == "avc1" && t.width == 64 && t.height == 48)
+    assert(t.timescale == 600 && t.durationMs == 1000 && t.sampleCount == 6)
+    val s = info.videoSamples
+    assert(s.map(_.size) == Seq(10, 12, 14, 16, 18, 20))
+    assert(s.map(_.sync) == Seq(true, false, false, true, false, false))
+    assert(s.map(_.timeMs) == Seq(0L, 166L, 333L, 500L, 666L, 833L))
+    // chunk layout: samples 0-2 contiguous from chunk 1, 3-5 from chunk 2
+    assert(s(1).offset == s(0).offset + 10 && s(2).offset == s(1).offset + 12)
+    assert(s(3).offset == s(0).offset + 10 + 12 + 14)
+    // payloads cut from the real ranges: sample i is byte 'A'+i repeated
+    assert(Mp4Demux.samplePayload(bytes, s(0)).toSeq == Array.fill(10)('A'.toByte).toSeq)
+    assert(Mp4Demux.samplePayload(bytes, s(5)).toSeq == Array.fill(20)('F'.toByte).toSeq)
+    assert(Mp4Demux.keyframes(bytes).map(_.index) == Seq(0, 3))
+    assert(Mp4Demux.demux("definitely not a video".getBytes).isEmpty)
+  }
+
+  test("videoFrames kernel samples container-true frames distributed") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_clip.mp4").toURI))
+    val meta = videoMeta(bytes).get
+    assert(meta.format == "avc1" && meta.width == 64 && meta.durationMs == 1000)
+    val rows = Seq(
+      MediaRow(1L, "video", bytes, meta),
+      MediaRow(2L, "video", Array.fill[Byte](64)(9), StubCodec.decodeMeta(Array.fill[Byte](64)(9))))
+    val frames = videoFrames(spark.createDataset(rows), everyNth = 2, maxFrames = 8)
+      .collect().sortBy(_.frame_index)
+    // non-MP4 row contributes nothing; MP4 row yields frames 0, 2, 4
+    assert(frames.forall(_.media_id == 1L))
+    assert(frames.map(_.frame_index).toSeq == Seq(0, 2, 4))
+    assert(frames.map(_.payload.length).toSeq == Seq(10, 14, 18))
+  }
+
   test("resize kernel rewrites payload + meta, deterministic across partitioning") {
     val rows = (0 until 10).map(i => MediaRow(i.toLong, "image", jpegBytes(500 + i),
       StubCodec.decodeMeta(jpegBytes(500 + i))))
