@@ -14,18 +14,20 @@ import scala.collection.mutable.ArrayBuffer
   * Vdata-header (1962) / Vdata (1963) records, and the scientific-data
   * dimension records (tag 701).
   *
-  * Scope, stated honestly: this parses the METADATA side — subdataset
-  * enumeration (name + dims via the SD convention of `Var0.0`-class
-  * Vgroups), file attributes (`Attr0.0`-class Vdata, which is where
-  * HDF-EOS stores the ODL `CoreMetadata.0` text), and the
-  * QAPERCENTCLOUDCOVER extraction the reference's ingest needs. Pixel
-  * decode of SDS payloads stays on the GeoTIFF path
-  * ([[graft.raster.GeoTiff]]) once scenes are converted; raw SDS decode
-  * is out of scope for the engine.
+  * Scope, stated honestly: this parses the metadata side — subdataset
+  * enumeration (name + dims + number type via the SD convention of
+  * `Var0.0`-class Vgroups), file attributes (`Attr0.0`-class Vdata, which
+  * is where HDF-EOS stores the ODL `CoreMetadata.0` text), the
+  * QAPERCENTCLOUDCOVER extraction the reference's ingest needs — and
+  * decodes UNCOMPRESSED, contiguous SDS pixel payloads ([[decodeSds]]),
+  * which [[toGeoTiff]] re-containers per band exactly like the
+  * reference's `to_geotiff` (hdf.py:38–108). Chunked/compressed SDS
+  * storage (DFTAG_CHUNK) is not handled: such files convert upstream.
   */
 object Hdf4 {
 
-  final case class SubDataset(name: String, bandName: String, dims: Seq[Int])
+  final case class SubDataset(name: String, bandName: String, dims: Seq[Int],
+                              ntType: Int, dataOffset: Long, dataLength: Int)
   final case class HdfMeta(subdatasets: Seq[SubDataset],
                            attributes: Map[String, String]) {
     /** hdf.py:66 — `float(metadata.get('QAPERCENTCLOUDCOVER.1') or 0)`.
@@ -105,21 +107,83 @@ object Hdf4 {
       val (klass, _) = pascal(p2)
       (name, klass, tags.zip(refs))
     }.collect { case (name, klass, members) if klass.startsWith("Var") =>
-      val dims = members.collectFirst { case (720, ndgRef) =>
+      val ndgMembers: Seq[(Int, Int)] = members.collectFirst { case (720, ndgRef) =>
         find(720, ndgRef).toSeq.flatMap { case (o, l) =>
           (0 until l / 4).map(i =>
             (buf.getShort(o + 4 * i) & 0xffff, buf.getShort(o + 4 * i + 2) & 0xffff))
-        }.collectFirst { case (701, sddRef) =>
-          find(701, sddRef).map { case (o, _) =>
-            val rank = buf.getShort(o) & 0xffff
-            (0 until rank).map(i => buf.getInt(o + 2 + 4 * i))
-          }
-        }.flatten
-      }.flatten.getOrElse(Seq.empty)
-      SubDataset(name, bandName(name), dims.toSeq)
+        }
+      }.getOrElse(Seq.empty)
+      val (dims, ntType) = ndgMembers.collectFirst { case (701, sddRef) =>
+        find(701, sddRef).map { case (o, _) =>
+          val rank = buf.getShort(o) & 0xffff
+          val ds = (0 until rank).map(i => buf.getInt(o + 2 + 4 * i))
+          // after the dims: (DFTAG_NT=106, ref) of the data's number type;
+          // the NT record is [version, DFNT type code, bits, class]
+          val ntRef = buf.getShort(o + 2 + 4 * rank + 2) & 0xffff
+          val nt = find(106, ntRef).map { case (no, _) => buf.get(no + 1) & 0xff }
+            .getOrElse(0)
+          (ds, nt)
+        }
+      }.flatten.getOrElse((Seq.empty[Int], 0))
+      val (dataOfs, dataLen) = ndgMembers.collectFirst { case (702, sdRef) =>
+        find(702, sdRef).map { case (o, l) => (o.toLong, l) }
+      }.flatten.getOrElse((-1L, 0))
+      SubDataset(name, bandName(name), dims.toSeq, ntType, dataOfs, dataLen)
     }.toSeq
 
     HdfMeta(subdatasets, attributes)
+  }
+
+  /** Decode an uncompressed, contiguous SDS payload to float pixels
+    * (row-major, the rasterio `ReadAsArray` shape at hdf.py:83). DFNT
+    * number-type codes are from the public HDF4 spec. */
+  def decodeSds(bytes: Array[Byte], sd: SubDataset): Array[Float] = {
+    require(sd.dataOffset >= 0 && sd.dims.nonEmpty,
+      s"subdataset '${sd.name}' has no contiguous data payload")
+    val n = sd.dims.product
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val o = sd.dataOffset.toInt
+    val width = sd.ntType match {
+      case 3 | 4 | 20 | 21 => 1 // uchar8/char8/int8/uint8
+      case 22 | 23         => 2 // int16/uint16
+      case 5 | 24 | 25     => 4 // float32/int32/uint32
+      case 6               => 8 // float64
+      case t => throw new IllegalArgumentException(s"unsupported DFNT type $t")
+    }
+    require(sd.dataLength >= n * width,
+      s"subdataset '${sd.name}' data shorter than dims (chunked/compressed storage?)")
+    Array.tabulate(n) { i =>
+      val p = o + i * width
+      sd.ntType match {
+        case 3 | 21 => (buf.get(p) & 0xff).toFloat
+        case 4 | 20 => buf.get(p).toFloat
+        case 22     => buf.getShort(p).toFloat
+        case 23     => (buf.getShort(p) & 0xffff).toFloat
+        case 24     => buf.getInt(p).toFloat
+        case 25     => (buf.getInt(p).toLong & 0xffffffffL).toFloat
+        case 5      => buf.getFloat(p)
+        case 6      => buf.getDouble(p).toFloat
+      }
+    }
+  }
+
+  /** The reference's `to_geotiff` (hdf.py:38–108) end-to-end: every 2-D
+    * subdataset becomes a `<baseName>_<bandName>.tif` tiled GeoTIFF
+    * ([[graft.raster.GeoTiff.encode]]), nodata from `bandMap` (the
+    * reference's fallback when the band carries none), plus the file-level
+    * cloud cover. Returns (band → tiff bytes, cloud_cover). */
+  def toGeoTiff(bytes: Array[Byte], baseName: String,
+                bandMap: Map[String, Double] = Map.empty,
+                tileSize: Int = 256): (Seq[(String, Array[Byte])], Double) = {
+    val meta = parse(bytes)
+    val files = meta.subdatasets.filter(_.dims.length == 2).map { sd =>
+      val px = decodeSds(bytes, sd)
+      val tiff = graft.raster.GeoTiff.encode(sd.dims(0), sd.dims(1), px,
+        graft.raster.GeoTiff.GeoMeta(nodata = bandMap.get(sd.bandName)),
+        tileSize)
+      s"${baseName}_${sd.bandName}.tif" -> tiff
+    }
+    (files, meta.cloudCover)
   }
 
   /** hdf.py:72–76 — band name: words 4+ of the formal subdataset name

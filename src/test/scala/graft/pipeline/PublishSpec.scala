@@ -95,11 +95,24 @@ class PublishSpec extends SparkSpec {
     assert(meta.cloudCover == 37.0)
     assert(meta.subdatasets.map(_.bandName) ==
       Seq("Surface_Reflectance_Band_1", "Surface_Reflectance_Band_2"))
-    assert(meta.subdatasets.map(_.dims) == Seq(Seq(2400, 2400), Seq(1200, 1200)))
+    assert(meta.subdatasets.map(_.dims) == Seq(Seq(4, 6), Seq(2, 3)))
 
-    // the reference's to_geotiff file fan-out: <base>_<band>.tif per subdataset
+    // real SDS pixel decode: int16 payloads v = row*10+col and 100+i
+    val b1 = Hdf4.decodeSds(bytes, meta.subdatasets(0))
+    assert(b1.toSeq == (0 until 24).map(i => (i / 6 * 10 + i % 6).toFloat))
+    // to_geotiff end-to-end (hdf.py:38-108): per-band tiled GeoTIFF out
     val base = "MOD13Q1.A2020009.h13v10.006.2020026"
-    val files = meta.subdatasets.map(sd => s"out/${base}_${sd.bandName}.tif")
+    val (tiffs, cc) = Hdf4.toGeoTiff(bytes, base,
+      bandMap = Map("Surface_Reflectance_Band_1" -> -28672.0), tileSize = 16)
+    assert(cc == 37.0)
+    assert(tiffs.map(_._1) == Seq(s"${base}_Surface_Reflectance_Band_1.tif",
+      s"${base}_Surface_Reflectance_Band_2.tif"))
+    val round = graft.raster.GeoTiff.decode(tiffs.head._2)
+    assert(round.main.height == 4 && round.main.width == 6)
+    assert(round.main.pixels.toSeq == b1.toSeq)
+    assert(round.meta.nodata.contains(-28672.0))
+
+    val files = tiffs.map { case (name, _) => s"out/$name" }
     val scenes = Seq((base, 9, "2020-01-09 00:00:00", "2020-01-09 23:59:59",
         meta.cloudCover, files, "h13v10"))
       .toDF("scene_id", "collection_id", "start_date", "end_date", "cloud_cover",
