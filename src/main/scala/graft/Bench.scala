@@ -39,25 +39,44 @@ object Bench {
     val historyPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // Only rows from the same (sf, cpus) environment are comparable — a run
+    // at local[8] is uniformly ~2-4x a local[32] run on the parallel-heavy
+    // queries and would drown real regressions in false positives. Rows
+    // written before the cpus field existed were all recorded at the
+    // default 32. Baseline = per-query MINIMUM across all same-env rows
+    // (a stable floor that single noisy runs can't inflate), and the
+    // current run is normalized by the MEDIAN per-query ratio before
+    // flagging — a loaded machine slows every query uniformly, and that
+    // shared factor is not a code regression.
     val previous: Map[String, Double] =
       if (java.nio.file.Files.exists(historyPath)) {
         val lines = java.nio.file.Files.readAllLines(historyPath)
-        lines.toArray(Array.empty[String]).reverseIterator
-          .map(l => scala.util.Try(mapper.readTree(l)).toOption)
-          .collectFirst {
-            case Some(n) if n.path("sf").asText() == sfDir =>
-              val q = n.path("queries")
-              val it = q.properties().iterator()
-              val b = Map.newBuilder[String, Double]
-              while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-              b.result()
-          }.getOrElse(Map.empty)
+        val rows = lines.toArray(Array.empty[String]).iterator
+          .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
+          .filter(n => n.path("sf").asText() == sfDir &&
+            (if (n.has("cpus")) n.path("cpus").asText() else "32") == cpus)
+          .toSeq
+        val b = scala.collection.mutable.Map.empty[String, Double]
+        for (n <- rows) {
+          val it = n.path("queries").properties().iterator()
+          while (it.hasNext) {
+            val e = it.next(); val v = e.getValue.asDouble()
+            if (v > 0) b.updateWith(e.getKey)(o => Some(o.fold(v)(math.min(_, v))))
+          }
+        }
+        b.toMap
       } else Map.empty
+    val ratios = results.flatMap { case (name, sec) =>
+      previous.get(name).filter(_ > 0.05).map(sec / _)
+    }.sorted
+    val ambient = // median ratio, floored at 1 so a fast machine can't mask risers
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.length / 2))
     val regressions = results.flatMap { case (name, sec) =>
       previous.get(name) match {
-        case Some(old) if old > 0 && sec > old * 1.5 && sec - old >= 0.15 =>
+        case Some(old) if old > 0 && sec > old * ambient * 1.5 &&
+            sec - old * ambient >= 0.15 =>
           System.err.println(
-            f"BENCH REGRESSION $name: $old%.2fs -> $sec%.2fs (${sec / old}%.1fx)")
+            f"BENCH REGRESSION $name: $old%.2fs -> $sec%.2fs (${sec / old}%.1fx, ambient $ambient%.2fx)")
           Some(name -> (sec / old))
         case _ => None
       }
@@ -69,7 +88,7 @@ object Bench {
     val regs = regressions.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir","cpus":"$cpus"}"""
     println(line)
     // persist AFTER computing the comparison so this run becomes the next baseline
     java.nio.file.Files.write(historyPath, java.util.List.of(line),

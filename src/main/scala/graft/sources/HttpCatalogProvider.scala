@@ -106,9 +106,15 @@ object HttpCatalogProvider {
 
 /** Loopback replay server: serves the canned record set at `/search`,
   * honouring the dataset/max_cloud/start/end params, and records every
-  * query string received so tests can assert what reached the wire. */
-class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord]) {
+  * query string received so tests can assert what reached the wire.
+  * `assets` (scene_id → archive bytes) are additionally served at
+  * `/download/<scene_id>` — the download half of the reference's provider
+  * drivers (collections/collect.py:86–137 `download(...)` after search),
+  * so an ingest spec can exercise search AND fetch over real HTTP. */
+class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
+                           assets: Map[String, Array[Byte]] = Map.empty) {
   @volatile var queries: List[String] = Nil
+  @volatile var downloads: List[String] = Nil
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/search", new HttpHandler {
@@ -128,10 +134,28 @@ class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord]) {
           params.get("end").forall(e =>
             r.sensing_micros <= Instant.parse(e).toEpochMilli * 1000L)
       }
-      val body = HttpCatalogProvider.toJson(hit).getBytes(UTF_8)
+      // record links may carry a "{base}" placeholder (the canned fixture
+      // can't know its ephemeral port ahead of time) — resolve it here
+      val resolved = hit.map(r => r.copy(link = r.link.replace("{base}", baseUrl)))
+      val body = HttpCatalogProvider.toJson(resolved).getBytes(UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(200, body.length)
       ex.getResponseBody.write(body)
+      ex.close()
+    }
+  })
+  server.createContext("/download", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val sceneId = ex.getRequestURI.getPath.stripPrefix("/download/")
+      downloads = sceneId :: downloads
+      assets.get(sceneId) match {
+        case Some(bytes) =>
+          ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        case None =>
+          ex.sendResponseHeaders(404, -1)
+      }
       ex.close()
     }
   })
