@@ -48,7 +48,7 @@ object Bench {
     // current run is normalized by the MEDIAN per-query ratio before
     // flagging — a loaded machine slows every query uniformly, and that
     // shared factor is not a code regression.
-    val previous: Map[String, Double] =
+    val previousAndStrikes: (Map[String, Double], Set[String]) =
       if (java.nio.file.Files.exists(historyPath)) {
         val lines = java.nio.file.Files.readAllLines(historyPath)
         val rows = lines.toArray(Array.empty[String]).iterator
@@ -64,31 +64,48 @@ object Bench {
             if (v > 0) b.updateWith(e.getKey)(o => Some(o.fold(v)(math.min(_, v))))
           }
         }
-        b.toMap
-      } else Map.empty
+        (b.toMap, rows.lastOption.map { n =>
+          val names = scala.collection.mutable.Set.empty[String]
+          for (f <- Seq("warnings", "regressions")) {
+            val it = n.path(f).properties().iterator()
+            while (it.hasNext) names += it.next().getKey
+          }
+          names.toSet
+        }.getOrElse(Set.empty[String]))
+      } else (Map.empty[String, Double], Set.empty[String])
+    val (previous, priorStrikes) = previousAndStrikes
     val ratios = results.flatMap { case (name, sec) =>
       previous.get(name).filter(_ > 0.05).map(sec / _)
     }.sorted
     val ambient = // median ratio, floored at 1 so a fast machine can't mask risers
       if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.length / 2))
-    val regressions = results.flatMap { case (name, sec) =>
+    // Two-strike escalation: per-query spikes (GC pause, co-tenant burst)
+    // flag a different random query each run; a genuine code regression
+    // flags the SAME query run after run. First occurrence → warning;
+    // repeat occurrence → regression.
+    val risers = results.flatMap { case (name, sec) =>
       previous.get(name) match {
         case Some(old) if old > 0 && sec > old * ambient * 1.5 &&
             sec - old * ambient >= 0.15 =>
-          System.err.println(
-            f"BENCH REGRESSION $name: $old%.2fs -> $sec%.2fs (${sec / old}%.1fx, ambient $ambient%.2fx)")
           Some(name -> (sec / old))
         case _ => None
       }
+    }
+    val (regressions, warnings) = risers.partition { case (n, _) => priorStrikes(n) }
+    regressions.foreach { case (n, r) =>
+      System.err.println(f"BENCH REGRESSION $n: ${previous(n)}%.2fs baseline, ${r}%.1fx (ambient $ambient%.2fx, repeated)")
+    }
+    warnings.foreach { case (n, r) =>
+      System.err.println(f"BENCH WARN $n: ${previous(n)}%.2fs baseline, ${r}%.1fx (ambient $ambient%.2fx, first occurrence)")
     }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val regs = regressions.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+    def jmap(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":${jmap(regressions)},"warnings":${jmap(warnings)},"sf":"$sfDir","cpus":"$cpus"}"""
     println(line)
     // persist AFTER computing the comparison so this run becomes the next baseline
     java.nio.file.Files.write(historyPath, java.util.List.of(line),

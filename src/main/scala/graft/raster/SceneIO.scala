@@ -10,10 +10,13 @@ import java.awt.image.BufferedImage
   *    (index_generator.py:121, utils.py:351); here a full-scene band row
   *    explodes into block-window tiles — block boundaries become row
   *    boundaries, so one scene's blocks process on many executors.
-  *  - S7/S8: the engine-native "COG" sink is parquet partitioned by
+  *  - S7/S8: two sinks. Engine-native: parquet partitioned by
   *    (scene_id, band) with the overview pyramid as extra factor-tagged
-  *    rows (RasterKernels.overviews); a real GeoTIFF export is an edge
-  *    job outside the engine (needs GDAL).
+  *    rows (RasterKernels.overviews). Interchange: real tiled-deflate
+  *    GeoTIFF files with overview IFDs via the pure-JVM [[GeoTiff]]
+  *    codec — [[writeGeoTiff]] for one band, [[writeGeoTiffScenes]] for
+  *    the distributed all-bands fan-out (one shuffle, files written from
+  *    executors through the Hadoop FileSystem API).
   *  - S10: quicklook PNG encode uses JDK ImageIO — driver-side, on an
   *    already-downsampled 768×768 composite (publish.py:59–91), so the
   *    collect is ≤ 768·768·3 bytes per scene regardless of input size.
@@ -73,15 +76,22 @@ object SceneIO {
   def assembleScene(tiles: DataFrame, sceneId: String, band: String): (Int, Int, Array[Float]) = {
     val rows = tiles.filter(col("scene_id") === sceneId && col("band") === band)
       .select("window_row", "window_col", "height", "width", "pixels").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getSeq[Float](4).toArray))
     require(rows.nonEmpty, s"no tiles for $sceneId/$band")
-    val blockH = rows.map(r => r.getInt(2)).max
-    val blockW = rows.map(r => r.getInt(3)).max
-    val totalH = rows.map(r => r.getInt(0) * blockH + r.getInt(2)).max
-    val totalW = rows.map(r => r.getInt(1) * blockW + r.getInt(3)).max
+    assembleTiles(rows)
+  }
+
+  /** Stitch (window_row, window_col, h, w, pixels) tiles back into one
+    * row-major image. Pure local math — shared by the driver-side
+    * [[assembleScene]] and the executor-side [[writeGeoTiffScenes]]. */
+  private[raster] def assembleTiles(
+      rows: Array[(Int, Int, Int, Int, Array[Float])]): (Int, Int, Array[Float]) = {
+    val blockH = rows.map(_._3).max
+    val blockW = rows.map(_._4).max
+    val totalH = rows.map(r => r._1 * blockH + r._3).max
+    val totalW = rows.map(r => r._2 * blockW + r._4).max
     val out = new Array[Float](totalH * totalW)
-    rows.foreach { r =>
-      val (wr, wc, h, w) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
-      val px = r.getSeq[Float](4)
+    rows.foreach { case (wr, wc, h, w, px) =>
       var i = 0
       while (i < h * w) {
         val gr = wr * blockH + i / w
@@ -153,6 +163,82 @@ object SceneIO {
       tileSize, overviewFactors)
     java.nio.file.Files.write(file, bytes)
     ()
+  }
+
+  /** S7/S8 at scale — export EVERY (scene, band) as its own GeoTIFF in one
+    * distributed pass: a single shuffle keyed by (scene_id, band) brings
+    * each file's tiles to one task, which stitches, encodes (tiled deflate
+    * + overview pyramid) and writes through the Hadoop FileSystem API —
+    * local, HDFS or s3a alike, matching the reference's one-COG-per-band
+    * output layout (cog_translate utils.py:113–154). The driver never sees
+    * pixel data; memory per task is one band image (the same envelope the
+    * reference needs for its per-scene GDAL translate). Returns the
+    * manifest (scene_id, band, path, bytes) for downstream publish. */
+  def writeGeoTiffScenes(tiles: DataFrame, dir: String,
+                         meta: GeoTiff.GeoMeta = GeoTiff.GeoMeta(),
+                         tileSize: Int = 256,
+                         overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64)): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
+      spark.sparkContext.hadoopConfiguration)
+    tiles
+      .select(col("scene_id"), col("band"), col("window_row"), col("window_col"),
+        col("height"), col("width"), col("nodata").cast("double"), col("pixels"))
+      .as[(String, String, Int, Int, Int, Int, Double, Array[Float])]
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (String, String), it: Iterator[(String, String, Int, Int, Int, Int, Double, Array[Float])]) =>
+        val (sceneId, band) = key
+        val all = it.toArray
+        val rows = all.map(t => (t._3, t._4, t._5, t._6, t._8))
+        // explicit meta wins; otherwise the tiles carry their band's nodata
+        val nodata = meta.nodata.orElse(all.headOption.map(_._7))
+        val (h, w, px) = assembleTiles(rows)
+        val bytes = GeoTiff.encode(h, w, px,
+          meta.copy(nodata = nodata), tileSize, overviewFactors)
+        val path = new org.apache.hadoop.fs.Path(dir, s"${sceneId}_$band.tif")
+        val fs = path.getFileSystem(conf.value)
+        val os = fs.create(path, true)
+        try os.write(bytes) finally os.close()
+        (sceneId, band, path.toString, bytes.length.toLong)
+      }
+      .toDF("scene_id", "band", "path", "bytes")
+  }
+
+  /** S6 at scale — convert a directory of HDF4 granules to per-band
+    * GeoTIFFs in one distributed pass: binaryFile scan → per-file
+    * [[graft.sources.Hdf4.toGeoTiff]] on executors (subdataset decode +
+    * tiled-deflate encode) → Hadoop FS write beside the manifest row
+    * (granule, band, path, bytes, cloud_cover). The reference converts
+    * one granule at a time through GDAL (hdf.py:38–108); here the granule
+    * set IS the parallelism — no shuffle at all, each file is one task
+    * unit end to end. */
+  def convertHdfScenes(spark: org.apache.spark.sql.SparkSession,
+                       inDir: String, outDir: String,
+                       bandNodata: Map[String, Double] = Map.empty,
+                       tileSize: Int = 256): DataFrame = {
+    import spark.implicits._
+    val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
+      spark.sparkContext.hadoopConfiguration)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.hdf")
+      .load(inDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        val base = name.substring(0, name.lastIndexOf('.'))
+        val (files, cloud) = graft.sources.Hdf4.toGeoTiff(bytes, base, bandNodata, tileSize)
+        files.map { case (fileName, tiff) =>
+          val out = new org.apache.hadoop.fs.Path(outDir, fileName)
+          val fs = out.getFileSystem(conf.value)
+          val os = fs.create(out, true)
+          try os.write(tiff) finally os.close()
+          val band = fileName.stripSuffix(".tif").stripPrefix(base + "_")
+          (base, band, out.toString, tiff.length.toLong, cloud)
+        }
+      }
+      .toDF("granule", "band", "path", "bytes", "cloud_cover")
   }
 
   /** S10 — RGB quicklook PNG (publish.py:59–91): three pre-scaled 0–255

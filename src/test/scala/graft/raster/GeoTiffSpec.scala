@@ -71,6 +71,60 @@ class GeoTiffSpec extends SparkSpec {
     assert(out.forall(v => v > 2000 && v < 4500), "all NDVI values in expected range")
   }
 
+  test("writeGeoTiffScenes: distributed fan-out writes every (scene, band) from executors") {
+    val dir = Files.createTempDirectory("gtiffdist")
+    val (h, w) = (48, 40)
+    val scenes = Seq(
+      ("sceneA", "B02", h, w, -9999f, Array.tabulate(h * w)(_.toFloat)),
+      ("sceneA", "B03", h, w, -9999f, Array.tabulate(h * w)(i => (2 * i).toFloat)),
+      ("sceneB", "B02", h, w, -1f, Array.tabulate(h * w)(i => (i % 97).toFloat)))
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+    val tiles = SceneIO.tileScene(scenes, 16, 16).repartition(4) // tiles scattered
+    val manifest = SceneIO.writeGeoTiffScenes(tiles, dir.toString,
+      tileSize = 16, overviewFactors = Seq(2)).collect()
+    assert(manifest.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("sceneA", "B02"), ("sceneA", "B03"), ("sceneB", "B02")))
+    manifest.foreach { r =>
+      val img = GeoTiff.decode(Files.readAllBytes(
+        dir.resolve(s"${r.getString(0)}_${r.getString(1)}.tif")))
+      assert(img.main.height == h && img.main.width == w)
+      assert(img.overviews.map(o => (o.height, o.width)) == Seq((24, 20)))
+      assert(r.getString(2).endsWith(s"${r.getString(0)}_${r.getString(1)}.tif"))
+      assert(r.getLong(3) > 0)
+    }
+    // pixels round-trip exactly, nodata comes from the tile rows
+    val a2 = GeoTiff.decode(Files.readAllBytes(dir.resolve("sceneA_B02.tif")))
+    assert(a2.main.pixels.toSeq == Array.tabulate(h * w)(_.toFloat).toSeq)
+    assert(a2.meta.nodata.contains(-9999.0))
+    val b2 = GeoTiff.decode(Files.readAllBytes(dir.resolve("sceneB_B02.tif")))
+    assert(b2.meta.nodata.contains(-1.0))
+  }
+
+  test("convertHdfScenes: distributed HDF4 → GeoTIFF conversion over real files") {
+    val inDir = Files.createTempDirectory("hdfin")
+    val outDir = Files.createTempDirectory("hdfout")
+    val bytes = Files.readAllBytes(Paths.get(
+      getClass.getResource("/tiny_modis.hdf").toURI))
+    Files.write(inDir.resolve("MOD13Q1.A2020009.h13v10.006.hdf"), bytes)
+    Files.write(inDir.resolve("MOD13Q1.A2020025.h13v10.006.hdf"), bytes)
+
+    val manifest = SceneIO.convertHdfScenes(spark, inDir.toString, outDir.toString,
+      bandNodata = Map("Surface_Reflectance_Band_1" -> -28672.0), tileSize = 16)
+      .collect()
+    assert(manifest.length == 4) // 2 granules × 2 subdatasets
+    assert(manifest.map(_.getString(0)).toSet ==
+      Set("MOD13Q1.A2020009.h13v10.006", "MOD13Q1.A2020025.h13v10.006"))
+    assert(manifest.map(_.getString(1)).toSet ==
+      Set("Surface_Reflectance_Band_1", "Surface_Reflectance_Band_2"))
+    assert(manifest.forall(_.getDouble(4) == 37.0))
+
+    val b1 = GeoTiff.decode(Files.readAllBytes(
+      outDir.resolve("MOD13Q1.A2020009.h13v10.006_Surface_Reflectance_Band_1.tif")))
+    assert(b1.main.height == 4 && b1.main.width == 6)
+    assert(b1.main.pixels.toSeq == (0 until 24).map(i => (i / 6 * 10 + i % 6).toFloat))
+    assert(b1.meta.nodata.contains(-28672.0))
+  }
+
   test("writeGeoTiff exports tiles to a COG-shaped file that re-reads identically") {
     val dir = Files.createTempDirectory("gtiffw")
     val (h, w) = (64, 64)
