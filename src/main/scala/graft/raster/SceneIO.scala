@@ -282,4 +282,78 @@ object SceneIO {
     }
     encodeQuicklookPng(qlH, qlW, bandImage(rgb._1), bandImage(rgb._2), bandImage(rgb._3))
   }
+
+  /** S10 at scale — quicklook PNGs for EVERY scene in one distributed
+    * pass. [[quicklook]] assembles the full-resolution band on the driver
+    * before downsampling (fine for one scene, a ~480 MB collect for a
+    * 10980² band); here each TILE projects itself onto the ≤ qlH×qlW
+    * output grid first, so the only thing that crosses the per-scene
+    * shuffle is ≤ 3·qlH·qlW sampled values per scene (~7 MB at 768²) —
+    * independent of input resolution. Each task then fills the three
+    * band buffers, encodes the PNG (0 → transparent) and writes it via
+    * the Hadoop FS API. Per-band geometry joins back via AQE (broadcasts
+    * when the scene count is small). Bit-identical to [[quicklook]]:
+    * same integer nearest-neighbour mapping, same encoder. Returns the
+    * manifest (scene_id, path, bytes). */
+  def quicklookScenes(tiles: DataFrame, rgb: (String, String, String), dir: String,
+                      qlH: Int = 768, qlW: Int = 768): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
+      spark.sparkContext.hadoopConfiguration)
+    val bands = Seq(rgb._1, rgb._2, rgb._3)
+    val t = tiles.filter(col("band").isin(bands: _*))
+      .withColumn("pixels", RasterKernels.quicklookScale(col("pixels"), col("nodata")))
+    // per-(scene, band) geometry: block size, then full dims from it
+    val blocks = t.groupBy(col("scene_id"), col("band"))
+      .agg(max(col("height")).as("blockH"), max(col("width")).as("blockW"))
+    val dims = t.join(blocks, Seq("scene_id", "band"))
+      .groupBy(col("scene_id"), col("band"), col("blockH"), col("blockW"))
+      .agg(max(col("window_row") * col("blockH") + col("height")).as("totalH"),
+        max(col("window_col") * col("blockW") + col("width")).as("totalW"))
+    t.join(dims, Seq("scene_id", "band"))
+      .select(col("scene_id"), col("band"), col("window_row"), col("window_col"),
+        col("height"), col("width"), col("blockH"), col("blockW"),
+        col("totalH"), col("totalW"), col("pixels"))
+      .as[(String, String, Int, Int, Int, Int, Int, Int, Int, Int, Array[Float])]
+      .map { case (sid, band, wr, wc, h, w, bH, bW, tH, tW, px) =>
+        // the output pixels whose nearest source pixel lies in this tile
+        val r0 = wr * bH; val c0 = wc * bW
+        val hits = scala.collection.mutable.ArrayBuilder.make[Int]
+        val vals = scala.collection.mutable.ArrayBuilder.make[Float]
+        var qi = 0
+        while (qi < qlH) {
+          val sr = qi * tH / qlH // same integer mapping as quicklook()
+          if (sr >= r0 && sr < r0 + h) {
+            var qj = 0
+            while (qj < qlW) {
+              val sc = qj * tW / qlW
+              if (sc >= c0 && sc < c0 + w) {
+                hits += qi * qlW + qj
+                vals += px((sr - r0) * w + (sc - c0))
+              }
+              qj += 1
+            }
+          }
+          qi += 1
+        }
+        (sid, band, hits.result(), vals.result())
+      }
+      .groupByKey(_._1)
+      .mapGroups { (sid: String, it: Iterator[(String, String, Array[Int], Array[Float])]) =>
+        val buf = bands.map(b => b -> new Array[Float](qlH * qlW)).toMap
+        it.foreach { case (_, band, hits, vals) =>
+          val img = buf(band)
+          var i = 0
+          while (i < hits.length) { img(hits(i)) = vals(i); i += 1 }
+        }
+        val bytes = encodeQuicklookPng(qlH, qlW, buf(rgb._1), buf(rgb._2), buf(rgb._3))
+        val path = new org.apache.hadoop.fs.Path(dir, s"$sid.png")
+        val fs = path.getFileSystem(conf.value)
+        val os = fs.create(path, true)
+        try os.write(bytes) finally os.close()
+        (sid, path.toString, bytes.length.toLong)
+      }
+      .toDF("scene_id", "path", "bytes")
+  }
 }

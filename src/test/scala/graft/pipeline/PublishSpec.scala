@@ -176,6 +176,27 @@ class PublishSpec extends SparkSpec {
     assert(img.getWidth == 32 && img.getHeight == 32)
   }
 
+  test("quicklookScenes: distributed PNGs bit-identical to the driver-side path") {
+    val dir = java.nio.file.Files.createTempDirectory("ql")
+    // two scenes with different sizes AND different per-band resolutions
+    def scene(id: String, h: Int, w: Int, seed: Int) = Seq(
+      (id, "B04", h, w, -9999.0, Array.tabulate(h * w)(i => ((i + seed) % 11).toFloat * 1500)),
+      (id, "B03", h / 2, w / 2, -9999.0, Array.tabulate(h / 2 * (w / 2))(i => ((i + seed) % 7).toFloat * 2200)),
+      (id, "B02", h, w, -9999.0, Array.tabulate(h * w)(i => ((i + seed) % 5).toFloat * 3000)))
+    val scenes = (scene("QA", 40, 36, 3) ++ scene("QB", 24, 52, 8))
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+    val tiles = SceneIO.tileScene(scenes, 16, 16).repartition(5)
+
+    val manifest = SceneIO.quicklookScenes(tiles, ("B04", "B03", "B02"),
+      dir.toString, qlH = 32, qlW = 32).collect()
+    assert(manifest.map(_.getString(0)).toSet == Set("QA", "QB"))
+    for (sid <- Seq("QA", "QB")) {
+      val dist = java.nio.file.Files.readAllBytes(dir.resolve(s"$sid.png"))
+      val driver = SceneIO.quicklook(tiles, sid, ("B04", "B03", "B02"), qlH = 32, qlW = 32)
+      assert(dist.toSeq == driver.toSeq, s"$sid distributed PNG must equal driver-side PNG")
+    }
+  }
+
   test("external processor: success, failure→RETRY, timeout (X1/X2)") {
     import ExternalProcessor._
     val jobs = spark.createDataset(Seq(
