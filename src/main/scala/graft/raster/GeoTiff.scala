@@ -244,7 +244,8 @@ object GeoTiff {
   def encode(height: Int, width: Int, pixels: Array[Float],
              meta: GeoMeta = GeoMeta(),
              tileSize: Int = 256,
-             overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64)): Array[Byte] = {
+             overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
+             compressionLevel: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
     require(pixels.length == height * width, "pixels length != height*width")
     require(tileSize % 16 == 0 && tileSize > 0, "TIFF tile size must be a multiple of 16")
 
@@ -281,7 +282,7 @@ object GeoTiff {
           }
           r += 1
         }
-        deflate(raw.array())
+        deflate(raw.array(), compressionLevel)
       }
     }
 
@@ -428,8 +429,8 @@ object GeoTiff {
   private def align2(n: Int): Long = if (n % 2 == 0) n.toLong else n + 1L
   private def align2(n: Long): Long = if (n % 2 == 0) n else n + 1
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+  private def deflate(data: Array[Byte], level: Int): Array[Byte] = {
+    val d = new Deflater(level)
     d.setInput(data); d.finish()
     val buf = new Array[Byte](data.length + 64)
     val out = new java.io.ByteArrayOutputStream()
