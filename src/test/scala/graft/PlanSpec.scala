@@ -198,4 +198,23 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("quicklookScenes: dims join broadcasts — pixel rows never sort-merge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the dims aggregate has no size stats; without the explicit hint the
+    // planner SMJs the megabyte-sized pixel rows (measured 50× the wall)
+    val scene = Seq(("P1", "B04", 8, 8, -9999.0, Array.tabulate(64)(_.toFloat)),
+      ("P1", "B03", 8, 8, -9999.0, Array.tabulate(64)(_.toFloat)),
+      ("P1", "B02", 8, 8, -9999.0, Array.tabulate(64)(_.toFloat)))
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+    val tiles = raster.SceneIO.tileScene(scene, 4, 4)
+    val dir = java.nio.file.Files.createTempDirectory("qlplan")
+    val manifest = raster.SceneIO.quicklookScenes(tiles, ("B04", "B03", "B02"),
+      dir.toString, qlH = 8, qlW = 8)
+    val p = manifest.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"dims join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"pixel rows must never be sorted for the dims lookup:\n$p")
+  }
 }
