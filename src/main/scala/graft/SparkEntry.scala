@@ -854,7 +854,27 @@ object SparkEntry {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first))
+          col("o_orderpriority").asc_nulls_first)),
+    // ---- S5/S7 physical layer: the oracle sums the raw parquet arrays,
+    // the Spark side sums pixels AFTER a write→read round trip through
+    // real tiled-deflate GeoTIFF files (distributed writer + binaryFile
+    // reader) — hashes match because the float32 container is bit-exact --
+    "q96_geotiff_roundtrip" -> ((s, d) => {
+      val scenes = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 64)
+        .select(col("vec_id").cast("string").as("scene_id"),
+          lit("B1").as("band"), lit(8).as("height"), lit(8).as("width"),
+          lit(-9999.0f).as("nodata"), col("embedding").as("pixels"))
+      val dir = java.nio.file.Files.createTempDirectory("q96_gtiff").toString
+      graft.raster.SceneIO.writeGeoTiffScenes(
+        graft.raster.SceneIO.tileScene(scenes, 4, 4), dir,
+        tileSize = 16, overviewFactors = Seq(2)).count() // force the writes
+      graft.raster.SceneIO.readGeoTiffScenes(s, dir)
+        .select(col("scene_id").cast("long").as("vec_id"),
+          r4(aggregate(col("pixels"), lit(0.0), (a, p) => a + p.cast("double")))
+            .as("checksum"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -1325,6 +1345,10 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q96_geotiff_roundtrip" ->
+      """SELECT vec_id,
+        |  round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS checksum
+        |FROM embeddings WHERE vec_id < 64 ORDER BY vec_id""".stripMargin,
     "q70_salted_agg" ->
       """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_v, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,
