@@ -74,9 +74,14 @@ object Bench {
         }.getOrElse(Set.empty[String]))
       } else (Map.empty[String, Double], Set.empty[String])
     val (previous, priorStrikes) = previousAndStrikes
-    val ratios = results.flatMap { case (name, sec) =>
-      previous.get(name).filter(_ > 0.05).map(sec / _)
+    // CPU-heavy queries (all 32 threads busy) see ~2× the contention factor
+    // the sub-100ms ones do, so estimate ambient from the heavy cohort when
+    // it is large enough — a real regression in one heavy query cannot move
+    // a median taken over many of them
+    def medianRatio(minBaseline: Double): Seq[Double] = results.flatMap {
+      case (name, sec) => previous.get(name).filter(_ >= minBaseline).map(sec / _)
     }.sorted
+    val ratios = { val heavy = medianRatio(0.3); if (heavy.length >= 5) heavy else medianRatio(0.05) }
     val ambient = // median ratio, floored at 1 so a fast machine can't mask risers
       if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.length / 2))
     // Two-strike escalation: per-query spikes (GC pause, co-tenant burst)
