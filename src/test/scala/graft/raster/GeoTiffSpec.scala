@@ -25,6 +25,50 @@ class GeoTiffSpec extends SparkSpec {
     assert(img.meta.nodata.contains(-32768.0))
   }
 
+  test("decodes every supported sample type (independent big-endian writer)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // minimal single-strip uncompressed big-endian TIFF — a layout the
+    // encoder never produces, written tag-by-tag here so the reader is
+    // checked against the spec, not against its own writer
+    def miniTiff(h: Int, w: Int, bits: Int, fmt: Int)
+                (put: (ByteBuffer, Int, Int) => Unit): Array[Byte] = {
+      val bps = bits / 8
+      val nTags = 9
+      val ifdOfs = 8
+      val dataOfs = ifdOfs + 2 + nTags * 12 + 4
+      val b = ByteBuffer.allocate(dataOfs + h * w * bps).order(ByteOrder.BIG_ENDIAN)
+      b.put('M'.toByte).put('M'.toByte).putShort(42).putInt(ifdOfs)
+      b.putShort(ifdOfs, nTags.toShort)
+      def tag(i: Int, t: Int, typ: Int, v: Int): Unit = {
+        val e = ifdOfs + 2 + 12 * i
+        b.putShort(e, t.toShort); b.putShort(e + 2, typ.toShort); b.putInt(e + 4, 1)
+        if (typ == 3) b.putShort(e + 8, v.toShort) else b.putInt(e + 8, v)
+      }
+      tag(0, 256, 4, w); tag(1, 257, 4, h); tag(2, 258, 3, bits)
+      tag(3, 259, 3, 1); tag(4, 273, 4, dataOfs); tag(5, 277, 3, 1)
+      tag(6, 278, 4, h); tag(7, 279, 4, h * w * bps); tag(8, 339, 3, fmt)
+      b.putInt(ifdOfs + 2 + nTags * 12, 0)
+      for (i <- 0 until h * w) put(b, dataOfs + i * bps, i)
+      b.array()
+    }
+    val (h, w) = (2, 3)
+    val u8 = GeoTiff.decode(miniTiff(h, w, 8, 1)((b, p, i) =>
+      b.put(p, (if (i == 5) 255 else i * 40).toByte)))
+    assert(u8.main.pixels.toSeq == Seq(0f, 40f, 80f, 120f, 160f, 255f))
+    val u16 = GeoTiff.decode(miniTiff(h, w, 16, 1)((b, p, i) =>
+      b.putShort(p, (if (i == 5) 65535 else i * 12000).toShort)))
+    assert(u16.main.pixels.toSeq == Seq(0f, 12000f, 24000f, 36000f, 48000f, 65535f))
+    val i32 = GeoTiff.decode(miniTiff(h, w, 32, 2)((b, p, i) =>
+      b.putInt(p, i * 1000 - 2500)))
+    assert(i32.main.pixels.toSeq == Seq(-2500f, -1500f, -500f, 500f, 1500f, 2500f))
+    val u32 = GeoTiff.decode(miniTiff(h, w, 32, 1)((b, p, i) =>
+      b.putInt(p, if (i == 5) 0xffffffff else i)))
+    assert(u32.main.pixels.toSeq == Seq(0f, 1f, 2f, 3f, 4f, 4294967295L.toFloat))
+    val f64 = GeoTiff.decode(miniTiff(h, w, 64, 3)((b, p, i) =>
+      b.putDouble(p, i * 1.25 - 2.5)))
+    assert(f64.main.pixels.toSeq == Seq(-2.5f, -1.25f, 0f, 1.25f, 2.5f, 3.75f))
+  }
+
   test("encode → decode round-trips pixels, meta and the overview pyramid") {
     val (h, w) = (100, 75) // ragged against 16×16 tiles
     val px = Array.tabulate(h * w)(i => (math.sin(i * 0.37) * 1000).toFloat)
