@@ -874,6 +874,15 @@ object SparkEntry {
           r4(aggregate(col("pixels"), lit(0.0), (a, p) => a + p.cast("double")))
             .as("checksum"))
         .orderBy(col("vec_id"))
+    }),
+    // ---- semantic dedup: exact cosine pairs → components → dropped ids
+    // (the LSH-bucketed dedupSemantic is the scale path; the exact pair
+    // source makes this one verifiable against a recursive-CTE oracle) --
+    "q97_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val kept = Sim.dedupSemanticExact(emb, "embedding", "vec_id", threshold = 0.45)
+      emb.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select(col("vec_id")).orderBy(col("vec_id"))
     })
   )
 
@@ -1349,6 +1358,22 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS checksum
         |FROM embeddings WHERE vec_id < 64 ORDER BY vec_id""".stripMargin,
+    "q97_semantic_dedup" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.45),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |labels AS (
+        |  WITH RECURSIVE reach(id, label) AS (
+        |    SELECT vec_id, vec_id FROM embeddings
+        |    UNION
+        |    SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+        |    WHERE r.label < e.src)
+        |  SELECT id, min(label) AS label FROM reach GROUP BY id)
+        |SELECT id AS vec_id FROM labels WHERE label < id ORDER BY vec_id""".stripMargin,
     "q70_salted_agg" ->
       """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_v, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,

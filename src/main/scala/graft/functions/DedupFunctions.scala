@@ -290,11 +290,26 @@ object DedupFunctions {
     // probe to the driver — the probe is a limit+count on the
     // checkpointed frame and rows reach the driver only on the small
     // branch that actually wants them.
-    val verified = neardupPairsLocal(df, textCol, idCol, n, bands, rowsPerBand, jaccardThreshold)
+    val pairs = neardupPairsLocal(df, textCol, idCol, n, bands, rowsPerBand, jaccardThreshold)
+    dropByPairGraph(df, idCol, pairs, maxIterations, maxDriverEdges)
+  }
+
+  /** Resolve a verified near-dup pair graph (columns `id_a`, `id_b`) to
+    * connected components and keep one canonical row (min id) per
+    * component — the shared back half of [[dedupNear]] (text LSH+Jaccard)
+    * and [[graft.functions.SimilarityFunctions.dedupSemantic]]
+    * (embedding cosine). Components resolve driver-side by union-find
+    * while the edge set is small (it usually is: only true near-dups
+    * survive verification) and fall back to distributed min-label
+    * propagation past `maxDriverEdges`. */
+  def dropByPairGraph(df: DataFrame, idCol: String, pairs: DataFrame,
+                      maxIterations: Int = 5,
+                      maxDriverEdges: Int = 100_000): DataFrame = {
+    val verified = pairs
       .select("id_a", "id_b")
       .localCheckpoint(true)
     if (verified.limit(maxDriverEdges + 1).count() <= maxDriverEdges) {
-      val pairs = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edges = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -303,11 +318,11 @@ object DedupFunctions {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      pairs.foreach { case (a, b) =>
+      edges.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val dropped = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val dropped = edges.flatMap(p => Seq(p._1, p._2)).distinct
         .filter(id => find(id) != id)
       if (dropped.isEmpty) df
       else {

@@ -348,4 +348,30 @@ object SimilarityFunctions {
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
+
+  /** End-to-end semantic (embedding-cosine) dedup: RHP-LSH bucket pairs
+    * above `threshold` ([[nearDupPairs]]) → connected components → keep
+    * one canonical row (min id) per cluster, via the same pair-graph
+    * machinery as the text path
+    * ([[graft.functions.DedupFunctions.dropByPairGraph]]). Recall < 1 by
+    * construction (pairs split across buckets are missed) — this is the
+    * scale path; [[dedupSemanticExact]] is the exactness baseline. */
+  def dedupSemantic(df: DataFrame, embCol: String, idCol: String, dim: Int,
+                    threshold: Double, bits: Int = 8, seed: Long = 42L,
+                    maxIterations: Int = 5,
+                    maxDriverEdges: Int = 100_000): DataFrame =
+    graft.functions.DedupFunctions.dropByPairGraph(df, idCol,
+      nearDupPairs(df, embCol, idCol, dim, threshold, bits, seed),
+      maxIterations, maxDriverEdges)
+
+  /** [[dedupSemantic]] with the exact blocked all-pairs scorer as the pair
+    * source — recall 1 at quadratic block-pair cost
+    * ([[allPairsCosineBlocked]]); the DuckDB-oracle-verifiable variant. */
+  def dedupSemanticExact(df: DataFrame, embCol: String, idCol: String,
+                         threshold: Double, blockSize: Int = 64,
+                         maxIterations: Int = 5,
+                         maxDriverEdges: Int = 100_000): DataFrame =
+    graft.functions.DedupFunctions.dropByPairGraph(df, idCol,
+      allPairsCosineBlocked(df, embCol, idCol, threshold, blockSize),
+      maxIterations, maxDriverEdges)
 }

@@ -297,6 +297,29 @@ class FunctionsSpec extends SparkSpec {
     assert(kept.contains(20L) && kept.contains(30L))
   }
 
+  test("dedupSemantic collapses embedding clusters; exact variant agrees when recall is 1") {
+    // two tight cosine clusters + one singleton, dim 4; cluster members are
+    // tiny perturbations of the same direction so every RHP hyperplane
+    // assigns them the same sign → LSH recall 1 on this data
+    def v(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 3) eps else 0f) }
+    val cA = Array(1f, 2f, 3f, 4f)
+    val cB = Array(-4f, 3f, -2f, 1f)
+    val df = Seq(
+      (1L, v(cA, 0f)), (2L, v(cA, 0.01f)), (3L, v(cA, -0.01f)),
+      (10L, v(cB, 0f)), (11L, v(cB, 0.01f)),
+      (99L, Array(4f, -3f, 2f, -1f)))
+      .toDF("vec_id", "embedding")
+    val kept = SimilarityFunctions.dedupSemantic(df, "embedding", "vec_id",
+      dim = 4, threshold = 0.999, bits = 4, seed = 7L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 99L), s"canonical = min id per cluster, got $kept")
+    val keptExact = SimilarityFunctions.dedupSemanticExact(df, "embedding", "vec_id",
+      threshold = 0.999, blockSize = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptExact == kept, "exact pair source must agree when LSH misses nothing")
+  }
+
   test("dedupNear drops >10k ids via a broadcast anti-join, not an In literal") {
     // 12k exact-dup pairs → 12k dropped ids. A literal `isin` of that many
     // ids would blow up plan size / codegen; the drop-set must reach the
