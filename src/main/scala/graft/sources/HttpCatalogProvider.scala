@@ -56,8 +56,14 @@ object HttpCatalogProvider {
   /** A [[RemoteCatalog.SearchFn]] that searches `<baseUrl>/search` over
     * HTTP. Register it like any provider:
     * `RemoteCatalog.register("usgs", HttpCatalogProvider.searchFn(url))`. */
-  def searchFn(baseUrl: String): RemoteCatalog.SearchFn = { filters =>
-    val qs = queryParams(filters)
+  def searchFn(baseUrl: String): RemoteCatalog.SearchFn =
+    filters => searchFnLimited(baseUrl)(filters, None)
+
+  /** [[searchFn]] plus DSv2 limit pushdown: a pushed LIMIT travels as the
+    * `max_results` query param (the reference providers' max-results knob,
+    * collect.py:80–137). Register via `RemoteCatalog.registerLimited`. */
+  def searchFnLimited(baseUrl: String): RemoteCatalog.SearchFnLimited = { (filters, limit) =>
+    val qs = (queryParams(filters) ++ limit.map(l => "max_results" -> l.toString))
       .map { case (k, v) => s"$k=${URLEncoder.encode(v, UTF_8)}" }
       .toSeq.sorted.mkString("&")
     val url = new URI(s"$baseUrl/search" + (if (qs.isEmpty) "" else s"?$qs")).toURL
@@ -134,9 +140,10 @@ class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
           params.get("end").forall(e =>
             r.sensing_micros <= Instant.parse(e).toEpochMilli * 1000L)
       }
+      val limited = params.get("max_results").map(_.toInt).fold(hit)(hit.take)
       // record links may carry a "{base}" placeholder (the canned fixture
       // can't know its ephemeral port ahead of time) — resolve it here
-      val resolved = hit.map(r => r.copy(link = r.link.replace("{base}", baseUrl)))
+      val resolved = limited.map(r => r.copy(link = r.link.replace("{base}", baseUrl)))
       val body = HttpCatalogProvider.toJson(resolved).getBytes(UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(200, body.length)

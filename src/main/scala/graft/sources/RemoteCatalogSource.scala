@@ -41,6 +41,13 @@ object RemoteCatalog {
     * optimization contract, not a correctness one. */
   type SearchFn = Seq[Filter] => Seq[SceneRecord]
 
+  /** Search that also receives a pushed-down LIMIT (the reference's
+    * provider APIs take a max-results parameter, collect.py:80–137);
+    * `None` = unbounded. Providers may return fewer or more rows — Spark
+    * keeps its own Limit on top (partial pushdown), so the wire limit is
+    * a transfer-volume optimization like the filters. */
+  type SearchFnLimited = (Seq[Filter], Option[Int]) => Seq[SceneRecord]
+
   final case class SceneRecord(scene_id: String, dataset: String,
                                cloud_cover: Double, sensing_micros: Long, link: String)
 
@@ -51,9 +58,11 @@ object RemoteCatalog {
     StructField("sensing_date", TimestampType),
     StructField("link", StringType)))
 
-  private val registry = new ConcurrentHashMap[String, SearchFn]()
-  def register(name: String, fn: SearchFn): Unit = registry.put(name, fn)
-  def lookup(name: String): SearchFn =
+  private val registry = new ConcurrentHashMap[String, SearchFnLimited]()
+  def register(name: String, fn: SearchFn): Unit =
+    registry.put(name, (filters, _) => fn(filters))
+  def registerLimited(name: String, fn: SearchFnLimited): Unit = registry.put(name, fn)
+  def lookup(name: String): SearchFnLimited =
     Option(registry.get(name)).getOrElse(
       throw new IllegalArgumentException(s"no remote catalog provider registered as '$name'"))
 }
@@ -79,10 +88,19 @@ private class RemoteCatalogTable(provider: String, partitionSize: Int)
 }
 
 private class RemoteCatalogScanBuilder(provider: String, partitionSize: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RemoteCatalog.schema
+  private var limit: Option[Int] = None
+
+  /** LIMIT reaches the provider as its max-results parameter. Partial
+    * pushdown (the default): Spark keeps its own Limit above the scan, so
+    * a provider that ignores or over-satisfies the bound stays correct;
+    * Catalyst only offers the limit here when no residual filter sits
+    * between it and the scan. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   /** Hand every filter over searchable columns to the provider search, but
     * return ALL filters as residual: DSv2 treats filters absent from the
@@ -97,23 +115,29 @@ private class RemoteCatalogScanBuilder(provider: String, partitionSize: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new RemoteCatalogScan(provider, partitionSize, pushed, required)
+  override def build(): Scan =
+    new RemoteCatalogScan(provider, partitionSize, pushed, required, limit)
 }
 
 private class RemoteCatalogScan(provider: String, partitionSize: Int,
-                                pushed: Array[Filter], required: StructType)
+                                pushed: Array[Filter], required: StructType,
+                                limit: Option[Int])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"remote_catalog($provider) PushedFilters: [${pushed.mkString(", ")}]"
+    s"remote_catalog($provider) PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.map(l => s" PushedLimit: $l").getOrElse("")
 
-  // driver-side search at planning time, grouped into partitions
-  override def planInputPartitions(): Array[InputPartition] =
-    RemoteCatalog.lookup(provider)(pushed.toSeq)
+  // driver-side search at planning time, grouped into partitions; the
+  // limit re-applies locally in case the provider over-returns
+  override def planInputPartitions(): Array[InputPartition] = {
+    val found = RemoteCatalog.lookup(provider)(pushed.toSeq, limit)
+    limit.fold(found)(found.take)
       .grouped(partitionSize)
       .map(g => ScenePartition(g.toArray): InputPartition)
       .toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cols = required.fieldNames

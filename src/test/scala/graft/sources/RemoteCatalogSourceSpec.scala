@@ -63,6 +63,32 @@ class RemoteCatalogSourceSpec extends SparkSpec {
     assert(back == scenes)
   }
 
+  test("LIMIT pushes to the provider as max-results, locally and over the wire") {
+    @volatile var receivedLimit: Option[Int] = None
+    RemoteCatalog.registerLimited("test-limited", { (_, limit) =>
+      receivedLimit = limit
+      (1 to 100).map(i => RemoteCatalog.SceneRecord(f"s$i%03d", "D", 1.0, i.toLong, "l"))
+    })
+    val df = spark.read.format("remote_catalog")
+      .option("provider", "test-limited").load().limit(7)
+    assert(df.count() == 7)
+    assert(receivedLimit.contains(7), s"limit must reach the search call, got $receivedLimit")
+    assert(df.queryExecution.executedPlan.toString.contains("PushedLimit: 7"))
+
+    // and across HTTP: max_results arrives as a query param, the fixture
+    // server truncates, Spark's own Limit still guards correctness
+    val server = new FixtureCatalogServer(scenes)
+    try {
+      RemoteCatalog.registerLimited("http-limited",
+        HttpCatalogProvider.searchFnLimited(server.baseUrl))
+      val got = spark.read.format("remote_catalog")
+        .option("provider", "http-limited").load().limit(2)
+      assert(got.count() == 2)
+      assert(server.queries.exists(_.contains("max_results=2")),
+        s"max_results must travel the wire, got ${server.queries}")
+    } finally server.stop()
+  }
+
   test("empty search result and unregistered provider behave sanely") {
     RemoteCatalog.register("test-empty", _ => Nil)
     assert(spark.read.format("remote_catalog").option("provider", "test-empty")
