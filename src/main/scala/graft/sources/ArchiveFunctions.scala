@@ -50,6 +50,8 @@ object ArchiveFunctions {
       (bytes(2) & 0xFF) == 0x13 && (bytes(3) & 0xFF) == 0x01) "hdf4"
     else if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'H' &&
       bytes(2) == 'D' && bytes(3) == 'F') "hdf5"
+    else if (Jp2.isContainer(bytes)) "jp2"
+    else if (Jp2.isCodestream(bytes)) "j2k"
     else "unknown"
 
   /** Zip extraction to (name, content) entries — the explode side of

@@ -68,6 +68,34 @@ class SourcesSpec extends SparkSpec {
       cloudCover = 50.0).count() == 1)
   }
 
+  test("JP2/J2K header metadata parse (Sentinel asset headers, publish.py:407,484)") {
+    import java.nio.ByteBuffer
+    // hand-assembled JP2 container: signature + ftyp + jp2h{ihdr} — layout
+    // per ISO 15444-1, independent of the parser under test
+    val jp2 = ByteBuffer.allocate(12 + 20 + 8 + 22)
+    jp2.put(Array[Byte](0, 0, 0, 12, 'j', 'P', ' ', ' ', 0x0D, 0x0A, 0x87.toByte, 0x0A))
+    jp2.putInt(20).put("ftyp".getBytes).put("jp2 ".getBytes).putInt(0).put("jp2 ".getBytes)
+    jp2.putInt(8 + 22).put("jp2h".getBytes)
+    jp2.putInt(22).put("ihdr".getBytes)
+      .putInt(10980).putInt(10980).putShort(1).put(0x0F.toByte) // 10980², 1 comp, 16-bit unsigned
+      .put(7.toByte).put(0.toByte).put(0.toByte)
+    val cBytes = jp2.array()
+    assert(ArchiveFunctions.archiveKind(cBytes) == "jp2")
+    assert(Jp2.parse(cBytes) == Jp2.Jp2Meta(10980, 10980, 1, 16, signed = false))
+
+    // raw J2K codestream: SOC + SIZ with grid offsets and 3 components
+    val j2k = ByteBuffer.allocate(4 + 2 + 47)
+    j2k.put(Array[Byte](0xFF.toByte, 0x4F, 0xFF.toByte, 0x51))
+    j2k.putShort(47) // Lsiz for 3 components
+    j2k.putShort(0).putInt(5000).putInt(3000).putInt(1000).putInt(500)
+    j2k.putInt(1024).putInt(1024).putInt(0).putInt(0)
+    j2k.putShort(3).put(0x87.toByte).put(1.toByte).put(1.toByte) // 8-bit signed
+    val sBytes = j2k.array()
+    assert(ArchiveFunctions.archiveKind(sBytes) == "j2k")
+    assert(Jp2.parse(sBytes) == Jp2.Jp2Meta(2500, 4000, 3, 8, signed = true))
+    assert(!Jp2.isValid("not jp2".getBytes))
+  }
+
   test("memoized search: uncached (tile, period) cells (ST7)") {
     val snapshot = Seq(("23LLF", "2020-01"), ("23LLF", "2020-02")).toDF("tile", "period")
     val needed = Seq(("23LLF", "2020-01"), ("23LLF", "2020-03"), ("24LLF", "2020-01"))
