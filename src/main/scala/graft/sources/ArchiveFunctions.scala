@@ -41,6 +41,74 @@ object ArchiveFunctions {
     try { readAll(new GZIPInputStream(new ByteArrayInputStream(bytes))); true }
     catch { case _: Exception => false }
 
+  // ---- tar / tar.gz (the Landsat product container; is_valid_tar at
+  // utils.py:408–436, tarfile extraction in celery/publish.py:234) -------
+
+  /** One ustar header block: name, octal size, checksum, typeflag. The
+    * header checksum (sum of bytes with the chksum field as spaces) is
+    * verified per entry — the same integrity walk `tarfile.getmembers`
+    * performs. */
+  private def tarEntries(bytes: Array[Byte]): Iterator[(String, Int, Int, Byte)] =
+    new Iterator[(String, Int, Int, Byte)] {
+      private var p = 0
+      private def zeroBlock(o: Int) =
+        o + 512 <= bytes.length && (o until o + 512).forall(bytes(_) == 0)
+      override def hasNext: Boolean =
+        p + 512 <= bytes.length && !zeroBlock(p)
+      override def next(): (String, Int, Int, Byte) = {
+        def str(o: Int, len: Int) = new String(bytes, p + o, len, "US-ASCII")
+          .takeWhile(c => c != 0 && c != ' ')
+        val stored = java.lang.Long.parseLong(str(148, 8).trim, 8)
+        val actual = (0 until 512).map { i =>
+          if (i >= 148 && i < 156) ' '.toInt else bytes(p + i) & 0xFF
+        }.sum
+        require(stored == actual, s"tar header checksum mismatch at offset $p")
+        val prefix = if (bytes.length >= p + 500 && str(257, 5) == "ustar") str(345, 155) else ""
+        val name = (if (prefix.nonEmpty) prefix + "/" else "") + str(0, 100)
+        val size = java.lang.Long.parseLong({ val s = str(124, 12).trim; if (s.isEmpty) "0" else s }, 8).toInt
+        val (dataOfs, typ) = (p + 512, bytes(p + 156))
+        p = dataOfs + ((size + 511) / 512) * 512
+        (name, dataOfs, size, typ)
+      }
+    }
+
+  /** Tar integrity: every header checksum verifies and entry sizes stay in
+    * bounds (utils.py:418–426). */
+  def isValidTar(bytes: Array[Byte]): Boolean =
+    try {
+      var any = false
+      tarEntries(bytes).foreach { case (_, o, sz, _) =>
+        require(o + sz <= bytes.length, "tar entry runs past EOF"); any = true
+      }
+      any
+    } catch { case _: Exception => false }
+
+  def isValidTarGz(bytes: Array[Byte]): Boolean =
+    try isValidTar(readAll(new GZIPInputStream(new ByteArrayInputStream(bytes))))
+    catch { case _: Exception => false }
+
+  /** Tar extraction to (name, content) — regular files only. */
+  def extractTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    try tarEntries(bytes).collect {
+      case (name, o, sz, typ) if (typ == '0' || typ == 0) && o + sz <= bytes.length =>
+        name -> java.util.Arrays.copyOfRange(bytes, o, o + sz)
+    }.toSeq
+    catch { case _: Exception => Seq.empty }
+
+  /** Auto-dispatching extraction: zip, tar, tar.gz, or a bare gzip member
+    * (named by its kind) — the `is_compressed` fan-in of publish.py:234. */
+  def extractArchive(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    archiveKind(bytes) match {
+      case "zip" => extractZip(bytes)
+      case "tar" => extractTar(bytes)
+      case "gzip" =>
+        try {
+          val inner = readAll(new GZIPInputStream(new ByteArrayInputStream(bytes)))
+          if (isValidTar(inner)) extractTar(inner) else Seq("member" -> inner)
+        } catch { case _: Exception => Seq.empty }
+      case _ => Seq.empty
+    }
+
   /** Archive kind sniff by magic bytes. */
   def archiveKind(bytes: Array[Byte]): String =
     if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
@@ -52,6 +120,10 @@ object ArchiveFunctions {
       bytes(2) == 'D' && bytes(3) == 'F') "hdf5"
     else if (Jp2.isContainer(bytes)) "jp2"
     else if (Jp2.isCodestream(bytes)) "j2k"
+    // tar last: it has no leading magic (ustar sits at offset 257, and
+    // pre-POSIX archives lack even that), so the probe is costlier
+    else if (bytes.length >= 512 &&
+      (new String(bytes, 257, 5, "US-ASCII") == "ustar" || isValidTar(bytes))) "tar"
     else "unknown"
 
   /** Zip extraction to (name, content) entries — the explode side of
@@ -79,10 +151,14 @@ object ArchiveFunctions {
   // ---- Column API ----------------------------------------------------------
   val isValidZipUdf = udf(isValidZip _)
   val isValidGzipUdf = udf(isValidGzip _)
+  val isValidTarUdf = udf(isValidTar _)
+  val isValidTarGzUdf = udf(isValidTarGz _)
   val archiveKindUdf = udf(archiveKind _)
   val extractZipUdf = udf(extractZip _)
+  val extractArchiveUdf = udf(extractArchive _)
 
-  /** Explode an archive column into one row per entry. */
+  /** Explode an archive column into one row per entry — zip, tar or
+    * tar.gz alike. */
   def explodeArchive(content: Column): Column =
-    explode(extractZipUdf(content))
+    explode(extractArchiveUdf(content))
 }

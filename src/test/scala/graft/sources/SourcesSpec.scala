@@ -68,6 +68,54 @@ class SourcesSpec extends SparkSpec {
       cloudCover = 50.0).count() == 1)
   }
 
+  test("tar / tar.gz validity + extraction (Landsat products, utils.py:408–436)") {
+    // hand-assembled ustar archive — independent of the parser under test
+    def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (name, data) =>
+        val h = new Array[Byte](512)
+        name.getBytes("US-ASCII").copyToArray(h, 0)
+        def oct(v: Long, o: Int, len: Int): Unit =
+          ("%0" + (len - 1) + "o").format(v).getBytes.copyToArray(h, o)
+        oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+        oct(data.length, 124, 12); oct(0, 136, 12)
+        h(156) = '0'
+        "ustar".getBytes.copyToArray(h, 257)
+        h(263) = '0'; h(264) = '0'
+        for (i <- 148 until 156) h(i) = ' '
+        val sum = h.map(_ & 0xFF).sum
+        "%06o".format(sum).getBytes.copyToArray(h, 148); h(154) = 0; h(155) = ' '
+        out.write(h); out.write(data)
+        out.write(new Array[Byte]((512 - data.length % 512) % 512))
+      }
+      out.write(new Array[Byte](1024))
+      out.toByteArray
+    }
+    val entries = Seq(
+      "LC08_L1TP/LC08_B4.TIF" -> Array.tabulate[Byte](700)(_.toByte),
+      "LC08_L1TP/MTL.txt" -> "GROUP = L1_METADATA_FILE".getBytes)
+    val tar = tarOf(entries)
+    assert(ArchiveFunctions.archiveKind(tar) == "tar")
+    assert(ArchiveFunctions.isValidTar(tar))
+    val got = ArchiveFunctions.extractTar(tar)
+    assert(got.map(_._1) == entries.map(_._1))
+    assert(got.head._2.toSeq == entries.head._2.toSeq)
+    // one flipped header byte breaks the checksum walk
+    val bad = tar.clone(); bad(60) = 'X'
+    assert(!ArchiveFunctions.isValidTar(bad))
+
+    val gzOut = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(gzOut)
+    gz.write(tar); gz.close()
+    val tgz = gzOut.toByteArray
+    assert(ArchiveFunctions.isValidTarGz(tgz))
+    // explodeArchive handles zip, tar and tar.gz uniformly
+    val rows = Seq(("sc", tgz)).toDF("scene_id", "content")
+      .select(col("scene_id"), ArchiveFunctions.explodeArchive(col("content")).as("e"))
+      .select(col("e._1").as("name")).collect().map(_.getString(0)).toSeq
+    assert(rows == entries.map(_._1))
+  }
+
   test("JP2/J2K header metadata parse (Sentinel asset headers, publish.py:407,484)") {
     import java.nio.ByteBuffer
     // hand-assembled JP2 container: signature + ftyp + jp2h{ihdr} — layout
