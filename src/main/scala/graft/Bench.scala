@@ -27,8 +27,10 @@ object Bench {
       catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      // a failed query records -1, NOT its (tiny) elapsed time: a fast
+      // failure would otherwise poison the per-query baseline minimum
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // ---- per-query regression gate: compare against the previous recorded
@@ -51,11 +53,14 @@ object Bench {
     val previousAndStrikes: (Map[String, Double], Set[String]) =
       if (java.nio.file.Files.exists(historyPath)) {
         val lines = java.nio.file.Files.readAllLines(historyPath)
+        // last 5 same-env rows only: a minimum over unbounded history is
+        // permanently poisoned by one anomalously fast run; a bounded
+        // window self-heals within a few rounds
         val rows = lines.toArray(Array.empty[String]).iterator
           .flatMap(l => scala.util.Try(mapper.readTree(l)).toOption)
           .filter(n => n.path("sf").asText() == sfDir &&
             (if (n.has("cpus")) n.path("cpus").asText() else "32") == cpus)
-          .toSeq
+          .toSeq.takeRight(5)
         val b = scala.collection.mutable.Map.empty[String, Double]
         for (n <- rows) {
           val it = n.path("queries").properties().iterator()
@@ -79,7 +84,9 @@ object Bench {
     // it is large enough — a real regression in one heavy query cannot move
     // a median taken over many of them
     def medianRatio(minBaseline: Double): Seq[Double] = results.flatMap {
-      case (name, sec) => previous.get(name).filter(_ >= minBaseline).map(sec / _)
+      case (name, sec) if sec > 0 =>
+        previous.get(name).filter(_ >= minBaseline).map(sec / _)
+      case _ => None
     }.sorted
     val ratios = { val heavy = medianRatio(0.3); if (heavy.length >= 5) heavy else medianRatio(0.05) }
     val ambient = // median ratio, floored at 1 so a fast machine can't mask risers

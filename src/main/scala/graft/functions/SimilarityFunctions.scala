@@ -338,7 +338,7 @@ object SimilarityFunctions {
     * only candidates pay the O(dim) cosine. */
   def nearDupPairs(df: DataFrame, embCol: String, idCol: String,
                    dim: Int, threshold: Double, bits: Int, seed: Long): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+    val bucketed = df.select(col(idCol).cast("long").as("id"), col(embCol).as("emb"),
       rhpBucket(col(embCol), dim, bits, seed).as("bucket"))
     val a = bucketed.select(col("id").as("id_a"), col("emb").as("emb_a"), col("bucket"))
     val b = bucketed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("bucket"))

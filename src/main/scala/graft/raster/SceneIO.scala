@@ -114,12 +114,15 @@ object SceneIO {
 
   /** S5 physical layer — read a directory of GeoTIFF files into scene-band
     * rows (scene_id, band, height, width, nodata, pixels) ready for
-    * [[tileScene]]. File naming convention `<scene_id>_<band>.tif` (the
-    * reference derives the same identity from file names,
-    * collections/utils.py:335–342). The decode runs on EXECUTORS via
-    * Spark's binaryFile source — one file per task unit, so a 100 TB
-    * archive decodes with no driver involvement and no shuffle; tiling
-    * afterwards is a narrow explode. */
+    * [[tileScene]]. File naming convention: `<scene_id>__<band>.tif`
+    * (double-underscore separator — unambiguous when the band name itself
+    * carries underscores, e.g. HDF `Surface_Reflectance_Band_1`), falling
+    * back to the last single `_` for externally-named files like
+    * `S2A_T23LLF_0007_B04.tif` (the reference derives the same identity
+    * from file names, collections/utils.py:335–342). The decode runs on
+    * EXECUTORS via Spark's binaryFile source — one file per task unit, so
+    * a 100 TB archive decodes with no driver involvement and no shuffle;
+    * tiling afterwards is a narrow explode. */
   def readGeoTiffScenes(spark: org.apache.spark.sql.SparkSession,
                         path: String): DataFrame = {
     import spark.implicits._
@@ -131,9 +134,11 @@ object SceneIO {
       .map { case (p, bytes) =>
         val name = p.substring(p.lastIndexOf('/') + 1)
         val stem = name.substring(0, name.lastIndexOf('.'))
+        val sep = stem.lastIndexOf("__")
         val us = stem.lastIndexOf('_')
         val (sceneId, band) =
-          if (us > 0) (stem.substring(0, us), stem.substring(us + 1))
+          if (sep > 0) (stem.substring(0, sep), stem.substring(sep + 2))
+          else if (us > 0) (stem.substring(0, us), stem.substring(us + 1))
           else (stem, "B1")
         val img = GeoTiff.decode(bytes)
         val m = img.main
@@ -200,7 +205,9 @@ object SceneIO {
         val (h, w, px) = assembleTiles(rows)
         val bytes = GeoTiff.encode(h, w, px,
           meta.copy(nodata = nodata), tileSize, overviewFactors, compressionLevel)
-        val path = new org.apache.hadoop.fs.Path(dir, s"${sceneId}_$band.tif")
+        // "__" separator so [[readGeoTiffScenes]] re-splits unambiguously
+        // even when the band name carries underscores (HDF subdatasets)
+        val path = new org.apache.hadoop.fs.Path(dir, s"${sceneId}__$band.tif")
         val fs = path.getFileSystem(conf.value)
         val os = fs.create(path, true)
         try os.write(bytes) finally os.close()
@@ -238,7 +245,7 @@ object SceneIO {
           val fs = out.getFileSystem(conf.value)
           val os = fs.create(out, true)
           try os.write(tiff) finally os.close()
-          val band = fileName.stripSuffix(".tif").stripPrefix(base + "_")
+          val band = fileName.stripSuffix(".tif").stripPrefix(base + "__")
           (base, band, out.toString, tiff.length.toLong, cloud)
         }
       }

@@ -14,13 +14,19 @@ import java.util.zip.{ZipEntry, ZipInputStream, GZIPInputStream}
   */
 object ArchiveFunctions {
 
-  private def readAll(in: java.io.InputStream, max: Int = 1 << 28): Array[Byte] = {
+  private def readAll(in: java.io.InputStream,
+                      max: Int = Int.MaxValue - 16): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](65536)
     var n = in.read(buf)
-    var total = 0
-    while (n >= 0 && total < max) {
-      out.write(buf, 0, n); total += n; n = in.read(buf)
+    var total = 0L
+    while (n >= 0) {
+      total += n
+      // THROW at the cap rather than truncate silently: a truncated
+      // archive downstream would mis-validate or mis-extract; callers'
+      // try/catch turns this into invalid/empty, which is honest
+      require(total <= max, s"stream exceeds in-memory cap of $max bytes")
+      out.write(buf, 0, n); n = in.read(buf)
     }
     out.toByteArray
   }
@@ -56,16 +62,22 @@ object ArchiveFunctions {
       override def hasNext: Boolean =
         p + 512 <= bytes.length && !zeroBlock(p)
       override def next(): (String, Int, Int, Byte) = {
+        // names terminate at NUL only (spaces are legal in entry names);
+        // octal numeric fields may be space- OR nul-padded on either side
         def str(o: Int, len: Int) = new String(bytes, p + o, len, "US-ASCII")
-          .takeWhile(c => c != 0 && c != ' ')
-        val stored = java.lang.Long.parseLong(str(148, 8).trim, 8)
+          .takeWhile(_ != 0)
+        def octal(o: Int, len: Int): Long = {
+          val s = str(o, len).trim
+          if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+        }
+        val stored = octal(148, 8)
         val actual = (0 until 512).map { i =>
           if (i >= 148 && i < 156) ' '.toInt else bytes(p + i) & 0xFF
         }.sum
         require(stored == actual, s"tar header checksum mismatch at offset $p")
         val prefix = if (bytes.length >= p + 500 && str(257, 5) == "ustar") str(345, 155) else ""
         val name = (if (prefix.nonEmpty) prefix + "/" else "") + str(0, 100)
-        val size = java.lang.Long.parseLong({ val s = str(124, 12).trim; if (s.isEmpty) "0" else s }, 8).toInt
+        val size = octal(124, 12).toInt
         val (dataOfs, typ) = (p + 512, bytes(p + 156))
         p = dataOfs + ((size + 511) / 512) * 512
         (name, dataOfs, size, typ)

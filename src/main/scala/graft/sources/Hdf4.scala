@@ -181,7 +181,9 @@ object Hdf4 {
       val tiff = graft.raster.GeoTiff.encode(sd.dims(0), sd.dims(1), px,
         graft.raster.GeoTiff.GeoMeta(nodata = bandMap.get(sd.bandName)),
         tileSize)
-      s"${baseName}_${sd.bandName}.tif" -> tiff
+      // "__" separator: bandName carries underscores, and the GeoTIFF
+      // directory scanner splits scene/band on the double underscore
+      s"${baseName}__${sd.bandName}.tif" -> tiff
     }
     (files, meta.cloudCover)
   }

@@ -63,6 +63,8 @@ object Jp2 {
           // ihdr: HEIGHT(4) WIDTH(4) NC(2) BPC(1) C(1) UnkC(1) IPR(1)
           val o = p + hdr
           val bpc = buf.get(o + 10) & 0xFF
+          require(bpc != 0xFF,
+            "per-component bit depths (ihdr BPC=255, bpcc box) unsupported")
           return Jp2Meta(buf.getInt(o), buf.getInt(o + 4),
             buf.getShort(o + 8) & 0xffff, (bpc & 0x7F) + 1, (bpc & 0x80) != 0)
         case _ => ()

@@ -18,10 +18,12 @@ object GeoTiffBench {
     val nScenes = if (args.length > 0) args(0).toInt else 32
     val side = if (args.length > 1) args(1).toInt else 2048
     val bands = Seq("B02", "B03", "B04")
+    // heap comes from the forked JVM's -Xmx (SPARK_DRIVER_MEM env via
+    // build.sbt) — spark.driver.memory set here would be a no-op in local
+    // mode, the JVM is already running. 2x corpus needs SPARK_DRIVER_MEM=24g.
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.driver.memory", "8g")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

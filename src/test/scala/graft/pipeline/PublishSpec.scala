@@ -105,8 +105,8 @@ class PublishSpec extends SparkSpec {
     val (tiffs, cc) = Hdf4.toGeoTiff(bytes, base,
       bandMap = Map("Surface_Reflectance_Band_1" -> -28672.0), tileSize = 16)
     assert(cc == 37.0)
-    assert(tiffs.map(_._1) == Seq(s"${base}_Surface_Reflectance_Band_1.tif",
-      s"${base}_Surface_Reflectance_Band_2.tif"))
+    assert(tiffs.map(_._1) == Seq(s"${base}__Surface_Reflectance_Band_1.tif",
+      s"${base}__Surface_Reflectance_Band_2.tif"))
     val round = graft.raster.GeoTiff.decode(tiffs.head._2)
     assert(round.main.height == 4 && round.main.width == 6)
     assert(round.main.pixels.toSeq == b1.toSeq)

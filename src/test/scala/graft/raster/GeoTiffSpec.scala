@@ -130,17 +130,17 @@ class GeoTiffSpec extends SparkSpec {
       Set(("sceneA", "B02"), ("sceneA", "B03"), ("sceneB", "B02")))
     manifest.foreach { r =>
       val img = GeoTiff.decode(Files.readAllBytes(
-        dir.resolve(s"${r.getString(0)}_${r.getString(1)}.tif")))
+        dir.resolve(s"${r.getString(0)}__${r.getString(1)}.tif")))
       assert(img.main.height == h && img.main.width == w)
       assert(img.overviews.map(o => (o.height, o.width)) == Seq((24, 20)))
-      assert(r.getString(2).endsWith(s"${r.getString(0)}_${r.getString(1)}.tif"))
+      assert(r.getString(2).endsWith(s"${r.getString(0)}__${r.getString(1)}.tif"))
       assert(r.getLong(3) > 0)
     }
     // pixels round-trip exactly, nodata comes from the tile rows
-    val a2 = GeoTiff.decode(Files.readAllBytes(dir.resolve("sceneA_B02.tif")))
+    val a2 = GeoTiff.decode(Files.readAllBytes(dir.resolve("sceneA__B02.tif")))
     assert(a2.main.pixels.toSeq == Array.tabulate(h * w)(_.toFloat).toSeq)
     assert(a2.meta.nodata.contains(-9999.0))
-    val b2 = GeoTiff.decode(Files.readAllBytes(dir.resolve("sceneB_B02.tif")))
+    val b2 = GeoTiff.decode(Files.readAllBytes(dir.resolve("sceneB__B02.tif")))
     assert(b2.meta.nodata.contains(-1.0))
   }
 
@@ -163,10 +163,18 @@ class GeoTiffSpec extends SparkSpec {
     assert(manifest.forall(_.getDouble(4) == 37.0))
 
     val b1 = GeoTiff.decode(Files.readAllBytes(
-      outDir.resolve("MOD13Q1.A2020009.h13v10.006_Surface_Reflectance_Band_1.tif")))
+      outDir.resolve("MOD13Q1.A2020009.h13v10.006__Surface_Reflectance_Band_1.tif")))
     assert(b1.main.height == 4 && b1.main.width == 6)
     assert(b1.main.pixels.toSeq == (0 until 24).map(i => (i / 6 * 10 + i % 6).toFloat))
     assert(b1.meta.nodata.contains(-28672.0))
+
+    // the S6→S5 flow: re-scanning the converted directory reconstructs the
+    // same (granule, band) identity — band names carry underscores, so the
+    // "__" separator is load-bearing here
+    val rescanned = SceneIO.readGeoTiffScenes(spark, outDir.toString)
+      .select("scene_id", "band").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rescanned == manifest.map(r => (r.getString(0), r.getString(1))).toSet)
   }
 
   test("writeGeoTiff exports tiles to a COG-shaped file that re-reads identically") {

@@ -93,7 +93,8 @@ class SourcesSpec extends SparkSpec {
     }
     val entries = Seq(
       "LC08_L1TP/LC08_B4.TIF" -> Array.tabulate[Byte](700)(_.toByte),
-      "LC08_L1TP/MTL.txt" -> "GROUP = L1_METADATA_FILE".getBytes)
+      "LC08_L1TP/MTL.txt" -> "GROUP = L1_METADATA_FILE".getBytes,
+      "LC08_L1TP/read me.txt" -> "names may contain spaces".getBytes)
     val tar = tarOf(entries)
     assert(ArchiveFunctions.archiveKind(tar) == "tar")
     assert(ArchiveFunctions.isValidTar(tar))
