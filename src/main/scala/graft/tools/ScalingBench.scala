@@ -105,6 +105,10 @@ object ScalingBench {
           val c = Array(Array.fill(64)(0.5), Array.fill(64)(-0.5))
           emb.select(Sim.outlierScore(col("embedding"), c).as("d"))
             .agg(count(col("d"))).head().getLong(0)
+        },
+        "semantic_dedup" -> time(s"$tag semantic_dedup") {
+          Sim.dedupSemantic(emb, "embedding", "vec_id",
+            dim = 64, threshold = 0.9, bits = 10, seed = 42L).count()
         })
     }
 
