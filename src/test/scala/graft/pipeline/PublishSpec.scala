@@ -197,6 +197,34 @@ class PublishSpec extends SparkSpec {
     }
   }
 
+  test("property: distributed quicklook equals driver path at random ragged dims") {
+    import org.scalacheck.Gen
+    val cfgGen = for {
+      h <- Gen.choose(5, 70)
+      w <- Gen.choose(5, 70)
+      block <- Gen.oneOf(8, 16, 24)
+      ql <- Gen.oneOf(16, 32, 48)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (h, w, block, ql, seed)
+    val cases = Iterator.continually(cfgGen.sample).flatten.take(6).toSeq
+    for ((h, w, block, ql, seed) <- cases) {
+      val rng = new scala.util.Random(seed)
+      def band(b: String) = (s"QP$seed", b, h, w, -9999.0,
+        Array.fill(h * w)(rng.nextFloat() * 12000f - 1000f))
+      val tiles = SceneIO.tileScene(
+        Seq(band("B04"), band("B03"), band("B02"))
+          .toDF("scene_id", "band", "height", "width", "nodata", "pixels"),
+        block, block).repartition(3)
+      val dir = java.nio.file.Files.createTempDirectory("qlprop")
+      SceneIO.quicklookScenes(tiles, ("B04", "B03", "B02"), dir.toString,
+        qlH = ql, qlW = ql).count()
+      val dist = java.nio.file.Files.readAllBytes(dir.resolve(s"QP$seed.png"))
+      val driver = SceneIO.quicklook(tiles, s"QP$seed", ("B04", "B03", "B02"),
+        qlH = ql, qlW = ql)
+      assert(dist.toSeq == driver.toSeq, s"($h,$w,$block,$ql,$seed)")
+    }
+  }
+
   test("external processor: success, failure→RETRY, timeout (X1/X2)") {
     import ExternalProcessor._
     val jobs = spark.createDataset(Seq(

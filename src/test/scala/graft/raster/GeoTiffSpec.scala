@@ -69,6 +69,41 @@ class GeoTiffSpec extends SparkSpec {
     assert(f64.main.pixels.toSeq == Seq(-2.5f, -1.25f, 0f, 1.25f, 2.5f, 3.75f))
   }
 
+  test("property: encode → decode round-trips bit-exactly for random shapes and special floats") {
+    import org.scalacheck.Gen
+    val shapeGen = for {
+      h <- Gen.choose(1, 90)
+      w <- Gen.choose(1, 90)
+      tile <- Gen.oneOf(16, 32, 48)
+      epsg <- Gen.option(Gen.choose(2000, 32760))
+      nodata <- Gen.option(Gen.oneOf(-9999.0, 0.0, 255.0))
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (h, w, tile, epsg, nodata, seed)
+    val specials = Array(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
+      -0.0f, Float.MinPositiveValue, Float.MaxValue, -Float.MaxValue)
+    val cases = Iterator.continually(shapeGen.sample).flatten.take(25).toSeq
+    for ((h, w, tile, epsg, nodata, seed) <- cases) {
+      val rng = new scala.util.Random(seed)
+      val px = Array.tabulate(h * w) { i =>
+        if (i % 11 == 0) specials(rng.nextInt(specials.length))
+        else rng.nextFloat() * 2e4f - 1e4f
+      }
+      val meta = GeoTiff.GeoMeta(epsg = epsg, nodata = nodata)
+      val img = GeoTiff.decode(GeoTiff.encode(h, w, px, meta, tile, Seq(2, 4)))
+      assert(img.main.height == h && img.main.width == w, s"dims for ($h,$w,$tile)")
+      // bit-level compare: NaN payloads, signed zero and infinities must
+      // survive — toSeq equality would treat NaN != NaN
+      val same = img.main.pixels.zip(px).forall { case (a, b) =>
+        java.lang.Float.floatToRawIntBits(a) == java.lang.Float.floatToRawIntBits(b)
+      }
+      assert(same, s"payload must be bit-exact for ($h,$w,$tile,$seed)")
+      assert(img.meta.epsg == epsg && img.meta.nodata == nodata)
+      val expectOv = Seq(2, 4).filter(f => h / f >= 1 && w / f >= 1)
+        .map(f => (h / f, w / f))
+      assert(img.overviews.map(o => (o.height, o.width)) == expectOv)
+    }
+  }
+
   test("encode → decode round-trips pixels, meta and the overview pyramid") {
     val (h, w) = (100, 75) // ragged against 16×16 tiles
     val px = Array.tabulate(h * w)(i => (math.sin(i * 0.37) * 1000).toFloat)

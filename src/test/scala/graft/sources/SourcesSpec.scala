@@ -117,6 +117,50 @@ class SourcesSpec extends SparkSpec {
     assert(rows == entries.map(_._1))
   }
 
+  test("property: tar extract(write(entries)) == entries for random archives") {
+    import org.scalacheck.Gen
+    def tarOf(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      entries.foreach { case (name, data) =>
+        val h = new Array[Byte](512)
+        name.getBytes("US-ASCII").copyToArray(h, 0)
+        def oct(v: Long, o: Int, len: Int): Unit =
+          ("%0" + (len - 1) + "o").format(v).getBytes.copyToArray(h, o)
+        oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+        oct(data.length, 124, 12); oct(0, 136, 12)
+        h(156) = '0'
+        "ustar".getBytes.copyToArray(h, 257); h(263) = '0'; h(264) = '0'
+        for (i <- 148 until 156) h(i) = ' '
+        "%06o".format(h.map(_ & 0xFF).sum).getBytes.copyToArray(h, 148)
+        h(154) = 0; h(155) = ' '
+        out.write(h); out.write(data)
+        out.write(new Array[Byte]((512 - data.length % 512) % 512))
+      }
+      out.write(new Array[Byte](1024))
+      out.toByteArray
+    }
+    val nameGen = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+      Gen.const('.'), Gen.const('-'))).map(_.mkString.take(80))
+    val entryGen = for {
+      name <- nameGen
+      // 0-byte files and exactly-512-aligned payloads are the edge cases
+      size <- Gen.oneOf(Gen.const(0), Gen.const(512), Gen.const(1024), Gen.choose(1, 2000))
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield name -> { val r = new scala.util.Random(seed)
+      Array.fill[Byte](size)(r.nextInt().toByte) }
+    val archiveGen = Gen.listOfN(5, entryGen).map(_.distinctBy(_._1))
+    val cases = Iterator.continually(archiveGen.sample).flatten.take(20).toSeq
+    for (entries <- cases) {
+      val tar = tarOf(entries)
+      assert(ArchiveFunctions.isValidTar(tar))
+      val got = ArchiveFunctions.extractTar(tar)
+      assert(got.map(_._1) == entries.map(_._1), "names round-trip in order")
+      got.zip(entries).foreach { case ((_, g), (_, e)) =>
+        assert(java.util.Arrays.equals(g, e), "payload bytes round-trip")
+      }
+    }
+  }
+
   test("JP2/J2K header metadata parse (Sentinel asset headers, publish.py:407,484)") {
     import java.nio.ByteBuffer
     // hand-assembled JP2 container: signature + ftyp + jp2h{ihdr} — layout
