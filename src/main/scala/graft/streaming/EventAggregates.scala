@@ -45,6 +45,32 @@ object EventAggregates {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Streaming NEAR-dedup for a document stream: drops any doc whose
+    * normalized-text digest (whitespace/case/punct variants) OR 64-bit
+    * simhash fingerprint (token-multiset-level near-dups) was already
+    * seen within the watermark horizon. Two chained
+    * `dropDuplicatesWithinWatermark` stages, one state store each —
+    * state is (key → horizon) bounded exactly like [[dedupEvents]].
+    * Catch-crawl-duplicates-at-ingest is the streaming half of the
+    * batch [[graft.functions.DedupFunctions.dedupNear]] story: the
+    * LSH+Jaccard pass still runs batch-side for fuzzy near-dups; this
+    * guard stops the (dominant) exact-and-fingerprint duplicates from
+    * ever landing. Batch inputs fall back to plain dropDuplicates. */
+  def dedupDocsNear(docs: DataFrame, textCol: String = "text",
+                    tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
+    val keyed = docs
+      .withColumn("__digest", graft.functions.DedupFunctions.exactKey(
+        graft.functions.TextFunctions.normalizeForDedup(col(textCol))))
+      .withColumn("__simhash", graft.functions.DedupFunctions.simhash64(col(textCol)))
+    val deduped =
+      if (docs.isStreaming)
+        keyed.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("__digest")
+          .dropDuplicatesWithinWatermark("__simhash")
+      else keyed.dropDuplicates("__digest").dropDuplicates("__simhash")
+    deduped.drop("__digest", "__simhash")
+  }
+
   /** Stream-static enrichment: attach dimension attributes to a live event
     * stream. The dimension side is a plain batch DataFrame — Spark re-reads
     * it per micro-batch (picking up slowly-changing updates) and broadcasts

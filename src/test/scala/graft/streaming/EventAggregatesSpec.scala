@@ -54,6 +54,34 @@ class EventAggregatesSpec extends SparkSpec {
     assert(EventAggregates.dedupEvents(ev).count() == 3)
   }
 
+  test("streaming near-dedup drops digest and fingerprint twins within the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardedup").toString
+    val docs = Seq(
+      (1L, "2024-01-01 10:00:00", "the quick brown fox jumps over the lazy dog"),
+      (2L, "2024-01-01 10:00:10", "The  quick BROWN fox jumps over the lazy dog!"), // normalization twin of 1
+      (3L, "2024-01-01 10:00:20", "the quick brown fox jumps over the lazy dog"),   // exact twin of 1
+      (4L, "2024-01-01 10:00:30", "a completely different document about satellites"))
+      .toDF("doc_id", "ts", "text")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = EventAggregates.dedupDocsNear(stream)
+      .writeStream.format("memory").queryName("neardedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("neardedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept.size == 2 && kept.contains(4L),
+        s"one of the three twins plus the distinct doc must survive, got $kept")
+    } finally q.stop()
+    // batch fallback agrees
+    val batchKept = EventAggregates.dedupDocsNear(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.size == 2 && batchKept.contains(4L))
+  }
+
   test("progress listener records per-batch metrics of a stage query (ST8)") {
     import spark.implicits._
     val listener = Metrics.attach(spark)
