@@ -17,8 +17,13 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Scope, stated honestly: the READER accepts what the ecosystem commonly
   * produces for analytic rasters — big- or little-endian, tiled or
-  * stripped, uncompressed or deflate, 1 sample/pixel of u8/i16/u16/i32/
-  * f32/f64, predictor none. The WRITER emits tiled deflate float32. Classic
+  * stripped, uncompressed / deflate / LZW / PackBits, 1 sample/pixel of
+  * u8/i16/u16/i32/f32/f64, predictor none or horizontal differencing
+  * (GDAL's `-co COMPRESS=LZW -co PREDICTOR=2` default for integer
+  * rasters). The WRITER emits tiled float32, deflate by default or LZW
+  * for consumers that lack zlib. Both LZW directions are conformance-
+  * tested against the JDK ImageIO TIFF plugin, not just round-tripped
+  * against each other. Classic
   * TIFF offsets cap one FILE at 4 GiB — at scale the layout is one file
   * per (scene, band), far below that; the reference's BIGTIFF=IF_SAFER
   * (utils.py:139) guards the same edge.
@@ -128,13 +133,16 @@ object GeoTiff {
     require(width > 0 && height > 0, "TIFF page missing dimensions")
     val bits = one(258, 1).toInt
     val compression = one(259, 1).toInt
-    require(compression == 1 || compression == 8,
-      s"unsupported TIFF compression $compression (only none/deflate)")
+    require(compression == 1 || compression == 5 || compression == 8 || compression == 32773,
+      s"unsupported TIFF compression $compression (none/lzw/deflate/packbits)")
     val spp = one(277, 1).toInt
     require(spp == 1, s"only 1 sample/pixel supported (band-per-page model), got $spp")
     val fmt = one(339, 1).toInt
     val predictor = one(317, 1).toInt
-    require(predictor == 1, s"unsupported TIFF predictor $predictor")
+    require(predictor == 1 || predictor == 2,
+      s"unsupported TIFF predictor $predictor (none/horizontal)")
+    require(predictor == 1 || fmt != 3,
+      "horizontal-differencing predictor (2) applies to integer samples; floats use predictor 3 (unsupported)")
     val reduced = (one(254, 0) & 1L) == 1L
 
     val pixels = new Array[Float](height * width)
@@ -180,7 +188,8 @@ object GeoTiff {
       val across = (width + tw - 1) / tw
       offsets.indices.foreach { i =>
         val raw = slice(buf, offsets(i), counts(i))
-        val data = if (compression == 8) inflate(raw, th * tw * bytesPerSample) else raw
+        val data = decompress(raw, compression, th * tw * bytesPerSample)
+        if (predictor == 2) undoPredictor2(data, tw, bytesPerSample, buf.order())
         readBlock(data, (i / across) * th, (i % across) * tw, th, tw)
       }
     } else {           // stripped layout
@@ -190,7 +199,8 @@ object GeoTiff {
       offsets.indices.foreach { i =>
         val rows = math.min(rps, height - i * rps)
         val raw = slice(buf, offsets(i), counts(i))
-        val data = if (compression == 8) inflate(raw, rows * width * bytesPerSample) else raw
+        val data = decompress(raw, compression, rows * width * bytesPerSample)
+        if (predictor == 2) undoPredictor2(data, width, bytesPerSample, buf.order())
         readBlock(data, i * rps, 0, rows, width)
       }
     }
@@ -234,6 +244,228 @@ object GeoTiff {
     out
   }
 
+  private def decompress(raw: Array[Byte], compression: Int, expected: Int): Array[Byte] =
+    compression match {
+      case 1     => raw
+      case 5     => lzwDecode(raw, expected)
+      case 8     => inflate(raw, expected)
+      case 32773 => packbitsDecode(raw, expected)
+      case c     => throw new IllegalArgumentException(s"unsupported TIFF compression $c")
+    }
+
+  /** Undo TIFF predictor 2 (horizontal differencing, tag 317): each sample
+    * in a block row is stored as the delta from its left neighbour; the
+    * cumulative sum restores it. Applies per decompressed block
+    * (tile/strip) row, on samples of the page's byte width, in the file's
+    * byte order — modular integer addition, so it is exact for every
+    * integer sample type. */
+  private def undoPredictor2(data: Array[Byte], samplesPerRow: Int,
+                             bytesPerSample: Int, order: ByteOrder): Unit = {
+    val rows = data.length / (samplesPerRow * bytesPerSample)
+    bytesPerSample match {
+      case 1 =>
+        var r = 0
+        while (r < rows) {
+          val base = r * samplesPerRow
+          var c = 1
+          while (c < samplesPerRow) {
+            data(base + c) = (data(base + c) + data(base + c - 1)).toByte
+            c += 1
+          }
+          r += 1
+        }
+      case 2 =>
+        val bb = ByteBuffer.wrap(data).order(order)
+        var r = 0
+        while (r < rows) {
+          val base = r * samplesPerRow
+          var c = 1
+          while (c < samplesPerRow) {
+            val p = (base + c) * 2
+            bb.putShort(p, (bb.getShort(p) + bb.getShort(p - 2)).toShort)
+            c += 1
+          }
+          r += 1
+        }
+      case 4 =>
+        val bb = ByteBuffer.wrap(data).order(order)
+        var r = 0
+        while (r < rows) {
+          val base = r * samplesPerRow
+          var c = 1
+          while (c < samplesPerRow) {
+            val p = (base + c) * 4
+            bb.putInt(p, bb.getInt(p) + bb.getInt(p - 4))
+            c += 1
+          }
+          r += 1
+        }
+      case b => throw new IllegalArgumentException(
+        s"predictor 2 unsupported for $b-byte samples")
+    }
+  }
+
+  // ------------------------------------------------- TIFF LZW (section 13)
+  // TIFF-variant LZW: MSB-first bit packing, ClearCode=256, EOI=257, first
+  // table entry 258, 9→12 bit codes with the TIFF "early change" — the
+  // code width grows when the NEXT table slot is (1<<bits)-1, one code
+  // earlier than GIF. Both directions are verified against the JDK ImageIO
+  // TIFF plugin in GeoTiffSpec (decode-what-they-write and
+  // they-read-what-we-write), so the width timing is pinned by a second
+  // implementation, not self-consistency alone.
+
+  private val LzwClear = 256
+  private val LzwEoi = 257
+
+  private[raster] def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258
+    var bits = 9
+    var acc = 0L        // MSB-first bit accumulator
+    var accBits = 0
+    var inPos = 0
+    def read(): Int = {
+      while (accBits < bits) {
+        if (inPos >= data.length) return LzwEoi // truncated stream ends the page
+        acc = (acc << 8) | (data(inPos) & 0xffL)
+        accBits += 8
+        inPos += 1
+      }
+      accBits -= bits
+      ((acc >>> accBits) & ((1 << bits) - 1)).toInt
+    }
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    /** Write the string for `code`; codes are literals or built entries. */
+    def emit(code: Int): Unit = {
+      var sp = 0
+      var c = code
+      while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      stack(sp) = c.toByte
+      var i = sp
+      while (i >= 0 && outPos < expected) { out(outPos) = stack(i); outPos += 1; i -= 1 }
+    }
+    var oldCode = -1
+    var done = false
+    while (!done && outPos < expected) {
+      val code = read()
+      if (code == LzwEoi) done = true
+      else if (code == LzwClear) { next = 258; bits = 9; oldCode = -1 }
+      else if (oldCode < 0) {
+        require(code < 256, s"corrupt LZW: first code after clear is $code, not a literal")
+        emit(code)
+        oldCode = code
+      } else {
+        require(code <= next, s"corrupt LZW: code $code beyond table size $next")
+        if (code < next) {
+          emit(code)
+          // a writer may run the table to the 12-bit brim without clearing;
+          // past 4095 we keep decoding known codes and just stop adding
+          if (next < 4096) { prefix(next) = oldCode; suffix(next) = firstByteOf(code); next += 1 }
+        } else { // KwKwK: the entry being referenced is the one we add now
+          require(next < 4096, "corrupt LZW: KwKwK reference past a full table")
+          prefix(next) = oldCode; suffix(next) = firstByteOf(oldCode); next += 1
+          emit(code)
+        }
+        oldCode = code
+        if (next == (1 << bits) - 1 && bits < 12) bits += 1
+      }
+    }
+    out
+  }
+
+  /** TIFF LZW encoder, the exact mirror of [[lzwDecode]]: the code width
+    * used for each emitted code is derived from the SIMULATED DECODER's
+    * table size (which lags the encoder's own by one entry), so both sides
+    * grow at 511/1023/2047 in lockstep; the table clears before the
+    * encoder's next slot could exceed 12 bits. */
+  private[raster] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    var acc = 0L
+    var accBits = 0
+    var bits = 9
+    var decNext = 258       // simulated decoder table size
+    var emitted = 0         // data codes emitted since the last clear
+    def write(code: Int): Unit = {
+      acc = (acc << bits) | code
+      accBits += bits
+      while (accBits >= 8) {
+        out.write(((acc >>> (accBits - 8)) & 0xff).toInt)
+        accBits -= 8
+      }
+    }
+    def writeData(code: Int): Unit = {
+      write(code)
+      emitted += 1
+      if (emitted >= 2) { // decoder adds an entry for every code after the first
+        decNext += 1
+        if (decNext == (1 << bits) - 1 && bits < 12) bits += 1
+      }
+    }
+    val table = new java.util.HashMap[Integer, Integer](8192)
+    var encNext = 258
+    write(LzwClear)
+    var prefixCode = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (prefixCode < 0) prefixCode = k
+      else {
+        val key = Integer.valueOf((prefixCode << 8) | k)
+        val hit = table.get(key)
+        if (hit != null) prefixCode = hit.intValue()
+        else {
+          writeData(prefixCode)
+          table.put(key, Integer.valueOf(encNext))
+          encNext += 1
+          prefixCode = k
+          if (encNext == 4094) { // clear before the table can outgrow 12 bits
+            writeData(prefixCode)
+            write(LzwClear)
+            table.clear(); encNext = 258; decNext = 258; emitted = 0; bits = 9
+            prefixCode = -1
+          }
+        }
+      }
+      i += 1
+    }
+    if (prefixCode >= 0) writeData(prefixCode)
+    write(LzwEoi)
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** PackBits decode (TIFF section 9 / Apple RLE): n in [0,127] copies n+1
+    * literals; n in [-127,-1] repeats the next byte 1-n times; -128 is a
+    * no-op. */
+  private[raster] def packbitsDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var inPos = 0
+    var outPos = 0
+    while (inPos < data.length && outPos < expected) {
+      val n = data(inPos); inPos += 1
+      if (n >= 0) {
+        val len = math.min(n + 1, expected - outPos)
+        require(inPos + len <= data.length, "truncated PackBits literal run")
+        System.arraycopy(data, inPos, out, outPos, len)
+        inPos += n + 1; outPos += len
+      } else if (n != -128) {
+        require(inPos < data.length, "truncated PackBits repeat run")
+        val v = data(inPos); inPos += 1
+        var len = math.min(1 - n, expected - outPos)
+        while (len > 0) { out(outPos) = v; outPos += 1; len -= 1 }
+      }
+    }
+    out
+  }
+
   // ---------------------------------------------------------------- encode
 
   /** Encode one float32 band as a tiled deflate GeoTIFF with an overview
@@ -245,9 +477,22 @@ object GeoTiff {
              meta: GeoMeta = GeoMeta(),
              tileSize: Int = 256,
              overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
-             compressionLevel: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
+             compressionLevel: Int = Deflater.DEFAULT_COMPRESSION,
+             codec: String = "deflate"): Array[Byte] = {
     require(pixels.length == height * width, "pixels length != height*width")
     require(tileSize % 16 == 0 && tileSize > 0, "TIFF tile size must be a multiple of 16")
+    val compressionTag: Long = codec match {
+      case "deflate" => 8L
+      case "lzw"     => 5L
+      case "none"    => 1L
+      case c => throw new IllegalArgumentException(
+        s"unsupported write codec '$c' (deflate/lzw/none)")
+    }
+    def compressTile(raw: Array[Byte]): Array[Byte] = codec match {
+      case "deflate" => deflate(raw, compressionLevel)
+      case "lzw"     => lzwEncode(raw)
+      case _         => raw
+    }
 
     val factors = overviewFactors.filter(f => height / f >= 1 && width / f >= 1).sorted
     val pageImages: Seq[(Int, Int, Array[Float], Boolean)] =
@@ -282,7 +527,7 @@ object GeoTiff {
           }
           r += 1
         }
-        deflate(raw.array(), compressionLevel)
+        compressTile(raw.array())
       }
     }
 
@@ -334,7 +579,7 @@ object GeoTiff {
       entries += ((256, 4, 1, w.toLong))
       entries += ((257, 4, 1, h.toLong))
       entries += ((258, 3, 1, 32L))
-      entries += ((259, 3, 1, 8L))  // deflate
+      entries += ((259, 3, 1, compressionTag))
       entries += ((262, 3, 1, 1L))  // BlackIsZero
       entries += ((277, 3, 1, 1L))
       entries += ((322, 3, 1, tileSize.toLong))

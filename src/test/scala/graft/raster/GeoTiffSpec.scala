@@ -228,4 +228,158 @@ class GeoTiffSpec extends SparkSpec {
     assert(img.meta.nodata.contains(-1.0), "nodata inferred from the tile rows")
     assert(img.overviews.map(o => (o.height, o.width)) == Seq((32, 32), (16, 16)))
   }
+
+  // ------------------------------------------------- LZW / PackBits codecs
+
+  /** Deterministic 8-bit gray test image with runs (PackBits-friendly),
+    * gradients and noise (forces the LZW dictionary through every code
+    * width and at least one table clear at this size). */
+  private def grayPixels(h: Int, w: Int, seed: Long): Array[Byte] = {
+    val rng = new scala.util.Random(seed)
+    Array.tabulate(h * w) { i =>
+      val (r, c) = (i / w, i % w)
+      if (r % 7 == 0) (r % 251).toByte            // constant rows → runs
+      else if (r % 7 < 4) ((r + c) % 251).toByte  // gradient
+      else rng.nextInt(256).toByte                 // noise
+    }
+  }
+
+  private def imageIoTiff(h: Int, w: Int, px: Array[Byte], compression: String): Array[Byte] = {
+    import javax.imageio.{ImageIO, ImageWriteParam}
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType(compression)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("LZW conformance: decodes what the JDK ImageIO TIFF writer produces") {
+    // 240×250 = 60 000 noisy bytes push the dictionary through the
+    // 511/1023/2047 width changes and past 4094 (table clear) — the
+    // error-prone parts of TIFF LZW ("early change"), pinned here against
+    // an independent implementation rather than this codec's own writer
+    val (h, w) = (240, 250)
+    val px = grayPixels(h, w, seed = 7)
+    val img = GeoTiff.decode(imageIoTiff(h, w, px, "LZW"))
+    assert(img.main.height == h && img.main.width == w)
+    assert(img.main.pixels.toSeq == px.map(b => (b & 0xff).toFloat).toSeq)
+  }
+
+  test("PackBits conformance: decodes what the JDK ImageIO TIFF writer produces") {
+    val (h, w) = (60, 80)
+    val px = grayPixels(h, w, seed = 11)
+    val img = GeoTiff.decode(imageIoTiff(h, w, px, "PackBits"))
+    assert(img.main.pixels.toSeq == px.map(b => (b & 0xff).toFloat).toSeq)
+  }
+
+  test("LZW conformance: the JDK ImageIO TIFF reader decodes what this codec writes") {
+    // the reverse direction: our LZW-compressed float32 COG layout is
+    // rebuilt as a minimal 8-bit stripped TIFF (ImageIO's gray model) so
+    // the JDK plugin can read our encoder's bit stream
+    import java.nio.{ByteBuffer, ByteOrder}
+    val (h, w) = (240, 250)
+    val px = grayPixels(h, w, seed = 13)
+    val strip = GeoTiff.lzwEncode(px)
+    val nTags = 9
+    val ifdOfs = 8
+    val dataOfs = ifdOfs + 2 + nTags * 12 + 4
+    val b = ByteBuffer.allocate(dataOfs + strip.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOfs)
+    b.putShort(ifdOfs, nTags.toShort)
+    def tag(i: Int, t: Int, typ: Int, v: Int): Unit = {
+      val e = ifdOfs + 2 + 12 * i
+      b.putShort(e, t.toShort); b.putShort(e + 2, typ.toShort); b.putInt(e + 4, 1)
+      if (typ == 3) b.putShort(e + 8, v.toShort) else b.putInt(e + 8, v)
+    }
+    tag(0, 256, 4, w); tag(1, 257, 4, h); tag(2, 258, 3, 8)
+    tag(3, 259, 3, 5); tag(4, 262, 3, 1); tag(5, 273, 4, dataOfs)
+    tag(6, 277, 3, 1); tag(7, 278, 4, h); tag(8, 279, 4, strip.length)
+    b.putInt(ifdOfs + 2 + nTags * 12, 0)
+    b.position(dataOfs); b.put(strip)
+    val read = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.array()))
+    assert(read != null, "ImageIO must parse the container")
+    val got = new Array[Byte](h * w)
+    read.getRaster.getDataElements(0, 0, w, h, got)
+    assert(got.toSeq == px.toSeq, "JDK LZW decoder must agree with our encoder")
+  }
+
+  test("encode(codec=lzw) → decode round-trips float32 tiles and overviews") {
+    val (h, w) = (100, 75)
+    val px = Array.tabulate(h * w)(i => (math.sin(i * 0.37) * 1000).toFloat)
+    val meta = GeoTiff.GeoMeta(epsg = Some(32633), nodata = Some(-9999.0))
+    val bytes = GeoTiff.encode(h, w, px, meta, tileSize = 16,
+      overviewFactors = Seq(2, 4), codec = "lzw")
+    val img = GeoTiff.decode(bytes)
+    assert(img.main.pixels.toSeq == px.toSeq, "float32 payload must be bit-exact")
+    assert(img.meta == meta)
+    assert(img.overviews.map(o => (o.height, o.width)) == Seq((50, 37), (25, 18)))
+  }
+
+  test("property: lzwEncode → lzwDecode round-trips arbitrary byte streams") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.oneOf(0, 1, 2, 100, 4096, 70000)
+      mode <- Gen.oneOf("random", "runs", "alternating")
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, mode, seed)
+    for ((n, mode, seed) <- Iterator.continually(gen.sample).flatten.take(20).toSeq) {
+      val rng = new scala.util.Random(seed)
+      val data = mode match {
+        case "random" => Array.fill(n)(rng.nextInt(256).toByte)
+        case "runs"   => Array.tabulate(n)(i => ((i / 97) % 251).toByte)
+        case _        => Array.tabulate(n)(i => (i % 2).toByte)
+      }
+      val back = GeoTiff.lzwDecode(GeoTiff.lzwEncode(data), n)
+      assert(back.toSeq == data.toSeq, s"round trip for ($n,$mode,$seed)")
+    }
+  }
+
+  test("predictor 2 (horizontal differencing) undoes per strip row for 8- and 16-bit samples") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built stripped TIFF: predictor-2 differenced samples, LZW
+    // compressed — the layout GDAL emits for integer rasters by default
+    def build(h: Int, w: Int, bits: Int, fmt: Int, samples: Array[Int]): Array[Byte] = {
+      val bps = bits / 8
+      val raw = ByteBuffer.allocate(h * w * bps).order(ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until h; c <- 0 until w) {
+        val v = samples(r * w + c)
+        val d = if (c == 0) v else v - samples(r * w + c - 1) // horizontal diff
+        if (bps == 1) raw.put((d & 0xff).toByte) else raw.putShort((d & 0xffff).toShort)
+      }
+      val strip = GeoTiff.lzwEncode(raw.array())
+      val nTags = 10
+      val ifdOfs = 8
+      val dataOfs = ifdOfs + 2 + nTags * 12 + 4
+      val b = ByteBuffer.allocate(dataOfs + strip.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOfs)
+      b.putShort(ifdOfs, nTags.toShort)
+      def tag(i: Int, t: Int, typ: Int, v: Int): Unit = {
+        val e = ifdOfs + 2 + 12 * i
+        b.putShort(e, t.toShort); b.putShort(e + 2, typ.toShort); b.putInt(e + 4, 1)
+        if (typ == 3) b.putShort(e + 8, v.toShort) else b.putInt(e + 8, v)
+      }
+      tag(0, 256, 4, w); tag(1, 257, 4, h); tag(2, 258, 3, bits)
+      tag(3, 259, 3, 5); tag(4, 273, 4, dataOfs); tag(5, 277, 3, 1)
+      tag(6, 278, 4, h); tag(7, 279, 4, strip.length); tag(8, 317, 3, 2)
+      tag(9, 339, 3, fmt)
+      b.putInt(ifdOfs + 2 + nTags * 12, 0)
+      b.position(dataOfs); b.put(strip)
+      b.array()
+    }
+    val (h, w) = (5, 9)
+    val rng = new scala.util.Random(3)
+    val u8 = Array.fill(h * w)(rng.nextInt(256))
+    assert(GeoTiff.decode(build(h, w, 8, 1, u8)).main.pixels.toSeq ==
+      u8.map(_.toFloat).toSeq)
+    val i16 = Array.fill(h * w)(rng.nextInt(65536) - 32768)
+    assert(GeoTiff.decode(build(h, w, 16, 2, i16)).main.pixels.toSeq ==
+      i16.map(_.toFloat).toSeq)
+  }
 }
