@@ -883,6 +883,26 @@ object SparkEntry {
       val kept = Sim.dedupSemanticExact(emb, "embedding", "vec_id", threshold = 0.45)
       emb.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // ---- z-order clustering: the 2-D range query runs against a
+    // Morton-clustered rewrite of the events table (quantile buckets →
+    // interleaved bits → range partition), so both pushed predicates skip
+    // row groups; results are layout-invariant, which is exactly what the
+    // raw-table oracle checks. The ≥75% row-group pruning itself is
+    // asserted in ScaleOpsSpec ------------------------------------------
+    "q98_zorder_skip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("q98_zorder")
+        .resolve("events_z").toString
+      graft.meta.ScaleOps.zorderWrite(
+        Tables.events(s, d), Seq("user_id", "ts"), dir, numFiles = 16)
+      s.read.parquet(dir)
+        .filter(col("user_id").between(40, 49) &&
+          col("ts").between(
+            lit("2024-01-10 00:00:00").cast("timestamp"),
+            lit("2024-01-13 00:00:00").cast("timestamp")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1374,6 +1394,13 @@ object SparkEntry {
         |    WHERE r.label < e.src)
         |  SELECT id, min(label) AS label FROM reach GROUP BY id)
         |SELECT id AS vec_id FROM labels WHERE label < id ORDER BY vec_id""".stripMargin,
+    "q98_zorder_skip" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 49
+        |  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+        |            AND TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q70_salted_agg" ->
       """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_v, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,

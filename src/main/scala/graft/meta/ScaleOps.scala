@@ -27,6 +27,77 @@ object ScaleOps {
       .agg(sum(col("ps")).as("sum_v"), sum(col("pc")).as("n"))
   }
 
+  /** Morton (Z-order) interleave of per-dimension bucket indices: bit j of
+    * dimension d lands at position j*dims + d, so documents close in EVERY
+    * dimension land close in the one-dimensional sort order. Pure bit
+    * arithmetic on columns — whole-stage-codegen'd, no UDF. */
+  def mortonInterleave(buckets: Seq[Column], bitsPerDim: Int): Column = {
+    require(buckets.nonEmpty, "at least one dimension")
+    require(bitsPerDim >= 1 && buckets.length * bitsPerDim <= 62,
+      s"${buckets.length} dims × $bitsPerDim bits must fit a long")
+    val dims = buckets.length
+    (for { j <- 0 until bitsPerDim; d <- buckets.indices } yield
+      shiftleft(shiftright(buckets(d).cast("long"), j).bitwiseAND(lit(1L)),
+        j * dims + d))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Bucket index of `v` against sorted quantile cut points: the count of
+    * cuts ≤ v. A 256-element fold per row, inside codegen — no join, no
+    * broadcast table, no UDF. */
+  def quantileBucket(v: Column, cuts: Array[Double]): Column = {
+    val sorted = cuts.distinct.sorted
+    aggregate(typedLit(sorted.toSeq), lit(0),
+      (acc, b) => acc + when(v >= b, 1).otherwise(0))
+  }
+
+  /** Numeric view of a dimension column for quantile bucketing. ANSI mode
+    * (Spark 4 default) forbids timestamp→double casts, so timestamps go
+    * through unix_micros explicitly. */
+  private def numericView(df: DataFrame, dim: String): Column =
+    df.schema(dim).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(dim)).cast("double")
+      case org.apache.spark.sql.types.DateType      => unix_date(col(dim)).cast("double")
+      case _                                         => col(dim).cast("double")
+    }
+
+  /** Z-order clustering write: the multi-dimensional data-skipping layout
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY` re-expressed on vanilla parquet).
+    * Rows are bucketed per dimension by approximate quantiles (skew-robust,
+    * unlike equi-width), the bucket indices are Morton-interleaved, and the
+    * frame is range-partitioned + sorted by the z-value so every output
+    * file (and every parquet row group inside it) carries tight min/max
+    * ranges on ALL `dims` at once. A conjunctive range query on any subset
+    * of the dimensions then prunes row groups through ordinary parquet
+    * predicate pushdown — no index structure, no table format, no custom
+    * reader.
+    *
+    * Scale shape (100 TB): one approxQuantile pass (mergeable
+    * Greenwald-Khanna sketches per partition — the cut points are
+    * `dims × 255` doubles on the driver regardless of corpus size), then
+    * one range-shuffle on the 8-byte z-value. That is the same cost
+    * envelope as the sort Delta's OPTIMIZE pays, and it is the LAST
+    * shuffle a fact table needs: downstream scans skip instead of
+    * shuffling. The reference never needs this (Postgres B-trees hid it);
+    * at Spark scale the layout IS the index. */
+  def zorderWrite(df: DataFrame, dims: Seq[String], path: String,
+                  numFiles: Int, bitsPerDim: Int = 8): Unit = {
+    require(dims.nonEmpty, "z-order needs at least one dimension")
+    val nCuts = (1 << bitsPerDim) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (1 << bitsPerDim)).toArray
+    val viewed = df.select(dims.map(d => numericView(df, d).as(s"__q_$d")): _*)
+    val cuts = viewed.stat.approxQuantile(
+      dims.map(d => s"__q_$d").toArray, probs, 0.001)
+    val z = mortonInterleave(
+      dims.zip(cuts).map { case (d, c) => quantileBucket(numericView(df, d), c) },
+      bitsPerDim)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed table writer: co-locates future joins on `key` — both sides
     * bucketed by the same key/count join with ZERO shuffle (the engine's
     * equivalent of pre-partitioned PostGIS indexes for the items/activities

@@ -68,6 +68,53 @@ class ScaleOpsSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("z-order layout: 2-D range query prunes most parquet row groups; results unchanged") {
+    // 40k rows over two independent dimensions; a conjunctive range filter
+    // selects ~1% of them. Written unclustered, every file's (u, t) range
+    // spans the whole domain and nothing prunes; z-ordered, both pushed
+    // predicates carry row-group min/max that skip almost everything.
+    val n = 40000
+    val rng = new scala.util.Random(5)
+    val df = (0 until n).map { i =>
+      (i.toLong, rng.nextInt(1000).toLong, rng.nextInt(100000).toLong, rng.nextDouble())
+    }.toDF("id", "u", "t", "v")
+    val dir = java.nio.file.Files.createTempDirectory("zorder")
+    val zPath = dir.resolve("z").toString
+    val linPath = dir.resolve("lin").toString
+    ScaleOps.zorderWrite(df, Seq("u", "t"), zPath, numFiles = 16)
+    df.repartition(16).write.parquet(linPath) // same file count, no clustering
+
+    def scanRows(path: String): (Long, Seq[(Long, Long)]) = {
+      val q = spark.read.parquet(path)
+        .filter(col("u").between(100, 199) && col("t").between(10000, 19999))
+      val rows = q.collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("t"))).sorted.toSeq
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .getOrElse(fail("no FileSourceScanExec in the plan"))
+      (scan.metrics("numOutputRows").value, rows.map(x => (x._1, x._2)))
+    }
+    val (zRead, zRows) = scanRows(zPath)
+    val (linRead, linRows) = scanRows(linPath)
+    assert(zRows == linRows, "layout must never change query results")
+    assert(linRead == n, s"unclustered layout reads everything, read $linRead")
+    assert(zRead <= n / 4,
+      s"z-ordered layout must prune ≥75% of row groups for a 1% 2-D query, read $zRead of $n")
+  }
+
+  test("morton interleave and quantile buckets are order-preserving per dimension") {
+    // quantileBucket: monotone in v, respects the cut points
+    val cuts = Array(10.0, 20.0, 30.0)
+    val got = Seq(5.0, 10.0, 15.0, 25.0, 35.0).toDF("v")
+      .select(ScaleOps.quantileBucket(col("v"), cuts).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 1, 1, 2, 3))
+    // morton: (3,0)=0b0101=5, (0,3)=0b1010=10, (3,3)=15 — bit j of dim d at j*dims+d
+    val z = Seq((3L, 0L), (0L, 3L), (3L, 3L), (2L, 1L)).toDF("a", "b")
+      .select(ScaleOps.mortonInterleave(Seq(col("a"), col("b")), 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(5L, 10L, 15L, 6L))
+  }
+
   test("bucketed tables join without a shuffle") {
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
