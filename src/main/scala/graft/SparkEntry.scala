@@ -903,6 +903,18 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
         .orderBy(col("user_id"))
+    }),
+    // ---- windowed frequent items: the Misra-Gries summary in its exact
+    // regime (k ≥ distinct event types), exploded back to rows — the
+    // oracle checks it against plain per-window counts, proving the
+    // bounded-state path loses nothing when state suffices; the sublinear
+    // small-k guarantee is property-tested in SketchesSpec ---------------
+    "q99_heavy_hitters" -> ((s, d) => {
+      graft.streaming.EventAggregates.windowedHeavyHitters(
+          Tables.events(s, d), col("event_type"), k = 64, windowLen = "60 minutes")
+        .select(col("window_start"), explode(col("top")).as("e"))
+        .select(col("window_start"), col("e.k").as("event_type"), col("e.n").as("n"))
+        .orderBy(col("window_start"), col("event_type"))
     })
   )
 
@@ -1401,6 +1413,9 @@ object SparkEntry {
         |  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
         |            AND TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q99_heavy_hitters" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q70_salted_agg" ->
       """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_v, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,

@@ -78,4 +78,58 @@ object Sketches {
     }
     best
   }
+
+  /** Misra-Gries frequent-items summary as a typed Aggregator: at most `k`
+    * counters regardless of key cardinality. The count-min sketch above
+    * answers "how often did THIS key occur"; this answers the harder
+    * streaming question "WHICH keys are frequent" without a per-key
+    * groupBy. Guarantees (Misra-Gries 1982; merge rule from Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012): every key with true frequency
+    * > N/(k+1) is present, and each reported count c satisfies
+    * true − N/(k+1) ≤ c ≤ true — underestimates only, the mirror image of
+    * count-min. With k ≥ distinct(keys) the summary is EXACT and
+    * merge-order independent, which is what the streaming==batch
+    * equivalence spec pins.
+    *
+    * Scale story: a windowed top-domains / top-tokens over 100 TB of
+    * events cannot afford count(*) per distinct key — the shuffle carries
+    * the whole vocabulary. This carries ≤ k (key, count) pairs per
+    * map-side partial, merges associatively, and runs as a normal
+    * streaming windowed aggregation with O(k) state per window. */
+  class MisraGriesAggregator(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]]
+      with Serializable {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(buf: Map[String, Long], s: String): Map[String, Long] = {
+      if (s == null) buf
+      else buf.get(s) match {
+        case Some(c) => buf.updated(s, c + 1)
+        case None if buf.size < k => buf.updated(s, 1L)
+        case None => // decrement-all: the classic MG eviction step
+          buf.iterator.flatMap { case (key, c) =>
+            if (c > 1) Some(key -> (c - 1)) else None
+          }.toMap
+      }
+    }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val combined = b.foldLeft(a) { case (m, (key, c)) =>
+        m.updated(key, m.getOrElse(key, 0L) + c)
+      }
+      if (combined.size <= k) combined
+      else {
+        // subtract the (k+1)-th largest count from everything and drop the
+        // non-positive rest — keeps ≤ k entries and the εN error bound
+        val cut = combined.valuesIterator.toArray.sorted(Ordering.Long.reverse)(k)
+        combined.iterator.flatMap { case (key, c) =>
+          if (c > cut) Some(key -> (c - cut)) else None
+        }.toMap
+      }
+    }
+    def finish(buf: Map[String, Long]): Map[String, Long] = buf
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-time streaming aggregates over the `events` stream shape
@@ -23,6 +23,29 @@ object EventAggregates {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Tumbling-window frequent keys with BOUNDED state: a Misra-Gries
+    * summary (≤ k counters) per window instead of one count per distinct
+    * key — the shape that survives a key column with web-scale
+    * cardinality (domains, tokens, user agents). Emits the window plus a
+    * count-descending array of (k, n) candidates; every key with true
+    * in-window frequency > N/(k+1) is guaranteed present, counts are
+    * lower bounds (exact, and merge-order independent, when k ≥ distinct
+    * keys — see [[graft.functions.Sketches.MisraGriesAggregator]]).
+    * Streaming and batch inputs run the same aggregation. */
+  def windowedHeavyHitters(events: DataFrame, key: Column, k: Int = 16,
+                           windowLen: String = "5 minutes",
+                           watermark: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val mg = udaf(new graft.functions.Sketches.MisraGriesAggregator(k))
+    src.groupBy(window(col("ts"), windowLen))
+      .agg(mg(key.cast("string")).as("hh"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        reverse(array_sort(transform(map_entries(col("hh")),
+          e => struct(e.getField("value").as("n"), e.getField("key").as("k")))))
+          .as("top"))
   }
 
   /** Calendar-aligned (month) counts — the batch analogue the reference's

@@ -34,6 +34,38 @@ class SketchesSpec extends SparkSpec {
     assert(Sketches.estimate(cms, depth, width, "a") >= 3L)
   }
 
+  test("misra-gries: exact when k covers the key space; guarantee holds when it doesn't") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val words = docs.select(explode(TextFunctions.tokens($"text")).as("w"))
+      .filter(length($"w") > 0)
+    val exact = words.groupBy("w").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+
+    // k >= distinct keys → the summary IS the exact count map
+    val kBig = exact.size + 10
+    val mgBigF = udaf(new Sketches.MisraGriesAggregator(kBig))
+    val mgBig = words.select(mgBigF($"w"))
+      .head().getMap[String, Long](0)
+    assert(mgBig.toMap == exact, "MG with k >= distinct must be exact")
+
+    // small k → every frequent key present, counts are lower bounds
+    val k = 8
+    val mgF = udaf(new Sketches.MisraGriesAggregator(k))
+    val mg = words.select(mgF($"w"))
+      .head().getMap[String, Long](0).toMap
+    assert(mg.size <= k)
+    val slack = n / (k + 1)
+    exact.foreach { case (w, c) =>
+      if (c > slack)
+        assert(mg.contains(w), s"frequent key '$w' (true $c > N/(k+1)=$slack) must survive")
+    }
+    mg.foreach { case (w, est) =>
+      val c = exact(w)
+      assert(est <= c, s"MG must never overestimate ('$w': $est > $c)")
+      assert(est >= c - slack, s"'$w' underestimated by ${c - est} > N/(k+1)=$slack")
+    }
+  }
+
   test("built-in sketch paths: HLL cardinality and approx quantiles track exact") {
     val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val exactD = l.select(countDistinct($"l_partkey")).as[Long].head()

@@ -29,6 +29,43 @@ class EventAggregatesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters: streaming == batch in the exact (k >= distinct) regime") {
+    val batch = Tables.events(spark, sf0001)
+    // event_type has a handful of distinct values, so k=64 puts the
+    // Misra-Gries summary in its exact regime — merge-order independent,
+    // which is what makes a streaming==batch equality assertion sound
+    val expected = EventAggregates.windowedHeavyHitters(batch, col("event_type"), k = 64)
+      .orderBy("window_start").collect().map(_.toString).toSeq
+    assert(expected.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventAggregates.windowedHeavyHitters(stream, col("event_type"), k = 64)
+      .writeStream.format("memory").queryName("hhagg")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hhagg")
+        .orderBy("window_start").collect().map(_.toString).toSeq
+      assert(got == expected)
+    } finally q.stop()
+
+    // the top entry per window must match the exact windowed mode
+    val exactTop = EventAggregates.windowedTypeCounts(batch)
+      .groupBy("window_start")
+      .agg(max(struct(col("n"), col("event_type"))).as("m"))
+      .select(col("window_start"), col("m.event_type").as("t"), col("m.n").as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val mgTop = EventAggregates.windowedHeavyHitters(batch, col("event_type"), k = 64)
+      .select(col("window_start"), col("top").getItem(0).getField("k"),
+        col("top").getItem(0).getField("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    mgTop.foreach { case (w, t, n) =>
+      assert(exactTop.contains((w, t, n)), s"window $w top ($t,$n) must match exact counts")
+    }
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
