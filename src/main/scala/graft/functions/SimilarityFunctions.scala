@@ -189,14 +189,67 @@ object SimilarityFunctions {
                 centroids: Array[Array[Double]], query: Array[Float], k: Int,
                 nProbe: Int, assignedCol: Option[String] = None): DataFrame = {
     val qd = query.map(_.toDouble)
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.zip(qd).map { case (x, y) => (x - y) * (x - y) }.sum) }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    val probeCells = nearestCells(centroids, qd, nProbe)
     val withCell = assignedCol match {
       case Some(c) => df.withColumn("__cell", col(c))
       case None => df.withColumn("__cell", ivfAssign(col(embCol), centroids))
     }
     withCell.filter(col("__cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(col(embCol), lit(qd)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Cells to probe for a query: the `nProbe` centroids nearest to it. */
+  private def nearestCells(centroids: Array[Array[Double]], qd: Array[Double],
+                           nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qd).map { case (x, y) => (x - y) * (x - y) }.sum) }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+
+  /** Persist an IVF index: train the coarse quantizer, then lay the corpus
+    * out as parquet PARTITIONED BY its cell assignment with the centroid
+    * table as a sidecar. This is the piece that turns [[ivfSearch]]'s
+    * "probe only nProbe cells" from a full-scan filter into PARTITION
+    * PRUNING — a query plans `cell IN (...)` as a partition filter and
+    * never opens the other cells' files. At 10⁹ vectors that is the
+    * difference between reading nProbe/nCells of the corpus and reading
+    * all of it; the layout is written once and serves every subsequent
+    * query (the FAISS build/search split, re-expressed as a parquet
+    * directory layout plus a k×dim sidecar). Returns the centroids. */
+  def writeIvfIndex(df: DataFrame, embCol: String, idCol: String, path: String,
+                    nCells: Int, iterations: Int = 5): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = kmeansFit(df, embCol, idCol, nCells, iterations)
+    df.withColumn("cell", ivfAssign(col(embCol), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroids
+  }
+
+  /** Centroid sidecar of a persisted IVF index, in cell order. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
+      .select(col("centroid")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Top-k cosine search against a persisted IVF index: plans as a
+    * partition-pruned scan of the `nProbe` nearest cells (assert-able via
+    * the scan's PartitionFilters), a narrow projection scoring only those
+    * rows, and a TakeOrderedAndProject — no shuffle of vector payloads. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     embCol: String, idCol: String,
+                     query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val centroids = readIvfCentroids(spark, path)
+    require(centroids.nonEmpty, s"no centroids under $path")
+    val qd = query.map(_.toDouble)
+    val cells = nearestCells(centroids, qd, nProbe)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(cells: _*))
       .select(col(idCol), cosine(col(embCol), lit(qd)).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)

@@ -125,6 +125,46 @@ class FunctionsSpec extends SparkSpec {
     assert(ivfPre == exact)
   }
 
+  test("persisted IVF index: partition-pruned probe matches the exact top-k") {
+    val rng = new scala.util.Random(29)
+    // four well-separated clusters so kmeansFit converges to one cell each
+    val anchors = Seq(
+      Array(1.0, 1.0, 0.0, 0.0), Array(-1.0, -1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 1.0), Array(0.0, 0.0, -1.0, -1.0))
+    val rows = (0 until 120).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(v => (v + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    SimilarityFunctions.writeIvfIndex(df, "embedding", "vec_id", dir,
+      nCells = 4, iterations = 8)
+    val query = Array(1.0f, 1.0f, 0.05f, -0.05f)
+
+    val exact = SimilarityFunctions.topKCosine(df, "embedding", "vec_id", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    val full = SimilarityFunctions.searchIvfIndex(spark, dir,
+      "embedding", "vec_id", query, 5, nProbe = 4)
+    assert(full.collect().map(_.getLong(0)).toSet == exact, "full probe == exact")
+
+    val pruned = SimilarityFunctions.searchIvfIndex(spark, dir,
+      "embedding", "vec_id", query, 5, nProbe = 1)
+    assert(pruned.collect().map(_.getLong(0)).toSet == exact,
+      "the query's own cluster cell holds every true neighbour")
+    // the probe must PLAN as partition pruning: the cell predicate sits in
+    // PartitionFilters and only 1 of the 4 cell directories is scanned
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.metadata("PartitionFilters").contains("cell"),
+      s"cell IN (...) must be a partition filter: ${scan.metadata("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"nProbe=1 must open exactly one cell directory, got ${scan.selectedPartitions.partitionCount}")
+    // reopened centroids round-trip in cell order
+    val cents = SimilarityFunctions.readIvfCentroids(spark, dir)
+    assert(cents.length == 4 && cents.forall(_.length == 4))
+  }
+
   test("ivfAssign puts identical vectors in the same cell") {
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f))).toDF("id", "emb")
