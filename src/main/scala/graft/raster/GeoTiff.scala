@@ -23,10 +23,11 @@ import scala.collection.mutable.ArrayBuffer
   * rasters). The WRITER emits tiled float32, deflate by default or LZW
   * for consumers that lack zlib. Both LZW directions are conformance-
   * tested against the JDK ImageIO TIFF plugin, not just round-tripped
-  * against each other. Classic
-  * TIFF offsets cap one FILE at 4 GiB — at scale the layout is one file
-  * per (scene, band), far below that; the reference's BIGTIFF=IF_SAFER
-  * (utils.py:139) guards the same edge.
+  * against each other. The reader also speaks BigTIFF (magic 43, 8-byte
+  * offsets, LONG8 entries) — GDAL's BIGTIFF=IF_SAFER (the reference,
+  * utils.py:139) emits that container even for small granules. The writer
+  * stays classic: its offsets cap one FILE at 4 GiB, and at scale the
+  * layout is one file per (scene, band), far below that.
   *
   * Everything here is driver/executor-local byte work: the distributed
   * story is [[SceneIO.readGeoTiffScenes]] (Spark binaryFile scan →
@@ -53,13 +54,22 @@ object GeoTiff {
 
   // ---------------------------------------------------------------- decode
 
-  private final case class Entry(tag: Int, typ: Int, count: Int, valueOfs: Long)
+  /** `big` marks a BigTIFF entry: 8-byte inline value field and LONG8
+    * external offsets instead of classic TIFF's 4-byte ones. */
+  private final case class Entry(tag: Int, typ: Int, count: Int, valueOfs: Long,
+                                 big: Boolean) {
+    def inlineBytes: Int = if (big) 8 else 4
+  }
 
   private val TypeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 6 -> 1, 8 -> 2,
-    9 -> 4, 11 -> 4, 12 -> 8, 16 -> 8)
+    9 -> 4, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8)
+
+  /** Read an offset field: LONG8 in BigTIFF, LONG in classic TIFF. */
+  private def offAt(buf: ByteBuffer, p: Long, big: Boolean): Long =
+    if (big) buf.getLong(p.toInt) else buf.getInt(p.toInt).toLong & 0xffffffffL
 
   def decode(bytes: Array[Byte]): Image = {
-    require(bytes.length >= 8, "not a TIFF: too short")
+    require(bytes.length >= 16, "not a TIFF: too short")
     val order = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
       case ('M', 'M') => ByteOrder.BIG_ENDIAN
@@ -67,14 +77,23 @@ object GeoTiff {
     }
     val buf = ByteBuffer.wrap(bytes).order(order)
     val magic = buf.getShort(2) & 0xffff
-    require(magic == 42, s"not a classic TIFF (magic $magic; BigTIFF unsupported)")
-
-    var ifdOfs = buf.getInt(4).toLong & 0xffffffffL
+    require(magic == 42 || magic == 43, s"not a TIFF (magic $magic)")
+    // BigTIFF (magic 43): GDAL's BIGTIFF=IF_SAFER emits this container even
+    // for small granules, so the reader must speak it; within this codec a
+    // file still has to fit one byte array (JVM 2 GiB) — the distributed
+    // layout is one file per (scene, band), far below that
+    val big = magic == 43
+    var ifdOfs =
+      if (big) {
+        require((buf.getShort(4) & 0xffff) == 8 && buf.getShort(6) == 0,
+          "malformed BigTIFF header (offset size must be 8)")
+        buf.getLong(8)
+      } else buf.getInt(4).toLong & 0xffffffffL
     val pages = ArrayBuffer.empty[Page]
     var meta = GeoMeta()
     var first = true
     while (ifdOfs != 0) {
-      val (entries, next) = readIfd(buf, ifdOfs)
+      val (entries, next) = readIfd(buf, ifdOfs, big)
       val (page, m) = decodePage(buf, entries)
       pages += page
       if (first) { meta = m; first = false }
@@ -84,28 +103,41 @@ object GeoTiff {
     Image(pages.toSeq, meta)
   }
 
-  private def readIfd(buf: ByteBuffer, ofs: Long): (Map[Int, Entry], Long) = {
-    val n = buf.getShort(ofs.toInt) & 0xffff
+  private def readIfd(buf: ByteBuffer, ofs: Long,
+                      big: Boolean): (Map[Int, Entry], Long) = {
+    val (n, first, stride) =
+      if (big) {
+        val c = buf.getLong(ofs.toInt)
+        require(c >= 0 && c <= 0xffff, s"implausible BigTIFF IFD entry count $c")
+        (c.toInt, ofs.toInt + 8, 20)
+      } else (buf.getShort(ofs.toInt) & 0xffff, ofs.toInt + 2, 12)
     val entries = (0 until n).map { i =>
-      val e = ofs.toInt + 2 + 12 * i
+      val e = first + stride * i
+      val count =
+        if (big) {
+          val c = buf.getLong(e + 4)
+          require(c >= 0 && c <= Int.MaxValue, s"BigTIFF entry count $c too large")
+          c.toInt
+        } else buf.getInt(e + 4)
       Entry(buf.getShort(e) & 0xffff, buf.getShort(e + 2) & 0xffff,
-        buf.getInt(e + 4), e + 8L)
+        count, e + (if (big) 12L else 8L), big)
     }
-    val next = buf.getInt(ofs.toInt + 2 + 12 * n).toLong & 0xffffffffL
+    val next = offAt(buf, first + stride.toLong * n, big)
     (entries.map(e => e.tag -> e).toMap, next)
   }
 
-  /** Integer values of an entry (SHORT/LONG/BYTE), inline or external. */
+  /** Integer values of an entry (SHORT/LONG/BYTE/LONG8), inline or external. */
   private def longs(buf: ByteBuffer, e: Entry): Array[Long] = {
     val sz = TypeSize(e.typ)
-    val base = if (sz.toLong * e.count <= 4) e.valueOfs
-               else buf.getInt(e.valueOfs.toInt).toLong & 0xffffffffL
+    val base = if (sz.toLong * e.count <= e.inlineBytes) e.valueOfs
+               else offAt(buf, e.valueOfs, e.big)
     Array.tabulate(e.count) { i =>
       val p = (base + i.toLong * sz).toInt
       e.typ match {
         case 1 | 2 | 6 => buf.get(p).toLong & 0xff
         case 3 | 8     => buf.getShort(p).toLong & 0xffff
         case 4 | 9     => buf.getInt(p).toLong & 0xffffffffL
+        case 16 | 17   => buf.getLong(p)
         case t => throw new IllegalArgumentException(s"unsupported integer TIFF type $t")
       }
     }
@@ -113,13 +145,14 @@ object GeoTiff {
 
   private def doubles(buf: ByteBuffer, e: Entry): Array[Double] = {
     require(e.typ == 12, s"expected DOUBLE entry, got type ${e.typ}")
-    val base = buf.getInt(e.valueOfs.toInt).toLong & 0xffffffffL
+    val base = if (8L * e.count <= e.inlineBytes) e.valueOfs
+               else offAt(buf, e.valueOfs, e.big)
     Array.tabulate(e.count)(i => buf.getDouble((base + 8L * i).toInt))
   }
 
   private def ascii(buf: ByteBuffer, e: Entry): String = {
-    val base = if (e.count <= 4) e.valueOfs
-               else buf.getInt(e.valueOfs.toInt).toLong & 0xffffffffL
+    val base = if (e.count <= e.inlineBytes) e.valueOfs
+               else offAt(buf, e.valueOfs, e.big)
     val b = Array.tabulate(e.count)(i => buf.get((base + i).toInt))
     new String(b.takeWhile(_ != 0), "US-ASCII")
   }

@@ -341,6 +341,44 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("decodes BigTIFF (magic 43, LONG8 offsets, 20-byte entries) in both endians") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-assembled per the BigTIFF spec: 16-byte header, 8-byte entry
+    // count, 20-byte entries with 8-byte inline value fields, LONG8
+    // strip offset/count types — the container GDAL's BIGTIFF=IF_SAFER
+    // (and =YES) produces
+    def bigTiff(order: ByteOrder): (Array[Byte], Array[Float]) = {
+      val (h, w) = (3, 5)
+      val px = Array.tabulate(h * w)(i => (i * 3 - 7).toFloat)
+      val nTags = 10
+      val ifdOfs = 16
+      val dataOfs = ifdOfs + 8 + nTags * 20 + 8
+      val b = ByteBuffer.allocate(dataOfs + h * w * 4).order(order)
+      if (order == ByteOrder.LITTLE_ENDIAN) b.put('I'.toByte).put('I'.toByte)
+      else b.put('M'.toByte).put('M'.toByte)
+      b.putShort(2, 43).putShort(4, 8).putShort(6, 0).putLong(8, ifdOfs)
+      b.putLong(ifdOfs, nTags)
+      def tag(i: Int, t: Int, typ: Int, v: Long): Unit = {
+        val e = ifdOfs + 8 + 20 * i
+        b.putShort(e, t.toShort); b.putShort(e + 2, typ.toShort); b.putLong(e + 4, 1L)
+        if (typ == 3) b.putShort(e + 12, v.toShort) else b.putLong(e + 12, v)
+      }
+      tag(0, 256, 16, w); tag(1, 257, 16, h); tag(2, 258, 3, 32)
+      tag(3, 259, 3, 1); tag(4, 273, 16, dataOfs); tag(5, 277, 3, 1)
+      tag(6, 278, 16, h); tag(7, 279, 16, h * w * 4); tag(8, 317, 3, 1)
+      tag(9, 339, 3, 3)
+      b.putLong(ifdOfs + 8 + nTags * 20, 0L) // next IFD
+      px.zipWithIndex.foreach { case (v, i) => b.putFloat(dataOfs + i * 4, v) }
+      (b.array(), px)
+    }
+    for (order <- Seq(ByteOrder.LITTLE_ENDIAN, ByteOrder.BIG_ENDIAN)) {
+      val (bytes, px) = bigTiff(order)
+      val img = GeoTiff.decode(bytes)
+      assert(img.main.height == 3 && img.main.width == 5, s"dims for $order")
+      assert(img.main.pixels.toSeq == px.toSeq, s"pixels for $order")
+    }
+  }
+
   test("predictor 2 (horizontal differencing) undoes per strip row for 8- and 16-bit samples") {
     import java.nio.{ByteBuffer, ByteOrder}
     // hand-built stripped TIFF: predictor-2 differenced samples, LZW
