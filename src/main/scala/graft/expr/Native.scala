@@ -31,4 +31,9 @@ object NativeFunctions {
     * struct(scale: double, q: array<byte>). */
   def quantize_int8(emb: Column): Column =
     ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(emb)))
+
+  /** Codegen'd bucket index against fixed sorted cut points (count of
+    * cuts ≤ v, numpy searchsorted-right). */
+  def search_sorted(v: Column, cuts: Array[Double]): Column =
+    ColumnBridge.column(SearchSortedExpr(ColumnBridge.expression(v), cuts))
 }

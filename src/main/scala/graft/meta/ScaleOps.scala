@@ -43,9 +43,16 @@ object ScaleOps {
   }
 
   /** Bucket index of `v` against sorted quantile cut points: the count of
-    * cuts ≤ v. A 256-element fold per row, inside codegen — no join, no
-    * broadcast table, no UDF. */
-  def quantileBucket(v: Column, cuts: Array[Double]): Column = {
+    * cuts ≤ v. Delegates to the native [[graft.expr.SearchSortedExpr]] —
+    * O(log cuts) binary search inside whole-stage codegen. The z-value is
+    * evaluated in BOTH the range-partition sampling pass and the write
+    * projection, so this sits on the layout writer's hot path. */
+  def quantileBucket(v: Column, cuts: Array[Double]): Column =
+    graft.expr.NativeFunctions.search_sorted(v, cuts)
+
+  /** Composable spec twin of [[quantileBucket]] — the interpreted
+    * ArrayAggregate fold the native expression is tested against. */
+  def quantileBucketHof(v: Column, cuts: Array[Double]): Column = {
     val sorted = cuts.distinct.sorted
     aggregate(typedLit(sorted.toSeq), lit(0),
       (acc, b) => acc + when(v >= b, 1).otherwise(0))
@@ -86,8 +93,10 @@ object ScaleOps {
     val nCuts = (1 << bitsPerDim) - 1
     val probs = (1 to nCuts).map(_.toDouble / (1 << bitsPerDim)).toArray
     val viewed = df.select(dims.map(d => numericView(df, d).as(s"__q_$d")): _*)
+    // 0.01 relative error is plenty for LAYOUT boundaries (a slightly
+    // uneven bucket costs nothing; the sketch pass costs 3× at 0.001)
     val cuts = viewed.stat.approxQuantile(
-      dims.map(d => s"__q_$d").toArray, probs, 0.001)
+      dims.map(d => s"__q_$d").toArray, probs, 0.01)
     val z = mortonInterleave(
       dims.zip(cuts).map { case (d, c) => quantileBucket(numericView(df, d), c) },
       bitsPerDim)

@@ -101,6 +101,22 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-ordered layout must prune ≥75% of row groups for a 1% 2-D query, read $zRead of $n")
   }
 
+  test("search_sorted native expression == ArrayAggregate fold spec (property)") {
+    val rng = new scala.util.Random(17)
+    for (trial <- 0 until 10) {
+      val nCuts = 1 + rng.nextInt(40)
+      val cuts = Array.fill(nCuts)(rng.nextDouble() * 200 - 100)
+      val vs = (Array.fill(200)(rng.nextDouble() * 300 - 150) ++
+        cuts.take(5)).toSeq // include exact cut hits
+      val df = vs.toDF("v")
+      val got = df.select(ScaleOps.quantileBucket(col("v"), cuts).as("b"),
+          ScaleOps.quantileBucketHof(col("v"), cuts).as("bh"))
+        .collect()
+      got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"trial $trial: native ${r.getInt(0)} != hof ${r.getInt(1)}"))
+    }
+  }
+
   test("morton interleave and quantile buckets are order-preserving per dimension") {
     // quantileBucket: monotone in v, respects the cut points
     val cuts = Array(10.0, 20.0, 30.0)
