@@ -17,7 +17,8 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Scope, stated honestly: the READER accepts what the ecosystem commonly
   * produces for analytic rasters — big- or little-endian, tiled or
-  * stripped, uncompressed / deflate / LZW / PackBits, 1 sample/pixel of
+  * stripped, uncompressed / deflate / LZW / PackBits, chunky 1..n
+  * samples/pixel (one page per channel) of
   * u8/i16/u16/i32/f32/f64, predictor none or horizontal differencing
   * (GDAL's `-co COMPRESS=LZW -co PREDICTOR=2` default for integer
   * rasters). The WRITER emits tiled float32, deflate by default or LZW
@@ -43,9 +44,11 @@ object GeoTiff {
       epsg: Option[Int] = None,
       nodata: Option[Double] = None)
 
-  /** One decoded page (full-resolution image or overview level). */
+  /** One decoded page (full-resolution image or overview level). For
+    * multi-sample files (an RGB composite: SamplesPerPixel = 3, chunky)
+    * each sample channel becomes its own page, tagged by `sample`. */
   final case class Page(height: Int, width: Int, isOverview: Boolean,
-                        pixels: Array[Float])
+                        pixels: Array[Float], sample: Int = 0)
 
   final case class Image(pages: Seq[Page], meta: GeoMeta) {
     def main: Page = pages.find(!_.isOverview).getOrElse(pages.head)
@@ -94,8 +97,8 @@ object GeoTiff {
     var first = true
     while (ifdOfs != 0) {
       val (entries, next) = readIfd(buf, ifdOfs, big)
-      val (page, m) = decodePage(buf, entries)
-      pages += page
+      val (pgs, m) = decodePage(buf, entries)
+      pages ++= pgs
       if (first) { meta = m; first = false }
       ifdOfs = next
     }
@@ -157,7 +160,7 @@ object GeoTiff {
     new String(b.takeWhile(_ != 0), "US-ASCII")
   }
 
-  private def decodePage(buf: ByteBuffer, t: Map[Int, Entry]): (Page, GeoMeta) = {
+  private def decodePage(buf: ByteBuffer, t: Map[Int, Entry]): (Seq[Page], GeoMeta) = {
     def one(tag: Int, default: Long = -1): Long =
       t.get(tag).map(e => longs(buf, e)(0)).getOrElse(default)
 
@@ -169,7 +172,20 @@ object GeoTiff {
     require(compression == 1 || compression == 5 || compression == 8 || compression == 32773,
       s"unsupported TIFF compression $compression (none/lzw/deflate/packbits)")
     val spp = one(277, 1).toInt
-    require(spp == 1, s"only 1 sample/pixel supported (band-per-page model), got $spp")
+    require(spp >= 1, s"bad SamplesPerPixel $spp")
+    // multi-sample files must be chunky (PlanarConfiguration 1, the GDAL
+    // default): samples interleave per pixel and split into one page per
+    // channel below; planar sample-major strips are not in scope
+    require(spp == 1 || one(284, 1) == 1L,
+      s"only chunky (PlanarConfiguration=1) multi-sample TIFFs supported")
+    t.get(258).foreach { e =>
+      val all = longs(buf, e)
+      require(all.forall(_ == all(0)), s"mixed BitsPerSample unsupported: ${all.mkString(",")}")
+    }
+    t.get(339).foreach { e =>
+      val all = longs(buf, e)
+      require(all.forall(_ == all(0)), s"mixed SampleFormat unsupported: ${all.mkString(",")}")
+    }
     val fmt = one(339, 1).toInt
     val predictor = one(317, 1).toInt
     require(predictor == 1 || predictor == 2,
@@ -178,7 +194,7 @@ object GeoTiff {
       "horizontal-differencing predictor (2) applies to integer samples; floats use predictor 3 (unsupported)")
     val reduced = (one(254, 0) & 1L) == 1L
 
-    val pixels = new Array[Float](height * width)
+    val pixels = Array.fill(spp)(new Array[Float](height * width))
     val bytesPerSample = bits / 8
 
     def readBlock(data: Array[Byte], rowOfs: Int, colOfs: Int, bh: Int, bw: Int): Unit = {
@@ -188,10 +204,10 @@ object GeoTiff {
         val gr = rowOfs + r
         if (gr < height) {
           var c = 0
-          while (c < bw) {
-            val gc = colOfs + c
+          while (c < bw * spp) {
+            val gc = colOfs + c / spp
             if (gc < width) {
-              val p = (r * bw + c) * bytesPerSample
+              val p = (r * bw * spp + c) * bytesPerSample
               val v: Float = (bits, fmt) match {
                 case (8, 1)  => (bb.get(p) & 0xff).toFloat
                 case (8, 2)  => bb.get(p).toFloat
@@ -204,7 +220,7 @@ object GeoTiff {
                 case other => throw new IllegalArgumentException(
                   s"unsupported (bits, sampleFormat) $other")
               }
-              pixels(gr * width + gc) = v
+              pixels(c % spp)(gr * width + gc) = v
             }
             c += 1
           }
@@ -221,8 +237,8 @@ object GeoTiff {
       val across = (width + tw - 1) / tw
       offsets.indices.foreach { i =>
         val raw = slice(buf, offsets(i), counts(i))
-        val data = decompress(raw, compression, th * tw * bytesPerSample)
-        if (predictor == 2) undoPredictor2(data, tw, bytesPerSample, buf.order())
+        val data = decompress(raw, compression, th * tw * spp * bytesPerSample)
+        if (predictor == 2) undoPredictor2(data, tw * spp, bytesPerSample, buf.order(), spp)
         readBlock(data, (i / across) * th, (i % across) * tw, th, tw)
       }
     } else {           // stripped layout
@@ -232,8 +248,8 @@ object GeoTiff {
       offsets.indices.foreach { i =>
         val rows = math.min(rps, height - i * rps)
         val raw = slice(buf, offsets(i), counts(i))
-        val data = decompress(raw, compression, rows * width * bytesPerSample)
-        if (predictor == 2) undoPredictor2(data, width, bytesPerSample, buf.order())
+        val data = decompress(raw, compression, rows * width * spp * bytesPerSample)
+        if (predictor == 2) undoPredictor2(data, width * spp, bytesPerSample, buf.order(), spp)
         readBlock(data, i * rps, 0, rows, width)
       }
     }
@@ -254,7 +270,9 @@ object GeoTiff {
         }
       },
       nodata = t.get(42113).flatMap(e => ascii(buf, e).trim.toDoubleOption))
-    (Page(height, width, reduced, pixels), meta)
+    (pixels.toSeq.zipWithIndex.map { case (px, sIdx) =>
+      Page(height, width, reduced, px, sIdx)
+    }, meta)
   }
 
   private def slice(buf: ByteBuffer, ofs: Long, len: Long): Array[Byte] = {
@@ -287,22 +305,24 @@ object GeoTiff {
     }
 
   /** Undo TIFF predictor 2 (horizontal differencing, tag 317): each sample
-    * in a block row is stored as the delta from its left neighbour; the
+    * in a block row is stored as the delta from the SAME CHANNEL of the
+    * pixel to its left (`stride` = SamplesPerPixel for chunky files); the
     * cumulative sum restores it. Applies per decompressed block
     * (tile/strip) row, on samples of the page's byte width, in the file's
     * byte order — modular integer addition, so it is exact for every
     * integer sample type. */
   private def undoPredictor2(data: Array[Byte], samplesPerRow: Int,
-                             bytesPerSample: Int, order: ByteOrder): Unit = {
+                             bytesPerSample: Int, order: ByteOrder,
+                             stride: Int = 1): Unit = {
     val rows = data.length / (samplesPerRow * bytesPerSample)
     bytesPerSample match {
       case 1 =>
         var r = 0
         while (r < rows) {
           val base = r * samplesPerRow
-          var c = 1
+          var c = stride
           while (c < samplesPerRow) {
-            data(base + c) = (data(base + c) + data(base + c - 1)).toByte
+            data(base + c) = (data(base + c) + data(base + c - stride)).toByte
             c += 1
           }
           r += 1
@@ -312,10 +332,10 @@ object GeoTiff {
         var r = 0
         while (r < rows) {
           val base = r * samplesPerRow
-          var c = 1
+          var c = stride
           while (c < samplesPerRow) {
             val p = (base + c) * 2
-            bb.putShort(p, (bb.getShort(p) + bb.getShort(p - 2)).toShort)
+            bb.putShort(p, (bb.getShort(p) + bb.getShort(p - 2 * stride)).toShort)
             c += 1
           }
           r += 1
@@ -325,10 +345,10 @@ object GeoTiff {
         var r = 0
         while (r < rows) {
           val base = r * samplesPerRow
-          var c = 1
+          var c = stride
           while (c < samplesPerRow) {
             val p = (base + c) * 4
-            bb.putInt(p, bb.getInt(p) + bb.getInt(p - 4))
+            bb.putInt(p, bb.getInt(p) + bb.getInt(p - 4 * stride))
             c += 1
           }
           r += 1

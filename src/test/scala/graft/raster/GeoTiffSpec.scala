@@ -341,6 +341,36 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("multi-sample chunky RGB: one page per channel, conformant with ImageIO output") {
+    import javax.imageio.{ImageIO, ImageWriteParam}
+    val (h, w) = (40, 50)
+    val rng = new scala.util.Random(23)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rng.nextInt(1 << 24))
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW") // SamplesPerPixel=3 chunky + LZW together
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+
+    val got = GeoTiff.decode(bos.toByteArray)
+    assert(got.pages.map(_.sample) == Seq(0, 1, 2), "one page per RGB channel")
+    for (s <- 0 until 3) {
+      val page = got.pages(s)
+      assert(page.height == h && page.width == w)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expected = (img.getRGB(x, y) >> (16 - 8 * s)) & 0xff
+        assert(page.pixels(y * w + x) == expected.toFloat,
+          s"channel $s pixel ($x,$y)")
+      }
+    }
+  }
+
   test("decodes BigTIFF (magic 43, LONG8 offsets, 20-byte entries) in both endians") {
     import java.nio.{ByteBuffer, ByteOrder}
     // hand-assembled per the BigTIFF spec: 16-byte header, 8-byte entry
