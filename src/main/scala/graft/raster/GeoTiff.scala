@@ -95,7 +95,13 @@ object GeoTiff {
     val pages = ArrayBuffer.empty[Page]
     var meta = GeoMeta()
     var first = true
+    // a corrupt next-IFD pointer can form a cycle; cap the page walk so
+    // hostile input fails instead of spinning (64 overview levels is
+    // already beyond any real pyramid)
+    var walked = 0
     while (ifdOfs != 0) {
+      require(walked < 256, "implausible TIFF: more than 256 IFDs (cyclic pointer?)")
+      walked += 1
       val (entries, next) = readIfd(buf, ifdOfs, big)
       val (pgs, m) = decodePage(buf, entries)
       pages ++= pgs
@@ -167,12 +173,16 @@ object GeoTiff {
     val width  = one(256).toInt
     val height = one(257).toInt
     require(width > 0 && height > 0, "TIFF page missing dimensions")
+    // corrupt headers must not drive allocation: cap the per-page payload
+    // (2^28 samples = 1 GiB of float32) far above real per-band scenes
+    require(height.toLong * width <= (1L << 28),
+      s"implausible TIFF page ${width}x$height (corrupt header?)")
     val bits = one(258, 1).toInt
     val compression = one(259, 1).toInt
     require(compression == 1 || compression == 5 || compression == 8 || compression == 32773,
       s"unsupported TIFF compression $compression (none/lzw/deflate/packbits)")
     val spp = one(277, 1).toInt
-    require(spp >= 1, s"bad SamplesPerPixel $spp")
+    require(spp >= 1 && spp <= 64, s"implausible SamplesPerPixel $spp")
     // multi-sample files must be chunky (PlanarConfiguration 1, the GDAL
     // default): samples interleave per pixel and split into one page per
     // channel below; planar sample-major strips are not in scope

@@ -409,6 +409,48 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: corrupt and truncated inputs fail cleanly — no hang, no wild allocation") {
+    // mutate a real encoded file: decode must either succeed (mutation hit
+    // padding/pixel data) or throw an ordinary exception promptly; cyclic
+    // IFD pointers and lying dimension headers are guarded explicitly
+    val base = GeoTiff.encode(33, 47,
+      Array.tabulate(33 * 47)(_.toFloat), GeoTiff.GeoMeta(epsg = Some(32633)),
+      tileSize = 16, overviewFactors = Seq(2))
+    val rng = new scala.util.Random(41)
+    for (trial <- 0 until 300) {
+      val bytes = base.clone()
+      if (trial % 3 == 0) { // truncate
+        val cut = 8 + rng.nextInt(bytes.length - 8)
+        val t = bytes.take(cut)
+        try GeoTiff.decode(t)
+        catch { case _: Exception => () } // any plain exception is fine
+      } else { // flip 1-4 bytes anywhere (header, IFD, payload)
+        for (_ <- 0 to rng.nextInt(4))
+          bytes(rng.nextInt(bytes.length)) = rng.nextInt(256).toByte
+        try GeoTiff.decode(bytes)
+        catch { case _: Exception => () }
+      }
+    }
+    // the two guards fire with their own messages
+    val cyclic = base.clone()
+    val bb = java.nio.ByteBuffer.wrap(cyclic).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // first IFD's next pointer → back to the first IFD (offset 8)
+    val n = bb.getShort(8) & 0xffff
+    bb.putInt(8 + 2 + 12 * n, 8)
+    val e1 = intercept[IllegalArgumentException](GeoTiff.decode(cyclic))
+    assert(e1.getMessage.contains("cyclic"))
+    val huge = base.clone()
+    val hb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // patch ImageWidth/ImageLength (tags 256/257, first two entries) huge
+    for (i <- 0 until n) {
+      val e = 8 + 2 + 12 * i
+      val tag = hb.getShort(e) & 0xffff
+      if (tag == 256 || tag == 257) hb.putInt(e + 8, 1 << 20)
+    }
+    val e2 = intercept[IllegalArgumentException](GeoTiff.decode(huge))
+    assert(e2.getMessage.contains("implausible TIFF page"))
+  }
+
   test("predictor 2 (horizontal differencing) undoes per strip row for 8- and 16-bit samples") {
     import java.nio.{ByteBuffer, ByteOrder}
     // hand-built stripped TIFF: predictor-2 differenced samples, LZW
