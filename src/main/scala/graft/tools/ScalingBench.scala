@@ -130,6 +130,28 @@ object ScalingBench {
           "p_ts", "i_start", "i_end", bucketSeconds = 600).count()
       })
 
+    def layoutSuite(tag: String, events: DataFrame, emb: DataFrame): Map[String, Double] = Map(
+      "zorder_write" -> time(s"$tag zorder_write", runs = 2) {
+        val dir = s"/tmp/graft-scale-z-$tag"
+        graft.meta.ScaleOps.zorderWrite(events, Seq("user_id", "ts"), dir, 16)
+        spark.read.parquet(dir).limit(1).count()
+      },
+      "heavy_hitters" -> time(s"$tag heavy_hitters") {
+        graft.streaming.EventAggregates.windowedHeavyHitters(
+          events, col("event_type"), k = 16, windowLen = "60 minutes").count()
+      },
+      "ivf_build" -> time(s"$tag ivf_build", runs = 2) {
+        val dir = s"/tmp/graft-scale-ivf-$tag"
+        Sim.writeIvfIndex(emb, "embedding", "vec_id", dir, nCells = 16, iterations = 2)
+        16L
+      },
+      "ivf_probe" -> time(s"$tag ivf_probe") {
+        val dir = s"/tmp/graft-scale-ivf-$tag"
+        val q = embBase.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        Sim.searchIvfIndex(spark, dir, "embedding", "vec_id", q, 10, nProbe = 2).count()
+      })
+
     val evBase = graft.catalog.Tables.events(spark, d)
     val evDir = s"/tmp/graft-scale-ev-x$k"
     if (!new java.io.File(evDir).exists())
@@ -139,10 +161,12 @@ object ScalingBench {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(evDir)
 
-    val r1 = suite("1x", base, embBase) ++ temporalSuite("1x", evBase)
+    val r1 = suite("1x", base, embBase) ++ temporalSuite("1x", evBase) ++
+      layoutSuite("1x", evBase, embBase)
     val rk = suite(s"${k}x",
       spark.read.parquet(docsDir), spark.read.parquet(embDir)) ++
-      temporalSuite(s"${k}x", spark.read.parquet(evDir))
+      temporalSuite(s"${k}x", spark.read.parquet(evDir)) ++
+      layoutSuite(s"${k}x", spark.read.parquet(evDir), spark.read.parquet(embDir))
     println(f"== scaling ratios (${k}x / 1x wall, ideal <= $k) ==")
     r1.keys.toSeq.sorted.foreach { op =>
       println(f"[ratio] $op%-20s ${rk(op) / r1(op)}%.1f")
