@@ -450,6 +450,54 @@ object DedupFunctions {
     corpus.join(ids, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminate]] for benchmark sets too large to broadcast as an
+    * exact dictionary (decontaminating against a full eval-suite union:
+    * tens of millions of n-grams, gigabytes as strings). Two phases:
+    *
+    *   1. PREFILTER — a Bloom filter over the benchmark grams (built with
+    *      `DataFrameStatFunctions.bloomFilter`, i.e. mergeable partition
+    *      sketches; ~1.2 MB per million grams at 1% fpp, broadcastable at
+    *      any benchmark size that fits a disk) probes every corpus gram
+    *      scan-side. Docs with NO hit — the overwhelming majority — are
+    *      cleared without touching an exchange, and false positives can
+    *      only FLAG docs, never clear them.
+    *   2. VERIFY — only the flagged slice (contamination-sized, not
+    *      corpus-sized) joins the exact dictionary to discard the Bloom
+    *      false positives.
+    *
+    * Exactly equivalent to [[decontaminate]] (asserted in FunctionsSpec);
+    * the win is that the exact-join input shrinks from the whole corpus to
+    * the flagged docs. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, n: Int = 13,
+                         fpp: Double = 0.01,
+                         expectedGrams: Long = 1000000L): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val g = graft.expr.NativeFunctions.word_ngrams(col(textCol), n)
+    val benchGrams = benchmark.select(explode(g).as("__g")).distinct()
+    // optimal bit count m = -n ln(p) / (ln 2)^2; built with Spark's own
+    // BloomFilterAggregate (mergeable partition sketches, one binary out)
+    // so the probe side can use the matching BloomFilterMightContain —
+    // no UDF, the exact machinery Catalyst's runtime bloom joins inject
+    // (neither is in the public function registry, hence the bridge)
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val numBits = math.max(64L,
+      math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = benchGrams
+      .agg(toCol(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          toExpr(xxhash64(col("__g"))), toExpr(lit(expectedGrams)), toExpr(lit(numBits)))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightHit = exists(g,
+      gr => toCol(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        toExpr(lit(bloomBytes)), toExpr(xxhash64(gr)))))
+    val flagged = corpus.filter(mightHit)
+    val contaminated = flagged.select(col(idCol), explode(g).as("__g"))
+      .join(benchGrams, "__g") // exact verify on the flagged slice only
+      .select(col(idCol)).distinct()
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** HOF formulation of [[simhashMd5]] — executable specification.
     * Bit i votes on bit (i%4) of hex digit (i/4) of md5(token). */
   def simhashMd5Hof(text: Column): Column = {

@@ -186,7 +186,8 @@ object SceneIO {
                          meta: GeoTiff.GeoMeta = GeoTiff.GeoMeta(),
                          tileSize: Int = 256,
                          overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
-                         compressionLevel: Int = 1): DataFrame = {
+                         compressionLevel: Int = 1,
+                         codec: String = "deflate"): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
@@ -204,7 +205,8 @@ object SceneIO {
         val nodata = meta.nodata.orElse(all.headOption.map(_._7))
         val (h, w, px) = assembleTiles(rows)
         val bytes = GeoTiff.encode(h, w, px,
-          meta.copy(nodata = nodata), tileSize, overviewFactors, compressionLevel)
+          meta.copy(nodata = nodata), tileSize, overviewFactors, compressionLevel,
+          codec)
         // "__" separator so [[readGeoTiffScenes]] re-splits unambiguously
         // even when the band name carries underscores (HDF subdatasets)
         val path = new org.apache.hadoop.fs.Path(dir, s"${sceneId}__$band.tif")

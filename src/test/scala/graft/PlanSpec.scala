@@ -148,6 +148,26 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must be the band-key equi-join, not a cross product:\n$p")
   }
 
+  test("q98: the z-ordered read pushes BOTH range predicates to the parquet scan") {
+    val p = planOf("q98_zorder_skip")
+    // the whole point of the layout: both dimensions' filters reach the
+    // scan so parquet row-group stats can prune on each
+    assert(p.contains("GreaterThanOrEqual(user_id"), s"user_id range must push:\n$p")
+    assert(p.contains("GreaterThanOrEqual(ts"), s"ts range must push:\n$p")
+    assert(p.contains("LessThanOrEqual(user_id") && p.contains("LessThanOrEqual(ts"))
+  }
+
+  test("q99: heavy hitters partial-aggregates the bounded MG buffer before its exchange") {
+    val df = SparkEntry.queries("q99_heavy_hitters")(spark, sf0001)
+    val p = df.queryExecution.explainString(SimpleMode)
+    // typed-Aggregator aggregation plans as ObjectHashAggregate; the
+    // map-side partial is what bounds the shuffle at <= k entries per task
+    assert(p.contains("ObjectHashAggregate"), s"MG must run as ObjectHashAggregate:\n$p")
+    val firstAgg = p.linesIterator.filter(_.contains("ObjectHashAggregate")).toSeq.last
+    assert(firstAgg.contains("partial_"),
+      s"the scan-side aggregate must be a PARTIAL (map-side combine):\n$p")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -522,6 +522,23 @@ class FunctionsSpec extends SparkSpec {
     assert(kept === Set(2L, 3L, 4L))
   }
 
+  test("decontaminateBloom == decontaminate on real documents (false positives verified away)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bench = docs.filter($"doc_id" % 7 === 0).limit(40)
+    val corpus = docs.limit(400)
+    val exact = DedupFunctions.decontaminate(corpus, bench, "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // tiny filter (high fpp regime) still agrees: Bloom can only FLAG
+    // extra docs and the exact verify discards them
+    for (expected <- Seq(1000L, 50L)) {
+      val bloom = DedupFunctions.decontaminateBloom(corpus, bench, "text", "doc_id",
+          n = 5, fpp = 0.05, expectedGrams = expected)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"expectedGrams=$expected must match the exact path")
+    }
+    assert(exact.nonEmpty && exact.size < 400, "the case must actually drop something")
+  }
+
   test("capPerGroup keeps at most N per group, deterministically under repartitioning") {
     val df = (1L to 100L).map(i => (if (i <= 90) "big" else "small", i))
       .toDF("source", "doc_id")

@@ -177,6 +177,15 @@ class GeoTiffSpec extends SparkSpec {
     assert(a2.meta.nodata.contains(-9999.0))
     val b2 = GeoTiff.decode(Files.readAllBytes(dir.resolve("sceneB__B02.tif")))
     assert(b2.meta.nodata.contains(-1.0))
+
+    // the LZW write path round-trips through the distributed reader too
+    val lzwDir = Files.createTempDirectory("gtiffdistlzw")
+    SceneIO.writeGeoTiffScenes(tiles, lzwDir.toString,
+      tileSize = 16, overviewFactors = Nil, codec = "lzw").collect()
+    val back = SceneIO.readGeoTiffScenes(spark, lzwDir.toString)
+      .filter(col("scene_id") === "sceneA" && col("band") === "B02")
+      .select(col("pixels")).head().getSeq[Float](0)
+    assert(back == Array.tabulate(h * w)(_.toFloat).toSeq)
   }
 
   test("convertHdfScenes: distributed HDF4 → GeoTIFF conversion over real files") {
