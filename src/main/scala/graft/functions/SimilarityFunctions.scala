@@ -230,6 +230,20 @@ object SimilarityFunctions {
     centroids
   }
 
+  /** Append new vectors to a persisted IVF index WITHOUT retraining: they
+    * are assigned against the existing centroid sidecar and land in their
+    * cells' directories (dynamic partition append). The coarse quantizer
+    * drifts only if the data distribution does — the standard IVF
+    * operational model (retrain on a sample when recall degrades, append
+    * in between). One narrow scan + partitioned write; no shuffle beyond
+    * the file fan-out. */
+  def appendToIvfIndex(df: DataFrame, path: String, embCol: String): Unit = {
+    val centroids = readIvfCentroids(df.sparkSession, path)
+    require(centroids.nonEmpty, s"no centroids under $path — build with writeIvfIndex first")
+    df.withColumn("cell", ivfAssign(col(embCol), centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Centroid sidecar of a persisted IVF index, in cell order. */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Array[Array[Double]] =

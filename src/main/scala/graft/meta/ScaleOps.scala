@@ -107,6 +107,40 @@ object ScaleOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory so each partition
+    * holds a few right-sized files instead of the thousands a streaming
+    * sink or a wide-parallelism job leaves behind (the #1 operational
+    * decay mode of a 100 TB lake: NameNode/listing pressure and
+    * task-per-tiny-file scheduling). Rows hash-cluster by the partition
+    * columns — one task per partition — and `maxRecordsPerFile` re-splits
+    * oversized ones. Content is layout-invariant; only the file count
+    * changes. For an unpartitioned directory the frame coalesces to
+    * ceil(rows / maxRecordsPerFile) files. Writes to a NEW directory —
+    * atomic swap (rename) is the caller's move, never an in-place rewrite.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inDir: String, outDir: String,
+                     partitionCols: Seq[String],
+                     maxRecordsPerFile: Long): Unit = {
+    require(maxRecordsPerFile >= 1, "maxRecordsPerFile must be >= 1")
+    require(inDir != outDir, "compaction writes to a new directory, never in place")
+    val df = spark.read.parquet(inDir)
+    val writer =
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else {
+        val n = df.count()
+        val files = math.max(1L, (n + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+        // round-robin repartition, not coalesce: coalesce merges input
+        // splits unevenly and an overflowing task re-splits, defeating
+        // the even-file-size goal — the shuffle IS the compaction
+        df.repartition(files).write
+      }
+    writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(outDir)
+  }
+
   /** Bucketed table writer: co-locates future joins on `key` — both sides
     * bucketed by the same key/count join with ZERO shuffle (the engine's
     * equivalent of pre-partitioned PostGIS indexes for the items/activities

@@ -165,6 +165,26 @@ class FunctionsSpec extends SparkSpec {
     assert(cents.length == 4 && cents.forall(_.length == 4))
   }
 
+  test("appendToIvfIndex: appended vectors land in their cells and are searchable") {
+    val rng = new scala.util.Random(31)
+    val anchors = Seq(Array(1.0, 0.0), Array(-1.0, 0.0), Array(0.0, 1.0), Array(0.0, -1.0))
+    def mk(ids: Range) = ids.map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(v => (v + rng.nextGaussian() * 0.05).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    SimilarityFunctions.writeIvfIndex(mk(0 until 80), "embedding", "vec_id", dir,
+      nCells = 4, iterations = 8)
+    SimilarityFunctions.appendToIvfIndex(mk(80 until 120), dir, "embedding")
+    val query = Array(1.0f, 0.0f)
+    val got = SimilarityFunctions.searchIvfIndex(spark, dir,
+      "embedding", "vec_id", query, 40, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    // the probed cell must now contain appended members (ids >= 80, ≡ 0 mod 4)
+    assert(got.exists(_ >= 80L), s"appended vectors must be searchable, got $got")
+    assert(got.forall(id => id % 4 == 0), s"single-probe hits stay in the query's cluster: $got")
+  }
+
   test("ivfAssign puts identical vectors in the same cell") {
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f))).toDF("id", "emb")

@@ -131,6 +131,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(z == Seq(5L, 10L, 15L, 6L))
   }
 
+  test("compactParquet collapses small files per partition; content unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("compact")
+    val in = dir.resolve("in").toString
+    val out = dir.resolve("out").toString
+    // 32 writer tasks × 3 partitions → ~96 tiny files, the decay shape
+    val df = (1L to 3000L).map(i => (s"p${i % 3}", i, s"v$i")).toDF("part", "id", "v")
+    df.repartition(32).write.partitionBy("part").parquet(in)
+    def parquetFiles(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(d))
+    }
+    val before = parquetFiles(in).size
+    assert(before > 50, s"setup must create many small files, got $before")
+    ScaleOps.compactParquet(spark, in, out, Seq("part"), maxRecordsPerFile = 10000)
+    val after = parquetFiles(out).size
+    assert(after == 3, s"one right-sized file per partition, got $after")
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "compaction must not change content")
+    // unpartitioned path: ceil(3000/1000) = 3 files
+    val in2 = dir.resolve("in2").toString
+    val out2 = dir.resolve("out2").toString
+    df.repartition(24).write.parquet(in2)
+    ScaleOps.compactParquet(spark, in2, out2, Nil, maxRecordsPerFile = 1000)
+    assert(parquetFiles(out2).size == 3)
+    assert(spark.read.parquet(out2).count() == 3000)
+  }
+
   test("bucketed tables join without a shuffle") {
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 1000L).map(i => (i, s"b$i")).toDF("k", "vb")
