@@ -904,6 +904,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
         .orderBy(col("user_id"))
     }),
+    // ---- persisted IVF index: build (k-means train + partitionBy(cell)
+    // layout + centroid sidecar) then search with a FULL probe, which is
+    // exhaustive — the DuckDB brute-force oracle checks it exactly; the
+    // partition-pruned nProbe<cells plan is asserted in FunctionsSpec ----
+    "q100_ivf_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("q100_ivf").toString
+      Sim.writeIvfIndex(emb, "embedding", "vec_id", dir, nCells = 8, iterations = 2)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Sim.searchIvfIndex(s, dir, "embedding", "vec_id", query, k = 10, nProbe = 8)
+        .select(col("vec_id"), r4(col("score")).as("score"))
+    }),
     // ---- windowed frequent items: the Misra-Gries summary in its exact
     // regime (k ≥ distinct event types), exploded back to rows — the
     // oracle checks it against plain per-window counts, proving the
@@ -1416,6 +1429,13 @@ object SparkEntry {
     "q99_heavy_hitters" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q100_ivf_index" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)), 4) AS score
+        |FROM embeddings
+        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
     "q70_salted_agg" ->
       """SELECT l_returnflag AS k, round(sum(l_quantity), 2) AS sum_v, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY k""".stripMargin,

@@ -55,7 +55,11 @@ object Hdf4 {
     // 1. walk the chained DD blocks: (tag, ref) -> (offset, length)
     val dds = ArrayBuffer.empty[(Int, Int, Int, Int)]
     var block = 4
+    var walked = 0
     while (block != 0) {
+      // a corrupt next-block pointer can form a cycle; fail instead of spin
+      require(walked < 4096, "implausible HDF4: more than 4096 DD blocks (cyclic pointer?)")
+      walked += 1
       val n = buf.getShort(block) & 0xffff
       val next = buf.getInt(block + 2)
       (0 until n).foreach { i =>
@@ -141,6 +145,10 @@ object Hdf4 {
     require(sd.dataOffset >= 0 && sd.dims.nonEmpty,
       s"subdataset '${sd.name}' has no contiguous data payload")
     val n = sd.dims.product
+    // corrupt dims must not drive allocation (overflowed products go
+    // negative; 2^28 samples = 1 GiB of float32 is far above real SDS)
+    require(n > 0 && n <= (1 << 28),
+      s"implausible subdataset '${sd.name}' dims ${sd.dims.mkString("x")}")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val o = sd.dataOffset.toInt
     val width = sd.ntType match {

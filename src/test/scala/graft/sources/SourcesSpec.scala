@@ -189,6 +189,31 @@ class SourcesSpec extends SparkSpec {
     assert(!Jp2.isValid("not jp2".getBytes))
   }
 
+  test("fuzz: corrupt/truncated HDF4 fails cleanly — no hang, no wild allocation") {
+    val base = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_modis.hdf").toURI))
+    val rng = new scala.util.Random(43)
+    for (trial <- 0 until 200) {
+      val bytes = base.clone()
+      if (trial % 3 == 0) {
+        val t = bytes.take(8 + rng.nextInt(bytes.length - 8))
+        try Hdf4.parse(t) catch { case _: Exception => () }
+      } else {
+        for (_ <- 0 to rng.nextInt(4))
+          bytes(rng.nextInt(bytes.length)) = rng.nextInt(256).toByte
+        try Hdf4.parse(bytes) catch { case _: Exception => () }
+      }
+    }
+    // a cyclic DD-block chain must fail with the guard, not spin
+    val cyclic = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    cyclic.putInt(0x0e031301) // HDF4 magic
+    cyclic.putShort(0.toShort) // 0 entries
+    cyclic.putInt(4) // next block -> itself
+    val e = intercept[IllegalArgumentException](Hdf4.parse(cyclic.array()))
+    assert(e.getMessage.contains("cyclic"))
+  }
+
   test("memoized search: uncached (tile, period) cells (ST7)") {
     val snapshot = Seq(("23LLF", "2020-01"), ("23LLF", "2020-02")).toDF("tile", "period")
     val needed = Seq(("23LLF", "2020-01"), ("23LLF", "2020-03"), ("24LLF", "2020-01"))
