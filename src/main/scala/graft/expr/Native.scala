@@ -36,4 +36,9 @@ object NativeFunctions {
     * cuts ≤ v, numpy searchsorted-right). */
   def search_sorted(v: Column, cuts: Array[Double]): Column =
     ColumnBridge.column(SearchSortedExpr(ColumnBridge.expression(v), cuts))
+
+  /** Codegen'd product-quantization encode against flattened [m][k][subDim]
+    * codebooks → array<byte> of m code bytes. */
+  def pq_encode(emb: Column, codebooks: Array[Float], m: Int, k: Int, subDim: Int): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(emb), codebooks, m, k, subDim))
 }

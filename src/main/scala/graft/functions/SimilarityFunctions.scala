@@ -319,6 +319,90 @@ object SimilarityFunctions {
   def dequantizeInt8(qs: Column): Column =
     transform(qs.getField("q"), v => v.cast("float") * qs.getField("scale"))
 
+  /** Trained product-quantization codebooks: `m` subspaces × `k` centroids
+    * × (dim/m) components, flattened row-major (the layout
+    * [[graft.expr.PqEncodeExpr]] consumes). */
+  final case class PqCodebooks(m: Int, k: Int, subDim: Int, flat: Array[Float])
+
+  /** Train PQ codebooks: an independent k-means per contiguous subspace
+    * (FAISS's PQ training, re-expressed as m [[kmeansFit]] runs over
+    * `slice()` projections). Each run is iterations × (one scan + one
+    * O(k × subDim) shuffle); only the k×dim codebook floats reach the
+    * driver. Train on a hash-sample at 10⁹ vectors — PQ quality saturates
+    * like any k-means. */
+  def trainPq(df: DataFrame, embCol: String, idCol: String,
+              m: Int, k: Int = 256, iterations: Int = 5): PqCodebooks = {
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val flat = new Array[Float](m * k * subDim)
+    for (s <- 0 until m) {
+      val sub = df.select(col(idCol),
+        slice(col(embCol), s * subDim + 1, subDim).as("__sub"))
+      val cents = kmeansFit(sub, "__sub", idCol, k, iterations)
+      for (c <- 0 until k; j <- 0 until subDim)
+        flat((s * k + c) * subDim + j) = cents(c)(j).toFloat
+    }
+    PqCodebooks(m, k, subDim, flat)
+  }
+
+  /** PQ-encode an embedding column → `array<byte>` of m codes: dim × 4
+    * bytes shrink to m bytes (dim=64, m=8 → 32×). Native codegen'd
+    * expression; the corpus-sized pass runs at scan speed. */
+  def pqEncode(emb: Column, cb: PqCodebooks): Column =
+    graft.expr.NativeFunctions.pq_encode(emb, cb.flat, cb.m, cb.k, cb.subDim)
+
+  /** Composable spec twin of [[pqEncode]] (interpreted; tests only). */
+  def pqEncodeHof(emb: Column, cb: PqCodebooks): Column = {
+    val subs = (0 until cb.m).map { s =>
+      val scored = (0 until cb.k).map { c =>
+        val cent = (0 until cb.subDim).map(j => cb.flat((s * cb.k + c) * cb.subDim + j))
+        val diff = zip_with(slice(emb, s * cb.subDim + 1, cb.subDim),
+          typedLit(cent), (x, y) => x.cast("double") - y)
+        struct(aggregate(diff, lit(0.0), (acc, v) => acc + v * v).as("dist"),
+          lit(c).as("code"))
+      }
+      least(scored: _*).getField("code").cast("byte")
+    }
+    array(subs: _*)
+  }
+
+  /** Asymmetric-distance (ADC) score of PQ codes against one query vector:
+    * the query precomputes an m × k lookup table of per-subspace partial
+    * DOT PRODUCTS driver-side (k × dim multiply-adds, once per query), and
+    * each candidate's approximate inner product is m table lookups — no
+    * decode, no per-candidate float math beyond m adds. */
+  def pqAdcScore(codes: Column, cb: PqCodebooks, query: Array[Float]): Column = {
+    require(query.length == cb.m * cb.subDim,
+      s"query dim ${query.length} != ${cb.m * cb.subDim}")
+    val lut = Array.tabulate(cb.m * cb.k) { i =>
+      val s = i / cb.k
+      val c = i % cb.k
+      var acc = 0.0
+      var j = 0
+      while (j < cb.subDim) {
+        acc += query(s * cb.subDim + j).toDouble * cb.flat((s * cb.k + c) * cb.subDim + j)
+        j += 1
+      }
+      acc
+    }
+    // m interpreted steps per row (m ≈ 8) against the flattened literal LUT
+    aggregate(zip_with(codes, sequence(lit(0), lit(cb.m - 1)),
+        (code, s) => element_at(typedLit(lut.toSeq),
+          s * cb.k + (code.cast("int") + lit(256)) % 256 + 1)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Top-k by PQ inner product: brute-force over the CODES (m bytes/row,
+    * 32× less IO than floats), TakeOrderedAndProject on top. The standard
+    * recall recipe is over-fetch (k′ = 4k) then exact re-rank of the short
+    * list; recall of the raw ADC pass is asserted in FunctionsSpec. */
+  def searchPq(df: DataFrame, codesCol: String, idCol: String,
+               cb: PqCodebooks, query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol), pqAdcScore(col(codesCol), cb, query).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
   /** One k-means refinement step for the IVF coarse quantizer: assign every
     * vector to its nearest centroid ([[ivfAssign]]) and recompute the
     * per-cell mean, returned long-form as (cell, pos, mean_v) — one row per

@@ -185,6 +185,44 @@ class FunctionsSpec extends SparkSpec {
     assert(got.forall(id => id % 4 == 0), s"single-probe hits stay in the query's cluster: $got")
   }
 
+  test("PQ: native encode == HOF spec; ADC search recalls the exact top-k") {
+    val rng = new scala.util.Random(37)
+    val dim = 16
+    // clustered, roughly unit-norm vectors so inner product ≈ cosine
+    val anchors = Array.fill(6)(Array.fill(dim)(rng.nextGaussian()))
+      .map { a => val n = math.sqrt(a.map(x => x * x).sum); a.map(x => (x / n).toFloat) }
+    val rows = (0 until 300).map { i =>
+      val a = anchors(i % 6)
+      val v = a.map(x => x + rng.nextGaussian().toFloat * 0.08f)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = SimilarityFunctions.trainPq(df, "embedding", "vec_id",
+      m = 4, k = 16, iterations = 6)
+    assert(cb.subDim == 4 && cb.flat.length == 4 * 16 * 4)
+
+    // native expression == composable spec, byte for byte
+    val both = df.select(
+      SimilarityFunctions.pqEncode(col("embedding"), cb).as("n"),
+      SimilarityFunctions.pqEncodeHof(col("embedding"), cb).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Byte](0) == r.getSeq[Byte](1), "native and HOF codes must agree")
+    }
+
+    // ADC over 4 bytes/vector recalls the exact float top-k
+    val codes = df.select(col("vec_id"),
+      SimilarityFunctions.pqEncode(col("embedding"), cb).as("codes"))
+    val query = rows.head._2
+    val exact = SimilarityFunctions.topKCosine(df, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val adc = SimilarityFunctions.searchPq(codes, "codes", "vec_id", cb, query, 40)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(adc).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ADC top-40 must recall >= 70% of the exact top-10, got $recall")
+  }
+
   test("ivfAssign puts identical vectors in the same cell") {
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f))).toDF("id", "emb")
