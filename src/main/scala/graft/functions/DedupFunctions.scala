@@ -71,6 +71,40 @@ object DedupFunctions {
         (a, j) => least(a, md5(concat(lit("s"), j.cast("string"), s)))))
   }
 
+  /** Choose (bands, rowsPerBand) for a target Jaccard threshold under a
+    * signature-size budget. A (b, r) scheme fires on a pair with
+    * probability 1 − (1 − J^r)^b — an S-curve whose inflection sits near
+    * (1/b)^(1/r). This scans every b×r ≤ maxHashes and picks the scheme
+    * minimizing the weighted false-positive area below the threshold plus
+    * false-negative area above it (the datasketch weighting, integrated
+    * numerically) — so callers state intent ("dedupe at J ≥ 0.8 with 16
+    * hashes") instead of hand-tuning band geometry. */
+  def lshParams(threshold: Double, maxHashes: Int = 16,
+                falseNegativeWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(maxHashes >= 2, s"maxHashes must be >= 2, got $maxHashes")
+    def pCandidate(j: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    val steps = 200
+    def error(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val j = (i + 0.5) / steps
+        if (j < threshold) fp += pCandidate(j, b, r)
+        else fn += 1.0 - pCandidate(j, b, r)
+        i += 1
+      }
+      (1 - falseNegativeWeight) * fp / steps + falseNegativeWeight * fn / steps
+    }
+    val candidates = for {
+      b <- 1 to maxHashes
+      r <- 1 to maxHashes
+      if b * r <= maxHashes
+    } yield ((b, r), error(b, r))
+    candidates.minBy(_._2)._1
+  }
+
   /** LSH band key from a precomputed signature column. */
   def bandKeyFromSignature(sig: Column, band: Int, rowsPerBand: Int): Column =
     concat_ws("|", slice(sig, band * rowsPerBand + 1, rowsPerBand))

@@ -85,6 +85,24 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshParams: the S-curve inflection tracks the requested threshold") {
+    // high threshold → more rows per band (sharper AND); low → more bands
+    val (bHi, rHi) = DedupFunctions.lshParams(0.9, maxHashes = 16)
+    val (bLo, rLo) = DedupFunctions.lshParams(0.4, maxHashes = 16)
+    assert(rHi > rLo, s"higher threshold needs longer bands: r=$rHi vs r=$rLo")
+    assert(bLo > bHi, s"lower threshold needs more bands: b=$bLo vs b=$bHi")
+    for (t <- Seq(0.4, 0.6, 0.8, 0.9)) {
+      val (b, r) = DedupFunctions.lshParams(t, maxHashes = 16)
+      assert(b * r <= 16)
+      val inflection = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(inflection - t) < 0.25,
+        s"threshold $t → (b=$b,r=$r) inflection $inflection too far off")
+      // the curve must actually separate: fire-probability gap across t
+      def p(j: Double) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+      assert(p(math.min(0.99, t + 0.15)) > p(math.max(0.01, t - 0.15)) + 0.2)
+    }
+  }
+
   test("cosine top-k exact vs LSH recall") {
     val rng = new scala.util.Random(7)
     val base = Array.fill(16)(rng.nextGaussian().toFloat)
