@@ -168,6 +168,26 @@ class PlanSpec extends SparkSpec {
       s"the scan-side aggregate must be a PARTIAL (map-side combine):\n$p")
   }
 
+  test("native search_sorted and pq_encode stay inside whole-stage codegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // repartition first: over a bare local Seq the optimizer folds the
+    // whole projection into a LocalTableScan and no codegen stage exists
+    val df = (1 to 100).map(_.toDouble).toDF("v").repartition(2)
+      .select(graft.expr.NativeFunctions.search_sorted(col("v"), Array(10.0, 50.0)).as("b"))
+    df.collect()
+    val p1 = df.queryExecution.executedPlan.toString
+    assert(p1.contains("*(1)"), s"search_sorted must not fall back to interpreted:\n$p1")
+
+    val emb = (0 until 10).map(i => (i.toLong, Array.fill(8)(i.toFloat))).toDF("id", "e")
+      .repartition(2)
+      .select(graft.expr.NativeFunctions.pq_encode(col("e"),
+        Array.fill(2 * 4 * 4)(0.5f), m = 2, k = 4, subDim = 4).as("c"))
+    emb.collect()
+    val p2 = emb.queryExecution.executedPlan.toString
+    assert(p2.contains("*(1)"), s"pq_encode must not fall back to interpreted:\n$p2")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact × filtered dim join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
