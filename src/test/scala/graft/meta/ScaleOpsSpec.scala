@@ -101,6 +101,17 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-ordered layout must prune ≥75% of row groups for a 1% 2-D query, read $zRead of $n")
   }
 
+  test("zorderWrite tolerates null dimension values (null z sorts to one end)") {
+    val df = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (null, 20L, "b"), (3L, null, "c"), (4L, 40L, "d"))
+      .toDF("u", "t", "v")
+    val dir = java.nio.file.Files.createTempDirectory("znull").resolve("z").toString
+    ScaleOps.zorderWrite(df, Seq("u", "t"), dir, numFiles = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4, "null-dim rows must survive the rewrite")
+    assert(back.filter(col("u").isNull || col("t").isNull).count() == 2)
+  }
+
   test("search_sorted native expression == ArrayAggregate fold spec (property)") {
     val rng = new scala.util.Random(17)
     for (trial <- 0 until 10) {
