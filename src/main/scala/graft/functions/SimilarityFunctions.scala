@@ -269,6 +269,71 @@ object SimilarityFunctions {
       .limit(k)
   }
 
+  /** Persist an IVF-PQ index (the FAISS IVFPQ layout on parquet): the
+    * coarse quantizer routes each vector to a cell directory, a PQ code
+    * column rides NEXT TO the float vector in the same row, and both
+    * codebooks persist as sidecars. Queries then pay three successively
+    * cheaper filters: partition pruning (only nProbe cell directories
+    * open), ADC over the m-byte codes (no float math per candidate), and
+    * an exact re-rank of only the over-fetched short list — which costs no
+    * join because the floats sit in the candidate rows already. */
+  def writeIvfPqIndex(df: DataFrame, embCol: String, idCol: String, path: String,
+                      nCells: Int, m: Int, kPq: Int = 256,
+                      iterations: Int = 5): (Array[Array[Double]], PqCodebooks) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = kmeansFit(df, embCol, idCol, nCells, iterations)
+    val cb = trainPq(df, embCol, idCol, m, kPq, iterations)
+    df.withColumn("cell", ivfAssign(col(embCol), centroids))
+      .withColumn("__codes", pqEncode(col(embCol), cb))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((cb.m, cb.k, cb.subDim, cb.flat.toSeq))
+      .toDF("m", "k", "subDim", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    (centroids, cb)
+  }
+
+  /** PQ codebook sidecar of a persisted IVF-PQ index. */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): PqCodebooks = {
+    val r = spark.read.parquet(s"$path/pq").head()
+    PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("subDim"),
+      r.getSeq[Float](r.fieldIndex("flat")).toArray)
+  }
+
+  /** Top-k cosine against a persisted IVF-PQ index: partition-pruned scan
+    * of the nProbe nearest cells → ADC top (k × overFetch) short list over
+    * the code bytes → exact cosine re-rank of the short list from the
+    * floats in the SAME rows. At 10¹⁰ vectors the exact math touches
+    * k × overFetch rows; everything else is byte-table lookups over the
+    * pruned slice. Size `overFetch` to the ADC tie width: vectors inside
+    * one tight cluster can share identical code vectors, and the short
+    * list must cover that tie set for the re-rank to recover the exact
+    * order (FunctionsSpec demonstrates both the failure shape and the
+    * sized fix). */
+  def searchIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                  embCol: String, idCol: String,
+                  query: Array[Float], k: Int, nProbe: Int,
+                  overFetch: Int = 4): DataFrame = {
+    require(overFetch >= 1, s"overFetch must be >= 1, got $overFetch")
+    val centroids = readIvfCentroids(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    val qd = query.map(_.toDouble)
+    val cells = nearestCells(centroids, qd, nProbe)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol), col(embCol),
+        pqAdcScore(col("__codes"), cb, query).as("__adc"))
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(k * overFetch)
+      .select(col(idCol), cosine(col(embCol), lit(qd)).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact all-pairs cosine above a threshold, BLOCKED: vectors group into
     * id-range blocks of `blockSize`, block pairs join (O((n/B)²) rows
     * instead of O(n²)), and a native B×B kernel

@@ -241,6 +241,47 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.7, s"ADC top-40 must recall >= 70% of the exact top-10, got $recall")
   }
 
+  test("IVF-PQ index: pruned probe + ADC short list + exact re-rank == exact top-k") {
+    val rng = new scala.util.Random(47)
+    val dim = 16
+    val anchors = Array.fill(4)(Array.fill(dim)(rng.nextGaussian()))
+      .map { a => val n = math.sqrt(a.map(x => x * x).sum); a.map(x => (x / n).toFloat) }
+    val rows = (0 until 240).map { i =>
+      val a = anchors(i % 4)
+      val v = a.map(x => x + rng.nextGaussian().toFloat * 0.06f)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    SimilarityFunctions.writeIvfPqIndex(df, "embedding", "vec_id", dir,
+      nCells = 4, m = 4, kPq = 16, iterations = 8)
+    val query = rows.head._2
+    val exact = SimilarityFunctions.topKCosine(df, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    // full probe: the exact re-rank makes the result EXACTLY the brute-force
+    // top-k as long as it survives the ADC short list. Inside one tight
+    // cluster the members share code vectors (ADC ties), so the over-fetch
+    // must cover the tie set: 10x8 = 80 >= the 60-member cluster
+    val full = SimilarityFunctions.searchIvfPq(spark, dir,
+      "embedding", "vec_id", query, k = 10, nProbe = 4, overFetch = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full.toSet == exact.toSet, s"full probe + rerank must equal exact: $full vs $exact")
+    // single probe: the query's own cluster holds every true neighbour
+    val pruned = SimilarityFunctions.searchIvfPq(spark, dir,
+      "embedding", "vec_id", query, k = 10, nProbe = 1, overFetch = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned == exact.toSet)
+    // and the scan only opens one cell directory
+    val plan = SimilarityFunctions.searchIvfPq(spark, dir,
+      "embedding", "vec_id", query, k = 10, nProbe = 1, overFetch = 8)
+    plan.collect()
+    val scan = plan.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.selectedPartitions.partitionCount == 1)
+  }
+
   test("ivfAssign puts identical vectors in the same cell") {
     val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     val df = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f))).toDF("id", "emb")
