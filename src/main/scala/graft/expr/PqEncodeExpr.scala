@@ -29,6 +29,20 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Float],
   require(m >= 1 && k >= 1 && k <= 256 && subDim >= 1, "bad PQ shape")
   require(codebooks.length == m * k * subDim, "codebook length != m*k*subDim")
 
+  // content-based equality for the Array field (see SearchSortedExpr): the
+  // default case-class reference compare defeats semanticEquals / CSE
+  override def equals(other: Any): Boolean = other match {
+    case that: PqEncodeExpr =>
+      child == that.child && m == that.m && k == that.k && subDim == that.subDim &&
+        java.util.Arrays.equals(codebooks, that.codebooks)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = 31 * h + m; h = 31 * h + k; h = 31 * h + subDim
+    31 * h + java.util.Arrays.hashCode(codebooks)
+  }
+
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def prettyName: String = "pq_encode"
 

@@ -28,6 +28,19 @@ case class SearchSortedExpr(child: Expression, cuts: Array[Double])
 
   private val sorted: Array[Double] = cuts.distinct.sorted
 
+  // case-class equals on an Array field is reference equality, which would
+  // make structurally identical expressions never semanticEquals — breaking
+  // canonicalization and subexpression elimination (zorderWrite evaluates
+  // the z-value in two passes that should dedupe). Compare contents, the
+  // way Spark's Literal handles array payloads.
+  override def equals(other: Any): Boolean = other match {
+    case that: SearchSortedExpr =>
+      child == that.child && java.util.Arrays.equals(cuts, that.cuts)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(cuts)
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "search_sorted"
 

@@ -517,19 +517,38 @@ object DedupFunctions {
     import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
     val numBits = math.max(64L,
       math.ceil(-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently CLAMPS (n, m) to the session caps
+    // (defaults 4M items / 67M bits) — at the documented tens-of-millions
+    // scale the effective fpp would quietly blow past the request and the
+    // prefilter win would erode (results stay exact via VERIFY, but the
+    // scan-side clear rate is the whole point). Raise the caps to cover
+    // the requested sizing before building.
+    val spark = corpus.sparkSession
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (spark.conf.get(itemsConf, "4000000").toLong < expectedGrams)
+      spark.conf.set(itemsConf, expectedGrams.toString)
+    if (spark.conf.get(bitsConf, "67108864").toLong < numBits)
+      spark.conf.set(bitsConf, numBits.toString)
     val bloomBytes = benchGrams
       .agg(toCol(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           toExpr(xxhash64(col("__g"))), toExpr(lit(expectedGrams)), toExpr(lit(numBits)))
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val mightHit = exists(g,
-      gr => toCol(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        toExpr(lit(bloomBytes)), toExpr(xxhash64(gr)))))
-    val flagged = corpus.filter(mightHit)
-    val contaminated = flagged.select(col(idCol), explode(g).as("__g"))
-      .join(benchGrams, "__g") // exact verify on the flagged slice only
-      .select(col(idCol)).distinct()
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    if (bloomBytes == null) {
+      // empty benchmark gram set → the aggregate yields a null blob (which
+      // lit() would reject unhelpfully); nothing can be contaminated
+      corpus
+    } else {
+      val mightHit = exists(g,
+        gr => toCol(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          toExpr(lit(bloomBytes)), toExpr(xxhash64(gr)))))
+      val flagged = corpus.filter(mightHit)
+      val contaminated = flagged.select(col(idCol), explode(g).as("__g"))
+        .join(benchGrams, "__g") // exact verify on the flagged slice only
+        .select(col(idCol)).distinct()
+      corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    }
   }
 
   /** HOF formulation of [[simhashMd5]] — executable specification.

@@ -173,16 +173,18 @@ object GeoTiff {
     val width  = one(256).toInt
     val height = one(257).toInt
     require(width > 0 && height > 0, "TIFF page missing dimensions")
-    // corrupt headers must not drive allocation: cap the per-page payload
-    // (2^28 samples = 1 GiB of float32) far above real per-band scenes
-    require(height.toLong * width <= (1L << 28),
-      s"implausible TIFF page ${width}x$height (corrupt header?)")
     val bits = one(258, 1).toInt
     val compression = one(259, 1).toInt
     require(compression == 1 || compression == 5 || compression == 8 || compression == 32773,
       s"unsupported TIFF compression $compression (none/lzw/deflate/packbits)")
     val spp = one(277, 1).toInt
     require(spp >= 1 && spp <= 64, s"implausible SamplesPerPixel $spp")
+    // corrupt headers must not drive allocation: cap the TOTAL per-page payload
+    // across all samples (2^28 samples = 1 GiB of float32), far above real
+    // per-band scenes; spp is included so a hostile spp=64 header cannot
+    // multiply the cap 64x
+    require(height.toLong * width * spp <= (1L << 28),
+      s"implausible TIFF page ${width}x${height}x$spp (corrupt header?)")
     // multi-sample files must be chunky (PlanarConfiguration 1, the GDAL
     // default): samples interleave per pixel and split into one page per
     // channel below; planar sample-major strips are not in scope

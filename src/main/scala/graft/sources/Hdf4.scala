@@ -144,11 +144,14 @@ object Hdf4 {
   def decodeSds(bytes: Array[Byte], sd: SubDataset): Array[Float] = {
     require(sd.dataOffset >= 0 && sd.dims.nonEmpty,
       s"subdataset '${sd.name}' has no contiguous data payload")
-    val n = sd.dims.product
-    // corrupt dims must not drive allocation (overflowed products go
-    // negative; 2^28 samples = 1 GiB of float32 is far above real SDS)
-    require(n > 0 && n <= (1 << 28),
+    // compute the product in Long: Int multiplication can wrap PAST negative
+    // back to a small positive (65536x65537 -> 65536) and slip the guard
+    val nL = sd.dims.map(_.toLong).product
+    // corrupt dims must not drive allocation (2^28 samples = 1 GiB of float32
+    // is far above real SDS)
+    require(sd.dims.forall(_ > 0) && nL > 0 && nL <= (1L << 28),
       s"implausible subdataset '${sd.name}' dims ${sd.dims.mkString("x")}")
+    val n = nL.toInt
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val o = sd.dataOffset.toInt
     val width = sd.ntType match {

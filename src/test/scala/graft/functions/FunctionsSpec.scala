@@ -656,6 +656,24 @@ class FunctionsSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.size < 400, "the case must actually drop something")
   }
 
+  test("decontaminateBloom: empty benchmark returns the corpus unchanged; large expectedGrams raises the session caps") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // an empty gram set used to feed a null bloom blob into lit() and fail;
+    // now it short-circuits: nothing can be contaminated
+    val kept = DedupFunctions.decontaminateBloom(corpus, emptyBench, "text", "doc_id", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+    // requesting a sizing above the default 4M-item / 67M-bit caps must
+    // raise the session confs so BloomFilterAggregate doesn't silently clamp
+    val bench = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
+    DedupFunctions.decontaminateBloom(corpus, bench, "text", "doc_id",
+      n = 3, fpp = 0.01, expectedGrams = 50000000L).collect()
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong >= 50000000L)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong >=
+      math.ceil(-50000000L * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+  }
+
   test("capPerGroup keeps at most N per group, deterministically under repartitioning") {
     val df = (1L to 100L).map(i => (if (i <= 90) "big" else "small", i))
       .toDF("source", "doc_id")

@@ -118,7 +118,8 @@ class ScaleOpsSpec extends SparkSpec {
       val nCuts = 1 + rng.nextInt(40)
       val cuts = Array.fill(nCuts)(rng.nextDouble() * 200 - 100)
       val vs = (Array.fill(200)(rng.nextDouble() * 300 - 150) ++
-        cuts.take(5)).toSeq // include exact cut hits
+        cuts.take(5) ++ // include exact cut hits
+        Array(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)).toSeq
       val df = vs.toDF("v")
       val got = df.select(ScaleOps.quantileBucket(col("v"), cuts).as("b"),
           ScaleOps.quantileBucketHof(col("v"), cuts).as("bh"))
@@ -126,6 +127,27 @@ class ScaleOpsSpec extends SparkSpec {
       got.foreach(r => assert(r.getInt(0) == r.getInt(1),
         s"trial $trial: native ${r.getInt(0)} != hof ${r.getInt(1)}"))
     }
+  }
+
+  test("array-payload expressions compare by content (semanticEquals / CSE eligibility)") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    import org.apache.spark.sql.types.DoubleType
+    val childRef: Expression = BoundReference(0, DoubleType, nullable = false)
+    val a = graft.expr.SearchSortedExpr(childRef, Array(1.0, 2.0, 3.0))
+    val b = graft.expr.SearchSortedExpr(childRef, Array(1.0, 2.0, 3.0))
+    val c = graft.expr.SearchSortedExpr(childRef, Array(1.0, 2.0, 4.0))
+    // default case-class equals on Array fields is reference equality —
+    // two structurally identical cut arrays would never canonicalize equal
+    assert(a == b && a.hashCode == b.hashCode, "same cuts must be equal")
+    assert(a.semanticEquals(b), "semanticEquals must see through the array payload")
+    assert(a != c, "different cuts must not be equal")
+    val embRef: Expression = BoundReference(0,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType), nullable = false)
+    val p1 = graft.expr.PqEncodeExpr(embRef, Array(1f, 2f, 3f, 4f), m = 2, k = 2, subDim = 1)
+    val p2 = graft.expr.PqEncodeExpr(embRef, Array(1f, 2f, 3f, 4f), m = 2, k = 2, subDim = 1)
+    val p3 = graft.expr.PqEncodeExpr(embRef, Array(1f, 2f, 3f, 5f), m = 2, k = 2, subDim = 1)
+    assert(p1 == p2 && p1.hashCode == p2.hashCode && p1.semanticEquals(p2))
+    assert(p1 != p3)
   }
 
   test("morton interleave and quantile buckets are order-preserving per dimension") {

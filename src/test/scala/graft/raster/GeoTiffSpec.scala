@@ -458,6 +458,23 @@ class GeoTiffSpec extends SparkSpec {
     }
     val e2 = intercept[IllegalArgumentException](GeoTiff.decode(huge))
     assert(e2.getMessage.contains("implausible TIFF page"))
+    // spp multiplies the allocation: dims that pass the per-sample cap
+    // (4096x4096 = 2^24) must still be rejected when spp=64 pushes the
+    // total payload to 2^30 samples — hand-assembled header since the
+    // writer never emits multi-sample pages
+    val sppHuge = java.nio.ByteBuffer.allocate(8 + 2 + 3 * 12 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sppHuge.put('I'.toByte).put('I'.toByte).putShort(2, 42).putInt(4, 8)
+    sppHuge.putShort(8, 3)
+    def sppTag(i: Int, tag: Int, typ: Int, v: Int): Unit = {
+      val e = 8 + 2 + 12 * i
+      sppHuge.putShort(e, tag.toShort).putShort(e + 2, typ.toShort).putInt(e + 4, 1)
+      if (typ == 3) sppHuge.putShort(e + 8, v.toShort) else sppHuge.putInt(e + 8, v)
+    }
+    sppTag(0, 256, 4, 4096); sppTag(1, 257, 4, 4096); sppTag(2, 277, 3, 64)
+    val e3 = intercept[IllegalArgumentException](GeoTiff.decode(sppHuge.array()))
+    assert(e3.getMessage.contains("implausible TIFF page"),
+      s"spp must be included in the allocation cap, got: ${e3.getMessage}")
   }
 
   test("predictor 2 (horizontal differencing) undoes per strip row for 8- and 16-bit samples") {
