@@ -894,6 +894,29 @@ object SparkEntry {
             .as("checksum"))
         .orderBy(col("vec_id"))
     }),
+    // ---- S7 integer container twin of q96: the same write→read round
+    // trip through the i16 sample format (the dtype the reference
+    // publishes, index_generator.py:109–136). Pixels are embeddings
+    // scaled by 1024 — a power of two, so float32 and the oracle's
+    // double arithmetic agree bit-exactly and the clamp+truncate the
+    // container applies is the only transformation under test ----------
+    "q96_i16_roundtrip" -> ((s, d) => {
+      val scenes = Tables.embeddings(s, d)
+        .filter(col("vec_id") < 64)
+        .select(col("vec_id").cast("string").as("scene_id"),
+          lit("B1").as("band"), lit(8).as("height"), lit(8).as("width"),
+          lit(-9999.0f).as("nodata"),
+          transform(col("embedding"), x => x * lit(1024.0f)).as("pixels"))
+      val dir = java.nio.file.Files.createTempDirectory("q96_i16").toString
+      graft.raster.SceneIO.writeGeoTiffScenes(
+        graft.raster.SceneIO.tileScene(scenes, 4, 4), dir,
+        tileSize = 16, overviewFactors = Seq(2), dtype = "i16").count()
+      graft.raster.SceneIO.readGeoTiffScenes(s, dir)
+        .select(col("scene_id").cast("long").as("vec_id"),
+          aggregate(col("pixels"), lit(0L), (a, p) => a + p.cast("long"))
+            .as("checksum"))
+        .orderBy(col("vec_id"))
+    }),
     // ---- semantic dedup: exact cosine pairs → components → dropped ids
     // (the LSH-bucketed dedupSemantic is the scale path; the exact pair
     // source makes this one verifiable against a recursive-CTE oracle) --
@@ -1427,6 +1450,12 @@ object SparkEntry {
     "q96_geotiff_roundtrip" ->
       """SELECT vec_id,
         |  round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS checksum
+        |FROM embeddings WHERE vec_id < 64 ORDER BY vec_id""".stripMargin,
+    "q96_i16_roundtrip" ->
+      """SELECT vec_id,
+        |  CAST(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> trunc(least(greatest(x * 1024, -32768.0), 32767.0))),
+        |    'sum') AS BIGINT) AS checksum
         |FROM embeddings WHERE vec_id < 64 ORDER BY vec_id""".stripMargin,
     "q97_semantic_dedup" ->
       """WITH pairs AS (

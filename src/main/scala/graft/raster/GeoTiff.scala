@@ -21,7 +21,9 @@ import scala.collection.mutable.ArrayBuffer
   * samples/pixel (one page per channel) of
   * u8/i16/u16/i32/f32/f64, predictor none or horizontal differencing
   * (GDAL's `-co COMPRESS=LZW -co PREDICTOR=2` default for integer
-  * rasters). The WRITER emits tiled float32, deflate by default or LZW
+  * rasters). The WRITER emits tiled f32/i16/u16/u8 samples (integer
+  * dtypes clamp+truncate per the reference's publish path,
+  * index_generator.py:109–136), deflate by default or LZW
   * for consumers that lack zlib. Both LZW directions are conformance-
   * tested against the JDK ImageIO TIFF plugin, not just round-tripped
   * against each other. The reader also speaks BigTIFF (magic 43, 8-byte
@@ -533,17 +535,29 @@ object GeoTiff {
 
   // ---------------------------------------------------------------- encode
 
-  /** Encode one float32 band as a tiled deflate GeoTIFF with an overview
+  /** Encode one band as a tiled deflate GeoTIFF with an overview
     * pyramid (the reference's cog_translate + build_overviews,
     * utils.py:113–154, 381–401). Overview factors that would shrink either
     * dimension below one pixel are skipped. Layout is COG-shaped: header,
-    * IFDs first (main page then overviews), then tile data. */
+    * IFDs first (main page then overviews), then tile data.
+    *
+    * `dtype` selects the on-disk sample format: "f32" (default), "i16",
+    * "u16" or "u8" — the integer containers the reference publishes
+    * (index_generator.py:109–136 writes `profile['dtype'] =
+    * band.data_type` int16/uint8 COGs). Integer samples are clamped to
+    * the dtype range then truncated toward zero, exactly the reference's
+    * `raster[raster < min] = min; raster[raster > max] = max;
+    * raster.astype(dtype)` sequence (and the engine-side R10 clamp,
+    * BandExpressionCompiler.clamp). NaN maps to the nodata value when one
+    * is set, else 0 (the reference fills masked pixels with nodata before
+    * the cast). */
   def encode(height: Int, width: Int, pixels: Array[Float],
              meta: GeoMeta = GeoMeta(),
              tileSize: Int = 256,
              overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
              compressionLevel: Int = Deflater.DEFAULT_COMPRESSION,
-             codec: String = "deflate"): Array[Byte] = {
+             codec: String = "deflate",
+             dtype: String = "f32"): Array[Byte] = {
     require(pixels.length == height * width, "pixels length != height*width")
     require(tileSize % 16 == 0 && tileSize > 0, "TIFF tile size must be a multiple of 16")
     val compressionTag: Long = codec match {
@@ -552,6 +566,27 @@ object GeoTiff {
       case "none"    => 1L
       case c => throw new IllegalArgumentException(
         s"unsupported write codec '$c' (deflate/lzw/none)")
+    }
+    // (bits, TIFF SampleFormat, clamp lo, clamp hi); format 3 = IEEE float,
+    // 2 = signed int, 1 = unsigned int
+    val (bits, sampleFormat, clampLo, clampHi) = dtype match {
+      case "f32" => (32, 3L, 0.0, 0.0)
+      case "i16" => (16, 2L, Short.MinValue.toDouble, Short.MaxValue.toDouble)
+      case "u16" => (16, 1L, 0.0, 65535.0)
+      case "u8"  => (8, 1L, 0.0, 255.0)
+      case t => throw new IllegalArgumentException(
+        s"unsupported write dtype '$t' (f32/i16/u16/u8)")
+    }
+    val bytesPerSample = bits / 8
+    // clamp → truncate toward zero (numpy astype semantics); NaN → nodata
+    def toInt(v: Float): Long = {
+      val x = if (java.lang.Float.isNaN(v)) meta.nodata.getOrElse(0.0).toFloat else v
+      math.max(clampLo, math.min(clampHi, x.toDouble)).toLong
+    }
+    def putSample(buf: ByteBuffer, v: Float): Unit = dtype match {
+      case "f32" => buf.putFloat(v)
+      case "i16" | "u16" => buf.putShort(toInt(v).toShort)
+      case "u8" => buf.put(toInt(v).toByte)
     }
     def compressTile(raw: Array[Byte]): Array[Byte] = codec match {
       case "deflate" => deflate(raw, compressionLevel)
@@ -579,15 +614,15 @@ object GeoTiff {
       val down = (h + tileSize - 1) / tileSize
       Array.tabulate(across * down) { i =>
         val (tr, tc) = (i / across, i % across)
-        val raw = ByteBuffer.allocate(tileSize * tileSize * 4)
+        val raw = ByteBuffer.allocate(tileSize * tileSize * bytesPerSample)
           .order(ByteOrder.LITTLE_ENDIAN)
         var r = 0
         while (r < tileSize) {
           var c = 0
           while (c < tileSize) {
             val (gr, gc) = (tr * tileSize + r, tc * tileSize + c)
-            raw.putFloat(if (gr < h && gc < w) px(gr * w + gc)
-                         else meta.nodata.map(_.toFloat).getOrElse(0f))
+            putSample(raw, if (gr < h && gc < w) px(gr * w + gc)
+                           else meta.nodata.map(_.toFloat).getOrElse(0f))
             c += 1
           }
           r += 1
@@ -643,7 +678,7 @@ object GeoTiff {
       entries += ((254, 4, 1, if (reduced) 1L else 0L))
       entries += ((256, 4, 1, w.toLong))
       entries += ((257, 4, 1, h.toLong))
-      entries += ((258, 3, 1, 32L))
+      entries += ((258, 3, 1, bits.toLong))
       entries += ((259, 3, 1, compressionTag))
       entries += ((262, 3, 1, 1L))  // BlackIsZero
       entries += ((277, 3, 1, 1L))
@@ -662,7 +697,7 @@ object GeoTiff {
         tiles.foreach { t => out.putInt(a.toInt, t.length); a += 4 }
         ext += align2(tiles.length * 4)
       }
-      entries += ((339, 3, 1, 3L)) // IEEE float
+      entries += ((339, 3, 1, sampleFormat))
       if (p == 0) {
         meta.pixelScale.foreach { case (sx, sy) =>
           entries += ((33550, 12, 3, ext))

@@ -187,7 +187,8 @@ object SceneIO {
                          tileSize: Int = 256,
                          overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
                          compressionLevel: Int = 1,
-                         codec: String = "deflate"): DataFrame = {
+                         codec: String = "deflate",
+                         dtype: String = "f32"): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
@@ -206,7 +207,7 @@ object SceneIO {
         val (h, w, px) = assembleTiles(rows)
         val bytes = GeoTiff.encode(h, w, px,
           meta.copy(nodata = nodata), tileSize, overviewFactors, compressionLevel,
-          codec)
+          codec, dtype)
         // "__" separator so [[readGeoTiffScenes]] re-splits unambiguously
         // even when the band name carries underscores (HDF subdatasets)
         val path = new org.apache.hadoop.fs.Path(dir, s"${sceneId}__$band.tif")

@@ -125,6 +125,71 @@ class GeoTiffSpec extends SparkSpec {
     assert(o2.pixels.toSeq == expect2.toSeq)
   }
 
+  test("integer dtype write (i16/u16/u8): clamp+truncate matches the reference publish path, round-trips") {
+    // reference index_generator.py:109-136: clamp to dtype min/max, then
+    // numpy astype (truncate toward zero); utils.py:381-401 writes the
+    // int16 COG container. Values straddle the bounds deliberately.
+    val (h, w) = (20, 17) // ragged against 16x16 tiles
+    val px = Array.tabulate(h * w) { i =>
+      i match {
+        case 0 => 40000.5f   // above i16 max → clamps to 32767
+        case 1 => -40000.5f  // below i16 min → clamps to -32768
+        case 2 => 123.9f     // truncates toward zero → 123
+        case 3 => -123.9f    // truncates toward zero → -123
+        case 4 => Float.NaN  // masked → nodata
+        case n => (n * 7 % 1000 - 500).toFloat
+      }
+    }
+    val meta = GeoTiff.GeoMeta(nodata = Some(-9999.0))
+    val i16 = GeoTiff.decode(GeoTiff.encode(h, w, px, meta, tileSize = 16,
+      overviewFactors = Seq(2), dtype = "i16"))
+    assert(i16.main.height == h && i16.main.width == w)
+    val expI16 = px.map {
+      case v if java.lang.Float.isNaN(v) => -9999f
+      case v => math.max(-32768.0, math.min(32767.0, v.toDouble)).toLong.toFloat
+    }
+    assert(i16.main.pixels.toSeq == expI16.toSeq, "i16 clamp+truncate round trip")
+    assert(i16.meta == meta, "geo meta survives the integer container")
+    assert(i16.overviews.nonEmpty, "overview pyramid present in i16 container")
+    // the R10 engine-side clamp and the container clamp agree (same bounds,
+    // same inner values) — publish parity between plan and file
+    val clamped = Seq(40000.5, -40000.5, 123.9).toDF("v")
+      .select(graft.expr.BandExpressionCompiler.clamp(col("v"), -32768, 32767).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(clamped.map(_.toLong.toFloat).toSeq == expI16.take(3).toSeq)
+    val u8 = GeoTiff.decode(GeoTiff.encode(h, w, px, GeoTiff.GeoMeta(nodata = Some(0.0)),
+      tileSize = 16, overviewFactors = Nil, dtype = "u8"))
+    val expU8 = px.map {
+      case v if java.lang.Float.isNaN(v) => 0f
+      case v => math.max(0.0, math.min(255.0, v.toDouble)).toLong.toFloat
+    }
+    assert(u8.main.pixels.toSeq == expU8.toSeq, "u8 clamp+truncate round trip")
+    val u16 = GeoTiff.decode(GeoTiff.encode(h, w, px, meta, tileSize = 16,
+      overviewFactors = Nil, dtype = "u16"))
+    val expU16 = px.map {
+      case v if java.lang.Float.isNaN(v) => 0f // -9999 clamps to 0 in u16
+      case v => math.max(0.0, math.min(65535.0, v.toDouble)).toLong.toFloat
+    }
+    assert(u16.main.pixels.toSeq == expU16.toSeq, "u16 clamp+truncate round trip")
+  }
+
+  test("writeGeoTiffScenes(dtype=i16): distributed integer export re-reads with clamped values") {
+    val dir = Files.createTempDirectory("gtiffi16")
+    val (h, w) = (24, 18)
+    val px = Array.tabulate(h * w)(i => (i * 31 % 70000 - 35000).toFloat)
+    val tiles = SceneIO.tileScene(
+      Seq(("sceneI", "B03", h, w, -9999f, px)).toDF(
+        "scene_id", "band", "height", "width", "nodata", "pixels"), 16, 16)
+    SceneIO.writeGeoTiffScenes(tiles, dir.toString, tileSize = 16,
+      overviewFactors = Nil, dtype = "i16").count()
+    val back = SceneIO.readGeoTiffScenes(spark, dir.toString)
+      .filter(col("scene_id") === "sceneI" && col("band") === "B03")
+      .select("height", "width", "pixels").head()
+    assert(back.getInt(0) == h && back.getInt(1) == w)
+    val exp = px.map(v => math.max(-32768.0, math.min(32767.0, v.toDouble)).toLong.toFloat)
+    assert(back.getSeq[Float](2) == exp.toSeq)
+  }
+
   test("readGeoTiffScenes → tileScene → bandMath runs distributed over real files") {
     val dir = Files.createTempDirectory("gtiff")
     val (h, w) = (20, 24)
