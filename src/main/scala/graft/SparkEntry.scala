@@ -1480,6 +1480,13 @@ object SparkEntry {
         |  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
         |            AND TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // Exactness proof for the hash match below: Misra-Gries with k counters
+    // only ever decrements when a (k+1)-th DISTINCT key arrives while all k
+    // counters are occupied; the events table has d = 5 distinct event_type
+    // values (every SF — asserted in SketchesSpec "q99 exact-regime
+    // precondition") and d ≤ k = 64 per window, so no decrement can fire and
+    // the summary IS the per-window count map. A data change that pushes
+    // d beyond 64 fails that spec before it can silently break this oracle.
     "q99_heavy_hitters" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,

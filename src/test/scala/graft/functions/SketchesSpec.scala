@@ -66,6 +66,19 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("q99 exact-regime precondition: event_type cardinality stays under k") {
+    // q99's oracle hash-matches plain per-window counts, which is only
+    // guaranteed while d = distinct(event_type) ≤ k = 64 (the decrement step
+    // needs a (k+1)-th distinct key to fire). Global d bounds per-window d,
+    // and the generator keeps event_type categorical (d = 5 at every SF) —
+    // pin it here with margin so a data change fails loudly, not as a
+    // silent oracle mismatch.
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val d = events.select(countDistinct($"event_type")).as[Long].head()
+    assert(d <= 64, s"q99 exact-regime broken: $d distinct event types > k=64")
+    assert(d <= 32, s"margin eroded: $d distinct event types (expected ~5)")
+  }
+
   test("built-in sketch paths: HLL cardinality and approx quantiles track exact") {
     val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val exactD = l.select(countDistinct($"l_partkey")).as[Long].head()
