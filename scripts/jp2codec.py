@@ -1,0 +1,905 @@
+"""Minimal JPEG 2000 Part-1 codec — reversible 5/3 path only — written
+from the public spec (ITU-T T.800 / ISO-IEC 15444-1): single tile,
+single component, one quality layer, LRCP progression, default
+(whole-subband) precincts, MQ-coded passes, no quantization.
+
+This file exists ONLY to generate and self-check the checked-in test
+fixture (see gen_jp2_fixture.py). The production decoder is
+graft.sources.Jp2Decode (Scala), written independently against the same
+spec clauses; the fixture is the conformance bridge between the two
+implementations, the same role the hand-assembled tiny_scene_B1.tif
+plays for the GeoTIFF codec.
+
+Spec map:
+  markers/codestream  T.800 Annex A (SOC/SIZ/COD/QCD/SOT/SOD/EOC)
+  packet headers      T.800 Annex B (tag trees B.10.2, Lblock B.10.7)
+  MQ coder            T.800 Annex C / T.88 (47-state table, byte stuffing)
+  coefficient coding  T.800 Annex D (3 passes, 19 contexts, RL mode)
+  5/3 wavelet         T.800 Annex F (reversible integer lifting)
+"""
+
+import struct
+
+# 47-state MQ probability table (T.800 Table C.2): Qe, NMPS, NLPS, SWITCH
+QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0), (0x0AC1, 4, 12, 0),
+    (0x0521, 5, 29, 0), (0x0221, 38, 33, 0), (0x5601, 7, 6, 1), (0x5401, 8, 14, 0),
+    (0x4801, 9, 14, 0), (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1), (0x5401, 16, 14, 0),
+    (0x5101, 17, 15, 0), (0x4801, 18, 16, 0), (0x3801, 19, 17, 0), (0x3401, 20, 18, 0),
+    (0x3001, 21, 19, 0), (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0), (0x1401, 28, 25, 0),
+    (0x1201, 29, 26, 0), (0x1101, 30, 27, 0), (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0),
+    (0x08A1, 33, 30, 0), (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0), (0x0085, 40, 37, 0),
+    (0x0049, 41, 38, 0), (0x0025, 42, 39, 0), (0x0015, 43, 40, 0), (0x0009, 44, 41, 0),
+    (0x0005, 45, 42, 0), (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+N_CTX = 19        # 0-8 zero coding, 9-13 sign, 14-16 refinement, 17 RL, 18 uniform
+CTX_RL, CTX_UNI = 17, 18
+
+
+def initial_states():
+    I = [0] * N_CTX
+    I[0] = 4          # the all-zero significance context
+    I[CTX_RL] = 3
+    I[CTX_UNI] = 46
+    return I, [0] * N_CTX
+
+
+class MQEncoder:
+    """T.88 MQ encoder (the OpenJPEG formulation of BYTEOUT/FLUSH)."""
+
+    def __init__(self):
+        self.I, self.MPS = initial_states()
+        self.a, self.c, self.ct = 0x8000, 0, 12
+        self.out = bytearray([0])  # spacer byte standing in for bp = start-1
+        self.bp = 0
+
+    def encode(self, d, cx):
+        qe, nmps, nlps, sw = QE[self.I[cx]]
+        if d == self.MPS[cx]:
+            self.a -= qe
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                self.I[cx] = nmps
+                self._renorm()
+            else:
+                self.c += qe
+        else:
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if sw:
+                self.MPS[cx] ^= 1
+            self.I[cx] = nlps
+            self._renorm()
+
+    def _renorm(self):
+        while True:
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def _emit(self, shift, mask, ct):
+        self.bp += 1
+        self.out.append((self.c >> shift) & 0xFF)
+        self.c &= mask
+        self.ct = ct
+
+    def _byteout(self):
+        if self.out[self.bp] == 0xFF:
+            self._emit(20, 0xFFFFF, 7)
+        elif (self.c & 0x8000000) == 0:
+            self._emit(19, 0x7FFFF, 8)
+        else:
+            self.out[self.bp] += 1  # carry into the previous byte
+            if self.out[self.bp] == 0xFF:
+                self.c &= 0x7FFFFFF
+                self._emit(20, 0xFFFFF, 7)
+            else:
+                self._emit(19, 0x7FFFF, 8)
+
+    def flush(self):
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        assert self.out[0] == 0, "carry propagated into the spacer byte"
+        data = self.out[1:]
+        if data and data[-1] == 0xFF:
+            data.pop()
+        return bytes(data)
+
+
+class MQDecoder:
+    """T.88 MQ decoder; bytes past the segment end read as 0xFF."""
+
+    def __init__(self, data):
+        self.I, self.MPS = initial_states()
+        self.data = data
+        self.bp = 0
+        self.c = self._byte(0) << 16
+        self._bytein()
+        self.c <<= 7
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _byte(self, i):
+        return self.data[i] if i < len(self.data) else 0xFF
+
+    def _bytein(self):
+        if self._byte(self.bp) == 0xFF:
+            if self._byte(self.bp + 1) > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += self._byte(self.bp) << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            self.c += self._byte(self.bp) << 8
+            self.ct = 8
+
+    def decode(self, cx):
+        qe, nmps, nlps, sw = QE[self.I[cx]]
+        self.a -= qe
+        if (self.c >> 16) < qe:
+            if self.a < qe:
+                d = self.MPS[cx]
+                self.I[cx] = nmps
+            else:
+                d = 1 - self.MPS[cx]
+                if sw:
+                    self.MPS[cx] ^= 1
+                self.I[cx] = nlps
+            self.a = qe
+            self._renorm()
+        else:
+            self.c -= qe << 16
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    d = 1 - self.MPS[cx]
+                    if sw:
+                        self.MPS[cx] ^= 1
+                    self.I[cx] = nlps
+                else:
+                    d = self.MPS[cx]
+                    self.I[cx] = nmps
+                self._renorm()
+            else:
+                d = self.MPS[cx]
+        return d
+
+    def _renorm(self):
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+
+class BitWriter:
+    """Packet-header bit I/O with 0xFF stuffing (T.800 B.10.1)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf, self.avail = 0, 8
+
+    def put(self, bit):
+        self.buf = (self.buf << 1) | (bit & 1)
+        self.avail -= 1
+        if self.avail == 0:
+            self._byteout()
+
+    def put_bits(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.put((v >> i) & 1)
+
+    def _byteout(self):
+        self.out.append(self.buf)
+        self.avail = 7 if self.buf == 0xFF else 8
+        self.buf = 0
+
+    def flush(self):
+        if self.avail < (7 if self.out and self.out[-1] == 0xFF else 8):
+            self.buf <<= self.avail
+            self._byteout()
+        if self.out and self.out[-1] == 0xFF:  # never end a header on 0xFF
+            self.out.append(0)
+        return bytes(self.out)
+
+
+class BitReader:
+    def __init__(self, data, pos=0):
+        self.data = data
+        self.pos = pos
+        self.buf, self.avail = 0, 0
+        self.prev = 0
+
+    def get(self):
+        if self.avail == 0:
+            stuffed = self.prev == 0xFF
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.prev = self.buf
+            self.avail = 7 if stuffed else 8
+        self.avail -= 1
+        return (self.buf >> self.avail) & 1
+
+    def get_bits(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get()
+        return v
+
+    def align(self):
+        self.avail = 0
+        if self.prev == 0xFF:  # consume the stuffed byte after a 0xFF tail
+            self.pos += 1
+        self.prev = 0
+
+
+class TagTree:
+    """T.800 B.10.2 tag tree over a w x h grid of leaves."""
+
+    def __init__(self, w, h):
+        assert w >= 1 and h >= 1, f"tag tree over empty grid {w}x{h}"
+        self.dims = []
+        ww, hh = w, h
+        while True:
+            self.dims.append((ww, hh))
+            if ww == 1 and hh == 1:
+                break
+            ww, hh = (ww + 1) // 2, (hh + 1) // 2
+        self.value = [[[0] * dw for _ in range(dh)] for (dw, dh) in self.dims]
+        self.low = [[[0] * dw for _ in range(dh)] for (dw, dh) in self.dims]
+        self.known = [[[False] * dw for _ in range(dh)] for (dw, dh) in self.dims]
+
+    def set_leaves(self, vals):
+        """vals[y][x] per leaf; internal nodes become subtree minima."""
+        (w0, h0) = self.dims[0]
+        for y in range(h0):
+            for x in range(w0):
+                self.value[0][y][x] = vals[y][x]
+        for l in range(1, len(self.dims)):
+            (lw, lh) = self.dims[l]
+            (cw, ch) = self.dims[l - 1]
+            for y in range(lh):
+                for x in range(lw):
+                    kids = [self.value[l - 1][cy][cx]
+                            for cy in (2 * y, 2 * y + 1) if cy < ch
+                            for cx in (2 * x, 2 * x + 1) if cx < cw]
+                    self.value[l][y][x] = min(kids)
+
+    def _path(self, x, y):
+        return [(l, x >> l, y >> l) for l in range(len(self.dims) - 1, -1, -1)]
+
+    def encode(self, x, y, threshold, bw):
+        low = 0
+        for (l, px, py) in self._path(x, y):
+            if self.low[l][py][px] > low:
+                low = self.low[l][py][px]
+            while low < threshold:
+                if low < self.value[l][py][px]:
+                    bw.put(0)
+                    low += 1
+                else:
+                    if not self.known[l][py][px]:
+                        bw.put(1)
+                        self.known[l][py][px] = True
+                    break
+            self.low[l][py][px] = low
+
+    def decode(self, x, y, threshold, br):
+        low = 0
+        for (l, px, py) in self._path(x, y):
+            if self.low[l][py][px] > low:
+                low = self.low[l][py][px]
+            while low < threshold and not self.known[l][py][px]:
+                if br.get():
+                    self.known[l][py][px] = True
+                else:
+                    low += 1
+            self.low[l][py][px] = low
+        lx, ly = x, y
+        return self.known[0][ly][lx], self.low[0][ly][lx]
+
+
+# ------------------------------------------------------------------ wavelet
+
+def _ext(i, n):
+    """Whole-sample symmetric extension (T.800 F.3.7)."""
+    if i < 0:
+        return -i
+    if i >= n:
+        return 2 * n - 2 - i
+    return i
+
+
+def fwd53_1d(x):
+    n = len(x)
+    if n == 1:
+        return list(x)
+    y = list(x)
+    for i in range(1, n, 2):   # predict (high pass at odd positions)
+        y[i] = x[i] - (x[_ext(i - 1, n)] + x[_ext(i + 1, n)]) // 2
+    for i in range(0, n, 2):   # update (low pass at even positions)
+        y[i] = x[i] + (y[_ext(i - 1, n)] + y[_ext(i + 1, n)] + 2) // 4
+    return y
+
+
+def inv53_1d(y):
+    n = len(y)
+    if n == 1:
+        return list(y)
+    x = list(y)
+    for i in range(0, n, 2):
+        x[i] = y[i] - (y[_ext(i - 1, n)] + y[_ext(i + 1, n)] + 2) // 4
+    for i in range(1, n, 2):
+        x[i] = y[i] + (x[_ext(i - 1, n)] + x[_ext(i + 1, n)]) // 2
+    return x
+
+
+def fwd53_2d(a):
+    """One decomposition level, in place semantics: columns then rows
+    (the inverse of the decoder's rows-then-columns 2D_SR)."""
+    h, w = len(a), len(a[0])
+    for x in range(w):
+        col = fwd53_1d([a[y][x] for y in range(h)])
+        for y in range(h):
+            a[y][x] = col[y]
+    for y in range(h):
+        a[y] = fwd53_1d(a[y])
+    return a
+
+
+def inv53_2d(a):
+    h, w = len(a), len(a[0])
+    for y in range(h):
+        a[y] = inv53_1d(a[y])
+    for x in range(w):
+        col = inv53_1d([a[y][x] for y in range(h)])
+        for y in range(h):
+            a[y][x] = col[y]
+    return a
+
+
+def decompose(pixels, h, w, levels):
+    """Forward DWT -> dict of subbands. Returns {(level, name): 2-D list};
+    names HL (x odd), LH (y odd), HH; plus ('LL', levels)."""
+    a = [[pixels[y * w + x] for x in range(w)] for y in range(h)]
+    bands = {}
+    ch, cw = h, w
+    for d in range(1, levels + 1):
+        sub = [[a[y][x] for x in range(cw)] for y in range(ch)]
+        fwd53_2d(sub)
+        ll = [[sub[2 * y][2 * x] for x in range((cw + 1) // 2)] for y in range((ch + 1) // 2)]
+        bands[(d, 'HL')] = [[sub[2 * y][2 * x + 1] for x in range(cw // 2)]
+                            for y in range((ch + 1) // 2)]
+        bands[(d, 'LH')] = [[sub[2 * y + 1][2 * x] for x in range((cw + 1) // 2)]
+                            for y in range(ch // 2)]
+        bands[(d, 'HH')] = [[sub[2 * y + 1][2 * x + 1] for x in range(cw // 2)]
+                            for y in range(ch // 2)]
+        for y in range((ch + 1) // 2):
+            for x in range((cw + 1) // 2):
+                a[y][x] = ll[y][x]
+        ch, cw = (ch + 1) // 2, (cw + 1) // 2
+    bands[(levels, 'LL')] = [[a[y][x] for x in range(cw)] for y in range(ch)]
+    return bands
+
+
+def reconstruct(bands, h, w, levels):
+    ll = bands[(levels, 'LL')]
+    for d in range(levels, 0, -1):
+        ph = -(-h // (2 ** (d - 1)))   # ceil div: parent dims at level d-1
+        pw = -(-w // (2 ** (d - 1)))
+        a = [[0] * pw for _ in range(ph)]
+        hl, lh, hh = bands[(d, 'HL')], bands[(d, 'LH')], bands[(d, 'HH')]
+        for y in range(ph):
+            for x in range(pw):
+                if y % 2 == 0 and x % 2 == 0:
+                    a[y][x] = ll[y // 2][x // 2]
+                elif y % 2 == 0:
+                    a[y][x] = hl[y // 2][x // 2]
+                elif x % 2 == 0:
+                    a[y][x] = lh[y // 2][x // 2]
+                else:
+                    a[y][x] = hh[y // 2][x // 2]
+        inv53_2d(a)
+        ll = a
+    return ll
+
+
+# ----------------------------------------------------------- T1 block coder
+
+def zc_ctx(h, v, d, orient):
+    """Zero-coding context (T.800 Table D.1). LL and LH share the
+    horizontal-primary column; HL swaps h/v; HH is diagonal-primary."""
+    if orient == 'HL':
+        h, v = v, h
+    if orient != 'HH':
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else d
+    hv = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else hv
+
+
+def sc_ctx(hc, vc):
+    """Sign-coding context + XOR bit (T.800 Tables D.3/D.4)."""
+    return {
+        (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+        (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+        (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+    }[(hc, vc)]
+
+
+class BlockCoder:
+    """Shared scan/context machinery for one code-block (w x h <= 64x64)."""
+
+    def __init__(self, w, h, orient):
+        self.w, self.h, self.orient = w, h, orient
+        self.sig = [[False] * w for _ in range(h)]
+        self.vis = [[False] * w for _ in range(h)]
+        self.neg = [[False] * w for _ in range(h)]
+        self.ref = [[0] * w for _ in range(h)]
+
+    def _s(self, y, x):
+        return 0 <= y < self.h and 0 <= x < self.w and self.sig[y][x]
+
+    def counts(self, y, x):
+        h = int(self._s(y, x - 1)) + int(self._s(y, x + 1))
+        v = int(self._s(y - 1, x)) + int(self._s(y + 1, x))
+        d = (int(self._s(y - 1, x - 1)) + int(self._s(y - 1, x + 1)) +
+             int(self._s(y + 1, x - 1)) + int(self._s(y + 1, x + 1)))
+        return h, v, d
+
+    def sign_ctx(self, y, x):
+        def contrib(yy, xx):
+            if not self._s(yy, xx):
+                return 0
+            return -1 if self.neg[yy][xx] else 1
+        hc = max(-1, min(1, contrib(y, x - 1) + contrib(y, x + 1)))
+        vc = max(-1, min(1, contrib(y - 1, x) + contrib(y + 1, x)))
+        return sc_ctx(hc, vc)
+
+    def zctx(self, y, x):
+        h, v, d = self.counts(y, x)
+        return zc_ctx(h, v, d, self.orient)
+
+    def scan(self):
+        for k0 in range(0, self.h, 4):
+            for x in range(self.w):
+                for y in range(k0, min(k0 + 4, self.h)):
+                    yield y, x
+
+    def columns(self):
+        for k0 in range(0, self.h, 4):
+            for x in range(self.w):
+                yield k0, x
+
+
+def encode_block(mags, negs, w, h, orient):
+    """Encode one code-block, all passes in one MQ codeword segment.
+    Returns (nbps, npasses, bytes); nbps == 0 means an all-zero block."""
+    maxmag = max((mags[y][x] for y in range(h) for x in range(w)), default=0)
+    if maxmag == 0:
+        return 0, 0, b''
+    nbps = maxmag.bit_length()
+    mq = MQEncoder()
+    st = BlockCoder(w, h, orient)
+
+    def code_sign(y, x):
+        ctx, xor = st.sign_ctx(y, x)
+        mq.encode((1 if negs[y][x] else 0) ^ xor, ctx)
+        st.neg[y][x] = negs[y][x]
+
+    for p in range(nbps - 1, -1, -1):
+        if p != nbps - 1:
+            for y, x in st.scan():                       # significance pass
+                if not st.sig[y][x] and st.zctx(y, x) != 0:
+                    bit = (mags[y][x] >> p) & 1
+                    mq.encode(bit, st.zctx(y, x))
+                    st.vis[y][x] = True
+                    if bit:
+                        st.sig[y][x] = True
+                        code_sign(y, x)
+            for y, x in st.scan():                       # refinement pass
+                if st.sig[y][x] and not st.vis[y][x]:
+                    ctx = 16 if st.ref[y][x] > 0 else (
+                        15 if sum(st.counts(y, x)) > 0 else 14)
+                    mq.encode((mags[y][x] >> p) & 1, ctx)
+                    st.ref[y][x] += 1
+        for k0, x in st.columns():                       # cleanup pass
+            start = 0
+            full = k0 + 3 < h
+            if full and all(not st.sig[k0 + i][x] and not st.vis[k0 + i][x]
+                            and st.zctx(k0 + i, x) == 0 for i in range(4)):
+                bits = [(mags[k0 + i][x] >> p) & 1 for i in range(4)]
+                if not any(bits):
+                    mq.encode(0, CTX_RL)
+                    continue
+                mq.encode(1, CTX_RL)
+                k = bits.index(1)
+                mq.encode((k >> 1) & 1, CTX_UNI)
+                mq.encode(k & 1, CTX_UNI)
+                st.sig[k0 + k][x] = True
+                code_sign(k0 + k, x)
+                start = k + 1
+            for i in range(start, 4):
+                y = k0 + i
+                if y >= h:
+                    break
+                if st.sig[y][x] or st.vis[y][x]:
+                    continue
+                bit = (mags[y][x] >> p) & 1
+                mq.encode(bit, st.zctx(y, x))
+                if bit:
+                    st.sig[y][x] = True
+                    code_sign(y, x)
+        for y, x in st.scan():
+            st.vis[y][x] = False
+    return nbps, 3 * nbps - 2, mq.flush()
+
+
+def decode_block_passes(data, w, h, orient, nbps, npasses):
+    """Pass sequence: cleanup(MSB), then (sig, mr, cl) per lower plane."""
+    mq = MQDecoder(data)
+    st = BlockCoder(w, h, orient)
+    mags = [[0] * w for _ in range(h)]
+
+    def read_sign(y, x):
+        ctx, xor = st.sign_ctx(y, x)
+        st.neg[y][x] = (mq.decode(ctx) ^ xor) == 1
+
+    seq = [('cl', nbps - 1)]
+    for p in range(nbps - 2, -1, -1):
+        seq += [('sig', p), ('mr', p), ('cl', p)]
+    for kind, p in seq[:npasses]:
+        if kind == 'sig':
+            for y, x in st.scan():
+                if not st.sig[y][x] and st.zctx(y, x) != 0:
+                    bit = mq.decode(st.zctx(y, x))
+                    st.vis[y][x] = True
+                    if bit:
+                        st.sig[y][x] = True
+                        mags[y][x] |= 1 << p
+                        read_sign(y, x)
+        elif kind == 'mr':
+            for y, x in st.scan():
+                if st.sig[y][x] and not st.vis[y][x]:
+                    ctx = 16 if st.ref[y][x] > 0 else (
+                        15 if sum(st.counts(y, x)) > 0 else 14)
+                    if mq.decode(ctx):
+                        mags[y][x] |= 1 << p
+                    st.ref[y][x] += 1
+        else:
+            for k0, x in st.columns():
+                start = 0
+                full = k0 + 3 < h
+                if full and all(not st.sig[k0 + i][x] and not st.vis[k0 + i][x]
+                                and st.zctx(k0 + i, x) == 0 for i in range(4)):
+                    if mq.decode(CTX_RL) == 0:
+                        continue
+                    k = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI)
+                    st.sig[k0 + k][x] = True
+                    mags[k0 + k][x] |= 1 << p
+                    read_sign(k0 + k, x)
+                    start = k + 1
+                for i in range(start, 4):
+                    y = k0 + i
+                    if y >= h:
+                        break
+                    if st.sig[y][x] or st.vis[y][x]:
+                        continue
+                    if mq.decode(st.zctx(y, x)):
+                        st.sig[y][x] = True
+                        mags[y][x] |= 1 << p
+                        read_sign(y, x)
+            for y, x in st.scan():
+                st.vis[y][x] = False
+    return mags, st.neg
+
+
+# --------------------------------------------------------- packets + stream
+
+CB_EXP = 5          # 32x32 code-blocks -> exercises the tag-tree grid
+GUARD_BITS = 2
+
+
+def band_dims(h, w, d, name):
+    ph = -(-h // (2 ** (d - 1)))
+    pw = -(-w // (2 ** (d - 1)))
+    if name == 'LL':
+        return (ph + 1) // 2, (pw + 1) // 2
+    if name == 'HL':
+        return (ph + 1) // 2, pw // 2
+    if name == 'LH':
+        return ph // 2, (pw + 1) // 2
+    return ph // 2, pw // 2
+
+
+def packet_bands(levels, r):
+    if r == 0:
+        return [(levels, 'LL')]
+    d = levels - r + 1
+    return [(d, 'HL'), (d, 'LH'), (d, 'HH')]
+
+
+def gain(name):
+    return {'LL': 0, 'HL': 1, 'LH': 1, 'HH': 2}[name]
+
+
+def encode_j2k(pixels, h, w, depth, levels):
+    """Full codestream for one unsigned-depth component."""
+    cb = 1 << CB_EXP
+    shifted = [v - (1 << (depth - 1)) for v in pixels]
+    bands = decompose(shifted, h, w, levels)
+
+    body = bytearray()
+    for r in range(levels + 1):
+        contributions = []   # (band, bx, by, nbps, npasses, data, zbp)
+        headers = []
+        for (d, name) in packet_bands(levels, r):
+            bh, bw_ = band_dims(h, w, d, name)
+            if bh == 0 or bw_ == 0:
+                headers.append(None)
+                continue
+            grid = bands[(d, name)]
+            mb = GUARD_BITS + (depth + gain(name)) - 1
+            nbx, nby = -(-bw_ // cb), -(-bh // cb)
+            incl = [[1] * nbx for _ in range(nby)]
+            zbps = [[0] * nbx for _ in range(nby)]
+            blocks = {}
+            for by in range(nby):
+                for bx in range(nbx):
+                    y0, x0 = by * cb, bx * cb
+                    hh = min(cb, bh - y0)
+                    ww = min(cb, bw_ - x0)
+                    mags = [[abs(grid[y0 + y][x0 + x]) for x in range(ww)]
+                            for y in range(hh)]
+                    negs = [[grid[y0 + y][x0 + x] < 0 for x in range(ww)]
+                            for y in range(hh)]
+                    nbps, npasses, data = encode_block(
+                        mags, negs, ww, hh, 'LL' if name == 'LL' else name)
+                    assert nbps <= mb, f"nbps {nbps} > Mb {mb} for {name}"
+                    if nbps > 0:
+                        incl[by][bx] = 0
+                        zbps[by][bx] = mb - nbps
+                        blocks[(by, bx)] = (nbps, npasses, data)
+            headers.append((nbx, nby, incl, zbps, blocks))
+        any_incl = any(hd is not None and hd[4] for hd in headers)
+        bw_pkt = BitWriter()
+        if not any_incl:
+            bw_pkt.put(0)
+            body += bw_pkt.flush()
+            continue
+        bw_pkt.put(1)
+        pkt_data = bytearray()
+        for hd in headers:
+            if hd is None:
+                continue
+            nbx, nby, incl, zbps, blocks = hd
+            t_incl = TagTree(nbx, nby)
+            t_incl.set_leaves(incl)
+            t_zbp = TagTree(nbx, nby)
+            t_zbp.set_leaves(zbps)
+            for by in range(nby):
+                for bx in range(nbx):
+                    t_incl.encode(bx, by, 1, bw_pkt)
+                    if (by, bx) not in blocks:
+                        continue
+                    nbps, npasses, data = blocks[(by, bx)]
+                    t = 1
+                    while not t_zbp.known[0][by][bx]:
+                        t_zbp.encode(bx, by, t, bw_pkt)
+                        t += 1
+                    _put_npasses(bw_pkt, npasses)
+                    lblock = 3
+                    nbits = lblock + _ilog2(npasses)
+                    while (1 << nbits) <= len(data):
+                        bw_pkt.put(1)
+                        lblock += 1
+                        nbits += 1
+                    bw_pkt.put(0)
+                    bw_pkt.put_bits(len(data), nbits)
+                    pkt_data += data
+        body += bw_pkt.flush()
+        body += pkt_data
+
+    out = bytearray()
+    out += b'\xFF\x4F'                                      # SOC
+    siz = struct.pack('>HHIIIIIIIIHBBB', 41, 0, w, h, 0, 0, w, h, 0, 0,
+                      1, depth - 1, 1, 1)
+    out += b'\xFF\x51' + siz
+    spcod = bytes([levels, CB_EXP - 2, CB_EXP - 2, 0, 1])   # 5/3 reversible
+    cod = struct.pack('>HBBHB', 12, 0, 0, 1, 0) + spcod
+    out += b'\xFF\x52' + cod
+    eps = [depth + gain('LL')]
+    for r in range(1, levels + 1):
+        d = levels - r + 1
+        eps += [depth + gain(n) for n in ('HL', 'LH', 'HH')]
+    qcd = struct.pack('>HB', 3 + len(eps), GUARD_BITS << 5) + \
+        bytes(e << 3 for e in eps)
+    out += b'\xFF\x5C' + qcd
+    psot = 12 + 2 + len(body)
+    out += b'\xFF\x90' + struct.pack('>HHIBB', 10, 0, psot, 0, 1)
+    out += b'\xFF\x93' + body
+    out += b'\xFF\xD9'
+    return bytes(out)
+
+
+def _ilog2(n):
+    return n.bit_length() - 1
+
+
+def _put_npasses(bw, n):
+    if n == 1:
+        bw.put(0)
+    elif n == 2:
+        bw.put(1)
+        bw.put(0)
+    elif n <= 5:
+        bw.put_bits(0b11, 2)
+        bw.put_bits(n - 3, 2)
+    elif n <= 36:
+        bw.put_bits(0b1111, 4)
+        bw.put_bits(n - 6, 5)
+    else:
+        bw.put_bits(0b111111111, 9)
+        bw.put_bits(n - 37, 7)
+
+
+def _get_npasses(br):
+    if br.get() == 0:
+        return 1
+    if br.get() == 0:
+        return 2
+    v = br.get_bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.get_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.get_bits(7)
+
+
+def decode_j2k(stream):
+    """Reference decoder for the subset encode_j2k emits (and the subset
+    the Scala decoder accepts). Returns (h, w, depth, pixels row-major)."""
+    pos = 0
+    assert stream[0:2] == b'\xFF\x4F'
+    pos = 2
+    h = w = depth = levels = None
+    eps = None
+    body = None
+    while pos < len(stream):
+        marker = stream[pos:pos + 2]
+        pos += 2
+        if marker == b'\xFF\xD9':
+            break
+        ln = struct.unpack('>H', stream[pos:pos + 2])[0]
+        seg = stream[pos + 2:pos + ln]
+        if marker == b'\xFF\x51':
+            # Lsiz, Rsiz, Xsiz, Ysiz, XOsiz, YOsiz, XTsiz, YTsiz, XTOsiz,
+            # YTOsiz, Csiz, Ssiz, XRsiz, YRsiz (T.800 A.5.1)
+            _, _, xs, ys, xo, yo, xt, yt, xto, yto, c, ssiz, xr, yr = \
+                struct.unpack('>HHIIIIIIIIHBBB', stream[pos:pos + 41])
+            h, w, depth = ys - yo, xs - xo, (ssiz & 0x7F) + 1
+        elif marker == b'\xFF\x52':
+            levels = seg[5]
+        elif marker == b'\xFF\x5C':
+            eps = [b >> 3 for b in seg[1:]]
+        elif marker == b'\xFF\x90':
+            psot = struct.unpack('>I', stream[pos + 4:pos + 8])[0]
+            sod = stream.find(b'\xFF\x93', pos)
+            body = stream[sod + 2:pos - 2 + psot]
+            pos = pos - 2 + psot
+            continue
+        pos += ln
+    cb = 1 << CB_EXP
+    br = None
+    bands = {}
+    bodypos = 0
+    epi = 0
+    for r in range(levels + 1):
+        br = BitReader(body, bodypos)
+        contribs = []
+        nonempty = br.get()
+        for (d, name) in packet_bands(levels, r):
+            bh, bw_ = band_dims(h, w, d, name)
+            mb = GUARD_BITS + eps[epi] - 1
+            epi += 1
+            grid = [[0] * bw_ for _ in range(bh)]
+            bands[(d, name)] = grid
+            if bh == 0 or bw_ == 0 or not nonempty:
+                continue
+            nbx, nby = -(-bw_ // cb), -(-bh // cb)
+            t_incl = TagTree(nbx, nby)
+            t_zbp = TagTree(nbx, nby)
+            for by in range(nby):
+                for bx in range(nbx):
+                    known, val = t_incl.decode(bx, by, 1, br)
+                    if not (known and val < 1):
+                        continue
+                    t = 1
+                    while True:
+                        k2, zv = t_zbp.decode(bx, by, t, br)
+                        if k2:
+                            break
+                        t += 1
+                    nbps = mb - zv
+                    npasses = _get_npasses(br)
+                    lblock = 3
+                    while br.get():
+                        lblock += 1
+                    nlen = br.get_bits(lblock + _ilog2(npasses))
+                    contribs.append((d, name, bx, by, nbps, npasses, nlen))
+        br.align()
+        datapos = br.pos
+        for (d, name, bx, by, nbps, npasses, nlen) in contribs:
+            data = body[datapos:datapos + nlen]
+            datapos += nlen
+            bh, bw_ = band_dims(h, w, d, name)
+            y0, x0 = by * cb, bx * cb
+            hh = min(cb, bh - y0)
+            ww = min(cb, bw_ - x0)
+            mags, negs = decode_block_passes(
+                data, ww, hh, 'LL' if name == 'LL' else name, nbps, npasses)
+            grid = bands[(d, name)]
+            for y in range(hh):
+                for x in range(ww):
+                    grid[y0 + y][x0 + x] = -mags[y][x] if negs[y][x] else mags[y][x]
+        bodypos = datapos
+    px = reconstruct(bands, h, w, levels)
+    half = 1 << (depth - 1)
+    out = []
+    for y in range(h):
+        for x in range(w):
+            v = px[y][x] + half
+            out.append(max(0, min((1 << depth) - 1, v)))
+    return h, w, depth, out
+
+
+def wrap_jp2(codestream, h, w, depth):
+    """JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c."""
+    def box(typ, payload):
+        return struct.pack('>I', 8 + len(payload)) + typ + payload
+    sig = bytes([0, 0, 0, 0x0C]) + b'jP  ' + bytes([0x0D, 0x0A, 0x87, 0x0A])
+    ftyp = box(b'ftyp', b'jp2 ' + struct.pack('>I', 0) + b'jp2 ')
+    ihdr = box(b'ihdr', struct.pack('>IIHBBBB', h, w, 1, depth - 1, 7, 0, 0))
+    colr = box(b'colr', bytes([1, 0, 0]) + struct.pack('>I', 17))
+    jp2h = box(b'jp2h', ihdr + colr)
+    jp2c = box(b'jp2c', codestream)
+    return sig + ftyp + jp2h + jp2c

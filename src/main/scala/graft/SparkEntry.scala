@@ -6,6 +6,7 @@ import graft.catalog.Tables
 import graft.expr.BandExpressionCompiler
 import graft.functions.{DedupFunctions => D, SimilarityFunctions => Sim, TextFunctions => T}
 import graft.meta.MetaQueries
+import graft.raster.{RasterKernels, SceneIO}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`. The TPC-H-ish
@@ -965,6 +966,36 @@ object SparkEntry {
       Sim.searchIvfIndex(s, dir, "embedding", "vec_id", query, k = 10, nProbe = 8)
         .select(col("vec_id"), r4(col("score")).as("score"))
     }),
+    // ---- Sentinel-2 JP2 ingest: decode the checked-in JPEG 2000 fixture
+    // (reversible 5/3 path — publish.py:263–270 reads *B02.jp2 through
+    // rasterio) on EXECUTORS, tile it ragged 16×16, run identity band
+    // math, and reduce per-window pixel sums. The oracle recomputes the
+    // sums from the fixture's closed-form pixel formula v(r,c) =
+    // (r*31+c*7) % 3000 in pure SQL — fully independent of both the
+    // encoder that produced the file and the decoder under test ---------
+    "q101_jp2_decode" -> ((s, _) => {
+      import s.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/tiny_band_B02.jp2")
+        try in.readAllBytes() finally in.close()
+      }
+      val tiles = SceneIO.tileScene(
+        s.sparkContext.parallelize(Seq(("S2FIX", "B02", bytes)), 1).toDF("scene_id", "band", "content")
+          .as[(String, String, Array[Byte])]
+          .map { case (sid, band, b) =>
+            val img = graft.sources.Jp2Decode.decode(b)
+            (sid, band, img.height, img.width, -1f, img.pixels)
+          }
+          .toDF("scene_id", "band", "height", "width", "nodata", "pixels"),
+        16, 16)
+      RasterKernels.bandMath(RasterKernels.pivotBands(tiles),
+          "B02", "OUT", -1.0, 0.0, 4095.0)
+        .select(col("window_row").cast("long").as("window_row"),
+          col("window_col").cast("long").as("window_col"),
+          aggregate(col("pixels"), lit(0L), (acc, x) => acc + x.cast("long")).as("sum_v"),
+          size(col("pixels")).cast("long").as("n"))
+        .orderBy(col("window_row"), col("window_col"))
+    }),
     // ---- windowed frequent items: the Misra-Gries summary in its exact
     // regime (k ≥ distinct event types), exploded back to rows — the
     // oracle checks it against plain per-window counts, proving the
@@ -1490,6 +1521,15 @@ object SparkEntry {
     "q99_heavy_hitters" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // q101's oracle is the fixture's closed-form pixel formula (see
+    // scripts/gen_jp2_fixture.py) evaluated in pure SQL over the 97×61
+    // grid with the same ragged 16×16 tiling — no parquet table involved,
+    // and independent of both JP2 implementations.
+    "q101_jp2_decode" ->
+      """SELECT r // 16 AS window_row, c // 16 AS window_col,
+        |  CAST(sum((r*31 + c*7) % 3000) AS BIGINT) AS sum_v, count(*) AS n
+        |FROM range(61) t(r), range(97) u(c)
+        |GROUP BY 1, 2 ORDER BY window_row, window_col""".stripMargin,
     "q100_ivf_index" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

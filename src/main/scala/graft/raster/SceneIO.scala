@@ -132,18 +132,46 @@ object SceneIO {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        val stem = name.substring(0, name.lastIndexOf('.'))
-        val sep = stem.lastIndexOf("__")
-        val us = stem.lastIndexOf('_')
-        val (sceneId, band) =
-          if (sep > 0) (stem.substring(0, sep), stem.substring(sep + 2))
-          else if (us > 0) (stem.substring(0, us), stem.substring(us + 1))
-          else (stem, "B1")
+        val (sceneId, band) = sceneBandOfPath(p)
         val img = GeoTiff.decode(bytes)
         val m = img.main
         (sceneId, band, m.height, m.width,
           img.meta.nodata.map(_.toFloat).getOrElse(0f), m.pixels)
+      }
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+  }
+
+  /** `<scene_id>__<band>.<ext>` with a last-single-`_` fallback — shared
+    * file-identity grammar of the GeoTIFF and JP2 scene readers. */
+  private[raster] def sceneBandOfPath(p: String): (String, String) = {
+    val name = p.substring(p.lastIndexOf('/') + 1)
+    val stem = name.substring(0, name.lastIndexOf('.'))
+    val sep = stem.lastIndexOf("__")
+    val us = stem.lastIndexOf('_')
+    if (sep > 0) (stem.substring(0, sep), stem.substring(sep + 2))
+    else if (us > 0) (stem.substring(0, us), stem.substring(us + 1))
+    else (stem, "B1")
+  }
+
+  /** S5 physical layer for Sentinel-2-style JP2 band files: binaryFile
+    * scan → executor-side [[graft.sources.Jp2Decode]] (reversible 5/3
+    * subset — exactly the Sentinel-2 L1C regime the reference feeds to
+    * rasterio at publish.py:263–270). Same row shape and file-identity
+    * grammar as [[readGeoTiffScenes]], so everything downstream (tiling,
+    * band math, COG export, quicklook, publish) is format-agnostic. JP2
+    * carries no nodata tag; Sentinel-2's convention is 0. */
+  def readJp2Scenes(spark: org.apache.spark.sql.SparkSession,
+                    path: String, nodata: Float = 0f): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.j*2*") // .jp2 / .j2k / .jpx
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val (sceneId, band) = sceneBandOfPath(p)
+        val img = graft.sources.Jp2Decode.decode(bytes)
+        (sceneId, band, img.height, img.width, nodata, img.pixels)
       }
       .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
   }
