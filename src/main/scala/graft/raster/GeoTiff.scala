@@ -26,11 +26,13 @@ import scala.collection.mutable.ArrayBuffer
   * index_generator.py:109–136), deflate by default or LZW
   * for consumers that lack zlib. Both LZW directions are conformance-
   * tested against the JDK ImageIO TIFF plugin, not just round-tripped
-  * against each other. The reader also speaks BigTIFF (magic 43, 8-byte
-  * offsets, LONG8 entries) — GDAL's BIGTIFF=IF_SAFER (the reference,
-  * utils.py:139) emits that container even for small granules. The writer
-  * stays classic: its offsets cap one FILE at 4 GiB, and at scale the
-  * layout is one file per (scene, band), far below that.
+  * against each other. Both sides speak BigTIFF (magic 43, 8-byte
+  * offsets, LONG8 entries): the reader because GDAL's BIGTIFF=IF_SAFER
+  * (the reference, utils.py:139) emits that container even for small
+  * granules; the writer mirrors IF_SAFER — classic by default, upgrading
+  * when the projected file would overflow classic's 4 GiB offset space
+  * (mosaic-sized exports), with [[encodeTo]] streaming the bytes so
+  * output size is never bounded by one JVM array.
   *
   * Everything here is driver/executor-local byte work: the distributed
   * story is [[SceneIO.readGeoTiffScenes]] (Spark binaryFile scan →
@@ -550,14 +552,45 @@ object GeoTiff {
     * raster.astype(dtype)` sequence (and the engine-side R10 clamp,
     * BandExpressionCompiler.clamp). NaN maps to the nodata value when one
     * is set, else 0 (the reference fills masked pixels with nodata before
-    * the cast). */
+    * the cast).
+    *
+    * `container` selects the TIFF container: "classic" (magic 42, 4-byte
+    * offsets, 4 GiB file cap), "bigtiff" (magic 43, 8-byte offsets — what
+    * GDAL writes with BIGTIFF=YES), or "auto" — classic unless the
+    * projected file would overflow 4 GiB (GDAL's BIGTIFF=IF_SAFER), so
+    * small granules keep the maximally-compatible container and mosaics
+    * upgrade transparently. For outputs past one JVM array use
+    * [[encodeTo]] — this variant materializes the file in memory. */
   def encode(height: Int, width: Int, pixels: Array[Float],
              meta: GeoMeta = GeoMeta(),
              tileSize: Int = 256,
              overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
              compressionLevel: Int = Deflater.DEFAULT_COMPRESSION,
              codec: String = "deflate",
-             dtype: String = "f32"): Array[Byte] = {
+             dtype: String = "f32",
+             container: String = "auto"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    encodeTo(bos, height, width, pixels, meta, tileSize, overviewFactors,
+      compressionLevel, codec, dtype, container)
+    bos.toByteArray
+  }
+
+  /** Streaming [[encode]]: identical layout, written straight to `os`, so
+    * output size is bounded by the container (4 GiB classic, effectively
+    * none for BigTIFF) rather than one JVM array — the mosaic-sized export
+    * path. Tile payloads are compressed up front (offsets must be laid out
+    * before the header is emitted) and streamed in file order; nothing is
+    * materialized beyond one page's IFD block and the compressed tiles.
+    * Returns total bytes written. */
+  def encodeTo(os: java.io.OutputStream,
+               height: Int, width: Int, pixels: Array[Float],
+               meta: GeoMeta = GeoMeta(),
+               tileSize: Int = 256,
+               overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
+               compressionLevel: Int = Deflater.DEFAULT_COMPRESSION,
+               codec: String = "deflate",
+               dtype: String = "f32",
+               container: String = "auto"): Long = {
     require(pixels.length == height * width, "pixels length != height*width")
     require(tileSize % 16 == 0 && tileSize > 0, "TIFF tile size must be a multiple of 16")
     val compressionTag: Long = codec match {
@@ -631,14 +664,6 @@ object GeoTiff {
       }
     }
 
-    // ---- lay out the file: header, IFD blocks (with external values), data
-    val geoTagBytes = meta match {
-      case GeoMeta(ps, tp, ep, nd) =>
-        // GeoKeyDirectory = 4-short header + 2 keys × 4 shorts = 12 shorts
-        ps.map(_ => 3 * 8).getOrElse(0) + tp.map(_ => 6 * 8).getOrElse(0) +
-          ep.map(_ => 12 * 2).getOrElse(0) +
-          nd.map(n => align2(nodataAscii(n).length).toInt).getOrElse(0)
-    }
     def nEntries(pageIdx: Int): Int = {
       val base = 12 // 254,256,257,258,259,262,277,322,323,324,325,339
       val geo = if (pageIdx == 0)
@@ -646,33 +671,83 @@ object GeoTiff {
       else 0
       base + geo
     }
-    // per page: IFD block = 2 + 12n + 4 plus external arrays (tile offsets,
-    // tile counts, geo doubles/shorts/ascii) appended right after it
-    val ifdSizes = pageTiles.indices.map { p =>
-      val n = nEntries(p)
-      val tileArr = if (pageTiles(p).length > 1) pageTiles(p).length * 4 * 2 else 0
-      val geo = if (p == 0) geoTagBytes else 0
-      align2(2 + 12 * n + 4) + align2(tileArr) + align2(geo)
-    }
-    val ifdStart = 8L
-    val ifdOfs = ifdSizes.scanLeft(ifdStart)(_ + _)
-    val dataStart = ifdOfs.last
-    val tileOfs = ArrayBuffer.empty[Array[Long]]
-    var cursor = dataStart
-    pageTiles.foreach { tiles =>
-      tileOfs += tiles.map { t => val o = cursor; cursor += align2(t.length); o }
-    }
-    val total = cursor
-    require(total <= Int.MaxValue, "classic TIFF caps at 4 GiB; split scenes per band")
 
-    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdStart.toInt)
+    // ---- lay out the file: header, IFD blocks (with external values), data.
+    // Parameterized by container: classic = 8-byte header, 12-byte entries,
+    // 4-byte offsets; BigTIFF = 16-byte header, 20-byte entries, LONG8.
+    def layout(big: Boolean): (Seq[Long], Seq[Long], Seq[Array[Long]], Long) = {
+      val offElem = if (big) 8 else 4
+      val inlineCap = if (big) 8 else 4
+      val geoTagBytes = meta match {
+        case GeoMeta(ps, tp, ep, nd) =>
+          // GeoKeyDirectory = 4-short header + 2 keys × 4 shorts = 12 shorts
+          ps.map(_ => 3 * 8).getOrElse(0) + tp.map(_ => 6 * 8).getOrElse(0) +
+            ep.map(_ => 12 * 2).getOrElse(0) +
+            nd.map { n =>
+              val l = nodataAscii(n).length
+              if (l <= inlineCap) 0 else align2(l).toInt
+            }.getOrElse(0)
+      }
+      // per page: IFD block (count + entries + next pointer) plus external
+      // arrays (tile offsets, tile counts, geo doubles/shorts/ascii)
+      val ifdSizes = pageTiles.indices.map { p =>
+        val n = nEntries(p)
+        val overhead = if (big) 8 + 20 * n + 8 else 2 + 12 * n + 4
+        val tileArr =
+          if (pageTiles(p).length > 1) pageTiles(p).length.toLong * offElem * 2 else 0L
+        val geo = if (p == 0) geoTagBytes.toLong else 0L
+        align2(overhead) + align2(tileArr) + align2(geo)
+      }
+      val ifdOfs = ifdSizes.scanLeft(if (big) 16L else 8L)(_ + _)
+      val tileOfs = ArrayBuffer.empty[Array[Long]]
+      var cursor = ifdOfs.last
+      pageTiles.foreach { tiles =>
+        tileOfs += tiles.map { t => val o = cursor; cursor += align2(t.length); o }
+      }
+      (ifdSizes, ifdOfs, tileOfs.toSeq, cursor)
+    }
+
+    val big = container match {
+      case "bigtiff" => true
+      case "classic" => false
+      // IF_SAFER: project the classic layout, upgrade only on overflow
+      case "auto"    => layout(big = false)._4 > 0xffffffffL
+      case c => throw new IllegalArgumentException(
+        s"unsupported container '$c' (classic/bigtiff/auto)")
+    }
+    val (ifdSizes, ifdOfs, tileOfs, total) = layout(big)
+    require(big || total <= 0xffffffffL,
+      "classic TIFF caps at 4 GiB; pass container=\"bigtiff\" or \"auto\"")
+
+    var written = 0L
+    def emit(b: Array[Byte]): Unit = { os.write(b); written += b.length }
+
+    val header = ByteBuffer.allocate(if (big) 16 else 8).order(ByteOrder.LITTLE_ENDIAN)
+    header.put('I'.toByte).put('I'.toByte)
+    if (big) header.putShort(43).putShort(8).putShort(0).putLong(ifdOfs.head)
+    else header.putShort(42).putInt(ifdOfs.head.toInt)
+    emit(header.array())
+
+    val stride = if (big) 20 else 12
+    val countSize = if (big) 8 else 2
+    val inlineCap = if (big) 8 else 4
+    val offType = if (big) 16 else 4 // LONG8 vs LONG for tile offsets/counts
 
     pageTiles.indices.foreach { p =>
       val (h, w, _, reduced) = pageImages(p)
       val tiles = pageTiles(p)
       val n = nEntries(p)
-      var ext = ifdOfs(p) + align2(2 + 12 * n + 4) // external-value cursor
+      // one page's IFD block assembled in memory; offsets stay absolute,
+      // writes are relative to the block base so the file itself streams
+      val base = ifdOfs(p)
+      val pb = ByteBuffer.allocate(ifdSizes(p).toInt).order(ByteOrder.LITTLE_ENDIAN)
+      def putShortAt(abs: Long, v: Short): Unit = { pb.putShort((abs - base).toInt, v); () }
+      def putIntAt(abs: Long, v: Int): Unit = { pb.putInt((abs - base).toInt, v); () }
+      def putLongAt(abs: Long, v: Long): Unit = { pb.putLong((abs - base).toInt, v); () }
+      def putDoubleAt(abs: Long, v: Double): Unit = { pb.putDouble((abs - base).toInt, v); () }
+      def putOffAt(abs: Long, v: Long): Unit = if (big) putLongAt(abs, v) else putIntAt(abs, v.toInt)
+
+      var ext = base + align2(countSize + stride * n + (if (big) 8 else 4))
       val entries = ArrayBuffer.empty[(Int, Int, Int, Long)] // tag, typ, count, value
 
       entries += ((254, 4, 1, if (reduced) 1L else 0L))
@@ -685,30 +760,29 @@ object GeoTiff {
       entries += ((322, 3, 1, tileSize.toLong))
       entries += ((323, 3, 1, tileSize.toLong))
       if (tiles.length == 1) {
-        entries += ((324, 4, 1, tileOfs(p)(0)))
-        entries += ((325, 4, 1, tiles(0).length.toLong))
+        entries += ((324, offType, 1, tileOfs(p)(0)))
+        entries += ((325, offType, 1, tiles(0).length.toLong))
       } else {
-        entries += ((324, 4, tiles.length, ext))
+        entries += ((324, offType, tiles.length, ext))
         var a = ext
-        tileOfs(p).foreach { o => out.putInt(a.toInt, o.toInt); a += 4 }
-        ext += align2(tiles.length * 4)
-        entries += ((325, 4, tiles.length, ext))
+        tileOfs(p).foreach { o => putOffAt(a, o); a += (if (big) 8 else 4) }
+        ext += align2(tiles.length * (if (big) 8 else 4))
+        entries += ((325, offType, tiles.length, ext))
         a = ext
-        tiles.foreach { t => out.putInt(a.toInt, t.length); a += 4 }
-        ext += align2(tiles.length * 4)
+        tiles.foreach { t => putOffAt(a, t.length.toLong); a += (if (big) 8 else 4) }
+        ext += align2(tiles.length * (if (big) 8 else 4))
       }
       entries += ((339, 3, 1, sampleFormat))
       if (p == 0) {
         meta.pixelScale.foreach { case (sx, sy) =>
           entries += ((33550, 12, 3, ext))
-          out.putDouble(ext.toInt, sx); out.putDouble(ext.toInt + 8, sy)
-          out.putDouble(ext.toInt + 16, 0.0)
+          putDoubleAt(ext, sx); putDoubleAt(ext + 8, sy); putDoubleAt(ext + 16, 0.0)
           ext += 24
         }
         meta.tiepoint.foreach { case (mx, my) =>
           entries += ((33922, 12, 6, ext))
           Seq(0.0, 0.0, 0.0, mx, my, 0.0).zipWithIndex.foreach { case (d, i) =>
-            out.putDouble(ext.toInt + 8 * i, d)
+            putDoubleAt(ext + 8 * i, d)
           }
           ext += 48
         }
@@ -720,16 +794,14 @@ object GeoTiff {
             1024, 0, 1, if (geographic) 2 else 1,
             if (geographic) 2048 else 3072, 0, 1, code)
           entries += ((34735, 3, keys.length, ext))
-          keys.zipWithIndex.foreach { case (k, i) =>
-            out.putShort(ext.toInt + 2 * i, k.toShort)
-          }
+          keys.zipWithIndex.foreach { case (k, i) => putShortAt(ext + 2 * i, k.toShort) }
           ext += align2(keys.length * 2)
         }
         meta.nodata.foreach { nd =>
           val s = nodataAscii(nd)
-          entries += ((42113, 2, s.length, if (s.length <= 4) inlineAscii(s) else ext))
-          if (s.length > 4) {
-            s.zipWithIndex.foreach { case (ch, i) => out.put(ext.toInt + i, ch.toByte) }
+          entries += ((42113, 2, s.length, if (s.length <= inlineCap) inlineAscii(s) else ext))
+          if (s.length > inlineCap) {
+            s.zipWithIndex.foreach { case (ch, i) => pb.put((ext - base).toInt + i, ch.toByte) }
             ext += align2(s.length)
           }
         }
@@ -737,27 +809,37 @@ object GeoTiff {
 
       // write the IFD itself (entries sorted by tag, per spec)
       val sorted = entries.sortBy(_._1)
-      val base = ifdOfs(p).toInt
-      out.putShort(base, sorted.length.toShort)
+      if (big) putLongAt(base, sorted.length.toLong)
+      else putShortAt(base, sorted.length.toShort)
       sorted.zipWithIndex.foreach { case ((tag, typ, count, value), i) =>
-        val e = base + 2 + 12 * i
-        out.putShort(e, tag.toShort)
-        out.putShort(e + 2, typ.toShort)
-        out.putInt(e + 4, count)
-        // inline values are left-justified in the 4-byte field
-        if (typ == 3 && count == 1) out.putShort(e + 8, value.toShort)
-        else out.putInt(e + 8, value.toInt)
+        val e = base + countSize + stride * i
+        putShortAt(e, tag.toShort)
+        putShortAt(e + 2, typ.toShort)
+        if (big) putLongAt(e + 4, count.toLong) else putIntAt(e + 4, count)
+        // inline values are left-justified in the value field (LE: low bytes)
+        val v = e + (if (big) 12 else 8)
+        if (typ == 3 && count == 1) putShortAt(v, value.toShort)
+        else if (big) putLongAt(v, value)
+        else putIntAt(v, value.toInt)
       }
       val next = if (p + 1 < pageTiles.length) ifdOfs(p + 1) else 0L
-      out.putInt(base + 2 + 12 * sorted.length, next.toInt)
+      putOffAt(base + countSize + stride * sorted.length, next)
+      emit(pb.array())
+    }
 
-      // tile payloads
-      tiles.indices.foreach { i =>
-        val o = tileOfs(p)(i).toInt
-        out.position(o); out.put(tiles(i)); out.position(0)
+    // tile payloads in file order, 2-byte aligned (matching the layout pass)
+    val pad = Array[Byte](0)
+    pageTiles.indices.foreach { p =>
+      tileOfs(p).indices.foreach { i =>
+        val t = pageTiles(p)(i)
+        assert(written == tileOfs(p)(i),
+          s"GeoTIFF layout drift at page $p tile $i: $written != ${tileOfs(p)(i)}")
+        emit(t)
+        if (t.length % 2 != 0) emit(pad)
       }
     }
-    out.array()
+    assert(written == total, s"GeoTIFF layout drift at EOF: $written != $total")
+    written
   }
 
   private def nodataAscii(nd: Double): String = {

@@ -186,15 +186,17 @@ object SceneIO {
                    file: java.nio.file.Path,
                    meta: GeoTiff.GeoMeta = GeoTiff.GeoMeta(),
                    tileSize: Int = 256,
-                   overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64)): Unit = {
+                   overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
+                   container: String = "auto"): Unit = {
     val (h, w, px) = assembleScene(tiles, sceneId, band)
     val nodata = meta.nodata.orElse {
       tiles.filter(col("scene_id") === sceneId && col("band") === band)
         .select(col("nodata")).head(1).headOption.map(_.getFloat(0).toDouble)
     }
-    val bytes = GeoTiff.encode(h, w, px, meta.copy(nodata = nodata),
-      tileSize, overviewFactors)
-    java.nio.file.Files.write(file, bytes)
+    val os = java.nio.file.Files.newOutputStream(file)
+    try GeoTiff.encodeTo(os, h, w, px, meta.copy(nodata = nodata),
+      tileSize, overviewFactors, container = container)
+    finally os.close()
     ()
   }
 
@@ -216,7 +218,8 @@ object SceneIO {
                          overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
                          compressionLevel: Int = 1,
                          codec: String = "deflate",
-                         dtype: String = "f32"): DataFrame = {
+                         dtype: String = "f32",
+                         container: String = "auto"): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
@@ -233,16 +236,19 @@ object SceneIO {
         // explicit meta wins; otherwise the tiles carry their band's nodata
         val nodata = meta.nodata.orElse(all.headOption.map(_._7))
         val (h, w, px) = assembleTiles(rows)
-        val bytes = GeoTiff.encode(h, w, px,
-          meta.copy(nodata = nodata), tileSize, overviewFactors, compressionLevel,
-          codec, dtype)
         // "__" separator so [[readGeoTiffScenes]] re-splits unambiguously
         // even when the band name carries underscores (HDF subdatasets)
         val path = new org.apache.hadoop.fs.Path(dir, s"${sceneId}__$band.tif")
         val fs = path.getFileSystem(conf.value)
         val os = fs.create(path, true)
-        try os.write(bytes) finally os.close()
-        (sceneId, band, path.toString, bytes.length.toLong)
+        // stream the encode: file size is bounded by the container (BigTIFF
+        // auto-upgrade past 4 GiB), not by one JVM byte array per task
+        val nBytes =
+          try GeoTiff.encodeTo(os, h, w, px,
+            meta.copy(nodata = nodata), tileSize, overviewFactors, compressionLevel,
+            codec, dtype, container)
+          finally os.close()
+        (sceneId, band, path.toString, nBytes)
       }
       .toDF("scene_id", "band", "path", "bytes")
   }

@@ -542,6 +542,61 @@ class GeoTiffSpec extends SparkSpec {
       s"spp must be included in the allocation cap, got: ${e3.getMessage}")
   }
 
+  test("encode(container=bigtiff) writes the BigTIFF container and round-trips through the reader") {
+    // ragged 100×75 against 16×16 tiles → 35 tiles on the main page, so the
+    // LONG8 tile offset/count arrays take the external path; overviews keep
+    // the multi-IFD chain; -9999 nodata ("-9999 ", 6 chars) is inline in
+    // BigTIFF's 8-byte value field but external in classic — both value
+    // layouts are exercised across this suite
+    val (h, w) = (100, 75)
+    val px = Array.tabulate(h * w)(i => (math.cos(i * 0.21) * 2000).toFloat)
+    val meta = GeoTiff.GeoMeta(
+      pixelScale = Some((10.0, 10.0)), tiepoint = Some((600000.0, 8100000.0)),
+      epsg = Some(32633), nodata = Some(-9999.0))
+    val bytes = GeoTiff.encode(h, w, px, meta, tileSize = 16,
+      overviewFactors = Seq(2, 4), container = "bigtiff")
+    assert(bytes(0) == 'I' && bytes(1) == 'I')
+    assert((bytes(2) & 0xff) == 43 && bytes(3) == 0, "BigTIFF magic 43")
+    assert((bytes(4) & 0xff) == 8, "8-byte offset size")
+    val img = GeoTiff.decode(bytes)
+    assert(img.main.height == h && img.main.width == w)
+    assert(img.main.pixels.toSeq == px.toSeq, "float32 payload must be bit-exact")
+    assert(img.meta == meta, "geo tags and nodata survive the BigTIFF container")
+    assert(img.overviews.map(o => (o.height, o.width)) == Seq((50, 37), (25, 18)))
+
+    // integer dtype + LZW inside the BigTIFF container, single-tile pages
+    // (inline LONG8 offset values)
+    val small = Array.tabulate(12 * 10)(i => (i * 13 % 500 - 250).toFloat)
+    val i16 = GeoTiff.decode(GeoTiff.encode(12, 10, small,
+      GeoTiff.GeoMeta(nodata = Some(-9999.0)), tileSize = 16, overviewFactors = Nil,
+      codec = "lzw", dtype = "i16", container = "bigtiff"))
+    assert(i16.main.pixels.toSeq == small.map(_.toLong.toFloat).toSeq)
+
+    // "auto" mirrors IF_SAFER: a small granule keeps the classic container
+    val auto = GeoTiff.encode(12, 10, small, container = "auto")
+    assert((auto(2) & 0xff) == 42, "auto stays classic under the 4 GiB projection")
+  }
+
+  test("writeGeoTiffScenes(container=bigtiff): distributed BigTIFF export re-reads identically") {
+    val dir = Files.createTempDirectory("gtiffbig")
+    val (h, w) = (48, 40)
+    val px = Array.tabulate(h * w)(i => (i % 211).toFloat)
+    val tiles = SceneIO.tileScene(
+      Seq(("sceneBT", "B05", h, w, -9999f, px)).toDF(
+        "scene_id", "band", "height", "width", "nodata", "pixels"), 16, 16)
+    val manifest = SceneIO.writeGeoTiffScenes(tiles, dir.toString, tileSize = 16,
+      overviewFactors = Seq(2), container = "bigtiff").collect()
+    assert(manifest.length == 1)
+    val raw = Files.readAllBytes(dir.resolve("sceneBT__B05.tif"))
+    assert((raw(2) & 0xff) == 43, "executors wrote the BigTIFF container")
+    assert(manifest.head.getLong(3) == raw.length.toLong,
+      "manifest byte count matches the streamed file")
+    val back = SceneIO.readGeoTiffScenes(spark, dir.toString)
+      .select("height", "width", "pixels").head()
+    assert(back.getInt(0) == h && back.getInt(1) == w)
+    assert(back.getSeq[Float](2) == px.toSeq)
+  }
+
   test("predictor 2 (horizontal differencing) undoes per strip row for 8- and 16-bit samples") {
     import java.nio.{ByteBuffer, ByteOrder}
     // hand-built stripped TIFF: predictor-2 differenced samples, LZW
