@@ -1,0 +1,87 @@
+"""Generate the JP2 parameter-space conformance battery (test resources).
+
+Each fixture is an independently-encoded raw J2K codestream (jp2codec.py,
+written from ITU-T T.800 separately from the Scala decoder) whose pixels
+follow a closed-form formula both implementations can recompute — so the
+Scala spec (Jp2DecodeSpec) checks decoded output against the FORMULA, not
+against either codec. Every stream is self-checked (encode -> reference
+decode == input) before being written.
+
+The matrix walks the decoder's subset edges:
+  - levels=0 (no wavelet at all; LL0 = the image)
+  - 1x1, single-row and single-column images (degenerate DWT extension)
+  - sub-code-block dims, ragged multi-block grids, cb 16..64
+  - depth 8/12/16 (16 is the decoder's cap)
+  - constant-at-DC-midpoint image (all-empty packets)
+  - hash-noise images (dense sign coding, RL interruptions, deep
+    bitplanes) at 12- and 16-bit depth
+
+Formulas (i = r*w + c):
+  lin(a,b,m):  v = (r*a + c*b) % m
+  hash:        v = ((i * 2654435761) >> 13) & ((1 << depth) - 1)
+  const:       v = 1 << (depth - 1)   (zero after the DC level shift)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import jp2codec as jc
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "src", "test", "resources", "graft", "jp2")
+
+# name, h, w, depth, levels, cb_exp, formula, extra encode kwargs
+CASES = [
+    ("lv0_16x16_d8",    16, 16,  8, 0, 6, ("lin", 11, 3, 256), {}),
+    ("lv1_1x1_d8",       1,  1,  8, 1, 6, ("lin", 0, 0, 1), {}),  # v=0
+    ("lv2_1x37_d8",      1, 37,  8, 2, 6, ("lin", 0, 9, 251), {}),
+    ("lv2_29x1_d8",     29,  1,  8, 2, 6, ("lin", 7, 0, 241), {}),
+    ("lv1_5x3_d8",       5,  3,  8, 1, 6, ("lin", 17, 29, 256), {}),
+    ("lv3_40x33_d12_cb16", 40, 33, 12, 3, 4, ("lin", 59, 23, 4096), {}),
+    ("lv5_96x80_d16_cb64", 96, 80, 16, 5, 6, ("lin", 131, 61, 65536), {}),
+    ("const_33x17_d12", 33, 17, 12, 2, 6, ("const",), {}),
+    ("noise_47x31_d12_cb16", 47, 31, 12, 2, 4, ("hash",), {}),
+    ("noise_64x64_d16_cb64", 64, 64, 16, 3, 6, ("hash",), {}),
+    # tiled codestreams — the Sentinel-2 container shape (one SOT per
+    # tile, independent per-tile wavelet + packets, stitched on decode)
+    ("tiled_80x112_d12_t48", 80, 112, 12, 2, 4, ("hash",),
+     {"tile_w": 48, "tile_h": 48}),                  # ragged 2x3 grid
+    ("tiled_53x71_d10_t32", 53, 71, 10, 1, 6, ("lin", 41, 13, 1024),
+     {"tile_w": 32, "tile_h": 32}),                  # ragged 2x3, depth 10
+    # multi-tile-part: each tile's packets split across 3 SOTs at packet
+    # boundaries; the stream's final tile-part carries Psot=0 (to-EOC)
+    ("tileparts_64x64_d12_tp3", 64, 64, 12, 2, 6, ("hash",),
+     {"tile_w": 32, "tile_h": 32, "split_parts": 3, "last_psot_zero": True}),
+]
+
+
+def pixels_for(h, w, depth, formula):
+    kind = formula[0]
+    if kind == "lin":
+        _, a, b, m = formula
+        return [(r * a + c * b) % m for r in range(h) for c in range(w)]
+    if kind == "const":
+        return [1 << (depth - 1)] * (h * w)
+    mask = (1 << depth) - 1
+    return [((i * 2654435761) >> 13) & mask for i in range(h * w)]
+
+
+def main():
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for (name, h, w, depth, levels, cb_exp, formula, kwargs) in CASES:
+        px = pixels_for(h, w, depth, formula)
+        stream = jc.encode_j2k(px, h, w, depth, levels, cb_exp=cb_exp, **kwargs)
+        dh, dw, dd, got = jc.decode_j2k(stream)
+        assert (dh, dw, dd) == (h, w, depth), f"{name}: geometry mismatch"
+        assert got == px, f"{name}: reference self-decode mismatch"
+        path = os.path.join(OUT_DIR, f"{name}.j2k")
+        with open(path, "wb") as f:
+            f.write(stream)
+        print(f"{name}: {w}x{h}@{depth} levels={levels} cb={1 << cb_exp}"
+              f" -> {len(stream)} bytes OK")
+    print(f"battery of {len(CASES)} fixtures in {OUT_DIR}")
+
+
+if __name__ == "__main__":
+    main()

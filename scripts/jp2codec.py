@@ -639,6 +639,9 @@ GUARD_BITS = 2
 
 
 def band_dims(h, w, d, name):
+    if d == 0:          # COD levels=0: no wavelet, LL0 is the image itself
+        assert name == 'LL'
+        return h, w
     ph = -(-h // (2 ** (d - 1)))
     pw = -(-w // (2 ** (d - 1)))
     if name == 'LL':
@@ -661,13 +664,15 @@ def gain(name):
     return {'LL': 0, 'HL': 1, 'LH': 1, 'HH': 2}[name]
 
 
-def encode_j2k(pixels, h, w, depth, levels):
-    """Full codestream for one unsigned-depth component."""
-    cb = 1 << CB_EXP
-    shifted = [v - (1 << (depth - 1)) for v in pixels]
+def _tile_body(shifted, h, w, depth, levels, cb):
+    """Encode one tile's packet sequence from level-shifted samples.
+    Returns (body bytes, packet-end offsets) — the offsets are the legal
+    tile-part split points (a tile-part boundary must fall between
+    packets, A.4.2)."""
     bands = decompose(shifted, h, w, levels)
 
     body = bytearray()
+    bounds = []
     for r in range(levels + 1):
         contributions = []   # (band, bx, by, nbps, npasses, data, zbp)
         headers = []
@@ -704,6 +709,7 @@ def encode_j2k(pixels, h, w, depth, levels):
         if not any_incl:
             bw_pkt.put(0)
             body += bw_pkt.flush()
+            bounds.append(len(body))
             continue
         bw_pkt.put(1)
         pkt_data = bytearray()
@@ -737,13 +743,31 @@ def encode_j2k(pixels, h, w, depth, levels):
                     pkt_data += data
         body += bw_pkt.flush()
         body += pkt_data
+        bounds.append(len(body))
+    return bytes(body), bounds
+
+
+def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
+               tile_w=None, tile_h=None, split_parts=1, last_psot_zero=False):
+    """Full codestream for one unsigned-depth component. Default is a
+    single tile; pass tile_w/tile_h for a tiled codestream (one SOT per
+    tile, row-major Isot). split_parts > 1 splits each tile's packets
+    across that many tile-parts at packet boundaries (TPsot 0..n-1);
+    last_psot_zero emits the final tile-part with Psot=0 (data-to-EOC,
+    legal only there, A.4.2)."""
+    cb = 1 << cb_exp
+    tw = tile_w or w
+    th = tile_h or h
+    ntx = -(-w // tw)
+    nty = -(-h // th)
+    shifted = [v - (1 << (depth - 1)) for v in pixels]
 
     out = bytearray()
     out += b'\xFF\x4F'                                      # SOC
-    siz = struct.pack('>HHIIIIIIIIHBBB', 41, 0, w, h, 0, 0, w, h, 0, 0,
+    siz = struct.pack('>HHIIIIIIIIHBBB', 41, 0, w, h, 0, 0, tw, th, 0, 0,
                       1, depth - 1, 1, 1)
     out += b'\xFF\x51' + siz
-    spcod = bytes([levels, CB_EXP - 2, CB_EXP - 2, 0, 1])   # 5/3 reversible
+    spcod = bytes([levels, cb_exp - 2, cb_exp - 2, 0, 1])   # 5/3 reversible
     cod = struct.pack('>HBBHB', 12, 0, 0, 1, 0) + spcod
     out += b'\xFF\x52' + cod
     eps = [depth + gain('LL')]
@@ -753,9 +777,27 @@ def encode_j2k(pixels, h, w, depth, levels):
     qcd = struct.pack('>HB', 3 + len(eps), GUARD_BITS << 5) + \
         bytes(e << 3 for e in eps)
     out += b'\xFF\x5C' + qcd
-    psot = 12 + 2 + len(body)
-    out += b'\xFF\x90' + struct.pack('>HHIBB', 10, 0, psot, 0, 1)
-    out += b'\xFF\x93' + body
+
+    for ty in range(nty):
+        for tx in range(ntx):
+            isot = ty * ntx + tx
+            x0, x1 = tx * tw, min((tx + 1) * tw, w)
+            y0, y1 = ty * th, min((ty + 1) * th, h)
+            t_h, t_w = y1 - y0, x1 - x0
+            tile = [shifted[(y0 + y) * w + (x0 + x)]
+                    for y in range(t_h) for x in range(t_w)]
+            body, bounds = _tile_body(tile, t_h, t_w, depth, levels, cb)
+            n_parts = min(split_parts, len(bounds)) if split_parts > 1 else 1
+            cuts = [0] + [bounds[(i + 1) * len(bounds) // n_parts - 1]
+                          for i in range(n_parts)]
+            cuts[-1] = len(body)
+            for tp in range(n_parts):
+                chunk = body[cuts[tp]:cuts[tp + 1]]
+                is_last = (isot == ntx * nty - 1) and (tp == n_parts - 1)
+                psot = 0 if (is_last and last_psot_zero) else 12 + 2 + len(chunk)
+                out += b'\xFF\x90' + struct.pack('>HHIBB', 10, isot, psot,
+                                                 tp, n_parts)
+                out += b'\xFF\x93' + chunk
     out += b'\xFF\xD9'
     return bytes(out)
 
@@ -803,7 +845,7 @@ def decode_j2k(stream):
     pos = 2
     h = w = depth = levels = None
     eps = None
-    body = None
+    tile_parts = {}
     while pos < len(stream):
         marker = stream[pos:pos + 2]
         pos += 2
@@ -819,16 +861,41 @@ def decode_j2k(stream):
             h, w, depth = ys - yo, xs - xo, (ssiz & 0x7F) + 1
         elif marker == b'\xFF\x52':
             levels = seg[5]
+            cb_exp = seg[6] + 2
         elif marker == b'\xFF\x5C':
             eps = [b >> 3 for b in seg[1:]]
         elif marker == b'\xFF\x90':
+            isot = struct.unpack('>H', stream[pos + 2:pos + 4])[0]
             psot = struct.unpack('>I', stream[pos + 4:pos + 8])[0]
+            end = (len(stream) - 2) if psot == 0 else pos - 2 + psot
             sod = stream.find(b'\xFF\x93', pos)
-            body = stream[sod + 2:pos - 2 + psot]
-            pos = pos - 2 + psot
+            tile_parts.setdefault(isot, []).append(stream[sod + 2:end])
+            pos = end
             continue
         pos += ln
-    cb = 1 << CB_EXP
+    cb = 1 << cb_exp
+    ntx, nty = -(-(xs - xto) // xt), -(-(ys - yto) // yt)
+    out2d = [[0] * w for _ in range(h)]
+    half = 1 << (depth - 1)
+    assert sorted(tile_parts) == list(range(ntx * nty)), "missing tiles"
+    for ty in range(nty):
+        for tx in range(ntx):
+            x0, x1 = max(xto + tx * xt, xo), min(xto + (tx + 1) * xt, xs)
+            y0, y1 = max(yto + ty * yt, yo), min(yto + (ty + 1) * yt, ys)
+            t_h, t_w = y1 - y0, x1 - x0
+            body = b''.join(tile_parts[ty * ntx + tx])
+            px = _decode_tile(body, t_h, t_w, levels, cb, eps)
+            for y in range(t_h):
+                for x in range(t_w):
+                    v = px[y][x] + half
+                    out2d[y0 - yo + y][x0 - xo + x] = \
+                        max(0, min((1 << depth) - 1, v))
+    out = [out2d[y][x] for y in range(h) for x in range(w)]
+    return h, w, depth, out
+
+
+def _decode_tile(body, h, w, levels, cb, eps):
+    """One tile's packets -> level-shifted 2-D samples (reference side)."""
     br = None
     bands = {}
     bodypos = 0
@@ -882,14 +949,7 @@ def decode_j2k(stream):
                 for x in range(ww):
                     grid[y0 + y][x0 + x] = -mags[y][x] if negs[y][x] else mags[y][x]
         bodypos = datapos
-    px = reconstruct(bands, h, w, levels)
-    half = 1 << (depth - 1)
-    out = []
-    for y in range(h):
-        for x in range(w):
-            v = px[y][x] + half
-            out.append(max(0, min((1 << depth) - 1, v)))
-    return h, w, depth, out
+    return reconstruct(bands, h, w, levels)
 
 
 def wrap_jp2(codestream, h, w, depth):

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.ByteBuffer
+import scala.collection.mutable.ArrayBuffer
 
 /** JPEG 2000 Part-1 pixel decoder — the reversible 5/3 path (ITU-T T.800 /
   * ISO-IEC 15444-1), pure JVM.
@@ -9,10 +10,12 @@ import java.nio.ByteBuffer
   * rasterio/GDAL (publish.py:263–270, utils.py:335–342); Sentinel-2 L1C
   * codestreams are exactly this path: reversible 5/3 wavelet, no
   * quantization, MQ-coded passes. Supported subset (checked up front, with
-  * a clear error outside it): single tile, single component, one quality
-  * layer, LRCP progression, default (whole-subband) precincts, no
-  * SOP/EPH, code-block style 0. Within the subset any geometry goes —
-  * arbitrary dims, decomposition levels, code-block size, bit depth.
+  * a clear error outside it): single component, one quality layer,
+  * LRCP/RLCP progression (identical packet order at one layer), default
+  * (whole-subband) precincts, no SOP/EPH, code-block style 0. Within the
+  * subset any geometry goes — arbitrary dims, TILED codestreams (each
+  * tile decodes independently, any tile-part split, Psot=0 last-part),
+  * decomposition levels 0..32, code-block size, bit depth to 16.
   *
   * Spec map (clause → here):
   *  - Annex A markers (SOC/SIZ/COD/QCD/SOT/SOD/EOC) → [[decodeCodestream]]
@@ -432,8 +435,10 @@ object Jp2Decode {
   }
 
   /** Band dims at decomposition level d (F.2.4 ceil-division geometry).
-    * kind: 0 = LL, 1 = HL, 2 = LH, 3 = HH. */
+    * kind: 0 = LL, 1 = HL, 2 = LH, 3 = HH. At d=0 (COD levels=0: legal,
+    * no wavelet) the only band is LL₀ = the image itself. */
   private def bandDims(h: Int, w: Int, d: Int, kind: Int): (Int, Int) = {
+    if (d == 0) { require(kind == 0, s"no detail bands at level 0"); return (h, w) }
     val ph = ceilShift(h, d - 1)
     val pw = ceilShift(w, d - 1)
     kind match {
@@ -450,10 +455,14 @@ object Jp2Decode {
       "not a J2K codestream (missing SOC)")
     var pos = 2
     var h = -1; var w = -1; var depth = -1; var signed = false
+    var xo = 0; var yo = 0; var xt = 0; var yt = 0; var xto = 0; var yto = 0
+    var xs = 0; var ys = 0
     var cod: Cod = null
     var guard = -1
     var exps: Array[Int] = null
-    var body: Array[Byte] = null
+    // tile-part data per tile index, in TPsot arrival order (A.4.2: a
+    // tile's packets are the concatenation of its tile-part data)
+    val tileParts = scala.collection.mutable.Map.empty[Int, ArrayBuffer[Array[Byte]]]
     var done = false
     while (!done && pos + 2 <= cs.length) {
       val marker = ((cs(pos) & 0xFF) << 8) | (cs(pos + 1) & 0xFF)
@@ -466,13 +475,12 @@ object Jp2Decode {
             val o = pos + 2
             require((buf.getShort(o).toInt & 0xFFFF) == 0,
               "SIZ Rsiz: only base Part-1 codestreams supported")
-            val xs = buf.getInt(o + 2); val ys = buf.getInt(o + 6)
-            val xo = buf.getInt(o + 10); val yo = buf.getInt(o + 14)
-            val xt = buf.getInt(o + 18); val yt = buf.getInt(o + 22)
+            xs = buf.getInt(o + 2); ys = buf.getInt(o + 6)
+            xo = buf.getInt(o + 10); yo = buf.getInt(o + 14)
+            xt = buf.getInt(o + 18); yt = buf.getInt(o + 22)
+            xto = buf.getInt(o + 26); yto = buf.getInt(o + 30)
             val csiz = buf.getShort(o + 34).toInt & 0xFFFF
             require(csiz == 1, s"single-component subset, got $csiz components")
-            require(xt >= xs - xo && yt >= ys - yo,
-              "multi-tile codestreams unsupported (single-tile subset)")
             val ssiz = buf.get(o + 36).toInt & 0xFF
             val xr = buf.get(o + 37).toInt & 0xFF
             val yr = buf.get(o + 38).toInt & 0xFF
@@ -483,6 +491,8 @@ object Jp2Decode {
             require(h > 0 && w > 0 && h.toLong * w <= (1L << 28),
               s"implausible image ${w}x$h")
             require(depth <= 16, s"depth $depth > 16 unsupported")
+            require(xt > 0 && yt > 0 && xto <= xo && yto <= yo,
+              s"malformed tile grid ${xt}x$yt @ ($xto,$yto)")
             pos += len
           case 0xFF52 => // COD (A.6.1)
             val o = pos + 2
@@ -491,7 +501,11 @@ object Jp2Decode {
             val prog = buf.get(o + 1).toInt & 0xFF
             val layers = buf.getShort(o + 2).toInt & 0xFFFF
             val mct = buf.get(o + 4).toInt & 0xFF
-            require(prog == 0, s"LRCP-only subset, got progression $prog")
+            // with one layer, one component and whole-subband precincts,
+            // LRCP (0) and RLCP (1) order packets identically — both are
+            // plain resolution order, so both are in-subset
+            require(prog == 0 || prog == 1,
+              s"LRCP/RLCP-only subset, got progression $prog")
             require(layers == 1, s"single-layer subset, got $layers layers")
             require(mct == 0, "multi-component transform outside subset")
             val levels = buf.get(o + 5).toInt & 0xFF
@@ -512,24 +526,76 @@ object Jp2Decode {
             guard = sqcd >>> 5
             exps = Array.tabulate(len - 3)(i => (buf.get(o + 1 + i).toInt & 0xFF) >>> 3)
             pos += len
-          case 0xFF90 => // SOT (A.4.2): body runs from after SOD to Psot's end
-            val psot = buf.getInt(pos + 4)
-            val tileEnd = pos - 2 + psot
+          case 0xFF90 => // SOT (A.4.2): data runs from after SOD to Psot's end
+            val isot = buf.getShort(pos + 2).toInt & 0xFFFF
+            val psot0 = buf.getInt(pos + 4)
+            // Psot=0 is legal on the LAST tile-part: data runs to EOC
+            val tileEnd = if (psot0 == 0) cs.length - 2 else pos - 2 + psot0
+            require(tileEnd > pos && tileEnd <= cs.length, s"SOT Psot overruns stream")
             var q = pos + len
             while (!(((cs(q) & 0xFF) == 0xFF) && ((cs(q + 1) & 0xFF) == 0x93)))
               q += 2 + (buf.getShort(q + 2).toInt & 0xFFFF) // skip tile-part markers
-            body = java.util.Arrays.copyOfRange(cs, q + 2, tileEnd)
+            tileParts.getOrElseUpdate(isot, ArrayBuffer.empty) +=
+              java.util.Arrays.copyOfRange(cs, q + 2, tileEnd)
             pos = tileEnd
           case _ =>
             pos += len
         }
       }
     }
-    require(h > 0 && cod != null && exps != null && body != null,
+    require(h > 0 && cod != null && exps != null && tileParts.nonEmpty,
       "codestream missing SIZ/COD/QCD/tile body")
     require(!signed, "signed components outside subset (Sentinel-2 is unsigned)")
 
-    // ---- packets, LRCP with L=1: one packet per resolution level
+    // ---- tile grid (B.3): each tile decodes independently (its own packet
+    // sequence, code-blocks and wavelet over the tile dims) and stitches
+    // into the image at its region — Sentinel-2 codestreams are tiled
+    val ntx = ceilDiv(xs - xto, xt)
+    val nty = ceilDiv(ys - yto, yt)
+    val out = new Array[Float](h * w)
+    val half = 1 << (depth - 1)
+    val lim = (1 << depth) - 1
+    tileParts.keys.foreach { isot =>
+      require(isot >= 0 && isot < ntx * nty, s"SOT Isot $isot outside ${ntx}x$nty grid")
+    }
+    require(tileParts.size == ntx * nty,
+      s"codestream has ${tileParts.size} tiles, grid needs ${ntx * nty}")
+    for (ty <- 0 until nty; tx <- 0 until ntx) {
+      val x0 = math.max(xto + tx * xt, xo); val x1 = math.min(xto + (tx + 1).toLong * xt, xs.toLong).toInt
+      val y0 = math.max(yto + ty * yt, yo); val y1 = math.min(yto + (ty + 1).toLong * yt, ys.toLong).toInt
+      val tw = x1 - x0; val th = y1 - y0
+      val parts = tileParts(ty * ntx + tx)
+      val body =
+        if (parts.length == 1) parts.head
+        else {
+          val all = new Array[Byte](parts.map(_.length).sum)
+          var o = 0
+          parts.foreach { p => System.arraycopy(p, 0, all, o, p.length); o += p.length }
+          all
+        }
+      val tilePx = decodeTile(body, th, tw, cod, guard, exps)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        val rowBase = (y0 - yo + y) * w + (x0 - xo)
+        while (x < tw) {
+          val v = tilePx(y * tw + x) + half
+          out(rowBase + x) = math.max(0, math.min(lim, v)).toFloat
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Jp2Pixels(h, w, depth, out)
+  }
+
+  @inline private def ceilDiv(n: Int, d: Int): Int = ((n.toLong + d - 1) / d).toInt
+
+  /** Decode one tile's packet sequence (LRCP/RLCP, L=1: one packet per
+    * resolution level) and run the inverse wavelet over the tile dims.
+    * Returns level-shifted signed samples row-major (th×tw). */
+  private def decodeTile(body: Array[Byte], h: Int, w: Int,
+                         cod: Cod, guard: Int, exps: Array[Int]): Array[Int] = {
     val levels = cod.levels
     // coefficient grids per band, keyed (level, kind); kind 0 only at `levels`
     val bands = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
@@ -638,18 +704,7 @@ object Jp2Decode {
       ll = parent
       d -= 1
     }
-
-    // DC shift back + clamp to the sample range (the encoder's level shift)
-    val half = 1 << (depth - 1)
-    val lim = (1 << depth) - 1
-    val out = new Array[Float](h * w)
-    var i = 0
-    while (i < out.length) {
-      val v = ll(i) + half
-      out(i) = math.max(0, math.min(lim, v)).toFloat
-      i += 1
-    }
-    Jp2Pixels(h, w, depth, out)
+    ll
   }
 
   private def readNPasses(br: HeaderBits): Int = {

@@ -42,6 +42,48 @@ class Jp2DecodeSpec extends SparkSpec {
       assert(img.pixels(r * 23 + c) == rawPx(r, c))
   }
 
+  test("parameter-space battery: 13 independently-encoded fixtures decode bit-exact") {
+    // scripts/gen_jp2_battery.py — each stream self-checked by the Python
+    // reference decoder before check-in; expectations below recompute each
+    // fixture's closed-form formula, independent of both codecs. The matrix
+    // walks the subset's edges: levels=0 (no wavelet), 1x1 / single-row /
+    // single-column images, sub-code-block and ragged multi-block grids,
+    // cb 16..64, depth 8/12/16, an all-empty-packet constant image, and
+    // hash-noise (dense sign coding, RL interruptions, deep bitplanes).
+    final case class Case(name: String, h: Int, w: Int, depth: Int,
+                          px: (Int, Int) => Int)
+    def lin(w: Int, a: Int, b: Int, m: Int): (Int, Int) => Int =
+      (r, c) => (r * a + c * b) % m
+    def hashPx(w: Int, depth: Int): (Int, Int) => Int = { (r, c) =>
+      val i = r.toLong * w + c
+      (((i * 2654435761L) >> 13) & ((1L << depth) - 1)).toInt
+    }
+    val cases = Seq(
+      Case("lv0_16x16_d8", 16, 16, 8, lin(16, 11, 3, 256)),
+      Case("lv1_1x1_d8", 1, 1, 8, (_, _) => 0),
+      Case("lv2_1x37_d8", 1, 37, 8, lin(37, 0, 9, 251)),
+      Case("lv2_29x1_d8", 29, 1, 8, lin(1, 7, 0, 241)),
+      Case("lv1_5x3_d8", 5, 3, 8, lin(3, 17, 29, 256)),
+      Case("lv3_40x33_d12_cb16", 40, 33, 12, lin(33, 59, 23, 4096)),
+      Case("lv5_96x80_d16_cb64", 96, 80, 16, lin(80, 131, 61, 65536)),
+      Case("const_33x17_d12", 33, 17, 12, (_, _) => 2048),
+      Case("noise_47x31_d12_cb16", 47, 31, 12, hashPx(31, 12)),
+      Case("noise_64x64_d16_cb64", 64, 64, 16, hashPx(64, 16)),
+      // tiled codestreams (the Sentinel-2 container shape): ragged tile
+      // grids, per-tile wavelet + packets, multi-tile-part with Psot=0
+      Case("tiled_80x112_d12_t48", 80, 112, 12, hashPx(112, 12)),
+      Case("tiled_53x71_d10_t32", 53, 71, 10, lin(71, 41, 13, 1024)),
+      Case("tileparts_64x64_d12_tp3", 64, 64, 12, hashPx(64, 12)))
+    for (c <- cases) {
+      val img = Jp2Decode.decode(resource(s"/graft/jp2/${c.name}.j2k"))
+      assert(img.height == c.h && img.width == c.w && img.depth == c.depth,
+        s"${c.name}: geometry ${img.width}x${img.height}@${img.depth}")
+      for (r <- 0 until c.h; x <- 0 until c.w)
+        assert(img.pixels(r * c.w + x) == c.px(r, x).toFloat,
+          s"${c.name} pixel ($r,$x): ${img.pixels(r * c.w + x)} != ${c.px(r, x)}")
+    }
+  }
+
   test("corrupt/truncated input fails fast instead of hanging or allocating") {
     val good = resource("/graft/tiny_band_B02.jp2")
     intercept[Exception](Jp2Decode.decode(good.take(40)))
@@ -52,6 +94,22 @@ class Jp2DecodeSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(cs)
     bb.putInt(8, 0x40000000)
     intercept[Exception](Jp2Decode.decode(cs))
+    // random flips and truncations over a TILED stream (SOT walk, tile-part
+    // concat, stitch bounds): success or a prompt plain exception, never a
+    // hang or wild allocation
+    val tiled = resource("/graft/jp2/tileparts_64x64_d12_tp3.j2k")
+    val rng = new scala.util.Random(43)
+    for (trial <- 0 until 200) {
+      val bytes = tiled.clone()
+      try {
+        if (trial % 3 == 0) Jp2Decode.decode(bytes.take(2 + rng.nextInt(bytes.length - 2)))
+        else {
+          for (_ <- 0 to rng.nextInt(4))
+            bytes(rng.nextInt(bytes.length)) = rng.nextInt(256).toByte
+          Jp2Decode.decode(bytes)
+        }
+      } catch { case _: Exception => () }
+    }
   }
 
   test("readJp2Scenes → tileScene → bandMath: the Sentinel-2 ingest seam (publish.py:263–270)") {
