@@ -289,6 +289,47 @@ object SceneIO {
       .toDF("granule", "band", "path", "bytes", "cloud_cover")
   }
 
+  /** Sentinel-2 publish at scale — convert a directory of JP2 band files
+    * to per-band COG-shaped GeoTIFFs in one distributed pass: binaryFile
+    * scan → per-file [[graft.sources.Jp2Decode]] + [[GeoTiff.encode]] on
+    * executors → Hadoop FS write beside the manifest row. This is the
+    * reference's publish flow for Sentinel products (publish.py:263–270
+    * reads `*B02.jp2`, then cog_translate utils.py:113–154 writes the
+    * COG) run convert-once at ingest, so the JP2 entropy decode is never
+    * paid again at query time. No shuffle — each file is one task unit
+    * end to end. `dtype` defaults to u16, the Sentinel-2 L1C sample
+    * format; JP2 carries no nodata tag, so Sentinel's 0 convention is the
+    * default. */
+  def convertJp2Scenes(spark: org.apache.spark.sql.SparkSession,
+                       inDir: String, outDir: String,
+                       nodata: Double = 0.0,
+                       meta: GeoTiff.GeoMeta = GeoTiff.GeoMeta(),
+                       tileSize: Int = 256,
+                       overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
+                       dtype: String = "u16"): DataFrame = {
+    import spark.implicits._
+    val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
+      spark.sparkContext.hadoopConfiguration)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.j*2*") // .jp2 / .j2k / .jpx
+      .load(inDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val (sceneId, band) = sceneBandOfPath(p)
+        val img = graft.sources.Jp2Decode.decode(bytes)
+        val out = new org.apache.hadoop.fs.Path(outDir, s"${sceneId}__$band.tif")
+        val fs = out.getFileSystem(conf.value)
+        val os = fs.create(out, true)
+        val n = try GeoTiff.encodeTo(os, img.height, img.width, img.pixels,
+          meta.copy(nodata = Some(nodata)), tileSize, overviewFactors,
+          compressionLevel = 1, dtype = dtype)
+        finally os.close()
+        (sceneId, band, out.toString, n)
+      }
+      .toDF("scene_id", "band", "path", "bytes")
+  }
+
   /** S10 — RGB quicklook PNG (publish.py:59–91): three pre-scaled 0–255
     * band images of identical shape → PNG bytes via JDK ImageIO; 0 = fully
     * transparent (the reference's alpha mask). */

@@ -278,88 +278,104 @@ object Jp2Decode {
     case (-1, -1) => (13, 1)
   }
 
+  // flag bits in the padded state grid (1-sample border kills the
+  // per-neighbor bounds checks that dominated the naive decoder)
+  private final val FSig = 1
+  private final val FNeg = 2
+  private final val FVis = 4
+  private final val FRef = 8
+
   /** Decode one code-block's coefficient magnitudes+signs from its MQ
     * segment: cleanup at the MSB plane, then (significance, refinement,
     * cleanup) per lower plane, `npasses` passes total (D.3–D.5). Returns
-    * signed coefficients row-major. */
+    * signed coefficients row-major.
+    *
+    * Hot path of the whole decoder (every coefficient of every band is
+    * touched up to 3× per bitplane), so it is written allocation-free
+    * with a border-padded flags array and straight-line loops — no
+    * closures, no bounds checks in the context lookups. */
   private def decodeBlock(data: Array[Byte], w: Int, h: Int, orient: Int,
                           nbps: Int, npasses: Int): Array[Int] = {
     val mq = new MqDec(data)
     val mag = new Array[Int](w * h)
-    val neg = new Array[Boolean](w * h)
-    val sig = new Array[Boolean](w * h)
-    val vis = new Array[Boolean](w * h)
-    val refined = new Array[Boolean](w * h)
+    val pw = w + 2 // padded stride; (y, x) lives at (y+1)*pw + (x+1)
+    val fl = new Array[Int](pw * (h + 2))
 
-    @inline def sigAt(y: Int, x: Int): Boolean =
-      y >= 0 && y < h && x >= 0 && x < w && sig(y * w + x)
-    @inline def cnt(b: Boolean): Int = if (b) 1 else 0
-    def zctxAt(y: Int, x: Int): Int = {
-      val hh = cnt(sigAt(y, x - 1)) + cnt(sigAt(y, x + 1))
-      val vv = cnt(sigAt(y - 1, x)) + cnt(sigAt(y + 1, x))
-      val dd = cnt(sigAt(y - 1, x - 1)) + cnt(sigAt(y - 1, x + 1)) +
-        cnt(sigAt(y + 1, x - 1)) + cnt(sigAt(y + 1, x + 1))
+    @inline def zctxAt(j: Int): Int = {
+      val hh = (fl(j - 1) & FSig) + (fl(j + 1) & FSig)
+      val vv = (fl(j - pw) & FSig) + (fl(j + pw) & FSig)
+      val dd = (fl(j - pw - 1) & FSig) + (fl(j - pw + 1) & FSig) +
+        (fl(j + pw - 1) & FSig) + (fl(j + pw + 1) & FSig)
       zcCtx(hh, vv, dd, orient)
     }
-    def readSign(y: Int, x: Int): Unit = {
-      def contrib(yy: Int, xx: Int): Int =
-        if (!sigAt(yy, xx)) 0 else if (neg(yy * w + xx)) -1 else 1
-      val hc = math.max(-1, math.min(1, contrib(y, x - 1) + contrib(y, x + 1)))
-      val vc = math.max(-1, math.min(1, contrib(y - 1, x) + contrib(y + 1, x)))
-      val (cx, xor) = scCtx(hc, vc)
-      neg(y * w + x) = (mq.decode(cx) ^ xor) == 1
+    @inline def contrib(j: Int): Int = {
+      val f = fl(j)
+      if ((f & FSig) == 0) 0 else if ((f & FNeg) != 0) -1 else 1
     }
-    /** Stripe-oriented scan: f(y, x) for each sample in D.2 order. */
-    def scan(f: (Int, Int) => Unit): Unit = {
-      var k0 = 0
-      while (k0 < h) {
-        var x = 0
-        while (x < w) {
-          var y = k0
-          val yEnd = math.min(k0 + 4, h)
-          while (y < yEnd) { f(y, x); y += 1 }
-          x += 1
-        }
-        k0 += 4
-      }
+    def readSign(j: Int): Unit = {
+      val hc = math.max(-1, math.min(1, contrib(j - 1) + contrib(j + 1)))
+      val vc = math.max(-1, math.min(1, contrib(j - pw) + contrib(j + pw)))
+      val (cx, xor) = scCtx(hc, vc)
+      if ((mq.decode(cx) ^ xor) == 1) fl(j) |= FNeg
     }
 
     var pass = 0
     var p = nbps - 1
     var kind = 2 // 0 = significance, 1 = refinement, 2 = cleanup; MSB starts at cleanup
     while (pass < npasses) {
+      val bit = 1 << p
       kind match {
         case 0 =>
-          scan { (y, x) =>
-            val i = y * w + x
-            if (!sig(i)) {
-              val cx = zctxAt(y, x)
-              if (cx != 0) {
-                vis(i) = true
-                if (mq.decode(cx) == 1) {
-                  sig(i) = true
-                  mag(i) |= 1 << p
-                  readSign(y, x)
+          var k0 = 0
+          while (k0 < h) {
+            val yEnd = math.min(k0 + 4, h)
+            var x = 0
+            while (x < w) {
+              var y = k0
+              var j = (k0 + 1) * pw + (x + 1)
+              while (y < yEnd) {
+                if ((fl(j) & FSig) == 0) {
+                  val cx = zctxAt(j)
+                  if (cx != 0) {
+                    fl(j) |= FVis
+                    if (mq.decode(cx) == 1) {
+                      fl(j) |= FSig
+                      mag(y * w + x) |= bit
+                      readSign(j)
+                    }
+                  }
                 }
+                y += 1; j += pw
               }
+              x += 1
             }
+            k0 += 4
           }
         case 1 =>
-          scan { (y, x) =>
-            val i = y * w + x
-            if (sig(i) && !vis(i)) {
-              val cx =
-                if (refined(i)) 16
-                else {
-                  val any = sigAt(y, x - 1) || sigAt(y, x + 1) ||
-                    sigAt(y - 1, x) || sigAt(y + 1, x) ||
-                    sigAt(y - 1, x - 1) || sigAt(y - 1, x + 1) ||
-                    sigAt(y + 1, x - 1) || sigAt(y + 1, x + 1)
-                  if (any) 15 else 14
+          var k0 = 0
+          while (k0 < h) {
+            val yEnd = math.min(k0 + 4, h)
+            var x = 0
+            while (x < w) {
+              var y = k0
+              var j = (k0 + 1) * pw + (x + 1)
+              while (y < yEnd) {
+                val f = fl(j)
+                if ((f & (FSig | FVis)) == FSig) {
+                  val cx =
+                    if ((f & FRef) != 0) 16
+                    else if (((fl(j - 1) | fl(j + 1) | fl(j - pw) | fl(j + pw) |
+                      fl(j - pw - 1) | fl(j - pw + 1) | fl(j + pw - 1) |
+                      fl(j + pw + 1)) & FSig) != 0) 15
+                    else 14
+                  if (mq.decode(cx) == 1) mag(y * w + x) |= bit
+                  fl(j) |= FRef
                 }
-              if (mq.decode(cx) == 1) mag(i) |= 1 << p
-              refined(i) = true
+                y += 1; j += pw
+              }
+              x += 1
             }
+            k0 += 4
           }
         case 2 =>
           var k0 = 0
@@ -367,15 +383,15 @@ object Jp2Decode {
             var x = 0
             while (x < w) {
               var start = 0
+              val j0 = (k0 + 1) * pw + (x + 1)
               // RL mode: a full 4-stripe whose samples are all
               // insignificant, unvisited and context-0 (D.4.1)
-              val full = k0 + 3 < h
-              var rl = full
+              var rl = k0 + 3 < h
               if (rl) {
                 var i = 0
                 while (rl && i < 4) {
-                  val idx = (k0 + i) * w + x
-                  rl = !sig(idx) && !vis(idx) && zctxAt(k0 + i, x) == 0
+                  val j = j0 + i * pw
+                  rl = (fl(j) & (FSig | FVis)) == 0 && zctxAt(j) == 0
                   i += 1
                 }
               }
@@ -383,22 +399,21 @@ object Jp2Decode {
                 if (mq.decode(CtxRl) == 0) start = 4
                 else {
                   val k = (mq.decode(CtxUni) << 1) | mq.decode(CtxUni)
-                  val y = k0 + k
-                  sig(y * w + x) = true
-                  mag(y * w + x) |= 1 << p
-                  readSign(y, x)
+                  val j = j0 + k * pw
+                  fl(j) |= FSig
+                  mag((k0 + k) * w + x) |= bit
+                  readSign(j)
                   start = k + 1
                 }
               }
               var i = start
               while (i < 4 && k0 + i < h) {
-                val y = k0 + i
-                val idx = y * w + x
-                if (!sig(idx) && !vis(idx)) {
-                  if (mq.decode(zctxAt(y, x)) == 1) {
-                    sig(idx) = true
-                    mag(idx) |= 1 << p
-                    readSign(y, x)
+                val j = j0 + i * pw
+                if ((fl(j) & (FSig | FVis)) == 0) {
+                  if (mq.decode(zctxAt(j)) == 1) {
+                    fl(j) |= FSig
+                    mag((k0 + i) * w + x) |= bit
+                    readSign(j)
                   }
                 }
                 i += 1
@@ -407,7 +422,9 @@ object Jp2Decode {
             }
             k0 += 4
           }
-          java.util.Arrays.fill(vis, false)
+          // clear FVis everywhere (end of cleanup = end of this bitplane)
+          var i = 0
+          while (i < fl.length) { fl(i) &= ~FVis; i += 1 }
         case _ => ()
       }
       // pass sequence: cl(MSB) | sig(p) mr(p) cl(p) per lower plane
@@ -416,10 +433,16 @@ object Jp2Decode {
     }
 
     val out = new Array[Int](w * h)
-    var i = 0
-    while (i < out.length) {
-      out(i) = if (neg(i)) -mag(i) else mag(i)
-      i += 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var j = (y + 1) * pw + 1
+      while (x < w) {
+        val m = mag(y * w + x)
+        out(y * w + x) = if ((fl(j) & FNeg) != 0) -m else m
+        x += 1; j += 1
+      }
+      y += 1
     }
     out
   }

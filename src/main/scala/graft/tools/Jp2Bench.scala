@@ -1,0 +1,81 @@
+package graft.tools
+
+import graft.raster.SceneIO
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput of the JPEG 2000 ingest edge (not driver-run; documents the
+  * SCALE.md numbers): single-thread decode MP/s on worst-case (hash noise,
+  * every bitplane coded) and smooth (terrain-like, the Sentinel-2 shape)
+  * content, plus the distributed readJp2Scenes path. Fixtures are encoded
+  * at tool runtime by the independent Python codec (scripts/jp2codec.py),
+  * so nothing large is checked in — python3 is a TOOL dependency only,
+  * never a library/test one.
+  *
+  * Usage: sbt "runMain graft.tools.Jp2Bench [side] [copies]"
+  */
+object Jp2Bench {
+  private def gen(side: Int, kind: String, out: String): Unit = {
+    val code =
+      s"""import sys
+         |sys.path.insert(0, 'scripts')
+         |import jp2codec as jc
+         |n = $side
+         |mask = (1 << 12) - 1
+         |if "$kind" == "noise":
+         |    px = [((i * 2654435761) >> 13) & mask for i in range(n * n)]
+         |else:
+         |    import math
+         |    px = [int(2000 + 1500 * math.sin((i % n) * 0.01) *
+         |              math.cos((i // n) * 0.013)) for i in range(n * n)]
+         |s = jc.encode_j2k(px, n, n, 12, 5, cb_exp=6)
+         |open("$out", "wb").write(s)
+         |""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", code)
+      .directory(new java.io.File(".")).inheritIO().start()
+    require(p.waitFor() == 0, s"fixture generation failed for $kind")
+  }
+
+  private def timeDecode(bytes: Array[Byte], reps: Int): (Double, Long) = {
+    for (_ <- 0 until 2) graft.sources.Jp2Decode.decode(bytes) // JIT warmup
+    var px = 0L
+    val t0 = System.nanoTime()
+    for (_ <- 0 until reps) {
+      px += graft.sources.Jp2Decode.decode(bytes).pixels.length
+    }
+    ((System.nanoTime() - t0) / 1e9, px)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val side = if (args.length > 0) args(0).toInt else 1024
+    val copies = if (args.length > 1) args(1).toInt else 16
+    val dir = java.nio.file.Files.createTempDirectory("jp2bench")
+    val noiseF = dir.resolve("noise.j2k").toString
+    val smoothF = dir.resolve("smooth.j2k").toString
+    gen(side, "noise", noiseF)
+    gen(side, "smooth", smoothF)
+    val noise = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(noiseF))
+    val smooth = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(smoothF))
+
+    val (nSec, nPx) = timeDecode(noise, 5)
+    val (sSec, sPx) = timeDecode(smooth, 5)
+    println(f"decode ${side}x$side noise  (${noise.length / 1e3}%.0f KB): ${nPx / 1e6 / nSec}%.1f MP/s single-thread")
+    println(f"decode ${side}x$side smooth (${smooth.length / 1e3}%.0f KB): ${sPx / 1e6 / sSec}%.1f MP/s single-thread")
+
+    // distributed: `copies` files through the binaryFile -> executor path
+    val sparkDir = java.nio.file.Files.createTempDirectory("jp2benchdist")
+    for (i <- 0 until copies)
+      java.nio.file.Files.write(sparkDir.resolve(f"scene$i%03d__B02.jp2"), smooth)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    val total = SceneIO.readJp2Scenes(spark, sparkDir.toString)
+      .agg(sum(element_at(col("pixels"), 1))).head().getDouble(0)
+    val dSec = (System.nanoTime() - t0) / 1e9
+    val mp = copies.toLong * side * side / 1e6
+    println(f"readJp2Scenes: $copies files (${mp}%.0f MP) in $dSec%.1f s -> ${mp / dSec}%.1f MP/s on local[8] (checksum $total)")
+    spark.stop()
+  }
+}

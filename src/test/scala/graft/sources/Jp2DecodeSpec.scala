@@ -112,6 +112,52 @@ class Jp2DecodeSpec extends SparkSpec {
     }
   }
 
+  test("SAFE zip → extract → convertJp2Scenes → COG re-read: the Sentinel publish flow") {
+    // the reference's Sentinel path end to end: downloaded .SAFE zip →
+    // archive extraction (utils.py:94–101) → rasterio read of the JP2
+    // band (publish.py:263–270) → cog_translate out (utils.py:113–154) —
+    // here: extractArchive → convertJp2Scenes (distributed decode+encode,
+    // no shuffle) → readGeoTiffScenes parity against the fixture formula
+    val sceneId = "S2B_T23LLF_0011"
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry(
+      s"$sceneId.SAFE/GRANULE/IMG_DATA/${sceneId}__B02.jp2"))
+    z.write(resource("/graft/tiny_band_B02.jp2")); z.closeEntry(); z.close()
+
+    val entries = ArchiveFunctions.extractArchive(bos.toByteArray)
+    assert(ArchiveFunctions.internalName(entries.map(_._1)).contains(s"$sceneId.SAFE"))
+    val inDir = Files.createTempDirectory("safe-jp2")
+    entries.foreach { case (name, bytes) =>
+      Files.write(inDir.resolve(name.substring(name.lastIndexOf('/') + 1)), bytes)
+    }
+
+    val outDir = Files.createTempDirectory("safe-cog")
+    val manifest = SceneIO.convertJp2Scenes(spark, inDir.toString, outDir.toString,
+      tileSize = 16, overviewFactors = Seq(2, 4)).collect()
+    assert(manifest.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq((sceneId, "B02")))
+    assert(manifest.head.getLong(3) > 0)
+
+    // the written file is a real COG-shaped integer GeoTIFF: overview
+    // pyramid present, Sentinel nodata-0 recorded, pixels exact (u16
+    // holds the 12-bit range losslessly)
+    val img = graft.raster.GeoTiff.decode(
+      Files.readAllBytes(Paths.get(manifest.head.getString(2).stripPrefix("file:"))))
+    assert(img.main.height == 61 && img.main.width == 97)
+    assert(img.overviews.map(o => (o.height, o.width)) == Seq((30, 48), (15, 24)))
+    assert(img.meta.nodata.contains(0.0))
+    for (r <- 0 until 61; c <- 0 until 97)
+      assert(img.main.pixels(r * 97 + c) == containerPx(r, c))
+
+    // and the distributed GeoTIFF reader closes the loop — the converted
+    // asset is queryable without ever touching JP2 entropy decode again
+    val back = SceneIO.readGeoTiffScenes(spark, outDir.toString)
+      .select("scene_id", "band", "height", "width").head()
+    assert(back.getString(0) == sceneId && back.getString(1) == "B02")
+    assert(back.getInt(2) == 61 && back.getInt(3) == 97)
+  }
+
   test("readJp2Scenes → tileScene → bandMath: the Sentinel-2 ingest seam (publish.py:263–270)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-jp2")
