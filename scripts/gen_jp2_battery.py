@@ -53,6 +53,20 @@ CASES = [
     # boundaries; the stream's final tile-part carries Psot=0 (to-EOC)
     ("tileparts_64x64_d12_tp3", 64, 64, 12, 2, 6, ("hash",),
      {"tile_w": 32, "tile_h": 32, "split_parts": 3, "last_psot_zero": True}),
+    # SOP/EPH packet framing (Kakadu's common production settings),
+    # combined with a tiled stream so the markers ride the tile walk
+    ("sopeph_48x80_d12_t32", 48, 80, 12, 2, 6, ("hash",),
+     {"tile_w": 32, "tile_h": 32, "sop": True, "eph": True}),
+    # custom precincts (COD Scod bit 0 + per-resolution sizes): multiple
+    # packets per resolution in raster order, block size clamped to the
+    # precinct (2^(PP-1) in detail bands)
+    ("prec_96x64_d12_p5", 96, 64, 12, 2, 6, ("hash",),
+     {"precincts": [(5, 5), (5, 5), (5, 5)]}),
+    # the full Kakadu-encoded Sentinel-2 shape in miniature: tiled +
+    # per-resolution precincts + SOP/EPH framing
+    ("kakadu_96x96_d12_t64", 96, 96, 12, 2, 4, ("hash",),
+     {"tile_w": 64, "tile_h": 64, "precincts": [(4, 4), (5, 5), (5, 5)],
+      "sop": True, "eph": True}),
 ]
 
 

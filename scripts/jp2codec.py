@@ -664,100 +664,165 @@ def gain(name):
     return {'LL': 0, 'HL': 1, 'LH': 1, 'HH': 2}[name]
 
 
-def _tile_body(shifted, h, w, depth, levels, cb):
+def _band_origin(gx0, gy0, d):
+    """Global band-coordinate origin of a tile whose image-space origin is
+    (gx0, gy0). Valid under the subset's alignment gate (tile origins are
+    multiples of 2^levels), where B-15's ceil((tcx0 - 2^(d-1)·xob)/2^d)
+    collapses to tcx0 >> d for every band of level d."""
+    return gx0 >> d, gy0 >> d
+
+
+def _tile_body(shifted, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
+               sop=False, eph=False, precincts=None):
     """Encode one tile's packet sequence from level-shifted samples.
     Returns (body bytes, packet-end offsets) — the offsets are the legal
     tile-part split points (a tile-part boundary must fall between
-    packets, A.4.2)."""
+    packets, A.4.2). sop/eph emit the optional packet-framing markers.
+
+    Spec geometry (T.800 B.6/B.7): precincts of size 2^PPx(r) × 2^PPy(r)
+    anchored at 0 on the resolution-r coordinates partition each
+    resolution into packets (raster order); the code-block partition is
+    ALSO anchored at 0 on band coordinates (so a tile whose band range
+    starts mid-block gets a partial first block), with the block size
+    clamped to the precinct (2^(PP-1) in detail bands). `precincts` is a
+    list of (PPx, PPy) per resolution r=0..levels; None = whole-subband
+    (15, 15) defaults."""
     bands = decompose(shifted, h, w, levels)
+    pps = precincts or [(15, 15)] * (levels + 1)
 
     body = bytearray()
     bounds = []
+    nsop = 0
     for r in range(levels + 1):
-        contributions = []   # (band, bx, by, nbps, npasses, data, zbp)
-        headers = []
-        for (d, name) in packet_bands(levels, r):
-            bh, bw_ = band_dims(h, w, d, name)
-            if bh == 0 or bw_ == 0:
-                headers.append(None)
-                continue
-            grid = bands[(d, name)]
-            mb = GUARD_BITS + (depth + gain(name)) - 1
-            nbx, nby = -(-bw_ // cb), -(-bh // cb)
-            incl = [[1] * nbx for _ in range(nby)]
-            zbps = [[0] * nbx for _ in range(nby)]
-            blocks = {}
-            for by in range(nby):
-                for bx in range(nbx):
-                    y0, x0 = by * cb, bx * cb
-                    hh = min(cb, bh - y0)
-                    ww = min(cb, bw_ - x0)
-                    mags = [[abs(grid[y0 + y][x0 + x]) for x in range(ww)]
-                            for y in range(hh)]
-                    negs = [[grid[y0 + y][x0 + x] < 0 for x in range(ww)]
-                            for y in range(hh)]
-                    nbps, npasses, data = encode_block(
-                        mags, negs, ww, hh, 'LL' if name == 'LL' else name)
-                    assert nbps <= mb, f"nbps {nbps} > Mb {mb} for {name}"
-                    if nbps > 0:
-                        incl[by][bx] = 0
-                        zbps[by][bx] = mb - nbps
-                        blocks[(by, bx)] = (nbps, npasses, data)
-            headers.append((nbx, nby, incl, zbps, blocks))
-        any_incl = any(hd is not None and hd[4] for hd in headers)
-        bw_pkt = BitWriter()
-        if not any_incl:
-            bw_pkt.put(0)
-            body += bw_pkt.flush()
-            bounds.append(len(body))
-            continue
-        bw_pkt.put(1)
-        pkt_data = bytearray()
-        for hd in headers:
-            if hd is None:
-                continue
-            nbx, nby, incl, zbps, blocks = hd
-            t_incl = TagTree(nbx, nby)
-            t_incl.set_leaves(incl)
-            t_zbp = TagTree(nbx, nby)
-            t_zbp.set_leaves(zbps)
-            for by in range(nby):
-                for bx in range(nbx):
-                    t_incl.encode(bx, by, 1, bw_pkt)
-                    if (by, bx) not in blocks:
+        dres = levels - r
+        trx0, try0 = gx0 >> dres, gy0 >> dres
+        trx1 = -(-(gx0 + w) // (1 << dres))
+        try1 = -(-(gy0 + h) // (1 << dres))
+        ppx, ppy = pps[r]
+        shx = ppx if r == 0 else ppx - 1
+        shy = ppy if r == 0 else ppy - 1
+        if trx1 > trx0 and try1 > try0:
+            kx0, ky0 = trx0 >> ppx, try0 >> ppy
+            npx = -(-trx1 // (1 << ppx)) - kx0
+            npy = -(-try1 // (1 << ppy)) - ky0
+        else:
+            npx = npy = 0
+        for pyi in range(npy):
+            for pxi in range(npx):
+                headers = []
+                for (d, name) in packet_bands(levels, r):
+                    bh, bw_ = band_dims(h, w, d, name)
+                    if bh == 0 or bw_ == 0:
+                        headers.append(None)
                         continue
-                    nbps, npasses, data = blocks[(by, bx)]
-                    t = 1
-                    while not t_zbp.known[0][by][bx]:
-                        t_zbp.encode(bx, by, t, bw_pkt)
-                        t += 1
-                    _put_npasses(bw_pkt, npasses)
-                    lblock = 3
-                    nbits = lblock + _ilog2(npasses)
-                    while (1 << nbits) <= len(data):
-                        bw_pkt.put(1)
-                        lblock += 1
-                        nbits += 1
+                    tbx0, tby0 = _band_origin(gx0, gy0, d)
+                    # this band's slice of precinct (pxi, pyi)
+                    px0 = max((kx0 + pxi) << shx, tbx0)
+                    px1 = min((kx0 + pxi + 1) << shx, tbx0 + bw_)
+                    py0 = max((ky0 + pyi) << shy, tby0)
+                    py1 = min((ky0 + pyi + 1) << shy, tby0 + bh)
+                    if px1 <= px0 or py1 <= py0:
+                        headers.append(None)
+                        continue
+                    cshx, cshy = min(cb_exp, shx), min(cb_exp, shy)
+                    bx0, by0 = px0 >> cshx, py0 >> cshy
+                    nbx = -(-px1 // (1 << cshx)) - bx0
+                    nby = -(-py1 // (1 << cshy)) - by0
+                    grid = bands[(d, name)]
+                    mb = GUARD_BITS + (depth + gain(name)) - 1
+                    incl = [[1] * nbx for _ in range(nby)]
+                    zbps = [[0] * nbx for _ in range(nby)]
+                    blocks = {}
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            xa = max((bx0 + bx) << cshx, px0)
+                            xb = min((bx0 + bx + 1) << cshx, px1)
+                            ya = max((by0 + by) << cshy, py0)
+                            yb = min((by0 + by + 1) << cshy, py1)
+                            mags = [[abs(grid[ya - tby0 + y][xa - tbx0 + x])
+                                     for x in range(xb - xa)]
+                                    for y in range(yb - ya)]
+                            negs = [[grid[ya - tby0 + y][xa - tbx0 + x] < 0
+                                     for x in range(xb - xa)]
+                                    for y in range(yb - ya)]
+                            nbps, npasses, data = encode_block(
+                                mags, negs, xb - xa, yb - ya,
+                                'LL' if name == 'LL' else name)
+                            assert nbps <= mb, f"nbps {nbps} > Mb {mb} for {name}"
+                            if nbps > 0:
+                                incl[by][bx] = 0
+                                zbps[by][bx] = mb - nbps
+                                blocks[(by, bx)] = (nbps, npasses, data)
+                    headers.append((nbx, nby, incl, zbps, blocks))
+                if sop:
+                    body += b'\xFF\x91\x00\x04' + struct.pack('>H', nsop & 0xFFFF)
+                nsop += 1
+                any_incl = any(hd is not None and hd[4] for hd in headers)
+                bw_pkt = BitWriter()
+                if not any_incl:
                     bw_pkt.put(0)
-                    bw_pkt.put_bits(len(data), nbits)
-                    pkt_data += data
-        body += bw_pkt.flush()
-        body += pkt_data
-        bounds.append(len(body))
+                    body += bw_pkt.flush()
+                    if eph:
+                        body += b'\xFF\x92'
+                    bounds.append(len(body))
+                    continue
+                bw_pkt.put(1)
+                pkt_data = bytearray()
+                for hd in headers:
+                    if hd is None:
+                        continue
+                    nbx, nby, incl, zbps, blocks = hd
+                    t_incl = TagTree(nbx, nby)
+                    t_incl.set_leaves(incl)
+                    t_zbp = TagTree(nbx, nby)
+                    t_zbp.set_leaves(zbps)
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            t_incl.encode(bx, by, 1, bw_pkt)
+                            if (by, bx) not in blocks:
+                                continue
+                            nbps, npasses, data = blocks[(by, bx)]
+                            t = 1
+                            while not t_zbp.known[0][by][bx]:
+                                t_zbp.encode(bx, by, t, bw_pkt)
+                                t += 1
+                            _put_npasses(bw_pkt, npasses)
+                            lblock = 3
+                            nbits = lblock + _ilog2(npasses)
+                            while (1 << nbits) <= len(data):
+                                bw_pkt.put(1)
+                                lblock += 1
+                                nbits += 1
+                            bw_pkt.put(0)
+                            bw_pkt.put_bits(len(data), nbits)
+                            pkt_data += data
+                body += bw_pkt.flush()
+                if eph:
+                    body += b'\xFF\x92'
+                body += pkt_data
+                bounds.append(len(body))
     return bytes(body), bounds
 
 
 def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
-               tile_w=None, tile_h=None, split_parts=1, last_psot_zero=False):
+               tile_w=None, tile_h=None, split_parts=1, last_psot_zero=False,
+               sop=False, eph=False, precincts=None):
     """Full codestream for one unsigned-depth component. Default is a
     single tile; pass tile_w/tile_h for a tiled codestream (one SOT per
     tile, row-major Isot). split_parts > 1 splits each tile's packets
     across that many tile-parts at packet boundaries (TPsot 0..n-1);
     last_psot_zero emits the final tile-part with Psot=0 (data-to-EOC,
-    legal only there, A.4.2)."""
-    cb = 1 << cb_exp
+    legal only there, A.4.2). precincts = list of (PPx, PPy) per
+    resolution r=0..levels (COD Scod bit 0 + per-resolution size bytes),
+    the layout Kakadu-encoded Sentinel-2 products use."""
     tw = tile_w or w
     th = tile_h or h
+    # subset alignment gate (shared with the Scala decoder): tile origins
+    # must be multiples of 2^levels so per-tile local DWT parity equals
+    # the spec's global parity
+    assert (tw >= w and th >= h) or (tw % (1 << levels) == 0 and
+                                     th % (1 << levels) == 0), \
+        "tile size must be a multiple of 2^levels"
     ntx = -(-w // tw)
     nty = -(-h // th)
     shifted = [v - (1 << (depth - 1)) for v in pixels]
@@ -768,7 +833,12 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
                       1, depth - 1, 1, 1)
     out += b'\xFF\x51' + siz
     spcod = bytes([levels, cb_exp - 2, cb_exp - 2, 0, 1])   # 5/3 reversible
-    cod = struct.pack('>HBBHB', 12, 0, 0, 1, 0) + spcod
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    if precincts is not None:
+        scod |= 1
+        spcod += bytes((ppy << 4) | ppx for (ppx, ppy) in precincts)
+    cod = struct.pack('>HBBHB', 12 + (0 if precincts is None else levels + 1),
+                      scod, 0, 1, 0) + spcod
     out += b'\xFF\x52' + cod
     eps = [depth + gain('LL')]
     for r in range(1, levels + 1):
@@ -786,7 +856,9 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
             t_h, t_w = y1 - y0, x1 - x0
             tile = [shifted[(y0 + y) * w + (x0 + x)]
                     for y in range(t_h) for x in range(t_w)]
-            body, bounds = _tile_body(tile, t_h, t_w, depth, levels, cb)
+            body, bounds = _tile_body(tile, t_h, t_w, depth, levels, cb_exp,
+                                      gx0=x0, gy0=y0, sop=sop, eph=eph,
+                                      precincts=precincts)
             n_parts = min(split_parts, len(bounds)) if split_parts > 1 else 1
             cuts = [0] + [bounds[(i + 1) * len(bounds) // n_parts - 1]
                           for i in range(n_parts)]
@@ -862,6 +934,9 @@ def decode_j2k(stream):
         elif marker == b'\xFF\x52':
             levels = seg[5]
             cb_exp = seg[6] + 2
+            sop, eph = bool(seg[0] & 2), bool(seg[0] & 4)
+            precincts = [(b & 0xF, b >> 4) for b in seg[10:10 + levels + 1]] \
+                if seg[0] & 1 else None
         elif marker == b'\xFF\x5C':
             eps = [b >> 3 for b in seg[1:]]
         elif marker == b'\xFF\x90':
@@ -873,7 +948,6 @@ def decode_j2k(stream):
             pos = end
             continue
         pos += ln
-    cb = 1 << cb_exp
     ntx, nty = -(-(xs - xto) // xt), -(-(ys - yto) // yt)
     out2d = [[0] * w for _ in range(h)]
     half = 1 << (depth - 1)
@@ -884,7 +958,9 @@ def decode_j2k(stream):
             y0, y1 = max(yto + ty * yt, yo), min(yto + (ty + 1) * yt, ys)
             t_h, t_w = y1 - y0, x1 - x0
             body = b''.join(tile_parts[ty * ntx + tx])
-            px = _decode_tile(body, t_h, t_w, levels, cb, eps)
+            px = _decode_tile(body, t_h, t_w, levels, cb_exp, eps,
+                              gx0=x0, gy0=y0, sop=sop, eph=eph,
+                              precincts=precincts)
             for y in range(t_h):
                 for x in range(t_w):
                     v = px[y][x] + half
@@ -894,61 +970,100 @@ def decode_j2k(stream):
     return h, w, depth, out
 
 
-def _decode_tile(body, h, w, levels, cb, eps):
-    """One tile's packets -> level-shifted 2-D samples (reference side)."""
-    br = None
+def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
+                 sop=False, eph=False, precincts=None):
+    """One tile's packets -> level-shifted 2-D samples (reference side).
+    Mirrors _tile_body's precinct / globally-anchored block geometry."""
+    pps = precincts or [(15, 15)] * (levels + 1)
     bands = {}
-    bodypos = 0
+    mbs = {}
     epi = 0
     for r in range(levels + 1):
-        br = BitReader(body, bodypos)
-        contribs = []
-        nonempty = br.get()
         for (d, name) in packet_bands(levels, r):
             bh, bw_ = band_dims(h, w, d, name)
-            mb = GUARD_BITS + eps[epi] - 1
+            mbs[(d, name)] = GUARD_BITS + eps[epi] - 1
             epi += 1
-            grid = [[0] * bw_ for _ in range(bh)]
-            bands[(d, name)] = grid
-            if bh == 0 or bw_ == 0 or not nonempty:
-                continue
-            nbx, nby = -(-bw_ // cb), -(-bh // cb)
-            t_incl = TagTree(nbx, nby)
-            t_zbp = TagTree(nbx, nby)
-            for by in range(nby):
-                for bx in range(nbx):
-                    known, val = t_incl.decode(bx, by, 1, br)
-                    if not (known and val < 1):
+            bands[(d, name)] = [[0] * bw_ for _ in range(bh)]
+    bodypos = 0
+    for r in range(levels + 1):
+        dres = levels - r
+        trx0, try0 = gx0 >> dres, gy0 >> dres
+        trx1 = -(-(gx0 + w) // (1 << dres))
+        try1 = -(-(gy0 + h) // (1 << dres))
+        ppx, ppy = pps[r]
+        shx = ppx if r == 0 else ppx - 1
+        shy = ppy if r == 0 else ppy - 1
+        if trx1 > trx0 and try1 > try0:
+            kx0, ky0 = trx0 >> ppx, try0 >> ppy
+            npx = -(-trx1 // (1 << ppx)) - kx0
+            npy = -(-try1 // (1 << ppy)) - ky0
+        else:
+            npx = npy = 0
+        for pyi in range(npy):
+            for pxi in range(npx):
+                if sop and body[bodypos:bodypos + 2] == b'\xFF\x91':
+                    bodypos += 6
+                br = BitReader(body, bodypos)
+                contribs = []
+                nonempty = br.get()
+                for (d, name) in packet_bands(levels, r):
+                    bh, bw_ = band_dims(h, w, d, name)
+                    if bh == 0 or bw_ == 0 or not nonempty:
                         continue
-                    t = 1
-                    while True:
-                        k2, zv = t_zbp.decode(bx, by, t, br)
-                        if k2:
-                            break
-                        t += 1
-                    nbps = mb - zv
-                    npasses = _get_npasses(br)
-                    lblock = 3
-                    while br.get():
-                        lblock += 1
-                    nlen = br.get_bits(lblock + _ilog2(npasses))
-                    contribs.append((d, name, bx, by, nbps, npasses, nlen))
-        br.align()
-        datapos = br.pos
-        for (d, name, bx, by, nbps, npasses, nlen) in contribs:
-            data = body[datapos:datapos + nlen]
-            datapos += nlen
-            bh, bw_ = band_dims(h, w, d, name)
-            y0, x0 = by * cb, bx * cb
-            hh = min(cb, bh - y0)
-            ww = min(cb, bw_ - x0)
-            mags, negs = decode_block_passes(
-                data, ww, hh, 'LL' if name == 'LL' else name, nbps, npasses)
-            grid = bands[(d, name)]
-            for y in range(hh):
-                for x in range(ww):
-                    grid[y0 + y][x0 + x] = -mags[y][x] if negs[y][x] else mags[y][x]
-        bodypos = datapos
+                    tbx0, tby0 = _band_origin(gx0, gy0, d)
+                    px0 = max((kx0 + pxi) << shx, tbx0)
+                    px1 = min((kx0 + pxi + 1) << shx, tbx0 + bw_)
+                    py0 = max((ky0 + pyi) << shy, tby0)
+                    py1 = min((ky0 + pyi + 1) << shy, tby0 + bh)
+                    if px1 <= px0 or py1 <= py0:
+                        continue
+                    cshx, cshy = min(cb_exp, shx), min(cb_exp, shy)
+                    bx0, by0 = px0 >> cshx, py0 >> cshy
+                    nbx = -(-px1 // (1 << cshx)) - bx0
+                    nby = -(-py1 // (1 << cshy)) - by0
+                    t_incl = TagTree(nbx, nby)
+                    t_zbp = TagTree(nbx, nby)
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            known, val = t_incl.decode(bx, by, 1, br)
+                            if not (known and val < 1):
+                                continue
+                            t = 1
+                            while True:
+                                k2, zv = t_zbp.decode(bx, by, t, br)
+                                if k2:
+                                    break
+                                t += 1
+                            nbps = mbs[(d, name)] - zv
+                            npasses = _get_npasses(br)
+                            lblock = 3
+                            while br.get():
+                                lblock += 1
+                            nlen = br.get_bits(lblock + _ilog2(npasses))
+                            xa = max((bx0 + bx) << cshx, px0)
+                            xb = min((bx0 + bx + 1) << cshx, px1)
+                            ya = max((by0 + by) << cshy, py0)
+                            yb = min((by0 + by + 1) << cshy, py1)
+                            contribs.append((d, name, xa - tbx0, ya - tby0,
+                                             xb - xa, yb - ya,
+                                             nbps, npasses, nlen))
+                br.align()
+                datapos = br.pos
+                if eph:
+                    assert body[datapos:datapos + 2] == b'\xFF\x92', "missing EPH"
+                    datapos += 2
+                for (d, name, x0, y0, ww, hh, nbps, npasses, nlen) in contribs:
+                    data = body[datapos:datapos + nlen]
+                    datapos += nlen
+                    mags, negs = decode_block_passes(
+                        data, ww, hh, 'LL' if name == 'LL' else name,
+                        nbps, npasses)
+                    grid = bands[(d, name)]
+                    for y in range(hh):
+                        for x in range(ww):
+                            grid[y0 + y][x0 + x] = \
+                                -mags[y][x] if negs[y][x] else mags[y][x]
+                bodypos = datapos
     return reconstruct(bands, h, w, levels)
 
 

@@ -9,12 +9,17 @@ import scala.collection.mutable.ArrayBuffer
   * The reference reads Sentinel-2 band files (the `*B02.jp2` glob) through
   * rasterio/GDAL (publish.py:263–270, utils.py:335–342); Sentinel-2 L1C
   * codestreams are exactly this path: reversible 5/3 wavelet, no
-  * quantization, MQ-coded passes. Supported subset (checked up front, with
-  * a clear error outside it): single component, one quality layer,
-  * LRCP/RLCP progression (identical packet order at one layer), default
-  * (whole-subband) precincts, no SOP/EPH, code-block style 0. Within the
-  * subset any geometry goes — arbitrary dims, TILED codestreams (each
-  * tile decodes independently, any tile-part split, Psot=0 last-part),
+  * quantization, MQ-coded passes, Kakadu-encoded with RPCL progression,
+  * custom precincts and SOP/EPH framing — all supported here. Subset
+  * (checked up front, with a clear error outside it): single component,
+  * one quality layer, LRCP/RLCP/RPCL progression (identical packet walks
+  * at one layer/component), code-block style 0, canvas/tile origins at 0
+  * with tile sizes a multiple of 2^levels (every real product; the gate
+  * keeps per-tile local DWT parity equal to the spec's global parity).
+  * Within the subset any geometry goes — arbitrary dims, TILED
+  * codestreams (each tile decodes independently, any tile-part split,
+  * Psot=0 last-part), per-resolution precincts with canvas-anchored
+  * code-block partition (B.6/B.7 — partial first blocks handled),
   * decomposition levels 0..32, code-block size, bit depth to 16.
   *
   * Spec map (clause → here):
@@ -449,7 +454,12 @@ object Jp2Decode {
 
   // ------------------------------------------------------------ the stream
 
-  private final case class Cod(levels: Int, cbw: Int, cbh: Int)
+  /** cbwLog/cbhLog are the code-block size EXPONENTS (size before the
+    * per-resolution precinct clamp); ppx/ppy are per-resolution precinct
+    * exponents, 15 (whole subband) when COD carries no precinct sizes. */
+  private final case class Cod(levels: Int, cbwLog: Int, cbhLog: Int,
+                               sop: Boolean, eph: Boolean,
+                               ppx: Array[Int], ppy: Array[Int])
 
   /** ceil(n / 2^k) without overflow for the sizes in play. */
   @inline private def ceilShift(n: Int, k: Int): Int = {
@@ -520,27 +530,49 @@ object Jp2Decode {
           case 0xFF52 => // COD (A.6.1)
             val o = pos + 2
             val scod = buf.get(o).toInt & 0xFF
-            require((scod & 0x07) == 0, "precincts/SOP/EPH outside subset")
+            // bit 0 = custom precincts (per-resolution size bytes at the
+            // end of SPcod); bits 1/2 = SOP / EPH marker segments — the
+            // Kakadu production settings Sentinel-2 streams carry
+            val sop = (scod & 0x02) != 0
+            val eph = (scod & 0x04) != 0
             val prog = buf.get(o + 1).toInt & 0xFF
             val layers = buf.getShort(o + 2).toInt & 0xFFFF
             val mct = buf.get(o + 4).toInt & 0xFF
-            // with one layer, one component and whole-subband precincts,
-            // LRCP (0) and RLCP (1) order packets identically — both are
-            // plain resolution order, so both are in-subset
-            require(prog == 0 || prog == 1,
-              s"LRCP/RLCP-only subset, got progression $prog")
+            // with one layer and one component, LRCP (0), RLCP (1) and
+            // RPCL (2) all order packets (resolution, precinct-position) —
+            // identical walks, so all three are in-subset. PCRL/CPRL put
+            // position outermost and interleave resolutions: outside.
+            require(prog == 0 || prog == 1 || prog == 2,
+              s"LRCP/RLCP/RPCL-only subset, got progression $prog")
             require(layers == 1, s"single-layer subset, got $layers layers")
             require(mct == 0, "multi-component transform outside subset")
             val levels = buf.get(o + 5).toInt & 0xFF
-            val cbw = 1 << ((buf.get(o + 6).toInt & 0x0F) + 2)
-            val cbh = 1 << ((buf.get(o + 7).toInt & 0x0F) + 2)
+            val cbwLog = (buf.get(o + 6).toInt & 0x0F) + 2
+            val cbhLog = (buf.get(o + 7).toInt & 0x0F) + 2
             val cbStyle = buf.get(o + 8).toInt & 0xFF
             val transform = buf.get(o + 9).toInt & 0xFF
             require(cbStyle == 0, "code-block style modes outside subset")
             require(transform == 1, "irreversible 9/7 outside subset (5/3 only)")
-            require(levels <= 32 && cbw <= 64 && cbh <= 64,
-              s"implausible COD: levels=$levels cb=${cbw}x$cbh")
-            cod = Cod(levels, cbw, cbh)
+            require(levels <= 32 && cbwLog <= 6 && cbhLog <= 6,
+              s"implausible COD: levels=$levels cbLog=${cbwLog}x$cbhLog")
+            val (ppx, ppy) =
+              if ((scod & 0x01) != 0) {
+                require(len >= 12 + levels + 1, "COD truncated precinct sizes")
+                val px = new Array[Int](levels + 1)
+                val py = new Array[Int](levels + 1)
+                var i = 0
+                while (i <= levels) {
+                  val b = buf.get(o + 10 + i).toInt & 0xFF
+                  px(i) = b & 0x0F; py(i) = b >>> 4
+                  // PP=0 is only legal at r>0 (detail band size 2^-1 never
+                  // arises at r=0, A.6.1); guard the degenerate case
+                  require(i == 0 || (px(i) >= 1 && py(i) >= 1),
+                    s"precinct exponent 0 illegal above resolution 0")
+                  i += 1
+                }
+                (px, py)
+              } else (Array.fill(levels + 1)(15), Array.fill(levels + 1)(15))
+            cod = Cod(levels, cbwLog, cbhLog, sop, eph, ppx, ppy)
             pos += len
           case 0xFF5C => // QCD (A.6.4)
             val o = pos + 2
@@ -583,6 +615,15 @@ object Jp2Decode {
     }
     require(tileParts.size == ntx * nty,
       s"codestream has ${tileParts.size} tiles, grid needs ${ntx * nty}")
+    // alignment gate: per-tile local DWT parity equals the spec's global
+    // parity only when tile origins are multiples of 2^levels. Origin-0
+    // canvases with power-of-two tile sizes (every real Sentinel-2 / GDAL
+    // product) satisfy this; anything else fails loudly, not wrongly.
+    require(xo == 0 && yo == 0 && xto == 0 && yto == 0,
+      "nonzero canvas/tile origins outside subset")
+    require((ntx == 1 && nty == 1) ||
+      (xt % (1 << cod.levels) == 0 && yt % (1 << cod.levels) == 0),
+      s"tile size ${xt}x$yt must be a multiple of 2^levels=${1 << cod.levels}")
     for (ty <- 0 until nty; tx <- 0 until ntx) {
       val x0 = math.max(xto + tx * xt, xo); val x1 = math.min(xto + (tx + 1).toLong * xt, xs.toLong).toInt
       val y0 = math.max(yto + ty * yt, yo); val y1 = math.min(yto + (ty + 1).toLong * yt, ys.toLong).toInt
@@ -596,7 +637,7 @@ object Jp2Decode {
           parts.foreach { p => System.arraycopy(p, 0, all, o, p.length); o += p.length }
           all
         }
-      val tilePx = decodeTile(body, th, tw, cod, guard, exps)
+      val tilePx = decodeTile(body, th, tw, x0, y0, cod, guard, exps)
       var y = 0
       while (y < th) {
         var x = 0
@@ -614,87 +655,146 @@ object Jp2Decode {
 
   @inline private def ceilDiv(n: Int, d: Int): Int = ((n.toLong + d - 1) / d).toInt
 
-  /** Decode one tile's packet sequence (LRCP/RLCP, L=1: one packet per
-    * resolution level) and run the inverse wavelet over the tile dims.
-    * Returns level-shifted signed samples row-major (th×tw). */
+  /** Decode one tile's packet sequence (LRCP/RLCP/RPCL at L=1: resolution
+    * order, precincts raster within each resolution, B.6) and run the
+    * inverse wavelet over the tile dims. (gx0, gy0) is the tile's canvas
+    * origin — precinct and code-block partitions anchor at canvas 0
+    * (B.6/B.7), so a tile whose band range starts mid-block carries a
+    * partial first block. Returns level-shifted signed samples row-major
+    * (th×tw). */
   private def decodeTile(body: Array[Byte], h: Int, w: Int,
+                         gx0: Int, gy0: Int,
                          cod: Cod, guard: Int, exps: Array[Int]): Array[Int] = {
     val levels = cod.levels
-    // coefficient grids per band, keyed (level, kind); kind 0 only at `levels`
+    def pktBands(r: Int): Seq[(Int, Int)] =
+      if (r == 0) Seq((levels, 0))
+      else { val d = levels - r + 1; Seq((d, 1), (d, 2), (d, 3)) }
+    // coefficient grids and Mb per band (QCD exponents index bands in
+    // codestream order, independent of the precinct walk)
     val bands = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
-    var bodyPos = 0
+    val mbs = scala.collection.mutable.Map.empty[(Int, Int), Int]
     var epi = 0
+    for (r <- 0 to levels; (d, kind) <- pktBands(r)) {
+      val (bh, bw) = bandDims(h, w, d, kind)
+      bands((d, kind)) = new Array[Int](bh * bw)
+      mbs((d, kind)) = guard + exps(epi) - 1
+      epi += 1
+    }
+
+    var bodyPos = 0
     var r = 0
     while (r <= levels) {
-      val pktBands: Seq[(Int, Int)] =
-        if (r == 0) Seq((levels, 0))
-        else { val d = levels - r + 1; Seq((d, 1), (d, 2), (d, 3)) }
-      val br = new HeaderBits(body, bodyPos)
-      val nonEmpty = br.get() == 1
-      // (level, kind, bx, by, nbps, npasses, length)
-      val contribs = Seq.newBuilder[(Int, Int, Int, Int, Int, Int, Int)]
-      for ((d, kind) <- pktBands) {
-        val (bh, bw) = bandDims(h, w, d, kind)
-        val mb = guard + exps(epi) - 1
-        epi += 1
-        bands((d, kind)) = new Array[Int](bh * bw)
-        if (bh > 0 && bw > 0 && nonEmpty) {
-          val nbx = (bw + cod.cbw - 1) / cod.cbw
-          val nby = (bh + cod.cbh - 1) / cod.cbh
-          val inclTree = new TagTreeDec(nbx, nby)
-          val zbpTree = new TagTreeDec(nbx, nby)
-          var by = 0
-          while (by < nby) {
-            var bx = 0
-            while (bx < nbx) {
-              val (known, v) = inclTree.decode(bx, by, 1, br)
-              if (known && v < 1) { // included in the single layer
-                var t = 1
-                var zbp = -1
-                while (zbp < 0) {
-                  val (k2, zv) = zbpTree.decode(bx, by, t, br)
-                  if (k2) zbp = zv else t += 1
+      // resolution-r coordinates of the tile (B-14; origins are aligned,
+      // so the ceil collapses to a shift on the start)
+      val dres = levels - r
+      val trx0 = gx0 >> dres; val try0 = gy0 >> dres
+      val trx1 = ceilShift(gx0 + w, dres); val try1 = ceilShift(gy0 + h, dres)
+      val ppx = cod.ppx(r); val ppy = cod.ppy(r)
+      val shx = if (r == 0) ppx else ppx - 1
+      val shy = if (r == 0) ppy else ppy - 1
+      val (kx0, ky0, npx, npy) =
+        if (trx1 > trx0 && try1 > try0) {
+          val kx = trx0 >> ppx; val ky = try0 >> ppy
+          (kx, ky, ceilShift(trx1, ppx) - kx, ceilShift(try1, ppy) - ky)
+        } else (0, 0, 0, 0)
+
+      var pyi = 0
+      while (pyi < npy) {
+        var pxi = 0
+        while (pxi < npx) {
+          // SOP (FF91, Lsop=4, Nsop) frames the packet when Scod bit 1 set
+          if (cod.sop && bodyPos + 6 <= body.length &&
+            (body(bodyPos) & 0xFF) == 0xFF && (body(bodyPos + 1) & 0xFF) == 0x91)
+            bodyPos += 6
+          val br = new HeaderBits(body, bodyPos)
+          val nonEmpty = br.get() == 1
+          // (level, kind, x0, y0, cw, ch, nbps, npasses, length) — block
+          // rect already in band-LOCAL coordinates
+          val contribs = Seq.newBuilder[(Int, Int, Int, Int, Int, Int, Int, Int, Int)]
+          for ((d, kind) <- pktBands(r)) {
+            val (bh, bw) = bandDims(h, w, d, kind)
+            if (bh > 0 && bw > 0 && nonEmpty) {
+              val tbx0 = gx0 >> d; val tby0 = gy0 >> d
+              // this band's slice of precinct (pxi, pyi)
+              val px0 = math.max((kx0 + pxi) << shx, tbx0)
+              val px1 = math.min((kx0 + pxi + 1) << shx, tbx0 + bw)
+              val py0 = math.max((ky0 + pyi) << shy, tby0)
+              val py1 = math.min((ky0 + pyi + 1) << shy, tby0 + bh)
+              if (px1 > px0 && py1 > py0) {
+                val cshx = math.min(cod.cbwLog, shx)
+                val cshy = math.min(cod.cbhLog, shy)
+                val bx0 = px0 >> cshx; val by0 = py0 >> cshy
+                val nbx = ceilShift(px1, cshx) - bx0
+                val nby = ceilShift(py1, cshy) - by0
+                val inclTree = new TagTreeDec(nbx, nby)
+                val zbpTree = new TagTreeDec(nbx, nby)
+                val mb = mbs((d, kind))
+                var by = 0
+                while (by < nby) {
+                  var bx = 0
+                  while (bx < nbx) {
+                    val (known, v) = inclTree.decode(bx, by, 1, br)
+                    if (known && v < 1) { // included in the single layer
+                      var t = 1
+                      var zbp = -1
+                      while (zbp < 0) {
+                        val (k2, zv) = zbpTree.decode(bx, by, t, br)
+                        if (k2) zbp = zv else t += 1
+                      }
+                      val nbps = mb - zbp
+                      require(nbps >= 1 && nbps <= 31, s"implausible nbps $nbps")
+                      val npasses = readNPasses(br)
+                      var lblock = 3
+                      while (br.get() == 1) lblock += 1
+                      val nbits = lblock + floorLog2(npasses)
+                      val nlen = br.getBits(nbits)
+                      val xa = math.max((bx0 + bx) << cshx, px0)
+                      val xb = math.min((bx0 + bx + 1) << cshx, px1)
+                      val ya = math.max((by0 + by) << cshy, py0)
+                      val yb = math.min((by0 + by + 1) << cshy, py1)
+                      contribs += ((d, kind, xa - tbx0, ya - tby0,
+                        xb - xa, yb - ya, nbps, npasses, nlen))
+                    }
+                    bx += 1
+                  }
+                  by += 1
                 }
-                val nbps = mb - zbp
-                require(nbps >= 1 && nbps <= 31, s"implausible nbps $nbps")
-                val npasses = readNPasses(br)
-                var lblock = 3
-                while (br.get() == 1) lblock += 1
-                val nbits = lblock + floorLog2(npasses)
-                val nlen = br.getBits(nbits)
-                contribs += ((d, kind, bx, by, nbps, npasses, nlen))
               }
-              bx += 1
             }
-            by += 1
           }
+          br.align()
+          var dataPos = br.pos
+          // EPH (FF92, no length) ends the packet header when Scod bit 2 set
+          if (cod.eph) {
+            require(dataPos + 2 <= body.length &&
+              (body(dataPos) & 0xFF) == 0xFF && (body(dataPos + 1) & 0xFF) == 0x92,
+              "COD declares EPH but packet header lacks the marker")
+            dataPos += 2
+          }
+          contribs.result().foreach { case (d, kind, x0, y0, cw, ch, nbps, npasses, nlen) =>
+            require(dataPos + nlen <= body.length, "packet data overruns tile body")
+            val seg = java.util.Arrays.copyOfRange(body, dataPos, dataPos + nlen)
+            dataPos += nlen
+            val (_, bw) = bandDims(h, w, d, kind)
+            // context orientation: LL and LH share column 0, HL swaps, HH diag
+            val orient = kind match {
+              case 1 => 1
+              case 3 => 2
+              case _ => 0
+            }
+            val coefs = decodeBlock(seg, cw, ch, orient, nbps, npasses)
+            val grid = bands((d, kind))
+            var y = 0
+            while (y < ch) {
+              System.arraycopy(coefs, y * cw, grid, (y0 + y) * bw + x0, cw)
+              y += 1
+            }
+          }
+          bodyPos = dataPos
+          pxi += 1
         }
+        pyi += 1
       }
-      br.align()
-      var dataPos = br.pos
-      contribs.result().foreach { case (d, kind, bx, by, nbps, npasses, nlen) =>
-        require(dataPos + nlen <= body.length, "packet data overruns tile body")
-        val seg = java.util.Arrays.copyOfRange(body, dataPos, dataPos + nlen)
-        dataPos += nlen
-        val (bh, bw) = bandDims(h, w, d, kind)
-        val y0 = by * cod.cbh; val x0 = bx * cod.cbw
-        val ch = math.min(cod.cbh, bh - y0)
-        val cw = math.min(cod.cbw, bw - x0)
-        // context orientation: LL and LH share column 0, HL swaps, HH diag
-        val orient = kind match {
-          case 1 => 1
-          case 3 => 2
-          case _ => 0
-        }
-        val coefs = decodeBlock(seg, cw, ch, orient, nbps, npasses)
-        val grid = bands((d, kind))
-        var y = 0
-        while (y < ch) {
-          System.arraycopy(coefs, y * cw, grid, (y0 + y) * bw + x0, cw)
-          y += 1
-        }
-      }
-      bodyPos = dataPos
       r += 1
     }
 

@@ -42,7 +42,7 @@ class Jp2DecodeSpec extends SparkSpec {
       assert(img.pixels(r * 23 + c) == rawPx(r, c))
   }
 
-  test("parameter-space battery: 13 independently-encoded fixtures decode bit-exact") {
+  test("parameter-space battery: 16 independently-encoded fixtures decode bit-exact") {
     // scripts/gen_jp2_battery.py — each stream self-checked by the Python
     // reference decoder before check-in; expectations below recompute each
     // fixture's closed-form formula, independent of both codecs. The matrix
@@ -73,7 +73,14 @@ class Jp2DecodeSpec extends SparkSpec {
       // grids, per-tile wavelet + packets, multi-tile-part with Psot=0
       Case("tiled_80x112_d12_t48", 80, 112, 12, hashPx(112, 12)),
       Case("tiled_53x71_d10_t32", 53, 71, 10, lin(71, 41, 13, 1024)),
-      Case("tileparts_64x64_d12_tp3", 64, 64, 12, hashPx(64, 12)))
+      Case("tileparts_64x64_d12_tp3", 64, 64, 12, hashPx(64, 12)),
+      // SOP/EPH packet framing over a tiled stream (Scod bits 1|2)
+      Case("sopeph_48x80_d12_t32", 48, 80, 12, hashPx(80, 12)),
+      // custom precincts: multiple packets per resolution, block size
+      // clamped to the precinct; plus the full Kakadu Sentinel-2 shape
+      // (tiled + per-resolution precincts + SOP/EPH) in miniature
+      Case("prec_96x64_d12_p5", 96, 64, 12, hashPx(64, 12)),
+      Case("kakadu_96x96_d12_t64", 96, 96, 12, hashPx(96, 12)))
     for (c <- cases) {
       val img = Jp2Decode.decode(resource(s"/graft/jp2/${c.name}.j2k"))
       assert(img.height == c.h && img.width == c.w && img.depth == c.depth,
