@@ -67,6 +67,17 @@ CASES = [
     ("kakadu_96x96_d12_t64", 96, 96, 12, 2, 4, ("hash",),
      {"tile_w": 64, "tile_h": 64, "precincts": [(4, 4), (5, 5), (5, 5)],
       "sop": True, "eph": True}),
+    # quality layers: block passes split across layers (first inclusion
+    # through the tag tree at threshold layer+1, later contributions via
+    # the 1-bit path, zero-contribution layers as a 0 bit), in all three
+    # in-subset progressions
+    ("layers3_48x48_d12_lrcp", 48, 48, 12, 2, 4, ("hash",), {"layers": 3}),
+    ("layers2_40x56_d12_rlcp", 40, 56, 12, 2, 5, ("hash",),
+     {"layers": 2, "prog": 1}),
+    # everything at once: layered RPCL + tiled + precincts + SOP/EPH
+    ("works_64x96_d12_l3", 64, 96, 12, 2, 4, ("hash",),
+     {"tile_w": 32, "tile_h": 32, "precincts": [(4, 4), (5, 5), (5, 5)],
+      "sop": True, "eph": True, "layers": 3, "prog": 2}),
 ]
 
 

@@ -673,26 +673,33 @@ def _band_origin(gx0, gy0, d):
 
 
 def _tile_body(shifted, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
-               sop=False, eph=False, precincts=None):
+               sop=False, eph=False, precincts=None, layers=1, prog=0):
     """Encode one tile's packet sequence from level-shifted samples.
     Returns (body bytes, packet-end offsets) — the offsets are the legal
     tile-part split points (a tile-part boundary must fall between
     packets, A.4.2). sop/eph emit the optional packet-framing markers.
 
-    Spec geometry (T.800 B.6/B.7): precincts of size 2^PPx(r) × 2^PPy(r)
+    Spec geometry (T.800 B.6/B.7): precincts of size 2^PPx(r) x 2^PPy(r)
     anchored at 0 on the resolution-r coordinates partition each
-    resolution into packets (raster order); the code-block partition is
-    ALSO anchored at 0 on band coordinates (so a tile whose band range
-    starts mid-block gets a partial first block), with the block size
-    clamped to the precinct (2^(PP-1) in detail bands). `precincts` is a
-    list of (PPx, PPy) per resolution r=0..levels; None = whole-subband
-    (15, 15) defaults."""
+    resolution into packets; the code-block partition is ALSO anchored at
+    0 on band coordinates (so a tile whose band range starts mid-block
+    gets a partial first block), with the block size clamped to the
+    precinct (2^(PP-1) in detail bands).
+
+    layers > 1 splits each code-block's passes (and bytes,
+    proportionally) across quality layers; first inclusion is signaled
+    through the persistent inclusion tag tree at threshold layer+1,
+    later contributions with the 1-bit path, zero-contribution layers
+    with a 0 bit — the full B.10 layer machinery. prog: 0/1 = LRCP/RLCP
+    (layer-major / resolution-major), 2 = RPCL (precinct inside
+    resolution, layers innermost)."""
     bands = decompose(shifted, h, w, levels)
     pps = precincts or [(15, 15)] * (levels + 1)
 
-    body = bytearray()
-    bounds = []
-    nsop = 0
+    # ---- precompute: per (r, precinct, band) the block grid and each
+    # block's full coded data plus its per-layer (passes, bytes) split
+    res_geom = []       # r -> (npx, npy)
+    prec_bands = {}     # (r, pidx) -> list of None | dict per band
     for r in range(levels + 1):
         dres = levels - r
         trx0, try0 = gx0 >> dres, gy0 >> dres
@@ -707,106 +714,167 @@ def _tile_body(shifted, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
             npy = -(-try1 // (1 << ppy)) - ky0
         else:
             npx = npy = 0
-        for pyi in range(npy):
-            for pxi in range(npx):
-                headers = []
-                for (d, name) in packet_bands(levels, r):
-                    bh, bw_ = band_dims(h, w, d, name)
-                    if bh == 0 or bw_ == 0:
-                        headers.append(None)
-                        continue
-                    tbx0, tby0 = _band_origin(gx0, gy0, d)
-                    # this band's slice of precinct (pxi, pyi)
-                    px0 = max((kx0 + pxi) << shx, tbx0)
-                    px1 = min((kx0 + pxi + 1) << shx, tbx0 + bw_)
-                    py0 = max((ky0 + pyi) << shy, tby0)
-                    py1 = min((ky0 + pyi + 1) << shy, tby0 + bh)
-                    if px1 <= px0 or py1 <= py0:
-                        headers.append(None)
-                        continue
-                    cshx, cshy = min(cb_exp, shx), min(cb_exp, shy)
-                    bx0, by0 = px0 >> cshx, py0 >> cshy
-                    nbx = -(-px1 // (1 << cshx)) - bx0
-                    nby = -(-py1 // (1 << cshy)) - by0
-                    grid = bands[(d, name)]
-                    mb = GUARD_BITS + (depth + gain(name)) - 1
-                    incl = [[1] * nbx for _ in range(nby)]
-                    zbps = [[0] * nbx for _ in range(nby)]
-                    blocks = {}
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            xa = max((bx0 + bx) << cshx, px0)
-                            xb = min((bx0 + bx + 1) << cshx, px1)
-                            ya = max((by0 + by) << cshy, py0)
-                            yb = min((by0 + by + 1) << cshy, py1)
-                            mags = [[abs(grid[ya - tby0 + y][xa - tbx0 + x])
-                                     for x in range(xb - xa)]
-                                    for y in range(yb - ya)]
-                            negs = [[grid[ya - tby0 + y][xa - tbx0 + x] < 0
-                                     for x in range(xb - xa)]
-                                    for y in range(yb - ya)]
-                            nbps, npasses, data = encode_block(
-                                mags, negs, xb - xa, yb - ya,
-                                'LL' if name == 'LL' else name)
-                            assert nbps <= mb, f"nbps {nbps} > Mb {mb} for {name}"
-                            if nbps > 0:
-                                incl[by][bx] = 0
-                                zbps[by][bx] = mb - nbps
-                                blocks[(by, bx)] = (nbps, npasses, data)
-                    headers.append((nbx, nby, incl, zbps, blocks))
-                if sop:
-                    body += b'\xFF\x91\x00\x04' + struct.pack('>H', nsop & 0xFFFF)
-                nsop += 1
-                any_incl = any(hd is not None and hd[4] for hd in headers)
-                bw_pkt = BitWriter()
-                if not any_incl:
-                    bw_pkt.put(0)
-                    body += bw_pkt.flush()
-                    if eph:
-                        body += b'\xFF\x92'
-                    bounds.append(len(body))
+        res_geom.append((npx, npy))
+        for pidx in range(npx * npy):
+            pxi, pyi = pidx % npx, pidx // npx
+            entry = []
+            for (d, name) in packet_bands(levels, r):
+                bh, bw_ = band_dims(h, w, d, name)
+                if bh == 0 or bw_ == 0:
+                    entry.append(None)
                     continue
-                bw_pkt.put(1)
-                pkt_data = bytearray()
-                for hd in headers:
-                    if hd is None:
-                        continue
-                    nbx, nby, incl, zbps, blocks = hd
-                    t_incl = TagTree(nbx, nby)
-                    t_incl.set_leaves(incl)
-                    t_zbp = TagTree(nbx, nby)
-                    t_zbp.set_leaves(zbps)
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            t_incl.encode(bx, by, 1, bw_pkt)
-                            if (by, bx) not in blocks:
-                                continue
-                            nbps, npasses, data = blocks[(by, bx)]
-                            t = 1
-                            while not t_zbp.known[0][by][bx]:
-                                t_zbp.encode(bx, by, t, bw_pkt)
-                                t += 1
-                            _put_npasses(bw_pkt, npasses)
-                            lblock = 3
-                            nbits = lblock + _ilog2(npasses)
-                            while (1 << nbits) <= len(data):
-                                bw_pkt.put(1)
-                                lblock += 1
-                                nbits += 1
-                            bw_pkt.put(0)
-                            bw_pkt.put_bits(len(data), nbits)
-                            pkt_data += data
-                body += bw_pkt.flush()
-                if eph:
-                    body += b'\xFF\x92'
-                body += pkt_data
-                bounds.append(len(body))
+                tbx0, tby0 = _band_origin(gx0, gy0, d)
+                px0 = max((kx0 + pxi) << shx, tbx0)
+                px1 = min((kx0 + pxi + 1) << shx, tbx0 + bw_)
+                py0 = max((ky0 + pyi) << shy, tby0)
+                py1 = min((ky0 + pyi + 1) << shy, tby0 + bh)
+                if px1 <= px0 or py1 <= py0:
+                    entry.append(None)
+                    continue
+                cshx, cshy = min(cb_exp, shx), min(cb_exp, shy)
+                bx0, by0 = px0 >> cshx, py0 >> cshy
+                nbx = -(-px1 // (1 << cshx)) - bx0
+                nby = -(-py1 // (1 << cshy)) - by0
+                grid = bands[(d, name)]
+                mb = GUARD_BITS + (depth + gain(name)) - 1
+                blocks = {}
+                for by in range(nby):
+                    for bx in range(nbx):
+                        xa = max((bx0 + bx) << cshx, px0)
+                        xb = min((bx0 + bx + 1) << cshx, px1)
+                        ya = max((by0 + by) << cshy, py0)
+                        yb = min((by0 + by + 1) << cshy, py1)
+                        mags = [[abs(grid[ya - tby0 + y][xa - tbx0 + x])
+                                 for x in range(xb - xa)]
+                                for y in range(yb - ya)]
+                        negs = [[grid[ya - tby0 + y][xa - tbx0 + x] < 0
+                                 for x in range(xb - xa)]
+                                for y in range(yb - ya)]
+                        nbps, npasses, data = encode_block(
+                            mags, negs, xb - xa, yb - ya,
+                            'LL' if name == 'LL' else name)
+                        assert nbps <= mb, f"nbps {nbps} > Mb {mb} for {name}"
+                        if nbps == 0:
+                            continue
+                        # per-layer split: layer l gets passes
+                        # [n*l//L, n*(l+1)//L), bytes proportional to the
+                        # cumulative pass count (monotone, total-exact)
+                        cum_p = [npasses * (l + 1) // layers
+                                 for l in range(layers)]
+                        cum_b = [len(data) * cp // npasses for cp in cum_p]
+                        cum_b[-1] = len(data)
+                        contrib = []
+                        pp = bb = 0
+                        for l in range(layers):
+                            contrib.append((cum_p[l] - pp, cum_b[l] - bb))
+                            pp, bb = cum_p[l], cum_b[l]
+                        first = next(l for l in range(layers)
+                                     if contrib[l][0] > 0)
+                        blocks[(by, bx)] = {
+                            'zbp': mb - nbps, 'data': data,
+                            'contrib': contrib, 'first': first,
+                            'included': False, 'lblock': 3, 'sent': 0}
+                incl_leaves = [[layers] * nbx for _ in range(nby)]
+                for (by, bx), blk in blocks.items():
+                    incl_leaves[by][bx] = blk['first']
+                t_incl = TagTree(nbx, nby)
+                t_incl.set_leaves(incl_leaves)
+                t_zbp = TagTree(nbx, nby)
+                t_zbp.set_leaves([[blocks.get((by, bx), {'zbp': 0})['zbp']
+                                   for bx in range(nbx)] for by in range(nby)])
+                entry.append({'nbx': nbx, 'nby': nby, 'blocks': blocks,
+                              't_incl': t_incl, 't_zbp': t_zbp})
+            prec_bands[(r, pidx)] = entry
+
+    # ---- packet order per progression (1 component)
+    order = []
+    if prog == 0:                                    # LRCP
+        for l in range(layers):
+            for r in range(levels + 1):
+                for p in range(res_geom[r][0] * res_geom[r][1]):
+                    order.append((l, r, p))
+    elif prog == 1:                                  # RLCP
+        for r in range(levels + 1):
+            for l in range(layers):
+                for p in range(res_geom[r][0] * res_geom[r][1]):
+                    order.append((l, r, p))
+    else:                                            # RPCL
+        for r in range(levels + 1):
+            for p in range(res_geom[r][0] * res_geom[r][1]):
+                for l in range(layers):
+                    order.append((l, r, p))
+
+    body = bytearray()
+    bounds = []
+    nsop = 0
+    for (l, r, p) in order:
+        entry = prec_bands[(r, p)]
+        any_contrib = any(
+            hd is not None and any(
+                (blk['included'] or blk['first'] == l) and
+                blk['contrib'][l][0] > 0
+                for blk in hd['blocks'].values())
+            for hd in entry)
+        if sop:
+            body += b'\xFF\x91\x00\x04' + struct.pack('>H', nsop & 0xFFFF)
+        nsop += 1
+        bw_pkt = BitWriter()
+        if not any_contrib:
+            bw_pkt.put(0)
+            body += bw_pkt.flush()
+            if eph:
+                body += b'\xFF\x92'
+            bounds.append(len(body))
+            continue
+        bw_pkt.put(1)
+        pkt_data = bytearray()
+        for hd in entry:
+            if hd is None:
+                continue
+            blocks = hd['blocks']
+            t_incl, t_zbp = hd['t_incl'], hd['t_zbp']
+            for by in range(hd['nby']):
+                for bx in range(hd['nbx']):
+                    blk = blocks.get((by, bx))
+                    if blk is None or not blk['included']:
+                        # first-inclusion signaling via the tag tree at
+                        # threshold l+1 (leaf = first layer, or `layers`
+                        # for never-included blocks)
+                        t_incl.encode(bx, by, l + 1, bw_pkt)
+                        if blk is None or blk['first'] != l:
+                            continue
+                        blk['included'] = True
+                        t = 1
+                        while not t_zbp.known[0][by][bx]:
+                            t_zbp.encode(bx, by, t, bw_pkt)
+                            t += 1
+                    else:
+                        np_, nb_ = blk['contrib'][l]
+                        bw_pkt.put(1 if np_ > 0 else 0)
+                        if np_ == 0:
+                            continue
+                    np_, nb_ = blk['contrib'][l]
+                    _put_npasses(bw_pkt, np_)
+                    nbits = blk['lblock'] + _ilog2(np_)
+                    while (1 << nbits) <= nb_:
+                        bw_pkt.put(1)
+                        blk['lblock'] += 1
+                        nbits += 1
+                    bw_pkt.put(0)
+                    bw_pkt.put_bits(nb_, nbits)
+                    pkt_data += blk['data'][blk['sent']:blk['sent'] + nb_]
+                    blk['sent'] += nb_
+        body += bw_pkt.flush()
+        if eph:
+            body += b'\xFF\x92'
+        body += pkt_data
+        bounds.append(len(body))
     return bytes(body), bounds
 
 
 def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
                tile_w=None, tile_h=None, split_parts=1, last_psot_zero=False,
-               sop=False, eph=False, precincts=None):
+               sop=False, eph=False, precincts=None, layers=1, prog=0):
     """Full codestream for one unsigned-depth component. Default is a
     single tile; pass tile_w/tile_h for a tiled codestream (one SOT per
     tile, row-major Isot). split_parts > 1 splits each tile's packets
@@ -838,7 +906,7 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
         scod |= 1
         spcod += bytes((ppy << 4) | ppx for (ppx, ppy) in precincts)
     cod = struct.pack('>HBBHB', 12 + (0 if precincts is None else levels + 1),
-                      scod, 0, 1, 0) + spcod
+                      scod, prog, layers, 0) + spcod
     out += b'\xFF\x52' + cod
     eps = [depth + gain('LL')]
     for r in range(1, levels + 1):
@@ -858,7 +926,8 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
                     for y in range(t_h) for x in range(t_w)]
             body, bounds = _tile_body(tile, t_h, t_w, depth, levels, cb_exp,
                                       gx0=x0, gy0=y0, sop=sop, eph=eph,
-                                      precincts=precincts)
+                                      precincts=precincts, layers=layers,
+                                      prog=prog)
             n_parts = min(split_parts, len(bounds)) if split_parts > 1 else 1
             cuts = [0] + [bounds[(i + 1) * len(bounds) // n_parts - 1]
                           for i in range(n_parts)]
@@ -935,6 +1004,8 @@ def decode_j2k(stream):
             levels = seg[5]
             cb_exp = seg[6] + 2
             sop, eph = bool(seg[0] & 2), bool(seg[0] & 4)
+            prog = seg[1]
+            layers = struct.unpack('>H', seg[2:4])[0]
             precincts = [(b & 0xF, b >> 4) for b in seg[10:10 + levels + 1]] \
                 if seg[0] & 1 else None
         elif marker == b'\xFF\x5C':
@@ -960,7 +1031,7 @@ def decode_j2k(stream):
             body = b''.join(tile_parts[ty * ntx + tx])
             px = _decode_tile(body, t_h, t_w, levels, cb_exp, eps,
                               gx0=x0, gy0=y0, sop=sop, eph=eph,
-                              precincts=precincts)
+                              precincts=precincts, layers=layers, prog=prog)
             for y in range(t_h):
                 for x in range(t_w):
                     v = px[y][x] + half
@@ -971,9 +1042,12 @@ def decode_j2k(stream):
 
 
 def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
-                 sop=False, eph=False, precincts=None):
+                 sop=False, eph=False, precincts=None, layers=1, prog=0):
     """One tile's packets -> level-shifted 2-D samples (reference side).
-    Mirrors _tile_body's precinct / globally-anchored block geometry."""
+    Mirrors _tile_body's precinct / layer / globally-anchored geometry:
+    per-block state (inclusion, Lblock, accumulated passes + bytes)
+    persists across layer packets; every block decodes once at the end
+    from its concatenated segments."""
     pps = precincts or [(15, 15)] * (levels + 1)
     bands = {}
     mbs = {}
@@ -984,86 +1058,126 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
             mbs[(d, name)] = GUARD_BITS + eps[epi] - 1
             epi += 1
             bands[(d, name)] = [[0] * bw_ for _ in range(bh)]
-    bodypos = 0
+
+    res_geom = []
     for r in range(levels + 1):
         dres = levels - r
         trx0, try0 = gx0 >> dres, gy0 >> dres
         trx1 = -(-(gx0 + w) // (1 << dres))
         try1 = -(-(gy0 + h) // (1 << dres))
         ppx, ppy = pps[r]
-        shx = ppx if r == 0 else ppx - 1
-        shy = ppy if r == 0 else ppy - 1
         if trx1 > trx0 and try1 > try0:
             kx0, ky0 = trx0 >> ppx, try0 >> ppy
             npx = -(-trx1 // (1 << ppx)) - kx0
             npy = -(-try1 // (1 << ppy)) - ky0
         else:
-            npx = npy = 0
-        for pyi in range(npy):
-            for pxi in range(npx):
-                if sop and body[bodypos:bodypos + 2] == b'\xFF\x91':
-                    bodypos += 6
-                br = BitReader(body, bodypos)
-                contribs = []
-                nonempty = br.get()
-                for (d, name) in packet_bands(levels, r):
-                    bh, bw_ = band_dims(h, w, d, name)
-                    if bh == 0 or bw_ == 0 or not nonempty:
-                        continue
-                    tbx0, tby0 = _band_origin(gx0, gy0, d)
-                    px0 = max((kx0 + pxi) << shx, tbx0)
-                    px1 = min((kx0 + pxi + 1) << shx, tbx0 + bw_)
-                    py0 = max((ky0 + pyi) << shy, tby0)
-                    py1 = min((ky0 + pyi + 1) << shy, tby0 + bh)
-                    if px1 <= px0 or py1 <= py0:
-                        continue
-                    cshx, cshy = min(cb_exp, shx), min(cb_exp, shy)
-                    bx0, by0 = px0 >> cshx, py0 >> cshy
-                    nbx = -(-px1 // (1 << cshx)) - bx0
-                    nby = -(-py1 // (1 << cshy)) - by0
-                    t_incl = TagTree(nbx, nby)
-                    t_zbp = TagTree(nbx, nby)
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            known, val = t_incl.decode(bx, by, 1, br)
-                            if not (known and val < 1):
+            kx0 = ky0 = npx = npy = 0
+        res_geom.append((npx, npy, kx0, ky0))
+
+    order = []
+    if prog == 0:                                    # LRCP
+        for l in range(layers):
+            for r in range(levels + 1):
+                for p in range(res_geom[r][0] * res_geom[r][1]):
+                    order.append((l, r, p))
+    elif prog == 1:                                  # RLCP
+        for r in range(levels + 1):
+            for l in range(layers):
+                for p in range(res_geom[r][0] * res_geom[r][1]):
+                    order.append((l, r, p))
+    else:                                            # RPCL
+        for r in range(levels + 1):
+            for p in range(res_geom[r][0] * res_geom[r][1]):
+                for l in range(layers):
+                    order.append((l, r, p))
+
+    state = {}      # (r, p, band_idx) -> {'t_incl','t_zbp','blocks'}
+    bodypos = 0
+    for (l, r, p) in order:
+        npx, npy, kx0, ky0 = res_geom[r]
+        pxi, pyi = p % npx, p // npx
+        ppx, ppy = pps[r]
+        shx = ppx if r == 0 else ppx - 1
+        shy = ppy if r == 0 else ppy - 1
+        if sop and body[bodypos:bodypos + 2] == b'\xFF\x91':
+            bodypos += 6
+        br = BitReader(body, bodypos)
+        contribs = []
+        nonempty = br.get()
+        if nonempty:
+            for bi, (d, name) in enumerate(packet_bands(levels, r)):
+                bh, bw_ = band_dims(h, w, d, name)
+                if bh == 0 or bw_ == 0:
+                    continue
+                tbx0, tby0 = _band_origin(gx0, gy0, d)
+                px0 = max((kx0 + pxi) << shx, tbx0)
+                px1 = min((kx0 + pxi + 1) << shx, tbx0 + bw_)
+                py0 = max((ky0 + pyi) << shy, tby0)
+                py1 = min((ky0 + pyi + 1) << shy, tby0 + bh)
+                if px1 <= px0 or py1 <= py0:
+                    continue
+                cshx, cshy = min(cb_exp, shx), min(cb_exp, shy)
+                bx0, by0 = px0 >> cshx, py0 >> cshy
+                nbx = -(-px1 // (1 << cshx)) - bx0
+                nby = -(-py1 // (1 << cshy)) - by0
+                st = state.setdefault((r, p, bi), {
+                    't_incl': TagTree(nbx, nby), 't_zbp': TagTree(nbx, nby),
+                    'blocks': {}})
+                for by in range(nby):
+                    for bx in range(nbx):
+                        blk = st['blocks'].get((by, bx))
+                        if blk is None:
+                            known, val = st['t_incl'].decode(bx, by, l + 1, br)
+                            if not (known and val <= l):
                                 continue
                             t = 1
                             while True:
-                                k2, zv = t_zbp.decode(bx, by, t, br)
+                                k2, zv = st['t_zbp'].decode(bx, by, t, br)
                                 if k2:
                                     break
                                 t += 1
-                            nbps = mbs[(d, name)] - zv
-                            npasses = _get_npasses(br)
-                            lblock = 3
-                            while br.get():
-                                lblock += 1
-                            nlen = br.get_bits(lblock + _ilog2(npasses))
-                            xa = max((bx0 + bx) << cshx, px0)
-                            xb = min((bx0 + bx + 1) << cshx, px1)
-                            ya = max((by0 + by) << cshy, py0)
-                            yb = min((by0 + by + 1) << cshy, py1)
-                            contribs.append((d, name, xa - tbx0, ya - tby0,
-                                             xb - xa, yb - ya,
-                                             nbps, npasses, nlen))
-                br.align()
-                datapos = br.pos
-                if eph:
-                    assert body[datapos:datapos + 2] == b'\xFF\x92', "missing EPH"
-                    datapos += 2
-                for (d, name, x0, y0, ww, hh, nbps, npasses, nlen) in contribs:
-                    data = body[datapos:datapos + nlen]
-                    datapos += nlen
-                    mags, negs = decode_block_passes(
-                        data, ww, hh, 'LL' if name == 'LL' else name,
-                        nbps, npasses)
-                    grid = bands[(d, name)]
-                    for y in range(hh):
-                        for x in range(ww):
-                            grid[y0 + y][x0 + x] = \
-                                -mags[y][x] if negs[y][x] else mags[y][x]
-                bodypos = datapos
+                            blk = {'nbps': mbs[(d, name)] - zv, 'lblock': 3,
+                                   'passes': 0, 'segs': bytearray()}
+                            st['blocks'][(by, bx)] = blk
+                        else:
+                            if not br.get():
+                                continue
+                        np_ = _get_npasses(br)
+                        while br.get():
+                            blk['lblock'] += 1
+                        nlen = br.get_bits(blk['lblock'] + _ilog2(np_))
+                        blk['passes'] += np_
+                        xa = max((bx0 + bx) << cshx, px0)
+                        xb = min((bx0 + bx + 1) << cshx, px1)
+                        ya = max((by0 + by) << cshy, py0)
+                        yb = min((by0 + by + 1) << cshy, py1)
+                        contribs.append((blk, nlen, d, name,
+                                         xa - tbx0, ya - tby0,
+                                         xb - xa, yb - ya))
+        br.align()
+        datapos = br.pos
+        if eph:
+            assert body[datapos:datapos + 2] == b'\xFF\x92', "missing EPH"
+            datapos += 2
+        for (blk, nlen, d, name, x0, y0, ww, hh) in contribs:
+            blk['segs'] += body[datapos:datapos + nlen]
+            blk['rect'] = (d, name, x0, y0, ww, hh)
+            datapos += nlen
+        bodypos = datapos
+
+    for st in state.values():
+        for blk in st['blocks'].values():
+            if blk['passes'] == 0 or 'rect' not in blk:
+                continue
+            (d, name, x0, y0, ww, hh) = blk['rect']
+            mags, negs = decode_block_passes(
+                bytes(blk['segs']), ww, hh, 'LL' if name == 'LL' else name,
+                blk['nbps'], blk['passes'])
+            grid = bands[(d, name)]
+            for y in range(hh):
+                for x in range(ww):
+                    grid[y0 + y][x0 + x] = \
+                        -mags[y][x] if negs[y][x] else mags[y][x]
     return reconstruct(bands, h, w, levels)
 
 

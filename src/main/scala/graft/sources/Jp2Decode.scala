@@ -12,15 +12,16 @@ import scala.collection.mutable.ArrayBuffer
   * quantization, MQ-coded passes, Kakadu-encoded with RPCL progression,
   * custom precincts and SOP/EPH framing — all supported here. Subset
   * (checked up front, with a clear error outside it): single component,
-  * one quality layer, LRCP/RLCP/RPCL progression (identical packet walks
-  * at one layer/component), code-block style 0, canvas/tile origins at 0
-  * with tile sizes a multiple of 2^levels (every real product; the gate
-  * keeps per-tile local DWT parity equal to the spec's global parity).
-  * Within the subset any geometry goes — arbitrary dims, TILED
-  * codestreams (each tile decodes independently, any tile-part split,
-  * Psot=0 last-part), per-resolution precincts with canvas-anchored
-  * code-block partition (B.6/B.7 — partial first blocks handled),
-  * decomposition levels 0..32, code-block size, bit depth to 16.
+  * LRCP/RLCP/RPCL progression (PCRL/CPRL interleave resolutions and stay
+  * out), code-block style 0, canvas/tile origins at 0 with tile sizes a
+  * multiple of 2^levels (every real product; the gate keeps per-tile
+  * local DWT parity equal to the spec's global parity). Within the
+  * subset any geometry goes — arbitrary dims, TILED codestreams (each
+  * tile decodes independently, any tile-part split, Psot=0 last-part),
+  * per-resolution precincts with canvas-anchored code-block partition
+  * (B.6/B.7 — partial first blocks handled), QUALITY LAYERS (per-block
+  * segment accumulation across layer packets, B.10), decomposition
+  * levels 0..32, code-block size, bit depth to 16.
   *
   * Spec map (clause → here):
   *  - Annex A markers (SOC/SIZ/COD/QCD/SOT/SOD/EOC) → [[decodeCodestream]]
@@ -456,8 +457,11 @@ object Jp2Decode {
 
   /** cbwLog/cbhLog are the code-block size EXPONENTS (size before the
     * per-resolution precinct clamp); ppx/ppy are per-resolution precinct
-    * exponents, 15 (whole subband) when COD carries no precinct sizes. */
+    * exponents, 15 (whole subband) when COD carries no precinct sizes;
+    * prog 0/1/2 = LRCP/RLCP/RPCL (they differ only in the layer nesting
+    * once layers > 1). */
   private final case class Cod(levels: Int, cbwLog: Int, cbhLog: Int,
+                               layers: Int, prog: Int,
                                sop: Boolean, eph: Boolean,
                                ppx: Array[Int], ppy: Array[Int])
 
@@ -538,13 +542,12 @@ object Jp2Decode {
             val prog = buf.get(o + 1).toInt & 0xFF
             val layers = buf.getShort(o + 2).toInt & 0xFFFF
             val mct = buf.get(o + 4).toInt & 0xFF
-            // with one layer and one component, LRCP (0), RLCP (1) and
-            // RPCL (2) all order packets (resolution, precinct-position) —
-            // identical walks, so all three are in-subset. PCRL/CPRL put
-            // position outermost and interleave resolutions: outside.
+            // LRCP (0), RLCP (1) and RPCL (2) differ only in where the
+            // layer loop nests (B.12); PCRL/CPRL put position outermost
+            // and interleave resolutions: outside the subset.
             require(prog == 0 || prog == 1 || prog == 2,
               s"LRCP/RLCP/RPCL-only subset, got progression $prog")
-            require(layers == 1, s"single-layer subset, got $layers layers")
+            require(layers >= 1 && layers <= 256, s"implausible layer count $layers")
             require(mct == 0, "multi-component transform outside subset")
             val levels = buf.get(o + 5).toInt & 0xFF
             val cbwLog = (buf.get(o + 6).toInt & 0x0F) + 2
@@ -572,7 +575,7 @@ object Jp2Decode {
                 }
                 (px, py)
               } else (Array.fill(levels + 1)(15), Array.fill(levels + 1)(15))
-            cod = Cod(levels, cbwLog, cbhLog, sop, eph, ppx, ppy)
+            cod = Cod(levels, cbwLog, cbhLog, layers, prog, sop, eph, ppx, ppy)
             pos += len
           case 0xFF5C => // QCD (A.6.4)
             val o = pos + 2
@@ -655,13 +658,15 @@ object Jp2Decode {
 
   @inline private def ceilDiv(n: Int, d: Int): Int = ((n.toLong + d - 1) / d).toInt
 
-  /** Decode one tile's packet sequence (LRCP/RLCP/RPCL at L=1: resolution
-    * order, precincts raster within each resolution, B.6) and run the
-    * inverse wavelet over the tile dims. (gx0, gy0) is the tile's canvas
-    * origin — precinct and code-block partitions anchor at canvas 0
-    * (B.6/B.7), so a tile whose band range starts mid-block carries a
-    * partial first block. Returns level-shifted signed samples row-major
-    * (th×tw). */
+  /** Decode one tile's packet sequence (LRCP/RLCP/RPCL over layers ×
+    * resolutions × precincts, B.12) and run the inverse wavelet over the
+    * tile dims. (gx0, gy0) is the tile's canvas origin — precinct and
+    * code-block partitions anchor at canvas 0 (B.6/B.7), so a tile whose
+    * band range starts mid-block carries a partial first block. With
+    * multiple quality layers, per-precinct tag trees and per-block
+    * Lblock persist across packets and each block's codeword segments
+    * concatenate, decoding once at the end. Returns level-shifted signed
+    * samples row-major (th×tw). */
   private def decodeTile(body: Array[Byte], h: Int, w: Int,
                          gx0: Int, gy0: Int,
                          cod: Cod, guard: Int, exps: Array[Int]): Array[Int] = {
@@ -681,121 +686,170 @@ object Jp2Decode {
       epi += 1
     }
 
-    var bodyPos = 0
-    var r = 0
-    while (r <= levels) {
-      // resolution-r coordinates of the tile (B-14; origins are aligned,
-      // so the ceil collapses to a shift on the start)
+    // per-resolution precinct geometry (B-14/B-16; origins are aligned,
+    // so the ceil collapses to a shift on the start)
+    val resGeom = Array.tabulate(levels + 1) { r =>
       val dres = levels - r
       val trx0 = gx0 >> dres; val try0 = gy0 >> dres
       val trx1 = ceilShift(gx0 + w, dres); val try1 = ceilShift(gy0 + h, dres)
       val ppx = cod.ppx(r); val ppy = cod.ppy(r)
+      if (trx1 > trx0 && try1 > try0) {
+        val kx = trx0 >> ppx; val ky = try0 >> ppy
+        (kx, ky, ceilShift(trx1, ppx) - kx, ceilShift(try1, ppy) - ky)
+      } else (0, 0, 0, 0)
+    }
+
+    // packet order (B.12): the three in-subset progressions differ only
+    // in where the layer loop nests
+    val order = Seq.newBuilder[(Int, Int, Int)] // (layer, r, precinct idx)
+    cod.prog match {
+      case 0 => // LRCP
+        for (l <- 0 until cod.layers; r <- 0 to levels;
+             p <- 0 until resGeom(r)._3 * resGeom(r)._4) order += ((l, r, p))
+      case 1 => // RLCP
+        for (r <- 0 to levels; l <- 0 until cod.layers;
+             p <- 0 until resGeom(r)._3 * resGeom(r)._4) order += ((l, r, p))
+      case _ => // RPCL
+        for (r <- 0 to levels; p <- 0 until resGeom(r)._3 * resGeom(r)._4;
+             l <- 0 until cod.layers) order += ((l, r, p))
+    }
+
+    // per-block accumulation across layer packets: inclusion/zero-bitplane
+    // trees and Lblock persist per (precinct, band); each block's passes
+    // and codeword segments concatenate and decode ONCE at the end
+    final class BlkState(val nbps: Int, val x0: Int, val y0: Int,
+                         val cw: Int, val ch: Int) {
+      var lblock = 3
+      var passes = 0
+      val segs = new java.io.ByteArrayOutputStream()
+    }
+    final class PrecState(val nbx: Int, val nby: Int) {
+      val inclTree = new TagTreeDec(nbx, nby)
+      val zbpTree = new TagTreeDec(nbx, nby)
+      val blocks = scala.collection.mutable.Map.empty[(Int, Int), BlkState]
+    }
+    val state = scala.collection.mutable.Map.empty[(Int, Int, Int), PrecState]
+
+    var bodyPos = 0
+    for ((l, r, p) <- order.result()) {
+      val (kx0, ky0, npx, _) = resGeom(r)
+      val pxi = p % npx; val pyi = p / npx
+      val ppx = cod.ppx(r); val ppy = cod.ppy(r)
       val shx = if (r == 0) ppx else ppx - 1
       val shy = if (r == 0) ppy else ppy - 1
-      val (kx0, ky0, npx, npy) =
-        if (trx1 > trx0 && try1 > try0) {
-          val kx = trx0 >> ppx; val ky = try0 >> ppy
-          (kx, ky, ceilShift(trx1, ppx) - kx, ceilShift(try1, ppy) - ky)
-        } else (0, 0, 0, 0)
-
-      var pyi = 0
-      while (pyi < npy) {
-        var pxi = 0
-        while (pxi < npx) {
-          // SOP (FF91, Lsop=4, Nsop) frames the packet when Scod bit 1 set
-          if (cod.sop && bodyPos + 6 <= body.length &&
-            (body(bodyPos) & 0xFF) == 0xFF && (body(bodyPos + 1) & 0xFF) == 0x91)
-            bodyPos += 6
-          val br = new HeaderBits(body, bodyPos)
-          val nonEmpty = br.get() == 1
-          // (level, kind, x0, y0, cw, ch, nbps, npasses, length) — block
-          // rect already in band-LOCAL coordinates
-          val contribs = Seq.newBuilder[(Int, Int, Int, Int, Int, Int, Int, Int, Int)]
-          for ((d, kind) <- pktBands(r)) {
-            val (bh, bw) = bandDims(h, w, d, kind)
-            if (bh > 0 && bw > 0 && nonEmpty) {
-              val tbx0 = gx0 >> d; val tby0 = gy0 >> d
-              // this band's slice of precinct (pxi, pyi)
-              val px0 = math.max((kx0 + pxi) << shx, tbx0)
-              val px1 = math.min((kx0 + pxi + 1) << shx, tbx0 + bw)
-              val py0 = math.max((ky0 + pyi) << shy, tby0)
-              val py1 = math.min((ky0 + pyi + 1) << shy, tby0 + bh)
-              if (px1 > px0 && py1 > py0) {
-                val cshx = math.min(cod.cbwLog, shx)
-                val cshy = math.min(cod.cbhLog, shy)
-                val bx0 = px0 >> cshx; val by0 = py0 >> cshy
-                val nbx = ceilShift(px1, cshx) - bx0
-                val nby = ceilShift(py1, cshy) - by0
-                val inclTree = new TagTreeDec(nbx, nby)
-                val zbpTree = new TagTreeDec(nbx, nby)
-                val mb = mbs((d, kind))
-                var by = 0
-                while (by < nby) {
-                  var bx = 0
-                  while (bx < nbx) {
-                    val (known, v) = inclTree.decode(bx, by, 1, br)
-                    if (known && v < 1) { // included in the single layer
+      // SOP (FF91, Lsop=4, Nsop) frames the packet when Scod bit 1 set
+      if (cod.sop && bodyPos + 6 <= body.length &&
+        (body(bodyPos) & 0xFF) == 0xFF && (body(bodyPos + 1) & 0xFF) == 0x91)
+        bodyPos += 6
+      val br = new HeaderBits(body, bodyPos)
+      val nonEmpty = br.get() == 1
+      val contribs = Seq.newBuilder[(BlkState, Int, Int, Int)] // blk, nlen, d, kind
+      if (nonEmpty) {
+        var bandIdx = 0
+        for ((d, kind) <- pktBands(r)) {
+          val (bh, bw) = bandDims(h, w, d, kind)
+          if (bh > 0 && bw > 0) {
+            val tbx0 = gx0 >> d; val tby0 = gy0 >> d
+            // this band's slice of precinct (pxi, pyi)
+            val px0 = math.max((kx0 + pxi) << shx, tbx0)
+            val px1 = math.min((kx0 + pxi + 1) << shx, tbx0 + bw)
+            val py0 = math.max((ky0 + pyi) << shy, tby0)
+            val py1 = math.min((ky0 + pyi + 1) << shy, tby0 + bh)
+            if (px1 > px0 && py1 > py0) {
+              val cshx = math.min(cod.cbwLog, shx)
+              val cshy = math.min(cod.cbhLog, shy)
+              val bx0 = px0 >> cshx; val by0 = py0 >> cshy
+              val nbx = ceilShift(px1, cshx) - bx0
+              val nby = ceilShift(py1, cshy) - by0
+              val st = state.getOrElseUpdate((r, p, bandIdx), new PrecState(nbx, nby))
+              val mb = mbs((d, kind))
+              var by = 0
+              while (by < nby) {
+                var bx = 0
+                while (bx < nbx) {
+                  var blk = st.blocks.getOrElse((by, bx), null)
+                  var contributes = false
+                  if (blk == null) {
+                    // first-inclusion signaling: tag tree at threshold l+1
+                    val (known, v) = st.inclTree.decode(bx, by, l + 1, br)
+                    if (known && v <= l) {
                       var t = 1
                       var zbp = -1
                       while (zbp < 0) {
-                        val (k2, zv) = zbpTree.decode(bx, by, t, br)
+                        val (k2, zv) = st.zbpTree.decode(bx, by, t, br)
                         if (k2) zbp = zv else t += 1
                       }
                       val nbps = mb - zbp
                       require(nbps >= 1 && nbps <= 31, s"implausible nbps $nbps")
-                      val npasses = readNPasses(br)
-                      var lblock = 3
-                      while (br.get() == 1) lblock += 1
-                      val nbits = lblock + floorLog2(npasses)
-                      val nlen = br.getBits(nbits)
                       val xa = math.max((bx0 + bx) << cshx, px0)
                       val xb = math.min((bx0 + bx + 1) << cshx, px1)
                       val ya = math.max((by0 + by) << cshy, py0)
                       val yb = math.min((by0 + by + 1) << cshy, py1)
-                      contribs += ((d, kind, xa - tbx0, ya - tby0,
-                        xb - xa, yb - ya, nbps, npasses, nlen))
+                      blk = new BlkState(nbps, xa - tbx0, ya - tby0, xb - xa, yb - ya)
+                      st.blocks((by, bx)) = blk
+                      contributes = true
                     }
-                    bx += 1
+                  } else contributes = br.get() == 1 // already-included: 1 bit
+                  if (contributes) {
+                    val npasses = readNPasses(br)
+                    while (br.get() == 1) blk.lblock += 1
+                    val nlen = br.getBits(blk.lblock + floorLog2(npasses))
+                    blk.passes += npasses
+                    contribs += ((blk, nlen, d, kind))
                   }
-                  by += 1
+                  bx += 1
                 }
+                by += 1
               }
             }
           }
-          br.align()
-          var dataPos = br.pos
-          // EPH (FF92, no length) ends the packet header when Scod bit 2 set
-          if (cod.eph) {
-            require(dataPos + 2 <= body.length &&
-              (body(dataPos) & 0xFF) == 0xFF && (body(dataPos + 1) & 0xFF) == 0x92,
-              "COD declares EPH but packet header lacks the marker")
-            dataPos += 2
-          }
-          contribs.result().foreach { case (d, kind, x0, y0, cw, ch, nbps, npasses, nlen) =>
-            require(dataPos + nlen <= body.length, "packet data overruns tile body")
-            val seg = java.util.Arrays.copyOfRange(body, dataPos, dataPos + nlen)
-            dataPos += nlen
-            val (_, bw) = bandDims(h, w, d, kind)
-            // context orientation: LL and LH share column 0, HL swaps, HH diag
-            val orient = kind match {
-              case 1 => 1
-              case 3 => 2
-              case _ => 0
-            }
-            val coefs = decodeBlock(seg, cw, ch, orient, nbps, npasses)
-            val grid = bands((d, kind))
-            var y = 0
-            while (y < ch) {
-              System.arraycopy(coefs, y * cw, grid, (y0 + y) * bw + x0, cw)
-              y += 1
-            }
-          }
-          bodyPos = dataPos
-          pxi += 1
+          bandIdx += 1
         }
-        pyi += 1
       }
-      r += 1
+      br.align()
+      var dataPos = br.pos
+      // EPH (FF92, no length) ends the packet header when Scod bit 2 set
+      if (cod.eph) {
+        require(dataPos + 2 <= body.length &&
+          (body(dataPos) & 0xFF) == 0xFF && (body(dataPos + 1) & 0xFF) == 0x92,
+          "COD declares EPH but packet header lacks the marker")
+        dataPos += 2
+      }
+      contribs.result().foreach { case (blk, nlen, _, _) =>
+        require(dataPos + nlen <= body.length, "packet data overruns tile body")
+        blk.segs.write(body, dataPos, nlen)
+        dataPos += nlen
+      }
+      bodyPos = dataPos
+    }
+
+    // decode every block once from its concatenated segments
+    var bandIdxOf = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (r <- 0 to levels) {
+      var bi = 0
+      for ((d, kind) <- pktBands(r)) { bandIdxOf((r << 2) | bi) = (d, kind); bi += 1 }
+    }
+    state.foreach { case ((r, _, bandIdx), st) =>
+      val (d, kind) = bandIdxOf((r << 2) | bandIdx)
+      val (_, bw) = bandDims(h, w, d, kind)
+      // context orientation: LL and LH share column 0, HL swaps, HH diag
+      val orient = kind match {
+        case 1 => 1
+        case 3 => 2
+        case _ => 0
+      }
+      val grid = bands((d, kind))
+      st.blocks.values.foreach { blk =>
+        if (blk.passes > 0) {
+          val coefs = decodeBlock(blk.segs.toByteArray, blk.cw, blk.ch,
+            orient, blk.nbps, blk.passes)
+          var y = 0
+          while (y < blk.ch) {
+            System.arraycopy(coefs, y * blk.cw, grid, (blk.y0 + y) * bw + blk.x0, blk.cw)
+            y += 1
+          }
+        }
+      }
     }
 
     // ---- inverse 5/3 synthesis, level `levels` down to 1 (Annex F)

@@ -42,7 +42,7 @@ class Jp2DecodeSpec extends SparkSpec {
       assert(img.pixels(r * 23 + c) == rawPx(r, c))
   }
 
-  test("parameter-space battery: 16 independently-encoded fixtures decode bit-exact") {
+  test("parameter-space battery: 19 independently-encoded fixtures decode bit-exact") {
     // scripts/gen_jp2_battery.py — each stream self-checked by the Python
     // reference decoder before check-in; expectations below recompute each
     // fixture's closed-form formula, independent of both codecs. The matrix
@@ -80,7 +80,13 @@ class Jp2DecodeSpec extends SparkSpec {
       // clamped to the precinct; plus the full Kakadu Sentinel-2 shape
       // (tiled + per-resolution precincts + SOP/EPH) in miniature
       Case("prec_96x64_d12_p5", 96, 64, 12, hashPx(64, 12)),
-      Case("kakadu_96x96_d12_t64", 96, 96, 12, hashPx(96, 12)))
+      Case("kakadu_96x96_d12_t64", 96, 96, 12, hashPx(96, 12)),
+      // quality layers (B.10 layer machinery: tag-tree first inclusion at
+      // threshold layer+1, 1-bit re-inclusion, Lblock across packets) in
+      // all three in-subset progressions; plus everything-at-once
+      Case("layers3_48x48_d12_lrcp", 48, 48, 12, hashPx(48, 12)),
+      Case("layers2_40x56_d12_rlcp", 40, 56, 12, hashPx(56, 12)),
+      Case("works_64x96_d12_l3", 64, 96, 12, hashPx(96, 12)))
     for (c <- cases) {
       val img = Jp2Decode.decode(resource(s"/graft/jp2/${c.name}.j2k"))
       assert(img.height == c.h && img.width == c.w && img.depth == c.depth,
