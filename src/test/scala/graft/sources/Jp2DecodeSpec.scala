@@ -107,21 +107,24 @@ class Jp2DecodeSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(cs)
     bb.putInt(8, 0x40000000)
     intercept[Exception](Jp2Decode.decode(cs))
-    // random flips and truncations over a TILED stream (SOT walk, tile-part
-    // concat, stitch bounds): success or a prompt plain exception, never a
-    // hang or wild allocation
-    val tiled = resource("/graft/jp2/tileparts_64x64_d12_tp3.j2k")
-    val rng = new scala.util.Random(43)
-    for (trial <- 0 until 200) {
-      val bytes = tiled.clone()
-      try {
-        if (trial % 3 == 0) Jp2Decode.decode(bytes.take(2 + rng.nextInt(bytes.length - 2)))
-        else {
-          for (_ <- 0 to rng.nextInt(4))
-            bytes(rng.nextInt(bytes.length)) = rng.nextInt(256).toByte
-          Jp2Decode.decode(bytes)
-        }
-      } catch { case _: Exception => () }
+    // random flips and truncations over the stateful stream shapes (SOT
+    // walk, tile-part concat, stitch bounds, precinct walk, layer state):
+    // success or a prompt plain exception, never a hang or wild allocation
+    for (fixture <- Seq("/graft/jp2/tileparts_64x64_d12_tp3.j2k",
+                        "/graft/jp2/works_64x96_d12_l3.j2k")) {
+      val base = resource(fixture)
+      val rng = new scala.util.Random(43)
+      for (trial <- 0 until 200) {
+        val bytes = base.clone()
+        try {
+          if (trial % 3 == 0) Jp2Decode.decode(bytes.take(2 + rng.nextInt(bytes.length - 2)))
+          else {
+            for (_ <- 0 to rng.nextInt(4))
+              bytes(rng.nextInt(bytes.length)) = rng.nextInt(256).toByte
+            Jp2Decode.decode(bytes)
+          }
+        } catch { case _: Exception => () }
+      }
     }
   }
 
