@@ -101,12 +101,31 @@ object Jp2Decode {
   private final val CtxRl = 17
   private final val CtxUni = 18
 
+  // fused transition tables over the packed index (state << 1 | mps):
+  // one lookup yields Qe, and the MPS/LPS successors carry the new MPS
+  // sense (including the SWITCH flip) — half the array traffic of the
+  // textbook four-table formulation in the per-decision hot path
+  private val QeT = new Array[Int](94)
+  private val NmpsT = new Array[Int](94)
+  private val NlpsT = new Array[Int](94)
+  locally {
+    var s = 0
+    while (s < 47) {
+      QeT(2 * s) = Qe(s); QeT(2 * s + 1) = Qe(s)
+      NmpsT(2 * s) = Nmps(s) << 1
+      NmpsT(2 * s + 1) = (Nmps(s) << 1) | 1
+      NlpsT(2 * s) = (Nlps(s) << 1) | Switch(s)
+      NlpsT(2 * s + 1) = (Nlps(s) << 1) | (1 ^ Switch(s))
+      s += 1
+    }
+  }
+
   /** T.88 MQ decoder over one codeword segment; reads past the segment end
     * as 0xFF (marker-byte semantics, C.3.4). */
   private final class MqDec(data: Array[Byte]) {
+    // per-context packed (state << 1 | mps) indices
     private val st = new Array[Int](NCtx)
-    private val mps = new Array[Int](NCtx)
-    st(0) = 4; st(CtxRl) = 3; st(CtxUni) = 46
+    st(0) = 4 << 1; st(CtxRl) = 3 << 1; st(CtxUni) = 46 << 1
     private var bp = 0
     private var c = 0
     private var ct = 0
@@ -140,30 +159,23 @@ object Jp2Decode {
 
     /** DECODE (C.3.2) for context cx → the decoded bit. */
     def decode(cx: Int): Int = {
-      val s = st(cx)
-      val qe = Qe(s)
+      val i = st(cx)
+      val qe = QeT(i)
       a -= qe
       var d = 0
       if (((c >>> 16) & 0xFFFF) < qe) {
         // LPS exchange path
-        if (a < qe) { d = mps(cx); st(cx) = Nmps(s) }
-        else {
-          d = 1 - mps(cx)
-          if (Switch(s) == 1) mps(cx) ^= 1
-          st(cx) = Nlps(s)
-        }
+        if (a < qe) { d = i & 1; st(cx) = NmpsT(i) }
+        else { d = (i & 1) ^ 1; st(cx) = NlpsT(i) }
         a = qe
         renorm()
       } else {
         c -= qe << 16
         if ((a & 0x8000) == 0) {
-          if (a < qe) {
-            d = 1 - mps(cx)
-            if (Switch(s) == 1) mps(cx) ^= 1
-            st(cx) = Nlps(s)
-          } else { d = mps(cx); st(cx) = Nmps(s) }
+          if (a < qe) { d = (i & 1) ^ 1; st(cx) = NlpsT(i) }
+          else { d = i & 1; st(cx) = NmpsT(i) }
           renorm()
-        } else d = mps(cx)
+        } else d = i & 1
       }
       d
     }
@@ -698,6 +710,14 @@ object Jp2Decode {
         (kx, ky, ceilShift(trx1, ppx) - kx, ceilShift(try1, ppy) - ky)
       } else (0, 0, 0, 0)
     }
+
+    // every packet is byte-aligned, so it occupies at least one body byte:
+    // a corrupt COD (tiny precinct exponents × layers) cannot make the
+    // packet walk allocate beyond the data that actually exists
+    val totalPackets = cod.layers.toLong *
+      resGeom.map(g => g._3.toLong * g._4).sum
+    require(totalPackets <= body.length + 1L,
+      s"$totalPackets packets exceed the ${body.length}-byte tile body (corrupt COD?)")
 
     // packet order (B.12): the three in-subset progressions differ only
     // in where the layer loop nests

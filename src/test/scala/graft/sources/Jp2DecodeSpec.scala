@@ -107,6 +107,17 @@ class Jp2DecodeSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(cs)
     bb.putInt(8, 0x40000000)
     intercept[Exception](Jp2Decode.decode(cs))
+    // a hostile COD shrinking the precincts must fail on the packet-count
+    // guard BEFORE the walk materializes 2^2x packet states per tile
+    val hostile = resource("/graft/jp2/works_64x96_d12_l3.j2k").clone()
+    // COD SPcod precinct bytes at codestream offsets 59..61 (SOC 2 +
+    // SIZ 2+43 + COD header 14); 0x11 = 2x2-sample precincts everywhere,
+    // and SGcod layers (offsets 51..52) cranked to 256
+    for (i <- 59 to 61) hostile(i) = 0x11
+    hostile(51) = 1; hostile(52) = 0
+    val e4 = intercept[IllegalArgumentException](Jp2Decode.decode(hostile))
+    assert(e4.getMessage.contains("packets exceed"),
+      s"expected the packet-count guard, got: ${e4.getMessage}")
     // random flips and truncations over the stateful stream shapes (SOT
     // walk, tile-part concat, stitch bounds, precinct walk, layer state):
     // success or a prompt plain exception, never a hang or wild allocation
