@@ -77,19 +77,24 @@ class GeoTiffSpec extends SparkSpec {
       tile <- Gen.oneOf(16, 32, 48)
       epsg <- Gen.option(Gen.choose(2000, 32760))
       nodata <- Gen.option(Gen.oneOf(-9999.0, 0.0, 255.0))
+      container <- Gen.oneOf("classic", "bigtiff", "auto")
       seed <- Gen.choose(0L, Long.MaxValue)
-    } yield (h, w, tile, epsg, nodata, seed)
+    } yield (h, w, tile, epsg, nodata, container, seed)
     val specials = Array(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity,
       -0.0f, Float.MinPositiveValue, Float.MaxValue, -Float.MaxValue)
     val cases = Iterator.continually(shapeGen.sample).flatten.take(25).toSeq
-    for ((h, w, tile, epsg, nodata, seed) <- cases) {
+    for ((h, w, tile, epsg, nodata, container, seed) <- cases) {
       val rng = new scala.util.Random(seed)
       val px = Array.tabulate(h * w) { i =>
         if (i % 11 == 0) specials(rng.nextInt(specials.length))
         else rng.nextFloat() * 2e4f - 1e4f
       }
       val meta = GeoTiff.GeoMeta(epsg = epsg, nodata = nodata)
-      val img = GeoTiff.decode(GeoTiff.encode(h, w, px, meta, tile, Seq(2, 4)))
+      val bytes = GeoTiff.encode(h, w, px, meta, tile, Seq(2, 4),
+        container = container)
+      assert((bytes(2) & 0xff) == (if (container == "bigtiff") 43 else 42),
+        s"container magic for $container")
+      val img = GeoTiff.decode(bytes)
       assert(img.main.height == h && img.main.width == w, s"dims for ($h,$w,$tile)")
       // bit-level compare: NaN payloads, signed zero and infinities must
       // survive — toSeq equality would treat NaN != NaN
