@@ -1,7 +1,9 @@
 """Minimal JPEG 2000 Part-1 codec — reversible 5/3 path only — written
-from the public spec (ITU-T T.800 / ISO-IEC 15444-1): single tile,
-single component, one quality layer, LRCP progression, default
-(whole-subband) precincts, MQ-coded passes, no quantization.
+from the public spec (ITU-T T.800 / ISO-IEC 15444-1): single component,
+MQ-coded passes, no quantization; tiled codestreams (tile-part splits,
+Psot=0), per-resolution custom precincts with canvas-anchored block
+partition, quality layers, LRCP/RLCP/RPCL progressions, SOP/EPH
+framing — the full Kakadu-encoded Sentinel-2 shape.
 
 This file exists ONLY to generate and self-check the checked-in test
 fixture (see gen_jp2_fixture.py). The production decoder is

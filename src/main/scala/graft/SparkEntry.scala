@@ -996,6 +996,34 @@ object SparkEntry {
           size(col("pixels")).cast("long").as("n"))
         .orderBy(col("window_row"), col("window_col"))
     }),
+    // ---- the production Sentinel-2 codestream shape end to end: the
+    // checked-in fixture carries EVERY structural feature a Kakadu-encoded
+    // L1C band file uses — 2x3 tile grid, per-resolution custom precincts,
+    // 3 quality layers in RPCL order, SOP/EPH framing — decoded on
+    // executors and reduced to per-window pixel sums. The oracle
+    // recomputes the fixture's closed-form hash pixels in pure SQL -------
+    "q102_jp2_kakadu" -> ((s, _) => {
+      import s.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/works_64x96_d12_l3.j2k")
+        try in.readAllBytes() finally in.close()
+      }
+      val tiles = SceneIO.tileScene(
+        s.sparkContext.parallelize(Seq(("S2KDU", "B03", bytes)), 1).toDF("scene_id", "band", "content")
+          .as[(String, String, Array[Byte])]
+          .map { case (sid, band, b) =>
+            val img = graft.sources.Jp2Decode.decode(b)
+            (sid, band, img.height, img.width, -1f, img.pixels)
+          }
+          .toDF("scene_id", "band", "height", "width", "nodata", "pixels"),
+        16, 16)
+      tiles
+        .select(col("window_row").cast("long").as("window_row"),
+          col("window_col").cast("long").as("window_col"),
+          aggregate(col("pixels"), lit(0L), (acc, x) => acc + x.cast("long")).as("sum_v"),
+          size(col("pixels")).cast("long").as("n"))
+        .orderBy(col("window_row"), col("window_col"))
+    }),
     // ---- windowed frequent items: the Misra-Gries summary in its exact
     // regime (k ≥ distinct event types), exploded back to rows — the
     // oracle checks it against plain per-window counts, proving the
@@ -1529,6 +1557,16 @@ object SparkEntry {
       """SELECT r // 16 AS window_row, c // 16 AS window_col,
         |  CAST(sum((r*31 + c*7) % 3000) AS BIGINT) AS sum_v, count(*) AS n
         |FROM range(61) t(r), range(97) u(c)
+        |GROUP BY 1, 2 ORDER BY window_row, window_col""".stripMargin,
+    // q102's oracle: the battery's hash-pixel formula
+    // v(i) = ((i * 2654435761) >> 13) & 4095 over the 64x96 grid with the
+    // same ragged 16x16 tiling (scripts/gen_jp2_battery.py) — independent
+    // of both JP2 implementations
+    "q102_jp2_kakadu" ->
+      """SELECT r // 16 AS window_row, c // 16 AS window_col,
+        |  CAST(sum(((r*96 + c) * 2654435761 >> 13) & 4095) AS BIGINT) AS sum_v,
+        |  count(*) AS n
+        |FROM range(64) t(r), range(96) u(c)
         |GROUP BY 1, 2 ORDER BY window_row, window_col""".stripMargin,
     "q100_ivf_index" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
