@@ -302,6 +302,26 @@ object Jp2Decode {
   private final val FNeg = 2
   private final val FVis = 4
   private final val FRef = 8
+  // bits 8..15: THIS sample's neighbor-significance mask, maintained
+  // incrementally — when a sample turns significant it sets one bit in
+  // each of its 8 neighbors, so the zero-coding context becomes a single
+  // table lookup instead of 8 loads per visit
+  private final val NbW = 8; private final val NbE = 9
+  private final val NbN = 10; private final val NbS = 11
+  private final val NbNW = 12; private final val NbNE = 13
+  private final val NbSW = 14; private final val NbSE = 15
+
+  /** Zero-coding context per (orient, neighbor-mask) — Table D.1 folded
+    * into a 3×256 lookup over the incremental mask. */
+  private val ZcLut: Array[Array[Int]] = Array.tabulate(3) { orient =>
+    Array.tabulate(256) { bits =>
+      @inline def b(i: Int) = (bits >>> (i - 8)) & 1
+      val hh = b(NbW) + b(NbE)
+      val vv = b(NbN) + b(NbS)
+      val dd = b(NbNW) + b(NbNE) + b(NbSW) + b(NbSE)
+      zcCtx(hh, vv, dd, orient)
+    }
+  }
 
   /** Decode one code-block's coefficient magnitudes+signs from its MQ
     * segment: cleanup at the MSB plane, then (significance, refinement,
@@ -318,13 +338,17 @@ object Jp2Decode {
     val mag = new Array[Int](w * h)
     val pw = w + 2 // padded stride; (y, x) lives at (y+1)*pw + (x+1)
     val fl = new Array[Int](pw * (h + 2))
+    val zcLut = ZcLut(orient)
 
-    @inline def zctxAt(j: Int): Int = {
-      val hh = (fl(j - 1) & FSig) + (fl(j + 1) & FSig)
-      val vv = (fl(j - pw) & FSig) + (fl(j + pw) & FSig)
-      val dd = (fl(j - pw - 1) & FSig) + (fl(j - pw + 1) & FSig) +
-        (fl(j + pw - 1) & FSig) + (fl(j + pw + 1) & FSig)
-      zcCtx(hh, vv, dd, orient)
+    @inline def zctxAt(j: Int): Int = zcLut((fl(j) >>> 8) & 0xFF)
+    /** Mark j significant and stamp its presence into all 8 neighbors'
+      * masks (the border padding absorbs out-of-block writes). */
+    @inline def setSig(j: Int): Unit = {
+      fl(j) |= FSig
+      fl(j - 1) |= 1 << NbE; fl(j + 1) |= 1 << NbW
+      fl(j - pw) |= 1 << NbS; fl(j + pw) |= 1 << NbN
+      fl(j - pw - 1) |= 1 << NbSE; fl(j - pw + 1) |= 1 << NbSW
+      fl(j + pw - 1) |= 1 << NbNE; fl(j + pw + 1) |= 1 << NbNW
     }
     @inline def contrib(j: Int): Int = {
       val f = fl(j)
@@ -357,7 +381,7 @@ object Jp2Decode {
                   if (cx != 0) {
                     fl(j) |= FVis
                     if (mq.decode(cx) == 1) {
-                      fl(j) |= FSig
+                      setSig(j)
                       mag(y * w + x) |= bit
                       readSign(j)
                     }
@@ -382,9 +406,7 @@ object Jp2Decode {
                 if ((f & (FSig | FVis)) == FSig) {
                   val cx =
                     if ((f & FRef) != 0) 16
-                    else if (((fl(j - 1) | fl(j + 1) | fl(j - pw) | fl(j + pw) |
-                      fl(j - pw - 1) | fl(j - pw + 1) | fl(j + pw - 1) |
-                      fl(j + pw + 1)) & FSig) != 0) 15
+                    else if ((f & 0xFF00) != 0) 15
                     else 14
                   if (mq.decode(cx) == 1) mag(y * w + x) |= bit
                   fl(j) |= FRef
@@ -408,8 +430,8 @@ object Jp2Decode {
               if (rl) {
                 var i = 0
                 while (rl && i < 4) {
-                  val j = j0 + i * pw
-                  rl = (fl(j) & (FSig | FVis)) == 0 && zctxAt(j) == 0
+                  // context 0 ⇔ empty neighbor mask, for every orient
+                  rl = (fl(j0 + i * pw) & (FSig | FVis | 0xFF00)) == 0
                   i += 1
                 }
               }
@@ -418,7 +440,7 @@ object Jp2Decode {
                 else {
                   val k = (mq.decode(CtxUni) << 1) | mq.decode(CtxUni)
                   val j = j0 + k * pw
-                  fl(j) |= FSig
+                  setSig(j)
                   mag((k0 + k) * w + x) |= bit
                   readSign(j)
                   start = k + 1
@@ -429,7 +451,7 @@ object Jp2Decode {
                 val j = j0 + i * pw
                 if ((fl(j) & (FSig | FVis)) == 0) {
                   if (mq.decode(zctxAt(j)) == 1) {
-                    fl(j) |= FSig
+                    setSig(j)
                     mag((k0 + i) * w + x) |= bit
                     readSign(j)
                   }
