@@ -905,18 +905,21 @@ object Jp2Decode {
       val hl = bands((d, 1)); val (_, hlW) = bandDims(h, w, d, 1)
       val lh = bands((d, 2)); val (_, lhW) = bandDims(h, w, d, 2)
       val hh = bands((d, 3)); val (_, hhW) = bandDims(h, w, d, 3)
+      // branch-free interleave: even rows weave LL|HL, odd rows LH|HH,
+      // two samples per step
       var y = 0
       while (y < ph) {
+        val row = y * pw
+        val (lo, hi, loW, hiW) =
+          if ((y & 1) == 0) (ll, hl, llW, hlW) else (lh, hh, lhW, hhW)
+        var li = (y / 2) * loW
+        var hi2 = (y / 2) * hiW
         var x = 0
-        while (x < pw) {
-          val v =
-            if ((y & 1) == 0 && (x & 1) == 0) ll((y / 2) * llW + x / 2)
-            else if ((y & 1) == 0) hl((y / 2) * hlW + x / 2)
-            else if ((x & 1) == 0) lh((y / 2) * lhW + x / 2)
-            else hh((y / 2) * hhW + x / 2)
-          parent(y * pw + x) = v
-          x += 1
+        while (x + 1 < pw) {
+          parent(row + x) = lo(li); parent(row + x + 1) = hi(hi2)
+          li += 1; hi2 += 1; x += 2
         }
+        if (x < pw) parent(row + x) = lo(li)
         y += 1
       }
       inverse53(parent, ph, pw)
@@ -949,47 +952,48 @@ object Jp2Decode {
 
   /** In-place 2-D reversible 5/3 synthesis of one interleaved level: rows
     * then columns, floor-division lifting (F.3.8.2 — Java / truncates
-    * toward zero, so Math.floorDiv is load-bearing for negatives). */
+    * toward zero, so Math.floorDiv is load-bearing for negatives).
+    *
+    * The lifting is parity-safe in place — the even update reads only odd
+    * (still-original) samples plus itself, and symmetric extension (F.3.7)
+    * preserves index parity — so no tmp buffer is needed, and the
+    * vertical pass sweeps whole rows (even rows then odd rows) instead of
+    * walking strided columns: sequential memory traffic at any width. */
   private def inverse53(a: Array[Int], h: Int, w: Int): Unit = {
-    val tmp = new Array[Int](math.max(h, w))
     // rows
-    var y = 0
-    while (y < h) {
-      val off = y * w
-      if (w > 1) {
+    if (w > 1) {
+      var y = 0
+      while (y < h) {
+        val off = y * w
         var i = 0
-        while (i < w) { tmp(i) = a(off + i); i += 1 }
-        i = 0
         while (i < w) { // even (low-pass) samples first
-          a(off + i) = tmp(i) - Math.floorDiv(tmp(ext(i - 1, w)) + tmp(ext(i + 1, w)) + 2, 4)
+          a(off + i) -= Math.floorDiv(a(off + ext(i - 1, w)) + a(off + ext(i + 1, w)) + 2, 4)
           i += 2
         }
         i = 1
         while (i < w) { // odd samples from reconstructed evens
-          a(off + i) = tmp(i) + Math.floorDiv(a(off + ext(i - 1, w)) + a(off + ext(i + 1, w)), 2)
+          a(off + i) += Math.floorDiv(a(off + ext(i - 1, w)) + a(off + ext(i + 1, w)), 2)
           i += 2
         }
+        y += 1
       }
-      y += 1
     }
-    // columns
-    var x = 0
-    while (x < w) {
-      if (h > 1) {
-        var i = 0
-        while (i < h) { tmp(i) = a(i * w + x); i += 1 }
-        i = 0
-        while (i < h) {
-          a(i * w + x) = tmp(i) - Math.floorDiv(tmp(ext(i - 1, h)) + tmp(ext(i + 1, h)) + 2, 4)
-          i += 2
-        }
-        i = 1
-        while (i < h) {
-          a(i * w + x) = tmp(i) + Math.floorDiv(a(ext(i - 1, h) * w + x) + a(ext(i + 1, h) * w + x), 2)
-          i += 2
-        }
+    // columns, swept row-major
+    if (h > 1) {
+      var y = 0
+      while (y < h) {
+        val up = ext(y - 1, h) * w; val dn = ext(y + 1, h) * w; val off = y * w
+        var x = 0
+        while (x < w) { a(off + x) -= Math.floorDiv(a(up + x) + a(dn + x) + 2, 4); x += 1 }
+        y += 2
       }
-      x += 1
+      y = 1
+      while (y < h) {
+        val up = (y - 1) * w; val dn = ext(y + 1, h) * w; val off = y * w
+        var x = 0
+        while (x < w) { a(off + x) += Math.floorDiv(a(up + x) + a(dn + x), 2); x += 1 }
+        y += 2
+      }
     }
   }
 }
