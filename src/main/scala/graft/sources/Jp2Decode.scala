@@ -625,12 +625,31 @@ object Jp2Decode {
             val tileEnd = if (psot0 == 0) cs.length - 2 else pos - 2 + psot0
             require(tileEnd > pos && tileEnd <= cs.length, s"SOT Psot overruns stream")
             var q = pos + len
-            while (!(((cs(q) & 0xFF) == 0xFF) && ((cs(q + 1) & 0xFF) == 0x93)))
-              q += 2 + (buf.getShort(q + 2).toInt & 0xFFFF) // skip tile-part markers
+            while (!(((cs(q) & 0xFF) == 0xFF) && ((cs(q + 1) & 0xFF) == 0x93))) {
+              val m = ((cs(q) & 0xFF) << 8) | (cs(q + 1) & 0xFF)
+              // semantic overrides hiding in a tile-part header must fail
+              // loudly too (informational PLT/COM skip by length)
+              require(m != 0xFF53 && m != 0xFF5D && m != 0xFF5F && m != 0xFF61,
+                f"semantic marker 0x$m%04x in tile-part header outside subset")
+              q += 2 + (buf.getShort(q + 2).toInt & 0xFFFF)
+            }
             tileParts.getOrElseUpdate(isot, ArrayBuffer.empty) +=
               java.util.Arrays.copyOfRange(cs, q + 2, tileEnd)
             pos = tileEnd
-          case _ =>
+          // markers that would silently CHANGE decode semantics must fail
+          // loudly, not be skipped: COC/QCC override COD/QCD per
+          // component, POC rewrites the progression, PPM/PPT move packet
+          // headers out of the tile body
+          case 0xFF53 | 0xFF5D =>
+            throw new IllegalArgumentException(
+              "per-component COC/QCC overrides outside subset")
+          case 0xFF5F =>
+            throw new IllegalArgumentException(
+              "POC progression-order change outside subset")
+          case 0xFF60 | 0xFF61 =>
+            throw new IllegalArgumentException(
+              "PPM/PPT packed packet headers outside subset")
+          case _ => // informational markers (COM, TLM, PLM, PLT, CRG): skip
             pos += len
         }
       }

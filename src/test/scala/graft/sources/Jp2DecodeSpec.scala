@@ -107,6 +107,13 @@ class Jp2DecodeSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(cs)
     bb.putInt(8, 0x40000000)
     intercept[Exception](Jp2Decode.decode(cs))
+    // markers that would silently change decode semantics are rejected
+    // loudly, never skipped: splice an empty COC segment after the SIZ
+    // (codestream offset 45 = SOC 2 + SIZ 2+41)
+    val raw = resource("/graft/tiny_band_raw.j2k")
+    val withCoc = raw.take(45) ++ Array[Byte](0xFF.toByte, 0x53, 0x00, 0x02) ++ raw.drop(45)
+    val eCoc = intercept[IllegalArgumentException](Jp2Decode.decode(withCoc))
+    assert(eCoc.getMessage.contains("COC/QCC"), eCoc.getMessage)
     // a hostile COD shrinking the precincts must fail on the packet-count
     // guard BEFORE the walk materializes 2^2x packet states per tile
     val hostile = resource("/graft/jp2/works_64x96_d12_l3.j2k").clone()
