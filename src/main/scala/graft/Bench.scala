@@ -89,9 +89,12 @@ object Bench {
         // repeatable floor, contention is the variance. A GENUINE plan
         // regression stays slow on every re-run and is still flagged;
         // steady-state heavy queries pay no extra wall.
-        if (first < 1.0 || previous.get(name).exists(first > _ * 1.25))
-          math.min(first, math.min(once(), once()))
-        else first
+        if (first < 1.0 || previous.get(name).exists(first > _ * 1.25)) {
+          // a transient failure on a RE-run must not discard the measured
+          // success — fall back to the first timing
+          val reruns = try math.min(once(), once()) catch { case _: Throwable => first }
+          math.min(first, reruns)
+        } else first
       } catch {
         // a failed query records -1, NOT its (tiny) elapsed time: a fast
         // failure would otherwise poison the per-query baseline minimum

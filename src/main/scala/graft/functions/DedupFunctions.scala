@@ -523,18 +523,29 @@ object DedupFunctions {
     // prefilter win would erode (results stay exact via VERIFY, but the
     // scan-side clear rate is the whole point). Raise the caps to cover
     // the requested sizing before building.
+    // ...and restore them right after: the same caps govern the bloom
+    // filters Catalyst injects into unrelated runtime-filter joins, so
+    // leaving them raised would be a session-wide side effect.
     val spark = corpus.sparkSession
     val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsConf  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (spark.conf.get(itemsConf, "4000000").toLong < expectedGrams)
-      spark.conf.set(itemsConf, expectedGrams.toString)
-    if (spark.conf.get(bitsConf, "67108864").toLong < numBits)
-      spark.conf.set(bitsConf, numBits.toString)
-    val bloomBytes = benchGrams
-      .agg(toCol(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          toExpr(xxhash64(col("__g"))), toExpr(lit(expectedGrams)), toExpr(lit(numBits)))
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val prevItems = spark.conf.get(itemsConf, "4000000")
+    val prevBits = spark.conf.get(bitsConf, "67108864")
+    val bloomBytes =
+      try {
+        if (prevItems.toLong < expectedGrams)
+          spark.conf.set(itemsConf, expectedGrams.toString)
+        if (prevBits.toLong < numBits)
+          spark.conf.set(bitsConf, numBits.toString)
+        benchGrams
+          .agg(toCol(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+              toExpr(xxhash64(col("__g"))), toExpr(lit(expectedGrams)), toExpr(lit(numBits)))
+            .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
+      } finally {
+        spark.conf.set(itemsConf, prevItems)
+        spark.conf.set(bitsConf, prevBits)
+      }
     if (bloomBytes == null) {
       // empty benchmark gram set → the aggregate yields a null blob (which
       // lit() would reject unhelpfully); nothing can be contaminated

@@ -164,7 +164,7 @@ object SceneIO {
                     path: String, nodata: Float = 0f): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.j*2*") // .jp2 / .j2k / .jpx
+      .option("pathGlobFilter", "*.{jp2,j2k,jpx,j2c}")
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -311,7 +311,7 @@ object SceneIO {
     val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
       spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.j*2*") // .jp2 / .j2k / .jpx
+      .option("pathGlobFilter", "*.{jp2,j2k,jpx,j2c}")
       .load(inDir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

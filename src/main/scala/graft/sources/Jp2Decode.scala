@@ -283,17 +283,18 @@ object Jp2Decode {
     }
   }
 
-  /** Sign-coding context (Tables D.3/D.4): packs (context, xorBit). */
-  private def scCtx(hc: Int, vc: Int): (Int, Int) = (hc, vc) match {
-    case (1, 1)   => (13, 0)
-    case (1, 0)   => (12, 0)
-    case (1, -1)  => (11, 0)
-    case (0, 1)   => (10, 0)
-    case (0, 0)   => (9, 0)
-    case (0, -1)  => (10, 1)
-    case (-1, 1)  => (11, 1)
-    case (-1, 0)  => (12, 1)
-    case (-1, -1) => (13, 1)
+  /** Sign-coding context (Tables D.3/D.4) packed as (ctx << 1 | xorBit),
+    * indexed [(hc+1)*3 + (vc+1)] — a flat table, no tuple allocation in
+    * the per-coefficient hot path. */
+  private val ScLut: Array[Int] = {
+    val pairs = Map(
+      (1, 1) -> (13, 0), (1, 0) -> (12, 0), (1, -1) -> (11, 0),
+      (0, 1) -> (10, 0), (0, 0) -> (9, 0), (0, -1) -> (10, 1),
+      (-1, 1) -> (11, 1), (-1, 0) -> (12, 1), (-1, -1) -> (13, 1))
+    Array.tabulate(9) { i =>
+      val (cx, xor) = pairs((i / 3 - 1, i % 3 - 1))
+      (cx << 1) | xor
+    }
   }
 
   // flag bits in the padded state grid (1-sample border kills the
@@ -357,8 +358,8 @@ object Jp2Decode {
     def readSign(j: Int): Unit = {
       val hc = math.max(-1, math.min(1, contrib(j - 1) + contrib(j + 1)))
       val vc = math.max(-1, math.min(1, contrib(j - pw) + contrib(j + pw)))
-      val (cx, xor) = scCtx(hc, vc)
-      if ((mq.decode(cx) ^ xor) == 1) fl(j) |= FNeg
+      val packed = ScLut((hc + 1) * 3 + (vc + 1))
+      if ((mq.decode(packed >>> 1) ^ (packed & 1)) == 1) fl(j) |= FNeg
     }
 
     var pass = 0
@@ -628,8 +629,11 @@ object Jp2Decode {
             while (!(((cs(q) & 0xFF) == 0xFF) && ((cs(q + 1) & 0xFF) == 0x93))) {
               val m = ((cs(q) & 0xFF) << 8) | (cs(q + 1) & 0xFF)
               // semantic overrides hiding in a tile-part header must fail
-              // loudly too (informational PLT/COM skip by length)
-              require(m != 0xFF53 && m != 0xFF5D && m != 0xFF5F && m != 0xFF61,
+              // loudly too — including PER-TILE COD/QCD (A.4.2 allows them
+              // in a first tile-part) and RGN; informational PLT/COM skip
+              // by length
+              require(m != 0xFF52 && m != 0xFF5C && m != 0xFF53 &&
+                m != 0xFF5D && m != 0xFF5E && m != 0xFF5F && m != 0xFF61,
                 f"semantic marker 0x$m%04x in tile-part header outside subset")
               q += 2 + (buf.getShort(q + 2).toInt & 0xFFFF)
             }
@@ -649,6 +653,9 @@ object Jp2Decode {
           case 0xFF60 | 0xFF61 =>
             throw new IllegalArgumentException(
               "PPM/PPT packed packet headers outside subset")
+          case 0xFF5E =>
+            throw new IllegalArgumentException(
+              "RGN region-of-interest coefficient upshift outside subset")
           case _ => // informational markers (COM, TLM, PLM, PLT, CRG): skip
             pos += len
         }
@@ -902,6 +909,11 @@ object Jp2Decode {
       val grid = bands((d, kind))
       st.blocks.values.foreach { blk =>
         if (blk.passes > 0) {
+          // a block with nbps bitplanes codes at most 3*nbps - 2 passes
+          // (one cleanup at the MSB, three per lower plane, D.3); corrupt
+          // headers past that would drive the bitplane index negative
+          require(blk.passes <= 3 * blk.nbps - 2,
+            s"${blk.passes} passes exceed the ${blk.nbps}-bitplane maximum")
           val coefs = decodeBlock(blk.segs.toByteArray, blk.cw, blk.ch,
             orient, blk.nbps, blk.passes)
           var y = 0

@@ -656,7 +656,7 @@ class FunctionsSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.size < 400, "the case must actually drop something")
   }
 
-  test("decontaminateBloom: empty benchmark returns the corpus unchanged; large expectedGrams raises the session caps") {
+  test("decontaminateBloom: empty benchmark returns the corpus unchanged; session caps raised only inside the build") {
     val corpus = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
     val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
     // an empty gram set used to feed a null bloom blob into lit() and fail;
@@ -664,14 +664,23 @@ class FunctionsSpec extends SparkSpec {
     val kept = DedupFunctions.decontaminateBloom(corpus, emptyBench, "text", "doc_id", n = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 2L))
-    // requesting a sizing above the default 4M-item / 67M-bit caps must
-    // raise the session confs so BloomFilterAggregate doesn't silently clamp
+    // a sizing above the default 4M-item / 67M-bit caps is honored (the
+    // confs are raised around the BloomFilterAggregate so it doesn't
+    // silently clamp) but must NOT leak into the session afterwards: the
+    // same caps govern Catalyst's runtime bloom joins for unrelated queries
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsBefore = spark.conf.get(itemsConf, "4000000")
+    val bitsBefore = spark.conf.get(bitsConf, "67108864")
     val bench = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
-    DedupFunctions.decontaminateBloom(corpus, bench, "text", "doc_id",
-      n = 3, fpp = 0.01, expectedGrams = 50000000L).collect()
-    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong >= 50000000L)
-    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong >=
-      math.ceil(-50000000L * math.log(0.01) / (math.log(2) * math.log(2))).toLong)
+    val dropped = DedupFunctions.decontaminateBloom(corpus, bench, "text", "doc_id",
+      n = 3, fpp = 0.01, expectedGrams = 50000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(2L), "doc 1 shares grams with the benchmark and is dropped")
+    assert(spark.conf.get(itemsConf, "4000000") === itemsBefore,
+      "item cap restored after the bloom build")
+    assert(spark.conf.get(bitsConf, "67108864") === bitsBefore,
+      "bit cap restored after the bloom build")
   }
 
   test("capPerGroup keeps at most N per group, deterministically under repartitioning") {

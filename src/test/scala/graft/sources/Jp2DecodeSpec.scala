@@ -197,12 +197,19 @@ class Jp2DecodeSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-jp2")
     Files.write(dir.resolve("S2A_T23LLF_0009__B02.jp2"),
       resource("/graft/tiny_band_B02.jp2"))
+    // a raw-codestream sibling under the .j2k extension: the brace-glob
+    // must pick up every JPEG 2000 extension, and a stray .txt must not
+    // reach the decoder
+    Files.write(dir.resolve("S2A_T23LLF_0009__B08.j2k"),
+      resource("/graft/tiny_band_raw.j2k"))
+    Files.write(dir.resolve("notes.txt"), "not a raster".getBytes)
     val scenes = SceneIO.readJp2Scenes(spark, dir.toString, nodata = -1f)
-    val row = scenes.head()
+    assert(scenes.select("band").as[String].collect().toSet == Set("B02", "B08"))
+    val row = scenes.filter(col("band") === "B02").head()
     assert(row.getString(0) == "S2A_T23LLF_0009" && row.getString(1) == "B02")
     assert(row.getInt(2) == 61 && row.getInt(3) == 97)
     // ragged 16x16 tiling, identity band math, then a global checksum
-    val tiles = SceneIO.tileScene(scenes, 16, 16)
+    val tiles = SceneIO.tileScene(scenes.filter(col("band") === "B02"), 16, 16)
     assert(tiles.count() == 28) // ceil(61/16) * ceil(97/16)
     val out = RasterKernels.bandMath(RasterKernels.pivotBands(tiles),
       "B02", "OUT", -1.0, 0.0, 4095.0)
