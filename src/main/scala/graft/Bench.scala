@@ -90,10 +90,17 @@ object Bench {
         // regression stays slow on every re-run and is still flagged;
         // steady-state heavy queries pay no extra wall.
         if (first < 1.0 || previous.get(name).exists(first > _ * 1.25)) {
-          // a transient failure on a RE-run must not discard the measured
-          // success — fall back to the first timing
-          val reruns = try math.min(once(), once()) catch { case _: Throwable => first }
-          math.min(first, reruns)
+          // per-re-run guard: a transient failure in ONE re-run must not
+          // discard the other's (or the first's) measured success; fatal
+          // JVM errors still propagate to the outer catch
+          def retry(): Double =
+            try once()
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] re-run of $name failed, keeping measured timings: $e")
+                Double.MaxValue
+            }
+          math.min(first, math.min(retry(), retry()))
         } else first
       } catch {
         // a failed query records -1, NOT its (tiny) elapsed time: a fast

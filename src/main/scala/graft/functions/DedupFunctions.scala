@@ -502,6 +502,31 @@ object DedupFunctions {
     * Exactly equivalent to [[decontaminate]] (asserted in FunctionsSpec);
     * the win is that the exact-join input shrinks from the whole corpus to
     * the flagged docs. */
+  /** Raise the session's runtime bloom-filter caps (items, bits) around
+    * `f` when they sit below the requested sizing, then restore the
+    * EXACT previous state — including unset, so a never-touched session
+    * conf stays on Spark's own default rather than a hardcoded copy of
+    * it. The same caps govern Catalyst's runtime bloom joins; leaking a
+    * raise would change unrelated queries' memory behavior. */
+  private[functions] def withRaisedBloomCaps[T](
+      spark: org.apache.spark.sql.SparkSession,
+      items: Long, bits: Long)(f: => T): T = {
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.getOption(itemsConf)
+    val prevBits = spark.conf.getOption(bitsConf)
+    try {
+      if (spark.conf.get(itemsConf, "4000000").toLong < items)
+        spark.conf.set(itemsConf, items.toString)
+      if (spark.conf.get(bitsConf, "67108864").toLong < bits)
+        spark.conf.set(bitsConf, bits.toString)
+      f
+    } finally {
+      prevItems.fold(spark.conf.unset(itemsConf))(spark.conf.set(itemsConf, _))
+      prevBits.fold(spark.conf.unset(bitsConf))(spark.conf.set(bitsConf, _))
+    }
+  }
+
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String, n: Int = 13,
                          fpp: Double = 0.01,
@@ -526,25 +551,13 @@ object DedupFunctions {
     // ...and restore them right after: the same caps govern the bloom
     // filters Catalyst injects into unrelated runtime-filter joins, so
     // leaving them raised would be a session-wide side effect.
-    val spark = corpus.sparkSession
-    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsConf  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = spark.conf.get(itemsConf, "4000000")
-    val prevBits = spark.conf.get(bitsConf, "67108864")
     val bloomBytes =
-      try {
-        if (prevItems.toLong < expectedGrams)
-          spark.conf.set(itemsConf, expectedGrams.toString)
-        if (prevBits.toLong < numBits)
-          spark.conf.set(bitsConf, numBits.toString)
+      withRaisedBloomCaps(corpus.sparkSession, expectedGrams, numBits) {
         benchGrams
           .agg(toCol(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
               toExpr(xxhash64(col("__g"))), toExpr(lit(expectedGrams)), toExpr(lit(numBits)))
             .toAggregateExpression()).as("bf"))
           .head().getAs[Array[Byte]]("bf")
-      } finally {
-        spark.conf.set(itemsConf, prevItems)
-        spark.conf.set(bitsConf, prevBits)
       }
     if (bloomBytes == null) {
       // empty benchmark gram set → the aggregate yields a null blob (which

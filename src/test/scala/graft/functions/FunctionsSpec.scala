@@ -670,17 +670,36 @@ class FunctionsSpec extends SparkSpec {
     // same caps govern Catalyst's runtime bloom joins for unrelated queries
     val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val itemsBefore = spark.conf.get(itemsConf, "4000000")
-    val bitsBefore = spark.conf.get(bitsConf, "67108864")
+    // start from a known state — the session is shared across suites
+    spark.conf.unset(itemsConf); spark.conf.unset(bitsConf)
+    // getOption on a REGISTERED SQL conf yields the session default, so the
+    // observable restore contract is value equality, not unset-ness
+    val itemsBefore = spark.conf.get(itemsConf)
+    val bitsBefore = spark.conf.get(bitsConf)
+    // the raise itself, observed from inside the raised scope...
+    val seenInside = DedupFunctions.withRaisedBloomCaps(spark, 50000000L, 500000000L) {
+      (spark.conf.get(itemsConf).toLong, spark.conf.get(bitsConf).toLong)
+    }
+    assert(seenInside._1 >= 50000000L && seenInside._2 >= 500000000L,
+      "caps must actually be raised while the bloom build runs")
+    // ...and the restore, for both the default and the explicitly-set case
+    assert(spark.conf.get(itemsConf) === itemsBefore &&
+      spark.conf.get(bitsConf) === bitsBefore,
+      "caps restored to their pre-call values")
+    spark.conf.set(itemsConf, "5000000")
+    try {
+      DedupFunctions.withRaisedBloomCaps(spark, 50000000L, 500000000L) { () }
+      assert(spark.conf.get(itemsConf) === "5000000",
+        "a previously-set cap is restored to its explicit value")
+    } finally spark.conf.unset(itemsConf)
     val bench = Seq((7L, "a b c d e f g")).toDF("doc_id", "text")
-    val dropped = DedupFunctions.decontaminateBloom(corpus, bench, "text", "doc_id",
+    val survivors = DedupFunctions.decontaminateBloom(corpus, bench, "text", "doc_id",
       n = 3, fpp = 0.01, expectedGrams = 50000000L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(dropped === Set(2L), "doc 1 shares grams with the benchmark and is dropped")
-    assert(spark.conf.get(itemsConf, "4000000") === itemsBefore,
-      "item cap restored after the bloom build")
-    assert(spark.conf.get(bitsConf, "67108864") === bitsBefore,
-      "bit cap restored after the bloom build")
+    assert(survivors === Set(2L), "doc 1 shares grams with the benchmark and is dropped")
+    assert(spark.conf.get(itemsConf) === itemsBefore &&
+      spark.conf.get(bitsConf) === bitsBefore,
+      "decontaminateBloom leaves the session caps at their pre-call values")
   }
 
   test("capPerGroup keeps at most N per group, deterministically under repartitioning") {
