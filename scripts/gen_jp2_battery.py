@@ -92,6 +92,34 @@ def pixels_for(h, w, depth, formula):
     return [((i * 2654435761) >> 13) & mask for i in range(h * w)]
 
 
+# fixtures that also get reduced-resolution (discard=k) expectation
+# sidecars: <name>.r<k>.txt, one pixel per line row-major. The reference
+# values come from decode_j2k(discard=k), which the self-check below pins
+# against the INDEPENDENT forward-DWT LL of the input pixels.
+REDUCED = {"kakadu_96x96_d12_t64": (1, 2), "lv3_40x33_d12_cb16": (1, 2),
+           "works_64x96_d12_l3": (1,)}
+
+
+def reduced_expect(px, h, w, depth, k, tile_w, tile_h):
+    """LL at level k per tile via the FORWARD transform, stitched."""
+    tw, th = tile_w or w, tile_h or h
+    half = 1 << (depth - 1)
+    lim = (1 << depth) - 1
+    rh, rw = -(-h // (1 << k)), -(-w // (1 << k))
+    out = [[0] * rw for _ in range(rh)]
+    for ty0 in range(0, h, th):
+        for tx0 in range(0, w, tw):
+            t_h, t_w = min(th, h - ty0), min(tw, w - tx0)
+            shifted = [px[(ty0 + y) * w + (tx0 + x)] - half
+                       for y in range(t_h) for x in range(t_w)]
+            ll = jc.decompose(shifted, t_h, t_w, k)[(k, 'LL')]
+            for y in range(len(ll)):
+                for x in range(len(ll[0])):
+                    out[(ty0 >> k) + y][(tx0 >> k) + x] = \
+                        max(0, min(lim, ll[y][x] + half))
+    return [out[y][x] for y in range(rh) for x in range(rw)]
+
+
 def main():
     os.makedirs(OUT_DIR, exist_ok=True)
     for (name, h, w, depth, levels, cb_exp, formula, kwargs) in CASES:
@@ -105,6 +133,14 @@ def main():
             f.write(stream)
         print(f"{name}: {w}x{h}@{depth} levels={levels} cb={1 << cb_exp}"
               f" -> {len(stream)} bytes OK")
+        for k in REDUCED.get(name, ()):
+            rh, rw, _, red = jc.decode_j2k(stream, discard=k)
+            exp = reduced_expect(px, h, w, depth, k,
+                                 kwargs.get("tile_w"), kwargs.get("tile_h"))
+            assert red == exp, f"{name} r{k}: reduced decode != forward-DWT LL"
+            with open(os.path.join(OUT_DIR, f"{name}.r{k}.txt"), "w") as f:
+                f.write("\n".join(str(v) for v in red) + "\n")
+            print(f"  r{k}: {rw}x{rh} reduced sidecar OK")
     print(f"battery of {len(CASES)} fixtures in {OUT_DIR}")
 
 

@@ -409,9 +409,11 @@ def decompose(pixels, h, w, levels):
     return bands
 
 
-def reconstruct(bands, h, w, levels):
+def reconstruct(bands, h, w, levels, stop=0):
+    """Inverse synthesis from `levels` down to stop+1; with stop > 0 the
+    returned grid is the LL at level `stop` (a reduced-resolution read)."""
     ll = bands[(levels, 'LL')]
-    for d in range(levels, 0, -1):
+    for d in range(levels, stop, -1):
         ph = -(-h // (2 ** (d - 1)))   # ceil div: parent dims at level d-1
         pw = -(-w // (2 ** (d - 1)))
         a = [[0] * pw for _ in range(ph)]
@@ -980,9 +982,11 @@ def _get_npasses(br):
     return 37 + br.get_bits(7)
 
 
-def decode_j2k(stream):
+def decode_j2k(stream, discard=0):
     """Reference decoder for the subset encode_j2k emits (and the subset
-    the Scala decoder accepts). Returns (h, w, depth, pixels row-major)."""
+    the Scala decoder accepts). Returns (h, w, depth, pixels row-major);
+    discard > 0 returns the reduced-resolution LL read (dims shrink by
+    2^discard, detail bands below skip entropy decode)."""
     pos = 0
     assert stream[0:2] == b'\xFF\x4F'
     pos = 2
@@ -1022,7 +1026,9 @@ def decode_j2k(stream):
             continue
         pos += ln
     ntx, nty = -(-(xs - xto) // xt), -(-(ys - yto) // yt)
-    out2d = [[0] * w for _ in range(h)]
+    discard = min(discard, levels)
+    rh, rw = -(-h // (1 << discard)), -(-w // (1 << discard))
+    out2d = [[0] * rw for _ in range(rh)]
     half = 1 << (depth - 1)
     assert sorted(tile_parts) == list(range(ntx * nty)), "missing tiles"
     for ty in range(nty):
@@ -1033,18 +1039,22 @@ def decode_j2k(stream):
             body = b''.join(tile_parts[ty * ntx + tx])
             px = _decode_tile(body, t_h, t_w, levels, cb_exp, eps,
                               gx0=x0, gy0=y0, sop=sop, eph=eph,
-                              precincts=precincts, layers=layers, prog=prog)
-            for y in range(t_h):
-                for x in range(t_w):
+                              precincts=precincts, layers=layers, prog=prog,
+                              discard=discard)
+            rth, rtw = -(-t_h // (1 << discard)), -(-t_w // (1 << discard))
+            rx0, ry0 = x0 >> discard, y0 >> discard  # exact: aligned origins
+            for y in range(rth):
+                for x in range(rtw):
                     v = px[y][x] + half
-                    out2d[y0 - yo + y][x0 - xo + x] = \
+                    out2d[ry0 + y][rx0 + x] = \
                         max(0, min((1 << depth) - 1, v))
-    out = [out2d[y][x] for y in range(h) for x in range(w)]
-    return h, w, depth, out
+    out = [out2d[y][x] for y in range(rh) for x in range(rw)]
+    return rh, rw, depth, out
 
 
 def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
-                 sop=False, eph=False, precincts=None, layers=1, prog=0):
+                 sop=False, eph=False, precincts=None, layers=1, prog=0,
+                 discard=0):
     """One tile's packets -> level-shifted 2-D samples (reference side).
     Mirrors _tile_body's precinct / layer / globally-anchored geometry:
     per-block state (inclusion, Lblock, accumulated passes + bytes)
@@ -1172,6 +1182,8 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
             if blk['passes'] == 0 or 'rect' not in blk:
                 continue
             (d, name, x0, y0, ww, hh) = blk['rect']
+            if name != 'LL' and d <= discard:
+                continue  # reduced read: dropped detail bands never decode
             mags, negs = decode_block_passes(
                 bytes(blk['segs']), ww, hh, 'LL' if name == 'LL' else name,
                 blk['nbps'], blk['passes'])
@@ -1180,7 +1192,7 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
                 for x in range(ww):
                     grid[y0 + y][x0 + x] = \
                         -mags[y][x] if negs[y][x] else mags[y][x]
-    return reconstruct(bands, h, w, levels)
+    return reconstruct(bands, h, w, levels, stop=discard)
 
 
 def wrap_jp2(codestream, h, w, depth):

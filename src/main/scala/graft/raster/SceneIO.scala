@@ -161,7 +161,8 @@ object SceneIO {
     * band math, COG export, quicklook, publish) is format-agnostic. JP2
     * carries no nodata tag; Sentinel-2's convention is 0. */
   def readJp2Scenes(spark: org.apache.spark.sql.SparkSession,
-                    path: String, nodata: Float = 0f): DataFrame = {
+                    path: String, nodata: Float = 0f,
+                    discardLevels: Int = 0): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.{jp2,j2k,jpx,j2c}")
@@ -170,7 +171,11 @@ object SceneIO {
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
         val (sceneId, band) = sceneBandOfPath(p)
-        val img = graft.sources.Jp2Decode.decode(bytes)
+        // discardLevels > 0 = the rasterio decimated read the reference
+        // quicklook path uses (publish.py:59-91 out_shape): dims shrink by
+        // 2^k and the dropped detail bands never entropy-decode, so a
+        // preview scan costs ~4^-k of a full ingest scan
+        val img = graft.sources.Jp2Decode.decode(bytes, discardLevels)
         (sceneId, band, img.height, img.width, nodata, img.pixels)
       }
       .toDF("scene_id", "band", "height", "width", "nodata", "pixels")

@@ -49,12 +49,22 @@ object Jp2Decode {
                              pixels: Array[Float])
 
   /** Decode a JP2 container or raw J2K codestream to pixels (single
-    * component; unsigned samples DC-shifted back and clamped to depth). */
-  def decode(bytes: Array[Byte]): Jp2Pixels = {
+    * component; unsigned samples DC-shifted back and clamped to depth).
+    *
+    * `discardLevels` > 0 returns the image at a reduced resolution — the
+    * LL band after discarding that many wavelet levels (dims
+    * ceil(w/2^k) × ceil(h/2^k)), exactly GDAL/rasterio's overview-level
+    * read of a JP2 (the reference decimates this way for quicklooks,
+    * publish.py:59–91 out_shape). The EBCOT entropy decode of every
+    * discarded detail band is skipped outright, so a k-level preview
+    * costs roughly 4^-k of the full decode. Clamped to the stream's
+    * decomposition count. */
+  def decode(bytes: Array[Byte], discardLevels: Int = 0): Jp2Pixels = {
+    require(discardLevels >= 0, s"discardLevels must be >= 0, got $discardLevels")
     val cs =
       if (Jp2.isContainer(bytes)) codestreamOf(bytes)
       else bytes
-    decodeCodestream(cs)
+    decodeCodestream(cs, discardLevels)
   }
 
   /** Locate the jp2c box payload (ISO 15444-1 §I.5.4). */
@@ -521,7 +531,7 @@ object Jp2Decode {
     }
   }
 
-  private def decodeCodestream(cs: Array[Byte]): Jp2Pixels = {
+  private def decodeCodestream(cs: Array[Byte], discardLevels: Int): Jp2Pixels = {
     val buf = ByteBuffer.wrap(cs)
     require(cs.length >= 4 && (cs(0) & 0xFF) == 0xFF && (cs(1) & 0xFF) == 0x4F,
       "not a J2K codestream (missing SOC)")
@@ -670,7 +680,11 @@ object Jp2Decode {
     // into the image at its region — Sentinel-2 codestreams are tiled
     val ntx = ceilDiv(xs - xto, xt)
     val nty = ceilDiv(ys - yto, yt)
-    val out = new Array[Float](h * w)
+    // reduced-resolution output: the canvas and every tile region shrink
+    // by 2^discard; the alignment gate below makes tile starts exact
+    val discard = math.min(discardLevels, cod.levels)
+    val rh = ceilShift(h, discard); val rw = ceilShift(w, discard)
+    val out = new Array[Float](rh * rw)
     val half = 1 << (depth - 1)
     val lim = (1 << depth) - 1
     tileParts.keys.foreach { isot =>
@@ -700,20 +714,22 @@ object Jp2Decode {
           parts.foreach { p => System.arraycopy(p, 0, all, o, p.length); o += p.length }
           all
         }
-      val tilePx = decodeTile(body, th, tw, x0, y0, cod, guard, exps)
+      val tilePx = decodeTile(body, th, tw, x0, y0, cod, guard, exps, discard)
+      val rth = ceilShift(th, discard); val rtw = ceilShift(tw, discard)
+      val rx0 = x0 >> discard; val ry0 = y0 >> discard // exact: aligned origins
       var y = 0
-      while (y < th) {
+      while (y < rth) {
         var x = 0
-        val rowBase = (y0 - yo + y) * w + (x0 - xo)
-        while (x < tw) {
-          val v = tilePx(y * tw + x) + half
+        val rowBase = (ry0 + y) * rw + rx0
+        while (x < rtw) {
+          val v = tilePx(y * rtw + x) + half
           out(rowBase + x) = math.max(0, math.min(lim, v)).toFloat
           x += 1
         }
         y += 1
       }
     }
-    Jp2Pixels(h, w, depth, out)
+    Jp2Pixels(rh, rw, depth, out)
   }
 
   @inline private def ceilDiv(n: Int, d: Int): Int = ((n.toLong + d - 1) / d).toInt
@@ -729,11 +745,18 @@ object Jp2Decode {
     * samples row-major (th×tw). */
   private def decodeTile(body: Array[Byte], h: Int, w: Int,
                          gx0: Int, gy0: Int,
-                         cod: Cod, guard: Int, exps: Array[Int]): Array[Int] = {
+                         cod: Cod, guard: Int, exps: Array[Int],
+                         discard: Int = 0): Array[Int] = {
     val levels = cod.levels
     def pktBands(r: Int): Seq[(Int, Int)] =
       if (r == 0) Seq((levels, 0))
       else { val d = levels - r + 1; Seq((d, 1), (d, 2), (d, 3)) }
+    // a detail band at level d is needed only when d > discard; its
+    // packets are still WALKED (headers position the data cursor) but its
+    // code-blocks never entropy-decode and its grid never allocates —
+    // that's the whole saving of a reduced-resolution read, since the
+    // d <= discard bands hold 1 - 4^-discard of all coefficients
+    @inline def kept(d: Int, kind: Int): Boolean = kind == 0 || d > discard
     // coefficient grids and Mb per band (QCD exponents index bands in
     // codestream order, independent of the precinct walk)
     val bands = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
@@ -741,7 +764,7 @@ object Jp2Decode {
     var epi = 0
     for (r <- 0 to levels; (d, kind) <- pktBands(r)) {
       val (bh, bw) = bandDims(h, w, d, kind)
-      bands((d, kind)) = new Array[Int](bh * bw)
+      if (kept(d, kind)) bands((d, kind)) = new Array[Int](bh * bw)
       mbs((d, kind)) = guard + exps(epi) - 1
       epi += 1
     }
@@ -899,6 +922,7 @@ object Jp2Decode {
     }
     state.foreach { case ((r, _, bandIdx), st) =>
       val (d, kind) = bandIdxOf((r << 2) | bandIdx)
+      if (kept(d, kind)) {
       val (_, bw) = bandDims(h, w, d, kind)
       // context orientation: LL and LH share column 0, HL swaps, HH diag
       val orient = kind match {
@@ -923,12 +947,14 @@ object Jp2Decode {
           }
         }
       }
+      }
     }
 
-    // ---- inverse 5/3 synthesis, level `levels` down to 1 (Annex F)
+    // ---- inverse 5/3 synthesis, level `levels` down to discard+1
+    // (Annex F); with discard > 0 the LL at level `discard` IS the output
     var ll = bands((levels, 0))
     var d = levels
-    while (d >= 1) {
+    while (d >= discard + 1) {
       val ph = ceilShift(h, d - 1)
       val pw = ceilShift(w, d - 1)
       val parent = new Array[Int](ph * pw)

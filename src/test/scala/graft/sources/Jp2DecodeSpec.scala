@@ -97,6 +97,31 @@ class Jp2DecodeSpec extends SparkSpec {
     }
   }
 
+  test("reduced-resolution decode (discardLevels) matches the forward-DWT LL sidecars") {
+    // the GDAL/rasterio overview-level read: discard k wavelet levels and
+    // return the LL at level k — dims shrink by 2^k and the dropped detail
+    // bands (1 - 4^-k of all coefficients) never entropy-decode. Sidecar
+    // expectations were computed by the independent Python codec and
+    // pinned there against the FORWARD transform of the input pixels.
+    val cases = Seq(
+      ("lv3_40x33_d12_cb16", 40, 33, Seq(1, 2)),
+      ("kakadu_96x96_d12_t64", 96, 96, Seq(1, 2)),
+      ("works_64x96_d12_l3", 64, 96, Seq(1)))
+    for ((name, h, w, ks) <- cases; k <- ks) {
+      val expect = new String(resource(s"/graft/jp2/$name.r$k.txt"), "US-ASCII")
+        .trim.split("\n").map(_.toFloat)
+      val img = Jp2Decode.decode(resource(s"/graft/jp2/$name.j2k"), discardLevels = k)
+      val (rh, rw) = ((h + (1 << k) - 1) >> k, (w + (1 << k) - 1) >> k)
+      assert(img.height == rh && img.width == rw,
+        s"$name r$k: ${img.width}x${img.height} != ${rw}x$rh")
+      assert(img.pixels.toSeq == expect.toSeq, s"$name r$k: pixel mismatch")
+    }
+    // discard past the stream's decomposition count clamps to the deepest LL
+    val deep = Jp2Decode.decode(resource("/graft/jp2/lv3_40x33_d12_cb16.j2k"),
+      discardLevels = 99)
+    assert(deep.height == 5 && deep.width == 5) // ceil(40/8) x ceil(33/8)
+  }
+
   test("corrupt/truncated input fails fast instead of hanging or allocating") {
     val good = resource("/graft/tiny_band_B02.jp2")
     intercept[Exception](Jp2Decode.decode(good.take(40)))
