@@ -78,7 +78,41 @@ CASES = [
     ("works_64x96_d12_l3", 64, 96, 12, 2, 4, ("hash",),
      {"tile_w": 32, "tile_h": 32, "precincts": [(4, 4), (5, 5), (5, 5)],
       "sop": True, "eph": True, "layers": 3, "prog": 2}),
+    # the position-major progressions (T.800 B.12.1.4/5) — custom
+    # precincts so positions genuinely interleave resolutions, and a
+    # tiled PCRL stream so the walk rides the tile grid too
+    ("pcrl_48x80_d12_t32", 48, 80, 12, 2, 6, ("hash",),
+     {"tile_w": 32, "tile_h": 32, "prog": 3,
+      "precincts": [(4, 4), (4, 4), (4, 4)]}),
+    ("cprl_64x64_d12_p4", 64, 64, 12, 2, 4, ("hash",),
+     {"prog": 4, "precincts": [(4, 4), (4, 4), (4, 4)]}),
 ]
+
+# multi-component fixtures: per-component closed-form hash planes
+#   v(ci, i) = ((i * (2654435761 + ci*97)) >> 13) & mask
+# — RGB with and without the reversible color transform (mct), every
+# structural feature the PVI quicklook asset carries
+# (name, h, w, depth, levels, cb_exp, ncomp, mct, prog, kwargs)
+MULTI_CASES = [
+    ("rgb_40x56_d8_lrcp", 40, 56, 8, 2, 5, 3, False, 0, {}),
+    ("rgb_33x47_d8_pcrl", 33, 47, 8, 2, 4, 3, False, 3,
+     {"precincts": [(4, 4), (5, 5), (5, 5)]}),
+    ("rct_48x64_d8_rpcl", 48, 64, 8, 2, 5, 3, True, 2, {}),
+    ("rct_56x40_d8_cprl", 56, 40, 8, 3, 5, 3, True, 4,
+     {"precincts": [(4, 4), (4, 4), (5, 5), (5, 5)]}),
+    # the PVI miniature (publish.py:178-179 reads **/*PVI*.jp2): 8-bit
+    # RGB + RCT + tiled + per-resolution precincts + SOP/EPH + layers,
+    # wrapped in a JP2 container with an sRGB colr box
+    ("pvi_64x96_d8_l2", 64, 96, 8, 2, 4, 3, True, 2,
+     {"tile_w": 32, "tile_h": 32, "precincts": [(4, 4), (5, 5), (5, 5)],
+      "sop": True, "eph": True, "layers": 2}),
+]
+
+
+def multi_pixels_for(h, w, depth, ncomp):
+    mask = (1 << depth) - 1
+    return [[((i * (2654435761 + ci * 97)) >> 13) & mask
+             for i in range(h * w)] for ci in range(ncomp)]
 
 
 def pixels_for(h, w, depth, formula):
@@ -141,7 +175,26 @@ def main():
             with open(os.path.join(OUT_DIR, f"{name}.r{k}.txt"), "w") as f:
                 f.write("\n".join(str(v) for v in red) + "\n")
             print(f"  r{k}: {rw}x{rh} reduced sidecar OK")
-    print(f"battery of {len(CASES)} fixtures in {OUT_DIR}")
+    for (name, h, w, depth, levels, cb_exp, ncomp, mct, prog,
+         kwargs) in MULTI_CASES:
+        planes = multi_pixels_for(h, w, depth, ncomp)
+        stream = jc.encode_j2k(None, h, w, depth, levels, cb_exp=cb_exp,
+                               components=planes, mct=mct, prog=prog,
+                               **kwargs)
+        dh, dw, dd, got = jc.decode_j2k(stream)
+        assert (dh, dw, dd) == (h, w, depth), f"{name}: geometry mismatch"
+        assert got == planes, f"{name}: reference self-decode mismatch"
+        if name.startswith("pvi"):
+            path = os.path.join(OUT_DIR, f"{name}.jp2")
+            blob = jc.wrap_jp2(stream, h, w, depth, ncomp=ncomp)
+        else:
+            path = os.path.join(OUT_DIR, f"{name}.j2k")
+            blob = stream
+        with open(path, "wb") as f:
+            f.write(blob)
+        print(f"{name}: {w}x{h}@{depth} x{ncomp} mct={int(mct)} prog={prog}"
+              f" -> {len(blob)} bytes OK")
+    print(f"battery of {len(CASES)} + {len(MULTI_CASES)} fixtures in {OUT_DIR}")
 
 
 if __name__ == "__main__":

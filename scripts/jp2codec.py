@@ -668,6 +668,51 @@ def gain(name):
     return {'LL': 0, 'HL': 1, 'LH': 1, 'HH': 2}[name]
 
 
+def _packet_order(levels, layers, ncomp, prog, res_geom, prec_pos):
+    """Packet sequence (layer, res, comp, precinct) for all five Part-1
+    progression orders (T.800 B.12). res_geom[r] = (npx, npy);
+    prec_pos[(r, p)] = the precinct's first-sample canvas position, which
+    orders the position-major PCRL/CPRL walks (resolutions interleave;
+    within one position r ascends, layers innermost)."""
+    order = []
+    if prog == 0:                                    # LRCP: l -> r -> c -> p
+        for l in range(layers):
+            for r in range(levels + 1):
+                for c in range(ncomp):
+                    for p in range(res_geom[r][0] * res_geom[r][1]):
+                        order.append((l, r, c, p))
+    elif prog == 1:                                  # RLCP: r -> l -> c -> p
+        for r in range(levels + 1):
+            for l in range(layers):
+                for c in range(ncomp):
+                    for p in range(res_geom[r][0] * res_geom[r][1]):
+                        order.append((l, r, c, p))
+    elif prog == 2:                                  # RPCL: r -> p -> c -> l
+        for r in range(levels + 1):
+            for p in range(res_geom[r][0] * res_geom[r][1]):
+                for c in range(ncomp):
+                    for l in range(layers):
+                        order.append((l, r, c, p))
+    else:                                            # PCRL / CPRL
+        by_pos = {}
+        for r in range(levels + 1):
+            for p in range(res_geom[r][0] * res_geom[r][1]):
+                by_pos.setdefault(prec_pos[(r, p)], []).append((r, p))
+        if prog == 3:                                # PCRL: p -> c -> r -> l
+            for pos in sorted(by_pos):
+                for c in range(ncomp):
+                    for (r, p) in sorted(by_pos[pos]):
+                        for l in range(layers):
+                            order.append((l, r, c, p))
+        else:                                        # CPRL: c -> p -> r -> l
+            for c in range(ncomp):
+                for pos in sorted(by_pos):
+                    for (r, p) in sorted(by_pos[pos]):
+                        for l in range(layers):
+                            order.append((l, r, c, p))
+    return order
+
+
 def _band_origin(gx0, gy0, d):
     """Global band-coordinate origin of a tile whose image-space origin is
     (gx0, gy0). Valid under the subset's alignment gate (tile origins are
@@ -676,12 +721,15 @@ def _band_origin(gx0, gy0, d):
     return gx0 >> d, gy0 >> d
 
 
-def _tile_body(shifted, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
+def _tile_body(comp_tiles, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
                sop=False, eph=False, precincts=None, layers=1, prog=0):
-    """Encode one tile's packet sequence from level-shifted samples.
+    """Encode one tile's packet sequence from per-component level-shifted
+    (and, for MCT streams, already RCT-transformed) samples.
     Returns (body bytes, packet-end offsets) — the offsets are the legal
     tile-part split points (a tile-part boundary must fall between
     packets, A.4.2). sop/eph emit the optional packet-framing markers.
+    `depth` here is the EFFECTIVE coding depth (original + 1 for the RCT
+    chroma expansion), used only for the Mb bound.
 
     Spec geometry (T.800 B.6/B.7): precincts of size 2^PPx(r) x 2^PPy(r)
     anchored at 0 on the resolution-r coordinates partition each
@@ -694,16 +742,19 @@ def _tile_body(shifted, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
     proportionally) across quality layers; first inclusion is signaled
     through the persistent inclusion tag tree at threshold layer+1,
     later contributions with the 1-bit path, zero-contribution layers
-    with a 0 bit — the full B.10 layer machinery. prog: 0/1 = LRCP/RLCP
-    (layer-major / resolution-major), 2 = RPCL (precinct inside
-    resolution, layers innermost)."""
-    bands = decompose(shifted, h, w, levels)
+    with a 0 bit — the full B.10 layer machinery. prog 0..4 =
+    LRCP/RLCP/RPCL/PCRL/CPRL (B.12): the first three nest layer /
+    component loops around the in-resolution precinct raster, the last
+    two order by precinct canvas position with resolutions interleaved."""
+    ncomp = len(comp_tiles)
+    all_bands = [decompose(t, h, w, levels) for t in comp_tiles]
     pps = precincts or [(15, 15)] * (levels + 1)
 
-    # ---- precompute: per (r, precinct, band) the block grid and each
-    # block's full coded data plus its per-layer (passes, bytes) split
+    # ---- precompute: per (comp, r, precinct, band) the block grid and
+    # each block's full coded data plus its per-layer (passes, bytes) split
     res_geom = []       # r -> (npx, npy)
-    prec_bands = {}     # (r, pidx) -> list of None | dict per band
+    prec_pos = {}       # (r, pidx) -> (canvas y, canvas x) of first sample
+    prec_bands = {}     # (c, r, pidx) -> list of None | dict per band
     for r in range(levels + 1):
         dres = levels - r
         trx0, try0 = gx0 >> dres, gy0 >> dres
@@ -721,6 +772,13 @@ def _tile_body(shifted, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
         res_geom.append((npx, npy))
         for pidx in range(npx * npy):
             pxi, pyi = pidx % npx, pidx // npx
+            prec_pos[(r, pidx)] = (
+                max((ky0 + pyi) << ppy, try0) << dres,
+                max((kx0 + pxi) << ppx, trx0) << dres)
+        for c, pidx in ((c, p) for c in range(ncomp)
+                        for p in range(npx * npy)):
+            pxi, pyi = pidx % npx, pidx // npx
+            bands = all_bands[c]
             entry = []
             for (d, name) in packet_bands(levels, r):
                 bh, bw_ = band_dims(h, w, d, name)
@@ -788,31 +846,15 @@ def _tile_body(shifted, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
                                    for bx in range(nbx)] for by in range(nby)])
                 entry.append({'nbx': nbx, 'nby': nby, 'blocks': blocks,
                               't_incl': t_incl, 't_zbp': t_zbp})
-            prec_bands[(r, pidx)] = entry
+            prec_bands[(c, r, pidx)] = entry
 
-    # ---- packet order per progression (1 component)
-    order = []
-    if prog == 0:                                    # LRCP
-        for l in range(layers):
-            for r in range(levels + 1):
-                for p in range(res_geom[r][0] * res_geom[r][1]):
-                    order.append((l, r, p))
-    elif prog == 1:                                  # RLCP
-        for r in range(levels + 1):
-            for l in range(layers):
-                for p in range(res_geom[r][0] * res_geom[r][1]):
-                    order.append((l, r, p))
-    else:                                            # RPCL
-        for r in range(levels + 1):
-            for p in range(res_geom[r][0] * res_geom[r][1]):
-                for l in range(layers):
-                    order.append((l, r, p))
+    order = _packet_order(levels, layers, ncomp, prog, res_geom, prec_pos)
 
     body = bytearray()
     bounds = []
     nsop = 0
-    for (l, r, p) in order:
-        entry = prec_bands[(r, p)]
+    for (l, r, c, p) in order:
+        entry = prec_bands[(c, r, p)]
         any_contrib = any(
             hd is not None and any(
                 (blk['included'] or blk['first'] == l) and
@@ -878,15 +920,24 @@ def _tile_body(shifted, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
 
 def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
                tile_w=None, tile_h=None, split_parts=1, last_psot_zero=False,
-               sop=False, eph=False, precincts=None, layers=1, prog=0):
-    """Full codestream for one unsigned-depth component. Default is a
+               sop=False, eph=False, precincts=None, layers=1, prog=0,
+               components=None, mct=False):
+    """Full codestream, 1..n unsigned-depth components. Default is a
     single tile; pass tile_w/tile_h for a tiled codestream (one SOT per
     tile, row-major Isot). split_parts > 1 splits each tile's packets
     across that many tile-parts at packet boundaries (TPsot 0..n-1);
     last_psot_zero emits the final tile-part with Psot=0 (data-to-EOC,
     legal only there, A.4.2). precincts = list of (PPx, PPy) per
     resolution r=0..levels (COD Scod bit 0 + per-resolution size bytes),
-    the layout Kakadu-encoded Sentinel-2 products use."""
+    the layout Kakadu-encoded Sentinel-2 products use.
+
+    components = list of per-component flat pixel lists (overrides
+    `pixels`); mct=True applies the reversible color transform (T.800
+    G.2) over components 0..2 — the RGB PVI-quicklook shape. prog 0..4 =
+    LRCP/RLCP/RPCL/PCRL/CPRL."""
+    comps = components if components is not None else [pixels]
+    ncomp = len(comps)
+    assert not mct or ncomp >= 3, "MCT needs at least 3 components"
     tw = tile_w or w
     th = tile_h or h
     # subset alignment gate (shared with the Scala decoder): tile origins
@@ -897,12 +948,21 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
         "tile size must be a multiple of 2^levels"
     ntx = -(-w // tw)
     nty = -(-h // th)
-    shifted = [v - (1 << (depth - 1)) for v in pixels]
+    half = 1 << (depth - 1)
+    shifted = [[v - half for v in plane] for plane in comps]
+    if mct:
+        # forward RCT (G-1..G-3) on the DC-shifted planes: Y, U=Cb, V=Cr
+        R, G, B = shifted[0], shifted[1], shifted[2]
+        shifted[0] = [(r + 2 * g + b) // 4 for r, g, b in zip(R, G, B)]
+        shifted[1] = [b - g for g, b in zip(G, B)]
+        shifted[2] = [r - g for r, g in zip(R, G)]
+    eff_depth = depth + 1 if mct else depth  # chroma range expansion
 
     out = bytearray()
     out += b'\xFF\x4F'                                      # SOC
-    siz = struct.pack('>HHIIIIIIIIHBBB', 41, 0, w, h, 0, 0, tw, th, 0, 0,
-                      1, depth - 1, 1, 1)
+    siz = struct.pack('>HHIIIIIIIIH', 38 + 3 * ncomp, 0, w, h, 0, 0,
+                      tw, th, 0, 0, ncomp)
+    siz += bytes([depth - 1, 1, 1]) * ncomp
     out += b'\xFF\x51' + siz
     spcod = bytes([levels, cb_exp - 2, cb_exp - 2, 0, 1])   # 5/3 reversible
     scod = (2 if sop else 0) | (4 if eph else 0)
@@ -910,12 +970,11 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
         scod |= 1
         spcod += bytes((ppy << 4) | ppx for (ppx, ppy) in precincts)
     cod = struct.pack('>HBBHB', 12 + (0 if precincts is None else levels + 1),
-                      scod, prog, layers, 0) + spcod
+                      scod, prog, layers, 1 if mct else 0) + spcod
     out += b'\xFF\x52' + cod
-    eps = [depth + gain('LL')]
+    eps = [eff_depth + gain('LL')]
     for r in range(1, levels + 1):
-        d = levels - r + 1
-        eps += [depth + gain(n) for n in ('HL', 'LH', 'HH')]
+        eps += [eff_depth + gain(n) for n in ('HL', 'LH', 'HH')]
     qcd = struct.pack('>HB', 3 + len(eps), GUARD_BITS << 5) + \
         bytes(e << 3 for e in eps)
     out += b'\xFF\x5C' + qcd
@@ -926,12 +985,13 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
             x0, x1 = tx * tw, min((tx + 1) * tw, w)
             y0, y1 = ty * th, min((ty + 1) * th, h)
             t_h, t_w = y1 - y0, x1 - x0
-            tile = [shifted[(y0 + y) * w + (x0 + x)]
-                    for y in range(t_h) for x in range(t_w)]
-            body, bounds = _tile_body(tile, t_h, t_w, depth, levels, cb_exp,
-                                      gx0=x0, gy0=y0, sop=sop, eph=eph,
-                                      precincts=precincts, layers=layers,
-                                      prog=prog)
+            tiles = [[plane[(y0 + y) * w + (x0 + x)]
+                      for y in range(t_h) for x in range(t_w)]
+                     for plane in shifted]
+            body, bounds = _tile_body(tiles, t_h, t_w, eff_depth, levels,
+                                      cb_exp, gx0=x0, gy0=y0, sop=sop,
+                                      eph=eph, precincts=precincts,
+                                      layers=layers, prog=prog)
             n_parts = min(split_parts, len(bounds)) if split_parts > 1 else 1
             cuts = [0] + [bounds[(i + 1) * len(bounds) // n_parts - 1]
                           for i in range(n_parts)]
@@ -984,14 +1044,18 @@ def _get_npasses(br):
 
 def decode_j2k(stream, discard=0):
     """Reference decoder for the subset encode_j2k emits (and the subset
-    the Scala decoder accepts). Returns (h, w, depth, pixels row-major);
-    discard > 0 returns the reduced-resolution LL read (dims shrink by
-    2^discard, detail bands below skip entropy decode)."""
+    the Scala decoder accepts). Returns (h, w, depth, pixels row-major)
+    for one component, or (h, w, depth, [plane, ...]) for multi-component
+    streams (inverse RCT applied when COD says so, so planes come back as
+    R, G, B); discard > 0 returns the reduced-resolution LL read (dims
+    shrink by 2^discard, detail bands below skip entropy decode)."""
     pos = 0
     assert stream[0:2] == b'\xFF\x4F'
     pos = 2
     h = w = depth = levels = None
     eps = None
+    ncomp = 1
+    mct = False
     tile_parts = {}
     while pos < len(stream):
         marker = stream[pos:pos + 2]
@@ -1002,16 +1066,25 @@ def decode_j2k(stream, discard=0):
         seg = stream[pos + 2:pos + ln]
         if marker == b'\xFF\x51':
             # Lsiz, Rsiz, Xsiz, Ysiz, XOsiz, YOsiz, XTsiz, YTsiz, XTOsiz,
-            # YTOsiz, Csiz, Ssiz, XRsiz, YRsiz (T.800 A.5.1)
-            _, _, xs, ys, xo, yo, xt, yt, xto, yto, c, ssiz, xr, yr = \
-                struct.unpack('>HHIIIIIIIIHBBB', stream[pos:pos + 41])
-            h, w, depth = ys - yo, xs - xo, (ssiz & 0x7F) + 1
+            # YTOsiz, Csiz then per-component Ssiz, XRsiz, YRsiz (A.5.1)
+            _, _, xs, ys, xo, yo, xt, yt, xto, yto, ncomp = \
+                struct.unpack('>HHIIIIIIIIH', stream[pos:pos + 38])
+            for ci in range(ncomp):
+                ssiz, xr, yr = struct.unpack(
+                    '>BBB', stream[pos + 38 + 3 * ci:pos + 41 + 3 * ci])
+                assert xr == 1 and yr == 1, "subsampling outside subset"
+                if ci == 0:
+                    depth = (ssiz & 0x7F) + 1
+                else:
+                    assert (ssiz & 0x7F) + 1 == depth, "mixed depths"
+            h, w = ys - yo, xs - xo
         elif marker == b'\xFF\x52':
             levels = seg[5]
             cb_exp = seg[6] + 2
             sop, eph = bool(seg[0] & 2), bool(seg[0] & 4)
             prog = seg[1]
             layers = struct.unpack('>H', seg[2:4])[0]
+            mct = seg[4] == 1
             precincts = [(b & 0xF, b >> 4) for b in seg[10:10 + levels + 1]] \
                 if seg[0] & 1 else None
         elif marker == b'\xFF\x5C':
@@ -1028,7 +1101,7 @@ def decode_j2k(stream, discard=0):
     ntx, nty = -(-(xs - xto) // xt), -(-(ys - yto) // yt)
     discard = min(discard, levels)
     rh, rw = -(-h // (1 << discard)), -(-w // (1 << discard))
-    out2d = [[0] * rw for _ in range(rh)]
+    out2d = [[[0] * rw for _ in range(rh)] for _ in range(ncomp)]
     half = 1 << (depth - 1)
     assert sorted(tile_parts) == list(range(ntx * nty)), "missing tiles"
     for ty in range(nty):
@@ -1037,31 +1110,42 @@ def decode_j2k(stream, discard=0):
             y0, y1 = max(yto + ty * yt, yo), min(yto + (ty + 1) * yt, ys)
             t_h, t_w = y1 - y0, x1 - x0
             body = b''.join(tile_parts[ty * ntx + tx])
-            px = _decode_tile(body, t_h, t_w, levels, cb_exp, eps,
-                              gx0=x0, gy0=y0, sop=sop, eph=eph,
-                              precincts=precincts, layers=layers, prog=prog,
-                              discard=discard)
+            planes = _decode_tile(body, t_h, t_w, levels, cb_exp, eps,
+                                  gx0=x0, gy0=y0, sop=sop, eph=eph,
+                                  precincts=precincts, layers=layers,
+                                  prog=prog, discard=discard, ncomp=ncomp)
             rth, rtw = -(-t_h // (1 << discard)), -(-t_w // (1 << discard))
             rx0, ry0 = x0 >> discard, y0 >> discard  # exact: aligned origins
-            for y in range(rth):
-                for x in range(rtw):
-                    v = px[y][x] + half
-                    out2d[ry0 + y][rx0 + x] = \
-                        max(0, min((1 << depth) - 1, v))
-    out = [out2d[y][x] for y in range(rh) for x in range(rw)]
-    return rh, rw, depth, out
+            if mct:
+                # inverse RCT (G-6..G-8) before the DC shift
+                for y in range(rth):
+                    for x in range(rtw):
+                        yv, u, v = (planes[0][y][x], planes[1][y][x],
+                                    planes[2][y][x])
+                        g = yv - ((u + v) >> 2)
+                        planes[0][y][x] = v + g     # R
+                        planes[1][y][x] = g         # G
+                        planes[2][y][x] = u + g     # B
+            for c in range(ncomp):
+                for y in range(rth):
+                    for x in range(rtw):
+                        v = planes[c][y][x] + half
+                        out2d[c][ry0 + y][rx0 + x] = \
+                            max(0, min((1 << depth) - 1, v))
+    outs = [[p[y][x] for y in range(rh) for x in range(rw)] for p in out2d]
+    return rh, rw, depth, (outs[0] if ncomp == 1 else outs)
 
 
 def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
                  sop=False, eph=False, precincts=None, layers=1, prog=0,
-                 discard=0):
-    """One tile's packets -> level-shifted 2-D samples (reference side).
-    Mirrors _tile_body's precinct / layer / globally-anchored geometry:
-    per-block state (inclusion, Lblock, accumulated passes + bytes)
-    persists across layer packets; every block decodes once at the end
-    from its concatenated segments."""
+                 discard=0, ncomp=1):
+    """One tile's packets -> per-component level-shifted 2-D samples
+    (reference side). Mirrors _tile_body's precinct / layer /
+    globally-anchored geometry: per-block state (inclusion, Lblock,
+    accumulated passes + bytes) persists across layer packets; every
+    block decodes once at the end from its concatenated segments."""
     pps = precincts or [(15, 15)] * (levels + 1)
-    bands = {}
+    all_bands = [{} for _ in range(ncomp)]
     mbs = {}
     epi = 0
     for r in range(levels + 1):
@@ -1069,9 +1153,11 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
             bh, bw_ = band_dims(h, w, d, name)
             mbs[(d, name)] = GUARD_BITS + eps[epi] - 1
             epi += 1
-            bands[(d, name)] = [[0] * bw_ for _ in range(bh)]
+            for c in range(ncomp):
+                all_bands[c][(d, name)] = [[0] * bw_ for _ in range(bh)]
 
     res_geom = []
+    prec_pos = {}
     for r in range(levels + 1):
         dres = levels - r
         trx0, try0 = gx0 >> dres, gy0 >> dres
@@ -1085,27 +1171,17 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
         else:
             kx0 = ky0 = npx = npy = 0
         res_geom.append((npx, npy, kx0, ky0))
+        for p in range(npx * npy):
+            prec_pos[(r, p)] = (
+                max((ky0 + p // npx) << ppy, try0) << dres,
+                max((kx0 + p % npx) << ppx, trx0) << dres)
 
-    order = []
-    if prog == 0:                                    # LRCP
-        for l in range(layers):
-            for r in range(levels + 1):
-                for p in range(res_geom[r][0] * res_geom[r][1]):
-                    order.append((l, r, p))
-    elif prog == 1:                                  # RLCP
-        for r in range(levels + 1):
-            for l in range(layers):
-                for p in range(res_geom[r][0] * res_geom[r][1]):
-                    order.append((l, r, p))
-    else:                                            # RPCL
-        for r in range(levels + 1):
-            for p in range(res_geom[r][0] * res_geom[r][1]):
-                for l in range(layers):
-                    order.append((l, r, p))
+    order = _packet_order(levels, layers, ncomp, prog,
+                          [(g[0], g[1]) for g in res_geom], prec_pos)
 
-    state = {}      # (r, p, band_idx) -> {'t_incl','t_zbp','blocks'}
+    state = {}      # (c, r, p, band_idx) -> {'t_incl','t_zbp','blocks'}
     bodypos = 0
-    for (l, r, p) in order:
+    for (l, r, c, p) in order:
         npx, npy, kx0, ky0 = res_geom[r]
         pxi, pyi = p % npx, p // npx
         ppx, ppy = pps[r]
@@ -1132,7 +1208,7 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
                 bx0, by0 = px0 >> cshx, py0 >> cshy
                 nbx = -(-px1 // (1 << cshx)) - bx0
                 nby = -(-py1 // (1 << cshy)) - by0
-                st = state.setdefault((r, p, bi), {
+                st = state.setdefault((c, r, p, bi), {
                     't_incl': TagTree(nbx, nby), 't_zbp': TagTree(nbx, nby),
                     'blocks': {}})
                 for by in range(nby):
@@ -1177,7 +1253,7 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
             datapos += nlen
         bodypos = datapos
 
-    for st in state.values():
+    for (c, _, _, _), st in state.items():
         for blk in st['blocks'].values():
             if blk['passes'] == 0 or 'rect' not in blk:
                 continue
@@ -1187,22 +1263,25 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
             mags, negs = decode_block_passes(
                 bytes(blk['segs']), ww, hh, 'LL' if name == 'LL' else name,
                 blk['nbps'], blk['passes'])
-            grid = bands[(d, name)]
+            grid = all_bands[c][(d, name)]
             for y in range(hh):
                 for x in range(ww):
                     grid[y0 + y][x0 + x] = \
                         -mags[y][x] if negs[y][x] else mags[y][x]
-    return reconstruct(bands, h, w, levels, stop=discard)
+    return [reconstruct(all_bands[c], h, w, levels, stop=discard)
+            for c in range(ncomp)]
 
 
-def wrap_jp2(codestream, h, w, depth):
-    """JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c."""
+def wrap_jp2(codestream, h, w, depth, ncomp=1):
+    """JP2 container: signature, ftyp, jp2h(ihdr+colr), jp2c. colr says
+    sRGB for 3+ components (the PVI quicklook layout), greyscale else."""
     def box(typ, payload):
         return struct.pack('>I', 8 + len(payload)) + typ + payload
     sig = bytes([0, 0, 0, 0x0C]) + b'jP  ' + bytes([0x0D, 0x0A, 0x87, 0x0A])
     ftyp = box(b'ftyp', b'jp2 ' + struct.pack('>I', 0) + b'jp2 ')
-    ihdr = box(b'ihdr', struct.pack('>IIHBBBB', h, w, 1, depth - 1, 7, 0, 0))
-    colr = box(b'colr', bytes([1, 0, 0]) + struct.pack('>I', 17))
+    ihdr = box(b'ihdr', struct.pack('>IIHBBBB', h, w, ncomp, depth - 1, 7, 0, 0))
+    colr = box(b'colr', bytes([1, 0, 0]) +
+               struct.pack('>I', 16 if ncomp >= 3 else 17))
     jp2h = box(b'jp2h', ihdr + colr)
     jp2c = box(b'jp2c', codestream)
     return sig + ftyp + jp2h + jp2c

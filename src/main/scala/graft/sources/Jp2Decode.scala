@@ -10,18 +10,23 @@ import scala.collection.mutable.ArrayBuffer
   * rasterio/GDAL (publish.py:263–270, utils.py:335–342); Sentinel-2 L1C
   * codestreams are exactly this path: reversible 5/3 wavelet, no
   * quantization, MQ-coded passes, Kakadu-encoded with RPCL progression,
-  * custom precincts and SOP/EPH framing — all supported here. Subset
-  * (checked up front, with a clear error outside it): single component,
-  * LRCP/RLCP/RPCL progression (PCRL/CPRL interleave resolutions and stay
-  * out), code-block style 0, canvas/tile origins at 0 with tile sizes a
-  * multiple of 2^levels (every real product; the gate keeps per-tile
-  * local DWT parity equal to the spec's global parity). Within the
-  * subset any geometry goes — arbitrary dims, TILED codestreams (each
-  * tile decodes independently, any tile-part split, Psot=0 last-part),
-  * per-resolution precincts with canvas-anchored code-block partition
-  * (B.6/B.7 — partial first blocks handled), QUALITY LAYERS (per-block
-  * segment accumulation across layer packets, B.10), decomposition
-  * levels 0..32, code-block size, bit depth to 16.
+  * custom precincts and SOP/EPH framing — all supported here. The RGB
+  * `*PVI*.jp2` quicklook asset (publish.py:178–179, 263) is covered too:
+  * MULTI-COMPONENT codestreams (1:1 sampling, shared depth) with the
+  * reversible multiple-component transform (RCT, Annex G.2) decode to
+  * per-component planes. Subset (checked up front, with a clear error
+  * outside it): code-block style 0, canvas/tile origins at 0 with tile
+  * sizes a multiple of 2^levels (every real product; the gate keeps
+  * per-tile local DWT parity equal to the spec's global parity). Within
+  * the subset any geometry goes — arbitrary dims, TILED codestreams
+  * (each tile decodes independently, any tile-part split, Psot=0
+  * last-part), per-resolution precincts with canvas-anchored code-block
+  * partition (B.6/B.7 — partial first blocks handled), QUALITY LAYERS
+  * (per-block segment accumulation across layer packets, B.10), ALL FIVE
+  * Part-1 progression orders (LRCP/RLCP/RPCL/PCRL/CPRL, B.12),
+  * decomposition levels 0..32, code-block size, bit depth to 16, and
+  * region-of-interest reads ([[decodeWindow]]: only the code-blocks
+  * whose wavelet support intersects the window entropy-decode).
   *
   * Spec map (clause → here):
   *  - Annex A markers (SOC/SIZ/COD/QCD/SOT/SOD/EOC) → [[decodeCodestream]]
@@ -48,8 +53,16 @@ object Jp2Decode {
   final case class Jp2Pixels(height: Int, width: Int, depth: Int,
                              pixels: Array[Float])
 
-  /** Decode a JP2 container or raw J2K codestream to pixels (single
-    * component; unsigned samples DC-shifted back and clamped to depth).
+  /** Multi-component result: one row-major plane per component, in SIZ
+    * component order (after inverse RCT that is R, G, B — the PVI
+    * quicklook layout). */
+  final case class Jp2MultiPixels(height: Int, width: Int, depth: Int,
+                                  comps: Int, planes: Array[Array[Float]])
+
+  /** Decode a single-component JP2 container or raw J2K codestream to
+    * pixels (unsigned samples DC-shifted back and clamped to depth) —
+    * the Sentinel-2 band-file path. Multi-component streams (the RGB
+    * PVI quicklook) go through [[decodeMulti]].
     *
     * `discardLevels` > 0 returns the image at a reduced resolution — the
     * LL band after discarding that many wavelet levels (dims
@@ -60,12 +73,48 @@ object Jp2Decode {
     * costs roughly 4^-k of the full decode. Clamped to the stream's
     * decomposition count. */
   def decode(bytes: Array[Byte], discardLevels: Int = 0): Jp2Pixels = {
+    val m = decodeMulti(bytes, discardLevels)
+    require(m.comps == 1,
+      s"decode() is single-component; stream has ${m.comps} — use decodeMulti()")
+    Jp2Pixels(m.height, m.width, m.depth, m.planes(0))
+  }
+
+  /** Decode any in-subset JP2/J2K stream — 1..8 components at 1:1
+    * sampling and shared depth, with or without the reversible
+    * multi-component transform (RCT, T.800 G.2) — to per-component
+    * planes. The 3-component Sentinel-2 `*PVI*.jp2` RGB quicklook asset
+    * (reference publish.py:178–179, 263) is this path. */
+  def decodeMulti(bytes: Array[Byte], discardLevels: Int = 0): Jp2MultiPixels = {
     require(discardLevels >= 0, s"discardLevels must be >= 0, got $discardLevels")
     val cs =
       if (Jp2.isContainer(bytes)) codestreamOf(bytes)
       else bytes
-    decodeCodestream(cs, discardLevels)
+    decodeCodestream(cs, discardLevels, null)
   }
+
+  /** Region-of-interest decode: return only the `winW`×`winH` window at
+    * (`x0`, `y0`) — the reference's S5 windowed read
+    * (`ds.read(1, window=w)`, index_generator.py:123). Tiles outside the
+    * window are never packet-walked, and within an intersecting tile only
+    * the code-blocks whose 5/3 synthesis support reaches the window
+    * entropy-decode (every packet header is still parsed — headers
+    * position the data cursor — but EBCOT, the dominant cost, is pruned
+    * to the contributing blocks). Bit-identical to full-decode-then-crop.
+    * With `discardLevels` > 0 the window must be aligned to 2^k so the
+    * reduced-resolution crop is exact. */
+  def decodeWindow(bytes: Array[Byte], x0: Int, y0: Int, winW: Int, winH: Int,
+                   discardLevels: Int = 0): Jp2MultiPixels = {
+    require(discardLevels >= 0, s"discardLevels must be >= 0, got $discardLevels")
+    require(x0 >= 0 && y0 >= 0 && winW > 0 && winH > 0,
+      s"bad window ${winW}x$winH @ ($x0,$y0)")
+    val cs =
+      if (Jp2.isContainer(bytes)) codestreamOf(bytes)
+      else bytes
+    decodeCodestream(cs, discardLevels, Rect(x0, y0, x0 + winW, y0 + winH))
+  }
+
+  /** Half-open pixel rectangle [x0,x1) × [y0,y1). */
+  private final case class Rect(x0: Int, y0: Int, x1: Int, y1: Int)
 
   /** Locate the jp2c box payload (ISO 15444-1 §I.5.4). */
   private def codestreamOf(bytes: Array[Byte]): Array[Byte] = {
@@ -503,10 +552,10 @@ object Jp2Decode {
   /** cbwLog/cbhLog are the code-block size EXPONENTS (size before the
     * per-resolution precinct clamp); ppx/ppy are per-resolution precinct
     * exponents, 15 (whole subband) when COD carries no precinct sizes;
-    * prog 0/1/2 = LRCP/RLCP/RPCL (they differ only in the layer nesting
-    * once layers > 1). */
+    * prog 0..4 = LRCP/RLCP/RPCL/PCRL/CPRL (B.12); mct = the reversible
+    * multi-component transform (G.2) over components 0..2. */
   private final case class Cod(levels: Int, cbwLog: Int, cbhLog: Int,
-                               layers: Int, prog: Int,
+                               layers: Int, prog: Int, mct: Boolean,
                                sop: Boolean, eph: Boolean,
                                ppx: Array[Int], ppy: Array[Int])
 
@@ -531,12 +580,13 @@ object Jp2Decode {
     }
   }
 
-  private def decodeCodestream(cs: Array[Byte], discardLevels: Int): Jp2Pixels = {
+  private def decodeCodestream(cs: Array[Byte], discardLevels: Int,
+                               win: Rect): Jp2MultiPixels = {
     val buf = ByteBuffer.wrap(cs)
     require(cs.length >= 4 && (cs(0) & 0xFF) == 0xFF && (cs(1) & 0xFF) == 0x4F,
       "not a J2K codestream (missing SOC)")
     var pos = 2
-    var h = -1; var w = -1; var depth = -1; var signed = false
+    var h = -1; var w = -1; var depth = -1; var signed = false; var ncomp = 1
     var xo = 0; var yo = 0; var xt = 0; var yt = 0; var xto = 0; var yto = 0
     var xs = 0; var ys = 0
     var cod: Cod = null
@@ -562,16 +612,26 @@ object Jp2Decode {
             xt = buf.getInt(o + 18); yt = buf.getInt(o + 22)
             xto = buf.getInt(o + 26); yto = buf.getInt(o + 30)
             val csiz = buf.getShort(o + 34).toInt & 0xFFFF
-            require(csiz == 1, s"single-component subset, got $csiz components")
-            val ssiz = buf.get(o + 36).toInt & 0xFF
-            val xr = buf.get(o + 37).toInt & 0xFF
-            val yr = buf.get(o + 38).toInt & 0xFF
-            require(xr == 1 && yr == 1, "component subsampling unsupported")
+            // 1 = band files, 3 = the RGB PVI quicklook; 8 is a sanity
+            // cap well above any real earth-observation product
+            require(csiz >= 1 && csiz <= 8, s"implausible component count $csiz")
+            require(len >= 38 + 3 * csiz, "SIZ truncated component records")
+            var ci = 0
+            while (ci < csiz) {
+              val ssiz = buf.get(o + 36 + 3 * ci).toInt & 0xFF
+              val xr = buf.get(o + 37 + 3 * ci).toInt & 0xFF
+              val yr = buf.get(o + 38 + 3 * ci).toInt & 0xFF
+              require(xr == 1 && yr == 1, "component subsampling unsupported")
+              val dep = (ssiz & 0x7F) + 1
+              if (ci == 0) { depth = dep; signed = (ssiz & 0x80) != 0 }
+              else require(dep == depth && ((ssiz & 0x80) != 0) == signed,
+                "per-component depth/sign mismatch outside subset")
+              ci += 1
+            }
+            ncomp = csiz
             h = ys - yo; w = xs - xo
-            depth = (ssiz & 0x7F) + 1
-            signed = (ssiz & 0x80) != 0
-            require(h > 0 && w > 0 && h.toLong * w <= (1L << 28),
-              s"implausible image ${w}x$h")
+            require(h > 0 && w > 0 && h.toLong * w * ncomp <= (1L << 28),
+              s"implausible image ${w}x$h x$ncomp")
             require(depth <= 16, s"depth $depth > 16 unsupported")
             require(xt > 0 && yt > 0 && xto <= xo && yto <= yo,
               s"malformed tile grid ${xt}x$yt @ ($xto,$yto)")
@@ -587,13 +647,17 @@ object Jp2Decode {
             val prog = buf.get(o + 1).toInt & 0xFF
             val layers = buf.getShort(o + 2).toInt & 0xFFFF
             val mct = buf.get(o + 4).toInt & 0xFF
-            // LRCP (0), RLCP (1) and RPCL (2) differ only in where the
-            // layer loop nests (B.12); PCRL/CPRL put position outermost
-            // and interleave resolutions: outside the subset.
-            require(prog == 0 || prog == 1 || prog == 2,
-              s"LRCP/RLCP/RPCL-only subset, got progression $prog")
+            // all five Part-1 orders (B.12): LRCP/RLCP/RPCL nest the
+            // layer loop differently; PCRL/CPRL order by precinct canvas
+            // position with resolutions interleaved
+            require(prog >= 0 && prog <= 4,
+              s"progression order $prog outside Part-1's 0..4")
             require(layers >= 1 && layers <= 256, s"implausible layer count $layers")
-            require(mct == 0, "multi-component transform outside subset")
+            // mct=1 with the reversible 5/3 transform is the RCT (G.2)
+            // over components 0..2 (A.6.1 Table A-17)
+            require(mct == 0 || mct == 1, s"bad SGcod MCT byte $mct")
+            require(mct == 0 || ncomp >= 3,
+              "MCT requires at least 3 components")
             val levels = buf.get(o + 5).toInt & 0xFF
             val cbwLog = (buf.get(o + 6).toInt & 0x0F) + 2
             val cbhLog = (buf.get(o + 7).toInt & 0x0F) + 2
@@ -620,7 +684,8 @@ object Jp2Decode {
                 }
                 (px, py)
               } else (Array.fill(levels + 1)(15), Array.fill(levels + 1)(15))
-            cod = Cod(levels, cbwLog, cbhLog, layers, prog, sop, eph, ppx, ppy)
+            cod = Cod(levels, cbwLog, cbhLog, layers, prog, mct == 1,
+              sop, eph, ppx, ppy)
             pos += len
           case 0xFF5C => // QCD (A.6.4)
             val o = pos + 2
@@ -683,8 +748,22 @@ object Jp2Decode {
     // reduced-resolution output: the canvas and every tile region shrink
     // by 2^discard; the alignment gate below makes tile starts exact
     val discard = math.min(discardLevels, cod.levels)
-    val rh = ceilShift(h, discard); val rw = ceilShift(w, discard)
-    val out = new Array[Float](rh * rw)
+    if (win != null) {
+      require(win.x1 <= w && win.y1 <= h,
+        s"window (${win.x0},${win.y0})..(${win.x1},${win.y1}) outside ${w}x$h")
+      require(discard == 0 || (win.x0 % (1 << discard) == 0 &&
+        win.y0 % (1 << discard) == 0 && win.x1 % (1 << discard) == 0 &&
+        win.y1 % (1 << discard) == 0),
+        s"window must align to 2^$discard for a reduced-resolution read")
+    }
+    // output canvas: the whole image, or just the window region
+    val ox0 = if (win == null) 0 else win.x0
+    val oy0 = if (win == null) 0 else win.y0
+    val ox1 = if (win == null) w else win.x1
+    val oy1 = if (win == null) h else win.y1
+    val rh = ceilShift(oy1, discard) - (oy0 >> discard)
+    val rw = ceilShift(ox1, discard) - (ox0 >> discard)
+    val out = Array.fill(ncomp)(new Array[Float](rh * rw))
     val half = 1 << (depth - 1)
     val lim = (1 << depth) - 1
     tileParts.keys.foreach { isot =>
@@ -705,48 +784,87 @@ object Jp2Decode {
       val x0 = math.max(xto + tx * xt, xo); val x1 = math.min(xto + (tx + 1).toLong * xt, xs.toLong).toInt
       val y0 = math.max(yto + ty * yt, yo); val y1 = math.min(yto + (ty + 1).toLong * yt, ys.toLong).toInt
       val tw = x1 - x0; val th = y1 - y0
-      val parts = tileParts(ty * ntx + tx)
-      val body =
-        if (parts.length == 1) parts.head
-        else {
-          val all = new Array[Byte](parts.map(_.length).sum)
-          var o = 0
-          parts.foreach { p => System.arraycopy(p, 0, all, o, p.length); o += p.length }
-          all
+      // a tile disjoint from the window never packet-walks at all
+      val skip = win != null &&
+        (x1 <= win.x0 || x0 >= win.x1 || y1 <= win.y0 || y0 >= win.y1)
+      if (!skip) {
+        val parts = tileParts(ty * ntx + tx)
+        val body =
+          if (parts.length == 1) parts.head
+          else {
+            val all = new Array[Byte](parts.map(_.length).sum)
+            var o = 0
+            parts.foreach { p => System.arraycopy(p, 0, all, o, p.length); o += p.length }
+            all
+          }
+        // window in tile-local coordinates, for code-block pruning
+        val winLocal =
+          if (win == null) null
+          else Rect(math.max(win.x0, x0) - x0, math.max(win.y0, y0) - y0,
+            math.min(win.x1, x1) - x0, math.min(win.y1, y1) - y0)
+        val tilePx = decodeTile(body, th, tw, x0, y0, ncomp, cod, guard, exps,
+          discard, winLocal)
+        if (cod.mct) {
+          // inverse RCT (G-6..G-8) over components 0..2, before the DC
+          // shift: G = Y - floor((U+V)/4); R = V + G; B = U + G
+          val cy = tilePx(0); val cu = tilePx(1); val cv = tilePx(2)
+          var i = 0
+          while (i < cy.length) {
+            val g = cy(i) - ((cu(i) + cv(i)) >> 2)
+            cy(i) = cv(i) + g // plane 0 ← R
+            cv(i) = cu(i) + g // plane 2 ← B
+            cu(i) = g         // plane 1 ← G
+            i += 1
+          }
         }
-      val tilePx = decodeTile(body, th, tw, x0, y0, cod, guard, exps, discard)
-      val rth = ceilShift(th, discard); val rtw = ceilShift(tw, discard)
-      val rx0 = x0 >> discard; val ry0 = y0 >> discard // exact: aligned origins
-      var y = 0
-      while (y < rth) {
-        var x = 0
-        val rowBase = (ry0 + y) * rw + rx0
-        while (x < rtw) {
-          val v = tilePx(y * rtw + x) + half
-          out(rowBase + x) = math.max(0, math.min(lim, v)).toFloat
-          x += 1
+        // stitch: intersect the (reduced) tile region with the output
+        val rtw = ceilShift(tw, discard)
+        val sx0 = math.max(x0, ox0) >> discard
+        val sx1 = ceilShift(math.min(x1, ox1), discard)
+        val sy0 = math.max(y0, oy0) >> discard
+        val sy1 = ceilShift(math.min(y1, oy1), discard)
+        val rx0 = x0 >> discard; val ry0 = y0 >> discard // exact: aligned origins
+        var c = 0
+        while (c < ncomp) {
+          val plane = tilePx(c)
+          val dst = out(c)
+          var ry = sy0
+          while (ry < sy1) {
+            val srcBase = (ry - ry0) * rtw
+            val dstBase = (ry - (oy0 >> discard)) * rw - (ox0 >> discard)
+            var rx = sx0
+            while (rx < sx1) {
+              val v = plane(srcBase + (rx - rx0)) + half
+              dst(dstBase + rx) = math.max(0, math.min(lim, v)).toFloat
+              rx += 1
+            }
+            ry += 1
+          }
+          c += 1
         }
-        y += 1
       }
     }
-    Jp2Pixels(rh, rw, depth, out)
+    Jp2MultiPixels(rh, rw, depth, ncomp, out)
   }
 
   @inline private def ceilDiv(n: Int, d: Int): Int = ((n.toLong + d - 1) / d).toInt
 
-  /** Decode one tile's packet sequence (LRCP/RLCP/RPCL over layers ×
-    * resolutions × precincts, B.12) and run the inverse wavelet over the
-    * tile dims. (gx0, gy0) is the tile's canvas origin — precinct and
-    * code-block partitions anchor at canvas 0 (B.6/B.7), so a tile whose
-    * band range starts mid-block carries a partial first block. With
-    * multiple quality layers, per-precinct tag trees and per-block
-    * Lblock persist across packets and each block's codeword segments
-    * concatenate, decoding once at the end. Returns level-shifted signed
-    * samples row-major (th×tw). */
+  /** Decode one tile's packet sequence (layers × resolutions ×
+    * components × precincts in the COD progression order, B.12) and run
+    * the inverse wavelet over the tile dims, per component. (gx0, gy0)
+    * is the tile's canvas origin — precinct and code-block partitions
+    * anchor at canvas 0 (B.6/B.7), so a tile whose band range starts
+    * mid-block carries a partial first block. With multiple quality
+    * layers, per-precinct tag trees and per-block Lblock persist across
+    * packets and each block's codeword segments concatenate, decoding
+    * once at the end. `winLocal` non-null prunes EBCOT to the blocks
+    * whose 5/3 synthesis support intersects the window (headers still
+    * walk — they position the data cursor). Returns level-shifted signed
+    * samples row-major (th×tw), one plane per component. */
   private def decodeTile(body: Array[Byte], h: Int, w: Int,
-                         gx0: Int, gy0: Int,
+                         gx0: Int, gy0: Int, ncomp: Int,
                          cod: Cod, guard: Int, exps: Array[Int],
-                         discard: Int = 0): Array[Int] = {
+                         discard: Int, winLocal: Rect): Array[Array[Int]] = {
     val levels = cod.levels
     def pktBands(r: Int): Seq[(Int, Int)] =
       if (r == 0) Seq((levels, 0))
@@ -757,14 +875,39 @@ object Jp2Decode {
     // that's the whole saving of a reduced-resolution read, since the
     // d <= discard bands hold 1 - 4^-discard of all coefficients
     @inline def kept(d: Int, kind: Int): Boolean = kind == 0 || d > discard
-    // coefficient grids and Mb per band (QCD exponents index bands in
-    // codestream order, independent of the precinct walk)
-    val bands = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
+    // window support region per level, in band-local coordinates: one
+    // 5/3 synthesis step makes output sample n depend on interleaved
+    // coefficients [n-2, n+2], i.e. band indices [floor((n-2)/2),
+    // ceil((n+2)/2)) — iterate that d times for a level-d band. Blocks
+    // outside their band's rect never entropy-decode.
+    val winRects: Array[Rect] =
+      if (winLocal == null) null
+      else {
+        val rs = new Array[Rect](levels + 1)
+        rs(0) = winLocal
+        var k = 1
+        while (k <= levels) {
+          val p = rs(k - 1)
+          rs(k) = Rect(math.max(0, Math.floorDiv(p.x0 - 2, 2)),
+            math.max(0, Math.floorDiv(p.y0 - 2, 2)),
+            (p.x1 + 3) / 2, (p.y1 + 3) / 2)
+          k += 1
+        }
+        rs
+      }
+    // coefficient grids per (component, band) and Mb per band (QCD
+    // exponents index bands in codestream order; one QCD serves every
+    // component — QCC fails loudly above)
+    val bands = Array.fill(ncomp)(
+      scala.collection.mutable.Map.empty[(Int, Int), Array[Int]])
     val mbs = scala.collection.mutable.Map.empty[(Int, Int), Int]
     var epi = 0
     for (r <- 0 to levels; (d, kind) <- pktBands(r)) {
       val (bh, bw) = bandDims(h, w, d, kind)
-      if (kept(d, kind)) bands((d, kind)) = new Array[Int](bh * bw)
+      if (kept(d, kind)) {
+        var c = 0
+        while (c < ncomp) { bands(c)((d, kind)) = new Array[Int](bh * bw); c += 1 }
+      }
       mbs((d, kind)) = guard + exps(epi) - 1
       epi += 1
     }
@@ -785,24 +928,46 @@ object Jp2Decode {
     // every packet is byte-aligned, so it occupies at least one body byte:
     // a corrupt COD (tiny precinct exponents × layers) cannot make the
     // packet walk allocate beyond the data that actually exists
-    val totalPackets = cod.layers.toLong *
+    val totalPackets = cod.layers.toLong * ncomp *
       resGeom.map(g => g._3.toLong * g._4).sum
-    require(totalPackets <= body.length + 1L,
+    require(totalPackets <= body.length,
       s"$totalPackets packets exceed the ${body.length}-byte tile body (corrupt COD?)")
 
-    // packet order (B.12): the three in-subset progressions differ only
-    // in where the layer loop nests
-    val order = Seq.newBuilder[(Int, Int, Int)] // (layer, r, precinct idx)
+    // packet order (B.12): LRCP/RLCP/RPCL nest layer/component loops
+    // around the in-resolution precinct raster; PCRL/CPRL order by the
+    // precinct's CANVAS position (its first sample), resolutions
+    // interleaved — with the subset's aligned origins that position is
+    // max(precinct origin, band start) << dres, exactly B.12.1.4/5's
+    // sample-scan condition
+    val order = Seq.newBuilder[(Int, Int, Int, Int)] // (layer, r, comp, precinct)
+    @inline def np(r: Int): Int = resGeom(r)._3 * resGeom(r)._4
     cod.prog match {
-      case 0 => // LRCP
+      case 0 => // LRCP: layer → resolution → component → position
         for (l <- 0 until cod.layers; r <- 0 to levels;
-             p <- 0 until resGeom(r)._3 * resGeom(r)._4) order += ((l, r, p))
-      case 1 => // RLCP
+             c <- 0 until ncomp; p <- 0 until np(r)) order += ((l, r, c, p))
+      case 1 => // RLCP: resolution → layer → component → position
         for (r <- 0 to levels; l <- 0 until cod.layers;
-             p <- 0 until resGeom(r)._3 * resGeom(r)._4) order += ((l, r, p))
-      case _ => // RPCL
-        for (r <- 0 to levels; p <- 0 until resGeom(r)._3 * resGeom(r)._4;
-             l <- 0 until cod.layers) order += ((l, r, p))
+             c <- 0 until ncomp; p <- 0 until np(r)) order += ((l, r, c, p))
+      case 2 => // RPCL: resolution → position → component → layer
+        for (r <- 0 to levels; p <- 0 until np(r);
+             c <- 0 until ncomp; l <- 0 until cod.layers) order += ((l, r, c, p))
+      case _ =>
+        // canvas position (y, x) of each precinct's first sample
+        val byPos = (for (r <- 0 to levels; p <- 0 until np(r)) yield {
+          val (kx0, ky0, npx, _) = resGeom(r)
+          val dres = levels - r
+          val cx = math.max((kx0 + p % npx).toLong << cod.ppx(r), gx0 >> dres) << dres
+          val cy = math.max((ky0 + p / npx).toLong << cod.ppy(r), gy0 >> dres) << dres
+          ((cy, cx), (r, p))
+        }).groupBy(_._1).toSeq.sortBy(_._1)
+        if (cod.prog == 3) // PCRL: position → component → resolution → layer
+          for ((_, grp) <- byPos; c <- 0 until ncomp;
+               (r, p) <- grp.map(_._2).sortBy(_._1); l <- 0 until cod.layers)
+            order += ((l, r, c, p))
+        else               // CPRL: component → position → resolution → layer
+          for (c <- 0 until ncomp; (_, grp) <- byPos;
+               (r, p) <- grp.map(_._2).sortBy(_._1); l <- 0 until cod.layers)
+            order += ((l, r, c, p))
     }
 
     // per-block accumulation across layer packets: inclusion/zero-bitplane
@@ -819,10 +984,10 @@ object Jp2Decode {
       val zbpTree = new TagTreeDec(nbx, nby)
       val blocks = scala.collection.mutable.Map.empty[(Int, Int), BlkState]
     }
-    val state = scala.collection.mutable.Map.empty[(Int, Int, Int), PrecState]
+    val state = scala.collection.mutable.Map.empty[(Int, Int, Int, Int), PrecState]
 
     var bodyPos = 0
-    for ((l, r, p) <- order.result()) {
+    for ((l, r, comp, p) <- order.result()) {
       val (kx0, ky0, npx, _) = resGeom(r)
       val pxi = p % npx; val pyi = p / npx
       val ppx = cod.ppx(r); val ppy = cod.ppy(r)
@@ -852,7 +1017,8 @@ object Jp2Decode {
               val bx0 = px0 >> cshx; val by0 = py0 >> cshy
               val nbx = ceilShift(px1, cshx) - bx0
               val nby = ceilShift(py1, cshy) - by0
-              val st = state.getOrElseUpdate((r, p, bandIdx), new PrecState(nbx, nby))
+              val st = state.getOrElseUpdate((comp, r, p, bandIdx),
+                new PrecState(nbx, nby))
               val mb = mbs((d, kind))
               var by = 0
               while (by < nby) {
@@ -883,7 +1049,14 @@ object Jp2Decode {
                   } else contributes = br.get() == 1 // already-included: 1 bit
                   if (contributes) {
                     val npasses = readNPasses(br)
-                    while (br.get() == 1) blk.lblock += 1
+                    while (br.get() == 1) {
+                      blk.lblock += 1
+                      require(blk.lblock <= 31, s"implausible Lblock ${blk.lblock}")
+                    }
+                    // codeword-length width must fit an Int read: a corrupt
+                    // header growing Lblock past 31 would wrap getBits
+                    require(blk.lblock + floorLog2(npasses) <= 31,
+                      "implausible codeword segment length width")
                     val nlen = br.getBits(blk.lblock + floorLog2(npasses))
                     blk.passes += npasses
                     contribs += ((blk, nlen, d, kind))
@@ -915,12 +1088,12 @@ object Jp2Decode {
     }
 
     // decode every block once from its concatenated segments
-    var bandIdxOf = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    val bandIdxOf = scala.collection.mutable.Map.empty[Int, (Int, Int)]
     for (r <- 0 to levels) {
       var bi = 0
       for ((d, kind) <- pktBands(r)) { bandIdxOf((r << 2) | bi) = (d, kind); bi += 1 }
     }
-    state.foreach { case ((r, _, bandIdx), st) =>
+    state.foreach { case ((comp, r, _, bandIdx), st) =>
       val (d, kind) = bandIdxOf((r << 2) | bandIdx)
       if (kept(d, kind)) {
       val (_, bw) = bandDims(h, w, d, kind)
@@ -930,9 +1103,15 @@ object Jp2Decode {
         case 3 => 2
         case _ => 0
       }
-      val grid = bands((d, kind))
+      val grid = bands(comp)((d, kind))
+      // window pruning: the band's support rect (level-d LL-path bands
+      // and detail bands share the same conservative rect)
+      val need = if (winRects == null) null else winRects(d)
       st.blocks.values.foreach { blk =>
-        if (blk.passes > 0) {
+        val wanted = need == null ||
+          (blk.x0 < need.x1 && blk.x0 + blk.cw > need.x0 &&
+            blk.y0 < need.y1 && blk.y0 + blk.ch > need.y0)
+        if (blk.passes > 0 && wanted) {
           // a block with nbps bitplanes codes at most 3*nbps - 2 passes
           // (one cleanup at the MSB, three per lower plane, D.3); corrupt
           // headers past that would drive the bitplane index negative
@@ -950,40 +1129,43 @@ object Jp2Decode {
       }
     }
 
-    // ---- inverse 5/3 synthesis, level `levels` down to discard+1
-    // (Annex F); with discard > 0 the LL at level `discard` IS the output
-    var ll = bands((levels, 0))
-    var d = levels
-    while (d >= discard + 1) {
-      val ph = ceilShift(h, d - 1)
-      val pw = ceilShift(w, d - 1)
-      val parent = new Array[Int](ph * pw)
-      val (llH, llW) = (ceilShift(ph, 1), ceilShift(pw, 1))
-      val hl = bands((d, 1)); val (_, hlW) = bandDims(h, w, d, 1)
-      val lh = bands((d, 2)); val (_, lhW) = bandDims(h, w, d, 2)
-      val hh = bands((d, 3)); val (_, hhW) = bandDims(h, w, d, 3)
-      // branch-free interleave: even rows weave LL|HL, odd rows LH|HH,
-      // two samples per step
-      var y = 0
-      while (y < ph) {
-        val row = y * pw
-        val (lo, hi, loW, hiW) =
-          if ((y & 1) == 0) (ll, hl, llW, hlW) else (lh, hh, lhW, hhW)
-        var li = (y / 2) * loW
-        var hi2 = (y / 2) * hiW
-        var x = 0
-        while (x + 1 < pw) {
-          parent(row + x) = lo(li); parent(row + x + 1) = hi(hi2)
-          li += 1; hi2 += 1; x += 2
+    // ---- inverse 5/3 synthesis per component, level `levels` down to
+    // discard+1 (Annex F); with discard > 0 the LL at level `discard` IS
+    // the output
+    Array.tabulate(ncomp) { c =>
+      var ll = bands(c)((levels, 0))
+      var d = levels
+      while (d >= discard + 1) {
+        val ph = ceilShift(h, d - 1)
+        val pw = ceilShift(w, d - 1)
+        val parent = new Array[Int](ph * pw)
+        val llW = ceilShift(pw, 1)
+        val hl = bands(c)((d, 1)); val (_, hlW) = bandDims(h, w, d, 1)
+        val lh = bands(c)((d, 2)); val (_, lhW) = bandDims(h, w, d, 2)
+        val hh = bands(c)((d, 3)); val (_, hhW) = bandDims(h, w, d, 3)
+        // branch-free interleave: even rows weave LL|HL, odd rows LH|HH,
+        // two samples per step
+        var y = 0
+        while (y < ph) {
+          val row = y * pw
+          val (lo, hi, loW, hiW) =
+            if ((y & 1) == 0) (ll, hl, llW, hlW) else (lh, hh, lhW, hhW)
+          var li = (y / 2) * loW
+          var hi2 = (y / 2) * hiW
+          var x = 0
+          while (x + 1 < pw) {
+            parent(row + x) = lo(li); parent(row + x + 1) = hi(hi2)
+            li += 1; hi2 += 1; x += 2
+          }
+          if (x < pw) parent(row + x) = lo(li)
+          y += 1
         }
-        if (x < pw) parent(row + x) = lo(li)
-        y += 1
+        inverse53(parent, ph, pw)
+        ll = parent
+        d -= 1
       }
-      inverse53(parent, ph, pw)
-      ll = parent
-      d -= 1
+      ll
     }
-    ll
   }
 
   private def readNPasses(br: HeaderBits): Int = {

@@ -86,7 +86,12 @@ class Jp2DecodeSpec extends SparkSpec {
       // all three in-subset progressions; plus everything-at-once
       Case("layers3_48x48_d12_lrcp", 48, 48, 12, hashPx(48, 12)),
       Case("layers2_40x56_d12_rlcp", 40, 56, 12, hashPx(56, 12)),
-      Case("works_64x96_d12_l3", 64, 96, 12, hashPx(96, 12)))
+      Case("works_64x96_d12_l3", 64, 96, 12, hashPx(96, 12)),
+      // the position-major progressions (T.800 B.12.1.4/5): PCRL over a
+      // tiled stream, CPRL with small precincts — positions genuinely
+      // interleave resolutions in both
+      Case("pcrl_48x80_d12_t32", 48, 80, 12, hashPx(80, 12)),
+      Case("cprl_64x64_d12_p4", 64, 64, 12, hashPx(64, 12)))
     for (c <- cases) {
       val img = Jp2Decode.decode(resource(s"/graft/jp2/${c.name}.j2k"))
       assert(img.height == c.h && img.width == c.w && img.depth == c.depth,
@@ -95,6 +100,91 @@ class Jp2DecodeSpec extends SparkSpec {
         assert(img.pixels(r * c.w + x) == c.px(r, x).toFloat,
           s"${c.name} pixel ($r,$x): ${img.pixels(r * c.w + x)} != ${c.px(r, x)}")
     }
+  }
+
+  test("multi-component battery: RGB with and without the RCT decodes bit-exact per plane") {
+    // scripts/gen_jp2_battery.py MULTI_CASES — per-component closed-form
+    // hash planes v(ci, i) = ((i * (2654435761 + ci*97)) >> 13) & mask.
+    // Covers 3-component packets in LRCP/RPCL/PCRL/CPRL, the reversible
+    // color transform (T.800 G.2), and the PVI-quicklook miniature
+    // (RGB + RCT + tiled + precincts + SOP/EPH + layers in a JP2
+    // container with an sRGB colr box — the publish.py:178-179 asset).
+    def plane(ci: Int, w: Int, depth: Int): (Int, Int) => Int = { (r, c) =>
+      val i = r.toLong * w + c
+      (((i * (2654435761L + ci * 97L)) >> 13) & ((1L << depth) - 1)).toInt
+    }
+    val cases = Seq(
+      ("rgb_40x56_d8_lrcp.j2k", 40, 56, 8),
+      ("rgb_33x47_d8_pcrl.j2k", 33, 47, 8),
+      ("rct_48x64_d8_rpcl.j2k", 48, 64, 8),
+      ("rct_56x40_d8_cprl.j2k", 56, 40, 8),
+      ("pvi_64x96_d8_l2.jp2", 64, 96, 8))
+    for ((name, h, w, depth) <- cases) {
+      val img = Jp2Decode.decodeMulti(resource(s"/graft/jp2/$name"))
+      assert(img.height == h && img.width == w && img.depth == depth &&
+        img.comps == 3, s"$name: geometry/components")
+      for (ci <- 0 until 3; r <- 0 until h; c <- 0 until w)
+        assert(img.planes(ci)(r * w + c) == plane(ci, w, depth)(r, c).toFloat,
+          s"$name comp $ci pixel ($r,$c)")
+    }
+    // the single-component entry point refuses multi-component streams
+    // with a pointer at decodeMulti, not a wrong answer
+    val e = intercept[IllegalArgumentException](
+      Jp2Decode.decode(resource("/graft/jp2/pvi_64x96_d8_l2.jp2")))
+    assert(e.getMessage.contains("decodeMulti"), e.getMessage)
+    // and the container header agrees with the pixel decoder
+    val meta = Jp2.parse(resource("/graft/jp2/pvi_64x96_d8_l2.jp2"))
+    assert(meta.components == 3 && meta.height == 64 && meta.width == 96)
+  }
+
+  test("windowed decode (decodeWindow) equals full-decode-then-crop, any window") {
+    // the reference's S5 windowed read (ds.read(1, window=w),
+    // index_generator.py:123): only code-blocks whose 5/3 synthesis
+    // support intersects the window entropy-decode, and disjoint tiles
+    // never packet-walk — asserted here by bit-equality against the
+    // full decode over windows chosen to hit tile interiors, tile seams,
+    // block-partition seams and the image border
+    val cases = Seq(
+      ("tiled_80x112_d12_t48.j2k", 80, 112),  // ragged 2x3 tile grid
+      ("works_64x96_d12_l3.j2k", 64, 96),     // layered RPCL + precincts
+      ("pcrl_48x80_d12_t32.j2k", 48, 80),     // position-major + tiled
+      ("lv5_96x80_d16_cb64.j2k", 96, 80))     // 5 levels, deep support
+    for ((name, h, w) <- cases) {
+      val bytes = resource(s"/graft/jp2/$name")
+      val full = Jp2Decode.decodeMulti(bytes)
+      val windows = Seq(
+        (0, 0, math.min(16, w), math.min(16, h)),         // corner
+        (w / 3, h / 3, w / 2 - w / 3, h / 2 - h / 3),     // interior
+        (w - 7, h - 5, 7, 5),                             // far corner
+        (5, 0, w - 10, h),                                // full-height strip
+        (w / 2 - 1, h / 2 - 1, 2, 2))                     // 2x2 probe on seams
+      for ((x0, y0, ww, wh) <- windows if ww > 0 && wh > 0) {
+        val win = Jp2Decode.decodeWindow(bytes, x0, y0, ww, wh)
+        assert(win.height == wh && win.width == ww, s"$name window dims")
+        for (r <- 0 until wh; c <- 0 until ww)
+          assert(win.planes(0)(r * ww + c) == full.planes(0)((y0 + r) * w + x0 + c),
+            s"$name window ($x0,$y0,$ww,$wh) pixel ($r,$c)")
+      }
+    }
+    // multi-component + RCT windows: the cross-component transform must
+    // see identical (not just window-covering) coefficient support
+    val pvi = resource("/graft/jp2/pvi_64x96_d8_l2.jp2")
+    val fullPvi = Jp2Decode.decodeMulti(pvi)
+    val win = Jp2Decode.decodeWindow(pvi, 30, 30, 40, 20)
+    for (ci <- 0 until 3; r <- 0 until 20; c <- 0 until 40)
+      assert(win.planes(ci)(r * 40 + c) == fullPvi.planes(ci)((30 + r) * 96 + 30 + c),
+        s"pvi window comp $ci pixel ($r,$c)")
+    // windowed + reduced-resolution composes when aligned, rejects when not
+    val red = Jp2Decode.decodeWindow(resource("/graft/jp2/kakadu_96x96_d12_t64.j2k"),
+      32, 32, 32, 32, discardLevels = 1)
+    val fullRed = Jp2Decode.decode(resource("/graft/jp2/kakadu_96x96_d12_t64.j2k"),
+      discardLevels = 1)
+    assert(red.height == 16 && red.width == 16)
+    for (r <- 0 until 16; c <- 0 until 16)
+      assert(red.planes(0)(r * 16 + c) == fullRed.pixels((16 + r) * 48 + 16 + c))
+    intercept[IllegalArgumentException](
+      Jp2Decode.decodeWindow(resource("/graft/jp2/kakadu_96x96_d12_t64.j2k"),
+        33, 32, 31, 32, discardLevels = 1))
   }
 
   test("reduced-resolution decode (discardLevels) matches the forward-DWT LL sidecars") {
