@@ -1024,6 +1024,39 @@ object SparkEntry {
           size(col("pixels")).cast("long").as("n"))
         .orderBy(col("window_row"), col("window_col"))
     }),
+    // ---- the Sentinel-2 PVI RGB quicklook asset (publish.py:178–179,
+    // 263 reads the 3-component `*PVI*.jp2` preview): decode the
+    // checked-in PVI-miniature fixture — RGB + reversible color
+    // transform + tiled + custom precincts + SOP/EPH + 2 quality layers
+    // in a JP2 container — on EXECUTORS, one row per component, tile
+    // 16×16 and reduce per-(component, window) pixel sums. The oracle
+    // recomputes each plane's closed-form hash formula in pure SQL,
+    // independent of both JP2 implementations (and of the RCT round
+    // trip under test) -------------------------------------------------
+    "q103_jp2_rgb" -> ((s, _) => {
+      import s.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/pvi_64x96_d8_l2.jp2")
+        try in.readAllBytes() finally in.close()
+      }
+      val rgb = s.sparkContext.parallelize(Seq(("S2PVI", bytes)), 1)
+        .toDF("scene_id", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (sid, b) =>
+          val img = graft.sources.Jp2Decode.decodeMulti(b)
+          (0 until img.comps).map { ci =>
+            (sid, ci.toString, img.height, img.width, -1f, img.planes(ci))
+          }
+        }
+        .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+      SceneIO.tileScene(rgb, 16, 16)
+        .select(col("band").cast("long").as("comp"),
+          col("window_row").cast("long").as("window_row"),
+          col("window_col").cast("long").as("window_col"),
+          aggregate(col("pixels"), lit(0L), (acc, x) => acc + x.cast("long")).as("sum_v"),
+          size(col("pixels")).cast("long").as("n"))
+        .orderBy(col("comp"), col("window_row"), col("window_col"))
+    }),
     // ---- windowed frequent items: the Misra-Gries summary in its exact
     // regime (k ≥ distinct event types), exploded back to rows — the
     // oracle checks it against plain per-window counts, proving the
@@ -1568,6 +1601,17 @@ object SparkEntry {
         |  count(*) AS n
         |FROM range(64) t(r), range(96) u(c)
         |GROUP BY 1, 2 ORDER BY window_row, window_col""".stripMargin,
+    // q103's oracle: the PVI fixture's per-component hash formula
+    // v(comp, i) = ((i * (2654435761 + comp*97)) >> 13) & 255 over the
+    // 64x96 RGB grid with the same ragged 16x16 tiling
+    // (scripts/gen_jp2_battery.py MULTI_CASES) — independent of both JP2
+    // implementations and of the RCT round trip
+    "q103_jp2_rgb" ->
+      """SELECT comp, r // 16 AS window_row, c // 16 AS window_col,
+        |  CAST(sum(((r*96 + c) * (2654435761 + comp*97) >> 13) & 255) AS BIGINT) AS sum_v,
+        |  count(*) AS n
+        |FROM range(3) s(comp), range(64) t(r), range(96) u(c)
+        |GROUP BY 1, 2, 3 ORDER BY comp, window_row, window_col""".stripMargin,
     "q100_ivf_index" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

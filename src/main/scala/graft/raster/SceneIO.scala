@@ -162,7 +162,8 @@ object SceneIO {
     * carries no nodata tag; Sentinel-2's convention is 0. */
   def readJp2Scenes(spark: org.apache.spark.sql.SparkSession,
                     path: String, nodata: Float = 0f,
-                    discardLevels: Int = 0): DataFrame = {
+                    discardLevels: Int = 0,
+                    window: Option[(Int, Int, Int, Int)] = None): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.{jp2,j2k,jpx,j2c}")
@@ -174,9 +175,49 @@ object SceneIO {
         // discardLevels > 0 = the rasterio decimated read the reference
         // quicklook path uses (publish.py:59-91 out_shape): dims shrink by
         // 2^k and the dropped detail bands never entropy-decode, so a
-        // preview scan costs ~4^-k of a full ingest scan
-        val img = graft.sources.Jp2Decode.decode(bytes, discardLevels)
+        // preview scan costs ~4^-k of a full ingest scan.
+        // window = (x0, y0, w, h) = the reference's S5 windowed read
+        // (ds.read(1, window=w), index_generator.py:123): only the
+        // code-blocks whose wavelet support intersects the window
+        // entropy-decode, so a one-block probe never pays a full decode
+        val img = window match {
+          case Some((wx, wy, ww, wh)) =>
+            val m = graft.sources.Jp2Decode.decodeWindow(bytes, wx, wy, ww, wh,
+              discardLevels)
+            require(m.comps == 1, s"$p: multi-component; use readJp2RgbScenes")
+            graft.sources.Jp2Decode.Jp2Pixels(m.height, m.width, m.depth, m.planes(0))
+          case None => graft.sources.Jp2Decode.decode(bytes, discardLevels)
+        }
         (sceneId, band, img.height, img.width, nodata, img.pixels)
+      }
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+  }
+
+  /** The Sentinel-2 `*PVI*.jp2` preview asset (publish.py:178–179, 263
+    * reads the 3-component RGB JP2 to build the quicklook; asset
+    * registered at publish.py:388): decode each multi-component file on
+    * executors and emit ONE ROW PER COMPONENT with the given band names,
+    * so the result flows straight into [[tileScene]] →
+    * [[quicklookScenes]] exactly like single-band scenes. Same
+    * file-identity grammar and row shape as [[readJp2Scenes]]. */
+  def readJp2RgbScenes(spark: org.apache.spark.sql.SparkSession,
+                       path: String, nodata: Float = 0f,
+                       discardLevels: Int = 0,
+                       bandNames: Seq[String] = Seq("R", "G", "B")): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{jp2,j2k,jpx,j2c}")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val (sceneId, _) = sceneBandOfPath(p)
+        val img = graft.sources.Jp2Decode.decodeMulti(bytes, discardLevels)
+        require(img.comps <= bandNames.length,
+          s"$p: ${img.comps} components, only ${bandNames.length} band names")
+        (0 until img.comps).map { ci =>
+          (sceneId, bandNames(ci), img.height, img.width, nodata, img.planes(ci))
+        }
       }
       .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
   }
@@ -388,9 +429,16 @@ object SceneIO {
     * the Hadoop FS API. Per-band geometry joins back via AQE (broadcasts
     * when the scene count is small). Bit-identical to [[quicklook]]:
     * same integer nearest-neighbour mapping, same encoder. Returns the
-    * manifest (scene_id, path, bytes). */
+    * manifest (scene_id, path, bytes).
+    *
+    * `prescaled = true` skips the reflectance x/10000·255 clip — for
+    * sources already in display range, like the 8-bit PVI preview asset
+    * the reference copies straight into the quicklook
+    * (publish.py:178–179 prefers `*PVI*.jp2` over re-scaling bands);
+    * nodata still maps to 0/transparent. */
   def quicklookScenes(tiles: DataFrame, rgb: (String, String, String), dir: String,
-                      qlH: Int = 768, qlW: Int = 768): DataFrame = {
+                      qlH: Int = 768, qlW: Int = 768,
+                      prescaled: Boolean = false): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
     val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
@@ -441,6 +489,7 @@ object SceneIO {
             val v = px((sr - r0) * w + (sc - c0))
             hits(k) = qi * qlW + qj
             vals(k) = if (v == nd) 0f
+                      else if (prescaled) math.min(v.toDouble, 255.0).toFloat
                       else math.min(v.toDouble / 10000.0 * 255.0, 255.0).toFloat
             k += 1
             qj += 1

@@ -307,6 +307,57 @@ class Jp2DecodeSpec extends SparkSpec {
     assert(back.getInt(2) == 61 && back.getInt(3) == 97)
   }
 
+  test("readJp2RgbScenes → quicklookScenes: the PVI preview asset end to end (publish.py:178–179)") {
+    import spark.implicits._
+    // the reference builds the published quicklook from the 3-component
+    // *PVI*.jp2 preview; here: distributed multi-component decode → one
+    // row per component → tile → quicklookScenes PNG, then decode the
+    // PNG back and pin pixels against the fixture's closed-form planes
+    val dir = Files.createTempDirectory("graft-pvi")
+    Files.write(dir.resolve("S2A_T23LLF_0012__PVI.jp2"),
+      resource("/graft/jp2/pvi_64x96_d8_l2.jp2"))
+    val scenes = SceneIO.readJp2RgbScenes(spark, dir.toString, nodata = -1f)
+    assert(scenes.select("band").as[String].collect().toSet == Set("R", "G", "B"))
+    assert(scenes.count() == 3)
+    val tiles = SceneIO.tileScene(scenes, 16, 16)
+    val outDir = Files.createTempDirectory("graft-pvi-ql")
+    // 8-bit planes are already display-range (the reference copies PVI
+    // pixels into the quicklook rather than re-scaling, publish.py:178):
+    // prescaled + native 64x96 keeps the map identity, so expected
+    // pixels are the formula values themselves
+    val manifest = SceneIO.quicklookScenes(tiles, ("R", "G", "B"),
+      outDir.toString, qlH = 64, qlW = 96, prescaled = true).collect()
+    assert(manifest.length == 1 && manifest.head.getString(0) == "S2A_T23LLF_0012")
+    val png = javax.imageio.ImageIO.read(
+      new java.io.File(manifest.head.getString(1).stripPrefix("file:")))
+    assert(png.getHeight == 64 && png.getWidth == 96)
+    def plane(ci: Int)(r: Int, c: Int): Int =
+      ((((r.toLong * 96 + c) * (2654435761L + ci * 97L)) >> 13) & 255L).toInt
+    for (r <- 0 until 64 by 7; c <- 0 until 96 by 5) {
+      val argb = png.getRGB(c, r)
+      val (er, eg, eb) = (plane(0)(r, c), plane(1)(r, c), plane(2)(r, c))
+      if (er == 0 && eg == 0 && eb == 0)
+        assert((argb >>> 24) == 0, s"($r,$c): nodata must be transparent")
+      else
+        assert(((argb >> 16) & 255, (argb >> 8) & 255, argb & 255) == ((er, eg, eb)),
+          s"($r,$c): quicklook pixel mismatch")
+    }
+  }
+
+  test("readJp2Scenes window read matches the cropped full read (index_generator.py:123)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jp2-win")
+    Files.write(dir.resolve("S2A_T23LLF_0013__B02.jp2"),
+      resource("/graft/tiny_band_B02.jp2"))
+    val win = SceneIO.readJp2Scenes(spark, dir.toString, nodata = -1f,
+      window = Some((32, 16, 40, 24))).head()
+    assert(win.getInt(2) == 24 && win.getInt(3) == 40)
+    val px = win.getSeq[Float](5)
+    for (r <- 0 until 24; c <- 0 until 40)
+      assert(px(r * 40 + c) == containerPx(16 + r, 32 + c),
+        s"window pixel ($r,$c)")
+  }
+
   test("readJp2Scenes → tileScene → bandMath: the Sentinel-2 ingest seam (publish.py:263–270)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-jp2")
