@@ -144,9 +144,12 @@ object Hdf4 {
   def decodeSds(bytes: Array[Byte], sd: SubDataset): Array[Float] = {
     require(sd.dataOffset >= 0 && sd.dims.nonEmpty,
       s"subdataset '${sd.name}' has no contiguous data payload")
-    // compute the product in Long: Int multiplication can wrap PAST negative
-    // back to a small positive (65536x65537 -> 65536) and slip the guard
-    val nL = sd.dims.map(_.toLong).product
+    // compute the product in Long with a per-step saturation cap: a plain
+    // Long product of 3+ corrupt dims (each up to Int.MaxValue) could wrap
+    // 64 bits back into the allowed range and slip the guard
+    val nL = sd.dims.foldLeft(1L) { (acc, d) =>
+      if (acc > (1L << 28)) acc else acc * d.toLong
+    }
     // corrupt dims must not drive allocation (2^28 samples = 1 GiB of float32
     // is far above real SDS)
     require(sd.dims.forall(_ > 0) && nL > 0 && nL <= (1L << 28),
