@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{DedupFunctions => D, SimilarityFunctions => Sim, TextFunctions => T}
+import graft.raster.SceneIO
 
 /** Scale-factor sweep: replicate the sf0.1 corpus K× (perturbed ids/texts
   * so dup structure stays realistic) and measure the heavy operators at 1×
@@ -152,6 +153,44 @@ object ScalingBench {
         Sim.searchIvfIndex(spark, dir, "embedding", "vec_id", q, 10, nProbe = 2).count()
       })
 
+    // the four bench headliners (q95/q47/q96/q68 shapes) — the sf1
+    // datapoint: at k=10 the replicated corpus matches sf1 row counts,
+    // one decade beyond the per-round sf0.1 bench. GeoTIFF scene count
+    // scales with the corpus (64 scenes per replica), matching how a
+    // growing archive adds FILES, not pixels per file.
+    def headlinerSuite(tag: String, docs: DataFrame, emb: DataFrame,
+                       events: DataFrame): Map[String, Double] = Map(
+      "sig_neardup_q95" -> time(s"$tag sig_neardup_q95") {
+        D.neardupPairsBySignature(docs, "text", "doc_id",
+          n = 3, bands = 4, rowsPerBand = 2, estThreshold = 0.5).count()
+      },
+      "neardup_dropped_q47" -> time(s"$tag neardup_dropped_q47") {
+        val kept = D.dedupNear(docs, "text", "doc_id",
+          n = 3, bands = 1, rowsPerBand = 2, jaccardThreshold = 0.8)
+        docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti").count()
+      },
+      "geotiff_rtrip_q96" -> time(s"$tag geotiff_rtrip_q96", runs = 2) {
+        val scenes = emb.filter(col("vec_id") % 10_000_000L < 64)
+          .select(col("vec_id").cast("string").as("scene_id"),
+            lit("B1").as("band"), lit(8).as("height"), lit(8).as("width"),
+            lit(-9999.0f).as("nodata"), col("embedding").as("pixels"))
+        val dir = java.nio.file.Files.createTempDirectory(s"q96scale").toString
+        SceneIO.writeGeoTiffScenes(SceneIO.tileScene(scenes, 4, 4), dir,
+          tileSize = 16, overviewFactors = Seq(2)).count()
+        SceneIO.readGeoTiffScenes(spark, dir)
+          .agg(sum(element_at(col("pixels"), 1))).head()
+        1L
+      },
+      "range_join_q68" -> time(s"$tag range_join_q68") {
+        val pts = events.filter(col("event_type") === "click")
+          .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val ivs = events.filter(col("event_type") === "error")
+          .select(col("event_id").as("i_id"), col("ts").as("i_start"),
+            (col("ts") + expr("interval 10 minutes")).as("i_end"))
+        graft.meta.TemporalJoins.rangeJoinBuckets(pts, ivs,
+          "p_ts", "i_start", "i_end", bucketSeconds = 600).count()
+      })
+
     val evBase = graft.catalog.Tables.events(spark, d)
     val evDir = s"/tmp/graft-scale-ev-x$k"
     if (!new java.io.File(evDir).exists())
@@ -161,15 +200,26 @@ object ScalingBench {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(evDir)
 
-    val r1 = suite("1x", base, embBase) ++ temporalSuite("1x", evBase) ++
-      layoutSuite("1x", evBase, embBase)
-    val rk = suite(s"${k}x",
-      spark.read.parquet(docsDir), spark.read.parquet(embDir)) ++
-      temporalSuite(s"${k}x", spark.read.parquet(evDir)) ++
-      layoutSuite(s"${k}x", spark.read.parquet(evDir), spark.read.parquet(embDir))
-    println(f"== scaling ratios (${k}x / 1x wall, ideal <= $k) ==")
-    r1.keys.toSeq.sorted.foreach { op =>
-      println(f"[ratio] $op%-20s ${rk(op) / r1(op)}%.1f")
+    val headlinersOnly = args.length > 1 && args(1) == "headliners"
+    if (headlinersOnly) {
+      val r1 = headlinerSuite("1x", base, embBase, evBase)
+      val rk = headlinerSuite(s"${k}x", spark.read.parquet(docsDir),
+        spark.read.parquet(embDir), spark.read.parquet(evDir))
+      println(f"== headliner scaling ratios (${k}x / 1x wall, ideal <= $k) ==")
+      r1.keys.toSeq.sorted.foreach { op =>
+        println(f"[ratio] $op%-20s ${r1(op)}%.2fs -> ${rk(op)}%.2fs  ${rk(op) / r1(op)}%.1f")
+      }
+    } else {
+      val r1 = suite("1x", base, embBase) ++ temporalSuite("1x", evBase) ++
+        layoutSuite("1x", evBase, embBase)
+      val rk = suite(s"${k}x",
+        spark.read.parquet(docsDir), spark.read.parquet(embDir)) ++
+        temporalSuite(s"${k}x", spark.read.parquet(evDir)) ++
+        layoutSuite(s"${k}x", spark.read.parquet(evDir), spark.read.parquet(embDir))
+      println(f"== scaling ratios (${k}x / 1x wall, ideal <= $k) ==")
+      r1.keys.toSeq.sorted.foreach { op =>
+        println(f"[ratio] $op%-20s ${rk(op) / r1(op)}%.1f")
+      }
     }
     spark.stop()
   }
