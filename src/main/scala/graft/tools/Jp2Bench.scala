@@ -62,6 +62,24 @@ object Jp2Bench {
     println(f"decode ${side}x$side noise  (${noise.length / 1e3}%.0f KB): ${nPx / 1e6 / nSec}%.1f MP/s single-thread")
     println(f"decode ${side}x$side smooth (${smooth.length / 1e3}%.0f KB): ${sPx / 1e6 / sSec}%.1f MP/s single-thread")
 
+    // windowed (ROI) probe: one 256² block read vs the full decode — the
+    // reference's S5 windowed read (index_generator.py:123). The win is
+    // EBCOT pruning: only code-blocks whose 5/3 support reaches the
+    // window entropy-decode
+    val ws = math.min(256, side / 2)
+    def timeWindow(bytes: Array[Byte], reps: Int): Double = {
+      for (_ <- 0 until 2)
+        graft.sources.Jp2Decode.decodeWindow(bytes, side / 2, side / 2, ws, ws)
+      val t0 = System.nanoTime()
+      for (_ <- 0 until reps)
+        graft.sources.Jp2Decode.decodeWindow(bytes, side / 2, side / 2, ws, ws)
+      (System.nanoTime() - t0) / 1e9 / reps
+    }
+    val nWin = timeWindow(noise, 5)
+    val sWin = timeWindow(smooth, 5)
+    println(f"window ${ws}x$ws probe noise : ${nWin * 1000}%.0f ms vs full ${nSec / 5 * 1000}%.0f ms -> ${nSec / 5 / nWin}%.1fx")
+    println(f"window ${ws}x$ws probe smooth: ${sWin * 1000}%.0f ms vs full ${sSec / 5 * 1000}%.0f ms -> ${sSec / 5 / sWin}%.1fx")
+
     // distributed: `copies` files through the binaryFile -> executor path
     val sparkDir = java.nio.file.Files.createTempDirectory("jp2benchdist")
     for (i <- 0 until copies)
