@@ -108,6 +108,34 @@ MULTI_CASES = [
       "sop": True, "eph": True, "layers": 2}),
 ]
 
+# irreversible 9/7 fixtures (lossy — scalar quantization, float DWT, ICT
+# for RGB). The decode is NOT bit-exact against the input formula, so
+# each fixture carries a `.px.txt` sidecar holding the INDEPENDENT Python
+# decoder's output: the Scala decoder must match it bit-exactly (both
+# implement the same IEEE-double dequant + 9/7 synthesis + ICT + G.1.2
+# half-even rounding), and the generator self-checks the sidecar against
+# the original pixels within the quantization error bound.
+# (name, h, w, depth, levels, cb_exp, ncomp, mct, qstep, qderived, kwargs)
+IRREV_CASES = [
+    ("i97_40x56_d8",          40, 56,  8, 2, 5, 1, False, 0.0625, False, {}),
+    ("i97_1x37_d8",            1, 37,  8, 2, 6, 1, False, 0.0625, False, {}),
+    ("i97_29x1_d8",           29,  1,  8, 2, 6, 1, False, 0.0625, False, {}),
+    # derived quantization (Sqcd style 1): eps scales with the
+    # decomposition level from one signalled LL pair (E-5)
+    ("i97der_47x31_d12",      47, 31, 12, 2, 4, 1, False, 0.25,   True,  {}),
+    # coarse step — the genuinely lossy regime (visible error, deep
+    # zero-bitplane truncation); also gets a reduced-resolution sidecar
+    ("i97coarse_64x64_d12_q8", 64, 64, 12, 3, 6, 1, False, 8.0,   False, {}),
+    # the irreversible color transform (G.3) over RGB planes
+    ("ict_33x47_d8",          33, 47,  8, 2, 4, 3, True, 0.03125, False, {}),
+    # the real lossy-preview regime end to end: 9/7 + ICT + tiled +
+    # per-resolution precincts + SOP/EPH + 2 layers RPCL, in a JP2
+    # container — what a lossy-coded PVI quicklook actually carries
+    ("pvi97_64x96_d8_l2",     64, 96,  8, 2, 4, 3, True, 0.0625,  False,
+     {"tile_w": 32, "tile_h": 32, "precincts": [(4, 4), (5, 5), (5, 5)],
+      "sop": True, "eph": True, "layers": 2, "prog": 2}),
+]
+
 
 def multi_pixels_for(h, w, depth, ncomp):
     mask = (1 << depth) - 1
@@ -194,7 +222,48 @@ def main():
             f.write(blob)
         print(f"{name}: {w}x{h}@{depth} x{ncomp} mct={int(mct)} prog={prog}"
               f" -> {len(blob)} bytes OK")
-    print(f"battery of {len(CASES)} + {len(MULTI_CASES)} fixtures in {OUT_DIR}")
+    for (name, h, w, depth, levels, cb_exp, ncomp, mct, qstep, qderived,
+         kwargs) in IRREV_CASES:
+        if ncomp == 1:
+            orig = [pixels_for(h, w, depth, ("hash",))]
+            stream = jc.encode_j2k(orig[0], h, w, depth, levels,
+                                   cb_exp=cb_exp, irrev=True, qstep=qstep,
+                                   qderived=qderived, **kwargs)
+        else:
+            orig = multi_pixels_for(h, w, depth, ncomp)
+            stream = jc.encode_j2k(None, h, w, depth, levels, cb_exp=cb_exp,
+                                   components=orig, mct=mct, irrev=True,
+                                   qstep=qstep, qderived=qderived, **kwargs)
+        dh, dw, dd, got = jc.decode_j2k(stream)
+        got_planes = got if ncomp > 1 else [got]
+        assert (dh, dw, dd) == (h, w, depth), f"{name}: geometry mismatch"
+        # quantization-error self-check vs the ORIGINAL pixels: the step
+        # bounds each coefficient's error by delta/2 and the synthesis
+        # L1 gain is small — 3*qstep + 2 holds with margin on every case
+        err = max(abs(a - b) for p, q in zip(got_planes, orig)
+                  for a, b in zip(p, q))
+        assert err <= 3 * qstep + 2, f"{name}: err {err} > bound"
+        if name.startswith("pvi"):
+            path = os.path.join(OUT_DIR, f"{name}.jp2")
+            blob = jc.wrap_jp2(stream, h, w, depth, ncomp=ncomp)
+        else:
+            path = os.path.join(OUT_DIR, f"{name}.j2k")
+            blob = stream
+        with open(path, "wb") as f:
+            f.write(blob)
+        with open(os.path.join(OUT_DIR, f"{name}.px.txt"), "w") as f:
+            for p in got_planes:
+                f.write("\n".join(str(v) for v in p) + "\n")
+        print(f"{name}: {w}x{h}@{depth} x{ncomp} 9/7 qstep={qstep}"
+              f"{' derived' if qderived else ''} -> {len(blob)} bytes,"
+              f" maxerr {err} OK")
+        if name == "i97coarse_64x64_d12_q8":
+            rh, rw, _, red = jc.decode_j2k(stream, discard=1)
+            with open(os.path.join(OUT_DIR, f"{name}.r1.txt"), "w") as f:
+                f.write("\n".join(str(v) for v in red) + "\n")
+            print(f"  r1: {rw}x{rh} reduced sidecar OK")
+    print(f"battery of {len(CASES)} + {len(MULTI_CASES)} +"
+          f" {len(IRREV_CASES)} fixtures in {OUT_DIR}")
 
 
 if __name__ == "__main__":

@@ -1,9 +1,12 @@
-"""Minimal JPEG 2000 Part-1 codec — reversible 5/3 path only — written
-from the public spec (ITU-T T.800 / ISO-IEC 15444-1): single component,
-MQ-coded passes, no quantization; tiled codestreams (tile-part splits,
-Psot=0), per-resolution custom precincts with canvas-anchored block
-partition, quality layers, LRCP/RLCP/RPCL progressions, SOP/EPH
-framing — the full Kakadu-encoded Sentinel-2 shape.
+"""Minimal JPEG 2000 Part-1 codec — reversible 5/3 AND irreversible 9/7
+paths — written from the public spec (ITU-T T.800 / ISO-IEC 15444-1):
+MQ-coded passes; reversible streams carry no quantization, irreversible
+streams scalar-quantize (derived or expounded, E.1) the float 9/7
+coefficients; tiled codestreams (tile-part splits, Psot=0),
+per-resolution custom precincts with canvas-anchored block partition,
+quality layers, LRCP/RLCP/RPCL progressions, SOP/EPH framing — the full
+Kakadu-encoded Sentinel-2 shape. Multi-component streams take the RCT
+(G.2, reversible) or the ICT (G.3, irreversible).
 
 This file exists ONLY to generate and self-check the checked-in test
 fixture (see gen_jp2_fixture.py). The production decoder is
@@ -18,8 +21,12 @@ Spec map:
   MQ coder            T.800 Annex C / T.88 (47-state table, byte stuffing)
   coefficient coding  T.800 Annex D (3 passes, 19 contexts, RL mode)
   5/3 wavelet         T.800 Annex F (reversible integer lifting)
+  9/7 wavelet         T.800 Annex F.4.8.2 (irreversible float lifting)
+  quantization        T.800 Annex E (scalar derived/expounded)
+  color transforms    T.800 Annex G (RCT G.2, ICT G.3)
 """
 
+import math
 import struct
 
 # 47-state MQ probability table (T.800 Table C.2): Qe, NMPS, NLPS, SWITCH
@@ -361,6 +368,83 @@ def inv53_1d(y):
     return x
 
 
+# 9/7 lifting constants (T.800 Table F.4) and the DC-gain-1 normalization
+# (low *= 1/K, high *= K — the Table F.6 analysis taps sum to 1 at DC)
+A97 = -1.586134342059924
+B97 = -0.052980118572961
+G97 = 0.882911075530934
+D97 = 0.443506852043971
+K97 = 1.230174104914001
+
+
+def fwd97_1d(x):
+    """Irreversible 9/7 analysis (F.4.8.2): four sequential lifting steps
+    over the symmetric extension, then the K normalization. Floats in,
+    floats out; length-1 signals pass through (degenerate split)."""
+    n = len(x)
+    y = [float(v) for v in x]
+    if n == 1:
+        return y
+    for i in range(1, n, 2):
+        y[i] += A97 * (y[_ext(i - 1, n)] + y[_ext(i + 1, n)])
+    for i in range(0, n, 2):
+        y[i] += B97 * (y[_ext(i - 1, n)] + y[_ext(i + 1, n)])
+    for i in range(1, n, 2):
+        y[i] += G97 * (y[_ext(i - 1, n)] + y[_ext(i + 1, n)])
+    for i in range(0, n, 2):
+        y[i] += D97 * (y[_ext(i - 1, n)] + y[_ext(i + 1, n)])
+    for i in range(0, n, 2):
+        y[i] *= 1.0 / K97
+    for i in range(1, n, 2):
+        y[i] *= K97
+    return y
+
+
+def inv97_1d(y):
+    """Inverse 9/7 synthesis — the analysis steps mirrored. The operation
+    ORDER and expression shapes match graft.sources.Jp2Decode.inverse97
+    exactly, so both decoders produce bit-identical IEEE doubles."""
+    n = len(y)
+    x = [float(v) for v in y]
+    if n == 1:
+        return x
+    for i in range(0, n, 2):
+        x[i] *= K97
+    for i in range(1, n, 2):
+        x[i] *= 1.0 / K97
+    for i in range(0, n, 2):
+        x[i] -= D97 * (x[_ext(i - 1, n)] + x[_ext(i + 1, n)])
+    for i in range(1, n, 2):
+        x[i] -= G97 * (x[_ext(i - 1, n)] + x[_ext(i + 1, n)])
+    for i in range(0, n, 2):
+        x[i] -= B97 * (x[_ext(i - 1, n)] + x[_ext(i + 1, n)])
+    for i in range(1, n, 2):
+        x[i] -= A97 * (x[_ext(i - 1, n)] + x[_ext(i + 1, n)])
+    return x
+
+
+def fwd97_2d(a):
+    h, w = len(a), len(a[0])
+    for x in range(w):
+        col = fwd97_1d([a[y][x] for y in range(h)])
+        for y in range(h):
+            a[y][x] = col[y]
+    for y in range(h):
+        a[y] = fwd97_1d(a[y])
+    return a
+
+
+def inv97_2d(a):
+    h, w = len(a), len(a[0])
+    for y in range(h):
+        a[y] = inv97_1d(a[y])
+    for x in range(w):
+        col = inv97_1d([a[y][x] for y in range(h)])
+        for y in range(h):
+            a[y][x] = col[y]
+    return a
+
+
 def fwd53_2d(a):
     """One decomposition level, in place semantics: columns then rows
     (the inverse of the decoder's rows-then-columns 2D_SR)."""
@@ -385,15 +469,16 @@ def inv53_2d(a):
     return a
 
 
-def decompose(pixels, h, w, levels):
+def decompose(pixels, h, w, levels, irrev=False):
     """Forward DWT -> dict of subbands. Returns {(level, name): 2-D list};
-    names HL (x odd), LH (y odd), HH; plus ('LL', levels)."""
+    names HL (x odd), LH (y odd), HH; plus ('LL', levels). irrev=True
+    runs the float 9/7 analysis instead of the integer 5/3."""
     a = [[pixels[y * w + x] for x in range(w)] for y in range(h)]
     bands = {}
     ch, cw = h, w
     for d in range(1, levels + 1):
         sub = [[a[y][x] for x in range(cw)] for y in range(ch)]
-        fwd53_2d(sub)
+        (fwd97_2d if irrev else fwd53_2d)(sub)
         ll = [[sub[2 * y][2 * x] for x in range((cw + 1) // 2)] for y in range((ch + 1) // 2)]
         bands[(d, 'HL')] = [[sub[2 * y][2 * x + 1] for x in range(cw // 2)]
                             for y in range((ch + 1) // 2)]
@@ -409,14 +494,14 @@ def decompose(pixels, h, w, levels):
     return bands
 
 
-def reconstruct(bands, h, w, levels, stop=0):
+def reconstruct(bands, h, w, levels, stop=0, irrev=False):
     """Inverse synthesis from `levels` down to stop+1; with stop > 0 the
     returned grid is the LL at level `stop` (a reduced-resolution read)."""
     ll = bands[(levels, 'LL')]
     for d in range(levels, stop, -1):
         ph = -(-h // (2 ** (d - 1)))   # ceil div: parent dims at level d-1
         pw = -(-w // (2 ** (d - 1)))
-        a = [[0] * pw for _ in range(ph)]
+        a = [[0.0 if irrev else 0] * pw for _ in range(ph)]
         hl, lh, hh = bands[(d, 'HL')], bands[(d, 'LH')], bands[(d, 'HH')]
         for y in range(ph):
             for x in range(pw):
@@ -428,9 +513,55 @@ def reconstruct(bands, h, w, levels, stop=0):
                     a[y][x] = lh[y // 2][x // 2]
                 else:
                     a[y][x] = hh[y // 2][x // 2]
-        inv53_2d(a)
+        (inv97_2d if irrev else inv53_2d)(a)
         ll = a
     return ll
+
+
+# ------------------------------------------------------- scalar quantization
+
+def quant_params(rb, target_delta):
+    """(eps, mu) whose E-3 step is closest at-or-below target_delta:
+    delta = 2^(rb-eps) * (1 + mu/2^11), mantissa in [1, 2)."""
+    e2 = math.floor(math.log2(target_delta))
+    mantissa = target_delta / (2.0 ** e2)
+    eps = rb - e2
+    mu = int((mantissa - 1.0) * 2048)
+    assert 0 <= eps <= 31 and 0 <= mu <= 2047, f"qstep out of range: {target_delta}"
+    return eps, mu
+
+
+def delta_of(rb, eps, mu):
+    """E-3 reconstruction step for subband dynamic range rb — the SAME
+    expression shape as the Scala decoder's deltaOf (bit-exact doubles)."""
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
+def quant_table(depth, levels, qstep, derived):
+    """Per-subband (eps, mu, delta) in codestream band order, plus the QCD
+    payload bytes. Derived (style 1) signals only the LL pair and scales
+    by decomposition level (E-5: eps_b = eps0 - NL + nb); expounded
+    (style 2) signals every subband."""
+    bandlist = [bn for r in range(levels + 1) for bn in packet_bands(levels, r)]
+    quant = {}
+    if derived:
+        eps0, mu0 = quant_params(depth + gain('LL'), qstep)
+        for (d, nm) in bandlist:
+            nb = levels if nm == 'LL' else d
+            eps = eps0 - levels + nb
+            assert 1 <= eps <= 31, f"derived eps {eps} out of range"
+            quant[(d, nm)] = (eps, mu0, delta_of(depth + gain(nm), eps, mu0))
+        payload = struct.pack('>BH', (GUARD_BITS << 5) | 1, (eps0 << 11) | mu0)
+    else:
+        words = []
+        for (d, nm) in bandlist:
+            rb = depth + gain(nm)
+            eps, mu = quant_params(rb, qstep)
+            quant[(d, nm)] = (eps, mu, delta_of(rb, eps, mu))
+            words.append((eps << 11) | mu)
+        payload = struct.pack('>B', (GUARD_BITS << 5) | 2) + \
+            b''.join(struct.pack('>H', wd) for wd in words)
+    return quant, payload
 
 
 # ----------------------------------------------------------- T1 block coder
@@ -722,7 +853,8 @@ def _band_origin(gx0, gy0, d):
 
 
 def _tile_body(comp_tiles, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
-               sop=False, eph=False, precincts=None, layers=1, prog=0):
+               sop=False, eph=False, precincts=None, layers=1, prog=0,
+               quant=None):
     """Encode one tile's packet sequence from per-component level-shifted
     (and, for MCT streams, already RCT-transformed) samples.
     Returns (body bytes, packet-end offsets) — the offsets are the legal
@@ -745,9 +877,14 @@ def _tile_body(comp_tiles, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
     with a 0 bit — the full B.10 layer machinery. prog 0..4 =
     LRCP/RLCP/RPCL/PCRL/CPRL (B.12): the first three nest layer /
     component loops around the in-resolution precinct raster, the last
-    two order by precinct canvas position with resolutions interleaved."""
+    two order by precinct canvas position with resolutions interleaved.
+
+    quant non-None marks the irreversible 9/7 path: samples are floats,
+    the forward transform is the float 9/7, and each subband coefficient
+    quantizes to floor(|c| / delta) with Mb = G + eps - 1 (E.1/E.2)."""
     ncomp = len(comp_tiles)
-    all_bands = [decompose(t, h, w, levels) for t in comp_tiles]
+    all_bands = [decompose(t, h, w, levels, irrev=quant is not None)
+                 for t in comp_tiles]
     pps = precincts or [(15, 15)] * (levels + 1)
 
     # ---- precompute: per (comp, r, precinct, band) the block grid and
@@ -798,7 +935,12 @@ def _tile_body(comp_tiles, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
                 nbx = -(-px1 // (1 << cshx)) - bx0
                 nby = -(-py1 // (1 << cshy)) - by0
                 grid = bands[(d, name)]
-                mb = GUARD_BITS + (depth + gain(name)) - 1
+                if quant is not None:
+                    mb = GUARD_BITS + quant[(d, name)][0] - 1
+                    qdelta = quant[(d, name)][2]
+                else:
+                    mb = GUARD_BITS + (depth + gain(name)) - 1
+                    qdelta = None
                 blocks = {}
                 for by in range(nby):
                     for bx in range(nbx):
@@ -806,9 +948,15 @@ def _tile_body(comp_tiles, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
                         xb = min((bx0 + bx + 1) << cshx, px1)
                         ya = max((by0 + by) << cshy, py0)
                         yb = min((by0 + by + 1) << cshy, py1)
-                        mags = [[abs(grid[ya - tby0 + y][xa - tbx0 + x])
-                                 for x in range(xb - xa)]
-                                for y in range(yb - ya)]
+                        if qdelta is not None:
+                            mags = [[int(abs(grid[ya - tby0 + y][xa - tbx0 + x])
+                                         / qdelta)
+                                     for x in range(xb - xa)]
+                                    for y in range(yb - ya)]
+                        else:
+                            mags = [[abs(grid[ya - tby0 + y][xa - tbx0 + x])
+                                     for x in range(xb - xa)]
+                                    for y in range(yb - ya)]
                         negs = [[grid[ya - tby0 + y][xa - tbx0 + x] < 0
                                  for x in range(xb - xa)]
                                 for y in range(yb - ya)]
@@ -921,7 +1069,8 @@ def _tile_body(comp_tiles, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
 def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
                tile_w=None, tile_h=None, split_parts=1, last_psot_zero=False,
                sop=False, eph=False, precincts=None, layers=1, prog=0,
-               components=None, mct=False):
+               components=None, mct=False, irrev=False, qstep=0.0625,
+               qderived=False):
     """Full codestream, 1..n unsigned-depth components. Default is a
     single tile; pass tile_w/tile_h for a tiled codestream (one SOT per
     tile, row-major Isot). split_parts > 1 splits each tile's packets
@@ -934,7 +1083,12 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
     components = list of per-component flat pixel lists (overrides
     `pixels`); mct=True applies the reversible color transform (T.800
     G.2) over components 0..2 — the RGB PVI-quicklook shape. prog 0..4 =
-    LRCP/RLCP/RPCL/PCRL/CPRL."""
+    LRCP/RLCP/RPCL/PCRL/CPRL.
+
+    irrev=True encodes the irreversible 9/7 path: float DWT, scalar
+    quantization at step `qstep` in sample units (derived style when
+    qderived, expounded otherwise), and the ICT (G.3) instead of the RCT
+    when mct is set — the real Sentinel-2 PVI preview regime."""
     comps = components if components is not None else [pixels]
     ncomp = len(comps)
     assert not mct or ncomp >= 3, "MCT needs at least 3 components"
@@ -949,14 +1103,30 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
     ntx = -(-w // tw)
     nty = -(-h // th)
     half = 1 << (depth - 1)
-    shifted = [[v - half for v in plane] for plane in comps]
-    if mct:
-        # forward RCT (G-1..G-3) on the DC-shifted planes: Y, U=Cb, V=Cr
-        R, G, B = shifted[0], shifted[1], shifted[2]
-        shifted[0] = [(r + 2 * g + b) // 4 for r, g, b in zip(R, G, B)]
-        shifted[1] = [b - g for g, b in zip(G, B)]
-        shifted[2] = [r - g for r, g in zip(R, G)]
-    eff_depth = depth + 1 if mct else depth  # chroma range expansion
+    if irrev:
+        shifted = [[float(v - half) for v in plane] for plane in comps]
+        if mct:
+            # forward ICT (G-10..G-12) on the DC-shifted float planes
+            R, G, B = shifted[0], shifted[1], shifted[2]
+            shifted[0] = [0.299 * r + 0.587 * g + 0.114 * b
+                          for r, g, b in zip(R, G, B)]
+            shifted[1] = [-0.168736 * r - 0.331264 * g + 0.5 * b
+                          for r, g, b in zip(R, G, B)]
+            shifted[2] = [0.5 * r - 0.418688 * g - 0.081312 * b
+                          for r, g, b in zip(R, G, B)]
+        eff_depth = depth                    # ICT keeps the nominal range
+    else:
+        shifted = [[v - half for v in plane] for plane in comps]
+        if mct:
+            # forward RCT (G-1..G-3) on the DC-shifted planes: Y, U=Cb, V=Cr
+            R, G, B = shifted[0], shifted[1], shifted[2]
+            shifted[0] = [(r + 2 * g + b) // 4 for r, g, b in zip(R, G, B)]
+            shifted[1] = [b - g for g, b in zip(G, B)]
+            shifted[2] = [r - g for r, g in zip(R, G)]
+        eff_depth = depth + 1 if mct else depth  # chroma range expansion
+    quant = None
+    if irrev:
+        quant, qcd_payload = quant_table(eff_depth, levels, qstep, qderived)
 
     out = bytearray()
     out += b'\xFF\x4F'                                      # SOC
@@ -964,7 +1134,8 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
                       tw, th, 0, 0, ncomp)
     siz += bytes([depth - 1, 1, 1]) * ncomp
     out += b'\xFF\x51' + siz
-    spcod = bytes([levels, cb_exp - 2, cb_exp - 2, 0, 1])   # 5/3 reversible
+    # SPcod transform byte: 1 = reversible 5/3, 0 = irreversible 9/7
+    spcod = bytes([levels, cb_exp - 2, cb_exp - 2, 0, 0 if irrev else 1])
     scod = (2 if sop else 0) | (4 if eph else 0)
     if precincts is not None:
         scod |= 1
@@ -972,11 +1143,14 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
     cod = struct.pack('>HBBHB', 12 + (0 if precincts is None else levels + 1),
                       scod, prog, layers, 1 if mct else 0) + spcod
     out += b'\xFF\x52' + cod
-    eps = [eff_depth + gain('LL')]
-    for r in range(1, levels + 1):
-        eps += [eff_depth + gain(n) for n in ('HL', 'LH', 'HH')]
-    qcd = struct.pack('>HB', 3 + len(eps), GUARD_BITS << 5) + \
-        bytes(e << 3 for e in eps)
+    if irrev:
+        qcd = struct.pack('>H', 2 + len(qcd_payload)) + qcd_payload
+    else:
+        eps = [eff_depth + gain('LL')]
+        for r in range(1, levels + 1):
+            eps += [eff_depth + gain(n) for n in ('HL', 'LH', 'HH')]
+        qcd = struct.pack('>HB', 3 + len(eps), GUARD_BITS << 5) + \
+            bytes(e << 3 for e in eps)
     out += b'\xFF\x5C' + qcd
 
     for ty in range(nty):
@@ -991,7 +1165,7 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
             body, bounds = _tile_body(tiles, t_h, t_w, eff_depth, levels,
                                       cb_exp, gx0=x0, gy0=y0, sop=sop,
                                       eph=eph, precincts=precincts,
-                                      layers=layers, prog=prog)
+                                      layers=layers, prog=prog, quant=quant)
             n_parts = min(split_parts, len(bounds)) if split_parts > 1 else 1
             cuts = [0] + [bounds[(i + 1) * len(bounds) // n_parts - 1]
                           for i in range(n_parts)]
@@ -1054,6 +1228,9 @@ def decode_j2k(stream, discard=0):
     pos = 2
     h = w = depth = levels = None
     eps = None
+    qinfo = None        # irreversible: ('derived'|'expounded', [(eps, mu)])
+    guard = GUARD_BITS
+    irrev = False
     ncomp = 1
     mct = False
     tile_parts = {}
@@ -1085,10 +1262,22 @@ def decode_j2k(stream, discard=0):
             prog = seg[1]
             layers = struct.unpack('>H', seg[2:4])[0]
             mct = seg[4] == 1
+            irrev = seg[9] == 0
             precincts = [(b & 0xF, b >> 4) for b in seg[10:10 + levels + 1]] \
                 if seg[0] & 1 else None
         elif marker == b'\xFF\x5C':
-            eps = [b >> 3 for b in seg[1:]]
+            sty = seg[0] & 0x1F
+            guard = seg[0] >> 5
+            if sty == 0:
+                eps = [b >> 3 for b in seg[1:]]
+            elif sty == 1:
+                w0 = struct.unpack('>H', seg[1:3])[0]
+                qinfo = ('derived', [(w0 >> 11, w0 & 0x7FF)])
+            else:
+                assert sty == 2, f"unknown Sqcd style {sty}"
+                qinfo = ('expounded',
+                         [(wd >> 11, wd & 0x7FF) for wd in
+                          struct.unpack(f'>{(len(seg) - 1) // 2}H', seg[1:])])
         elif marker == b'\xFF\x90':
             isot = struct.unpack('>H', stream[pos + 2:pos + 4])[0]
             psot = struct.unpack('>I', stream[pos + 4:pos + 8])[0]
@@ -1104,6 +1293,22 @@ def decode_j2k(stream, discard=0):
     out2d = [[[0] * rw for _ in range(rh)] for _ in range(ncomp)]
     half = 1 << (depth - 1)
     assert sorted(tile_parts) == list(range(ntx * nty)), "missing tiles"
+    quant = None
+    if irrev:
+        assert qinfo is not None, "irreversible stream lacks scalar QCD"
+        bandlist = [bn for r in range(levels + 1)
+                    for bn in packet_bands(levels, r)]
+        kind, pairs = qinfo
+        quant = {}
+        for bi, (d, nm) in enumerate(bandlist):
+            if kind == 'derived':
+                e0, m0 = pairs[0]
+                e, m = e0 - levels + (levels if nm == 'LL' else d), m0
+            else:
+                e, m = pairs[bi]
+            quant[(d, nm)] = (e, m, delta_of(depth + gain(nm), e, m))
+    else:
+        assert eps is not None, "reversible stream lacks no-quant QCD"
     for ty in range(nty):
         for tx in range(ntx):
             x0, x1 = max(xto + tx * xt, xo), min(xto + (tx + 1) * xt, xs)
@@ -1113,10 +1318,20 @@ def decode_j2k(stream, discard=0):
             planes = _decode_tile(body, t_h, t_w, levels, cb_exp, eps,
                                   gx0=x0, gy0=y0, sop=sop, eph=eph,
                                   precincts=precincts, layers=layers,
-                                  prog=prog, discard=discard, ncomp=ncomp)
+                                  prog=prog, discard=discard, ncomp=ncomp,
+                                  quant=quant, guard=guard)
             rth, rtw = -(-t_h // (1 << discard)), -(-t_w // (1 << discard))
             rx0, ry0 = x0 >> discard, y0 >> discard  # exact: aligned origins
-            if mct:
+            if mct and irrev:
+                # inverse ICT (G-13..G-15) on the unrounded float planes
+                for y in range(rth):
+                    for x in range(rtw):
+                        yv, cb, cr = (planes[0][y][x], planes[1][y][x],
+                                      planes[2][y][x])
+                        planes[0][y][x] = yv + 1.402 * cr
+                        planes[1][y][x] = yv - 0.344136 * cb - 0.714136 * cr
+                        planes[2][y][x] = yv + 1.772 * cb
+            elif mct:
                 # inverse RCT (G-6..G-8) before the DC shift
                 for y in range(rth):
                     for x in range(rtw):
@@ -1129,7 +1344,9 @@ def decode_j2k(stream, discard=0):
             for c in range(ncomp):
                 for y in range(rth):
                     for x in range(rtw):
-                        v = planes[c][y][x] + half
+                        # irreversible: round half-even (== JVM Math.rint)
+                        v = (round(planes[c][y][x]) if irrev
+                             else planes[c][y][x]) + half
                         out2d[c][ry0 + y][rx0 + x] = \
                             max(0, min((1 << depth) - 1, v))
     outs = [[p[y][x] for y in range(rh) for x in range(rw)] for p in out2d]
@@ -1138,23 +1355,28 @@ def decode_j2k(stream, discard=0):
 
 def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
                  sop=False, eph=False, precincts=None, layers=1, prog=0,
-                 discard=0, ncomp=1):
+                 discard=0, ncomp=1, quant=None, guard=GUARD_BITS):
     """One tile's packets -> per-component level-shifted 2-D samples
     (reference side). Mirrors _tile_body's precinct / layer /
     globally-anchored geometry: per-block state (inclusion, Lblock,
     accumulated passes + bytes) persists across layer packets; every
-    block decodes once at the end from its concatenated segments."""
+    block decodes once at the end from its concatenated segments.
+    quant non-None = irreversible: float grids, coefficients dequantize
+    as sign * (q + 0.5) * delta (E.1.2 midpoint reconstruction)."""
     pps = precincts or [(15, 15)] * (levels + 1)
+    irrev = quant is not None
     all_bands = [{} for _ in range(ncomp)]
     mbs = {}
     epi = 0
     for r in range(levels + 1):
         for (d, name) in packet_bands(levels, r):
             bh, bw_ = band_dims(h, w, d, name)
-            mbs[(d, name)] = GUARD_BITS + eps[epi] - 1
+            mbs[(d, name)] = guard + (quant[(d, name)][0] if irrev
+                                      else eps[epi]) - 1
             epi += 1
+            zero = 0.0 if irrev else 0
             for c in range(ncomp):
-                all_bands[c][(d, name)] = [[0] * bw_ for _ in range(bh)]
+                all_bands[c][(d, name)] = [[zero] * bw_ for _ in range(bh)]
 
     res_geom = []
     prec_pos = {}
@@ -1264,11 +1486,20 @@ def _decode_tile(body, h, w, levels, cb_exp, eps, gx0=0, gy0=0,
                 bytes(blk['segs']), ww, hh, 'LL' if name == 'LL' else name,
                 blk['nbps'], blk['passes'])
             grid = all_bands[c][(d, name)]
-            for y in range(hh):
-                for x in range(ww):
-                    grid[y0 + y][x0 + x] = \
-                        -mags[y][x] if negs[y][x] else mags[y][x]
-    return [reconstruct(all_bands[c], h, w, levels, stop=discard)
+            if irrev:
+                qdelta = quant[(d, name)][2]
+                for y in range(hh):
+                    for x in range(ww):
+                        m = mags[y][x]
+                        if m != 0:
+                            v = (m + 0.5) * qdelta
+                            grid[y0 + y][x0 + x] = -v if negs[y][x] else v
+            else:
+                for y in range(hh):
+                    for x in range(ww):
+                        grid[y0 + y][x0 + x] = \
+                            -mags[y][x] if negs[y][x] else mags[y][x]
+    return [reconstruct(all_bands[c], h, w, levels, stop=discard, irrev=irrev)
             for c in range(ncomp)]
 
 

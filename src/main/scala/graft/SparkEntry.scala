@@ -1057,6 +1057,41 @@ object SparkEntry {
           size(col("pixels")).cast("long").as("n"))
         .orderBy(col("comp"), col("window_row"), col("window_col"))
     }),
+    // ---- the IRREVERSIBLE JPEG 2000 path (lossy 9/7 + scalar
+    // quantization + ICT — the regime lossy-coded preview/quicklook
+    // products carry): decode the pvi97 fixture — RGB 9/7 + ICT + tiled
+    // + precincts + SOP/EPH + 2 layers RPCL in a JP2 container — on
+    // EXECUTORS and reduce per-(component, window) pixel sums. Lossy
+    // decode can't oracle against the source formula, so the oracle pins
+    // the INDEPENDENT Python reference decoder's output (the same
+    // two-implementation conformance bridge as the battery spec): its
+    // per-window sums are baked into the oracle SQL as literals at
+    // fixture-generation time — any drift in dequantization, 9/7
+    // lifting, ICT constants or rounding breaks the hash match ----------
+    "q104_jp2_irreversible" -> ((s, _) => {
+      import s.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/pvi97_64x96_d8_l2.jp2")
+        try in.readAllBytes() finally in.close()
+      }
+      val rgb = s.sparkContext.parallelize(Seq(("S2PVI97", bytes)), 1)
+        .toDF("scene_id", "content")
+        .as[(String, Array[Byte])]
+        .flatMap { case (sid, b) =>
+          val img = graft.sources.Jp2Decode.decodeMulti(b)
+          (0 until img.comps).map { ci =>
+            (sid, ci.toString, img.height, img.width, -1f, img.planes(ci))
+          }
+        }
+        .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+      SceneIO.tileScene(rgb, 16, 16)
+        .select(col("band").cast("long").as("comp"),
+          col("window_row").cast("long").as("window_row"),
+          col("window_col").cast("long").as("window_col"),
+          aggregate(col("pixels"), lit(0L), (acc, x) => acc + x.cast("long")).as("sum_v"),
+          size(col("pixels")).cast("long").as("n"))
+        .orderBy(col("comp"), col("window_row"), col("window_col"))
+    }),
     // ---- windowed frequent items: the Misra-Gries summary in its exact
     // regime (k ≥ distinct event types), exploded back to rows — the
     // oracle checks it against plain per-window counts, proving the
@@ -1612,6 +1647,31 @@ object SparkEntry {
         |  count(*) AS n
         |FROM range(3) s(comp), range(64) t(r), range(96) u(c)
         |GROUP BY 1, 2, 3 ORDER BY comp, window_row, window_col""".stripMargin,
+    // q104's oracle: the lossy 9/7+ICT decode pinned against the
+    // INDEPENDENT Python reference decoder (scripts/jp2codec.py) — its
+    // per-(component, 16x16-window) pixel sums over the pvi97 fixture,
+    // computed at fixture-generation time and baked in as literals.
+    // 72 rows = 3 components x 4x6 windows over the 64x96 image.
+    "q104_jp2_irreversible" ->
+      """SELECT CAST(comp AS BIGINT) AS comp,
+        |  CAST(window_row AS BIGINT) AS window_row,
+        |  CAST(window_col AS BIGINT) AS window_col,
+        |  CAST(sum_v AS BIGINT) AS sum_v, CAST(n AS BIGINT) AS n
+        |FROM (VALUES
+        |(0,0,0,32790,256),(0,0,1,32491,256),(0,0,2,32453,256),(0,0,3,32668,256),(0,0,4,32631,256),(0,0,5,32590,256),
+        |(0,1,0,32581,256),(0,1,1,32797,256),(0,1,2,32756,256),(0,1,3,32461,256),(0,1,4,32422,256),(0,1,5,32639,256),
+        |(0,2,0,32372,256),(0,2,1,32846,256),(0,2,2,32548,256),(0,2,3,32766,256),(0,2,4,32981,256),(0,2,5,32431,256),
+        |(0,3,0,32675,256),(0,3,1,32637,256),(0,3,2,32597,256),(0,3,3,32559,256),(0,3,4,33029,256),(0,3,5,32734,256),
+        |(1,0,0,32433,256),(1,0,1,32442,256),(1,0,2,32451,256),(1,0,3,32716,256),(1,0,4,32726,256),(1,0,5,32735,256),
+        |(1,1,0,32530,256),(1,1,1,32539,256),(1,1,2,33058,256),(1,1,3,32812,256),(1,1,4,32566,256),(1,1,5,32317,256),
+        |(1,2,0,32626,256),(1,2,1,32890,256),(1,2,2,32898,256),(1,2,3,32653,256),(1,2,4,32405,256),(1,2,5,32926,256),
+        |(1,3,0,32721,256),(1,3,1,32987,256),(1,3,2,32228,256),(1,3,3,32235,256),(1,3,4,32501,256),(1,3,5,32767,256),
+        |(2,0,0,32336,256),(2,0,1,32909,256),(2,0,2,32706,256),(2,0,3,32506,256),(2,0,4,32307,256),(2,0,5,32105,256),
+        |(2,1,0,32480,256),(2,1,1,32282,256),(2,1,2,32851,256),(2,1,3,33165,256),(2,1,4,32962,256),(2,1,5,32762,256),
+        |(2,2,0,32617,256),(2,2,1,32429,256),(2,2,2,32230,256),(2,2,3,32538,256),(2,2,4,32851,256),(2,2,5,32653,256),
+        |(2,3,0,33018,256),(2,3,1,32827,256),(2,3,2,32627,256),(2,3,3,32429,256),(2,3,4,32486,256),(2,3,5,32794,256)
+        |) v(comp, window_row, window_col, sum_v, n)
+        |ORDER BY comp, window_row, window_col""".stripMargin,
     "q100_ivf_index" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -3,18 +3,23 @@ package graft.sources
 import java.nio.ByteBuffer
 import scala.collection.mutable.ArrayBuffer
 
-/** JPEG 2000 Part-1 pixel decoder — the reversible 5/3 path (ITU-T T.800 /
-  * ISO-IEC 15444-1), pure JVM.
+/** JPEG 2000 Part-1 pixel decoder — BOTH Part-1 wavelet paths, the
+  * reversible 5/3 and the irreversible 9/7 (ITU-T T.800 / ISO-IEC
+  * 15444-1), pure JVM.
   *
   * The reference reads Sentinel-2 band files (the `*B02.jp2` glob) through
   * rasterio/GDAL (publish.py:263–270, utils.py:335–342); Sentinel-2 L1C
-  * codestreams are exactly this path: reversible 5/3 wavelet, no
-  * quantization, MQ-coded passes, Kakadu-encoded with RPCL progression,
-  * custom precincts and SOP/EPH framing — all supported here. The RGB
+  * codestreams are the reversible path: 5/3 wavelet, no quantization,
+  * MQ-coded passes, Kakadu-encoded with RPCL progression, custom
+  * precincts and SOP/EPH framing — all supported here. The RGB
   * `*PVI*.jp2` quicklook asset (publish.py:178–179, 263) is covered too:
   * MULTI-COMPONENT codestreams (1:1 sampling, shared depth) with the
-  * reversible multiple-component transform (RCT, Annex G.2) decode to
-  * per-component planes. Subset (checked up front, with a clear error
+  * reversible color transform (RCT, Annex G.2) or — on the 9/7 path,
+  * the regime lossy preview products use — the irreversible ICT (G.3),
+  * decode to per-component planes. Irreversible streams carry scalar
+  * quantization (derived or expounded, Annex E); coefficients
+  * dequantize at the E.1.2 midpoint and synthesize through the float
+  * 9/7 lifting. Subset (checked up front, with a clear error
   * outside it): code-block style 0, canvas/tile origins at 0 with tile
   * sizes a multiple of 2^levels (every real product; the gate keeps
   * per-tile local DWT parity equal to the spec's global parity). Within
@@ -35,8 +40,11 @@ import scala.collection.mutable.ArrayBuffer
   *  - Annex C / T.88 MQ arithmetic decoder (47-state table) → [[MqDec]]
   *  - Annex D coefficient bit modeling (3 passes, 19 contexts, RL mode) →
   *    [[decodeBlock]]
+  *  - Annex E scalar quantization (derived/expounded, midpoint
+  *    reconstruction) → the QCD parse + [[decodeTile]]'s dequant
   *  - Annex F reversible 5/3 synthesis (F.3.7 symmetric extension,
-  *    floor-division lifting) → [[inverse53]]
+  *    floor-division lifting) → [[inverse53]]; irreversible 9/7 float
+  *    lifting (F.4.8.2 mirrored) → [[inverse97]]
   *
   * The conformance bridge to an independent implementation is the
   * checked-in fixture generated and self-checked by scripts/jp2codec.py
@@ -552,11 +560,13 @@ object Jp2Decode {
   /** cbwLog/cbhLog are the code-block size EXPONENTS (size before the
     * per-resolution precinct clamp); ppx/ppy are per-resolution precinct
     * exponents, 15 (whole subband) when COD carries no precinct sizes;
-    * prog 0..4 = LRCP/RLCP/RPCL/PCRL/CPRL (B.12); mct = the reversible
-    * multi-component transform (G.2) over components 0..2. */
+    * prog 0..4 = LRCP/RLCP/RPCL/PCRL/CPRL (B.12); mct with the 5/3 is
+    * the reversible color transform (G.2), with the 9/7 the irreversible
+    * ICT (G.3), over components 0..2; irrev = SPcod transform byte 0,
+    * the irreversible 9/7 float path. */
   private final case class Cod(levels: Int, cbwLog: Int, cbhLog: Int,
                                layers: Int, prog: Int, mct: Boolean,
-                               sop: Boolean, eph: Boolean,
+                               sop: Boolean, eph: Boolean, irrev: Boolean,
                                ppx: Array[Int], ppy: Array[Int])
 
   /** ceil(n / 2^k) without overflow for the sizes in play. */
@@ -591,7 +601,9 @@ object Jp2Decode {
     var xs = 0; var ys = 0
     var cod: Cod = null
     var guard = -1
+    var qstyle = -1
     var exps: Array[Int] = null
+    var qraw: Array[Int] = null
     // tile-part data per tile index, in TPsot arrival order (A.4.2: a
     // tile's packets are the concatenation of its tile-part data)
     val tileParts = scala.collection.mutable.Map.empty[Int, ArrayBuffer[Array[Byte]]]
@@ -664,7 +676,10 @@ object Jp2Decode {
             val cbStyle = buf.get(o + 8).toInt & 0xFF
             val transform = buf.get(o + 9).toInt & 0xFF
             require(cbStyle == 0, "code-block style modes outside subset")
-            require(transform == 1, "irreversible 9/7 outside subset (5/3 only)")
+            // 1 = reversible 5/3 (Sentinel-2 band files), 0 = irreversible
+            // 9/7 (the lossy regime many preview/quicklook products use)
+            require(transform == 0 || transform == 1,
+              s"SPcod transform byte $transform outside Part-1")
             require(levels <= 32 && cbwLog <= 6 && cbhLog <= 6,
               s"implausible COD: levels=$levels cbLog=${cbwLog}x$cbhLog")
             val (ppx, ppy) =
@@ -685,14 +700,28 @@ object Jp2Decode {
                 (px, py)
               } else (Array.fill(levels + 1)(15), Array.fill(levels + 1)(15))
             cod = Cod(levels, cbwLog, cbhLog, layers, prog, mct == 1,
-              sop, eph, ppx, ppy)
+              sop, eph, transform == 0, ppx, ppy)
             pos += len
           case 0xFF5C => // QCD (A.6.4)
             val o = pos + 2
             val sqcd = buf.get(o).toInt & 0xFF
-            require((sqcd & 0x1F) == 0, "quantization outside reversible subset")
             guard = sqcd >>> 5
-            exps = Array.tabulate(len - 3)(i => (buf.get(o + 1 + i).toInt & 0xFF) >>> 3)
+            qstyle = sqcd & 0x1F
+            qstyle match {
+              case 0 => // no quantization (reversible): 8-bit exponents
+                exps = Array.tabulate(len - 3)(i =>
+                  (buf.get(o + 1 + i).toInt & 0xFF) >>> 3)
+              case 1 | 2 => // scalar derived / expounded (E.1): 16-bit
+                // (eps << 11 | mu) words — one for derived, one per
+                // subband for expounded
+                val n = (len - 3) / 2
+                require(n >= 1 && (qstyle == 2 || n == 1),
+                  s"QCD style $qstyle carries $n quantization words")
+                qraw = Array.tabulate(n)(i =>
+                  buf.getShort(o + 1 + 2 * i).toInt & 0xFFFF)
+              case s => throw new IllegalArgumentException(
+                s"Sqcd style $s outside Part-1's 0..2")
+            }
             pos += len
           case 0xFF90 => // SOT (A.4.2): data runs from after SOD to Psot's end
             val isot = buf.getShort(pos + 2).toInt & 0xFFFF
@@ -736,9 +765,14 @@ object Jp2Decode {
         }
       }
     }
-    require(h > 0 && cod != null && exps != null && tileParts.nonEmpty,
-      "codestream missing SIZ/COD/QCD/tile body")
+    require(h > 0 && cod != null && (exps != null || qraw != null) &&
+      tileParts.nonEmpty, "codestream missing SIZ/COD/QCD/tile body")
     require(!signed, "signed components outside subset (Sentinel-2 is unsigned)")
+    // A.6.4: the reversible 5/3 pairs with no-quantization (style 0), the
+    // irreversible 9/7 with scalar quantization (style 1/2) — a mismatch
+    // is a malformed stream, not a decodable variant
+    require(cod.irrev == (qstyle != 0),
+      s"transform/quantization mismatch: irrev=${cod.irrev} Sqcd style $qstyle")
 
     // ---- tile grid (B.3): each tile decodes independently (its own packet
     // sequence, code-blocks and wavelet over the tile dims) and stitches
@@ -802,45 +836,84 @@ object Jp2Decode {
           if (win == null) null
           else Rect(math.max(win.x0, x0) - x0, math.max(win.y0, y0) - y0,
             math.min(win.x1, x1) - x0, math.min(win.y1, y1) - y0)
-        val tilePx = decodeTile(body, th, tw, x0, y0, ncomp, cod, guard, exps,
-          discard, winLocal)
-        if (cod.mct) {
-          // inverse RCT (G-6..G-8) over components 0..2, before the DC
-          // shift: G = Y - floor((U+V)/4); R = V + G; B = U + G
-          val cy = tilePx(0); val cu = tilePx(1); val cv = tilePx(2)
-          var i = 0
-          while (i < cy.length) {
-            val g = cy(i) - ((cu(i) + cv(i)) >> 2)
-            cy(i) = cv(i) + g // plane 0 ← R
-            cv(i) = cu(i) + g // plane 2 ← B
-            cu(i) = g         // plane 1 ← G
-            i += 1
-          }
-        }
-        // stitch: intersect the (reduced) tile region with the output
+        val planes = decodeTile(body, th, tw, x0, y0, ncomp, cod, guard, exps,
+          qstyle, qraw, depth, discard, winLocal)
+        // stitch geometry: intersect the (reduced) tile region with the
+        // output canvas
         val rtw = ceilShift(tw, discard)
         val sx0 = math.max(x0, ox0) >> discard
         val sx1 = ceilShift(math.min(x1, ox1), discard)
         val sy0 = math.max(y0, oy0) >> discard
         val sy1 = ceilShift(math.min(y1, oy1), discard)
         val rx0 = x0 >> discard; val ry0 = y0 >> discard // exact: aligned origins
-        var c = 0
-        while (c < ncomp) {
-          val plane = tilePx(c)
-          val dst = out(c)
-          var ry = sy0
-          while (ry < sy1) {
-            val srcBase = (ry - ry0) * rtw
-            val dstBase = (ry - (oy0 >> discard)) * rw - (ox0 >> discard)
-            var rx = sx0
-            while (rx < sx1) {
-              val v = plane(srcBase + (rx - rx0)) + half
-              dst(dstBase + rx) = math.max(0, math.min(lim, v)).toFloat
-              rx += 1
+        if (!cod.irrev) {
+          val tilePx = planes.ints
+          if (cod.mct) {
+            // inverse RCT (G-6..G-8) over components 0..2, before the DC
+            // shift: G = Y - floor((U+V)/4); R = V + G; B = U + G
+            val cy = tilePx(0); val cu = tilePx(1); val cv = tilePx(2)
+            var i = 0
+            while (i < cy.length) {
+              val g = cy(i) - ((cu(i) + cv(i)) >> 2)
+              cy(i) = cv(i) + g // plane 0 ← R
+              cv(i) = cu(i) + g // plane 2 ← B
+              cu(i) = g         // plane 1 ← G
+              i += 1
             }
-            ry += 1
           }
-          c += 1
+          var c = 0
+          while (c < ncomp) {
+            val plane = tilePx(c)
+            val dst = out(c)
+            var ry = sy0
+            while (ry < sy1) {
+              val srcBase = (ry - ry0) * rtw
+              val dstBase = (ry - (oy0 >> discard)) * rw - (ox0 >> discard)
+              var rx = sx0
+              while (rx < sx1) {
+                val v = plane(srcBase + (rx - rx0)) + half
+                dst(dstBase + rx) = math.max(0, math.min(lim, v)).toFloat
+                rx += 1
+              }
+              ry += 1
+            }
+            c += 1
+          }
+        } else {
+          val tilePx = planes.dbls
+          if (cod.mct) {
+            // inverse ICT (G-13..G-15) on the unrounded float planes —
+            // the same constants and operation order as the independent
+            // Python reference decoder, so both produce identical doubles
+            val cy = tilePx(0); val cb = tilePx(1); val cr = tilePx(2)
+            var i = 0
+            while (i < cy.length) {
+              val yv = cy(i); val ub = cb(i); val vr = cr(i)
+              cy(i) = yv + 1.402 * vr                    // R
+              cb(i) = yv - 0.344136 * ub - 0.714136 * vr // G
+              cr(i) = yv + 1.772 * ub                    // B
+              i += 1
+            }
+          }
+          var c = 0
+          while (c < ncomp) {
+            val plane = tilePx(c)
+            val dst = out(c)
+            var ry = sy0
+            while (ry < sy1) {
+              val srcBase = (ry - ry0) * rtw
+              val dstBase = (ry - (oy0 >> discard)) * rw - (ox0 >> discard)
+              var rx = sx0
+              while (rx < sx1) {
+                // round half-even (G.1.2), DC shift, clamp to depth
+                val v = Math.rint(plane(srcBase + (rx - rx0))) + half
+                dst(dstBase + rx) = math.max(0.0, math.min(lim.toDouble, v)).toFloat
+                rx += 1
+              }
+              ry += 1
+            }
+            c += 1
+          }
         }
       }
     }
@@ -858,13 +931,19 @@ object Jp2Decode {
     * layers, per-precinct tag trees and per-block Lblock persist across
     * packets and each block's codeword segments concatenate, decoding
     * once at the end. `winLocal` non-null prunes EBCOT to the blocks
-    * whose 5/3 synthesis support intersects the window (headers still
-    * walk — they position the data cursor). Returns level-shifted signed
-    * samples row-major (th×tw), one plane per component. */
+    * whose synthesis support intersects the window (headers still
+    * walk — they position the data cursor). Returns level-shifted
+    * samples row-major (th×tw), one plane per component: Int planes for
+    * the reversible 5/3 path, Double planes (dequantized, 9/7
+    * synthesized, un-rounded) for the irreversible path. */
+  private final class TilePlanes(val ints: Array[Array[Int]],
+                                 val dbls: Array[Array[Double]])
+
   private def decodeTile(body: Array[Byte], h: Int, w: Int,
                          gx0: Int, gy0: Int, ncomp: Int,
                          cod: Cod, guard: Int, exps: Array[Int],
-                         discard: Int, winLocal: Rect): Array[Array[Int]] = {
+                         qstyle: Int, qraw: Array[Int], depth: Int,
+                         discard: Int, winLocal: Rect): TilePlanes = {
     val levels = cod.levels
     def pktBands(r: Int): Seq[(Int, Int)] =
       if (r == 0) Seq((levels, 0))
@@ -877,30 +956,39 @@ object Jp2Decode {
     @inline def kept(d: Int, kind: Int): Boolean = kind == 0 || d > discard
     // window support region per level, in band-local coordinates: one
     // 5/3 synthesis step makes output sample n depend on interleaved
-    // coefficients [n-2, n+2], i.e. band indices [floor((n-2)/2),
-    // ceil((n+2)/2)) — iterate that d times for a level-d band. Blocks
-    // outside their band's rect never entropy-decode.
+    // coefficients [n-2, n+2] (the 9/7's longer filters reach [n-4,
+    // n+4]), i.e. band indices [floor((n-m)/2), ceil((n+m)/2)) —
+    // iterate that d times for a level-d band. Blocks outside their
+    // band's rect never entropy-decode.
     val winRects: Array[Rect] =
       if (winLocal == null) null
       else {
+        val m = if (cod.irrev) 4 else 2
         val rs = new Array[Rect](levels + 1)
         rs(0) = winLocal
         var k = 1
         while (k <= levels) {
           val p = rs(k - 1)
-          rs(k) = Rect(math.max(0, Math.floorDiv(p.x0 - 2, 2)),
-            math.max(0, Math.floorDiv(p.y0 - 2, 2)),
-            (p.x1 + 3) / 2, (p.y1 + 3) / 2)
+          rs(k) = Rect(math.max(0, Math.floorDiv(p.x0 - m, 2)),
+            math.max(0, Math.floorDiv(p.y0 - m, 2)),
+            (p.x1 + m + 1) / 2, (p.y1 + m + 1) / 2)
           k += 1
         }
         rs
       }
-    // coefficient grids per (component, band) and Mb per band (QCD
-    // exponents index bands in codestream order; one QCD serves every
-    // component — QCC fails loudly above)
+    // coefficient grids per (component, band), Mb per band, and — on the
+    // irreversible path — the E-3 reconstruction step per band (QCD
+    // words index bands in codestream order; one QCD serves every
+    // component — QCC fails loudly above). Derived style (E-5) signals
+    // only the LL pair: eps_b = eps0 - NL + nb with nb the band's
+    // decomposition count.
     val bands = Array.fill(ncomp)(
       scala.collection.mutable.Map.empty[(Int, Int), Array[Int]])
     val mbs = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    val deltas = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    @inline def gainOf(kind: Int): Int = kind match {
+      case 0 => 0; case 3 => 2; case _ => 1
+    }
     var epi = 0
     for (r <- 0 to levels; (d, kind) <- pktBands(r)) {
       val (bh, bw) = bandDims(h, w, d, kind)
@@ -908,7 +996,26 @@ object Jp2Decode {
         var c = 0
         while (c < ncomp) { bands(c)((d, kind)) = new Array[Int](bh * bw); c += 1 }
       }
-      mbs((d, kind)) = guard + exps(epi) - 1
+      if (cod.irrev) {
+        val (eb, mb) =
+          if (qstyle == 1) {
+            val w0 = qraw(0)
+            val nb = if (kind == 0) levels else d
+            ((w0 >>> 11) - levels + nb, w0 & 0x7FF)
+          } else {
+            require(epi < qraw.length, "QCD expounded words truncated")
+            val w0 = qraw(epi)
+            (w0 >>> 11, w0 & 0x7FF)
+          }
+        require(eb >= 1 && eb <= 31, s"quantization exponent $eb out of range")
+        mbs((d, kind)) = guard + eb - 1
+        // delta = 2^(Rb - eps) * (1 + mu/2^11), Rb = depth + band gain —
+        // the exact expression the Python reference decoder evaluates
+        deltas((d, kind)) =
+          math.pow(2.0, depth + gainOf(kind) - eb) * (1.0 + mb / 2048.0)
+      } else {
+        mbs((d, kind)) = guard + exps(epi) - 1
+      }
       epi += 1
     }
 
@@ -1129,42 +1236,97 @@ object Jp2Decode {
       }
     }
 
-    // ---- inverse 5/3 synthesis per component, level `levels` down to
+    // ---- inverse synthesis per component, level `levels` down to
     // discard+1 (Annex F); with discard > 0 the LL at level `discard` IS
     // the output
-    Array.tabulate(ncomp) { c =>
-      var ll = bands(c)((levels, 0))
-      var d = levels
-      while (d >= discard + 1) {
-        val ph = ceilShift(h, d - 1)
-        val pw = ceilShift(w, d - 1)
-        val parent = new Array[Int](ph * pw)
-        val llW = ceilShift(pw, 1)
-        val hl = bands(c)((d, 1)); val (_, hlW) = bandDims(h, w, d, 1)
-        val lh = bands(c)((d, 2)); val (_, lhW) = bandDims(h, w, d, 2)
-        val hh = bands(c)((d, 3)); val (_, hhW) = bandDims(h, w, d, 3)
-        // branch-free interleave: even rows weave LL|HL, odd rows LH|HH,
-        // two samples per step
-        var y = 0
-        while (y < ph) {
-          val row = y * pw
-          val (lo, hi, loW, hiW) =
-            if ((y & 1) == 0) (ll, hl, llW, hlW) else (lh, hh, lhW, hhW)
-          var li = (y / 2) * loW
-          var hi2 = (y / 2) * hiW
-          var x = 0
-          while (x + 1 < pw) {
-            parent(row + x) = lo(li); parent(row + x + 1) = hi(hi2)
-            li += 1; hi2 += 1; x += 2
+    if (!cod.irrev) {
+      new TilePlanes(Array.tabulate(ncomp) { c =>
+        var ll = bands(c)((levels, 0))
+        var d = levels
+        while (d >= discard + 1) {
+          val ph = ceilShift(h, d - 1)
+          val pw = ceilShift(w, d - 1)
+          val parent = new Array[Int](ph * pw)
+          val llW = ceilShift(pw, 1)
+          val hl = bands(c)((d, 1)); val (_, hlW) = bandDims(h, w, d, 1)
+          val lh = bands(c)((d, 2)); val (_, lhW) = bandDims(h, w, d, 2)
+          val hh = bands(c)((d, 3)); val (_, hhW) = bandDims(h, w, d, 3)
+          // branch-free interleave: even rows weave LL|HL, odd rows LH|HH,
+          // two samples per step
+          var y = 0
+          while (y < ph) {
+            val row = y * pw
+            val (lo, hi, loW, hiW) =
+              if ((y & 1) == 0) (ll, hl, llW, hlW) else (lh, hh, lhW, hhW)
+            var li = (y / 2) * loW
+            var hi2 = (y / 2) * hiW
+            var x = 0
+            while (x + 1 < pw) {
+              parent(row + x) = lo(li); parent(row + x + 1) = hi(hi2)
+              li += 1; hi2 += 1; x += 2
+            }
+            if (x < pw) parent(row + x) = lo(li)
+            y += 1
           }
-          if (x < pw) parent(row + x) = lo(li)
-          y += 1
+          inverse53(parent, ph, pw)
+          ll = parent
+          d -= 1
         }
-        inverse53(parent, ph, pw)
-        ll = parent
-        d -= 1
-      }
-      ll
+        ll
+      }, null)
+    } else {
+      // irreversible: dequantize each band (E.1.2 midpoint: sign *
+      // (q + 0.5) * delta) into doubles and run the float 9/7 synthesis
+      new TilePlanes(null, Array.tabulate(ncomp) { c =>
+        def dequant(d: Int, kind: Int): Array[Double] = {
+          val (bh, bw) = bandDims(h, w, d, kind)
+          val out = new Array[Double](bh * bw)
+          val g = bands(c).getOrElse((d, kind), null)
+          if (g != null) {
+            val delta = deltas((d, kind))
+            var i = 0
+            while (i < g.length) {
+              val m = g(i)
+              if (m != 0) {
+                val v = (math.abs(m) + 0.5) * delta
+                out(i) = if (m < 0) -v else v
+              }
+              i += 1
+            }
+          }
+          out
+        }
+        var ll = dequant(levels, 0)
+        var d = levels
+        while (d >= discard + 1) {
+          val ph = ceilShift(h, d - 1)
+          val pw = ceilShift(w, d - 1)
+          val parent = new Array[Double](ph * pw)
+          val llW = ceilShift(pw, 1)
+          val hl = dequant(d, 1); val (_, hlW) = bandDims(h, w, d, 1)
+          val lh = dequant(d, 2); val (_, lhW) = bandDims(h, w, d, 2)
+          val hh = dequant(d, 3); val (_, hhW) = bandDims(h, w, d, 3)
+          var y = 0
+          while (y < ph) {
+            val row = y * pw
+            val (lo, hi, loW, hiW) =
+              if ((y & 1) == 0) (ll, hl, llW, hlW) else (lh, hh, lhW, hhW)
+            var li = (y / 2) * loW
+            var hi2 = (y / 2) * hiW
+            var x = 0
+            while (x + 1 < pw) {
+              parent(row + x) = lo(li); parent(row + x + 1) = hi(hi2)
+              li += 1; hi2 += 1; x += 2
+            }
+            if (x < pw) parent(row + x) = lo(li)
+            y += 1
+          }
+          inverse97(parent, ph, pw)
+          ll = parent
+          d -= 1
+        }
+        ll
+      })
     }
   }
 
@@ -1231,6 +1393,99 @@ object Jp2Decode {
         val up = (y - 1) * w; val dn = ext(y + 1, h) * w; val off = y * w
         var x = 0
         while (x < w) { a(off + x) += Math.floorDiv(a(up + x) + a(dn + x), 2); x += 1 }
+        y += 2
+      }
+    }
+  }
+
+  // 9/7 lifting constants (T.800 Table F.4); K normalization gives the
+  // Table F.6 DC-gain-1 analysis taps (low * 1/K, high * K forward)
+  private final val A97 = -1.586134342059924
+  private final val B97 = -0.052980118572961
+  private final val G97 = 0.882911075530934
+  private final val D97 = 0.443506852043971
+  private final val K97 = 1.230174104914001
+  private final val InvK97 = 1.0 / K97
+
+  /** In-place 2-D irreversible 9/7 synthesis of one interleaved level
+    * (F.4.8.2 mirrored): rows then columns; per pass, the K scaling then
+    * the four lifting steps with negated constants in reverse order.
+    * Each step is parity-safe in place (it reads only the opposite
+    * parity plus itself), so the vertical passes sweep whole rows —
+    * sequential memory traffic, same shape as [[inverse53]]. The
+    * expression forms match the Python reference decoder's inv97_1d
+    * exactly, so both implementations produce bit-identical IEEE
+    * doubles. Length-1 axes pass through (degenerate split). */
+  private def inverse97(a: Array[Double], h: Int, w: Int): Unit = {
+    // rows
+    if (w > 1) {
+      var y = 0
+      while (y < h) {
+        val off = y * w
+        var i = 0
+        while (i < w) { a(off + i) *= K97; i += 2 }
+        i = 1
+        while (i < w) { a(off + i) *= InvK97; i += 2 }
+        i = 0
+        while (i < w) {
+          a(off + i) -= D97 * (a(off + ext(i - 1, w)) + a(off + ext(i + 1, w))); i += 2
+        }
+        i = 1
+        while (i < w) {
+          a(off + i) -= G97 * (a(off + ext(i - 1, w)) + a(off + ext(i + 1, w))); i += 2
+        }
+        i = 0
+        while (i < w) {
+          a(off + i) -= B97 * (a(off + ext(i - 1, w)) + a(off + ext(i + 1, w))); i += 2
+        }
+        i = 1
+        while (i < w) {
+          a(off + i) -= A97 * (a(off + ext(i - 1, w)) + a(off + ext(i + 1, w))); i += 2
+        }
+        y += 1
+      }
+    }
+    // columns, swept row-major: each lifting step completes over every
+    // row before the next starts
+    if (h > 1) {
+      var y = 0
+      while (y < h) {
+        val off = y * w; var x = 0
+        while (x < w) { a(off + x) *= K97; x += 1 }
+        y += 2
+      }
+      y = 1
+      while (y < h) {
+        val off = y * w; var x = 0
+        while (x < w) { a(off + x) *= InvK97; x += 1 }
+        y += 2
+      }
+      y = 0
+      while (y < h) {
+        val up = ext(y - 1, h) * w; val dn = ext(y + 1, h) * w; val off = y * w
+        var x = 0
+        while (x < w) { a(off + x) -= D97 * (a(up + x) + a(dn + x)); x += 1 }
+        y += 2
+      }
+      y = 1
+      while (y < h) {
+        val up = (y - 1) * w; val dn = ext(y + 1, h) * w; val off = y * w
+        var x = 0
+        while (x < w) { a(off + x) -= G97 * (a(up + x) + a(dn + x)); x += 1 }
+        y += 2
+      }
+      y = 0
+      while (y < h) {
+        val up = ext(y - 1, h) * w; val dn = ext(y + 1, h) * w; val off = y * w
+        var x = 0
+        while (x < w) { a(off + x) -= B97 * (a(up + x) + a(dn + x)); x += 1 }
+        y += 2
+      }
+      y = 1
+      while (y < h) {
+        val up = (y - 1) * w; val dn = ext(y + 1, h) * w; val off = y * w
+        var x = 0
+        while (x < w) { a(off + x) -= A97 * (a(up + x) + a(dn + x)); x += 1 }
         y += 2
       }
     }

@@ -137,6 +137,75 @@ class Jp2DecodeSpec extends SparkSpec {
     assert(meta.components == 3 && meta.height == 64 && meta.width == 96)
   }
 
+  test("irreversible 9/7 battery: bit-exact vs the independent decoder, bounded error vs the source") {
+    // scripts/gen_jp2_battery.py IRREV_CASES — the lossy path (scalar
+    // quantization, float 9/7 DWT, ICT for RGB) is not bit-exact against
+    // the input formula, so conformance is two-sided: (1) the decode must
+    // BIT-match the `.px.txt` sidecar written by the independent Python
+    // decoder (both implement the same IEEE-double dequant + synthesis +
+    // ICT + half-even rounding, so agreement is exact), and (2) it must
+    // sit within the quantization error bound of the closed-form source
+    // pixels — an expectation independent of BOTH implementations, so a
+    // shared misreading of T.800 cannot fake (2) green.
+    def srcPx(ci: Int, w: Int, depth: Int)(r: Int, c: Int): Int = {
+      val i = r.toLong * w + c
+      (((i * (2654435761L + ci * 97L)) >> 13) & ((1L << depth) - 1)).toInt
+    }
+    val cases = Seq(
+      // name, h, w, depth, ncomp, qstep, ext
+      ("i97_40x56_d8", 40, 56, 8, 1, 0.0625, "j2k"),
+      ("i97_1x37_d8", 1, 37, 8, 1, 0.0625, "j2k"),        // single row
+      ("i97_29x1_d8", 29, 1, 8, 1, 0.0625, "j2k"),        // single column
+      ("i97der_47x31_d12", 47, 31, 12, 1, 0.25, "j2k"),   // derived quant
+      ("i97coarse_64x64_d12_q8", 64, 64, 12, 1, 8.0, "j2k"), // deep loss
+      ("ict_33x47_d8", 33, 47, 8, 3, 0.03125, "j2k"),     // ICT RGB
+      ("pvi97_64x96_d8_l2", 64, 96, 8, 3, 0.0625, "jp2")) // full regime
+    for ((name, h, w, depth, ncomp, qstep, ext) <- cases) {
+      val img = Jp2Decode.decodeMulti(resource(s"/graft/jp2/$name.$ext"))
+      assert(img.height == h && img.width == w && img.depth == depth &&
+        img.comps == ncomp, s"$name: geometry/components")
+      val sidecar = new String(resource(s"/graft/jp2/$name.px.txt"), "US-ASCII")
+        .trim.split("\n").map(_.toFloat)
+      assert(sidecar.length == ncomp * h * w, s"$name: sidecar length")
+      for (ci <- 0 until ncomp; i <- 0 until h * w)
+        assert(img.planes(ci)(i) == sidecar(ci * h * w + i),
+          s"$name comp $ci px $i: ${img.planes(ci)(i)} != ${sidecar(ci * h * w + i)}")
+      val bound = 3 * qstep + 2
+      for (ci <- 0 until ncomp; r <- 0 until h; c <- 0 until w)
+        assert(math.abs(img.planes(ci)(r * w + c) - srcPx(ci, w, depth)(r, c)) <= bound,
+          s"$name comp $ci ($r,$c) outside the quantization bound")
+    }
+    // windowed 9/7 decode: the longer filters need the wider (±4/level)
+    // support margin; equality with full-decode-then-crop proves it
+    val bytes = resource("/graft/jp2/pvi97_64x96_d8_l2.jp2")
+    val full = Jp2Decode.decodeMulti(bytes)
+    for ((x0, y0, ww, wh) <- Seq((0, 0, 16, 16), (30, 30, 40, 20),
+                                 (89, 59, 7, 5), (47, 31, 2, 2))) {
+      val win = Jp2Decode.decodeWindow(bytes, x0, y0, ww, wh)
+      for (ci <- 0 until 3; r <- 0 until wh; c <- 0 until ww)
+        assert(win.planes(ci)(r * ww + c) == full.planes(ci)((y0 + r) * 96 + x0 + c),
+          s"9/7 window ($x0,$y0,$ww,$wh) comp $ci pixel ($r,$c)")
+    }
+    // reduced-resolution 9/7 read matches the independent decoder's
+    // discard=1 sidecar (detail bands below never entropy-decode)
+    val red = Jp2Decode.decode(resource("/graft/jp2/i97coarse_64x64_d12_q8.j2k"),
+      discardLevels = 1)
+    val redExpect = new String(resource("/graft/jp2/i97coarse_64x64_d12_q8.r1.txt"),
+      "US-ASCII").trim.split("\n").map(_.toFloat)
+    assert(red.height == 32 && red.width == 32)
+    assert(red.pixels.toSeq == redExpect.toSeq, "9/7 reduced read mismatch")
+    // a stream whose transform/quantization pairing is inconsistent
+    // (9/7 COD with a no-quant QCD) fails loudly, not wrongly: flip the
+    // reversible fixture's SPcod transform byte to 0
+    val raw = resource("/graft/tiny_band_raw.j2k").clone()
+    // SPcod transform byte at codestream offset 2 (SOC) + 2+41 (SIZ) +
+    // 2+2 (COD marker+len) + 9 (Scod+SGcod+levels+cb+cbstyle) = 58
+    assert(raw(58) == 1, "fixture layout drifted")
+    raw(58) = 0
+    val eMix = intercept[IllegalArgumentException](Jp2Decode.decode(raw))
+    assert(eMix.getMessage.contains("mismatch"), eMix.getMessage)
+  }
+
   test("windowed decode (decodeWindow) equals full-decode-then-crop, any window") {
     // the reference's S5 windowed read (ds.read(1, window=w),
     // index_generator.py:123): only code-blocks whose 5/3 synthesis
