@@ -421,6 +421,10 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
     // ---- sessionization via lag/cumsum (gap = 10 minutes) ----------------
+    // NTZ parity note: the oracle's epoch_us(ts) reads the naive value as-is;
+    // Tables normalizes NTZ→LTZ under session-UTC, so unix_micros here is
+    // bit-identical — asserted by TsFlavorSpec and hash-matched vs DuckDB
+    // at sf0.01 (round 9), not assumed.
     "q48_sessionization" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -68,6 +68,10 @@ object ScaleOps {
   private def numericView(df: DataFrame, dim: String): Column =
     df.schema(dim).dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_micros(col(dim)).cast("double")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // ANSI forbids NTZ→double directly; route through LTZ (session TZ is
+        // pinned UTC in graft sessions, so the epoch matches the naive value)
+        unix_micros(col(dim).cast(org.apache.spark.sql.types.TimestampType)).cast("double")
       case org.apache.spark.sql.types.DateType      => unix_date(col(dim)).cast("double")
       case _                                         => col(dim).cast("double")
     }
