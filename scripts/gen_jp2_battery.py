@@ -67,6 +67,19 @@ CASES = [
     ("kakadu_96x96_d12_t64", 96, 96, 12, 2, 4, ("hash",),
      {"tile_w": 64, "tile_h": 64, "precincts": [(4, 4), (5, 5), (5, 5)],
       "sop": True, "eph": True}),
+    # PLT packet-length tables (A.7.3): the seek index a windowed read
+    # uses to SKIP unneeded precincts without parsing their headers —
+    # standalone on a precincted RPCL stream, combined with the full
+    # Kakadu shape (tiled + precincts + SOP/EPH + 2 tile-parts, so the
+    # per-tile-part PLT slicing is exercised), and with quality layers
+    # (skip decisions must hold across every layer of a precinct)
+    ("plt_96x64_d12_p5", 96, 64, 12, 2, 6, ("hash",),
+     {"precincts": [(5, 5), (5, 5), (5, 5)], "prog": 2, "plt": True}),
+    ("pltkakadu_96x96_d12_t64", 96, 96, 12, 2, 4, ("hash",),
+     {"tile_w": 64, "tile_h": 64, "precincts": [(4, 4), (5, 5), (5, 5)],
+      "sop": True, "eph": True, "split_parts": 2, "plt": True}),
+    ("pltlayers_48x48_d12_l3", 48, 48, 12, 2, 4, ("hash",),
+     {"layers": 3, "precincts": [(4, 4), (4, 4), (4, 4)], "plt": True}),
     # quality layers: block passes split across layers (first inclusion
     # through the tag tree at threshold layer+1, later contributions via
     # the 1-bit path, zero-contribution layers as a 0 bit), in all three

@@ -33,7 +33,7 @@ print("pixel gen: %.0f s" % (time.time() - t0), flush=True)
 
 t0 = time.time()
 s = jc.encode_j2k(px, side, side, 12, 5, cb_exp=6, prog=2,
-                  precincts=[(8, 8)] * 6)
+                  precincts=[(8, 8)] * 6, plt=True)
 import os
 os.makedirs(out.rsplit("/", 1)[0], exist_ok=True)
 open(out, "wb").write(s)

@@ -1066,11 +1066,34 @@ def _tile_body(comp_tiles, h, w, depth, levels, cb_exp, gx0=0, gy0=0,
     return bytes(body), bounds
 
 
+def _plt_segments(lens):
+    """PLT marker segments (T.800 A.7.3) for one tile-part header: Iplt
+    packet lengths as 7-bit big-endian varints (MSB = continuation),
+    chunked below the 65535-byte Lplt ceiling, Zplt restarting at 0 per
+    header. Each length covers the whole packet including SOP/EPH."""
+    def varint(n):
+        bs = [n & 0x7F]
+        n >>= 7
+        while n:
+            bs.append(0x80 | (n & 0x7F))
+            n >>= 7
+        return bytes(reversed(bs))
+    out, seg, z = bytearray(), bytearray(), 0
+    for L in lens:
+        v = varint(L)
+        if 3 + len(seg) + len(v) > 65535:
+            out += b'\xFF\x58' + struct.pack('>HB', 3 + len(seg), z) + seg
+            seg, z = bytearray(), z + 1
+        seg += v  # the varint goes in the (possibly fresh) segment
+    out += b'\xFF\x58' + struct.pack('>HB', 3 + len(seg), z) + seg
+    return bytes(out)
+
+
 def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
                tile_w=None, tile_h=None, split_parts=1, last_psot_zero=False,
                sop=False, eph=False, precincts=None, layers=1, prog=0,
                components=None, mct=False, irrev=False, qstep=0.0625,
-               qderived=False):
+               qderived=False, plt=False):
     """Full codestream, 1..n unsigned-depth components. Default is a
     single tile; pass tile_w/tile_h for a tiled codestream (one SOT per
     tile, row-major Isot). split_parts > 1 splits each tile's packets
@@ -1172,10 +1195,18 @@ def encode_j2k(pixels, h, w, depth, levels, cb_exp=CB_EXP,
             cuts[-1] = len(body)
             for tp in range(n_parts):
                 chunk = body[cuts[tp]:cuts[tp + 1]]
+                plt_bytes = b''
+                if plt:
+                    ends = [b for b in bounds if cuts[tp] < b <= cuts[tp + 1]]
+                    lens = [e - s for s, e in
+                            zip([cuts[tp]] + ends[:-1], ends)]
+                    plt_bytes = _plt_segments(lens)
                 is_last = (isot == ntx * nty - 1) and (tp == n_parts - 1)
-                psot = 0 if (is_last and last_psot_zero) else 12 + 2 + len(chunk)
+                psot = 0 if (is_last and last_psot_zero) else \
+                    12 + len(plt_bytes) + 2 + len(chunk)
                 out += b'\xFF\x90' + struct.pack('>HHIBB', 10, isot, psot,
                                                  tp, n_parts)
+                out += plt_bytes
                 out += b'\xFF\x93' + chunk
     out += b'\xFF\xD9'
     return bytes(out)

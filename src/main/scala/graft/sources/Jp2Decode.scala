@@ -607,6 +607,10 @@ object Jp2Decode {
     // tile-part data per tile index, in TPsot arrival order (A.4.2: a
     // tile's packets are the concatenation of its tile-part data)
     val tileParts = scala.collection.mutable.Map.empty[Int, ArrayBuffer[Array[Byte]]]
+    // PLT packet lengths per tile (A.7.3), in tile-part + Zplt order —
+    // the index real encoders (Kakadu TLM/PLT) emit so a windowed read can
+    // SKIP unneeded packets instead of parsing every header to find them
+    val pltLens = scala.collection.mutable.Map.empty[Int, ArrayBuffer[Int]]
     var done = false
     while (!done && pos + 2 <= cs.length) {
       val marker = ((cs(pos) & 0xFF) << 8) | (cs(pos + 1) & 0xFF)
@@ -739,7 +743,26 @@ object Jp2Decode {
               require(m != 0xFF52 && m != 0xFF5C && m != 0xFF53 &&
                 m != 0xFF5D && m != 0xFF5E && m != 0xFF5F && m != 0xFF61,
                 f"semantic marker 0x$m%04x in tile-part header outside subset")
-              q += 2 + (buf.getShort(q + 2).toInt & 0xFFFF)
+              val segLen = buf.getShort(q + 2).toInt & 0xFFFF
+              if (m == 0xFF58) {
+                // PLT: Lplt(2) Zplt(1) then Iplt 7-bit big-endian varints
+                // (MSB = continuation); each length covers a whole packet
+                // including any SOP/EPH framing
+                val lens = pltLens.getOrElseUpdate(isot, ArrayBuffer.empty)
+                var pp = q + 5
+                val segEnd = q + 2 + segLen
+                var acc = 0
+                while (pp < segEnd) {
+                  val byt = cs(pp) & 0xFF
+                  acc = (acc << 7) | (byt & 0x7F)
+                  if ((byt & 0x80) == 0) { lens += acc; acc = 0 }
+                  else require(acc > 0 && acc < (1 << 24),
+                    s"implausible PLT varint at byte $pp")
+                  pp += 1
+                }
+                require(acc == 0, "PLT segment ends mid-varint")
+              }
+              q += 2 + segLen
             }
             tileParts.getOrElseUpdate(isot, ArrayBuffer.empty) +=
               java.util.Arrays.copyOfRange(cs, q + 2, tileEnd)
@@ -837,7 +860,8 @@ object Jp2Decode {
           else Rect(math.max(win.x0, x0) - x0, math.max(win.y0, y0) - y0,
             math.min(win.x1, x1) - x0, math.min(win.y1, y1) - y0)
         val planes = decodeTile(body, th, tw, x0, y0, ncomp, cod, guard, exps,
-          qstyle, qraw, depth, discard, winLocal)
+          qstyle, qraw, depth, discard, winLocal,
+          pltLens.get(ty * ntx + tx).map(_.toArray).orNull)
         // stitch geometry: intersect the (reduced) tile region with the
         // output canvas
         val rtw = ceilShift(tw, discard)
@@ -943,7 +967,8 @@ object Jp2Decode {
                          gx0: Int, gy0: Int, ncomp: Int,
                          cod: Cod, guard: Int, exps: Array[Int],
                          qstyle: Int, qraw: Array[Int], depth: Int,
-                         discard: Int, winLocal: Rect): TilePlanes = {
+                         discard: Int, winLocal: Rect,
+                         pktLens: Array[Int] = null): TilePlanes = {
     val levels = cod.levels
     def pktBands(r: Int): Seq[(Int, Int)] =
       if (r == 0) Seq((levels, 0))
@@ -1039,6 +1064,9 @@ object Jp2Decode {
       resGeom.map(g => g._3.toLong * g._4).sum
     require(totalPackets <= body.length,
       s"$totalPackets packets exceed the ${body.length}-byte tile body (corrupt COD?)")
+    require(pktLens == null || pktLens.length == totalPackets,
+      s"PLT lists ${if (pktLens == null) 0 else pktLens.length} packet " +
+        s"lengths, tile has $totalPackets packets")
 
     // packet order (B.12): LRCP/RLCP/RPCL nest layer/component loops
     // around the in-resolution precinct raster; PCRL/CPRL order by the
@@ -1093,13 +1121,51 @@ object Jp2Decode {
     }
     val state = scala.collection.mutable.Map.empty[(Int, Int, Int, Int), PrecState]
 
+    // PLT fast path: a precinct whose every band slice is either discarded
+    // (reduced-resolution read) or outside the window's synthesis support
+    // contributes nothing — with packet lengths in hand its packets SKIP by
+    // seek instead of parsing headers. This is what makes a windowed read
+    // of a production-size scene O(selected precincts + PLT table), not
+    // O(total packets): the sequential header walk is the probe's
+    // bottleneck once scenes reach real sizes. Safe at precinct
+    // granularity because packet-header state (tag trees, Lblock) is
+    // per-precinct, and the skip predicate is layer-independent, so a
+    // skipped precinct is skipped in every layer.
+    @inline def precinctNeeded(r: Int, kx0: Int, ky0: Int, pxi: Int,
+                               pyi: Int, shx: Int, shy: Int): Boolean =
+      pktBands(r).exists { case (d, kind) =>
+        kept(d, kind) && {
+          val (bh, bw2) = bandDims(h, w, d, kind)
+          bh > 0 && bw2 > 0 && {
+            val tbx0 = gx0 >> d; val tby0 = gy0 >> d
+            val px0 = math.max((kx0 + pxi) << shx, tbx0)
+            val px1 = math.min((kx0 + pxi + 1) << shx, tbx0 + bw2)
+            val py0 = math.max((ky0 + pyi) << shy, tby0)
+            val py1 = math.min((ky0 + pyi + 1) << shy, tby0 + bh)
+            px1 > px0 && py1 > py0 && (winRects == null || {
+              // band-local coords, same frame as the block gate below
+              val need = winRects(d)
+              px0 - tbx0 < need.x1 && px1 - tbx0 > need.x0 &&
+                py0 - tby0 < need.y1 && py1 - tby0 > need.y0
+            })
+          }
+        }
+      }
+
     var bodyPos = 0
+    var pi = 0
     for ((l, r, comp, p) <- order.result()) {
       val (kx0, ky0, npx, _) = resGeom(r)
       val pxi = p % npx; val pyi = p / npx
       val ppx = cod.ppx(r); val ppy = cod.ppy(r)
       val shx = if (r == 0) ppx else ppx - 1
       val shy = if (r == 0) ppy else ppy - 1
+      if (pktLens != null && !precinctNeeded(r, kx0, ky0, pxi, pyi, shx, shy)) {
+        bodyPos += pktLens(pi)
+        pi += 1
+        require(bodyPos <= body.length, "PLT packet length overruns tile body")
+      } else {
+      val pktStart = bodyPos
       // SOP (FF91, Lsop=4, Nsop) frames the packet when Scod bit 1 set
       if (cod.sop && bodyPos + 6 <= body.length &&
         (body(bodyPos) & 0xFF) == 0xFF && (body(bodyPos + 1) & 0xFF) == 0x91)
@@ -1192,6 +1258,12 @@ object Jp2Decode {
         dataPos += nlen
       }
       bodyPos = dataPos
+      // a walked packet cross-checks the PLT entry — encoder/decoder drift
+      // in the length table must fail loudly, not desync later skips
+      require(pktLens == null || bodyPos - pktStart == pktLens(pi),
+        s"PLT length ${pktLens(pi)} != walked packet ${bodyPos - pktStart}")
+      pi += 1
+      }
     }
 
     // decode every block once from its concatenated segments

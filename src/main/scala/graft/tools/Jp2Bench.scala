@@ -46,7 +46,42 @@ object Jp2Bench {
     ((System.nanoTime() - t0) / 1e9, px)
   }
 
+  /** Production-shaped ROI datapoint (SCALE.md): a pre-generated single-tile
+    * RPCL codestream with real 256² precincts at ≥8192² (see
+    * scripts/gen_jp2_prod.py), full decode vs one 256² windowed block read.
+    * The r8 probe win (2.2–2.5×) was measured on a 1024² single-precinct
+    * probe; this mode measures the claim at the scene size where it matters.
+    */
+  private def prodMode(path: String, reps: Int): Unit = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // warm + full decode
+    val w0 = graft.sources.Jp2Decode.decode(bytes)
+    val side = w0.width
+    var px = 0L
+    val tF = System.nanoTime()
+    for (_ <- 0 until reps) px += graft.sources.Jp2Decode.decode(bytes).pixels.length
+    val fullSec = (System.nanoTime() - tF) / 1e9 / reps
+    println(f"prod full decode ${side}x${w0.height} (${bytes.length / 1e6}%.1f MB): " +
+      f"$fullSec%.2f s -> ${px / reps / 1e6 / fullSec}%.1f MP/s single-thread")
+    for ((label, wx, wy) <- Seq(("center", side / 2, side / 2), ("corner", 0, 0))) {
+      graft.sources.Jp2Decode.decodeWindow(bytes, wx, wy, 256, 256) // warm
+      val t0 = System.nanoTime()
+      for (_ <- 0 until reps)
+        graft.sources.Jp2Decode.decodeWindow(bytes, wx, wy, 256, 256)
+      val winSec = (System.nanoTime() - t0) / 1e9 / reps
+      println(f"prod window 256x256 @$label: ${winSec * 1000}%.1f ms vs full " +
+        f"${fullSec * 1000}%.0f ms -> ${fullSec / winSec}%.1fx " +
+        f"(${winSec * 1000}%.1f ms probe at ${side.toLong * w0.height / 1e6}%.0f MP)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length > 0 && args(0) == "prod") {
+      prodMode(
+        if (args.length > 1) args(1) else "/tmp/jp2prod/scene8192.j2k",
+        if (args.length > 2) args(2).toInt else 3)
+      return
+    }
     val side = if (args.length > 0) args(0).toInt else 1024
     val copies = if (args.length > 1) args(1).toInt else 16
     val dir = java.nio.file.Files.createTempDirectory("jp2bench")

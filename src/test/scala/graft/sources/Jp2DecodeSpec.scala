@@ -42,7 +42,7 @@ class Jp2DecodeSpec extends SparkSpec {
       assert(img.pixels(r * 23 + c) == rawPx(r, c))
   }
 
-  test("parameter-space battery: 19 independently-encoded fixtures decode bit-exact") {
+  test("parameter-space battery: 24 independently-encoded fixtures decode bit-exact") {
     // scripts/gen_jp2_battery.py — each stream self-checked by the Python
     // reference decoder before check-in; expectations below recompute each
     // fixture's closed-form formula, independent of both codecs. The matrix
@@ -91,7 +91,14 @@ class Jp2DecodeSpec extends SparkSpec {
       // tiled stream, CPRL with small precincts — positions genuinely
       // interleave resolutions in both
       Case("pcrl_48x80_d12_t32", 48, 80, 12, hashPx(80, 12)),
-      Case("cprl_64x64_d12_p4", 64, 64, 12, hashPx(64, 12)))
+      Case("cprl_64x64_d12_p4", 64, 64, 12, hashPx(64, 12)),
+      // PLT packet-length tables (A.7.3): full decode must be identical
+      // with the length index present (walked packets cross-check their
+      // Iplt entries) — standalone, the full Kakadu shape with 2
+      // tile-parts (per-tile-part PLT slices), and quality layers
+      Case("plt_96x64_d12_p5", 96, 64, 12, hashPx(64, 12)),
+      Case("pltkakadu_96x96_d12_t64", 96, 96, 12, hashPx(96, 12)),
+      Case("pltlayers_48x48_d12_l3", 48, 48, 12, hashPx(48, 12)))
     for (c <- cases) {
       val img = Jp2Decode.decode(resource(s"/graft/jp2/${c.name}.j2k"))
       assert(img.height == c.h && img.width == c.w && img.depth == c.depth,
@@ -100,6 +107,22 @@ class Jp2DecodeSpec extends SparkSpec {
         assert(img.pixels(r * c.w + x) == c.px(r, x).toFloat,
           s"${c.name} pixel ($r,$x): ${img.pixels(r * c.w + x)} != ${c.px(r, x)}")
     }
+  }
+
+  test("a PLT length that disagrees with the walked packet fails loudly") {
+    // encoder/decoder drift in the length table must not desync later
+    // seeks silently — the walked-packet cross-check names PLT
+    val raw = resource("/graft/jp2/plt_96x64_d12_p5.j2k")
+    var i = 0
+    while (!((raw(i) & 0xFF) == 0xFF && (raw(i + 1) & 0xFF) == 0x90)) i += 1
+    val plt = i + 12 // single tile-part: PLT directly follows the SOT segment
+    assert((raw(plt) & 0xFF) == 0xFF && (raw(plt + 1) & 0xFF) == 0x58,
+      "fixture layout drifted: no PLT after SOT")
+    val lplt = ((raw(plt + 2) & 0xFF) << 8) | (raw(plt + 3) & 0xFF)
+    val last = plt + 2 + lplt - 1 // final varint byte = last packet's length
+    raw(last) = (raw(last) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](Jp2Decode.decode(raw))
+    assert(e.getMessage.contains("PLT"), e.getMessage)
   }
 
   test("multi-component battery: RGB with and without the RCT decodes bit-exact per plane") {
@@ -217,7 +240,12 @@ class Jp2DecodeSpec extends SparkSpec {
       ("tiled_80x112_d12_t48.j2k", 80, 112),  // ragged 2x3 tile grid
       ("works_64x96_d12_l3.j2k", 64, 96),     // layered RPCL + precincts
       ("pcrl_48x80_d12_t32.j2k", 48, 80),     // position-major + tiled
-      ("lv5_96x80_d16_cb64.j2k", 96, 80))     // 5 levels, deep support
+      ("lv5_96x80_d16_cb64.j2k", 96, 80),     // 5 levels, deep support
+      // PLT streams take the seek path: unneeded precincts skip by their
+      // Iplt length instead of parsing headers — same bit-exact contract
+      ("plt_96x64_d12_p5.j2k", 96, 64),
+      ("pltkakadu_96x96_d12_t64.j2k", 96, 96),
+      ("pltlayers_48x48_d12_l3.j2k", 48, 48))
     for ((name, h, w) <- cases) {
       val bytes = resource(s"/graft/jp2/$name")
       val full = Jp2Decode.decodeMulti(bytes)
