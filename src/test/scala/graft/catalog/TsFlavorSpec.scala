@@ -80,6 +80,19 @@ class TsFlavorSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == ntz.count())
   }
 
+  test("a ts range filter pushes down to the parquet scan through NTZ normalization") {
+    // the 100 TB failure mode the normalization layer must NOT introduce:
+    // if the NTZ->LTZ cast blocked filter pushdown, every time-range scan
+    // would read the whole fact table. Catalyst unwraps the cast (the
+    // comparison is a bijection under session-UTC) — pin it.
+    val df = Tables.events(spark, s"$tmpRoot/ntz")
+      .filter(col("ts") > lit("2024-01-05 00:00:00").cast("timestamp"))
+      .select("event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts"),
+      s"ts filter not pushed to the parquet scan:\n$plan")
+  }
+
   test("an unnormalizable event-time flavor fails loudly with the column name") {
     val bad = Tables.events(spark, sf0001)
       .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
