@@ -153,6 +153,10 @@ object Bench {
     // persist AFTER computing the comparison so this run becomes the next baseline
     java.nio.file.Files.write(historyPath, java.util.List.of(line),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    // also drop the full line as a standalone artifact: per-round bench
+    // snapshots that truncate stdout stay auditable without the history file
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_latest.json"),
+      java.util.List.of(line))
     spark.stop()
     if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
       System.exit(2)
