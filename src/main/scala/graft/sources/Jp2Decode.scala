@@ -863,8 +863,10 @@ object Jp2Decode {
           qstyle, qraw, depth, discard, winLocal,
           pltLens.get(ty * ntx + tx).map(_.toArray).orNull)
         // stitch geometry: intersect the (reduced) tile region with the
-        // output canvas
-        val rtw = ceilShift(tw, discard)
+        // output canvas; tile planes are cropped to planes.rect (the
+        // window's support, or the whole reduced tile on a full decode)
+        val crop = planes.rect
+        val cropW = crop.x1 - crop.x0
         val sx0 = math.max(x0, ox0) >> discard
         val sx1 = ceilShift(math.min(x1, ox1), discard)
         val sy0 = math.max(y0, oy0) >> discard
@@ -891,7 +893,7 @@ object Jp2Decode {
             val dst = out(c)
             var ry = sy0
             while (ry < sy1) {
-              val srcBase = (ry - ry0) * rtw
+              val srcBase = (ry - ry0 - crop.y0) * cropW - crop.x0
               val dstBase = (ry - (oy0 >> discard)) * rw - (ox0 >> discard)
               var rx = sx0
               while (rx < sx1) {
@@ -925,7 +927,7 @@ object Jp2Decode {
             val dst = out(c)
             var ry = sy0
             while (ry < sy1) {
-              val srcBase = (ry - ry0) * rtw
+              val srcBase = (ry - ry0 - crop.y0) * cropW - crop.x0
               val dstBase = (ry - (oy0 >> discard)) * rw - (ox0 >> discard)
               var rx = sx0
               while (rx < sx1) {
@@ -960,8 +962,14 @@ object Jp2Decode {
     * samples row-major (th×tw), one plane per component: Int planes for
     * the reversible 5/3 path, Double planes (dequantized, 9/7
     * synthesized, un-rounded) for the irreversible path. */
+  /** Decoded tile planes, cropped to `rect` in (reduced) tile-local
+    * coordinates: a windowed read materializes only the window's wavelet
+    * support pyramid, so at production scene sizes (a 256² probe into a
+    * 67 MP single-tile stream) the synthesis cost scales with the WINDOW,
+    * not the tile. A full decode carries rect = the whole (reduced) tile. */
   private final class TilePlanes(val ints: Array[Array[Int]],
-                                 val dbls: Array[Array[Double]])
+                                 val dbls: Array[Array[Double]],
+                                 val rect: Rect)
 
   private def decodeTile(body: Array[Byte], h: Int, w: Int,
                          gx0: Int, gy0: Int, ncomp: Int,
@@ -1009,6 +1017,11 @@ object Jp2Decode {
     // decomposition count.
     val bands = Array.fill(ncomp)(
       scala.collection.mutable.Map.empty[(Int, Int), Array[Int]])
+    // materialized crop per band: the window's support rect clamped to the
+    // band dims (the whole band on a full decode) — grids, dequantization
+    // and synthesis below are all origin-aware against these rects, so a
+    // windowed read never allocates or filters tile-sized buffers
+    val bandRect = scala.collection.mutable.Map.empty[(Int, Int), Rect]
     val mbs = scala.collection.mutable.Map.empty[(Int, Int), Int]
     val deltas = scala.collection.mutable.Map.empty[(Int, Int), Double]
     @inline def gainOf(kind: Int): Int = kind match {
@@ -1018,8 +1031,19 @@ object Jp2Decode {
     for (r <- 0 to levels; (d, kind) <- pktBands(r)) {
       val (bh, bw) = bandDims(h, w, d, kind)
       if (kept(d, kind)) {
+        val rect =
+          if (winRects == null) Rect(0, 0, bw, bh)
+          else {
+            val wr = winRects(d)
+            val x0 = math.min(math.max(wr.x0, 0), bw)
+            val y0 = math.min(math.max(wr.y0, 0), bh)
+            Rect(x0, y0, math.max(x0, math.min(wr.x1, bw)),
+              math.max(y0, math.min(wr.y1, bh)))
+          }
+        bandRect((d, kind)) = rect
+        val area = (rect.y1 - rect.y0) * (rect.x1 - rect.x0)
         var c = 0
-        while (c < ncomp) { bands(c)((d, kind)) = new Array[Int](bh * bw); c += 1 }
+        while (c < ncomp) { bands(c)((d, kind)) = new Array[Int](area); c += 1 }
       }
       if (cod.irrev) {
         val (eb, mb) =
@@ -1275,7 +1299,8 @@ object Jp2Decode {
     state.foreach { case ((comp, r, _, bandIdx), st) =>
       val (d, kind) = bandIdxOf((r << 2) | bandIdx)
       if (kept(d, kind)) {
-      val (_, bw) = bandDims(h, w, d, kind)
+      val rect = bandRect((d, kind))
+      val rectW = rect.x1 - rect.x0
       // context orientation: LL and LH share column 0, HL swaps, HH diag
       val orient = kind match {
         case 1 => 1
@@ -1298,9 +1323,17 @@ object Jp2Decode {
             s"${blk.passes} passes exceed the ${blk.nbps}-bitplane maximum")
           val coefs = decodeBlock(blk.segs.toByteArray, blk.cw, blk.ch,
             orient, blk.nbps, blk.passes)
-          var y = 0
-          while (y < blk.ch) {
-            System.arraycopy(coefs, y * blk.cw, grid, (blk.y0 + y) * bw + blk.x0, blk.cw)
+          // clip to the materialized crop: a block straddling the support
+          // rect's edge keeps only the in-rect rows/cols (out-of-rect
+          // coefficients feed only crop-margin outputs, never the window)
+          val cx0 = math.max(blk.x0, rect.x0)
+          val cx1 = math.min(blk.x0 + blk.cw, rect.x1)
+          val cy0 = math.max(blk.y0, rect.y0)
+          val cy1 = math.min(blk.y0 + blk.ch, rect.y1)
+          var y = cy0
+          while (y < cy1) {
+            System.arraycopy(coefs, (y - blk.y0) * blk.cw + (cx0 - blk.x0),
+              grid, (y - rect.y0) * rectW + (cx0 - rect.x0), cx1 - cx0)
             y += 1
           }
         }
@@ -1310,95 +1343,129 @@ object Jp2Decode {
 
     // ---- inverse synthesis per component, level `levels` down to
     // discard+1 (Annex F); with discard > 0 the LL at level `discard` IS
-    // the output
+    // the output. Every buffer covers only its level's support crop: the
+    // parent rect doubles the level-d rect (even origin, so buffer index
+    // parity equals canvas parity and the lifting kernels apply
+    // unchanged). Values within the filter margin of a non-canvas crop
+    // edge are inexact — the winRects chain keeps the needed region
+    // strictly interior (m=2 for 5/3, m=4 for 9/7 per step), exactly the
+    // guarantee the block-pruning gate already relied on.
+    def parentRect(pd: Int): Rect = {
+      val ph = ceilShift(h, pd); val pw = ceilShift(w, pd)
+      if (winRects == null) Rect(0, 0, pw, ph)
+      else {
+        val wr = winRects(pd + 1)
+        Rect(math.min(2 * wr.x0, pw), math.min(2 * wr.y0, ph),
+          math.min(2 * wr.x1, pw), math.min(2 * wr.y1, ph))
+      }
+    }
+    val outRect =
+      if (discard == levels) bandRect((levels, 0)) else parentRect(discard)
+
+    // interleave one band's crop into the parent crop: band sample bx maps
+    // to parent column 2*bx+odd (odd/rowOdd select the HL/LH/HH phase,
+    // B.10 / F.3.1), restricted to the intersection of both crops — gaps
+    // stay zero. Monomorphic Int/Double twins: a generic Array[T] here
+    // would box every sample through reflective array ops.
+    @inline def weaveSpan(pr: Rect, br: Rect, odd: Int, rowOdd: Int): (Int, Int, Int, Int) = (
+      math.max(br.x0, (pr.x0 + 1 - odd) >> 1),
+      math.min(br.x1, (pr.x1 + 1 - odd) >> 1),
+      math.max(br.y0, (pr.y0 + 1 - rowOdd) >> 1),
+      math.min(br.y1, (pr.y1 + 1 - rowOdd) >> 1))
+    def weaveI(parent: Array[Int], pr: Rect, band: Array[Int], br: Rect,
+               odd: Int, rowOdd: Int): Unit = {
+      val prW = pr.x1 - pr.x0
+      val brW = br.x1 - br.x0
+      val (bx0, bx1, by0, by1) = weaveSpan(pr, br, odd, rowOdd)
+      var by = by0
+      while (by < by1 && bx1 > bx0) {
+        val row = (2 * by + rowOdd - pr.y0) * prW - pr.x0
+        var bi = (by - br.y0) * brW + (bx0 - br.x0)
+        var bx = bx0
+        while (bx < bx1) {
+          parent(row + 2 * bx + odd) = band(bi)
+          bi += 1; bx += 1
+        }
+        by += 1
+      }
+    }
+    def weaveD(parent: Array[Double], pr: Rect, band: Array[Double], br: Rect,
+               odd: Int, rowOdd: Int): Unit = {
+      val prW = pr.x1 - pr.x0
+      val brW = br.x1 - br.x0
+      val (bx0, bx1, by0, by1) = weaveSpan(pr, br, odd, rowOdd)
+      var by = by0
+      while (by < by1 && bx1 > bx0) {
+        val row = (2 * by + rowOdd - pr.y0) * prW - pr.x0
+        var bi = (by - br.y0) * brW + (bx0 - br.x0)
+        var bx = bx0
+        while (bx < bx1) {
+          parent(row + 2 * bx + odd) = band(bi)
+          bi += 1; bx += 1
+        }
+        by += 1
+      }
+    }
+
     if (!cod.irrev) {
       new TilePlanes(Array.tabulate(ncomp) { c =>
         var ll = bands(c)((levels, 0))
+        var llR = bandRect((levels, 0))
         var d = levels
         while (d >= discard + 1) {
-          val ph = ceilShift(h, d - 1)
-          val pw = ceilShift(w, d - 1)
-          val parent = new Array[Int](ph * pw)
-          val llW = ceilShift(pw, 1)
-          val hl = bands(c)((d, 1)); val (_, hlW) = bandDims(h, w, d, 1)
-          val lh = bands(c)((d, 2)); val (_, lhW) = bandDims(h, w, d, 2)
-          val hh = bands(c)((d, 3)); val (_, hhW) = bandDims(h, w, d, 3)
-          // branch-free interleave: even rows weave LL|HL, odd rows LH|HH,
-          // two samples per step
-          var y = 0
-          while (y < ph) {
-            val row = y * pw
-            val (lo, hi, loW, hiW) =
-              if ((y & 1) == 0) (ll, hl, llW, hlW) else (lh, hh, lhW, hhW)
-            var li = (y / 2) * loW
-            var hi2 = (y / 2) * hiW
-            var x = 0
-            while (x + 1 < pw) {
-              parent(row + x) = lo(li); parent(row + x + 1) = hi(hi2)
-              li += 1; hi2 += 1; x += 2
-            }
-            if (x < pw) parent(row + x) = lo(li)
-            y += 1
+          val pr = parentRect(d - 1)
+          val parent = new Array[Int]((pr.y1 - pr.y0) * (pr.x1 - pr.x0))
+          weaveI(parent, pr, ll, llR, 0, 0)
+          for (kind <- 1 to 3) bands(c).get((d, kind)).foreach { g =>
+            weaveI(parent, pr, g, bandRect((d, kind)), kind & 1, kind >> 1)
           }
-          inverse53(parent, ph, pw)
-          ll = parent
+          // crop dims, unmodified kernel: the crop origin is even (parity
+          // matches the canvas) and buffer-relative symmetric reflection
+          // equals the true Annex-F extension wherever the crop edge IS a
+          // canvas edge — elsewhere it only perturbs the margin the rect
+          // chain already excludes
+          inverse53(parent, pr.y1 - pr.y0, pr.x1 - pr.x0)
+          ll = parent; llR = pr
           d -= 1
         }
         ll
-      }, null)
+      }, null, outRect)
     } else {
       // irreversible: dequantize each band (E.1.2 midpoint: sign *
       // (q + 0.5) * delta) into doubles and run the float 9/7 synthesis
       new TilePlanes(null, Array.tabulate(ncomp) { c =>
         def dequant(d: Int, kind: Int): Array[Double] = {
-          val (bh, bw) = bandDims(h, w, d, kind)
-          val out = new Array[Double](bh * bw)
-          val g = bands(c).getOrElse((d, kind), null)
-          if (g != null) {
-            val delta = deltas((d, kind))
-            var i = 0
-            while (i < g.length) {
-              val m = g(i)
-              if (m != 0) {
-                val v = (math.abs(m) + 0.5) * delta
-                out(i) = if (m < 0) -v else v
-              }
-              i += 1
+          val g = bands(c)((d, kind))
+          val out = new Array[Double](g.length)
+          val delta = deltas((d, kind))
+          var i = 0
+          while (i < g.length) {
+            val m = g(i)
+            if (m != 0) {
+              val v = (math.abs(m) + 0.5) * delta
+              out(i) = if (m < 0) -v else v
             }
+            i += 1
           }
           out
         }
         var ll = dequant(levels, 0)
+        var llR = bandRect((levels, 0))
         var d = levels
         while (d >= discard + 1) {
-          val ph = ceilShift(h, d - 1)
-          val pw = ceilShift(w, d - 1)
-          val parent = new Array[Double](ph * pw)
-          val llW = ceilShift(pw, 1)
-          val hl = dequant(d, 1); val (_, hlW) = bandDims(h, w, d, 1)
-          val lh = dequant(d, 2); val (_, lhW) = bandDims(h, w, d, 2)
-          val hh = dequant(d, 3); val (_, hhW) = bandDims(h, w, d, 3)
-          var y = 0
-          while (y < ph) {
-            val row = y * pw
-            val (lo, hi, loW, hiW) =
-              if ((y & 1) == 0) (ll, hl, llW, hlW) else (lh, hh, lhW, hhW)
-            var li = (y / 2) * loW
-            var hi2 = (y / 2) * hiW
-            var x = 0
-            while (x + 1 < pw) {
-              parent(row + x) = lo(li); parent(row + x + 1) = hi(hi2)
-              li += 1; hi2 += 1; x += 2
-            }
-            if (x < pw) parent(row + x) = lo(li)
-            y += 1
+          val pr = parentRect(d - 1)
+          val parent = new Array[Double]((pr.y1 - pr.y0) * (pr.x1 - pr.x0))
+          weaveD(parent, pr, ll, llR, 0, 0)
+          for (kind <- 1 to 3) bands(c).get((d, kind)).foreach { _ =>
+            weaveD(parent, pr, dequant(d, kind), bandRect((d, kind)),
+              kind & 1, kind >> 1)
           }
-          inverse97(parent, ph, pw)
-          ll = parent
+          inverse97(parent, pr.y1 - pr.y0, pr.x1 - pr.x0)
+          ll = parent; llR = pr
           d -= 1
         }
         ll
-      })
+      }, outRect)
     }
   }
 
