@@ -284,6 +284,36 @@ class Jp2DecodeSpec extends SparkSpec {
         33, 32, 31, 32, discardLevels = 1))
   }
 
+  test("randomized window sweep: every window equals full-decode-then-crop (crop-synthesis property)") {
+    // the window-cropped synthesis path (band grids, lifting and output
+    // restricted to the support pyramid) must be bit-exact for EVERY
+    // window geometry, not just the curated seams above — deterministic
+    // LCG sweep over three structurally different streams, both wavelet
+    // paths, with and without PLT
+    val cases = Seq(
+      ("pltkakadu_96x96_d12_t64.j2k", 96, 96),  // tiled+precincts+PLT+SOP/EPH
+      ("works_64x96_d12_l3.j2k", 64, 96),       // layered RPCL + precincts
+      ("i97coarse_64x64_d12_q8.j2k", 64, 64))   // irreversible 9/7
+    var seed = 0x2545F4914F6CDD1DL
+    @inline def next(n: Int): Int = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    for ((name, h, w) <- cases) {
+      val bytes = resource(s"/graft/jp2/$name")
+      val full = Jp2Decode.decodeMulti(bytes)
+      for (_ <- 0 until 40) {
+        val x0 = next(w); val y0 = next(h)
+        val ww = 1 + next(w - x0); val wh = 1 + next(h - y0)
+        val win = Jp2Decode.decodeWindow(bytes, x0, y0, ww, wh)
+        assert(win.height == wh && win.width == ww, s"$name ($x0,$y0,$ww,$wh) dims")
+        for (ci <- 0 until win.comps; r <- 0 until wh; c <- 0 until ww)
+          assert(win.planes(ci)(r * ww + c) == full.planes(ci)((y0 + r) * w + x0 + c),
+            s"$name window ($x0,$y0,$ww,$wh) comp $ci pixel ($r,$c)")
+      }
+    }
+  }
+
   test("reduced-resolution decode (discardLevels) matches the forward-DWT LL sidecars") {
     // the GDAL/rasterio overview-level read: discard k wavelet levels and
     // return the LL at level k — dims shrink by 2^k and the dropped detail
