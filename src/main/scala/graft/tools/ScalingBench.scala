@@ -192,6 +192,39 @@ object ScalingBench {
           "p_ts", "i_start", "i_end", bucketSeconds = 600).count()
       })
 
+    // the three queries the r8 timestamp drift broke (q48/q72/q98 shapes):
+    // their sf1 datapoint — all shuffle on per-user/per-z keys whose
+    // cardinality grows with the corpus, so the ideal ratio is <= k
+    def restoredSuite(tag: String, events: DataFrame): Map[String, Double] = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Map(
+        "sessionization_q48" -> time(s"$tag sessionization_q48") {
+          val newSession = when(
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+              > 600000000L, 1).otherwise(0)
+          events.withColumn("new_s", newSession)
+            .withColumn("session_id", sum(col("new_s")).over(byUser).cast("int"))
+            .groupBy(col("user_id"), col("session_id"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("v")).count()
+        },
+        "lead_gap_q72" -> time(s"$tag lead_gap_q72") {
+          events.select(col("event_id"),
+            coalesce(unix_micros(lead(col("ts"), 1).over(byUser)) - unix_micros(col("ts")),
+              lit(-1L)).as("gap_us")).agg(count(col("gap_us"))).head().getLong(0)
+        },
+        "zorder_skip_q98" -> time(s"$tag zorder_skip_q98") {
+          val dir = s"/tmp/graft-scale-z98-$tag"
+          if (!new java.io.File(dir).exists())
+            graft.meta.ScaleOps.zorderWrite(events, Seq("user_id", "ts"), dir, 16)
+          spark.read.parquet(dir)
+            .filter(col("user_id") % 10000 < 10 &&
+              col("ts").between(lit("2024-01-10 00:00:00").cast("timestamp"),
+                lit("2024-01-13 00:00:00").cast("timestamp")))
+            .groupBy(col("user_id")).agg(count(lit(1))).count()
+        })
+    }
+
     val evBase = graft.catalog.Tables.events(spark, d)
     val evDir = s"/tmp/graft-scale-ev-x$k"
     if (!new java.io.File(evDir).exists())
@@ -201,6 +234,16 @@ object ScalingBench {
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(evDir)
 
+    if (args.length > 1 && args(1) == "restored") {
+      val r1 = restoredSuite("1x", evBase)
+      val rk = restoredSuite(s"${k}x", spark.read.parquet(evDir))
+      println(f"== restored-query scaling ratios (${k}x / 1x wall, ideal <= $k) ==")
+      r1.keys.toSeq.sorted.foreach { op =>
+        println(f"[ratio] $op%-20s ${r1(op)}%.2fs -> ${rk(op)}%.2fs  ${rk(op) / r1(op)}%.1f")
+      }
+      spark.stop()
+      return
+    }
     val headlinersOnly = args.length > 1 && args(1) == "headliners"
     if (headlinersOnly) {
       val r1 = headlinerSuite("1x", base, embBase, evBase)
