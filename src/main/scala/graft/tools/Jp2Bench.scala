@@ -63,6 +63,17 @@ object Jp2Bench {
     val fullSec = (System.nanoTime() - tF) / 1e9 / reps
     println(f"prod full decode ${side}x${w0.height} (${bytes.length / 1e6}%.1f MB): " +
       f"$fullSec%.2f s -> ${px / reps / 1e6 / fullSec}%.1f MP/s single-thread")
+    // overview read (rasterio overview-level shape): discard levels so the
+    // LL at that level is the output — with PLT, the dropped resolutions'
+    // packets seek-skip instead of header-parsing
+    for (k <- Seq(3, 5)) {
+      graft.sources.Jp2Decode.decode(bytes, discardLevels = k) // warm
+      val t0 = System.nanoTime()
+      for (_ <- 0 until reps) graft.sources.Jp2Decode.decode(bytes, discardLevels = k)
+      val sec = (System.nanoTime() - t0) / 1e9 / reps
+      println(f"prod overview discard=$k (${side >> k}x${side >> k}): " +
+        f"${sec * 1000}%.1f ms vs full ${fullSec * 1000}%.0f ms -> ${fullSec / sec}%.1fx")
+    }
     for ((label, wx, wy) <- Seq(("center", side / 2, side / 2), ("corner", 0, 0))) {
       graft.sources.Jp2Decode.decodeWindow(bytes, wx, wy, 256, 256) // warm
       val t0 = System.nanoTime()
