@@ -14,10 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object EventAggregates {
 
+  /** Watermarks (and the downstream oracle's epoch arithmetic) require
+    * TIMESTAMP (LTZ) event time; a caller-provided frame read straight
+    * from naive-`timestamp[us]` parquet arrives as TIMESTAMP_NTZ and
+    * fails at analysis with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Coerce
+    * under the session zone (graft sessions pin UTC) — the streaming-
+    * surface twin of [[graft.catalog.Tables.normalizeTimestamps]], for
+    * frames that never passed through the Tables layer. */
+  private def withEventTime(df: DataFrame, tsCol: String): DataFrame =
+    if (df.schema.fields.exists(f => f.name == tsCol &&
+      f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      df.withColumn(tsCol, col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+    else df
+
   /** Tumbling-window counts+sums per event type with a watermark for state
     * eviction. Works on streaming and batch inputs alike. */
-  def windowedTypeCounts(events: DataFrame, windowLen: String = "5 minutes",
+  def windowedTypeCounts(events0: DataFrame, windowLen: String = "5 minutes",
                          watermark: String = "10 minutes"): DataFrame = {
+    val events = withEventTime(events0, "ts")
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     src.groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -34,9 +48,10 @@ object EventAggregates {
     * lower bounds (exact, and merge-order independent, when k ≥ distinct
     * keys — see [[graft.functions.Sketches.MisraGriesAggregator]]).
     * Streaming and batch inputs run the same aggregation. */
-  def windowedHeavyHitters(events: DataFrame, key: Column, k: Int = 16,
+  def windowedHeavyHitters(events0: DataFrame, key: Column, k: Int = 16,
                            windowLen: String = "5 minutes",
                            watermark: String = "10 minutes"): DataFrame = {
+    val events = withEventTime(events0, "ts")
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     val mg = udaf(new graft.functions.Sketches.MisraGriesAggregator(k))
     src.groupBy(window(col("ts"), windowLen))
@@ -52,7 +67,8 @@ object EventAggregates {
     * period loops produce (ST9): streaming `window()` is NOT calendar
     * aligned, so month grouping uses date_trunc (SURVEY §2.11 ST9 note). */
   def monthlyCounts(events: DataFrame): DataFrame =
-    events.groupBy(date_trunc("month", col("ts")).cast("date").as("month"))
+    withEventTime(events, "ts")
+      .groupBy(date_trunc("month", col("ts")).cast("date").as("month"))
       .agg(count(lit(1)).as("n"))
 
   /** Streaming dedup (the dedup family × streams): drop duplicate
@@ -62,11 +78,13 @@ object EventAggregates {
     * back to a plain dropDuplicates. State is bounded: one key per
     * event_id seen within the watermark, evicted as the watermark
     * advances. */
-  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+  def dedupEvents(events0: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val events = withEventTime(events0, "ts")
     if (events.isStreaming)
       events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
+  }
 
   /** Streaming NEAR-dedup for a document stream: drops any doc whose
     * normalized-text digest (whitespace/case/punct variants) OR 64-bit
@@ -79,8 +97,9 @@ object EventAggregates {
     * LSH+Jaccard pass still runs batch-side for fuzzy near-dups; this
     * guard stops the (dominant) exact-and-fingerprint duplicates from
     * ever landing. Batch inputs fall back to plain dropDuplicates. */
-  def dedupDocsNear(docs: DataFrame, textCol: String = "text",
+  def dedupDocsNear(docs0: DataFrame, textCol: String = "text",
                     tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
+    val docs = withEventTime(docs0, tsCol)
     val keyed = docs
       .withColumn("__digest", graft.functions.DedupFunctions.exactKey(
         graft.functions.TextFunctions.normalizeForDedup(col(textCol))))
@@ -117,7 +136,8 @@ object EventAggregates {
                       gapSeconds: Long,
                       watermark: String = "30 minutes",
                       tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
-    def side(df: DataFrame, p: String) = {
+    def side(df0: DataFrame, p: String) = {
+      val df = withEventTime(df0, tsCol)
       val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
       wm.select(col(key).as(s"${p}_key"), col(tsCol).as(s"${p}_ts"),
         col(idCol).as(s"${p}_id"))
@@ -132,8 +152,9 @@ object EventAggregates {
   /** Sessionization: gap-based sessions per user via session_window —
     * the stateful-grouping capability (mapGroupsWithState class) expressed
     * with the built-in session window. */
-  def userSessions(events: DataFrame, gap: String = "30 minutes",
+  def userSessions(events0: DataFrame, gap: String = "30 minutes",
                    watermark: String = "1 hour"): DataFrame = {
+    val events = withEventTime(events0, "ts")
     val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
     src.groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))

@@ -93,6 +93,25 @@ class TsFlavorSpec extends SparkSpec {
       s"ts filter not pushed to the parquet scan:\n$plan")
   }
 
+  test("a raw NTZ streaming frame watermarks and matches the batch result") {
+    // the streaming surface never passes through Tables: a readStream over
+    // naive-timestamp parquet hands EventAggregates a TIMESTAMP_NTZ ts,
+    // which without coercion dies with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    import graft.streaming.EventAggregates
+    val dir = s"$tmpRoot/ntz/events.parquet"
+    val schema = spark.read.parquet(dir).schema
+    assert(schema("ts").dataType == TimestampNTZType)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventAggregates.windowedTypeCounts(stream)
+      .writeStream.format("memory").queryName("ntz_wtc").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = rows(spark.table("ntz_wtc"))
+    val batch = rows(EventAggregates.windowedTypeCounts(
+      spark.read.parquet(dir)))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streaming NTZ result diverged (${streamed.size} vs ${batch.size} rows)")
+  }
+
   test("an unnormalizable event-time flavor fails loudly with the column name") {
     val bad = Tables.events(spark, sf0001)
       .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
