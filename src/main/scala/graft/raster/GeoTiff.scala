@@ -116,6 +116,50 @@ object GeoTiff {
     Image(pages.toSeq, meta)
   }
 
+  /** Windowed (ROI) read — the Cloud-Optimized-GeoTIFF contract: decode
+    * only the tiles/strips of ONE resolution level that intersect the
+    * window, never touching the other segments' bytes. `level` 0 is the
+    * full-resolution page, k >= 1 the k-th overview (window coordinates
+    * are in THAT level's pixel grid, the rasterio overview+window shape).
+    * Multi-sample (chunky) files return one page per sample, like
+    * [[decode]]. The reference's S5 windowed read
+    * (`ds.read(1, window=w)`, index_generator.py:123) on the COG side. */
+  def decodeWindow(bytes: Array[Byte], x0: Int, y0: Int,
+                   winW: Int, winH: Int, level: Int = 0): Image = {
+    require(bytes.length >= 16, "not a TIFF: too short")
+    val order = (bytes(0), bytes(1)) match {
+      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+      case ('M', 'M') => ByteOrder.BIG_ENDIAN
+      case _ => throw new IllegalArgumentException("not a TIFF: bad byte-order mark")
+    }
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    val magic = buf.getShort(2) & 0xffff
+    require(magic == 42 || magic == 43, s"not a TIFF (magic $magic)")
+    val big = magic == 43
+    var ifdOfs =
+      if (big) buf.getLong(8) else buf.getInt(4).toLong & 0xffffffffL
+    var meta: GeoMeta = null
+    var selected: Map[Int, Entry] = null
+    var overviewIdx = 0
+    var walked = 0
+    while (ifdOfs != 0 && selected == null) {
+      require(walked < 256, "implausible TIFF: more than 256 IFDs (cyclic pointer?)")
+      walked += 1
+      val (entries, next) = readIfd(buf, ifdOfs, big)
+      val reduced = (entries.get(254).map(e => longs(buf, e)(0)).getOrElse(0L) & 1L) == 1L
+      if (meta == null && !reduced) {
+        // geo-metadata lives on the full-resolution IFD
+        meta = decodePageMeta(buf, entries)
+      }
+      val levelOfThis = if (reduced) { overviewIdx += 1; overviewIdx } else 0
+      if (levelOfThis == level) selected = entries
+      ifdOfs = next
+    }
+    require(selected != null, s"TIFF has no level-$level page")
+    val (pages, m) = decodePage(buf, selected, Win(x0, y0, x0 + winW, y0 + winH))
+    Image(pages, if (meta != null) meta else m)
+  }
+
   private def readIfd(buf: ByteBuffer, ofs: Long,
                       big: Boolean): (Map[Int, Entry], Long) = {
     val (n, first, stride) =
@@ -170,7 +214,11 @@ object GeoTiff {
     new String(b.takeWhile(_ != 0), "US-ASCII")
   }
 
-  private def decodePage(buf: ByteBuffer, t: Map[Int, Entry]): (Seq[Page], GeoMeta) = {
+  /** Window of a page in its own pixel grid, half-open [x0,x1)x[y0,y1). */
+  private final case class Win(x0: Int, y0: Int, x1: Int, y1: Int)
+
+  private def decodePage(buf: ByteBuffer, t: Map[Int, Entry],
+                         win: Win = null): (Seq[Page], GeoMeta) = {
     def one(tag: Int, default: Long = -1): Long =
       t.get(tag).map(e => longs(buf, e)(0)).getOrElse(default)
 
@@ -210,7 +258,20 @@ object GeoTiff {
       "horizontal-differencing predictor (2) applies to integer samples; floats use predictor 3 (unsupported)")
     val reduced = (one(254, 0) & 1L) == 1L
 
-    val pixels = Array.fill(spp)(new Array[Float](height * width))
+    // window bounds collapse to the whole page on a full decode, so the
+    // single readBlock below serves both paths with predictable branches
+    if (win != null)
+      require(win.x0 >= 0 && win.y0 >= 0 && win.x1 > win.x0 && win.y1 > win.y0 &&
+        win.x1 <= width && win.y1 <= height,
+        s"window (${win.x0},${win.y0})..(${win.x1},${win.y1}) outside ${width}x$height")
+    val wx0 = if (win == null) 0 else win.x0
+    val wy0 = if (win == null) 0 else win.y0
+    val wx1 = if (win == null) width else win.x1
+    val wy1 = if (win == null) height else win.y1
+    val outW = wx1 - wx0
+    val outH = wy1 - wy0
+
+    val pixels = Array.fill(spp)(new Array[Float](outH * outW))
     val bytesPerSample = bits / 8
 
     def readBlock(data: Array[Byte], rowOfs: Int, colOfs: Int, bh: Int, bw: Int): Unit = {
@@ -218,11 +279,11 @@ object GeoTiff {
       var r = 0
       while (r < bh) {
         val gr = rowOfs + r
-        if (gr < height) {
+        if (gr >= wy0 && gr < wy1) {
           var c = 0
           while (c < bw * spp) {
             val gc = colOfs + c / spp
-            if (gc < width) {
+            if (gc >= wx0 && gc < wx1) {
               val p = (r * bw * spp + c) * bytesPerSample
               val v: Float = (bits, fmt) match {
                 case (8, 1)  => (bb.get(p) & 0xff).toFloat
@@ -236,7 +297,7 @@ object GeoTiff {
                 case other => throw new IllegalArgumentException(
                   s"unsupported (bits, sampleFormat) $other")
               }
-              pixels(c % spp)(gr * width + gc) = v
+              pixels(c % spp)((gr - wy0) * outW + (gc - wx0)) = v
             }
             c += 1
           }
@@ -252,10 +313,16 @@ object GeoTiff {
       val counts  = longs(buf, t(325))
       val across = (width + tw - 1) / tw
       offsets.indices.foreach { i =>
-        val raw = slice(buf, offsets(i), counts(i))
-        val data = decompress(raw, compression, th * tw * spp * bytesPerSample)
-        if (predictor == 2) undoPredictor2(data, tw * spp, bytesPerSample, buf.order(), spp)
-        readBlock(data, (i / across) * th, (i % across) * tw, th, tw)
+        val rowOfs = (i / across) * th
+        val colOfs = (i % across) * tw
+        // the COG contract: segments disjoint from the window never
+        // decompress (nor, with range reads, even download)
+        if (rowOfs < wy1 && rowOfs + th > wy0 && colOfs < wx1 && colOfs + tw > wx0) {
+          val raw = slice(buf, offsets(i), counts(i))
+          val data = decompress(raw, compression, th * tw * spp * bytesPerSample)
+          if (predictor == 2) undoPredictor2(data, tw * spp, bytesPerSample, buf.order(), spp)
+          readBlock(data, rowOfs, colOfs, th, tw)
+        }
       }
     } else {           // stripped layout
       val rps = one(278, height).toInt
@@ -263,14 +330,23 @@ object GeoTiff {
       val counts  = longs(buf, t(279))
       offsets.indices.foreach { i =>
         val rows = math.min(rps, height - i * rps)
-        val raw = slice(buf, offsets(i), counts(i))
-        val data = decompress(raw, compression, rows * width * spp * bytesPerSample)
-        if (predictor == 2) undoPredictor2(data, width * spp, bytesPerSample, buf.order(), spp)
-        readBlock(data, i * rps, 0, rows, width)
+        if (i * rps < wy1 && i * rps + rows > wy0) {
+          val raw = slice(buf, offsets(i), counts(i))
+          val data = decompress(raw, compression, rows * width * spp * bytesPerSample)
+          if (predictor == 2) undoPredictor2(data, width * spp, bytesPerSample, buf.order(), spp)
+          readBlock(data, i * rps, 0, rows, width)
+        }
       }
     }
 
-    val meta = GeoMeta(
+    val meta = decodePageMeta(buf, t)
+    (pixels.toSeq.zipWithIndex.map { case (px, sIdx) =>
+      Page(outH, outW, reduced, px, sIdx)
+    }, meta)
+  }
+
+  private def decodePageMeta(buf: ByteBuffer, t: Map[Int, Entry]): GeoMeta =
+    GeoMeta(
       pixelScale = t.get(33550).map { e =>
         val d = doubles(buf, e); (d(0), d(1))
       },
@@ -286,10 +362,6 @@ object GeoTiff {
         }
       },
       nodata = t.get(42113).flatMap(e => ascii(buf, e).trim.toDoubleOption))
-    (pixels.toSeq.zipWithIndex.map { case (px, sIdx) =>
-      Page(height, width, reduced, px, sIdx)
-    }, meta)
-  }
 
   private def slice(buf: ByteBuffer, ofs: Long, len: Long): Array[Byte] = {
     val out = new Array[Byte](len.toInt)

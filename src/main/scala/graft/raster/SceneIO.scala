@@ -124,7 +124,9 @@ object SceneIO {
     * a 100 TB archive decodes with no driver involvement and no shuffle;
     * tiling afterwards is a narrow explode. */
   def readGeoTiffScenes(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame = {
+                        path: String,
+                        window: Option[(Int, Int, Int, Int)] = None,
+                        overviewLevel: Int = 0): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tif*")
@@ -133,8 +135,19 @@ object SceneIO {
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
         val (sceneId, band) = sceneBandOfPath(p)
-        val img = GeoTiff.decode(bytes)
-        val m = img.main
+        // window = (x0, y0, w, h) in the selected level's pixel grid: the
+        // COG windowed read (the reference's S5 `ds.read(1, window=w)`,
+        // index_generator.py:123) — only intersecting tiles decompress;
+        // overviewLevel k > 0 reads the k-th pyramid page (the rasterio
+        // overview read), composing with the window
+        val img = window match {
+          case Some((wx, wy, ww, wh)) =>
+            GeoTiff.decodeWindow(bytes, wx, wy, ww, wh, overviewLevel)
+          case None => GeoTiff.decode(bytes)
+        }
+        val m = if (window.isDefined) img.pages.head
+          else if (overviewLevel == 0) img.main
+          else img.overviews(overviewLevel - 1)
         (sceneId, band, m.height, m.width,
           img.meta.nodata.map(_.toFloat).getOrElse(0f), m.pixels)
       }

@@ -308,6 +308,85 @@ class GeoTiffSpec extends SparkSpec {
     assert(img.overviews.map(o => (o.height, o.width)) == Seq((32, 32), (16, 16)))
   }
 
+  test("windowed COG read: any window equals full-decode-then-crop, incl. overview levels") {
+    // the Cloud-Optimized-GeoTIFF contract (the reference's S5
+    // `ds.read(1, window=w)` on the COG side): only intersecting tiles
+    // decode, window coordinates live in the selected level's pixel grid
+    val (h, w) = (80, 112)
+    val rng = new scala.util.Random(7L)
+    val px = Array.tabulate(h * w)(_ => rng.nextFloat() * 2e4f - 1e4f)
+    val meta = GeoTiff.GeoMeta(epsg = Some(32633), nodata = Some(-9999.0))
+    for (container <- Seq("classic", "bigtiff")) {
+      val bytes = GeoTiff.encode(h, w, px, meta, 32, Seq(2, 4), container = container)
+      val full = GeoTiff.decode(bytes)
+      var seed = 0x9E3779B97F4A7C15L
+      def next(n: Int): Int = {
+        seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+        (((seed >>> 33) % n).toInt + n) % n
+      }
+      for (_ <- 0 until 25) {
+        val x0 = next(w); val y0 = next(h)
+        val ww = 1 + next(w - x0); val wh = 1 + next(h - y0)
+        val win = GeoTiff.decodeWindow(bytes, x0, y0, ww, wh)
+        assert(win.pages.head.height == wh && win.pages.head.width == ww)
+        assert(win.meta.epsg.contains(32633), "window read keeps the main page's geo meta")
+        for (r <- 0 until wh; c <- 0 until ww)
+          assert(java.lang.Float.floatToRawIntBits(win.pages.head.pixels(r * ww + c)) ==
+            java.lang.Float.floatToRawIntBits(full.main.pixels((y0 + r) * w + x0 + c)),
+            s"$container window ($x0,$y0,$ww,$wh) pixel ($r,$c)")
+      }
+      // overview-level window: coordinates in the overview's grid
+      for ((lvl, ov) <- Seq((1, full.overviews(0)), (2, full.overviews(1)))) {
+        val win = GeoTiff.decodeWindow(bytes, 3, 5, ov.width - 6, ov.height - 7, level = lvl)
+        for (r <- 0 until ov.height - 7; c <- 0 until ov.width - 6)
+          assert(win.pages.head.pixels(r * (ov.width - 6) + c) ==
+            ov.pixels((5 + r) * ov.width + 3 + c), s"level $lvl pixel ($r,$c)")
+      }
+    }
+    // stripped layout (no tile tags) takes the strip-pruned path
+    val stripped = imageIoTiff(48, 64, grayPixels(48, 64, 3L), "LZW")
+    val fullS = GeoTiff.decode(stripped)
+    val winS = GeoTiff.decodeWindow(stripped, 10, 17, 30, 20)
+    for (r <- 0 until 20; c <- 0 until 30)
+      assert(winS.pages.head.pixels(r * 30 + c) == fullS.main.pixels((17 + r) * 64 + 10 + c))
+  }
+
+  test("windowed COG read never touches disjoint tiles' bytes (pruning proof)") {
+    // corrupt every tile segment except the window's own: the windowed
+    // read still decodes bit-exactly while a full decode dies in inflate —
+    // proving disjoint segments are never decompressed (with range reads,
+    // never even fetched)
+    val (h, w) = (64, 64)
+    val px = Array.tabulate(h * w)(_.toFloat)
+    val bytes = GeoTiff.encode(h, w, px, GeoTiff.GeoMeta(), 16, Nil, container = "classic")
+    val full = GeoTiff.decode(bytes)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(
+      if (bytes(0) == 'I') java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    // classic TIFF: walk the first IFD for TileOffsets(324)/TileByteCounts(325)
+    val ifd = buf.getInt(4)
+    val n = buf.getShort(ifd) & 0xffff
+    var offsets: Array[Int] = null; var counts: Array[Int] = null
+    for (i <- 0 until n) {
+      val e = ifd + 2 + 12 * i
+      val tag = buf.getShort(e) & 0xffff
+      val cnt = buf.getInt(e + 4)
+      if (tag == 324 || tag == 325) {
+        val base = if (cnt <= 1) e + 8 else buf.getInt(e + 8)
+        val vals = Array.tabulate(cnt)(j => buf.getInt(base + 4 * j))
+        if (tag == 324) offsets = vals else counts = vals
+      }
+    }
+    assert(offsets != null && offsets.length == 16, "expected a 4x4 tile grid")
+    val corrupted = bytes.clone()
+    for (i <- offsets.indices if i != 0) // keep only tile (0,0) intact
+      for (j <- 0 until counts(i))
+        corrupted(offsets(i) + j) = (corrupted(offsets(i) + j) ^ 0xFF).toByte
+    intercept[Exception](GeoTiff.decode(corrupted))
+    val win = GeoTiff.decodeWindow(corrupted, 2, 3, 12, 10)
+    for (r <- 0 until 10; c <- 0 until 12)
+      assert(win.pages.head.pixels(r * 12 + c) == full.main.pixels((3 + r) * w + 2 + c))
+  }
+
   // ------------------------------------------------- LZW / PackBits codecs
 
   /** Deterministic 8-bit gray test image with runs (PackBits-friendly),
