@@ -218,6 +218,21 @@ class GeoTiffSpec extends SparkSpec {
     val i0 = 0 // pixel 0: (4000-2000)/(4000+2000)
     assert(math.abs(out(i0) - 10000.0 * (b08(i0) - b04(i0)) / (b08(i0) + b04(i0))) < 0.5)
     assert(out.forall(v => v > 2000 && v < 4500), "all NDVI values in expected range")
+
+    // distributed windowed read: every row carries the window's dims and
+    // exactly the cropped pixels of its file
+    val winScenes = SceneIO.readGeoTiffScenes(spark, dir.toString,
+      window = Some((5, 3, 10, 8)))
+    val winRows = winScenes.collect()
+    assert(winRows.length == 2)
+    for (r <- winRows) {
+      assert(r.getAs[Int]("height") == 8 && r.getAs[Int]("width") == 10)
+      val full = if (r.getAs[String]("band") == "B08") b08 else b04
+      val got = r.getAs[scala.collection.Seq[Float]]("pixels")
+      for (y <- 0 until 8; x <- 0 until 10)
+        assert(got(y * 10 + x) == full((3 + y) * w + 5 + x),
+          s"band ${r.getAs[String]("band")} window pixel ($y,$x)")
+    }
   }
 
   test("writeGeoTiffScenes: distributed fan-out writes every (scene, band) from executors") {
