@@ -922,6 +922,31 @@ object SparkEntry {
             .as("checksum"))
         .orderBy(col("vec_id"))
     }),
+    // ---- windowed COG read (S5's ds.read(1, window=w) on the COG side):
+    // the scenes are written once as a tiled pyramid (memoized layout),
+    // then read through GeoTiff.decodeWindow. The 8x8 bench scenes fit
+    // one TIFF tile (tile dims are 16-multiples), so this query verifies
+    // the windowed VALUES end to end distributed; tile pruning itself is
+    // proven in GeoTiffSpec by corrupting every disjoint segment. The
+    // oracle recomputes the same window sum from the raw embedding
+    // arrays with an indexed list filter ------------------------------
+    "q105_cog_window" -> ((s, d) => {
+      val dir = memoLayout("q105_cog", d) { tmp =>
+        val scenes = Tables.embeddings(s, d)
+          .filter(col("vec_id") < 64)
+          .select(col("vec_id").cast("string").as("scene_id"),
+            lit("B1").as("band"), lit(8).as("height"), lit(8).as("width"),
+            lit(-9999.0f).as("nodata"), col("embedding").as("pixels"))
+        graft.raster.SceneIO.writeGeoTiffScenes(
+          graft.raster.SceneIO.tileScene(scenes, 4, 4), tmp,
+          tileSize = 16, overviewFactors = Seq(2)).count()
+      }
+      graft.raster.SceneIO.readGeoTiffScenes(s, dir, window = Some((3, 2, 4, 5)))
+        .select(col("scene_id").cast("long").as("vec_id"),
+          r4(aggregate(col("pixels"), lit(0.0), (a, p) => a + p.cast("double")))
+            .as("win_sum"))
+        .orderBy(col("vec_id"))
+    }),
     // ---- semantic dedup: exact cosine pairs → components → dropped ids
     // (the LSH-bucketed dedupSemantic is the scale path; the exact pair
     // source makes this one verifiable against a recursive-CTE oracle) --
@@ -1581,6 +1606,15 @@ object SparkEntry {
     "q96_geotiff_roundtrip" ->
       """SELECT vec_id,
         |  round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 4) AS checksum
+        |FROM embeddings WHERE vec_id < 64 ORDER BY vec_id""".stripMargin,
+    "q105_cog_window" ->
+      // window (x0=3, y0=2, w=4, h=5) of the row-major 8x8 scene: rows
+      // 2..6, cols 3..6 — the indexed list_filter keeps source order, so
+      // the double sum folds in the same element order as the Spark side
+      """SELECT vec_id,
+        |  round(list_aggregate(list_filter(CAST(embedding AS DOUBLE[]),
+        |    (x, i) -> ((i - 1) // 8) BETWEEN 2 AND 6
+        |           AND ((i - 1) % 8) BETWEEN 3 AND 6), 'sum'), 4) AS win_sum
         |FROM embeddings WHERE vec_id < 64 ORDER BY vec_id""".stripMargin,
     "q96_i16_roundtrip" ->
       """SELECT vec_id,
