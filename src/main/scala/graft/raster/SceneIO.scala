@@ -216,7 +216,8 @@ object SceneIO {
   def readJp2RgbScenes(spark: org.apache.spark.sql.SparkSession,
                        path: String, nodata: Float = 0f,
                        discardLevels: Int = 0,
-                       bandNames: Seq[String] = Seq("R", "G", "B")): DataFrame = {
+                       bandNames: Seq[String] = Seq("R", "G", "B"),
+                       window: Option[(Int, Int, Int, Int)] = None): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.{jp2,j2k,jpx,j2c}")
@@ -225,7 +226,13 @@ object SceneIO {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         val (sceneId, _) = sceneBandOfPath(p)
-        val img = graft.sources.Jp2Decode.decodeMulti(bytes, discardLevels)
+        // window = the ROI read, same contract as readJp2Scenes — the RCT/
+        // ICT inverse runs on identical coefficient support per component
+        val img = window match {
+          case Some((wx, wy, ww, wh)) =>
+            graft.sources.Jp2Decode.decodeWindow(bytes, wx, wy, ww, wh, discardLevels)
+          case None => graft.sources.Jp2Decode.decodeMulti(bytes, discardLevels)
+        }
         require(img.comps <= bandNames.length,
           s"$p: ${img.comps} components, only ${bandNames.length} band names")
         (0 until img.comps).map { ci =>
