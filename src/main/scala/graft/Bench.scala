@@ -90,7 +90,10 @@ object Bench {
         // repeatable floor, contention is the variance. A GENUINE plan
         // regression stays slow on every re-run and is still flagged;
         // steady-state heavy queries pay no extra wall.
-        if (first < 1.0 || previous.get(name).exists(first > _ * 1.25)) {
+        // a query with NO baseline yet (first round on the board) always
+        // re-runs: its first timing may carry one-time layout builds and
+        // becomes the recorded floor for every later round
+        if (first < 1.0 || previous.get(name).forall(first > _ * 1.25)) {
           // per-re-run guard: a transient failure in ONE re-run must not
           // discard the other's (or the first's) measured success; fatal
           // JVM errors still propagate to the outer catch
