@@ -125,7 +125,17 @@ object GeoTiff {
     * [[decode]]. The reference's S5 windowed read
     * (`ds.read(1, window=w)`, index_generator.py:123) on the COG side. */
   def decodeWindow(bytes: Array[Byte], x0: Int, y0: Int,
-                   winW: Int, winH: Int, level: Int = 0): Image = {
+                   winW: Int, winH: Int, level: Int = 0): Image =
+    decodeSelected(bytes, level, Some((x0, y0, winW, winH)))
+
+  /** Decode ONE pyramid level in full, without touching the other levels'
+    * segments — the rasterio overview read (`out_shape` at a pyramid
+    * step). `decode` pays every page; this pays one. */
+  def decodeLevel(bytes: Array[Byte], level: Int): Image =
+    decodeSelected(bytes, level, None)
+
+  private def decodeSelected(bytes: Array[Byte], level: Int,
+                             window: Option[(Int, Int, Int, Int)]): Image = {
     require(bytes.length >= 16, "not a TIFF: too short")
     val order = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -156,7 +166,9 @@ object GeoTiff {
       ifdOfs = next
     }
     require(selected != null, s"TIFF has no level-$level page")
-    val (pages, m) = decodePage(buf, selected, Win(x0, y0, x0 + winW, y0 + winH))
+    val win = window.map { case (x0, y0, winW, winH) =>
+      Win(x0, y0, x0 + winW, y0 + winH) }.orNull
+    val (pages, m) = decodePage(buf, selected, win)
     Image(pages, if (meta != null) meta else m)
   }
 

@@ -143,11 +143,11 @@ object SceneIO {
         val img = window match {
           case Some((wx, wy, ww, wh)) =>
             GeoTiff.decodeWindow(bytes, wx, wy, ww, wh, overviewLevel)
+          case None if overviewLevel > 0 => GeoTiff.decodeLevel(bytes, overviewLevel)
           case None => GeoTiff.decode(bytes)
         }
-        val m = if (window.isDefined) img.pages.head
-          else if (overviewLevel == 0) img.main
-          else img.overviews(overviewLevel - 1)
+        val m = if (window.isDefined || overviewLevel > 0) img.pages.head
+          else img.main
         (sceneId, band, m.height, m.width,
           img.meta.nodata.map(_.toFloat).getOrElse(0f), m.pixels)
       }

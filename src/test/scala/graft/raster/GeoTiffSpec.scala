@@ -356,6 +356,10 @@ class GeoTiffSpec extends SparkSpec {
         for (r <- 0 until ov.height - 7; c <- 0 until ov.width - 6)
           assert(win.pages.head.pixels(r * (ov.width - 6) + c) ==
             ov.pixels((5 + r) * ov.width + 3 + c), s"level $lvl pixel ($r,$c)")
+        // decodeLevel = the full page without paying the other levels
+        val one = GeoTiff.decodeLevel(bytes, lvl).pages.head
+        assert(one.height == ov.height && one.width == ov.width &&
+          one.pixels.toSeq == ov.pixels.toSeq, s"decodeLevel($lvl)")
       }
     }
     // stripped layout (no tile tags) takes the strip-pruned path
