@@ -152,7 +152,11 @@ object GeoTiff {
     var selected: Map[Int, Entry] = null
     var overviewIdx = 0
     var walked = 0
-    while (ifdOfs != 0 && selected == null) {
+    // keep walking past the selected page until a full-resolution IFD has
+    // been seen: in a (rare) overviews-first TIFF the geo-metadata lives on
+    // a LATER page than the selected overview, and stopping early would
+    // silently return the overview's (usually empty) GeoMeta
+    while (ifdOfs != 0 && (selected == null || meta == null)) {
       require(walked < 256, "implausible TIFF: more than 256 IFDs (cyclic pointer?)")
       walked += 1
       val (entries, next) = readIfd(buf, ifdOfs, big)
@@ -162,7 +166,7 @@ object GeoTiff {
         meta = decodePageMeta(buf, entries)
       }
       val levelOfThis = if (reduced) { overviewIdx += 1; overviewIdx } else 0
-      if (levelOfThis == level) selected = entries
+      if (levelOfThis == level && selected == null) selected = entries
       ifdOfs = next
     }
     require(selected != null, s"TIFF has no level-$level page")
@@ -662,10 +666,11 @@ object GeoTiff {
   /** Streaming [[encode]]: identical layout, written straight to `os`, so
     * output size is bounded by the container (4 GiB classic, effectively
     * none for BigTIFF) rather than one JVM array — the mosaic-sized export
-    * path. Tile payloads are compressed up front (offsets must be laid out
-    * before the header is emitted) and streamed in file order; nothing is
-    * materialized beyond one page's IFD block and the compressed tiles.
-    * Returns total bytes written. */
+    * path. Since round 10 this is a thin wrapper over [[RowEncoder]] fed
+    * from the in-memory band: the encoder consumes rows incrementally, so
+    * this array variant keeps its old contract while the row variant bounds
+    * per-task memory at O(strip) for callers that never materialize the
+    * band (SceneIO.writeGeoTiffScenes). Returns total bytes written. */
   def encodeTo(os: java.io.OutputStream,
                height: Int, width: Int, pixels: Array[Float],
                meta: GeoMeta = GeoMeta(),
@@ -676,8 +681,91 @@ object GeoTiff {
                dtype: String = "f32",
                container: String = "auto"): Long = {
     require(pixels.length == height * width, "pixels length != height*width")
+    val enc = new RowEncoder(os, width, meta, tileSize, overviewFactors,
+      compressionLevel, codec, dtype, container)
+    var r = 0
+    while (r < height) { enc.addRow(pixels, r * width); r += 1 }
+    enc.finish()
+  }
+
+  /** Compressed-tile accumulator for [[RowEncoder]]: tiles stay on the heap
+    * until `memCap` cumulative bytes, then overflow — existing tiles first —
+    * to a task-local temp file, so encoder memory is bounded whatever the
+    * scene size while small granules (the common case) never touch disk.
+    * Append-only during encode; random-access replay during the final
+    * layout pass; `close()` deletes the spill file. */
+  private final class TileSpill(memCap: Long) {
+    private val lens = ArrayBuffer.empty[Int]
+    private val mem = ArrayBuffer.empty[Array[Byte]]
+    private val offs = ArrayBuffer.empty[Long]
+    private var memBytes = 0L
+    private var end = 0L
+    private var raf: java.io.RandomAccessFile = null
+    private var path: java.io.File = null
+    def spilled: Boolean = raf != null
+    def append(t: Array[Byte]): Int = {
+      if (raf == null && memBytes + t.length > memCap) spill()
+      val id = lens.length
+      lens += t.length
+      if (raf == null) { mem += t; offs += -1L; memBytes += t.length }
+      else { offs += end; raf.seek(end); raf.write(t); end += t.length; mem += null }
+      id
+    }
+    private def spill(): Unit = {
+      path = java.io.File.createTempFile("graft-tiff-spill", ".bin")
+      path.deleteOnExit()
+      raf = new java.io.RandomAccessFile(path, "rw")
+      var i = 0
+      while (i < mem.length) { offs(i) = end; raf.write(mem(i)); end += lens(i); mem(i) = null; i += 1 }
+      memBytes = 0L
+    }
+    def length(id: Int): Int = lens(id)
+    def read(id: Int): Array[Byte] = {
+      val m = mem(id)
+      if (m != null) m
+      else { val b = new Array[Byte](lens(id)); raf.seek(offs(id)); raf.readFully(b); b }
+    }
+    def close(): Unit = {
+      if (raf != null) { raf.close(); path.delete(); raf = null }
+      mem.clear(); lens.clear(); offs.clear()
+    }
+  }
+
+  /** Row-streaming GeoTIFF encoder — the O(strip) export path. Feed rows
+    * top-down with [[addRow]], then [[finish]]; height is whatever was fed,
+    * so callers that discover extent while iterating (a sorted tile
+    * shuffle) never materialize the band. Live memory: one tileSize-row
+    * band per page (main + overviews, Σ < 2·tileSize·width floats — ~22 MB
+    * at Sentinel-2's 10980² with the 256 default) plus compressed tiles up
+    * to `memCap` before [[TileSpill]] overflows them to a temp file. The
+    * reference holds the same blockwise bound through rasterio windows
+    * (index_generator.py:93, 121–136); the old path here stitched the full
+    * band per task (~480 MB at 10980² f32) before encoding.
+    *
+    * Output is byte-identical to [[encodeTo]] for the same inputs — same
+    * COG layout (header, IFDs first, tile data in page order), same `auto`
+    * container projection — because encodeTo IS this encoder fed from an
+    * array; GeoTiffStreamSpec pins the identity including the spill path.
+    *
+    * Overview rows are sampled on the fly (row r fills overview row r/f
+    * when f | r). A band is flushed to tiles only when the NEXT row for it
+    * arrives, never when it merely fills: the last generated row must stay
+    * unflushed so finish() can drop the one-row overshoot an overview
+    * produces when factor ∤ height, and prune factor pages whose height
+    * rounds to zero — decisions that need the true height. */
+  final class RowEncoder(os: java.io.OutputStream,
+                         width: Int,
+                         meta: GeoMeta = GeoMeta(),
+                         tileSize: Int = 256,
+                         overviewFactors: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
+                         compressionLevel: Int = Deflater.DEFAULT_COMPRESSION,
+                         codec: String = "deflate",
+                         dtype: String = "f32",
+                         container: String = "auto",
+                         memCap: Long = 128L << 20) {
+    require(width > 0, "width must be positive")
     require(tileSize % 16 == 0 && tileSize > 0, "TIFF tile size must be a multiple of 16")
-    val compressionTag: Long = codec match {
+    private val compressionTag: Long = codec match {
       case "deflate" => 8L
       case "lzw"     => 5L
       case "none"    => 1L
@@ -686,7 +774,7 @@ object GeoTiff {
     }
     // (bits, TIFF SampleFormat, clamp lo, clamp hi); format 3 = IEEE float,
     // 2 = signed int, 1 = unsigned int
-    val (bits, sampleFormat, clampLo, clampHi) = dtype match {
+    private val (bits, sampleFormat, clampLo, clampHi) = dtype match {
       case "f32" => (32, 3L, 0.0, 0.0)
       case "i16" => (16, 2L, Short.MinValue.toDouble, Short.MaxValue.toDouble)
       case "u16" => (16, 1L, 0.0, 65535.0)
@@ -694,61 +782,108 @@ object GeoTiff {
       case t => throw new IllegalArgumentException(
         s"unsupported write dtype '$t' (f32/i16/u16/u8)")
     }
-    val bytesPerSample = bits / 8
+    private val bytesPerSample = bits / 8
+    private val fill = meta.nodata.map(_.toFloat).getOrElse(0f)
+
     // clamp → truncate toward zero (numpy astype semantics); NaN → nodata
-    def toInt(v: Float): Long = {
+    private def toInt(v: Float): Long = {
       val x = if (java.lang.Float.isNaN(v)) meta.nodata.getOrElse(0.0).toFloat else v
       math.max(clampLo, math.min(clampHi, x.toDouble)).toLong
     }
-    def putSample(buf: ByteBuffer, v: Float): Unit = dtype match {
+    private def putSample(buf: ByteBuffer, v: Float): Unit = dtype match {
       case "f32" => buf.putFloat(v)
       case "i16" | "u16" => buf.putShort(toInt(v).toShort)
       case "u8" => buf.put(toInt(v).toByte)
     }
-    def compressTile(raw: Array[Byte]): Array[Byte] = codec match {
+    private def compressTile(raw: Array[Byte]): Array[Byte] = codec match {
       case "deflate" => deflate(raw, compressionLevel)
       case "lzw"     => lzwEncode(raw)
       case _         => raw
     }
 
-    val factors = overviewFactors.filter(f => height / f >= 1 && width / f >= 1).sorted
-    val pageImages: Seq[(Int, Int, Array[Float], Boolean)] =
-      (height, width, pixels, false) +: factors.map { f =>
-        val (oh, ow) = (height / f, width / f)
-        val fill = meta.nodata.map(_.toFloat).getOrElse(0f)
-        val o = Array.fill(oh * ow)(fill)
-        var i = 0
-        while (i < oh * ow) { // nearest-neighbour reduction
-          o(i) = pixels((i / ow) * f * width + (i % ow) * f)
-          i += 1
-        }
-        (oh, ow, o, true)
-      }
+    private final class Page(val factor: Int, val w: Int) {
+      val band = new Array[Float](tileSize * w)
+      var rowsInBand = 0
+      var bandsFlushed = 0
+      val tileIds = ArrayBuffer.empty[Int]
+    }
+    // width-pruned up front; height-pruned at finish() when height is known
+    private val pages: IndexedSeq[Page] =
+      new Page(1, width) +: overviewFactors.sorted
+        .filter(width / _ >= 1).map(f => new Page(f, width / f)).toIndexedSeq
 
-    // compress every page's tiles up front so offsets can be laid out
-    val pageTiles: Seq[Array[Array[Byte]]] = pageImages.map { case (h, w, px, _) =>
-      val across = (w + tileSize - 1) / tileSize
-      val down = (h + tileSize - 1) / tileSize
-      Array.tabulate(across * down) { i =>
-        val (tr, tc) = (i / across, i % across)
+    private val spill = new TileSpill(memCap)
+    private var rowsSeen = 0
+    private[raster] def spilledToDisk: Boolean = spill.spilled
+
+    private def flushBand(p: Page, rows: Int): Unit = {
+      val across = (p.w + tileSize - 1) / tileSize
+      var tc = 0
+      while (tc < across) {
         val raw = ByteBuffer.allocate(tileSize * tileSize * bytesPerSample)
           .order(ByteOrder.LITTLE_ENDIAN)
         var r = 0
         while (r < tileSize) {
           var c = 0
           while (c < tileSize) {
-            val (gr, gc) = (tr * tileSize + r, tc * tileSize + c)
-            putSample(raw, if (gr < h && gc < w) px(gr * w + gc)
-                           else meta.nodata.map(_.toFloat).getOrElse(0f))
+            val gc = tc * tileSize + c
+            putSample(raw, if (r < rows && gc < p.w) p.band(r * p.w + gc) else fill)
             c += 1
           }
           r += 1
         }
-        compressTile(raw.array())
+        p.tileIds += spill.append(compressTile(raw.array()))
+        tc += 1
       }
+      p.bandsFlushed += 1
+      p.rowsInBand = 0
     }
 
-    def nEntries(pageIdx: Int): Int = {
+    /** Append the next image row: `width` floats read from `src(off)`. */
+    def addRow(src: Array[Float], off: Int = 0): Unit = {
+      require(off >= 0 && off + width <= src.length, "row shorter than width")
+      var pi = 0
+      while (pi < pages.length) {
+        val p = pages(pi)
+        if (rowsSeen % p.factor == 0) {
+          if (p.rowsInBand == tileSize) flushBand(p, tileSize)
+          val base = p.rowsInBand * p.w
+          if (p.factor == 1) System.arraycopy(src, off, p.band, base, width)
+          else {
+            var k = 0
+            while (k < p.w) { p.band(base + k) = src(off + k * p.factor); k += 1 }
+          }
+          p.rowsInBand += 1
+        }
+        pi += 1
+      }
+      rowsSeen += 1
+    }
+
+    /** Flush remaining bands, lay out and write the file; returns total
+      * bytes written. The encoder is single-use. */
+    def finish(): Long = {
+      val height = rowsSeen
+      require(height > 0, "no rows fed to RowEncoder")
+      val kept = pages.filter(p => p.factor == 1 || height / p.factor >= 1)
+      kept.foreach { p =>
+        val valid = if (p.factor == 1) height else height / p.factor
+        val remaining = valid - p.bandsFlushed * tileSize
+        assert(remaining >= 0 && remaining <= p.rowsInBand,
+          s"RowEncoder row accounting drift: factor=${p.factor} valid=$valid " +
+            s"flushed=${p.bandsFlushed} inBand=${p.rowsInBand}")
+        if (remaining > 0) flushBand(p, remaining)
+      }
+      val pageDims: IndexedSeq[(Int, Int, Boolean)] = kept.map(p =>
+        (if (p.factor == 1) height else height / p.factor, p.w, p.factor != 1))
+      val pageSizes: IndexedSeq[Array[Int]] =
+        kept.map(p => p.tileIds.map(spill.length).toArray)
+      val pageIds: IndexedSeq[Array[Int]] = kept.map(_.tileIds.toArray)
+      try writeFile(pageDims, pageSizes, pageIds)
+      finally spill.close()
+    }
+
+    private def nEntries(pageIdx: Int): Int = {
       val base = 12 // 254,256,257,258,259,262,277,322,323,324,325,339
       val geo = if (pageIdx == 0)
         meta.pixelScale.size + meta.tiepoint.size + meta.epsg.size + meta.nodata.size
@@ -759,171 +894,175 @@ object GeoTiff {
     // ---- lay out the file: header, IFD blocks (with external values), data.
     // Parameterized by container: classic = 8-byte header, 12-byte entries,
     // 4-byte offsets; BigTIFF = 16-byte header, 20-byte entries, LONG8.
-    def layout(big: Boolean): (Seq[Long], Seq[Long], Seq[Array[Long]], Long) = {
-      val offElem = if (big) 8 else 4
+    private def writeFile(pageDims: IndexedSeq[(Int, Int, Boolean)],
+                          pageSizes: IndexedSeq[Array[Int]],
+                          pageIds: IndexedSeq[Array[Int]]): Long = {
+      def layout(big: Boolean): (Seq[Long], Seq[Long], Seq[Array[Long]], Long) = {
+        val offElem = if (big) 8 else 4
+        val inlineCap = if (big) 8 else 4
+        val geoTagBytes = meta match {
+          case GeoMeta(ps, tp, ep, nd) =>
+            // GeoKeyDirectory = 4-short header + 2 keys × 4 shorts = 12 shorts
+            ps.map(_ => 3 * 8).getOrElse(0) + tp.map(_ => 6 * 8).getOrElse(0) +
+              ep.map(_ => 12 * 2).getOrElse(0) +
+              nd.map { n =>
+                val l = nodataAscii(n).length
+                if (l <= inlineCap) 0 else align2(l).toInt
+              }.getOrElse(0)
+        }
+        // per page: IFD block (count + entries + next pointer) plus external
+        // arrays (tile offsets, tile counts, geo doubles/shorts/ascii)
+        val ifdSizes = pageSizes.indices.map { p =>
+          val n = nEntries(p)
+          val overhead = if (big) 8 + 20 * n + 8 else 2 + 12 * n + 4
+          val tileArr =
+            if (pageSizes(p).length > 1) pageSizes(p).length.toLong * offElem * 2 else 0L
+          val geo = if (p == 0) geoTagBytes.toLong else 0L
+          align2(overhead) + align2(tileArr) + align2(geo)
+        }
+        val ifdOfs = ifdSizes.scanLeft(if (big) 16L else 8L)(_ + _)
+        val tileOfs = ArrayBuffer.empty[Array[Long]]
+        var cursor = ifdOfs.last
+        pageSizes.foreach { sizes =>
+          tileOfs += sizes.map { len => val o = cursor; cursor += align2(len); o }
+        }
+        (ifdSizes, ifdOfs, tileOfs.toSeq, cursor)
+      }
+
+      val big = container match {
+        case "bigtiff" => true
+        case "classic" => false
+        // IF_SAFER: project the classic layout, upgrade only on overflow
+        case "auto"    => layout(big = false)._4 > 0xffffffffL
+        case c => throw new IllegalArgumentException(
+          s"unsupported container '$c' (classic/bigtiff/auto)")
+      }
+      val (ifdSizes, ifdOfs, tileOfs, total) = layout(big)
+      require(big || total <= 0xffffffffL,
+        "classic TIFF caps at 4 GiB; pass container=\"bigtiff\" or \"auto\"")
+
+      var written = 0L
+      def emit(b: Array[Byte]): Unit = { os.write(b); written += b.length }
+
+      val header = ByteBuffer.allocate(if (big) 16 else 8).order(ByteOrder.LITTLE_ENDIAN)
+      header.put('I'.toByte).put('I'.toByte)
+      if (big) header.putShort(43).putShort(8).putShort(0).putLong(ifdOfs.head)
+      else header.putShort(42).putInt(ifdOfs.head.toInt)
+      emit(header.array())
+
+      val stride = if (big) 20 else 12
+      val countSize = if (big) 8 else 2
       val inlineCap = if (big) 8 else 4
-      val geoTagBytes = meta match {
-        case GeoMeta(ps, tp, ep, nd) =>
-          // GeoKeyDirectory = 4-short header + 2 keys × 4 shorts = 12 shorts
-          ps.map(_ => 3 * 8).getOrElse(0) + tp.map(_ => 6 * 8).getOrElse(0) +
-            ep.map(_ => 12 * 2).getOrElse(0) +
-            nd.map { n =>
-              val l = nodataAscii(n).length
-              if (l <= inlineCap) 0 else align2(l).toInt
-            }.getOrElse(0)
-      }
-      // per page: IFD block (count + entries + next pointer) plus external
-      // arrays (tile offsets, tile counts, geo doubles/shorts/ascii)
-      val ifdSizes = pageTiles.indices.map { p =>
+      val offType = if (big) 16 else 4 // LONG8 vs LONG for tile offsets/counts
+
+      pageSizes.indices.foreach { p =>
+        val (h, w, reduced) = pageDims(p)
+        val sizes = pageSizes(p)
         val n = nEntries(p)
-        val overhead = if (big) 8 + 20 * n + 8 else 2 + 12 * n + 4
-        val tileArr =
-          if (pageTiles(p).length > 1) pageTiles(p).length.toLong * offElem * 2 else 0L
-        val geo = if (p == 0) geoTagBytes.toLong else 0L
-        align2(overhead) + align2(tileArr) + align2(geo)
-      }
-      val ifdOfs = ifdSizes.scanLeft(if (big) 16L else 8L)(_ + _)
-      val tileOfs = ArrayBuffer.empty[Array[Long]]
-      var cursor = ifdOfs.last
-      pageTiles.foreach { tiles =>
-        tileOfs += tiles.map { t => val o = cursor; cursor += align2(t.length); o }
-      }
-      (ifdSizes, ifdOfs, tileOfs.toSeq, cursor)
-    }
+        // one page's IFD block assembled in memory; offsets stay absolute,
+        // writes are relative to the block base so the file itself streams
+        val base = ifdOfs(p)
+        val pb = ByteBuffer.allocate(ifdSizes(p).toInt).order(ByteOrder.LITTLE_ENDIAN)
+        def putShortAt(abs: Long, v: Short): Unit = { pb.putShort((abs - base).toInt, v); () }
+        def putIntAt(abs: Long, v: Int): Unit = { pb.putInt((abs - base).toInt, v); () }
+        def putLongAt(abs: Long, v: Long): Unit = { pb.putLong((abs - base).toInt, v); () }
+        def putDoubleAt(abs: Long, v: Double): Unit = { pb.putDouble((abs - base).toInt, v); () }
+        def putOffAt(abs: Long, v: Long): Unit = if (big) putLongAt(abs, v) else putIntAt(abs, v.toInt)
 
-    val big = container match {
-      case "bigtiff" => true
-      case "classic" => false
-      // IF_SAFER: project the classic layout, upgrade only on overflow
-      case "auto"    => layout(big = false)._4 > 0xffffffffL
-      case c => throw new IllegalArgumentException(
-        s"unsupported container '$c' (classic/bigtiff/auto)")
-    }
-    val (ifdSizes, ifdOfs, tileOfs, total) = layout(big)
-    require(big || total <= 0xffffffffL,
-      "classic TIFF caps at 4 GiB; pass container=\"bigtiff\" or \"auto\"")
+        var ext = base + align2(countSize + stride * n + (if (big) 8 else 4))
+        val entries = ArrayBuffer.empty[(Int, Int, Int, Long)] // tag, typ, count, value
 
-    var written = 0L
-    def emit(b: Array[Byte]): Unit = { os.write(b); written += b.length }
-
-    val header = ByteBuffer.allocate(if (big) 16 else 8).order(ByteOrder.LITTLE_ENDIAN)
-    header.put('I'.toByte).put('I'.toByte)
-    if (big) header.putShort(43).putShort(8).putShort(0).putLong(ifdOfs.head)
-    else header.putShort(42).putInt(ifdOfs.head.toInt)
-    emit(header.array())
-
-    val stride = if (big) 20 else 12
-    val countSize = if (big) 8 else 2
-    val inlineCap = if (big) 8 else 4
-    val offType = if (big) 16 else 4 // LONG8 vs LONG for tile offsets/counts
-
-    pageTiles.indices.foreach { p =>
-      val (h, w, _, reduced) = pageImages(p)
-      val tiles = pageTiles(p)
-      val n = nEntries(p)
-      // one page's IFD block assembled in memory; offsets stay absolute,
-      // writes are relative to the block base so the file itself streams
-      val base = ifdOfs(p)
-      val pb = ByteBuffer.allocate(ifdSizes(p).toInt).order(ByteOrder.LITTLE_ENDIAN)
-      def putShortAt(abs: Long, v: Short): Unit = { pb.putShort((abs - base).toInt, v); () }
-      def putIntAt(abs: Long, v: Int): Unit = { pb.putInt((abs - base).toInt, v); () }
-      def putLongAt(abs: Long, v: Long): Unit = { pb.putLong((abs - base).toInt, v); () }
-      def putDoubleAt(abs: Long, v: Double): Unit = { pb.putDouble((abs - base).toInt, v); () }
-      def putOffAt(abs: Long, v: Long): Unit = if (big) putLongAt(abs, v) else putIntAt(abs, v.toInt)
-
-      var ext = base + align2(countSize + stride * n + (if (big) 8 else 4))
-      val entries = ArrayBuffer.empty[(Int, Int, Int, Long)] // tag, typ, count, value
-
-      entries += ((254, 4, 1, if (reduced) 1L else 0L))
-      entries += ((256, 4, 1, w.toLong))
-      entries += ((257, 4, 1, h.toLong))
-      entries += ((258, 3, 1, bits.toLong))
-      entries += ((259, 3, 1, compressionTag))
-      entries += ((262, 3, 1, 1L))  // BlackIsZero
-      entries += ((277, 3, 1, 1L))
-      entries += ((322, 3, 1, tileSize.toLong))
-      entries += ((323, 3, 1, tileSize.toLong))
-      if (tiles.length == 1) {
-        entries += ((324, offType, 1, tileOfs(p)(0)))
-        entries += ((325, offType, 1, tiles(0).length.toLong))
-      } else {
-        entries += ((324, offType, tiles.length, ext))
-        var a = ext
-        tileOfs(p).foreach { o => putOffAt(a, o); a += (if (big) 8 else 4) }
-        ext += align2(tiles.length * (if (big) 8 else 4))
-        entries += ((325, offType, tiles.length, ext))
-        a = ext
-        tiles.foreach { t => putOffAt(a, t.length.toLong); a += (if (big) 8 else 4) }
-        ext += align2(tiles.length * (if (big) 8 else 4))
-      }
-      entries += ((339, 3, 1, sampleFormat))
-      if (p == 0) {
-        meta.pixelScale.foreach { case (sx, sy) =>
-          entries += ((33550, 12, 3, ext))
-          putDoubleAt(ext, sx); putDoubleAt(ext + 8, sy); putDoubleAt(ext + 16, 0.0)
-          ext += 24
+        entries += ((254, 4, 1, if (reduced) 1L else 0L))
+        entries += ((256, 4, 1, w.toLong))
+        entries += ((257, 4, 1, h.toLong))
+        entries += ((258, 3, 1, bits.toLong))
+        entries += ((259, 3, 1, compressionTag))
+        entries += ((262, 3, 1, 1L))  // BlackIsZero
+        entries += ((277, 3, 1, 1L))
+        entries += ((322, 3, 1, tileSize.toLong))
+        entries += ((323, 3, 1, tileSize.toLong))
+        if (sizes.length == 1) {
+          entries += ((324, offType, 1, tileOfs(p)(0)))
+          entries += ((325, offType, 1, sizes(0).toLong))
+        } else {
+          entries += ((324, offType, sizes.length, ext))
+          var a = ext
+          tileOfs(p).foreach { o => putOffAt(a, o); a += (if (big) 8 else 4) }
+          ext += align2(sizes.length * (if (big) 8 else 4))
+          entries += ((325, offType, sizes.length, ext))
+          a = ext
+          sizes.foreach { len => putOffAt(a, len.toLong); a += (if (big) 8 else 4) }
+          ext += align2(sizes.length * (if (big) 8 else 4))
         }
-        meta.tiepoint.foreach { case (mx, my) =>
-          entries += ((33922, 12, 6, ext))
-          Seq(0.0, 0.0, 0.0, mx, my, 0.0).zipWithIndex.foreach { case (d, i) =>
-            putDoubleAt(ext + 8 * i, d)
+        entries += ((339, 3, 1, sampleFormat))
+        if (p == 0) {
+          meta.pixelScale.foreach { case (sx, sy) =>
+            entries += ((33550, 12, 3, ext))
+            putDoubleAt(ext, sx); putDoubleAt(ext + 8, sy); putDoubleAt(ext + 16, 0.0)
+            ext += 24
           }
-          ext += 48
-        }
-        meta.epsg.foreach { code =>
-          // minimal GeoKeyDirectory: header + GTModelType + CS-type key
-          val geographic = code >= 4000 && code < 5000
-          val keys: Array[Int] = Array(
-            1, 1, 0, 2,
-            1024, 0, 1, if (geographic) 2 else 1,
-            if (geographic) 2048 else 3072, 0, 1, code)
-          entries += ((34735, 3, keys.length, ext))
-          keys.zipWithIndex.foreach { case (k, i) => putShortAt(ext + 2 * i, k.toShort) }
-          ext += align2(keys.length * 2)
-        }
-        meta.nodata.foreach { nd =>
-          val s = nodataAscii(nd)
-          entries += ((42113, 2, s.length, if (s.length <= inlineCap) inlineAscii(s) else ext))
-          if (s.length > inlineCap) {
-            s.zipWithIndex.foreach { case (ch, i) => pb.put((ext - base).toInt + i, ch.toByte) }
-            ext += align2(s.length)
+          meta.tiepoint.foreach { case (mx, my) =>
+            entries += ((33922, 12, 6, ext))
+            Seq(0.0, 0.0, 0.0, mx, my, 0.0).zipWithIndex.foreach { case (d, i) =>
+              putDoubleAt(ext + 8 * i, d)
+            }
+            ext += 48
+          }
+          meta.epsg.foreach { code =>
+            // minimal GeoKeyDirectory: header + GTModelType + CS-type key
+            val geographic = code >= 4000 && code < 5000
+            val keys: Array[Int] = Array(
+              1, 1, 0, 2,
+              1024, 0, 1, if (geographic) 2 else 1,
+              if (geographic) 2048 else 3072, 0, 1, code)
+            entries += ((34735, 3, keys.length, ext))
+            keys.zipWithIndex.foreach { case (k, i) => putShortAt(ext + 2 * i, k.toShort) }
+            ext += align2(keys.length * 2)
+          }
+          meta.nodata.foreach { nd =>
+            val s = nodataAscii(nd)
+            entries += ((42113, 2, s.length, if (s.length <= inlineCap) inlineAscii(s) else ext))
+            if (s.length > inlineCap) {
+              s.zipWithIndex.foreach { case (ch, i) => pb.put((ext - base).toInt + i, ch.toByte) }
+              ext += align2(s.length)
+            }
           }
         }
+
+        // write the IFD itself (entries sorted by tag, per spec)
+        val sorted = entries.sortBy(_._1)
+        if (big) putLongAt(base, sorted.length.toLong)
+        else putShortAt(base, sorted.length.toShort)
+        sorted.zipWithIndex.foreach { case ((tag, typ, count, value), i) =>
+          val e = base + countSize + stride * i
+          putShortAt(e, tag.toShort)
+          putShortAt(e + 2, typ.toShort)
+          if (big) putLongAt(e + 4, count.toLong) else putIntAt(e + 4, count)
+          // inline values are left-justified in the value field (LE: low bytes)
+          val v = e + (if (big) 12 else 8)
+          if (typ == 3 && count == 1) putShortAt(v, value.toShort)
+          else if (big) putLongAt(v, value)
+          else putIntAt(v, value.toInt)
+        }
+        val next = if (p + 1 < pageSizes.length) ifdOfs(p + 1) else 0L
+        putOffAt(base + countSize + stride * sorted.length, next)
+        emit(pb.array())
       }
 
-      // write the IFD itself (entries sorted by tag, per spec)
-      val sorted = entries.sortBy(_._1)
-      if (big) putLongAt(base, sorted.length.toLong)
-      else putShortAt(base, sorted.length.toShort)
-      sorted.zipWithIndex.foreach { case ((tag, typ, count, value), i) =>
-        val e = base + countSize + stride * i
-        putShortAt(e, tag.toShort)
-        putShortAt(e + 2, typ.toShort)
-        if (big) putLongAt(e + 4, count.toLong) else putIntAt(e + 4, count)
-        // inline values are left-justified in the value field (LE: low bytes)
-        val v = e + (if (big) 12 else 8)
-        if (typ == 3 && count == 1) putShortAt(v, value.toShort)
-        else if (big) putLongAt(v, value)
-        else putIntAt(v, value.toInt)
+      // tile payloads in file order, 2-byte aligned (matching the layout pass)
+      val pad = Array[Byte](0)
+      pageIds.indices.foreach { p =>
+        tileOfs(p).indices.foreach { i =>
+          val t = spill.read(pageIds(p)(i))
+          assert(written == tileOfs(p)(i),
+            s"GeoTIFF layout drift at page $p tile $i: $written != ${tileOfs(p)(i)}")
+          emit(t)
+          if (t.length % 2 != 0) emit(pad)
+        }
       }
-      val next = if (p + 1 < pageTiles.length) ifdOfs(p + 1) else 0L
-      putOffAt(base + countSize + stride * sorted.length, next)
-      emit(pb.array())
+      assert(written == total, s"GeoTIFF layout drift at EOF: $written != $total")
+      written
     }
-
-    // tile payloads in file order, 2-byte aligned (matching the layout pass)
-    val pad = Array[Byte](0)
-    pageTiles.indices.foreach { p =>
-      tileOfs(p).indices.foreach { i =>
-        val t = pageTiles(p)(i)
-        assert(written == tileOfs(p)(i),
-          s"GeoTIFF layout drift at page $p tile $i: $written != ${tileOfs(p)(i)}")
-        emit(t)
-        if (t.length % 2 != 0) emit(pad)
-      }
-    }
-    assert(written == total, s"GeoTIFF layout drift at EOF: $written != $total")
-    written
   }
 
   private def nodataAscii(nd: Double): String = {

@@ -734,6 +734,11 @@ object Jp2Decode {
             val tileEnd = if (psot0 == 0) cs.length - 2 else pos - 2 + psot0
             require(tileEnd > pos && tileEnd <= cs.length, s"SOT Psot overruns stream")
             var q = pos + len
+            // an Iplt varint may continue across consecutive PLT segments
+            // of the same tile-part header (A.7.2; Zplt orders them), so
+            // the accumulator lives at header scope and completeness is
+            // only required once the header ends at SOD
+            var pltAcc = 0
             while (!(((cs(q) & 0xFF) == 0xFF) && ((cs(q + 1) & 0xFF) == 0x93))) {
               val m = ((cs(q) & 0xFF) << 8) | (cs(q + 1) & 0xFF)
               // semantic overrides hiding in a tile-part header must fail
@@ -751,19 +756,21 @@ object Jp2Decode {
                 val lens = pltLens.getOrElseUpdate(isot, ArrayBuffer.empty)
                 var pp = q + 5
                 val segEnd = q + 2 + segLen
-                var acc = 0
                 while (pp < segEnd) {
                   val byt = cs(pp) & 0xFF
-                  acc = (acc << 7) | (byt & 0x7F)
-                  if ((byt & 0x80) == 0) { lens += acc; acc = 0 }
-                  else require(acc > 0 && acc < (1 << 24),
+                  pltAcc = (pltAcc << 7) | (byt & 0x7F)
+                  if ((byt & 0x80) == 0) { lens += pltAcc; pltAcc = 0 }
+                  // a zero-valued high septet (leading 0x80 continuation
+                  // byte) is spec-legal: keep only the plausibility cap
+                  else require(pltAcc < (1 << 24),
                     s"implausible PLT varint at byte $pp")
                   pp += 1
                 }
-                require(acc == 0, "PLT segment ends mid-varint")
               }
               q += 2 + segLen
             }
+            require(pltAcc == 0,
+              "PLT varint continues past the last PLT segment of the tile-part header")
             tileParts.getOrElseUpdate(isot, ArrayBuffer.empty) +=
               java.util.Arrays.copyOfRange(cs, q + 2, tileEnd)
             pos = tileEnd
@@ -1088,9 +1095,11 @@ object Jp2Decode {
       resGeom.map(g => g._3.toLong * g._4).sum
     require(totalPackets <= body.length,
       s"$totalPackets packets exceed the ${body.length}-byte tile body (corrupt COD?)")
-    require(pktLens == null || pktLens.length == totalPackets,
-      s"PLT lists ${if (pktLens == null) 0 else pktLens.length} packet " +
-        s"lengths, tile has $totalPackets packets")
+    // a PLT covering only SOME packets (spec-legal: PLT may be emitted for
+    // a subset of tile-parts) cannot drive seek-skips soundly — fall back
+    // to the plain header walk instead of rejecting a valid stream
+    val plt = if (pktLens != null && pktLens.length == totalPackets) pktLens
+              else null
 
     // packet order (B.12): LRCP/RLCP/RPCL nest layer/component loops
     // around the in-resolution precinct raster; PCRL/CPRL order by the
@@ -1184,8 +1193,8 @@ object Jp2Decode {
       val ppx = cod.ppx(r); val ppy = cod.ppy(r)
       val shx = if (r == 0) ppx else ppx - 1
       val shy = if (r == 0) ppy else ppy - 1
-      if (pktLens != null && !precinctNeeded(r, kx0, ky0, pxi, pyi, shx, shy)) {
-        bodyPos += pktLens(pi)
+      if (plt != null && !precinctNeeded(r, kx0, ky0, pxi, pyi, shx, shy)) {
+        bodyPos += plt(pi)
         pi += 1
         require(bodyPos <= body.length, "PLT packet length overruns tile body")
       } else {
@@ -1284,8 +1293,8 @@ object Jp2Decode {
       bodyPos = dataPos
       // a walked packet cross-checks the PLT entry — encoder/decoder drift
       // in the length table must fail loudly, not desync later skips
-      require(pktLens == null || bodyPos - pktStart == pktLens(pi),
-        s"PLT length ${pktLens(pi)} != walked packet ${bodyPos - pktStart}")
+      require(plt == null || bodyPos - pktStart == plt(pi),
+        s"PLT length ${plt(pi)} != walked packet ${bodyPos - pktStart}")
       pi += 1
       }
     }

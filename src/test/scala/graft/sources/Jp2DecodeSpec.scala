@@ -512,4 +512,69 @@ class Jp2DecodeSpec extends SparkSpec {
       yield containerPx(r, c).toLong).sum
     assert(sum == expect, s"decoded pixel mass $sum != $expect")
   }
+
+  // ---- r9 ADVICE regressions: PLT leniency -------------------------------
+
+  /** Locate the PLT segment of the single-tile-part plt_96x64 fixture:
+    * returns (sotPos, pltPos, lplt) — SOT marker offset, PLT marker offset,
+    * and the PLT segment length field. */
+  private def pltFixture(): (Array[Byte], Int, Int, Int) = {
+    val raw = resource("/graft/jp2/plt_96x64_d12_p5.j2k")
+    var i = 0
+    while (!((raw(i) & 0xFF) == 0xFF && (raw(i + 1) & 0xFF) == 0x90)) i += 1
+    val plt = i + 12 // single tile-part: PLT directly follows the SOT segment
+    assert((raw(plt) & 0xFF) == 0xFF && (raw(plt + 1) & 0xFF) == 0x58,
+      "fixture layout drifted: no PLT after SOT")
+    val lplt = ((raw(plt + 2) & 0xFF) << 8) | (raw(plt + 3) & 0xFF)
+    (raw, i, plt, lplt)
+  }
+
+  test("a PLT covering only a subset of packets falls back to the header walk") {
+    // clearing one continuation bit splits a multi-byte Iplt varint in two:
+    // the table then lists MORE entries than the tile has packets (and with
+    // wrong values). Pre-r10 this hard-failed the count require; spec-wise
+    // a partial/odd PLT must not reject a stream whose packets are intact —
+    // the decoder now ignores the unusable table and walks headers.
+    val baseline = Jp2Decode.decode(resource("/graft/jp2/plt_96x64_d12_p5.j2k"))
+    val (raw, _, plt, lplt) = pltFixture()
+    val contIdx = (plt + 5 until plt + 2 + lplt).find(p => (raw(p) & 0x80) != 0)
+      .getOrElse(fail("fixture has no multi-byte Iplt varint to split"))
+    raw(contIdx) = (raw(contIdx) & 0x7F).toByte
+    val img = Jp2Decode.decode(raw)
+    assert(img.height == baseline.height && img.width == baseline.width &&
+      img.pixels.sameElements(baseline.pixels),
+      "header-walk fallback diverged from the PLT-indexed decode")
+  }
+
+  test("a zero-valued leading continuation byte (0x80) in an Iplt varint is accepted") {
+    // 0x80 contributes a zero high septet — spec-legal over-long encoding.
+    // Insert one before a single-byte varint, growing PLT and tile-part
+    // lengths by 1; the table still matches packet count and values, so the
+    // seek path must decode bit-exact.
+    val baseline = Jp2Decode.decode(resource("/graft/jp2/plt_96x64_d12_p5.j2k"))
+    val (raw, sot, plt, lplt) = pltFixture()
+    // the accumulator is zero at any varint START, so a 0x80 there is a
+    // no-op septet; the first Iplt byte (plt+5) is always a start
+    val target = plt + 5
+    val out = new Array[Byte](raw.length + 1)
+    System.arraycopy(raw, 0, out, 0, target)
+    out(target) = 0x80.toByte
+    System.arraycopy(raw, target, out, target + 1, raw.length - target)
+    // patch Lplt (2 bytes at plt+2) and Psot (4 bytes at sot+6) for the insert
+    val newLplt = lplt + 1
+    out(plt + 2) = ((newLplt >> 8) & 0xFF).toByte
+    out(plt + 3) = (newLplt & 0xFF).toByte
+    val psotOfs = sot + 6
+    val psot = ((raw(psotOfs) & 0xFF) << 24) | ((raw(psotOfs + 1) & 0xFF) << 16) |
+      ((raw(psotOfs + 2) & 0xFF) << 8) | (raw(psotOfs + 3) & 0xFF)
+    val newPsot = psot + 1
+    out(psotOfs) = ((newPsot >> 24) & 0xFF).toByte
+    out(psotOfs + 1) = ((newPsot >> 16) & 0xFF).toByte
+    out(psotOfs + 2) = ((newPsot >> 8) & 0xFF).toByte
+    out(psotOfs + 3) = (newPsot & 0xFF).toByte
+    val img = Jp2Decode.decode(out)
+    assert(img.height == baseline.height && img.width == baseline.width &&
+      img.pixels.sameElements(baseline.pixels),
+      "over-long varint encoding changed the decode")
+  }
 }
