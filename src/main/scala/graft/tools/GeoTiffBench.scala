@@ -14,7 +14,90 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.tools.GeoTiffBench [nScenes] [side]"
   */
 object GeoTiffBench {
+
+  /** `window` mode (round-10 brief item 4): the COG analogue of the JP2
+    * ROI measurement. Encode ONE production-shaped scene (tiled, 256²,
+    * deflate, 2..32 overview pyramid) per requested side, then time
+    * full decode vs 256²/1024² windowed decodes at tile-aligned AND
+    * tile-straddling origins, plus overview-level reads, plus the Spark
+    * `readGeoTiffScenes(window=…)` path. The claim under test: probe cost
+    * tracks the TILES TOUCHED by the window, not the scene size — so the
+    * same window costs the same on an 8192² and a 4096² scene.
+    * Usage: sbt "runMain graft.tools.GeoTiffBench window [side1,side2,...]"
+    */
+  private def windowMode(sides: Seq[Int]): Unit = {
+    import graft.raster.GeoTiff.GeoMeta
+    def bestOf(n: Int)(f: => Unit): Double =
+      (1 to n).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    val files = sides.map { side =>
+      val px = new Array[Float](side * side)
+      var i = 0
+      while (i < px.length) { // terrain-like, deflate-compressible
+        px(i) = (2048 + 1200 * math.sin((i % side) * 0.0011) *
+          math.cos((i / side) * 0.0013)).toFloat
+        i += 1
+      }
+      val f = java.io.File.createTempFile(s"cogbench$side", ".tif")
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      val enc = new graft.raster.GeoTiff.RowEncoder(os, side,
+        GeoMeta(pixelScale = Some((10.0, 10.0)), tiepoint = Some((6e5, 8.2e6)),
+          epsg = Some(32723), nodata = Some(-9999.0)),
+        tileSize = 256, overviewFactors = Seq(2, 4, 8, 16, 32),
+        compressionLevel = 1)
+      (0 until side).foreach(r => enc.addRow(px, r * side))
+      val n = enc.finish()
+      os.close()
+      println(f"[cog] encoded ${side}x$side tiled-256 +5 overviews: ${n / 1e6}%.1f MB -> $f")
+      (side, f)
+    }
+    for ((side, f) <- files) {
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val full = bestOf(3)(graft.raster.GeoTiff.decode(bytes))
+      println(f"[cog] $side full decode: $full%.2f s")
+      // windows: (label, x0, y0, w, h) — aligned 1 tile, straddling 2 and
+      // 4 tiles, and a 1024² block (16 aligned / 25 straddling tiles)
+      val probes = Seq(
+        ("256 aligned (1 tile)", 512, 512, 256, 256),
+        ("256 straddle-x (2 tiles)", 384, 512, 256, 256),
+        ("256 straddle-xy (4 tiles)", 384, 384, 256, 256),
+        ("1024 aligned (16 tiles)", 1024, 1024, 1024, 1024),
+        ("1024 straddle (25 tiles)", 900, 900, 1024, 1024))
+      for ((label, x, y, w, h) <- probes) {
+        val t = bestOf(5)(graft.raster.GeoTiff.decodeWindow(bytes, x, y, w, h))
+        println(f"[cog] $side window $label%-26s ${t * 1000}%.1f ms (full/probe ${full / t}%.0fx)")
+      }
+      for (lvl <- Seq(2, 4)) {
+        val t = bestOf(5)(graft.raster.GeoTiff.decodeLevel(bytes, lvl))
+        println(f"[cog] $side overview level $lvl (${side >> lvl}x${side >> lvl}): ${t * 1000}%.1f ms")
+      }
+    }
+    // the Spark path on the biggest scene: binaryFile scan + pruned decode
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (side, f) = files.maxBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("cogwin")
+    java.nio.file.Files.copy(f.toPath, dir.resolve(s"scene1__B04.tif"))
+    def sparkRead(win: Option[(Int, Int, Int, Int)]): Unit = {
+      SceneIO.readGeoTiffScenes(spark, dir.toString, window = win)
+        .agg(sum(element_at(col("pixels"), 1))).head()
+    }
+    val tFull = bestOf(3)(sparkRead(None))
+    val tWin = bestOf(5)(sparkRead(Some((900, 900, 256, 256))))
+    println(f"[cog] $side spark readGeoTiffScenes full: $tFull%.2f s  window 256: ${tWin * 1000}%.1f ms")
+    files.foreach(_._2.delete())
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length > 0 && args(0) == "window") {
+      windowMode(if (args.length > 1) args(1).split(",").map(_.trim.toInt).toSeq
+                 else Seq(4096, 8192))
+      return
+    }
     val nScenes = if (args.length > 0) args(0).toInt else 32
     val side = if (args.length > 1) args(1).toInt else 2048
     val bands = Seq("B02", "B03", "B04")
