@@ -71,31 +71,119 @@ object GeoTiff {
   private val TypeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 6 -> 1, 8 -> 2,
     9 -> 4, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8)
 
-  /** Read an offset field: LONG8 in BigTIFF, LONG in classic TIFF. */
-  private def offAt(buf: ByteBuffer, p: Long, big: Boolean): Long =
-    if (big) buf.getLong(p.toInt) else buf.getInt(p.toInt).toLong & 0xffffffffL
+  /** Random-access byte source for the decoder: the whole file in memory
+    * ([[ArraySrc]]) or a lazily-fetching ranged reader ([[RangedSrc]] —
+    * the object-store GET-Range shape). The surface mirrors ByteBuffer's
+    * absolute gets so the decode path is source-agnostic; positions stay
+    * Int like the in-memory path (a per-(scene, band) COG is far below
+    * 2 GiB — the distributed layout guarantees it). */
+  private[raster] sealed trait ByteSrc {
+    def order: ByteOrder
+    def get(p: Int): Byte
+    def getShort(p: Int): Short
+    def getInt(p: Int): Int
+    def getLong(p: Int): Long
+    def getDouble(p: Int): Double
+    def slice(ofs: Long, len: Long): Array[Byte]
+  }
 
-  def decode(bytes: Array[Byte]): Image = {
-    require(bytes.length >= 16, "not a TIFF: too short")
-    val order = (bytes(0), bytes(1)) match {
+  private final class ArraySrc(bytes: Array[Byte], val order: ByteOrder)
+      extends ByteSrc {
+    private val bb = ByteBuffer.wrap(bytes).order(order)
+    def get(p: Int): Byte = bb.get(p)
+    def getShort(p: Int): Short = bb.getShort(p)
+    def getInt(p: Int): Int = bb.getInt(p)
+    def getLong(p: Int): Long = bb.getLong(p)
+    def getDouble(p: Int): Double = bb.getDouble(p)
+    def slice(ofs: Long, len: Long): Array[Byte] = {
+      val out = new Array[Byte](len.toInt)
+      val dup = bb.duplicate(); dup.position(ofs.toInt); dup.get(out)
+      out
+    }
+  }
+
+  /** Fetch-on-demand source over a pread function. Header/IFD traffic is
+    * cached in `blockSize` chunks (one COG's IFD chain lives in the first
+    * few blocks by construction — the writer emits IFDs before tile data);
+    * tile payloads fetch their exact byte range, uncached (each segment is
+    * read once). `bytesFetched` is the measured IO — the number a 100 TB
+    * object-store bill is made of. */
+  private[raster] final class RangedSrc(read: (Long, Int) => Array[Byte],
+                                        fileLen: Long, val order: ByteOrder,
+                                        blockSize: Int = 64 << 10)
+      extends ByteSrc {
+    private val blocks = scala.collection.mutable.LongMap.empty[Array[Byte]]
+    var bytesFetched = 0L
+    private def blockAt(bi: Long): Array[Byte] = blocks.getOrElseUpdate(bi, {
+      val ofs = bi * blockSize
+      val n = math.min(blockSize.toLong, fileLen - ofs).toInt
+      require(n > 0, s"read past EOF: block $bi of $fileLen-byte file")
+      bytesFetched += n
+      val b = read(ofs, n)
+      require(b.length == n, s"ranged read returned ${b.length} of $n bytes")
+      b
+    })
+    private def bytesAt(p: Long, n: Int): ByteBuffer = {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val b = blockAt((p + i) / blockSize)
+        val off = ((p + i) % blockSize).toInt
+        val take = math.min(n - i, b.length - off)
+        System.arraycopy(b, off, out, i, take)
+        i += take
+      }
+      ByteBuffer.wrap(out).order(order)
+    }
+    def get(p: Int): Byte = blockAt(p.toLong / blockSize)(p % blockSize)
+    def getShort(p: Int): Short = bytesAt(p, 2).getShort
+    def getInt(p: Int): Int = bytesAt(p, 4).getInt
+    def getLong(p: Int): Long = bytesAt(p, 8).getLong
+    def getDouble(p: Int): Double = bytesAt(p, 8).getDouble
+    def slice(ofs: Long, len: Long): Array[Byte] = {
+      require(ofs >= 0 && ofs + len <= fileLen, "tile segment outside file")
+      bytesFetched += len
+      val b = read(ofs, len.toInt)
+      require(b.length == len.toInt, s"ranged read returned ${b.length} of $len bytes")
+      b
+    }
+  }
+
+  /** Parse the 16-byte TIFF/BigTIFF header: (byte order, isBigTiff,
+    * first IFD offset). */
+  private def parseHeader(head: Array[Byte]): (ByteOrder, Boolean, Long) = {
+    require(head.length >= 16, "not a TIFF: too short")
+    val order = (head(0), head(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
       case ('M', 'M') => ByteOrder.BIG_ENDIAN
       case _ => throw new IllegalArgumentException("not a TIFF: bad byte-order mark")
     }
-    val buf = ByteBuffer.wrap(bytes).order(order)
-    val magic = buf.getShort(2) & 0xffff
+    val hb = ByteBuffer.wrap(head).order(order)
+    val magic = hb.getShort(2) & 0xffff
     require(magic == 42 || magic == 43, s"not a TIFF (magic $magic)")
+    val big = magic == 43
+    val ifd0 =
+      if (big) {
+        require((hb.getShort(4) & 0xffff) == 8 && hb.getShort(6) == 0,
+          "malformed BigTIFF header (offset size must be 8)")
+        hb.getLong(8)
+      } else hb.getInt(4).toLong & 0xffffffffL
+    (order, big, ifd0)
+  }
+
+  /** Read an offset field: LONG8 in BigTIFF, LONG in classic TIFF. */
+  private def offAt(buf: ByteSrc, p: Long, big: Boolean): Long =
+    if (big) buf.getLong(p.toInt) else buf.getInt(p.toInt).toLong & 0xffffffffL
+
+  def decode(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 16, "not a TIFF: too short")
     // BigTIFF (magic 43): GDAL's BIGTIFF=IF_SAFER emits this container even
     // for small granules, so the reader must speak it; within this codec a
     // file still has to fit one byte array (JVM 2 GiB) — the distributed
     // layout is one file per (scene, band), far below that
-    val big = magic == 43
-    var ifdOfs =
-      if (big) {
-        require((buf.getShort(4) & 0xffff) == 8 && buf.getShort(6) == 0,
-          "malformed BigTIFF header (offset size must be 8)")
-        buf.getLong(8)
-      } else buf.getInt(4).toLong & 0xffffffffL
+    val (order, big, ifd0) = parseHeader(bytes.take(16))
+    val buf = new ArraySrc(bytes, order)
+    var ifdOfs = ifd0
     val pages = ArrayBuffer.empty[Page]
     var meta = GeoMeta()
     var first = true
@@ -134,20 +222,46 @@ object GeoTiff {
   def decodeLevel(bytes: Array[Byte], level: Int): Image =
     decodeSelected(bytes, level, None)
 
+  /** Ranged [[decodeWindow]]: `read(offset, n)` must return exactly n
+    * bytes (an object-store GET-Range or `FSDataInputStream.readFully` —
+    * SceneIO.readGeoTiffScenesRanged wires the latter). Where decodeWindow
+    * proves the DECODE contract (disjoint tiles never decompress) over an
+    * already-materialized byte array, this proves the IO contract: only
+    * the header blocks, the IFD chain, and the tile segments intersecting
+    * the window are ever fetched. Returns (image, bytes actually fetched).
+    * The reference gets this from GDAL's /vsicurl range reads under
+    * rasterio (utils.py:335–342); measured in GeoTiffBench `window` mode. */
+  def decodeWindowRanged(read: (Long, Int) => Array[Byte], fileLen: Long,
+                         x0: Int, y0: Int, winW: Int, winH: Int,
+                         level: Int = 0): (Image, Long) =
+    decodeSelectedRanged(read, fileLen, level, Some((x0, y0, winW, winH)))
+
+  /** Ranged [[decodeLevel]] — one pyramid level's segments fetched, the
+    * rest of the file never downloaded. Returns (image, bytes fetched). */
+  def decodeLevelRanged(read: (Long, Int) => Array[Byte], fileLen: Long,
+                        level: Int): (Image, Long) =
+    decodeSelectedRanged(read, fileLen, level, None)
+
+  private def decodeSelectedRanged(read: (Long, Int) => Array[Byte],
+                                   fileLen: Long, level: Int,
+                                   window: Option[(Int, Int, Int, Int)]): (Image, Long) = {
+    require(fileLen >= 16, "not a TIFF: too short")
+    val (order, big, ifd0) = parseHeader(read(0L, 16))
+    val src = new RangedSrc(read, fileLen, order)
+    (decodeSelectedSrc(src, big, ifd0, level, window), src.bytesFetched + 16)
+  }
+
   private def decodeSelected(bytes: Array[Byte], level: Int,
                              window: Option[(Int, Int, Int, Int)]): Image = {
     require(bytes.length >= 16, "not a TIFF: too short")
-    val order = (bytes(0), bytes(1)) match {
-      case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
-      case ('M', 'M') => ByteOrder.BIG_ENDIAN
-      case _ => throw new IllegalArgumentException("not a TIFF: bad byte-order mark")
-    }
-    val buf = ByteBuffer.wrap(bytes).order(order)
-    val magic = buf.getShort(2) & 0xffff
-    require(magic == 42 || magic == 43, s"not a TIFF (magic $magic)")
-    val big = magic == 43
-    var ifdOfs =
-      if (big) buf.getLong(8) else buf.getInt(4).toLong & 0xffffffffL
+    val (order, big, ifd0) = parseHeader(bytes.take(16))
+    decodeSelectedSrc(new ArraySrc(bytes, order), big, ifd0, level, window)
+  }
+
+  private def decodeSelectedSrc(buf: ByteSrc, big: Boolean, ifd0: Long,
+                                level: Int,
+                                window: Option[(Int, Int, Int, Int)]): Image = {
+    var ifdOfs = ifd0
     var meta: GeoMeta = null
     var selected: Map[Int, Entry] = null
     var overviewIdx = 0
@@ -176,7 +290,7 @@ object GeoTiff {
     Image(pages, if (meta != null) meta else m)
   }
 
-  private def readIfd(buf: ByteBuffer, ofs: Long,
+  private def readIfd(buf: ByteSrc, ofs: Long,
                       big: Boolean): (Map[Int, Entry], Long) = {
     val (n, first, stride) =
       if (big) {
@@ -200,7 +314,7 @@ object GeoTiff {
   }
 
   /** Integer values of an entry (SHORT/LONG/BYTE/LONG8), inline or external. */
-  private def longs(buf: ByteBuffer, e: Entry): Array[Long] = {
+  private def longs(buf: ByteSrc, e: Entry): Array[Long] = {
     val sz = TypeSize(e.typ)
     val base = if (sz.toLong * e.count <= e.inlineBytes) e.valueOfs
                else offAt(buf, e.valueOfs, e.big)
@@ -216,14 +330,14 @@ object GeoTiff {
     }
   }
 
-  private def doubles(buf: ByteBuffer, e: Entry): Array[Double] = {
+  private def doubles(buf: ByteSrc, e: Entry): Array[Double] = {
     require(e.typ == 12, s"expected DOUBLE entry, got type ${e.typ}")
     val base = if (8L * e.count <= e.inlineBytes) e.valueOfs
                else offAt(buf, e.valueOfs, e.big)
     Array.tabulate(e.count)(i => buf.getDouble((base + 8L * i).toInt))
   }
 
-  private def ascii(buf: ByteBuffer, e: Entry): String = {
+  private def ascii(buf: ByteSrc, e: Entry): String = {
     val base = if (e.count <= e.inlineBytes) e.valueOfs
                else offAt(buf, e.valueOfs, e.big)
     val b = Array.tabulate(e.count)(i => buf.get((base + i).toInt))
@@ -233,7 +347,7 @@ object GeoTiff {
   /** Window of a page in its own pixel grid, half-open [x0,x1)x[y0,y1). */
   private final case class Win(x0: Int, y0: Int, x1: Int, y1: Int)
 
-  private def decodePage(buf: ByteBuffer, t: Map[Int, Entry],
+  private def decodePage(buf: ByteSrc, t: Map[Int, Entry],
                          win: Win = null): (Seq[Page], GeoMeta) = {
     def one(tag: Int, default: Long = -1): Long =
       t.get(tag).map(e => longs(buf, e)(0)).getOrElse(default)
@@ -291,7 +405,7 @@ object GeoTiff {
     val bytesPerSample = bits / 8
 
     def readBlock(data: Array[Byte], rowOfs: Int, colOfs: Int, bh: Int, bw: Int): Unit = {
-      val bb = ByteBuffer.wrap(data).order(buf.order())
+      val bb = ByteBuffer.wrap(data).order(buf.order)
       var r = 0
       while (r < bh) {
         val gr = rowOfs + r
@@ -334,9 +448,9 @@ object GeoTiff {
         // the COG contract: segments disjoint from the window never
         // decompress (nor, with range reads, even download)
         if (rowOfs < wy1 && rowOfs + th > wy0 && colOfs < wx1 && colOfs + tw > wx0) {
-          val raw = slice(buf, offsets(i), counts(i))
+          val raw = buf.slice(offsets(i), counts(i))
           val data = decompress(raw, compression, th * tw * spp * bytesPerSample)
-          if (predictor == 2) undoPredictor2(data, tw * spp, bytesPerSample, buf.order(), spp)
+          if (predictor == 2) undoPredictor2(data, tw * spp, bytesPerSample, buf.order, spp)
           readBlock(data, rowOfs, colOfs, th, tw)
         }
       }
@@ -347,9 +461,9 @@ object GeoTiff {
       offsets.indices.foreach { i =>
         val rows = math.min(rps, height - i * rps)
         if (i * rps < wy1 && i * rps + rows > wy0) {
-          val raw = slice(buf, offsets(i), counts(i))
+          val raw = buf.slice(offsets(i), counts(i))
           val data = decompress(raw, compression, rows * width * spp * bytesPerSample)
-          if (predictor == 2) undoPredictor2(data, width * spp, bytesPerSample, buf.order(), spp)
+          if (predictor == 2) undoPredictor2(data, width * spp, bytesPerSample, buf.order, spp)
           readBlock(data, i * rps, 0, rows, width)
         }
       }
@@ -361,7 +475,7 @@ object GeoTiff {
     }, meta)
   }
 
-  private def decodePageMeta(buf: ByteBuffer, t: Map[Int, Entry]): GeoMeta =
+  private def decodePageMeta(buf: ByteSrc, t: Map[Int, Entry]): GeoMeta =
     GeoMeta(
       pixelScale = t.get(33550).map { e =>
         val d = doubles(buf, e); (d(0), d(1))
@@ -378,12 +492,6 @@ object GeoTiff {
         }
       },
       nodata = t.get(42113).flatMap(e => ascii(buf, e).trim.toDoubleOption))
-
-  private def slice(buf: ByteBuffer, ofs: Long, len: Long): Array[Byte] = {
-    val out = new Array[Byte](len.toInt)
-    val dup = buf.duplicate(); dup.position(ofs.toInt); dup.get(out)
-    out
-  }
 
   private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new Inflater()

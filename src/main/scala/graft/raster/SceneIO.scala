@@ -154,6 +154,53 @@ object SceneIO {
       .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
   }
 
+  /** S5 at object-store scale — the RANGED windowed read: where
+    * [[readGeoTiffScenes]] materializes each whole file through Spark's
+    * binaryFile source before the pruned decode sees it (fine on local
+    * page cache, ruinous against an object store), this path opens each
+    * file through the Hadoop FileSystem API and positional-reads ONLY the
+    * header blocks, the IFD chain and the tiles intersecting the window
+    * (`GeoTiff.decodeWindowRanged`) — the /vsicurl GET-Range behavior the
+    * reference gets from GDAL (utils.py:335–342). File listing happens on
+    * the driver (names + lengths only); every byte of pixel IO happens on
+    * executors. Emits the same row shape as readGeoTiffScenes plus a
+    * `bytes_read` column — the measured per-file IO, asserted ≪ file size
+    * in RangedReadSpec and benchmarked in GeoTiffBench `window` mode. */
+  def readGeoTiffScenesRanged(spark: org.apache.spark.sql.SparkSession,
+                              path: String,
+                              window: Option[(Int, Int, Int, Int)] = None,
+                              overviewLevel: Int = 0): DataFrame = {
+    import spark.implicits._
+    val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs0 = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[(String, Long)] = fs0.globStatus(new org.apache.hadoop.fs.Path(root, "*.tif*"))
+      .toSeq.map(s => (s.getPath.toString, s.getLen))
+    spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
+      .map { case (p, len) =>
+        val (sceneId, band) = sceneBandOfPath(p)
+        val fp = new org.apache.hadoop.fs.Path(p)
+        val in = fp.getFileSystem(conf.value).open(fp)
+        try {
+          val read = (ofs: Long, n: Int) => {
+            val b = new Array[Byte](n); in.readFully(ofs, b, 0, n); b
+          }
+          val (img, nRead) = window match {
+            case Some((wx, wy, ww, wh)) =>
+              GeoTiff.decodeWindowRanged(read, len, wx, wy, ww, wh, overviewLevel)
+            case None =>
+              GeoTiff.decodeLevelRanged(read, len, overviewLevel)
+          }
+          val m = img.pages.head
+          (sceneId, band, m.height, m.width,
+            img.meta.nodata.map(_.toFloat).getOrElse(0f), m.pixels, nRead)
+        } finally in.close()
+      }
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels", "bytes_read")
+  }
+
   /** `<scene_id>__<band>.<ext>` with a last-single-`_` fallback — shared
     * file-identity grammar of the GeoTIFF and JP2 scene readers. */
   private[raster] def sceneBandOfPath(p: String): (String, String) = {

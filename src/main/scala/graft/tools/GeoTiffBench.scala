@@ -88,6 +88,19 @@ object GeoTiffBench {
     val tFull = bestOf(3)(sparkRead(None))
     val tWin = bestOf(5)(sparkRead(Some((900, 900, 256, 256))))
     println(f"[cog] $side spark readGeoTiffScenes full: $tFull%.2f s  window 256: ${tWin * 1000}%.1f ms")
+    // the ranged path: positional reads of header+IFD+touched tiles only
+    def rangedRead(win: Option[(Int, Int, Int, Int)], lvl: Int = 0): Long =
+      SceneIO.readGeoTiffScenesRanged(spark, dir.toString, window = win, overviewLevel = lvl)
+        .agg(sum(col("bytes_read"))).head().getLong(0)
+    var nRead = 0L
+    val tRanged = bestOf(5) { nRead = rangedRead(Some((900, 900, 256, 256))) }
+    val fLen = f.length()
+    println(f"[cog] $side spark readGeoTiffScenesRanged window 256: ${tRanged * 1000}%.1f ms, " +
+      f"$nRead%,d of $fLen%,d bytes read (${100.0 * nRead / fLen}%.2f%%)")
+    var nOv = 0L
+    val tOv = bestOf(5) { nOv = rangedRead(None, lvl = 3) }
+    println(f"[cog] $side spark readGeoTiffScenesRanged overview 3: ${tOv * 1000}%.1f ms, " +
+      f"$nOv%,d bytes read (${100.0 * nOv / fLen}%.2f%%)")
     files.foreach(_._2.delete())
     spark.stop()
   }
