@@ -947,6 +947,29 @@ object SparkEntry {
             .as("win_sum"))
         .orderBy(col("vec_id"))
     }),
+    // ---- ranged COG window read (r10): the same window as q105 but
+    // through SceneIO.readGeoTiffScenesRanged — Hadoop positional reads
+    // fetch only header+IFD+touched tiles instead of materializing the
+    // file (the object-store GET-Range path; RangedReadSpec asserts the
+    // <5% bytes-read bound at production size). Oracle identical to q105:
+    // the IO strategy must never change the answer --------------------
+    "q106_cog_ranged" -> ((s, d) => {
+      val dir = memoLayout("q105_cog", d) { tmp =>
+        val scenes = Tables.embeddings(s, d)
+          .filter(col("vec_id") < 64)
+          .select(col("vec_id").cast("string").as("scene_id"),
+            lit("B1").as("band"), lit(8).as("height"), lit(8).as("width"),
+            lit(-9999.0f).as("nodata"), col("embedding").as("pixels"))
+        graft.raster.SceneIO.writeGeoTiffScenes(
+          graft.raster.SceneIO.tileScene(scenes, 4, 4), tmp,
+          tileSize = 16, overviewFactors = Seq(2)).count()
+      }
+      graft.raster.SceneIO.readGeoTiffScenesRanged(s, dir, window = Some((3, 2, 4, 5)))
+        .select(col("scene_id").cast("long").as("vec_id"),
+          r4(aggregate(col("pixels"), lit(0.0), (a, p) => a + p.cast("double")))
+            .as("win_sum"))
+        .orderBy(col("vec_id"))
+    }),
     // ---- semantic dedup: exact cosine pairs → components → dropped ids
     // (the LSH-bucketed dedupSemantic is the scale path; the exact pair
     // source makes this one verifiable against a recursive-CTE oracle) --
@@ -1611,6 +1634,14 @@ object SparkEntry {
       // window (x0=3, y0=2, w=4, h=5) of the row-major 8x8 scene: rows
       // 2..6, cols 3..6 — the indexed list_filter keeps source order, so
       // the double sum folds in the same element order as the Spark side
+      """SELECT vec_id,
+        |  round(list_aggregate(list_filter(CAST(embedding AS DOUBLE[]),
+        |    (x, i) -> ((i - 1) // 8) BETWEEN 2 AND 6
+        |           AND ((i - 1) % 8) BETWEEN 3 AND 6), 'sum'), 4) AS win_sum
+        |FROM embeddings WHERE vec_id < 64 ORDER BY vec_id""".stripMargin,
+    // same oracle as q105 on purpose: the ranged IO path must produce the
+    // byte-identical answer to the materialize-then-decode path
+    "q106_cog_ranged" ->
       """SELECT vec_id,
         |  round(list_aggregate(list_filter(CAST(embedding AS DOUBLE[]),
         |    (x, i) -> ((i - 1) // 8) BETWEEN 2 AND 6
