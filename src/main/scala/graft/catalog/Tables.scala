@@ -180,6 +180,10 @@ object Tables {
     import org.apache.spark.sql.types._
     def integral(t: DataType) = t match {
       case ByteType | ShortType | IntegerType | LongType => true
+      // parquet UINT_64 (a pandas/pyarrow uint64 id column) arrives as
+      // DECIMAL(20,0) — integral in all but name; the ANSI cast to the
+      // declared type fails loudly on any value that genuinely overflows
+      case d: DecimalType if d.scale == 0 => true
       case _ => false
     }
     def floating(t: DataType) = t == FloatType || t == DoubleType

@@ -147,4 +147,50 @@ class SchemaFlavorSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), GreaterThan(c_custkey"),
       s"widened key filter not pushed to the parquet scan:\n$plan")
   }
+
+  // ---- flavors only a NON-Spark writer can emit (pyarrow/pandas — the
+  // driver's own generator stack): committed fixtures, since Spark cannot
+  // write unsigned ints or INT96 itself. scripts note: generated from the
+  // sf0.001 tables with pyarrow (uint casts / use_deprecated_int96_timestamps).
+
+  private def resourceDir(tables: (String, String)*): String = {
+    val p = java.nio.file.Files.createTempDirectory("flavor_res").toString
+    for ((res, name) <- tables) {
+      val in = getClass.getResourceAsStream(s"/graft/flavors/$res")
+      assert(in != null, s"missing fixture $res")
+      try java.nio.file.Files.copy(in, java.nio.file.Paths.get(s"$p/$name.parquet"))
+      finally in.close()
+    }
+    p
+  }
+
+  test("pyarrow uint flavors (uint8/16/32/64 — DECIMAL(20,0) arrival) normalize and agree") {
+    val dir = resourceDir("events_uint.parquet" -> "events", "nation_uint.parquet" -> "nation")
+    // raw arrivals really are the exotic types (uint64 -> decimal(20,0))
+    val rawEv = spark.read.parquet(s"$dir/events.parquet").schema
+    assert(rawEv("event_id").dataType == DecimalType(20, 0), rawEv("event_id").dataType.toString)
+    assert(rawEv("user_id").dataType == LongType) // uint32 widens to long
+    val rawNa = spark.read.parquet(s"$dir/nation.parquet").schema
+    assert(rawNa("n_nationkey").dataType == ShortType) // uint8
+    assert(rawNa("n_regionkey").dataType == IntegerType) // uint16
+    // normalized to declared
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("event_id").dataType == LongType &&
+      ev.schema("user_id").dataType == LongType)
+    assert(Tables.nation(spark, dir).schema("n_nationkey").dataType == IntegerType)
+    // and values survive bit-exactly
+    val base = Tables.events(spark, sf0001)
+      .selectExpr("sum(event_id)", "sum(user_id)").head()
+    val got = ev.selectExpr("sum(event_id)", "sum(user_id)").head()
+    assert(got == base, s"uint flavor drifted values: $got vs $base")
+  }
+
+  test("legacy INT96 timestamps normalize to TIMESTAMP and agree") {
+    val dir = resourceDir("events_int96.parquet" -> "events")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val base = rows(graft.SparkEntry.queries("q48_sessionization")(spark, sf0001))
+    val got = rows(graft.SparkEntry.queries("q48_sessionization")(spark, dir))
+    assert(got == base, "q48 disagrees on the INT96 flavor")
+  }
 }
