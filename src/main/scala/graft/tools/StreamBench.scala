@@ -20,13 +20,18 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val dir = (if (args.length > 0) args(0) else "/tmp/graft-sf1") + "/events.parquet"
     val perTrigger = if (args.length > 1) args(1).toInt else 4
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false") // AQE is batch-only anyway
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // arg 3 "rocksdb": the spill-to-disk state store (state larger than
+    // the heap — the 100 TB configuration); default is HDFS-backed in-heap
+    if (args.length > 2 && args(2) == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.streaming.EventAggregates
 
