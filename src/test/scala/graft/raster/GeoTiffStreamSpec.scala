@@ -157,4 +157,24 @@ class GeoTiffStreamSpec extends SparkSpec {
     val main = GeoTiff.decodeLevel(bytes, 0)
     assert(main.pages.head.height == h && main.meta.epsg.contains(32633))
   }
+
+  test("the stripe export plans exactly ONE hash exchange (sort is within partitions)") {
+    // the r10 rewrite replaced groupByKey.mapGroups with
+    // repartition(scene,band) + sortWithinPartitions — the sort must ride
+    // the SAME exchange, not add a range shuffle; otherwise the export
+    // doubled its shuffle volume to save memory
+    val spark0 = spark
+    import spark0.implicits._
+    val scenes = Seq(("s1", "B1", 64, 64, -1.0f, synth(64, 64)))
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+    val tiles = SceneIO.tileScene(scenes, 32, 32)
+    val outDir = java.nio.file.Files.createTempDirectory("plan_export").toString
+    val manifest = SceneIO.writeGeoTiffScenes(tiles, outDir, tileSize = 16,
+      overviewFactors = Nil)
+    val p = manifest.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"stripe export must shuffle exactly once:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"sortWithinPartitions leaked a range shuffle:\n$p")
+  }
 }
