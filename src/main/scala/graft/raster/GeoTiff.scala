@@ -85,6 +85,11 @@ object GeoTiff {
     def getLong(p: Int): Long
     def getDouble(p: Int): Double
     def slice(ofs: Long, len: Long): Array[Byte]
+    /** Hint that `ranges` will be sliced soon — a ranged source coalesces
+      * them into few large reads (GET request count is an object-store
+      * latency/cost axis of its own, separate from bytes). No-op in
+      * memory. */
+    def prefetch(ranges: Seq[(Long, Long)]): Unit = ()
   }
 
   private final class ArraySrc(bytes: Array[Byte], val order: ByteOrder)
@@ -118,6 +123,7 @@ object GeoTiff {
       val ofs = bi * blockSize
       val n = math.min(blockSize.toLong, fileLen - ofs).toInt
       require(n > 0, s"read past EOF: block $bi of $fileLen-byte file")
+      readRequests += 1
       bytesFetched += n
       val b = read(ofs, n)
       require(b.length == n, s"ranged read returned ${b.length} of $n bytes")
@@ -140,14 +146,52 @@ object GeoTiff {
     def getInt(p: Int): Int = bytesAt(p, 4).getInt
     def getLong(p: Int): Long = bytesAt(p, 8).getLong
     def getDouble(p: Int): Double = bytesAt(p, 8).getDouble
+    // coalesced prefetch ranges: (start, bytes); slice() serves from these
+    // before issuing its own read
+    private val prefetched = ArrayBuffer.empty[(Long, Array[Byte])]
+    var readRequests = 0L
+    override def prefetch(ranges: Seq[(Long, Long)]): Unit = {
+      // merge ranges whose gap is under one block — for row-major tile
+      // layouts a multi-tile window collapses to one read per tile row (or
+      // one total), turning N GETs into a handful
+      val sorted = ranges.filter(_._2 > 0).sortBy(_._1)
+      if (sorted.isEmpty) return
+      var (s, e) = (sorted.head._1, sorted.head._1 + sorted.head._2)
+      val merged = ArrayBuffer.empty[(Long, Long)]
+      for ((o, l) <- sorted.tail) {
+        if (o - e <= blockSize) e = math.max(e, o + l)
+        else { merged += ((s, e - s)); s = o; e = o + l }
+      }
+      merged += ((s, e - s))
+      for ((o, l) <- merged) {
+        require(o >= 0 && o + l <= fileLen, "prefetch range outside file")
+        readRequests += 1
+        bytesFetched += l
+        val b = read(o, l.toInt)
+        require(b.length == l.toInt, s"ranged read returned ${b.length} of $l bytes")
+        prefetched += ((o, b))
+      }
+    }
     def slice(ofs: Long, len: Long): Array[Byte] = {
       require(ofs >= 0 && ofs + len <= fileLen, "tile segment outside file")
-      bytesFetched += len
-      val b = read(ofs, len.toInt)
-      require(b.length == len.toInt, s"ranged read returned ${b.length} of $len bytes")
-      b
+      prefetched.find { case (o, b) => ofs >= o && ofs + len <= o + b.length }
+        .map { case (o, b) =>
+          java.util.Arrays.copyOfRange(b, (ofs - o).toInt, (ofs - o + len).toInt)
+        }
+        .getOrElse {
+          readRequests += 1
+          bytesFetched += len
+          val b = read(ofs, len.toInt)
+          require(b.length == len.toInt, s"ranged read returned ${b.length} of $len bytes")
+          b
+        }
     }
   }
+
+  /** IO accounting of one ranged decode: bytes actually fetched and the
+    * number of read requests issued (both are object-store cost axes; a
+    * multi-tile window coalesces to few requests via ByteSrc.prefetch). */
+  final case class RangedIo(bytesRead: Long, requests: Long)
 
   /** Parse the 16-byte TIFF/BigTIFF header: (byte order, isBigTiff,
     * first IFD offset). */
@@ -233,22 +277,23 @@ object GeoTiff {
     * rasterio (utils.py:335–342); measured in GeoTiffBench `window` mode. */
   def decodeWindowRanged(read: (Long, Int) => Array[Byte], fileLen: Long,
                          x0: Int, y0: Int, winW: Int, winH: Int,
-                         level: Int = 0): (Image, Long) =
+                         level: Int = 0): (Image, RangedIo) =
     decodeSelectedRanged(read, fileLen, level, Some((x0, y0, winW, winH)))
 
   /** Ranged [[decodeLevel]] — one pyramid level's segments fetched, the
-    * rest of the file never downloaded. Returns (image, bytes fetched). */
+    * rest of the file never downloaded. Returns (image, IO stats). */
   def decodeLevelRanged(read: (Long, Int) => Array[Byte], fileLen: Long,
-                        level: Int): (Image, Long) =
+                        level: Int): (Image, RangedIo) =
     decodeSelectedRanged(read, fileLen, level, None)
 
   private def decodeSelectedRanged(read: (Long, Int) => Array[Byte],
                                    fileLen: Long, level: Int,
-                                   window: Option[(Int, Int, Int, Int)]): (Image, Long) = {
+                                   window: Option[(Int, Int, Int, Int)]): (Image, RangedIo) = {
     require(fileLen >= 16, "not a TIFF: too short")
     val (order, big, ifd0) = parseHeader(read(0L, 16))
     val src = new RangedSrc(read, fileLen, order)
-    (decodeSelectedSrc(src, big, ifd0, level, window), src.bytesFetched + 16)
+    (decodeSelectedSrc(src, big, ifd0, level, window),
+      RangedIo(src.bytesFetched + 16, src.readRequests + 1))
   }
 
   private def decodeSelected(bytes: Array[Byte], level: Int,
@@ -442,12 +487,20 @@ object GeoTiff {
       val offsets = longs(buf, t(324))
       val counts  = longs(buf, t(325))
       val across = (width + tw - 1) / tw
+      def tileNeeded(i: Int): Boolean = {
+        val rowOfs = (i / across) * th
+        val colOfs = (i % across) * tw
+        rowOfs < wy1 && rowOfs + th > wy0 && colOfs < wx1 && colOfs + tw > wx0
+      }
+      buf.prefetch(offsets.indices.collect {
+        case i if tileNeeded(i) => (offsets(i), counts(i))
+      })
       offsets.indices.foreach { i =>
         val rowOfs = (i / across) * th
         val colOfs = (i % across) * tw
         // the COG contract: segments disjoint from the window never
         // decompress (nor, with range reads, even download)
-        if (rowOfs < wy1 && rowOfs + th > wy0 && colOfs < wx1 && colOfs + tw > wx0) {
+        if (tileNeeded(i)) {
           val raw = buf.slice(offsets(i), counts(i))
           val data = decompress(raw, compression, th * tw * spp * bytesPerSample)
           if (predictor == 2) undoPredictor2(data, tw * spp, bytesPerSample, buf.order, spp)
@@ -458,6 +511,10 @@ object GeoTiff {
       val rps = one(278, height).toInt
       val offsets = longs(buf, t(273))
       val counts  = longs(buf, t(279))
+      buf.prefetch(offsets.indices.collect {
+        case i if i * rps < wy1 && i * rps + math.min(rps, height - i * rps) > wy0 =>
+          (offsets(i), counts(i))
+      })
       offsets.indices.foreach { i =>
         val rows = math.min(rps, height - i * rps)
         if (i * rps < wy1 && i * rps + rows > wy0) {

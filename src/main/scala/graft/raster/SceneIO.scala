@@ -187,7 +187,7 @@ object SceneIO {
           val read = (ofs: Long, n: Int) => {
             val b = new Array[Byte](n); in.readFully(ofs, b, 0, n); b
           }
-          val (img, nRead) = window match {
+          val (img, io) = window match {
             case Some((wx, wy, ww, wh)) =>
               GeoTiff.decodeWindowRanged(read, len, wx, wy, ww, wh, overviewLevel)
             case None =>
@@ -195,10 +195,12 @@ object SceneIO {
           }
           val m = img.pages.head
           (sceneId, band, m.height, m.width,
-            img.meta.nodata.map(_.toFloat).getOrElse(0f), m.pixels, nRead)
+            img.meta.nodata.map(_.toFloat).getOrElse(0f), m.pixels,
+            io.bytesRead, io.requests)
         } finally in.close()
       }
-      .toDF("scene_id", "band", "height", "width", "nodata", "pixels", "bytes_read")
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels",
+        "bytes_read", "read_requests")
   }
 
   /** `<scene_id>__<band>.<ext>` with a last-single-`_` fallback — shared

@@ -89,18 +89,20 @@ object GeoTiffBench {
     val tWin = bestOf(5)(sparkRead(Some((900, 900, 256, 256))))
     println(f"[cog] $side spark readGeoTiffScenes full: $tFull%.2f s  window 256: ${tWin * 1000}%.1f ms")
     // the ranged path: positional reads of header+IFD+touched tiles only
-    def rangedRead(win: Option[(Int, Int, Int, Int)], lvl: Int = 0): Long =
-      SceneIO.readGeoTiffScenesRanged(spark, dir.toString, window = win, overviewLevel = lvl)
-        .agg(sum(col("bytes_read"))).head().getLong(0)
-    var nRead = 0L
-    val tRanged = bestOf(5) { nRead = rangedRead(Some((900, 900, 256, 256))) }
+    def rangedRead(win: Option[(Int, Int, Int, Int)], lvl: Int = 0): (Long, Long) = {
+      val r = SceneIO.readGeoTiffScenesRanged(spark, dir.toString, window = win, overviewLevel = lvl)
+        .agg(sum(col("bytes_read")), sum(col("read_requests"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var win256 = (0L, 0L)
+    val tRanged = bestOf(5) { win256 = rangedRead(Some((900, 900, 256, 256))) }
     val fLen = f.length()
     println(f"[cog] $side spark readGeoTiffScenesRanged window 256: ${tRanged * 1000}%.1f ms, " +
-      f"$nRead%,d of $fLen%,d bytes read (${100.0 * nRead / fLen}%.2f%%)")
-    var nOv = 0L
-    val tOv = bestOf(5) { nOv = rangedRead(None, lvl = 3) }
+      f"${win256._1}%,d of $fLen%,d bytes (${100.0 * win256._1 / fLen}%.2f%%) in ${win256._2} GETs")
+    var ov = (0L, 0L)
+    val tOv = bestOf(5) { ov = rangedRead(None, lvl = 3) }
     println(f"[cog] $side spark readGeoTiffScenesRanged overview 3: ${tOv * 1000}%.1f ms, " +
-      f"$nOv%,d bytes read (${100.0 * nOv / fLen}%.2f%%)")
+      f"${ov._1}%,d bytes (${100.0 * ov._1 / fLen}%.2f%%) in ${ov._2} GETs")
     files.foreach(_._2.delete())
     spark.stop()
   }

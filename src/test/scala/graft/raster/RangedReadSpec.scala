@@ -35,36 +35,43 @@ class RangedReadSpec extends SparkSpec {
           (1990, 1470, 58, 66, 0),  // ragged far edge
           (33, 17, 100, 80, 1)))    // overview-level window
       {
-        val (got, nRead) = GeoTiff.decodeWindowRanged(read, bytes.length, x, y, ww, wh, lvl)
+        val (got, io) = GeoTiff.decodeWindowRanged(read, bytes.length, x, y, ww, wh, lvl)
         val want = GeoTiff.decodeWindow(bytes, x, y, ww, wh, lvl)
         assert(got.pages.head.pixels.sameElements(want.pages.head.pixels),
           s"$container ($x,$y,$ww,$wh)@$lvl: ranged pixels diverge")
         assert(got.meta == want.meta, s"$container: ranged meta diverges")
-        assert(nRead > 0 && nRead <= bytes.length)
+        assert(io.bytesRead > 0 && io.bytesRead <= bytes.length)
       }
     }
   }
 
   test("a small window fetches a small fraction of the file (the IO contract)") {
     val bytes = encode("classic")
-    val (_, nRead) = GeoTiff.decodeWindowRanged(readerOf(bytes), bytes.length, 512, 512, 64, 64)
-    assert(nRead < bytes.length / 20,
-      s"1-tile window fetched $nRead of ${bytes.length} bytes (>5%) — IO pruning broken")
+    val (_, io1) = GeoTiff.decodeWindowRanged(readerOf(bytes), bytes.length, 512, 512, 64, 64)
+    assert(io1.bytesRead < bytes.length / 20,
+      s"1-tile window fetched ${io1.bytesRead} of ${bytes.length} bytes (>5%) — IO pruning broken")
     // and a straddling window fetches more than an aligned one, but still little
-    val (_, nStraddle) = GeoTiff.decodeWindowRanged(readerOf(bytes), bytes.length, 500, 500, 64, 64)
-    assert(nStraddle > nRead && nStraddle < bytes.length / 10,
-      s"4-tile straddle fetched $nStraddle (1-tile: $nRead)")
+    val (_, io4) = GeoTiff.decodeWindowRanged(readerOf(bytes), bytes.length, 500, 500, 64, 64)
+    assert(io4.bytesRead > io1.bytesRead && io4.bytesRead < bytes.length / 10,
+      s"4-tile straddle fetched ${io4.bytesRead} (1-tile: ${io1.bytesRead})")
+    // request count is its own object-store cost axis: the 4 straddled
+    // tiles coalesce (same-row neighbours are contiguous in file order),
+    // so the whole probe needs only a handful of GETs, not one per tile
+    assert(io4.requests <= 8,
+      s"4-tile straddle issued ${io4.requests} read requests — coalescing broken")
   }
 
   test("ranged level read equals decodeLevel and skips the full-res payload") {
     val bytes = encode("classic")
-    val (got, nRead) = GeoTiff.decodeLevelRanged(readerOf(bytes), bytes.length, 2)
+    val (got, io) = GeoTiff.decodeLevelRanged(readerOf(bytes), bytes.length, 2)
     val want = GeoTiff.decodeLevel(bytes, 2)
     assert(got.pages.head.pixels.sameElements(want.pages.head.pixels))
     assert(got.meta == want.meta)
     // level-2 payload is ~1/16 of the file; allow headers + slack
-    assert(nRead < bytes.length / 4,
-      s"overview read fetched $nRead of ${bytes.length} bytes")
+    assert(io.bytesRead < bytes.length / 4,
+      s"overview read fetched ${io.bytesRead} of ${bytes.length} bytes")
+    // a full level is contiguous tile data: expect very few coalesced reads
+    assert(io.requests <= 8, s"level read issued ${io.requests} requests")
   }
 
   test("readGeoTiffScenesRanged matches readGeoTiffScenes and reports tiny bytes_read") {
@@ -73,7 +80,8 @@ class RangedReadSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sceneR__B04.tif"), bytes)
     val win = Some((100, 100, 64, 64))
     val viaRanged = SceneIO.readGeoTiffScenesRanged(spark, dir, window = win)
-      .select("scene_id", "band", "height", "width", "nodata", "pixels", "bytes_read")
+      .select("scene_id", "band", "height", "width", "nodata", "pixels",
+        "bytes_read", "read_requests")
       .head()
     val viaFull = SceneIO.readGeoTiffScenes(spark, dir, window = win).head()
     assert(viaRanged.getString(0) == viaFull.getString(0) &&
@@ -86,5 +94,7 @@ class RangedReadSpec extends SparkSpec {
     val nRead = viaRanged.getLong(6)
     assert(nRead < bytes.length / 10,
       s"distributed ranged read fetched $nRead of ${bytes.length} bytes")
+    assert(viaRanged.getLong(7) <= 8,
+      s"distributed ranged read issued ${viaRanged.getLong(7)} requests")
   }
 }
