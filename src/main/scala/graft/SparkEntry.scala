@@ -7,6 +7,7 @@ import graft.expr.BandExpressionCompiler
 import graft.functions.{DedupFunctions => D, SimilarityFunctions => Sim, TextFunctions => T}
 import graft.meta.MetaQueries
 import graft.raster.{RasterKernels, SceneIO}
+import graft.functions.{MultimodalFunctions => Multimodal}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql`. The TPC-H-ish
@@ -1144,6 +1145,34 @@ object SparkEntry {
           size(col("pixels")).cast("long").as("n"))
         .orderBy(col("comp"), col("window_row"), col("window_col"))
     }),
+    // ---- coded-frame VIDEO decode (MJPEG family): the checked-in MP4's
+    // 'jpeg' track carries one complete baseline JPEG per frame — demuxed
+    // by the sample tables and entropy-decoded on EXECUTORS
+    // (MultimodalFunctions.decodeVideoFrames), frames emerging as raster
+    // planes. The fixture (scripts/gen_mjpeg_fixture.py, an independent
+    // pure-Python T.81 encoder + ISO-BMFF muxer) is built for EXACT
+    // decode — DC-only blocks, unit quant table — so the oracle recomputes
+    // every frame's pixel sum from the closed-form block formula in pure
+    // SQL, independent of both JPEG implementations --------------------
+    "q107_mjpeg_frames" -> ((s, _) => {
+      import s.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/tiny_mjpeg.mp4")
+        try in.readAllBytes() finally in.close()
+      }
+      val media = s.createDataset(Seq(
+        Multimodal.MediaRow(1L, "video", bytes,
+          Multimodal.videoMeta(bytes).get)))
+      Multimodal.decodeVideoFrames(media, everyNth = 1, maxFrames = 16)(s)
+        .toDF()
+        .select(col("frame_index").cast("long").as("frame_index"),
+          col("time_ms"), col("sync"),
+          col("height").cast("long").as("height"),
+          col("width").cast("long").as("width"),
+          aggregate(col("pixels"), lit(0L), (a, p) => a + p.cast("long"))
+            .as("sum_px"))
+        .orderBy(col("frame_index"))
+    }),
     // ---- windowed frequent items: the Misra-Gries summary in its exact
     // regime (k ≥ distinct event types), exploded back to rows — the
     // oracle checks it against plain per-window counts, proving the
@@ -1741,6 +1770,17 @@ object SparkEntry {
         |(2,3,0,33018,256),(2,3,1,32827,256),(2,3,2,32627,256),(2,3,3,32429,256),(2,3,4,32486,256),(2,3,5,32794,256)
         |) v(comp, window_row, window_col, sum_v, n)
         |ORDER BY comp, window_row, window_col""".stripMargin,
+    // q107's oracle: the MJPEG fixture's closed-form block formula
+    // v(f, br, bc) = ((f*53 + br*17 + bc*29) % 32)*8 + 4 summed over each
+    // 48x32 frame's 6x4 constant blocks (scripts/gen_mjpeg_fixture.py) —
+    // exact because the frames are DC-only with a unit quantization table,
+    // so the sums are independent of both JPEG implementations
+    "q107_mjpeg_frames" ->
+      """SELECT f AS frame_index, CAST(f * 100 AS BIGINT) AS time_ms,
+        |  true AS sync, CAST(32 AS BIGINT) AS height, CAST(48 AS BIGINT) AS width,
+        |  CAST(sum(64 * (((f*53 + br*17 + bc*29) % 32) * 8 + 4)) AS BIGINT) AS sum_px
+        |FROM range(6) a(f), range(4) b(br), range(6) c(bc)
+        |GROUP BY f ORDER BY frame_index""".stripMargin,
     "q100_ivf_index" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   * meta + RMS-energy envelope features over the PCM stream). VIDEO
   * container demux is real for MP4/ISO-BMFF ([[Mp4Demux]]: track meta +
   * per-frame byte ranges/timestamps/sync flags straight from the sample
-  * tables); only the CODED-FRAME decode (H.264/H.265) is stubbed — the JDK
-  * has no video codec, and swapping one in (JNI/javacv or a Python
-  * `mapInPandas` stage) changes only the function body, not the plan shape.
+  * tables), and CODED-FRAME decode is real for the Motion-JPEG family
+  * ([[VideoCodec]]: 'jpeg'/'mjpa'/'MJPG' sample entries carry one complete
+  * baseline JPEG per frame, which the JDK's ImageIO decodes — frames come
+  * out as raster planes that feed the same tiling/band-math/quicklook
+  * stack as satellite scenes). Only H.264/H.265 remains out of scope — the
+  * JDK has no inter-frame codec, and swapping one in (JNI/javacv or a
+  * Python `mapInPandas` stage) changes only the function body, not the
+  * plan shape.
   *
   * Scale design: media rows are large and skewed → `balanceBySize`
   * range-partitions on byte length so one partition ≈ one codec batch of
@@ -193,6 +198,95 @@ object MultimodalFunctions {
       } catch { case _: Exception => None }
   }
 
+  /** ===== REAL video frame decode (Motion-JPEG family) =====
+    *
+    * MJPEG is the one video codec family where every frame is a complete,
+    * independently-coded image — the 'jpeg' (ISO/QuickTime) / 'mjpa' /
+    * 'MJPG' sample entries carry one baseline JPEG per sample, which the
+    * JDK's ImageIO decodes with no external dependency. That makes the
+    * FULL coded-frame path real here: [[Mp4Demux]] cuts the frame's exact
+    * byte range from the sample tables, [[VideoCodec.decodeFramePlane]]
+    * entropy-decodes it to a pixel plane. H.264/H.265 frames still pass
+    * through as verbatim payloads (no JDK inter-frame codec).
+    */
+  object VideoCodec {
+    /** Sample-entry fourccs whose payloads are complete JPEG images. */
+    private val MjpegFourccs =
+      Set("jpeg", "mjpa", "mjpb", "MJPG", "mjpg", "AVDJ", "avdj", "dmb1")
+
+    def isMjpeg(codec: String): Boolean = MjpegFourccs.contains(codec)
+
+    /** True when the MP4's video track is MJPEG-coded, i.e. its frames
+      * decode on this JVM. */
+    def canDecode(bytes: Array[Byte]): Boolean =
+      Mp4Demux.demux(bytes).exists(_.tracks.exists(t =>
+        t.handler == "vide" && isMjpeg(t.codec)))
+
+    /** Decode one coded frame to a gray intensity plane (row-major floats,
+      * same raster contract as the scene readers): single-band images come
+      * out as raw sample values, multi-band as integer-weighted luma. None
+      * if the payload is not a decodable image. */
+    def decodeFramePlane(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Float](w * h)
+        val raster = img.getRaster
+        if (raster.getNumBands == 1) {
+          // raw decoded samples — getRGB would gamma-map gray to sRGB
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(y * w + x) = (((rgb >> 16) & 0xFF) * 299 +
+                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0f
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (h, w, out)
+      } catch { case _: Exception => None }
+  }
+
+  /** One decoded frame as a raster row — the video analogue of a scene
+    * band: plugs straight into `SceneIO.tileScene`, band math, resampling
+    * and quicklooks. */
+  final case class FramePlane(media_id: Long, frame_index: Int, time_ms: Long,
+                              sync: Boolean, height: Int, width: Int,
+                              pixels: Array[Float])
+
+  /** Coded-frame video decode kernel: demux every `everyNth`-th frame (up
+    * to `maxFrames` per video) and entropy-decode MJPEG-family payloads to
+    * pixel planes on executors. Same `mapPartitions` batching as the other
+    * codecs; non-MP4 payloads and non-MJPEG tracks yield no rows (their
+    * frames need a codec this JVM doesn't have — sample them as coded
+    * payloads via [[videoFrames]] instead). */
+  def decodeVideoFrames(ds: Dataset[MediaRow], everyNth: Int, maxFrames: Int)
+                       (implicit spark: SparkSession): Dataset[FramePlane] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { row =>
+        if (!VideoCodec.canDecode(row.content)) Iterator.empty
+        else Mp4Demux.sampleFrames(row.content, everyNth, maxFrames).iterator
+          .flatMap { s =>
+            VideoCodec.decodeFramePlane(Mp4Demux.samplePayload(row.content, s))
+              .map { case (h, w, px) =>
+                FramePlane(row.media_id, s.index, s.timeMs, s.sync, h, w, px)
+              }
+          }
+      }
+    }
+  }
+
   /** Real video-container meta from an MP4 payload: codec fourcc,
     * dimensions and duration from the first video track ([[Mp4Demux]]).
     * None for non-ISO-BMFF payloads. */
@@ -260,11 +354,20 @@ object MultimodalFunctions {
         if (squareDim) ImageCodec.intensityFeatures(row.content, grid) else None
       def audio(row: MediaRow): Option[Array[Float]] =
         AudioCodec.rmsFeatures(row.content, dim)
+      def video(row: MediaRow): Option[Array[Float]] =
+        // thumbnail embedding of the first keyframe — real for MJPEG
+        // tracks (each frame is a complete JPEG); H.264/H.265 payloads
+        // aren't decodable on this JVM and fall through to the stub
+        if (squareDim && VideoCodec.canDecode(row.content))
+          Mp4Demux.keyframes(row.content, 1).headOption.flatMap(s =>
+            ImageCodec.intensityFeatures(
+              Mp4Demux.samplePayload(row.content, s), grid))
+        else None
       it.map { row =>
         val real = row.media_type match {
           case "image" => image(row)
           case "audio" => audio(row)
-          case "video" => None // demux is the documented stub path
+          case "video" => video(row)
           case _       => image(row).orElse(audio(row))
         }
         MediaFeatures(row.media_id, row.media_type, row.content.length.toLong,

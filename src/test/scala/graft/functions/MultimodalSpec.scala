@@ -206,6 +206,83 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.payload.length).toSeq == Seq(10, 14, 18))
   }
 
+  // closed-form pixel value of the MJPEG fixture (scripts/
+  // gen_mjpeg_fixture.py): frame f, 48x32 px of constant 8x8 blocks
+  private def mjpegPx(f: Int, y: Int, x: Int): Int =
+    ((f * 53 + (y / 8) * 17 + (x / 8) * 29) % 32) * 8 + 4
+
+  private lazy val mjpegBytes = {
+    val in = getClass.getResourceAsStream("/graft/tiny_mjpeg.mp4")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("VideoCodec: MJPEG frames decode EXACTLY to the generator's closed form") {
+    // the fixture is built for exactness (DC-only blocks, unit quant
+    // table, values divisible by 8 after level shift), so any conformant
+    // JPEG decoder must reproduce every pixel bit-for-bit — this pins the
+    // whole coded-frame path (demux byte ranges + entropy decode) against
+    // the independent pure-Python encoder
+    val info = Mp4Demux.demux(mjpegBytes).get
+    val t = info.tracks.find(_.handler == "vide").get
+    assert(t.codec == "jpeg" && t.width == 48 && t.height == 32)
+    assert(VideoCodec.isMjpeg(t.codec) && VideoCodec.canDecode(mjpegBytes))
+    assert(info.videoSamples.size == 6)
+    assert(info.videoSamples.forall(_.sync), "no stss box ⇒ every frame sync")
+    info.videoSamples.foreach { s =>
+      val (h, w, px) = VideoCodec.decodeFramePlane(
+        Mp4Demux.samplePayload(mjpegBytes, s)).get
+      assert(h == 32 && w == 48)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == mjpegPx(s.index, y, x).toFloat,
+          s"frame ${s.index} pixel ($y,$x)")
+    }
+    // an avc1 track is NOT decodable on this JVM — the guard must say so
+    val avc1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_clip.mp4").toURI))
+    assert(!VideoCodec.canDecode(avc1))
+    assert(VideoCodec.decodeFramePlane("not a jpeg".getBytes).isEmpty)
+  }
+
+  test("decodeVideoFrames kernel: distributed decode, frames-as-rasters") {
+    val meta = videoMeta(mjpegBytes).get
+    val avc1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_clip.mp4").toURI))
+    val rows = Seq(
+      MediaRow(1L, "video", mjpegBytes, meta),
+      MediaRow(2L, "video", avc1, videoMeta(avc1).get))   // undecodable codec
+    val frames = decodeVideoFrames(
+      spark.createDataset(rows).repartition(3), everyNth = 1, maxFrames = 16)
+      .collect().sortBy(_.frame_index)
+    assert(frames.forall(_.media_id == 1L), "avc1 track yields no planes")
+    assert(frames.map(_.frame_index).toSeq == (0 until 6))
+    assert(frames.map(_.time_ms).toSeq == Seq(0L, 100L, 200L, 300L, 400L, 500L))
+    frames.foreach { fr =>
+      assert(fr.height == 32 && fr.width == 48 && fr.sync)
+      assert(fr.pixels(0) == mjpegPx(fr.frame_index, 0, 0).toFloat)
+      assert(fr.pixels.length == 48 * 32)
+    }
+    // the planes feed the raster stack directly: tile a frame and band-math it
+    val scenes = frames.take(1).map(fr => (s"v1_f${fr.frame_index}", "L",
+      fr.height, fr.width, -1f, fr.pixels)).toSeq
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
+    val tiles = graft.raster.SceneIO.tileScene(scenes, 16, 16)
+    assert(tiles.count() == 6) // 48x32 in 16x16 windows
+  }
+
+  test("extractFeatures kernel: MJPEG video rows get REAL keyframe features") {
+    val meta = videoMeta(mjpegBytes).get
+    val out = extractFeatures(
+      spark.createDataset(Seq(MediaRow(5L, "video", mjpegBytes, meta))), dim = 64)
+      .collect().head
+    val expected = ImageCodec.intensityFeatures(
+      Mp4Demux.samplePayload(mjpegBytes, Mp4Demux.keyframes(mjpegBytes, 1).head),
+      8).get
+    assert(out.features.toSeq === expected.toSeq)
+    // and NOT the byte-hash stub
+    assert(out.features.toSeq !==
+      StubCodec.extractFeatures(mjpegBytes, 64).toSeq)
+  }
+
   test("resize kernel rewrites payload + meta, deterministic across partitioning") {
     val rows = (0 until 10).map(i => MediaRow(i.toLong, "image", jpegBytes(500 + i),
       StubCodec.decodeMeta(jpegBytes(500 + i))))
