@@ -71,6 +71,15 @@ object Mp4Demux {
     java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.size)
   }
 
+  /** Range-checked payload cut: None when a (corrupt) stsz/stco points a
+    * sample outside the file. The streaming kernels use this so one bad
+    * container drops its frames instead of failing the ingest task. */
+  def samplePayloadOpt(bytes: Array[Byte], s: Sample): Option[Array[Byte]] =
+    if (s.offset >= 0 && s.size >= 0 && s.offset + s.size <= bytes.length)
+      Some(java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
+        s.offset.toInt + s.size))
+    else None
+
   // ------------------------------------------------------------------ boxes
 
   private def fourcc(buf: ByteBuffer, pos: Int): String =

@@ -241,11 +241,15 @@ object MultimodalFunctions {
             y += 1
           }
         } else {
+          // bulk row reads: per-pixel getRGB pays a colorspace dispatch per
+          // call and is ~5x slower than the row variant
+          val row = new Array[Int](w)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = row(x)
               out(y * w + x) = (((rgb >> 16) & 0xFF) * 299 +
                 ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0f
               x += 1
@@ -278,7 +282,10 @@ object MultimodalFunctions {
         if (!VideoCodec.canDecode(row.content)) Iterator.empty
         else Mp4Demux.sampleFrames(row.content, everyNth, maxFrames).iterator
           .flatMap { s =>
-            VideoCodec.decodeFramePlane(Mp4Demux.samplePayload(row.content, s))
+            // range-checked cut: a corrupt sample table drops its frames,
+            // it does not fail the ingest task
+            Mp4Demux.samplePayloadOpt(row.content, s)
+              .flatMap(VideoCodec.decodeFramePlane)
               .map { case (h, w, px) =>
                 FramePlane(row.media_id, s.index, s.timeMs, s.sync, h, w, px)
               }
@@ -314,9 +321,10 @@ object MultimodalFunctions {
     import spark.implicits._
     ds.mapPartitions { it =>
       it.flatMap { row =>
-        Mp4Demux.sampleFrames(row.content, everyNth, maxFrames).map { s =>
-          FrameRow(row.media_id, s.index, s.timeMs, s.sync,
-            Mp4Demux.samplePayload(row.content, s))
+        Mp4Demux.sampleFrames(row.content, everyNth, maxFrames).flatMap { s =>
+          // range-checked: corrupt sample tables drop frames, not tasks
+          Mp4Demux.samplePayloadOpt(row.content, s).map(p =>
+            FrameRow(row.media_id, s.index, s.timeMs, s.sync, p))
         }
       }
     }
@@ -359,9 +367,9 @@ object MultimodalFunctions {
         // tracks (each frame is a complete JPEG); H.264/H.265 payloads
         // aren't decodable on this JVM and fall through to the stub
         if (squareDim && VideoCodec.canDecode(row.content))
-          Mp4Demux.keyframes(row.content, 1).headOption.flatMap(s =>
-            ImageCodec.intensityFeatures(
-              Mp4Demux.samplePayload(row.content, s), grid))
+          Mp4Demux.keyframes(row.content, 1).headOption
+            .flatMap(s => Mp4Demux.samplePayloadOpt(row.content, s))
+            .flatMap(p => ImageCodec.intensityFeatures(p, grid))
         else None
       it.map { row =>
         val real = row.media_type match {

@@ -283,6 +283,41 @@ class MultimodalSpec extends SparkSpec {
       StubCodec.extractFeatures(mjpegBytes, 64).toSeq)
   }
 
+  test("Mp4Demux + video kernels survive truncation/corruption fuzz") {
+    // the ingest contract at corpus scale: a damaged container yields None
+    // or fewer frames — it never throws out of the kernel functions (one
+    // bad file in a 100 TB media scan must not fail its task)
+    def kernelsNeverThrow(b: Array[Byte]): Unit = {
+      Mp4Demux.demux(b) // Option, or would throw here
+      Mp4Demux.sampleFrames(b, 1, 16).foreach { s =>
+        Mp4Demux.samplePayloadOpt(b, s).foreach(p =>
+          VideoCodec.decodeFramePlane(p))
+      }
+      VideoCodec.canDecode(b)
+    }
+    // every truncation prefix (box walks must stop at the cliff)
+    var n = 0
+    while (n < mjpegBytes.length) {
+      kernelsNeverThrow(java.util.Arrays.copyOf(mjpegBytes, n))
+      n += 3
+    }
+    // deterministic single-byte corruptions across the whole container
+    // (box sizes, sample tables, JPEG entropy data all get hit)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 500) {
+      val b = mjpegBytes.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      kernelsNeverThrow(b)
+    }
+    // a sample table pointing outside the file drops frames, not tasks:
+    // find stsz via a demuxed sample and forge an oversized range
+    val good = Mp4Demux.demux(mjpegBytes).get.videoSamples.head
+    val forged = good.copy(offset = mjpegBytes.length.toLong - 2, size = 100)
+    assert(Mp4Demux.samplePayloadOpt(mjpegBytes, forged).isEmpty)
+    assert(intercept[IllegalArgumentException](
+      Mp4Demux.samplePayload(mjpegBytes, forged)).getMessage.contains("outside"))
+  }
+
   test("resize kernel rewrites payload + meta, deterministic across partitioning") {
     val rows = (0 until 10).map(i => MediaRow(i.toLong, "image", jpegBytes(500 + i),
       StubCodec.decodeMeta(jpegBytes(500 + i))))
