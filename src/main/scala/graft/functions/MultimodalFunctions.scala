@@ -225,8 +225,29 @@ object MultimodalFunctions {
     /** Decode one coded frame to a gray intensity plane (row-major floats,
       * same raster contract as the scene readers): single-band images come
       * out as raw sample values, multi-band as integer-weighted luma. None
-      * if the payload is not a decodable image. */
-    def decodeFramePlane(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      * if the payload is not a decodable image, or if its HEADER declares
+      * dimensions past `maxDim` — the guard runs before ImageIO allocates
+      * the raster, so a corrupt SOF claiming a 65k-wide frame costs a
+      * header read, not a giant allocation attempt inside an ingest task. */
+    def decodeFramePlane(payload: Array[Byte],
+                         maxDim: Int = 16384): Option[(Int, Int, Array[Float])] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+            if (w0 <= 0 || h0 <= 0 || w0 > maxDim || h0 > maxDim) return None
+          } finally reader.dispose()
+        } finally iis.close()
+        decodePlane(payload)
+      } catch { case _: Exception => None }
+
+    private def decodePlane(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
@@ -285,7 +306,7 @@ object MultimodalFunctions {
             // range-checked cut: a corrupt sample table drops its frames,
             // it does not fail the ingest task
             Mp4Demux.samplePayloadOpt(row.content, s)
-              .flatMap(VideoCodec.decodeFramePlane)
+              .flatMap(p => VideoCodec.decodeFramePlane(p))
               .map { case (h, w, px) =>
                 FramePlane(row.media_id, s.index, s.timeMs, s.sync, h, w, px)
               }

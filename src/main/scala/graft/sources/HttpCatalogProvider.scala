@@ -75,6 +75,48 @@ object HttpCatalogProvider {
     parseFeatures(body)
   }
 
+  /** Filter shapes the HTTP wire applies EXACTLY (the count-pushdown
+    * precondition, see [[RemoteCatalog.registerExact]]): equality on
+    * dataset/scene_id and the <= / >= bounds whose query-param semantics
+    * match the filter's. Strict < / > map to inclusive params (over-return
+    * at the boundary), so they are NOT exact and stay residual in Spark. */
+  val exactShapes: Filter => Boolean = {
+    case EqualTo("dataset", _) | EqualTo("scene_id", _) => true
+    case LessThanOrEqual("cloud_cover", _) => true
+    case GreaterThanOrEqual("sensing_date", _) => true
+    case LessThanOrEqual("sensing_date", _) => true
+    // Catalyst pairs every pushed equality/range with an IsNotNull; the
+    // wire schema has no nulls (every feature carries all five fields),
+    // so it holds exactly — without this the synthetic residual would
+    // block aggregate pushdown on every filtered count
+    case IsNotNull(_) => true
+    case _ => false
+  }
+
+  /** A [[RemoteCatalog.CountFn]] hitting `<baseUrl>/count` — the STAC
+    * `context.matched` total: how many scenes match, no items shipped.
+    * Returns None (Spark falls back to scanning) on any wire failure.
+    * Register the full exact tier with:
+    * {{{
+    * RemoteCatalog.registerExact("usgs", searchFnLimited(url),
+    *   countFn(url), exactShapes)
+    * }}} */
+  def countFn(baseUrl: String): RemoteCatalog.CountFn = { filters =>
+    try {
+      val qs = queryParams(filters)
+        .map { case (k, v) => s"$k=${URLEncoder.encode(v, UTF_8)}" }
+        .toSeq.sorted.mkString("&")
+      val url = new URI(s"$baseUrl/count" + (if (qs.isEmpty) "" else s"?$qs")).toURL
+      val conn = url.openConnection()
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      val in = conn.getInputStream
+      val body = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val matched = mapper.readTree(body).path("matched")
+      if (matched.isNumber) Some(matched.asLong()) else None
+    } catch { case _: Exception => None }
+  }
+
   /** Parse a feature-list search response (the STAC-ish wire shape the
     * reference's providers return) into scene records. */
   def parseFeatures(json: String): Seq[RemoteCatalog.SceneRecord] = {
@@ -120,9 +162,37 @@ object HttpCatalogProvider {
 class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
                            assets: Map[String, Array[Byte]] = Map.empty) {
   @volatile var queries: List[String] = Nil
+  @volatile var countQueries: List[String] = Nil
   @volatile var downloads: List[String] = Nil
 
+  private def matching(raw: String): Seq[RemoteCatalog.SceneRecord] = {
+    val params = raw.split('&').filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> URLDecoder.decode(v, UTF_8)
+    }.toMap
+    records.filter { r =>
+      params.get("dataset").forall(_ == r.dataset) &&
+        params.get("scene_id").forall(_ == r.scene_id) &&
+        params.get("max_cloud").forall(c => r.cloud_cover <= c.toDouble) &&
+        params.get("start").forall(s =>
+          r.sensing_micros >= Instant.parse(s).toEpochMilli * 1000L) &&
+        params.get("end").forall(e =>
+          r.sensing_micros <= Instant.parse(e).toEpochMilli * 1000L)
+    }
+  }
+
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/count", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      countQueries = raw :: countQueries
+      val body = s"""{"matched":${matching(raw).size}}""".getBytes(UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    }
+  })
   server.createContext("/search", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
@@ -131,15 +201,7 @@ class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
         val Array(k, v) = kv.split("=", 2)
         k -> URLDecoder.decode(v, UTF_8)
       }.toMap
-      val hit = records.filter { r =>
-        params.get("dataset").forall(_ == r.dataset) &&
-          params.get("scene_id").forall(_ == r.scene_id) &&
-          params.get("max_cloud").forall(c => r.cloud_cover <= c.toDouble) &&
-          params.get("start").forall(s =>
-            r.sensing_micros >= Instant.parse(s).toEpochMilli * 1000L) &&
-          params.get("end").forall(e =>
-            r.sensing_micros <= Instant.parse(e).toEpochMilli * 1000L)
-      }
+      val hit = matching(raw)
       val limited = params.get("max_results").map(_.toInt).fold(hit)(hit.take)
       // record links may carry a "{base}" placeholder (the canned fixture
       // can't know its ephemeral port ahead of time) — resolve it here

@@ -89,6 +89,90 @@ class RemoteCatalogSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  private def applyExact(rs: Seq[RemoteCatalog.SceneRecord],
+                         filters: Seq[org.apache.spark.sql.sources.Filter]) =
+    rs.filter(r => filters.forall {
+      case EqualTo("dataset", v) => r.dataset == v
+      case LessThanOrEqual("cloud_cover", v) => r.cloud_cover <= v.toString.toDouble
+      case _ => true
+    })
+
+  test("COUNT(*) pushes to an exact provider as matched-count; no records ship") {
+    @volatile var searches = 0
+    @volatile var counted: List[Seq[org.apache.spark.sql.sources.Filter]] = Nil
+    RemoteCatalog.registerExact("test-exact",
+      { (filters, _) => searches += 1; applyExact(scenes, filters) },
+      { filters => counted = filters :: counted
+        Some(applyExact(scenes, filters).size.toLong) },
+      { case EqualTo("dataset", _) | LessThanOrEqual("cloud_cover", _) => true
+        case org.apache.spark.sql.sources.IsNotNull(_) => true // no nulls in records
+        case _ => false })
+    val df = spark.read.format("remote_catalog").option("provider", "test-exact")
+      .load().filter(col("dataset") === "S2_MSI_L1C")
+    assert(df.count() == 2L)
+    assert(searches == 0, "a pushed COUNT(*) must never fetch records")
+    assert(counted.exists(_.exists {
+      case EqualTo("dataset", v) => v == "S2_MSI_L1C"; case _ => false
+    }), s"the count call must receive the pushed filters, got $counted")
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"), plan)
+    assert(searches == 0)
+    // the scan path of the same provider still works (exact filters were
+    // consumed by pushFilters, so the provider MUST apply them — it does)
+    assert(df.select("scene_id").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("S2A_T23LLF_1", "S2A_T23LLF_2"))
+    assert(searches >= 1) // planInputPartitions may run more than once
+  }
+
+  test("COUNT pushdown declines: grouping, residual filters, default providers") {
+    @volatile var searches = 0
+    RemoteCatalog.registerExact("test-exact2",
+      { (filters, _) => searches += 1; applyExact(scenes, filters) },
+      filters => Some(applyExact(scenes, filters).size.toLong),
+      { case EqualTo("dataset", _) | LessThanOrEqual("cloud_cover", _) => true
+        case org.apache.spark.sql.sources.IsNotNull(_) => true
+        case _ => false })
+    def relation = spark.read.format("remote_catalog")
+      .option("provider", "test-exact2").load()
+    // grouped aggregation: not a global COUNT(*) → falls back to scanning
+    val grouped = relation.groupBy("dataset").count()
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == Map("S2_MSI_L1C" -> 2L, "LANDSAT_8" -> 1L))
+    assert(searches >= 1, "grouped count must scan")
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    // a strict < is NOT exact (the wire param is <=): it stays residual,
+    // which blocks aggregate pushdown automatically
+    val before = searches
+    val strict = relation.filter(col("cloud_cover") < 20)
+    assert(strict.count() == 2L)
+    assert(searches > before, "count behind a residual filter must scan")
+    // a default (over-return-allowed) provider never pushes aggregates
+    RemoteCatalog.register("test-default", _ => scenes)
+    val d = spark.read.format("remote_catalog").option("provider", "test-default").load()
+    assert(d.count() == 3L)
+    assert(!d.groupBy().count().queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+  }
+
+  test("HTTP exact provider: COUNT(*) travels as /count, matched comes back") {
+    val server = new FixtureCatalogServer(scenes)
+    try {
+      RemoteCatalog.registerExact("http-exact",
+        HttpCatalogProvider.searchFnLimited(server.baseUrl),
+        HttpCatalogProvider.countFn(server.baseUrl),
+        HttpCatalogProvider.exactShapes)
+      val df = spark.read.format("remote_catalog").option("provider", "http-exact")
+        .load().filter(col("dataset") === "S2_MSI_L1C")
+      assert(df.count() == 2L)
+      assert(server.countQueries.exists(_.contains("dataset=S2_MSI_L1C")),
+        s"the filter must reach /count as a query param, got ${server.countQueries}")
+      assert(server.queries.isEmpty, "no /search call for a pushed count")
+      // the item path still works over the wire after a count
+      assert(df.select("scene_id").collect().length == 2)
+      assert(server.queries.nonEmpty)
+    } finally server.stop()
+  }
+
   test("empty search result and unregistered provider behave sanely") {
     RemoteCatalog.register("test-empty", _ => Nil)
     assert(spark.read.format("remote_catalog").option("provider", "test-empty")
