@@ -1145,6 +1145,29 @@ object SparkEntry {
           size(col("pixels")).cast("long").as("n"))
         .orderBy(col("comp"), col("window_row"), col("window_col"))
     }),
+    // ---- ranged JP2 window read (r10): the JP2 counterpart of
+    // q106_cog_ranged — positional reads fetch only the main header, the
+    // tile-part header with its PLT table, and the window's precinct
+    // packet ranges (Jp2Ranged), never the whole band file. The fixture
+    // is the battery's PLT+precincts stream (hash pixels v(i) =
+    // ((i*2654435761)>>13)&4095 over a 96x64 grid); the oracle recomputes
+    // the window sum from that closed form in pure SQL — the IO strategy
+    // must never change the answer -------------------------------------
+    "q108_jp2_ranged" -> ((s, d) => {
+      val dir = memoLayout("q108_jp2", d) { tmp =>
+        val in = getClass.getResourceAsStream("/graft/jp2/plt_96x64_d12_p5.j2k")
+        val bytes = try in.readAllBytes() finally in.close()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "S2PLT__B02.j2k"), bytes)
+      }
+      SceneIO.readJp2ScenesRanged(s, dir, window = Some((8, 16, 20, 12)))
+        .select(col("scene_id"),
+          col("height").cast("long").as("height"),
+          col("width").cast("long").as("width"),
+          aggregate(col("pixels"), lit(0L), (a, p) => a + p.cast("long"))
+            .as("sum_px"),
+          size(col("pixels")).cast("long").as("n"))
+    }),
     // ---- coded-frame VIDEO decode (MJPEG family): the checked-in MP4's
     // 'jpeg' track carries one complete baseline JPEG per frame — demuxed
     // by the sample tables and entropy-decoded on EXECUTORS
@@ -1770,6 +1793,16 @@ object SparkEntry {
         |(2,3,0,33018,256),(2,3,1,32827,256),(2,3,2,32627,256),(2,3,3,32429,256),(2,3,4,32486,256),(2,3,5,32794,256)
         |) v(comp, window_row, window_col, sum_v, n)
         |ORDER BY comp, window_row, window_col""".stripMargin,
+    // q108's oracle: the PLT fixture's hash-pixel formula
+    // v(i) = ((i * 2654435761) >> 13) & 4095 over the 96x64 grid
+    // (scripts/gen_jp2_battery.py), summed over the (8,16) 20x12 window —
+    // independent of both JP2 implementations AND of the ranged IO path
+    "q108_jp2_ranged" ->
+      """SELECT 'S2PLT' AS scene_id, CAST(12 AS BIGINT) AS height,
+        |  CAST(20 AS BIGINT) AS width,
+        |  CAST(sum((((16 + r) * 64 + 8 + c) * 2654435761 >> 13) & 4095) AS BIGINT) AS sum_px,
+        |  CAST(240 AS BIGINT) AS n
+        |FROM range(12) a(r), range(20) b(c)""".stripMargin,
     // q107's oracle: the MJPEG fixture's closed-form block formula
     // v(f, br, bc) = ((f*53 + br*17 + bc*29) % 32)*8 + 4 summed over each
     // 48x32 frame's 6x4 constant blocks (scripts/gen_mjpeg_fixture.py) —

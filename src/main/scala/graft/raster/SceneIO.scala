@@ -255,6 +255,52 @@ object SceneIO {
       .toDF("scene_id", "band", "height", "width", "nodata", "pixels")
   }
 
+  /** Ranged JP2 scene reads — [[readJp2Scenes]] with the IO contract of
+    * [[readGeoTiffScenesRanged]]: Hadoop positional reads fetch only the
+    * main header, tile-part headers (with their PLT packet-length
+    * tables) and the needed precincts' packet ranges, instead of
+    * materializing whole band files ([[graft.sources.Jp2Ranged]] — the
+    * GET-Range behavior the reference gets from GDAL /vsicurl on its JP2
+    * archive). `window` = ROI probe; no window + `discardLevels` > 0 =
+    * overview read fetching only the kept resolutions' packets. Emits
+    * per-file `bytes_read` / `read_requests` — the object-store bill. */
+  def readJp2ScenesRanged(spark: org.apache.spark.sql.SparkSession,
+                          path: String, nodata: Float = 0f,
+                          discardLevels: Int = 0,
+                          window: Option[(Int, Int, Int, Int)] = None): DataFrame = {
+    import spark.implicits._
+    val conf = org.apache.spark.sql.graft.HadoopConfBridge.serializable(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs0 = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[(String, Long)] = fs0.globStatus(new org.apache.hadoop.fs.Path(root, "*.{jp2,j2k,jpx,j2c}"))
+      .toSeq.map(s => (s.getPath.toString, s.getLen))
+    spark.createDataset(files)
+      .repartition(math.min(files.size, spark.sparkContext.defaultParallelism).max(1))
+      .map { case (p, len) =>
+        val (sceneId, band) = sceneBandOfPath(p)
+        val fp = new org.apache.hadoop.fs.Path(p)
+        val in = fp.getFileSystem(conf.value).open(fp)
+        try {
+          val read = (ofs: Long, n: Int) => {
+            val b = new Array[Byte](n); in.readFully(ofs, b, 0, n); b
+          }
+          val (img, io) = window match {
+            case Some((wx, wy, ww, wh)) =>
+              graft.sources.Jp2Ranged.decodeWindow(read, len, wx, wy, ww, wh,
+                discardLevels)
+            case None =>
+              graft.sources.Jp2Ranged.decodeLevel(read, len, discardLevels)
+          }
+          require(img.comps == 1, s"$p: multi-component; use readJp2RgbScenes")
+          (sceneId, band, img.height, img.width, nodata, img.planes(0),
+            io.bytesRead, io.requests)
+        } finally in.close()
+      }
+      .toDF("scene_id", "band", "height", "width", "nodata", "pixels",
+        "bytes_read", "read_requests")
+  }
+
   /** The Sentinel-2 `*PVI*.jp2` preview asset (publish.py:178–179, 263
     * reads the 3-component RGB JP2 to build the quicklook; asset
     * registered at publish.py:388): decode each multi-component file on

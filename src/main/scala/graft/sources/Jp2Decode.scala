@@ -122,7 +122,15 @@ object Jp2Decode {
   }
 
   /** Half-open pixel rectangle [x0,x1) × [y0,y1). */
-  private final case class Rect(x0: Int, y0: Int, x1: Int, y1: Int)
+  private[sources] final case class Rect(x0: Int, y0: Int, x1: Int, y1: Int)
+
+  /** Package-visible window decode over a bare codestream — the ranged
+    * reader ([[Jp2Ranged]]) assembles a sparse codestream (headers +
+    * needed packet bytes only) and hands it here; all validation lives in
+    * the one decode path. `win` null = full decode. */
+  private[sources] def decodeCs(cs: Array[Byte], discardLevels: Int,
+                                win: Rect): Jp2MultiPixels =
+    decodeCodestream(cs, discardLevels, win)
 
   /** Locate the jp2c box payload (ISO 15444-1 §I.5.4). */
   private def codestreamOf(bytes: Array[Byte]): Array[Byte] = {
@@ -564,10 +572,156 @@ object Jp2Decode {
     * the reversible color transform (G.2), with the 9/7 the irreversible
     * ICT (G.3), over components 0..2; irrev = SPcod transform byte 0,
     * the irreversible 9/7 float path. */
-  private final case class Cod(levels: Int, cbwLog: Int, cbhLog: Int,
-                               layers: Int, prog: Int, mct: Boolean,
-                               sop: Boolean, eph: Boolean, irrev: Boolean,
-                               ppx: Array[Int], ppy: Array[Int])
+  private[sources] final case class Cod(levels: Int, cbwLog: Int, cbhLog: Int,
+                                        layers: Int, prog: Int, mct: Boolean,
+                                        sop: Boolean, eph: Boolean, irrev: Boolean,
+                                        ppx: Array[Int], ppy: Array[Int])
+
+  /** Tile packet-walk geometry, shared by [[decodeTile]]'s walk and the
+    * ranged-read planner ([[Jp2Ranged]]): per-level window support rects,
+    * precinct grids, the COD progression's packet order, and the
+    * precinct-needed predicate. Extracted into one place so the planner
+    * that turns a PLT table into fetch byte-ranges can never drift from
+    * the walk that seek-skips by the same lengths — every quantity here
+    * is pure geometry (no body bytes). */
+  private[sources] final class TileGeom(h: Int, w: Int, gx0: Int, gy0: Int,
+                                        ncomp: Int, cod: Cod, discard: Int,
+                                        winLocal: Rect) {
+    val levels: Int = cod.levels
+    def pktBands(r: Int): Seq[(Int, Int)] =
+      if (r == 0) Seq((levels, 0))
+      else { val d = levels - r + 1; Seq((d, 1), (d, 2), (d, 3)) }
+    // a detail band at level d is needed only when d > discard — see
+    // decodeTile for why the d <= discard bands carry the whole saving
+    @inline def kept(d: Int, kind: Int): Boolean = kind == 0 || d > discard
+    // window support region per level, in band-local coordinates: one
+    // 5/3 synthesis step makes output sample n depend on interleaved
+    // coefficients [n-2, n+2] (the 9/7's longer filters reach [n-4,
+    // n+4]), i.e. band indices [floor((n-m)/2), ceil((n+m)/2)) —
+    // iterate that d times for a level-d band.
+    val winRects: Array[Rect] =
+      if (winLocal == null) null
+      else {
+        val m = if (cod.irrev) 4 else 2
+        val rs = new Array[Rect](levels + 1)
+        rs(0) = winLocal
+        var k = 1
+        while (k <= levels) {
+          val p = rs(k - 1)
+          rs(k) = Rect(math.max(0, Math.floorDiv(p.x0 - m, 2)),
+            math.max(0, Math.floorDiv(p.y0 - m, 2)),
+            (p.x1 + m + 1) / 2, (p.y1 + m + 1) / 2)
+          k += 1
+        }
+        rs
+      }
+    // per-resolution precinct geometry (B-14/B-16; origins are aligned,
+    // so the ceil collapses to a shift on the start)
+    val resGeom: Array[(Int, Int, Int, Int)] = Array.tabulate(levels + 1) { r =>
+      val dres = levels - r
+      val trx0 = gx0 >> dres; val try0 = gy0 >> dres
+      val trx1 = ceilShift(gx0 + w, dres); val try1 = ceilShift(gy0 + h, dres)
+      val ppx = cod.ppx(r); val ppy = cod.ppy(r)
+      if (trx1 > trx0 && try1 > try0) {
+        val kx = trx0 >> ppx; val ky = try0 >> ppy
+        (kx, ky, ceilShift(trx1, ppx) - kx, ceilShift(try1, ppy) - ky)
+      } else (0, 0, 0, 0)
+    }
+    @inline def np(r: Int): Int = resGeom(r)._3 * resGeom(r)._4
+    val totalPackets: Long = cod.layers.toLong * ncomp *
+      resGeom.map(g => g._3.toLong * g._4).sum
+
+    /** Packet order (B.12): LRCP/RLCP/RPCL nest layer/component loops
+      * around the in-resolution precinct raster; PCRL/CPRL order by the
+      * precinct's CANVAS position (its first sample), resolutions
+      * interleaved — with the subset's aligned origins that position is
+      * max(precinct origin, band start) << dres, exactly B.12.1.4/5's
+      * sample-scan condition. */
+    def packetOrder(): IndexedSeq[(Int, Int, Int, Int)] = {
+      val order = Vector.newBuilder[(Int, Int, Int, Int)] // (layer, r, comp, precinct)
+      cod.prog match {
+        case 0 => // LRCP: layer → resolution → component → position
+          for (l <- 0 until cod.layers; r <- 0 to levels;
+               c <- 0 until ncomp; p <- 0 until np(r)) order += ((l, r, c, p))
+        case 1 => // RLCP: resolution → layer → component → position
+          for (r <- 0 to levels; l <- 0 until cod.layers;
+               c <- 0 until ncomp; p <- 0 until np(r)) order += ((l, r, c, p))
+        case 2 => // RPCL: resolution → position → component → layer
+          for (r <- 0 to levels; p <- 0 until np(r);
+               c <- 0 until ncomp; l <- 0 until cod.layers) order += ((l, r, c, p))
+        case _ =>
+          // canvas position (y, x) of each precinct's first sample
+          val byPos = (for (r <- 0 to levels; p <- 0 until np(r)) yield {
+            val (kx0, ky0, npx, _) = resGeom(r)
+            val dres = levels - r
+            val cx = math.max((kx0 + p % npx).toLong << cod.ppx(r), gx0 >> dres) << dres
+            val cy = math.max((ky0 + p / npx).toLong << cod.ppy(r), gy0 >> dres) << dres
+            ((cy, cx), (r, p))
+          }).groupBy(_._1).toSeq.sortBy(_._1)
+          if (cod.prog == 3) // PCRL: position → component → resolution → layer
+            for ((_, grp) <- byPos; c <- 0 until ncomp;
+                 (r, p) <- grp.map(_._2).sortBy(_._1); l <- 0 until cod.layers)
+              order += ((l, r, c, p))
+          else               // CPRL: component → position → resolution → layer
+            for (c <- 0 until ncomp; (_, grp) <- byPos;
+                 (r, p) <- grp.map(_._2).sortBy(_._1); l <- 0 until cod.layers)
+              order += ((l, r, c, p))
+      }
+      order.result()
+    }
+
+    /** A precinct whose every band slice is either discarded
+      * (reduced-resolution read) or outside the window's synthesis
+      * support contributes nothing — its packets can seek-skip (walk) or
+      * stay unfetched (ranged planner). Layer- and component-independent,
+      * so a skipped precinct is skipped in every packet that references
+      * it. */
+    @inline def precinctNeeded(r: Int, kx0: Int, ky0: Int, pxi: Int,
+                               pyi: Int, shx: Int, shy: Int): Boolean =
+      pktBands(r).exists { case (d, kind) =>
+        kept(d, kind) && {
+          val (bh, bw2) = bandDims(h, w, d, kind)
+          bh > 0 && bw2 > 0 && {
+            val tbx0 = gx0 >> d; val tby0 = gy0 >> d
+            val px0 = math.max((kx0 + pxi) << shx, tbx0)
+            val px1 = math.min((kx0 + pxi + 1) << shx, tbx0 + bw2)
+            val py0 = math.max((ky0 + pyi) << shy, tby0)
+            val py1 = math.min((ky0 + pyi + 1) << shy, tby0 + bh)
+            px1 > px0 && py1 > py0 && (winRects == null || {
+              // band-local coords, same frame as the block gate in the walk
+              val need = winRects(d)
+              px0 - tbx0 < need.x1 && px1 - tbx0 > need.x0 &&
+                py0 - tby0 < need.y1 && py1 - tby0 > need.y0
+            })
+          }
+        }
+      }
+
+    /** The ranged-read planner: with a complete PLT table, the byte
+      * ranges of the tile body that a windowed decode will actually
+      * read — the needed precincts' packets (every layer), plus nothing.
+      * None when the PLT is absent/partial (the walk would parse every
+      * packet header, so the whole body must be fetched). Ranges are
+      * body-relative and unmerged; callers coalesce. */
+    def neededBodyRanges(pktLens: Array[Int]): Option[Seq[(Long, Long)]] = {
+      if (pktLens == null || pktLens.length != totalPackets) return None
+      val out = Seq.newBuilder[(Long, Long)]
+      var bodyPos = 0L
+      var pi = 0
+      for ((_, r, _, p) <- packetOrder()) {
+        val (kx0, ky0, npx, _) = resGeom(r)
+        val pxi = p % npx; val pyi = p / npx
+        val ppx = cod.ppx(r); val ppy = cod.ppy(r)
+        val shx = if (r == 0) ppx else ppx - 1
+        val shy = if (r == 0) ppy else ppy - 1
+        if (precinctNeeded(r, kx0, ky0, pxi, pyi, shx, shy))
+          out += ((bodyPos, pktLens(pi).toLong))
+        bodyPos += pktLens(pi)
+        pi += 1
+      }
+      Some(out.result())
+    }
+  }
 
   /** ceil(n / 2^k) without overflow for the sizes in play. */
   @inline private def ceilShift(n: Int, k: Int): Int = {
@@ -985,37 +1139,19 @@ object Jp2Decode {
                          discard: Int, winLocal: Rect,
                          pktLens: Array[Int] = null): TilePlanes = {
     val levels = cod.levels
-    def pktBands(r: Int): Seq[(Int, Int)] =
-      if (r == 0) Seq((levels, 0))
-      else { val d = levels - r + 1; Seq((d, 1), (d, 2), (d, 3)) }
-    // a detail band at level d is needed only when d > discard; its
-    // packets are still WALKED (headers position the data cursor) but its
-    // code-blocks never entropy-decode and its grid never allocates —
-    // that's the whole saving of a reduced-resolution read, since the
-    // d <= discard bands hold 1 - 4^-discard of all coefficients
-    @inline def kept(d: Int, kind: Int): Boolean = kind == 0 || d > discard
-    // window support region per level, in band-local coordinates: one
-    // 5/3 synthesis step makes output sample n depend on interleaved
-    // coefficients [n-2, n+2] (the 9/7's longer filters reach [n-4,
-    // n+4]), i.e. band indices [floor((n-m)/2), ceil((n+m)/2)) —
-    // iterate that d times for a level-d band. Blocks outside their
-    // band's rect never entropy-decode.
-    val winRects: Array[Rect] =
-      if (winLocal == null) null
-      else {
-        val m = if (cod.irrev) 4 else 2
-        val rs = new Array[Rect](levels + 1)
-        rs(0) = winLocal
-        var k = 1
-        while (k <= levels) {
-          val p = rs(k - 1)
-          rs(k) = Rect(math.max(0, Math.floorDiv(p.x0 - m, 2)),
-            math.max(0, Math.floorDiv(p.y0 - m, 2)),
-            (p.x1 + m + 1) / 2, (p.y1 + m + 1) / 2)
-          k += 1
-        }
-        rs
-      }
+    // geometry (support rects, precinct grids, packet order, the
+    // precinct-needed predicate) is shared with the ranged-read planner —
+    // see TileGeom. A detail band at level d is needed only when
+    // d > discard; its packets are still WALKED (headers position the
+    // data cursor) but its code-blocks never entropy-decode and its grid
+    // never allocates — that's the whole saving of a reduced-resolution
+    // read, since the d <= discard bands hold 1 - 4^-discard of all
+    // coefficients. Blocks outside their band's winRect never
+    // entropy-decode.
+    val geom = new TileGeom(h, w, gx0, gy0, ncomp, cod, discard, winLocal)
+    def pktBands(r: Int): Seq[(Int, Int)] = geom.pktBands(r)
+    @inline def kept(d: Int, kind: Int): Boolean = geom.kept(d, kind)
+    val winRects: Array[Rect] = geom.winRects
     // coefficient grids per (component, band), Mb per band, and — on the
     // irreversible path — the E-3 reconstruction step per band (QCD
     // words index bands in codestream order; one QCD serves every
@@ -1075,24 +1211,13 @@ object Jp2Decode {
       epi += 1
     }
 
-    // per-resolution precinct geometry (B-14/B-16; origins are aligned,
-    // so the ceil collapses to a shift on the start)
-    val resGeom = Array.tabulate(levels + 1) { r =>
-      val dres = levels - r
-      val trx0 = gx0 >> dres; val try0 = gy0 >> dres
-      val trx1 = ceilShift(gx0 + w, dres); val try1 = ceilShift(gy0 + h, dres)
-      val ppx = cod.ppx(r); val ppy = cod.ppy(r)
-      if (trx1 > trx0 && try1 > try0) {
-        val kx = trx0 >> ppx; val ky = try0 >> ppy
-        (kx, ky, ceilShift(trx1, ppx) - kx, ceilShift(try1, ppy) - ky)
-      } else (0, 0, 0, 0)
-    }
+    // per-resolution precinct geometry (B-14/B-16) — shared, see TileGeom
+    val resGeom = geom.resGeom
 
     // every packet is byte-aligned, so it occupies at least one body byte:
     // a corrupt COD (tiny precinct exponents × layers) cannot make the
     // packet walk allocate beyond the data that actually exists
-    val totalPackets = cod.layers.toLong * ncomp *
-      resGeom.map(g => g._3.toLong * g._4).sum
+    val totalPackets = geom.totalPackets
     require(totalPackets <= body.length,
       s"$totalPackets packets exceed the ${body.length}-byte tile body (corrupt COD?)")
     // a PLT covering only SOME packets (spec-legal: PLT may be emitted for
@@ -1101,42 +1226,9 @@ object Jp2Decode {
     val plt = if (pktLens != null && pktLens.length == totalPackets) pktLens
               else null
 
-    // packet order (B.12): LRCP/RLCP/RPCL nest layer/component loops
-    // around the in-resolution precinct raster; PCRL/CPRL order by the
-    // precinct's CANVAS position (its first sample), resolutions
-    // interleaved — with the subset's aligned origins that position is
-    // max(precinct origin, band start) << dres, exactly B.12.1.4/5's
-    // sample-scan condition
-    val order = Seq.newBuilder[(Int, Int, Int, Int)] // (layer, r, comp, precinct)
-    @inline def np(r: Int): Int = resGeom(r)._3 * resGeom(r)._4
-    cod.prog match {
-      case 0 => // LRCP: layer → resolution → component → position
-        for (l <- 0 until cod.layers; r <- 0 to levels;
-             c <- 0 until ncomp; p <- 0 until np(r)) order += ((l, r, c, p))
-      case 1 => // RLCP: resolution → layer → component → position
-        for (r <- 0 to levels; l <- 0 until cod.layers;
-             c <- 0 until ncomp; p <- 0 until np(r)) order += ((l, r, c, p))
-      case 2 => // RPCL: resolution → position → component → layer
-        for (r <- 0 to levels; p <- 0 until np(r);
-             c <- 0 until ncomp; l <- 0 until cod.layers) order += ((l, r, c, p))
-      case _ =>
-        // canvas position (y, x) of each precinct's first sample
-        val byPos = (for (r <- 0 to levels; p <- 0 until np(r)) yield {
-          val (kx0, ky0, npx, _) = resGeom(r)
-          val dres = levels - r
-          val cx = math.max((kx0 + p % npx).toLong << cod.ppx(r), gx0 >> dres) << dres
-          val cy = math.max((ky0 + p / npx).toLong << cod.ppy(r), gy0 >> dres) << dres
-          ((cy, cx), (r, p))
-        }).groupBy(_._1).toSeq.sortBy(_._1)
-        if (cod.prog == 3) // PCRL: position → component → resolution → layer
-          for ((_, grp) <- byPos; c <- 0 until ncomp;
-               (r, p) <- grp.map(_._2).sortBy(_._1); l <- 0 until cod.layers)
-            order += ((l, r, c, p))
-        else               // CPRL: component → position → resolution → layer
-          for (c <- 0 until ncomp; (_, grp) <- byPos;
-               (r, p) <- grp.map(_._2).sortBy(_._1); l <- 0 until cod.layers)
-            order += ((l, r, c, p))
-    }
+    // packet order (B.12) — shared with the ranged planner, see
+    // TileGeom.packetOrder
+    val order = geom.packetOrder()
 
     // per-block accumulation across layer packets: inclusion/zero-bitplane
     // trees and Lblock persist per (precinct, band); each block's passes
@@ -1163,31 +1255,15 @@ object Jp2Decode {
     // bottleneck once scenes reach real sizes. Safe at precinct
     // granularity because packet-header state (tag trees, Lblock) is
     // per-precinct, and the skip predicate is layer-independent, so a
-    // skipped precinct is skipped in every layer.
+    // skipped precinct is skipped in every layer. (Predicate shared with
+    // the ranged planner: TileGeom.precinctNeeded.)
     @inline def precinctNeeded(r: Int, kx0: Int, ky0: Int, pxi: Int,
                                pyi: Int, shx: Int, shy: Int): Boolean =
-      pktBands(r).exists { case (d, kind) =>
-        kept(d, kind) && {
-          val (bh, bw2) = bandDims(h, w, d, kind)
-          bh > 0 && bw2 > 0 && {
-            val tbx0 = gx0 >> d; val tby0 = gy0 >> d
-            val px0 = math.max((kx0 + pxi) << shx, tbx0)
-            val px1 = math.min((kx0 + pxi + 1) << shx, tbx0 + bw2)
-            val py0 = math.max((ky0 + pyi) << shy, tby0)
-            val py1 = math.min((ky0 + pyi + 1) << shy, tby0 + bh)
-            px1 > px0 && py1 > py0 && (winRects == null || {
-              // band-local coords, same frame as the block gate below
-              val need = winRects(d)
-              px0 - tbx0 < need.x1 && px1 - tbx0 > need.x0 &&
-                py0 - tby0 < need.y1 && py1 - tby0 > need.y0
-            })
-          }
-        }
-      }
+      geom.precinctNeeded(r, kx0, ky0, pxi, pyi, shx, shy)
 
     var bodyPos = 0
     var pi = 0
-    for ((l, r, comp, p) <- order.result()) {
+    for ((l, r, comp, p) <- order) {
       val (kx0, ky0, npx, _) = resGeom(r)
       val pxi = p % npx; val pyi = p / npx
       val ppx = cod.ppx(r); val ppy = cod.ppy(r)

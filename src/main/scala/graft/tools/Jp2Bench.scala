@@ -84,6 +84,37 @@ object Jp2Bench {
         f"${fullSec * 1000}%.0f ms -> ${fullSec / winSec}%.1fx " +
         f"(${winSec * 1000}%.1f ms probe at ${side.toLong * w0.height / 1e6}%.0f MP)")
     }
+    // ranged IO (Jp2Ranged): fetch only header + PLT + needed packet
+    // ranges through positional reads — the object-store bill for the
+    // same probes, measured as bytes fetched + GET-range request count
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val read = (ofs: Long, n: Int) => {
+        val b = new Array[Byte](n); raf.seek(ofs); raf.readFully(b); b
+      }
+      for ((label, wx, wy) <- Seq(("center", side / 2, side / 2), ("corner", 0, 0))) {
+        graft.sources.Jp2Ranged.decodeWindow(read, bytes.length, wx, wy, 256, 256) // warm
+        var io: graft.sources.Jp2Ranged.Io = null
+        val t0 = System.nanoTime()
+        for (_ <- 0 until reps)
+          io = graft.sources.Jp2Ranged.decodeWindow(read, bytes.length, wx, wy, 256, 256)._2
+        val sec = (System.nanoTime() - t0) / 1e9 / reps
+        println(f"prod RANGED window 256x256 @$label: ${sec * 1000}%.1f ms, " +
+          f"${io.bytesRead / 1e3}%.0f KB of ${bytes.length / 1e6}%.1f MB " +
+          f"(${io.bytesRead * 100.0 / bytes.length}%.2f%%) in ${io.requests} requests")
+      }
+      for (k <- Seq(3, 5)) {
+        graft.sources.Jp2Ranged.decodeLevel(read, bytes.length, k) // warm
+        var io: graft.sources.Jp2Ranged.Io = null
+        val t0 = System.nanoTime()
+        for (_ <- 0 until reps)
+          io = graft.sources.Jp2Ranged.decodeLevel(read, bytes.length, k)._2
+        val sec = (System.nanoTime() - t0) / 1e9 / reps
+        println(f"prod RANGED overview discard=$k: ${sec * 1000}%.1f ms, " +
+          f"${io.bytesRead / 1e3}%.0f KB (${io.bytesRead * 100.0 / bytes.length}%.2f%%) " +
+          f"in ${io.requests} requests")
+      }
+    } finally raf.close()
   }
 
   def main(args: Array[String]): Unit = {
