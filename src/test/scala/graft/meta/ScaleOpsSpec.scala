@@ -101,6 +101,54 @@ class ScaleOpsSpec extends SparkSpec {
       s"z-ordered layout must prune ≥75% of row groups for a 1% 2-D query, read $zRead of $n")
   }
 
+  test("bloom-filtered layout: point lookup on an UNCLUSTERED id skips row groups") {
+    // the axis z-order doesn't cover: ids hash-scattered across files have
+    // useless min/max everywhere, so a point read scans the table — unless
+    // each row group carries a bloom filter the reader can test the value
+    // against. 100k unique ids over 8 files; a point lookup must read ~1
+    // row group, not 8.
+    val n = 100000
+    val df = (0 until n).map(i => (i.toLong, i % 97, s"payload$i"))
+      .toDF("doc_id", "grp", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("bloom")
+    val blPath = dir.resolve("bl").toString
+    val linPath = dir.resolve("lin").toString
+    ScaleOps.writeBloomFiltered(df, Seq("doc_id"), blPath, numFiles = 8,
+      expectedDistinct = n.toLong)
+    df.repartition(8).write.parquet(linPath)
+
+    // the filters must really be in the footers (not silently dropped)
+    val firstFile = new java.io.File(blPath).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(firstFile.toString),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val block = rd.getFooter.getBlocks.get(0)
+      val colMeta = scala.jdk.CollectionConverters.ListHasAsScala(block.getColumns)
+        .asScala.find(_.getPath.toDotString == "doc_id").get
+      assert(rd.getBloomFilterDataReader(block).readBloomFilter(colMeta) != null,
+        "doc_id column chunk carries no bloom filter")
+    } finally rd.close()
+
+    def pointRead(path: String, id: Long): (Long, Seq[String]) = {
+      val q = spark.read.parquet(path).filter(col("doc_id") === id)
+      val rows = q.collect().map(_.getAs[String]("payload")).toSeq
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .getOrElse(fail("no FileSourceScanExec in the plan"))
+      (scan.metrics("numOutputRows").value, rows)
+    }
+    val (blRead, blRows) = pointRead(blPath, 31337L)
+    val (linRead, linRows) = pointRead(linPath, 31337L)
+    assert(blRows == Seq("payload31337") && linRows == blRows,
+      "layout must never change query results")
+    assert(linRead == n, s"plain layout scans everything, read $linRead")
+    assert(blRead <= n / 4,
+      s"bloom layout must skip non-matching row groups, read $blRead of $n")
+  }
+
   test("zorderWrite tolerates null dimension values (null z sorts to one end)") {
     val df = Seq[(java.lang.Long, java.lang.Long, String)](
       (1L, 10L, "a"), (null, 20L, "b"), (3L, null, "c"), (4L, 40L, "d"))
