@@ -1196,6 +1196,19 @@ object SparkEntry {
             .as("sum_px"))
         .orderBy(col("frame_index"))
     }),
+    // ---- LLM-pipeline: deterministic seeded global shuffle → fixed-token
+    // shard assignment (training export). Global cumsum via hash-prefix
+    // buckets + driver prefix-summed offsets — no single-partition window;
+    // ShardSpec pins invariance to bucket count and input partitioning ----
+    "q109_shards" -> ((s, d) =>
+      graft.functions.SamplingFunctions.shardByTokenBudget(
+          Tables.documents(s, d)
+            .select(col("doc_id"), T.tokenCount(col("text")).as("n_tok")),
+          col("doc_id"), col("n_tok"), seed = "s42", shardTokens = 8192,
+          buckets = 64)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("shard"))),
     // ---- windowed frequent items: the Misra-Gries summary in its exact
     // regime (k ≥ distinct event types), exploded back to rows — the
     // oracle checks it against plain per-window counts, proving the
@@ -1803,6 +1816,22 @@ object SparkEntry {
         |  CAST(sum((((16 + r) * 64 + 8 + c) * 2654435761 >> 13) & 4095) AS BIGINT) AS sum_px,
         |  CAST(240 AS BIGINT) AS n
         |FROM range(12) a(r), range(20) b(c)""".stripMargin,
+    // q109's oracle: the same seeded permutation (md5('s42' ∥ doc_id)) as a
+    // plain global window — DuckDB can afford the single-partition cumsum
+    // the Spark side deliberately avoids; agreement proves the bucketed
+    // two-phase prefix sum computes exactly the global running total
+    "q109_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    md5('s42' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok,
+        |    CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 8192) AS BIGINT) AS shard
+        |  FROM t)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1 ORDER BY shard""".stripMargin,
     // q107's oracle: the MJPEG fixture's closed-form block formula
     // v(f, br, bc) = ((f*53 + br*17 + bc*29) % 32)*8 + 4 summed over each
     // 48x32 frame's 6x4 constant blocks (scripts/gen_mjpeg_fixture.py) —

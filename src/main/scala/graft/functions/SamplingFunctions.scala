@@ -92,4 +92,77 @@ object SamplingFunctions {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerGroup).drop("__rn")
   }
+
+  /** Deterministic global shuffle + token-budget shard assignment — the
+    * training-export step that turns a curated corpus into a reproducible
+    * sequence of ~`shardTokens`-token shards: rows are ordered globally by
+    * `md5(seed ∥ id)` (the seeded shuffle — change the seed, get an
+    * independent permutation; keep it, every engine and run agrees), then
+    * cut wherever the cumulative token count crosses a shard boundary.
+    * Adds a `shard` column; a row's shard is
+    * `floor(tokensBefore / shardTokens)` in that global order, so every
+    * shard except the last holds ≥ `shardTokens` tokens once its last doc
+    * arrives, and an oversized doc overflows its own shard without
+    * shifting earlier ones (same convention as [[TextFunctions.packBins]],
+    * which packs per-partition; this op is its GLOBAL counterpart).
+    *
+    * Scale shape — a global running sum with no single-partition window:
+    * rows bucket by a monotone function of the hash's 16-bit prefix, so
+    * bucket order IS hash order and each bucket is a contiguous slice of
+    * the global permutation. One pass computes per-bucket token totals
+    * (map-side partial agg; `buckets` rows to the driver — bounded by
+    * construction, like the centroid/union-find collects elsewhere in this
+    * repo), the driver prefix-sums them into per-bucket offsets (a
+    * broadcast-joined `buckets`-row table), and the shard id is the
+    * per-bucket window cumsum plus the bucket offset. The corpus crosses
+    * exactly ONE exchange (keyed on the hash bucket — the deterministic
+    * shuffle itself); per-task memory is O(bucket slice), and hash buckets
+    * are uniform by construction, so there is no skew to salt.
+    *
+    * Buckets are NOT range-partitioner ranges on purpose:
+    * `repartitionByRange` samples the data to pick boundaries, so the
+    * offsets job and the assignment job could see different partitionings;
+    * a hash-prefix bucket is a pure function of the row and cannot drift
+    * between jobs (and `ShardSpec` pins invariance to the bucket count).
+    *
+    * `idCol` must be unique (it seeds the permutation and breaks hash
+    * ties); null or negative `tokenCol` values fail loudly rather than
+    * silently corrupting every later shard boundary. */
+  def shardByTokenBudget(df: DataFrame, idCol: Column, tokenCol: Column,
+                         seed: String, shardTokens: Long,
+                         buckets: Int = 4096): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens must be >= 1, got $shardTokens")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    val h = md5(concat(lit(seed), idCol.cast("string")))
+    val tok = tokenCol.cast("long")
+    val guarded = when(tok.isNull.or(tok < 0),
+        raise_error(concat(lit("shardByTokenBudget: null or negative token count for id "),
+          idCol.cast("string"))))
+      .otherwise(tok)
+    // monotone 16-bit-prefix bucketing: same bucket ⇒ contiguous in h order
+    val work = df
+      .withColumn("__h", h)
+      .withColumn("__tok", guarded)
+      .withColumn("__b",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") * buckets / 65536)
+          .cast("int"))
+    val perBucket = work.groupBy(col("__b")).agg(sum(col("__tok")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsetRows = perBucket.map { case (b, t) =>
+      val o = acc; acc += t; (b, o)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(offsetRows.toDF("__b", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h").asc, idCol.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    work.join(offsets, "__b")
+      .withColumn("shard",
+        floor((col("__off") + coalesce(sum(col("__tok")).over(w), lit(0L)))
+          / shardTokens).cast("long"))
+      .drop("__h", "__tok", "__b", "__off")
+  }
 }
