@@ -1209,6 +1209,19 @@ object SparkEntry {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy(col("shard"))),
+    // ---- LLM-pipeline: weighted corpus mixing WITH upsampling — epoch
+    // repetition by stratum factor (en ×0.5 downsample, de ×2.3 upsample),
+    // fractional epochs decided by the same 24-bit md5 bucket as q75 so
+    // the oracle replays every inclusion; zero shuffle before the agg ----
+    "q110_mixture" -> ((s, d) =>
+      graft.functions.SamplingFunctions.repeatWeighted(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), T.tokenCount(col("text")).as("n_tok")),
+          col("lang"), col("doc_id").cast("string"),
+          Map("en" -> 0.5, "de" -> 2.3), defaultFactor = 1.0, buckets = 100)
+        .groupBy(col("lang"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("lang"), col("epoch"))),
     // ---- windowed frequent items: the Misra-Gries summary in its exact
     // regime (k ≥ distinct event types), exploded back to rows — the
     // oracle checks it against plain per-window counts, proving the
@@ -1832,6 +1845,26 @@ object SparkEntry {
         |  FROM t)
         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1 ORDER BY shard""".stripMargin,
+    // q110's oracle: same stratum factors; copies = floor(f) + (hb < frac),
+    // hb = the q75-style 24-bit md5 bucket of the doc id; epochs unnested
+    "q110_mixture" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |        << (4 * (6 - j))), 'sum') AS BIGINT) % 100 AS hb
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    CAST(floor(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.3 ELSE 1.0 END) AS INTEGER)
+        |      + CASE WHEN hb < round((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.3 ELSE 1.0 END
+        |          - floor(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.3 ELSE 1.0 END)) * 100)
+        |        THEN 1 ELSE 0 END AS n
+        |  FROM t),
+        |e AS (SELECT lang, n_tok, CAST(u.i AS INTEGER) AS epoch
+        |  FROM c, unnest(generate_series(0, n - 1)) AS u(i) WHERE n > 0)
+        |SELECT lang, epoch, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY 1, 2 ORDER BY lang, epoch""".stripMargin,
     // q107's oracle: the MJPEG fixture's closed-form block formula
     // v(f, br, bc) = ((f*53 + br*17 + bc*29) % 32)*8 + 4 summed over each
     // 48x32 frame's 6x4 constant blocks (scripts/gen_mjpeg_fixture.py) —

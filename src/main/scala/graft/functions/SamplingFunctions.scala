@@ -93,6 +93,43 @@ object SamplingFunctions {
       .filter(col("__rn") <= maxPerGroup).drop("__rn")
   }
 
+  /** Deterministic weighted repetition — the upsampling half of corpus
+    * mixing that a keep/drop hash filter cannot express. Each stratum's
+    * `factor` is an epoch count: a row with factor 2.3 appears in epochs
+    * 0 and 1 unconditionally and in epoch 2 iff its content hash lands in
+    * the fractional 30% — so realized stratum sizes hit `count·factor` in
+    * expectation with the same engine-independent determinism as
+    * [[stratifiedHashSample]] (which this degenerates to for factors ≤ 1).
+    * Adds an `epoch` column (0-based copy index) so downstream packing /
+    * sharding can keep copies of a document apart.
+    *
+    * Scale shape: pure scan-side `explode(sequence(...))` — no shuffle, no
+    * join; row multiplication happens inside the scan stage exactly like
+    * [[TextFunctions.chunkTokens]]. Feed `factors` from
+    * [[temperatureFractions]] scaled to the target epoch budget (the
+    * count^α mixing weights), then [[shardByTokenBudget]] on (id, epoch)
+    * for the export order. */
+  def repeatWeighted(df: DataFrame, strataCol: Column, keyCol: Column,
+                     factors: Map[String, Double],
+                     defaultFactor: Double = 1.0,
+                     buckets: Int = 10000): DataFrame = {
+    (factors.values.toSeq :+ defaultFactor).foreach(f =>
+      require(f >= 0 && f <= 1000, s"factors must be in [0,1000], got $f"))
+    val factor = factors.foldLeft(lit(defaultFactor)) {
+      case (acc, (stratum, f)) => when(strataCol === stratum, lit(f)).otherwise(acc)
+    }
+    val whole = floor(factor).cast("int")
+    // fractional epoch by the SAME 24-bit md5 bucket as the samplers, so a
+    // DuckDB oracle replays every inclusion decision bit-for-bit
+    val frac = round((factor - whole) * buckets).cast("long")
+    val copies = whole +
+      when(TextFunctions.hashBucket(keyCol, buckets) < frac, 1).otherwise(0)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Deterministic global shuffle + token-budget shard assignment — the
     * training-export step that turns a curated corpus into a reproducible
     * sequence of ~`shardTokens`-token shards: rows are ordered globally by

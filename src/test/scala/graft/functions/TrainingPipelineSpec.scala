@@ -239,6 +239,38 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("repeatWeighted: exact copy count per row — floor(f) + fractional hash inclusion") {
+    import java.security.MessageDigest
+    def hb(s: String, buckets: Int): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val rows = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+    val factors = Map("a" -> 2.3, "b" -> 0.5) // c keeps default 1.0
+    val out = SamplingFunctions.repeatWeighted(
+        rows.toDF("doc_id", "s"), col("s"), col("doc_id").cast("string"),
+        factors, defaultFactor = 1.0, buckets = 100)
+      .groupBy(col("doc_id")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(col("epoch")).as("mx"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, s) =>
+      val f = factors.getOrElse(s, 1.0)
+      val expect = f.toInt + (if (hb(id.toString, 100) < math.round((f - f.toInt) * 100)) 1 else 0)
+      val got = out.get(id).map(_._1).getOrElse(0L)
+      assert(got === expect.toLong, s"id=$id stratum=$s")
+      if (expect > 0) assert(out(id)._2 === expect - 1, s"epoch index id=$id") // dense 0-based epochs
+    }
+  }
+
+  test("repeatWeighted: zero shuffle — the multiplication stays in the scan stage") {
+    val df = SamplingFunctions.repeatWeighted(
+      (1L to 50L).map(i => (i, "x")).toDF("doc_id", "s"),
+      col("s"), col("doc_id").cast("string"), Map("x" -> 3.5), 1.0, 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("property: capPerGroup keeps the md5-smallest N ids of each group exactly") {
     import java.security.MessageDigest
     def md5hex(s: String): String =
