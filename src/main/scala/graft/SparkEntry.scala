@@ -1209,6 +1209,22 @@ object SparkEntry {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy(col("shard"))),
+    // ---- LLM-pipeline: INCREMENTAL near-dup via a persisted LSH index —
+    // corpus (even ids) signed once into a (band, band_key, shingles)
+    // parquet index; the new batch (odd ids) probes by broadcast equi-join
+    // with in-row exact-Jaccard verify, never re-signing the corpus -------
+    "q111_lsh_incremental" -> ((s, d) => {
+      val dir = memoLayout("q111_lsh", d) { tmp =>
+        D.writeLshIndex(Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", tmp, n = 3, bands = 1, rowsPerBand = 2)
+      }
+      D.probeLshIndex(s, dir,
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", n = 3, bands = 1, rowsPerBand = 2,
+          jaccardThreshold = 0.0)
+        .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_new"), col("id_index"))
+    }),
     // ---- LLM-pipeline: weighted corpus mixing WITH upsampling — epoch
     // repetition by stratum factor (en ×0.5 downsample, de ×2.3 upsample),
     // fractional epochs decided by the same 24-bit md5 bucket as q75 so
@@ -1845,6 +1861,25 @@ object SparkEntry {
         |  FROM t)
         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1 ORDER BY shard""".stripMargin,
+    // q111's oracle: the q43 band-key formula, corpus = even ids probed by
+    // the odd-id batch — independent of the persisted index layout
+    "q111_lsh_incremental" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS shingles FROM toks),
+        |keys AS (SELECT doc_id, shingles,
+        |    list_aggregate(list_transform(shingles, s -> md5('s0' || s)), 'min') || '|' ||
+        |    list_aggregate(list_transform(shingles, s -> md5('s1' || s)), 'min') AS band_key
+        |  FROM sh)
+        |SELECT b.doc_id AS id_new, a.doc_id AS id_index,
+        |  round(CAST(len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))) AS DOUBLE)
+        |    / (len(list_distinct(a.shingles)) + len(list_distinct(b.shingles))
+        |       - len(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles)))), 4) AS jaccard
+        |FROM keys a JOIN keys b ON a.band_key = b.band_key
+        |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |ORDER BY id_new, id_index""".stripMargin,
     // q110's oracle: same stratum factors; copies = floor(f) + (hb < frac),
     // hb = the q75-style 24-bit md5 bucket of the doc id; epochs unnested
     "q110_mixture" ->

@@ -164,6 +164,80 @@ object DedupFunctions {
       .distinct()
   }
 
+  /** The (band, band_key, id, shingles) keyed form a persisted LSH index
+    * stores — one row per (doc, band), shingles carried so probes verify
+    * exact Jaccard without ever re-reading corpus text. */
+  private def lshIndexRows(df: DataFrame, textCol: String, idCol: String,
+                           n: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.expr.NativeFunctions.word_ngrams(col(textCol), n).as("shingles"),
+        minhashSignature(col(textCol), n, bands * rowsPerBand).as("__sig"))
+      .select(col("id"), col("shingles"),
+        posexplode(array((0 until bands).map(b =>
+          bandKeyFromSignature(col("__sig"), b, rowsPerBand)): _*))
+          .as(Seq("band", "band_key")))
+      .select(col("band"), col("band_key"), col("id"), col("shingles"))
+
+  /** Persist a near-dup (MinHash-LSH) index of a corpus for INCREMENTAL
+    * dedup — the "corpus grows daily" operating mode: sign the corpus
+    * ONCE into (band, band_key, id, shingles) parquet, then each new
+    * batch probes it by equi-join without re-shingling, re-hashing or
+    * re-shuffling a single corpus row. The reference's analogue is its
+    * already-published check against the catalog (SURVEY P3 /
+    * check_scenes); this is the same idea for near-duplicate text.
+    *
+    * Scale shape: the build is the signature scan + ONE partitioned
+    * write; index size ≈ bands × (key + shingle payload). A daily batch
+    * probe keys only the batch (its signature scan is batch-sized) and
+    * broadcasts it when small — the index side then never shuffles at
+    * all: a pure scan + broadcast-hash join + in-row Jaccard. Accepted
+    * docs append to the index via dynamic partition append
+    * ([[appendToLshIndex]]), the same operational model as the IVF
+    * index's train-once/append-between ([[SimilarityFunctions.appendToIvfIndex]]). */
+  def writeLshIndex(df: DataFrame, textCol: String, idCol: String,
+                    path: String, n: Int = 3, bands: Int = 4,
+                    rowsPerBand: Int = 2): Unit =
+    lshIndexRows(df, textCol, idCol, n, bands, rowsPerBand)
+      .write.mode("overwrite").partitionBy("band")
+      .option("compression", "zstd").parquet(path)
+
+  /** Append newly-accepted docs to a persisted LSH index without touching
+    * existing rows (dynamic partition append; band count must match the
+    * build). */
+  def appendToLshIndex(df: DataFrame, textCol: String, idCol: String,
+                       path: String, n: Int = 3, bands: Int = 4,
+                       rowsPerBand: Int = 2): Unit =
+    lshIndexRows(df, textCol, idCol, n, bands, rowsPerBand)
+      .write.mode("append").partitionBy("band")
+      .option("compression", "zstd").parquet(path)
+
+  /** Probe a persisted LSH index with a batch of new docs: returns
+    * verified (id_new, id_index, jaccard) pairs at or above the
+    * threshold — the batch's near-dups of the ALREADY-INDEXED corpus.
+    * Join on (band, band_key), exact Jaccard from the carried shingle
+    * sets; candidate pairs sharing several bands collapse via distinct.
+    * The batch side is broadcast-hinted: a daily batch is small against
+    * a 100 TB index, so the planner turns this into an index scan that
+    * never exchanges (falls back to a shuffle join past the broadcast
+    * threshold — correct either way). */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newDocs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                    jaccardThreshold: Double = 0.8): DataFrame = {
+    val idx = spark.read.parquet(path)
+      .withColumnRenamed("id", "id_index")
+      .withColumnRenamed("shingles", "sh_index")
+    val probe = broadcast(
+      lshIndexRows(newDocs, textCol, idCol, n, bands, rowsPerBand)
+        .withColumnRenamed("id", "id_new")
+        .withColumnRenamed("shingles", "sh_new"))
+    idx.join(probe, Seq("band", "band_key"))
+      .select(col("id_new"), col("id_index"),
+        jaccardFromDistinct(col("sh_new"), col("sh_index")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .distinct()
+  }
+
   /** Near-dup pairs with **bucket-local** verification — the scale path.
     *
     * Docs explode into (band, bandKey) rows carrying their distinct shingle

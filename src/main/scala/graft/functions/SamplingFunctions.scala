@@ -167,7 +167,8 @@ object SamplingFunctions {
     * silently corrupting every later shard boundary. */
   def shardByTokenBudget(df: DataFrame, idCol: Column, tokenCol: Column,
                          seed: String, shardTokens: Long,
-                         buckets: Int = 4096): DataFrame = {
+                         buckets: Int = 4096,
+                         keepKey: Boolean = false): DataFrame = {
     require(shardTokens >= 1, s"shardTokens must be >= 1, got $shardTokens")
     require(buckets >= 1 && buckets <= 65536,
       s"buckets must be in [1, 65536], got $buckets")
@@ -196,10 +197,54 @@ object SamplingFunctions {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__b")).orderBy(col("__h").asc, idCol.asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    work.join(offsets, "__b")
+    val out = work.join(offsets, "__b")
       .withColumn("shard",
         floor((col("__off") + coalesce(sum(col("__tok")).over(w), lit(0L)))
           / shardTokens).cast("long"))
-      .drop("__h", "__tok", "__b", "__off")
+      .drop("__tok", "__b", "__off")
+    if (keepKey) out.withColumnRenamed("__h", "shuffle_key")
+    else out.drop("__h")
+  }
+
+  /** Materialize a sharded corpus ([[shardByTokenBudget]] output) as the
+    * training-export layout: `outDir/shard=K/` parquet, ONE file per shard
+    * (the unit a data loader streams), rows inside each file in `orderCols`
+    * order (pass the retained `shuffle_key` — `keepKey = true` — to
+    * preserve the seeded permutation; parquet keeps row order within a
+    * file). Returns the export manifest — (shard, n_rows, n_files, bytes)
+    * — the completeness record a resumable loader checks before training.
+    *
+    * Scale shape: one hash exchange on `shard` co-locates each shard in
+    * one task (so exactly one file per shard — asserted from the manifest,
+    * not assumed), writes go executor-side through the Hadoop FS API like
+    * every sink here, and the manifest is built from a driver-side
+    * directory listing bounded by the shard count (same envelope as the
+    * other bounded collects in this repo) joined to a read-back count. */
+  def writeShards(sharded: DataFrame, outDir: String,
+                  orderCols: Seq[Column] = Nil): DataFrame = {
+    require(sharded.columns.contains("shard"), "input must carry a shard column")
+    sharded.repartition(col("shard"))
+      .sortWithinPartitions(col("shard") +: orderCols: _*)
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "zstd").parquet(outDir)
+    val spark = sharded.sparkSession
+    // driver-side collect bounded by shard count: one FS list of shard dirs
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perShard = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (d.getPath.getName.stripPrefix("shard=").toLong,
+          files.length, files.map(_.getLen).sum)
+      }.toSeq
+    import spark.implicits._
+    val listing = perShard.toDF("shard", "n_files", "bytes")
+    val counts = spark.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
+    counts.join(broadcast(listing), "shard")
+      .select(col("shard"), col("n_rows"), col("n_files"), col("bytes"))
   }
 }

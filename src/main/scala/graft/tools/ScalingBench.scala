@@ -111,6 +111,16 @@ object ScalingBench {
         "semantic_dedup" -> time(s"$tag semantic_dedup") {
           Sim.dedupSemantic(emb, "embedding", "vec_id",
             dim = 64, threshold = 0.9, bits = 10, seed = 42L).count()
+        },
+        "shard_by_budget" -> time(s"$tag shard_by_budget") {
+          graft.functions.SamplingFunctions.shardByTokenBudget(
+            docs.select(col("doc_id"), T.tokenCount(col("text")).as("n_tok")),
+            col("doc_id"), col("n_tok"), "s42", 100000L, 4096).count()
+        },
+        "repeat_weighted" -> time(s"$tag repeat_weighted") {
+          graft.functions.SamplingFunctions.repeatWeighted(
+            docs, col("lang"), col("doc_id").cast("string"),
+            Map("en" -> 0.5, "de" -> 2.3), 1.0, 100).count()
         })
     }
 

@@ -82,6 +82,35 @@ class ShardSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("negative token count"))
   }
 
+  test("writeShards: one file per shard, exact round-trip, seeded order inside each file") {
+    val out = "/tmp/graft-shard-export"
+    val sharded = shardByTokenBudget(docs, col("doc_id"), col("n_tok"),
+      "s42", 500L, 64, keepKey = true)
+    val manifest = SamplingFunctions.writeShards(sharded, out,
+        orderCols = Seq(col("shuffle_key"), col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // one file per shard, nothing empty
+    assert(manifest.nonEmpty)
+    manifest.foreach { case (s, rows, files, bytes) =>
+      assert(files === 1, s"shard $s has $files files")
+      assert(rows > 0 && bytes > 0, s"shard $s empty")
+    }
+    // round-trip: same (doc_id -> shard) assignment as the in-memory frame
+    val back = spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = sharded.select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back === expect)
+    assert(manifest.map(_._2).sum === expect.size.toLong)
+    // rows inside each single-file shard arrive in the seeded order
+    manifest.foreach { case (s, _, _, _) =>
+      val keys = spark.read.parquet(s"$out/shard=$s")
+        .select(col("shuffle_key")).collect().map(_.getString(0)).toSeq
+      assert(keys === keys.sorted, s"shard $s not in seeded order")
+    }
+  }
+
   test("plan has no single-partition exchange — the cumsum is distributed") {
     val plan = shardByTokenBudget(docs, col("doc_id"), col("n_tok"), "s42", 500L, 64)
       .queryExecution.executedPlan.toString
