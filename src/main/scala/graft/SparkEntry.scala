@@ -1225,6 +1225,35 @@ object SparkEntry {
         .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_new"), col("id_index"))
     }),
+    // ---- LLM-pipeline: trained NB language classifier (fastText-langid
+    // shape) — exact-count train on the 90% md5-bucket split, score the
+    // held-out 10%, emit the confusion matrix. The fitted model is
+    // vocabulary-sized and broadcasts; the only scoring exchange carries
+    // one row per (doc, class) ------------------------------------------
+    "q112_nb_classify" -> ((s, d) => {
+      val C = graft.functions.ClassifierFunctions
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("hb", T.hashBucket(col("text"), 100))
+      val model = C.trainNaiveBayes(docs.filter(col("hb") >= 10), "text", "lang")
+      val test = docs.filter(col("hb") < 10)
+      C.nbPredict(test, model, "text", "doc_id")
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_label"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_label"))
+    }),
+    // ---- LLM-pipeline: unigram-LM perplexity filter (CCNet shape) —
+    // bits/token of each held-out doc under the LM trained on the 90%
+    // split; OOV terms cost log2(1)=0 so scoring is a broadcast join ----
+    "q113_perplexity" -> ((s, d) => {
+      val C = graft.functions.ClassifierFunctions
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("hb", T.hashBucket(col("text"), 100))
+      val lm = C.trainUnigramLm(docs.filter(col("hb") >= 10), "text")
+      C.unigramBitsPerToken(docs.filter(col("hb") < 10), lm, "text", "doc_id")
+        .select(col("doc_id"), col("n_tok"), r4(col("bits")).as("bits"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- LLM-pipeline: weighted corpus mixing WITH upsampling — epoch
     // repetition by stratum factor (en ×0.5 downsample, de ×2.3 upsample),
     // fractional epochs decided by the same 24-bit md5 bucket as q75 so
@@ -1880,6 +1909,65 @@ object SparkEntry {
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_new, id_index""".stripMargin,
+    "q112_nb_classify" ->
+      """WITH hb AS (SELECT doc_id, lang, text,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1 AS BIGINT)
+        |        << (4 * (6 - j))), 'sum') AS BIGINT) % 100 AS hb
+        |  FROM documents WHERE n_chars > 0),
+        |tr AS (SELECT lang, text FROM hb WHERE hb >= 10),
+        |te AS (SELECT doc_id, lang, text FROM hb WHERE hb < 10),
+        |ttok AS (SELECT lang AS label,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM tr WHERE trim(text) <> ''),
+        |cnts AS (SELECT label, term, count(*) AS cnt FROM ttok GROUP BY label, term),
+        |cs AS (SELECT p.label,
+        |    ln(p.n_c * 1.0 / (SELECT count(*) FROM tr)) AS log_prior,
+        |    ln((t.t_c + (SELECT count(DISTINCT term) FROM cnts)) * 1.0) AS log_denom
+        |  FROM (SELECT lang AS label, count(*) AS n_c FROM tr GROUP BY lang) p
+        |  JOIN (SELECT label, sum(cnt) AS t_c FROM cnts GROUP BY label) t USING (label)),
+        |nt AS (SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM te),
+        |st AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM te WHERE trim(text) <> ''),
+        |m AS (SELECT st.doc_id, c.label, sum(ln(c.cnt + 1.0)) AS s_match
+        |  FROM st JOIN cnts c USING (term) GROUP BY st.doc_id, c.label),
+        |sc AS (SELECT n.doc_id, n.lang, cs.label,
+        |    cs.log_prior + coalesce(m.s_match, 0) - n.n_tok * cs.log_denom AS score
+        |  FROM nt n CROSS JOIN cs
+        |  LEFT JOIN m ON m.doc_id = n.doc_id AND m.label = cs.label),
+        |pr AS (SELECT doc_id, lang, label AS pred_label FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, label ASC) = 1)
+        |SELECT lang, pred_label, count(*) AS n_docs FROM pr
+        |GROUP BY lang, pred_label ORDER BY lang, pred_label""".stripMargin,
+    "q113_perplexity" ->
+      """WITH hb AS (SELECT doc_id, text,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1 AS BIGINT)
+        |        << (4 * (6 - j))), 'sum') AS BIGINT) % 100 AS hb
+        |  FROM documents WHERE n_chars > 0),
+        |ttok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM hb WHERE hb >= 10 AND trim(text) <> ''),
+        |cnts AS (SELECT term, count(*) AS cnt FROM ttok GROUP BY term),
+        |den AS (SELECT log2(((SELECT sum(cnt) FROM cnts)
+        |                     + (SELECT count(*) FROM cnts)) * 1.0) AS log2_denom),
+        |te AS (SELECT doc_id, text FROM hb WHERE hb < 10),
+        |nt AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |  FROM te WHERE trim(text) <> ''),
+        |st AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM te WHERE trim(text) <> ''),
+        |m AS (SELECT doc_id, sum(log2(cnt + 1.0)) AS s_match
+        |  FROM st JOIN cnts USING (term) GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_tok,
+        |  round(d.log2_denom - coalesce(m.s_match, 0) / n.n_tok, 4) AS bits
+        |FROM nt n LEFT JOIN m USING (doc_id) CROSS JOIN den d
+        |ORDER BY n.doc_id""".stripMargin,
     // q110's oracle: same stratum factors; copies = floor(f) + (hb < frac),
     // hb = the q75-style 24-bit md5 bucket of the doc id; epochs unnested
     "q110_mixture" ->

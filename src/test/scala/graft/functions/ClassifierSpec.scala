@@ -1,0 +1,126 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[ClassifierFunctions]] — trained NB classifier and unigram-LM
+  * perplexity. Semantics pinned against hand-computed values on a tiny
+  * corpus (the closed-form Laplace scores), plus the plan properties that
+  * make scoring scan-side: the model joins BROADCAST, and the per-doc
+  * aggregation partial-aggregates before its one exchange. */
+class ClassifierSpec extends SparkSpec {
+  import ClassifierFunctions._
+  import spark.implicits._
+
+  // Tiny labeled corpus: en = {"the cat", "the dog"}, de = {"der hund"}.
+  // Vocab V = 5 {the, cat, dog, der, hund}; T_en = 4, T_de = 2.
+  private lazy val train = Seq(
+    (1L, "the cat", "en"), (2L, "the dog", "en"), (3L, "der hund", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  private lazy val model = trainNaiveBayes(train, "text", "lang")
+
+  test("NB score matches the closed-form Laplace computation") {
+    val test = Seq((10L, "the cat"), (11L, "der der")).toDF("doc_id", "text")
+    val got = nbScore(test, model, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getDouble(2))).toMap
+    // P(en)=2/3, P(de)=1/3; denominators: en 4+5=9, de 2+5=7.
+    // "the cat" | en: ln(2/3) + ln(2+1) + ln(1+1) - 2 ln 9
+    val theCatEn = math.log(2.0 / 3) + math.log(3.0) + math.log(2.0) - 2 * math.log(9.0)
+    // "the cat" | de: both terms unseen in de → matched sum 0
+    val theCatDe = math.log(1.0 / 3) - 2 * math.log(7.0)
+    // "der der" | de: ln(1/3) + 2·ln(1+1) - 2 ln 7
+    val derDerDe = math.log(1.0 / 3) + 2 * math.log(2.0) - 2 * math.log(7.0)
+    assert(math.abs(got((10L, "en")) - theCatEn) < 1e-12)
+    assert(math.abs(got((10L, "de")) - theCatDe) < 1e-12)
+    assert(math.abs(got((11L, "de")) - derDerDe) < 1e-12)
+    assert(got((10L, "en")) > got((10L, "de")))
+    assert(got((11L, "de")) > got((11L, "en")))
+  }
+
+  test("NB predict: argmax with lexicographic tiebreak; zero-token doc scores priors") {
+    val test = Seq((10L, "the cat"), (11L, "der hund"), (12L, "   ")).toDF("doc_id", "text")
+    val pred = nbPredict(test, model, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(10L) === "en")
+    assert(pred(11L) === "de")
+    // zero tokens → score = log_prior only; en has the larger prior (2/3)
+    assert(pred(12L) === "en")
+  }
+
+  test("unigram bits/token matches the closed form; OOV-only doc hits the ceiling") {
+    val lm = trainUnigramLm(train.select(col("text")), "text")
+    // Unigram counts: the 2, cat 1, dog 1, der 1, hund 1; T=6, V=5, T+V=11.
+    val test = Seq((1L, "the the cat"), (2L, "zzz qqq"), (3L, "")).toDF("doc_id", "text")
+    val got = unigramBitsPerToken(test, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val expected1 = log2(11.0) - (2 * log2(3.0) + log2(2.0)) / 3.0
+    assert(got(1L)._1 === 3)
+    assert(math.abs(got(1L)._2 - expected1) < 1e-12)
+    // every token OOV → bits = log2(T+V), the smoothing ceiling
+    assert(math.abs(got(2L)._2 - log2(11.0)) < 1e-12)
+    // zero-token docs are excluded, not scored
+    assert(!got.contains(3L))
+  }
+
+  test("scoring plan: the exploded token stream joins the model BROADCAST, never sort-merge") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val m = trainNaiveBayes(docs, "text", "lang")
+    val plan = nbScore(docs, m, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // the term-keyed join (corpus tokens × vocabulary model) must broadcast
+    assert(plan.contains("BroadcastHashJoin [term"),
+      "the vocabulary-sized model must broadcast into the token stream")
+    // any sort-merge join may only be the (doc, label) score assembly —
+    // one bounded row per doc×class, never keyed on term
+    for (line <- plan.linesIterator if line.contains("SortMergeJoin"))
+      assert(line.contains("doc_id"), s"unexpected SMJ not keyed on doc_id: $line")
+  }
+
+  test("NB separates classes when the text is actually informative") {
+    // The driver corpus's lang column is independent of its text (all langs
+    // share one vocabulary), so accuracy there is meaningless. Pin
+    // separability on a corpus with (mostly) disjoint class vocabularies.
+    val enWords = Vector("the", "cat", "sat", "on", "mat", "dog", "runs")
+    val deWords = Vector("der", "hund", "katze", "auf", "matte", "läuft", "und")
+    val rows = (0 until 200).map { i =>
+      val words = if (i % 2 == 0) enWords else deWords
+      val shared = if (i % 7 == 0) " spark" else "" // a little vocab overlap
+      val text = (0 until 12).map(j => words((i * 31 + j * 17) % words.size))
+        .mkString(" ") + shared
+      (i.toLong, text, if (i % 2 == 0) "en" else "de")
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val train = df.filter(col("doc_id") < 150)
+    val test = df.filter(col("doc_id") >= 150)
+    val m = trainNaiveBayes(train, "text", "lang")
+    val pred = nbPredict(test, m, "text", "doc_id")
+      .join(test.select(col("doc_id"), col("lang")), "doc_id")
+    val n = pred.count()
+    val good = pred.filter(col("pred_label") === col("lang")).count()
+    assert(n === 50L)
+    assert(good === n, s"disjoint-vocabulary classes must classify perfectly; got $good/$n")
+  }
+
+  test("confusion matrix is deterministic across shuffle parallelisms (float-argmax stability)") {
+    def conf(): Map[(String, String), Long] = {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(col("n_chars") > 0)
+        .withColumn("hb", TextFunctions.hashBucket(col("text"), 100))
+      val m = trainNaiveBayes(docs.filter(col("hb") >= 10), "text", "lang")
+      val test = docs.filter(col("hb") < 10)
+      nbPredict(test, m, "text", "doc_id")
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_label")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    }
+    val base = conf()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(conf() === base,
+        "per-doc score sums must argmax identically under a different partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
