@@ -1225,6 +1225,24 @@ object SparkEntry {
         .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_new"), col("id_index"))
     }),
+    // ---- Incremental aggregate maintenance (ScaleOps.aggState/merge) —
+    // the O(delta) rollup: state built from the pre-cut slice, delta from
+    // the post-cut slice, merged algebraically. Oracle aggregates the RAW
+    // union, so the hash match proves merge(state, delta) ≡ full recompute
+    "q114_incr_agg" -> ((s, d) => {
+      val S = graft.meta.ScaleOps
+      val ev = Tables.events(s, d)
+        .withColumn("day", col("ts").cast("date"))
+      val cut = lit("2024-01-20").cast("date")
+      val keys = Seq(col("event_type"), col("day"))
+      val state = S.aggState(ev.filter(col("day") < cut), keys, col("value"))
+      val delta = S.aggState(ev.filter(col("day") >= cut), keys, col("value"))
+      S.mergeAggState(Seq(state, delta), Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n"),
+          r2(col("sum_v")).as("sum_v"), col("min_v"), col("max_v"),
+          r4(col("sum_v") / col("n")).as("avg_v"))
+        .orderBy(col("event_type"), col("day"))
+    }),
     // ---- LLM-pipeline: trained NB language classifier (fastText-langid
     // shape) — exact-count train on the 90% md5-bucket split, score the
     // held-out 10%, emit the confusion matrix. The fitted model is
@@ -1909,6 +1927,12 @@ object SparkEntry {
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_new, id_index""".stripMargin,
+    "q114_incr_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |  round(sum(value), 2) AS sum_v, min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value) / count(*), 4) AS avg_v
+        |FROM events GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
     "q112_nb_classify" ->
       """WITH hb AS (SELECT doc_id, lang, text,
         |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->

@@ -199,4 +199,55 @@ object ScaleOps {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  // ---- Incremental aggregate maintenance ---------------------------------
+  //
+  // The O(delta) lever: a rolling rollup over a 100 TB archive must not be
+  // recomputed from the archive every day. Algebraic aggregates
+  // (count/sum/min/max — avg derives as sum/n) carry a mergeable state, so
+  // yesterday's state table + today's delta slice re-combine in
+  // O(state + delta), and merge(aggState(A), aggState(B)) ≡ aggState(A ∪ B)
+  // exactly (the invariant IncrementalAggSpec pins and q114's oracle checks
+  // end-to-end: the oracle aggregates the raw union, Spark merges states).
+  // The reference recomputes its dashboard counts from Postgres on every
+  // request (controller.py aggregate endpoints) — viable at Postgres scale,
+  // not at archive scale.
+
+  /** Build algebraic aggregate state for one slice: one hash aggregation
+    * with map-side partials, grouped by `keys`, over `valueCol`.
+    * Output: keys ++ (n, sum_v, min_v, max_v). */
+  def aggState(df: DataFrame, keys: Seq[Column], valueCol: Column): DataFrame =
+    df.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"),
+      sum(valueCol).as("sum_v"),
+      min(valueCol).as("min_v"),
+      max(valueCol).as("max_v"))
+
+  /** Merge any number of aggregate states. Each input must have the
+    * [[aggState]] shape with the same key columns. The combine is itself
+    * algebraic (sum of n/sum_v, min of min_v, max of max_v), so states
+    * merge associatively — daily states roll into monthly, monthly into
+    * yearly, at O(state) each. */
+  def mergeAggState(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeAggState needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
+  /** Upsert a delta's partitions into a partitioned parquet state table:
+    * dynamic partition overwrite replaces ONLY the partitions present in
+    * `delta` — untouched partitions' files are not rewritten (spec-pinned
+    * by file mtime), so maintaining a decade-long state table costs one
+    * day's write, not a decade's. */
+  def upsertStatePartitions(delta: DataFrame, path: String,
+                            partCols: Seq[String]): Unit =
+    delta.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
 }
