@@ -1225,6 +1225,14 @@ object SparkEntry {
         .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_new"), col("id_index"))
     }),
+    // ---- dedup: EXACT set-similarity join via prefix filtering (AllPairs/
+    // PPJoin) — no probabilistic recall loss; oracle is the brute-force
+    // cross join, so the hash match proves the prefix filter is complete --
+    "q115_jaccard_join" -> ((s, d) =>
+      D.jaccardJoinExact(Tables.documents(s, d).filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", tau = 0.9)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
     // ---- Incremental aggregate maintenance (ScaleOps.aggState/merge) —
     // the O(delta) rollup: state built from the pre-cut slice, delta from
     // the post-cut slice, merged algebraically. Oracle aggregates the RAW
@@ -1927,6 +1935,16 @@ object SparkEntry {
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_new, id_index""".stripMargin,
+    "q115_jaccard_join" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
+        |  FROM documents WHERE doc_id % 7 = 0 AND trim(text) <> ''),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.tk, b.tk)) * 1.0
+        |      / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "q114_incr_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
         |  round(sum(value), 2) AS sum_v, min(value) AS min_v, max(value) AS max_v,
