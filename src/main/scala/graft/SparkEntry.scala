@@ -1225,6 +1225,18 @@ object SparkEntry {
         .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_new"), col("id_index"))
     }),
+    // ---- event-flow analytics: ordered funnel (earliest-chain greedy is
+    // exact for existence) — events reduce to per-user aggregates first,
+    // so the expensive exchange carries users, not events ----------------
+    "q116_funnel" -> ((s, d) =>
+      graft.functions.EventAnalytics.funnelStages(
+        Tables.events(s, d), Seq("view", "click", "purchase"))),
+    // ---- event-flow analytics: cohort retention (first-activity cohorts,
+    // distinct active days per user — same user-sized exchange shape) ----
+    "q117_retention" -> ((s, d) =>
+      graft.functions.EventAnalytics.cohortRetention(
+          Tables.events(s, d), Seq(0, 1, 7, 14))
+        .orderBy(col("cohort_day"), col("day_offset"))),
     // ---- dedup: EXACT set-similarity join via prefix filtering (AllPairs/
     // PPJoin) — no probabilistic recall loss; oracle is the brute-force
     // cross join, so the hash match proves the prefix filter is complete --
@@ -1935,6 +1947,28 @@ object SparkEntry {
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_new, id_index""".stripMargin,
+    "q116_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)
+        |ORDER BY stage_idx""".stripMargin,
+    "q117_retention" ->
+      """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |WHERE datediff('day', c.cohort_day, a.day) IN (0, 1, 7, 14)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "q115_jaccard_join" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk

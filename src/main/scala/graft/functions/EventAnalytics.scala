@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-flow analytics over the activity stream: funnel conversion and
+  * cohort retention — the product-analytics staples a warehouse engine is
+  * expected to answer over its event history (the reference's activity
+  * table serves the same dashboards through hand-written Postgres
+  * endpoints, SURVEY §2.2/§2.11).
+  *
+  * Scale shape: both operators reduce the event stream to per-user
+  * aggregates FIRST (one hash aggregation keyed user, map-side partials,
+  * shuffle volume = users, not events), then do all stage/cohort logic on
+  * the user-sized relation. At 100 TB of events with millions of users the
+  * expensive exchange carries one row per user per stage — the event
+  * payload never re-shuffles.
+  */
+object EventAnalytics {
+
+  /** Ordered-funnel existence: a user completes stage k if events of types
+    * stages(0) < stages(1) < … < stages(k) exist in strict time order.
+    * Earliest-chain greedy is exact for existence without a horizon: take
+    * the earliest stage-0 event, then the earliest stage-1 event after it,
+    * and so on (any valid chain implies the greedy chain exists).
+    *
+    * Returns one row per stage: (stage_idx, stage, n_users), n_users
+    * monotonically non-increasing. */
+  def funnelStages(events: DataFrame, stages: Seq[String],
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // fold left: each step is (user, reached_ts) — user-sized after the
+    // first aggregation; subsequent steps join user-sized relations
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .join(prev.withColumnRenamed("t", "t_prev"), userCol)
+        .filter(col(tsCol) > col("t_prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+    }
+    reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"), col("n_users"))
+    }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day; a cohort
+    * member is retained at `offset` days if they have ANY event exactly
+    * that many days after their cohort day. Output: (cohort_day,
+    * day_offset, n_users) for the requested offsets (0 = cohort size). */
+  def cohortRetention(events: DataFrame, offsets: Seq[Int],
+                      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(offsets.nonEmpty, "need at least one offset")
+    val day = col(tsCol).cast("date")
+    val cohort = events.groupBy(col(userCol)).agg(min(day).as("cohort_day"))
+    val active = events.select(col(userCol), day.as("day")).distinct()
+    active.join(cohort, userCol)
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset").isin(offsets.map(Integer.valueOf): _*))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

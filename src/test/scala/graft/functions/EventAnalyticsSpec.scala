@@ -1,0 +1,74 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[EventAnalytics]] — funnel and cohort retention semantics on a
+  * hand-built event log where every chain is known. */
+class EventAnalyticsSpec extends SparkSpec {
+  import EventAnalytics._
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // u1: full ordered chain. u2: click BEFORE view — must not count past
+  // stage 0 on click? (u2 has view then purchase but no click between.)
+  // u3: view only. u4: never views (click+purchase) — not even stage 0.
+  private lazy val events = Seq(
+    (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 10:05:00"),
+    (1L, "purchase", "2024-01-01 10:30:00"),
+    (2L, "click", "2024-01-02 09:00:00"), (2L, "view", "2024-01-02 09:10:00"),
+    (2L, "purchase", "2024-01-02 09:20:00"),
+    (3L, "view", "2024-01-03 08:00:00"),
+    (4L, "click", "2024-01-04 07:00:00"), (4L, "purchase", "2024-01-04 07:10:00"))
+    .map { case (u, t, w) => (u, t, ts(w)) }
+    .toDF("user_id", "event_type", "ts")
+
+  test("funnel: strict time order per stage; out-of-order steps don't count") {
+    val got = funnelStages(events, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // stage 0: u1, u2, u3 viewed. stage 1: only u1 clicked AFTER viewing.
+    // stage 2: only u1 purchased after that click.
+    assert(got === Array((0, "view", 3L), (1, "click", 1L), (2, "purchase", 1L)))
+  }
+
+  test("funnel: earliest-chain greedy finds a chain whenever one exists") {
+    // u5: view(1) click(2) view(3) click(4) purchase(5) — greedy takes
+    // view(1)→click(2)→purchase(5); any ordering must reach stage 2
+    val e5 = Seq(
+      (5L, "view", "2024-01-05 10:01:00"), (5L, "click", "2024-01-05 10:02:00"),
+      (5L, "view", "2024-01-05 10:03:00"), (5L, "click", "2024-01-05 10:04:00"),
+      (5L, "purchase", "2024-01-05 10:05:00"))
+      .map { case (u, t, w) => (u, t, ts(w)) }.toDF("user_id", "event_type", "ts")
+    val got = funnelStages(e5, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got === Array((0, 1L), (1, 1L), (2, 1L)))
+  }
+
+  test("cohort retention: offset 0 is cohort size; distinct days, not event counts") {
+    val e = Seq(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "view", "2024-01-02 10:00:00"), (1L, "view", "2024-01-08 10:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (3L, "view", "2024-01-02 10:00:00"), (3L, "view", "2024-01-03 09:00:00"))
+      .map { case (u, t, w) => (u, t, ts(w)) }.toDF("user_id", "event_type", "ts")
+    val got = cohortRetention(e, Seq(0, 1, 7))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    // cohort 2024-01-01 = {u1, u2}: day0 both (u1's two events = ONE day),
+    // day1 only u1, day7 only u1. cohort 2024-01-02 = {u3}: day0, day1.
+    assert(got === Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L, ("2024-01-01", 7) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
+  }
+
+  test("plan: the event payload aggregates to user-sized relations before any join") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val plan = funnelStages(ev, Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    // every stage filter is pushed to the parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)")
+      || plan.contains("EqualTo(event_type,view)"),
+      "stage filters must reach the scan")
+  }
+}
