@@ -1225,6 +1225,19 @@ object SparkEntry {
         .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_new"), col("id_index"))
     }),
+    // ---- lexical retrieval: BM25 ranked search — corpus stats broadcast,
+    // docs without query terms filtered scan-side BEFORE the explode ----
+    "q118_bm25" -> ((s, d) =>
+      graft.functions.SearchFunctions.bm25TopK(
+          Tables.documents(s, d), "text", "doc_id", Seq("spark", "vector"), k = 20)
+        .select(col("doc_id"), r4(col("score")).as("score"))),
+    // ---- lexical retrieval: inverted-index conjunctive search — the
+    // posting-list layout; oracle scans raw text, proving index ≡ scan ---
+    "q119_inverted_index" -> ((s, d) => {
+      val S = graft.functions.SearchFunctions
+      val idx = S.buildInvertedIndex(Tables.documents(s, d), "text", "doc_id")
+      S.searchConjunctive(idx, Seq("spark", "hash", "merge")).orderBy(col("doc_id"))
+    }),
     // ---- event-flow analytics: ordered funnel (earliest-chain greedy is
     // exact for existence) — events reduce to per-user aggregates first,
     // so the expensive exchange carries users, not events ----------------
@@ -1947,6 +1960,31 @@ object SparkEntry {
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_new, id_index""".stripMargin,
+    "q118_bm25" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |st AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM t),
+        |q(term) AS (VALUES ('spark'), ('vector')),
+        |dfq AS (SELECT term, count(*) AS df FROM t, q
+        |  WHERE list_contains(tk, term) GROUP BY term),
+        |tf AS (SELECT doc_id, len(tk) AS dl, term,
+        |    len(list_filter(tk, x -> x = term)) AS tf
+        |  FROM t, q WHERE list_contains(tk, term)),
+        |sc AS (SELECT tf.doc_id,
+        |    sum(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl))) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY tf.doc_id)
+        |SELECT doc_id, round(score, 4) AS score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q119_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT doc_id FROM t
+        |WHERE list_contains(tk, 'spark') AND list_contains(tk, 'hash')
+        |  AND list_contains(tk, 'merge')
+        |ORDER BY doc_id""".stripMargin,
     "q116_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus: BM25 ranked search and an
+  * inverted-index layout with conjunctive (AND) query answering — the
+  * text-search counterpart to the ANN family in
+  * [[SimilarityFunctions]] (sparse lexical retrieval vs dense vectors).
+  *
+  * Scale shape: BM25's corpus statistics (df per term, N, avgdl) are one
+  * token aggregation — vocabulary-sized output, broadcast back; scoring
+  * touches only rows containing a query term (the scan-side filter is an
+  * `arrays_overlap` against the tiny query-term literal, so the exploded
+  * stream is query-relevant tokens only, not the corpus's). The inverted
+  * index is the posting-list layout search engines shard by term: queries
+  * join the query-term postings and intersect by counting, never scanning
+  * raw text.
+  */
+object SearchFunctions {
+
+  private def toks(text: Column): Column = TextFunctions.tokens(lower(text))
+
+  /** BM25 (Lucene-variant idf) scores for a bag-of-words query: one row
+    * per document containing ≥1 query term, `(idCol, score)`.
+    *
+    *   score(d) = Σ_{t ∈ q} ln(1 + (N − df + 0.5)/(df + 0.5))
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Exact integer statistics (tf/df/dl) → deterministic scores the SQL
+    * oracle replays bit-for-bit. Corpus stats are two scalar aggregates
+    * (N, avgdl) plus a per-query-term df row — all broadcast; documents
+    * without query terms are filtered scan-side BEFORE the explode. */
+  def bm25(docs: DataFrame, textCol: String, idCol: String, query: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val qTerms = query.map(_.toLowerCase).distinct
+    val qLit = array(qTerms.map(lit): _*)
+    val withTk = docs
+      .select(col(idCol).as("id"), toks(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val stats = withTk.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("tk"))).as("avgdl"))
+    // df counts documents containing the term (set semantics)
+    val dfreq = withTk
+      .select(col("id"), explode(array_distinct(col("tk"))).as("term"))
+      .filter(col("term").isInCollection(qTerms))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val hits = withTk
+      .filter(arrays_overlap(col("tk"), qLit)) // scan-side prefilter
+      .select(col("id"), size(col("tk")).as("dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isInCollection(qTerms))
+      .groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    hits
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id")).agg(sum(col("part")).as("score"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Top-k BM25: deterministic ordering (score desc, id asc — identical
+    * replica docs carry bit-identical scores, so the id breaks ties the
+    * same way in every engine). Plans as TakeOrderedAndProject. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               query: Seq[String], k: Int): DataFrame =
+    bm25(docs, textCol, idCol, query)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Posting-list inverted index: one row per (term, doc_id), doc ids
+    * sorted within term via the aggregate below when materialized. The
+    * layout a term-sharded search tier stores — build once, query by
+    * joining the query terms' postings only. */
+  def buildInvertedIndex(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(array_distinct(toks(col(textCol)))).as("term"))
+
+  /** Conjunctive (AND) keyword query against a posting-list index: a doc
+    * matches iff it appears in EVERY query term's postings — intersection
+    * by counting distinct matched terms. Only the query terms' posting
+    * rows are read (pushed `term IN (…)` filter); the raw text is never
+    * scanned at query time. */
+  def searchConjunctive(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    postings
+      .filter(col("term").isInCollection(qTerms))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"))
+      .filter(col("n_matched") === qTerms.size)
+      .select(col("doc_id"))
+  }
+}
