@@ -1225,6 +1225,30 @@ object SparkEntry {
         .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_new"), col("id_index"))
     }),
+    // ---- event-flow analytics: first-order Markov transition matrix —
+    // one lead() window per user (the inherent per-user ordering), then a
+    // types²-sized aggregation with row-stochastic probabilities --------
+    "q120_transitions" -> ((s, d) =>
+      graft.functions.EventAnalytics.transitionMatrix(Tables.events(s, d))
+        .orderBy(col("event_type"), col("next"))),
+    // ---- SCD2: change log → validity intervals (consecutive identical
+    // states collapse); one exchange per key, both windows ride one sort -
+    "q121_scd2" -> ((s, d) =>
+      graft.meta.TemporalDim.scd2FromLog(
+          Tables.events(s, d), "user_id", "ts", "event_type", "event_id")
+        .groupBy(col("state"))
+        .agg(count(lit(1)).as("n_versions"),
+          count(when(col("valid_to").isNull, 1)).as("n_current"))
+        .orderBy(col("state"))),
+    // ---- SCD2 point-in-time read: snapshot of every user's state as of a
+    // timestamp — scan-side interval predicate, no join ------------------
+    "q122_time_travel" -> ((s, d) => {
+      val dim = graft.meta.TemporalDim.scd2FromLog(
+        Tables.events(s, d), "user_id", "ts", "event_type", "event_id")
+      graft.meta.TemporalDim.snapshotAt(dim, lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(col("state")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("state"))
+    }),
     // ---- lexical retrieval: BM25 ranked search — corpus stats broadcast,
     // docs without query terms filtered scan-side BEFORE the explode ----
     "q118_bm25" -> ((s, d) =>
@@ -1960,6 +1984,39 @@ object SparkEntry {
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_new, id_index""".stripMargin,
+    "q120_transitions" ->
+      """WITH s AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        |  FROM events)
+        |SELECT event_type, next, count(*) AS n,
+        |  round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+        |FROM s WHERE next IS NOT NULL
+        |GROUP BY event_type, next ORDER BY event_type, next""".stripMargin,
+    "q121_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |d AS (SELECT event_type AS state,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT state, count(*) AS n_versions,
+        |  count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_current
+        |FROM d GROUP BY state ORDER BY state""".stripMargin,
+    "q122_time_travel" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |d AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT state, count(*) AS n_users FROM d
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |GROUP BY state ORDER BY state""".stripMargin,
     "q118_bm25" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
         |  FROM documents WHERE trim(text) <> ''),

@@ -46,6 +46,26 @@ object EventAnalytics {
     }.reduce(_.unionByName(_)).orderBy(col("stage_idx"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * (event_type, next, n, p) where p is the row-stochastic probability
+    * P(next | event_type). One lead() window keyed (user, ts, tiebreak) —
+    * the shuffle is the per-user ordering the computation inherently
+    * needs — then a types²-sized aggregation. `tiebreakCol` makes the
+    * within-timestamp order total so the matrix is deterministic. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       tiebreakCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreakCol))
+    val byRow = org.apache.spark.sql.expressions.Window.partitionBy(col(typeCol))
+    events
+      .withColumn("next", lead(col(typeCol), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col(typeCol), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(byRow), 4))
+  }
+
   /** Cohort retention: users grouped by their first-activity day; a cohort
     * member is retained at `offset` days if they have ANY event exactly
     * that many days after their cohort day. Output: (cohort_day,
