@@ -1225,6 +1225,39 @@ object SparkEntry {
         .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_new"), col("id_index"))
     }),
+    // ---- hybrid retrieval: reciprocal-rank fusion of the dense (cosine
+    // top-50) and lexical (BM25 top-50) rankings — integer ranks make the
+    // fused score a sum of exact rationals, engine-identical -------------
+    "q123_rrf_hybrid" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val dense = Sim.topKCosine(emb, "embedding", "vec_id", qv, 50)
+        .select(col("vec_id").as("id"), col("score"))
+      val lex = graft.functions.SearchFunctions.bm25TopK(
+          Tables.documents(s, d), "text", "doc_id", Seq("spark", "vector"), 50)
+        .select(col("doc_id").as("id"), col("score"))
+      graft.functions.SearchFunctions.rrfFuse(Seq(dense, lex), "id", "score",
+          kRrf = 60, topK = 10)
+        .select(col("id"), r4(col("rrf")).as("rrf"))
+    }),
+    // ---- data-quality audit: one scan-shaped aggregate per check,
+    // referential integrity as a key-only anti-join ----------------------
+    "q124_dq_report" -> ((s, d) => {
+      val Q = graft.meta.DataQuality
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      Q.report(Seq(
+        "orders_pk_unique" -> Q.uniqueViolations(orders, Seq("o_orderkey")),
+        "orders_custkey_notnull" -> Q.notNullViolations(orders, "o_custkey"),
+        "lineitem_fk_orders" -> Q.refIntegrityViolations(li, "l_orderkey", orders, "o_orderkey"),
+        "orders_fk_customer" -> Q.refIntegrityViolations(orders, "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        "discount_in_range" -> Q.rangeViolations(li, "l_discount", 0.0, 0.06),
+        "status_accepted" -> Q.acceptedValuesViolations(orders, "o_orderstatus",
+          Seq("F", "O"))))
+        .orderBy(col("check"))
+    }),
     // ---- event-flow analytics: first-order Markov transition matrix —
     // one lead() window per user (the inherent per-user ordering), then a
     // types²-sized aggregation with row-stochastic probabilities --------
@@ -1984,6 +2017,54 @@ object SparkEntry {
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_new, id_index""".stripMargin,
+    "q123_rrf_hybrid" ->
+      """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+        |dr0 AS (SELECT vec_id AS id, row_number() OVER (ORDER BY
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM qv)) DESC,
+        |    vec_id) AS r
+        |  FROM embeddings),
+        |dr AS (SELECT id, r FROM dr0 WHERE r <= 50),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |st AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avgdl FROM t),
+        |q(term) AS (VALUES ('spark'), ('vector')),
+        |dfq AS (SELECT term, count(*) AS df FROM t, q
+        |  WHERE list_contains(tk, term) GROUP BY term),
+        |tf AS (SELECT doc_id, len(tk) AS dl, term,
+        |    len(list_filter(tk, x -> x = term)) AS tf
+        |  FROM t, q WHERE list_contains(tk, term)),
+        |sc AS (SELECT tf.doc_id,
+        |    sum(ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl))) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN st GROUP BY tf.doc_id),
+        |lr0 AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM sc),
+        |lr AS (SELECT id, r FROM lr0 WHERE r <= 50),
+        |f AS (SELECT coalesce(dr.id, lr.id) AS id,
+        |    coalesce(CAST(1 AS DOUBLE) / (60 + dr.r), 0)
+        |      + coalesce(CAST(1 AS DOUBLE) / (60 + lr.r), 0) AS rrf
+        |  FROM dr FULL OUTER JOIN lr ON dr.id = lr.id)
+        |SELECT id, round(rrf, 4) AS rrf FROM f
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+    "q124_dq_report" ->
+      """SELECT 'discount_in_range' AS "check",
+        |  count(CASE WHEN l_discount < 0 OR l_discount > 0.06 THEN 1 END) AS n_violations
+        |FROM lineitem
+        |UNION ALL SELECT 'lineitem_fk_orders', count(*) FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL SELECT 'orders_custkey_notnull',
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders
+        |UNION ALL SELECT 'orders_fk_customer', count(*) FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL SELECT 'orders_pk_unique',
+        |  count(*) - count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'status_accepted',
+        |  count(CASE WHEN o_orderstatus IS NOT NULL
+        |             AND o_orderstatus NOT IN ('F', 'O') THEN 1 END) FROM orders
+        |ORDER BY "check"""".stripMargin,
     "q120_transitions" ->
       """WITH s AS (SELECT event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next

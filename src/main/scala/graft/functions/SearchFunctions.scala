@@ -71,6 +71,36 @@ object SearchFunctions {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
 
+  /** Reciprocal-rank fusion of score lists (Cormack et al. 2009) — the
+    * standard lexical+dense hybrid-retrieval combiner:
+    * rrf(d) = Σ_lists 1/(kRrf + rank_list(d)), missing entries contribute
+    * 0. Ranks are integers (row_number over score desc, id asc), so the
+    * fused score is a sum of exact rationals — bit-identical in every
+    * engine, no float-ordering hazard.
+    *
+    * Inputs are TOP-N lists (bounded — the single-partition rank window is
+    * over ≤N rows per list, same envelope as any top-k result); the fuse
+    * is |lists|−1 outer joins on bounded relations. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    val contribs = rankings.zipWithIndex.map { case (df, i) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(col(idCol), row_number().over(w).as("r"))
+        .select(col(idCol), (lit(1.0) / (lit(kRrf) + col("r"))).as(s"c$i"))
+    }
+    val joined = contribs.reduce((a, b) =>
+      a.join(b, Seq(idCol), "full_outer"))
+    joined
+      .withColumn("rrf", contribs.indices
+        .map(i => coalesce(col(s"c$i"), lit(0.0)))
+        .reduce(_ + _))
+      .select(col(idCol), col("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Posting-list inverted index: one row per (term, doc_id), doc ids
     * sorted within term via the aggregate below when materialized. The
     * layout a term-sharded search tier stores — build once, query by

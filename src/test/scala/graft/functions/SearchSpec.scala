@@ -59,6 +59,29 @@ class SearchSpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("RRF fusion: hand-checked — consensus beats a single #1") {
+    // list A ranks: d1=1, d2=2, d3=3;  list B ranks: d2=1, d3=2, d4=3
+    val a = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("id", "score")
+    val b = Seq((2L, 5.0), (3L, 4.0), (4L, 3.0)).toDF("id", "score")
+    val got = rrfFuse(Seq(a, b), "id", "score", kRrf = 60, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def rrf(rs: Double*) = rs.map(r => 1.0 / (60 + r)).sum
+    // d2 appears high in BOTH lists → outranks d1's single #1
+    val expected = Map(1L -> rrf(1), 2L -> rrf(2, 1), 3L -> rrf(3, 2), 4L -> rrf(3))
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 1L, 4L), "consensus ordering")
+    for ((id, s) <- got) assert(math.abs(s - expected(id)) < 1e-15,
+      s"rrf for $id must be the exact rational sum")
+  }
+
+  test("RRF: rank ties within a list break by id, missing entries contribute zero") {
+    val a = Seq((7L, 5.0), (3L, 5.0)).toDF("id", "score") // tie → id 3 ranks 1
+    val b = Seq((7L, 1.0)).toDF("id", "score")
+    val got = rrfFuse(Seq(a, b), "id", "score", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(got(3L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(got(7L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+  }
+
   test("query-time plan reads only the query terms' postings (pushed IN filter)") {
     val real = spark.read.parquet(s"$sf0001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("invidx").toString

@@ -1,0 +1,48 @@
+package graft.meta
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[DataQuality]] — each check counts EXACTLY the seeded violations. */
+class DataQualitySpec extends SparkSpec {
+  import DataQuality._
+  import spark.implicits._
+
+  // 2 duplicate ids (1 extra row), one null owner, values 5/-1/99
+  private lazy val child = Seq(
+    (1L, Option(10L), "A", 5.0), (1L, Option(10L), "A", -1.0),
+    (2L, Option(11L), "B", 99.0), (3L, None, "X", 50.0))
+    .toDF("id", "owner", "status", "v")
+  private lazy val parent = Seq(10L).toDF("pid") // 11 is an orphan ref
+
+  private def n(df: org.apache.spark.sql.DataFrame): Long =
+    df.collect()(0).getLong(0)
+
+  test("uniqueness counts rows beyond the first per key") {
+    assert(n(uniqueViolations(child, Seq("id"))) === 1L)
+    assert(n(uniqueViolations(child.limit(0), Seq("id"))) === 0L)
+  }
+
+  test("not-null / range / accepted-values count exactly the seeded rows") {
+    assert(n(notNullViolations(child, "owner")) === 1L)
+    // -1 and 99 are out of [0, 50]; NULLs never violate a range
+    assert(n(rangeViolations(child, "v", 0.0, 50.0)) === 2L)
+    assert(n(acceptedValuesViolations(child, "status", Seq("A", "B"))) === 1L)
+  }
+
+  test("referential integrity counts orphans; NULL keys are not orphans") {
+    // rows owned by 11 (one) are orphans; the NULL-owner row is not
+    assert(n(refIntegrityViolations(child, "owner", parent, "pid")) === 1L)
+  }
+
+  test("report unions named scalars; real tables audit clean where expected") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val rep = report(Seq(
+      "pk" -> uniqueViolations(orders, Seq("o_orderkey")),
+      "fk" -> refIntegrityViolations(li, "l_orderkey", orders, "o_orderkey")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === Map("pk" -> 0L, "fk" -> 0L),
+      "driver testdata keeps PK/FK integrity")
+  }
+}
