@@ -1225,6 +1225,28 @@ object SparkEntry {
         .select(col("id_new"), col("id_index"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_new"), col("id_index"))
     }),
+    // ---- entity resolution: edit-distance fuzzy join with COMPLETE
+    // length-band blocking (|Δlen| ≤ d is implied by levenshtein ≤ d) —
+    // candidates from a plain equi-join, never a cartesian ---------------
+    "q125_fuzzy_join" -> ((s, d) =>
+      graft.functions.EntityResolution.fuzzyPairs(
+          Tables.part(s, d).filter(col("p_partkey") % 5 === 0),
+          "p_name", "p_partkey", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- unpivot (wide → long): measures melt into (measure, value) rows
+    // scan-side, then one aggregation — the relational melt the reference
+    // does row-by-row in Python dashboards -------------------------------
+    "q126_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("total"),
+          r4(avg(col("value"))).as("mean"))
+        .orderBy(col("measure"))),
     // ---- hybrid retrieval: reciprocal-rank fusion of the dense (cosine
     // top-50) and lexical (BM25 top-50) rankings — integer ranks make the
     // fused score a sum of exact rationals, engine-identical -------------
@@ -2017,6 +2039,21 @@ object SparkEntry {
         |FROM keys a JOIN keys b ON a.band_key = b.band_key
         |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |ORDER BY id_new, id_index""".stripMargin,
+    "q125_fuzzy_join" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 5 = 0)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q126_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
+        |  round(avg(value), 4) AS mean
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     "q123_rrf_hybrid" ->
       """WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
         |dr0 AS (SELECT vec_id AS id, row_number() OVER (ORDER BY
