@@ -110,6 +110,18 @@ object Mp4Demux {
     r
   }
 
+  /** Validate a sample-table entry count BEFORE allocating for it: the
+    * count field is untrusted input, and a corrupt u32 there would size an
+    * `Array.tabulate` in the gigabytes — an OutOfMemoryError that no
+    * `catch Exception` contains. The box payload length bounds the real
+    * count exactly (n fixed-size entries must fit in [tableStart, end)). */
+  private def checkedCount(n: Int, tableStart: Int, end: Int,
+                           entrySize: Int, what: String): Int = {
+    require(n >= 0 && n.toLong * entrySize <= (end - tableStart).toLong,
+      s"$what entry count $n exceeds box payload ${end - tableStart}")
+    n
+  }
+
   private def parseTrak(buf: ByteBuffer, from: Int, until: Int): (Track, Seq[Sample]) = {
     val (mdiaS, mdiaE) = findBox(buf, from, until, "mdia")
       .getOrElse(throw new IllegalArgumentException("trak without mdia"))
@@ -139,37 +151,39 @@ object Mp4Demux {
       else (cc, 0, 0)
     }.getOrElse(("", 0, 0))
 
-    val sizes: Array[Int] = findBox(buf, stblS, stblE, "stsz").map { case (s, _) =>
+    val sizes: Array[Int] = findBox(buf, stblS, stblE, "stsz").map { case (s, e) =>
       val fixed = buf.getInt(s + 4)
       val n = buf.getInt(s + 8)
-      if (fixed != 0) Array.fill(n)(fixed)
-      else Array.tabulate(n)(i => buf.getInt(s + 12 + 4 * i))
+      // fixed-size mode carries no table, so the box can't bound n; a file
+      // still can't hold more samples than bytes, so cap by capacity
+      if (fixed != 0) Array.fill(checkedCount(n, 0, buf.capacity(), 1, "stsz"))(fixed)
+      else Array.tabulate(checkedCount(n, s + 12, e, 4, "stsz"))(i => buf.getInt(s + 12 + 4 * i))
     }.getOrElse(Array.empty)
 
     val chunkOffsets: Array[Long] =
-      findBox(buf, stblS, stblE, "stco").map { case (s, _) =>
-        val n = buf.getInt(s + 4)
+      findBox(buf, stblS, stblE, "stco").map { case (s, e) =>
+        val n = checkedCount(buf.getInt(s + 4), s + 8, e, 4, "stco")
         Array.tabulate(n)(i => buf.getInt(s + 8 + 4 * i).toLong & 0xffffffffL)
-      }.orElse(findBox(buf, stblS, stblE, "co64").map { case (s, _) =>
-        val n = buf.getInt(s + 4)
+      }.orElse(findBox(buf, stblS, stblE, "co64").map { case (s, e) =>
+        val n = checkedCount(buf.getInt(s + 4), s + 8, e, 8, "co64")
         Array.tabulate(n)(i => buf.getLong(s + 8 + 8 * i))
       }).getOrElse(Array.empty)
 
     // stsc runs: (first_chunk, samples_per_chunk, desc_idx)
-    val stscRuns: Array[(Int, Int)] = findBox(buf, stblS, stblE, "stsc").map { case (s, _) =>
-      val n = buf.getInt(s + 4)
+    val stscRuns: Array[(Int, Int)] = findBox(buf, stblS, stblE, "stsc").map { case (s, e) =>
+      val n = checkedCount(buf.getInt(s + 4), s + 8, e, 12, "stsc")
       Array.tabulate(n)(i =>
         (buf.getInt(s + 8 + 12 * i), buf.getInt(s + 12 + 12 * i)))
     }.getOrElse(Array.empty)
 
     // stts runs: (sample_count, sample_delta) → per-sample decode times
-    val sttsRuns: Array[(Int, Int)] = findBox(buf, stblS, stblE, "stts").map { case (s, _) =>
-      val n = buf.getInt(s + 4)
+    val sttsRuns: Array[(Int, Int)] = findBox(buf, stblS, stblE, "stts").map { case (s, e) =>
+      val n = checkedCount(buf.getInt(s + 4), s + 8, e, 8, "stts")
       Array.tabulate(n)(i => (buf.getInt(s + 8 + 8 * i), buf.getInt(s + 12 + 8 * i)))
     }.getOrElse(Array.empty)
 
-    val syncSet: Set[Int] = findBox(buf, stblS, stblE, "stss").map { case (s, _) =>
-      val n = buf.getInt(s + 4)
+    val syncSet: Set[Int] = findBox(buf, stblS, stblE, "stss").map { case (s, e) =>
+      val n = checkedCount(buf.getInt(s + 4), s + 8, e, 4, "stss")
       (0 until n).map(i => buf.getInt(s + 8 + 4 * i)).toSet // 1-based
     }.getOrElse(Set.empty)
     val allSync = syncSet.isEmpty // no stss box ⇒ every sample is sync
@@ -177,8 +191,12 @@ object Mp4Demux {
     // walk chunks: expand stsc runs, lay samples into chunk offsets
     val samples = ArrayBuffer.empty[Sample]
     if (sizes.nonEmpty && chunkOffsets.nonEmpty && stscRuns.nonEmpty) {
-      val times = sttsRuns.iterator.flatMap { case (c, d) => Iterator.fill(c)(d.toLong) }
-        .scanLeft(0L)(_ + _).toArray
+      // run sample-counts are values (not entry counts), so the box size
+      // can't bound their sum — cap the expansion at the validated sample
+      // count before materializing
+      val times = sttsRuns.iterator
+        .flatMap { case (c, d) => Iterator.fill(math.max(c, 0))(d.toLong) }
+        .scanLeft(0L)(_ + _).take(sizes.length + 1).toArray
       var sample = 0
       var chunk = 0
       while (chunk < chunkOffsets.length && sample < sizes.length) {

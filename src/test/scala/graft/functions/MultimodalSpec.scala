@@ -316,6 +316,22 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp4Demux.samplePayloadOpt(mjpegBytes, forged).isEmpty)
     assert(intercept[IllegalArgumentException](
       Mp4Demux.samplePayload(mjpegBytes, forged)).getMessage.contains("outside"))
+    // a forged huge entry count in ANY sample table must be rejected by the
+    // box-size check BEFORE allocation (a 0x7fffffff count would otherwise
+    // size a multi-GB array — OutOfMemoryError, which kills the task
+    // outright rather than surfacing as a droppable bad file)
+    for (table <- Seq("stsz", "stco", "stsc", "stts", "stss")) {
+      val pat = table.getBytes("US-ASCII")
+      val at = mjpegBytes.indexOfSlice(pat)
+      if (at >= 0) {
+        val b = mjpegBytes.clone()
+        // entry count: stsz keeps it at +12 (after fixed-size), others at +8
+        val countAt = at + (if (table == "stsz") 12 else 8)
+        b(countAt) = 0x7f.toByte; b(countAt + 1) = 0xff.toByte
+        b(countAt + 2) = 0xff.toByte; b(countAt + 3) = 0xff.toByte
+        kernelsNeverThrow(b)
+      }
+    }
   }
 
   test("resize kernel rewrites payload + meta, deterministic across partitioning") {
