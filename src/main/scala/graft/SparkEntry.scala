@@ -24,6 +24,7 @@ object SparkEntry {
 
   private def r2(c: Column): Column = round(c, 2)
   private def r4(c: Column): Column = round(c, 4)
+  private def r6(c: Column): Column = round(c, 6)
 
   /** Per-(kind, table dir) memo of persisted layouts (IVF index, z-order
     * rewrite). At deployment scale these are build JOBS whose cost is
@@ -1408,6 +1409,45 @@ object SparkEntry {
         .select(col("window_start"), explode(col("top")).as("e"))
         .select(col("window_start"), col("e.k").as("event_type"), col("e.n").as("n"))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+    // ---- exact-size weighted sample without replacement (Efraimidis-
+    // Spirakis priorities from the 24-bit content hash): longer docs
+    // proportionally likelier, sample size pinned to exactly 100; the
+    // corpus never shuffles (TakeOrderedAndProject) ----------------------
+    "q127_weighted_sample" -> ((s, d) =>
+      graft.functions.SamplingFunctions.weightedSample(
+          Tables.documents(s, d).filter(col("n_chars") > 0),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+    // ---- mergeable quantile sketch (KLL compactor hierarchy) in its
+    // exact regime (k ≥ group size — same contract as q99's Misra-Gries):
+    // per-source length percentiles from ≤ k·H doubles of state per
+    // partial, never a per-group sort --------------------------------
+    "q128_quantile_sketch" -> ((s, d) => {
+      val kll = udaf(new graft.functions.Sketches.KllAggregator(
+        65536, Array(0.25, 0.5, 0.75)))
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(kll(col("n_chars").cast("double")).as("qs"))
+        .select(col("source"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))
+        .orderBy(col("source"))
+    }),
+    // ---- corpus drift: PSI of the length distribution, reference corpus
+    // vs what survives a min-length quality gate — two bucket-histogram
+    // aggregates and a tiny join; the corpus itself never shuffles ------
+    "q129_drift_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = least(floor(col("n_chars") / 100), lit(8L))
+      graft.meta.DataQuality.driftReport(
+          docs, docs.filter(col("n_chars") >= 250), bucket)
+        .select(col("bucket").cast("long").as("bucket"),
+          r6(col("p")).as("p"), r6(col("q")).as("q"),
+          r6(col("psi_term")).as("psi_term"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -2518,7 +2558,35 @@ object SparkEntry {
         |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> (x+0.5)*(x+0.5)), 'sum')) AS dist
         |  FROM embeddings)
         |SELECT vec_id, round(dist, 4) AS dist FROM d
-        |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
+        |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
+    "q127_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |    (CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |       CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |         << (4 * (6 - j))), 'sum') AS BIGINT) + 1) / 16777216.0 AS u
+        |  FROM documents WHERE n_chars > 0),
+        |top AS (SELECT doc_id, source, n_chars FROM h
+        |  ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100)
+        |SELECT doc_id, source, n_chars FROM top ORDER BY doc_id""".stripMargin,
+    "q128_quantile_sketch" ->
+      """SELECT source,
+        |  CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+        |  CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+        |  CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q129_drift_psi" ->
+      """WITH refh AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 8) AS bucket,
+        |    count(*) AS n FROM documents GROUP BY 1),
+        |refs AS (SELECT bucket, CAST(n AS DOUBLE) / sum(n) OVER () AS p FROM refh),
+        |curh AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 8) AS bucket,
+        |    count(*) AS n FROM documents WHERE n_chars >= 250 GROUP BY 1),
+        |curs AS (SELECT bucket, CAST(n AS DOUBLE) / sum(n) OVER () AS q FROM curh)
+        |SELECT COALESCE(refs.bucket, curs.bucket) AS bucket,
+        |  round(COALESCE(p, 0), 6) AS p, round(COALESCE(q, 0), 6) AS q,
+        |  round((COALESCE(q, 0) - COALESCE(p, 0)) *
+        |        ln((COALESCE(q, 0) + 1e-6) / (COALESCE(p, 0) + 1e-6)), 6) AS psi_term
+        |FROM refs FULL OUTER JOIN curs ON refs.bucket = curs.bucket
+        |ORDER BY bucket""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

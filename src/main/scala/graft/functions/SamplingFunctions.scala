@@ -247,4 +247,36 @@ object SamplingFunctions {
     counts.join(broadcast(listing), "shard")
       .select(col("shard"), col("n_rows"), col("n_files"), col("bytes"))
   }
+
+  /** Exact-size weighted sample WITHOUT replacement (Efraimidis-Spirakis
+    * A-ES, IPL 2006): each row gets priority u^(1/w) for a uniform u; the
+    * k largest priorities are a weighted sample where inclusion
+    * probability tracks weight. [[repeatWeighted]] hits stratum sizes in
+    * EXPECTATION; this pins the sample to exactly `k` rows with per-row
+    * weights — "sample 10k docs, longer docs proportionally more likely".
+    *
+    * Determinism contract as everywhere in this file: u comes from the
+    * 24-bit md5 of the key ((h+1)/2^24 ∈ (0,1], never 0 so ln is finite),
+    * and the rank key is the monotone transform ln(u)/w (avoids pow
+    * underflow for tiny weights). Same corpus + seed ⇒ same sample on any
+    * engine, partitioning, or cluster size.
+    *
+    * Scale shape: priority is scan-side arithmetic; the top-k is
+    * `TakeOrderedAndProject` — each task keeps a k-row heap, the driver
+    * merges P·k rows, the corpus itself never shuffles or sorts. */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (TextFunctions.hashBucket(keyCol.cast("string"), 1 << 24)
+      .cast("double") + lit(1.0)) / lit((1 << 24).toDouble)
+    // ln(u) < 0, so larger weight → ratio closer to 0 → higher priority;
+    // a non-positive weight would order as ±Infinity — fail loudly instead
+    val w = weightCol.cast("double")
+    val pri = when(w > 0, log(u) / w)
+      .otherwise(raise_error(concat(lit("weightedSample: non-positive weight "), w)))
+    df.withColumn("__es", pri)
+      .orderBy(col("__es").desc, keyCol.asc)
+      .limit(k)
+      .drop("__es")
+  }
 }

@@ -132,4 +132,142 @@ object Sketches {
     def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
+
+  // ------------------------------------------------------------- quantiles
+
+  /** Mergeable quantile-sketch state: `levels(h)` holds items of weight
+    * 2^h (unsorted), `n` the total count, `coins` the number of
+    * compactions performed (its parity drives the deterministic
+    * even/odd-survivor coin — no RNG, so a given reduce/merge order always
+    * produces the same sketch). `len0` is the fill pointer into the
+    * level-0 array, which over-allocates (capacity doubling) so reduce is
+    * amortized O(1) instead of copying k doubles per row; all consumers
+    * must read level 0 through [[Kll.level0]]. */
+  final case class Kll(levels: Array[Array[Double]], n: Long, coins: Long,
+                       len0: Int) {
+    def level0: Array[Double] = java.util.Arrays.copyOf(levels(0), len0)
+  }
+
+  /** KLL-style mergeable quantile summary (Karnin-Lang-Liberty, FOCS 2016
+    * — the compactor hierarchy; this uses the simpler fixed-`k`-per-level
+    * variant of Manku-Rajagopalan-Lindsay). Complements the built-in
+    * `percentile_approx` with what SURVEY §2.10's UDAF surface needs from
+    * a sketch: an EXPORTABLE, MERGEABLE state — daily sketches roll into
+    * monthly ones without re-reading the archive, the same incremental
+    * shape as [[graft.meta.ScaleOps.mergeAggState]].
+    *
+    * Mechanics: values land in the level-0 buffer. A full level sorts and
+    * keeps every second item (the survivor phase — even or odd positions by
+    * the deterministic coin), promoting them one level up with doubled
+    * weight. Each compaction can shift any single rank estimate by at most
+    * the level's weight, so the summary holds ≤ k·H items (H ≈ log₂(n/k)
+    * levels) with rank error O(n·H/k) — the spec MEASURES the realized
+    * error rather than leaning on the constant. While n ≤ k nothing ever
+    * compacts: the sketch is EXACT and merge-order independent, the same
+    * exact-regime contract the Misra-Gries summary pins for q99.
+    *
+    * Scale story: an exact per-group quantile needs the group's full value
+    * set on one reducer (a sort or a huge collect_list); this ships ≤ k·H
+    * doubles per map-side partial regardless of group size, merges
+    * associatively, and is the only way a 100 TB column gets percentiles
+    * in one pass with bounded executor memory. */
+  class KllAggregator(k: Int, qs: Array[Double])
+      extends Aggregator[Double, Kll, Array[Double]] with Serializable {
+    require(k >= 8, s"k must be >= 8, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "quantiles must be in [0,1]")
+
+    def zero: Kll = Kll(Array(new Array[Double](16)), 0L, 0L, 0)
+
+    def reduce(buf: Kll, v: Double): Kll = {
+      var sk = buf
+      if (sk.len0 == sk.levels(0).length) {
+        if (sk.len0 >= k) sk = compact(sk) // full AND at capacity → compact
+        if (sk.len0 == sk.levels(0).length) { // still full → double capacity
+          val levels = sk.levels.clone()
+          levels(0) = java.util.Arrays.copyOf(levels(0),
+            math.max(16, math.min(levels(0).length * 2, k + 1)))
+          sk = sk.copy(levels = levels)
+        }
+      }
+      sk.levels(0)(sk.len0) = v // in-place append: amortized O(1) per row
+      sk.copy(n = sk.n + 1, len0 = sk.len0 + 1)
+    }
+
+    def merge(a: Kll, b: Kll): Kll = {
+      val h = math.max(a.levels.length, b.levels.length)
+      val levels = Array.tabulate(h) { i =>
+        val x = if (i == 0) a.level0
+        else if (i < a.levels.length) a.levels(i) else Array.empty[Double]
+        val y = if (i == 0) b.level0
+        else if (i < b.levels.length) b.levels(i) else Array.empty[Double]
+        x ++ y
+      }
+      compact(Kll(levels, a.n + b.n, a.coins + b.coins, levels(0).length))
+    }
+
+    /** Compact every over-full level bottom-up (a promotion can fill the
+      * level above). Survivor parity comes from the running compaction
+      * counter — deterministic, engine-reproducible. */
+    private def compact(sk: Kll): Kll = {
+      var levels = sk.levels.clone()
+      levels(0) = sk.level0 // trim slack before level arrays are rebuilt
+      var coins = sk.coins
+      var h = 0
+      while (h < levels.length) {
+        if (levels(h).length > k) {
+          val sorted = levels(h).sorted
+          val offset = (coins & 1L).toInt // even or odd survivors
+          coins += 1
+          // promote exactly half (round down) with doubled weight; an odd
+          // straggler stays at this level so total weight is conserved
+          val promoted = Array.tabulate(sorted.length / 2)(i => sorted(2 * i + offset))
+          val straggler =
+            if (sorted.length % 2 == 1 && offset == 0) Array(sorted(sorted.length - 1))
+            else if (sorted.length % 2 == 1) Array(sorted(0))
+            else Array.empty[Double]
+          if (h + 1 >= levels.length) levels = levels :+ Array.empty[Double]
+          levels(h) = straggler
+          levels(h + 1) = levels(h + 1) ++ promoted
+        }
+        h += 1
+      }
+      Kll(levels, sk.n, coins, levels(0).length)
+    }
+
+    /** Weighted rank extraction matching `quantile_disc`: the smallest
+      * value whose cumulative weight reaches ceil(q·n). Exact while the
+      * sketch never compacted. */
+    def finish(buf: Kll): Array[Double] = Sketches.kllQuantiles(buf, qs)
+
+    def bufferEncoder: Encoder[Kll] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Kll]()
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Extract quantiles from a sketch state (discrete / no interpolation —
+    * DuckDB `quantile_disc` semantics, which the exact-regime oracle pins). */
+  def kllQuantiles(sk: Kll, qs: Seq[Double]): Array[Double] = {
+    if (sk.n == 0) return qs.map(_ => Double.NaN).toArray
+    val items = for {
+      h <- sk.levels.indices
+      v <- (if (h == 0) sk.level0 else sk.levels(h))
+    } yield (v, 1L << h)
+    val sorted = items.sortBy(_._1)
+    val totalW = sorted.iterator.map(_._2).sum
+    qs.map { q =>
+      // rank in [1, totalW]; ceil(q·W) with a clamp for q=0
+      val rank = math.max(1L, math.ceil(q * totalW).toLong)
+      var cum = 0L
+      var i = 0
+      var out = sorted.last._1
+      var found = false
+      while (i < sorted.length && !found) {
+        cum += sorted(i)._2
+        if (cum >= rank) { out = sorted(i)._1; found = true }
+        i += 1
+      }
+      out
+    }.toArray
+  }
 }

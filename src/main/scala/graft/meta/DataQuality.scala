@@ -52,4 +52,43 @@ object DataQuality {
     checks.map { case (name, df) =>
       df.select(lit(name).as("check"), col("n_violations"))
     }.reduce(_.unionByName(_))
+
+  /** Distribution-drift report between a reference snapshot and a current
+    * one — the monitoring half of data quality: the checks above catch
+    * BROKEN rows, this catches a corpus whose rows are individually fine
+    * but collectively shifted (a crawler change, a filter regression, a
+    * source going dark). Per feature bucket it emits the reference share
+    * `p`, the current share `q`, and the population-stability-index term
+    * `(q−p)·ln((q+ε)/(p+ε))`; Σ terms = PSI, with the standard reading
+    * (< 0.1 stable, 0.1–0.25 moderate, > 0.25 major shift). Buckets both
+    * sides miss are absent; one-sided buckets are ε-smoothed (the usual
+    * PSI convention — log of an exact 0 share is undefined, and a brand
+    * new bucket IS drift, not an error).
+    *
+    * `bucketCol` must be a deterministic function of the row (a value
+    * bucket like `floor(n_chars/500)`, a category like `lang`) — NOT a
+    * data-dependent quantile, which would move with the drift it is meant
+    * to measure.
+    *
+    * Scale shape: one aggregate per snapshot (map-side partials, ≤
+    * #buckets rows out), a broadcast-sized full-outer join of the two
+    * histograms, arithmetic. The snapshots themselves never shuffle. */
+  def driftReport(ref: DataFrame, cur: DataFrame, bucketCol: Column,
+                  eps: Double = 1e-6): DataFrame = {
+    def hist(df: DataFrame, share: String): DataFrame = {
+      val h = df.groupBy(bucketCol.cast("string").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      // normalize over the histogram itself (≤ #buckets rows — the
+      // single-partition window is bounded), not a second corpus scan
+      h.withColumn(share,
+        col("n").cast("double") / sum(col("n")).over()).drop("n")
+    }
+    hist(ref, "p").join(hist(cur, "q"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+      .withColumn("psi_term",
+        (col("q") - col("p")) *
+          log((col("q") + lit(eps)) / (col("p") + lit(eps))))
+  }
 }

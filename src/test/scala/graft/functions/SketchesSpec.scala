@@ -79,6 +79,50 @@ class SketchesSpec extends SparkSpec {
     assert(d <= 32, s"margin eroded: $d distinct event types (expected ~5)")
   }
 
+  test("kll: exact regime matches the discrete-quantile rule and is partition-invariant") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val vals = docs.select($"n_chars".cast("double").as("v"))
+    val sorted = vals.as[Double].collect().sorted
+    val n = sorted.length
+    val qs = Array(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    // the rule the oracle pins (DuckDB quantile_disc): smallest value whose
+    // cumulative count reaches ceil(q*n)
+    val exact = qs.map(q => sorted(math.max(0, math.ceil(q * n).toInt - 1)))
+    val kll = udaf(new Sketches.KllAggregator(65536, qs))
+    for (parts <- Seq(1, 13)) {
+      val got = vals.repartition(parts).agg(kll($"v").as("qs"))
+        .head().getSeq[Double](0).toArray
+      assert(got.toSeq === exact.toSeq, s"exact-regime mismatch at $parts partitions")
+    }
+  }
+
+  test("kll: compacted regime holds a measured rank-error bound with bounded state") {
+    val n = 200000
+    val k = 256
+    // deterministic pseudo-shuffle of 0..n-1: true rank of value v is v+1
+    val vals = spark.range(n)
+      .select((($"id" * 48271) % n).cast("double").as("v"))
+    val agg = new Sketches.KllAggregator(k, Array(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+    val kll = udaf(agg)
+    val got = vals.repartition(8).agg(kll($"v").as("qs")).head().getSeq[Double](0)
+    val qs = Array(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    qs.zip(got).foreach { case (q, est) =>
+      // value v sits at rank v+1 in 0..n-1, so rank error is direct
+      val rankErr = math.abs((est + 1) - q * n) / n
+      assert(rankErr <= 0.05,
+        f"q=$q: estimate $est%.0f is $rankErr%.4f of n off in rank (bound 0.05)")
+    }
+    // state bound: a driver-side replay of the same stream can't exceed
+    // k items per level plus stragglers, H ~ log2(n/k) levels
+    var sk = agg.zero
+    (0 until n).foreach(i => sk = agg.reduce(sk, ((i.toLong * 48271) % n).toDouble))
+    val items = sk.len0 + sk.levels.drop(1).map(_.length).sum
+    val levels = sk.levels.length
+    assert(levels <= math.ceil(math.log(n.toDouble / k) / math.log(2)).toInt + 2,
+      s"level count $levels grew past log2(n/k)")
+    assert(items <= k * (levels + 1), s"retained $items items > k*(H+1)")
+  }
+
   test("built-in sketch paths: HLL cardinality and approx quantiles track exact") {
     val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val exactD = l.select(countDistinct($"l_partkey")).as[Long].head()

@@ -263,6 +263,43 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: exact size, reference-exact selection, weight-tilted, plan is top-k") {
+    import java.security.MessageDigest
+    def u24(s: String): Double = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      (java.lang.Long.parseLong(hex, 16) + 1).toDouble / (1 << 24)
+    }
+    // two strata: 500 heavy (w=50) + 500 light (w=1) rows
+    val rows = (1L to 1000L).map(i => (i, if (i <= 500) 50.0 else 1.0))
+    val df = rows.toDF("doc_id", "w")
+    val got = SamplingFunctions.weightedSample(df, col("doc_id"), col("w"), 200)
+      .as[(Long, Double)].collect().toSet
+    assert(got.size === 200)
+    // A-ES reference: top-200 by ln(u)/w desc — selection must be EXACT
+    val expected = rows.sortBy { case (id, w) => (-math.log(u24(id.toString)) / w, id) }
+      .take(200).toSet
+    assert(got === expected)
+    // partition-invariant (the determinism contract of this file)
+    val got7 = SamplingFunctions.weightedSample(
+        df.repartition(7), col("doc_id"), col("w"), 200)
+      .as[(Long, Double)].collect().toSet
+    assert(got7 === got)
+    // 50x weight must dominate the sample (~99% heavy in expectation)
+    val heavy = got.count(_._2 == 50.0)
+    assert(heavy > 150, s"heavy stratum got only $heavy of 200")
+    // scale shape: a per-task heap, not a global sort
+    val plan = SamplingFunctions.weightedSample(df, col("doc_id"), col("w"), 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // non-positive weight fails loudly instead of sorting as +-Infinity
+    val err = intercept[Exception] {
+      SamplingFunctions.weightedSample(
+        Seq((1L, 0.0)).toDF("doc_id", "w"), col("doc_id"), col("w"), 1).collect()
+    }
+    assert(err.getMessage.contains("non-positive weight"))
+  }
+
   test("repeatWeighted: zero shuffle — the multiplication stays in the scan stage") {
     val df = SamplingFunctions.repeatWeighted(
       (1L to 50L).map(i => (i, "x")).toDF("doc_id", "s"),

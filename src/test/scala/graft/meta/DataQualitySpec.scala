@@ -45,4 +45,30 @@ class DataQualitySpec extends SparkSpec {
     assert(rep === Map("pk" -> 0L, "fk" -> 0L),
       "driver testdata keeps PK/FK integrity")
   }
+
+  test("driftReport: zero for identical snapshots, large for an engineered shift") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bucket = least(floor(col("n_chars") / 100), lit(8L))
+    // identical snapshots: p == q bucket-for-bucket, every PSI term exactly 0
+    val same = driftReport(docs, docs, bucket).collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2))
+      assert(r.getDouble(3) === 0.0)
+    }
+    // shares are distributions: each side sums to 1
+    assert(math.abs(same.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    // engineered major shift: keep only the longest docs → low buckets go
+    // to q=0, mass concentrates high; PSI must read as a major shift
+    val shifted = driftReport(docs, docs.filter(col("n_chars") >= 400), bucket)
+      .collect()
+    val psi = shifted.map(_.getDouble(3)).sum
+    assert(psi > 0.25, f"engineered shift scored PSI=$psi%.3f, expected > 0.25")
+    // a bucket the current snapshot lost entirely still appears with q=0;
+    // PSI terms are never negative ((q-p) and ln(q/p) share sign), and a
+    // lost bucket contributes strictly positive drift
+    assert(shifted.forall(_.getDouble(3) >= 0))
+    val lost = shifted.filter(r => r.getDouble(2) == 0.0)
+    assert(lost.nonEmpty && lost.forall(_.getDouble(3) > 0))
+  }
 }
