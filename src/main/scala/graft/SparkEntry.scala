@@ -1448,6 +1448,29 @@ object SparkEntry {
           r6(col("p")).as("p"), r6(col("q")).as("q"),
           r6(col("psi_term")).as("psi_term"))
         .orderBy(col("bucket"))
+    }),
+    // ---- exact shingle-containment join: ordered near-superset pairs
+    // (quote/boilerplate detection) — prefix filter on the probing side
+    // only, full postings on the indexed side, nothing broadcasts or
+    // converges on one partition (shingle dictionary is corpus-sized) ----
+    "q130_containment" -> ((s, d) =>
+      graft.functions.DedupFunctions.containmentJoinExact(
+          Tables.documents(s, d), "text", "doc_id", tau = 0.8, ngram = 3)
+        .select(col("id_a"), col("id_b"), r4(col("containment")).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- MMR diversity re-rank over the dense top-50: the sequential
+    // greedy runs driver-side over the bounded candidate list; the oracle
+    // replays the full recursion in SQL -------------------------------
+    "q131_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cands = Sim.topKCosine(emb, "embedding", "vec_id", qv, 50)
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      graft.functions.SearchFunctions.mmrRerank(
+          cands, "vec_id", "score", "embedding", lambda = 0.7, k = 10)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -2586,7 +2609,40 @@ object SparkEntry {
         |  round((COALESCE(q, 0) - COALESCE(p, 0)) *
         |        ln((COALESCE(q, 0) + 1e-6) / (COALESCE(p, 0) + 1e-6)), 6) AS psi_term
         |FROM refs FULL OUTER JOIN curs ON refs.bucket = curs.bucket
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+    "q130_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+        |SELECT id_a, id_b, round(c, 4) AS containment FROM p
+        |WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "q131_mmr_rerank" ->
+      """WITH RECURSIVE
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)) AS rel
+        |  FROM embeddings ORDER BY rel DESC, vec_id LIMIT 50),
+        |sel AS (
+        |  (SELECT 1 AS step, [vec_id] AS ids FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  (SELECT s.step + 1,
+        |     list_append(s.ids, (
+        |       SELECT c.vec_id FROM cand c
+        |       WHERE NOT list_contains(s.ids, c.vec_id)
+        |       ORDER BY 0.7 * c.rel - 0.3 * (
+        |           SELECT max(list_cosine_similarity(c.emb, p.emb))
+        |           FROM cand p WHERE list_contains(s.ids, p.vec_id)) DESC, c.vec_id
+        |       LIMIT 1))
+        |   FROM sel s WHERE s.step < 10))
+        |SELECT unnest(ids) AS vec_id,
+        |       unnest(generate_series(1, len(ids))) AS rank
+        |FROM sel WHERE step = 10""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -746,4 +746,71 @@ object DedupFunctions {
       .filter(col("jaccard") >= tau)
     verify.select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** EXACT set-containment self-join: every ORDERED pair (A, B) with
+    * shingle containment |A∩B| / |A| ≥ `tau` — the asymmetric complement
+    * of [[jaccardJoinExact]]. Jaccard misses the quote/boilerplate case
+    * where a short document lives inside a much longer one (the union
+    * term drowns the overlap); containment is the measure C4-style span
+    * analysis and quote detection actually need. Sets are distinct word
+    * `ngram`-shingles (the native [[graft.expr.NativeFunctions.word_ngrams]]
+    * expression), because at shingle granularity containment means shared
+    * PASSAGES, not shared vocabulary.
+    *
+    * Prefix-filter completeness (overlap form of Chaudhuri et al. 2006):
+    * C(A,B) ≥ τ forces |A∩B| ≥ ⌈τ|A|⌉ = t, so at most |A| − t tokens of A
+    * miss B — A's (|A| − t + 1)-prefix in ANY fixed global order must hit
+    * B. The probing side therefore explodes only its prefix (rarest-first
+    * so the join keys are the least-skewed shingles); the indexed side
+    * has no τ-dependent prefix (a containing document can be arbitrarily
+    * large) and posts all shingles, with the size bound n_b ≥ t applied
+    * at candidate time.
+    *
+    * Scale shape: the shingle dictionary is corpus-sized, so unlike the
+    * word-vocabulary jaccard path NOTHING here broadcasts or converges on
+    * one partition — document frequency attaches via a shuffle equi-join
+    * on the shingle, the per-doc prefix rank is a window keyed by doc,
+    * and candidates verify on the candidate set only. Verification keeps
+    * STRING arrays deliberately: rare-shingle prefixes make candidates
+    * sparse (the dense-candidate regime that justified q115's int-rank
+    * currency is a small-vocabulary property word shingles don't have),
+    * and an int dictionary would itself need a corpus-sized global
+    * rank. */
+  def containmentJoinExact(docs: DataFrame, textCol: String, idCol: String,
+                           tau: Double, ngram: Int = 3): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val sets = docs
+      .select(col(idCol).as("id"),
+        graft.expr.NativeFunctions.word_ngrams(col(textCol), ngram).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val exploded = sets.select(col("id"), size(col("tk")).as("n"),
+      explode(col("tk")).as("term"))
+    val dfreq = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // rarest-first WITHOUT a dense global rank: (df, term) lexicographic
+    // order is already total, so no single-partition vocabulary window
+    val withDf = exploded.join(dfreq, "term")
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val prefixA = withDf
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
+      .select(col("term"), col("id").as("id_a"), col("n").as("n_a"))
+    val postingsB = exploded
+      .select(col("term"), col("id").as("id_b"), col("n").as("n_b"))
+    val candidates = prefixA.join(postingsB, "term")
+      .filter(col("id_a") =!= col("id_b"))
+      // the containing side must at least hold the required overlap
+      .filter(col("n_b") >= ceil(lit(tau) * col("n_a") - lit(1e-9)))
+      .select(col("id_a"), col("id_b"), col("n_a")).distinct()
+    val verify = candidates
+      .join(sets.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("tk").as("tk_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))).cast("double"))
+      // no epsilon: both engines compute inter/n_a with the same IEEE
+      // division, so the >= comparison agrees bit-for-bit (q115 convention)
+      .withColumn("containment", col("inter") / col("n_a"))
+      .filter(col("containment") >= tau)
+    verify.select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

@@ -123,4 +123,63 @@ object SearchFunctions {
       .filter(col("n_matched") === qTerms.size)
       .select(col("doc_id"))
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` results maximizing
+    * `λ·relevance − (1−λ)·max cosine-sim to already-picked` — the
+    * diversity pass a retrieval stack runs AFTER top-N candidate
+    * generation, so near-duplicate hits don't fill the result page (and
+    * a RAG context window doesn't spend its budget on ten copies of one
+    * passage).
+    *
+    * MMR is inherently sequential (step i depends on the selected set),
+    * so it runs on the driver over the BOUNDED candidate list the ANN /
+    * BM25 stage already produced — the same bounded-by-construction
+    * envelope as the k-means centroid collect, NOT a corpus collect; the
+    * distributed work is candidate generation, which stays in
+    * [[graft.functions.SimilarityFunctions.topKCosine]] et al. Ties
+    * break by ascending id, making the selection engine-reproducible.
+    *
+    * Returns (id, rank) with rank 1-based in selection order. */
+  def mmrRerank(candidates: DataFrame, idCol: String, relCol: String,
+                embCol: String, lambda: Double, k: Int): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = candidates.sparkSession
+    // driver-side collect bounded by the candidate list (top-N upstream)
+    val cand = candidates
+      .select(col(idCol).cast("long"), col(relCol).cast("double"),
+        col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    val chosenEmb = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var step = 1
+    while (step <= math.min(k, cand.length)) {
+      // argmax of the MMR objective; ties by ascending id (strict > on a
+      // candidate with smaller id wins the tie because of iteration order)
+      var best: (Long, Double, Array[Double]) = null
+      var bestScore = Double.NegativeInfinity
+      for ((id, rel, emb) <- cand if !chosen(id)) {
+        val maxSim = if (chosenEmb.isEmpty) 0.0
+        else chosenEmb.iterator.map(s => cos(emb, s)).max
+        val score = lambda * rel - (1 - lambda) * maxSim
+        if (score > bestScore || (score == bestScore && best != null && id < best._1)) {
+          best = (id, rel, emb); bestScore = score
+        }
+      }
+      selected += ((best._1, step))
+      chosen += best._1
+      chosenEmb += best._3
+      step += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF(idCol, "rank")
+  }
 }

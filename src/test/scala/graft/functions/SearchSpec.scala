@@ -93,4 +93,56 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term"),
       "the term IN (...) filter must reach the posting scan")
   }
+
+  test("MMR: first pick is argmax relevance; duplicates of it are deferred") {
+    import spark.implicits._
+    // candidate 1 is most relevant; 2 is its exact twin (sim 1.0); 3 is
+    // orthogonal with lower relevance. At λ=0.5 the twin scores
+    // 0.5·0.98 − 0.5·1.0 = −0.01 against 3's 0.5·0.50 = 0.25 — MMR must
+    // pick 1 then 3, where a plain top-k returns (1, 2).
+    val cands = Seq(
+      (1L, 0.99, Array(1.0, 0.0, 0.0)),
+      (2L, 0.98, Array(1.0, 0.0, 0.0)),
+      (3L, 0.50, Array(0.0, 1.0, 0.0)),
+      (4L, 0.40, Array(0.0, 0.9, 0.1))).toDF("id", "rel", "emb")
+    val out = mmrRerank(cands, "id", "rel", "emb", lambda = 0.5, k = 3)
+      .as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(out.head === 1L, "first pick must be the relevance argmax")
+    assert(out(1) === 3L, s"the exact twin must be deferred, got $out")
+    // λ = 1 degenerates to plain relevance order
+    val pure = mmrRerank(cands, "id", "rel", "emb", lambda = 1.0, k = 3)
+      .as[(Long, Int)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(pure === Seq(1L, 2L, 3L))
+  }
+
+  test("MMR on the real corpus: deterministic, k rows, and more diverse than top-k") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val cands = SimilarityFunctions.topKCosine(emb, "embedding", "vec_id", qv, 50)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    def run() = mmrRerank(cands, "vec_id", "score", "embedding", 0.7, 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = run(); val b = run()
+    assert(a === b, "selection must be reproducible")
+    assert(a.size === 10)
+    // diversity: mean pairwise cosine of the MMR set must not exceed the
+    // plain top-10's (the objective directly penalizes it)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.size
+    }
+    val top10 = cands.orderBy(col("score").desc, col("vec_id"))
+      .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(meanPairSim(a.keys.toSeq) <= meanPairSim(top10) + 1e-12,
+      "MMR must not be less diverse than plain top-k")
+  }
 }
