@@ -1471,7 +1471,17 @@ object SparkEntry {
           cands, "vec_id", "score", "embedding", lambda = 0.7, k = 10)
         .select(col("vec_id"), col("rank").cast("long").as("rank"))
         .orderBy(col("rank"))
-    })
+    }),
+    // ---- exact repeated-substring spans (Lee et al. detection shape):
+    // sliding 8-token windows, corpus-wide digest counts in one exchange,
+    // per-doc island merge in a second — arbitrary-alignment repeats that
+    // disjoint-chunk span dedup (q90) cannot see ------------------------
+    "q132_repeated_spans" -> ((s, d) =>
+      graft.functions.DedupFunctions.repeatedSpans(
+          Tables.documents(s, d), "text", "doc_id", L = 8)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_windows"))
+        .orderBy(col("doc_id"), col("span_start")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2642,7 +2652,26 @@ object SparkEntry {
         |   FROM sel s WHERE s.step < 10))
         |SELECT unnest(ids) AS vec_id,
         |       unnest(generate_series(1, len(ids))) AS rank
-        |FROM sel WHERE step = 10""".stripMargin
+        |FROM sel WHERE step = 10""".stripMargin,
+    "q132_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |w AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(tk) - 8)) AS i,
+        |    unnest(list_transform(generate_series(1, len(tk) - 8 + 1),
+        |           j -> md5(array_to_string(tk[j:j+7], ' ')))) AS g
+        |  FROM t WHERE len(tk) >= 8),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY g) AS cnt FROM w),
+        |m AS (SELECT doc_id, i FROM c WHERE cnt >= 2),
+        |isl AS (SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+        |      THEN 1 ELSE 0 END AS brk FROM m),
+        |i2 AS (SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island FROM isl)
+        |SELECT doc_id, min(i) AS span_start, max(i) + 8 AS span_end,
+        |       count(*) AS n_windows
+        |FROM i2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -813,4 +813,57 @@ object DedupFunctions {
       .filter(col("containment") >= tau)
     verify.select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** Repeated-substring spans: for every document, the maximal token
+    * intervals covered by SLIDING `L`-token windows whose window occurs
+    * more than once in the corpus (in any document, including this one) —
+    * the detection half of exact substring deduplication (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022, which removes repeated substrings ≥ 50 tokens; the reference
+    * implementation builds a corpus suffix array). [[dedupSpans]] handles
+    * DISJOINT fixed chunks; this finds arbitrarily-aligned repeats —
+    * boilerplate headers, license blocks, quoted passages — and returns
+    * (id, span_start, span_end, n_windows) with span bounds in token
+    * positions, overlapping/adjacent windows merged per document.
+    *
+    * Scale shape: windows materialize scan-side (one row per token
+    * position carrying a 128-bit window digest, never the window text);
+    * corpus-wide window counts are ONE exchange keyed on the digest (a
+    * count-over-window, so identical windows collapse map-side only in
+    * the aggregate sense — the row volume is corpus token count, which is
+    * the honest cost of exact substring dedup without a distributed
+    * suffix array; Lee et al. pay the same in suffix-array construction).
+    * The island merge is a second exchange keyed by document. md5 keeps
+    * the digest reproducible for the DuckDB oracle — production would use
+    * xxhash64 (8 B instead of a 32-char hex, same semantics), the same
+    * trade [[minhash]] documents. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                    L: Int): DataFrame = {
+    require(L >= 2, s"window length must be >= 2 tokens, got $L")
+    val windows = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= L)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("tk")) - L),
+        i => struct(i.as("i"),
+          md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L)))).as("g")))).as("w"))
+      .select(col("id"), col("w.i").as("i"), col("w.g").as("g"))
+    val marked = windows
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("cnt") >= 2)
+    // gaps-and-islands: windows all span [i, i+L), and i is increasing
+    // within a doc, so a new island starts exactly when the gap to the
+    // previous start exceeds L (touching windows merge)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("i"))
+    marked
+      .withColumn("brk", when(col("i") - lag(col("i"), 1).over(byDoc) > L, 1)
+        .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
 }

@@ -185,6 +185,55 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(exchanges <= 2, "kmeansStep should need one shuffle (+AQE read)")
   }
 
+  test("repeatedSpans: hand-checked islands, cross-doc repeats, reference equivalence") {
+    // doc 1 and 2 share an 8-token run ("one .. eight") at DIFFERENT
+    // offsets; doc 3 is clean. Only the shared run's windows mark.
+    val shared = "one two three four five six seven eight"
+    val d1 = s"$shared tail1 tail2 tail3"
+    val d2 = s"head1 head2 $shared other tokens here now"
+    val d3 = "totally different words with no repeats at all present"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = DedupFunctions.repeatedSpans(df, "text", "doc_id", 4)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // L=4: the shared 8 tokens give window starts 0..4 in doc1 (5 windows,
+    // span [0, 8)) and 2..6 in doc2 (span [2, 10))
+    assert(got === Set((1L, 0, 8, 5L), (2L, 2, 10, 5L)), s"got $got")
+
+    // within-ONE-doc repetition also marks (the run appears twice)
+    val rep = Seq((9L, s"$shared filler $shared")).toDF("doc_id", "text")
+    val gotRep = DedupFunctions.repeatedSpans(rep, "text", "doc_id", 4)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(gotRep.nonEmpty && gotRep.forall(_._1 == 9L))
+
+    // reference equivalence on the real corpus: a driver-side replay of
+    // the same definition (window digests -> counts -> island merge)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val L = 8
+    val wins = docs.flatMap { case (id, text) =>
+      val tk = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < L) Nil
+      else (0 to tk.length - L).map(i => (id, i, tk.slice(i, i + L).mkString(" ")))
+    }
+    val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val expected = wins.filter(w => cnt(w._3) >= 2)
+      .groupBy(_._1).flatMap { case (id, ws) =>
+        val starts = ws.map(_._2).sorted
+        val islands = starts.foldLeft(List.empty[List[Int]]) {
+          case (Nil, i) => List(List(i))
+          case (cur :: rest, i) =>
+            if (i - cur.head > L) List(i) :: cur :: rest
+            else (i :: cur) :: rest
+        }
+        islands.map(isl => (id, isl.min, isl.max + L, isl.size.toLong))
+      }.toSet
+    val gotReal = DedupFunctions.repeatedSpans(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "text", "doc_id", L)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(gotReal === expected)
+    assert(gotReal.nonEmpty, "fixture should contain planted repeats")
+  }
+
   test("property: dedupSpans keeps exactly the first occurrence of every span, in doc order") {
     import org.scalacheck.Gen
     // tiny alphabet forces span collisions across documents
