@@ -792,16 +792,27 @@ object DedupFunctions {
     val withDf = exploded.join(dfreq, "term")
     val wDoc = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("term").asc)
-    val prefixA = withDf
-      .withColumn("rn", row_number().over(wDoc))
+    val withRn = withDf.withColumn("rn", row_number().over(wDoc))
+    val prefixA = withRn
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-      .select(col("term"), col("id").as("id_a"), col("n").as("n_a"))
-    val postingsB = exploded
-      .select(col("term"), col("id").as("id_b"), col("n").as("n_b"))
+      .select(col("term"), col("id").as("id_a"),
+        col("n").as("n_a"), col("rn").as("rn_a"))
+    // B posts ALL tokens but carries its rank position: the positional
+    // bound below kills matches deep in B at join time (B cannot be
+    // statically prefixed — the required overlap depends on the partner —
+    // but per-row it prunes exactly as hard)
+    val postingsB = withRn
+      .select(col("term"), col("id").as("id_b"),
+        col("n").as("n_b"), col("rn").as("rn_b"))
     val candidates = prefixA.join(postingsB, "term")
       .filter(col("id_a") =!= col("id_b"))
       // the containing side must at least hold the required overlap
       .filter(col("n_b") >= ceil(lit(tau) * col("n_a") - lit(1e-9)))
+      // first-common-token bound (same argument as jaccardJoinExact's
+      // PPJoin filter): overlap ≤ 1 + min of remaining suffixes, and a
+      // viable pair's first common token always yields a passing row
+      .filter(lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
+        ceil(lit(tau) * col("n_a") - lit(1e-9)))
       .select(col("id_a"), col("id_b"), col("n_a")).distinct()
     val verify = candidates
       .join(sets.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
