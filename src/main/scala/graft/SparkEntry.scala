@@ -1481,7 +1481,24 @@ object SparkEntry {
           Tables.documents(s, d), "text", "doc_id", L = 8)
         .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
           col("span_end").cast("long").as("span_end"), col("n_windows"))
-        .orderBy(col("doc_id"), col("span_start")))
+        .orderBy(col("doc_id"), col("span_start"))),
+    // ---- corpus audit: χ² independence of language × source — one
+    // exchange keyed on the pair, grid completion over the cell table ----
+    "q133_chi2" -> ((s, d) =>
+      graft.meta.DataQuality.chiSquareIndependence(
+          Tables.documents(s, d), col("lang"), col("source"))
+        .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+          r6(col("chi2")).as("chi2"))),
+    // ---- event-volume anomalies: hourly buckets z-scored against each
+    // type's own distribution — bucket counts cross the exchange, events
+    // never do -----------------------------------------------------------
+    "q134_event_anomaly" -> ((s, d) =>
+      graft.functions.EventAnalytics.volumeAnomalies(
+          Tables.events(s, d), "event_type", "ts",
+          bucket = "1 hour", threshold = 2.0)
+        .select(col("event_type"), col("bucket_start"), col("n"),
+          r4(col("z")).as("z"))
+        .orderBy(col("event_type"), col("bucket_start")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2671,7 +2688,33 @@ object SparkEntry {
         |SELECT doc_id, min(i) AS span_start, max(i) + 8 AS span_end,
         |       count(*) AS n_windows
         |FROM i2 GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q133_chi2" ->
+      """WITH cells AS (SELECT lang AS va, source AS vb, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT va, sum(n) AS row_n FROM cells GROUP BY 1),
+        |cm AS (SELECT vb, sum(n) AS col_n FROM cells GROUP BY 1),
+        |grid AS (SELECT rm.va, cm.vb, row_n, col_n, COALESCE(cells.n, 0) AS nij
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.va = rm.va AND cells.vb = cm.vb),
+        |g2 AS (SELECT *, sum(nij) OVER () AS tot FROM grid),
+        |g3 AS (SELECT *, CAST(row_n AS DOUBLE) * col_n / tot AS e FROM g2)
+        |SELECT CAST(max(tot) AS BIGINT) AS n,
+        |  count(DISTINCT va) AS n_rows, count(DISTINCT vb) AS n_cols,
+        |  (count(DISTINCT va) - 1) * (count(DISTINCT vb) - 1) AS dof,
+        |  round(sum(pow(nij - e, 2) / e), 6) AS chi2
+        |FROM g3""".stripMargin,
+    "q134_event_anomaly" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT *, avg(n) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_samp(n) OVER (PARTITION BY event_type) AS sigma FROM c)
+        |SELECT event_type, bucket_start, n, round((n - mu) / sigma, 4) AS z
+        |FROM s
+        |WHERE sigma IS NOT NULL AND sigma > 0
+        |  AND abs((n - mu) / sigma) >= 2.0
+        |ORDER BY event_type, bucket_start""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -856,8 +856,11 @@ object DedupFunctions {
       .filter(size(col("tk")) >= L)
       .select(col("id"), explode(transform(
         sequence(lit(0), size(col("tk")) - L),
+        // unhex → 16-byte binary digest: halves the exchange payload vs
+        // the 32-char hex; spans depend only on digest EQUALITY, so any
+        // injective encoding of md5 yields identical output
         i => struct(i.as("i"),
-          md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L)))).as("g")))).as("w"))
+          unhex(md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L))))).as("g")))).as("w"))
       .select(col("id"), col("w.i").as("i"), col("w.g").as("g"))
     val marked = windows
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))

@@ -82,4 +82,36 @@ object EventAnalytics {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Volume-anomaly detection: bucket events into fixed time windows per
+    * type, z-score each bucket against ITS TYPE's own volume distribution,
+    * and flag |z| ≥ `threshold` — the standing data-quality monitor for an
+    * event pipeline (a collector outage shows as a negative spike, a
+    * replay or bot burst as a positive one). Per-type normalization
+    * matters: a rare event type's normal hour would sit sigmas below a
+    * common type's, so a global baseline drowns exactly the signals worth
+    * catching.
+    *
+    * Scale shape: one groupBy (type, bucket) with map-side partials — the
+    * exchange carries bucket counts, never events; the baseline
+    * mean/stddev ride a per-type window over the bucket table (bounded:
+    * types × buckets rows). Types with a single bucket or zero variance
+    * produce no rows (a constant series has no anomalies to score). */
+  def volumeAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                      bucket: String = "1 hour",
+                      threshold: Double = 2.0): DataFrame = {
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"),
+        window(col(tsCol), bucket)("start").as("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    counts
+      .withColumn("mu", avg(col("n")).over(byType))
+      .withColumn("sigma", stddev_samp(col("n")).over(byType))
+      .filter(col("sigma").isNotNull && col("sigma") > 0)
+      .withColumn("z", (col("n") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_type"), col("bucket_start"), col("n"), col("z"))
+  }
 }

@@ -91,4 +91,40 @@ object DataQuality {
         (col("q") - col("p")) *
           log((col("q") + lit(eps)) / (col("p") + lit(eps))))
   }
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns — the statistical companion to [[driftReport]]: PSI asks
+    * "did THIS dimension's mix move between snapshots", this asks "are
+    * these two dimensions associated at all" (language × source,
+    * label × shard, …), which is how a corpus audit catches a scraper
+    * that only collects one language from one domain, or a split whose
+    * strata leaked. Returns one row: N, the contingency dimensions, the
+    * degrees of freedom (r−1)(c−1), and the χ² statistic
+    * Σ (observed − expected)² / expected over cells with expected > 0.
+    *
+    * Scale shape: ONE groupBy over the column pair (map-side partials;
+    * output is |a|×|b| cells, category-product bounded); marginals and
+    * the statistic are windows/aggregates over that tiny cell table. The
+    * corpus crosses one exchange, keyed on the pair. */
+  def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.groupBy(a.cast("string").as("va"), b.cast("string").as("vb"))
+      .agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy(col("va")).agg(sum(col("n")).as("row_n"))
+    val colM = cells.groupBy(col("vb")).agg(sum(col("n")).as("col_n"))
+    // complete the r×c grid: a cell nobody observed still contributes its
+    // expected count to the statistic. The cross join is category-product
+    // bounded — cells, not corpus rows
+    val grid = rowM.crossJoin(colM)
+      .join(cells, Seq("va", "vb"), "left")
+      .withColumn("nij", coalesce(col("n"), lit(0L)))
+      .withColumn("tot", sum(col("nij")).over())
+      .withColumn("e",
+        col("row_n").cast("double") * col("col_n") / col("tot"))
+    grid.agg(
+      max(col("tot")).as("n"),
+      countDistinct(col("va")).as("n_rows"),
+      countDistinct(col("vb")).as("n_cols"),
+      ((countDistinct(col("va")) - 1) * (countDistinct(col("vb")) - 1)).as("dof"),
+      sum(pow(col("nij") - col("e"), 2) / col("e")).as("chi2"))
+  }
 }

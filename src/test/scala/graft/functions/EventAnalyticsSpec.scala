@@ -71,4 +71,38 @@ class EventAnalyticsSpec extends SparkSpec {
       || plan.contains("EqualTo(event_type,view)"),
       "stage filters must reach the scan")
   }
+
+  test("volumeAnomalies: planted spike flagged, per-type baseline, flat series silent") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // type "steady": 5 events every hour for 24h except hour 12 (50 events)
+    val steady = (0 until 24).flatMap { h =>
+      val k = if (h == 12) 50 else 5
+      (0 until k).map(i => ("steady", ts(h, i % 60)))
+    }
+    // type "flat": identical count every hour — zero variance, no output
+    val flat = (0 until 24).flatMap(h => (0 until 7).map(i => ("flat", ts(h, i))))
+    val df = (steady ++ flat).toDF("event_type", "ts")
+    val out = volumeAnomalies(df, "event_type", "ts", "1 hour", 2.0)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+    assert(out.length === 1, s"exactly the spike should flag, got ${out.toSeq}")
+    assert(out.head._1 === "steady" && out.head._3 === 50L)
+    assert(out.head._2.startsWith("2024-01-01 12:"))
+    // per-type normalization: the same +8 absolute delta is an anomaly for
+    // a rare type but noise for a heavy one
+    val rare = (0 until 24).flatMap { h =>
+      val k = if (h == 6) 10 else 2
+      (0 until k).map(i => ("rare", ts(h, i)))
+    }
+    val heavy = (0 until 24).flatMap { h =>
+      // counts vary 500..508 uniformly-ish; +8 sits inside normal spread
+      val k = 500 + (h * 7) % 9
+      (0 until k).map(i => ("heavy", ts(h, i % 60)))
+    }
+    val out2 = volumeAnomalies((rare ++ heavy).toDF("event_type", "ts"),
+        "event_type", "ts", "1 hour", 2.0)
+      .collect().map(_.getString(0))
+    assert(out2.contains("rare"), "the rare type's spike must flag")
+    assert(!out2.contains("heavy"), "in-spread variation must not flag")
+  }
 }

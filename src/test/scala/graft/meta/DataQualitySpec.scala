@@ -71,4 +71,32 @@ class DataQualitySpec extends SparkSpec {
     val lost = shifted.filter(r => r.getDouble(2) == 0.0)
     assert(lost.nonEmpty && lost.forall(_.getDouble(3) > 0))
   }
+
+  test("chi-squared: hand-computed 2x2, independence ⇒ ~0, empty cells counted") {
+    import spark.implicits._
+    // classic 2x2: rows (10,20) / (20,10); N=60, all expected = 15;
+    // chi2 = 4 * (5^2/15) = 20/3
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r = chiSquareIndependence(rows.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(r.getLong(0) === 60L)
+    assert(r.getLong(3) === 1L) // dof
+    assert(math.abs(r.getDouble(4) - 20.0 / 3.0) < 1e-9)
+    // exact product distribution ⇒ chi2 = 0
+    val indep = for (u <- Seq("a", "b", "c"); v <- Seq("x", "y"); _ <- 1 to 5)
+      yield (u, v)
+    val r2 = chiSquareIndependence(indep.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(r2.getDouble(4) === 0.0)
+    assert(r2.getLong(3) === 2L)
+    // a never-observed cell still contributes its expected count: perfect
+    // diagonal association has chi2 = N * (r-1) for square tables
+    val diag = Seq.fill(15)(("a", "x")) ++ Seq.fill(15)(("b", "y"))
+    val r3 = chiSquareIndependence(diag.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(math.abs(r3.getDouble(4) - 30.0) < 1e-9,
+      s"diagonal 2x2 must score chi2 = N, got ${r3.getDouble(4)}")
+  }
 }
