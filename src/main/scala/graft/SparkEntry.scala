@@ -1498,7 +1498,14 @@ object SparkEntry {
           bucket = "1 hour", threshold = 2.0)
         .select(col("event_type"), col("bucket_start"), col("n"),
           r4(col("z")).as("z"))
-        .orderBy(col("event_type"), col("bucket_start")))
+        .orderBy(col("event_type"), col("bucket_start"))),
+    // ---- collocation mining: adjacent bigrams ranked by PMI — two
+    // vocabulary-sized aggregates, unigram dictionary broadcast back;
+    // the corpus never shuffles ----------------------------------------
+    "q135_collocations" -> ((s, d) =>
+      graft.functions.TextFunctions.collocationsPmi(
+          Tables.documents(s, d), "text", minCount = 5, topK = 20)
+        .select(col("wa"), col("wb"), col("cab"), r4(col("pmi")).as("pmi")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2714,7 +2721,25 @@ object SparkEntry {
         |FROM s
         |WHERE sigma IS NOT NULL AND sigma > 0
         |  AND abs((n - mu) / sigma) >= 2.0
-        |ORDER BY event_type, bucket_start""".stripMargin
+        |ORDER BY event_type, bucket_start""".stripMargin,
+    "q135_collocations" ->
+      """WITH tk AS (SELECT list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> lower(x)) AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |uc AS (SELECT w, count(*) AS ca FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+        |ut AS (SELECT sum(ca) AS u_total FROM uc),
+        |bi AS (SELECT unnest(t[1:len(t)-1]) AS wa, unnest(t[2:len(t)]) AS wb
+        |  FROM tk WHERE len(t) >= 2),
+        |bc AS (SELECT wa, wb, count(*) AS cab FROM bi GROUP BY 1, 2),
+        |bt AS (SELECT sum(cab) AS b_total FROM bc),
+        |res AS (SELECT bc.wa, bc.wb, cab,
+        |    ln((CAST(cab AS DOUBLE) / (SELECT b_total FROM bt)) /
+        |       ((CAST(ua.ca AS DOUBLE) / (SELECT u_total FROM ut)) *
+        |        (CAST(ub.ca AS DOUBLE) / (SELECT u_total FROM ut)))) AS pmi
+        |  FROM bc JOIN uc ua ON ua.w = bc.wa JOIN uc ub ON ub.w = bc.wb
+        |  WHERE cab >= 5)
+        |SELECT wa, wb, cab, round(pmi, 4) AS pmi FROM res
+        |ORDER BY pmi DESC, wa, wb LIMIT 20""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

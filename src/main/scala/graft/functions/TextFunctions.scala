@@ -249,4 +249,48 @@ object TextFunctions {
     grams.join(broadcast(top), "__g")
       .groupBy(col(idCol)).agg(count(lit(1)).as("boilerplate_hits"))
   }
+
+  /** Collocation mining: adjacent-word bigrams ranked by pointwise mutual
+    * information, `pmi = ln( (c_ab/B) / ((c_a/U)·(c_b/U)) )` with B = total
+    * bigram and U = total unigram occurrences — high-PMI pairs are the
+    * multi-word expressions ("machine learning", "new york") a tokenizer
+    * or phrase-aware index wants to treat as units; raw bigram frequency
+    * ranks "of the" first, which is exactly what PMI corrects. A
+    * `minCount` floor is mandatory hygiene: a pair of two hapaxes scores
+    * the maximum PMI on one occurrence.
+    *
+    * Scale shape: one token explode feeds the unigram aggregate, one
+    * sliding zip feeds the bigram aggregate (both map-side partials,
+    * vocabulary-sized outputs); unigram counts broadcast-join back onto
+    * the bigram table twice (word vocabulary — the same bounded
+    * dictionary [[boilerplateHits]] and the TF-IDF path broadcast);
+    * totals ride 0-partition windows over those bounded tables. The
+    * corpus itself never shuffles. */
+  def collocationsPmi(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = tokens(lower(col(textCol)))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .withColumn("u_total", sum(col("cw")).over())
+    val bi = df.select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .groupBy(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .agg(count(lit(1)).as("cab"))
+      .withColumn("b_total", sum(col("cab")).over())
+      .filter(col("cab") >= minCount)
+    bi
+      .join(broadcast(uni.select(col("w").as("wa"), col("cw").as("ca"), col("u_total"))), "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("cw").as("cb"))), "wb")
+      .withColumn("pmi",
+        log((col("cab").cast("double") / col("b_total")) /
+          ((col("ca").cast("double") / col("u_total")) *
+            (col("cb").cast("double") / col("u_total")))))
+      .select(col("wa"), col("wb"), col("cab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(topK)
+  }
 }

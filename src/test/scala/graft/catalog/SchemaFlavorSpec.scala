@@ -97,7 +97,10 @@ class SchemaFlavorSpec extends SparkSpec {
     val battery = Seq(
       "q01_pricing_summary", "q02_conj_filter", "q03_top_revenue",
       "q05_count_by_status", "q06_count_by_day_type", "q23_token_stats",
-      "q28_ann_topk", "q48_sessionization")
+      "q28_ann_topk", "q48_sessionization",
+      // r10 additions: KLL sketch over int-drifted n_chars, anomaly
+      // z-scores over the timestamp-flavored events.ts
+      "q128_quantile_sketch", "q134_event_anomaly")
     for (q <- battery) {
       val baseline = rows(graft.SparkEntry.queries(q)(spark, sf0001))
       assert(baseline.nonEmpty, s"$q produced no rows on the base fixture")

@@ -795,4 +795,41 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(hits === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("collocationsPmi: hand-computed PMI, minCount floor, frequency-rank contrast") {
+    // "new york" is a fixed phrase (always adjacent); "of the" is frequent
+    // but both words are everywhere, so PMI must rank the phrase first
+    // even though "of the" has the higher raw count
+    val docs = Seq(
+      "new york of the state of the union",
+      "new york of the city of the night",
+      "new york of the harbor of the east",
+      "maps of new york of the region").toDF("text")
+    val out = TextFunctions.collocationsPmi(docs, "text", minCount = 2, topK = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    val byPair = out.toMap
+    // hand replication of the formula for ("new","york"):
+    // cab=4, B=total bigrams, ca=c("new")=4, cb=c("york")=4, U=total tokens
+    val toksAll = docs.as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+"))
+    val u = toksAll.length.toDouble
+    val bigramsAll = docs.as[String].collect().flatMap { t =>
+      val w = t.trim.toLowerCase.split("\\s+"); w.init.zip(w.tail)
+    }
+    val bTot = bigramsAll.length.toDouble
+    def handPmi(wa: String, wb: String): Double = {
+      val cab = bigramsAll.count(p => p._1 == wa && p._2 == wb).toDouble
+      val ca = toksAll.count(_ == wa).toDouble
+      val cb = toksAll.count(_ == wb).toDouble
+      math.log((cab / bTot) / ((ca / u) * (cb / u)))
+    }
+    assert(math.abs(byPair(("new", "york"))._2 - handPmi("new", "york")) < 1e-9)
+    assert(math.abs(byPair(("of", "the"))._2 - handPmi("of", "the")) < 1e-9)
+    // the phrase outranks the frequent-but-unassociated pair
+    assert(byPair(("new", "york"))._2 > byPair(("of", "the"))._2)
+    assert(byPair(("of", "the"))._1 > byPair(("new", "york"))._1,
+      "raw frequency must rank them the other way — that's the point")
+    // minCount floor: singleton bigrams are absent
+    assert(out.forall(_._2._1 >= 2))
+  }
 }
