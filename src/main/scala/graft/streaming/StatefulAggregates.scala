@@ -65,6 +65,80 @@ object StatefulAggregates {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** One flagged bucket from [[onlineVolumeAnomalies]]. */
+  final case class BucketAnomaly(event_type: String,
+                                 bucket_start: java.sql.Timestamp,
+                                 n: Long, z: Double)
+
+  /** Streaming twin of [[graft.functions.EventAnalytics.volumeAnomalies]]:
+    * an ONLINE z-score per (type, bucket) against the type's history SO
+    * FAR, held as Welford running moments (count, mean, M2) — three
+    * numbers per key, the smallest possible baseline state. The batch
+    * operator scores against the full series (retrospective audit); this
+    * scores each bucket as it closes (the pager alert), which is why the
+    * two legitimately disagree on early buckets: the stream has no future
+    * to normalize against. `minHistory` suppresses the cold start, where
+    * one observation would make every second bucket an "anomaly".
+    *
+    * Input contract: closed (event_type, bucket_start, n) rows — i.e. the
+    * APPEND-mode output of a watermarked windowed count upstream, so each
+    * bucket arrives exactly once. Rows are sorted by bucket_start within
+    * each micro-batch (arrival order inside a batch is not meaningful);
+    * cross-batch ordering is the upstream watermark's contract.
+    *
+    * Scale shape: state is O(types) × 3 doubles in the keyed state store,
+    * one shuffle on event_type; each micro-batch touches only types with
+    * closed buckets. A spike does inflate the running variance after it
+    * is scored (self-poisoning) — production hardening would clamp or use
+    * MAD, noted here because the spec pins the current semantics. */
+  class OnlineAnomalyProcessor(threshold: Double, minHistory: Int)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp, Long),
+        BucketAnomaly] {
+    @transient private var stats: ValueState[(Long, Double, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[(Long, Double, Double)]("welford",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+          Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, java.sql.Timestamp, Long)],
+                                 timerValues: TimerValues): Iterator[BucketAnomaly] = {
+      var (cnt, mean, m2) =
+        if (stats.exists()) stats.get() else (0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[BucketAnomaly]
+      rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, n) =>
+        if (cnt >= minHistory && cnt >= 2) {
+          val sigma = math.sqrt(m2 / (cnt - 1)) // sample stddev of history
+          if (sigma > 0) {
+            val z = (n - mean) / sigma
+            if (math.abs(z) >= threshold) out += BucketAnomaly(key, ts, n, z)
+          }
+        }
+        cnt += 1
+        val d = n - mean
+        mean += d / cnt
+        m2 += d * (n - mean)
+      }
+      stats.update((cnt, mean, m2))
+      out.iterator
+    }
+  }
+
+  /** Run [[OnlineAnomalyProcessor]] over closed bucket counts
+    * (event_type, bucket_start, n) — streaming or batch (batch scores the
+    * whole series in one pass, state scoped to it). */
+  def onlineVolumeAnomalies(bucketCounts: DataFrame, threshold: Double = 3.0,
+                            minHistory: Int = 6): Dataset[BucketAnomaly] = {
+    val spark = bucketCounts.sparkSession
+    import spark.implicits._
+    bucketCounts
+      .selectExpr("CAST(event_type AS STRING) AS event_type",
+        "CAST(bucket_start AS TIMESTAMP) AS bucket_start", "CAST(n AS LONG) AS n")
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new OnlineAnomalyProcessor(threshold, minHistory),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def runningUserTotals(events: DataFrame,
                         idleTimeout: Option[String] = None): Dataset[UserTotals] = {
     val spark = events.sparkSession

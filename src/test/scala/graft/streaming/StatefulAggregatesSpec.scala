@@ -75,4 +75,70 @@ class StatefulAggregatesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === expected)
   }
+
+  test("online anomaly: streaming in micro-batches == driver Welford replay; cold start quiet") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // steady ~5/hour with a spike at hour 12 and a dip at hour 20;
+    // "flat" is constant — must stay silent forever
+    val counts = (0 until 24).map { h =>
+      val n = if (h == 12) 60L else if (h == 20) 0L else 5L + (h % 3)
+      ("steady", ts(h), n)
+    } ++ (0 until 24).map(h => ("flat", ts(h), 7L))
+    // driver-side replay of the exact online definition
+    def replay(rows: Seq[(Timestamp, Long)], threshold: Double, minHistory: Int) = {
+      var (cnt, mean, m2) = (0L, 0.0, 0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Timestamp, Long, Double)]
+      rows.sortBy(_._1.getTime).foreach { case (t, n) =>
+        if (cnt >= minHistory && cnt >= 2) {
+          val sigma = math.sqrt(m2 / (cnt - 1))
+          if (sigma > 0) {
+            val z = (n - mean) / sigma
+            if (math.abs(z) >= threshold) out += ((t, n, z))
+          }
+        }
+        cnt += 1; val d = n - mean; mean += d / cnt; m2 += d * (n - mean)
+      }
+      out.toSeq
+    }
+    val expectedSteady = replay(
+      counts.filter(_._1 == "steady").map(c => (c._2, c._3)), 3.0, 6)
+    // the spike must flag; the later dip legitimately may NOT — the spike
+    // self-poisons the running variance (documented in the processor)
+    assert(expectedSteady.map(_._1.toString.substring(11, 13)).contains("12"),
+      s"fixture sanity: the spike must flag, got $expectedSteady")
+
+    // stream the buckets through in FOUR micro-batches (files), in order
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val df = counts.toDF("event_type", "bucket_start", "n")
+      val stream = spark.readStream.schema(df.schema).parquet(dir)
+      val q = StatefulAggregates.onlineVolumeAnomalies(stream, 3.0, 6)
+        .writeStream.format("memory").queryName("anom")
+        .outputMode("append").start()
+      try {
+        counts.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
+          chunk.toDF("event_type", "bucket_start", "n")
+            .coalesce(1).write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+        val got = spark.table("anom")
+          .as[StatefulAggregates.BucketAnomaly].collect()
+        assert(got.forall(_.event_type == "steady"), "flat series must stay silent")
+        val gotSteady = got.map(a => (a.bucket_start, a.n,
+          math.round(a.z * 1e9) / 1e9)).sortBy(_._1.getTime).toSeq
+        val expRounded = expectedSteady.map(e => (e._1, e._2,
+          math.round(e._3 * 1e9) / 1e9))
+        assert(gotSteady === expRounded,
+          s"streaming must equal the sequential replay\n got: $gotSteady\n exp: $expRounded")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
