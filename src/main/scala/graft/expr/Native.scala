@@ -23,6 +23,10 @@ object NativeFunctions {
   def word_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(text), n))
 
+  /** Native sliding L-token window md5 digests (16-byte binary each). */
+  def window_digests(text: Column, l: Int): Column =
+    ColumnBridge.column(WindowDigestsExpr(ColumnBridge.expression(text), l))
+
   /** Native 16-bit md5-based SimHash (cross-engine-reproducible). */
   def simhash_md5_16(text: Column): Column =
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))

@@ -848,20 +848,28 @@ object DedupFunctions {
     * the digest reproducible for the DuckDB oracle — production would use
     * xxhash64 (8 B instead of a 32-char hex, same semantics), the same
     * trade [[minhash]] documents. */
+  /** The composable-HOF formulation of the window digests — kept as the
+    * executable specification [[graft.expr.WindowDigestsExpr]] is tested
+    * against (same pattern as [[minhashSignatureHof]]). */
+  def repeatedSpanDigestsHof(text: Column, L: Int): Column = {
+    val tk = TextFunctions.tokens(text)
+    when(size(tk) < L, array().cast("array<binary>")).otherwise(
+      transform(sequence(lit(0), size(tk) - L),
+        i => unhex(md5(concat_ws(" ", slice(tk, i + 1, lit(L)))))))
+  }
+
   def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
                     L: Int): DataFrame = {
     require(L >= 2, s"window length must be >= 2 tokens, got $L")
+    // 16-byte binary digests (not hex strings) halve the exchange payload;
+    // spans depend only on digest EQUALITY, so any injective encoding of
+    // md5 yields identical output. The native expression computes all
+    // windows in one pass per row — bit-identical to the HOF twin
+    // [[repeatedSpanDigestsHof]], which the spec pins
     val windows = df
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= L)
-      .select(col("id"), explode(transform(
-        sequence(lit(0), size(col("tk")) - L),
-        // unhex → 16-byte binary digest: halves the exchange payload vs
-        // the 32-char hex; spans depend only on digest EQUALITY, so any
-        // injective encoding of md5 yields identical output
-        i => struct(i.as("i"),
-          unhex(md5(concat_ws(" ", slice(col("tk"), i + 1, lit(L))))).as("g")))).as("w"))
-      .select(col("id"), col("w.i").as("i"), col("w.g").as("g"))
+      .select(col(idCol).as("id"),
+        posexplode(graft.expr.NativeFunctions.window_digests(col(textCol), L))
+          .as(Seq("i", "g")))
     val marked = windows
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("cnt") >= 2)

@@ -796,6 +796,30 @@ class FunctionsSpec extends SparkSpec {
     assert(hits === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("native window_digests == HOF twin byte-for-byte; edge cases") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (90001L, ""), (90002L, "   "), (90003L, "one two"),
+        (90004L, "a  b\tc   d e f g h i"), // multi-space + tab runs
+        (90005L, "x " * 7 + "x")).toDF("doc_id", "text"))
+    for (l <- Seq(2, 8)) {
+      val native = docs.select($"doc_id",
+        graft.expr.NativeFunctions.window_digests($"text", l).as("w"))
+      val hof = docs.select($"doc_id",
+        DedupFunctions.repeatedSpanDigestsHof($"text", l).as("w"))
+      val n = native.collect().map(r => r.getLong(0) ->
+        r.getSeq[Array[Byte]](1).map(_.toSeq)).toMap
+      val h = hof.collect().map(r => r.getLong(0) ->
+        r.getSeq[Array[Byte]](1).map(_.toSeq)).toMap
+      assert(n === h, s"L=$l: native digests must equal the HOF spec")
+      assert(n(90001L).isEmpty && n(90002L).isEmpty,
+        "empty/whitespace texts yield no windows")
+      if (l == 8) assert(n(90003L).isEmpty, "texts shorter than L yield none")
+      else assert(n(90003L).size === 1)
+    }
+  }
+
   test("collocationsPmi: hand-computed PMI, minCount floor, frequency-rank contrast") {
     // "new york" is a fixed phrase (always adjacent); "of the" is frequent
     // but both words are everywhere, so PMI must rank the phrase first
