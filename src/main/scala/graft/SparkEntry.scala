@@ -1505,7 +1505,30 @@ object SparkEntry {
     "q135_collocations" -> ((s, d) =>
       graft.functions.TextFunctions.collocationsPmi(
           Tables.documents(s, d), "text", minCount = 5, topK = 20)
-        .select(col("wa"), col("wb"), col("cab"), r4(col("pmi")).as("pmi")))
+        .select(col("wa"), col("wb"), col("cab"), r4(col("pmi")).as("pmi"))),
+    // ---- grouped feature correlation: Pearson r + covariance per group,
+    // pure map-side-partial aggregates (codegen'd built-ins) -------------
+    "q136_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(r6(corr(col("l_quantity"), col("l_extendedprice"))).as("r"),
+          r2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+    // ---- volume trend per event type: least-squares slope/fit of hourly
+    // counts over time — one bucket aggregate, then regr_* over the
+    // bounded bucket table ----------------------------------------------
+    "q137_trend" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600).as("h"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"))
+        .agg(r6(regr_slope(col("n"), col("h"))).as("slope"),
+          r6(regr_r2(col("n"), col("h"))).as("r2"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2739,7 +2762,22 @@ object SparkEntry {
         |  FROM bc JOIN uc ua ON ua.w = bc.wa JOIN uc ub ON ub.w = bc.wb
         |  WHERE cab >= 5)
         |SELECT wa, wb, cab, round(pmi, 4) AS pmi FROM res
-        |ORDER BY pmi DESC, wa, wb LIMIT 20""".stripMargin
+        |ORDER BY pmi DESC, wa, wb LIMIT 20""".stripMargin,
+    "q136_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q137_trend" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch(date_trunc('hour', ts)) / 3600 AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  round(regr_slope(n, h), 6) AS slope,
+        |  round(regr_r2(n, h), 6) AS r2,
+        |  count(*) AS n_buckets
+        |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.
