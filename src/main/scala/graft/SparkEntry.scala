@@ -1528,7 +1528,14 @@ object SparkEntry {
           r6(regr_r2(col("n"), col("h"))).as("r2"),
           count(lit(1)).as("n_buckets"))
         .orderBy(col("event_type"))
-    })
+    }),
+    // ---- the removal half of exact substring dedup: cut every repeated
+    // region except its corpus-first occurrence; clean_md5 pins the exact
+    // rebuilt text against the oracle ------------------------------------
+    "q138_cut_spans" -> ((s, d) =>
+      graft.functions.DedupFunctions.cutRepeatedSpans(
+          Tables.documents(s, d), "text", "doc_id", L = 8)
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2777,7 +2784,32 @@ object SparkEntry {
         |  round(regr_slope(n, h), 6) AS slope,
         |  round(regr_r2(n, h), 6) AS r2,
         |  count(*) AS n_buckets
-        |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM hourly GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q138_cut_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |w AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(tk) - 8)) AS i,
+        |    unnest(list_transform(generate_series(1, len(tk) - 8 + 1),
+        |           j -> md5(array_to_string(tk[j:j+7], ' ')))) AS g
+        |  FROM t WHERE len(tk) >= 8),
+        |c AS (SELECT g, count(*) AS cnt, min(doc_id * 1000000 + i) AS first_occ
+        |  FROM w GROUP BY g),
+        |dp AS (SELECT DISTINCT doc_id, p FROM (
+        |    SELECT w.doc_id, unnest(generate_series(w.i, w.i + 7)) AS p
+        |    FROM w JOIN c USING (g)
+        |    WHERE cnt >= 2 AND w.doc_id * 1000000 + w.i <> first_occ)),
+        |toks AS (SELECT doc_id, unnest(generate_series(0, len(tk) - 1)) AS p,
+        |    unnest(tk) AS wd FROM t),
+        |kept AS (SELECT toks.* FROM toks LEFT JOIN dp
+        |    ON toks.doc_id = dp.doc_id AND toks.p = dp.p WHERE dp.doc_id IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(wd, ' ' ORDER BY p)) AS clean_md5 FROM kept GROUP BY doc_id),
+        |tc AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+        |SELECT tc.doc_id, n_tokens, n_tokens - COALESCE(n_kept, 0) AS n_dropped,
+        |  COALESCE(clean_md5, md5('')) AS clean_md5
+        |FROM tc LEFT JOIN ka ON tc.doc_id = ka.doc_id
+        |ORDER BY tc.doc_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -858,6 +858,66 @@ object DedupFunctions {
         i => unhex(md5(concat_ws(" ", slice(tk, i + 1, lit(L)))))))
   }
 
+  /** The removal half of exact substring dedup (Lee et al. ACL 2022):
+    * [[repeatedSpans]] DETECTS repeated regions; this CUTS them, keeping
+    * exactly the first occurrence. A token is dropped iff some repeated
+    * L-window covering it is a NON-CANONICAL occurrence of its digest,
+    * where the canonical occurrence is the corpus-wide minimum of
+    * (doc, position) — so the first copy of every duplicated substring
+    * survives verbatim (including within-document repeats: the earlier
+    * position wins) and every later copy loses exactly the duplicated
+    * tokens. Returns per doc: kept-token count, dropped count, and the
+    * md5 of the re-joined clean text — the digest pins exact
+    * reconstruction in the oracle.
+    *
+    * The canonical occurrence is encoded as the scalar `id·10⁶ + i`
+    * (portable min() across engines; token positions are far below 10⁶ —
+    * enforced loudly, since a silent wrap would silently re-rank
+    * canonicality).
+    *
+    * Scale shape: the digest exchange from [[repeatedSpans]] plus a
+    * (doc, position) exchange for the covered-token set and the final
+    * per-doc regroup — a heavier pipeline than detection (it must
+    * rebuild documents), all keyed, nothing driver-side. */
+  def cutRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                       L: Int): DataFrame = {
+    require(L >= 2, s"window length must be >= 2 tokens, got $L")
+    val windows = df
+      .select(col(idCol).as("id"),
+        posexplode(graft.expr.NativeFunctions.window_digests(col(textCol), L))
+          .as(Seq("i", "g")))
+    val enc = col("id") * lit(1000000L) + col("i")
+    val canon = windows
+      .select(col("g"), enc.as("occ"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), min(col("occ")).as("first_occ"))
+    val droppedPos = windows
+      .join(canon, "g")
+      .filter(col("cnt") >= 2 && enc =!= col("first_occ"))
+      .select(col("id"), explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p", "w")))
+      // the encoding bound: positions must stay under 10^6
+      .withColumn("p", when(col("p") < 1000000, col("p"))
+        .otherwise(raise_error(lit("cutRepeatedSpans: token position >= 1e6"))))
+    val keptAgg = toks
+      .join(droppedPos, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("w")))),
+          s => s.getField("w")))).as("clean_md5"))
+    // left join from the full token counts: a document whose every token
+    // was cut still reports, with n_kept = 0 and the empty-string digest
+    toks.groupBy(col("id")).agg(count(lit(1)).as("n_tokens"))
+      .join(keptAgg, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
                     L: Int): DataFrame = {
     require(L >= 2, s"window length must be >= 2 tokens, got $L")

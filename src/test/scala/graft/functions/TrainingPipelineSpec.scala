@@ -234,6 +234,62 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(gotReal.nonEmpty, "fixture should contain planted repeats")
   }
 
+  test("cutRepeatedSpans: first occurrence survives verbatim, later copies lose the region") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val shared = "one two three four five six seven eight"
+    val d1 = s"$shared tail1 tail2 tail3"          // canonical (doc 1 < doc 2)
+    val d2 = s"head1 head2 $shared other tokens here now"
+    val d3 = "totally different words with no repeats at all present"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = DedupFunctions.cutRepeatedSpans(df, "text", "doc_id", 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 holds the canonical occurrence — nothing dropped
+    assert(got(1L) === ((11L, 0L, md5hex(d1))))
+    // doc 2 loses exactly the 8 shared tokens; the rest survives in order
+    assert(got(2L) === ((14L, 8L, md5hex("head1 head2 other tokens here now"))))
+    // untouched doc: identity
+    assert(got(3L) === ((9L, 0L, md5hex(d3))))
+
+    // within-document repeat: the EARLIER position is canonical
+    val rep = Seq((9L, s"$shared filler $shared")).toDF("doc_id", "text")
+    val gotRep = DedupFunctions.cutRepeatedSpans(rep, "text", "doc_id", 4)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(gotRep._3 === 8L, s"the second copy must be cut, got $gotRep")
+    assert(gotRep._4 === md5hex(s"$shared filler"))
+
+    // exact duplicate doc: fully cut, empty-string digest
+    val dup = Seq((1L, shared), (2L, shared)).toDF("doc_id", "text")
+    val gotDup = DedupFunctions.cutRepeatedSpans(dup, "text", "doc_id", 4)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(gotDup(1L)._3 === 0L)
+    assert(gotDup(2L)._3 === 8L && gotDup(2L)._4 === md5hex(""))
+
+    // corpus invariants: detection and removal agree — every doc with a
+    // repeated span drops tokens; kept+dropped == total; clean text of
+    // untouched docs hashes to the original
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val spans = DedupFunctions.repeatedSpans(docs, "text", "doc_id", 8)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    val cut = DedupFunctions.cutRepeatedSpans(docs, "text", "doc_id", 8)
+      .as[(Long, Long, Long, String)].collect()
+    assert(cut.forall(r => r._3 >= 0 && r._3 <= r._2))
+    val touchedDocs = cut.filter(_._3 > 0).map(_._1).toSet
+    // cut docs ⊆ span docs (a doc can carry only canonical occurrences —
+    // it has spans but loses nothing)
+    assert(touchedDocs.subsetOf(spans), "cut docs must all carry repeated spans")
+    assert(touchedDocs.nonEmpty)
+    val untouched = cut.filter(_._3 == 0).map(_._1).toSet
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    cut.filter(r => untouched(r._1)).take(50).foreach { r =>
+      val norm = texts(r._1).trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(r._4 === md5hex(norm), s"untouched doc ${r._1} must hash to its own text")
+    }
+  }
+
   test("property: dedupSpans keeps exactly the first occurrence of every span, in doc order") {
     import org.scalacheck.Gen
     // tiny alphabet forces span collisions across documents
