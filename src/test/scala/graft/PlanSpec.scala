@@ -140,6 +140,55 @@ class PlanSpec extends SparkSpec {
       s"span dedup is keep-first regroup + per-doc reassembly — two shuffles, no more:\n$p")
   }
 
+  test("q127: weighted sample is a per-task heap, the corpus never sorts or shuffles") {
+    val p = simplePlanOf("q127_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"the ES priority is scan-side arithmetic:\n$p")
+  }
+
+  test("q128: the KLL sketch partial-aggregates its buffer before one exchange") {
+    val df = SparkEntry.queries("q128_quantile_sketch")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"per-source sketch: one source-keyed shuffle of ≤k·H-double partials:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "typed aggregator must partial-aggregate map-side")
+  }
+
+  test("q129/q133: audit aggregates collapse to bucket/cell tables before any join") {
+    // drift: two bucket histograms; chi2: one pair-keyed aggregate — in
+    // both, the corpus crosses exchanges only as grouped partials
+    for (q <- Seq("q129_drift_psi", "q133_chi2")) {
+      val p = simplePlanOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") || q == "q133_chi2",
+        s"$q must not nested-loop corpus rows:\n$p")
+      assert(p.contains("HashAggregate"), s"$q must pre-aggregate:\n$p")
+    }
+  }
+
+  test("q132/q138: substring dedup exchanges carry digests and positions, never text") {
+    for (q <- Seq("q132_repeated_spans", "q138_cut_spans")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // every hash exchange key set must be digest/doc/position columns —
+      // the raw text column never appears in an exchange's partitioning
+      val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(exchanges.nonEmpty)
+      assert(!exchanges.exists(_.contains("text")),
+        s"$q shuffles must be keyed on digests/ids/positions, not text: $exchanges")
+    }
+  }
+
+  test("q135: collocation dictionaries broadcast back — the corpus never shuffles rows") {
+    val p = simplePlanOf("q135_collocations")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram dictionary must broadcast onto the bigram table:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q91: cross-corpus near-dup joins on band keys, never a nested loop") {
     val df = SparkEntry.queries("q91_cross_neardup")(spark, sf0001)
     df.collect()
