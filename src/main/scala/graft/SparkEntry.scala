@@ -1535,7 +1535,15 @@ object SparkEntry {
     "q138_cut_spans" -> ((s, d) =>
       graft.functions.DedupFunctions.cutRepeatedSpans(
           Tables.documents(s, d), "text", "doc_id", L = 8)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // ---- fixed per-stratum quota: exactly 10 docs per source, weighted
+    // by length — one group-keyed exchange, per-group rank only ---------
+    "q139_weighted_quota" -> ((s, d) =>
+      graft.functions.SamplingFunctions.weightedSamplePerGroup(
+          Tables.documents(s, d).filter(col("n_chars") > 0),
+          col("source"), col("doc_id"), col("n_chars"), k = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2809,7 +2817,17 @@ object SparkEntry {
         |SELECT tc.doc_id, n_tokens, n_tokens - COALESCE(n_kept, 0) AS n_dropped,
         |  COALESCE(clean_md5, md5('')) AS clean_md5
         |FROM tc LEFT JOIN ka ON tc.doc_id = ka.doc_id
-        |ORDER BY tc.doc_id""".stripMargin
+        |ORDER BY tc.doc_id""".stripMargin,
+    "q139_weighted_quota" ->
+      """WITH h AS (SELECT source, doc_id, n_chars,
+        |    (CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |       CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |         << (4 * (6 - j))), 'sum') AS BIGINT) + 1) / 16777216.0 AS u
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT source, doc_id, n_chars FROM h
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY ln(u) / n_chars DESC, doc_id) <= 10
+        |ORDER BY source, doc_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -279,4 +279,29 @@ object SamplingFunctions {
       .limit(k)
       .drop("__es")
   }
+
+  /** Per-group weighted quota: exactly `k` rows from EACH group (fewer if
+    * the group is smaller), weighted without replacement by the same A-ES
+    * priorities as [[weightedSample]] — "10k docs per language, longer
+    * docs likelier" is the fixed-budget form of corpus rebalancing that
+    * fraction-based [[stratifiedHashSample]] can only hit in expectation.
+    *
+    * Scale shape: one exchange keyed on the group (the window's
+    * partitioning); the rank is a per-group sort of priority scalars, and
+    * [[capPerGroup]]'s note applies verbatim — the window sorts only
+    * within groups, never globally. */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+                             weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (TextFunctions.hashBucket(keyCol.cast("string"), 1 << 24)
+      .cast("double") + lit(1.0)) / lit((1 << 24).toDouble)
+    val w = weightCol.cast("double")
+    val pri = when(w > 0, log(u) / w)
+      .otherwise(raise_error(concat(
+        lit("weightedSamplePerGroup: non-positive weight "), w)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(pri.desc, keyCol.asc)
+    df.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -405,6 +405,33 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("non-positive weight"))
   }
 
+  test("weightedSamplePerGroup: exact quota per group, reference-exact, small groups whole") {
+    import java.security.MessageDigest
+    def u24(s: String): Double = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      (java.lang.Long.parseLong(hex, 16) + 1).toDouble / (1 << 24)
+    }
+    // group g0: 100 rows, g1: 100 rows, g2: only 3 rows (below quota)
+    val rows = (1L to 203L).map { i =>
+      val g = if (i <= 100) "g0" else if (i <= 200) "g1" else "g2"
+      (g, i, (i % 7 + 1).toDouble)
+    }
+    val df = rows.toDF("g", "id", "w")
+    val got = SamplingFunctions.weightedSamplePerGroup(
+        df.repartition(5), col("g"), col("id"), col("w"), 10)
+      .as[(String, Long, Double)].collect()
+    val byG = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG("g0").size === 10 && byG("g1").size === 10)
+    assert(byG("g2") === Set(201L, 202L, 203L), "small groups survive whole")
+    // reference: per-group top-10 by the A-ES priority
+    val expected = rows.groupBy(_._1).flatMap { case (_, members) =>
+      members.sortBy { case (_, id, w) => (-math.log(u24(id.toString)) / w, id) }
+        .take(10)
+    }.map(r => (r._1, r._2)).toSet
+    assert(got.map(r => (r._1, r._2)).toSet === expected)
+  }
+
   test("repeatWeighted: zero shuffle — the multiplication stays in the scan stage") {
     val df = SamplingFunctions.repeatWeighted(
       (1L to 50L).map(i => (i, "x")).toDF("doc_id", "s"),
