@@ -1543,7 +1543,26 @@ object SparkEntry {
           Tables.documents(s, d).filter(col("n_chars") > 0),
           col("source"), col("doc_id"), col("n_chars"), k = 10)
         .select(col("source"), col("doc_id"), col("n_chars"))
-        .orderBy(col("source"), col("doc_id")))
+        .orderBy(col("source"), col("doc_id"))),
+    // ---- quantile transform: decile boundaries from ONE KLL sketch pass
+    // (exact regime), broadcast back as literals, assignment scan-side —
+    // the calibration pattern for percentile-normalized scores at scale
+    // (a global percent_rank would be a single-partition sort) ----------
+    "q140_quantile_transform" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = (1 to 9).map(_ / 10.0).toArray
+      val kll = udaf(new graft.functions.Sketches.KllAggregator(65536, qs))
+      // driver-side collect bounded: ONE row of 9 boundary doubles
+      val bounds = docs.agg(kll(col("n_chars").cast("double")).as("b"))
+        .head().getSeq[Double](0)
+      val decile = size(filter(
+        lit(bounds.toArray), b => b <= col("n_chars"))).cast("long")
+      docs.select(col("doc_id"), col("n_chars"), decile.as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("mn"),
+          max(col("n_chars")).as("mx"))
+        .orderBy(col("decile"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2827,7 +2846,16 @@ object SparkEntry {
         |SELECT source, doc_id, n_chars FROM h
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY ln(u) / n_chars DESC, doc_id) <= 10
-        |ORDER BY source, doc_id""".stripMargin
+        |ORDER BY source, doc_id""".stripMargin,
+    "q140_quantile_transform" ->
+      """WITH b AS (SELECT quantile_disc(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM documents),
+        |a AS (SELECT doc_id, n_chars,
+        |    len(list_filter((SELECT qs FROM b), q -> q <= n_chars)) AS decile
+        |  FROM documents)
+        |SELECT decile, count(*) AS n, min(n_chars) AS mn, max(n_chars) AS mx
+        |FROM a GROUP BY decile ORDER BY decile""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.
