@@ -1423,7 +1423,15 @@ object SparkEntry {
     // ---- mergeable quantile sketch (KLL compactor hierarchy) in its
     // exact regime (k ≥ group size — same contract as q99's Misra-Gries):
     // per-source length percentiles from ≤ k·H doubles of state per
-    // partial, never a per-group sort --------------------------------
+    // partial, never a per-group sort.
+    // ORACLE-PARITY CEILING: hash-parity vs DuckDB's exact quantile_disc
+    // holds only while every group fits the k=65536 buffer (largest
+    // source ≈ n_docs/3: sf ≤ ~3; documents sf0.01 = 500, sf1 = 50k —
+    // both exact). Past that the sketch correctly approximates and the
+    // gate would fail for SCALE reasons, not correctness — raise k or
+    // switch the oracle to an error-band check before benching there.
+    // q140 sketches the whole corpus as one group, so its ceiling is
+    // n_docs ≤ 65536, i.e. sf ≤ ~1.3. --------------------------------
     "q128_quantile_sketch" -> ((s, d) => {
       val kll = udaf(new graft.functions.Sketches.KllAggregator(
         65536, Array(0.25, 0.5, 0.75)))

@@ -687,9 +687,17 @@ object DedupFunctions {
     * the dominant cost on candidate-dense corpora (small vocabularies,
     * near-clique clusters) is int-array intersection, not string hashing.
     * A PPJoin positional bound prunes candidates whose best-case overlap
-    * already misses ⌈τ/(1+τ)·(n_a+n_b)⌉ before anything is shipped. The
-    * global vocabulary rank is a single-partition window over the
-    * vocabulary — bounded data, same envelope as the IVF centroid table.
+    * already misses ⌈τ/(1+τ)·(n_a+n_b)⌉ before anything is shipped.
+    *
+    * No stage converges on one partition: the rarest-first prefix order
+    * is (df, term) lexicographic per document (the [[containmentJoinExact]]
+    * shape — a total order needs no dense global rank), and the verify
+    * currency's rank bijection is assigned DISTRIBUTED — range-partition
+    * the vocabulary by (df, term), sort within partitions, zipWithIndex
+    * (per-partition offsets from one count job). Web-scale corpora grow
+    * token vocabularies with URLs/hashes, so neither a single-partition
+    * vocabulary window nor a vocabulary broadcast survives open-vocab
+    * input; both are gone (PlanSpec asserts no single-partition exchange).
     *
     * The ⌈τ·n⌉ is computed with a 1e-9 epsilon pulled DOWN so float error
     * can only lengthen the prefix (more candidates, never lost recall);
@@ -704,26 +712,48 @@ object DedupFunctions {
     val exploded = sets.select(col("id"), size(col("tk")).as("n"),
       explode(col("tk")).as("term"))
     val dfreq = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val ranked = dfreq.select(col("term"),
-      row_number().over(Window.orderBy(col("df").asc, col("term").asc)).as("rank"))
-    val withRank = exploded.join(broadcast(ranked), "term")
     // verification currency: token sets as SORTED INT RANK arrays — the
     // rank is a bijection on the vocabulary, so intersection counts are
-    // unchanged, but candidate pairs then ship ~4-byte ints instead of
+    // unchanged, but candidate pairs then ship ~8-byte ints instead of
     // strings and intersect without per-pair string hashing (measured 8×
-    // on a degenerate small-vocabulary corpus where candidates are dense)
-    val setsInt = withRank.groupBy(col("id"), col("n"))
+    // on a degenerate small-vocabulary corpus where candidates are dense).
+    // The rank is assigned DISTRIBUTED: range-partition by (df, term),
+    // sort within partitions, zipWithIndex (one extra count job for the
+    // per-partition offsets) — the (df, term) order is total (term is
+    // unique), so the rank is deterministic under any partitioning and no
+    // single-partition vocabulary window exists anywhere in the plan
+    val spark = docs.sparkSession
+    val rankedRdd = dfreq
+      .repartitionByRange(col("df"), col("term"))
+      .sortWithinPartitions(col("df"), col("term"))
+      .select(col("term"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i + 1L) }
+    val ranked = spark.createDataFrame(rankedRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // no broadcast hint: word vocabularies would fit, but open-vocab
+    // corpora (URLs, hashes) would not — both term-keyed joins below
+    // share one exchange of `exploded`, so the shuffle is paid once
+    val setsInt = exploded.join(ranked, "term").groupBy(col("id"), col("n"))
       .agg(sort_array(collect_list(col("rank"))).as("tkr"))
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("rank"))
-    val prefix = withRank
+    // rarest-first prefix via the (df, term) lexicographic total order —
+    // the containmentJoinExact shape; no dense global rank needed here
+    val withDf = exploded.join(dfreq, "term")
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val prefix = withDf
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-      .select(col("rank"), col("id"), col("n"), col("rn"))
-    val a = prefix.select(col("rank"), col("id").as("id_a"),
+      .select(col("term"), col("id"), col("n"), col("rn"))
+    val a = prefix.select(col("term"), col("id").as("id_a"),
       col("n").as("n_a"), col("rn").as("rn_a"))
-    val b = prefix.select(col("rank"), col("id").as("id_b"),
+    val b = prefix.select(col("term"), col("id").as("id_b"),
       col("n").as("n_b"), col("rn").as("rn_b"))
-    val candidates = a.join(b, "rank")
+    val candidates = a.join(b, "term")
       .filter(col("id_a") < col("id_b"))
       // J ≥ τ forces |A∩B| ≥ τ|A∪B| ≥ τ·max(|A|,|B|), and |A∩B| ≤ min —
       // so min ≥ τ·max, with the same downward epsilon
@@ -839,11 +869,12 @@ object DedupFunctions {
     *
     * Scale shape: windows materialize scan-side (one row per token
     * position carrying a 128-bit window digest, never the window text);
-    * corpus-wide window counts are ONE exchange keyed on the digest (a
-    * count-over-window, so identical windows collapse map-side only in
-    * the aggregate sense — the row volume is corpus token count, which is
-    * the honest cost of exact substring dedup without a distributed
-    * suffix array; Lee et al. pay the same in suffix-array construction).
+    * corpus-wide window counts are a digest-keyed groupBy (map-side
+    * partial aggregation) re-attached via an equi-join that AQE can
+    * skew-split when one boilerplate digest goes viral — the row volume
+    * is corpus token count, which is the honest cost of exact substring
+    * dedup without a distributed suffix array; Lee et al. pay the same
+    * in suffix-array construction.
     * The island merge is a second exchange keyed by document. md5 keeps
     * the digest reproducible for the DuckDB oracle — production would use
     * xxhash64 (8 B instead of a 32-char hex, same semantics), the same
@@ -870,10 +901,14 @@ object DedupFunctions {
     * md5 of the re-joined clean text — the digest pins exact
     * reconstruction in the oracle.
     *
-    * The canonical occurrence is encoded as the scalar `id·10⁶ + i`
-    * (portable min() across engines; token positions are far below 10⁶ —
-    * enforced loudly, since a silent wrap would silently re-rank
-    * canonicality).
+    * The canonical occurrence is `min(struct(id, i))` — lexicographic
+    * (doc, position) order with no numeric encoding, so it is exact for
+    * ANY id type and ANY position magnitude (a scalar `id·10⁶ + i`
+    * encode would silently null out under a string id and silently
+    * re-rank under a ≥10⁶ position; the struct min has neither failure
+    * mode). For non-numeric ids "first" means the id ordering's min —
+    * deterministic, documented, and the positions within a doc still
+    * resolve earliest-first.
     *
     * Scale shape: the digest exchange from [[repeatedSpans]] plus a
     * (doc, position) exchange for the covered-token set and the final
@@ -886,22 +921,19 @@ object DedupFunctions {
       .select(col(idCol).as("id"),
         posexplode(graft.expr.NativeFunctions.window_digests(col(textCol), L))
           .as(Seq("i", "g")))
-    val enc = col("id") * lit(1000000L) + col("i")
+    val occ = struct(col("id"), col("i"))
     val canon = windows
-      .select(col("g"), enc.as("occ"))
+      .select(col("g"), occ.as("occ"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"), min(col("occ")).as("first_occ"))
     val droppedPos = windows
       .join(canon, "g")
-      .filter(col("cnt") >= 2 && enc =!= col("first_occ"))
+      .filter(col("cnt") >= 2 && occ =!= col("first_occ"))
       .select(col("id"), explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
       .distinct()
     val toks = df
       .select(col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p", "w")))
-      // the encoding bound: positions must stay under 10^6
-      .withColumn("p", when(col("p") < 1000000, col("p"))
-        .otherwise(raise_error(lit("cutRepeatedSpans: token position >= 1e6"))))
     val keptAgg = toks
       .join(droppedPos, Seq("id", "p"), "left_anti")
       .groupBy(col("id"))
@@ -930,9 +962,22 @@ object DedupFunctions {
       .select(col(idCol).as("id"),
         posexplode(graft.expr.NativeFunctions.window_digests(col(textCol), L))
           .as(Seq("i", "g")))
-    val marked = windows
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+    // corpus-wide digest counts via groupBy + equi-join back (the same
+    // shape as [[cutRepeatedSpans]]), NOT count-over-Window keyed on the
+    // digest: a window partition cannot partial-aggregate and AQE cannot
+    // split it, so one viral boilerplate digest — the exact thing this
+    // operator hunts — would send ALL its occurrence rows to a single
+    // task. The groupBy partial-aggregates map-side and the join is
+    // skew-splittable (OptimizeSkewedJoin); PlanSpec gates the shape.
+    val repeated = windows
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
+    // shuffle-hash hint: build the hash table on the (smaller) repeated-
+    // digest side instead of SORT-merging — sorting the corpus-sized
+    // windows side costs more than the whole lookup; AQE still broadcasts
+    // when the count table is tiny and still splits skewed digests
+    val marked = windows.join(repeated.hint("shuffle_hash"), "g")
     // gaps-and-islands: windows all span [i, i+L), and i is increasing
     // within a doc, so a new island starts exactly when the gap to the
     // previous start exceeds L (touching windows merge)

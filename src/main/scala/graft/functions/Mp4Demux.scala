@@ -154,9 +154,12 @@ object Mp4Demux {
     val sizes: Array[Int] = findBox(buf, stblS, stblE, "stsz").map { case (s, e) =>
       val fixed = buf.getInt(s + 4)
       val n = buf.getInt(s + 8)
-      // fixed-size mode carries no table, so the box can't bound n; a file
-      // still can't hold more samples than bytes, so cap by capacity
-      if (fixed != 0) Array.fill(checkedCount(n, 0, buf.capacity(), 1, "stsz"))(fixed)
+      // fixed-size mode carries no table, so the box can't bound n; the n
+      // samples of `fixed` bytes each must still FIT in the file, so the
+      // sound cap is n·fixed ≤ capacity (entrySize = fixed, floored at 1
+      // so a corrupt fixed ≤ 0 can't defeat the bound)
+      if (fixed != 0)
+        Array.fill(checkedCount(n, 0, buf.capacity(), math.max(fixed, 1), "stsz"))(fixed)
       else Array.tabulate(checkedCount(n, s + 12, e, 4, "stsz"))(i => buf.getInt(s + 12 + 4 * i))
     }.getOrElse(Array.empty)
 

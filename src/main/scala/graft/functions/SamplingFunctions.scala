@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SamplingFunctions {
 
+  /** A working-column name that cannot collide with the input's schema —
+    * `withColumn` silently OVERWRITES an existing column of the same name
+    * and the trailing `drop` would then delete the user's data. */
+  private def tempCol(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** Uniform deterministic sample: keep ~`fraction` of rows by content
     * hash. Pure filter — no shuffle, fully pushed into the scan stage. */
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
@@ -274,10 +281,11 @@ object SamplingFunctions {
     val w = weightCol.cast("double")
     val pri = when(w > 0, log(u) / w)
       .otherwise(raise_error(concat(lit("weightedSample: non-positive weight "), w)))
-    df.withColumn("__es", pri)
-      .orderBy(col("__es").desc, keyCol.asc)
+    val es = tempCol(df, "__es")
+    df.withColumn(es, pri)
+      .orderBy(col(es).desc, keyCol.asc)
       .limit(k)
-      .drop("__es")
+      .drop(es)
   }
 
   /** Per-group weighted quota: exactly `k` rows from EACH group (fewer if
@@ -301,7 +309,8 @@ object SamplingFunctions {
         lit("weightedSamplePerGroup: non-positive weight "), w)))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(pri.desc, keyCol.asc)
-    df.withColumn("__rn", row_number().over(win))
-      .filter(col("__rn") <= k).drop("__rn")
+    val rn = tempCol(df, "__rn")
+    df.withColumn(rn, row_number().over(win))
+      .filter(col(rn) <= k).drop(rn)
   }
 }

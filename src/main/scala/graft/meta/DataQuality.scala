@@ -107,7 +107,17 @@ object DataQuality {
     * the statistic are windows/aggregates over that tiny cell table. The
     * corpus crosses one exchange, keyed on the pair. */
   def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val cells = df.groupBy(a.cast("string").as("va"), b.cast("string").as("vb"))
+    // NULL is a real category for an audit (a missing language IS a
+    // signal), but a plain equi-join on (va, vb) would never match null
+    // keys when the grid re-attaches observed counts — the cell would
+    // silently zero while the marginals still counted it (tot < N, chi2
+    // wrong). Coalesce to a sentinel before grouping so every downstream
+    // key comparison is on non-null values. U+0000 cannot appear in a
+    // cast-to-string categorical.
+    val nullKey = "\u0000"
+    val cells = df.groupBy(
+        coalesce(a.cast("string"), lit(nullKey)).as("va"),
+        coalesce(b.cast("string"), lit(nullKey)).as("vb"))
       .agg(count(lit(1)).as("n"))
     val rowM = cells.groupBy(col("va")).agg(sum(col("n")).as("row_n"))
     val colM = cells.groupBy(col("vb")).agg(sum(col("n")).as("col_n"))

@@ -179,7 +179,25 @@ class PlanSpec extends SparkSpec {
       assert(exchanges.nonEmpty)
       assert(!exchanges.exists(_.contains("text")),
         s"$q shuffles must be keyed on digests/ids/positions, not text: $exchanges")
+      // digest counts must be a partial-aggregating groupBy + join, NEVER
+      // a window partitioned by the digest: a window partition cannot
+      // partial-aggregate and AQE cannot split it, so one viral
+      // boilerplate digest would land on a single task at 100 TB
+      assert(!"windowspecdefinition\\(g#".r.findFirstIn(p).isDefined,
+        s"$q must not run a window keyed on the window digest:\n$p")
     }
+  }
+
+  test("q115: no single-partition stage — vocabulary rank/order is distributed") {
+    val df = SparkEntry.queries("q115_jaccard_join")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the old global-rank shape planned Exchange SinglePartition + a
+    // partition-less window over the whole vocabulary; the (df, term)
+    // lexicographic prefix order and the zipWithIndex rank assignment
+    // need neither — every exchange stays hash/range partitioned
+    assert(!p.contains("Exchange SinglePartition"),
+      s"q115 must not converge any stage on one partition:\n$p")
   }
 
   test("q135: collocation dictionaries broadcast back — the corpus never shuffles rows") {

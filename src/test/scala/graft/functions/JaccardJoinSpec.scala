@@ -49,11 +49,16 @@ class JaccardJoinSpec extends SparkSpec {
     assert(p.forall(_._3 === 1.0))
   }
 
-  test("plan: the vocabulary rank broadcasts; candidates join on prefix terms only") {
+  test("plan: no single-partition stage, no cartesian — every join keyed on terms/ids") {
     val plan = jaccardJoinExact(docs, "text", "doc_id", 0.9)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin [term"),
-      "the rarest-first rank dictionary must broadcast into the scan")
+    // the r10 shape ranked the vocabulary through Exchange SinglePartition
+    // + a partition-less window; the (df, term) prefix order and the
+    // zipWithIndex rank assignment need neither
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no stage may converge on one partition:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "candidates must come from the prefix-term equi-join")
   }
 
   // ------------------------------------------------ containment (ordered)

@@ -99,4 +99,20 @@ class DataQualitySpec extends SparkSpec {
     assert(math.abs(r3.getDouble(4) - 30.0) < 1e-9,
       s"diagonal 2x2 must score chi2 = N, got ${r3.getDouble(4)}")
   }
+
+  test("chi-squared: NULL categories count as a real category, tot stays N") {
+    import spark.implicits._
+    // nulls only in column u, perfectly associated with v = "y": treating
+    // NULL as its own category gives the same diagonal-association chi2
+    // as the spelled-out sentinel version. Before the null-safe fix the
+    // (va, vb) equi-join dropped these cells: tot < N and chi2 was wrong.
+    val withNulls: Seq[(Option[String], String)] =
+      Seq.fill(15)((Option("a"), "x")) ++ Seq.fill(15)((Option.empty[String], "y"))
+    val r = chiSquareIndependence(withNulls.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(r.getLong(0) === 30L, "tot must still count the null-category rows")
+    assert(r.getLong(1) === 2L, "NULL is a category of its own")
+    assert(math.abs(r.getDouble(4) - 30.0) < 1e-9,
+      s"null-diagonal 2x2 must score chi2 = N, got ${r.getDouble(4)}")
+  }
 }
