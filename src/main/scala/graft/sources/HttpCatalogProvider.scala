@@ -135,6 +135,50 @@ object HttpCatalogProvider {
     }
   }
 
+  /** Download-stage kernel for [[graft.streaming.StreamingRunner]]: GET
+    * `<baseUrl>/download/<sceneid>` per activity row, executor-side.
+    *
+    * Status mapping is the reference's LTA (long-term-archive) handshake
+    * (tasks.py:223–231: `DataOfflineError` → Celery retry with countdown;
+    * USING.rst:170–185 documents the offline→poll cycle):
+    *  - 200 → the asset streamed to `destDir/<sceneid>` → SUCCESS
+    *  - 202 → accepted but offline; the request itself triggers archive
+    *    retrieval and the activity must come back later → RETRY (the
+    *    runner re-enqueues with `not_before = now + backoff` until
+    *    `maxRetries`, then dead-letters as FAILURE)
+    *  - any other code → FAILURE (permanent: bad scene id, auth, gone)
+    *  - wire exceptions → RETRY (transient network = the same
+    *    ConnectionError path the reference retries, tasks.py:121–134)
+    *
+    * The HTTP call runs in the executor task (one connection per row —
+    * the download-queue regime is few-but-huge transfers, so per-row
+    * connection setup is noise; the reference's one-download-per-worker
+    * Celery task has the same shape). */
+  def downloadKernel(baseUrl: String, destDir: String): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+    import org.apache.spark.sql.functions.{col, udf}
+    val fetch = udf { sceneid: String =>
+      try {
+        val conn = new URI(s"$baseUrl/download/$sceneid").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        val code = conn.getResponseCode
+        if (code == 200) {
+          val in = conn.getInputStream
+          val bytes = try in.readAllBytes() finally in.close()
+          val out = java.nio.file.Paths.get(destDir, sceneid)
+          java.nio.file.Files.createDirectories(out.getParent)
+          java.nio.file.Files.write(out, bytes)
+          "SUCCESS"
+        } else if (code == 202) {
+          Option(conn.getInputStream).foreach(_.close())
+          "RETRY"
+        } else "FAILURE"
+      } catch { case _: Exception => "RETRY" }
+    }
+    df.withColumn("status", fetch(col("sceneid")))
+  }
+
   def toJson(records: Seq[RemoteCatalog.SceneRecord]): String = {
     val arr = mapper.createArrayNode()
     records.foreach { r =>
@@ -160,10 +204,17 @@ object HttpCatalogProvider {
   * drivers (collections/collect.py:86–137 `download(...)` after search),
   * so an ingest spec can exercise search AND fetch over real HTTP. */
 class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
-                           assets: Map[String, Array[Byte]] = Map.empty) {
+                           assets: Map[String, Array[Byte]] = Map.empty,
+                           offlinePolls: Map[String, Int] = Map.empty) {
   @volatile var queries: List[String] = Nil
   @volatile var countQueries: List[String] = Nil
   @volatile var downloads: List[String] = Nil
+
+  // LTA replay: a scene listed here answers its first `offlinePolls(id)`
+  // download requests with 202 (offline — retrieval triggered), then goes
+  // online — the handshake of USING.rst:170–185 / tasks.py:223–231
+  private val remainingPolls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  offlinePolls.foreach { case (k, v) => remainingPolls.put(k, v) }
 
   private def matching(raw: String): Seq[RemoteCatalog.SceneRecord] = {
     val params = raw.split('&').filter(_.nonEmpty).map { kv =>
@@ -217,7 +268,11 @@ class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
     override def handle(ex: HttpExchange): Unit = {
       val sceneId = ex.getRequestURI.getPath.stripPrefix("/download/")
       downloads = sceneId :: downloads
-      assets.get(sceneId) match {
+      val rem = remainingPolls.getOrDefault(sceneId, 0)
+      if (rem > 0 && assets.contains(sceneId)) {
+        remainingPolls.put(sceneId, rem - 1)
+        ex.sendResponseHeaders(202, -1) // offline; this poll triggered retrieval
+      } else assets.get(sceneId) match {
         case Some(bytes) =>
           ex.getResponseHeaders.add("Content-Type", "application/octet-stream")
           ex.sendResponseHeaders(200, bytes.length)

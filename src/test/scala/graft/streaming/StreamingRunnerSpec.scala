@@ -122,6 +122,61 @@ class StreamingRunnerSpec extends SparkSpec {
       .filter(col("status") === "SUCCESS").select("sceneid").distinct().count() == 2)
   }
 
+  test("LTA offline→retry handshake over live HTTP: 202 polls re-enqueue, then SUCCESS; exhaustion dead-letters (ST3 + S2)") {
+    import spark.implicits._
+    import graft.sources.{FixtureCatalogServer, HttpCatalogProvider, RemoteCatalog}
+    val base = Files.createTempDirectory("graft-lta").toString
+    val queueDir = s"$base/queue"
+    val destDir = s"$base/downloads"
+    val payload = "GRANULE-BYTES".getBytes("UTF-8")
+    // sOn: online after 2 offline polls (within maxRetries = 3);
+    // sDead: stays offline past every retry → must dead-letter
+    val server = new FixtureCatalogServer(
+      records = Seq(RemoteCatalog.SceneRecord("sOn", "S2", 1.0, 0L, ""),
+        RemoteCatalog.SceneRecord("sDead", "S2", 1.0, 0L, "")),
+      assets = Map("sOn" -> payload, "sDead" -> payload),
+      offlinePolls = Map("sOn" -> 2, "sDead" -> 99))
+    try {
+      StreamingRunner.enqueue(
+        Seq(("sOn", 1, "download", 0), ("sDead", 1, "download", 0))
+          .toDF("sceneid", "collection_id", "activity_type", "retry_count")
+          .withColumn("not_before", current_timestamp()), queueDir)
+      val kernel: Pipeline.StageKernel =
+        HttpCatalogProvider.downloadKernel(server.baseUrl, destDir)
+      // each drain is one exactly-once pass over everything enqueued so
+      // far (Trigger.AvailableNow + checkpoint); RETRY rows re-enqueue
+      // with backoff 0 and are picked up by the NEXT drain — the cron-
+      // driven deployment shape
+      def drain(): Unit = {
+        val q = StreamingRunner.runStage(spark, queueDir, s"$base/ckpt",
+          s"$base/exec", "download", kernel, childStages = Nil,
+          maxRetries = 3, retryDelaySeconds = 0L, drainAndStop = true)
+        assert(q.awaitTermination(60000))
+      }
+      def execs() = spark.read.parquet(s"$base/exec/stage=download")
+      (1 to 5).foreach(_ => drain())
+
+      // sOn: two offline polls logged as RETRY, then the third attempt
+      // fetched real bytes
+      assert(execs().filter($"sceneid" === "sOn" && $"status" === "RETRY").count() === 2)
+      assert(execs().filter($"sceneid" === "sOn" && $"status" === "SUCCESS").count() === 1)
+      val got = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(destDir, "sOn"))
+      assert(java.util.Arrays.equals(got, payload), "downloaded bytes must round-trip")
+      assert(server.downloads.count(_ == "sOn") === 3,
+        "each poll must be one real wire request")
+
+      // sDead: retries exhaust at maxRetries → dead-lettered FAILURE with
+      // the final retry_count; no further polls after exhaustion
+      val dead = execs().filter($"sceneid" === "sDead" && $"status" === "FAILURE")
+        .select("retry_count").collect().map(_.getInt(0))
+      assert(dead.toSeq === Seq(3), "exhausted activity must dead-letter exactly once")
+      val polls = server.downloads.count(_ == "sDead")
+      assert(polls === 4, s"maxRetries+1 attempts expected, saw $polls")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(destDir, "sDead")))
+    } finally server.stop()
+  }
+
   test("streaming group fan-out: download → [correction, publish] run in parallel (ST2)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
