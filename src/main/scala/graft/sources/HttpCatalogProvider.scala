@@ -196,6 +196,108 @@ object HttpCatalogProvider {
   }
 }
 
+/** Credentialed provider session — the per-provider auth flow of the
+  * reference's provider registry (utils.py:439–483 `get_provider`
+  * instantiates each driver with stored credentials; the SciHub/LTA-style
+  * drivers then token-login and attach the token to every call).
+  *
+  * Serializable so [[downloadKernel]] closures ship to executors: the
+  * token cache is `@transient` — each executor (and the driver) logs in
+  * lazily on first use and re-logs-in transparently ONCE per request on
+  * a 401 (expired/revoked token), which is the production token-refresh
+  * cycle. Credentials are constructor state, never serialized into query
+  * plans or logs beyond this object.
+  */
+class TokenAuthProvider(val baseUrl: String, user: String, password: String)
+    extends Serializable {
+
+  @transient @volatile private var token: String = _
+
+  private def login(): String = {
+    val qs = s"user=${URLEncoder.encode(user, UTF_8)}&pass=${URLEncoder.encode(password, UTF_8)}"
+    val conn = new URI(s"$baseUrl/login?$qs").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    require(conn.getResponseCode == 200,
+      s"login failed for user '$user' (HTTP ${conn.getResponseCode})")
+    val in = conn.getInputStream
+    val body = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    val t = new ObjectMapper().readTree(body).path("token").asText()
+    require(t.nonEmpty, s"login response carried no token: $body")
+    token = t
+    t
+  }
+
+  /** GET `path` with a Bearer token; one transparent re-login on 401. */
+  def get(path: String): (Int, Array[Byte]) = {
+    def once(t: String): (Int, Array[Byte]) = {
+      val conn = new URI(s"$baseUrl$path").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setRequestProperty("Authorization", s"Bearer $t")
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = Option(stream)
+        .map(s => try s.readAllBytes() finally s.close())
+        .getOrElse(Array.emptyByteArray)
+      (code, body)
+    }
+    val first = once(if (token == null) login() else token)
+    if (first._1 == 401) once(login()) else first
+  }
+
+  /** Authenticated [[RemoteCatalog.SearchFnLimited]] — same pushdown
+    * translation as the anonymous wire, plus the Bearer header. */
+  def searchFnLimited: RemoteCatalog.SearchFnLimited = { (filters, limit) =>
+    val qs = (HttpCatalogProvider.queryParams(filters) ++
+        limit.map(l => "max_results" -> l.toString))
+      .map { case (k, v) => s"$k=${URLEncoder.encode(v, UTF_8)}" }
+      .toSeq.sorted.mkString("&")
+    val (code, body) = get("/search" + (if (qs.isEmpty) "" else s"?$qs"))
+    require(code == 200, s"authenticated search failed: HTTP $code")
+    HttpCatalogProvider.parseFeatures(new String(body, UTF_8))
+  }
+
+  /** Authenticated [[RemoteCatalog.CountFn]] (None on any failure —
+    * Spark falls back to scanning). */
+  def countFn: RemoteCatalog.CountFn = { filters =>
+    try {
+      val qs = HttpCatalogProvider.queryParams(filters)
+        .map { case (k, v) => s"$k=${URLEncoder.encode(v, UTF_8)}" }
+        .toSeq.sorted.mkString("&")
+      val (code, body) = get("/count" + (if (qs.isEmpty) "" else s"?$qs"))
+      if (code != 200) None
+      else {
+        val matched = new ObjectMapper().readTree(new String(body, UTF_8)).path("matched")
+        if (matched.isNumber) Some(matched.asLong()) else None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Authenticated download kernel — [[HttpCatalogProvider.downloadKernel]]
+    * semantics (200/202/other → SUCCESS/RETRY/FAILURE) with the token
+    * attached; executors each hold their own transient token. */
+  def downloadKernel(destDir: String): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+    import org.apache.spark.sql.functions.{col, udf}
+    val self = this
+    val fetch = udf { sceneid: String =>
+      try {
+        val (code, body) = self.get(s"/download/$sceneid")
+        if (code == 200) {
+          val out = java.nio.file.Paths.get(destDir, sceneid)
+          java.nio.file.Files.createDirectories(out.getParent)
+          java.nio.file.Files.write(out, body)
+          "SUCCESS"
+        } else if (code == 202) "RETRY"
+        else "FAILURE"
+      } catch { case _: Exception => "RETRY" }
+    }
+    df.withColumn("status", fetch(col("sceneid")))
+  }
+}
+
 /** Loopback replay server: serves the canned record set at `/search`,
   * honouring the dataset/max_cloud/start/end params, and records every
   * query string received so tests can assert what reached the wire.
@@ -205,16 +307,45 @@ object HttpCatalogProvider {
   * so an ingest spec can exercise search AND fetch over real HTTP. */
 class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
                            assets: Map[String, Array[Byte]] = Map.empty,
-                           offlinePolls: Map[String, Int] = Map.empty) {
+                           offlinePolls: Map[String, Int] = Map.empty,
+                           auth: Option[(String, String)] = None,
+                           tokenTtlRequests: Int = Int.MaxValue) {
   @volatile var queries: List[String] = Nil
   @volatile var countQueries: List[String] = Nil
   @volatile var downloads: List[String] = Nil
+  @volatile var logins: Int = 0
+  @volatile var unauthorized: Int = 0
 
   // LTA replay: a scene listed here answers its first `offlinePolls(id)`
   // download requests with 202 (offline — retrieval triggered), then goes
   // online — the handshake of USING.rst:170–185 / tasks.py:223–231
   private val remainingPolls = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   offlinePolls.foreach { case (k, v) => remainingPolls.put(k, v) }
+
+  // token-auth replay: when `auth` is set, /login validates credentials
+  // and issues tokens valid for `tokenTtlRequests` requests — the expiry
+  // cycle that exercises a client's transparent re-login
+  private val tokenUses = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** True if the request may proceed; sends 401 itself otherwise. */
+  private def authorized(ex: HttpExchange): Boolean = auth match {
+    case None => true
+    case Some(_) =>
+      val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      val tok = header.stripPrefix("Bearer ")
+      val ok = header.startsWith("Bearer ") &&
+        (tokenUses.computeIfPresent(tok,
+          (_: String, n: Integer) => Integer.valueOf(n.intValue - 1)) match {
+          case null => false
+          case n: Integer => n.intValue >= 0
+        })
+      if (!ok) {
+        unauthorized += 1
+        ex.sendResponseHeaders(401, -1)
+        ex.close()
+      }
+      ok
+  }
 
   private def matching(raw: String): Seq[RemoteCatalog.SceneRecord] = {
     val params = raw.split('&').filter(_.nonEmpty).map { kv =>
@@ -233,8 +364,31 @@ class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
   }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/login", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = raw.split('&').filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> URLDecoder.decode(v, UTF_8)
+      }.toMap
+      auth match {
+        case Some((u, p)) if params.get("user").contains(u) && params.get("pass").contains(p) =>
+          logins += 1
+          val tok = s"tok-$logins"
+          tokenUses.put(tok, tokenTtlRequests)
+          val body = s"""{"token":"$tok"}""".getBytes(UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+        case _ =>
+          ex.sendResponseHeaders(403, -1)
+      }
+      ex.close()
+    }
+  })
   server.createContext("/count", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      if (!authorized(ex)) return
       val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       countQueries = raw :: countQueries
       val body = s"""{"matched":${matching(raw).size}}""".getBytes(UTF_8)
@@ -246,6 +400,7 @@ class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
   })
   server.createContext("/search", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      if (!authorized(ex)) return
       val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       queries = raw :: queries
       val params = raw.split('&').filter(_.nonEmpty).map { kv =>
@@ -266,6 +421,7 @@ class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
   })
   server.createContext("/download", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      if (!authorized(ex)) return
       val sceneId = ex.getRequestURI.getPath.stripPrefix("/download/")
       downloads = sceneId :: downloads
       val rem = remainingPolls.getOrDefault(sceneId, 0)

@@ -58,6 +58,72 @@ class RemoteCatalogSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("token-auth provider: one login, Bearer on every wire call, pushdown intact (S1 credentials)") {
+    val server = new FixtureCatalogServer(scenes, auth = Some(("alice", "s3cret")))
+    try {
+      val p = new TokenAuthProvider(server.baseUrl, "alice", "s3cret")
+      RemoteCatalog.registerExact("auth-fixture", p.searchFnLimited, p.countFn,
+        HttpCatalogProvider.exactShapes)
+      val df = spark.read.format("remote_catalog")
+        .option("provider", "auth-fixture").load()
+        .filter(col("cloud_cover") <= 20 && col("dataset") === "S2_MSI_L1C")
+        .select("scene_id", "cloud_cover")
+      val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == Seq(("S2A_T23LLF_1", 10.0)))
+      assert(server.logins == 1, "the session must log in exactly once")
+      assert(server.unauthorized == 0, "no request may travel without a valid token")
+      val q = server.queries.headOption.getOrElse("")
+      assert(q.contains("max_cloud=20"), s"pushdown must survive the auth wrapper: '$q'")
+      // COUNT(*) pushdown rides the same session token
+      val n = spark.read.format("remote_catalog").option("provider", "auth-fixture")
+        .load().filter(col("dataset") === "S2_MSI_L1C").count()
+      assert(n == 2 && server.countQueries.nonEmpty, "count must travel authenticated")
+    } finally server.stop()
+  }
+
+  test("token expiry: a 401 mid-session triggers ONE transparent re-login and the call succeeds") {
+    // tokens die after 2 requests; 3 wire calls force exactly one refresh
+    val server = new FixtureCatalogServer(scenes, auth = Some(("alice", "s3cret")),
+      tokenTtlRequests = 2)
+    try {
+      val p = new TokenAuthProvider(server.baseUrl, "alice", "s3cret")
+      val search = p.searchFnLimited
+      (1 to 3).foreach { _ =>
+        assert(search(Seq(EqualTo("dataset", "LANDSAT_8")), None).map(_.scene_id)
+          == Seq("LC08_223064_1"))
+      }
+      assert(server.logins == 2,
+        s"expected initial login + one refresh, saw ${server.logins}")
+      assert(server.unauthorized == 1, "exactly the expired call is rejected then retried")
+    } finally server.stop()
+  }
+
+  test("bad credentials fail loudly at login; downloads honour auth end-to-end") {
+    val payload = "BYTES".getBytes("UTF-8")
+    val server = new FixtureCatalogServer(scenes, assets = Map("S2A_T23LLF_1" -> payload),
+      auth = Some(("alice", "s3cret")))
+    try {
+      val bad = new TokenAuthProvider(server.baseUrl, "alice", "wrong")
+      val e = intercept[IllegalArgumentException] {
+        bad.searchFnLimited(Seq.empty, None)
+      }
+      assert(e.getMessage.contains("login failed"))
+      // authenticated download kernel fetches through executors
+      import spark.implicits._
+      val dest = java.nio.file.Files.createTempDirectory("graft-auth-dl").toString
+      val ok = new TokenAuthProvider(server.baseUrl, "alice", "s3cret")
+      val out = ok.downloadKernel(dest)(
+        Seq(("S2A_T23LLF_1", 1, "download", 0)).toDF(
+          "sceneid", "collection_id", "activity_type", "retry_count"))
+        .select("sceneid", "status").collect()
+      assert(out.map(r => (r.getString(0), r.getString(1))).toSeq
+        == Seq(("S2A_T23LLF_1", "SUCCESS")))
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dest, "S2A_T23LLF_1")),
+        payload))
+    } finally server.stop()
+  }
+
   test("HTTP provider round-trips timestamps and JSON symmetric encode/decode") {
     val back = HttpCatalogProvider.parseFeatures(HttpCatalogProvider.toJson(scenes))
     assert(back == scenes)
