@@ -49,6 +49,21 @@ class JaccardJoinSpec extends SparkSpec {
     assert(p.forall(_._3 === 1.0))
   }
 
+  test("results are partitioning-invariant (distributed rank assignment is deterministic)") {
+    def run() = jaccardJoinExact(docs, "text", "doc_id", 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSeq
+    val at32 = run()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      assert(run() === at32,
+        "the zipWithIndex vocabulary rank must not depend on partition boundaries")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(at32.nonEmpty)
+  }
+
   test("plan: no single-partition stage, no cartesian — every join keyed on terms/ids") {
     val plan = jaccardJoinExact(docs, "text", "doc_id", 0.9)
       .queryExecution.executedPlan.toString
