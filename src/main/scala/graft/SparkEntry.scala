@@ -1570,7 +1570,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("n_chars")).as("mn"),
           max(col("n_chars")).as("mx"))
         .orderBy(col("decile"))
-    })
+    }),
+    // ---- incremental substring dedup (q111's persisted-index pattern
+    // applied to the Lee et al. cut): the corpus is window-digested ONCE
+    // into a (digest, count) index; each batch cuts against the index —
+    // corpus-precedence for indexed digests, keep-first within the batch
+    // for new ones — without re-scanning or re-shuffling corpus text.
+    // The oracle replays full-corpus semantics, proving the incremental
+    // path ≡ cutting the union with corpus precedence --------------------
+    "q141_incremental_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val idxDir = memoLayout("q141idx", d) { dir =>
+        graft.functions.DedupFunctions.writeWindowIndex(
+          docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", L = 8, dir)
+      }
+      graft.functions.DedupFunctions.cutAgainstIndex(s,
+          docs.filter(col("doc_id") % 5 === 0), "text", "doc_id", L = 8, idxDir)
+        .orderBy(col("doc_id"))
+    }),
+    // ---- embedding-space corpus diagnostics: per-shard centroid vs the
+    // global centroid — dims×shards partials cross the exchange, vectors
+    // never do; the drift counterpart of q129 in embedding space ---------
+    "q142_shard_centroids" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select((col("vec_id") % 4).as("shard"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("v", col("v").cast("double"))
+      val cent = dims.groupBy(col("shard"), col("dim")).agg(avg(col("v")).as("c"))
+      val glob = dims.groupBy(col("dim")).agg(avg(col("v")).as("gc"))
+      cent.join(glob, "dim")
+        .groupBy(col("shard"))
+        .agg(
+          r4(sum(col("c") * col("gc")) /
+            (sqrt(sum(col("c") * col("c"))) * sqrt(sum(col("gc") * col("gc")))))
+            .as("cos_to_global"),
+          r4(sqrt(sum(col("c") * col("c")))).as("norm"),
+          count(lit(1)).as("n_dims"))
+        .orderBy(col("shard"))
+    }),
+    // ---- funnel latency: exact per-user first-view→first-purchase gap,
+    // aggregated by first-view cohort day — events reduce to one row per
+    // user before anything heavy (the q116/q117 exchange shape) ----------
+    "q143_funnel_latency" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+        .filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") >= col("fv"))
+        .select(col("fv").cast("date").as("cohort_day"),
+          ((unix_micros(col("fp")) - unix_micros(col("fv"))) / lit(1000000L)).as("lat_s"))
+        .groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("n_users"),
+          r2(avg(col("lat_s"))).as("avg_s"),
+          max(col("lat_s")).as("max_s"))
+        .orderBy(col("cohort_day")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2863,7 +2916,59 @@ object SparkEntry {
         |    len(list_filter((SELECT qs FROM b), q -> q <= n_chars)) AS decile
         |  FROM documents)
         |SELECT decile, count(*) AS n, min(n_chars) AS mn, max(n_chars) AS mx
-        |FROM a GROUP BY decile ORDER BY decile""".stripMargin
+        |FROM a GROUP BY decile ORDER BY decile""".stripMargin,
+    "q141_incremental_cut" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |w AS (SELECT doc_id,
+        |    unnest(generate_series(0, len(tk) - 8)) AS i,
+        |    unnest(list_transform(generate_series(1, len(tk) - 8 + 1),
+        |           j -> md5(array_to_string(tk[j:j+7], ' ')))) AS g
+        |  FROM t WHERE len(tk) >= 8),
+        |idx AS (SELECT g, count(*) AS ccnt FROM w WHERE doc_id % 5 <> 0 GROUP BY g),
+        |bw AS (SELECT * FROM w WHERE doc_id % 5 = 0),
+        |bc AS (SELECT g, count(*) AS bcnt, min(doc_id * 1000000 + i) AS first_occ
+        |  FROM bw GROUP BY g),
+        |dp AS (SELECT DISTINCT doc_id, p FROM (
+        |    SELECT bw.doc_id, unnest(generate_series(bw.i, bw.i + 7)) AS p
+        |    FROM bw JOIN bc USING (g) LEFT JOIN idx USING (g)
+        |    WHERE COALESCE(ccnt, 0) >= 1
+        |       OR (bcnt >= 2 AND bw.doc_id * 1000000 + bw.i <> first_occ))),
+        |toks AS (SELECT doc_id, unnest(generate_series(0, len(tk) - 1)) AS p,
+        |    unnest(tk) AS wd FROM t WHERE doc_id % 5 = 0),
+        |kept AS (SELECT toks.* FROM toks LEFT JOIN dp
+        |    ON toks.doc_id = dp.doc_id AND toks.p = dp.p WHERE dp.doc_id IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(wd, ' ' ORDER BY p)) AS clean_md5 FROM kept GROUP BY doc_id),
+        |tc AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+        |SELECT tc.doc_id, n_tokens, n_tokens - COALESCE(n_kept, 0) AS n_dropped,
+        |  COALESCE(clean_md5, md5('')) AS clean_md5
+        |FROM tc LEFT JOIN ka ON tc.doc_id = ka.doc_id
+        |ORDER BY tc.doc_id""".stripMargin,
+    "q142_shard_centroids" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |e AS (SELECT vec_id % 4 AS shard, i - 1 AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings CROSS JOIN dims),
+        |cent AS (SELECT shard, dim, avg(v) AS c FROM e GROUP BY 1, 2),
+        |gcent AS (SELECT dim, avg(v) AS gc FROM e GROUP BY 1)
+        |SELECT shard,
+        |  round(sum(c * gc) / (sqrt(sum(c * c)) * sqrt(sum(gc * gc))), 4)
+        |    AS cos_to_global,
+        |  round(sqrt(sum(c * c)), 4) AS norm,
+        |  count(*) AS n_dims
+        |FROM cent JOIN gcent USING (dim)
+        |GROUP BY shard ORDER BY shard""".stripMargin,
+    "q143_funnel_latency" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(fv AS DATE) AS cohort_day, count(*) AS n_users,
+        |  round(avg((epoch_us(fp) - epoch_us(fv)) / 1000000), 2) AS avg_s,
+        |  max((epoch_us(fp) - epoch_us(fv)) / 1000000) AS max_s
+        |FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

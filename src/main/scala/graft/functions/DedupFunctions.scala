@@ -931,6 +931,14 @@ object DedupFunctions {
       .filter(col("cnt") >= 2 && occ =!= col("first_occ"))
       .select(col("id"), explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
       .distinct()
+    rebuildAfterCut(df, textCol, idCol, droppedPos)
+  }
+
+  /** Shared reassembly tail of the cut operators: drop `droppedPos`'s
+    * (id, p) token positions and report per doc (n_tokens, n_dropped,
+    * clean_md5). One (id, p)-keyed anti-join + the per-doc regroup. */
+  private def rebuildAfterCut(df: DataFrame, textCol: String, idCol: String,
+                              droppedPos: DataFrame): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p", "w")))
@@ -948,6 +956,61 @@ object DedupFunctions {
       .select(col("id").as(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /** Persist the substring-dedup digest index of a corpus: one row per
+    * DISTINCT L-token window digest with its occurrence count — 16 B + 8 B
+    * per distinct window, the whole index a small fraction of corpus
+    * bytes. The incremental complement of [[cutRepeatedSpans]], same
+    * pattern as the persisted LSH index (q111): hash the 100 TB corpus
+    * ONCE, then cut each daily batch against the index without ever
+    * re-scanning (or re-shuffling) corpus text. */
+  def writeWindowIndex(df: DataFrame, textCol: String, idCol: String,
+                       L: Int, dir: String): Unit = {
+    require(L >= 2, s"window length must be >= 2 tokens, got $L")
+    df.select(posexplode(graft.expr.NativeFunctions.window_digests(col(textCol), L))
+        .as(Seq("i", "g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Cut a NEW batch against a corpus index from [[writeWindowIndex]]:
+    * every batch token covered by a window whose digest exists in the
+    * corpus is dropped (the corpus copy is by definition earlier =
+    * canonical), and batch-INTERNAL repeats of unindexed windows keep
+    * their first occurrence exactly as [[cutRepeatedSpans]] would.
+    * Equivalent to running the full cut over corpus ∪ batch and keeping
+    * the batch rows (given corpus precedence) — the oracle proves that.
+    *
+    * Scale shape: the batch's windows join the index on the digest (the
+    * index side partial-aggregated at build time; Catalyst broadcasts it
+    * when small, shuffles both when not — the BATCH is the small side in
+    * the daily regime, so the optimizer's shuffle choice keys on batch
+    * size, not corpus size), then the same (id, p) exchange + per-doc
+    * regroup as the batch-local cut. Corpus text is never touched. */
+  def cutAgainstIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                      textCol: String, idCol: String, L: Int,
+                      indexDir: String): DataFrame = {
+    require(L >= 2, s"window length must be >= 2 tokens, got $L")
+    val idx = spark.read.parquet(indexDir)
+      .select(col("g"), col("cnt").as("ccnt"))
+    val windows = batch
+      .select(col(idCol).as("id"),
+        posexplode(graft.expr.NativeFunctions.window_digests(col(textCol), L))
+          .as(Seq("i", "g")))
+    val occ = struct(col("id"), col("i"))
+    val batchCanon = windows
+      .select(col("g"), occ.as("occ"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("bcnt"), min(col("occ")).as("first_occ"))
+    val droppedPos = windows
+      .join(batchCanon, "g")
+      .join(idx, Seq("g"), "left")
+      .filter(coalesce(col("ccnt"), lit(0L)) >= 1 ||
+        (col("bcnt") >= 2 && occ =!= col("first_occ")))
+      .select(col("id"), explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
+      .distinct()
+    rebuildAfterCut(batch, textCol, idCol, droppedPos)
   }
 
   def repeatedSpans(df: DataFrame, textCol: String, idCol: String,

@@ -290,6 +290,35 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("cutAgainstIndex ≡ full cut over corpus∪batch restricted to the batch (corpus precedence)") {
+    val shared = "one two three four five six seven eight"
+    // corpus ids < batch ids so union-cut canonical order = corpus precedence
+    val corpus = Seq(
+      (1L, s"$shared corpus tail words here"),
+      (2L, "unrelated corpus content entirely fresh")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"batch head $shared batch tail"),        // indexed region → cut
+      (11L, "brand new batch words nothing repeated"), // untouched
+      (12L, "dup dup2 dup3 dup4 filler dup dup2 dup3 dup4"), // batch-internal keep-first
+      (13L, "dup dup2 dup3 dup4 second batch doc")).toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-widx").toString
+    DedupFunctions.writeWindowIndex(corpus, "text", "doc_id", L = 4, idxDir)
+    val inc = DedupFunctions.cutAgainstIndex(spark, batch, "text", "doc_id", L = 4, idxDir)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val full = DedupFunctions.cutRepeatedSpans(corpus.unionByName(batch),
+        "text", "doc_id", L = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .filter(_._1 >= 10L).map(r => r._1 -> r).toMap
+    assert(inc === full,
+      "incremental cut must equal the union cut on batch docs")
+    // semantics spot checks: the indexed region is gone even though the
+    // batch occurrence is the batch's FIRST sighting of it
+    assert(inc(10L)._3 === 8L)
+    assert(inc(11L)._3 === 0L)
+    // batch-internal repeat of an UNindexed window keeps its first copy
+    assert(inc(12L)._3 === 4L && inc(13L)._3 === 4L)
+  }
+
   test("property: dedupSpans keeps exactly the first occurrence of every span, in doc order") {
     import org.scalacheck.Gen
     // tiny alphabet forces span collisions across documents
