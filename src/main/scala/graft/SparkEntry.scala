@@ -1623,7 +1623,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"),
           r2(avg(col("lat_s"))).as("avg_s"),
           max(col("lat_s")).as("max_s"))
-        .orderBy(col("cohort_day")))
+        .orderBy(col("cohort_day"))),
+    // ---- tokenizer/vocabulary coverage: per-source OOV rate against the
+    // corpus top-K vocabulary — the coverage audit run before committing
+    // to a tokenizer. Vocabulary = one partial-agged TakeOrdered pass;
+    // membership attaches by broadcast; corpus rows never shuffle -------
+    "q144_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
+      // deterministic boundary: ties at rank K order by (count desc, term)
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(30)
+        .select(col("w"), lit(1L).as("iv"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          r6(lit(1.0) - sum(coalesce(col("iv"), lit(0L))).cast("double") /
+            count(lit(1))).as("oov_rate"))
+        .orderBy(col("source"))
+    }),
+    // ---- EWMA spike detection over hourly event volume: the sequential
+    // exponential smoother q134's batch z-score cannot express (state
+    // depends on arrival order). Buckets collapse per type first (bounded:
+    // hours × types), then ONE sequential fold per type via the aggregate
+    // HOF — bit-identical to the oracle's recursive CTE because both run
+    // the same IEEE ops in the same order (0.3·x + 0.7·e), no pow() -----
+    "q145_ewma_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val series = hourly.groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("bucket"), col("x")))),
+          e => e.getField("x")).as("xs"))
+      val xs = col("xs")
+      val folded = aggregate(
+        slice(xs, lit(2), greatest(size(xs) - 1, lit(0))),
+        struct(element_at(xs, 1).as("e"), lit(0L).as("k")),
+        (acc, x) => struct(
+          (lit(0.3) * x + lit(0.7) * acc.getField("e")).as("e"),
+          (acc.getField("k") +
+            when(x > lit(2.0) * acc.getField("e"), 1L).otherwise(0L)).as("k")))
+      series.select(col("event_type"), size(xs).cast("long").as("n_buckets"),
+          r4(folded.getField("e")).as("ewma"),
+          folded.getField("k").as("n_spikes"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -2968,7 +3013,37 @@ object SparkEntry {
         |  round(avg((epoch_us(fp) - epoch_us(fv)) / 1000000), 2) AS avg_s,
         |  max((epoch_us(fp) - epoch_us(fv)) / 1000000) AS max_s
         |FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
-        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin
+        |GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+    "q144_oov_rate" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |vocab AS (SELECT w, 1 AS iv FROM (
+        |    SELECT w, count(*) AS c FROM tk GROUP BY w
+        |    ORDER BY c DESC, w LIMIT 30))
+        |SELECT source, count(*) AS n_tokens,
+        |  round(1.0 - CAST(sum(COALESCE(iv, 0)) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM tk LEFT JOIN vocab USING (w)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q145_ewma_anomaly" ->
+      """WITH RECURSIVE hourly AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS bucket, CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY bucket) AS t FROM hourly),
+        |rec AS (
+        |  SELECT event_type, t, x AS e, CAST(0 AS BIGINT) AS k
+        |  FROM ord WHERE t = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.t,
+        |    CAST(0.3 AS DOUBLE) * o.x + CAST(0.7 AS DOUBLE) * r.e,
+        |    r.k + CASE WHEN o.x > CAST(2.0 AS DOUBLE) * r.e THEN 1 ELSE 0 END
+        |  FROM rec r JOIN ord o
+        |    ON o.event_type = r.event_type AND o.t = r.t + 1)
+        |SELECT event_type, t AS n_buckets, round(e, 4) AS ewma, k AS n_spikes
+        |FROM rec
+        |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY t DESC) = 1
+        |ORDER BY event_type""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

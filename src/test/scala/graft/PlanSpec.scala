@@ -188,6 +188,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q141: incremental cut exchanges carry digests/ids/positions, never text; no digest window") {
+    val df = SparkEntry.queries("q141_incremental_cut")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text")),
+      s"q141 shuffles must be keyed on digests/ids/positions, not text: $exchanges")
+    assert(!"windowspecdefinition\\(g#".r.findFirstIn(p).isDefined,
+      s"q141 must not run a window keyed on the window digest:\n$p")
+  }
+
+  test("q144: the top-K vocabulary is a TakeOrdered pass and broadcasts back") {
+    val p = simplePlanOf("q144_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary selection must be per-partition top-K, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary membership must broadcast onto the token stream:\n$p")
+  }
+
   test("q115: no single-partition stage — vocabulary rank/order is distributed") {
     val df = SparkEntry.queries("q115_jaccard_join")(spark, sf0001)
     df.collect()
