@@ -1668,6 +1668,42 @@ object SparkEntry {
           r4(folded.getField("e")).as("ewma"),
           folded.getField("k").as("n_spikes"))
         .orderBy(col("event_type"))
+    }),
+    // ---- S11 sync planning (DataSynchronizer check/copy/remove,
+    // sync.py:44–164): both listings join once on the path; the plan is
+    // relational, the byte moves are driven from it -----------------------
+    "q146_sync_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val src = docs.select(
+        concat(lit("docs/"), col("doc_id"), lit(".txt")).as("path"),
+        col("n_chars").cast("long").as("size"))
+      // dest drift: a third of the files missing, every 7th size-drifted,
+      // plus stale files the source no longer has
+      val dst = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(concat(lit("docs/"), col("doc_id"), lit(".txt")).as("path"),
+          when(col("doc_id") % 7 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")).cast("long").as("size"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select(concat(lit("stale/"), col("doc_id")).as("path"),
+            col("n_chars").cast("long").as("size")))
+      graft.meta.DataSync.planSummary(
+        graft.meta.DataSync.plan(src, dst, "path", "size"))
+    }),
+    // ---- cross-source duplication attribution: per source, the share of
+    // docs that are NON-canonical exact dups (canonical = min doc_id per
+    // digest) — which sources are net copies of others ------------------
+    "q147_dup_attribution" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val canon = g.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("cnt"))
+      g.join(canon, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cnt") >= 2 && col("doc_id") =!= col("first_id"), 1L)
+            .otherwise(0L)).as("n_dup"))
+        .withColumn("dup_rate", r6(col("n_dup").cast("double") / col("n_docs")))
+        .orderBy(col("source"))
     })
   )
 
@@ -3043,7 +3079,37 @@ object SparkEntry {
         |SELECT event_type, t AS n_buckets, round(e, 4) AS ewma, k AS n_spikes
         |FROM rec
         |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY t DESC) = 1
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    "q146_sync_plan" ->
+      """WITH src AS (SELECT 'docs/' || doc_id || '.txt' AS path,
+        |    CAST(n_chars AS BIGINT) AS src_size FROM documents),
+        |dst AS (
+        |  SELECT 'docs/' || doc_id || '.txt' AS path,
+        |    CAST(CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END
+        |      AS BIGINT) AS dst_size
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT 'stale/' || doc_id, CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |p AS (SELECT COALESCE(src.path, dst.path) AS path, src_size, dst_size,
+        |    CASE WHEN src_size IS NULL THEN 'REMOVE'
+        |         WHEN dst_size IS NULL THEN 'COPY'
+        |         WHEN src_size <> dst_size THEN 'COPY'
+        |         ELSE 'SKIP' END AS action
+        |  FROM src FULL OUTER JOIN dst ON src.path = dst.path)
+        |SELECT action, count(*) AS n_files,
+        |  CAST(sum(COALESCE(src_size, 0)) AS BIGINT) AS src_bytes
+        |FROM p GROUP BY action ORDER BY action""".stripMargin,
+    "q147_dup_attribution" ->
+      """WITH g AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |c AS (SELECT h, min(doc_id) AS first_id, count(*) AS cnt
+        |  FROM g GROUP BY h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cnt >= 2 AND doc_id <> first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN cnt >= 2 AND doc_id <> first_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM g JOIN c USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -139,6 +139,64 @@ object StatefulAggregates {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Per-key EWMA summary from [[onlineEwma]]. */
+  final case class EwmaSummary(event_type: String, n_buckets: Long,
+                               ewma: Double, n_spikes: Long)
+
+  /** Streaming twin of q145's batch EWMA fold: per key, the sequential
+    * smoother e ← α·x + β·e (spike when x > factor·e BEFORE the update —
+    * the same op order as the batch `aggregate` HOF, so after the last
+    * bucket the streaming state equals the batch fold BIT-FOR-BIT; the
+    * spec pins that equality across micro-batch boundaries).
+    *
+    * β is an explicit parameter rather than 1−α because `1.0 - 0.3`
+    * rounds to a DIFFERENT double than the literal `0.7` — passing both
+    * keeps the twin's arithmetic identical to the batch query's literals.
+    *
+    * Input contract: closed buckets in event-time order across batches
+    * (the watermark's append contract, same as [[onlineVolumeAnomalies]]);
+    * rows within a micro-batch are sorted here. State: (n, e, k) — three
+    * scalars per key. */
+  class OnlineEwmaProcessor(alpha: Double, beta: Double, spikeFactor: Double)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp, Double),
+        EwmaSummary] {
+    @transient private var st: ValueState[(Long, Double, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Long)]("ewma",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+          Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, java.sql.Timestamp, Double)],
+                                 timerValues: TimerValues): Iterator[EwmaSummary] = {
+      var (n, e, k) = if (st.exists()) st.get() else (0L, 0.0, 0L)
+      rows.toSeq.sortBy(_._2.getTime).foreach { case (_, _, x) =>
+        if (n == 0L) e = x
+        else {
+          if (x > spikeFactor * e) k += 1
+          e = alpha * x + beta * e
+        }
+        n += 1
+      }
+      st.update((n, e, k))
+      Iterator.single(EwmaSummary(key, n, e, k))
+    }
+  }
+
+  /** Run [[OnlineEwmaProcessor]] over closed (event_type, bucket_start, x)
+    * buckets — streaming or batch. */
+  def onlineEwma(bucketCounts: DataFrame, alpha: Double = 0.3,
+                 beta: Double = 0.7, spikeFactor: Double = 2.0): Dataset[EwmaSummary] = {
+    val spark = bucketCounts.sparkSession
+    import spark.implicits._
+    bucketCounts
+      .selectExpr("CAST(event_type AS STRING) AS event_type",
+        "CAST(bucket_start AS TIMESTAMP) AS bucket_start", "CAST(x AS DOUBLE) AS x")
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new OnlineEwmaProcessor(alpha, beta, spikeFactor),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   def runningUserTotals(events: DataFrame,
                         idleTimeout: Option[String] = None): Dataset[UserTotals] = {
     val spark = events.sparkSession

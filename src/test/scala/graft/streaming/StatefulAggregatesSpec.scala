@@ -76,6 +76,58 @@ class StatefulAggregatesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("online EWMA: streaming final state == q145's batch fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // the real corpus buckets, globally time-ordered so per-key arrival
+    // order across micro-batches honours the watermark contract
+    val hourly = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket_start"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .orderBy(col("bucket_start"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val expected = graft.SparkEntry.queries("q145_ewma_anomaly")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val df = hourly.toDF("event_type", "bucket_start", "x")
+      val stream = spark.readStream.schema(df.schema).parquet(dir)
+      val q = StatefulAggregates.onlineEwma(stream)
+        .writeStream.format("memory").queryName("ewma")
+        .outputMode("update").start()
+      try {
+        // five micro-batches — the fold must survive state-store handoffs
+        hourly.grouped(math.max(hourly.size / 5, 1)).foreach { chunk =>
+          chunk.toDF("event_type", "bucket_start", "x")
+            .coalesce(1).write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+        val got = spark.table("ewma")
+          .as[StatefulAggregates.EwmaSummary].collect()
+          .groupBy(_.event_type)
+          .map { case (t, rows) => t -> rows.maxBy(_.n_buckets) }
+        assert(got.keySet === expected.keySet)
+        got.foreach { case (t, s) =>
+          val (nb, ewmaR4, spikes) = expected(t)
+          assert(s.n_buckets === nb, s"$t bucket count")
+          assert(s.n_spikes === spikes,
+            s"$t spike count must match the batch fold exactly")
+          assert(math.round(s.ewma * 1e4) / 1e4 === ewmaR4,
+            s"$t ewma must be bit-identical before rounding")
+        }
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("online anomaly: streaming in micro-batches == driver Welford replay; cold start quiet") {
     import java.sql.Timestamp
     def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
