@@ -1228,11 +1228,16 @@ object SparkEntry {
     }),
     // ---- entity resolution: edit-distance fuzzy join with COMPLETE
     // length-band blocking (|Δlen| ≤ d is implied by levenshtein ≤ d) —
-    // candidates from a plain equi-join, never a cartesian ---------------
+    // candidates from a plain equi-join, never a cartesian. TPC-H part
+    // names are 5 words from a ~90-word vocabulary, so the TRUE pair
+    // count is near-quadratic (156 k pairs from 4 k names at sf0.1) and
+    // gram blocking measurably cannot beat the output bound — bands win
+    // on constants here; q148 runs the q-gram path on the distribution
+    // it is FOR (a mostly-unique registry) ------------------------------
     "q125_fuzzy_join" -> ((s, d) =>
       graft.functions.EntityResolution.fuzzyPairs(
           Tables.part(s, d).filter(col("p_partkey") % 5 === 0),
-          "p_name", "p_partkey", maxDist = 1)
+          "p_name", "p_partkey", maxDist = 1, blocking = "band")
         .orderBy(col("id_a"), col("id_b"))),
     // ---- unpivot (wide → long): measures melt into (measure, value) rows
     // scan-side, then one aggregation — the relational melt the reference
@@ -1704,7 +1709,18 @@ object SparkEntry {
             .otherwise(0L)).as("n_dup"))
         .withColumn("dup_rate", r6(col("n_dup").cast("double") / col("n_docs")))
         .orderBy(col("source"))
-    })
+    }),
+    // ---- fuzzy join on a MOSTLY-UNIQUE registry (supplier names made
+    // unique by an id suffix — the open-vocabulary distribution): the
+    // q-gram prefix blocking this corpus shape requires; the oracle is
+    // brute force, so the hash match proves the composed filter complete
+    "q148_fuzzy_registry" -> ((s, d) =>
+      graft.functions.EntityResolution.fuzzyPairs(
+          Tables.part(s, d).filter(col("p_partkey") % 5 === 0)
+            .select(col("p_partkey"),
+              concat(col("p_name"), lit(" "), col("p_partkey")).as("reg_name")),
+          "reg_name", "p_partkey", maxDist = 1, q = 3, blocking = "qgram")
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -3109,7 +3125,15 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN cnt >= 2 AND doc_id <> first_id THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 6) AS dup_rate
         |FROM g JOIN c USING (h)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q148_fuzzy_registry" ->
+      """WITH p AS (SELECT p_partkey, p_name || ' ' || p_partkey AS reg_name
+        |  FROM part WHERE p_partkey % 5 = 0)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  levenshtein(a.reg_name, b.reg_name) AS dist
+        |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.reg_name, b.reg_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -8,7 +8,24 @@ import org.apache.spark.sql.functions._
   * blocking — the record-linkage primitive (dedup of customer/supplier
   * name registries, catalog reconciliation).
   *
-  * Blocking is the COMPOSITION of two recall-complete filters:
+  * TWO recall-complete blocking strategies, chosen per data distribution
+  * (`blocking` parameter):
+  *
+  *  - `"band"`: pure length bands. Candidates are Σ n_len² — the right
+  *    choice when names concentrate on a SMALL vocabulary (catalog part
+  *    names, enum-ish labels): there the true pair count is itself
+  *    near-quadratic, no filter can beat the output bound, and the
+  *    two-stage band plan wins on constants (measured on q125's TPC-H
+  *    names: gram candidates 647 k vs 156 k TRUE pairs — blocking can
+  *    recover at most 4×, not the ~1 400× of a unique registry).
+  *  - `"qgram"` (default — the scale-safe choice for open-ended name
+  *    registries): q-gram prefixes composed WITH the length band, the
+  *    Σ n_len² killer for mostly-unique corpora (q148 / the
+  *    EntityResolutionSpec unique-registry fixture: candidates track the
+  *    true pair count at a small constant while bands stay quadratic).
+  *
+  * The default q-gram blocking is the COMPOSITION of two recall-complete
+  * filters:
   *
   *  1. Length band: levenshtein(a, b) ≤ d implies |len(a) − len(b)| ≤ d
   *     (each edit changes length by at most 1).
@@ -55,81 +72,152 @@ object EntityResolution {
     * unaffected either way. */
   private val PadChar = "\u0001"
 
-  /** Candidate (id_a, id_b) pairs BEFORE verification — exposed so specs
-    * and capacity planning can measure blocking selectivity directly. */
-  def fuzzyCandidates(df: DataFrame, nameCol: String, idCol: String,
-                      maxDist: Int, q: Int = 2): DataFrame = {
-    require(maxDist >= 1, s"maxDist must be >= 1 here, got $maxDist")
-    require(q >= 2, s"q must be >= 2, got $q")
+  /** Prefix postings: for each name, its `maxDist·q + 1` rarest (gram, k)
+    * occurrence elements, CARRYING the name itself — the Ed-Join layout
+    * where verification happens at candidate-join time instead of
+    * re-attaching names through two extra joins. Rows: (gram, k, id,
+    * len, name). */
+  private def prefixPostings(df: DataFrame, nameCol: String, idCol: String,
+                             maxDist: Int, q: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
       length(col(nameCol)).as("len"))
     val pad = PadChar * (q - 1)
     val padded = concat(lit(pad), col("name"), lit(pad))
     val gramArr = transform(sequence(lit(1), col("len") + (q - 1)),
       i => padded.substr(i, lit(q)))
-    val grams = base
-      .select(col("id"), col("len"), posexplode(gramArr).as(Seq("pos", "gram")))
     // occurrence index k: the k-th time this gram appears in this string
     // (earliest position first) — (gram, k) elements turn the multiset
-    // destroy bound into set intersection
-    val wOcc = Window.partitionBy(col("id"), col("gram")).orderBy(col("pos"))
-    val occ = grams.withColumn("k", row_number().over(wOcc))
-      .select(col("id"), col("len"), col("gram"), col("k"))
+    // destroy bound into set intersection. Computed SCAN-SIDE with array
+    // arithmetic (count of equal grams before this position): O(n²) per
+    // name with n ≈ len + q − 1 — trivially cheap — where a row_number
+    // window over (id, gram) would cost a full shuffle + sort of the
+    // exploded gram rows before any blocking happens
+    val pairArr = transform(gramArr, (g, idx) =>
+      struct(g.as("gram"),
+        (size(filter(slice(gramArr, lit(1), idx), y => y === g)) + 1).as("k")))
+    val occ = base
+      .select(col("id"), col("len"), col("name"),
+        posexplode(pairArr).as(Seq("pos", "gk")))
+      .select(col("id"), col("len"), col("name"),
+        col("gk").getField("gram").as("gram"), col("gk").getField("k").as("k"))
     // element frequency over the corpus: rarest-first prefixes make the
     // candidate join keys the least-skewed occurrences available
     val edf = occ.groupBy(col("gram"), col("k")).agg(count(lit(1)).as("edf"))
     val wDoc = Window.partitionBy(col("id"))
       .orderBy(col("edf").asc, col("gram").asc, col("k").asc)
-    val prefix = occ.join(edf, Seq("gram", "k"))
+    occ.join(edf, Seq("gram", "k"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= maxDist * q + 1)
-      .select(col("gram"), col("k"), col("id"), col("len"))
-    val ca = prefix.select(col("gram"), col("k"),
-      col("id").as("id_a"), col("len").as("len_a"))
-    val cb = prefix.select(col("gram"), col("k"),
-      col("id").as("id_b"), col("len").as("len_b"))
-    val gramCands = ca.join(cb, Seq("gram", "k"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
-      .select(col("id_a"), col("id_b"))
-    // short strings: n = len + q − 1 ≤ d·q grams means the required
-    // overlap t can be ≤ 0 against another short partner — no gram need
-    // be shared, so short×short pairs keep the length-band equi-join
-    // (the subset is tiny: len ≤ (d−1)·q + 1)
+      .select(col("gram"), col("k"), col("id"), col("len"), col("name"))
+  }
+
+  /** Short strings (n = len + q − 1 ≤ d·q grams): the required overlap t
+    * can be ≤ 0 against another short partner — no gram need be shared —
+    * so short×short pairs keep the length-band equi-join (the subset is
+    * tiny: len ≤ (d−1)·q + 1). Rows: (id_a, name_a, id_b, name_b). */
+  private def shortPairs(df: DataFrame, nameCol: String, idCol: String,
+                         maxDist: Int, q: Int): DataFrame = {
     val shortMax = (maxDist - 1) * q + 1
-    val shorts = base.filter(col("len") <= shortMax)
+    val shorts = df
+      .select(col(idCol).as("id"), col(nameCol).as("name"),
+        length(col(nameCol)).as("len"))
+      .filter(col("len") <= shortMax)
     val sa = shorts
       .withColumn("len_key",
         explode(sequence(col("len") - maxDist, col("len") + maxDist)))
-      .select(col("len_key"), col("id").as("id_a"))
-    val sb = shorts.select(col("len").as("len_key"), col("id").as("id_b"))
-    val shortCands = sa.join(sb, "len_key")
+      .select(col("len_key"), col("id").as("id_a"), col("name").as("name_a"))
+    val sb = shorts.select(col("len").as("len_key"),
+      col("id").as("id_b"), col("name").as("name_b"))
+    sa.join(sb, "len_key")
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    gramCands.union(shortCands).distinct()
+      .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"))
+  }
+
+  /** Pure length-band candidate stream: every pair arises exactly once
+    * (b's single length falls in a's band once), so no dedup is needed.
+    * The right blocking when name mass CONCENTRATES on a small gram
+    * vocabulary (catalog part names, enum-ish labels): there the true
+    * pair count is itself ~quadratic, gram prefixes cannot beat the
+    * output bound, and the band join's two-stage plan wins on constants. */
+  private def bandStream(df: DataFrame, nameCol: String, idCol: String,
+                         maxDist: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      length(col(nameCol)).as("len"))
+    val a = base
+      .withColumn("len_key",
+        explode(sequence(col("len") - maxDist, col("len") + maxDist)))
+      .select(col("len_key"), col("id").as("id_a"), col("name").as("name_a"))
+    val b = base.select(col("len").as("len_key"),
+      col("id").as("id_b"), col("name").as("name_b"))
+    a.join(b, "len_key")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"))
+  }
+
+  /** Candidate pair stream BEFORE verification (the q-gram path may
+    * repeat a pair once per shared prefix element). */
+  private def candidateStream(df: DataFrame, nameCol: String, idCol: String,
+                              maxDist: Int, q: Int,
+                              blocking: String): DataFrame = blocking match {
+    case "band" => bandStream(df, nameCol, idCol, maxDist)
+    case "qgram" =>
+      val prefix = prefixPostings(df, nameCol, idCol, maxDist, q)
+      val ca = prefix.select(col("gram"), col("k"), col("id").as("id_a"),
+        col("len").as("len_a"), col("name").as("name_a"))
+      val cb = prefix.select(col("gram"), col("k"), col("id").as("id_b"),
+        col("len").as("len_b"), col("name").as("name_b"))
+      ca.join(cb, Seq("gram", "k"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+        .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"))
+        .unionByName(shortPairs(df, nameCol, idCol, maxDist, q))
+    case other =>
+      throw new IllegalArgumentException(
+        s"blocking must be 'qgram' or 'band', got '$other'")
+  }
+
+  /** Candidate (id_a, id_b) pairs BEFORE verification — exposed so specs
+    * and capacity planning can measure blocking selectivity directly. */
+  def fuzzyCandidates(df: DataFrame, nameCol: String, idCol: String,
+                      maxDist: Int, q: Int = 2,
+                      blocking: String = "qgram"): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1 here, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    candidateStream(df, nameCol, idCol, maxDist, q, blocking)
+      .select(col("id_a"), col("id_b")).distinct()
   }
 
   /** All unordered pairs with levenshtein(name_a, name_b) ≤ maxDist.
-    * Output: (id_a, id_b, dist), id_a < id_b. */
+    * Output: (id_a, id_b, dist), id_a < id_b.
+    *
+    * Verification is FUSED into the candidate join (postings carry the
+    * name): a pair sharing several prefix elements is levenshtein'd once
+    * per shared element — bounded by the (d·q+1)-prefix — which costs
+    * less than the alternative's candidate-distinct exchange plus two
+    * name-reattach joins, both at fixture scale (3 exchanges saved) and
+    * at 100 TB (names are short; shipping them in the one posting
+    * exchange beats re-shuffling candidate ids against the corpus
+    * twice). The final distinct dedups verified pairs. */
   def fuzzyPairs(df: DataFrame, nameCol: String, idCol: String,
-                 maxDist: Int, q: Int = 2): DataFrame = {
+                 maxDist: Int, q: Int = 2,
+                 blocking: String = "qgram"): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"))
     if (maxDist == 0) {
       // distance 0 is exact equality — a plain name equi-join
+      val base = df.select(col(idCol).as("id"), col(nameCol).as("name"))
       val a = base.select(col("name"), col("id").as("id_a"))
       val b = base.select(col("name"), col("id").as("id_b"))
       return a.join(b, "name").filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), lit(0).as("dist"))
     }
-    fuzzyCandidates(df, nameCol, idCol, maxDist, q)
-      .join(base.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val verified = candidateStream(df, nameCol, idCol, maxDist, q, blocking)
       // thresholded levenshtein = banded DP, O(d·n) per pair instead of
-      // O(n²), and returns −1 past the bound — the verify is the dominant
-      // cost at scale, so candidate count matters more than anything
+      // O(n²), and returns −1 past the bound
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
+    // band pairs arise exactly once — only the qgram stream needs dedup
+    if (blocking == "band") verified else verified.distinct()
   }
 }

@@ -21,14 +21,14 @@ class EntityResolutionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
   }
 
-  private def blocked(d: Int): Set[(Long, Long, Int)] =
-    fuzzyPairs(parts, "p_name", "p_partkey", d)
+  private def blocked(d: Int, blocking: String = "qgram"): Set[(Long, Long, Int)] =
+    fuzzyPairs(parts, "p_name", "p_partkey", d, blocking = blocking)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
-  test("fuzzyPairs ≡ brute force at d = 1 and d = 2 (blocking is complete)") {
-    for (d <- Seq(1, 2)) {
-      val got = blocked(d)
-      assert(got === brute(d), s"d=$d")
+  test("fuzzyPairs ≡ brute force at d = 1 and d = 2, under BOTH blockings") {
+    for (d <- Seq(1, 2); b <- Seq("qgram", "band")) {
+      val got = blocked(d, b)
+      assert(got === brute(d), s"d=$d blocking=$b")
       assert(got.nonEmpty, s"d=$d: fixture should contain close names")
     }
   }
