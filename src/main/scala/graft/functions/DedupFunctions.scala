@@ -915,7 +915,8 @@ object DedupFunctions {
     * per-doc regroup — a heavier pipeline than detection (it must
     * rebuild documents), all keyed, nothing driver-side. */
   def cutRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
-                       L: Int): DataFrame = {
+                       L: Int, hotThreshold: Long = 100000L,
+                       salts: Int = 16): DataFrame = {
     require(L >= 2, s"window length must be >= 2 tokens, got $L")
     val windows = df
       .select(col(idCol).as("id"),
@@ -926,12 +927,93 @@ object DedupFunctions {
       .select(col("g"), occ.as("occ"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"), min(col("occ")).as("first_occ"))
-    val droppedPos = windows
-      .join(canon, "g")
+    val droppedPos = joinWindowsByDigest(windows, canon, "inner",
+        hotThreshold, salts)
       .filter(col("cnt") >= 2 && occ =!= col("first_occ"))
       .select(col("id"), explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
       .distinct()
     rebuildAfterCut(df, textCol, idCol, droppedPos)
+  }
+
+  /** Skew-safe digest-keyed join for the substring-dedup family: join
+    * per-position `windows` (id, i, g) with a digest-keyed table carrying
+    * an occurrence count, WITHOUT ever letting one viral digest's rows
+    * land on a single task.
+    *
+    * Why not AQE: `OptimizeSkewedJoin` pattern-matches joins whose
+    * children are bare shuffle stages — here the count side is an
+    * AGGREGATE over its exchange, so the rule structurally cannot fire
+    * (verified: a 10:1 viral fixture plans `AQEShuffleRead coalesced`,
+    * never `skew=true`). The salt is therefore explicit and
+    * deterministic:
+    *
+    *  - the HOT digest list is detected from a deterministic 1/64 hash
+    *    sample of the windows (sampled count ≥ hotThreshold/128, the 2×
+    *    safety factor): hotness only affects PARTITIONING — results are
+    *    salt-invariant (spec-pinned) — so a missed hot digest merely
+    *    routes cold (the status quo) and a false positive replicates one
+    *    build row. Sampling matters: deriving the list from the full
+    *    count aggregate re-shuffles a windows-sized partial exchange
+    *    (measured 3.3× total shuffle on the cut path, because the pruned
+    *    broadcast-side aggregate cannot reuse the main aggregate's
+    *    exchange); the sample shuffle is 1/64 of it. The list is bounded
+    *    by totalWindows/hotThreshold rows, so it broadcasts;
+    *  - probe rows of hot digests salt over `salts` sub-keys (hash of
+    *    (id, i) — deterministic, no rand()); cold rows keep salt 0;
+    *  - the count side replicates ONLY its hot rows `salts`× (cold rows
+    *    once), so a corpus-sized digest table is never multiplied.
+    *
+    * The join is then uniformly keyed (g, salt): the viral digest's rows
+    * spread over `salts` tasks by construction — pinned by the
+    * TrainingPipelineSpec viral fixture. */
+  private def joinWindowsByDigest(windows: DataFrame, byDigest: DataFrame,
+                                  joinType: String,
+                                  hotThreshold: Long, salts: Int): DataFrame = {
+    // DOC-level sampling (hash of id only): the filter pushes below the
+    // posexplode + digest projection, so the sample pass hashes 1/64 of
+    // the DOCUMENTS, not all windows. Doc sampling sees exactly the skew
+    // that matters — cross-document virality; a digest hot only inside
+    // one unsampled document stays cold, and a single doc's windows are
+    // bounded by that doc's length, not the corpus.
+    // plan-statistics gate, no job: below ~1 GB of window rows even a
+    // 100%-viral digest fits comfortably in one task, so skew cannot bite
+    // and neither the sampling probe nor the salt machinery should run —
+    // this keeps the small-corpus path (and its bench profile) identical
+    // to the plain digest-keyed join. `graft.substring.skewGateBytes`
+    // overrides the gate (specs set 0 to exercise the salted path).
+    val gateBytes = BigInt(windows.sparkSession.conf
+      .get("graft.substring.skewGateBytes", (1L << 30).toString).toLong)
+    val smallInput = windows.queryExecution.optimizedPlan.stats.sizeInBytes <
+      gateBytes
+    if (smallInput)
+      return windows.join(byDigest.hint("shuffle_hash"), Seq("g"), joinType)
+    val sampleRate = 64L
+    val hot = windows
+      .filter(pmod(hash(col("id"), lit(0x9E3779B9)), lit(sampleRate)) === 0)
+      .groupBy(col("g")).agg(count(lit(1)).as("__sc"))
+      .filter(col("__sc") >= math.max(1L, hotThreshold / (sampleRate * 2)))
+      .select(col("g"), lit(1).as("__hot"))
+    // no hot digest (the common case): keep the plain digest-keyed join —
+    // salting would force the digest table through an EXTRA (g, salt)
+    // exchange (measured ~3× total shuffle on the cut path) for nothing.
+    // The emptiness probe costs one sampled job; its outcome is a pure
+    // function of the data, so the plan stays deterministic.
+    if (hot.isEmpty)
+      return windows.join(byDigest.hint("shuffle_hash"), Seq("g"), joinType)
+    val saltedW = windows.join(broadcast(hot), Seq("g"), "left")
+      .withColumn("__salt", when(col("__hot").isNotNull,
+        pmod(hash(col("id"), col("i")), lit(salts))).otherwise(lit(0)))
+      .drop("__hot")
+    // the build side replicates by the SAME hot list the probe salts by
+    // (a probe row salted s must find its build row at salt s — deciding
+    // replication from the build side's own count would desynchronize)
+    val saltedR = byDigest.join(broadcast(hot), Seq("g"), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot").isNotNull,
+          sequence(lit(0), lit(salts - 1))).otherwise(sequence(lit(0), lit(0)))))
+      .drop("__hot")
+    saltedW.join(saltedR.hint("shuffle_hash"), Seq("g", "__salt"), joinType)
+      .drop("__salt")
   }
 
   /** Shared reassembly tail of the cut operators: drop `droppedPos`'s
@@ -990,7 +1072,8 @@ object DedupFunctions {
     * regroup as the batch-local cut. Corpus text is never touched. */
   def cutAgainstIndex(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
                       textCol: String, idCol: String, L: Int,
-                      indexDir: String): DataFrame = {
+                      indexDir: String, hotThreshold: Long = 100000L,
+                      salts: Int = 16): DataFrame = {
     require(L >= 2, s"window length must be >= 2 tokens, got $L")
     val idx = spark.read.parquet(indexDir)
       .select(col("g"), col("cnt").as("ccnt"))
@@ -1003,9 +1086,14 @@ object DedupFunctions {
       .select(col("g"), occ.as("occ"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("bcnt"), min(col("occ")).as("first_occ"))
-    val droppedPos = windows
-      .join(batchCanon, "g")
-      .join(idx, Seq("g"), "left")
+    // both digest joins are skew-safe: a batch viral on its OWN digest
+    // salts against batchCanon; a batch viral on an INDEXED digest salts
+    // against the corpus index (left join — unmatched batch digests
+    // survive with a null ccnt)
+    val withCanon = joinWindowsByDigest(windows, batchCanon, "inner",
+      hotThreshold, salts)
+    val droppedPos = joinWindowsByDigest(withCanon, idx, "left",
+        hotThreshold, salts)
       .filter(coalesce(col("ccnt"), lit(0L)) >= 1 ||
         (col("bcnt") >= 2 && occ =!= col("first_occ")))
       .select(col("id"), explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
@@ -1014,7 +1102,8 @@ object DedupFunctions {
   }
 
   def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
-                    L: Int): DataFrame = {
+                    L: Int, hotThreshold: Long = 100000L,
+                    salts: Int = 16): DataFrame = {
     require(L >= 2, s"window length must be >= 2 tokens, got $L")
     // 16-byte binary digests (not hex strings) halve the exchange payload;
     // spans depend only on digest EQUALITY, so any injective encoding of
@@ -1036,11 +1125,11 @@ object DedupFunctions {
       .groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
-    // shuffle-hash hint: build the hash table on the (smaller) repeated-
-    // digest side instead of SORT-merging — sorting the corpus-sized
-    // windows side costs more than the whole lookup; AQE still broadcasts
-    // when the count table is tiny and still splits skewed digests
-    val marked = windows.join(repeated.hint("shuffle_hash"), "g")
+    // the join back is the skew-safe differentiated join — a viral
+    // boilerplate digest (the exact thing this operator hunts) salts its
+    // probe rows over `salts` tasks; see [[joinWindowsByDigest]]
+    val marked = joinWindowsByDigest(windows, repeated, "inner",
+      hotThreshold, salts)
     // gaps-and-islands: windows all span [i, i+L), and i is increasing
     // within a doc, so a new island starts exactly when the gap to the
     // previous start exceeds L (touching windows merge)

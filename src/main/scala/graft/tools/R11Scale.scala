@@ -81,6 +81,15 @@ object R11Scale {
         time(s"hot_repeated_spans ${k}x") {
           D.repeatedSpans(docs, "text", "doc_id", L = 8).count()
         }
+        // hot routing forced (plan-stats gate off, threshold 1k): the
+        // boilerplate digests take the salted join — the 100 TB path,
+        // measured against cold routing
+        spark.conf.set("graft.substring.skewGateBytes", "0")
+        time(s"hot_spans_salted ${k}x") {
+          D.repeatedSpans(docs, "text", "doc_id", L = 8,
+            hotThreshold = 1000L, salts = 16).count()
+        }
+        spark.conf.unset("graft.substring.skewGateBytes")
         // aggregate n_dropped (NOT count()): a bare count lets Catalyst
         // eliminate the unique-key join and the whole dropped-position
         // branch — the measurement would time an empty plan

@@ -319,6 +319,85 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(inc(12L)._3 === 4L && inc(13L)._3 === 4L)
   }
 
+  test("property: cutAgainstIndex ≡ full union cut for random corpora and batches") {
+    import org.scalacheck.Gen
+    // tiny alphabet forces window collisions within and across the sides
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      nCorpus <- Gen.choose(0, 5)
+      nBatch <- Gen.choose(1, 5)
+      corpus <- Gen.listOfN(nCorpus, doc)
+      batch <- Gen.listOfN(nBatch, doc)
+    } yield (corpus, batch)
+    org.scalacheck.Prop.forAll(gen) { case (corpusTexts, batchTexts) =>
+      // corpus ids strictly below batch ids = corpus precedence
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-widx-prop").toString
+      DedupFunctions.writeWindowIndex(corpus, "text", "doc_id", L = 2, idxDir)
+      val inc = DedupFunctions.cutAgainstIndex(spark, batch, "text", "doc_id", 2, idxDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val full = DedupFunctions.cutRepeatedSpans(corpus.unionByName(batch),
+          "text", "doc_id", L = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .filter(_._1 >= 100L).toSet
+      inc == full
+    }.check(org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25))
+  }
+
+  test("viral-digest skew: hot digests take the salted join; semantics salt-invariant") {
+    // every viral doc is 100 copies of one token = 97 windows of ONE
+    // digest carrying ~96% of all join rows — the regime where AQE's
+    // OptimizeSkewedJoin is structurally blind (the count side is an
+    // aggregate, not a bare shuffle stage, so the rule never matches;
+    // verified before the salted join existed: the plan read
+    // `AQEShuffleRead coalesced`, never `skew=true`).
+    val boiler = Seq.fill(100)("b0").mkString(" ")
+    val docs = (0 until 1100).map { i =>
+      (i.toLong, if (i % 11 == 0) s"u${i}_0 u${i}_1 u${i}_2 u${i}_3"
+        else boiler)
+    }.toDF("doc_id", "text")
+    def run(hotT: Long, salts: Int) =
+      DedupFunctions.repeatedSpans(docs, "text", "doc_id", L = 4,
+          hotThreshold = hotT, salts = salts)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .toSet
+    val gateKey = "graft.substring.skewGateBytes"
+    // baseline: the plan-stats gate keeps tiny corpora on the plain join
+    val cold16 = run(1000L, 16)
+    spark.conf.set(gateKey, "0") // force the scale path for the fixture
+    try {
+      // salting is a pure partitioning choice: output identical whether
+      // the digest routes hot (threshold 1k) or cold (default 100k), at
+      // any salt count, and identical to the small-input plain join
+      val hot8 = run(1000L, 8)
+      assert(hot8 === cold16, "the salted path must equal the plain join")
+      assert(hot8 === run(100000L, 16), "hot routing must not change results")
+      assert(hot8 === run(1000L, 3), "salt count must not change results")
+      assert(hot8.size >= 1000, s"fixture sanity: every viral doc must span")
+      // and the mechanism is in the plan: with the digest hot, the join is
+      // keyed (g, __salt) — the viral digest's rows spread over the salt
+      // sub-keys by construction instead of converging on one task
+      val plan = DedupFunctions.repeatedSpans(docs, "text", "doc_id", L = 4,
+          hotThreshold = 1000L, salts = 8)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("__salt"),
+        s"hot path must join on the salted key:\n$plan")
+      // the cut twin rides the same machinery — equality across routings
+      val cutHot = DedupFunctions.cutRepeatedSpans(docs, "text", "doc_id", L = 4,
+        hotThreshold = 1000L, salts = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      spark.conf.unset(gateKey)
+      val cutCold = DedupFunctions.cutRepeatedSpans(docs, "text", "doc_id", L = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(cutHot === cutCold, "cut results must be salt-invariant")
+    } finally spark.conf.unset(gateKey)
+  }
+
   test("property: dedupSpans keeps exactly the first occurrence of every span, in doc order") {
     import org.scalacheck.Gen
     // tiny alphabet forces span collisions across documents
