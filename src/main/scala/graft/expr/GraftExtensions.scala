@@ -33,6 +33,10 @@ object GraftExtensions {
       "word_ngrams", ext.makeWordNgrams, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantize_int8", ext.makeQuantize, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "window_digests", ext.makeWindowDigests, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "search_sorted", ext.makeSearchSorted, "scala_udf")
   }
 }
 
@@ -76,6 +80,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     QuantizeInt8Expr(args.head): Expression
   }
 
+  private[expr] val makeWindowDigests = (args: Seq[Expression]) => {
+    require(args.length == 2, "window_digests(text, L)")
+    WindowDigestsExpr(args.head, intArg(args(1), "L")): Expression
+  }
+
+  private[expr] val makeSearchSorted = (args: Seq[Expression]) => {
+    require(args.length == 2, "search_sorted(v, array(cuts...))")
+    val cuts = args(1) match {
+      case e if e.foldable =>
+        e.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"cuts must be an array literal, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"cuts must be foldable, got $other")
+    }
+    SearchSortedExpr(args.head, cuts): Expression
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("minhash_signature"),
@@ -105,6 +130,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("quantize_int8"),
       new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "quantize_int8"),
       makeQuantize))
+    ext.injectFunction((
+      new FunctionIdentifier("window_digests"),
+      new ExpressionInfo(classOf[WindowDigestsExpr].getName, "window_digests"),
+      makeWindowDigests))
+    ext.injectFunction((
+      new FunctionIdentifier("search_sorted"),
+      new ExpressionInfo(classOf[SearchSortedExpr].getName, "search_sorted"),
+      makeSearchSorted))
   }
 
   private[expr] val makeBandMath = (args: Seq[Expression]) => {

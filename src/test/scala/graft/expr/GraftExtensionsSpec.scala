@@ -50,5 +50,17 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT quantize_int8(emb) AS q FROM graft_ext_docs").head().getStruct(0)
     assert(q.getSeq[Byte](1).length == 3)
     assert(math.abs(q.getSeq[Byte](1)(2) * q.getDouble(0) - 3.0) < 3.0 / 127 + 1e-6)
+    // substring-dedup digests from SQL == the native API
+    val wd = spark.sql(
+      "SELECT window_digests(text, 2) AS g FROM graft_ext_docs").head().getSeq[Array[Byte]](0)
+    val apiWd = Seq("alpha beta gamma delta").toDF("text")
+      .select(NativeFunctions.window_digests(
+        org.apache.spark.sql.functions.col("text"), 2)).head().getSeq[Array[Byte]](0)
+    assert(wd.length == 3 && wd.zip(apiWd).forall { case (a, b) => a.sameElements(b) })
+    // bucket assignment from SQL with an array-literal boundary set
+    val b = spark.sql(
+      "SELECT search_sorted(CAST(2.5 AS DOUBLE), array(1.0D, 2.0D, 3.0D)) AS b")
+      .head().getInt(0)
+    assert(b == 2, "2.5 sits after boundaries 1.0 and 2.0")
   }
 }
