@@ -1720,7 +1720,22 @@ object SparkEntry {
             .select(col("p_partkey"),
               concat(col("p_name"), lit(" "), col("p_partkey")).as("reg_name")),
           "reg_name", "p_partkey", maxDist = 1, q = 3, blocking = "qgram")
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- GPT-style sequence packing: each doc's global token offset in
+    // the id-ordered corpus concatenation and the 512-token sequences it
+    // spans — the distributed prefix sum runs over ≤256 quantile buckets
+    // (boundaries are fixed literals, so the bucketing cannot drift
+    // between jobs), never a single-partition window -------------------
+    "q149_seq_pack" -> ((s, d) =>
+      graft.functions.SamplingFunctions.packSequences(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+            .filter(col("n_tok") > 0),
+          col("doc_id"), col("n_tok"), seqLen = 512)
+        .select(col("id").as("doc_id"), col("wt").as("n_tok"), col("offset"),
+          col("first_seq"), col("last_seq"), col("n_seqs"))
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -3133,7 +3148,21 @@ object SparkEntry {
         |  levenshtein(a.reg_name, b.reg_name) AS dist
         |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.reg_name, b.reg_name) <= 1
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q149_seq_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |o AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS "offset"
+        |  FROM t)
+        |SELECT doc_id, n_tok, "offset",
+        |  "offset" // 512 AS first_seq,
+        |  ("offset" + n_tok - 1) // 512 AS last_seq,
+        |  ("offset" + n_tok - 1) // 512 - "offset" // 512 + 1 AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

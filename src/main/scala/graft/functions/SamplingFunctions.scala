@@ -288,6 +288,72 @@ object SamplingFunctions {
       .drop(es)
   }
 
+  /** Deterministic GLOBAL prefix sums in `idCol` order with NO
+    * single-partition stage — the primitive behind GPT-style sequence
+    * packing: every document's global token offset in the corpus's
+    * id-ordered concatenation.
+    *
+    * A naive `sum().over(Window.orderBy(id))` converges the corpus on one
+    * task; `repartitionByRange` + per-partition sums is NOT safe because
+    * the range sampler re-draws boundaries per job (the exact drift
+    * [[shardByTokenBudget]]'s docstring warns about). Instead:
+    *
+    *  1. ONE KLL sketch pass yields ≤ `buckets` id-quantile boundaries —
+    *     bounded doubles to the driver, then fixed LITERALS, so the
+    *     bucketing cannot drift between jobs. The sketch may be
+    *     approximate at scale: boundaries only BALANCE the buckets; the
+    *     offsets are exact regardless (a bucket is a contiguous id range
+    *     either way).
+    *  2. Per-bucket totals partial-aggregate map-side; ≤ `buckets` rows
+    *     reach the driver for the exclusive cumulative sum, which
+    *     returns as a literal map.
+    *  3. Per-bucket windows (bounded by the bucket slice) complete the
+    *     within-bucket prefix sums; offset = bucket base + local prefix.
+    *
+    * `idCol` values must be unique (they define the order); weights must
+    * be non-negative. Same shape as [[shardByTokenBudget]] but ordered by
+    * VALUE rather than seeded hash. */
+  def globalOffsets(df: DataFrame, idCol: Column, weightCol: Column,
+                    buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val kll = org.apache.spark.sql.functions.udaf(
+      new Sketches.KllAggregator(16384, qs))
+    val r0 = df.agg(kll(idCol.cast("double"))).head()
+    val bounds =
+      if (r0.isNullAt(0)) Array.empty[Double]
+      else r0.getSeq[Double](0).toArray.distinct.sorted
+    val w = df.select(idCol.as("id"), weightCol.cast("long").as("wt"),
+      graft.expr.NativeFunctions.search_sorted(idCol.cast("double"), bounds)
+        .as("bk"))
+    val totals = w.groupBy(col("bk")).agg(sum(col("wt")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (bk, t)) => (bk, acc + t) }
+    val baseByBucket = totals.map(_._1).zip(bases.map(_._2)).toMap
+    val offMap = map(baseByBucket.toSeq.flatMap { case (bk, base) =>
+      Seq(lit(bk), lit(base)) }: _*)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("id"))
+    w.withColumn("__cum", sum(col("wt")).over(win))
+      .select(col("id"), col("wt"),
+        (col("__cum") - col("wt") + element_at(offMap, col("bk"))).as("offset"))
+  }
+
+  /** GPT-style sequence packing over the id-ordered corpus concatenation:
+    * per document, its global token offset and the fixed-length sequence
+    * ids it lands in ([offset, offset + n) split every `seqLen` tokens —
+    * documents crossing a boundary SPAN sequences, the standard
+    * pretraining layout). Pure arithmetic over [[globalOffsets]]. */
+  def packSequences(df: DataFrame, idCol: Column, weightCol: Column,
+                    seqLen: Int, buckets: Int = 256): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    globalOffsets(df, idCol, weightCol, buckets)
+      .withColumn("first_seq", floor(col("offset") / seqLen).cast("long"))
+      .withColumn("last_seq",
+        floor((col("offset") + col("wt") - 1) / seqLen).cast("long"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
   /** Per-group weighted quota: exactly `k` rows from EACH group (fewer if
     * the group is smaller), weighted without replacement by the same A-ES
     * priorities as [[weightedSample]] — "10k docs per language, longer

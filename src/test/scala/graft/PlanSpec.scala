@@ -209,6 +209,19 @@ class PlanSpec extends SparkSpec {
       s"vocabulary membership must broadcast onto the token stream:\n$p")
   }
 
+  test("q149: the global prefix sum never converges on one partition") {
+    val df = SparkEntry.queries("q149_seq_pack")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the naive formulation is sum().over(Window.orderBy(id)) — Exchange
+    // SinglePartition; the bucketed form must not plan one anywhere
+    // (the final .orderBy is rangepartitioning, which is fine)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the offset computation must stay bucket-parallel:\n$p")
+    assert(p.contains("windowspecdefinition(bk#"),
+      s"the within-bucket window must be keyed by the bucket:\n$p")
+  }
+
   test("q115: no single-partition stage — vocabulary rank/order is distributed") {
     val df = SparkEntry.queries("q115_jaccard_join")(spark, sf0001)
     df.collect()

@@ -398,6 +398,26 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally spark.conf.unset(gateKey)
   }
 
+  test("globalOffsets: exact id-ordered prefix sums, invariant to buckets and partitioning") {
+    val rnd = new scala.util.Random(7)
+    // non-dense, shuffled ids with skewed weights — the general case
+    val rows = rnd.shuffle((0 until 5000).map(i => (i.toLong * 7 + 3, 1L + rnd.nextInt(200))))
+    val df = rows.toDF("id", "w")
+    var acc = 0L
+    val exp = rows.sortBy(_._1).map { case (id, w) =>
+      val o = acc; acc += w; (id, o)
+    }.toMap
+    def run(buckets: Int, parts: Int) =
+      SamplingFunctions.globalOffsets(df.repartition(parts), col("id"), col("w"),
+          buckets = buckets)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val base = run(256, 32)
+    assert(base === exp, "offsets must equal the sequential prefix sum")
+    // bucket count and input partitioning are pure partitioning choices
+    assert(run(8, 5) === exp)
+    assert(run(13, 1) === exp)
+  }
+
   test("property: dedupSpans keeps exactly the first occurrence of every span, in doc order") {
     import org.scalacheck.Gen
     // tiny alphabet forces span collisions across documents
