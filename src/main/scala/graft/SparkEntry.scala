@@ -1735,7 +1735,25 @@ object SparkEntry {
           col("doc_id"), col("n_tok"), seqLen = 512)
         .select(col("id").as("doc_id"), col("wt").as("n_tok"), col("offset"),
           col("first_seq"), col("last_seq"), col("n_seqs"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    // ---- exact dedup keeping the BEST copy (C4 keeps the longest):
+    // winner = max(score, id) per digest via groupBy + semi-join back —
+    // no digest-keyed window, so viral exact dups never own a sort ------
+    "q150_keep_best" -> ((s, d) =>
+      graft.functions.DedupFunctions.dedupExactKeepBest(
+          Tables.documents(s, d), "text", "doc_id", col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("source"))),
+    // ---- robust (median/MAD) volume anomalies — the hardening the
+    // z-score monitor's self-poisoning note promises; medians from two
+    // exact-regime KLL passes, quantile_disc parity -----------------
+    "q151_robust_anomaly" -> ((s, d) =>
+      graft.functions.EventAnalytics.robustVolumeAnomalies(
+          Tables.events(s, d), "event_type", "ts", "1 hour", threshold = 3.5)
+        .select(col("event_type"), col("bucket_start"), col("n"),
+          col("med"), col("mad"), r4(col("rz")).as("rz"))
+        .orderBy(col("event_type"), col("bucket_start")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -3162,7 +3180,28 @@ object SparkEntry {
         |  "offset" // 512 AS first_seq,
         |  ("offset" + n_tok - 1) // 512 AS last_seq,
         |  ("offset" + n_tok - 1) // 512 - "offset" // 512 + 1 AS n_seqs
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "q150_keep_best" ->
+      """WITH k AS (SELECT * FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY n_chars DESC, doc_id DESC) = 1)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "q151_robust_anomaly" ->
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, quantile_disc(CAST(n AS DOUBLE), 0.5) AS med
+        |  FROM c GROUP BY 1),
+        |c2 AS (SELECT c.*, med FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_disc(abs(n - med), 0.5) AS mad
+        |  FROM c2 GROUP BY 1)
+        |SELECT event_type, bucket_start, n, med, mad,
+        |  round((n - med) / (1.4826 * mad), 4) AS rz
+        |FROM c2 JOIN md USING (event_type)
+        |WHERE mad > 0 AND abs((n - med) / (1.4826 * mad)) >= 3.5
+        |ORDER BY event_type, bucket_start""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -36,6 +36,28 @@ object DedupFunctions {
     if (includeSingletons) g else g.filter(col("n_dups") > 1)
   }
 
+  /** Exact dedup keeping the BEST row of each duplicate group — C4 keeps
+    * the longest copy, a quality-filtered pipeline keeps the
+    * highest-scoring one; [[dedupExact]]'s keep-first is the special case
+    * score = −id. Winner = max(struct(score, id)) per digest: the id
+    * tiebreak makes the choice total and deterministic for equal scores.
+    *
+    * Scale shape: digest groupBy (map-side partials — identical docs ARE
+    * the skew and they collapse in the partial agg) + an equi-join back
+    * on (digest, id); no digest-keyed window, so a viral exact dup never
+    * owns a whole sort partition. */
+  def dedupExactKeepBest(df: DataFrame, textCol: String, idCol: String,
+                         scoreCol: Column): DataFrame = {
+    val keyed = df.withColumn("__h", exactKey(col(textCol)))
+    val winners = keyed
+      .select(col("__h"), struct(scoreCol.as("s"), col(idCol).as("i")).as("w"))
+      .groupBy(col("__h"))
+      .agg(max(col("w")).as("w"))
+      .select(col("__h"), col("w").getField("i").as(idCol))
+    keyed.join(winners.hint("shuffle_hash"), Seq("__h", idCol), "left_semi")
+      .drop("__h")
+  }
+
   /** Word n-gram shingles of a text column (n ≥ 1). n=1 → tokens. */
   def shingles(text: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")

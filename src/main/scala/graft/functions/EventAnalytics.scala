@@ -114,4 +114,43 @@ object EventAnalytics {
       .filter(abs(col("z")) >= threshold)
       .select(col("event_type"), col("bucket_start"), col("n"), col("z"))
   }
+
+  /** ROBUST volume anomalies: median/MAD instead of mean/stddev — the
+    * hardening [[volumeAnomalies]]' docstring promises: a z-score
+    * baseline is SELF-POISONED by the very spike it should flag (one
+    * 60× burst inflates σ enough to hide the next one), while the median
+    * and the median absolute deviation have a 50% breakdown point.
+    * Flags |x − med| / (1.4826·MAD) ≥ `threshold` (1.4826 makes MAD
+    * σ-consistent under normality; 3.5 is the Iglewicz–Hoaglin cut).
+    *
+    * Exact-regime contract (the q128/q99 pattern): medians come from two
+    * KLL sketch aggregations (buckets, then absolute deviations), exact
+    * while every type's bucket count fits the k = 65536 buffer — ~7 years
+    * of hourly buckets per type; beyond that the sketch approximates and
+    * the DuckDB quantile_disc parity would break for scale reasons.
+    *
+    * Scale shape: events collapse to (type, bucket) counts once (map-side
+    * partials); both sketch passes and the flag run over the bounded
+    * bucket table; per-type scalars attach by broadcast join. */
+  def robustVolumeAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+                            bucket: String = "1 hour",
+                            threshold: Double = 3.5): DataFrame = {
+    val med = org.apache.spark.sql.functions.udaf(
+      new Sketches.KllAggregator(65536, Array(0.5)))
+    val counts = events
+      .groupBy(col(typeCol).as("event_type"),
+        window(col(tsCol), bucket)("start").as("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+    val medByType = counts.groupBy(col("event_type"))
+      .agg(element_at(med(col("n").cast("double")), 1).as("med"))
+    val withMed = counts.join(broadcast(medByType), "event_type")
+    val madByType = withMed.groupBy(col("event_type"))
+      .agg(element_at(med(abs(col("n") - col("med"))), 1).as("mad"))
+    withMed.join(broadcast(madByType), "event_type")
+      .filter(col("mad") > 0)
+      .withColumn("rz", (col("n") - col("med")) / (lit(1.4826) * col("mad")))
+      .filter(abs(col("rz")) >= threshold)
+      .select(col("event_type"), col("bucket_start"), col("n"),
+        col("med"), col("mad"), col("rz"))
+  }
 }

@@ -105,4 +105,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out2.contains("rare"), "the rare type's spike must flag")
     assert(!out2.contains("heavy"), "in-spread variation must not flag")
   }
+
+  test("robustVolumeAnomalies: MAD survives the double spike that poisons the z-score") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int = 0) = Timestamp.valueOf(f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:$m%02d:00")
+    // masking: a 100× burst next to a 20× burst in a 48h series of
+    // ~5/hour. The big burst inflates σ to ~87, so the 120-event burst
+    // z-scores at ~1.1 — invisible even at threshold 2 — while median/MAD
+    // (med ≈ 6, MAD ≈ 1) flags both at rz ≈ 77 and 398: the 50% breakdown
+    // point doing its job
+    val counts = (0 until 48).map { h =>
+      if (h == 12) 600 else if (h == 36) 120 else 5 + (h % 3)
+    }
+    val events = counts.zipWithIndex.flatMap { case (k, h) =>
+      (0 until k).map(i => ("bursty", ts(h, i % 60)))
+    }.toDF("event_type", "ts")
+    val robust = EventAnalytics.robustVolumeAnomalies(
+        events, "event_type", "ts", "1 hour", threshold = 3.5)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getDouble(5)))
+    assert(robust.map(_._2).toSet === Set(600L, 120L),
+      s"both bursts must flag robustly, got ${robust.toSeq}")
+    val classic = volumeAnomalies(events, "event_type", "ts", "1 hour", 2.0)
+      .collect().map(_.getLong(2))
+    assert(classic.contains(600L) && !classic.contains(120L),
+      s"fixture sanity: the classic monitor must mask the smaller burst, got ${classic.toSeq}")
+    // constant series: MAD = 0 → silent, never a divide-by-zero
+    val flat = (0 until 24).flatMap(h => (0 until 7).map(i => ("flat", ts(h, i))))
+      .toDF("event_type", "ts")
+    assert(EventAnalytics.robustVolumeAnomalies(flat, "event_type", "ts").isEmpty)
+  }
 }

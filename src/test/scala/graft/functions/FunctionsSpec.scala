@@ -72,6 +72,19 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("dedupExactKeepBest keeps the highest score, id breaks ties, payload intact") {
+    val df = Seq(
+      (1L, "same", 10L), (2L, "same", 30L), (3L, "same", 30L), // tie at 30 → id 3
+      (4L, "other", 5L)).toDF("doc_id", "text", "q")
+    val got = DedupFunctions.dedupExactKeepBest(df, "text", "doc_id", col("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((3L, "same", 30L), (4L, "other", 5L)))
+    // score = -id degenerates to keep-first
+    val first = DedupFunctions.dedupExactKeepBest(df, "text", "doc_id", -col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 4L))
+  }
+
   test("lshCandidatePairs finds near-dups, misses unrelated") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
