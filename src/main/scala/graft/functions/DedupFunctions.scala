@@ -990,7 +990,13 @@ object DedupFunctions {
     * TrainingPipelineSpec viral fixture. */
   private def joinWindowsByDigest(windows: DataFrame, byDigest: DataFrame,
                                   joinType: String,
-                                  hotThreshold: Long, salts: Int): DataFrame = {
+                                  hotThreshold: Long, salts: Int,
+                                  sampleOn: DataFrame = null): DataFrame = {
+    // hot detection samples `sampleOn` when given — a CHAINED join (the
+    // incremental cut's index join probes the output of the canon join)
+    // should sample the RAW windows, not re-derive its upstream join for
+    // the 1/64 probe
+    val sampleSrc = Option(sampleOn).getOrElse(windows)
     // DOC-level sampling (hash of id only): the filter pushes below the
     // posexplode + digest projection, so the sample pass hashes 1/64 of
     // the DOCUMENTS, not all windows. Doc sampling sees exactly the skew
@@ -1005,12 +1011,12 @@ object DedupFunctions {
     // overrides the gate (specs set 0 to exercise the salted path).
     val gateBytes = BigInt(windows.sparkSession.conf
       .get("graft.substring.skewGateBytes", (1L << 30).toString).toLong)
-    val smallInput = windows.queryExecution.optimizedPlan.stats.sizeInBytes <
+    val smallInput = sampleSrc.queryExecution.optimizedPlan.stats.sizeInBytes <
       gateBytes
     if (smallInput)
       return windows.join(byDigest.hint("shuffle_hash"), Seq("g"), joinType)
     val sampleRate = 64L
-    val hot = windows
+    val hot = sampleSrc
       .filter(pmod(hash(col("id"), lit(0x9E3779B9)), lit(sampleRate)) === 0)
       .groupBy(col("g")).agg(count(lit(1)).as("__sc"))
       .filter(col("__sc") >= math.max(1L, hotThreshold / (sampleRate * 2)))
@@ -1115,7 +1121,7 @@ object DedupFunctions {
     val withCanon = joinWindowsByDigest(windows, batchCanon, "inner",
       hotThreshold, salts)
     val droppedPos = joinWindowsByDigest(withCanon, idx, "left",
-        hotThreshold, salts)
+        hotThreshold, salts, sampleOn = windows)
       .filter(coalesce(col("ccnt"), lit(0L)) >= 1 ||
         (col("bcnt") >= 2 && occ =!= col("first_occ")))
       .select(col("id"), explode(sequence(col("i"), col("i") + (L - 1))).as("p"))
