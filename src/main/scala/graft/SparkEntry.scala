@@ -1753,7 +1753,26 @@ object SparkEntry {
           Tables.events(s, d), "event_type", "ts", "1 hour", threshold = 3.5)
         .select(col("event_type"), col("bucket_start"), col("n"),
           col("med"), col("mad"), r4(col("rz")).as("rz"))
-        .orderBy(col("event_type"), col("bucket_start")))
+        .orderBy(col("event_type"), col("bucket_start"))),
+    // ---- the end-to-end curation walk, composed from the operator
+    // surface: quality gate → exact dedup keeping the best copy →
+    // benchmark decontamination → deterministic per-source cap → final
+    // mix stats. The single composed oracle proves the stages agree not
+    // just individually but THROUGH each other's outputs ----------------
+    "q152_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val pool = docs.filter(col("doc_id") % 97 =!= 0 && col("n_chars") >= 150)
+      val deduped = graft.functions.DedupFunctions.dedupExactKeepBest(
+        pool, "text", "doc_id", col("n_chars"))
+      val clean = graft.functions.DedupFunctions.decontaminate(
+        deduped, bench, "text", "doc_id", n = 5)
+      graft.functions.SamplingFunctions.capPerGroup(
+          clean, col("source"), col("doc_id"), 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -3201,7 +3220,34 @@ object SparkEntry {
         |  round((n - med) / (1.4826 * mad), 4) AS rz
         |FROM c2 JOIN md USING (event_type)
         |WHERE mad > 0 AND abs((n - med) / (1.4826 * mad)) >= 3.5
-        |ORDER BY event_type, bucket_start""".stripMargin
+        |ORDER BY event_type, bucket_start""".stripMargin,
+    "q152_curation_pipeline" ->
+      """WITH pool AS (SELECT * FROM documents
+        |  WHERE doc_id % 97 <> 0 AND n_chars >= 150),
+        |dedup AS (SELECT * FROM pool
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY n_chars DESC, doc_id DESC) = 1),
+        |btk AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 97 = 0 AND trim(text) <> ''),
+        |bg AS (SELECT DISTINCT unnest(list_transform(
+        |    generate_series(1, greatest(len(tk) - 4, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+        |  FROM btk),
+        |ctk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM dedup WHERE trim(text) <> ''),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 4, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+        |  FROM ctk),
+        |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+        |clean AS (SELECT * FROM dedup
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |capped AS (SELECT * FROM clean
+        |  QUALIFY row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM capped GROUP BY source ORDER BY source""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.
