@@ -124,6 +124,30 @@ class RemoteCatalogSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("auth composes with the LTA handshake: 202 polls carry the token, then bytes") {
+    val payload = "OFFLINE-THEN-ONLINE".getBytes("UTF-8")
+    val server = new FixtureCatalogServer(scenes,
+      assets = Map("S2A_T23LLF_1" -> payload),
+      offlinePolls = Map("S2A_T23LLF_1" -> 1),
+      auth = Some(("alice", "s3cret")))
+    try {
+      import spark.implicits._
+      val p = new TokenAuthProvider(server.baseUrl, "alice", "s3cret")
+      val dest = java.nio.file.Files.createTempDirectory("graft-auth-lta").toString
+      val df = Seq(("S2A_T23LLF_1", 1, "download", 0)).toDF(
+        "sceneid", "collection_id", "activity_type", "retry_count")
+      def status() = p.downloadKernel(dest)(df)
+        .select("status").head().getString(0)
+      assert(status() === "RETRY", "offline asset must report RETRY through auth")
+      assert(status() === "SUCCESS", "the poll triggered retrieval; next fetch lands")
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dest, "S2A_T23LLF_1")), payload))
+      assert(server.unauthorized === 0, "every poll must carry a valid token")
+      assert(server.downloads.count(_ == "S2A_T23LLF_1") === 2)
+    } finally server.stop()
+  }
+
   test("HTTP provider round-trips timestamps and JSON symmetric encode/decode") {
     val back = HttpCatalogProvider.parseFeatures(HttpCatalogProvider.toJson(scenes))
     assert(back == scenes)
