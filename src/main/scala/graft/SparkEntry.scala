@@ -1772,6 +1772,33 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source"))
+    }),
+    // ---- the event-side composed walk: sessionization (q48's exact
+    // semantics) feeding an IN-SESSION funnel — conversion = a purchase
+    // at-or-after the session's first view, rates by session size; one
+    // exchange keyed by user carries both stages -------------------------
+    "q153_session_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSession = when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 600000000L, 1).otherwise(0)
+      Tables.events(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_id", sum(col("new_s")).over(byUser).cast("int"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("lp"))
+        .withColumn("conv",
+          (col("fv").isNotNull && col("lp").isNotNull && col("lp") >= col("fv"))
+            .cast("long"))
+        .withColumn("size_bucket", least(col("n_events"), lit(5L)))
+        .groupBy(col("size_bucket"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"),
+          r6(sum(col("conv")).cast("double") / count(lit(1))).as("conv_rate"))
+        .orderBy(col("size_bucket"))
     })
   )
 
@@ -3247,7 +3274,26 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 15)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM capped GROUP BY source ORDER BY source""".stripMargin
+        |FROM capped GROUP BY source ORDER BY source""".stripMargin,
+    "q153_session_funnel" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, ts,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type, ts,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |  FROM g),
+        |p AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+        |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+        |  FROM s GROUP BY 1, 2),
+        |f AS (SELECT *, CASE WHEN fv IS NOT NULL AND lp IS NOT NULL
+        |    AND lp >= fv THEN 1 ELSE 0 END AS conv FROM p)
+        |SELECT least(n_events, 5) AS size_bucket, count(*) AS n_sessions,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.
