@@ -1581,8 +1581,11 @@ object SparkEntry {
     // into a (digest, count) index; each batch cuts against the index —
     // corpus-precedence for indexed digests, keep-first within the batch
     // for new ones — without re-scanning or re-shuffling corpus text.
-    // The oracle replays full-corpus semantics, proving the incremental
-    // path ≡ cutting the union with corpus precedence --------------------
+    // The oracle replays the INDEX semantics directly (corpus always
+    // canonical); it pins the documented corpus-precedence contract. The
+    // equivalence with cutting the raw union under id-ordered precedence
+    // needs corpus ids strictly below batch ids — here they interleave
+    // (doc_id % 5) — and is proven by TrainingPipelineSpec's fixtures ----
     "q141_incremental_cut" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val idxDir = memoLayout("q141idx", d) { dir =>

@@ -23,8 +23,9 @@ object DedupFunctions {
     * One hash-shuffle on the 128-bit digest; skew-safe (identical docs are
     * the skew, and they collapse in the map-side partial agg). */
   def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val rn = SamplingFunctions.tempCol(df, "__rn")
     val w = Window.partitionBy(exactKey(col(textCol))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
 
   /** Exact-duplicate groups: (digest, n_dups, canonical_id), groups of 1
@@ -48,14 +49,17 @@ object DedupFunctions {
     * owns a whole sort partition. */
   def dedupExactKeepBest(df: DataFrame, textCol: String, idCol: String,
                          scoreCol: Column): DataFrame = {
-    val keyed = df.withColumn("__h", exactKey(col(textCol)))
+    // collision-free scratch name: an input that already HAS a __h column
+    // must survive intact (the add-then-drop hazard tempCol exists for)
+    val h = SamplingFunctions.tempCol(df, "__h")
+    val keyed = df.withColumn(h, exactKey(col(textCol)))
     val winners = keyed
-      .select(col("__h"), struct(scoreCol.as("s"), col(idCol).as("i")).as("w"))
-      .groupBy(col("__h"))
+      .select(col(h), struct(scoreCol.as("s"), col(idCol).as("i")).as("w"))
+      .groupBy(col(h))
       .agg(max(col("w")).as("w"))
-      .select(col("__h"), col("w").getField("i").as(idCol))
-    keyed.join(winners.hint("shuffle_hash"), Seq("__h", idCol), "left_semi")
-      .drop("__h")
+      .select(col(h), col("w").getField("i").as(idCol))
+    keyed.join(winners.hint("shuffle_hash"), Seq(h, idCol), "left_semi")
+      .drop(h)
   }
 
   /** Word n-gram shingles of a text column (n ≥ 1). n=1 → tokens. */
@@ -799,6 +803,30 @@ object DedupFunctions {
     verify.select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[jaccardJoinExact]] capped at the `k` most-similar partners per
+    * id_a — exact `QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY
+    * jaccard DESC, id_b) <= k` semantics via the bounded
+    * [[SimilarityFunctions.topKPerDoc]] aggregator. Verification still
+    * scores every candidate (exactness requires it), but the output and
+    * every downstream exchange are docs × k instead of all pairs — at
+    * 100 TB the all-pairs row set of a duplicate-heavy corpus is orders
+    * of magnitude larger than the corpus itself. */
+  def jaccardJoinTopK(docs: DataFrame, textCol: String, idCol: String,
+                      tau: Double, k: Int): DataFrame =
+    SimilarityFunctions.topKPerDoc(
+      jaccardJoinExact(docs, textCol, idCol, tau), "id_a", "id_b", "jaccard", k)
+
+  /** [[jaccardJoinExact]] summarized to per-doc decisions
+    * (id, n_partners, best_jaccard), counting BOTH directions of the
+    * unordered pair stream — the "which docs have near-dups, and how
+    * close" report a curation pipeline acts on. */
+  def jaccardJoinSummary(docs: DataFrame, textCol: String, idCol: String,
+                         tau: Double): DataFrame =
+    SimilarityFunctions.pairSummaryPerDoc(
+        jaccardJoinExact(docs, textCol, idCol, tau),
+        "id_a", "id_b", "jaccard", symmetric = true)
+      .withColumnRenamed("best_score", "best_jaccard")
+
   /** EXACT set-containment self-join: every ORDERED pair (A, B) with
     * shingle containment |A∩B| / |A| ≥ `tau` — the asymmetric complement
     * of [[jaccardJoinExact]]. Jaccard misses the quote/boilerplate case
@@ -876,6 +904,26 @@ object DedupFunctions {
       .filter(col("containment") >= tau)
     verify.select(col("id_a"), col("id_b"), col("containment"))
   }
+
+  /** [[containmentJoinExact]] capped at the `k` best-containing partners
+    * per id_a (the CONTAINED doc) — exact QUALIFY-top-k semantics, output
+    * docs × k instead of all ordered pairs. */
+  def containmentJoinTopK(docs: DataFrame, textCol: String, idCol: String,
+                          tau: Double, k: Int, ngram: Int = 3): DataFrame =
+    SimilarityFunctions.topKPerDoc(
+      containmentJoinExact(docs, textCol, idCol, tau, ngram),
+      "id_a", "id_b", "containment", k)
+
+  /** [[containmentJoinExact]] summarized per CONTAINED doc:
+    * (id, n_partners, best_containment). Directional — a doc reports how
+    * many partners contain it, the quote/boilerplate flag a pipeline
+    * filters on. */
+  def containmentJoinSummary(docs: DataFrame, textCol: String, idCol: String,
+                             tau: Double, ngram: Int = 3): DataFrame =
+    SimilarityFunctions.pairSummaryPerDoc(
+        containmentJoinExact(docs, textCol, idCol, tau, ngram),
+        "id_a", "id_b", "containment", symmetric = false)
+      .withColumnRenamed("best_score", "best_containment")
 
   /** Repeated-substring spans: for every document, the maximal token
     * intervals covered by SLIDING `L`-token windows whose window occurs
@@ -1078,10 +1126,54 @@ object DedupFunctions {
   def writeWindowIndex(df: DataFrame, textCol: String, idCol: String,
                        L: Int, dir: String): Unit = {
     require(L >= 2, s"window length must be >= 2 tokens, got $L")
+    windowIndexRows(df, textCol, L).write.mode("overwrite").parquet(dir)
+  }
+
+  private def windowIndexRows(df: DataFrame, textCol: String, L: Int): DataFrame =
     df.select(posexplode(graft.expr.NativeFunctions.window_digests(col(textCol), L))
         .as(Seq("i", "g")))
       .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-      .write.mode("overwrite").parquet(dir)
+
+  /** Append a batch's (digest, count) DELTA segment to a persisted window
+    * index — the accepted-docs bookkeeping that keeps the q141 daily-batch
+    * story fresh without ever re-scanning the corpus (the
+    * [[appendToLshIndex]] operational model). The index is LOG-STRUCTURED:
+    * a digest may appear in several segments, and readers merge by
+    * summing counts per digest ([[readWindowIndex]]) — append cost is
+    * batch-sized, period. The merge is sound because the cut predicate
+    * only consumes the TOTAL corpus count of a digest, and counts are
+    * additive across segments. Run [[compactWindowIndex]] when segment
+    * count grows. */
+  def appendToWindowIndex(df: DataFrame, textCol: String, idCol: String,
+                          L: Int, dir: String): Unit = {
+    require(L >= 2, s"window length must be >= 2 tokens, got $L")
+    windowIndexRows(df, textCol, L).write.mode("append").parquet(dir)
+  }
+
+  /** Read a window index, merging log-structured delta segments: one row
+    * per digest with the summed corpus count. Single-segment indexes pass
+    * through the aggregate unchanged (sum of one = identity); the
+    * aggregation partial-applies map-side, so the merge costs one
+    * index-sized exchange at most — and the index is a small fraction of
+    * corpus bytes (24 B per DISTINCT window). */
+  def readWindowIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame =
+    spark.read.parquet(dir).groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Rewrite a log-structured window index as one merged segment. Writes
+    * to a scratch dir first, then swaps — Spark cannot overwrite a path
+    * it is reading. The swap is a local-FS/HDFS rename pair; on object
+    * stores, prefer pointing readers at a new generation dir instead. */
+  def compactWindowIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Unit = {
+    val tmp = dir.stripSuffix("/") + "__compacting"
+    readWindowIndex(spark, dir).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compaction rename $tmp -> $dir failed; merged segment left at $tmp")
   }
 
   /** Cut a NEW batch against a corpus index from [[writeWindowIndex]]:

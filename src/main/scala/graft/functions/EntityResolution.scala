@@ -220,4 +220,31 @@ object EntityResolution {
     // band pairs arise exactly once — only the qgram stream needs dedup
     if (blocking == "band") verified else verified.distinct()
   }
+
+  /** [[fuzzyPairs]] capped at the `k` CLOSEST partners per id_a — exact
+    * `QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b)
+    * <= k` semantics (distance ranks ascending). Blocking and
+    * verification are unchanged; the output and every downstream exchange
+    * shrink from all pairs to names × k via the bounded
+    * [[SimilarityFunctions.topKPerDoc]] aggregator. */
+  def fuzzyPairsTopK(df: DataFrame, nameCol: String, idCol: String,
+                     maxDist: Int, k: Int, q: Int = 2,
+                     blocking: String = "qgram"): DataFrame =
+    SimilarityFunctions.topKPerDoc(
+        fuzzyPairs(df, nameCol, idCol, maxDist, q, blocking),
+        "id_a", "id_b", "dist", k, ascending = true)
+      // the aggregator's currency is double; distances are small ints
+      .withColumn("dist", col("dist").cast("int"))
+
+  /** [[fuzzyPairs]] summarized to per-name decisions
+    * (id, n_partners, best_dist), both directions of the unordered
+    * stream — the reconciliation-count report, not the pair list. */
+  def fuzzyPairsSummary(df: DataFrame, nameCol: String, idCol: String,
+                        maxDist: Int, q: Int = 2,
+                        blocking: String = "qgram"): DataFrame =
+    SimilarityFunctions.pairSummaryPerDoc(
+        fuzzyPairs(df, nameCol, idCol, maxDist, q, blocking),
+        "id_a", "id_b", "dist", symmetric = true, ascending = true)
+      .withColumn("best_dist", col("best_score").cast("int"))
+      .drop("best_score")
 }

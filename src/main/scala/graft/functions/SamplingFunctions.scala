@@ -18,7 +18,10 @@ object SamplingFunctions {
   /** A working-column name that cannot collide with the input's schema —
     * `withColumn` silently OVERWRITES an existing column of the same name
     * and the trailing `drop` would then delete the user's data. */
-  private def tempCol(df: DataFrame, base: String): String =
+  /** Collision-free working-column name: `base`, or the first `base<i>`
+    * absent from `df` — shared by every operator that must add-then-drop
+    * a scratch column so a user column of the same name survives. */
+  private[graft] def tempCol(df: DataFrame, base: String): String =
     Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
       .find(n => !df.columns.contains(n)).get
 
@@ -348,6 +351,14 @@ object SamplingFunctions {
                     seqLen: Int, buckets: Int = 256): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     globalOffsets(df, idCol, weightCol, buckets)
+      // a wt ≤ 0 row would emit last_seq < first_seq (n_seqs = 0 and
+      // last_seq = -1 at offset 0) — a nonsensical packing row. Fail loudly
+      // row-side: globalOffsets only documents non-negativity, and callers
+      // must pre-filter empty documents rather than receive garbage
+      .withColumn("wt", when(col("wt") <= 0, raise_error(concat(
+          lit("packSequences requires positive token counts; got wt="),
+          col("wt").cast("string"), lit(" for id="), col("id").cast("string"))))
+        .otherwise(col("wt")))
       .withColumn("first_seq", floor(col("offset") / seqLen).cast("long"))
       .withColumn("last_seq",
         floor((col("offset") + col("wt") - 1) / seqLen).cast("long"))

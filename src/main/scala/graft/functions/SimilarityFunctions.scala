@@ -139,6 +139,72 @@ object SimilarityFunctions {
       .select(col("q_id"), col("__p._2").as("c_id"), col("__p._1").as("score"))
   }
 
+  /** Cap a verified pair stream at the `k` best partners per `idACol` —
+    * the per-doc decision mode of the exact pairwise joins
+    * ([[DedupFunctions.jaccardJoinExact]] and friends). At 100 TB nobody
+    * wants every pair materialized; they want "this doc's k closest
+    * partners". Semantics are EXACTLY `row_number() OVER (PARTITION BY
+    * id_a ORDER BY score [DESC|ASC], id_b ASC) <= k` — the
+    * [[TopKAggregator]] uses the same total order, so a QUALIFY oracle
+    * reproduces it bit-for-bit (scores here are single IEEE divisions of
+    * exact integers, so both engines rank identical values).
+    *
+    * Scale shape: the candidate verification upstream is unchanged (exact
+    * top-k must score every candidate — that is the price of exactness;
+    * sublinear detection is the LSH family's job), but the OUTPUT and
+    * every downstream exchange shrink from all-pairs to docs × k: the
+    * bounded-buffer aggregator partial-aggregates map-side, so the one
+    * added exchange carries ≤ 2k pairs per (partition, doc), independent
+    * of how viral a near-dup cluster is — a doc with 10⁶ partners ships
+    * 2k rows, not 10⁶. `ascending=true` ranks smaller scores better
+    * (edit distance); default ranks larger better (similarity). */
+  def topKPerDoc(pairs: DataFrame, idACol: String, idBCol: String,
+                 scoreCol: String, k: Int,
+                 ascending: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // IEEE negation is exact for every finite value, so flipping the sign
+    // in and back out loses nothing and reuses the desc-ordered aggregator
+    val sign = if (ascending) lit(-1.0) else lit(1.0)
+    val topk = udaf(new TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    pairs
+      .groupBy(col(idACol))
+      .agg(topk(col(scoreCol).cast("double") * sign,
+        col(idBCol).cast("long")).as("__nn"))
+      .select(col(idACol), explode(col("__nn")).as("__p"))
+      .select(col(idACol), col("__p._2").as(idBCol),
+        (col("__p._1") * sign).as(scoreCol))
+  }
+
+  /** Summarize a verified pair stream to per-doc decisions:
+    * (id, n_partners, best_score) — the reconciliation-report mode (the
+    * reference only ever reports per-collection counts, never pair lists;
+    * collections/controller.py:604–618). `symmetric=true` counts both
+    * directions of an unordered (id_a < id_b) stream; `ascending=true`
+    * makes "best" the minimum (edit distance).
+    *
+    * Scale shape: count/min/max partial-aggregate map-side, so the output
+    * exchange is doc-bounded no matter how many pairs the join verified —
+    * the all-pairs row set never materializes anywhere downstream. */
+  def pairSummaryPerDoc(pairs: DataFrame, idACol: String, idBCol: String,
+                        scoreCol: String, symmetric: Boolean,
+                        ascending: Boolean = false): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val base =
+      if (symmetric)
+        // one pass over the pair stream: explode each pair into both
+        // endpoints scan-side (a unionByName of two selects would run the
+        // whole verify join twice)
+        pairs.select(explode(array(
+            struct(col(idACol).cast("long").as("id"), s.as("s")),
+            struct(col(idBCol).cast("long").as("id"), s.as("s")))).as("e"))
+          .select(col("e.id").as("id"), col("e.s").as("s"))
+      else pairs.select(col(idACol).cast("long").as("id"), s.as("s"))
+    base.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_partners"),
+        (if (ascending) min(col("s")) else max(col("s"))).as("best_score"))
+  }
+
   /** Random-hyperplane LSH bucket id (b signed projections → b-bit bucket).
     * Hyperplanes are generated deterministically from `seed` so the same
     * bucketing reproduces across runs/engines. */

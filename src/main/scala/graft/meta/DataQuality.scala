@@ -111,13 +111,15 @@ object DataQuality {
     // signal), but a plain equi-join on (va, vb) would never match null
     // keys when the grid re-attaches observed counts — the cell would
     // silently zero while the marginals still counted it (tot < N, chi2
-    // wrong). Coalesce to a sentinel before grouping so every downstream
-    // key comparison is on non-null values. U+0000 cannot appear in a
-    // cast-to-string categorical.
-    val nullKey = "\u0000"
-    val cells = df.groupBy(
-        coalesce(a.cast("string"), lit(nullKey)).as("va"),
-        coalesce(b.cast("string"), lit(nullKey)).as("vb"))
+    // wrong). Key on a (is_null, coalesced-value) STRUCT: both fields are
+    // non-null, so every downstream equality is plain, and no in-band
+    // sentinel exists to collide with — string columns can legally
+    // contain ANY value, including U+0000.
+    def catKey(c: Column): Column = {
+      val s = c.cast("string")
+      struct(s.isNull.as("is_null"), coalesce(s, lit("")).as("v"))
+    }
+    val cells = df.groupBy(catKey(a).as("va"), catKey(b).as("vb"))
       .agg(count(lit(1)).as("n"))
     val rowM = cells.groupBy(col("va")).agg(sum(col("n")).as("row_n"))
     val colM = cells.groupBy(col("vb")).agg(sum(col("n")).as("col_n"))

@@ -214,11 +214,19 @@ class TokenAuthProvider(val baseUrl: String, user: String, password: String)
   @transient @volatile private var token: String = _
 
   private def login(): String = {
-    val qs = s"user=${URLEncoder.encode(user, UTF_8)}&pass=${URLEncoder.encode(password, UTF_8)}"
-    val conn = new URI(s"$baseUrl/login?$qs").toURL
+    // credentials travel in the POST body, NEVER the URL: HttpURLConnection
+    // embeds the full URL in IOException/connect-failure messages, so a
+    // query-string login would leak the password into logs and stack traces
+    val form = s"user=${URLEncoder.encode(user, UTF_8)}&pass=${URLEncoder.encode(password, UTF_8)}"
+    val conn = new URI(s"$baseUrl/login").toURL
       .openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(30000)
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+    val out = conn.getOutputStream
+    try out.write(form.getBytes(UTF_8)) finally out.close()
     require(conn.getResponseCode == 200,
       s"login failed for user '$user' (HTTP ${conn.getResponseCode})")
     val in = conn.getInputStream
@@ -366,7 +374,9 @@ class FixtureCatalogServer(records: Seq[RemoteCatalog.SceneRecord],
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/login", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
-      val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      // credentials arrive in the POST body (form-encoded), mirroring the
+      // provider's log-safe login; the query string is ignored entirely
+      val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       val params = raw.split('&').filter(_.nonEmpty).map { kv =>
         val Array(k, v) = kv.split("=", 2)
         k -> URLDecoder.decode(v, UTF_8)

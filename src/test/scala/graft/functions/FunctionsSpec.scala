@@ -83,6 +83,17 @@ class FunctionsSpec extends SparkSpec {
     val first = DedupFunctions.dedupExactKeepBest(df, "text", "doc_id", -col("doc_id"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(first == Set(1L, 4L))
+    // a user column named __h (and __rn for dedupExact) must survive the
+    // internal scratch columns untouched
+    val clash = Seq((1L, "same", 10L, "keep-h", "keep-rn"),
+      (2L, "same", 30L, "keep-h2", "keep-rn2"))
+      .toDF("doc_id", "text", "q", "__h", "__rn")
+    val kept = DedupFunctions.dedupExactKeepBest(clash, "text", "doc_id", col("q"))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4)))
+    assert(kept.toSeq === Seq((2L, "keep-h2", "keep-rn2")))
+    val keptFirst = DedupFunctions.dedupExact(clash, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4)))
+    assert(keptFirst.toSeq === Seq((1L, "keep-h", "keep-rn")))
   }
 
   test("lshCandidatePairs finds near-dups, misses unrelated") {

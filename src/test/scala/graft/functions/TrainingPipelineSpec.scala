@@ -418,6 +418,25 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(run(13, 1) === exp)
   }
 
+  test("packSequences rejects non-positive weights loudly, not with n_seqs = 0 garbage") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, 7L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      SamplingFunctions.packSequences(df, col("id"), col("w"), seqLen = 4)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("positive token counts")),
+      s"expected the packSequences guard, got: ${messages(e).mkString(" | ")}")
+    // the guard changes nothing for all-positive input
+    val ok = SamplingFunctions.packSequences(
+        Seq((1L, 5L), (2L, 3L)).toDF("id", "w"), col("id"), col("w"), seqLen = 4)
+      .orderBy(col("id"))
+      .select("id", "first_seq", "last_seq", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ok.toSeq === Seq((1L, 0L, 1L, 2L), (2L, 1L, 1L, 1L)))
+  }
+
   test("property: dedupSpans keeps exactly the first occurrence of every span, in doc order") {
     import org.scalacheck.Gen
     // tiny alphabet forces span collisions across documents

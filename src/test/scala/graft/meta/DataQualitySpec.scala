@@ -115,4 +115,22 @@ class DataQualitySpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 30.0) < 1e-9,
       s"null-diagonal 2x2 must score chi2 = N, got ${r.getDouble(4)}")
   }
+
+  test("chi-squared: a literal U+0000 string category never merges with NULL") {
+    import spark.implicits._
+    // string columns can legally contain NUL — an in-band sentinel would
+    // silently merge this category with the NULL category; the struct
+    // (is_null, value) key keeps them distinct
+    val rows: Seq[(Option[String], String)] =
+      Seq.fill(10)((Option("\u0000"), "x")) ++
+        Seq.fill(10)((Option.empty[String], "y")) ++
+        Seq.fill(10)((Option("a"), "z"))
+    val r = chiSquareIndependence(rows.toDF("u", "v"), col("u"), col("v"))
+      .collect().head
+    assert(r.getLong(0) === 30L)
+    assert(r.getLong(1) === 3L,
+      "NUL, NULL and 'a' must be THREE distinct categories")
+    assert(math.abs(r.getDouble(4) - 60.0) < 1e-9,
+      s"diagonal 3x3 must score chi2 = 2N, got ${r.getDouble(4)}")
+  }
 }
