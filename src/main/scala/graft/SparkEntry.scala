@@ -1802,7 +1802,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"),
           r6(sum(col("conv")).cast("double") / count(lit(1))).as("conv_rate"))
         .orderBy(col("size_bucket"))
-    })
+    }),
+    // ---- capped exact pairwise joins: per-doc top-k decisions instead of
+    // the all-pairs row set (docs × k output bound — at 100 TB the pair
+    // list of a duplicate-heavy corpus dwarfs the corpus; the reference
+    // itself only ever reports per-collection counts, never pair lists —
+    // collections/controller.py:604–618). Oracles are literal QUALIFY
+    // row_number replays over the brute-force pair set, so the hash match
+    // proves the bounded aggregator's total order is the window's --------
+    "q154_jaccard_topk" -> ((s, d) =>
+      D.jaccardJoinTopK(Tables.documents(s, d).filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", tau = 0.8, k = 2)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+    "q155_containment_topk" -> ((s, d) =>
+      D.containmentJoinTopK(
+          Tables.documents(s, d), "text", "doc_id", tau = 0.8, k = 1, ngram = 3)
+        .select(col("id_a"), col("id_b"), r4(col("containment")).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
+    // ascending rank direction (edit DISTANCE: smaller is better) — the
+    // sign-flip path through the bounded aggregator -----------------------
+    "q157_fuzzy_topk" -> ((s, d) =>
+      graft.functions.EntityResolution.fuzzyPairsTopK(
+          Tables.part(s, d).filter(col("p_partkey") % 5 === 0),
+          "p_name", "p_partkey", maxDist = 1, k = 3, blocking = "band")
+        .orderBy(col("id_a"), col("id_b"))),
+    // ---- per-doc summary of an exact pairwise join: (id, n_partners,
+    // best) — count/min partial-aggregate map-side, output doc-bounded ----
+    "q156_fuzzy_summary" -> ((s, d) =>
+      graft.functions.EntityResolution.fuzzyPairsSummary(
+          Tables.part(s, d).filter(col("p_partkey") % 5 === 0),
+          "p_name", "p_partkey", maxDist = 1, blocking = "band")
+        .orderBy(col("id")))
   )
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
@@ -3296,7 +3327,52 @@ object SparkEntry {
         |SELECT least(n_events, 5) AS size_bucket, count(*) AS n_sessions,
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q154_jaccard_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
+        |  FROM documents WHERE doc_id % 7 = 0 AND trim(text) <> ''),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.tk, b.tk)) * 1.0
+        |      / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS j
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |f AS (SELECT id_a, id_b, j FROM p WHERE j >= 0.8
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY j DESC, id_b) <= 2)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM f
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q155_containment_topk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(tk) - 2, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM t),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS c
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+        |f AS (SELECT id_a, id_b, c FROM p WHERE c >= 0.8
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) <= 1)
+        |SELECT id_a, id_b, round(c, 4) AS containment FROM f
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q157_fuzzy_topk" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 5 = 0),
+        |pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 1),
+        |f AS (SELECT id_a, id_b, dist FROM pr
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b) <= 3)
+        |SELECT id_a, id_b, dist FROM f ORDER BY id_a, id_b""".stripMargin,
+    "q156_fuzzy_summary" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey % 5 = 0),
+        |pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 1),
+        |e AS (SELECT id_a AS id, dist FROM pr
+        |      UNION ALL SELECT id_b AS id, dist FROM pr)
+        |SELECT id, count(*) AS n_partners, min(dist) AS best_dist
+        |FROM e GROUP BY id ORDER BY id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -1129,6 +1129,48 @@ object DedupFunctions {
     windowIndexRows(df, textCol, L).write.mode("overwrite").parquet(dir)
   }
 
+  /** Resolve the live segment path of a window index. Two layouts:
+    * the flat layout [[writeWindowIndex]] creates (parquet directly under
+    * `dir`), and the GENERATION layout [[compactWindowIndex]] publishes
+    * (`dir/gen=N/`, highest complete generation wins). A generation is
+    * complete iff its `_SUCCESS` marker exists — Spark's output committer
+    * writes it LAST, so a crash mid-compaction leaves an ignorable
+    * half-written generation and readers stay on gen N−1 (or the flat
+    * files). This is the object-store-safe publish the delta-log family
+    * uses: never delete-then-rename the live path. */
+  private def resolveWindowIndexDir(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val gens =
+      if (!fs.exists(p)) Array.empty[Long]
+      else fs.listStatus(p).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+          st.getPath.getName.stripPrefix("gen=").toLong
+      }
+    if (gens.isEmpty) dir else s"${dir.stripSuffix("/")}/gen=${gens.max}"
+  }
+
+  /** Read the live segment files of a window index. Flat-layout reads list
+    * the root's parquet files EXPLICITLY: a raw directory read would
+    * partition-discover any half-written (marker-less, crashed) `gen=N`
+    * subdirectory and silently include its debris. */
+  private def readWindowIndexSegments(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String): DataFrame = {
+    val live = resolveWindowIndexDir(spark, dir)
+    if (live != dir) return spark.read.parquet(live)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).collect {
+      case st if st.isFile && st.getPath.getName.endsWith(".parquet") =>
+        st.getPath.toString
+    }
+    require(files.nonEmpty, s"no window-index segment found at $dir")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
   private def windowIndexRows(df: DataFrame, textCol: String, L: Int): DataFrame =
     df.select(posexplode(graft.expr.NativeFunctions.window_digests(col(textCol), L))
         .as(Seq("i", "g")))
@@ -1147,7 +1189,9 @@ object DedupFunctions {
   def appendToWindowIndex(df: DataFrame, textCol: String, idCol: String,
                           L: Int, dir: String): Unit = {
     require(L >= 2, s"window length must be >= 2 tokens, got $L")
-    windowIndexRows(df, textCol, L).write.mode("append").parquet(dir)
+    val spark = df.sparkSession
+    windowIndexRows(df, textCol, L).write.mode("append")
+      .parquet(resolveWindowIndexDir(spark, dir))
   }
 
   /** Read a window index, merging log-structured delta segments: one row
@@ -1158,22 +1202,35 @@ object DedupFunctions {
     * corpus bytes (24 B per DISTINCT window). */
   def readWindowIndex(spark: org.apache.spark.sql.SparkSession,
                       dir: String): DataFrame =
-    spark.read.parquet(dir).groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+    readWindowIndexSegments(spark, dir)
+      .groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
 
-  /** Rewrite a log-structured window index as one merged segment. Writes
-    * to a scratch dir first, then swaps — Spark cannot overwrite a path
-    * it is reading. The swap is a local-FS/HDFS rename pair; on object
-    * stores, prefer pointing readers at a new generation dir instead. */
+  /** Rewrite a log-structured window index as one merged segment, in a
+    * NEW generation directory: write `dir/gen=N+1` (the committer's
+    * `_SUCCESS` marker publishes it — written last), then GC the previous
+    * generation (or the flat layout's root files). There is no moment
+    * without a complete live segment: a crash before the marker leaves
+    * readers on the old generation, a crash after it leaves both (readers
+    * take the max, the stale one is re-GC'd by the next compaction) —
+    * the delete-then-rename swap this replaces had a window where the
+    * published path held NOTHING. Single concurrent writer assumed, as
+    * with any log-structured store. */
   def compactWindowIndex(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Unit = {
-    val tmp = dir.stripSuffix("/") + "__compacting"
-    readWindowIndex(spark, dir).write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction rename $tmp -> $dir failed; merged segment left at $tmp")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val live = resolveWindowIndexDir(spark, dir)
+    val curGen =
+      if (live == dir) 0L
+      else live.substring(live.lastIndexOf("gen=") + 4).toLong
+    val next = s"${dir.stripSuffix("/")}/gen=${curGen + 1}"
+    readWindowIndex(spark, dir).write.mode("overwrite").parquet(next)
+    // GC everything that is not the just-published generation: the old
+    // gen dir, any half-written (marker-less) gens, and flat root files
+    fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName != s"gen=${curGen + 1}") fs.delete(st.getPath, true)
+    }
   }
 
   /** Cut a NEW batch against a corpus index from [[writeWindowIndex]]:
@@ -1195,7 +1252,12 @@ object DedupFunctions {
                       indexDir: String, hotThreshold: Long = 100000L,
                       salts: Int = 16): DataFrame = {
     require(L >= 2, s"window length must be >= 2 tokens, got $L")
-    val idx = spark.read.parquet(indexDir)
+    // read THROUGH the log-structured merge: after appendToWindowIndex a
+    // digest may live in several segments, and a raw read would fan the
+    // left join out segment-count-fold (correct only via the downstream
+    // position distinct, and linearly more expensive); the merge is one
+    // index-sized aggregate with map-side partials
+    val idx = readWindowIndex(spark, indexDir)
       .select(col("g"), col("cnt").as("ccnt"))
     val windows = batch
       .select(col(idCol).as("id"),

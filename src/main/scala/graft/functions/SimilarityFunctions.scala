@@ -157,23 +157,44 @@ object SimilarityFunctions {
     * added exchange carries ≤ 2k pairs per (partition, doc), independent
     * of how viral a near-dup cluster is — a doc with 10⁶ partners ships
     * 2k rows, not 10⁶. `ascending=true` ranks smaller scores better
-    * (edit distance); default ranks larger better (similarity). */
+    * (edit distance); default ranks larger better (similarity).
+    *
+    * Pairs with a NaN score are DROPPED before ranking: a NaN similarity
+    * is undefined, not extreme — keeping it would rank it best-or-worst
+    * depending on direction and diverge from the QUALIFY oracle, whose
+    * ASC/DESC both sort NaN last-vs-first asymmetrically. */
   def topKPerDoc(pairs: DataFrame, idACol: String, idBCol: String,
                  scoreCol: String, k: Int,
                  ascending: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the bounded buffer carries (score, id) as primitive (Double, Long);
+    // a silent cast of e.g. a string partner id would null out and corrupt
+    // the aggregation — same guard as [[knnJoin]]
+    requireIntegralId(pairs, idBCol, "topKPerDoc")
     // IEEE negation is exact for every finite value, so flipping the sign
     // in and back out loses nothing and reuses the desc-ordered aggregator
     val sign = if (ascending) lit(-1.0) else lit(1.0)
     val topk = udaf(new TopKAggregator(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     pairs
+      .filter(!isnan(col(scoreCol).cast("double")))
       .groupBy(col(idACol))
       .agg(topk(col(scoreCol).cast("double") * sign,
         col(idBCol).cast("long")).as("__nn"))
       .select(col(idACol), explode(col("__nn")).as("__p"))
       .select(col(idACol), col("__p._2").as(idBCol),
-        (col("__p._1") * sign).as(scoreCol))
+        // `+ 0.0` normalizes the one value IEEE negation does NOT
+        // round-trip: a 0.0 score under ascending comes back −0.0, which
+        // hashes differently from the oracle's +0.0 (x + 0.0 = x for every
+        // other double, so this is a no-op elsewhere)
+        (col("__p._1") * sign + lit(0.0)).as(scoreCol))
+  }
+
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val t = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$op requires an integral id column, got ${t.simpleString} for '$idCol'")
   }
 
   /** Summarize a verified pair stream to per-doc decisions:
@@ -185,21 +206,30 @@ object SimilarityFunctions {
     *
     * Scale shape: count/min/max partial-aggregate map-side, so the output
     * exchange is doc-bounded no matter how many pairs the join verified —
-    * the all-pairs row set never materializes anywhere downstream. */
+    * the all-pairs row set never materializes anywhere downstream.
+    *
+    * Ids keep their ORIGINAL type (no silent long cast — a string id
+    * would have nulled out); symmetric mode requires both id columns to
+    * share a type, since their values interleave into one column. */
   def pairSummaryPerDoc(pairs: DataFrame, idACol: String, idBCol: String,
                         scoreCol: String, symmetric: Boolean,
                         ascending: Boolean = false): DataFrame = {
     val s = col(scoreCol).cast("double")
+    if (symmetric) {
+      val (ta, tb) = (pairs.schema(idACol).dataType, pairs.schema(idBCol).dataType)
+      require(ta == tb, "pairSummaryPerDoc(symmetric) interleaves both id " +
+        s"columns; types must match, got ${ta.simpleString} vs ${tb.simpleString}")
+    }
     val base =
       if (symmetric)
         // one pass over the pair stream: explode each pair into both
         // endpoints scan-side (a unionByName of two selects would run the
         // whole verify join twice)
         pairs.select(explode(array(
-            struct(col(idACol).cast("long").as("id"), s.as("s")),
-            struct(col(idBCol).cast("long").as("id"), s.as("s")))).as("e"))
+            struct(col(idACol).as("id"), s.as("s")),
+            struct(col(idBCol).as("id"), s.as("s")))).as("e"))
           .select(col("e.id").as("id"), col("e.s").as("s"))
-      else pairs.select(col(idACol).cast("long").as("id"), s.as("s"))
+      else pairs.select(col(idACol).as("id"), s.as("s"))
     base.groupBy(col("id"))
       .agg(count(lit(1)).as("n_partners"),
         (if (ascending) min(col("s")) else max(col("s"))).as("best_score"))

@@ -601,6 +601,104 @@ class TrainingPipelineSpec extends SparkSpec {
     }.toSet
     assert(kept === expected)
   }
+
+  // ---- log-structured window index: append / merged read / compaction ----
+
+  test("cut-after-append ≡ cutting against the full-union index (two batches)") {
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq((1L, s"$shared corpus tail words here"),
+      (2L, "unrelated corpus content entirely fresh")).toDF("doc_id", "text")
+    val batch1 = Seq((10L, "day one adds alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // batch2 repeats batch1's text (only visible through the APPENDED
+    // segment) and the corpus text (only visible through the base segment)
+    val batch2 = Seq(
+      (20L, "day two alpha beta gamma delta epsilon zeta trailing"),
+      (21L, s"quoting $shared again"),
+      (22L, "nothing shared at all by design")).toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+
+    val logDir = java.nio.file.Files.createTempDirectory("graft-widx-log").toString
+    DedupFunctions.writeWindowIndex(corpus, "text", "doc_id", L = 4, logDir)
+    val cut1 = collect(DedupFunctions.cutAgainstIndex(spark, batch1,
+      "text", "doc_id", L = 4, logDir))
+    DedupFunctions.appendToWindowIndex(batch1, "text", "doc_id", L = 4, logDir)
+    val cut2 = collect(DedupFunctions.cutAgainstIndex(spark, batch2,
+      "text", "doc_id", L = 4, logDir))
+
+    // reference: one single-segment index over corpus ∪ batch1
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-widx-full").toString
+    DedupFunctions.writeWindowIndex(corpus.unionByName(batch1),
+      "text", "doc_id", L = 4, fullDir)
+    val cutFull = collect(DedupFunctions.cutAgainstIndex(spark, batch2,
+      "text", "doc_id", L = 4, fullDir))
+    assert(cut2 === cutFull,
+      "multi-segment cut must equal the single-segment union cut")
+    assert(cut1(10L)._3 === 0L, "batch1 shares nothing with the corpus")
+    assert(cut2(20L)._3 > 0L, "batch2 must lose the region indexed by the append")
+    assert(cut2(21L)._3 > 0L, "batch2 must lose the region indexed by the base write")
+    assert(cut2(22L)._3 === 0L)
+  }
+
+  test("readWindowIndex merges segments by summing counts; compaction preserves it atomically") {
+    val docs1 = Seq((1L, "w1 w2 w3 w1 w2 w3")).toDF("doc_id", "text") // each L=2 window twice... compute below
+    val docs2 = Seq((2L, "w1 w2 extra tokens")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-widx-gen").toString
+    DedupFunctions.writeWindowIndex(docs1, "text", "doc_id", L = 2, dir)
+    DedupFunctions.appendToWindowIndex(docs2, "text", "doc_id", L = 2, dir)
+    def snapshot() = DedupFunctions.readWindowIndex(spark, dir)
+      .collect().map(r => (new String(java.util.Base64.getEncoder.encode(
+        r.getAs[Array[Byte]](0))), r.getLong(1))).toMap
+    val merged = snapshot()
+    // "w1 w2" occurs twice in doc1 and once in doc2 → summed across segments
+    val union = docs1.unionByName(docs2)
+    val refDir = java.nio.file.Files.createTempDirectory("graft-widx-ref").toString
+    DedupFunctions.writeWindowIndex(union, "text", "doc_id", L = 2, refDir)
+    val ref = DedupFunctions.readWindowIndex(spark, refDir)
+      .collect().map(r => (new String(java.util.Base64.getEncoder.encode(
+        r.getAs[Array[Byte]](0))), r.getLong(1))).toMap
+    assert(merged === ref, "segment merge must equal the single-segment build")
+    assert(merged.values.max >= 3L, "fixture must actually cross segments")
+
+    // compaction publishes a NEW generation; reads are identical
+    DedupFunctions.compactWindowIndex(spark, dir)
+    assert(snapshot() === merged)
+    val root = new java.io.File(dir)
+    assert(root.listFiles().map(_.getName).toSet === Set("gen=1"),
+      "old segments must be GC'd after the new generation publishes")
+    // append INTO the compacted generation, compact again: generations
+    // advance (gen=2), counts keep summing
+    DedupFunctions.appendToWindowIndex(docs2, "text", "doc_id", L = 2, dir)
+    DedupFunctions.compactWindowIndex(spark, dir)
+    assert(root.listFiles().map(_.getName).toSet === Set("gen=2"))
+    val hotKey = merged.maxBy(_._2)._1 // the "w1 w2" digest: 2 + 1 before
+    assert(snapshot()(hotKey) === merged(hotKey) + 1)
+  }
+
+  test("crash-consistency: a marker-less half-written generation is invisible to readers") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-widx-crash").toString
+    DedupFunctions.writeWindowIndex(docs, "text", "doc_id", L = 2, dir)
+    val before = DedupFunctions.readWindowIndex(spark, dir).count()
+    // simulate a compaction that died before its _SUCCESS marker: a gen
+    // dir holding a parquet file with DIFFERENT (wrong) content
+    val half = new java.io.File(dir, "gen=1"); half.mkdirs()
+    val bogus = Seq((9L, "zz yy xx ww vv uu tt ss rr qq pp")).toDF("doc_id", "text")
+    val tmpB = java.nio.file.Files.createTempDirectory("graft-widx-bogus").toString
+    DedupFunctions.writeWindowIndex(bogus, "text", "doc_id", L = 2, tmpB)
+    val bogusFile = new java.io.File(tmpB).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(bogusFile.toPath,
+      new java.io.File(half, bogusFile.getName).toPath)
+    assert(DedupFunctions.readWindowIndex(spark, dir).count() === before,
+      "readers must stay on the committed layout, not the crashed generation")
+    // the next compaction recovers: overwrites the debris generation from
+    // the committed flat layout and GCs everything else
+    DedupFunctions.compactWindowIndex(spark, dir)
+    assert(DedupFunctions.readWindowIndex(spark, dir).count() === before)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet === Set("gen=1"))
+  }
 }
 
 /** Alias so the spec reads naturally next to the other function suites. */
