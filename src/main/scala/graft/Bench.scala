@@ -1,6 +1,69 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Canary probes: pure-Spark workloads that touch NO graft operator, so
+    * a code change can never move them — only the machine can. One per
+    * contention axis (CPU, shuffle, scan); their ratio vs recorded floors
+    * is the ambient load estimate that scales every per-query floor
+    * before the regression gate strikes. Estimating ambient from the
+    * QUERIES themselves (the previous design) conflated the two: a real
+    * regression spread across many queries inflated "ambient" and masked
+    * itself, while a loaded machine pushed untouched queries within one
+    * re-run of a false strike. */
+  def canaries(spark: SparkSession, sfDir: String): Seq[(String, () => Unit)] = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      // sized for ~0.2–0.5 s each at local[32]: long enough that scheduler
+      // jitter is a small fraction of the timing, short enough that two
+      // sweeps per run cost ~1 s total
+      "canary_cpu" -> (() =>
+        spark.range(100000000L).select(sum(sqrt(col("id")))).collect()),
+      "canary_shuffle" -> (() =>
+        spark.range(4000000L).groupBy(pmod(col("id"), lit(997)).as("k"))
+          .count().orderBy(col("k")).collect()),
+      "canary_scan" -> (() =>
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(sum(col("l_quantity")), count(lit(1))).collect()))
+  }
+
+  /** The regression gate, pure so BenchGateSpec can drive it: per-query
+    * floors scale by `ambient` (canary-derived when canary floors exist,
+    * else the legacy heavy-cohort median), a riser needs BOTH >1.5× the
+    * scaled floor AND ≥0.15 s absolute excess, and it escalates from
+    * warning to regression only when the SAME query rose in the previous
+    * run (two strikes). Returns (ambient, regressions, warnings). */
+  def gate(results: Seq[(String, Double)], previous: Map[String, Double],
+           priorStrikes: Set[String],
+           canaryNow: Map[String, Double], canaryFloors: Map[String, Double])
+      : (Double, Seq[(String, Double)], Seq[(String, Double)]) = {
+    val canaryRatios = canaryNow.toSeq.sortBy(_._1).flatMap { case (n, cur) =>
+      canaryFloors.get(n).filter(_ > 0).map(cur / _)
+    }.sorted
+    // CPU-heavy queries (all 32 threads busy) see ~2× the contention factor
+    // the sub-100ms ones do — the legacy fallback medians over the heavy
+    // cohort for the first round on a fresh history (no canary floors yet)
+    def medianRatio(minBaseline: Double): Seq[Double] = results.flatMap {
+      case (name, sec) if sec > 0 =>
+        previous.get(name).filter(_ >= minBaseline).map(sec / _)
+      case _ => None
+    }.sorted
+    val ratios =
+      if (canaryRatios.nonEmpty) canaryRatios
+      else { val heavy = medianRatio(0.3); if (heavy.length >= 5) heavy else medianRatio(0.05) }
+    val ambient = // median ratio, floored at 1 so a fast machine can't mask risers
+      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.length / 2))
+    val risers = results.flatMap { case (name, sec) =>
+      previous.get(name) match {
+        case Some(old) if old > 0 && sec > old * ambient * 1.5 &&
+            sec - old * ambient >= 0.15 =>
+          Some(name -> (sec / old))
+        case _ => None
+      }
+    }
+    val (regressions, warnings) = risers.partition { case (n, _) => priorStrikes(n) }
+    (ambient, regressions, warnings)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,7 +106,7 @@ object Bench {
     // current run is normalized by the MEDIAN per-query ratio before
     // flagging — a loaded machine slows every query uniformly, and that
     // shared factor is not a code regression.
-    val previousAndStrikes: (Map[String, Double], Set[String]) =
+    val previousAndStrikes: (Map[String, Double], Set[String], Map[String, Double]) =
       if (java.nio.file.Files.exists(historyPath)) {
         val lines = java.nio.file.Files.readAllLines(historyPath)
         // last 5 same-env rows only: a minimum over unbounded history is
@@ -55,11 +118,19 @@ object Bench {
             (if (n.has("cpus")) n.path("cpus").asText() else "32") == cpus)
           .toSeq.takeRight(5)
         val b = scala.collection.mutable.Map.empty[String, Double]
+        val cf = scala.collection.mutable.Map.empty[String, Double]
         for (n <- rows) {
           val it = n.path("queries").properties().iterator()
           while (it.hasNext) {
             val e = it.next(); val v = e.getValue.asDouble()
             if (v > 0) b.updateWith(e.getKey)(o => Some(o.fold(v)(math.min(_, v))))
+          }
+          if (n.has("canaries")) {
+            val ci = n.path("canaries").properties().iterator()
+            while (ci.hasNext) {
+              val e = ci.next(); val v = e.getValue.asDouble()
+              if (v > 0) cf.updateWith(e.getKey)(o => Some(o.fold(v)(math.min(_, v))))
+            }
           }
         }
         (b.toMap, rows.lastOption.map { n =>
@@ -69,9 +140,20 @@ object Bench {
             while (it.hasNext) names += it.next().getKey
           }
           names.toSet
-        }.getOrElse(Set.empty[String]))
-      } else (Map.empty[String, Double], Set.empty[String])
-    val (previous, priorStrikes) = previousAndStrikes
+        }.getOrElse(Set.empty[String]), cf.toMap)
+      } else (Map.empty[String, Double], Set.empty[String], Map.empty[String, Double])
+    val (previous, priorStrikes, canaryFloors) = previousAndStrikes
+
+    // canaries run BEFORE and AFTER the query sweep (contention drifts
+    // within a run); per-canary the better of the two stands in for "how
+    // fast can this machine go right now"
+    val canaryFns = canaries(spark, sfDir)
+    def timeCanaries(): Map[String, Double] = canaryFns.map { case (n, fn) =>
+      fn() // warm (file listing, codegen)
+      val t0 = System.nanoTime(); fn()
+      n -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val canaryBefore = timeCanaries()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
@@ -113,31 +195,18 @@ object Bench {
       }
       name -> sec
     }
-    // CPU-heavy queries (all 32 threads busy) see ~2× the contention factor
-    // the sub-100ms ones do, so estimate ambient from the heavy cohort when
-    // it is large enough — a real regression in one heavy query cannot move
-    // a median taken over many of them
-    def medianRatio(minBaseline: Double): Seq[Double] = results.flatMap {
-      case (name, sec) if sec > 0 =>
-        previous.get(name).filter(_ >= minBaseline).map(sec / _)
-      case _ => None
-    }.sorted
-    val ratios = { val heavy = medianRatio(0.3); if (heavy.length >= 5) heavy else medianRatio(0.05) }
-    val ambient = // median ratio, floored at 1 so a fast machine can't mask risers
-      if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.length / 2))
+    val canaryAfter = timeCanaries()
+    val canaryNow = canaryFns.map { case (n, _) =>
+      n -> math.min(canaryBefore(n), canaryAfter(n))
+    }.toMap
     // Two-strike escalation: per-query spikes (GC pause, co-tenant burst)
     // flag a different random query each run; a genuine code regression
     // flags the SAME query run after run. First occurrence → warning;
-    // repeat occurrence → regression.
-    val risers = results.flatMap { case (name, sec) =>
-      previous.get(name) match {
-        case Some(old) if old > 0 && sec > old * ambient * 1.5 &&
-            sec - old * ambient >= 0.15 =>
-          Some(name -> (sec / old))
-        case _ => None
-      }
-    }
-    val (regressions, warnings) = risers.partition { case (n, _) => priorStrikes(n) }
+    // repeat occurrence → regression. Ambient comes from the canaries —
+    // workloads no graft change can move — so a genuine 2× regression
+    // cannot hide by inflating its own normalizer.
+    val (ambient, regressions, warnings) =
+      gate(results, previous, priorStrikes, canaryNow, canaryFloors)
     regressions.foreach { case (n, r) =>
       System.err.println(f"BENCH REGRESSION $n: ${previous(n)}%.2fs baseline, ${r}%.1fx (ambient $ambient%.2fx, repeated)")
     }
@@ -150,8 +219,10 @@ object Bench {
     val total = results.map(_._2).sum
     def jmap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val cs = canaryNow.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":${jmap(regressions)},"warnings":${jmap(warnings)},"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canaries":$cs,"regressions":${jmap(regressions)},"warnings":${jmap(warnings)},"sf":"$sfDir","cpus":"$cpus"}"""
     println(line)
     // persist AFTER computing the comparison so this run becomes the next baseline
     java.nio.file.Files.write(historyPath, java.util.List.of(line),

@@ -1,6 +1,6 @@
 package graft.meta
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Object-store sync planning — the reference's DataSynchronizer
@@ -48,4 +48,75 @@ object DataSync {
       .agg(count(lit(1)).as("n_files"),
         sum(coalesce(col("src_size"), lit(0L))).as("src_bytes"))
       .orderBy(col("action"))
+
+  /** One executed [[plan]] row: what was attempted and how it went. */
+  final case class SyncResult(path: String, action: String, ok: Boolean,
+                              error: String)
+
+  /** APPLY a [[plan]]: move the bytes the reference's DataSynchronizer
+    * moves file-by-file from the driver (sync.py:103–116 download loop,
+    * :131–152 delete_objects) — distributed, one task per plan-row batch,
+    * through the Hadoop FileSystem API (so local/HDFS/S3A all route
+    * through the same calls).
+    *
+    * Idempotent by construction: COPY overwrites whatever half-written
+    * dest exists (re-running a crashed sync converges), REMOVE of an
+    * already-absent file reports ok (delete returning false with no
+    * existing file is success — the state IS synchronized), SKIP touches
+    * nothing. A failed row reports `ok=false` with the exception text
+    * instead of failing the job: one unreadable file must not abort a
+    * 10⁹-file sync — the caller re-plans and retries the residue, which
+    * is exactly the reference's per-file try/except routing.
+    *
+    * Scale shape: plan rows shuffle-free into `mapPartitions`; each task
+    * opens its own FileSystem handles (Hadoop caches per-scheme
+    * instances). Throughput scales with executors × partitions, the way
+    * DistCp structures the same problem. */
+  def execute(planned: DataFrame, srcRoot: String, dstRoot: String): Dataset[SyncResult] = {
+    val spark = planned.sparkSession
+    import spark.implicits._
+    // Hadoop Configuration is not serializable; ship its entries and
+    // rebuild per partition so executors see the driver's FS settings
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val src = srcRoot.stripSuffix("/")
+    val dst = dstRoot.stripSuffix("/")
+    planned.select(col("path").cast("string"), col("action").cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+        it.map { case (path, action) =>
+          try {
+            action match {
+              case "COPY" =>
+                val from = new HPath(s"$src/$path")
+                val to = new HPath(s"$dst/$path")
+                val sfs = from.getFileSystem(conf)
+                val dfs = to.getFileSystem(conf)
+                dfs.mkdirs(to.getParent)
+                val ok = FileUtil.copy(sfs, from, dfs, to,
+                  /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+                SyncResult(path, action, ok, null)
+              case "REMOVE" =>
+                val to = new HPath(s"$dst/$path")
+                val dfs = to.getFileSystem(conf)
+                val gone = !dfs.exists(to) || dfs.delete(to, false)
+                SyncResult(path, action, gone, null)
+              case _ =>
+                SyncResult(path, action, ok = true, null)
+            }
+          } catch {
+            case e: Exception =>
+              SyncResult(path, action, ok = false,
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      }
+  }
 }

@@ -15,6 +15,38 @@ object ExternalProcessor {
   final case class ProcJob(sceneid: String, args: Seq[String])
   final case class ProcResult(sceneid: String, exit_code: Int, timed_out: Boolean,
                               stdout: String, status: String)
+  /** [[runPerSceneWithFallback]] result: `attempt` is the 0-based index of
+    * the candidate command that produced this outcome (the version that
+    * won, or the LAST one tried when all fail). */
+  final case class ChainResult(sceneid: String, attempt: Int, exit_code: Int,
+                               timed_out: Boolean, stdout: String, status: String)
+
+  /** One subprocess run: (exit code, timed out, captured output). Exit −1
+    * = timeout (process force-killed, the reference's `docker stop`),
+    * −2 = spawn failure. */
+  private def runOne(cmd: Array[String], timeoutSeconds: Long): (Int, Boolean, String) =
+    try {
+      val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      val p = pb.start()
+      val outReader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream))
+      val sb = new StringBuilder
+      val drain = new Thread(() => {
+        var line = outReader.readLine()
+        while (line != null) {
+          if (sb.length < 65536) sb.append(line).append('\n')
+          line = outReader.readLine()
+        }
+      })
+      drain.setDaemon(true); drain.start()
+      val finished = p.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        p.destroyForcibly() // processor.py:82–85 stops the container
+        (-1, true, sb.toString)
+      } else (p.exitValue(), false, sb.toString)
+    } catch {
+      case e: Exception => (-2, false, String.valueOf(e.getMessage))
+    }
 
   /** Run `command args... <scene args...>` per scene with a timeout.
     * SUCCESS on exit 0; RETRY otherwise (the reference's
@@ -25,34 +57,40 @@ object ExternalProcessor {
     import spark.implicits._
     jobs.mapPartitions { it =>
       it.map { job =>
-        val cmd = (command ++ job.args).toArray
-        try {
-          val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
-          val p = pb.start()
-          val outReader = new java.io.BufferedReader(
-            new java.io.InputStreamReader(p.getInputStream))
-          val sb = new StringBuilder
-          val drain = new Thread(() => {
-            var line = outReader.readLine()
-            while (line != null) {
-              if (sb.length < 65536) sb.append(line).append('\n')
-              line = outReader.readLine()
-            }
-          })
-          drain.setDaemon(true); drain.start()
-          val finished = p.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
-          if (!finished) {
-            p.destroyForcibly() // processor.py:96–99 stops the container
-            ProcResult(job.sceneid, -1, timed_out = true, sb.toString, "RETRY")
-          } else {
-            val code = p.exitValue()
-            ProcResult(job.sceneid, code, timed_out = false, sb.toString,
-              if (code == 0) "SUCCESS" else "RETRY")
-          }
-        } catch {
-          case e: Exception =>
-            ProcResult(job.sceneid, -2, timed_out = false, e.getMessage, "RETRY")
+        val (code, timedOut, out) = runOne((command ++ job.args).toArray,
+          timeoutSeconds)
+        ProcResult(job.sceneid, code, timedOut, out,
+          if (code == 0) "SUCCESS" else "RETRY")
+      }
+    }
+  }
+
+  /** Version-fallback chain: try each candidate command in order, first
+    * exit-0 wins — the reference's Sen2Cor operational reality, where a
+    * scene is attempted with each supported processor version
+    * ('2.10.0' → '2.8.0' → '2.5.5') until one succeeds
+    * (collections/processor.py:88–101: `for version in versions_supported`,
+    * return on first success, raise carrying the LAST error when all
+    * fail). A timeout on one candidate kills that subprocess and moves to
+    * the next (processor.py:82–85); only when every candidate fails does
+    * the scene route to RETRY, exactly like the single-command path. */
+  def runPerSceneWithFallback(jobs: Dataset[ProcJob], commands: Seq[Seq[String]],
+                              timeoutSeconds: Long = 5400L)
+                             (implicit spark: SparkSession): Dataset[ChainResult] = {
+    require(commands.nonEmpty, "need at least one candidate command")
+    import spark.implicits._
+    jobs.mapPartitions { it =>
+      it.map { job =>
+        var last: ChainResult = null
+        var i = 0
+        while (i < commands.length && (last == null || last.status != "SUCCESS")) {
+          val (code, timedOut, out) = runOne((commands(i) ++ job.args).toArray,
+            timeoutSeconds)
+          last = ChainResult(job.sceneid, i, code, timedOut, out,
+            if (code == 0) "SUCCESS" else "RETRY")
+          i += 1
         }
+        last
       }
     }
   }

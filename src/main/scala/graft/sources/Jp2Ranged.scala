@@ -32,8 +32,14 @@ import scala.collection.mutable.ArrayBuffer
 object Jp2Ranged {
 
   /** IO accounting: bytes actually fetched and read requests issued (both
-    * object-store cost axes — same contract as GeoTiff.RangedIo). */
-  final case class Io(bytesRead: Long, requests: Long)
+    * object-store cost axes — same contract as GeoTiff.RangedIo), plus
+    * `fallbackWholeBody`: how many NEEDED tiles had no complete PLT and
+    * fetched their whole body instead of PLT-pruned packet ranges. In
+    * production this is the thrifty-vs-fallback signal — a producer that
+    * stopped emitting PLTs silently turns window probes into full-tile
+    * reads, and only this counter makes that visible. */
+  final case class Io(bytesRead: Long, requests: Long,
+                      fallbackWholeBody: Long = 0L)
 
   /** Windowed ranged decode; window in full-resolution pixel coords. */
   def decodeWindow(read: (Long, Int) => Array[Byte], fileLen: Long,
@@ -237,6 +243,7 @@ object Jp2Ranged {
 
     // plan fetch ranges (file-absolute)
     val bodyRanges = ArrayBuffer.empty[(Long, Long)]
+    var wholeBodyTiles = 0L
     for (ty <- 0 until nty; tx <- 0 until ntx) {
       val isot = ty * ntx + tx
       segsByTile.get(isot).foreach { segs =>
@@ -278,6 +285,7 @@ object Jp2Ranged {
               }
             case None =>
               // no complete PLT: fetch the tile's whole body
+              wholeBodyTiles += 1
               segs.foreach(bodyRanges += _)
           }
         }
@@ -312,7 +320,7 @@ object Jp2Ranged {
     }
 
     val px = Jp2Decode.decodeCs(cs, discard, win)
-    (px, Io(blk.bytesRead, blk.requests))
+    (px, Io(blk.bytesRead, blk.requests, wholeBodyTiles))
   }
 
   @inline private def ceilDiv(n: Int, d: Int): Int = ((n.toLong + d - 1) / d).toInt

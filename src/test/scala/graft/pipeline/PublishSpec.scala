@@ -238,4 +238,41 @@ class PublishSpec extends SparkSpec {
       .collect().head
     assert(tres.timed_out && tres.status == "RETRY")
   }
+
+  test("version-fallback chain: first success wins; all-fail routes RETRY (processor.py:88-101)") {
+    import ExternalProcessor._
+    // candidate 0 = a "version" that always fails, candidate 1 = one that
+    // exits with the scene's arg — the Sen2Cor 2.10 → 2.8 → 2.5.5 walk
+    val chain = Seq(Seq("sh", "-c", "exit 7 #v-new"), Seq("sh", "-c", "exit $0"))
+    val jobs = spark.createDataset(Seq(
+      ProcJob("recovers", Seq("0")), ProcJob("allfail", Seq("3"))))
+    val res = runPerSceneWithFallback(jobs, chain, timeoutSeconds = 30)
+      .collect().map(r => r.sceneid -> r).toMap
+    assert(res("recovers").status == "SUCCESS" && res("recovers").attempt == 1,
+      "the fallback version must win after the first fails")
+    // all candidates failed: the LAST attempt's outcome is what routes to
+    // retry, exactly like the reference raising with the last error
+    assert(res("allfail").status == "RETRY" && res("allfail").attempt == 1 &&
+      res("allfail").exit_code == 3)
+
+    // a candidate that HANGS is killed by the timeout and the chain moves on
+    val hangFirst = Seq(Seq("sh", "-c", "sleep 30"), Seq("sh", "-c", "exit 0"))
+    val h = runPerSceneWithFallback(
+        spark.createDataset(Seq(ProcJob("hang", Seq.empty))),
+        hangFirst, timeoutSeconds = 1)
+      .collect().head
+    assert(h.status == "SUCCESS" && h.attempt == 1 && !h.timed_out)
+
+    // first success short-circuits: later candidates never run
+    val dir = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val marking = Seq(Seq("sh", "-c", "exit 0"),
+      Seq("sh", "-c", s"touch $dir/ran_second; exit 0"))
+    val quick = runPerSceneWithFallback(
+        spark.createDataset(Seq(ProcJob("quick", Seq.empty))),
+        marking, timeoutSeconds = 30)
+      .collect().head
+    assert(quick.status == "SUCCESS" && quick.attempt == 0)
+    assert(!new java.io.File(dir, "ran_second").exists(),
+      "winning early must short-circuit the remaining versions")
+  }
 }

@@ -85,6 +85,8 @@ class Jp2RangedSpec extends SparkSpec {
     val (_, ioPlt) = Jp2Ranged.decodeWindow(readerOf(plt), plt.length, 0, 0, 8, 8, blockSize = B)
     assert(ioPlt.bytesRead < plt.length,
       s"PLT probe fetched ${ioPlt.bytesRead} of ${plt.length} — no pruning?")
+    assert(ioPlt.fallbackWholeBody === 0L,
+      "a complete PLT must not report any whole-body fallback")
     // same geometry WITHOUT PLT: the needed tile's body fetches whole, so
     // strictly more bytes than the PLT plan (headers are tiny here, so
     // compare the probes directly)
@@ -92,6 +94,8 @@ class Jp2RangedSpec extends SparkSpec {
     val (_, ioNo) = Jp2Ranged.decodeWindow(readerOf(noPlt), noPlt.length, 0, 0, 8, 8, blockSize = B)
     assert(ioNo.bytesRead >= noPlt.length - 64,
       "single-tile stream without PLT must fetch ~the whole body")
+    assert(ioNo.fallbackWholeBody === 1L,
+      "the needed no-PLT tile must surface in the fallback stat")
     // tiled stream without PLT: a one-tile window fetches ~that tile only
     val kdu = resource("/graft/jp2/kakadu_96x96_d12_t64.j2k")
     val full = Jp2Decode.decodeWindow(kdu, 0, 0, 8, 8)
