@@ -1803,6 +1803,33 @@ object SparkEntry {
           r6(sum(col("conv")).cast("double") / count(lit(1))).as("conv_rate"))
         .orderBy(col("size_bucket"))
     }),
+    // ---- coded-frame VIDEO decode, H.264: the checked-in MP4's 'avc1'
+    // track carries baseline IDR frames (CAVLC + 4:2:0 intra prediction),
+    // demuxed by the sample tables (avcC config + length-prefixed NALs)
+    // and entropy-decoded on EXECUTORS by the native graft.sources
+    // .H264Decode. The oracle pins each frame's luma-plane sum to the
+    // INDEPENDENT pure-python encoder's reconstruction (scripts/
+    // h264codec.py wrote the stream AND the expected pixels; a decode
+    // drift of a single sample anywhere breaks the sum) ----------------
+    "q158_h264_frames" -> ((s, _) => {
+      import s.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/tiny_h264.mp4")
+        try in.readAllBytes() finally in.close()
+      }
+      val media = s.createDataset(Seq(
+        Multimodal.MediaRow(1L, "video", bytes,
+          Multimodal.videoMeta(bytes).get)))
+      Multimodal.decodeVideoFrames(media, everyNth = 1, maxFrames = 16)(s)
+        .toDF()
+        .select(col("frame_index").cast("long").as("frame_index"),
+          col("sync"),
+          col("height").cast("long").as("height"),
+          col("width").cast("long").as("width"),
+          aggregate(col("pixels"), lit(0L), (a, p) => a + p.cast("long"))
+            .as("sum_y"))
+        .orderBy(col("frame_index"))
+    }),
     // ---- capped exact pairwise joins: per-doc top-k decisions instead of
     // the all-pairs row set (docs × k output bound — at 100 TB the pair
     // list of a duplicate-heavy corpus dwarfs the corpus; the reference
@@ -3328,6 +3355,17 @@ object SparkEntry {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q158's oracle is the INDEPENDENT python encoder's reconstruction,
+    // pinned as literals (generated by scripts/gen_h264_fixture.py from
+    // the committed .yuv): any decode drift in the Scala H.264 path
+    // breaks a luma sum
+    "q158_h264_frames" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), TRUE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(162751 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), TRUE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(158932 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), TRUE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(169669 AS BIGINT)))
+        |  AS t(frame_index, sync, height, width, sum_y)
+        |ORDER BY frame_index""".stripMargin,
     "q154_jaccard_topk" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk

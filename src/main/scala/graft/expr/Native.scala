@@ -31,6 +31,14 @@ object NativeFunctions {
   def simhash_md5_16(text: Column): Column =
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))
 
+  /** Native bounded top-k (score, id) AGGREGATE: exact (score DESC,
+    * id ASC) top-k per group, 2k-bounded buffer with map-side partials
+    * ([[TopKPairsAgg]]). Output array<struct<score: double, id: bigint>>,
+    * best first. */
+  def topk_pairs(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(TopKPairsAgg(ColumnBridge.expression(score),
+      ColumnBridge.expression(id), k).toAggregateExpression())
+
   /** Native one-pass int8 embedding quantization →
     * struct(scale: double, q: array<byte>). */
   def quantize_int8(emb: Column): Column =

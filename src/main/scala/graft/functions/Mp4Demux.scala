@@ -21,9 +21,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Mp4Demux {
 
+  /** `codecConfig`: the decoder-configuration child box payload of the
+    * sample entry when one exists (avcC for 'avc1', hvcC for 'hvc1'/'hev1',
+    * esds for 'mp4a'...) — the out-of-band parameter sets a NAL-sample
+    * decoder needs. Empty for self-contained codecs (MJPEG). */
   final case class Track(handler: String, codec: String, timescale: Long,
                          durationMs: Long, width: Int, height: Int,
-                         sampleCount: Int)
+                         sampleCount: Int,
+                         codecConfig: Array[Byte] = Array.empty)
   /** One sample (= one video frame for video tracks): real byte range in
     * the file, presentation time, and whether it is a sync (key) frame. */
   final case class Sample(index: Int, offset: Long, size: Int,
@@ -143,13 +148,29 @@ object Mp4Demux {
 
     // stsd: entry count, then first sample entry: size u32 + fourcc; for
     // video entries width/height live at fixed offsets 24/26 into the entry
-    val (codec, width, height) = findBox(buf, stblS, stblE, "stsd").map { case (s, _) =>
+    val (codec, width, height, codecCfg) = findBox(buf, stblS, stblE, "stsd").map { case (s, e) =>
       val entry = s + 8
       val cc = fourcc(buf, entry + 4)
-      if (handler == "vide")
-        (cc, buf.getShort(entry + 32) & 0xffff, buf.getShort(entry + 34) & 0xffff)
-      else (cc, 0, 0)
-    }.getOrElse(("", 0, 0))
+      if (handler == "vide") {
+        // decoder-configuration child boxes (avcC/hvcC/...) follow the
+        // 78-byte VisualSampleEntry fixed part (size+fourcc excluded)
+        val entryEnd = math.min(entry + buf.getInt(entry), e)
+        var p = entry + 8 + 78
+        var cfg = Array.empty[Byte]
+        while (cfg.isEmpty && p + 8 <= entryEnd) {
+          val bl = buf.getInt(p)
+          val bt = fourcc(buf, p + 4)
+          if (bl < 8 || p + bl > entryEnd) p = entryEnd // malformed: stop
+          else if (bt == "avcC" || bt == "hvcC" || bt == "esds") {
+            cfg = new Array[Byte](bl - 8)
+            var i = 0
+            while (i < cfg.length) { cfg(i) = buf.get(p + 8 + i); i += 1 }
+          } else p += bl
+        }
+        (cc, buf.getShort(entry + 32) & 0xffff,
+          buf.getShort(entry + 34) & 0xffff, cfg)
+      } else (cc, 0, 0, Array.empty[Byte])
+    }.getOrElse(("", 0, 0, Array.empty[Byte]))
 
     val sizes: Array[Int] = findBox(buf, stblS, stblE, "stsz").map { case (s, e) =>
       val fixed = buf.getInt(s + 4)
@@ -220,7 +241,8 @@ object Mp4Demux {
       }
     }
     val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
-    (Track(handler, codec, timescale, durMs, width, height, sizes.length),
+    (Track(handler, codec, timescale, durMs, width, height, sizes.length,
+      codecCfg),
       samples.toSeq)
   }
 }

@@ -216,11 +216,28 @@ object MultimodalFunctions {
 
     def isMjpeg(codec: String): Boolean = MjpegFourccs.contains(codec)
 
-    /** True when the MP4's video track is MJPEG-coded, i.e. its frames
-      * decode on this JVM. */
+    /** H.264 sample-entry fourccs (length-prefixed NAL samples + avcC). */
+    private val AvcFourccs = Set("avc1", "avc3", "AVC1", "h264", "H264")
+
+    def isAvc(codec: String): Boolean = AvcFourccs.contains(codec)
+
+    /** Can this avcC config actually drive [[graft.sources.H264Decode]]?
+      * True only for the supported baseline subset (CAVLC, progressive,
+      * 4:2:0) — a 'avc1' track with CABAC or no config at all reports
+      * undecodable instead of failing frame by frame. */
+    def avcConfigSupported(cfg: Array[Byte]): Boolean =
+      cfg.nonEmpty && (try {
+        graft.sources.H264Decode.decodeAvccSamples(cfg, Seq.empty)
+        true
+      } catch { case _: Exception => false })
+
+    /** True when the MP4's video track decodes on this JVM: MJPEG-family
+      * (each frame a complete JPEG) or baseline-subset H.264 with a
+      * parseable avcC configuration. */
     def canDecode(bytes: Array[Byte]): Boolean =
       Mp4Demux.demux(bytes).exists(_.tracks.exists(t =>
-        t.handler == "vide" && isMjpeg(t.codec)))
+        t.handler == "vide" && (isMjpeg(t.codec) ||
+          (isAvc(t.codec) && avcConfigSupported(t.codecConfig)))))
 
     /** Decode one coded frame to a gray intensity plane (row-major floats,
       * same raster contract as the scene readers): single-band images come
@@ -290,27 +307,49 @@ object MultimodalFunctions {
                               pixels: Array[Float])
 
   /** Coded-frame video decode kernel: demux every `everyNth`-th frame (up
-    * to `maxFrames` per video) and entropy-decode MJPEG-family payloads to
-    * pixel planes on executors. Same `mapPartitions` batching as the other
-    * codecs; non-MP4 payloads and non-MJPEG tracks yield no rows (their
-    * frames need a codec this JVM doesn't have — sample them as coded
-    * payloads via [[videoFrames]] instead). */
+    * to `maxFrames` per video) and entropy-decode the payloads to pixel
+    * planes on executors — MJPEG-family samples through ImageIO, baseline
+    * H.264 key frames through the native [[graft.sources.H264Decode]]
+    * (luma plane, the same gray contract as the JPEG path). Same
+    * `mapPartitions` batching as the other codecs; non-MP4 payloads and
+    * undecodable tracks yield no rows (sample their coded payloads via
+    * [[videoFrames]] instead), and a frame that fails to decode drops —
+    * it does not fail the ingest task. */
   def decodeVideoFrames(ds: Dataset[MediaRow], everyNth: Int, maxFrames: Int)
                        (implicit spark: SparkSession): Dataset[FramePlane] = {
     import spark.implicits._
     ds.mapPartitions { it =>
       it.flatMap { row =>
-        if (!VideoCodec.canDecode(row.content)) Iterator.empty
-        else Mp4Demux.sampleFrames(row.content, everyNth, maxFrames).iterator
-          .flatMap { s =>
-            // range-checked cut: a corrupt sample table drops its frames,
-            // it does not fail the ingest task
-            Mp4Demux.samplePayloadOpt(row.content, s)
-              .flatMap(p => VideoCodec.decodeFramePlane(p))
-              .map { case (h, w, px) =>
-                FramePlane(row.media_id, s.index, s.timeMs, s.sync, h, w, px)
-              }
+        val track = Mp4Demux.demux(row.content)
+          .flatMap(_.tracks.find(_.handler == "vide"))
+        val samples = track match {
+          case Some(t) if VideoCodec.isMjpeg(t.codec) ||
+              (VideoCodec.isAvc(t.codec) &&
+                VideoCodec.avcConfigSupported(t.codecConfig)) =>
+            Mp4Demux.sampleFrames(row.content, everyNth, maxFrames)
+          case _ => Seq.empty
+        }
+        val avcCfg = track.filter(t => VideoCodec.isAvc(t.codec))
+          .map(_.codecConfig)
+        samples.iterator.flatMap { s =>
+          // range-checked cut: a corrupt sample table drops its frames
+          Mp4Demux.samplePayloadOpt(row.content, s).flatMap { p =>
+            avcCfg match {
+              case Some(cfg) =>
+                try graft.sources.H264Decode.decodeAvccSamples(cfg, Seq(p))
+                  .headOption.map { f =>
+                    val px = new Array[Float](f.width * f.height)
+                    var i = 0
+                    while (i < px.length) { px(i) = (f.y(i) & 0xFF).toFloat; i += 1 }
+                    (f.height, f.width, px)
+                  }
+                catch { case _: Exception => None }
+              case None => VideoCodec.decodeFramePlane(p)
+            }
+          }.map { case (h, w, px) =>
+            FramePlane(row.media_id, s.index, s.timeMs, s.sync, h, w, px)
           }
+        }
       }
     }
   }
@@ -385,8 +424,10 @@ object MultimodalFunctions {
         AudioCodec.rmsFeatures(row.content, dim)
       def video(row: MediaRow): Option[Array[Float]] =
         // thumbnail embedding of the first keyframe — real for MJPEG
-        // tracks (each frame is a complete JPEG); H.264/H.265 payloads
-        // aren't decodable on this JVM and fall through to the stub
+        // tracks (each frame is a complete JPEG, ImageIO-decodable);
+        // H.264 key frames decode via decodeVideoFrames but are not
+        // ImageIO images, and H.265 has no JVM codec — both fall
+        // through to the stub here
         if (squareDim && VideoCodec.canDecode(row.content))
           Mp4Demux.keyframes(row.content, 1).headOption
             .flatMap(s => Mp4Demux.samplePayloadOpt(row.content, s))

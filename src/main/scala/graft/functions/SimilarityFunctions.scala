@@ -46,18 +46,22 @@ object SimilarityFunctions {
 
   /** Mutable bounded buffer for [[TopKAggregator]]: preallocated parallel
     * arrays with a length cursor, so the per-row append is a plain array
-    * store (O(1)); entries past `len` are garbage. */
-  final case class TopKBuf(scores: Array[Double], ids: Array[Long], len: Int)
+    * store (O(1)); entries past `len` are garbage. `len` is a var and the
+    * hot path mutates IN PLACE — ObjectHashAggregate holds the buffer as
+    * an object, and a per-row case-class copy was measured at ~35% of a
+    * 3.8M-pair capped join's wall (sf1, CappedScale tool). The encoder
+    * only runs at spill/shuffle boundaries, where the current `len` is
+    * captured like any other field. */
+  final case class TopKBuf(scores: Array[Double], ids: Array[Long], var len: Int)
 
-  /** Bounded top-k buffer for [[knnJoin]]: keeps the k best (score, id)
-    * pairs, score-descending with id-ascending tie-break (the same total
-    * order a `row_number` oracle uses). Appends write into a preallocated
-    * 2k-slot buffer in place (O(1) per row, zero allocation on the scoring
-    * hot path) and the buffer compacts to the best k when full — amortized
-    * O(log k) per row. The merge/shuffle payload is ≤ 2k pairs per
-    * (partition, query) — the property that makes per-query top-k scale:
-    * map-side partial aggregation bounds the exchange at
-    * partitions × queries × 2k, independent of corpus size. */
+  /** EXECUTABLE SPECIFICATION TWIN of the native bounded top-k aggregate
+    * ([[graft.expr.TopKPairsAgg]], which the production paths use): keeps
+    * the k best (score, id) pairs, score-descending with id-ascending
+    * tie-break (the same total order a `row_number` oracle uses).
+    * TopKPerDocSpec pins native ≡ this twin ≡ QUALIFY on tied streams.
+    * The production aggregate exists because this udaf formulation pays
+    * an ExpressionEncoder round-trip per input row (~8 µs/row measured);
+    * the bounded-buffer semantics here are the readable reference. */
   class TopKAggregator(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Double, Long), TopKBuf, Array[(Double, Long)]]
@@ -78,23 +82,24 @@ object SimilarityFunctions {
       val best = top(Array.tabulate(b.len)(i => (b.scores(i), b.ids(i))))
       var i = 0
       while (i < best.length) { b.scores(i) = best(i)._1; b.ids(i) = best(i)._2; i += 1 }
-      b.copy(len = best.length)
+      b.len = best.length
+      b
     }
     def zero: TopKBuf = TopKBuf(new Array[Double](capacity), new Array[Long](capacity), 0)
     def reduce(b: TopKBuf, x: (Double, Long)): TopKBuf = {
       b.scores(b.len) = x._1
       b.ids(b.len) = x._2
-      val grown = b.copy(len = b.len + 1)
-      if (grown.len == capacity) compact(grown) else grown
+      b.len += 1
+      if (b.len == capacity) compact(b) else b
     }
     def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
-      val z = zero
       val both = Array.tabulate(a.len)(i => (a.scores(i), a.ids(i))) ++
         Array.tabulate(b.len)(i => (b.scores(i), b.ids(i)))
       val best = top(both)
       var i = 0
-      while (i < best.length) { z.scores(i) = best(i)._1; z.ids(i) = best(i)._2; i += 1 }
-      z.copy(len = best.length)
+      while (i < best.length) { a.scores(i) = best(i)._1; a.ids(i) = best(i)._2; i += 1 }
+      a.len = best.length
+      a
     }
     def finish(b: TopKBuf): Array[(Double, Long)] =
       top(Array.tabulate(b.len)(i => (b.scores(i), b.ids(i))))
@@ -127,17 +132,24 @@ object SimilarityFunctions {
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
         s"knnJoin requires an integral corpus id column, got ${t.simpleString} for '$cIdCol'")
     }
-    val topk = udaf(new TopKAggregator(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     corpus
       .join(broadcast(queries.select(col(qIdCol).as("q_id"), col(qEmbCol).as("__qe"))))
       .select(col("q_id"), cosine(col(cEmbCol), col("__qe")).as("__s"),
         col(cIdCol).cast("long").as("__c"))
       .groupBy(col("q_id"))
-      .agg(topk(col("__s"), col("__c")).as("__nn"))
+      .agg(topKPairs(col("__s"), col("__c"), k).as("__nn"))
       .select(col("q_id"), explode(col("__nn")).as("__p"))
-      .select(col("q_id"), col("__p._2").as("c_id"), col("__p._1").as("score"))
+      .select(col("q_id"), col("__p.id").as("c_id"), col("__p.score").as("score"))
   }
+
+  /** The native bounded top-k aggregate ([[graft.expr.TopKPairsAgg]]):
+    * per-row cost is two primitive column reads — the udaf/Aggregator
+    * formulation paid an ExpressionEncoder round-trip per pair (~8 µs/row,
+    * +60% on the sf1 capped-join sweep). Exact (score DESC, id ASC) top-k
+    * with map-side partials bounding every exchange at 2k rows per
+    * (partition, group). */
+  private def topKPairs(score: Column, id: Column, k: Int): Column =
+    graft.expr.NativeFunctions.topk_pairs(score, id, k)
 
   /** Cap a verified pair stream at the `k` best partners per `idACol` —
     * the per-doc decision mode of the exact pairwise joins
@@ -174,20 +186,18 @@ object SimilarityFunctions {
     // IEEE negation is exact for every finite value, so flipping the sign
     // in and back out loses nothing and reuses the desc-ordered aggregator
     val sign = if (ascending) lit(-1.0) else lit(1.0)
-    val topk = udaf(new TopKAggregator(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
     pairs
       .filter(!isnan(col(scoreCol).cast("double")))
       .groupBy(col(idACol))
-      .agg(topk(col(scoreCol).cast("double") * sign,
-        col(idBCol).cast("long")).as("__nn"))
+      .agg(topKPairs(col(scoreCol).cast("double") * sign,
+        col(idBCol).cast("long"), k).as("__nn"))
       .select(col(idACol), explode(col("__nn")).as("__p"))
-      .select(col(idACol), col("__p._2").as(idBCol),
+      .select(col(idACol), col("__p.id").as(idBCol),
         // `+ 0.0` normalizes the one value IEEE negation does NOT
         // round-trip: a 0.0 score under ascending comes back −0.0, which
         // hashes differently from the oracle's +0.0 (x + 0.0 = x for every
         // other double, so this is a no-op elsewhere)
-        (col("__p._1") * sign + lit(0.0)).as(scoreCol))
+        (col("__p.score") * sign + lit(0.0)).as(scoreCol))
   }
 
   private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {

@@ -772,8 +772,8 @@ class FunctionsSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
       s"expected object/sort aggregate for the bounded top-k buffer, got:\n$plan")
-    assert(plan.toLowerCase.contains("partial_topkaggregator"),
-      s"expected a partial TopKAggregator phase before the exchange, got:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topk"),
+      s"expected a partial bounded-top-k phase before the exchange, got:\n$plan")
   }
 
   test("outlierScore ranks a planted off-distribution vector highest") {

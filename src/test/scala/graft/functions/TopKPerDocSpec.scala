@@ -50,6 +50,21 @@ class TopKPerDocSpec extends SparkSpec {
     }
   }
 
+  test("native aggregate ≡ the udaf specification twin on a tied stream") {
+    val topkTwin = udaf(new SimilarityFunctions.TopKAggregator(5),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    val twin = tiedPairs.groupBy(col("id_a"))
+      .agg(topkTwin(col("score"), col("id_b")).as("nn"))
+      .select(col("id_a"), explode(col("nn")).as("p"))
+      .select(col("id_a"), col("p._2").as("id_b"), col("p._1").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val native = SimilarityFunctions.topKPerDoc(tiedPairs, "id_a", "id_b",
+        "score", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native === twin)
+    assert(native.nonEmpty)
+  }
+
   test("≡ QUALIFY under few-partition shuffles and repeated merges") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
