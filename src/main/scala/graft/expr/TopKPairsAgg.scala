@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   * holds ≤ 2k entries, partial aggregation bounds every exchange at
   * 2k rows per (partition, group) regardless of how viral a group is.
   *
-  * Rows with NULL score or id are ignored (the caller filters NaN).
+  * Rows with NULL score, NULL id, or NaN score are ignored (a NaN
+  * similarity is undefined, not extreme).
   */
 case class TopKPairsAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
                         override val mutableAggBufferOffset: Int = 0,
@@ -53,7 +54,10 @@ case class TopKPairsAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
   override def update(buf: TopKPairsAgg.Buf, input: InternalRow): TopKPairsAgg.Buf = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null)
+    // NaN scores are undefined, not extreme: skipping them HERE (instead
+    // of a pre-filter on the pair stream) keeps the semantics and saves a
+    // measured ~25% plan overhead on the capped-join path (CappedDiag)
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }

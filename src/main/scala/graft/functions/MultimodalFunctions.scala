@@ -299,6 +299,31 @@ object MultimodalFunctions {
       } catch { case _: Exception => None }
   }
 
+  /** Grid-pooled luma features from a raw 8-bit plane — the H.264
+    * counterpart of [[ImageCodec.intensityFeatures]] (same cell layout and
+    * 0..1 normalization, so mixed MJPEG/H.264 corpora embed into one
+    * feature space). */
+  private[functions] def lumaGridFeatures(y: Array[Byte], w: Int, h: Int,
+                                          grid: Int): Array[Float] = {
+    val out = new Array[Float](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    var yy = 0
+    while (yy < h) {
+      var x = 0
+      while (x < w) {
+        val cell = math.min(yy * grid / h, grid - 1) * grid +
+          math.min(x * grid / w, grid - 1)
+        out(cell) += (y(yy * w + x) & 0xFF) / 255.0f
+        counts(cell) += 1
+        x += 1
+      }
+      yy += 1
+    }
+    var i = 0
+    while (i < out.length) { if (counts(i) > 0) out(i) /= counts(i); i += 1 }
+    out
+  }
+
   /** One decoded frame as a raster row — the video analogue of a scene
     * band: plugs straight into `SceneIO.tileScene`, band math, resampling
     * and quicklooks. */
@@ -424,15 +449,25 @@ object MultimodalFunctions {
         AudioCodec.rmsFeatures(row.content, dim)
       def video(row: MediaRow): Option[Array[Float]] =
         // thumbnail embedding of the first keyframe — real for MJPEG
-        // tracks (each frame is a complete JPEG, ImageIO-decodable);
-        // H.264 key frames decode via decodeVideoFrames but are not
-        // ImageIO images, and H.265 has no JVM codec — both fall
-        // through to the stub here
-        if (squareDim && VideoCodec.canDecode(row.content))
-          Mp4Demux.keyframes(row.content, 1).headOption
+        // tracks (complete JPEGs through ImageIO) AND baseline H.264
+        // (native decode, luma pooled over the same grid); H.265 has no
+        // JVM codec and falls through to the stub
+        if (squareDim && VideoCodec.canDecode(row.content)) {
+          val track = Mp4Demux.demux(row.content)
+            .flatMap(_.tracks.find(_.handler == "vide"))
+          val key = Mp4Demux.keyframes(row.content, 1).headOption
             .flatMap(s => Mp4Demux.samplePayloadOpt(row.content, s))
-            .flatMap(p => ImageCodec.intensityFeatures(p, grid))
-        else None
+          track match {
+            case Some(t) if VideoCodec.isAvc(t.codec) =>
+              key.flatMap { p =>
+                try graft.sources.H264Decode
+                  .decodeAvccSamples(t.codecConfig, Seq(p)).headOption
+                  .map(f => lumaGridFeatures(f.y, f.width, f.height, grid))
+                catch { case _: Exception => None }
+              }
+            case _ => key.flatMap(p => ImageCodec.intensityFeatures(p, grid))
+          }
+        } else None
       it.map { row =>
         val real = row.media_type match {
           case "image" => image(row)

@@ -791,10 +791,11 @@ class FunctionsSpec extends SparkSpec {
       SimilarityFunctions.outlierScore($"embedding", Array.empty))
   }
 
-  test("knnJoin survives NaN scores with row_number-consistent ordering") {
-    // a NaN component makes cosine NaN for that corpus row; the aggregator's
-    // total order must rank it like Spark's sort (NaN = largest) instead of
-    // corrupting the comparator (a naive `>` is intransitive under NaN)
+  test("knnJoin drops NaN-scored corpus rows instead of ranking them best") {
+    // a NaN component makes cosine NaN for that corpus row; pre-r13 the
+    // aggregator ranked it LARGEST (Spark sort order), i.e. a corrupt
+    // embedding became every query's top neighbour — the native aggregate
+    // skips NaN scores (undefined, not extreme), same as topKPerDoc
     val corpus = Seq(
       (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)),
       (12L, Array(Float.NaN, 1f)), (13L, Array(0f, 1f)))
@@ -803,8 +804,7 @@ class FunctionsSpec extends SparkSpec {
     val got = SimilarityFunctions.knnJoin(queries, corpus,
         "vec_id", "embedding", "vec_id", "embedding", k = 2)
       .select("c_id").as[Long].collect().toSet
-    // NaN ranks first (Spark sort order), then the exact match
-    assert(got === Set(12L, 10L))
+    assert(got === Set(10L, 11L))
   }
 
   test("boilerplateHits counts per-doc top-K n-gram occurrences") {

@@ -269,6 +269,44 @@ class MultimodalSpec extends SparkSpec {
     assert(tiles.count() == 6) // 48x32 in 16x16 windows
   }
 
+  test("decodeVideoFrames: avc1 (baseline H.264) decodes distributed, bit-exact luma") {
+    val h264 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/tiny_h264.mp4").toURI))
+    val oracle = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/h264/tiny_h264.yuv").toURI))
+    val meta = videoMeta(h264).get
+    assert(meta.format == "avc1")
+    val frames = decodeVideoFrames(
+      spark.createDataset(Seq(MediaRow(7L, "video", h264, meta))).repartition(2),
+      everyNth = 1, maxFrames = 16)
+      .collect().sortBy(_.frame_index)
+    assert(frames.length == 3)
+    val fb = 48 * 32 + 2 * 24 * 16
+    frames.foreach { fr =>
+      assert(fr.height == 32 && fr.width == 48 && fr.sync)
+      val base = fr.frame_index * fb
+      for (i <- 0 until 48 * 32)
+        assert(fr.pixels(i) == (oracle(base + i) & 0xFF).toFloat,
+          s"frame ${fr.frame_index} px $i")
+    }
+  }
+
+  test("extractFeatures kernel: avc1 video rows get REAL H.264 keyframe features") {
+    val h264 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/tiny_h264.mp4").toURI))
+    val out = extractFeatures(
+      spark.createDataset(Seq(MediaRow(9L, "video", h264, videoMeta(h264).get))),
+      dim = 64)
+      .collect().head
+    val oracle = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/graft/h264/tiny_h264.yuv").toURI))
+    val expected = MultimodalFunctions.lumaGridFeatures(
+      java.util.Arrays.copyOfRange(oracle, 0, 48 * 32), 48, 32, 8)
+    assert(out.features.toSeq === expected.toSeq)
+    assert(out.features.toSeq !==
+      StubCodec.extractFeatures(h264, 64).toSeq)
+  }
+
   test("extractFeatures kernel: MJPEG video rows get REAL keyframe features") {
     val meta = videoMeta(mjpegBytes).get
     val out = extractFeatures(
