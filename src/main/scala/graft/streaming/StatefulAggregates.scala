@@ -224,4 +224,55 @@ object StatefulAggregates {
           }
       }
   }
+
+  /** One key's current top-k partners after a micro-batch; `n_seen` is
+    * the cumulative (non-NaN) pair count — monotone per key, so the row
+    * with the largest n_seen IS the latest state. */
+  final case class TopKState(id_a: Long, n_seen: Long, ids: Array[Long],
+                             scores: Array[Double])
+
+  /** Streaming twin of [[graft.functions.SimilarityFunctions.topKPerDoc]]
+    * (the bounded [[graft.expr.TopKPairsAgg]]): maintain each key's exact
+    * top-k (score DESC, id ASC; `ascending` flips the rank direction, NaN
+    * scores skipped) as scored pairs ARRIVE — the online view of "this
+    * doc's k closest partners" that a continuously-ingesting curation
+    * pipeline reads between batch rebuilds. Exact for append-only pair
+    * streams: top-k is a monotone fold, so merging each batch's pairs
+    * into the retained k suffices — state is ≤ k entries per key, emitted
+    * state after ANY prefix of batches equals the batch operator over the
+    * union of those batches (the spec's invariant).
+    *
+    * Scale shape: one shuffle on the key per micro-batch (only keys with
+    * new pairs are touched); state-store payload is k (id, score) pairs
+    * per key — the same docs × k bound as the batch cap. */
+  def runningTopKPartners(pairs: DataFrame, k: Int,
+                          ascending: Boolean = false): Dataset[TopKState] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sign = if (ascending) -1.0 else 1.0
+    val typed = pairs
+      .selectExpr("CAST(id_a AS LONG) AS id_a", "CAST(id_b AS LONG) AS id_b",
+        "CAST(score AS DOUBLE) AS score")
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[(Double, Long)]), TopKState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (idA, rows, state: GroupState[(Long, Array[(Double, Long)])]) =>
+          val (n0, kept0) = state.getOption.getOrElse((0L, Array.empty[(Double, Long)]))
+          val buf = new graft.expr.TopKPairsAgg.Buf(k)
+          kept0.foreach { case (s, i) => buf.add(s, i) }
+          var n = n0
+          rows.foreach { case (_, idB, score) =>
+            if (!java.lang.Double.isNaN(score)) { buf.add(score * sign, idB); n += 1 }
+          }
+          buf.compact()
+          val kept = Array.tabulate(buf.len)(i => (buf.scores(i), buf.ids(i)))
+          state.update((n, kept))
+          // `+ 0.0` normalizes the −0.0 the ascending sign-flip can
+          // produce, exactly like the batch operator
+          Iterator.single(TopKState(idA, n, kept.map(_._2),
+            kept.map(p => p._1 * sign + 0.0)))
+      }
+  }
 }

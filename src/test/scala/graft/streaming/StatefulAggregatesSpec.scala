@@ -193,4 +193,38 @@ class StatefulAggregatesSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("runningTopKPartners: streaming final state == batch topKPerDoc over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // three micro-batches with ties, NaN, and a group that overflows k
+    // across (not within) batches — the monotone-fold property under test
+    val batches = Seq(
+      Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (2L, 20L, 0.25)),
+      Seq((1L, 12L, 0.9), (1L, 13L, Double.NaN), (2L, 21L, 0.75)),
+      Seq((1L, 14L, 0.7), (2L, 22L, 0.75), (3L, 30L, 0.0)))
+    for (asc <- Seq(false, true)) {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Long, Double)]
+      val q = StatefulAggregates.runningTopKPartners(
+          mem.toDF().toDF("id_a", "id_b", "score"), k = 2, ascending = asc)
+        .writeStream.format("memory").queryName(s"topk_$asc")
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        // latest state per key = row with the largest (monotone) n_seen
+        val got = spark.table(s"topk_$asc")
+          .groupBy($"id_a").agg(max(struct($"n_seen", $"ids", $"scores")).as("l"))
+          .select($"id_a", $"l.ids", $"l.scores")
+          .as[(Long, Seq[Long], Seq[Double])].collect()
+          .flatMap { case (a, ids, ss) => ids.zip(ss).map(p => (a, p._1, p._2)) }
+          .toSet
+        val union = batches.flatten.toDF("id_a", "id_b", "score")
+        val want = graft.functions.SimilarityFunctions.topKPerDoc(
+            union, "id_a", "id_b", "score", 2, ascending = asc)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(got === want, s"ascending=$asc")
+        assert(want.nonEmpty)
+      } finally q.stop()
+    }
+  }
 }
