@@ -208,13 +208,21 @@ object H264Decode {
       r.ue(); r.ue(); r.u(1)
       require(r.u(1) == 0, "seq scaling matrices unsupported")
     }
+    // spec-bounded syntax elements: a corrupt ue(v) can decode to ~2^31,
+    // and feeding that to u(n)/loops would spin for minutes — bound every
+    // count BEFORE using it (log2 fields ≤ 16 per 7.4.2.1.1, cycle list
+    // ≤ 255)
     val log2Fn = r.ue() + 4
+    require(log2Fn <= 16, s"log2_max_frame_num $log2Fn out of range")
     val pocType = r.ue()
     var log2Poc = 0
-    if (pocType == 0) log2Poc = r.ue() + 4
-    else if (pocType == 1) {
+    if (pocType == 0) {
+      log2Poc = r.ue() + 4
+      require(log2Poc <= 16, s"log2_max_pic_order_cnt_lsb $log2Poc out of range")
+    } else if (pocType == 1) {
       r.u(1); r.se(); r.se()
       val n = r.ue()
+      require(n <= 255, s"num_ref_frames_in_pic_order_cnt_cycle $n out of range")
       var i = 0
       while (i < n) { r.se(); i += 1 }
     }

@@ -140,6 +140,26 @@ class H264DecodeSpec extends AnyFunSuite {
     giant
   }
 
+  test("a corrupt SPS declaring a multi-billion-bit field fails fast, not slowly") {
+    def pack(bits: String): Array[Byte] = {
+      val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+      padded.grouped(8).map(b => Integer.parseInt(b, 2).toByte).toArray
+    }
+    def ue(v: Long): String = {
+      val code = v + 1
+      "0" * (64 - java.lang.Long.numberOfLeadingZeros(code) - 1) +
+        code.toBinaryString
+    }
+    // profile 66, flags, level, sps_id=0, log2_max_frame_num_minus4 = 2^28:
+    // pre-r13 this reached u(2^28+4) — a quarter-billion-bit spin
+    val rbsp = pack("01000010" + "00000000" + "00010100" + ue(0) + ue(1L << 28))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException](
+      H264Decode.parseSps(rbsp, maxDim = 8192))
+    assert((System.nanoTime() - t0) < 1e9, "rejection must be immediate")
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("streams that require the deblocking filter are rejected, not decoded wrong") {
     // patch the slice header: our fixtures write disable_deblocking_filter_idc
     // = ue(1) = bits "010"; flipping it to ue(0)="1" would shift the
