@@ -205,7 +205,27 @@ def main():
                  lambda mx, my, f: ("I16", [(mx + my) % 4, 2],
                                     [(mx * my) % 4, 0], 26 + ((mx + my) % 8)),
                  seed=4, cqo=2)
-    # 5. the avc1 MP4: 3 frames of the mixed policy at 48x32
+    # 5. QCIF (176x144, 99 MBs/frame): the classic video dimension, two
+    #    frames rotating through every policy — breadth at a real size
+    build_stream("qcif_176x144", 176, 144, 27, 2, mixed_policy, seed=5)
+    # 6. non-VCL NAL units interleaved (SEI before each slice, AUD at the
+    #    start): decoders must skip them — real encoders emit both
+    name = "sei_48x32"
+    enc6 = H.Encoder(48, 32, qp_init=26)
+    y, cb, cr = make_planes(48, 32, 600)
+    nal6, st6 = enc6.encode_frame(y, cb, cr, mixed_policy, frame_idx=0)
+    sei = H.rbsp_to_nal(bytes([5, 4, 0xDE, 0xAD, 0xBE, 0xEF, 0x80]), 0, 6)
+    aud = H.rbsp_to_nal(bytes([0x10]), 0, 9)
+    stream6 = H.annexb([aud, enc6.sps(), enc6.pps(), sei, nal6])
+    got6 = H.Decoder().feed_annexb(stream6)
+    rec6 = crop(st6, 48, 32)
+    assert len(got6) == 1 and got6[0] == rec6, "SEI/AUD skipping broke decode"
+    with open(os.path.join(OUT, f"{name}.264"), "wb") as fh:
+        fh.write(stream6)
+    with open(os.path.join(OUT, f"{name}.yuv"), "wb") as fh:
+        fh.write(yuv_bytes(*rec6))
+    print(f"{name}: SEI+AUD interleaved -> {len(stream6)} B")
+    # 7. the avc1 MP4: 3 frames of the mixed policy at 48x32
     w, h = 48, 32
     enc = H.Encoder(w, h, qp_init=26)
     slice_nals = []

@@ -80,6 +80,15 @@ class TopKPerDocSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("the bounded buffer partial-aggregates BEFORE the exchange (the scale property)") {
+    val plan = SimilarityFunctions.topKPerDoc(tiedPairs, "id_a", "id_b",
+      "score", 3).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial_topk_pairs"),
+      s"expected a partial topk_pairs phase before the exchange, got:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the object-hash aggregate for the bounded buffer, got:\n$plan")
+  }
+
   test("ascending sign round-trip: a 0.0 score comes back +0.0, never -0.0") {
     val pairs = Seq((1L, 2L, 0.0), (1L, 3L, 1.0)).toDF("id_a", "id_b", "score")
     val out = SimilarityFunctions.topKPerDoc(pairs, "id_a", "id_b", "score", 2,

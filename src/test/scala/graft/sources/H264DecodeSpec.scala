@@ -53,6 +53,18 @@ class H264DecodeSpec extends AnyFunSuite {
     checkStream("cqo2_64x48", 64, 48, 1)
   }
 
+  test("QCIF (176x144, 99 MBs/frame, every policy): bit-exact") {
+    checkStream("qcif_176x144", 176, 144, 2)
+  }
+
+  test("non-VCL NAL units (SEI, AUD) are skipped, decode unchanged") {
+    checkStream("sei_48x32", 48, 32, 1)
+    val stream = resource("/graft/h264/sei_48x32.264")
+    val types = H264Decode.splitAnnexB(stream).map(n => n(0) & 0x1F)
+    assert(types.contains(6) && types.contains(9),
+      "fixture must actually interleave SEI and AUD units")
+  }
+
   test("avcC + length-prefixed samples decode equal to the Annex B oracle") {
     val mp4 = resource("/graft/tiny_h264.mp4")
     val oracle = resource("/graft/h264/tiny_h264.yuv")
