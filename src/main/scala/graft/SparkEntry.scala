@@ -1830,6 +1830,33 @@ object SparkEntry {
             .as("sum_y"))
         .orderBy(col("frame_index"))
     }),
+    // ---- eval-set scoring: clipped n-gram overlap (the integer core of
+    // BLEU-n precision / ROUGE-n recall) between each doc and its
+    // successor — a narrow scan-side projection (no shuffle beyond the
+    // pairing join), the shape eval scoring keeps at 100 TB. Ratios are
+    // single IEEE divisions of exact integers (engine-identical); the
+    // exp/ln composition of full BLEU is deliberately NOT driver-gated --
+    "q159_ngram_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(graft.functions.TextFunctions.tokenCount(col("text")) >= 2)
+      val a = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("text").as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("ref"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          T.ngramOverlap(col("cand"), col("ref"), 1).as("o1"),
+          T.ngramOverlap(col("cand"), col("ref"), 2).as("o2"))
+        .select(col("doc_id"),
+          col("o1.matches").cast("long").as("m1"),
+          col("o1.cand_n").cast("long").as("c1"),
+          col("o1.ref_n").cast("long").as("r1"),
+          col("o2.matches").cast("long").as("m2"),
+          col("o2.cand_n").cast("long").as("c2"),
+          r6(col("o1.matches").cast("double") / col("o1.cand_n")).as("bleu1_p"),
+          r6(col("o2.matches").cast("double") / col("o2.ref_n")).as("rouge2_r"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- capped exact pairwise joins: per-doc top-k decisions instead of
     // the all-pairs row set (docs × k output bound — at 100 TB the pair
     // list of a duplicate-heavy corpus dwarfs the corpus; the reference
@@ -3355,6 +3382,33 @@ object SparkEntry {
         |  CAST(sum(conv) AS BIGINT) AS n_converted,
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q159_ngram_overlap" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2
+        |    AND trim(text) <> ''),
+        |g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk)), i -> tk[i]) AS g1,
+        |    list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1]) AS g2
+        |  FROM t),
+        |p AS (SELECT a.doc_id, a.g1 AS c1g, b.g1 AS r1g, a.g2 AS c2g, b.g2 AS r2g
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 13 = 0),
+        |m AS (SELECT doc_id,
+        |    CAST(list_aggregate(list_transform(list_distinct(c1g), x ->
+        |      least(len(list_filter(c1g, y -> y = x)),
+        |            len(list_filter(r1g, y -> y = x)))), 'sum') AS BIGINT) AS m1,
+        |    CAST(len(c1g) AS BIGINT) AS c1, CAST(len(r1g) AS BIGINT) AS r1,
+        |    CAST(list_aggregate(list_transform(list_distinct(c2g), x ->
+        |      least(len(list_filter(c2g, y -> y = x)),
+        |            len(list_filter(r2g, y -> y = x)))), 'sum') AS BIGINT) AS m2,
+        |    CAST(len(c2g) AS BIGINT) AS c2,
+        |    CAST(len(r2g) AS BIGINT) AS r2
+        |  FROM p)
+        |SELECT doc_id, m1, c1, r1, m2, c2,
+        |  round(m1 * 1.0 / c1, 6) AS bleu1_p,
+        |  round(m2 * 1.0 / r2, 6) AS rouge2_r
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q158's oracle is the INDEPENDENT python encoder's reconstruction,
     // pinned as literals (generated by scripts/gen_h264_fixture.py from
     // the committed .yuv): any decode drift in the Scala H.264 path

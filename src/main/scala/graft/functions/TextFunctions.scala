@@ -20,6 +20,64 @@ object TextFunctions {
   /** Token count (whitespace tokens). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** All word n-grams WITH repeats (space-joined), in order — the
+    * multiset the overlap metrics count; the distinct-shingle native
+    * expression serves the dedup family, which only needs membership. */
+  def ngramList(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val tk = tokens(text)
+    when(size(tk) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + lit(1), lit(n)))))
+  }
+
+  /** Clipped n-gram overlap between a candidate and a reference text —
+    * the integer core of BLEU-n precision and ROUGE-n recall:
+    * `struct(matches, cand_n, ref_n)` where `matches` = Σ over distinct
+    * candidate n-grams g of min(count_cand(g), count_ref(g)) (the
+    * standard clipping: a candidate repeating a reference gram more
+    * often than the reference did gets no extra credit), `cand_n` /
+    * `ref_n` = total n-gram counts. BLEU-n precision = matches/cand_n,
+    * ROUGE-n recall = matches/ref_n — both single IEEE divisions of
+    * exact integers, so a DuckDB oracle reproduces them bit-for-bit
+    * (the q115 convention; the geometric-mean/exp composition of full
+    * BLEU is left to [[bleu]], whose transcendentals are NOT
+    * oracle-stable and are therefore not driver-gated).
+    *
+    * Scale shape: pure per-row column expressions — eval scoring runs as
+    * a narrow projection over the scan, no shuffle, no UDF; cost per row
+    * is O(distinct-grams × grams) array scanning, bounded by text
+    * length (eval references are sentences/paragraphs). */
+  def ngramOverlap(cand: Column, ref: Column, n: Int): Column = {
+    val cg = ngramList(cand, n)
+    val rg = ngramList(ref, n)
+    val matches = aggregate(array_distinct(cg), lit(0),
+      (acc, g) => acc + least(size(filter(cg, x => x === g)),
+        size(filter(rg, x => x === g))))
+    struct(matches.as("matches"), size(cg).as("cand_n"), size(rg).as("ref_n"))
+  }
+
+  /** Full BLEU score (uniform weights over 1..maxN, brevity penalty,
+    * zero when any order has zero matches — the uncommon unsmoothed
+    * convention, stated so the number is interpretable). For driver
+    * oracle parity use [[ngramOverlap]]'s rational components; exp/ln
+    * round-trips are not bit-stable across engines. */
+  def bleu(cand: Column, ref: Column, maxN: Int = 4): Column = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val parts = (1 to maxN).map { n =>
+      val o = ngramOverlap(cand, ref, n)
+      o.getField("matches").cast("double") /
+        when(o.getField("cand_n") === 0, lit(1)).otherwise(o.getField("cand_n"))
+    }
+    val logSum = parts.map(p => log(p)).reduce(_ + _)
+    val candLen = tokenCount(cand).cast("double")
+    val refLen = tokenCount(ref).cast("double")
+    val bp = when(candLen >= refLen, lit(1.0))
+      .otherwise(exp(lit(1.0) - refLen / when(candLen === 0, lit(1)).otherwise(candLen)))
+    when(parts.map(p => p > 0).reduce(_ && _),
+      bp * exp(logSum / maxN)).otherwise(lit(0.0))
+  }
+
   /** BPE-ish subword count estimate: alphanumeric runs + each non-space
     * symbol count as one token — the common pre-tokenizer shape used by
     * BPE vocabularies. One regexp_extract_all pass; the pattern avoids

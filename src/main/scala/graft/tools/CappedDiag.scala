@@ -31,10 +31,6 @@ object CappedDiag {
     t("topKPerDoc thr=1M")(graft.functions.SimilarityFunctions.topKPerDoc(pairs, "id_a", "id_b", "jaccard", 2).count())
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
     t("exact+agg_max")(pairs.groupBy(col("id_a")).agg(max(col("jaccard"))).count())
-    t("topk_no_nan_filter")( {
-      val agg = graft.expr.NativeFunctions.topk_pairs(col("jaccard").cast("double"), col("id_b").cast("long"), 2)
-      pairs.groupBy(col("id_a")).agg(agg.as("nn")).select(col("id_a"), explode(col("nn"))).count()
-    })
     t("topk_agg_only_no_explode")( {
       val agg = graft.expr.NativeFunctions.topk_pairs(col("jaccard").cast("double"), col("id_b").cast("long"), 2)
       pairs.groupBy(col("id_a")).agg(agg.as("nn")).count()

@@ -880,4 +880,41 @@ class FunctionsSpec extends SparkSpec {
     // minCount floor: singleton bigrams are absent
     assert(out.forall(_._2._1 >= 2))
   }
+
+  test("ngramOverlap: clipped counts match hand-computed BLEU/ROUGE cores") {
+    // the classic clipping example: candidate repeats "the" 7 times,
+    // reference has it twice -> clipped unigram matches = 2
+    val df = Seq(
+      ("the the the the the the the", "the cat is on the mat"),
+      ("the cat the cat", "the cat sat"),
+      ("a b c d", "a b c d"),
+      ("x", "totally different words here")).toDF("cand", "ref")
+    val got = df.select(
+        TextFunctions.ngramOverlap(col("cand"), col("ref"), 1).as("o1"),
+        TextFunctions.ngramOverlap(col("cand"), col("ref"), 2).as("o2"))
+      .select(col("o1.matches"), col("o1.cand_n"), col("o1.ref_n"),
+        col("o2.matches"), col("o2.cand_n"), col("o2.ref_n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))).toSeq
+    assert(got(0) === ((2, 7, 6, 0, 6, 5)))        // "the the" never in ref
+    // unigrams: cand has the×2 cat×2, ref the×1 cat×1 -> clipped 1+1 = 2;
+    // bigrams of "the cat the cat": [the cat, cat the, the cat];
+    // ref has "the cat" once -> clipped 1
+    assert(got(1) === ((2, 4, 3, 1, 3, 2)))
+    assert(got(2) === ((4, 4, 4, 3, 3, 3)))        // identical -> all match
+    assert(got(3) === ((0, 1, 4, 0, 0, 3)))        // no overlap; 1-token cand has no bigrams
+  }
+
+  test("bleu: perfect match scores 1, disjoint scores 0, brevity penalizes") {
+    val df = Seq(
+      ("a b c d e", "a b c d e"),
+      ("q w e r t", "a b c d e"),
+      ("a b c d", "a b c d e f g h")).toDF("cand", "ref")
+    val got = df.select(round(TextFunctions.bleu(col("cand"), col("ref"), 2), 6))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    // 4/4 unigrams, 3/3 bigrams, BP = exp(1 - 8/4) = e^-1
+    assert(math.abs(got(2) - math.exp(-1.0)) < 1e-6)
+  }
 }
