@@ -1857,6 +1857,60 @@ object SparkEntry {
           r6(col("o2.matches").cast("double") / col("o2.ref_n")).as("rouge2_r"))
         .orderBy(col("doc_id"))
     }),
+    // ---- ROUGE-L integer core: token-level LCS via the native two-row DP
+    // ([[graft.expr.LcsTokensExpr]]) -- precision/recall are single
+    // divisions of the exact integers, so DuckDB's recursive-CTE DP replay
+    // hash-matches. Texts truncated to 40 tokens (sentence/paragraph eval
+    // refs; keeps the O(n*m) per-row cost bounded at any corpus scale) ----
+    "q160_rouge_l" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(T.tokenCount(col("text")) >= 1)
+      def trunc(c: Column) = concat_ws(" ", slice(T.tokens(c), 1, 40))
+      val a = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), trunc(col("text")).as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        trunc(col("text")).as("ref"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"), T.rougeL(col("cand"), col("ref")).as("o"))
+        .select(col("doc_id"),
+          col("o.lcs").cast("long").as("lcs"),
+          col("o.cand_n").cast("long").as("cand_n"),
+          col("o.ref_n").cast("long").as("ref_n"),
+          r6(col("o.lcs").cast("double") / col("o.cand_n")).as("rouge_l_p"),
+          r6(col("o.lcs").cast("double") / col("o.ref_n")).as("rouge_l_r"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- chrF integer core: clipped CHARACTER n-gram overlap over
+    // whitespace-stripped text (orders 2 and 6, the ends of chrF's 1..6
+    // band). Text truncated to 160 chars for the oracle's list-ops replay;
+    // the same narrow-projection shape as q159 ----------------------------
+    "q161_chrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 160).as("t"))
+        .filter(length(regexp_replace(col("t"), "\\s+", "")) >= 6)
+      val a = docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), col("t").as("cand"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"), col("t").as("ref"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          T.charNgramOverlap(col("cand"), col("ref"), 2).as("o2"),
+          T.charNgramOverlap(col("cand"), col("ref"), 6).as("o6"))
+        .select(col("doc_id"),
+          col("o2.matches").cast("long").as("m2"),
+          col("o2.cand_n").cast("long").as("c2"),
+          col("o2.ref_n").cast("long").as("r2"),
+          col("o6.matches").cast("long").as("m6"),
+          col("o6.cand_n").cast("long").as("c6"),
+          r6(col("o2.matches").cast("double") / col("o2.cand_n")).as("chrp2"),
+          r6(col("o6.matches").cast("double") / col("o6.ref_n")).as("chrr6"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- chat-corpus assembly: event log -> role-tagged session
+    // transcripts truncated to a context budget (one user-keyed exchange
+    // end-to-end; per-session aggregate state bounded by the budget) ------
+    "q162_chat_assembly" -> ((s, d) =>
+      graft.functions.ChatFunctions.assembleConversations(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_id"))),
     // ---- capped exact pairwise joins: per-doc top-k decisions instead of
     // the all-pairs row set (docs × k output bound — at 100 TB the pair
     // list of a duplicate-heavy corpus dwarfs the corpus; the reference
@@ -3409,6 +3463,81 @@ object SparkEntry {
         |  round(m1 * 1.0 / c1, 6) AS bleu1_p,
         |  round(m2 * 1.0 / r2, 6) AS rouge2_r
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q160's oracle replays the LCS dynamic program in DuckDB with a
+    // recursive CTE: one iteration per candidate token, the DP row carried
+    // as a list; the intra-row max is resolved by the prefix-max identity
+    // new[j] = max(old[j], max_{j'<=j}(old[j'-1] + eq(j'))) (valid because
+    // old[] is monotone nondecreasing), so each step is pure list ops
+    "q160_rouge_l" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 40) AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |p AS (SELECT a.doc_id, a.tk AS cand, b.tk AS ref
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 7 = 0),
+        |dp AS (
+        |  SELECT doc_id, cand, ref, 0 AS i,
+        |    list_transform(generate_series(0, len(ref)), x -> 0) AS dpr
+        |  FROM p
+        |  UNION ALL
+        |  SELECT doc_id, cand, ref, i + 1,
+        |    list_prepend(0, list_transform(generate_series(1, len(ref)), j ->
+        |      greatest(dpr[j + 1],
+        |        list_max(list_transform(generate_series(1, j), j2 ->
+        |          dpr[j2] + CASE WHEN cand[i + 1] = ref[j2] THEN 1 ELSE 0 END)))))
+        |  FROM dp WHERE i < len(cand))
+        |SELECT doc_id,
+        |  CAST(dpr[len(ref) + 1] AS BIGINT) AS lcs,
+        |  CAST(len(cand) AS BIGINT) AS cand_n,
+        |  CAST(len(ref) AS BIGINT) AS ref_n,
+        |  round(dpr[len(ref) + 1] * 1.0 / len(cand), 6) AS rouge_l_p,
+        |  round(dpr[len(ref) + 1] * 1.0 / len(ref), 6) AS rouge_l_r
+        |FROM dp WHERE i = len(cand) ORDER BY doc_id""".stripMargin,
+    "q161_chrf" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(substr(text, 1, 160), '\s+', '', 'g') AS s
+        |  FROM documents),
+        |f AS (SELECT doc_id, s FROM t WHERE len(s) >= 6),
+        |g AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(s) - 1), i -> substr(s, i, 2)) AS g2,
+        |    list_transform(generate_series(1, len(s) - 5), i -> substr(s, i, 6)) AS g6
+        |  FROM f),
+        |p AS (SELECT a.doc_id, a.g2 AS c2g, b.g2 AS r2g, a.g6 AS c6g, b.g6 AS r6g
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 11 = 0),
+        |m AS (SELECT doc_id,
+        |    CAST(list_aggregate(list_transform(list_distinct(c2g), x ->
+        |      least(len(list_filter(c2g, y -> y = x)),
+        |            len(list_filter(r2g, y -> y = x)))), 'sum') AS BIGINT) AS m2,
+        |    CAST(len(c2g) AS BIGINT) AS c2, CAST(len(r2g) AS BIGINT) AS r2,
+        |    CAST(list_aggregate(list_transform(list_distinct(c6g), x ->
+        |      least(len(list_filter(c6g, y -> y = x)),
+        |            len(list_filter(r6g, y -> y = x)))), 'sum') AS BIGINT) AS m6,
+        |    CAST(len(c6g) AS BIGINT) AS c6,
+        |    len(r6g) AS r6n
+        |  FROM p)
+        |SELECT doc_id, m2, c2, r2, m6, c6,
+        |  round(m2 * 1.0 / c2, 6) AS chrp2,
+        |  round(m6 * 1.0 / r6n, 6) AS chrr6
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q162_chat_assembly" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type, props,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id FROM g),
+        |t AS (SELECT *,
+        |  (CASE WHEN event_type IN ('view','click') THEN 'user' ELSE 'assistant' END)
+        |    || ': ' || event_type || ' ' || props AS line FROM s),
+        |w2 AS (SELECT *, len(regexp_split_to_array(trim(line), '\s+')) AS tok FROM t),
+        |r AS (SELECT *, sum(tok) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run FROM w2)
+        |SELECT user_id, session_id,
+        |  count(*) AS n_turns,
+        |  CAST(sum(CASE WHEN run <= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN run <= 24 THEN tok END), 0) AS BIGINT) AS tokens_kept,
+        |  coalesce(string_agg(CASE WHEN run <= 24 THEN line END, chr(10) ORDER BY ts, event_id), '') AS transcript
+        |FROM r GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     // q158's oracle is the INDEPENDENT python encoder's reconstruction,
     // pinned as literals (generated by scripts/gen_h264_fixture.py from
     // the committed .yuv): any decode drift in the Scala H.264 path

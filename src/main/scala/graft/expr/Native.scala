@@ -39,6 +39,12 @@ object NativeFunctions {
     ColumnBridge.column(TopKPairsAgg(ColumnBridge.expression(score),
       ColumnBridge.expression(id), k).toAggregateExpression())
 
+  /** Native token-level LCS length (the integer core of ROUGE-L):
+    * two-row DP over interned whitespace tokens ([[LcsTokensExpr]]). */
+  def lcs_tokens(cand: Column, ref: Column): Column =
+    ColumnBridge.column(LcsTokensExpr(ColumnBridge.expression(cand),
+      ColumnBridge.expression(ref)))
+
   /** Native one-pass int8 embedding quantization →
     * struct(scale: double, q: array<byte>). */
   def quantize_int8(emb: Column): Column =

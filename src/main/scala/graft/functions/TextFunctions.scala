@@ -48,13 +48,86 @@ object TextFunctions {
     * a narrow projection over the scan, no shuffle, no UDF; cost per row
     * is O(distinct-grams × grams) array scanning, bounded by text
     * length (eval references are sentences/paragraphs). */
-  def ngramOverlap(cand: Column, ref: Column, n: Int): Column = {
-    val cg = ngramList(cand, n)
-    val rg = ngramList(ref, n)
+  def ngramOverlap(cand: Column, ref: Column, n: Int): Column =
+    clippedOverlap(ngramList(cand, n), ngramList(ref, n))
+
+  /** Clipped-overlap core shared by the word ([[ngramOverlap]]) and
+    * character ([[charNgramOverlap]]) metrics: Σ over distinct candidate
+    * grams of min(count_cand, count_ref), plus both totals. */
+  private def clippedOverlap(cg: Column, rg: Column): Column = {
     val matches = aggregate(array_distinct(cg), lit(0),
       (acc, g) => acc + least(size(filter(cg, x => x === g)),
         size(filter(rg, x => x === g))))
     struct(matches.as("matches"), size(cg).as("cand_n"), size(rg).as("ref_n"))
+  }
+
+  /** All character n-grams WITH repeats over the whitespace-stripped
+    * text — the chrF convention (spaces carry no signal; stripping them
+    * keeps the metric tokenization-independent, which is chrF's point). */
+  def charNgramList(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val s = regexp_replace(text, "\\s+", "")
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
+        i => substring(s, i, lit(n))))
+  }
+
+  /** Clipped character n-gram overlap — the integer core of chrF-n:
+    * `struct(matches, cand_n, ref_n)` with the same clipping as
+    * [[ngramOverlap]]. chrP-n = matches/cand_n, chrR-n = matches/ref_n;
+    * single IEEE divisions of exact integers, oracle-stable. */
+  def charNgramOverlap(cand: Column, ref: Column, n: Int): Column =
+    clippedOverlap(charNgramList(cand, n), charNgramList(ref, n))
+
+  /** Full chrF score: Fβ of the macro-averaged character n-gram
+    * precision/recall over orders 1..maxN (orders where both sides have
+    * zero n-grams are skipped, the sacrebleu convention; β=2 weights
+    * recall double). Entirely rational arithmetic — but the average and
+    * Fβ compose several divisions, so the driver oracle pins the per-order
+    * components ([[charNgramOverlap]]) and this composition is spec-only. */
+  def chrF(cand: Column, ref: Column, maxN: Int = 6, beta: Double = 2.0): Column = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val orders = (1 to maxN).map { n =>
+      val o = charNgramOverlap(cand, ref, n)
+      val m = o.getField("matches").cast("double")
+      val cn = o.getField("cand_n"); val rn = o.getField("ref_n")
+      val present = (cn > 0) || (rn > 0)
+      (when(present, m / when(cn === 0, lit(1)).otherwise(cn)).otherwise(lit(0.0)),
+        when(present, m / when(rn === 0, lit(1)).otherwise(rn)).otherwise(lit(0.0)),
+        when(present, lit(1.0)).otherwise(lit(0.0)))
+    }
+    val k = orders.map(_._3).reduce(_ + _)
+    val denom = when(k === 0, lit(1.0)).otherwise(k)
+    val p = orders.map(_._1).reduce(_ + _) / denom
+    val r = orders.map(_._2).reduce(_ + _) / denom
+    val b2 = lit(beta * beta)
+    when(k === 0, lit(0.0))
+      .otherwise(when(p + r === 0, lit(0.0))
+        .otherwise((lit(1.0) + b2) * p * r / (b2 * p + r)))
+  }
+
+  /** ROUGE-L integer core: `struct(lcs, cand_n, ref_n)` where `lcs` is
+    * the token-level longest-common-subsequence length (native two-row
+    * DP, [[graft.expr.LcsTokensExpr]]). ROUGE-L precision = lcs/cand_n,
+    * recall = lcs/ref_n — single divisions of exact integers,
+    * oracle-stable. Per-row cost is O(cand·ref) tokens: pre-truncate
+    * open-ended documents; eval references are sentence/paragraph sized. */
+  def rougeL(cand: Column, ref: Column): Column =
+    struct(graft.expr.NativeFunctions.lcs_tokens(cand, ref).as("lcs"),
+      tokenCount(cand).as("cand_n"), tokenCount(ref).as("ref_n"))
+
+  /** ROUGE-L Fβ (β=1 → harmonic mean of LCS precision/recall; 0 when the
+    * LCS is empty). Rational arithmetic, but composed divisions — the
+    * driver oracle pins [[rougeL]]'s components; use r6-rounded outputs
+    * when cross-engine comparing this composition. */
+  def rougeLScore(cand: Column, ref: Column, beta: Double = 1.0): Column = {
+    val o = rougeL(cand, ref)
+    val l = o.getField("lcs").cast("double")
+    val p = l / when(o.getField("cand_n") === 0, lit(1)).otherwise(o.getField("cand_n"))
+    val r = l / when(o.getField("ref_n") === 0, lit(1)).otherwise(o.getField("ref_n"))
+    val b2 = lit(beta * beta)
+    when(p + r === 0, lit(0.0))
+      .otherwise((lit(1.0) + b2) * p * r / (b2 * p + r))
   }
 
   /** Full BLEU score (uniform weights over 1..maxN, brevity penalty,

@@ -917,4 +917,110 @@ class FunctionsSpec extends SparkSpec {
     // 4/4 unigrams, 3/3 bigrams, BP = exp(1 - 8/4) = e^-1
     assert(math.abs(got(2) - math.exp(-1.0)) < 1e-6)
   }
+
+  test("lcs_tokens: hand cases + 80-case sweep vs independent memoized LCS") {
+    val df = Seq(
+      ("a b c d e", "a x c y e"),     // a c e
+      ("the cat sat", "the cat sat"),
+      ("a a b a", "b a a a"),         // a a a
+      ("x y z", "p q r"),
+      ("", "a b")).toDF("cand", "ref")
+    val got = df.select(graft.expr.NativeFunctions.lcs_tokens(col("cand"), col("ref")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(3, 3, 3, 0, 0))
+    // independent oracle: top-down MEMOIZED recursion (different algorithm
+    // from the expression's bottom-up rolled-row DP)
+    def lcsRef(a: Array[String], b: Array[String]): Int = {
+      val memo = collection.mutable.Map.empty[(Int, Int), Int]
+      def go(i: Int, j: Int): Int =
+        if (i == a.length || j == b.length) 0
+        else memo.getOrElseUpdate((i, j),
+          if (a(i) == b(j)) 1 + go(i + 1, j + 1)
+          else math.max(go(i + 1, j), go(i, j + 1)))
+      go(0, 0)
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "ab", "xy")
+    val cases = Seq.fill(80) {
+      def sent() = Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (sent(), sent())
+    }
+    val out = cases.toDF("cand", "ref")
+      .select(col("cand"), col("ref"),
+        graft.expr.NativeFunctions.lcs_tokens(col("cand"), col("ref")))
+      .collect()
+    out.foreach { r =>
+      def tk(s: String) = s.trim.split("\\s+").filter(_.nonEmpty)
+      assert(r.getInt(2) === lcsRef(tk(r.getString(0)), tk(r.getString(1))),
+        s"'${r.getString(0)}' vs '${r.getString(1)}'")
+    }
+  }
+
+  test("rougeL / rougeLScore: components and F1") {
+    val df = Seq(("a b c d", "a c")).toDF("cand", "ref")
+    val row = df.select(
+        TextFunctions.rougeL(col("cand"), col("ref")).as("o"),
+        TextFunctions.rougeLScore(col("cand"), col("ref")).as("f"))
+      .select(col("o.lcs"), col("o.cand_n"), col("o.ref_n"), col("f"))
+      .collect()(0)
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) === ((2, 4, 2)))
+    // P = 2/4, R = 2/2 -> F1 = 2*0.5*1.0/1.5 = 2/3
+    assert(math.abs(row.getDouble(3) - 2.0 / 3.0) < 1e-12)
+    val zero = Seq(("x y", "p q")).toDF("cand", "ref")
+      .select(TextFunctions.rougeLScore(col("cand"), col("ref")))
+      .collect()(0).getDouble(0)
+    assert(zero === 0.0)
+  }
+
+  test("charNgramOverlap: whitespace-stripped clipped char n-grams") {
+    // "ab cab" strips to "abcab": 2-grams [ab bc ca ab]; ref "abab":
+    // [ab ba ab] -> clipped ab:min(2,2)=2, bc 0, ca 0 => 2 of 4 vs 3
+    val df = Seq(("ab cab", "ab ab"), ("abc", "abc"), ("ab", "cd")).toDF("cand", "ref")
+    val got = df.select(TextFunctions.charNgramOverlap(col("cand"), col("ref"), 2))
+      .collect().map(r => (r.getStruct(0).getInt(0), r.getStruct(0).getInt(1),
+        r.getStruct(0).getInt(2))).toSeq
+    assert(got === Seq((2, 4, 3), (2, 2, 2), (0, 1, 1)))
+  }
+
+  test("chrF: identical -> 1, disjoint -> 0; absent orders skipped") {
+    val df = Seq(
+      ("ab", "ab"),            // orders 3..6 vacuous on both sides -> skipped
+      ("aaaa bbbb", "cc dd"),
+      ("hello world", "hello world")).toDF("cand", "ref")
+    val got = df.select(TextFunctions.chrF(col("cand"), col("ref")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    assert(got(2) === 1.0)
+  }
+
+  test("assembleConversations: gap sessionization, budget truncation, role tags") {
+    val T_ = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      // user 1: two turns 5 min apart (one session), then a 25-min gap
+      (1L, T_("2024-01-01 10:00:00"), 1L, "view", 1.0, "{\"k\":1}"),
+      (2L, T_("2024-01-01 10:05:00"), 1L, "click", 1.0, "{\"k\":2}"),
+      (3L, T_("2024-01-01 10:30:00"), 1L, "purchase", 1.0, "{\"k\":3}"),
+      // user 2: one session, assistant-role events
+      (4L, T_("2024-01-01 09:00:00"), 2L, "error", 1.0, "{\"k\":4}"),
+      (5L, T_("2024-01-01 09:01:00"), 2L, "signup", 1.0, "{\"k\":5}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // each line is 3 whitespace tokens; budget 5 keeps exactly one turn
+    val out = ChatFunctions.assembleConversations(events, tokenBudget = 5)
+      .orderBy(col("user_id"), col("session_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out === Array(
+      (1L, 0, 2L, 1L, 3L, "user: view {\"k\":1}"),
+      (1L, 1, 1L, 1L, 3L, "assistant: purchase {\"k\":3}"),
+      (2L, 0, 2L, 1L, 3L, "assistant: error {\"k\":4}")))
+    // budget 6 fits both turns of user 1's first session, newline-joined
+    val full = ChatFunctions.assembleConversations(events, tokenBudget = 6)
+      .filter(col("user_id") === 1 && col("session_id") === 0)
+      .collect()(0)
+    assert(full.getLong(3) === 2L)
+    assert(full.getString(5) ===
+      "user: view {\"k\":1}\nuser: click {\"k\":2}")
+  }
 }
