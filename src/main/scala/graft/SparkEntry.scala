@@ -1911,6 +1911,32 @@ object SparkEntry {
     "q162_chat_assembly" -> ((s, d) =>
       graft.functions.ChatFunctions.assembleConversations(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_id"))),
+    // ---- audio spectral features through the REAL WAV decode path:
+    // PCM synthesized from a documented integer formula, exported through
+    // pcm16Wav, decoded back by the JDK's independent parser on executors,
+    // then framed into exact Walsh-Hadamard band magnitudes + zcr/energy
+    // (all integer arithmetic). The DuckDB oracle recomputes every
+    // coefficient from the same formula via bit_count parity WITHOUT the
+    // container round-trip - a single decoded sample off anywhere breaks
+    // a band sum ----------------------------------------------------------
+    "q163_audio_spectral" -> ((s, _) => {
+      import s.implicits._
+      val rows = (0 until 8).map { id =>
+        val samples = Array.tabulate(1024) { n =>
+          (((id + 3).toLong * ((n.toLong * n) % 977) + 17L * n) % 4096 - 2048).toShort
+        }
+        val bytes = Multimodal.AudioCodec.pcm16Wav(samples, 8000)
+        Multimodal.MediaRow(id.toLong, "audio", bytes,
+          Multimodal.AudioCodec.decodeMeta(bytes).get)
+      }
+      Multimodal.audioSpectral(s.createDataset(rows), frameSize = 64, nBands = 4)(s)
+        .toDF()
+        .select(col("media_id"), col("frame").cast("long").as("frame"),
+          col("zcr").cast("long").as("zcr"), col("energy").as("energy"),
+          col("bands")(0).as("b0"), col("bands")(1).as("b1"),
+          col("bands")(2).as("b2"), col("bands")(3).as("b3"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
     // ---- capped exact pairwise joins: per-doc top-k decisions instead of
     // the all-pairs row set (docs × k output bound — at 100 TB the pair
     // list of a duplicate-heavy corpus dwarfs the corpus; the reference
@@ -3538,6 +3564,28 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN run <= 24 THEN tok END), 0) AS BIGINT) AS tokens_kept,
         |  coalesce(string_agg(CASE WHEN run <= 24 THEN line END, chr(10) ORDER BY ts, event_id), '') AS transcript
         |FROM r GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // q163: the oracle recomputes every Walsh-Hadamard coefficient from
+    // the documented PCM formula via bit_count parity - integer-exact, no
+    // container round-trip, so it independently checks the WAV decode
+    "q163_audio_spectral" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 7)) AS id),
+        |s AS (SELECT id, list_transform(generate_series(0, 1023), n ->
+        |    ((id + 3) * ((n*n) % 977) + 17 * n) % 4096 - 2048) AS x FROM ids),
+        |fs AS (SELECT unnest(generate_series(0, 15)) AS f),
+        |fr AS (SELECT id, f, list_slice(x, f*64 + 1, f*64 + 64) AS w FROM s CROSS JOIN fs),
+        |c AS (SELECT id, f, w,
+        |    list_transform(generate_series(0, 63), k ->
+        |      abs(list_aggregate(list_transform(generate_series(0, 63), n ->
+        |        w[n+1] * (CASE WHEN bit_count(CAST(n AS BIGINT) & k) % 2 = 0 THEN 1 ELSE -1 END)), 'sum'))) AS mag
+        |  FROM fr)
+        |SELECT CAST(id AS BIGINT) AS media_id, CAST(f AS BIGINT) AS frame,
+        |  CAST(len(list_filter(generate_series(2, 64), i -> (w[i] >= 0) <> (w[i-1] >= 0))) AS BIGINT) AS zcr,
+        |  CAST(list_aggregate(list_transform(w, v -> v*v), 'sum') AS BIGINT) AS energy,
+        |  CAST(list_aggregate(list_slice(mag, 1, 16), 'sum') AS BIGINT) AS b0,
+        |  CAST(list_aggregate(list_slice(mag, 17, 32), 'sum') AS BIGINT) AS b1,
+        |  CAST(list_aggregate(list_slice(mag, 33, 48), 'sum') AS BIGINT) AS b2,
+        |  CAST(list_aggregate(list_slice(mag, 49, 64), 'sum') AS BIGINT) AS b3
+        |FROM c ORDER BY media_id, frame""".stripMargin,
     // q158's oracle is the INDEPENDENT python encoder's reconstruction,
     // pinned as literals (generated by scripts/gen_h264_fixture.py from
     // the committed .yuv): any decode drift in the Scala H.264 path

@@ -196,6 +196,133 @@ object MultimodalFunctions {
           }
         } finally in.close()
       } catch { case _: Exception => None }
+
+    /** Canonical 44-byte RIFF/WAVE container around little-endian 16-bit
+      * PCM — the export half of the codec (the decode half is the JDK's
+      * real parser, so encode→decode round-trips through a genuinely
+      * independent reader). Mono. */
+    def pcm16Wav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** Decoded 16-bit PCM sample stream (channel-interleaved order as
+      * stored; the spectral features treat the stream positionally). */
+    private[functions] def decodePcm16(bytes: Array[Byte]): Option[Array[Short]] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16) None
+          else {
+            val pcm = in.readAllBytes()
+            val le = !f.isBigEndian
+            Some(Array.tabulate(pcm.length / 2) { i =>
+              val lo = pcm(2 * i) & 0xFF; val hi = pcm(2 * i + 1) & 0xFF
+              (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+            })
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** In-place unnormalized fast Walsh–Hadamard transform (natural
+      * Hadamard order): coef(k) = Σ_n x(n)·(−1)^popcount(n AND k). */
+    private[functions] def fwht(a: Array[Long]): Unit = {
+      var h = 1
+      while (h < a.length) {
+        var i = 0
+        while (i < a.length) {
+          var j = i
+          while (j < i + h) {
+            val x = a(j); val y = a(j + h)
+            a(j) = x + y; a(j + h) = x - y
+            j += 1
+          }
+          i += 2 * h
+        }
+        h *= 2
+      }
+    }
+
+    /** EXACT spectral frame features over the decoded PCM stream:
+      * per `frameSize`-sample frame (complete frames only) —
+      * zero-crossing count, energy Σx², and `nBands` contiguous
+      * Walsh–Hadamard band magnitudes (Σ|coef| per band, natural
+      * Hadamard coefficient order). The WHT is the ±1-basis spectral
+      * transform: every output is integer arithmetic on the exact PCM
+      * samples, so features are bit-reproducible across engines — an
+      * external replay (the q163 DuckDB oracle recomputes coefficients
+      * via bit_count parity) verifies the whole WAV decode path sample
+      * for sample. frameSize must be a power of two divisible by nBands. */
+    def spectralFrames(bytes: Array[Byte], frameSize: Int, nBands: Int)
+        : Option[Seq[SpectralFrame]] = {
+      require(frameSize >= 2 && (frameSize & (frameSize - 1)) == 0,
+        s"frameSize must be a power of two, got $frameSize")
+      require(nBands >= 1 && frameSize % nBands == 0,
+        s"nBands must divide frameSize, got $nBands / $frameSize")
+      decodePcm16(bytes).map { pcm =>
+        val nFrames = pcm.length / frameSize
+        (0 until nFrames).map { f =>
+          val w = new Array[Long](frameSize)
+          var i = 0
+          while (i < frameSize) { w(i) = pcm(f * frameSize + i); i += 1 }
+          var zcr = 0
+          var energy = 0L
+          i = 0
+          while (i < frameSize) {
+            if (i > 0 && (w(i) >= 0) != (w(i - 1) >= 0)) zcr += 1
+            energy += w(i) * w(i)
+            i += 1
+          }
+          fwht(w)
+          val per = frameSize / nBands
+          val bands = Array.tabulate(nBands) { b =>
+            var sum = 0L
+            var k = b * per
+            while (k < (b + 1) * per) { sum += math.abs(w(k)); k += 1 }
+            sum
+          }
+          SpectralFrame(f, zcr, energy, bands)
+        }
+      }
+    }
+  }
+
+  /** One spectral analysis frame ([[AudioCodec.spectralFrames]]). */
+  final case class SpectralFrame(frame: Int, zcr: Int, energy: Long,
+      bands: Array[Long])
+
+  /** Per-media spectral frame rows ([[SpectralFrame]] + media id). */
+  final case class SpectralRow(media_id: Long, frame: Int, zcr: Int,
+      energy: Long, bands: Array[Long])
+
+  /** Distributed audio spectral featurization: each media row's PCM
+    * stream framed and transformed on executors ([[AudioCodec
+    * .spectralFrames]]); undecodable/non-16-bit payloads yield no rows.
+    * Same partition-parallel shape as [[decodeVideoFrames]] — per-row
+    * cost is O(samples · log frameSize), scan-dominated at corpus scale. */
+  def audioSpectral(ds: Dataset[MediaRow], frameSize: Int, nBands: Int)
+                   (implicit spark: SparkSession): Dataset[SpectralRow] = {
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { row =>
+        AudioCodec.spectralFrames(row.content, frameSize, nBands)
+          .getOrElse(Seq.empty)
+          .iterator.map(sf =>
+            SpectralRow(row.media_id, sf.frame, sf.zcr, sf.energy, sf.bands))
+      }
+    }
   }
 
   /** ===== REAL video frame decode (Motion-JPEG family) =====

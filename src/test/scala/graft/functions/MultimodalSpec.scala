@@ -165,6 +165,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out.features.toSeq === AudioCodec.rmsFeatures(wav, 10).get.toSeq)
   }
 
+  test("pcm16Wav: canonical WAV round-trips through the JDK decoder bit-exact") {
+    val samples = Array.tabulate(300)(n => ((n * 37) % 4001 - 2000).toShort)
+    val wav = AudioCodec.pcm16Wav(samples, 8000)
+    val meta = AudioCodec.decodeMeta(wav).get
+    assert(meta.format === "wav" && meta.sampleRate === 8000 && meta.channels === 1)
+    assert(AudioCodec.decodePcm16(wav).get.toSeq === samples.toSeq)
+  }
+
+  test("spectralFrames: WHT bands, zcr, energy on analytic signals") {
+    // constant signal: all mass in coefficient 0 (band 0), zero crossings 0
+    val c = Array.fill(64)(100.toShort)
+    val Seq(f0) = AudioCodec.spectralFrames(AudioCodec.pcm16Wav(c, 8000), 64, 4).get
+    assert(f0.zcr === 0 && f0.energy === 64L * 100 * 100)
+    assert(f0.bands.toSeq === Seq(6400L, 0L, 0L, 0L))
+    // alternating sign: x_n·(−1)^popcount(n&1) is constant, so ALL mass in
+    // coefficient k=1 (still band 0); 63 crossings
+    val alt = Array.tabulate(64)(n => (if (n % 2 == 0) 100 else -100).toShort)
+    val Seq(f1) = AudioCodec.spectralFrames(AudioCodec.pcm16Wav(alt, 8000), 64, 4).get
+    assert(f1.zcr === 63)
+    assert(f1.bands.toSeq === Seq(6400L, 0L, 0L, 0L))
+    // Walsh function for k=16 lands in band 1 (coefficients 16..31)
+    val w16 = Array.tabulate(64)(n =>
+      (if (java.lang.Integer.bitCount(n & 16) % 2 == 0) 50 else -50).toShort)
+    val Seq(f2) = AudioCodec.spectralFrames(AudioCodec.pcm16Wav(w16, 8000), 64, 4).get
+    assert(f2.bands.toSeq === Seq(0L, 3200L, 0L, 0L))
+    // incomplete trailing frame dropped; garbage undecodable
+    assert(AudioCodec.spectralFrames(
+      AudioCodec.pcm16Wav(Array.fill(130)(1.toShort), 8000), 64, 4).get.size === 2)
+    assert(AudioCodec.spectralFrames("not audio".getBytes, 64, 4).isEmpty)
+  }
+
+  test("audioSpectral dataset op: per-frame rows; undecodable payloads drop") {
+    val wav = AudioCodec.pcm16Wav(
+      Array.tabulate(192)(n => ((n * 13) % 201 - 100).toShort), 8000)
+    val rows = spark.createDataset(Seq(
+      MediaRow(1L, "audio", wav, AudioCodec.decodeMeta(wav).get),
+      MediaRow(2L, "audio", "junk".getBytes,
+        MediaMeta("bin", 0, 0, 0, 0, 0))))
+    val out = audioSpectral(rows, 64, 4).collect()
+    assert(out.map(_.media_id).toSet === Set(1L))
+    assert(out.length === 3)
+    val direct = AudioCodec.spectralFrames(wav, 64, 4).get
+    assert(out.sortBy(_.frame).map(r => (r.frame, r.zcr, r.energy, r.bands.toSeq)).toSeq
+      === direct.map(f => (f.frame, f.zcr, f.energy, f.bands.toSeq)))
+  }
+
   test("Mp4Demux: real frame inventory from the checked-in MP4 fixture") {
     // tiny_clip.mp4 was hand-assembled by an independent generator: one
     // avc1 64x48 track, timescale 600, 6 samples of sizes 10..20 in two
