@@ -1863,13 +1863,19 @@ object SparkEntry {
     // hash-matches. Texts truncated to 40 tokens (sentence/paragraph eval
     // refs; keeps the O(n*m) per-row cost bounded at any corpus scale) ----
     "q160_rouge_l" -> ((s, d) => {
+      // whitespace is normalized (collapse + trim) BEFORE truncation on
+      // both this side and the oracle: the rejoin-then-retokenize pattern
+      // would otherwise drop a leading-empty token (text starting with a
+      // tab/newline) that DuckDB's list_slice keeps
       val docs = Tables.documents(s, d)
-        .filter(T.tokenCount(col("text")) >= 1)
+        .select(col("doc_id"),
+          trim(regexp_replace(col("text"), "\\s+", " ")).as("nt"))
+        .filter(col("nt") =!= "")
       def trunc(c: Column) = concat_ws(" ", slice(T.tokens(c), 1, 40))
       val a = docs.filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"), trunc(col("text")).as("cand"))
+        .select(col("doc_id"), trunc(col("nt")).as("cand"))
       val b = docs.select((col("doc_id") - 1).as("doc_id"),
-        trunc(col("text")).as("ref"))
+        trunc(col("nt")).as("ref"))
       a.join(b, "doc_id")
         .select(col("doc_id"), T.rougeL(col("cand"), col("ref")).as("o"))
         .select(col("doc_id"),
@@ -3495,9 +3501,12 @@ object SparkEntry {
     // new[j] = max(old[j], max_{j'<=j}(old[j'-1] + eq(j'))) (valid because
     // old[] is monotone nondecreasing), so each step is pure list ops
     "q160_rouge_l" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 40) AS tk
-        |  FROM documents WHERE trim(text) <> ''),
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, list_slice(regexp_split_to_array(nt, ' '), 1, 40) AS tk
+        |  FROM n WHERE nt <> ''),
         |p AS (SELECT a.doc_id, a.tk AS cand, b.tk AS ref
         |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
         |  WHERE a.doc_id % 7 = 0),
@@ -3554,7 +3563,7 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id FROM g),
         |t AS (SELECT *,
         |  (CASE WHEN event_type IN ('view','click') THEN 'user' ELSE 'assistant' END)
-        |    || ': ' || event_type || ' ' || props AS line FROM s),
+        |    || ': ' || event_type || ' ' || coalesce(props, '') AS line FROM s),
         |w2 AS (SELECT *, len(regexp_split_to_array(trim(line), '\s+')) AS tok FROM t),
         |r AS (SELECT *, sum(tok) OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS run FROM w2)

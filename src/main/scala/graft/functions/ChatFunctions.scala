@@ -50,8 +50,13 @@ object ChatFunctions {
     val newSession = when(
       unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser) > gapMicros, 1)
       .otherwise(0)
+    // props is coalesced to '' (NOT skipped): concat_ws would silently
+    // drop a NULL props while a '||' replay nulls the whole line — the
+    // explicit empty pins ONE cross-engine behavior (trailing space and
+    // all) for null-props events
     val line = concat_ws(" ",
-      concat(role(col("event_type")), lit(":")), col("event_type"), col("props"))
+      concat(role(col("event_type")), lit(":")), col("event_type"),
+      coalesce(col("props"), lit("")))
     val withSession = events
       .withColumn("new_s", newSession)
       .withColumn("session_id", sum(col("new_s")).over(byUser).cast("int"))

@@ -1214,7 +1214,11 @@ object DedupFunctions {
     * take the max, the stale one is re-GC'd by the next compaction) —
     * the delete-then-rename swap this replaces had a window where the
     * published path held NOTHING. Single concurrent writer assumed, as
-    * with any log-structured store. */
+    * with any log-structured store. Readers may OVERLAP a compaction: the
+    * previous complete generation is retained for one full cycle (only
+    * `gen<=N-1` debris is GC'd here; `gen=N` dies at the NEXT compaction),
+    * so a reader that resolved `gen=N` just before `gen=N+1` published
+    * still finds its files for the duration of its scan. */
   def compactWindowIndex(spark: org.apache.spark.sql.SparkSession,
                          dir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1226,10 +1230,14 @@ object DedupFunctions {
       else live.substring(live.lastIndexOf("gen=") + 4).toLong
     val next = s"${dir.stripSuffix("/")}/gen=${curGen + 1}"
     readWindowIndex(spark, dir).write.mode("overwrite").parquet(next)
-    // GC everything that is not the just-published generation: the old
-    // gen dir, any half-written (marker-less) gens, and flat root files
+    // GC: keep the just-published generation AND the one it replaced (a
+    // reader that resolved gen=N moments before the publish must be able
+    // to finish its scan — gen=N is deleted by the NEXT compaction, one
+    // full cycle later); everything older, any half-written (marker-less)
+    // future gens from crashes, and flat root files go now
+    val keep = Set(s"gen=$curGen", s"gen=${curGen + 1}")
     fs.listStatus(root).foreach { st =>
-      if (st.getPath.getName != s"gen=${curGen + 1}") fs.delete(st.getPath, true)
+      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
     }
   }
 

@@ -358,13 +358,32 @@ object MultimodalFunctions {
         true
       } catch { case _: Exception => false })
 
+    /** Probe-decode the FIRST keyframe of an AVC track: the config-level
+      * [[avcConfigSupported]] check proves only that the SPS/PPS parse
+      * (CAVLC, progressive, 4:2:0) — a stream whose picture parameter set
+      * passes but whose slices enable deblocking, or that carries
+      * P-slices past the supported subset, would otherwise report
+      * decodable while every per-frame decode throws. One keyframe decode
+      * settles it; bounded cost (one frame, first 32 samples scanned). */
+    def probeAvcKeyframe(bytes: Array[Byte], cfg: Array[Byte]): Boolean =
+      try {
+        Mp4Demux.sampleFrames(bytes, everyNth = 1, maxFrames = 32)
+          .find(_.sync)
+          .flatMap(s => Mp4Demux.samplePayloadOpt(bytes, s))
+          .exists(p =>
+            graft.sources.H264Decode.decodeAvccSamples(cfg, Seq(p)).nonEmpty)
+      } catch { case _: Exception => false }
+
     /** True when the MP4's video track decodes on this JVM: MJPEG-family
-      * (each frame a complete JPEG) or baseline-subset H.264 with a
-      * parseable avcC configuration. */
+      * (each frame a complete JPEG) or baseline-subset H.264 whose avcC
+      * parses AND whose first keyframe actually probe-decodes — so a
+      * `true` here guarantees [[decodeVideoFrames]] yields rows for any
+      * stream whose frames are coded like its first keyframe. */
     def canDecode(bytes: Array[Byte]): Boolean =
       Mp4Demux.demux(bytes).exists(_.tracks.exists(t =>
         t.handler == "vide" && (isMjpeg(t.codec) ||
-          (isAvc(t.codec) && avcConfigSupported(t.codecConfig)))))
+          (isAvc(t.codec) && avcConfigSupported(t.codecConfig) &&
+            probeAvcKeyframe(bytes, t.codecConfig)))))
 
     /** Decode one coded frame to a gray intensity plane (row-major floats,
       * same raster contract as the scene readers): single-band images come

@@ -30,11 +30,15 @@ object ExternalProcessor {
       val p = pb.start()
       val outReader = new java.io.BufferedReader(
         new java.io.InputStreamReader(p.getInputStream))
+      // The drain thread and this thread share `sb`: all appends happen on
+      // the drain thread, reads happen here only AFTER join() (or, on
+      // timeout, a bounded join attempt), with the lock making the final
+      // read safe even when the drain is still mid-append at kill time.
       val sb = new StringBuilder
       val drain = new Thread(() => {
         var line = outReader.readLine()
         while (line != null) {
-          if (sb.length < 65536) sb.append(line).append('\n')
+          sb.synchronized { if (sb.length < 65536) sb.append(line).append('\n') }
           line = outReader.readLine()
         }
       })
@@ -42,8 +46,14 @@ object ExternalProcessor {
       val finished = p.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
       if (!finished) {
         p.destroyForcibly() // processor.py:82–85 stops the container
-        (-1, true, sb.toString)
-      } else (p.exitValue(), false, sb.toString)
+        drain.join(2000) // bounded: a wedged pipe must not extend the timeout
+        (-1, true, sb.synchronized(sb.toString))
+      } else {
+        // Exit observed, but the pipe may still hold buffered output the
+        // drain thread has not consumed — wait for EOF before reading.
+        drain.join(10000)
+        (p.exitValue(), false, sb.synchronized(sb.toString))
+      }
     } catch {
       case e: Exception => (-2, false, String.valueOf(e.getMessage))
     }

@@ -668,11 +668,20 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(root.listFiles().map(_.getName).toSet === Set("gen=1"),
       "old segments must be GC'd after the new generation publishes")
     // append INTO the compacted generation, compact again: generations
-    // advance (gen=2), counts keep summing
+    // advance (gen=2), counts keep summing — and the PREVIOUS generation
+    // is retained one full cycle, so a reader that resolved gen=1 just
+    // before this compaction still finds its files mid-scan
     DedupFunctions.appendToWindowIndex(docs2, "text", "doc_id", L = 2, dir)
     DedupFunctions.compactWindowIndex(spark, dir)
-    assert(root.listFiles().map(_.getName).toSet === Set("gen=2"))
+    assert(root.listFiles().map(_.getName).toSet === Set("gen=1", "gen=2"),
+      "previous complete generation must survive one compaction cycle")
     val hotKey = merged.maxBy(_._2)._1 // the "w1 w2" digest: 2 + 1 before
+    assert(snapshot()(hotKey) === merged(hotKey) + 1)
+    // an overlapping reader on the retained generation still scans cleanly
+    assert(spark.read.parquet(s"$dir/gen=1").count() > 0)
+    // the cycle closes: the NEXT compaction GCs gen=1, keeps gen=2+gen=3
+    DedupFunctions.compactWindowIndex(spark, dir)
+    assert(root.listFiles().map(_.getName).toSet === Set("gen=2", "gen=3"))
     assert(snapshot()(hotKey) === merged(hotKey) + 1)
   }
 
