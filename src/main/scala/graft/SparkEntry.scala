@@ -1973,8 +1973,70 @@ object SparkEntry {
       graft.functions.EntityResolution.fuzzyPairsSummary(
           Tables.part(s, d).filter(col("p_partkey") % 5 === 0),
           "p_name", "p_partkey", maxDist = 1, blocking = "band")
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+    // ---- WARC container scan → per-record text extraction: the LLM-data
+    // front door (Common Crawl → text). Both the plain and per-record-gzip
+    // layouts read through the SAME parser; file = task (gzip is
+    // unsplittable — exactly Common Crawl's parallel unit), records explode
+    // executor-side, zero shuffle. Oracle rows are literals from the
+    // INDEPENDENT python extraction replay (scripts/gen_warc_fixture.py) --
+    "q164_warc_extract" -> ((s, _) => {
+      val H = graft.functions.HtmlFunctions
+      graft.sources.Warc.readWarc(s, warcFixtureDir())
+        .select(
+          when(col("file").endsWith(".warc.gz"), "gz")
+            .otherwise("plain").as("kind"),
+          col("record_index").cast("long").as("record_index"),
+          col("warc_type"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          length(col("payload")).cast("long").as("payload_len"),
+          when(col("http_content_type").startsWith("text/html"),
+            H.htmlToText(col("payload").cast("string")))
+            .otherwise(col("payload").cast("string")).as("text"))
+        .select(col("kind"), col("record_index"), col("warc_type"),
+          col("target_uri"), col("http_status"), col("payload_len"),
+          md5(col("text").cast("binary")).as("text_md5"),
+          length(col("text")).cast("long").as("text_chars"))
+        .orderBy(col("kind"), col("record_index"))
+    }),
+    // ---- main-content extraction (jusText/Arc90-style density rule) over
+    // the archived HTML 200-responses: per page the kept-block count and
+    // main-text digest vs the full-page text length — pure column
+    // expressions, boilerplate (nav/footer/link farms) drops by the
+    // chars≥25 ∧ 3·link_chars≤chars rule --------------------------------
+    "q165_html_main_text" -> ((s, _) => {
+      val H = graft.functions.HtmlFunctions
+      graft.sources.Warc.readWarc(s, warcFixtureDir())
+        .filter(col("file").endsWith(".warc.gz") &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(col("target_uri"), col("payload").cast("string").as("html"))
+        .select(col("target_uri"),
+          size(H.keptBlocks(col("html"))).cast("long").as("n_blocks"),
+          H.mainText(col("html")).as("mt"),
+          H.htmlToText(col("html")).as("ft"))
+        .select(col("target_uri"), col("n_blocks"),
+          md5(col("mt").cast("binary")).as("main_md5"),
+          length(col("mt")).cast("long").as("main_chars"),
+          length(col("ft")).cast("long").as("full_chars"))
+        .orderBy(col("target_uri"))
+    })
   )
+
+  /** Materialize the committed WARC fixture (classpath resources, written
+    * by scripts/gen_warc_fixture.py) into a temp directory so q164/q165
+    * exercise the real binaryFile scan path end-to-end. Idempotent. */
+  private def warcFixtureDir(): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-warc-fixture")
+    java.nio.file.Files.createDirectories(dir)
+    Seq("tiny.warc", "tiny.warc.gz").foreach { name =>
+      val in = getClass.getResourceAsStream(s"/graft/warc/$name")
+      val bytes = try in.readAllBytes() finally in.close()
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    dir.toString
+  }
 
   /** DuckDB-runnable oracle SQL per query; column names/aliases match the
     * Spark side exactly (the driver sorts columns by name before hashing).
@@ -3650,7 +3712,34 @@ object SparkEntry {
         |e AS (SELECT id_a AS id, dist FROM pr
         |      UNION ALL SELECT id_b AS id, dist FROM pr)
         |SELECT id, count(*) AS n_partners, min(dist) AS best_dist
-        |FROM e GROUP BY id ORDER BY id""".stripMargin
+        |FROM e GROUP BY id ORDER BY id""".stripMargin,
+    // q164/q165: oracle rows are literals computed by the INDEPENDENT
+    // python extraction replay in scripts/gen_warc_fixture.py — the
+    // fixture bytes and every expected digest share no code with the Scala
+    // WARC parser / HTML extractor under test, so a drift anywhere in
+    // record framing, gzip-member handling, HTTP header split, tag strip,
+    // entity decode, or the density rule breaks a literal.
+    "q164_warc_extract" ->
+      """WITH r(record_index, warc_type, target_uri, http_status,
+        |       payload_len, text_md5, text_chars) AS (VALUES
+        |  (CAST(0 AS BIGINT), 'warcinfo', '', CAST(-1 AS BIGINT), CAST(59 AS BIGINT), 'bf750d1cf4c3cf46a63dd4777ad49d2b', CAST(59 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'request', 'http://fixture.example/page-a', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'response', 'http://fixture.example/page-a', CAST(200 AS BIGINT), CAST(823 AS BIGINT), 'bc0618804c87b63f9bdde1555c16a220', CAST(334 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'response', 'http://fixture.example/page-b', CAST(200 AS BIGINT), CAST(409 AS BIGINT), 'e84749f0ddb580a6a1bf8b67c53a2500', CAST(216 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'response', 'http://fixture.example/robots.txt', CAST(200 AS BIGINT), CAST(47 AS BIGINT), '504cc27d124aa4267375563c721fd87f', CAST(47 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'response', 'http://fixture.example/missing', CAST(404 AS BIGINT), CAST(45 AS BIGINT), '606f595e097047571ca4510cd647285a', CAST(12 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'response', 'http://fixture.example/page-c', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT))),
+        |k(kind) AS (VALUES ('gz'), ('plain'))
+        |SELECT kind, record_index, warc_type, target_uri, http_status,
+        |  payload_len, text_md5, text_chars
+        |FROM k CROSS JOIN r ORDER BY kind, record_index""".stripMargin,
+    "q165_html_main_text" ->
+      """WITH v(target_uri, n_blocks, main_md5, main_chars, full_chars) AS (VALUES
+        |  ('http://fixture.example/page-a', CAST(3 AS BIGINT), '7082a12b4c92208d0bef0ef955a0d96e', CAST(275 AS BIGINT), CAST(334 AS BIGINT)),
+        |  ('http://fixture.example/page-b', CAST(2 AS BIGINT), '4f6e839a4693ac150824786770f70aa6', CAST(202 AS BIGINT), CAST(216 AS BIGINT)),
+        |  ('http://fixture.example/page-c', CAST(2 AS BIGINT), '5c3d0254c0cbbf65083a65234e700c41', CAST(90 AS BIGINT), CAST(116 AS BIGINT)))
+        |SELECT target_uri, n_blocks, main_md5, main_chars, full_chars
+        |FROM v ORDER BY target_uri""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

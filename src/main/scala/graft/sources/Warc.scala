@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.zip.GZIPInputStream
+
+/** WARC (Web ARChive, ISO 28500) record reader — the front door of an
+  * LLM-data pipeline: Common-Crawl-style `.warc`/`.warc.gz` containers
+  * explode into one row per archived record, whose HTTP response payloads
+  * then feed the HTML-extraction / quality / dedup stack.
+  *
+  * Role-equivalent to the reference's "container → usable rows" archive
+  * stage (bdc_collection_builder/collections/utils.py:94–187 extracts
+  * scene products from zip/tar containers; here the container is a web
+  * archive and the products are captured HTTP exchanges).
+  *
+  * Format facts used (all from the public WARC 1.0/1.1 spec):
+  *  - a WARC file is a plain concatenation of records;
+  *  - each record = a header block of `Name: value` lines opened by a
+  *    `WARC/x.y` version line and closed by an empty line (CRLF framing),
+  *    followed by exactly `Content-Length` payload bytes, followed by two
+  *    CRLFs;
+  *  - `.warc.gz` compresses each record as its OWN gzip member so readers
+  *    can resume at member boundaries. `GZIPInputStream` consumes
+  *    concatenated members transparently, and the in-stream record
+  *    framing (Content-Length) is identical either way, so ONE parser
+  *    covers both layouts.
+  *
+  * Scale shape: gzip is not splittable, so the FILE is the unit of
+  * parallelism — exactly how Common Crawl ships (tens of thousands of
+  * ~1 GB `.warc.gz` segments), making a `binaryFile` scan + per-file
+  * parse the natural 100 TB plan: one task per file, no shuffle, records
+  * explode executor-side. The in-memory cap bounds a task's footprint
+  * against archive bombs.
+  */
+object Warc {
+
+  /** One parsed WARC record. `http_status`/`http_content_type` are -1/""
+    * for records whose block is not an HTTP message (warcinfo, metadata);
+    * `payload` is the HTTP body for response/request records (headers
+    * stripped), the raw block otherwise. */
+  final case class WarcRecord(
+      record_index: Int,
+      warc_type: String,
+      record_id: String,
+      warc_date: String,
+      target_uri: String,
+      content_type: String,
+      content_length: Long,
+      http_status: Int,
+      http_content_type: String,
+      payload: Array[Byte])
+
+  /** Hard cap on one record's payload held in memory (64 MiB — far above
+    * any real captured page, far below an executor heap). A record that
+    * declares more is SKIPPED (not truncated: a silently cut body would
+    * mis-extract downstream), and parsing resumes at the next record. */
+  val MaxRecordBytes: Int = 64 * 1024 * 1024
+
+  private def looksGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B
+
+  /** Read one CRLF- (or bare-LF-)terminated header line as ISO-8859-1
+    * (header bytes are ASCII per spec; 8859-1 is byte-transparent).
+    * Returns null at EOF. */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(96)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  /** Returns the n bytes, or null on EOF mid-payload (truncated file). */
+  private def readExactly(in: InputStream, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(out, off, n - off)
+      if (r < 0) return null
+      off += r
+    }
+    out
+  }
+
+  /** Returns false on EOF before n bytes were skipped. */
+  private def skipFully(in: InputStream, n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) { if (in.read() < 0) return false; left -= 1 }
+      else left -= s
+    }
+    true
+  }
+
+  /** Parse a WARC container (plain or per-record-gzip) with SALVAGE
+    * semantics — the right contract for dirty web-crawl data at 100 TB
+    * scale, where one truncated container must not fail a whole task:
+    *  - trailing garbage / a non-`WARC/` line where a version line is due
+    *    ends the parse with the records read so far;
+    *  - a header without Content-Length ends the parse (framing is lost);
+    *  - EOF inside a payload drops that partial record and ends the parse;
+    *  - a corrupt gzip member ends the parse with the records read so far;
+    *  - an oversized record is skipped whole and parsing CONTINUES
+    *    (framing is still intact).
+    * All four salvage paths are pinned in WarcSpec. */
+  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val raw: InputStream =
+      if (looksGzip(bytes)) new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
+      else new ByteArrayInputStream(bytes)
+    val out = Seq.newBuilder[WarcRecord]
+    var idx = 0
+    var done = false
+    try {
+      while (!done) {
+        // seek the version line (skips inter-record CRLFs)
+        var line = readLine(raw)
+        while (line != null && line.isEmpty) line = readLine(raw)
+        if (line == null) done = true
+        else if (!line.startsWith("WARC/")) done = true // framing lost
+        else {
+          // named header fields up to the blank line
+          val fields = scala.collection.mutable.Map.empty[String, String]
+          var h = readLine(raw)
+          while (h != null && h.nonEmpty) {
+            val i = h.indexOf(':')
+            if (i > 0) fields(h.substring(0, i).trim.toLowerCase) =
+              h.substring(i + 1).trim
+            h = readLine(raw)
+          }
+          val len = fields.get("content-length")
+            .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(-1L)
+          if (len < 0) done = true // no Content-Length: framing lost
+          else if (len > MaxRecordBytes) {
+            if (!skipFully(raw, len)) done = true else idx += 1
+          } else {
+            val block = readExactly(raw, len.toInt)
+            if (block == null) done = true // truncated payload: drop record
+            else {
+              val ctype = fields.getOrElse("content-type", "")
+              val (status, httpCt, payload) =
+                if (ctype.startsWith("application/http")) parseHttp(block)
+                else (-1, "", block)
+              out += WarcRecord(
+                record_index = idx,
+                warc_type = fields.getOrElse("warc-type", ""),
+                record_id = fields.getOrElse("warc-record-id", ""),
+                warc_date = fields.getOrElse("warc-date", ""),
+                target_uri = fields.getOrElse("warc-target-uri", ""),
+                content_type = ctype,
+                content_length = len,
+                http_status = status,
+                http_content_type = httpCt,
+                payload = payload)
+              idx += 1
+            }
+          }
+        }
+      }
+    } catch {
+      case _: java.io.IOException => // corrupt gzip member: salvage
+    } finally raw.close()
+    out.result()
+  }
+
+  /** Split an HTTP message block into (status, content-type, body).
+    * Status is parsed from the `HTTP/x.y NNN ...` status line (or -1 for
+    * a request block, whose first line is `METHOD uri HTTP/x.y`). */
+  private def parseHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
+    // find the header/body split: first CRLFCRLF (or LFLF)
+    var i = 0
+    var split = -1
+    while (split < 0 && i < block.length - 1) {
+      if (block(i) == '\n' &&
+          (i + 1 < block.length && block(i + 1) == '\n')) split = i + 2
+      else if (block(i) == '\n' && i + 2 < block.length &&
+          block(i + 1) == '\r' && block(i + 2) == '\n') split = i + 3
+      i += 1
+    }
+    if (split < 0) return (-1, "", block) // headerless: hand back raw
+    val head = new String(block, 0, split, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r?\n")
+    val status =
+      if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+        val parts = lines(0).split(" ")
+        if (parts.length >= 2 && parts(1).forall(_.isDigit)) parts(1).toInt else -1
+      } else -1
+    val ct = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith("content-type:") =>
+        l.substring(l.indexOf(':') + 1).trim
+    }.getOrElse("")
+    (status, ct, java.util.Arrays.copyOfRange(block, split, block.length))
+  }
+
+  /** Distributed WARC scan: one row per record across every `.warc` /
+    * `.warc.gz` under `path`. File = task (gzip is unsplittable; Common
+    * Crawl's layout makes files the parallel unit), records explode
+    * executor-side, no shuffle. Columns mirror [[WarcRecord]] plus the
+    * source `file`. */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        parseWarc(bytes).map(r => (file, r.record_index, r.warc_type,
+          r.record_id, r.warc_date, r.target_uri, r.content_type,
+          r.content_length, r.http_status, r.http_content_type, r.payload))
+      }
+      .toDF("file", "record_index", "warc_type", "record_id", "warc_date",
+        "target_uri", "content_type", "content_length", "http_status",
+        "http_content_type", "payload")
+  }
+}

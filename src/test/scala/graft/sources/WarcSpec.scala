@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** WARC reader: layout equivalence (plain ≡ per-record gzip), HTTP message
+  * split, and the four salvage paths documented on [[Warc.parseWarc]].
+  * The committed fixture bytes come from the INDEPENDENT python generator
+  * (scripts/gen_warc_fixture.py); q164/q165 pin the extracted digests. */
+class WarcSpec extends SparkSpec {
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/warc/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def rec(rtype: String, uri: String, ctype: String,
+      block: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder("WARC/1.0\r\n")
+    h ++= s"WARC-Type: $rtype\r\n"
+    if (uri.nonEmpty) h ++= s"WARC-Target-URI: $uri\r\n"
+    h ++= s"Content-Type: $ctype\r\n"
+    h ++= s"Content-Length: ${block.length}\r\n\r\n"
+    h.toString.getBytes(ISO_8859_1) ++ block ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  test("plain and per-record-gzip layouts parse to identical records") {
+    val plain = Warc.parseWarc(resource("tiny.warc"))
+    val gz = Warc.parseWarc(resource("tiny.warc.gz"))
+    assert(plain.size == 7 && gz.size == 7)
+    plain.zip(gz).foreach { case (a, b) =>
+      assert(a.record_index == b.record_index)
+      assert(a.warc_type == b.warc_type && a.target_uri == b.target_uri)
+      assert(a.content_length == b.content_length)
+      assert(a.http_status == b.http_status)
+      assert(a.http_content_type == b.http_content_type)
+      assert(java.util.Arrays.equals(a.payload, b.payload))
+    }
+  }
+
+  test("HTTP response/request blocks split into status, type, body") {
+    val rs = Warc.parseWarc(resource("tiny.warc"))
+    val pageA = rs(2)
+    assert(pageA.http_status == 200)
+    assert(pageA.http_content_type == "text/html; charset=utf-8")
+    // body excludes the HTTP headers: content_length is the WHOLE block
+    assert(pageA.payload.length < pageA.content_length)
+    assert(new String(pageA.payload, ISO_8859_1).startsWith("<!DOCTYPE html>"))
+    val req = rs(1)
+    assert(req.warc_type == "request" && req.http_status == -1)
+    assert(req.payload.isEmpty) // GET request: headers only, empty body
+    val info = rs.head
+    assert(info.warc_type == "warcinfo" && info.http_status == -1)
+    assert(info.payload.length == info.content_length) // non-HTTP: raw block
+  }
+
+  test("salvage: trailing garbage ends parse with records read so far") {
+    val good = rec("response", "http://x/a", "text/plain", "hello".getBytes)
+    val bytes = good ++ "NOT A WARC VERSION LINE\r\njunk".getBytes(ISO_8859_1)
+    val rs = Warc.parseWarc(bytes)
+    assert(rs.size == 1 && new String(rs.head.payload) == "hello")
+  }
+
+  test("salvage: missing Content-Length ends parse (framing lost)") {
+    val good = rec("response", "http://x/a", "text/plain", "one".getBytes)
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n" +
+      "body of unknown length").getBytes(ISO_8859_1)
+    val after = rec("response", "http://x/c", "text/plain", "never".getBytes)
+    val rs = Warc.parseWarc(good ++ bad ++ after)
+    assert(rs.size == 1 && new String(rs.head.payload) == "one")
+  }
+
+  test("salvage: EOF inside a payload drops the partial record") {
+    val good = rec("response", "http://x/a", "text/plain", "one".getBytes)
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 1000\r\n\r\nonly a little").getBytes(ISO_8859_1)
+    val rs = Warc.parseWarc(good ++ truncated)
+    assert(rs.size == 1 && new String(rs.head.payload) == "one")
+  }
+
+  test("salvage: corrupt gzip member yields the records before it") {
+    val m1 = gzipBytes(rec("response", "http://x/a", "text/plain", "one".getBytes))
+    val m2 = gzipBytes(rec("response", "http://x/b", "text/plain", "two".getBytes))
+    // corrupt the second member's deflate stream body (keep its header)
+    val corrupt = m2.clone()
+    var i = 12; while (i < corrupt.length - 8) { corrupt(i) = (corrupt(i) ^ 0x55).toByte; i += 1 }
+    val rs = Warc.parseWarc(m1 ++ corrupt)
+    assert(rs.size == 1 && new String(rs.head.payload) == "one")
+  }
+
+  test("oversized record is skipped whole and parsing continues") {
+    val big = new Array[Byte](Warc.MaxRecordBytes + 1)
+    val bytes = rec("response", "http://x/big", "text/plain", big) ++
+      rec("response", "http://x/after", "text/plain", "kept".getBytes)
+    val rs = Warc.parseWarc(bytes)
+    // index 0 is consumed by the skipped record; the survivor is index 1
+    assert(rs.size == 1 && rs.head.record_index == 1)
+    assert(new String(rs.head.payload) == "kept")
+  }
+
+  test("readWarc explodes records distributed, one row per record per file") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-spec")
+    Seq("tiny.warc", "tiny.warc.gz").foreach { n =>
+      java.nio.file.Files.write(dir.resolve(n), resource(n))
+    }
+    val df = Warc.readWarc(spark, dir.toString)
+    assert(df.count() == 14)
+    val statuses = df.filter("http_status = 200").count()
+    assert(statuses == 8) // 4 OK responses × 2 layouts
+    assert(df.select("file").distinct().count() == 2)
+  }
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+}
