@@ -114,6 +114,84 @@ def build_stream(name, w, h, qp, frames, policy, seed, noise=40, cqo=0):
     return nals, recons
 
 
+def mc_source(ref_st, w, h, mv_of_mb, bump):
+    """Build a P source frame as the EXACT motion-compensated prediction
+    of the reference reconstruction plus per-MB residual bumps — the knob
+    that steers quantized CBP values (bump=0 -> cbp 0 even with mvd!=0)."""
+    mbW, mbH = (w + 15) // 16, (h + 15) // 16
+    W, H = mbW * 16, mbH * 16
+    y = [[0] * W for _ in range(H)]
+    cb = [[0] * (W // 2) for _ in range(H // 2)]
+    cr = [[0] * (W // 2) for _ in range(H // 2)]
+    for mby in range(mbH):
+        for mbx in range(mbW):
+            mv = mv_of_mb(mbx, mby)
+            py = H264.mc_luma(ref_st.y, W, H, mbx * 16, mby * 16, *mv)
+            pcb = H264.mc_chroma(ref_st.cb, W // 2, H // 2, mbx * 8,
+                                 mby * 8, *mv)
+            pcr = H264.mc_chroma(ref_st.cr, W // 2, H // 2, mbx * 8,
+                                 mby * 8, *mv)
+            by, bcb, bcr = bump(mbx, mby)
+            for i in range(16):
+                for j in range(16):
+                    y[mby * 16 + i][mbx * 16 + j] = H264.clip255(
+                        py[i][j] + by(i, j))
+            for i in range(8):
+                for j in range(8):
+                    cb[mby * 8 + i][mbx * 8 + j] = H264.clip255(
+                        pcb[i][j] + bcb(i, j))
+                    cr[mby * 8 + i][mbx * 8 + j] = H264.clip255(
+                        pcr[i][j] + bcr(i, j))
+    return y, cb, cr
+
+
+def build_p_stream(name, w, h, qp, ipolicy, p_frames, seed, noise=40,
+                   cqo=0):
+    """IDR + P frames. p_frames is a list of (policy, source) pairs where
+    source(ref_st, f) -> (y, cb, cr) full-MB-padded planes."""
+    mbW, mbH = (w + 15) // 16, (h + 15) // 16
+    enc = H.Encoder(w, h, qp_init=qp, chroma_qp_offset=cqo,
+                    num_ref_frames=1)
+    nals = [enc.sps(), enc.pps()]
+    oracle = bytearray()
+    recons = []
+    y, cb, cr = make_planes(w, h, seed * 100, noise)
+    nal, st = enc.encode_frame(pad(y, mbW * 16, mbH * 16),
+                               pad(cb, mbW * 8, mbH * 8),
+                               pad(cr, mbW * 8, mbH * 8),
+                               ipolicy, frame_idx=0, qp=qp)
+    nals.append(nal)
+    recons.append(crop(st, w, h))
+    oracle += yuv_bytes(*recons[-1])
+    ref = st
+    for f, (policy, source) in enumerate(p_frames, start=1):
+        ys, cbs, crs = source(ref, f)
+        nal, st = enc.encode_frame_p(pad(ys, mbW * 16, mbH * 16),
+                                     pad(cbs, mbW * 8, mbH * 8),
+                                     pad(crs, mbW * 8, mbH * 8),
+                                     ref, policy, frame_idx=f)
+        nals.append(nal)
+        recons.append(crop(st, w, h))
+        oracle += yuv_bytes(*recons[-1])
+        ref = st
+    stream = H.annexb(nals)
+    dec = H.Decoder()
+    got = dec.feed_annexb(stream)
+    assert len(got) == len(recons), (name, len(got))
+    for f in range(len(recons)):
+        assert got[f] == recons[f], f"{name}: frame {f} decode != recon"
+    with open(os.path.join(OUT, f"{name}.264"), "wb") as fh:
+        fh.write(stream)
+    with open(os.path.join(OUT, f"{name}.yuv"), "wb") as fh:
+        fh.write(bytes(oracle))
+    print(f"{name}: {w}x{h} IDR+{len(p_frames)}P qp{qp} -> "
+          f"{len(stream)} B (oracle {len(oracle)} B)")
+    return nals, recons, enc
+
+
+H264 = H  # alias for mc_source
+
+
 # ------------------------------------------------------------------- MP4
 
 def box(typ, payload):
@@ -133,7 +211,8 @@ def avcc_box(sps_nal, pps_nal):
     return box(b"avcC", cfg)
 
 
-def mux_avc1(w, h, slice_nals, sps_nal, pps_nal, timescale=1000, delta=100):
+def mux_avc1(w, h, slice_nals, sps_nal, pps_nal, timescale=1000, delta=100,
+             sync=None):
     frames = [struct.pack(">I", len(n)) + n for n in slice_nals]
     nf = len(frames)
     dur = nf * delta
@@ -168,8 +247,9 @@ def mux_avc1(w, h, slice_nals, sps_nal, pps_nal, timescale=1000, delta=100):
                  struct.pack(">Hh", 24, -1)) + avcc_box(sps_nal, pps_nal)
         stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + box(b"avc1", entry))
         stts = full(b"stts", 0, 0, struct.pack(">III", 1, nf, delta))
-        stss = full(b"stss", 0, 0, struct.pack(">I", nf) +
-                    b"".join(struct.pack(">I", i + 1) for i in range(nf)))
+        sync_list = sync if sync is not None else list(range(1, nf + 1))
+        stss = full(b"stss", 0, 0, struct.pack(">I", len(sync_list)) +
+                    b"".join(struct.pack(">I", i) for i in sync_list))
         stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, nf, 1))
         stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, nf) +
                     b"".join(struct.pack(">I", len(f)) for f in frames))
@@ -247,6 +327,144 @@ def main():
         fh.write(bytes(oracle))
     print(f"tiny_h264.mp4: {w}x{h} x3 -> {len(mp4)} B "
           f"(oracle {len(oracle)} B)")
+
+    # ---------------- P-frame fixtures (single-ref 16x16 regime) --------
+    nobump = lambda mbx, mby: ((lambda r, c: 0),) * 3  # noqa: E731
+
+    # 8. mixed P stream: inter with dense residuals + quarter-pel MVs in
+    #    every phase, P_Skip, intra-in-P (I4/I16), per-MB QP deltas
+    def p_mixed(mbx, mby, f):
+        i = mbx + mby * 5 + f * 3
+        if i % 5 == 0:
+            return ("SKIP",)
+        if i % 7 == 2:
+            return ("I4", (lambda z: [(z + i) % 9, 2]), [i % 4, 0],
+                    24 + (i % 5))
+        if i % 7 == 5:
+            return ("I16", [i % 4, 2], [i % 4, 0], 26)
+        return ("P16", (((i * 7) % 29) - 14, ((i * 11) % 23) - 11),
+                24 + (i % 6))
+
+    def fresh64(ref, f):
+        return make_planes(64, 48, 4000 + f)
+
+    build_p_stream("pmix_64x48", 64, 48, 26, mixed_policy,
+                   [(p_mixed, fresh64)] * 3, seed=40)
+
+    # 9. CBP-diverse P frames: source = EXACT MC of the reference plus
+    #    targeted bumps -> inter cbp 0 (with nonzero MVD), each single
+    #    luma 8x8, chroma-DC-only, chroma-AC, and mixed patterns
+    def mv_of(f):
+        def g(mbx, mby):
+            i = mbx + mby * 4 + f
+            return (((i * 5) % 13) - 6, ((i * 3) % 9) - 4)
+        return g
+
+    def bump_of(f):
+        z = lambda r, c: 0  # noqa: E731
+
+        def lum8(e):
+            return lambda r, c: 20 if (r // 8) * 2 + (c // 8) == e else 0
+
+        def g(mbx, mby):
+            i = (mbx + mby * 4 + f * 3) % 8
+            if i == 0:
+                return z, z, z                                  # cbp 0
+            if i <= 4:
+                return lum8(i - 1), z, z                        # cbp 1/2/4/8
+            if i == 5:
+                return z, (lambda r, c: 12), z                  # cbp 16
+            if i == 6:
+                return z, (lambda r, c: 10 if (r + c) % 2 else -10), z  # 32
+            return ((lambda r, c: 15 if (r + c) % 3 == 0 else 0),
+                    (lambda r, c: 8), (lambda r, c: -8))        # mixed
+        return g
+
+    def cbp_src(f):
+        return lambda ref, _f: mc_source(ref, 64, 48, mv_of(f), bump_of(f))
+
+    def cbp_pol(f):
+        mv = mv_of(f)
+        return lambda mbx, mby, _f: ("P16", mv(mbx, mby), None)
+
+    build_p_stream("pcbp_64x48", 64, 48, 26,
+                   lambda mx, my, f: ("I16", [(mx + my) % 4, 2], [0], 26),
+                   [(cbp_pol(f), cbp_src(f)) for f in (1, 2)], seed=41)
+
+    # 10. global pan: one P frame per quarter-pel phase (all 16 (fx,fy)
+    #     combos, negative x / positive y integer parts, edge clamping);
+    #     source = exact MC so recon IS the interpolator output
+    pan_frames = []
+    for k in range(16):
+        mv = ((k % 4) - 8, (k // 4) + 4)
+        pan_frames.append((
+            (lambda m: lambda mbx, mby, _f: ("P16", m, None))(mv),
+            (lambda m: lambda ref, _f: mc_source(
+                ref, 48, 32, lambda a, b: m, nobump))(mv)))
+    build_p_stream("pan_48x32", 48, 32, 24, mixed_policy, pan_frames,
+                   seed=42)
+
+    # 11. skip-heavy: an ALL-skip frame (trailing mb_skip_run), a sparse
+    #     frame (runs around coded MBs), and a frame whose skip MBs take
+    #     the NONZERO median-mvp motion (neighbours all moving (6,4))
+    def skip_all(mbx, mby, f):
+        return ("SKIP",)
+
+    def skip_sparse(mbx, mby, f):
+        if (mbx, mby) == (1, 0):
+            return ("P16", (9, -5), 22)
+        if (mbx, mby) == (0, 1):
+            return ("I16", [2], [0], 24)
+        return ("SKIP",)
+
+    def skip_ctx(mbx, mby, f):
+        if mby == 0 or (mbx, mby) == (0, 1):
+            return ("P16", (6, 4), None)
+        return ("SKIP",)
+
+    def fresh48(ref, f):
+        return make_planes(48, 32, 4300 + f)
+
+    build_p_stream("pskip_48x32", 48, 32, 24, mixed_policy,
+                   [(skip_all, fresh48), (skip_sparse, fresh48),
+                    (skip_ctx, fresh48)], seed=43)
+
+    # 12. the P-frame avc1 MP4 (q166): IDR + 3 P, stss marks only frame 1
+    w, h = 48, 32
+    encp = H.Encoder(w, h, qp_init=26, num_ref_frames=1)
+    nals_p = []
+    oracle_p = bytearray()
+    y, cb, cr = make_planes(w, h, 950)
+    nal, st = encp.encode_frame(y, cb, cr, mixed_policy, frame_idx=0)
+    nals_p.append(nal)
+    recons_p = [crop(st, w, h)]
+    oracle_p += yuv_bytes(*recons_p[-1])
+    ref = st
+    for f in range(1, 4):
+        ys, cbs, crs = make_planes(w, h, 950 + f)
+        nal, st = encp.encode_frame_p(ys, cbs, crs, ref, p_mixed,
+                                      frame_idx=f, qp=25)
+        nals_p.append(nal)
+        recons_p.append(crop(st, w, h))
+        oracle_p += yuv_bytes(*recons_p[-1])
+        ref = st
+    got = H.Decoder().feed_annexb(
+        H.annexb([encp.sps(), encp.pps()] + nals_p))
+    assert len(got) == 4 and all(got[f] == recons_p[f] for f in range(4))
+    mp4p = mux_avc1(w, h, nals_p, encp.sps(), encp.pps(), sync=[1])
+    with open(os.path.join(RES, "tiny_h264p.mp4"), "wb") as fh:
+        fh.write(mp4p)
+    with open(os.path.join(OUT, "tiny_h264p.yuv"), "wb") as fh:
+        fh.write(bytes(oracle_p))
+    print(f"tiny_h264p.mp4: {w}x{h} IDR+3P -> {len(mp4p)} B")
+    print("-- q166 oracle VALUES (frame_index, sync, h, w, sum_y) --")
+    for f, rec in enumerate(recons_p):
+        sum_y = sum(sum(row) for row in rec[0])
+        sync_f = "TRUE" if f == 0 else "FALSE"
+        print(f"  (CAST({f} AS BIGINT), {sync_f}, CAST({h} AS BIGINT), "
+              f"CAST({w} AS BIGINT), CAST({sum_y} AS BIGINT)),")
+    cov = sorted(str(x) for x in encp.coverage if x[0] != "ct")
+    print("p-coverage:", cov)
 
 
 if __name__ == "__main__":

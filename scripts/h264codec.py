@@ -208,6 +208,18 @@ CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
 assert sorted(CBP_INTRA) == list(range(48)), "Table 9-4 must be a bijection"
 CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(CBP_INTRA)}
 
+# Table 9-4, Inter column. Epistemic status: recalled as the committee's
+# (intra, inter) PAIR table; the intra halves of those pairs reproduce
+# CBP_INTRA above entry-for-entry (independently validated there), which
+# cross-anchors the inter halves. Asserted a bijection on 0..47; the
+# most-probable prefix (0,16,1,2,4,8,32,3 = "nothing coded" first, single
+# 8x8s and chroma-only next) also matches the table's documented design.
+CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+             14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+             17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41]
+assert sorted(CBP_INTER) == list(range(48)), "Table 9-4 must be a bijection"
+CBP_INTER_INV = {cbp: i for i, cbp in enumerate(CBP_INTER)}
+
 # z-scan order of 4x4 luma blocks: decode order -> raster index in the MB
 ZSCAN4 = [0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15]
 RASTER_TO_Z = {r: z for z, r in enumerate(ZSCAN4)}
@@ -745,6 +757,138 @@ def above_right_available(bx, by, mb_w):
     return nb < cur
 
 
+# --------------------------------------- inter prediction (MC, 8.4.2.2)
+
+def _tap6(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def mc_luma(ref, W, H, x0, y0, mvx, mvy):
+    """16x16 luma motion compensation at quarter-pel precision
+    (8.4.2.2.1/.2, the Figure 8-4 a..s positions): 6-tap half-pel
+    [1,-5,20,20,-5,1], centre position j from UNCLIPPED intermediate sums
+    ((j1+512)>>10), quarter positions by rounding averages of the two
+    nearest integer/half samples. Reference reads clamp to the frame edge
+    (8.4.2.2.1 sample clipping). mv in quarter-pel units."""
+    ix, iy = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+
+    def p(x, y):
+        return ref[min(max(y, 0), H - 1)][min(max(x, 0), W - 1)]
+
+    def half_h(x, y):  # b: half-pel between (x,y) and (x+1,y)
+        return clip255((_tap6(p(x - 2, y), p(x - 1, y), p(x, y),
+                              p(x + 1, y), p(x + 2, y), p(x + 3, y)) + 16) >> 5)
+
+    def half_v(x, y):  # h: half-pel between (x,y) and (x,y+1)
+        return clip255((_tap6(p(x, y - 2), p(x, y - 1), p(x, y),
+                              p(x, y + 1), p(x, y + 2), p(x, y + 3)) + 16) >> 5)
+
+    def hsum(x, y):    # unclipped horizontal 6-tap sum (j intermediates)
+        return _tap6(p(x - 2, y), p(x - 1, y), p(x, y),
+                     p(x + 1, y), p(x + 2, y), p(x + 3, y))
+
+    def half_hv(x, y):  # j: centre half-pel
+        j1 = _tap6(hsum(x, y - 2), hsum(x, y - 1), hsum(x, y),
+                   hsum(x, y + 1), hsum(x, y + 2), hsum(x, y + 3))
+        return clip255((j1 + 512) >> 10)
+
+    def sample(x, y):
+        if fx == 0 and fy == 0:
+            return p(x, y)
+        if fy == 0:  # a, b, c
+            b = half_h(x, y)
+            if fx == 2:
+                return b
+            return (p(x + (0 if fx == 1 else 1), y) + b + 1) >> 1
+        if fx == 0:  # d, h, n
+            h = half_v(x, y)
+            if fy == 2:
+                return h
+            return (p(x, y + (0 if fy == 1 else 1)) + h + 1) >> 1
+        if fx == 2 and fy == 2:
+            return half_hv(x, y)
+        if fx == 2:  # f (fy=1) / q (fy=3): between b and j
+            return (half_h(x, y if fy == 1 else y + 1) + half_hv(x, y) + 1) >> 1
+        if fy == 2:  # i (fx=1) / k (fx=3): between h and j
+            return (half_v(x if fx == 1 else x + 1, y) + half_hv(x, y) + 1) >> 1
+        # e/g/p/r: nearest horizontal half-pel + nearest vertical half-pel
+        b = half_h(x, y if fy == 1 else y + 1)
+        h = half_v(x if fx == 1 else x + 1, y)
+        return (b + h + 1) >> 1
+
+    return [[sample(ix + j, iy + i) for j in range(16)] for i in range(16)]
+
+
+def mc_chroma(ref, W, H, x0, y0, mvx, mvy):
+    """8x8 chroma MC (8.4.2.2.2): the quarter-pel LUMA vector addresses
+    the half-resolution chroma plane at eighth-pel; bilinear weights
+    ((8-dx)(8-dy)A + ... + 32) >> 6. Edge-clamped like luma."""
+    ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    xf, yf = mvx & 7, mvy & 7
+
+    def p(x, y):
+        return ref[min(max(y, 0), H - 1)][min(max(x, 0), W - 1)]
+
+    return [[((8 - xf) * (8 - yf) * p(ix + j, iy + i) +
+              xf * (8 - yf) * p(ix + j + 1, iy + i) +
+              (8 - xf) * yf * p(ix + j, iy + i + 1) +
+              xf * yf * p(ix + j + 1, iy + i + 1) + 32) >> 6
+             for j in range(8)] for i in range(8)]
+
+
+# ------------------------------------ MV prediction (8.4.1.1 / 8.4.1.3)
+
+def _mb_motion(st, mbx, mby, cur_mbx, cur_mby):
+    """(refIdx, mv) of neighbour MB for prediction, or None if the MB is
+    outside the picture / not yet decoded. Intra MBs are AVAILABLE with
+    refIdx -1 and mv (0,0). 16x16-partition-only streams make the MB the
+    motion granule (every 4x4 of a neighbour carries its MB's motion)."""
+    if mbx < 0 or mby < 0 or mbx >= st.mb_w or mby >= st.mb_h:
+        return None
+    if mby > cur_mby or (mby == cur_mby and mbx >= cur_mbx):
+        return None
+    ref = st.mb_ref.get((mbx, mby), -1)
+    if ref < 0:
+        return (-1, (0, 0))
+    return (ref, st.mv[(mbx, mby)])
+
+
+def mvp_16x16(st, mbx, mby):
+    """Median MV predictor for a 16x16 partition: neighbours A (left),
+    B (above), C (above-right; D above-left substitutes when C is
+    unavailable). If B and C are both unavailable and A exists -> mvA;
+    if exactly one neighbour references the current picture's refIdx 0 ->
+    its mv; else the component-wise median (unavailable -> (0,0))."""
+    A = _mb_motion(st, mbx - 1, mby, mbx, mby)
+    B = _mb_motion(st, mbx, mby - 1, mbx, mby)
+    C = _mb_motion(st, mbx + 1, mby - 1, mbx, mby)
+    if C is None:
+        C = _mb_motion(st, mbx - 1, mby - 1, mbx, mby)
+    if B is None and C is None and A is not None:
+        return A[1]
+    matches = [n for n in (A, B, C) if n is not None and n[0] == 0]
+    if len(matches) == 1:
+        return matches[0][1]
+    xs = sorted((n[1][0] if n is not None else 0) for n in (A, B, C))
+    ys = sorted((n[1][1] if n is not None else 0) for n in (A, B, C))
+    return (xs[1], ys[1])
+
+
+def skip_mv(st, mbx, mby):
+    """P_Skip motion (8.4.1.1): zero if the left or above neighbour is
+    unavailable or is a zero-motion refIdx-0 block; else the 16x16 mvp."""
+    A = _mb_motion(st, mbx - 1, mby, mbx, mby)
+    B = _mb_motion(st, mbx, mby - 1, mbx, mby)
+    if A is None or B is None:
+        return (0, 0)
+    if A[0] == 0 and A[1] == (0, 0):
+        return (0, 0)
+    if B[0] == 0 and B[1] == (0, 0):
+        return (0, 0)
+    return mvp_16x16(st, mbx, mby)
+
+
 # ------------------------------------------------------------ frame state
 
 class FrameState:
@@ -763,6 +907,8 @@ class FrameState:
         self.nnz_cr = {}
         self.i4_modes = {}  # (bx, by) -> intra4x4 mode (I_4x4 MBs only)
         self.mb_is_i4 = {}  # (mbx, mby) -> bool
+        self.mv = {}        # (mbx, mby) -> (mvx, mvy) quarter-pel (P MBs)
+        self.mb_ref = {}    # (mbx, mby) -> refIdx (0) or -1 for intra
 
     def nc(self, m, bx, by):
         a = m.get((bx - 1, by)) if bx > 0 else None
@@ -803,9 +949,11 @@ class Encoder:
     | ("PCM",); preference lists are filtered by availability, first
     available wins (no RD — fixtures want MODE COVERAGE, not quality)."""
 
-    def __init__(self, width, height, qp_init=28, chroma_qp_offset=0):
+    def __init__(self, width, height, qp_init=28, chroma_qp_offset=0,
+                 num_ref_frames=0):
         assert width % 2 == 0 and height % 2 == 0
         self.w, self.h = width, height
+        self.num_ref_frames = num_ref_frames
         self.mb_w = (width + 15) // 16
         self.mb_h = (height + 15) // 16
         self.qp_init = qp_init
@@ -820,7 +968,7 @@ class Encoder:
         w.ue(0)         # sps_id
         w.ue(0)         # log2_max_frame_num_minus4
         w.ue(2)         # pic_order_cnt_type
-        w.ue(0)         # max_num_ref_frames
+        w.ue(self.num_ref_frames)  # max_num_ref_frames
         w.u(1, 0)       # gaps_in_frame_num_value_allowed
         w.ue(self.mb_w - 1)
         w.ue(self.mb_h - 1)
@@ -889,12 +1037,13 @@ class Encoder:
         return 2  # DC is always available
 
     def _encode_mb(self, w, st, ysrc, cbsrc, crsrc, mbx, mby, policy,
-                   frame_idx, cur_qp):
+                   frame_idx, cur_qp, mb_type_offset=0):
         kind = policy(mbx, mby, frame_idx)
         x0, y0 = mbx * 16, mby * 16
         left_ok, above_ok = mbx > 0, mby > 0
+        st.mb_ref[(mbx, mby)] = -1  # intra: no motion for neighbours
         if kind[0] == "PCM":
-            w.ue(25)
+            w.ue(25 + mb_type_offset)
             w.byte_align_zero()
             for yy in range(16):
                 for xx in range(16):
@@ -967,7 +1116,7 @@ class Encoder:
             cdc, cac, cbp_chroma = self._chroma_levels(
                 st, cbsrc, crsrc, mbx, mby, cmode, qpc)
             mb_type = 1 + pmode + 4 * cbp_chroma + 12 * (1 if cbp_luma15 else 0)
-            w.ue(mb_type)
+            w.ue(mb_type + mb_type_offset)
             w.ue(cmode)
             w.se(desired_qp - cur_qp)
             new_qp = desired_qp
@@ -1070,7 +1219,7 @@ class Encoder:
         cdc, cac, cbp_chroma = self._chroma_levels(
             st, cbsrc, crsrc, mbx, mby, cmode, qpc)
         cbp = cbp_luma | (cbp_chroma << 4)
-        w.ue(0)  # mb_type I_NxN
+        w.ue(mb_type_offset)  # mb_type I_NxN
         # prediction-mode signalling needs mb_is_i4 of THIS MB True already
         for z in range(16):
             r = ZSCAN4[z]
@@ -1105,6 +1254,210 @@ class Encoder:
         self.coverage.add(("mbtype", "I4"))
         self._write_chroma(w, st, mbx, mby, cdc, cac, cbp_chroma, qpc, cmode)
         return new_qp
+
+    # ---- P slices (single-ref 16x16 regime: P_L0_16x16 + P_Skip +
+    # intra-in-P; no 16x8/8x16/8x8 partitions, no weighted prediction)
+
+    def encode_frame_p(self, ysrc, cbsrc, crsrc, ref, policy, frame_idx,
+                       qp=None):
+        """Encode one P frame against `ref` (the previous frame's
+        reconstruction FrameState — the DPB of the single-ref regime).
+        policy(mbx, mby, frame_idx) returns ("SKIP",) |
+        ("P16", (mvx, mvy), qp|None) | the intra kinds of encode_frame.
+        Returns (slice NAL, reconstructed FrameState)."""
+        qp = self.qp_init if qp is None else qp
+        st = FrameState(self.mb_w, self.mb_h)
+        w = BitWriter()
+        w.ue(0)                  # first_mb_in_slice
+        w.ue(5)                  # slice_type: P (all slices of picture)
+        w.ue(0)                  # pps_id
+        w.u(4, frame_idx & 15)   # frame_num (log2_max_frame_num = 4)
+        w.u(1, 0)                # num_ref_idx_active_override_flag
+        w.u(1, 0)                # ref_pic_list_modification_flag_l0
+        w.u(1, 0)                # adaptive_ref_pic_marking_mode_flag
+        w.se(qp - self.qp_init)  # slice_qp_delta
+        w.ue(1)                  # disable_deblocking_filter_idc
+        cur_qp = qp
+        run = 0
+        for mby in range(self.mb_h):
+            for mbx in range(self.mb_w):
+                kind = policy(mbx, mby, frame_idx)
+                if kind[0] == "SKIP":
+                    self._recon_skip(st, ref, mbx, mby)
+                    run += 1
+                    self.coverage.add(("mbtype", "P_Skip"))
+                    continue
+                w.ue(run)        # mb_skip_run before each coded MB
+                run = 0
+                if kind[0] == "P16":
+                    cur_qp = self._encode_mb_p16(w, st, ref, ysrc, cbsrc,
+                                                 crsrc, mbx, mby, kind,
+                                                 cur_qp)
+                else:            # intra in a P slice: mb_type offset +5
+                    cur_qp = self._encode_mb(w, st, ysrc, cbsrc, crsrc,
+                                             mbx, mby, lambda *a: kind,
+                                             frame_idx, cur_qp,
+                                             mb_type_offset=5)
+        if run:
+            w.ue(run)            # trailing skip run
+        w.rbsp_trailing()
+        return rbsp_to_nal(w.to_bytes(), 2, 1), st
+
+    def _recon_skip(self, st, ref, mbx, mby):
+        """P_Skip: motion from skip_mv, zero residual, recon = MC."""
+        mv = skip_mv(st, mbx, mby)
+        x0, y0 = mbx * 16, mby * 16
+        W, H = self.mb_w * 16, self.mb_h * 16
+        pred = mc_luma(ref.y, W, H, x0, y0, mv[0], mv[1])
+        for i in range(16):
+            for j in range(16):
+                st.y[y0 + i][x0 + j] = pred[i][j]
+        for plane, refp in ((st.cb, ref.cb), (st.cr, ref.cr)):
+            pr = mc_chroma(refp, W // 2, H // 2, mbx * 8, mby * 8,
+                           mv[0], mv[1])
+            for i in range(8):
+                for j in range(8):
+                    plane[mby * 8 + i][mbx * 8 + j] = pr[i][j]
+        for by in range(4):
+            for bx in range(4):
+                st.nnz_y[(mbx * 4 + bx, mby * 4 + by)] = 0
+        for by in range(2):
+            for bx in range(2):
+                st.nnz_cb[(mbx * 2 + bx, mby * 2 + by)] = 0
+                st.nnz_cr[(mbx * 2 + bx, mby * 2 + by)] = 0
+        st.mb_is_i4[(mbx, mby)] = False
+        st.mb_ref[(mbx, mby)] = 0
+        st.mv[(mbx, mby)] = mv
+
+    def _encode_mb_p16(self, w, st, ref, ysrc, cbsrc, crsrc, mbx, mby,
+                       kind, cur_qp):
+        mvx, mvy = kind[1]
+        desired_qp = kind[2] if len(kind) > 2 and kind[2] is not None \
+            else cur_qp
+        qpc = chroma_qp(desired_qp, self.cqo)
+        x0, y0 = mbx * 16, mby * 16
+        W, H = self.mb_w * 16, self.mb_h * 16
+        pred = mc_luma(ref.y, W, H, x0, y0, mvx, mvy)
+        levels = [None] * 16  # raster index
+        for by in range(4):
+            for bx in range(4):
+                resid = [[ysrc[y0 + by * 4 + i][x0 + bx * 4 + j] -
+                          pred[by * 4 + i][bx * 4 + j] for j in range(4)]
+                         for i in range(4)]
+                cf = fwd4x4(resid)
+                scan = zigzag_of(cf)
+                levels[by * 4 + bx] = [
+                    quant_level(v, desired_qp, pos_class(ZIGZAG[i]))
+                    for i, v in enumerate(scan)]
+        cbp_luma = 0
+        for e in range(4):
+            if any(any(levels[r]) for r in (ZSCAN4[4 * e + k]
+                                            for k in range(4))):
+                cbp_luma |= 1 << e
+        pred_cb = mc_chroma(ref.cb, W // 2, H // 2, mbx * 8, mby * 8,
+                            mvx, mvy)
+        pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
+                            mvx, mvy)
+        cdc, cac, cbp_chroma = self._chroma_levels_pred(
+            st, cbsrc, crsrc, mbx, mby, pred_cb, pred_cr, qpc)
+        cbp = cbp_luma | (cbp_chroma << 4)
+        mvp = mvp_16x16(st, mbx, mby)
+        # record motion BEFORE writing (MVP of this MB uses neighbours
+        # only, so order vs the write does not matter — but later MBs need
+        # it; note ref_idx_l0 is absent: num_ref_idx_l0_active_minus1 == 0)
+        st.mb_ref[(mbx, mby)] = 0
+        st.mv[(mbx, mby)] = (mvx, mvy)
+        w.ue(0)  # mb_type P_L0_16x16
+        w.se(mvx - mvp[0])
+        w.se(mvy - mvp[1])
+        w.ue(CBP_INTER_INV[cbp])
+        self.coverage.add(("cbp_inter", cbp))
+        new_qp = cur_qp
+        if cbp != 0:
+            w.se(desired_qp - cur_qp)
+            new_qp = desired_qp
+        for z in range(16):
+            r = ZSCAN4[z]
+            fbx, fby = mbx * 4 + (r & 3), mby * 4 + (r >> 2)
+            if cbp_luma & (1 << (z // 4)):
+                nc = st.nc(st.nnz_y, fbx, fby)
+                self.coverage.add(("ct", nc_class(nc)))
+                tc = cavlc_encode_block(w, levels[r], nc, 16)
+                st.nnz_y[(fbx, fby)] = tc
+            else:
+                st.nnz_y[(fbx, fby)] = 0
+                assert not any(levels[r])
+        for by in range(4):
+            for bx in range(4):
+                coef = [[0] * 4 for _ in range(4)]
+                unzigzag_to(coef, levels[by * 4 + bx])
+                for i in range(4):
+                    for j in range(4):
+                        coef[i][j] = dequant_ac(coef[i][j], new_qp,
+                                                i * 4 + j)
+                r4 = inv4x4(coef)
+                for i in range(4):
+                    for j in range(4):
+                        st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = clip255(
+                            pred[by * 4 + i][bx * 4 + j] + r4[i][j])
+        st.mb_is_i4[(mbx, mby)] = False
+        self.coverage.add(("mbtype", "P16"))
+        self._write_chroma(w, st, mbx, mby, cdc, cac, cbp_chroma, qpc,
+                           None)
+        return new_qp
+
+    def _chroma_levels_pred(self, st, cbsrc, crsrc, mbx, mby, pcb, pcr,
+                            qpc):
+        """_chroma_levels with an EXPLICIT prediction (inter MC) instead
+        of intra mode prediction; transform/quant/recon identical."""
+        cdc, cac = [], []
+        for comp, (plane, src, pr) in enumerate(
+                ((st.cb, cbsrc, pcb), (st.cr, crsrc, pcr))):
+            x0, y0 = mbx * 8, mby * 8
+            dcm = [[0, 0], [0, 0]]
+            acl = []
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    resid = [[src[y0 + sy * 4 + i][x0 + sx * 4 + j] -
+                              pr[sy * 4 + i][sx * 4 + j] for j in range(4)]
+                             for i in range(4)]
+                    cf = fwd4x4(resid)
+                    dcm[sy][sx] = cf[0][0]
+                    scan = zigzag_of(cf)[1:]
+                    acl.append([quant_level(v, qpc, pos_class(ZIGZAG[i + 1]))
+                                for i, v in enumerate(scan)])
+            dch = hadamard2(dcm)
+            cdc.append([quant_level(dch[0][0], qpc, 0, dc=True),
+                        quant_level(dch[0][1], qpc, 0, dc=True),
+                        quant_level(dch[1][0], qpc, 0, dc=True),
+                        quant_level(dch[1][1], qpc, 0, dc=True)])
+            cac.append(acl)
+        any_ac = any(any(b) for comp in cac for b in comp)
+        any_dc = any(v for comp in cdc for v in comp)
+        cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        for comp, (plane, pr) in enumerate(((st.cb, pcb), (st.cr, pcr))):
+            x0, y0 = mbx * 8, mby * 8
+            dcl = cdc[comp]
+            dcr = hadamard2([[dcl[0], dcl[1]], [dcl[2], dcl[3]]])
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    coef = [[0] * 4 for _ in range(4)]
+                    if cbp_chroma == 2:
+                        unzigzag_to(coef, [0] + cac[comp][sy * 2 + sx])
+                        for i in range(4):
+                            for j in range(4):
+                                if i or j:
+                                    coef[i][j] = dequant_ac(
+                                        coef[i][j], qpc, i * 4 + j)
+                    if cbp_chroma >= 1:
+                        coef[0][0] = dequant_chroma_dc(dcr[sy][sx], qpc)
+                    r4 = inv4x4(coef)
+                    for i in range(4):
+                        for j in range(4):
+                            plane[y0 + sy * 4 + i][x0 + sx * 4 + j] = \
+                                clip255(pr[sy * 4 + i][sx * 4 + j] +
+                                        r4[i][j])
+        return cdc, cac, cbp_chroma
 
     def _chroma_levels(self, st, cbsrc, crsrc, mbx, mby, cmode, qpc):
         """Predict + transform chroma; returns (dc levels per comp, ac
@@ -1260,6 +1613,7 @@ class Decoder:
         self.sps = None
         self.pps = None
         self.frames = []
+        self.ref_st = None  # previous decoded picture (single-ref DPB)
 
     def feed_annexb(self, data):
         for nal in split_annexb(data):
@@ -1274,24 +1628,35 @@ class Decoder:
         elif ntype == 8:
             self.pps = parse_pps(rbsp)
         elif ntype in (1, 5):
-            self.frames.append(self._decode_slice(rbsp, idr=(ntype == 5)))
+            ref_idc = (nal[0] >> 5) & 3
+            self.frames.append(self._decode_slice(rbsp, idr=(ntype == 5),
+                                                  ref_idc=ref_idc))
         # other NAL types (SEI, AUD...) are skipped
 
-    def _decode_slice(self, rbsp, idr):
+    def _decode_slice(self, rbsp, idr, ref_idc=3):
         sps, pps = self.sps, self.pps
         assert sps is not None and pps is not None, "slice before SPS/PPS"
         r = BitReader(rbsp)
         assert r.ue() == 0, "multi-slice frames unsupported"
         slice_type = r.ue()
-        assert slice_type in (2, 7), "only I slices"
+        assert slice_type in (0, 2, 5, 7), "only I/P slices"
+        is_p = slice_type in (0, 5)
         assert r.ue() == pps.id
         r.u(sps.log2_max_frame_num)  # frame_num
         if idr:
             r.ue()  # idr_pic_id
         if sps.poc_type == 0:
             r.u(sps.log2_max_poc_lsb)
-        if idr:
-            r.u(1); r.u(1)  # dec_ref_pic_marking
+        if is_p:
+            assert self.ref_st is not None, "P slice before any reference"
+            if r.u(1):  # num_ref_idx_active_override_flag
+                assert r.ue() == 0, "single reference only"
+            assert r.u(1) == 0, "ref_pic_list_modification unsupported"
+        if ref_idc != 0:
+            if idr:
+                r.u(1); r.u(1)  # no_output_of_prior / long_term flags
+            else:
+                assert r.u(1) == 0, "adaptive ref-pic marking unsupported"
         qp = pps.init_qp + r.se()
         if pps.deblock_control:
             idc = r.ue()
@@ -1299,9 +1664,28 @@ class Decoder:
             # idc == 1: no alpha/beta offsets follow
         st = FrameState(sps.mb_w, sps.mb_h)
         cur_qp = qp
-        for mby in range(sps.mb_h):
-            for mbx in range(sps.mb_w):
-                cur_qp = self._decode_mb(r, st, sps, pps, mbx, mby, cur_qp)
+        if is_p:
+            total = sps.mb_w * sps.mb_h
+            count = 0
+            while count < total:
+                run = r.ue()
+                assert count + run <= total, "mb_skip_run overruns picture"
+                for _ in range(run):
+                    self._decode_skip(st, sps, count % sps.mb_w,
+                                      count // sps.mb_w)
+                    count += 1
+                if count < total:
+                    cur_qp = self._decode_mb_p(r, st, sps, pps,
+                                               count % sps.mb_w,
+                                               count // sps.mb_w, cur_qp)
+                    count += 1
+        else:
+            for mby in range(sps.mb_h):
+                for mbx in range(sps.mb_w):
+                    cur_qp = self._decode_mb(r, st, sps, pps, mbx, mby,
+                                             cur_qp)
+        if ref_idc != 0:
+            self.ref_st = st
         # crop (4:2:0 -> units of 2 luma samples horizontally/vertically)
         cl, cr_, ct, cb = sps.crop
         W, H = sps.mb_w * 16 - 2 * (cl + cr_), sps.mb_h * 16 - 2 * (ct + cb)
@@ -1310,8 +1694,10 @@ class Decoder:
         crp = [row[cl:cl + W // 2] for row in st.cr[ct:ct + H // 2]]
         return y, cbp, crp
 
-    def _decode_mb(self, r, st, sps, pps, mbx, mby, cur_qp):
-        mb_type = r.ue()
+    def _decode_mb(self, r, st, sps, pps, mbx, mby, cur_qp, mb_type=None):
+        if mb_type is None:
+            mb_type = r.ue()
+        st.mb_ref[(mbx, mby)] = -1  # intra (P_* paths overwrite)
         x0, y0 = mbx * 16, mby * 16
         if mb_type == 25:  # I_PCM
             r.byte_align()
@@ -1426,7 +1812,90 @@ class Decoder:
         self._decode_chroma(r, st, sps, pps, mbx, mby, cmode, cbp_chroma, qpc)
         return new_qp
 
-    def _decode_chroma(self, r, st, sps, pps, mbx, mby, cmode, cbp_chroma, qpc):
+    def _decode_skip(self, st, sps, mbx, mby):
+        ref = self.ref_st
+        mv = skip_mv(st, mbx, mby)
+        x0, y0 = mbx * 16, mby * 16
+        W, H = sps.mb_w * 16, sps.mb_h * 16
+        pred = mc_luma(ref.y, W, H, x0, y0, mv[0], mv[1])
+        for i in range(16):
+            for j in range(16):
+                st.y[y0 + i][x0 + j] = pred[i][j]
+        for plane, refp in ((st.cb, ref.cb), (st.cr, ref.cr)):
+            pr = mc_chroma(refp, W // 2, H // 2, mbx * 8, mby * 8,
+                           mv[0], mv[1])
+            for i in range(8):
+                for j in range(8):
+                    plane[mby * 8 + i][mbx * 8 + j] = pr[i][j]
+        for by in range(4):
+            for bx in range(4):
+                st.nnz_y[(mbx * 4 + bx, mby * 4 + by)] = 0
+        for by in range(2):
+            for bx in range(2):
+                st.nnz_cb[(mbx * 2 + bx, mby * 2 + by)] = 0
+                st.nnz_cr[(mbx * 2 + bx, mby * 2 + by)] = 0
+        st.mb_is_i4[(mbx, mby)] = False
+        st.mb_ref[(mbx, mby)] = 0
+        st.mv[(mbx, mby)] = mv
+
+    def _decode_mb_p(self, r, st, sps, pps, mbx, mby, cur_qp):
+        mb_type = r.ue()
+        if mb_type >= 5:  # intra in a P slice
+            new_qp = self._decode_mb(r, st, sps, pps, mbx, mby, cur_qp,
+                                     mb_type=mb_type - 5)
+            return new_qp
+        assert mb_type == 0, \
+            f"P mb_type {mb_type} unsupported (16x16 partitions only)"
+        ref = self.ref_st
+        x0, y0 = mbx * 16, mby * 16
+        W, H = sps.mb_w * 16, sps.mb_h * 16
+        mvp = mvp_16x16(st, mbx, mby)
+        mvx = mvp[0] + r.se()
+        mvy = mvp[1] + r.se()
+        st.mb_ref[(mbx, mby)] = 0
+        st.mv[(mbx, mby)] = (mvx, mvy)
+        cbp = CBP_INTER[r.ue()]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        new_qp = cur_qp
+        if cbp != 0:
+            new_qp = cur_qp + r.se()
+        qpc = chroma_qp(new_qp, pps.chroma_qp_offset)
+        pred = mc_luma(ref.y, W, H, x0, y0, mvx, mvy)
+        acs = [[0] * 16 for _ in range(16)]
+        for z in range(16):
+            rr = ZSCAN4[z]
+            fbx, fby = mbx * 4 + (rr & 3), mby * 4 + (rr >> 2)
+            if cbp_luma & (1 << (z // 4)):
+                nc = st.nc(st.nnz_y, fbx, fby)
+                lv, tc = cavlc_decode_block(r, nc, 16)
+                acs[rr] = lv
+                st.nnz_y[(fbx, fby)] = tc
+            else:
+                st.nnz_y[(fbx, fby)] = 0
+        for by in range(4):
+            for bx in range(4):
+                coef = [[0] * 4 for _ in range(4)]
+                unzigzag_to(coef, acs[by * 4 + bx])
+                for i in range(4):
+                    for j in range(4):
+                        coef[i][j] = dequant_ac(coef[i][j], new_qp,
+                                                i * 4 + j)
+                r4 = inv4x4(coef)
+                for i in range(4):
+                    for j in range(4):
+                        st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = clip255(
+                            pred[by * 4 + i][bx * 4 + j] + r4[i][j])
+        st.mb_is_i4[(mbx, mby)] = False
+        pred_cb = mc_chroma(ref.cb, W // 2, H // 2, mbx * 8, mby * 8,
+                            mvx, mvy)
+        pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
+                            mvx, mvy)
+        self._decode_chroma(r, st, sps, pps, mbx, mby, None, cbp_chroma,
+                            qpc, preds=(pred_cb, pred_cr))
+        return new_qp
+
+    def _decode_chroma(self, r, st, sps, pps, mbx, mby, cmode, cbp_chroma,
+                       qpc, preds=None):
         dcl = [[0] * 4, [0] * 4]
         if cbp_chroma >= 1:
             for comp in (0, 1):
@@ -1448,7 +1917,8 @@ class Decoder:
                         m[(mbx * 2 + sx, mby * 2 + sy)] = 0
         for comp, plane in ((0, st.cb), (1, st.cr)):
             x0, y0 = mbx * 8, mby * 8
-            pr = pred_chroma(cmode, plane, sps.mb_w * 8, sps.mb_h * 8, x0, y0)
+            pr = preds[comp] if preds is not None else pred_chroma(
+                cmode, plane, sps.mb_w * 8, sps.mb_h * 8, x0, y0)
             d = dcl[comp]
             dcr = hadamard2([[d[0], d[1]], [d[2], d[3]]])
             for sy in (0, 1):

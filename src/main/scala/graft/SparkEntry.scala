@@ -1999,6 +1999,30 @@ object SparkEntry {
           length(col("text")).cast("long").as("text_chars"))
         .orderBy(col("kind"), col("record_index"))
     }),
+    // ---- H.264 P-frame decode through the full MP4 avc1 path: IDR + 3 P
+    // pictures (quarter-pel MC, P_Skip, intra-in-P) decode SEQUENTIALLY
+    // through one stateful decoder; the oracle pins each frame's luma sum
+    // as literals from the independent python encoder's reconstruction
+    // (scripts/gen_h264_fixture.py). sync is TRUE only for the IDR -------
+    "q166_h264_pframes" -> ((s, _) => {
+      import s.implicits._
+      val bytes = {
+        val in = getClass.getResourceAsStream("/graft/tiny_h264p.mp4")
+        try in.readAllBytes() finally in.close()
+      }
+      val media = s.createDataset(Seq(
+        Multimodal.MediaRow(1L, "video", bytes,
+          Multimodal.videoMeta(bytes).get)))
+      Multimodal.decodeVideoFrames(media, everyNth = 1, maxFrames = 16)(s)
+        .toDF()
+        .select(col("frame_index").cast("long").as("frame_index"),
+          col("sync"),
+          col("height").cast("long").as("height"),
+          col("width").cast("long").as("width"),
+          aggregate(col("pixels"), lit(0L), (a, p) => a + p.cast("long"))
+            .as("sum_y"))
+        .orderBy(col("frame_index"))
+    }),
     // ---- main-content extraction (jusText/Arc90-style density rule) over
     // the archived HTML 200-responses: per page the kept-block count and
     // main-text digest vs the full-page text length — pure column
@@ -3666,6 +3690,17 @@ object SparkEntry {
         |  (CAST(0 AS BIGINT), TRUE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(162751 AS BIGINT)),
         |  (CAST(1 AS BIGINT), TRUE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(158932 AS BIGINT)),
         |  (CAST(2 AS BIGINT), TRUE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(169669 AS BIGINT)))
+        |  AS t(frame_index, sync, height, width, sum_y)
+        |ORDER BY frame_index""".stripMargin,
+    // q166: same literal-luma-sum pinning for the P-frame chain — the
+    // values are the python encoder's reconstruction sums printed by
+    // scripts/gen_h264_fixture.py; only frame 0 (the IDR) is sync
+    "q166_h264_pframes" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), TRUE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(167604 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), FALSE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(155622 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), FALSE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(157617 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), FALSE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(159439 AS BIGINT)))
         |  AS t(frame_index, sync, height, width, sum_y)
         |ORDER BY frame_index""".stripMargin,
     "q154_jaccard_topk" ->

@@ -477,15 +477,18 @@ object MultimodalFunctions {
                               sync: Boolean, height: Int, width: Int,
                               pixels: Array[Float])
 
-  /** Coded-frame video decode kernel: demux every `everyNth`-th frame (up
-    * to `maxFrames` per video) and entropy-decode the payloads to pixel
-    * planes on executors — MJPEG-family samples through ImageIO, baseline
-    * H.264 key frames through the native [[graft.sources.H264Decode]]
-    * (luma plane, the same gray contract as the JPEG path). Same
-    * `mapPartitions` batching as the other codecs; non-MP4 payloads and
-    * undecodable tracks yield no rows (sample their coded payloads via
-    * [[videoFrames]] instead), and a frame that fails to decode drops —
-    * it does not fail the ingest task. */
+  /** Coded-frame video decode kernel: select every `everyNth`-th frame
+    * (up to `maxFrames` per video) and decode to pixel planes on
+    * executors — MJPEG-family samples through ImageIO, baseline H.264
+    * I AND P pictures through the native [[graft.sources.H264Decode]]
+    * (luma plane, the same gray contract as the JPEG path). For H.264 the
+    * decode is necessarily SEQUENTIAL up to the last selected frame (P
+    * chains), so the video — not the frame — is the unit of parallelism.
+    * Same `mapPartitions` batching as the other codecs; non-MP4 payloads
+    * and undecodable tracks yield no rows (sample their coded payloads
+    * via [[videoFrames]] instead), and a frame that fails to decode drops
+    * (poisoning the P chain until the next IDR) — it does not fail the
+    * ingest task. */
   def decodeVideoFrames(ds: Dataset[MediaRow], everyNth: Int, maxFrames: Int)
                        (implicit spark: SparkSession): Dataset[FramePlane] = {
     import spark.implicits._
@@ -493,33 +496,48 @@ object MultimodalFunctions {
       it.flatMap { row =>
         val track = Mp4Demux.demux(row.content)
           .flatMap(_.tracks.find(_.handler == "vide"))
-        val samples = track match {
-          case Some(t) if VideoCodec.isMjpeg(t.codec) ||
-              (VideoCodec.isAvc(t.codec) &&
-                VideoCodec.avcConfigSupported(t.codecConfig)) =>
-            Mp4Demux.sampleFrames(row.content, everyNth, maxFrames)
-          case _ => Seq.empty
-        }
-        val avcCfg = track.filter(t => VideoCodec.isAvc(t.codec))
-          .map(_.codecConfig)
-        samples.iterator.flatMap { s =>
-          // range-checked cut: a corrupt sample table drops its frames
-          Mp4Demux.samplePayloadOpt(row.content, s).flatMap { p =>
-            avcCfg match {
-              case Some(cfg) =>
-                try graft.sources.H264Decode.decodeAvccSamples(cfg, Seq(p))
-                  .headOption.map { f =>
+        track match {
+          case Some(t) if VideoCodec.isAvc(t.codec) &&
+              VideoCodec.avcConfigSupported(t.codecConfig) =>
+            // H.264: P samples decode against their predecessors, so run
+            // ONE stateful decoder over every sample up to the last
+            // selected index and emit only the selected frames. A sample
+            // that fails to decode drops and poisons the chain until the
+            // next IDR (the decoder invalidates its reference) — exactly
+            // a player's recover-at-keyframe behaviour.
+            val selected = Mp4Demux.sampleFrames(row.content, everyNth, maxFrames)
+            if (selected.isEmpty) Iterator.empty
+            else {
+              val wanted = selected.map(_.index).toSet
+              val lastIdx = selected.map(_.index).max
+              val all = Mp4Demux.sampleFrames(row.content, 1, lastIdx + 1)
+              val dec = new graft.sources.H264Decode.AvccStreamDecoder(t.codecConfig)
+              all.iterator.flatMap { s =>
+                Mp4Demux.samplePayloadOpt(row.content, s).flatMap { p =>
+                  val fOpt =
+                    try dec.decodeSample(p).headOption
+                    catch { case _: Exception => None }
+                  fOpt.filter(_ => wanted(s.index)).map { f =>
                     val px = new Array[Float](f.width * f.height)
                     var i = 0
                     while (i < px.length) { px(i) = (f.y(i) & 0xFF).toFloat; i += 1 }
-                    (f.height, f.width, px)
+                    FramePlane(row.media_id, s.index, s.timeMs, s.sync,
+                      f.height, f.width, px)
                   }
-                catch { case _: Exception => None }
-              case None => VideoCodec.decodeFramePlane(p)
+                }
+              }
             }
-          }.map { case (h, w, px) =>
-            FramePlane(row.media_id, s.index, s.timeMs, s.sync, h, w, px)
-          }
+          case Some(t) if VideoCodec.isMjpeg(t.codec) =>
+            Mp4Demux.sampleFrames(row.content, everyNth, maxFrames)
+              .iterator.flatMap { s =>
+                // range-checked cut: a corrupt sample table drops its rows
+                Mp4Demux.samplePayloadOpt(row.content, s)
+                  .flatMap(p => VideoCodec.decodeFramePlane(p))
+                  .map { case (h, w, px) =>
+                    FramePlane(row.media_id, s.index, s.timeMs, s.sync, h, w, px)
+                  }
+              }
+          case _ => Iterator.empty
         }
       }
     }

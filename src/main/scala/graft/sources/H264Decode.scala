@@ -1,22 +1,32 @@
 package graft.sources
 
-/** H.264 (ITU-T Rec. H.264 / MPEG-4 AVC) baseline-profile I-frame decoder —
-  * pure JVM, no native codec. Closes the last multimodal pass-through: the
-  * reference pipeline's video assets (collections store MP4 quicklooks and
-  * the LLM-pipeline's media rows carry avc1 tracks) previously demuxed but
-  * did not decode.
+/** H.264 (ITU-T Rec. H.264 / MPEG-4 AVC) baseline-profile decoder for
+  * I and P pictures — pure JVM, no native codec. Closes the last
+  * multimodal pass-through: the reference pipeline's video assets
+  * (collections store MP4 quicklooks and the LLM-pipeline's media rows
+  * carry avc1 tracks) previously demuxed but did not decode.
   *
-  * Supported subset (exactly what a key-frame sampler needs):
+  * Supported subset:
   *  - IDR/I slices, one slice per picture, CAVLC entropy coding
   *    (`entropy_coding_mode_flag` = 0 — the baseline profile's only mode),
   *    `frame_mbs_only`, 4:2:0, 8-bit.
-  *  - Macroblocks: I_4x4 (all nine prediction modes), I_16x16 (all four
-  *    modes, every CBP class), I_PCM.
+  *  - Intra macroblocks: I_4x4 (all nine prediction modes), I_16x16 (all
+  *    four modes, every CBP class), I_PCM — in I and P slices.
+  *  - P slices in the single-reference 16x16 regime: P_L0_16x16 with
+  *    quarter-pel motion compensation (6-tap half-pel, unclipped-
+  *    intermediate centre position, bilinear eighth-pel chroma — 8.4.2.2),
+  *    median motion-vector prediction with the B/C-unavailable and
+  *    single-matching-neighbour special cases (8.4.1.3), P_Skip with its
+  *    zero-motion edge conditions (8.4.1.1), mb_skip_run coding, inter
+  *    CBP (Table 9-4 Inter column), one reference picture (the previous
+  *    decoded frame).
   *  - Frame cropping, per-MB QP deltas, chroma QP offset, multi-frame
   *    streams; Annex B and avcC/length-prefixed NAL framing.
-  * Rejected loudly (never silently wrong): CABAC, P/B slices, interlace,
-  * slice groups, scaling matrices, constrained intra, multi-slice frames,
-  * and — deliberately — streams that ENABLE the in-loop deblocking filter
+  * Rejected loudly (never silently wrong): CABAC, B slices, P partitions
+  * other than 16x16 (16x8/8x16/8x8), multiple reference frames, reference
+  * list reordering, weighted prediction, interlace, slice groups, scaling
+  * matrices, constrained intra, multi-slice frames, and — deliberately —
+  * streams that ENABLE the in-loop deblocking filter
   * (`disable_deblocking_filter_idc` != 1): decoding those without the
   * filter would be approximately-right, and approximately-right pixels
   * poison oracle-pinned pipelines. Key-frame fixtures and archival
@@ -24,17 +34,23 @@ package graft.sources
   *
   * Verification: the CAVLC tables ([[H264Tables]]) are generated from the
   * structurally-validated table source (prefix-free, pinned Kraft sums —
-  * the committee's deliberately-unused illegal codewords included), and
-  * H264DecodeSpec pins this decoder bit-exact against the reconstruction
-  * of an independent pure-python encoder (scripts/h264codec.py) across
-  * mixed MB types, QPs, crop, chroma offsets and dense low-QP residuals,
-  * plus corrupt-stream fuzz (every failure is an exception, never a hang
-  * or a giant allocation).
+  * the committee's deliberately-unused illegal codewords included); the
+  * inter CBP column is recalled as the committee's (intra, inter) pair
+  * table whose intra half reproduces the independently validated intra
+  * column entry-for-entry, and is asserted a bijection. H264DecodeSpec
+  * pins this decoder bit-exact against the reconstruction of an
+  * independent pure-python encoder (scripts/h264codec.py) across mixed MB
+  * types, QPs, crop, chroma offsets, dense low-QP residuals, every
+  * quarter-pel phase (a 16-frame pan whose reconstruction IS the
+  * interpolator output), skip-run layouts, and diverse inter CBPs, plus
+  * corrupt-stream fuzz (every failure is an exception, never a hang or a
+  * giant allocation).
   *
-  * Scale shape: one frame decodes in one task (frames are the natural
-  * parallel unit — `mapPartitions` over media rows, same as the MJPEG and
-  * JP2 kernels); memory is bounded by the declared dimensions, which are
-  * validated against `maxDim` BEFORE any allocation.
+  * Scale shape: one VIDEO decodes in one task (P chains are sequential by
+  * construction, so the video — not the frame — is the parallel unit;
+  * `mapPartitions` over media rows, same as the MJPEG and JP2 kernels);
+  * memory is bounded by the declared dimensions, which are validated
+  * against `maxDim` BEFORE any allocation, plus one reference frame.
   */
 object H264Decode {
 
@@ -50,67 +66,101 @@ object H264Decode {
     def height: Int = mbH * 16 - 2 * (cropT + cropB)
   }
   final case class Pps(initQp: Int, chromaQpOffset: Int,
-                       deblockControl: Boolean)
+                       deblockControl: Boolean, weightedPred: Boolean)
 
-  /** Decode every I/IDR picture of an Annex B elementary stream. */
+  /** Decode every picture of an Annex B elementary stream (I/IDR and
+    * single-ref P; P slices reference the previous decoded picture). */
   def decodeAnnexB(data: Array[Byte], maxDim: Int = 8192): Seq[H264Frame] = {
     var sps: Sps = null
     var pps: Pps = null
+    var ref: MbState = null
     val out = Seq.newBuilder[H264Frame]
     for (nal <- splitAnnexB(data)) {
       val ntype = nal(0) & 0x1F
+      val refIdc = (nal(0) >> 5) & 3
       ntype match {
         case 7 => sps = parseSps(unescape(nal), maxDim)
         case 8 => pps = parsePps(unescape(nal))
         case 1 | 5 =>
           require(sps != null && pps != null, "slice before SPS/PPS")
-          out += decodeSlice(unescape(nal), sps, pps, idr = ntype == 5)
+          val (frame, st) =
+            decodeSlice(unescape(nal), sps, pps, idr = ntype == 5, refIdc, ref)
+          if (refIdc != 0) ref = st
+          out += frame
         case _ => () // SEI / AUD / filler: skipped
       }
     }
     out.result()
   }
 
-  /** Decode length-prefixed samples against an avcC decoder configuration
-    * (ISO 14496-15 AVCDecoderConfigurationRecord — the MP4 'avc1' story). */
-  def decodeAvccSamples(avcc: Array[Byte], samples: Seq[Array[Byte]],
-                        maxDim: Int = 8192): Seq[H264Frame] = {
+  /** Stateful avc1 sample decoder: parses the avcC config once and keeps
+    * the single-reference DPB across [[decodeSample]] calls, so P samples
+    * decode against the preceding samples of the SAME instance. A sample
+    * that throws invalidates the reference — subsequent P samples fail
+    * (loudly) until the next IDR re-establishes it, exactly a player's
+    * recover-at-keyframe behaviour. */
+  final class AvccStreamDecoder(avcc: Array[Byte], maxDim: Int = 8192) {
     require(avcc.length >= 7, "avcC too short")
     require((avcc(0) & 0xFF) == 1, "avcC configurationVersion != 1")
-    val nalLenSize = (avcc(4) & 0x03) + 1
-    var pos = 5
-    var sps: Sps = null
-    var pps: Pps = null
-    val nSps = avcc(pos) & 0x1F; pos += 1
-    for (_ <- 0 until nSps) {
-      val len = ((avcc(pos) & 0xFF) << 8) | (avcc(pos + 1) & 0xFF); pos += 2
-      sps = parseSps(unescape(java.util.Arrays.copyOfRange(avcc, pos, pos + len)), maxDim)
-      pos += len
+    private val nalLenSize = (avcc(4) & 0x03) + 1
+    private var sps: Sps = null
+    private var pps: Pps = null
+    private var ref: MbState = null
+    locally {
+      var pos = 5
+      val nSps = avcc(pos) & 0x1F; pos += 1
+      for (_ <- 0 until nSps) {
+        val len = ((avcc(pos) & 0xFF) << 8) | (avcc(pos + 1) & 0xFF); pos += 2
+        sps = parseSps(unescape(java.util.Arrays.copyOfRange(avcc, pos, pos + len)), maxDim)
+        pos += len
+      }
+      val nPps = avcc(pos) & 0xFF; pos += 1
+      for (_ <- 0 until nPps) {
+        val len = ((avcc(pos) & 0xFF) << 8) | (avcc(pos + 1) & 0xFF); pos += 2
+        pps = parsePps(unescape(java.util.Arrays.copyOfRange(avcc, pos, pos + len)))
+        pos += len
+      }
+      require(sps != null && pps != null, "avcC carries no SPS/PPS")
     }
-    val nPps = avcc(pos) & 0xFF; pos += 1
-    for (_ <- 0 until nPps) {
-      val len = ((avcc(pos) & 0xFF) << 8) | (avcc(pos + 1) & 0xFF); pos += 2
-      pps = parsePps(unescape(java.util.Arrays.copyOfRange(avcc, pos, pos + len)))
-      pos += len
-    }
-    require(sps != null && pps != null, "avcC carries no SPS/PPS")
-    samples.flatMap { sample =>
+
+    /** Decode one length-prefixed sample; throws on malformed/unsupported
+      * content (after invalidating the reference state). */
+    def decodeSample(sample: Array[Byte]): Seq[H264Frame] = {
       var p = 0
       val frames = Seq.newBuilder[H264Frame]
-      while (p + nalLenSize <= sample.length) {
-        var len = 0
-        for (i <- 0 until nalLenSize) len = (len << 8) | (sample(p + i) & 0xFF)
-        p += nalLenSize
-        require(len > 0 && p + len <= sample.length,
-          s"NAL length $len overruns sample (${sample.length} B)")
-        val nal = java.util.Arrays.copyOfRange(sample, p, p + len)
-        p += len
-        val ntype = nal(0) & 0x1F
-        if (ntype == 1 || ntype == 5)
-          frames += decodeSlice(unescape(nal), sps, pps, idr = ntype == 5)
+      try {
+        while (p + nalLenSize <= sample.length) {
+          var len = 0
+          for (i <- 0 until nalLenSize) len = (len << 8) | (sample(p + i) & 0xFF)
+          p += nalLenSize
+          require(len > 0 && p + len <= sample.length,
+            s"NAL length $len overruns sample (${sample.length} B)")
+          val nal = java.util.Arrays.copyOfRange(sample, p, p + len)
+          p += len
+          val ntype = nal(0) & 0x1F
+          val refIdc = (nal(0) >> 5) & 3
+          if (ntype == 1 || ntype == 5) {
+            val (frame, st) =
+              decodeSlice(unescape(nal), sps, pps, idr = ntype == 5, refIdc, ref)
+            if (refIdc != 0) ref = st
+            frames += frame
+          }
+        }
+      } catch {
+        case e: Throwable => ref = null; throw e
       }
       frames.result()
     }
+  }
+
+  /** Decode length-prefixed samples against an avcC decoder configuration
+    * (ISO 14496-15 AVCDecoderConfigurationRecord — the MP4 'avc1' story).
+    * Samples decode IN ORDER against one [[AvccStreamDecoder]], so
+    * P-sample chains work when the caller passes the preceding samples. */
+  def decodeAvccSamples(avcc: Array[Byte], samples: Seq[Array[Byte]],
+                        maxDim: Int = 8192): Seq[H264Frame] = {
+    val dec = new AvccStreamDecoder(avcc, maxDim)
+    samples.flatMap(dec.decodeSample)
   }
 
   // -------------------------------------------------------------- framing
@@ -247,14 +297,18 @@ object H264Decode {
     require(r.u(1) == 0, "CABAC unsupported (baseline is CAVLC)")
     r.u(1)
     require(r.ue() == 0, "slice groups unsupported")
-    r.ue(); r.ue(); r.u(1); r.u(2)
+    require(r.ue() == 0, "num_ref_idx_l0_default_active_minus1 != 0 " +
+      "unsupported (single reference)")
+    r.ue() // num_ref_idx_l1_default_active_minus1 (B only)
+    val weightedPred = r.u(1) == 1
+    r.u(2) // weighted_bipred_idc (B only)
     val initQp = 26 + r.se()
     r.se() // qs
     val cqo = r.se()
     val deblock = r.u(1) == 1
     require(r.u(1) == 0, "constrained_intra_pred unsupported")
     r.u(1)
-    Pps(initQp, cqo, deblock)
+    Pps(initQp, cqo, deblock, weightedPred)
   }
 
   // ------------------------------------------------- constants & helpers
@@ -284,6 +338,14 @@ object H264Decode {
   private val CbpIntra = Array(47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14,
     39, 43, 45, 46, 16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2,
     4, 8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+  // Table 9-4, Inter column. Recalled as the committee's (intra, inter)
+  // PAIR table; the intra halves reproduce CbpIntra above entry-for-entry
+  // (cross-anchor), bijection asserted in H264DecodeSpec and below.
+  private[sources] val CbpInter = Array(0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12,
+    15, 47, 7, 11, 13, 14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43,
+    45, 46, 17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+  require(CbpInter.sorted.sameElements(0 until 48) &&
+    CbpIntra.sorted.sameElements(0 until 48), "Table 9-4 must be bijective")
 
   @inline private def clip255(v: Int): Int =
     if (v < 0) 0 else if (v > 255) 255 else v
@@ -437,7 +499,7 @@ object H264Decode {
 
   // --------------------------------------------------- prediction helpers
 
-  private final class Plane(val w: Int, val h: Int) {
+  private[sources] final class Plane(val w: Int, val h: Int) {
     val px = new Array[Int](w * h)
     @inline def apply(x: Int, y: Int): Int = px(y * w + x)
     @inline def set(x: Int, y: Int, v: Int): Unit = px(y * w + x) = v
@@ -682,7 +744,7 @@ object H264Decode {
 
   // ----------------------------------------------------------- the slice
 
-  private final class MbState(mbW: Int, mbH: Int) {
+  private[sources] final class MbState(val mbW: Int, val mbH: Int) {
     val y = new Plane(mbW * 16, mbH * 16)
     val cb = new Plane(mbW * 8, mbH * 8)
     val cr = new Plane(mbW * 8, mbH * 8)
@@ -691,6 +753,11 @@ object H264Decode {
     val nnzCr = new Array[Int](mbW * 2 * mbH * 2)
     val i4Modes = new Array[Int](mbW * 4 * mbH * 4)
     val mbIsI4 = new Array[Boolean](mbW * mbH)
+    // per-MB motion (16x16-partition regime): refIdx -2 = not yet
+    // decoded, -1 = intra, 0 = inter against the single reference
+    val mbRef = Array.fill(mbW * mbH)(-2)
+    val mvX = new Array[Int](mbW * mbH)
+    val mvY = new Array[Int](mbW * mbH)
     val bw4 = mbW * 4
     val bw2 = mbW * 2
     def ncY(bx: Int, by: Int): Int = nc(nnzY, bw4, bx, by)
@@ -712,18 +779,157 @@ object H264Decode {
     }
   }
 
-  private def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps,
-                          idr: Boolean): H264Frame = {
+  // ------------------------------------- inter prediction (MC, 8.4.2.2)
+
+  @inline private def tap6(a: Int, b: Int, c: Int, d: Int, e: Int, f: Int): Int =
+    a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+  /** 16x16 luma MC at quarter-pel (8.4.2.2.1/.2, Figure 8-4): 6-tap
+    * half-pel, centre j from UNCLIPPED intermediates ((j1+512)>>10),
+    * quarter positions as rounding averages. Edge-clamped reads. */
+  private def mcLuma(ref: Plane, x0: Int, y0: Int, mvx: Int, mvy: Int): Array[Int] = {
+    val ix = x0 + (mvx >> 2); val iy = y0 + (mvy >> 2)
+    val fx = mvx & 3; val fy = mvy & 3
+    val W = ref.w; val H = ref.h
+    @inline def p(x: Int, y: Int): Int =
+      ref.px(math.min(math.max(y, 0), H - 1) * W + math.min(math.max(x, 0), W - 1))
+    @inline def halfH(x: Int, y: Int): Int =
+      clip255((tap6(p(x - 2, y), p(x - 1, y), p(x, y), p(x + 1, y),
+        p(x + 2, y), p(x + 3, y)) + 16) >> 5)
+    @inline def halfV(x: Int, y: Int): Int =
+      clip255((tap6(p(x, y - 2), p(x, y - 1), p(x, y), p(x, y + 1),
+        p(x, y + 2), p(x, y + 3)) + 16) >> 5)
+    @inline def hsum(x: Int, y: Int): Int =
+      tap6(p(x - 2, y), p(x - 1, y), p(x, y), p(x + 1, y), p(x + 2, y), p(x + 3, y))
+    @inline def halfHV(x: Int, y: Int): Int =
+      clip255((tap6(hsum(x, y - 2), hsum(x, y - 1), hsum(x, y),
+        hsum(x, y + 1), hsum(x, y + 2), hsum(x, y + 3)) + 512) >> 10)
+    def sample(x: Int, y: Int): Int = {
+      if (fx == 0 && fy == 0) p(x, y)
+      else if (fy == 0) {
+        val b = halfH(x, y)
+        if (fx == 2) b
+        else (p(x + (if (fx == 1) 0 else 1), y) + b + 1) >> 1
+      } else if (fx == 0) {
+        val h = halfV(x, y)
+        if (fy == 2) h
+        else (p(x, y + (if (fy == 1) 0 else 1)) + h + 1) >> 1
+      } else if (fx == 2 && fy == 2) halfHV(x, y)
+      else if (fx == 2) // f/q: between b (above or below) and j
+        (halfH(x, if (fy == 1) y else y + 1) + halfHV(x, y) + 1) >> 1
+      else if (fy == 2) // i/k: between h (left or right) and j
+        (halfV(if (fx == 1) x else x + 1, y) + halfHV(x, y) + 1) >> 1
+      else { // e/g/p/r: nearest horizontal + nearest vertical half-pel
+        val b = halfH(x, if (fy == 1) y else y + 1)
+        val h = halfV(if (fx == 1) x else x + 1, y)
+        (b + h + 1) >> 1
+      }
+    }
+    val out = new Array[Int](256)
+    var i = 0
+    while (i < 16) {
+      var j = 0
+      while (j < 16) { out(i * 16 + j) = sample(ix + j, iy + i); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** 8x8 chroma MC (8.4.2.2.2): eighth-pel bilinear from the quarter-pel
+    * LUMA vector on the half-resolution plane. Edge-clamped. */
+  private def mcChroma(ref: Plane, x0: Int, y0: Int, mvx: Int, mvy: Int): Array[Int] = {
+    val ix = x0 + (mvx >> 3); val iy = y0 + (mvy >> 3)
+    val xf = mvx & 7; val yf = mvy & 7
+    val W = ref.w; val H = ref.h
+    @inline def p(x: Int, y: Int): Int =
+      ref.px(math.min(math.max(y, 0), H - 1) * W + math.min(math.max(x, 0), W - 1))
+    val out = new Array[Int](64)
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        out(i * 8 + j) = ((8 - xf) * (8 - yf) * p(ix + j, iy + i) +
+          xf * (8 - yf) * p(ix + j + 1, iy + i) +
+          (8 - xf) * yf * p(ix + j, iy + i + 1) +
+          xf * yf * p(ix + j + 1, iy + i + 1) + 32) >> 6
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------- MV prediction (8.4.1.1 / 8.4.1.3)
+
+  /** (refIdx, mvx, mvy) of a neighbour MB, or null if outside / not yet
+    * decoded. Intra MBs are available with refIdx -1, mv (0,0). */
+  private def mbMotion(st: MbState, mbx: Int, mby: Int): Array[Int] = {
+    if (mbx < 0 || mby < 0 || mbx >= st.mbW || mby >= st.mbH) return null
+    val i = mby * st.mbW + mbx
+    val ref = st.mbRef(i)
+    if (ref == -2) return null
+    if (ref < 0) Array(-1, 0, 0) else Array(0, st.mvX(i), st.mvY(i))
+  }
+
+  /** Median MV predictor for a 16x16 partition (A left, B above, C
+    * above-right with D above-left substitution; B&C-unavailable -> mvA;
+    * exactly-one-matching-refIdx -> that mv; else componentwise median). */
+  private def mvp16x16(st: MbState, mbx: Int, mby: Int): (Int, Int) = {
+    val a = mbMotion(st, mbx - 1, mby)
+    val b = mbMotion(st, mbx, mby - 1)
+    var c = mbMotion(st, mbx + 1, mby - 1)
+    if (c == null) c = mbMotion(st, mbx - 1, mby - 1)
+    if (b == null && c == null && a != null) return (a(1), a(2))
+    val ns = Array(a, b, c)
+    var matching = -1; var nMatch = 0
+    var i = 0
+    while (i < 3) {
+      if (ns(i) != null && ns(i)(0) == 0) { matching = i; nMatch += 1 }
+      i += 1
+    }
+    if (nMatch == 1) return (ns(matching)(1), ns(matching)(2))
+    @inline def med(v0: Int, v1: Int, v2: Int): Int =
+      math.max(math.min(v0, v1), math.min(math.max(v0, v1), v2))
+    @inline def mv(n: Array[Int], k: Int): Int = if (n == null) 0 else n(k)
+    (med(mv(a, 1), mv(b, 1), mv(c, 1)), med(mv(a, 2), mv(b, 2), mv(c, 2)))
+  }
+
+  /** P_Skip motion (8.4.1.1): zero when the left or above neighbour is
+    * unavailable or is a zero-motion refIdx-0 block, else the mvp. */
+  private def skipMv(st: MbState, mbx: Int, mby: Int): (Int, Int) = {
+    val a = mbMotion(st, mbx - 1, mby)
+    val b = mbMotion(st, mbx, mby - 1)
+    if (a == null || b == null) return (0, 0)
+    if (a(0) == 0 && a(1) == 0 && a(2) == 0) return (0, 0)
+    if (b(0) == 0 && b(1) == 0 && b(2) == 0) return (0, 0)
+    mvp16x16(st, mbx, mby)
+  }
+
+  private[sources] def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps,
+                                   idr: Boolean, nalRefIdc: Int,
+                                   ref: MbState): (H264Frame, MbState) = {
     val r = new Bits(rbsp)
     require(r.ue() == 0, "multi-slice frames unsupported")
     val sliceType = r.ue()
-    require(sliceType == 2 || sliceType == 7,
-      s"only I slices supported, got slice_type $sliceType")
+    require(sliceType == 0 || sliceType == 2 || sliceType == 5 || sliceType == 7,
+      s"only I/P slices supported, got slice_type $sliceType")
+    val isP = sliceType == 0 || sliceType == 5
     r.ue() // pps_id
     r.u(sps.log2MaxFrameNum)
     if (idr) r.ue() // idr_pic_id
     if (sps.pocType == 0) r.u(sps.log2MaxPocLsb)
-    if (idr) { r.u(1); r.u(1) }
+    if (isP) {
+      require(ref != null && ref.mbW == sps.mbW && ref.mbH == sps.mbH,
+        "P slice without a matching reference picture")
+      if (r.u(1) == 1) // num_ref_idx_active_override_flag
+        require(r.ue() == 0, "multiple reference frames unsupported")
+      require(r.u(1) == 0, "ref_pic_list_modification unsupported")
+      require(!pps.weightedPred, "weighted prediction unsupported")
+    }
+    if (nalRefIdc != 0) {
+      if (idr) { r.u(1); r.u(1) }
+      else require(r.u(1) == 0, "adaptive ref-pic marking unsupported")
+    }
     var qp = pps.initQp + r.se()
     require(qp >= 0 && qp <= 51, s"slice QP $qp out of range")
     if (pps.deblockControl) {
@@ -735,24 +941,146 @@ object H264Decode {
         "deblocking-enabled streams unsupported (PPS carries no control flag)")
     }
     val st = new MbState(sps.mbW, sps.mbH)
-    var mby = 0
-    while (mby < sps.mbH) {
-      var mbx = 0
-      while (mbx < sps.mbW) {
-        qp = decodeMb(r, st, sps, pps, mbx, mby, qp)
-        mbx += 1
+    if (isP) {
+      val total = sps.mbW * sps.mbH
+      var count = 0
+      while (count < total) {
+        val run = r.ue()
+        require(count + run <= total, "mb_skip_run overruns the picture")
+        var k = 0
+        while (k < run) {
+          decodeSkipMb(st, ref, count % sps.mbW, count / sps.mbW)
+          count += 1; k += 1
+        }
+        if (count < total) {
+          qp = decodePMb(r, st, ref, sps, pps,
+            count % sps.mbW, count / sps.mbW, qp)
+          count += 1
+        }
       }
-      mby += 1
+    } else {
+      var mby = 0
+      while (mby < sps.mbH) {
+        var mbx = 0
+        while (mbx < sps.mbW) {
+          qp = decodeMb(r, st, sps, pps, mbx, mby, qp, r.ue())
+          mbx += 1
+        }
+        mby += 1
+      }
     }
-    H264Frame(sps.width, sps.height,
+    (H264Frame(sps.width, sps.height,
       st.y.toBytes(2 * sps.cropL, 2 * sps.cropT, sps.width, sps.height),
       st.cb.toBytes(sps.cropL, sps.cropT, sps.width / 2, sps.height / 2),
-      st.cr.toBytes(sps.cropL, sps.cropT, sps.width / 2, sps.height / 2))
+      st.cr.toBytes(sps.cropL, sps.cropT, sps.width / 2, sps.height / 2)), st)
+  }
+
+  /** P_Skip: motion from [[skipMv]], zero residual, recon = MC. */
+  private def decodeSkipMb(st: MbState, ref: MbState, mbx: Int, mby: Int): Unit = {
+    val (mvx, mvy) = skipMv(st, mbx, mby)
+    val x0 = mbx * 16; val y0 = mby * 16
+    val pred = mcLuma(ref.y, x0, y0, mvx, mvy)
+    var i = 0
+    while (i < 16) {
+      var j = 0
+      while (j < 16) { st.y.set(x0 + j, y0 + i, pred(i * 16 + j)); j += 1 }
+      i += 1
+    }
+    for ((plane, refp) <- Seq((st.cb, ref.cb), (st.cr, ref.cr))) {
+      val pr = mcChroma(refp, mbx * 8, mby * 8, mvx, mvy)
+      var ci = 0
+      while (ci < 8) {
+        var cj = 0
+        while (cj < 8) { plane.set(mbx * 8 + cj, mby * 8 + ci, pr(ci * 8 + cj)); cj += 1 }
+        ci += 1
+      }
+    }
+    for (by <- 0 until 4; bx <- 0 until 4)
+      st.nnzY((mby * 4 + by) * st.bw4 + mbx * 4 + bx) = 0
+    for (by <- 0 until 2; bx <- 0 until 2) {
+      st.nnzCb((mby * 2 + by) * st.bw2 + mbx * 2 + bx) = 0
+      st.nnzCr((mby * 2 + by) * st.bw2 + mbx * 2 + bx) = 0
+    }
+    val mi = mby * st.mbW + mbx
+    st.mbIsI4(mi) = false
+    st.mbRef(mi) = 0
+    st.mvX(mi) = mvx; st.mvY(mi) = mvy
+  }
+
+  /** Coded MB of a P slice: P_L0_16x16 (mb_type 0) or intra (>= 5). */
+  private def decodePMb(r: Bits, st: MbState, ref: MbState, sps: Sps,
+                        pps: Pps, mbx: Int, mby: Int, curQp: Int): Int = {
+    val mbType = r.ue()
+    if (mbType >= 5) // intra in a P slice
+      return decodeMb(r, st, sps, pps, mbx, mby, curQp, mbType - 5)
+    require(mbType == 0,
+      s"P mb_type $mbType unsupported (16x16 partitions only — no " +
+        "16x8/8x16/8x8 sub-partitioning)")
+    val x0 = mbx * 16; val y0 = mby * 16
+    val mvp = mvp16x16(st, mbx, mby)
+    // ref_idx_l0 absent: num_ref_idx_l0_active_minus1 == 0 (required)
+    val mvx = mvp._1 + r.se()
+    val mvy = mvp._2 + r.se()
+    val mi = mby * st.mbW + mbx
+    st.mbRef(mi) = 0
+    st.mvX(mi) = mvx; st.mvY(mi) = mvy
+    st.mbIsI4(mi) = false
+    val cbpCode = r.ue()
+    require(cbpCode < 48, s"bad coded_block_pattern code $cbpCode")
+    val cbp = CbpInter(cbpCode)
+    val cbpLuma = cbp & 15
+    val cbpChroma = cbp >> 4
+    var newQp = curQp
+    if (cbp != 0) {
+      newQp = curQp + r.se()
+      require(newQp >= 0 && newQp <= 51, s"MB QP $newQp out of range")
+    }
+    val qpc = chromaQp(newQp, pps.chromaQpOffset)
+    val pred = mcLuma(ref.y, x0, y0, mvx, mvy)
+    val acs = Array.fill(16)(new Array[Int](16))
+    var z = 0
+    while (z < 16) {
+      val rr = Zscan4(z)
+      val fbx = mbx * 4 + (rr & 3)
+      val fby = mby * 4 + (rr >> 2)
+      if ((cbpLuma & (1 << (z / 4))) != 0) {
+        val (lv, tc) = cavlcBlock(r, st.ncY(fbx, fby), 16)
+        acs(rr) = lv
+        st.nnzY(fby * st.bw4 + fbx) = tc
+      } else st.nnzY(fby * st.bw4 + fbx) = 0
+      z += 1
+    }
+    var by = 0
+    while (by < 4) {
+      var bx = 0
+      while (bx < 4) {
+        val coef = new Array[Int](16)
+        val lv = acs(by * 4 + bx)
+        var k = 0
+        while (k < 16) { coef(Zigzag(k)) = lv(k); k += 1 }
+        k = 0
+        while (k < 16) { coef(k) = dequantAc(coef(k), newQp, k); k += 1 }
+        val r4 = inv4x4(coef)
+        k = 0
+        while (k < 16) {
+          st.y.set(x0 + bx * 4 + (k & 3), y0 + by * 4 + (k >> 2),
+            clip255(pred((by * 4 + (k >> 2)) * 16 + bx * 4 + (k & 3)) + r4(k)))
+          k += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val predCb = mcChroma(ref.cb, mbx * 8, mby * 8, mvx, mvy)
+    val predCr = mcChroma(ref.cr, mbx * 8, mby * 8, mvx, mvy)
+    decodeChroma(r, st, pps, mbx, mby, cmode = 0, cbpChroma, qpc,
+      preds = Array(predCb, predCr))
+    newQp
   }
 
   private def decodeMb(r: Bits, st: MbState, sps: Sps, pps: Pps,
-                       mbx: Int, mby: Int, curQp: Int): Int = {
-    val mbType = r.ue()
+                       mbx: Int, mby: Int, curQp: Int, mbType: Int): Int = {
+    st.mbRef(mby * st.mbW + mbx) = -1 // intra: no motion for neighbours
     val x0 = mbx * 16
     val y0 = mby * 16
     if (mbType == 25) { // I_PCM
@@ -907,8 +1235,11 @@ object H264Decode {
     newQp
   }
 
+  /** Chroma residual decode + recon; `preds` (Cb, Cr 8x8 row-major)
+    * overrides intra prediction for inter MBs. */
   private def decodeChroma(r: Bits, st: MbState, pps: Pps, mbx: Int, mby: Int,
-                           cmode: Int, cbpChroma: Int, qpc: Int): Unit = {
+                           cmode: Int, cbpChroma: Int, qpc: Int,
+                           preds: Array[Array[Int]] = null): Unit = {
     val dcl = Array.fill(2)(new Array[Int](4))
     if (cbpChroma >= 1) {
       var comp = 0
@@ -941,7 +1272,8 @@ object H264Decode {
     for ((comp, plane) <- Seq((0, st.cb), (1, st.cr))) {
       val x0 = mbx * 8
       val y0 = mby * 8
-      val pr = predChroma(cmode, plane, x0, y0)
+      val pr = if (preds != null) preds(comp)
+               else predChroma(cmode, plane, x0, y0)
       val d = dcl(comp)
       // 2x2 Hadamard
       val dcr = Array(d(0) + d(1) + d(2) + d(3), d(0) - d(1) + d(2) - d(3),

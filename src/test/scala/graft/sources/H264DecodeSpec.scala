@@ -188,4 +188,84 @@ class H264DecodeSpec extends AnyFunSuite {
     val p = H264Decode.parsePps(rbsp)
     assert(p.deblockControl, "fixture PPS carries the control flag")
   }
+
+  // ------------------------------------------------ P slices (r14)
+
+  test("P slices: inter/skip/intra-in-P mix, per-MB QP deltas: bit-exact") {
+    checkStream("pmix_64x48", 64, 48, 4)
+  }
+
+  test("P slices: every inter CBP class incl. cbp=0 with MVD: bit-exact") {
+    checkStream("pcbp_64x48", 64, 48, 3)
+  }
+
+  test("P slices: all 16 quarter-pel phases (recon IS the interpolator)") {
+    checkStream("pan_48x32", 48, 32, 17)
+  }
+
+  test("P slices: skip runs (all-skip, sparse, nonzero median skip MV)") {
+    checkStream("pskip_48x32", 48, 32, 4)
+  }
+
+  test("Table 9-4 inter column is a bijection distinct from the intra one") {
+    assert(H264Decode.CbpInter.sorted.sameElements(0 until 48))
+    assert(H264Decode.CbpInter(0) === 0 && H264Decode.CbpInter(1) === 16)
+    assert(H264Decode.CbpInter(12) === 47)
+  }
+
+  test("a P slice before any reference picture is rejected loudly") {
+    val stream = resource("/graft/h264/pmix_64x48.264")
+    val nals = H264Decode.splitAnnexB(stream)
+    // drop the IDR (type 5), keep SPS/PPS + the first P slice
+    val noIdr = nals.filter(n => (n(0) & 0x1F) != 5)
+    val rebuilt = noIdr.flatMap(n => Array[Byte](0, 0, 0, 1) ++ n).toArray
+    val e = intercept[IllegalArgumentException](
+      H264Decode.decodeAnnexB(rebuilt))
+    assert(e.getMessage.contains("reference"))
+  }
+
+  test("corrupt P streams fail loudly, never hang or over-allocate") {
+    val good = resource("/graft/h264/pmix_64x48.264")
+    val rng = new scala.util.Random(1414)
+    var failures = 0
+    for (_ <- 0 until 300) {
+      val bad = good.clone()
+      for (_ <- 0 until 1 + rng.nextInt(4))
+        bad(rng.nextInt(bad.length)) = rng.nextInt(256).toByte
+      try {
+        H264Decode.decodeAnnexB(bad)
+          .foreach(f => assert(f.y.length === f.width * f.height))
+      } catch {
+        case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException |
+             _: NegativeArraySizeException | _: UnsupportedOperationException =>
+          failures += 1
+      }
+    }
+    assert(failures > 0, "some corruptions should be detected")
+  }
+
+  test("avc1 MP4 with a P chain decodes sequentially through one decoder") {
+    val mp4 = resource("/graft/tiny_h264p.mp4")
+    val oracle = resource("/graft/h264/tiny_h264p.yuv")
+    val info = graft.functions.Mp4Demux.demux(mp4).get
+    val track = info.tracks.find(_.handler == "vide").get
+    val samples = graft.functions.Mp4Demux.sampleFrames(mp4, 1, Int.MaxValue)
+    assert(samples.count(_.sync) === 1, "only the IDR is a sync sample")
+    val payloads = samples.map(s => graft.functions.Mp4Demux.samplePayload(mp4, s))
+    val frames = H264Decode.decodeAvccSamples(track.codecConfig, payloads)
+    assert(frames.length === 4)
+    val fb = 48 * 32 + 2 * 24 * 16
+    for ((f, i) <- frames.zipWithIndex) {
+      val all = f.y ++ f.cb ++ f.cr
+      assert(java.util.Arrays.equals(all,
+        java.util.Arrays.copyOfRange(oracle, i * fb, (i + 1) * fb)),
+        s"p-mp4 frame $i mismatch")
+    }
+    // a fresh stateful decoder recovers at the IDR after a dropped sample:
+    // P fed FIRST fails (no reference), the IDR then re-establishes it
+    val dec = new H264Decode.AvccStreamDecoder(track.codecConfig)
+    intercept[IllegalArgumentException](dec.decodeSample(payloads(1)))
+    assert(dec.decodeSample(payloads(0)).nonEmpty)
+    assert(dec.decodeSample(payloads(1)).nonEmpty)
+  }
 }
