@@ -466,6 +466,41 @@ def main():
     cov = sorted(str(x) for x in encp.coverage if x[0] != "ct")
     print("p-coverage:", cov)
 
+    # 13. media-corpus clips (q167): 8 DISTINCT IDR+3P avc1 MP4s for the
+    #     distributed binaryFile->decode scale path; per-frame luma sums
+    #     printed as the oracle literals
+    corpus_dir = os.path.join(OUT, "corpus")
+    os.makedirs(corpus_dir, exist_ok=True)
+    print("-- q167 video oracle VALUES (clip, frame, sum_y) --")
+    for clip in range(8):
+        w, h = 48, 32
+        encc = H.Encoder(w, h, qp_init=24 + clip % 4, num_ref_frames=1)
+        nals_c = []
+        y, cb, cr = make_planes(w, h, 7000 + clip * 13)
+        nal, st = encc.encode_frame(y, cb, cr, mixed_policy, frame_idx=0)
+        nals_c.append(nal)
+        recons_c = [crop(st, w, h)]
+        ref = st
+        for f in range(1, 4):
+            ys, cbs, crs = make_planes(w, h, 7000 + clip * 13 + f)
+            nal, st = encc.encode_frame_p(ys, cbs, crs, ref, p_mixed,
+                                          frame_idx=f)
+            nals_c.append(nal)
+            recons_c.append(crop(st, w, h))
+            ref = st
+        got = H.Decoder().feed_annexb(
+            H.annexb([encc.sps(), encc.pps()] + nals_c))
+        assert len(got) == 4 and all(got[f] == recons_c[f]
+                                     for f in range(4)), f"clip {clip}"
+        mp4c = mux_avc1(w, h, nals_c, encc.sps(), encc.pps(), sync=[1])
+        with open(os.path.join(corpus_dir, f"clip_{clip:02d}.mp4"),
+                  "wb") as fh:
+            fh.write(mp4c)
+        for f, rec in enumerate(recons_c):
+            sy = sum(sum(row) for row in rec[0])
+            print(f"  (CAST({clip} AS BIGINT), CAST({f} AS BIGINT), "
+                  f"CAST({sy} AS BIGINT)),")
+
 
 if __name__ == "__main__":
     main()

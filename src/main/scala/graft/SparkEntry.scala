@@ -2023,6 +2023,46 @@ object SparkEntry {
             .as("sum_y"))
         .orderBy(col("frame_index"))
     }),
+    // ---- DISTRIBUTED media-corpus decode: a directory of avc1 clips and
+    // WAV tones scanned via binaryFile (file = task, the 100 TB media
+    // shape), demuxed + entropy-decoded executor-side. Video oracle =
+    // per-frame luma sums of the independent python encoder's
+    // reconstruction; audio oracle = DuckDB recomputing frame energies
+    // from the documented PCM formula WITHOUT the container round-trip --
+    "q167_media_corpus" -> ((s, _) => {
+      import s.implicits._
+      val dir = mediaCorpusDir()
+      val vids = s.read.format("binaryFile").option("pathGlobFilter", "*.mp4")
+        .load(dir)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val id = "clip_(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+          Multimodal.MediaRow(id, "video", bytes,
+            Multimodal.videoMeta(bytes).get)
+        }
+      val vrows = Multimodal.decodeVideoFrames(vids, everyNth = 1,
+          maxFrames = 8)(s)
+        .toDF()
+        .select(lit("video").as("kind"), col("media_id"),
+          col("frame_index").cast("long").as("seq"),
+          aggregate(col("pixels"), lit(0L), (a, p) => a + p.cast("long"))
+            .as("metric"))
+      val auds = s.read.format("binaryFile").option("pathGlobFilter", "*.wav")
+        .load(dir)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val id = "tone_(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+          Multimodal.MediaRow(id, "audio", bytes,
+            Multimodal.AudioCodec.decodeMeta(bytes).get)
+        }
+      val arows = Multimodal.audioSpectral(auds, frameSize = 64, nBands = 4)(s)
+        .toDF()
+        .select(lit("audio").as("kind"), col("media_id"),
+          col("frame").cast("long").as("seq"),
+          col("energy").cast("long").as("metric"))
+      vrows.unionAll(arows)
+        .orderBy(col("kind"), col("media_id"), col("seq"))
+    }),
     // ---- main-content extraction (jusText/Arc90-style density rule) over
     // the archived HTML 200-responses: per page the kept-block count and
     // main-text digest vs the full-page text length — pure column
@@ -2046,6 +2086,29 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     })
   )
+
+  /** Materialize the media fixture corpus: 8 committed avc1 clips (IDR+3P
+    * each, scripts/gen_h264_fixture.py) + 16 WAVs synthesized from the
+    * q163 integer PCM formula — so q167 exercises the DISTRIBUTED
+    * binaryFile → demux → decode path end-to-end. Idempotent. */
+  private def mediaCorpusDir(): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-media-corpus")
+    java.nio.file.Files.createDirectories(dir)
+    for (c <- 0 until 8) {
+      val in = getClass.getResourceAsStream(f"/graft/h264/corpus/clip_$c%02d.mp4")
+      val bytes = try in.readAllBytes() finally in.close()
+      java.nio.file.Files.write(dir.resolve(f"clip_$c%02d.mp4"), bytes)
+    }
+    for (id <- 0 until 16) {
+      val samples = Array.tabulate(1024) { n =>
+        (((id + 3).toLong * ((n.toLong * n) % 977) + 17L * n) % 4096 - 2048).toShort
+      }
+      java.nio.file.Files.write(dir.resolve(f"tone_$id%02d.wav"),
+        graft.functions.MultimodalFunctions.AudioCodec.pcm16Wav(samples, 8000))
+    }
+    dir.toString
+  }
 
   /** Materialize the committed WARC fixture (classpath resources, written
     * by scripts/gen_warc_fixture.py) into a temp directory so q164/q165
@@ -3703,6 +3766,56 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), FALSE, CAST(32 AS BIGINT), CAST(48 AS BIGINT), CAST(159439 AS BIGINT)))
         |  AS t(frame_index, sync, height, width, sum_y)
         |ORDER BY frame_index""".stripMargin,
+    // q167: the video half pins the 8 corpus clips' per-frame luma sums
+    // (python encoder reconstruction, scripts/gen_h264_fixture.py); the
+    // audio half recomputes every frame energy from the PCM formula
+    "q167_media_corpus" ->
+      """WITH v(media_id, seq, metric) AS (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(165554 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(153469 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(158110 AS BIGINT)),
+        |  (CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(159075 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(165867 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(155640 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(160638 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(160114 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(171387 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(159694 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(159767 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(159172 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(165128 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(155045 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(2 AS BIGINT), CAST(162438 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(159790 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(163906 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(153434 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(152278 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(3 AS BIGINT), CAST(153930 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(164470 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(156899 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(157013 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(158518 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(165147 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(1 AS BIGINT), CAST(158635 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(2 AS BIGINT), CAST(158716 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(3 AS BIGINT), CAST(159107 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(169037 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(1 AS BIGINT), CAST(157625 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(2 AS BIGINT), CAST(161859 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(3 AS BIGINT), CAST(161535 AS BIGINT))),
+        |ids AS (SELECT unnest(generate_series(0, 15)) AS id),
+        |pcm AS (SELECT id, list_transform(generate_series(0, 1023), n ->
+        |    ((id + 3) * ((n*n) % 977) + 17 * n) % 4096 - 2048) AS x FROM ids),
+        |fs AS (SELECT unnest(generate_series(0, 15)) AS f),
+        |a AS (SELECT id AS media_id, f AS seq,
+        |    list_aggregate(list_transform(
+        |      list_slice(x, f*64 + 1, f*64 + 64), v -> v*v), 'sum') AS metric
+        |  FROM pcm CROSS JOIN fs)
+        |SELECT 'video' AS kind, media_id, seq, metric FROM v
+        |UNION ALL
+        |SELECT 'audio' AS kind, CAST(media_id AS BIGINT),
+        |  CAST(seq AS BIGINT), CAST(metric AS BIGINT) FROM a
+        |ORDER BY kind, media_id, seq""".stripMargin,
     "q154_jaccard_topk" ->
       """WITH t AS (SELECT doc_id,
         |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS tk
