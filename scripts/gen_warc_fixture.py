@@ -102,11 +102,29 @@ REQUEST = ("GET /page-a HTTP/1.1\r\n"
            "User-Agent: graft-fixture\r\n\r\n")
 
 
-def http_response(status: int, reason: str, ctype: str, body: bytes) -> bytes:
-    head = (f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: {ctype}\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n")
+def http_response(status: int, reason: str, ctype: str, body: bytes,
+                  extra_headers=()) -> bytes:
+    head = f"HTTP/1.1 {status} {reason}\r\nContent-Type: {ctype}\r\n"
+    for h in extra_headers:
+        head += h + "\r\n"
+    head += f"Content-Length: {len(body)}\r\n\r\n"
     return head.encode("ascii") + body
+
+
+def chunked(body: bytes, sizes=(7, 64, 13)) -> bytes:
+    """HTTP/1.1 chunked transfer coding: hex-size CRLF data CRLF ...,
+    terminated by a 0-chunk (sizes cycle until the body is consumed)."""
+    out = bytearray()
+    i = 0
+    k = 0
+    while i < len(body):
+        n = min(sizes[k % len(sizes)], len(body) - i)
+        out += f"{n:x}".encode("ascii") + b"\r\n"
+        out += body[i:i + n] + b"\r\n"
+        i += n
+        k += 1
+    out += b"0\r\n\r\n"
+    return bytes(out)
 
 
 def record(rid: int, rtype: str, uri: str, ctype: str, block: bytes) -> bytes:
@@ -147,16 +165,36 @@ def build_records():
                        "application/http; msgtype=response",
                        http_response(200, "OK", "text/html",
                                      PAGE_C.encode("ascii"))))
+    # real-crawl body codings: chunked transfer, gzip content, and both
+    recs.append(record(7, "response", "http://fixture.example/chunked",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "text/html",
+                                     chunked(PAGE_B.encode("ascii")),
+                                     ["Transfer-Encoding: chunked"])))
+    recs.append(record(8, "response", "http://fixture.example/gzipped",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "text/html",
+                                     gzip.compress(PAGE_A.encode("ascii")),
+                                     ["Content-Encoding: gzip"])))
+    recs.append(record(9, "response", "http://fixture.example/both",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "text/html",
+                                     chunked(gzip.compress(
+                                         PAGE_C.encode("ascii"))),
+                                     ["Transfer-Encoding: chunked",
+                                      "Content-Encoding: gzip"])))
     return recs
 
 
 def expected_rows():
     """(index, type, uri, status, payload_len, text_md5, text_chars) per
-    record — text is html_to_text for HTML responses, the raw payload
-    decoded for everything else."""
+    record — payload is the DECODED entity body (after dechunk/gunzip);
+    text is html_to_text for HTML responses, the raw payload decoded for
+    everything else."""
     bodies = {
         2: PAGE_A, 3: PAGE_B, 6: PAGE_C,
         5: "<html><body><p>404 not here</p></body></html>",
+        7: PAGE_B, 8: PAGE_A, 9: PAGE_C,
     }
     rows = []
     for i, (rtype, uri, status, payload) in enumerate([
@@ -168,6 +206,9 @@ def expected_rows():
         ("response", "http://fixture.example/missing", 404,
          "<html><body><p>404 not here</p></body></html>"),
         ("response", "http://fixture.example/page-c", 200, PAGE_C),
+        ("response", "http://fixture.example/chunked", 200, PAGE_B),
+        ("response", "http://fixture.example/gzipped", 200, PAGE_A),
+        ("response", "http://fixture.example/both", 200, PAGE_C),
     ]):
         if i in bodies:
             text = html_to_text(bodies[i])
@@ -216,7 +257,11 @@ def main():
     print("\n-- q165 oracle VALUES --")
     for uri, html in [("http://fixture.example/page-a", PAGE_A),
                       ("http://fixture.example/page-b", PAGE_B),
-                      ("http://fixture.example/page-c", PAGE_C)]:
+                      ("http://fixture.example/page-c", PAGE_C),
+                      # body-coded records decode to the same pages
+                      ("http://fixture.example/chunked", PAGE_B),
+                      ("http://fixture.example/gzipped", PAGE_A),
+                      ("http://fixture.example/both", PAGE_C)]:
         blocks = kept_blocks(html)
         mt = "\n".join(blocks)
         md5 = hashlib.md5(mt.encode("utf-8")).hexdigest()

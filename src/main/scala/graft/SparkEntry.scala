@@ -3876,7 +3876,10 @@ object SparkEntry {
         |  (CAST(3 AS BIGINT), 'response', 'http://fixture.example/page-b', CAST(200 AS BIGINT), CAST(409 AS BIGINT), 'e84749f0ddb580a6a1bf8b67c53a2500', CAST(216 AS BIGINT)),
         |  (CAST(4 AS BIGINT), 'response', 'http://fixture.example/robots.txt', CAST(200 AS BIGINT), CAST(47 AS BIGINT), '504cc27d124aa4267375563c721fd87f', CAST(47 AS BIGINT)),
         |  (CAST(5 AS BIGINT), 'response', 'http://fixture.example/missing', CAST(404 AS BIGINT), CAST(45 AS BIGINT), '606f595e097047571ca4510cd647285a', CAST(12 AS BIGINT)),
-        |  (CAST(6 AS BIGINT), 'response', 'http://fixture.example/page-c', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT))),
+        |  (CAST(6 AS BIGINT), 'response', 'http://fixture.example/page-c', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), 'response', 'http://fixture.example/chunked', CAST(200 AS BIGINT), CAST(409 AS BIGINT), 'e84749f0ddb580a6a1bf8b67c53a2500', CAST(216 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), 'response', 'http://fixture.example/gzipped', CAST(200 AS BIGINT), CAST(823 AS BIGINT), 'bc0618804c87b63f9bdde1555c16a220', CAST(334 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), 'response', 'http://fixture.example/both', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT))),
         |k(kind) AS (VALUES ('gz'), ('plain'))
         |SELECT kind, record_index, warc_type, target_uri, http_status,
         |  payload_len, text_md5, text_chars
@@ -3885,7 +3888,10 @@ object SparkEntry {
       """WITH v(target_uri, n_blocks, main_md5, main_chars, full_chars) AS (VALUES
         |  ('http://fixture.example/page-a', CAST(3 AS BIGINT), '7082a12b4c92208d0bef0ef955a0d96e', CAST(275 AS BIGINT), CAST(334 AS BIGINT)),
         |  ('http://fixture.example/page-b', CAST(2 AS BIGINT), '4f6e839a4693ac150824786770f70aa6', CAST(202 AS BIGINT), CAST(216 AS BIGINT)),
-        |  ('http://fixture.example/page-c', CAST(2 AS BIGINT), '5c3d0254c0cbbf65083a65234e700c41', CAST(90 AS BIGINT), CAST(116 AS BIGINT)))
+        |  ('http://fixture.example/page-c', CAST(2 AS BIGINT), '5c3d0254c0cbbf65083a65234e700c41', CAST(90 AS BIGINT), CAST(116 AS BIGINT)),
+        |  ('http://fixture.example/chunked', CAST(2 AS BIGINT), '4f6e839a4693ac150824786770f70aa6', CAST(202 AS BIGINT), CAST(216 AS BIGINT)),
+        |  ('http://fixture.example/gzipped', CAST(3 AS BIGINT), '7082a12b4c92208d0bef0ef955a0d96e', CAST(275 AS BIGINT), CAST(334 AS BIGINT)),
+        |  ('http://fixture.example/both', CAST(2 AS BIGINT), '5c3d0254c0cbbf65083a65234e700c41', CAST(90 AS BIGINT), CAST(116 AS BIGINT)))
         |SELECT target_uri, n_blocks, main_md5, main_chars, full_chars
         |FROM v ORDER BY target_uri""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold

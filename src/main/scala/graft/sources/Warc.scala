@@ -37,8 +37,9 @@ object Warc {
 
   /** One parsed WARC record. `http_status`/`http_content_type` are -1/""
     * for records whose block is not an HTTP message (warcinfo, metadata);
-    * `payload` is the HTTP body for response/request records (headers
-    * stripped), the raw block otherwise. */
+    * `payload` is the DECODED HTTP entity body for response/request
+    * records (headers stripped, chunked transfer coding de-framed, gzip
+    * content coding decompressed), the raw block otherwise. */
   final case class WarcRecord(
       record_index: Int,
       warc_type: String,
@@ -167,9 +168,14 @@ object Warc {
     out.result()
   }
 
-  /** Split an HTTP message block into (status, content-type, body).
-    * Status is parsed from the `HTTP/x.y NNN ...` status line (or -1 for
-    * a request block, whose first line is `METHOD uri HTTP/x.y`). */
+  /** Split an HTTP message block into (status, content-type, body) and
+    * DECODE the entity body the way crawl data actually ships it:
+    * `Transfer-Encoding: chunked` is de-framed, then `Content-Encoding:
+    * gzip` is decompressed (bounded by [[MaxRecordBytes]] — a gzip bomb
+    * truncates rather than exhausting the heap). Either decode failing
+    * falls back to the RAW body (salvage, never a task failure). Status
+    * is parsed from the `HTTP/x.y NNN ...` status line (or -1 for a
+    * request block, whose first line is `METHOD uri HTTP/x.y`). */
   private def parseHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
     // find the header/body split: first CRLFCRLF (or LFLF)
     var i = 0
@@ -189,11 +195,66 @@ object Warc {
         val parts = lines(0).split(" ")
         if (parts.length >= 2 && parts(1).forall(_.isDigit)) parts(1).toInt else -1
       } else -1
-    val ct = lines.drop(1).collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
+    def header(name: String): String = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith(name + ":") =>
         l.substring(l.indexOf(':') + 1).trim
     }.getOrElse("")
-    (status, ct, java.util.Arrays.copyOfRange(block, split, block.length))
+    val ct = header("content-type")
+    var body = java.util.Arrays.copyOfRange(block, split, block.length)
+    if (header("transfer-encoding").toLowerCase.contains("chunked"))
+      dechunk(body).foreach(body = _)
+    if (header("content-encoding").toLowerCase.contains("gzip"))
+      gunzipBounded(body).foreach(body = _)
+    (status, ct, body)
+  }
+
+  /** De-frame HTTP/1.1 chunked transfer coding; None on malformed framing
+    * (caller keeps the raw body — salvage). Trailer headers are ignored. */
+  private[sources] def dechunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var p = 0
+    try {
+      while (true) {
+        // hex size line (chunk extensions after ';' ignored)
+        var e = p
+        while (e < body.length && body(e) != '\n') e += 1
+        if (e >= body.length) return None
+        val line = new String(body, p, e - p,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim
+        val hex = line.takeWhile(c => Character.digit(c, 16) >= 0)
+        if (hex.isEmpty || hex.length > 8) return None
+        val n = Integer.parseInt(hex, 16)
+        p = e + 1
+        if (n == 0) return Some(out.toByteArray) // final chunk; skip trailer
+        if (p + n > body.length || out.size() + n > MaxRecordBytes) return None
+        out.write(body, p, n)
+        p += n
+        // consume the CRLF after the chunk data
+        if (p < body.length && body(p) == '\r') p += 1
+        if (p < body.length && body(p) == '\n') p += 1
+      }
+      None
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** Gunzip with a decompressed-size bound; None on corrupt input or when
+    * the output would exceed [[MaxRecordBytes]] (bomb guard — salvage). */
+  private[sources] def gunzipBounded(body: Array[Byte]): Option[Array[Byte]] = {
+    if (!looksGzip(body)) return None
+    val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 1 << 20))
+    val in = new GZIPInputStream(new ByteArrayInputStream(body), 8192)
+    try {
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r >= 0) {
+        if (out.size() + r > MaxRecordBytes) return None
+        out.write(buf, 0, r)
+        r = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => None
+    } finally in.close()
   }
 
   /** Distributed WARC scan: one row per record across every `.warc` /

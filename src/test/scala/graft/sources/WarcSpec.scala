@@ -27,7 +27,7 @@ class WarcSpec extends SparkSpec {
   test("plain and per-record-gzip layouts parse to identical records") {
     val plain = Warc.parseWarc(resource("tiny.warc"))
     val gz = Warc.parseWarc(resource("tiny.warc.gz"))
-    assert(plain.size == 7 && gz.size == 7)
+    assert(plain.size == 10 && gz.size == 10)
     plain.zip(gz).foreach { case (a, b) =>
       assert(a.record_index == b.record_index)
       assert(a.warc_type == b.warc_type && a.target_uri == b.target_uri)
@@ -104,11 +104,46 @@ class WarcSpec extends SparkSpec {
       java.nio.file.Files.write(dir.resolve(n), resource(n))
     }
     val df = Warc.readWarc(spark, dir.toString)
-    assert(df.count() == 14)
+    assert(df.count() == 20)
     val statuses = df.filter("http_status = 200").count()
-    assert(statuses == 8) // 4 OK responses × 2 layouts
+    assert(statuses == 14) // 7 OK responses × 2 layouts
     assert(df.select("file").distinct().count() == 2)
   }
+
+  test("chunked / gzip / chunked+gzip entity bodies decode to the page") {
+    val rs = Warc.parseWarc(resource("tiny.warc"))
+    // records 7/8/9 carry the SAME pages as 3/2/6 behind body codings
+    assert(java.util.Arrays.equals(rs(7).payload, rs(3).payload),
+      "chunked body != plain page-b")
+    assert(java.util.Arrays.equals(rs(8).payload, rs(2).payload),
+      "gzipped body != plain page-a")
+    assert(java.util.Arrays.equals(rs(9).payload, rs(6).payload),
+      "chunked+gzipped body != plain page-c")
+    // the decoded payloads are SMALLER than the blocks that carried them
+    assert(rs(9).payload.length < rs(9).content_length)
+  }
+
+  test("malformed chunk framing salvages the RAW body, never throws") {
+    assert(Warc.dechunk("zz\r\nnot hex".getBytes(ISO_8859_1)).isEmpty)
+    assert(Warc.dechunk("ff\r\nshort".getBytes(ISO_8859_1)).isEmpty)
+    val resp = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "zz\r\nnot a chunk").getBytes(ISO_8859_1)
+    val rec = Warc.parseWarc(
+      rec0("response", "http://x/bad-chunk", "application/http; msgtype=response", resp))
+    assert(rec.size == 1 &&
+      new String(rec.head.payload, ISO_8859_1) == "zz\r\nnot a chunk")
+  }
+
+  test("a gzip bomb is truncated to None (raw body kept), never inflated") {
+    val bomb = gzipBytes(new Array[Byte](Warc.MaxRecordBytes + 1024))
+    assert(Warc.gunzipBounded(bomb).isEmpty)
+    // a small gzip decodes fine
+    val ok = gzipBytes("hello corpus".getBytes)
+    assert(Warc.gunzipBounded(ok).map(new String(_)).contains("hello corpus"))
+  }
+
+  private def rec0(rtype: String, uri: String, ctype: String,
+      block: Array[Byte]): Array[Byte] = rec(rtype, uri, ctype, block)
 
   private def gzipBytes(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
