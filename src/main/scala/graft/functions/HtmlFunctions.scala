@@ -56,21 +56,46 @@ object HtmlFunctions {
   private def replaceAll(c: Column, pats: Seq[(String, String)]): Column =
     pats.foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
 
-  /** Remove comments and script/style ELEMENTS (tag + content). Runs
-    * before any tag strip — otherwise script bodies leak into text. */
-  def dropInvisible(c: Column): Column =
+  /** The regex-chain dropInvisible — the executable SPECIFICATION the
+    * native [[graft.expr.HtmlDropInvisibleExpr]] is parity-tested against. */
+  def dropInvisibleSpec(c: Column): Column =
     replaceAll(c, Seq(CommentPat -> " ", ScriptPat -> " ", StylePat -> " "))
 
-  /** Strip remaining tags, decode the entity subset, collapse whitespace.
-    * Assumes [[dropInvisible]] already ran (or no scripts present). */
-  def stripTags(c: Column): Column = {
+  /** Remove comments and script/style ELEMENTS (tag + content). Runs
+    * before any tag strip — otherwise script bodies leak into text.
+    * Native fused scanner; [[dropInvisibleSpec]] is its specification. */
+  def dropInvisible(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.HtmlDropInvisibleExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** The regex-chain stripTags — the executable SPECIFICATION the native
+    * [[graft.expr.HtmlStripTagsExpr]] is bit-parity-tested against. */
+  def stripTagsSpec(c: Column): Column = {
     val decoded = replaceAll(regexp_replace(c, TagPat, " "), Entities)
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Strip remaining tags, decode the entity subset, collapse whitespace
+    * (native fused scanner; [[stripTagsSpec]] is its specification).
+    * Assumes [[dropInvisible]] already ran (or no scripts present). */
+  def stripTags(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.HtmlStripTagsExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** The regex-chain full-page extraction — the executable SPECIFICATION
+    * the native [[graft.expr.HtmlToTextExpr]] is bit-parity-tested
+    * against (8 regex passes; ~2.5 MB/s/core — tools/WarcScale). */
+  def htmlToTextSpec(c: Column): Column = stripTagsSpec(dropInvisible(c))
+
   /** Full-page text: `stripTags(dropInvisible(html))` — the plain
-    * whole-document extraction (no boilerplate removal). */
-  def htmlToText(c: Column): Column = stripTags(dropInvisible(c))
+    * whole-document extraction (no boilerplate removal), as ONE fused
+    * native expression. */
+  def htmlToText(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.HtmlToTextExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** Per-block stats: split the page on block-level tags, and for each
     * segment emit `struct(text, chars, link_chars)` where `text` is the

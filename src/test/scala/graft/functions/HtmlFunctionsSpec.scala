@@ -88,6 +88,49 @@ before any tokenizer sees a byte &mdash; order matters.</P>
     assert(run(c => HtmlFunctions.mainText(c), prose).nonEmpty)
   }
 
+  test("native fused extractor ≡ regex-chain specification (bit parity)") {
+    import spark.implicits._
+    val edge = Seq(
+      "", "   ", "plain text no markup",
+      "<!-- unclosed comment swallows nothing",
+      "<!--a--><!--b-->kept<!---->",
+      "<!--->tricky<!----->ok",
+      "<scripts>not a script element</scripts>",
+      "<script>x</script  >after space-close",
+      "<SCRIPT a=b>upper</ScRiPt><style>s</STYLE >",
+      "<script>no close tag keeps this text",
+      "<script><style>inner</style></script>outer",
+      "<style>a</style>mid<style>b</style>",
+      "a < b unmatched angle", "trailing open <div",
+      "&amp;lt; &amp;amp; &nbsp;&nbsp; &#39;q&apos;",
+      "&nbsp", "&unknown; passes through",
+      "tab\there\nnewlinevt\ffeed\rcr",
+      "<a href=x>link</a> <p>para</p>",
+      "<script src=\"a.js\"></script><p>after empty script</p>")
+    val rnd = new scala.util.Random(77)
+    val frags = Seq("<p>", "</p>", "<div class=x>", "</div>", "<script>",
+      "</script>", "<script >", "</script >", "<style>", "</style>",
+      "<!--", "-->", "&lt;", "&amp;", "&nbsp;", "&amp;lt;", "word", " ",
+      "\n", "<", ">", "<a href=/x>", "</a>", "text with spaces", "<br>")
+    val fuzz = (0 until 300).map { _ =>
+      (0 until 3 + rnd.nextInt(25)).map(_ => frags(rnd.nextInt(frags.length)))
+        .mkString
+    }
+    val all = (edge ++ fuzz :+ pageA :+ pageC).toDF("h")
+    val mismatch = all.select(
+        HtmlFunctions.htmlToText(col("h")).as("native"),
+        HtmlFunctions.htmlToTextSpec(col("h")).as("spec"),
+        HtmlFunctions.stripTags(col("h")).as("nstrip"),
+        HtmlFunctions.stripTagsSpec(col("h")).as("sstrip"),
+        HtmlFunctions.dropInvisible(col("h")).as("ndrop"),
+        HtmlFunctions.dropInvisibleSpec(col("h")).as("sdrop"),
+        col("h"))
+      .filter(col("native") =!= col("spec") || col("nstrip") =!= col("sstrip")
+        || col("ndrop") =!= col("sdrop"))
+      .collect()
+    assert(mismatch.isEmpty, mismatch.take(3).map(_.mkString(" | ")).mkString("\n"))
+  }
+
   test("blockStats: per-block chars and link_chars are consistent") {
     import spark.implicits._
     val rows = Seq(pageA).toDF("h")
