@@ -269,6 +269,27 @@ def main():
         print(f"  ('{uri}', CAST({len(blocks)} AS BIGINT), '{md5}', "
               f"CAST({len(mt)} AS BIGINT), CAST({len(full)} AS BIGINT)),")
 
+    # q168: the composed crawl->clean-corpus pipeline — main-text extract,
+    # quality gate (>=40 main chars), exact dedup by main text (the coded
+    # twins collapse onto their plain pages), per group the keeper uri,
+    # copy count, token and char counts.
+    print("\n-- q168 oracle VALUES --")
+    groups = {}
+    for uri, html in [("http://fixture.example/page-a", PAGE_A),
+                      ("http://fixture.example/page-b", PAGE_B),
+                      ("http://fixture.example/page-c", PAGE_C),
+                      ("http://fixture.example/chunked", PAGE_B),
+                      ("http://fixture.example/gzipped", PAGE_A),
+                      ("http://fixture.example/both", PAGE_C)]:
+        mt = main_text(html)
+        if len(mt) < 40:
+            continue
+        groups.setdefault(mt, []).append(uri)
+    for mt, uris in sorted(groups.items(), key=lambda kv: min(kv[1])):
+        print(f"  ('{min(uris)}', CAST({len(uris)} AS BIGINT), "
+              f"CAST({len(mt.split())} AS BIGINT), "
+              f"CAST({len(mt)} AS BIGINT)),")
+
     print("\n-- main_text(PAGE_A) for the spec --")
     print(repr(main_text(PAGE_A)))
     print("\n-- main_text(PAGE_B) --")

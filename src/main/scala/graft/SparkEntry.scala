@@ -2063,6 +2063,33 @@ object SparkEntry {
       vrows.unionAll(arows)
         .orderBy(col("kind"), col("media_id"), col("seq"))
     }),
+    // ---- the composed crawl → clean-corpus walk (the switch-over user
+    // story for a web-scale ingest): WARC scan → HTTP 200 HTML → density-
+    // rule main text → quality gate → EXACT DEDUP by main text — the
+    // coded-body twins (chunked/gzip) collapse onto their plain fetches,
+    // exactly the duplicate shape a real crawl carries. Oracle = the
+    // independent python replay of the full composition -----------------
+    "q168_crawl_pipeline" -> ((s, _) => {
+      val H = graft.functions.HtmlFunctions
+      graft.sources.Warc.readWarc(s, warcFixtureDir())
+        .filter(col("file").endsWith(".warc.gz") &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(col("target_uri"),
+          H.mainText(col("payload").cast("string")).as("mt"))
+        .filter(length(col("mt")) >= 40) // quality gate: enough main content
+        .select(col("target_uri"), col("mt"),
+          graft.functions.TextFunctions.tokenCount(col("mt"))
+            .cast("long").as("tok"))
+        .groupBy(md5(col("mt").cast("binary")))
+        .agg(min(col("target_uri")).as("keeper_uri"),
+          count(lit(1)).as("n_copies"),
+          max(col("tok")).as("main_tokens"),
+          max(length(col("mt"))).cast("long").as("main_chars"))
+        .select(col("keeper_uri"), col("n_copies"), col("main_tokens"),
+          col("main_chars"))
+        .orderBy(col("keeper_uri"))
+    }),
     // ---- main-content extraction (jusText/Arc90-style density rule) over
     // the archived HTML 200-responses: per page the kept-block count and
     // main-text digest vs the full-page text length — pure column
@@ -3893,7 +3920,17 @@ object SparkEntry {
         |  ('http://fixture.example/gzipped', CAST(3 AS BIGINT), '7082a12b4c92208d0bef0ef955a0d96e', CAST(275 AS BIGINT), CAST(334 AS BIGINT)),
         |  ('http://fixture.example/both', CAST(2 AS BIGINT), '5c3d0254c0cbbf65083a65234e700c41', CAST(90 AS BIGINT), CAST(116 AS BIGINT)))
         |SELECT target_uri, n_blocks, main_md5, main_chars, full_chars
-        |FROM v ORDER BY target_uri""".stripMargin
+        |FROM v ORDER BY target_uri""".stripMargin,
+    // q168: the composition's results replayed by the python generator
+    // end-to-end (extraction + gate + dedup + counts share no code with
+    // the Scala pipeline under test)
+    "q168_crawl_pipeline" ->
+      """WITH v(keeper_uri, n_copies, main_tokens, main_chars) AS (VALUES
+        |  ('http://fixture.example/both', CAST(2 AS BIGINT), CAST(15 AS BIGINT), CAST(90 AS BIGINT)),
+        |  ('http://fixture.example/chunked', CAST(2 AS BIGINT), CAST(33 AS BIGINT), CAST(202 AS BIGINT)),
+        |  ('http://fixture.example/gzipped', CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(275 AS BIGINT)))
+        |SELECT keeper_uri, n_copies, main_tokens, main_chars
+        |FROM v ORDER BY keeper_uri""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.
