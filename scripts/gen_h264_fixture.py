@@ -429,6 +429,36 @@ def main():
                    [(skip_all, fresh48), (skip_sparse, fresh48),
                     (skip_ctx, fresh48)], seed=43)
 
+    # 11b. partitioned P stream: 16x8/8x16 partitions with DISTINCT
+    #      per-partition motion (partition 1's MVP sees partition 0 as a
+    #      neighbour), the directional MVP shortcuts (top->B, bottom->A,
+    #      left->A, right->C) AND their median fallbacks (frame 1 puts an
+    #      intra row ABOVE a 16x8 row, so the top partitions' designated
+    #      neighbour B is intra -> fallback), mixed with skip/P16/intra
+    def p_part(mbx, mby, f):
+        i = mbx + mby * 5 + f * 3
+        mv0 = (((i * 7) % 29) - 14, ((i * 11) % 23) - 11)
+        mv1 = (((i * 5) % 27) - 13, ((i * 13) % 19) - 9)
+        if f == 1 and mby == 0:
+            return ("I16", [i % 4, 2], [0], 26)
+        if i % 6 == 0:
+            return ("SKIP",)
+        if i % 3 == 0:
+            return ("P16x8", (mv0, mv1), 24 + (i % 5))
+        if i % 3 == 1:
+            return ("P8x16", (mv0, mv1), 25)
+        if i % 11 == 4:
+            return ("I4", (lambda z: [(z + i) % 9, 2]), [i % 4, 0], 24)
+        return ("P16", mv0, 24 + (i % 6))
+
+    def fresh64b(ref, f):
+        return make_planes(64, 48, 4600 + f)
+
+    _, _, encpart = build_p_stream("ppart_64x48", 64, 48, 26, mixed_policy,
+                                   [(p_part, fresh64b)] * 3, seed=46)
+    got_types = sorted(x[1] for x in encpart.coverage if x[0] == "mbtype")
+    assert "P16x8" in got_types and "P8x16" in got_types, got_types
+
     # 12. the P-frame avc1 MP4 (q166): IDR + 3 P, stss marks only frame 1
     w, h = 48, 32
     encp = H.Encoder(w, h, qp_init=26, num_ref_frames=1)

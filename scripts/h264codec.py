@@ -763,8 +763,8 @@ def _tap6(a, b, c, d, e, f):
     return a - 5 * b + 20 * c + 20 * d - 5 * e + f
 
 
-def mc_luma(ref, W, H, x0, y0, mvx, mvy):
-    """16x16 luma motion compensation at quarter-pel precision
+def mc_luma(ref, W, H, x0, y0, mvx, mvy, bw=16, bh=16):
+    """Luma motion compensation at quarter-pel precision (any block size)
     (8.4.2.2.1/.2, the Figure 8-4 a..s positions): 6-tap half-pel
     [1,-5,20,20,-5,1], centre position j from UNCLIPPED intermediate sums
     ((j1+512)>>10), quarter positions by rounding averages of the two
@@ -817,11 +817,11 @@ def mc_luma(ref, W, H, x0, y0, mvx, mvy):
         h = half_v(x if fx == 1 else x + 1, y)
         return (b + h + 1) >> 1
 
-    return [[sample(ix + j, iy + i) for j in range(16)] for i in range(16)]
+    return [[sample(ix + j, iy + i) for j in range(bw)] for i in range(bh)]
 
 
-def mc_chroma(ref, W, H, x0, y0, mvx, mvy):
-    """8x8 chroma MC (8.4.2.2.2): the quarter-pel LUMA vector addresses
+def mc_chroma(ref, W, H, x0, y0, mvx, mvy, bw=8, bh=8):
+    """Chroma MC (8.4.2.2.2, any block size): the quarter-pel LUMA vector addresses
     the half-resolution chroma plane at eighth-pel; bilinear weights
     ((8-dx)(8-dy)A + ... + 32) >> 6. Edge-clamped like luma."""
     ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
@@ -834,37 +834,47 @@ def mc_chroma(ref, W, H, x0, y0, mvx, mvy):
               xf * (8 - yf) * p(ix + j + 1, iy + i) +
               (8 - xf) * yf * p(ix + j, iy + i + 1) +
               xf * yf * p(ix + j + 1, iy + i + 1) + 32) >> 6
-             for j in range(8)] for i in range(8)]
+             for j in range(bw)] for i in range(bh)]
 
 
 # ------------------------------------ MV prediction (8.4.1.1 / 8.4.1.3)
 
-def _mb_motion(st, mbx, mby, cur_mbx, cur_mby):
-    """(refIdx, mv) of neighbour MB for prediction, or None if the MB is
-    outside the picture / not yet decoded. Intra MBs are AVAILABLE with
-    refIdx -1 and mv (0,0). 16x16-partition-only streams make the MB the
-    motion granule (every 4x4 of a neighbour carries its MB's motion)."""
-    if mbx < 0 or mby < 0 or mbx >= st.mb_w or mby >= st.mb_h:
+def blk_motion(st, bx, by):
+    """(refIdx, mv) of a 4x4 luma block for prediction, or None if the
+    block is outside the picture / not yet decoded. Motion is stored at
+    4x4 granularity so partitioned neighbours (16x8/8x16) resolve to the
+    SPECIFIC neighbouring block the spec names. Intra blocks are
+    available with refIdx -1, mv (0,0)."""
+    if bx < 0 or by < 0 or bx >= st.mb_w * 4 or by >= st.mb_h * 4:
         return None
-    if mby > cur_mby or (mby == cur_mby and mbx >= cur_mbx):
-        return None
-    ref = st.mb_ref.get((mbx, mby), -1)
-    if ref < 0:
+    r = st.bref.get((bx, by))
+    if r is None:
+        return None  # not yet decoded
+    if r < 0:
         return (-1, (0, 0))
-    return (ref, st.mv[(mbx, mby)])
+    return (0, st.bmv[(bx, by)])
 
 
-def mvp_16x16(st, mbx, mby):
-    """Median MV predictor for a 16x16 partition: neighbours A (left),
-    B (above), C (above-right; D above-left substitutes when C is
-    unavailable). If B and C are both unavailable and A exists -> mvA;
-    if exactly one neighbour references the current picture's refIdx 0 ->
-    its mv; else the component-wise median (unavailable -> (0,0))."""
-    A = _mb_motion(st, mbx - 1, mby, mbx, mby)
-    B = _mb_motion(st, mbx, mby - 1, mbx, mby)
-    C = _mb_motion(st, mbx + 1, mby - 1, mbx, mby)
+def record_blocks(st, x0b, y0b, wb, hb, ref, mv):
+    """Write a partition's motion into the 4x4-granular maps."""
+    for by in range(y0b, y0b + hb):
+        for bx in range(x0b, x0b + wb):
+            st.bref[(bx, by)] = ref
+            if ref >= 0:
+                st.bmv[(bx, by)] = mv
+
+
+def mvp_part(st, x0b, y0b, wb):
+    """Generic median MV predictor (8.4.1.3.1) for a partition with
+    top-left 4x4 block (x0b, y0b) and width wb blocks: neighbours
+    A (left), B (above), C (above-right of the partition; D above-left
+    substitutes); B&C-unavailable -> mvA; exactly-one-matching-refIdx ->
+    that mv; else componentwise median."""
+    A = blk_motion(st, x0b - 1, y0b)
+    B = blk_motion(st, x0b, y0b - 1)
+    C = blk_motion(st, x0b + wb, y0b - 1)
     if C is None:
-        C = _mb_motion(st, mbx - 1, mby - 1, mbx, mby)
+        C = blk_motion(st, x0b - 1, y0b - 1)
     if B is None and C is None and A is not None:
         return A[1]
     matches = [n for n in (A, B, C) if n is not None and n[0] == 0]
@@ -875,11 +885,43 @@ def mvp_16x16(st, mbx, mby):
     return (xs[1], ys[1])
 
 
+def mvp_16x16(st, mbx, mby):
+    return mvp_part(st, mbx * 4, mby * 4, 4)
+
+
+def mvp_16x8(st, mbx, mby, part):
+    """16x8 directional shortcut (8.4.1.3.2): top partition takes mvB,
+    bottom takes mvA, when that neighbour references the same picture;
+    else the generic median for the partition."""
+    x0b, y0b = mbx * 4, mby * 4 + 2 * part
+    n = blk_motion(st, x0b, y0b - 1) if part == 0 \
+        else blk_motion(st, x0b - 1, y0b)
+    if n is not None and n[0] == 0:
+        return n[1]
+    return mvp_part(st, x0b, y0b, 4)
+
+
+def mvp_8x16(st, mbx, mby, part):
+    """8x16 directional shortcut: left partition takes mvA, right takes
+    mvC (with D substitution), when same-picture; else the median."""
+    x0b, y0b = mbx * 4 + 2 * part, mby * 4
+    if part == 0:
+        n = blk_motion(st, x0b - 1, y0b)
+    else:
+        n = blk_motion(st, x0b + 2, y0b - 1)
+        if n is None:
+            n = blk_motion(st, x0b - 1, y0b - 1)
+    if n is not None and n[0] == 0:
+        return n[1]
+    return mvp_part(st, x0b, y0b, 2)
+
+
 def skip_mv(st, mbx, mby):
-    """P_Skip motion (8.4.1.1): zero if the left or above neighbour is
-    unavailable or is a zero-motion refIdx-0 block; else the 16x16 mvp."""
-    A = _mb_motion(st, mbx - 1, mby, mbx, mby)
-    B = _mb_motion(st, mbx, mby - 1, mbx, mby)
+    """P_Skip motion (8.4.1.1): zero if the left or above neighbour block
+    is unavailable or is a zero-motion refIdx-0 block; else the 16x16
+    mvp."""
+    A = blk_motion(st, mbx * 4 - 1, mby * 4)
+    B = blk_motion(st, mbx * 4, mby * 4 - 1)
     if A is None or B is None:
         return (0, 0)
     if A[0] == 0 and A[1] == (0, 0):
@@ -907,8 +949,8 @@ class FrameState:
         self.nnz_cr = {}
         self.i4_modes = {}  # (bx, by) -> intra4x4 mode (I_4x4 MBs only)
         self.mb_is_i4 = {}  # (mbx, mby) -> bool
-        self.mv = {}        # (mbx, mby) -> (mvx, mvy) quarter-pel (P MBs)
-        self.mb_ref = {}    # (mbx, mby) -> refIdx (0) or -1 for intra
+        self.bmv = {}       # (bx, by) 4x4 units -> (mvx, mvy) quarter-pel
+        self.bref = {}      # (bx, by) -> refIdx (0) or -1 for intra
 
     def nc(self, m, bx, by):
         a = m.get((bx - 1, by)) if bx > 0 else None
@@ -1041,7 +1083,7 @@ class Encoder:
         kind = policy(mbx, mby, frame_idx)
         x0, y0 = mbx * 16, mby * 16
         left_ok, above_ok = mbx > 0, mby > 0
-        st.mb_ref[(mbx, mby)] = -1  # intra: no motion for neighbours
+        record_blocks(st, mbx * 4, mby * 4, 4, 4, -1, None)  # intra
         if kind[0] == "PCM":
             w.ue(25 + mb_type_offset)
             w.byte_align_zero()
@@ -1293,6 +1335,10 @@ class Encoder:
                     cur_qp = self._encode_mb_p16(w, st, ref, ysrc, cbsrc,
                                                  crsrc, mbx, mby, kind,
                                                  cur_qp)
+                elif kind[0] in ("P16x8", "P8x16"):
+                    cur_qp = self._encode_mb_part(w, st, ref, ysrc, cbsrc,
+                                                  crsrc, mbx, mby, kind,
+                                                  cur_qp)
                 else:            # intra in a P slice: mb_type offset +5
                     cur_qp = self._encode_mb(w, st, ysrc, cbsrc, crsrc,
                                              mbx, mby, lambda *a: kind,
@@ -1326,18 +1372,82 @@ class Encoder:
                 st.nnz_cb[(mbx * 2 + bx, mby * 2 + by)] = 0
                 st.nnz_cr[(mbx * 2 + bx, mby * 2 + by)] = 0
         st.mb_is_i4[(mbx, mby)] = False
-        st.mb_ref[(mbx, mby)] = 0
-        st.mv[(mbx, mby)] = mv
+        record_blocks(st, mbx * 4, mby * 4, 4, 4, 0, mv)
 
     def _encode_mb_p16(self, w, st, ref, ysrc, cbsrc, crsrc, mbx, mby,
                        kind, cur_qp):
         mvx, mvy = kind[1]
         desired_qp = kind[2] if len(kind) > 2 and kind[2] is not None \
             else cur_qp
-        qpc = chroma_qp(desired_qp, self.cqo)
         x0, y0 = mbx * 16, mby * 16
         W, H = self.mb_w * 16, self.mb_h * 16
+        mvp = mvp_16x16(st, mbx, mby)
+        record_blocks(st, mbx * 4, mby * 4, 4, 4, 0, (mvx, mvy))
+        w.ue(0)  # mb_type P_L0_16x16 (ref_idx_l0 absent: single ref)
+        w.se(mvx - mvp[0])
+        w.se(mvy - mvp[1])
         pred = mc_luma(ref.y, W, H, x0, y0, mvx, mvy)
+        pred_cb = mc_chroma(ref.cb, W // 2, H // 2, mbx * 8, mby * 8,
+                            mvx, mvy)
+        pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
+                            mvx, mvy)
+        self.coverage.add(("mbtype", "P16"))
+        return self._inter_tail(w, st, ysrc, cbsrc, crsrc, mbx, mby,
+                                pred, pred_cb, pred_cr, desired_qp, cur_qp)
+
+    def _encode_mb_part(self, w, st, ref, ysrc, cbsrc, crsrc, mbx, mby,
+                        kind, cur_qp):
+        """P_L0_L0_16x8 (mb_type 1) / P_L0_L0_8x16 (mb_type 2): two
+        partitions with their own motion (directional MVP shortcuts);
+        residual coding stays MB-level."""
+        vertical = kind[0] == "P8x16"
+        mvs = kind[1]  # ((mvx0, mvy0), (mvx1, mvy1))
+        desired_qp = kind[2] if len(kind) > 2 and kind[2] is not None \
+            else cur_qp
+        x0, y0 = mbx * 16, mby * 16
+        W, H = self.mb_w * 16, self.mb_h * 16
+        w.ue(2 if vertical else 1)  # mb_type
+        pred = [[0] * 16 for _ in range(16)]
+        pred_cb = [[0] * 8 for _ in range(8)]
+        pred_cr = [[0] * 8 for _ in range(8)]
+        for part in (0, 1):
+            mv = mvs[part]
+            if vertical:
+                px0, py0, bw, bh = x0 + 8 * part, y0, 8, 16
+                x0b, y0b, wb, hb = mbx * 4 + 2 * part, mby * 4, 2, 4
+                mvp = mvp_8x16(st, mbx, mby, part)
+            else:
+                px0, py0, bw, bh = x0, y0 + 8 * part, 16, 8
+                x0b, y0b, wb, hb = mbx * 4, mby * 4 + 2 * part, 4, 2
+                mvp = mvp_16x8(st, mbx, mby, part)
+            w.se(mv[0] - mvp[0])
+            w.se(mv[1] - mvp[1])
+            # record BEFORE the next partition predicts (it is a neighbour)
+            record_blocks(st, x0b, y0b, wb, hb, 0, mv)
+            pl = mc_luma(ref.y, W, H, px0, py0, mv[0], mv[1], bw, bh)
+            for i in range(bh):
+                for j in range(bw):
+                    pred[py0 - y0 + i][px0 - x0 + j] = pl[i][j]
+            pc = mc_chroma(ref.cb, W // 2, H // 2, px0 // 2, py0 // 2,
+                           mv[0], mv[1], bw // 2, bh // 2)
+            pr_ = mc_chroma(ref.cr, W // 2, H // 2, px0 // 2, py0 // 2,
+                            mv[0], mv[1], bw // 2, bh // 2)
+            for i in range(bh // 2):
+                for j in range(bw // 2):
+                    pred_cb[(py0 - y0) // 2 + i][(px0 - x0) // 2 + j] = pc[i][j]
+                    pred_cr[(py0 - y0) // 2 + i][(px0 - x0) // 2 + j] = pr_[i][j]
+        self.coverage.add(("mbtype", kind[0]))
+        return self._inter_tail(w, st, ysrc, cbsrc, crsrc, mbx, mby,
+                                pred, pred_cb, pred_cr, desired_qp, cur_qp)
+
+    def _inter_tail(self, w, st, ysrc, cbsrc, crsrc, mbx, mby, pred,
+                    pred_cb, pred_cr, desired_qp, cur_qp):
+        """Shared inter-MB residual pipeline: quantize luma against `pred`
+        and chroma against pred_cb/pred_cr, emit cbp + qp delta +
+        residuals, reconstruct. Caller already wrote mb_type + mvds and
+        recorded the partition motion."""
+        qpc = chroma_qp(desired_qp, self.cqo)
+        x0, y0 = mbx * 16, mby * 16
         levels = [None] * 16  # raster index
         for by in range(4):
             for bx in range(4):
@@ -1354,22 +1464,9 @@ class Encoder:
             if any(any(levels[r]) for r in (ZSCAN4[4 * e + k]
                                             for k in range(4))):
                 cbp_luma |= 1 << e
-        pred_cb = mc_chroma(ref.cb, W // 2, H // 2, mbx * 8, mby * 8,
-                            mvx, mvy)
-        pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
-                            mvx, mvy)
         cdc, cac, cbp_chroma = self._chroma_levels_pred(
             st, cbsrc, crsrc, mbx, mby, pred_cb, pred_cr, qpc)
         cbp = cbp_luma | (cbp_chroma << 4)
-        mvp = mvp_16x16(st, mbx, mby)
-        # record motion BEFORE writing (MVP of this MB uses neighbours
-        # only, so order vs the write does not matter — but later MBs need
-        # it; note ref_idx_l0 is absent: num_ref_idx_l0_active_minus1 == 0)
-        st.mb_ref[(mbx, mby)] = 0
-        st.mv[(mbx, mby)] = (mvx, mvy)
-        w.ue(0)  # mb_type P_L0_16x16
-        w.se(mvx - mvp[0])
-        w.se(mvy - mvp[1])
         w.ue(CBP_INTER_INV[cbp])
         self.coverage.add(("cbp_inter", cbp))
         new_qp = cur_qp
@@ -1401,7 +1498,6 @@ class Encoder:
                         st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = clip255(
                             pred[by * 4 + i][bx * 4 + j] + r4[i][j])
         st.mb_is_i4[(mbx, mby)] = False
-        self.coverage.add(("mbtype", "P16"))
         self._write_chroma(w, st, mbx, mby, cdc, cac, cbp_chroma, qpc,
                            None)
         return new_qp
@@ -1697,7 +1793,7 @@ class Decoder:
     def _decode_mb(self, r, st, sps, pps, mbx, mby, cur_qp, mb_type=None):
         if mb_type is None:
             mb_type = r.ue()
-        st.mb_ref[(mbx, mby)] = -1  # intra (P_* paths overwrite)
+        record_blocks(st, mbx * 4, mby * 4, 4, 4, -1, None)  # intra
         x0, y0 = mbx * 16, mby * 16
         if mb_type == 25:  # I_PCM
             r.byte_align()
@@ -1835,32 +1931,62 @@ class Decoder:
                 st.nnz_cb[(mbx * 2 + bx, mby * 2 + by)] = 0
                 st.nnz_cr[(mbx * 2 + bx, mby * 2 + by)] = 0
         st.mb_is_i4[(mbx, mby)] = False
-        st.mb_ref[(mbx, mby)] = 0
-        st.mv[(mbx, mby)] = mv
+        record_blocks(st, mbx * 4, mby * 4, 4, 4, 0, mv)
 
     def _decode_mb_p(self, r, st, sps, pps, mbx, mby, cur_qp):
         mb_type = r.ue()
         if mb_type >= 5:  # intra in a P slice
-            new_qp = self._decode_mb(r, st, sps, pps, mbx, mby, cur_qp,
-                                     mb_type=mb_type - 5)
-            return new_qp
-        assert mb_type == 0, \
-            f"P mb_type {mb_type} unsupported (16x16 partitions only)"
+            return self._decode_mb(r, st, sps, pps, mbx, mby, cur_qp,
+                                   mb_type=mb_type - 5)
+        assert mb_type in (0, 1, 2), \
+            f"P mb_type {mb_type} unsupported (no 8x8 sub-partitioning)"
         ref = self.ref_st
         x0, y0 = mbx * 16, mby * 16
         W, H = sps.mb_w * 16, sps.mb_h * 16
-        mvp = mvp_16x16(st, mbx, mby)
-        mvx = mvp[0] + r.se()
-        mvy = mvp[1] + r.se()
-        st.mb_ref[(mbx, mby)] = 0
-        st.mv[(mbx, mby)] = (mvx, mvy)
+        if mb_type == 0:
+            mvp = mvp_16x16(st, mbx, mby)
+            mvx = mvp[0] + r.se()
+            mvy = mvp[1] + r.se()
+            record_blocks(st, mbx * 4, mby * 4, 4, 4, 0, (mvx, mvy))
+            pred = mc_luma(ref.y, W, H, x0, y0, mvx, mvy)
+            pred_cb = mc_chroma(ref.cb, W // 2, H // 2, mbx * 8, mby * 8,
+                                mvx, mvy)
+            pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
+                                mvx, mvy)
+        else:
+            vertical = mb_type == 2
+            pred = [[0] * 16 for _ in range(16)]
+            pred_cb = [[0] * 8 for _ in range(8)]
+            pred_cr = [[0] * 8 for _ in range(8)]
+            for part in (0, 1):
+                if vertical:
+                    px0, py0, bw, bh = x0 + 8 * part, y0, 8, 16
+                    x0b, y0b, wb, hb = mbx * 4 + 2 * part, mby * 4, 2, 4
+                    mvp = mvp_8x16(st, mbx, mby, part)
+                else:
+                    px0, py0, bw, bh = x0, y0 + 8 * part, 16, 8
+                    x0b, y0b, wb, hb = mbx * 4, mby * 4 + 2 * part, 4, 2
+                    mvp = mvp_16x8(st, mbx, mby, part)
+                mv = (mvp[0] + r.se(), mvp[1] + r.se())
+                record_blocks(st, x0b, y0b, wb, hb, 0, mv)
+                pl = mc_luma(ref.y, W, H, px0, py0, mv[0], mv[1], bw, bh)
+                for i in range(bh):
+                    for j in range(bw):
+                        pred[py0 - y0 + i][px0 - x0 + j] = pl[i][j]
+                pc = mc_chroma(ref.cb, W // 2, H // 2, px0 // 2, py0 // 2,
+                               mv[0], mv[1], bw // 2, bh // 2)
+                pr_ = mc_chroma(ref.cr, W // 2, H // 2, px0 // 2, py0 // 2,
+                                mv[0], mv[1], bw // 2, bh // 2)
+                for i in range(bh // 2):
+                    for j in range(bw // 2):
+                        pred_cb[(py0 - y0) // 2 + i][(px0 - x0) // 2 + j] = pc[i][j]
+                        pred_cr[(py0 - y0) // 2 + i][(px0 - x0) // 2 + j] = pr_[i][j]
         cbp = CBP_INTER[r.ue()]
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         new_qp = cur_qp
         if cbp != 0:
             new_qp = cur_qp + r.se()
         qpc = chroma_qp(new_qp, pps.chroma_qp_offset)
-        pred = mc_luma(ref.y, W, H, x0, y0, mvx, mvy)
         acs = [[0] * 16 for _ in range(16)]
         for z in range(16):
             rr = ZSCAN4[z]
@@ -1886,10 +2012,6 @@ class Decoder:
                         st.y[y0 + by * 4 + i][x0 + bx * 4 + j] = clip255(
                             pred[by * 4 + i][bx * 4 + j] + r4[i][j])
         st.mb_is_i4[(mbx, mby)] = False
-        pred_cb = mc_chroma(ref.cb, W // 2, H // 2, mbx * 8, mby * 8,
-                            mvx, mvy)
-        pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
-                            mvx, mvy)
         self._decode_chroma(r, st, sps, pps, mbx, mby, None, cbp_chroma,
                             qpc, preds=(pred_cb, pred_cr))
         return new_qp

@@ -12,18 +12,20 @@ package graft.sources
   *    `frame_mbs_only`, 4:2:0, 8-bit.
   *  - Intra macroblocks: I_4x4 (all nine prediction modes), I_16x16 (all
   *    four modes, every CBP class), I_PCM — in I and P slices.
-  *  - P slices in the single-reference 16x16 regime: P_L0_16x16 with
-  *    quarter-pel motion compensation (6-tap half-pel, unclipped-
-  *    intermediate centre position, bilinear eighth-pel chroma — 8.4.2.2),
-  *    median motion-vector prediction with the B/C-unavailable and
-  *    single-matching-neighbour special cases (8.4.1.3), P_Skip with its
+  *  - P slices in the single-reference regime: P_L0_16x16, P_L0_L0_16x8
+  *    and P_L0_L0_8x16 partitions with quarter-pel motion compensation
+  *    (6-tap half-pel, unclipped-intermediate centre position, bilinear
+  *    eighth-pel chroma — 8.4.2.2), motion stored at 4x4-block
+  *    granularity, median motion-vector prediction with the
+  *    B/C-unavailable and single-matching-neighbour special cases plus
+  *    the 16x8/8x16 directional shortcuts (8.4.1.3), P_Skip with its
   *    zero-motion edge conditions (8.4.1.1), mb_skip_run coding, inter
   *    CBP (Table 9-4 Inter column), one reference picture (the previous
   *    decoded frame).
   *  - Frame cropping, per-MB QP deltas, chroma QP offset, multi-frame
   *    streams; Annex B and avcC/length-prefixed NAL framing.
-  * Rejected loudly (never silently wrong): CABAC, B slices, P partitions
-  * other than 16x16 (16x8/8x16/8x8), multiple reference frames, reference
+  * Rejected loudly (never silently wrong): CABAC, B slices, P_8x8
+  * sub-partitioning, multiple reference frames, reference
   * list reordering, weighted prediction, interlace, slice groups, scaling
   * matrices, constrained intra, multi-slice frames, and — deliberately —
   * streams that ENABLE the in-loop deblocking filter
@@ -753,11 +755,12 @@ object H264Decode {
     val nnzCr = new Array[Int](mbW * 2 * mbH * 2)
     val i4Modes = new Array[Int](mbW * 4 * mbH * 4)
     val mbIsI4 = new Array[Boolean](mbW * mbH)
-    // per-MB motion (16x16-partition regime): refIdx -2 = not yet
-    // decoded, -1 = intra, 0 = inter against the single reference
-    val mbRef = Array.fill(mbW * mbH)(-2)
-    val mvX = new Array[Int](mbW * mbH)
-    val mvY = new Array[Int](mbW * mbH)
+    // motion at 4x4-BLOCK granularity (partitioned neighbours resolve to
+    // the specific block the spec names): refIdx -2 = not yet decoded,
+    // -1 = intra, 0 = inter against the single reference
+    val bRef = Array.fill(mbW * 4 * mbH * 4)(-2)
+    val bMvX = new Array[Int](mbW * 4 * mbH * 4)
+    val bMvY = new Array[Int](mbW * 4 * mbH * 4)
     val bw4 = mbW * 4
     val bw2 = mbW * 2
     def ncY(bx: Int, by: Int): Int = nc(nnzY, bw4, bx, by)
@@ -784,10 +787,12 @@ object H264Decode {
   @inline private def tap6(a: Int, b: Int, c: Int, d: Int, e: Int, f: Int): Int =
     a - 5 * b + 20 * c + 20 * d - 5 * e + f
 
-  /** 16x16 luma MC at quarter-pel (8.4.2.2.1/.2, Figure 8-4): 6-tap
-    * half-pel, centre j from UNCLIPPED intermediates ((j1+512)>>10),
-    * quarter positions as rounding averages. Edge-clamped reads. */
-  private def mcLuma(ref: Plane, x0: Int, y0: Int, mvx: Int, mvy: Int): Array[Int] = {
+  /** Luma MC at quarter-pel, any block size (8.4.2.2.1/.2, Figure 8-4):
+    * 6-tap half-pel, centre j from UNCLIPPED intermediates
+    * ((j1+512)>>10), quarter positions as rounding averages.
+    * Edge-clamped reads; output is bw×bh row-major. */
+  private def mcLuma(ref: Plane, x0: Int, y0: Int, mvx: Int, mvy: Int,
+                     bw: Int = 16, bh: Int = 16): Array[Int] = {
     val ix = x0 + (mvx >> 2); val iy = y0 + (mvy >> 2)
     val fx = mvx & 3; val fy = mvy & 3
     val W = ref.w; val H = ref.h
@@ -825,30 +830,31 @@ object H264Decode {
         (b + h + 1) >> 1
       }
     }
-    val out = new Array[Int](256)
+    val out = new Array[Int](bw * bh)
     var i = 0
-    while (i < 16) {
+    while (i < bh) {
       var j = 0
-      while (j < 16) { out(i * 16 + j) = sample(ix + j, iy + i); j += 1 }
+      while (j < bw) { out(i * bw + j) = sample(ix + j, iy + i); j += 1 }
       i += 1
     }
     out
   }
 
-  /** 8x8 chroma MC (8.4.2.2.2): eighth-pel bilinear from the quarter-pel
-    * LUMA vector on the half-resolution plane. Edge-clamped. */
-  private def mcChroma(ref: Plane, x0: Int, y0: Int, mvx: Int, mvy: Int): Array[Int] = {
+  /** Chroma MC, any block size (8.4.2.2.2): eighth-pel bilinear from the
+    * quarter-pel LUMA vector on the half-resolution plane. Edge-clamped. */
+  private def mcChroma(ref: Plane, x0: Int, y0: Int, mvx: Int, mvy: Int,
+                       bw: Int = 8, bh: Int = 8): Array[Int] = {
     val ix = x0 + (mvx >> 3); val iy = y0 + (mvy >> 3)
     val xf = mvx & 7; val yf = mvy & 7
     val W = ref.w; val H = ref.h
     @inline def p(x: Int, y: Int): Int =
       ref.px(math.min(math.max(y, 0), H - 1) * W + math.min(math.max(x, 0), W - 1))
-    val out = new Array[Int](64)
+    val out = new Array[Int](bw * bh)
     var i = 0
-    while (i < 8) {
+    while (i < bh) {
       var j = 0
-      while (j < 8) {
-        out(i * 8 + j) = ((8 - xf) * (8 - yf) * p(ix + j, iy + i) +
+      while (j < bw) {
+        out(i * bw + j) = ((8 - xf) * (8 - yf) * p(ix + j, iy + i) +
           xf * (8 - yf) * p(ix + j + 1, iy + i) +
           (8 - xf) * yf * p(ix + j, iy + i + 1) +
           xf * yf * p(ix + j + 1, iy + i + 1) + 32) >> 6
@@ -861,24 +867,43 @@ object H264Decode {
 
   // ------------------------------- MV prediction (8.4.1.1 / 8.4.1.3)
 
-  /** (refIdx, mvx, mvy) of a neighbour MB, or null if outside / not yet
-    * decoded. Intra MBs are available with refIdx -1, mv (0,0). */
-  private def mbMotion(st: MbState, mbx: Int, mby: Int): Array[Int] = {
-    if (mbx < 0 || mby < 0 || mbx >= st.mbW || mby >= st.mbH) return null
-    val i = mby * st.mbW + mbx
-    val ref = st.mbRef(i)
+  /** (refIdx, mvx, mvy) of a 4x4 luma block, or null if outside / not
+    * yet decoded. Motion is stored at block granularity so partitioned
+    * neighbours (16x8/8x16) resolve to the SPECIFIC block the spec names.
+    * Intra blocks are available with refIdx -1, mv (0,0). */
+  private def blkMotion(st: MbState, bx: Int, by: Int): Array[Int] = {
+    if (bx < 0 || by < 0 || bx >= st.mbW * 4 || by >= st.mbH * 4) return null
+    val i = by * st.mbW * 4 + bx
+    val ref = st.bRef(i)
     if (ref == -2) return null
-    if (ref < 0) Array(-1, 0, 0) else Array(0, st.mvX(i), st.mvY(i))
+    if (ref < 0) Array(-1, 0, 0) else Array(0, st.bMvX(i), st.bMvY(i))
   }
 
-  /** Median MV predictor for a 16x16 partition (A left, B above, C
-    * above-right with D above-left substitution; B&C-unavailable -> mvA;
-    * exactly-one-matching-refIdx -> that mv; else componentwise median). */
-  private def mvp16x16(st: MbState, mbx: Int, mby: Int): (Int, Int) = {
-    val a = mbMotion(st, mbx - 1, mby)
-    val b = mbMotion(st, mbx, mby - 1)
-    var c = mbMotion(st, mbx + 1, mby - 1)
-    if (c == null) c = mbMotion(st, mbx - 1, mby - 1)
+  /** Write a partition's motion into the block-granular maps. */
+  private def recordBlocks(st: MbState, x0b: Int, y0b: Int, wb: Int,
+                           hb: Int, ref: Int, mvx: Int, mvy: Int): Unit = {
+    var by = y0b
+    while (by < y0b + hb) {
+      var bx = x0b
+      while (bx < x0b + wb) {
+        val i = by * st.mbW * 4 + bx
+        st.bRef(i) = ref
+        st.bMvX(i) = mvx; st.bMvY(i) = mvy
+        bx += 1
+      }
+      by += 1
+    }
+  }
+
+  /** Generic median MV predictor (8.4.1.3.1) for a partition with
+    * top-left 4x4 block (x0b, y0b) and width wb blocks: A left, B above,
+    * C above-right with D above-left substitution; B&C-unavailable ->
+    * mvA; exactly-one-matching-refIdx -> that mv; else the median. */
+  private def mvpPart(st: MbState, x0b: Int, y0b: Int, wb: Int): (Int, Int) = {
+    val a = blkMotion(st, x0b - 1, y0b)
+    val b = blkMotion(st, x0b, y0b - 1)
+    var c = blkMotion(st, x0b + wb, y0b - 1)
+    if (c == null) c = blkMotion(st, x0b - 1, y0b - 1)
     if (b == null && c == null && a != null) return (a(1), a(2))
     val ns = Array(a, b, c)
     var matching = -1; var nMatch = 0
@@ -894,11 +919,38 @@ object H264Decode {
     (med(mv(a, 1), mv(b, 1), mv(c, 1)), med(mv(a, 2), mv(b, 2), mv(c, 2)))
   }
 
-  /** P_Skip motion (8.4.1.1): zero when the left or above neighbour is
-    * unavailable or is a zero-motion refIdx-0 block, else the mvp. */
+  private def mvp16x16(st: MbState, mbx: Int, mby: Int): (Int, Int) =
+    mvpPart(st, mbx * 4, mby * 4, 4)
+
+  /** 16x8 directional shortcut (8.4.1.3.2): top partition takes mvB,
+    * bottom takes mvA, when that neighbour references this picture;
+    * else the generic median for the partition. */
+  private def mvp16x8(st: MbState, mbx: Int, mby: Int, part: Int): (Int, Int) = {
+    val x0b = mbx * 4; val y0b = mby * 4 + 2 * part
+    val n = if (part == 0) blkMotion(st, x0b, y0b - 1)
+            else blkMotion(st, x0b - 1, y0b)
+    if (n != null && n(0) == 0) (n(1), n(2)) else mvpPart(st, x0b, y0b, 4)
+  }
+
+  /** 8x16 directional shortcut: left partition takes mvA, right takes
+    * mvC (with D substitution), when same-picture; else the median. */
+  private def mvp8x16(st: MbState, mbx: Int, mby: Int, part: Int): (Int, Int) = {
+    val x0b = mbx * 4 + 2 * part; val y0b = mby * 4
+    var n: Array[Int] = null
+    if (part == 0) n = blkMotion(st, x0b - 1, y0b)
+    else {
+      n = blkMotion(st, x0b + 2, y0b - 1)
+      if (n == null) n = blkMotion(st, x0b - 1, y0b - 1)
+    }
+    if (n != null && n(0) == 0) (n(1), n(2)) else mvpPart(st, x0b, y0b, 2)
+  }
+
+  /** P_Skip motion (8.4.1.1): zero when the left or above neighbour
+    * block is unavailable or is a zero-motion refIdx-0 block, else the
+    * 16x16 mvp. */
   private def skipMv(st: MbState, mbx: Int, mby: Int): (Int, Int) = {
-    val a = mbMotion(st, mbx - 1, mby)
-    val b = mbMotion(st, mbx, mby - 1)
+    val a = blkMotion(st, mbx * 4 - 1, mby * 4)
+    val b = blkMotion(st, mbx * 4, mby * 4 - 1)
     if (a == null || b == null) return (0, 0)
     if (a(0) == 0 && a(1) == 0 && a(2) == 0) return (0, 0)
     if (b(0) == 0 && b(1) == 0 && b(2) == 0) return (0, 0)
@@ -1001,30 +1053,75 @@ object H264Decode {
       st.nnzCb((mby * 2 + by) * st.bw2 + mbx * 2 + bx) = 0
       st.nnzCr((mby * 2 + by) * st.bw2 + mbx * 2 + bx) = 0
     }
-    val mi = mby * st.mbW + mbx
-    st.mbIsI4(mi) = false
-    st.mbRef(mi) = 0
-    st.mvX(mi) = mvx; st.mvY(mi) = mvy
+    st.mbIsI4(mby * st.mbW + mbx) = false
+    recordBlocks(st, mbx * 4, mby * 4, 4, 4, 0, mvx, mvy)
   }
 
-  /** Coded MB of a P slice: P_L0_16x16 (mb_type 0) or intra (>= 5). */
+  /** Coded MB of a P slice: P_L0_16x16 (0), P_L0_L0_16x8 (1),
+    * P_L0_L0_8x16 (2), or intra (>= 5). */
   private def decodePMb(r: Bits, st: MbState, ref: MbState, sps: Sps,
                         pps: Pps, mbx: Int, mby: Int, curQp: Int): Int = {
     val mbType = r.ue()
     if (mbType >= 5) // intra in a P slice
       return decodeMb(r, st, sps, pps, mbx, mby, curQp, mbType - 5)
-    require(mbType == 0,
-      s"P mb_type $mbType unsupported (16x16 partitions only — no " +
-        "16x8/8x16/8x8 sub-partitioning)")
+    require(mbType <= 2,
+      s"P mb_type $mbType unsupported (no 8x8 sub-partitioning)")
     val x0 = mbx * 16; val y0 = mby * 16
-    val mvp = mvp16x16(st, mbx, mby)
-    // ref_idx_l0 absent: num_ref_idx_l0_active_minus1 == 0 (required)
-    val mvx = mvp._1 + r.se()
-    val mvy = mvp._2 + r.se()
     val mi = mby * st.mbW + mbx
-    st.mbRef(mi) = 0
-    st.mvX(mi) = mvx; st.mvY(mi) = mvy
     st.mbIsI4(mi) = false
+    // ref_idx_l0 absent throughout: num_ref_idx_l0_active_minus1 == 0
+    val pred = new Array[Int](256)
+    val predCb = new Array[Int](64)
+    val predCr = new Array[Int](64)
+    if (mbType == 0) {
+      val mvp = mvp16x16(st, mbx, mby)
+      val mvx = mvp._1 + r.se()
+      val mvy = mvp._2 + r.se()
+      recordBlocks(st, mbx * 4, mby * 4, 4, 4, 0, mvx, mvy)
+      System.arraycopy(mcLuma(ref.y, x0, y0, mvx, mvy), 0, pred, 0, 256)
+      System.arraycopy(mcChroma(ref.cb, mbx * 8, mby * 8, mvx, mvy), 0, predCb, 0, 64)
+      System.arraycopy(mcChroma(ref.cr, mbx * 8, mby * 8, mvx, mvy), 0, predCr, 0, 64)
+    } else {
+      val vertical = mbType == 2
+      var part = 0
+      while (part < 2) {
+        val (px0, py0, bw, bh, x0b, y0b, wb, hb, mvp) =
+          if (vertical)
+            (x0 + 8 * part, y0, 8, 16, mbx * 4 + 2 * part, mby * 4, 2, 4,
+              mvp8x16(st, mbx, mby, part))
+          else
+            (x0, y0 + 8 * part, 16, 8, mbx * 4, mby * 4 + 2 * part, 4, 2,
+              mvp16x8(st, mbx, mby, part))
+        val mvx = mvp._1 + r.se()
+        val mvy = mvp._2 + r.se()
+        // record BEFORE the next partition predicts (it is a neighbour)
+        recordBlocks(st, x0b, y0b, wb, hb, 0, mvx, mvy)
+        val pl = mcLuma(ref.y, px0, py0, mvx, mvy, bw, bh)
+        var i = 0
+        while (i < bh) {
+          var j = 0
+          while (j < bw) {
+            pred((py0 - y0 + i) * 16 + (px0 - x0 + j)) = pl(i * bw + j)
+            j += 1
+          }
+          i += 1
+        }
+        val pc = mcChroma(ref.cb, px0 / 2, py0 / 2, mvx, mvy, bw / 2, bh / 2)
+        val pr2 = mcChroma(ref.cr, px0 / 2, py0 / 2, mvx, mvy, bw / 2, bh / 2)
+        i = 0
+        while (i < bh / 2) {
+          var j = 0
+          while (j < bw / 2) {
+            val di = ((py0 - y0) / 2 + i) * 8 + (px0 - x0) / 2 + j
+            predCb(di) = pc(i * (bw / 2) + j)
+            predCr(di) = pr2(i * (bw / 2) + j)
+            j += 1
+          }
+          i += 1
+        }
+        part += 1
+      }
+    }
     val cbpCode = r.ue()
     require(cbpCode < 48, s"bad coded_block_pattern code $cbpCode")
     val cbp = CbpInter(cbpCode)
@@ -1036,7 +1133,6 @@ object H264Decode {
       require(newQp >= 0 && newQp <= 51, s"MB QP $newQp out of range")
     }
     val qpc = chromaQp(newQp, pps.chromaQpOffset)
-    val pred = mcLuma(ref.y, x0, y0, mvx, mvy)
     val acs = Array.fill(16)(new Array[Int](16))
     var z = 0
     while (z < 16) {
@@ -1071,8 +1167,6 @@ object H264Decode {
       }
       by += 1
     }
-    val predCb = mcChroma(ref.cb, mbx * 8, mby * 8, mvx, mvy)
-    val predCr = mcChroma(ref.cr, mbx * 8, mby * 8, mvx, mvy)
     decodeChroma(r, st, pps, mbx, mby, cmode = 0, cbpChroma, qpc,
       preds = Array(predCb, predCr))
     newQp
@@ -1080,7 +1174,7 @@ object H264Decode {
 
   private def decodeMb(r: Bits, st: MbState, sps: Sps, pps: Pps,
                        mbx: Int, mby: Int, curQp: Int, mbType: Int): Int = {
-    st.mbRef(mby * st.mbW + mbx) = -1 // intra: no motion for neighbours
+    recordBlocks(st, mbx * 4, mby * 4, 4, 4, -1, 0, 0) // intra
     val x0 = mbx * 16
     val y0 = mby * 16
     if (mbType == 25) { // I_PCM

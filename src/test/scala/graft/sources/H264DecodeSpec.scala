@@ -207,6 +207,13 @@ class H264DecodeSpec extends AnyFunSuite {
     checkStream("pskip_48x32", 48, 32, 4)
   }
 
+  test("P slices: 16x8/8x16 partitions, directional MVP + median fallback") {
+    // frame 1 places an intra row ABOVE a 16x8 row, so the top partitions'
+    // designated neighbour B is intra -> median fallback; elsewhere the
+    // directional shortcuts fire (neighbours are same-picture inter)
+    checkStream("ppart_64x48", 64, 48, 4)
+  }
+
   test("Table 9-4 inter column is a bijection distinct from the intra one") {
     assert(H264Decode.CbpInter.sorted.sameElements(0 until 48))
     assert(H264Decode.CbpInter(0) === 0 && H264Decode.CbpInter(1) === 16)
