@@ -459,6 +459,33 @@ def main():
     got_types = sorted(x[1] for x in encpart.coverage if x[0] == "mbtype")
     assert "P16x8" in got_types and "P8x16" in got_types, got_types
 
+    # 11c. P_8x8 sub-partitioned stream: every sub_mb_type (8x8/8x4/4x8/
+    #      4x4), each sub-partition with its own motion — down to 4x4 MC
+    #      with 2x2 chroma blocks — mixed with skip/P16/intra
+    def mk_sub(i, e):
+        st_ = (i + e) % 4
+        n = [1, 2, 2, 4][st_]
+        mvs = [((((i * 7 + e * 3 + k * 5) % 25) - 12),
+                (((i * 11 + e + k * 7) % 21) - 10)) for k in range(n)]
+        return (st_, mvs)
+
+    def p_8x8(mbx, mby, f):
+        i = mbx + mby * 5 + f * 3
+        if i % 7 == 0:
+            return ("SKIP",)
+        if i % 7 == 3:
+            return ("P16", (((i * 7) % 29) - 14, ((i * 11) % 23) - 11), 25)
+        if i % 13 == 5:
+            return ("I16", [i % 4, 2], [0], 26)
+        return ("P8x8", [mk_sub(i, e) for e in range(4)], 24 + (i % 5))
+
+    def fresh64c(ref, f):
+        return make_planes(64, 48, 4700 + f)
+
+    _, _, enc8 = build_p_stream("p8x8_64x48", 64, 48, 26, mixed_policy,
+                                [(p_8x8, fresh64c)] * 3, seed=47)
+    assert {("sub", t) for t in range(4)} <= enc8.coverage, "sub coverage"
+
     # 12. the P-frame avc1 MP4 (q166): IDR + 3 P, stss marks only frame 1
     w, h = 48, 32
     encp = H.Encoder(w, h, qp_init=26, num_ref_frames=1)

@@ -916,6 +916,18 @@ def mvp_8x16(st, mbx, mby, part):
     return mvp_part(st, x0b, y0b, 2)
 
 
+def sub_parts(sub_type):
+    """Sub-partitions of one 8x8 (P sub_mb_type 0..3): (dx, dy, w, h) in
+    pixels within the 8x8, in decode order."""
+    if sub_type == 0:
+        return [(0, 0, 8, 8)]
+    if sub_type == 1:
+        return [(0, 0, 8, 4), (0, 4, 8, 4)]
+    if sub_type == 2:
+        return [(0, 0, 4, 8), (4, 0, 4, 8)]
+    return [(0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)]
+
+
 def skip_mv(st, mbx, mby):
     """P_Skip motion (8.4.1.1): zero if the left or above neighbour block
     is unavailable or is a zero-motion refIdx-0 block; else the 16x16
@@ -1339,6 +1351,10 @@ class Encoder:
                     cur_qp = self._encode_mb_part(w, st, ref, ysrc, cbsrc,
                                                   crsrc, mbx, mby, kind,
                                                   cur_qp)
+                elif kind[0] == "P8x8":
+                    cur_qp = self._encode_mb_p8x8(w, st, ref, ysrc, cbsrc,
+                                                  crsrc, mbx, mby, kind,
+                                                  cur_qp)
                 else:            # intra in a P slice: mb_type offset +5
                     cur_qp = self._encode_mb(w, st, ysrc, cbsrc, crsrc,
                                              mbx, mby, lambda *a: kind,
@@ -1437,6 +1453,57 @@ class Encoder:
                     pred_cb[(py0 - y0) // 2 + i][(px0 - x0) // 2 + j] = pc[i][j]
                     pred_cr[(py0 - y0) // 2 + i][(px0 - x0) // 2 + j] = pr_[i][j]
         self.coverage.add(("mbtype", kind[0]))
+        return self._inter_tail(w, st, ysrc, cbsrc, crsrc, mbx, mby,
+                                pred, pred_cb, pred_cr, desired_qp, cur_qp)
+
+    def _encode_mb_p8x8(self, w, st, ref, ysrc, cbsrc, crsrc, mbx, mby,
+                        kind, cur_qp):
+        """P_8x8 (mb_type 3): per-8x8 sub_mb_type in {8x8, 8x4, 4x8, 4x4},
+        every sub-partition with its own motion. Syntax order: all four
+        sub_mb_types FIRST, then the mvds in 8x8 z-order / sub-part
+        order. MVP is the generic per-partition median (no directional
+        shortcuts below 16x8). kind = ("P8x8", [(sub_type, [mvs...])]*4,
+        qp|None)."""
+        subs = kind[1]
+        desired_qp = kind[2] if len(kind) > 2 and kind[2] is not None \
+            else cur_qp
+        x0, y0 = mbx * 16, mby * 16
+        W, H = self.mb_w * 16, self.mb_h * 16
+        w.ue(3)  # mb_type P_8x8
+        for e in range(4):
+            w.ue(subs[e][0])
+        pred = [[0] * 16 for _ in range(16)]
+        pred_cb = [[0] * 8 for _ in range(8)]
+        pred_cr = [[0] * 8 for _ in range(8)]
+        for e in range(4):
+            x8, y8 = 8 * (e & 1), 8 * (e >> 1)
+            for k, (dx, dy, pw, ph) in enumerate(sub_parts(subs[e][0])):
+                mv = subs[e][1][k]
+                x0b = mbx * 4 + (x8 + dx) // 4
+                y0b = mby * 4 + (y8 + dy) // 4
+                wb, hb = pw // 4, ph // 4
+                mvp = mvp_part(st, x0b, y0b, wb)
+                w.se(mv[0] - mvp[0])
+                w.se(mv[1] - mvp[1])
+                record_blocks(st, x0b, y0b, wb, hb, 0, mv)
+                pl = mc_luma(ref.y, W, H, x0 + x8 + dx, y0 + y8 + dy,
+                             mv[0], mv[1], pw, ph)
+                for i in range(ph):
+                    for j in range(pw):
+                        pred[y8 + dy + i][x8 + dx + j] = pl[i][j]
+                pc = mc_chroma(ref.cb, W // 2, H // 2, (x0 + x8 + dx) // 2,
+                               (y0 + y8 + dy) // 2, mv[0], mv[1],
+                               pw // 2, ph // 2)
+                pr_ = mc_chroma(ref.cr, W // 2, H // 2, (x0 + x8 + dx) // 2,
+                                (y0 + y8 + dy) // 2, mv[0], mv[1],
+                                pw // 2, ph // 2)
+                for i in range(ph // 2):
+                    for j in range(pw // 2):
+                        pred_cb[(y8 + dy) // 2 + i][(x8 + dx) // 2 + j] = pc[i][j]
+                        pred_cr[(y8 + dy) // 2 + i][(x8 + dx) // 2 + j] = pr_[i][j]
+        self.coverage.add(("mbtype", "P8x8"))
+        for e in range(4):
+            self.coverage.add(("sub", subs[e][0]))
         return self._inter_tail(w, st, ysrc, cbsrc, crsrc, mbx, mby,
                                 pred, pred_cb, pred_cr, desired_qp, cur_qp)
 
@@ -1938,8 +2005,8 @@ class Decoder:
         if mb_type >= 5:  # intra in a P slice
             return self._decode_mb(r, st, sps, pps, mbx, mby, cur_qp,
                                    mb_type=mb_type - 5)
-        assert mb_type in (0, 1, 2), \
-            f"P mb_type {mb_type} unsupported (no 8x8 sub-partitioning)"
+        assert mb_type in (0, 1, 2, 3, 4), \
+            f"P mb_type {mb_type} unsupported"
         ref = self.ref_st
         x0, y0 = mbx * 16, mby * 16
         W, H = sps.mb_w * 16, sps.mb_h * 16
@@ -1953,6 +2020,36 @@ class Decoder:
                                 mvx, mvy)
             pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
                                 mvx, mvy)
+        elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (single ref: same)
+            subs = [r.ue() for _ in range(4)]
+            assert all(t <= 3 for t in subs), f"bad sub_mb_type {subs}"
+            pred = [[0] * 16 for _ in range(16)]
+            pred_cb = [[0] * 8 for _ in range(8)]
+            pred_cr = [[0] * 8 for _ in range(8)]
+            for e in range(4):
+                x8, y8 = 8 * (e & 1), 8 * (e >> 1)
+                for dx, dy, pw, ph in sub_parts(subs[e]):
+                    x0b = mbx * 4 + (x8 + dx) // 4
+                    y0b = mby * 4 + (y8 + dy) // 4
+                    wb, hb = pw // 4, ph // 4
+                    mvp = mvp_part(st, x0b, y0b, wb)
+                    mv = (mvp[0] + r.se(), mvp[1] + r.se())
+                    record_blocks(st, x0b, y0b, wb, hb, 0, mv)
+                    pl = mc_luma(ref.y, W, H, x0 + x8 + dx, y0 + y8 + dy,
+                                 mv[0], mv[1], pw, ph)
+                    for i in range(ph):
+                        for j in range(pw):
+                            pred[y8 + dy + i][x8 + dx + j] = pl[i][j]
+                    pc = mc_chroma(ref.cb, W // 2, H // 2,
+                                   (x0 + x8 + dx) // 2, (y0 + y8 + dy) // 2,
+                                   mv[0], mv[1], pw // 2, ph // 2)
+                    pr_ = mc_chroma(ref.cr, W // 2, H // 2,
+                                    (x0 + x8 + dx) // 2, (y0 + y8 + dy) // 2,
+                                    mv[0], mv[1], pw // 2, ph // 2)
+                    for i in range(ph // 2):
+                        for j in range(pw // 2):
+                            pred_cb[(y8 + dy) // 2 + i][(x8 + dx) // 2 + j] = pc[i][j]
+                            pred_cr[(y8 + dy) // 2 + i][(x8 + dx) // 2 + j] = pr_[i][j]
         else:
             vertical = mb_type == 2
             pred = [[0] * 16 for _ in range(16)]

@@ -12,8 +12,10 @@ package graft.sources
   *    `frame_mbs_only`, 4:2:0, 8-bit.
   *  - Intra macroblocks: I_4x4 (all nine prediction modes), I_16x16 (all
   *    four modes, every CBP class), I_PCM — in I and P slices.
-  *  - P slices in the single-reference regime: P_L0_16x16, P_L0_L0_16x8
-  *    and P_L0_L0_8x16 partitions with quarter-pel motion compensation
+  *  - P slices in the single-reference regime: ALL P partition shapes —
+  *    P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8/P_8x8ref0 with
+  *    every sub_mb_type (8x8/8x4/4x8/4x4) — quarter-pel motion
+  *    compensation at any block size
   *    (6-tap half-pel, unclipped-intermediate centre position, bilinear
   *    eighth-pel chroma — 8.4.2.2), motion stored at 4x4-block
   *    granularity, median motion-vector prediction with the
@@ -24,8 +26,8 @@ package graft.sources
   *    decoded frame).
   *  - Frame cropping, per-MB QP deltas, chroma QP offset, multi-frame
   *    streams; Annex B and avcC/length-prefixed NAL framing.
-  * Rejected loudly (never silently wrong): CABAC, B slices, P_8x8
-  * sub-partitioning, multiple reference frames, reference
+  * Rejected loudly (never silently wrong): CABAC, B slices, multiple
+  * reference frames, reference
   * list reordering, weighted prediction, interlace, slice groups, scaling
   * matrices, constrained intra, multi-slice frames, and — deliberately —
   * streams that ENABLE the in-loop deblocking filter
@@ -945,6 +947,16 @@ object H264Decode {
     if (n != null && n(0) == 0) (n(1), n(2)) else mvpPart(st, x0b, y0b, 2)
   }
 
+  /** Sub-partitions of one 8x8 (P sub_mb_type 0..3): (dx, dy, w, h) in
+    * pixels within the 8x8, decode order. */
+  private def subParts(subType: Int): Array[(Int, Int, Int, Int)] =
+    subType match {
+      case 0 => Array((0, 0, 8, 8))
+      case 1 => Array((0, 0, 8, 4), (0, 4, 8, 4))
+      case 2 => Array((0, 0, 4, 8), (4, 0, 4, 8))
+      case _ => Array((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4))
+    }
+
   /** P_Skip motion (8.4.1.1): zero when the left or above neighbour
     * block is unavailable or is a zero-motion refIdx-0 block, else the
     * 16x16 mvp. */
@@ -1064,8 +1076,7 @@ object H264Decode {
     val mbType = r.ue()
     if (mbType >= 5) // intra in a P slice
       return decodeMb(r, st, sps, pps, mbx, mby, curQp, mbType - 5)
-    require(mbType <= 2,
-      s"P mb_type $mbType unsupported (no 8x8 sub-partitioning)")
+    require(mbType <= 4, s"P mb_type $mbType unsupported")
     val x0 = mbx * 16; val y0 = mby * 16
     val mi = mby * st.mbW + mbx
     st.mbIsI4(mi) = false
@@ -1081,6 +1092,47 @@ object H264Decode {
       System.arraycopy(mcLuma(ref.y, x0, y0, mvx, mvy), 0, pred, 0, 256)
       System.arraycopy(mcChroma(ref.cb, mbx * 8, mby * 8, mvx, mvy), 0, predCb, 0, 64)
       System.arraycopy(mcChroma(ref.cr, mbx * 8, mby * 8, mvx, mvy), 0, predCr, 0, 64)
+    } else if (mbType >= 3) { // P_8x8 / P_8x8ref0 (single ref: identical)
+      val subs = Array.fill(4)(r.ue())
+      subs.foreach(t => require(t <= 3, s"bad sub_mb_type $t"))
+      var e = 0
+      while (e < 4) {
+        val x8 = 8 * (e & 1); val y8 = 8 * (e >> 1)
+        for ((dx, dy, pw, ph) <- subParts(subs(e))) {
+          val x0b = mbx * 4 + (x8 + dx) / 4
+          val y0b = mby * 4 + (y8 + dy) / 4
+          val mvp = mvpPart(st, x0b, y0b, pw / 4)
+          val mvx = mvp._1 + r.se()
+          val mvy = mvp._2 + r.se()
+          recordBlocks(st, x0b, y0b, pw / 4, ph / 4, 0, mvx, mvy)
+          val pl = mcLuma(ref.y, x0 + x8 + dx, y0 + y8 + dy, mvx, mvy, pw, ph)
+          var i = 0
+          while (i < ph) {
+            var j = 0
+            while (j < pw) {
+              pred((y8 + dy + i) * 16 + x8 + dx + j) = pl(i * pw + j)
+              j += 1
+            }
+            i += 1
+          }
+          val pc = mcChroma(ref.cb, (x0 + x8 + dx) / 2, (y0 + y8 + dy) / 2,
+            mvx, mvy, pw / 2, ph / 2)
+          val pr2 = mcChroma(ref.cr, (x0 + x8 + dx) / 2, (y0 + y8 + dy) / 2,
+            mvx, mvy, pw / 2, ph / 2)
+          i = 0
+          while (i < ph / 2) {
+            var j = 0
+            while (j < pw / 2) {
+              val di = ((y8 + dy) / 2 + i) * 8 + (x8 + dx) / 2 + j
+              predCb(di) = pc(i * (pw / 2) + j)
+              predCr(di) = pr2(i * (pw / 2) + j)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        e += 1
+      }
     } else {
       val vertical = mbType == 2
       var part = 0

@@ -214,6 +214,10 @@ class H264DecodeSpec extends AnyFunSuite {
     checkStream("ppart_64x48", 64, 48, 4)
   }
 
+  test("P slices: P_8x8 with every sub_mb_type down to 4x4 MC: bit-exact") {
+    checkStream("p8x8_64x48", 64, 48, 4)
+  }
+
   test("Table 9-4 inter column is a bijection distinct from the intra one") {
     assert(H264Decode.CbpInter.sorted.sameElements(0 until 48))
     assert(H264Decode.CbpInter(0) === 0 && H264Decode.CbpInter(1) === 16)
