@@ -486,6 +486,59 @@ def main():
                                 [(p_8x8, fresh64c)] * 3, seed=47)
     assert {("sub", t) for t in range(4)} <= enc8.coverage, "sub coverage"
 
+    # 11d. multi-reference stream: a 2-picture DPB, ref_idx_l0 te(v) per
+    #      partition (all shapes), refIdx-aware MVP (a neighbour that
+    #      references the OTHER picture is not a "match" for the
+    #      single-matching-neighbour rule or the directional shortcuts)
+    wm, hm = 64, 48
+    encm = H.Encoder(wm, hm, qp_init=26, num_ref_frames=2)
+
+    def mref_pol(mbx, mby, f):
+        i = mbx + mby * 5 + f * 3
+        if i % 9 == 0:
+            return ("SKIP",)
+        if i % 9 == 1:
+            return ("I16", [i % 4, 2], [0], 26)
+        mv0 = (((i * 7) % 29) - 14, ((i * 11) % 23) - 11)
+        mv1 = (((i * 5) % 27) - 13, ((i * 13) % 19) - 9)
+        if i % 4 == 0:
+            return ("P16", mv0, 25, i % 2)
+        if i % 4 == 1:
+            return ("P16x8", (mv0, mv1), 25, (i % 2, (i + 1) % 2))
+        if i % 4 == 2:
+            return ("P8x16", (mv0, mv1), 24, ((i >> 1) % 2, i % 2))
+        return ("P8x8", [mk_sub(i, e) for e in range(4)], 25,
+                tuple((i + e) % 2 for e in range(4)))
+
+    nals_m = [encm.sps(), encm.pps()]
+    y, cb, cr = make_planes(wm, hm, 4800)
+    nal, st = encm.encode_frame(y, cb, cr, mixed_policy, frame_idx=0)
+    nals_m.append(nal)
+    recons_m = [crop(st, wm, hm)]
+    dpb = [st]
+    for f in range(1, 4):
+        ys, cbs, crs = make_planes(wm, hm, 4800 + f)
+        n_act = 1 if f == 1 else 2
+        nal, st = encm.encode_frame_p(ys, cbs, crs, dpb[:n_act],
+                                      mref_pol if f > 1 else p_mixed,
+                                      frame_idx=f, qp=25, n_active=n_act)
+        nals_m.append(nal)
+        recons_m.append(crop(st, wm, hm))
+        dpb = ([st] + dpb)[:2]
+    stream_m = H.annexb(nals_m)
+    got_m = H.Decoder().feed_annexb(stream_m)
+    assert len(got_m) == 4 and all(got_m[f] == recons_m[f]
+                                   for f in range(4)), "pmref"
+    assert ("ref", 1) in encm.coverage, "ref 1 never used"
+    with open(os.path.join(OUT, "pmref_64x48.264"), "wb") as fh:
+        fh.write(stream_m)
+    with open(os.path.join(OUT, "pmref_64x48.yuv"), "wb") as fh:
+        oo = bytearray()
+        for rec in recons_m:
+            oo += yuv_bytes(*rec)
+        fh.write(bytes(oo))
+    print(f"pmref_64x48: {wm}x{hm} IDR+3P 2-ref -> {len(stream_m)} B")
+
     # 12. the P-frame avc1 MP4 (q166): IDR + 3 P, stss marks only frame 1
     w, h = 48, 32
     encp = H.Encoder(w, h, qp_init=26, num_ref_frames=1)

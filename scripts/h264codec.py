@@ -49,6 +49,13 @@ class BitWriter:
     def se(self, v):
         self.ue(2 * v - 1 if v > 0 else -2 * v)
 
+    def te(self, v, cmax):
+        """Truncated exp-Golomb: 1 inverted bit when cmax == 1, else ue."""
+        if cmax == 1:
+            self.u(1, 1 - v)
+        else:
+            self.ue(v)
+
     def rbsp_trailing(self):
         self.bits.append(1)
         while len(self.bits) % 8:
@@ -96,6 +103,12 @@ class BitReader:
     def se(self):
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def te(self, cmax):
+        """Truncated exp-Golomb: 1 inverted bit when cmax == 1, else ue."""
+        if cmax == 1:
+            return 1 - self.bit()
+        return self.ue()
 
     def byte_align(self):
         while self.pos % 8:
@@ -852,7 +865,7 @@ def blk_motion(st, bx, by):
         return None  # not yet decoded
     if r < 0:
         return (-1, (0, 0))
-    return (0, st.bmv[(bx, by)])
+    return (r, st.bmv[(bx, by)])
 
 
 def record_blocks(st, x0b, y0b, wb, hb, ref, mv):
@@ -864,12 +877,12 @@ def record_blocks(st, x0b, y0b, wb, hb, ref, mv):
                 st.bmv[(bx, by)] = mv
 
 
-def mvp_part(st, x0b, y0b, wb):
+def mvp_part(st, x0b, y0b, wb, ref_idx=0):
     """Generic median MV predictor (8.4.1.3.1) for a partition with
     top-left 4x4 block (x0b, y0b) and width wb blocks: neighbours
     A (left), B (above), C (above-right of the partition; D above-left
-    substitutes); B&C-unavailable -> mvA; exactly-one-matching-refIdx ->
-    that mv; else componentwise median."""
+    substitutes); B&C-unavailable -> mvA; exactly one neighbour with the
+    partition's OWN refIdx -> that mv; else componentwise median."""
     A = blk_motion(st, x0b - 1, y0b)
     B = blk_motion(st, x0b, y0b - 1)
     C = blk_motion(st, x0b + wb, y0b - 1)
@@ -877,7 +890,7 @@ def mvp_part(st, x0b, y0b, wb):
         C = blk_motion(st, x0b - 1, y0b - 1)
     if B is None and C is None and A is not None:
         return A[1]
-    matches = [n for n in (A, B, C) if n is not None and n[0] == 0]
+    matches = [n for n in (A, B, C) if n is not None and n[0] == ref_idx]
     if len(matches) == 1:
         return matches[0][1]
     xs = sorted((n[1][0] if n is not None else 0) for n in (A, B, C))
@@ -889,21 +902,22 @@ def mvp_16x16(st, mbx, mby):
     return mvp_part(st, mbx * 4, mby * 4, 4)
 
 
-def mvp_16x8(st, mbx, mby, part):
+def mvp_16x8(st, mbx, mby, part, ref_idx=0):
     """16x8 directional shortcut (8.4.1.3.2): top partition takes mvB,
-    bottom takes mvA, when that neighbour references the same picture;
-    else the generic median for the partition."""
+    bottom takes mvA, when that neighbour references the partition's OWN
+    picture; else the generic median for the partition."""
     x0b, y0b = mbx * 4, mby * 4 + 2 * part
     n = blk_motion(st, x0b, y0b - 1) if part == 0 \
         else blk_motion(st, x0b - 1, y0b)
-    if n is not None and n[0] == 0:
+    if n is not None and n[0] == ref_idx:
         return n[1]
-    return mvp_part(st, x0b, y0b, 4)
+    return mvp_part(st, x0b, y0b, 4, ref_idx)
 
 
-def mvp_8x16(st, mbx, mby, part):
+def mvp_8x16(st, mbx, mby, part, ref_idx=0):
     """8x16 directional shortcut: left partition takes mvA, right takes
-    mvC (with D substitution), when same-picture; else the median."""
+    mvC (with D substitution), when it references the partition's OWN
+    picture; else the median."""
     x0b, y0b = mbx * 4 + 2 * part, mby * 4
     if part == 0:
         n = blk_motion(st, x0b - 1, y0b)
@@ -911,9 +925,9 @@ def mvp_8x16(st, mbx, mby, part):
         n = blk_motion(st, x0b + 2, y0b - 1)
         if n is None:
             n = blk_motion(st, x0b - 1, y0b - 1)
-    if n is not None and n[0] == 0:
+    if n is not None and n[0] == ref_idx:
         return n[1]
-    return mvp_part(st, x0b, y0b, 2)
+    return mvp_part(st, x0b, y0b, 2, ref_idx)
 
 
 def sub_parts(sub_type):
@@ -1313,12 +1327,19 @@ class Encoder:
     # intra-in-P; no 16x8/8x16/8x8 partitions, no weighted prediction)
 
     def encode_frame_p(self, ysrc, cbsrc, crsrc, ref, policy, frame_idx,
-                       qp=None):
-        """Encode one P frame against `ref` (the previous frame's
-        reconstruction FrameState — the DPB of the single-ref regime).
+                       qp=None, n_active=None):
+        """Encode one P frame against `ref`: a FrameState (single-ref) or
+        a LIST of FrameStates, list0 order (most recent first — the DPB).
+        With n_active > 1 every inter kind may carry a trailing ref index.
         policy(mbx, mby, frame_idx) returns ("SKIP",) |
-        ("P16", (mvx, mvy), qp|None) | the intra kinds of encode_frame.
-        Returns (slice NAL, reconstructed FrameState)."""
+        ("P16", mv, qp|None[, ref]) | ("P16x8"/"P8x16", (mv0, mv1),
+        qp|None[, (r0, r1)]) | ("P8x8", subs, qp|None[, (r0..r3)]) | the
+        intra kinds of encode_frame. Returns (slice NAL, FrameState)."""
+        refs = ref if isinstance(ref, list) else [ref]
+        n_active = 1 if n_active is None else n_active
+        assert 1 <= n_active <= len(refs)
+        self._refs = refs
+        self._n_active = n_active
         qp = self.qp_init if qp is None else qp
         st = FrameState(self.mb_w, self.mb_h)
         w = BitWriter()
@@ -1326,7 +1347,11 @@ class Encoder:
         w.ue(5)                  # slice_type: P (all slices of picture)
         w.ue(0)                  # pps_id
         w.u(4, frame_idx & 15)   # frame_num (log2_max_frame_num = 4)
-        w.u(1, 0)                # num_ref_idx_active_override_flag
+        if n_active == 1:
+            w.u(1, 0)            # num_ref_idx_active_override_flag
+        else:
+            w.u(1, 1)            # override: more than the PPS default (1)
+            w.ue(n_active - 1)
         w.u(1, 0)                # ref_pic_list_modification_flag_l0
         w.u(1, 0)                # adaptive_ref_pic_marking_mode_flag
         w.se(qp - self.qp_init)  # slice_qp_delta
@@ -1366,7 +1391,9 @@ class Encoder:
         return rbsp_to_nal(w.to_bytes(), 2, 1), st
 
     def _recon_skip(self, st, ref, mbx, mby):
-        """P_Skip: motion from skip_mv, zero residual, recon = MC."""
+        """P_Skip: motion from skip_mv, zero residual, recon = MC against
+        refIdx 0 (the most recent reference)."""
+        ref = self._refs[0]
         mv = skip_mv(st, mbx, mby)
         x0, y0 = mbx * 16, mby * 16
         W, H = self.mb_w * 16, self.mb_h * 16
@@ -1395,11 +1422,15 @@ class Encoder:
         mvx, mvy = kind[1]
         desired_qp = kind[2] if len(kind) > 2 and kind[2] is not None \
             else cur_qp
+        ref_i = kind[3] if len(kind) > 3 else 0
+        ref = self._refs[ref_i]
         x0, y0 = mbx * 16, mby * 16
         W, H = self.mb_w * 16, self.mb_h * 16
-        mvp = mvp_16x16(st, mbx, mby)
-        record_blocks(st, mbx * 4, mby * 4, 4, 4, 0, (mvx, mvy))
-        w.ue(0)  # mb_type P_L0_16x16 (ref_idx_l0 absent: single ref)
+        w.ue(0)  # mb_type P_L0_16x16
+        if self._n_active > 1:
+            w.te(ref_i, self._n_active - 1)
+        mvp = mvp_part(st, mbx * 4, mby * 4, 4, ref_i)
+        record_blocks(st, mbx * 4, mby * 4, 4, 4, ref_i, (mvx, mvy))
         w.se(mvx - mvp[0])
         w.se(mvy - mvp[1])
         pred = mc_luma(ref.y, W, H, x0, y0, mvx, mvy)
@@ -1408,6 +1439,8 @@ class Encoder:
         pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
                             mvx, mvy)
         self.coverage.add(("mbtype", "P16"))
+        if ref_i > 0:
+            self.coverage.add(("ref", ref_i))
         return self._inter_tail(w, st, ysrc, cbsrc, crsrc, mbx, mby,
                                 pred, pred_cb, pred_cr, desired_qp, cur_qp)
 
@@ -1420,26 +1453,35 @@ class Encoder:
         mvs = kind[1]  # ((mvx0, mvy0), (mvx1, mvy1))
         desired_qp = kind[2] if len(kind) > 2 and kind[2] is not None \
             else cur_qp
+        part_refs = kind[3] if len(kind) > 3 else (0, 0)
         x0, y0 = mbx * 16, mby * 16
         W, H = self.mb_w * 16, self.mb_h * 16
         w.ue(2 if vertical else 1)  # mb_type
+        # mb_pred order (7.3.5.1): ALL ref_idx fields, then ALL mvds
+        if self._n_active > 1:
+            for part in (0, 1):
+                w.te(part_refs[part], self._n_active - 1)
         pred = [[0] * 16 for _ in range(16)]
         pred_cb = [[0] * 8 for _ in range(8)]
         pred_cr = [[0] * 8 for _ in range(8)]
         for part in (0, 1):
             mv = mvs[part]
+            ref_i = part_refs[part]
+            ref = self._refs[ref_i]
+            if ref_i > 0:
+                self.coverage.add(("ref", ref_i))
             if vertical:
                 px0, py0, bw, bh = x0 + 8 * part, y0, 8, 16
                 x0b, y0b, wb, hb = mbx * 4 + 2 * part, mby * 4, 2, 4
-                mvp = mvp_8x16(st, mbx, mby, part)
+                mvp = mvp_8x16(st, mbx, mby, part, ref_i)
             else:
                 px0, py0, bw, bh = x0, y0 + 8 * part, 16, 8
                 x0b, y0b, wb, hb = mbx * 4, mby * 4 + 2 * part, 4, 2
-                mvp = mvp_16x8(st, mbx, mby, part)
+                mvp = mvp_16x8(st, mbx, mby, part, ref_i)
             w.se(mv[0] - mvp[0])
             w.se(mv[1] - mvp[1])
             # record BEFORE the next partition predicts (it is a neighbour)
-            record_blocks(st, x0b, y0b, wb, hb, 0, mv)
+            record_blocks(st, x0b, y0b, wb, hb, ref_i, mv)
             pl = mc_luma(ref.y, W, H, px0, py0, mv[0], mv[1], bw, bh)
             for i in range(bh):
                 for j in range(bw):
@@ -1467,25 +1509,34 @@ class Encoder:
         subs = kind[1]
         desired_qp = kind[2] if len(kind) > 2 and kind[2] is not None \
             else cur_qp
+        e_refs = kind[3] if len(kind) > 3 else (0, 0, 0, 0)
         x0, y0 = mbx * 16, mby * 16
         W, H = self.mb_w * 16, self.mb_h * 16
         w.ue(3)  # mb_type P_8x8
         for e in range(4):
             w.ue(subs[e][0])
+        # sub_mb_pred order: all sub types, then all ref_idx, then mvds
+        if self._n_active > 1:
+            for e in range(4):
+                w.te(e_refs[e], self._n_active - 1)
         pred = [[0] * 16 for _ in range(16)]
         pred_cb = [[0] * 8 for _ in range(8)]
         pred_cr = [[0] * 8 for _ in range(8)]
         for e in range(4):
             x8, y8 = 8 * (e & 1), 8 * (e >> 1)
+            ref_i = e_refs[e]
+            ref = self._refs[ref_i]
+            if ref_i > 0:
+                self.coverage.add(("ref", ref_i))
             for k, (dx, dy, pw, ph) in enumerate(sub_parts(subs[e][0])):
                 mv = subs[e][1][k]
                 x0b = mbx * 4 + (x8 + dx) // 4
                 y0b = mby * 4 + (y8 + dy) // 4
                 wb, hb = pw // 4, ph // 4
-                mvp = mvp_part(st, x0b, y0b, wb)
+                mvp = mvp_part(st, x0b, y0b, wb, ref_i)
                 w.se(mv[0] - mvp[0])
                 w.se(mv[1] - mvp[1])
-                record_blocks(st, x0b, y0b, wb, hb, 0, mv)
+                record_blocks(st, x0b, y0b, wb, hb, ref_i, mv)
                 pl = mc_luma(ref.y, W, H, x0 + x8 + dx, y0 + y8 + dy,
                              mv[0], mv[1], pw, ph)
                 for i in range(ph):
@@ -1755,7 +1806,8 @@ def parse_pps(rbsp):
     assert p.cavlc, "CABAC unsupported (baseline is CAVLC)"
     r.u(1)  # bottom_field_pic_order
     assert r.ue() == 0, "slice groups unsupported"
-    r.ue(); r.ue()  # num_ref_idx defaults
+    p.num_ref_l0_default = r.ue() + 1
+    r.ue()          # num_ref_idx_l1 default (B only)
     r.u(1)          # weighted_pred
     r.u(2)          # weighted_bipred
     p.init_qp = 26 + r.se()
@@ -1776,7 +1828,7 @@ class Decoder:
         self.sps = None
         self.pps = None
         self.frames = []
-        self.ref_st = None  # previous decoded picture (single-ref DPB)
+        self.dpb = []  # decoded reference pictures, most recent FIRST
 
     def feed_annexb(self, data):
         for nal in split_annexb(data):
@@ -1810,11 +1862,16 @@ class Decoder:
             r.ue()  # idr_pic_id
         if sps.poc_type == 0:
             r.u(sps.log2_max_poc_lsb)
+        if idr:
+            self.dpb = []  # IDR resets the decoded picture buffer
+        n_active = pps.num_ref_l0_default
         if is_p:
-            assert self.ref_st is not None, "P slice before any reference"
+            assert self.dpb, "P slice before any reference"
             if r.u(1):  # num_ref_idx_active_override_flag
-                assert r.ue() == 0, "single reference only"
+                n_active = r.ue() + 1
+            assert n_active <= len(self.dpb), "more refs than the DPB holds"
             assert r.u(1) == 0, "ref_pic_list_modification unsupported"
+        self._n_active = n_active
         if ref_idc != 0:
             if idr:
                 r.u(1); r.u(1)  # no_output_of_prior / long_term flags
@@ -1848,7 +1905,7 @@ class Decoder:
                     cur_qp = self._decode_mb(r, st, sps, pps, mbx, mby,
                                              cur_qp)
         if ref_idc != 0:
-            self.ref_st = st
+            self.dpb = ([st] + self.dpb)[:max(1, sps.max_num_ref_frames)]
         # crop (4:2:0 -> units of 2 luma samples horizontally/vertically)
         cl, cr_, ct, cb = sps.crop
         W, H = sps.mb_w * 16 - 2 * (cl + cr_), sps.mb_h * 16 - 2 * (ct + cb)
@@ -1976,7 +2033,7 @@ class Decoder:
         return new_qp
 
     def _decode_skip(self, st, sps, mbx, mby):
-        ref = self.ref_st
+        ref = self.dpb[0]
         mv = skip_mv(st, mbx, mby)
         x0, y0 = mbx * 16, mby * 16
         W, H = sps.mb_w * 16, sps.mb_h * 16
@@ -2007,34 +2064,41 @@ class Decoder:
                                    mb_type=mb_type - 5)
         assert mb_type in (0, 1, 2, 3, 4), \
             f"P mb_type {mb_type} unsupported"
-        ref = self.ref_st
+        n_act = self._n_active
         x0, y0 = mbx * 16, mby * 16
         W, H = sps.mb_w * 16, sps.mb_h * 16
         if mb_type == 0:
-            mvp = mvp_16x16(st, mbx, mby)
+            ref_i = r.te(n_act - 1) if n_act > 1 else 0
+            ref = self.dpb[ref_i]
+            mvp = mvp_part(st, mbx * 4, mby * 4, 4, ref_i)
             mvx = mvp[0] + r.se()
             mvy = mvp[1] + r.se()
-            record_blocks(st, mbx * 4, mby * 4, 4, 4, 0, (mvx, mvy))
+            record_blocks(st, mbx * 4, mby * 4, 4, 4, ref_i, (mvx, mvy))
             pred = mc_luma(ref.y, W, H, x0, y0, mvx, mvy)
             pred_cb = mc_chroma(ref.cb, W // 2, H // 2, mbx * 8, mby * 8,
                                 mvx, mvy)
             pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
                                 mvx, mvy)
-        elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (single ref: same)
+        elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (ref_idx inferred 0)
             subs = [r.ue() for _ in range(4)]
             assert all(t <= 3 for t in subs), f"bad sub_mb_type {subs}"
+            e_refs = [0, 0, 0, 0]
+            if mb_type == 3 and n_act > 1:
+                e_refs = [r.te(n_act - 1) for _ in range(4)]
             pred = [[0] * 16 for _ in range(16)]
             pred_cb = [[0] * 8 for _ in range(8)]
             pred_cr = [[0] * 8 for _ in range(8)]
             for e in range(4):
                 x8, y8 = 8 * (e & 1), 8 * (e >> 1)
+                ref_i = e_refs[e]
+                ref = self.dpb[ref_i]
                 for dx, dy, pw, ph in sub_parts(subs[e]):
                     x0b = mbx * 4 + (x8 + dx) // 4
                     y0b = mby * 4 + (y8 + dy) // 4
                     wb, hb = pw // 4, ph // 4
-                    mvp = mvp_part(st, x0b, y0b, wb)
+                    mvp = mvp_part(st, x0b, y0b, wb, ref_i)
                     mv = (mvp[0] + r.se(), mvp[1] + r.se())
-                    record_blocks(st, x0b, y0b, wb, hb, 0, mv)
+                    record_blocks(st, x0b, y0b, wb, hb, ref_i, mv)
                     pl = mc_luma(ref.y, W, H, x0 + x8 + dx, y0 + y8 + dy,
                                  mv[0], mv[1], pw, ph)
                     for i in range(ph):
@@ -2052,20 +2116,26 @@ class Decoder:
                             pred_cr[(y8 + dy) // 2 + i][(x8 + dx) // 2 + j] = pr_[i][j]
         else:
             vertical = mb_type == 2
+            # mb_pred order: ALL ref_idx fields, then ALL mvds
+            part_refs = [0, 0]
+            if n_act > 1:
+                part_refs = [r.te(n_act - 1) for _ in range(2)]
             pred = [[0] * 16 for _ in range(16)]
             pred_cb = [[0] * 8 for _ in range(8)]
             pred_cr = [[0] * 8 for _ in range(8)]
             for part in (0, 1):
+                ref_i = part_refs[part]
+                ref = self.dpb[ref_i]
                 if vertical:
                     px0, py0, bw, bh = x0 + 8 * part, y0, 8, 16
                     x0b, y0b, wb, hb = mbx * 4 + 2 * part, mby * 4, 2, 4
-                    mvp = mvp_8x16(st, mbx, mby, part)
+                    mvp = mvp_8x16(st, mbx, mby, part, ref_i)
                 else:
                     px0, py0, bw, bh = x0, y0 + 8 * part, 16, 8
                     x0b, y0b, wb, hb = mbx * 4, mby * 4 + 2 * part, 4, 2
-                    mvp = mvp_16x8(st, mbx, mby, part)
+                    mvp = mvp_16x8(st, mbx, mby, part, ref_i)
                 mv = (mvp[0] + r.se(), mvp[1] + r.se())
-                record_blocks(st, x0b, y0b, wb, hb, 0, mv)
+                record_blocks(st, x0b, y0b, wb, hb, ref_i, mv)
                 pl = mc_luma(ref.y, W, H, px0, py0, mv[0], mv[1], bw, bh)
                 for i in range(bh):
                     for j in range(bw):

@@ -12,7 +12,10 @@ package graft.sources
   *    `frame_mbs_only`, 4:2:0, 8-bit.
   *  - Intra macroblocks: I_4x4 (all nine prediction modes), I_16x16 (all
   *    four modes, every CBP class), I_PCM — in I and P slices.
-  *  - P slices in the single-reference regime: ALL P partition shapes —
+  *  - P slices with a MULTI-PICTURE DPB (sliding window,
+  *    max_num_ref_frames deep; ref_idx_l0 te(v)-coded per partition in
+  *    the spec's two-loop mb_pred order, refIdx-aware MV prediction) and
+  *    ALL P partition shapes —
   *    P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8/P_8x8ref0 with
   *    every sub_mb_type (8x8/8x4/4x8/4x4) — quarter-pel motion
   *    compensation at any block size
@@ -26,8 +29,7 @@ package graft.sources
   *    decoded frame).
   *  - Frame cropping, per-MB QP deltas, chroma QP offset, multi-frame
   *    streams; Annex B and avcC/length-prefixed NAL framing.
-  * Rejected loudly (never silently wrong): CABAC, B slices, multiple
-  * reference frames, reference
+  * Rejected loudly (never silently wrong): CABAC, B slices, reference
   * list reordering, weighted prediction, interlace, slice groups, scaling
   * matrices, constrained intra, multi-slice frames, and — deliberately —
   * streams that ENABLE the in-loop deblocking filter
@@ -65,19 +67,21 @@ object H264Decode {
   final case class Sps(profile: Int, levelIdc: Int, log2MaxFrameNum: Int,
                        pocType: Int, log2MaxPocLsb: Int,
                        mbW: Int, mbH: Int,
-                       cropL: Int, cropR: Int, cropT: Int, cropB: Int) {
+                       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
+                       maxRefFrames: Int = 1) {
     def width: Int = mbW * 16 - 2 * (cropL + cropR)
     def height: Int = mbH * 16 - 2 * (cropT + cropB)
   }
   final case class Pps(initQp: Int, chromaQpOffset: Int,
-                       deblockControl: Boolean, weightedPred: Boolean)
+                       deblockControl: Boolean, weightedPred: Boolean,
+                       numRefL0Default: Int = 1)
 
   /** Decode every picture of an Annex B elementary stream (I/IDR and
     * single-ref P; P slices reference the previous decoded picture). */
   def decodeAnnexB(data: Array[Byte], maxDim: Int = 8192): Seq[H264Frame] = {
     var sps: Sps = null
     var pps: Pps = null
-    var ref: MbState = null
+    var dpb: List[MbState] = Nil
     val out = Seq.newBuilder[H264Frame]
     for (nal <- splitAnnexB(data)) {
       val ntype = nal(0) & 0x1F
@@ -87,9 +91,10 @@ object H264Decode {
         case 8 => pps = parsePps(unescape(nal))
         case 1 | 5 =>
           require(sps != null && pps != null, "slice before SPS/PPS")
+          if (ntype == 5) dpb = Nil // IDR resets the DPB
           val (frame, st) =
-            decodeSlice(unescape(nal), sps, pps, idr = ntype == 5, refIdc, ref)
-          if (refIdc != 0) ref = st
+            decodeSlice(unescape(nal), sps, pps, idr = ntype == 5, refIdc, dpb)
+          if (refIdc != 0) dpb = (st :: dpb).take(sps.maxRefFrames)
           out += frame
         case _ => () // SEI / AUD / filler: skipped
       }
@@ -109,7 +114,7 @@ object H264Decode {
     private val nalLenSize = (avcc(4) & 0x03) + 1
     private var sps: Sps = null
     private var pps: Pps = null
-    private var ref: MbState = null
+    private var dpb: List[MbState] = Nil
     locally {
       var pos = 5
       val nSps = avcc(pos) & 0x1F; pos += 1
@@ -144,14 +149,15 @@ object H264Decode {
           val ntype = nal(0) & 0x1F
           val refIdc = (nal(0) >> 5) & 3
           if (ntype == 1 || ntype == 5) {
+            if (ntype == 5) dpb = Nil // IDR resets the DPB
             val (frame, st) =
-              decodeSlice(unescape(nal), sps, pps, idr = ntype == 5, refIdc, ref)
-            if (refIdc != 0) ref = st
+              decodeSlice(unescape(nal), sps, pps, idr = ntype == 5, refIdc, dpb)
+            if (refIdc != 0) dpb = (st :: dpb).take(sps.maxRefFrames)
             frames += frame
           }
         }
       } catch {
-        case e: Throwable => ref = null; throw e
+        case e: Throwable => dpb = Nil; throw e
       }
       frames.result()
     }
@@ -232,6 +238,8 @@ object H264Decode {
       val k = ue()
       if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** Truncated exp-Golomb: one inverted bit when cMax == 1, else ue. */
+    def te(cMax: Int): Int = if (cMax == 1) 1 - bit() else ue()
     def byteAlign(): Unit = while (pos % 8 != 0) pos += 1
     /** VLC decode against a (len << 20 | value) -> symbol map. */
     def vlc(table: Map[Int, Int], what: String): Int = {
@@ -280,7 +288,8 @@ object H264Decode {
       var i = 0
       while (i < n) { r.se(); i += 1 }
     }
-    r.ue() // max_num_ref_frames
+    val maxRef = r.ue()
+    require(maxRef <= 16, s"max_num_ref_frames $maxRef out of range")
     r.u(1) // gaps allowed
     val mbW = r.ue() + 1
     val mbH = r.ue() + 1
@@ -292,7 +301,8 @@ object H264Decode {
     if (r.u(1) == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
     require(2 * (cl + cr) < mbW * 16 && 2 * (ct + cb) < mbH * 16,
       "cropping consumes the whole frame")
-    Sps(profile, level, log2Fn, pocType, log2Poc, mbW, mbH, cl, cr, ct, cb)
+    Sps(profile, level, log2Fn, pocType, log2Poc, mbW, mbH, cl, cr, ct, cb,
+      math.max(1, maxRef))
   }
 
   private[sources] def parsePps(rbsp: Array[Byte]): Pps = {
@@ -301,8 +311,8 @@ object H264Decode {
     require(r.u(1) == 0, "CABAC unsupported (baseline is CAVLC)")
     r.u(1)
     require(r.ue() == 0, "slice groups unsupported")
-    require(r.ue() == 0, "num_ref_idx_l0_default_active_minus1 != 0 " +
-      "unsupported (single reference)")
+    val numRefL0Default = r.ue() + 1
+    require(numRefL0Default <= 16, "num_ref_idx_l0_default out of range")
     r.ue() // num_ref_idx_l1_default_active_minus1 (B only)
     val weightedPred = r.u(1) == 1
     r.u(2) // weighted_bipred_idc (B only)
@@ -312,7 +322,7 @@ object H264Decode {
     val deblock = r.u(1) == 1
     require(r.u(1) == 0, "constrained_intra_pred unsupported")
     r.u(1)
-    Pps(initQp, cqo, deblock, weightedPred)
+    Pps(initQp, cqo, deblock, weightedPred, numRefL0Default)
   }
 
   // ------------------------------------------------- constants & helpers
@@ -878,7 +888,7 @@ object H264Decode {
     val i = by * st.mbW * 4 + bx
     val ref = st.bRef(i)
     if (ref == -2) return null
-    if (ref < 0) Array(-1, 0, 0) else Array(0, st.bMvX(i), st.bMvY(i))
+    if (ref < 0) Array(-1, 0, 0) else Array(ref, st.bMvX(i), st.bMvY(i))
   }
 
   /** Write a partition's motion into the block-granular maps. */
@@ -901,7 +911,8 @@ object H264Decode {
     * top-left 4x4 block (x0b, y0b) and width wb blocks: A left, B above,
     * C above-right with D above-left substitution; B&C-unavailable ->
     * mvA; exactly-one-matching-refIdx -> that mv; else the median. */
-  private def mvpPart(st: MbState, x0b: Int, y0b: Int, wb: Int): (Int, Int) = {
+  private def mvpPart(st: MbState, x0b: Int, y0b: Int, wb: Int,
+                      refIdx: Int = 0): (Int, Int) = {
     val a = blkMotion(st, x0b - 1, y0b)
     val b = blkMotion(st, x0b, y0b - 1)
     var c = blkMotion(st, x0b + wb, y0b - 1)
@@ -911,7 +922,7 @@ object H264Decode {
     var matching = -1; var nMatch = 0
     var i = 0
     while (i < 3) {
-      if (ns(i) != null && ns(i)(0) == 0) { matching = i; nMatch += 1 }
+      if (ns(i) != null && ns(i)(0) == refIdx) { matching = i; nMatch += 1 }
       i += 1
     }
     if (nMatch == 1) return (ns(matching)(1), ns(matching)(2))
@@ -927,16 +938,19 @@ object H264Decode {
   /** 16x8 directional shortcut (8.4.1.3.2): top partition takes mvB,
     * bottom takes mvA, when that neighbour references this picture;
     * else the generic median for the partition. */
-  private def mvp16x8(st: MbState, mbx: Int, mby: Int, part: Int): (Int, Int) = {
+  private def mvp16x8(st: MbState, mbx: Int, mby: Int, part: Int,
+                      refIdx: Int = 0): (Int, Int) = {
     val x0b = mbx * 4; val y0b = mby * 4 + 2 * part
     val n = if (part == 0) blkMotion(st, x0b, y0b - 1)
             else blkMotion(st, x0b - 1, y0b)
-    if (n != null && n(0) == 0) (n(1), n(2)) else mvpPart(st, x0b, y0b, 4)
+    if (n != null && n(0) == refIdx) (n(1), n(2))
+    else mvpPart(st, x0b, y0b, 4, refIdx)
   }
 
   /** 8x16 directional shortcut: left partition takes mvA, right takes
     * mvC (with D substitution), when same-picture; else the median. */
-  private def mvp8x16(st: MbState, mbx: Int, mby: Int, part: Int): (Int, Int) = {
+  private def mvp8x16(st: MbState, mbx: Int, mby: Int, part: Int,
+                      refIdx: Int = 0): (Int, Int) = {
     val x0b = mbx * 4 + 2 * part; val y0b = mby * 4
     var n: Array[Int] = null
     if (part == 0) n = blkMotion(st, x0b - 1, y0b)
@@ -944,7 +958,8 @@ object H264Decode {
       n = blkMotion(st, x0b + 2, y0b - 1)
       if (n == null) n = blkMotion(st, x0b - 1, y0b - 1)
     }
-    if (n != null && n(0) == 0) (n(1), n(2)) else mvpPart(st, x0b, y0b, 2)
+    if (n != null && n(0) == refIdx) (n(1), n(2))
+    else mvpPart(st, x0b, y0b, 2, refIdx)
   }
 
   /** Sub-partitions of one 8x8 (P sub_mb_type 0..3): (dx, dy, w, h) in
@@ -971,7 +986,7 @@ object H264Decode {
 
   private[sources] def decodeSlice(rbsp: Array[Byte], sps: Sps, pps: Pps,
                                    idr: Boolean, nalRefIdc: Int,
-                                   ref: MbState): (H264Frame, MbState) = {
+                                   refs: List[MbState]): (H264Frame, MbState) = {
     val r = new Bits(rbsp)
     require(r.ue() == 0, "multi-slice frames unsupported")
     val sliceType = r.ue()
@@ -982,11 +997,15 @@ object H264Decode {
     r.u(sps.log2MaxFrameNum)
     if (idr) r.ue() // idr_pic_id
     if (sps.pocType == 0) r.u(sps.log2MaxPocLsb)
+    var nActive = pps.numRefL0Default
     if (isP) {
-      require(ref != null && ref.mbW == sps.mbW && ref.mbH == sps.mbH,
+      require(refs.nonEmpty && refs.forall(f =>
+          f.mbW == sps.mbW && f.mbH == sps.mbH),
         "P slice without a matching reference picture")
       if (r.u(1) == 1) // num_ref_idx_active_override_flag
-        require(r.ue() == 0, "multiple reference frames unsupported")
+        nActive = r.ue() + 1
+      require(nActive >= 1 && nActive <= refs.size,
+        s"num_ref_idx_l0_active $nActive exceeds the DPB (${refs.size})")
       require(r.u(1) == 0, "ref_pic_list_modification unsupported")
       require(!pps.weightedPred, "weighted prediction unsupported")
     }
@@ -1013,11 +1032,11 @@ object H264Decode {
         require(count + run <= total, "mb_skip_run overruns the picture")
         var k = 0
         while (k < run) {
-          decodeSkipMb(st, ref, count % sps.mbW, count / sps.mbW)
+          decodeSkipMb(st, refs.head, count % sps.mbW, count / sps.mbW)
           count += 1; k += 1
         }
         if (count < total) {
-          qp = decodePMb(r, st, ref, sps, pps,
+          qp = decodePMb(r, st, refs, nActive, sps, pps,
             count % sps.mbW, count / sps.mbW, qp)
           count += 1
         }
@@ -1070,8 +1089,9 @@ object H264Decode {
   }
 
   /** Coded MB of a P slice: P_L0_16x16 (0), P_L0_L0_16x8 (1),
-    * P_L0_L0_8x16 (2), or intra (>= 5). */
-  private def decodePMb(r: Bits, st: MbState, ref: MbState, sps: Sps,
+    * P_L0_L0_8x16 (2), P_8x8/P_8x8ref0 (3/4), or intra (>= 5). */
+  private def decodePMb(r: Bits, st: MbState, refs: List[MbState],
+                        nActive: Int, sps: Sps,
                         pps: Pps, mbx: Int, mby: Int, curQp: Int): Int = {
     val mbType = r.ue()
     if (mbType >= 5) // intra in a P slice
@@ -1080,31 +1100,39 @@ object H264Decode {
     val x0 = mbx * 16; val y0 = mby * 16
     val mi = mby * st.mbW + mbx
     st.mbIsI4(mi) = false
-    // ref_idx_l0 absent throughout: num_ref_idx_l0_active_minus1 == 0
     val pred = new Array[Int](256)
     val predCb = new Array[Int](64)
     val predCr = new Array[Int](64)
     if (mbType == 0) {
-      val mvp = mvp16x16(st, mbx, mby)
+      val refI = if (nActive > 1) r.te(nActive - 1) else 0
+      require(refI < refs.size, s"ref_idx $refI outside the DPB")
+      val ref = refs(refI)
+      val mvp = mvpPart(st, mbx * 4, mby * 4, 4, refI)
       val mvx = mvp._1 + r.se()
       val mvy = mvp._2 + r.se()
-      recordBlocks(st, mbx * 4, mby * 4, 4, 4, 0, mvx, mvy)
+      recordBlocks(st, mbx * 4, mby * 4, 4, 4, refI, mvx, mvy)
       System.arraycopy(mcLuma(ref.y, x0, y0, mvx, mvy), 0, pred, 0, 256)
       System.arraycopy(mcChroma(ref.cb, mbx * 8, mby * 8, mvx, mvy), 0, predCb, 0, 64)
       System.arraycopy(mcChroma(ref.cr, mbx * 8, mby * 8, mvx, mvy), 0, predCr, 0, 64)
-    } else if (mbType >= 3) { // P_8x8 / P_8x8ref0 (single ref: identical)
+    } else if (mbType >= 3) { // P_8x8 / P_8x8ref0 (ref_idx inferred 0)
       val subs = Array.fill(4)(r.ue())
       subs.foreach(t => require(t <= 3, s"bad sub_mb_type $t"))
+      val eRefs =
+        if (mbType == 3 && nActive > 1) Array.fill(4)(r.te(nActive - 1))
+        else Array.fill(4)(0)
+      eRefs.foreach(ri => require(ri < refs.size, s"ref_idx $ri outside DPB"))
       var e = 0
       while (e < 4) {
         val x8 = 8 * (e & 1); val y8 = 8 * (e >> 1)
+        val refI = eRefs(e)
+        val ref = refs(refI)
         for ((dx, dy, pw, ph) <- subParts(subs(e))) {
           val x0b = mbx * 4 + (x8 + dx) / 4
           val y0b = mby * 4 + (y8 + dy) / 4
-          val mvp = mvpPart(st, x0b, y0b, pw / 4)
+          val mvp = mvpPart(st, x0b, y0b, pw / 4, refI)
           val mvx = mvp._1 + r.se()
           val mvy = mvp._2 + r.se()
-          recordBlocks(st, x0b, y0b, pw / 4, ph / 4, 0, mvx, mvy)
+          recordBlocks(st, x0b, y0b, pw / 4, ph / 4, refI, mvx, mvy)
           val pl = mcLuma(ref.y, x0 + x8 + dx, y0 + y8 + dy, mvx, mvy, pw, ph)
           var i = 0
           while (i < ph) {
@@ -1135,19 +1163,26 @@ object H264Decode {
       }
     } else {
       val vertical = mbType == 2
+      // mb_pred order (7.3.5.1): ALL ref_idx fields, then ALL mvds
+      val partRefs =
+        if (nActive > 1) Array.fill(2)(r.te(nActive - 1))
+        else Array.fill(2)(0)
+      partRefs.foreach(ri => require(ri < refs.size, s"ref_idx $ri outside DPB"))
       var part = 0
       while (part < 2) {
+        val refI = partRefs(part)
+        val ref = refs(refI)
         val (px0, py0, bw, bh, x0b, y0b, wb, hb, mvp) =
           if (vertical)
             (x0 + 8 * part, y0, 8, 16, mbx * 4 + 2 * part, mby * 4, 2, 4,
-              mvp8x16(st, mbx, mby, part))
+              mvp8x16(st, mbx, mby, part, refI))
           else
             (x0, y0 + 8 * part, 16, 8, mbx * 4, mby * 4 + 2 * part, 4, 2,
-              mvp16x8(st, mbx, mby, part))
+              mvp16x8(st, mbx, mby, part, refI))
         val mvx = mvp._1 + r.se()
         val mvy = mvp._2 + r.se()
         // record BEFORE the next partition predicts (it is a neighbour)
-        recordBlocks(st, x0b, y0b, wb, hb, 0, mvx, mvy)
+        recordBlocks(st, x0b, y0b, wb, hb, refI, mvx, mvy)
         val pl = mcLuma(ref.y, px0, py0, mvx, mvy, bw, bh)
         var i = 0
         while (i < bh) {

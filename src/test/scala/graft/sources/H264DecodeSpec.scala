@@ -218,6 +218,10 @@ class H264DecodeSpec extends AnyFunSuite {
     checkStream("p8x8_64x48", 64, 48, 4)
   }
 
+  test("P slices: 2-reference DPB, ref_idx te(v), refIdx-aware MVP") {
+    checkStream("pmref_64x48", 64, 48, 4)
+  }
+
   test("Table 9-4 inter column is a bijection distinct from the intra one") {
     assert(H264Decode.CbpInter.sorted.sameElements(0 until 48))
     assert(H264Decode.CbpInter(0) === 0 && H264Decode.CbpInter(1) === 16)
