@@ -539,6 +539,44 @@ def main():
         fh.write(bytes(oo))
     print(f"pmref_64x48: {wm}x{hm} IDR+3P 2-ref -> {len(stream_m)} B")
 
+    # 11e. explicit weighted prediction (the fade story): PPS
+    #      weighted_pred_flag = 1, per-slice pred_weight_table — ref 0
+    #      dimmed luma (w=3, o=10 at lwd 2) with chroma offsets, ref 1 at
+    #      defaults; applied across every partition shape and P_Skip
+    wm, hm = 64, 48
+    encw = H.Encoder(wm, hm, qp_init=26, num_ref_frames=2,
+                     weighted_pred=True)
+    wp2 = (2, 3, [(3, 10, 8, -4, 8, 4), None])
+    nals_w = [encw.sps(), encw.pps()]
+    y, cb, cr = make_planes(wm, hm, 4900)
+    nal, st = encw.encode_frame(y, cb, cr, mixed_policy, frame_idx=0)
+    nals_w.append(nal)
+    recons_w = [crop(st, wm, hm)]
+    dpb = [st]
+    for f in range(1, 4):
+        ys, cbs, crs = make_planes(wm, hm, 4900 + f)
+        n_act = 1 if f == 1 else 2
+        wts = (2, 3, [(3, 10, 8, -4, 8, 4)]) if n_act == 1 else wp2
+        nal, st = encw.encode_frame_p(ys, cbs, crs, dpb[:n_act],
+                                      mref_pol if f > 1 else p_mixed,
+                                      frame_idx=f, qp=25, n_active=n_act,
+                                      weights=wts)
+        nals_w.append(nal)
+        recons_w.append(crop(st, wm, hm))
+        dpb = ([st] + dpb)[:2]
+    stream_w = H.annexb(nals_w)
+    got_w = H.Decoder().feed_annexb(stream_w)
+    assert len(got_w) == 4 and all(got_w[f] == recons_w[f]
+                                   for f in range(4)), "pwp"
+    with open(os.path.join(OUT, "pwp_64x48.264"), "wb") as fh:
+        fh.write(stream_w)
+    with open(os.path.join(OUT, "pwp_64x48.yuv"), "wb") as fh:
+        oo = bytearray()
+        for rec in recons_w:
+            oo += yuv_bytes(*rec)
+        fh.write(bytes(oo))
+    print(f"pwp_64x48: {wm}x{hm} IDR+3P weighted-pred -> {len(stream_w)} B")
+
     # 12. the P-frame avc1 MP4 (q166): IDR + 3 P, stss marks only frame 1
     w, h = 48, 32
     encp = H.Encoder(w, h, qp_init=26, num_ref_frames=1)

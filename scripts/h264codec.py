@@ -850,6 +850,30 @@ def mc_chroma(ref, W, H, x0, y0, mvx, mvy, bw=8, bh=8):
              for j in range(bw)] for i in range(bh)]
 
 
+def apply_wp(block, w, o, lwd):
+    """Explicit weighted prediction (8.4.2.3.2): per sample
+    Clip1(((p*w + 2^(lwd-1)) >> lwd) + o) when lwd >= 1, else
+    Clip1(p*w + o)."""
+    if lwd >= 1:
+        r = 1 << (lwd - 1)
+        return [[clip255(((v * w + r) >> lwd) + o) for v in row]
+                for row in block]
+    return [[clip255(v * w + o) for v in row] for row in block]
+
+
+def wp_luma(wp, ref_i):
+    """(w, o, lwd) for the luma component of reference ref_i."""
+    lwd_y, _, per = wp
+    e = per[ref_i]
+    return (e[0], e[1], lwd_y)
+
+
+def wp_chroma(wp, ref_i, comp):
+    _, lwd_c, per = wp
+    e = per[ref_i]
+    return (e[2], e[3], lwd_c) if comp == 0 else (e[4], e[5], lwd_c)
+
+
 # ------------------------------------ MV prediction (8.4.1.1 / 8.4.1.3)
 
 def blk_motion(st, bx, by):
@@ -1018,10 +1042,11 @@ class Encoder:
     available wins (no RD — fixtures want MODE COVERAGE, not quality)."""
 
     def __init__(self, width, height, qp_init=28, chroma_qp_offset=0,
-                 num_ref_frames=0):
+                 num_ref_frames=0, weighted_pred=False):
         assert width % 2 == 0 and height % 2 == 0
         self.w, self.h = width, height
         self.num_ref_frames = num_ref_frames
+        self.weighted_pred = weighted_pred
         self.mb_w = (width + 15) // 16
         self.mb_h = (height + 15) // 16
         self.qp_init = qp_init
@@ -1062,7 +1087,7 @@ class Encoder:
         w.ue(0)         # num_slice_groups_minus1
         w.ue(0)         # num_ref_idx_l0_default_active_minus1
         w.ue(0)         # num_ref_idx_l1_default_active_minus1
-        w.u(1, 0)       # weighted_pred_flag
+        w.u(1, 1 if self.weighted_pred else 0)  # weighted_pred_flag
         w.u(2, 0)       # weighted_bipred_idc
         w.se(self.qp_init - 26)  # pic_init_qp_minus26
         w.se(0)         # pic_init_qs_minus26
@@ -1327,7 +1352,7 @@ class Encoder:
     # intra-in-P; no 16x8/8x16/8x8 partitions, no weighted prediction)
 
     def encode_frame_p(self, ysrc, cbsrc, crsrc, ref, policy, frame_idx,
-                       qp=None, n_active=None):
+                       qp=None, n_active=None, weights=None):
         """Encode one P frame against `ref`: a FrameState (single-ref) or
         a LIST of FrameStates, list0 order (most recent first — the DPB).
         With n_active > 1 every inter kind may carry a trailing ref index.
@@ -1353,6 +1378,30 @@ class Encoder:
             w.u(1, 1)            # override: more than the PPS default (1)
             w.ue(n_active - 1)
         w.u(1, 0)                # ref_pic_list_modification_flag_l0
+        if self.weighted_pred:
+            # pred_weight_table: weights = (lwd_y, lwd_c, [per-ref entry])
+            # entry = None (defaults) or (lw, lo, cwb, cob, cwr, cor)
+            lwd_y, lwd_c, per_ref = weights
+            self._wp = (lwd_y, lwd_c, [
+                e if e is not None else
+                (1 << lwd_y, 0, 1 << lwd_c, 0, 1 << lwd_c, 0)
+                for e in per_ref])
+            w.ue(lwd_y)
+            w.ue(lwd_c)
+            for e in per_ref[:n_active]:
+                if e is None:
+                    w.u(1, 0)  # luma_weight_l0_flag
+                    w.u(1, 0)  # chroma_weight_l0_flag
+                else:
+                    lw, lo, cwb, cob, cwr, cor = e
+                    w.u(1, 1)
+                    w.se(lw)
+                    w.se(lo)
+                    w.u(1, 1)
+                    w.se(cwb); w.se(cob)
+                    w.se(cwr); w.se(cor)
+        else:
+            self._wp = None
         w.u(1, 0)                # adaptive_ref_pic_marking_mode_flag
         w.se(qp - self.qp_init)  # slice_qp_delta
         w.ue(1)                  # disable_deblocking_filter_idc
@@ -1398,12 +1447,17 @@ class Encoder:
         x0, y0 = mbx * 16, mby * 16
         W, H = self.mb_w * 16, self.mb_h * 16
         pred = mc_luma(ref.y, W, H, x0, y0, mv[0], mv[1])
+        if self._wp is not None:
+            pred = apply_wp(pred, *wp_luma(self._wp, 0))
         for i in range(16):
             for j in range(16):
                 st.y[y0 + i][x0 + j] = pred[i][j]
-        for plane, refp in ((st.cb, ref.cb), (st.cr, ref.cr)):
+        for comp, (plane, refp) in enumerate(((st.cb, ref.cb),
+                                              (st.cr, ref.cr))):
             pr = mc_chroma(refp, W // 2, H // 2, mbx * 8, mby * 8,
                            mv[0], mv[1])
+            if self._wp is not None:
+                pr = apply_wp(pr, *wp_chroma(self._wp, 0, comp))
             for i in range(8):
                 for j in range(8):
                     plane[mby * 8 + i][mbx * 8 + j] = pr[i][j]
@@ -1438,6 +1492,10 @@ class Encoder:
                             mvx, mvy)
         pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
                             mvx, mvy)
+        if self._wp is not None:
+            pred = apply_wp(pred, *wp_luma(self._wp, ref_i))
+            pred_cb = apply_wp(pred_cb, *wp_chroma(self._wp, ref_i, 0))
+            pred_cr = apply_wp(pred_cr, *wp_chroma(self._wp, ref_i, 1))
         self.coverage.add(("mbtype", "P16"))
         if ref_i > 0:
             self.coverage.add(("ref", ref_i))
@@ -1483,6 +1541,8 @@ class Encoder:
             # record BEFORE the next partition predicts (it is a neighbour)
             record_blocks(st, x0b, y0b, wb, hb, ref_i, mv)
             pl = mc_luma(ref.y, W, H, px0, py0, mv[0], mv[1], bw, bh)
+            if self._wp is not None:
+                pl = apply_wp(pl, *wp_luma(self._wp, ref_i))
             for i in range(bh):
                 for j in range(bw):
                     pred[py0 - y0 + i][px0 - x0 + j] = pl[i][j]
@@ -1490,6 +1550,9 @@ class Encoder:
                            mv[0], mv[1], bw // 2, bh // 2)
             pr_ = mc_chroma(ref.cr, W // 2, H // 2, px0 // 2, py0 // 2,
                             mv[0], mv[1], bw // 2, bh // 2)
+            if self._wp is not None:
+                pc = apply_wp(pc, *wp_chroma(self._wp, ref_i, 0))
+                pr_ = apply_wp(pr_, *wp_chroma(self._wp, ref_i, 1))
             for i in range(bh // 2):
                 for j in range(bw // 2):
                     pred_cb[(py0 - y0) // 2 + i][(px0 - x0) // 2 + j] = pc[i][j]
@@ -1539,6 +1602,8 @@ class Encoder:
                 record_blocks(st, x0b, y0b, wb, hb, ref_i, mv)
                 pl = mc_luma(ref.y, W, H, x0 + x8 + dx, y0 + y8 + dy,
                              mv[0], mv[1], pw, ph)
+                if self._wp is not None:
+                    pl = apply_wp(pl, *wp_luma(self._wp, ref_i))
                 for i in range(ph):
                     for j in range(pw):
                         pred[y8 + dy + i][x8 + dx + j] = pl[i][j]
@@ -1548,6 +1613,9 @@ class Encoder:
                 pr_ = mc_chroma(ref.cr, W // 2, H // 2, (x0 + x8 + dx) // 2,
                                 (y0 + y8 + dy) // 2, mv[0], mv[1],
                                 pw // 2, ph // 2)
+                if self._wp is not None:
+                    pc = apply_wp(pc, *wp_chroma(self._wp, ref_i, 0))
+                    pr_ = apply_wp(pr_, *wp_chroma(self._wp, ref_i, 1))
                 for i in range(ph // 2):
                     for j in range(pw // 2):
                         pred_cb[(y8 + dy) // 2 + i][(x8 + dx) // 2 + j] = pc[i][j]
@@ -1808,7 +1876,7 @@ def parse_pps(rbsp):
     assert r.ue() == 0, "slice groups unsupported"
     p.num_ref_l0_default = r.ue() + 1
     r.ue()          # num_ref_idx_l1 default (B only)
-    r.u(1)          # weighted_pred
+    p.weighted_pred = r.u(1) == 1
     r.u(2)          # weighted_bipred
     p.init_qp = 26 + r.se()
     r.se()          # qs
@@ -1872,6 +1940,22 @@ class Decoder:
             assert n_active <= len(self.dpb), "more refs than the DPB holds"
             assert r.u(1) == 0, "ref_pic_list_modification unsupported"
         self._n_active = n_active
+        self._wp = None
+        if is_p and pps.weighted_pred:
+            lwd_y = r.ue()
+            lwd_c = r.ue()
+            per = []
+            for _ in range(n_active):
+                lw, lo = 1 << lwd_y, 0
+                cwb, cob, cwr, cor = 1 << lwd_c, 0, 1 << lwd_c, 0
+                if r.u(1):  # luma_weight_l0_flag
+                    lw = r.se()
+                    lo = r.se()
+                if r.u(1):  # chroma_weight_l0_flag
+                    cwb = r.se(); cob = r.se()
+                    cwr = r.se(); cor = r.se()
+                per.append((lw, lo, cwb, cob, cwr, cor))
+            self._wp = (lwd_y, lwd_c, per)
         if ref_idc != 0:
             if idr:
                 r.u(1); r.u(1)  # no_output_of_prior / long_term flags
@@ -2038,12 +2122,17 @@ class Decoder:
         x0, y0 = mbx * 16, mby * 16
         W, H = sps.mb_w * 16, sps.mb_h * 16
         pred = mc_luma(ref.y, W, H, x0, y0, mv[0], mv[1])
+        if self._wp is not None:
+            pred = apply_wp(pred, *wp_luma(self._wp, 0))
         for i in range(16):
             for j in range(16):
                 st.y[y0 + i][x0 + j] = pred[i][j]
-        for plane, refp in ((st.cb, ref.cb), (st.cr, ref.cr)):
+        for comp, (plane, refp) in enumerate(((st.cb, ref.cb),
+                                              (st.cr, ref.cr))):
             pr = mc_chroma(refp, W // 2, H // 2, mbx * 8, mby * 8,
                            mv[0], mv[1])
+            if self._wp is not None:
+                pr = apply_wp(pr, *wp_chroma(self._wp, 0, comp))
             for i in range(8):
                 for j in range(8):
                     plane[mby * 8 + i][mbx * 8 + j] = pr[i][j]
@@ -2079,6 +2168,10 @@ class Decoder:
                                 mvx, mvy)
             pred_cr = mc_chroma(ref.cr, W // 2, H // 2, mbx * 8, mby * 8,
                                 mvx, mvy)
+            if self._wp is not None:
+                pred = apply_wp(pred, *wp_luma(self._wp, ref_i))
+                pred_cb = apply_wp(pred_cb, *wp_chroma(self._wp, ref_i, 0))
+                pred_cr = apply_wp(pred_cr, *wp_chroma(self._wp, ref_i, 1))
         elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (ref_idx inferred 0)
             subs = [r.ue() for _ in range(4)]
             assert all(t <= 3 for t in subs), f"bad sub_mb_type {subs}"
@@ -2101,6 +2194,8 @@ class Decoder:
                     record_blocks(st, x0b, y0b, wb, hb, ref_i, mv)
                     pl = mc_luma(ref.y, W, H, x0 + x8 + dx, y0 + y8 + dy,
                                  mv[0], mv[1], pw, ph)
+                    if self._wp is not None:
+                        pl = apply_wp(pl, *wp_luma(self._wp, ref_i))
                     for i in range(ph):
                         for j in range(pw):
                             pred[y8 + dy + i][x8 + dx + j] = pl[i][j]
@@ -2110,6 +2205,9 @@ class Decoder:
                     pr_ = mc_chroma(ref.cr, W // 2, H // 2,
                                     (x0 + x8 + dx) // 2, (y0 + y8 + dy) // 2,
                                     mv[0], mv[1], pw // 2, ph // 2)
+                    if self._wp is not None:
+                        pc = apply_wp(pc, *wp_chroma(self._wp, ref_i, 0))
+                        pr_ = apply_wp(pr_, *wp_chroma(self._wp, ref_i, 1))
                     for i in range(ph // 2):
                         for j in range(pw // 2):
                             pred_cb[(y8 + dy) // 2 + i][(x8 + dx) // 2 + j] = pc[i][j]
@@ -2137,6 +2235,8 @@ class Decoder:
                 mv = (mvp[0] + r.se(), mvp[1] + r.se())
                 record_blocks(st, x0b, y0b, wb, hb, ref_i, mv)
                 pl = mc_luma(ref.y, W, H, px0, py0, mv[0], mv[1], bw, bh)
+                if self._wp is not None:
+                    pl = apply_wp(pl, *wp_luma(self._wp, ref_i))
                 for i in range(bh):
                     for j in range(bw):
                         pred[py0 - y0 + i][px0 - x0 + j] = pl[i][j]
@@ -2144,6 +2244,9 @@ class Decoder:
                                mv[0], mv[1], bw // 2, bh // 2)
                 pr_ = mc_chroma(ref.cr, W // 2, H // 2, px0 // 2, py0 // 2,
                                 mv[0], mv[1], bw // 2, bh // 2)
+                if self._wp is not None:
+                    pc = apply_wp(pc, *wp_chroma(self._wp, ref_i, 0))
+                    pr_ = apply_wp(pr_, *wp_chroma(self._wp, ref_i, 1))
                 for i in range(bh // 2):
                     for j in range(bw // 2):
                         pred_cb[(py0 - y0) // 2 + i][(px0 - x0) // 2 + j] = pc[i][j]

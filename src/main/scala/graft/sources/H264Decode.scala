@@ -14,8 +14,9 @@ package graft.sources
   *    four modes, every CBP class), I_PCM — in I and P slices.
   *  - P slices with a MULTI-PICTURE DPB (sliding window,
   *    max_num_ref_frames deep; ref_idx_l0 te(v)-coded per partition in
-  *    the spec's two-loop mb_pred order, refIdx-aware MV prediction) and
-  *    ALL P partition shapes —
+  *    the spec's two-loop mb_pred order, refIdx-aware MV prediction),
+  *    EXPLICIT WEIGHTED PREDICTION (per-slice pred_weight_table, the
+  *    fade story — 8.4.2.3.2), and ALL P partition shapes —
   *    P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, and P_8x8/P_8x8ref0 with
   *    every sub_mb_type (8x8/8x4/4x8/4x4) — quarter-pel motion
   *    compensation at any block size
@@ -962,6 +963,34 @@ object H264Decode {
     else mvpPart(st, x0b, y0b, 2, refIdx)
   }
 
+  /** Explicit weighted prediction (8.4.2.3.2): per-slice
+    * pred_weight_table state. perRef(i) = [lumaW, lumaO, cbW, cbO, crW,
+    * crO]; null Wp = weighting off. */
+  private final case class Wp(lwdY: Int, lwdC: Int, perRef: Array[Array[Int]])
+
+  /** Clip1(((p*w + 2^(lwd-1)) >> lwd) + o) when lwd >= 1, else
+    * Clip1(p*w + o) — in place. */
+  private def applyWp(block: Array[Int], w: Int, o: Int, lwd: Int): Array[Int] = {
+    var i = 0
+    if (lwd >= 1) {
+      val r = 1 << (lwd - 1)
+      while (i < block.length) {
+        block(i) = clip255(((block(i) * w + r) >> lwd) + o); i += 1
+      }
+    } else {
+      while (i < block.length) { block(i) = clip255(block(i) * w + o); i += 1 }
+    }
+    block
+  }
+
+  @inline private def wpY(wp: Wp, b: Array[Int], refI: Int): Array[Int] =
+    if (wp == null) b
+    else applyWp(b, wp.perRef(refI)(0), wp.perRef(refI)(1), wp.lwdY)
+
+  @inline private def wpC(wp: Wp, b: Array[Int], refI: Int, comp: Int): Array[Int] =
+    if (wp == null) b
+    else applyWp(b, wp.perRef(refI)(2 + 2 * comp), wp.perRef(refI)(3 + 2 * comp), wp.lwdC)
+
   /** Sub-partitions of one 8x8 (P sub_mb_type 0..3): (dx, dy, w, h) in
     * pixels within the 8x8, decode order. */
   private def subParts(subType: Int): Array[(Int, Int, Int, Int)] =
@@ -1007,7 +1036,20 @@ object H264Decode {
       require(nActive >= 1 && nActive <= refs.size,
         s"num_ref_idx_l0_active $nActive exceeds the DPB (${refs.size})")
       require(r.u(1) == 0, "ref_pic_list_modification unsupported")
-      require(!pps.weightedPred, "weighted prediction unsupported")
+    }
+    var wp: Wp = null
+    if (isP && pps.weightedPred) {
+      val lwdY = r.ue()
+      val lwdC = r.ue()
+      require(lwdY <= 7 && lwdC <= 7, "log2_weight_denom out of range")
+      val per = Array.tabulate(nActive) { _ =>
+        val e = Array(1 << lwdY, 0, 1 << lwdC, 0, 1 << lwdC, 0)
+        if (r.u(1) == 1) { e(0) = r.se(); e(1) = r.se() }
+        if (r.u(1) == 1) { e(2) = r.se(); e(3) = r.se()
+                           e(4) = r.se(); e(5) = r.se() }
+        e
+      }
+      wp = Wp(lwdY, lwdC, per)
     }
     if (nalRefIdc != 0) {
       if (idr) { r.u(1); r.u(1) }
@@ -1032,12 +1074,12 @@ object H264Decode {
         require(count + run <= total, "mb_skip_run overruns the picture")
         var k = 0
         while (k < run) {
-          decodeSkipMb(st, refs.head, count % sps.mbW, count / sps.mbW)
+          decodeSkipMb(st, refs.head, count % sps.mbW, count / sps.mbW, wp)
           count += 1; k += 1
         }
         if (count < total) {
           qp = decodePMb(r, st, refs, nActive, sps, pps,
-            count % sps.mbW, count / sps.mbW, qp)
+            count % sps.mbW, count / sps.mbW, qp, wp)
           count += 1
         }
       }
@@ -1058,19 +1100,21 @@ object H264Decode {
       st.cr.toBytes(sps.cropL, sps.cropT, sps.width / 2, sps.height / 2)), st)
   }
 
-  /** P_Skip: motion from [[skipMv]], zero residual, recon = MC. */
-  private def decodeSkipMb(st: MbState, ref: MbState, mbx: Int, mby: Int): Unit = {
+  /** P_Skip: motion from [[skipMv]], zero residual, recon = MC against
+    * refIdx 0 (weighted when the slice weights). */
+  private def decodeSkipMb(st: MbState, ref: MbState, mbx: Int, mby: Int,
+                           wp: Wp = null): Unit = {
     val (mvx, mvy) = skipMv(st, mbx, mby)
     val x0 = mbx * 16; val y0 = mby * 16
-    val pred = mcLuma(ref.y, x0, y0, mvx, mvy)
+    val pred = wpY(wp, mcLuma(ref.y, x0, y0, mvx, mvy), 0)
     var i = 0
     while (i < 16) {
       var j = 0
       while (j < 16) { st.y.set(x0 + j, y0 + i, pred(i * 16 + j)); j += 1 }
       i += 1
     }
-    for ((plane, refp) <- Seq((st.cb, ref.cb), (st.cr, ref.cr))) {
-      val pr = mcChroma(refp, mbx * 8, mby * 8, mvx, mvy)
+    for ((comp, plane, refp) <- Seq((0, st.cb, ref.cb), (1, st.cr, ref.cr))) {
+      val pr = wpC(wp, mcChroma(refp, mbx * 8, mby * 8, mvx, mvy), 0, comp)
       var ci = 0
       while (ci < 8) {
         var cj = 0
@@ -1092,7 +1136,8 @@ object H264Decode {
     * P_L0_L0_8x16 (2), P_8x8/P_8x8ref0 (3/4), or intra (>= 5). */
   private def decodePMb(r: Bits, st: MbState, refs: List[MbState],
                         nActive: Int, sps: Sps,
-                        pps: Pps, mbx: Int, mby: Int, curQp: Int): Int = {
+                        pps: Pps, mbx: Int, mby: Int, curQp: Int,
+                        wp: Wp = null): Int = {
     val mbType = r.ue()
     if (mbType >= 5) // intra in a P slice
       return decodeMb(r, st, sps, pps, mbx, mby, curQp, mbType - 5)
@@ -1111,9 +1156,12 @@ object H264Decode {
       val mvx = mvp._1 + r.se()
       val mvy = mvp._2 + r.se()
       recordBlocks(st, mbx * 4, mby * 4, 4, 4, refI, mvx, mvy)
-      System.arraycopy(mcLuma(ref.y, x0, y0, mvx, mvy), 0, pred, 0, 256)
-      System.arraycopy(mcChroma(ref.cb, mbx * 8, mby * 8, mvx, mvy), 0, predCb, 0, 64)
-      System.arraycopy(mcChroma(ref.cr, mbx * 8, mby * 8, mvx, mvy), 0, predCr, 0, 64)
+      System.arraycopy(wpY(wp, mcLuma(ref.y, x0, y0, mvx, mvy), refI),
+        0, pred, 0, 256)
+      System.arraycopy(wpC(wp, mcChroma(ref.cb, mbx * 8, mby * 8, mvx, mvy),
+        refI, 0), 0, predCb, 0, 64)
+      System.arraycopy(wpC(wp, mcChroma(ref.cr, mbx * 8, mby * 8, mvx, mvy),
+        refI, 1), 0, predCr, 0, 64)
     } else if (mbType >= 3) { // P_8x8 / P_8x8ref0 (ref_idx inferred 0)
       val subs = Array.fill(4)(r.ue())
       subs.foreach(t => require(t <= 3, s"bad sub_mb_type $t"))
@@ -1133,7 +1181,8 @@ object H264Decode {
           val mvx = mvp._1 + r.se()
           val mvy = mvp._2 + r.se()
           recordBlocks(st, x0b, y0b, pw / 4, ph / 4, refI, mvx, mvy)
-          val pl = mcLuma(ref.y, x0 + x8 + dx, y0 + y8 + dy, mvx, mvy, pw, ph)
+          val pl = wpY(wp,
+            mcLuma(ref.y, x0 + x8 + dx, y0 + y8 + dy, mvx, mvy, pw, ph), refI)
           var i = 0
           while (i < ph) {
             var j = 0
@@ -1143,10 +1192,10 @@ object H264Decode {
             }
             i += 1
           }
-          val pc = mcChroma(ref.cb, (x0 + x8 + dx) / 2, (y0 + y8 + dy) / 2,
-            mvx, mvy, pw / 2, ph / 2)
-          val pr2 = mcChroma(ref.cr, (x0 + x8 + dx) / 2, (y0 + y8 + dy) / 2,
-            mvx, mvy, pw / 2, ph / 2)
+          val pc = wpC(wp, mcChroma(ref.cb, (x0 + x8 + dx) / 2,
+            (y0 + y8 + dy) / 2, mvx, mvy, pw / 2, ph / 2), refI, 0)
+          val pr2 = wpC(wp, mcChroma(ref.cr, (x0 + x8 + dx) / 2,
+            (y0 + y8 + dy) / 2, mvx, mvy, pw / 2, ph / 2), refI, 1)
           i = 0
           while (i < ph / 2) {
             var j = 0
@@ -1183,7 +1232,7 @@ object H264Decode {
         val mvy = mvp._2 + r.se()
         // record BEFORE the next partition predicts (it is a neighbour)
         recordBlocks(st, x0b, y0b, wb, hb, refI, mvx, mvy)
-        val pl = mcLuma(ref.y, px0, py0, mvx, mvy, bw, bh)
+        val pl = wpY(wp, mcLuma(ref.y, px0, py0, mvx, mvy, bw, bh), refI)
         var i = 0
         while (i < bh) {
           var j = 0
@@ -1193,8 +1242,10 @@ object H264Decode {
           }
           i += 1
         }
-        val pc = mcChroma(ref.cb, px0 / 2, py0 / 2, mvx, mvy, bw / 2, bh / 2)
-        val pr2 = mcChroma(ref.cr, px0 / 2, py0 / 2, mvx, mvy, bw / 2, bh / 2)
+        val pc = wpC(wp, mcChroma(ref.cb, px0 / 2, py0 / 2, mvx, mvy,
+          bw / 2, bh / 2), refI, 0)
+        val pr2 = wpC(wp, mcChroma(ref.cr, px0 / 2, py0 / 2, mvx, mvy,
+          bw / 2, bh / 2), refI, 1)
         i = 0
         while (i < bh / 2) {
           var j = 0

@@ -222,6 +222,10 @@ class H264DecodeSpec extends AnyFunSuite {
     checkStream("pmref_64x48", 64, 48, 4)
   }
 
+  test("P slices: explicit weighted prediction (fade) across all shapes") {
+    checkStream("pwp_64x48", 64, 48, 4)
+  }
+
   test("Table 9-4 inter column is a bijection distinct from the intra one") {
     assert(H264Decode.CbpInter.sorted.sameElements(0 until 48))
     assert(H264Decode.CbpInter(0) === 0 && H264Decode.CbpInter(1) === 16)
