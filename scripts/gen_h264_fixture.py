@@ -615,27 +615,46 @@ def main():
     print("p-coverage:", cov)
 
     # 13. media-corpus clips (q167): 8 DISTINCT IDR+3P avc1 MP4s for the
-    #     distributed binaryFile->decode scale path; per-frame luma sums
-    #     printed as the oracle literals
+    #     distributed binaryFile->decode scale path, together exercising
+    #     the FULL decoder surface: clips 0-2 mixed 16x16 P, clips 3-4
+    #     16x8/8x16 + P_8x8 partitions, clips 5-6 a 2-picture DPB with
+    #     mixed ref indices, clip 7 explicit weighted prediction.
+    #     Per-frame luma sums printed as the oracle literals.
     corpus_dir = os.path.join(OUT, "corpus")
     os.makedirs(corpus_dir, exist_ok=True)
     print("-- q167 video oracle VALUES (clip, frame, sum_y) --")
     for clip in range(8):
         w, h = 48, 32
-        encc = H.Encoder(w, h, qp_init=24 + clip % 4, num_ref_frames=1)
+        wp_on = clip == 7
+        n_ref = 2 if clip >= 5 else 1
+        encc = H.Encoder(w, h, qp_init=24 + clip % 4, num_ref_frames=n_ref,
+                         weighted_pred=wp_on)
+        if clip <= 2:
+            pol = p_mixed
+        elif clip == 3:
+            pol = p_part
+        elif clip == 4:
+            pol = p_8x8
+        else:
+            pol = mref_pol
         nals_c = []
         y, cb, cr = make_planes(w, h, 7000 + clip * 13)
         nal, st = encc.encode_frame(y, cb, cr, mixed_policy, frame_idx=0)
         nals_c.append(nal)
         recons_c = [crop(st, w, h)]
-        ref = st
+        dpb = [st]
         for f in range(1, 4):
             ys, cbs, crs = make_planes(w, h, 7000 + clip * 13 + f)
-            nal, st = encc.encode_frame_p(ys, cbs, crs, ref, p_mixed,
-                                          frame_idx=f)
+            n_act = min(n_ref, len(dpb))
+            wts = (2, 3, [(3, 10, 8, -4, 8, 4)] +
+                   [None] * (n_act - 1)) if wp_on else None
+            fpol = pol if (n_act == n_ref or clip < 5) else p_mixed
+            nal, st = encc.encode_frame_p(ys, cbs, crs, dpb[:n_act], fpol,
+                                          frame_idx=f, n_active=n_act,
+                                          weights=wts)
             nals_c.append(nal)
             recons_c.append(crop(st, w, h))
-            ref = st
+            dpb = ([st] + dpb)[:max(1, n_ref)]
         got = H.Decoder().feed_annexb(
             H.annexb([encc.sps(), encc.pps()] + nals_c))
         assert len(got) == 4 and all(got[f] == recons_c[f]
