@@ -2121,6 +2121,27 @@ object SparkEntry {
     * prediction) + 16 WAVs synthesized from the q163 integer PCM
     * formula — so q167 exercises the DISTRIBUTED binaryFile → demux →
     * decode path end-to-end. Idempotent. */
+  /** Concurrency-safe fixture write under the SHARED java.io.tmpdir: two
+    * JVMs (Verify + Bench, parallel test runs) may race a writer against
+    * another JVM's binaryFile scan of the same path, so (a) an existing
+    * target with the expected length is left untouched, and (b) a fresh
+    * write goes to a dot-prefixed temp file (hidden from Hadoop's default
+    * path filter, so a concurrent scan never sees a partial file) then
+    * moves into place atomically. */
+  private def writeFixtureAtomic(dir: java.nio.file.Path, name: String,
+      bytes: Array[Byte]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val target = dir.resolve(name)
+    if (Files.exists(target) && Files.size(target) == bytes.length) return
+    val tmp = Files.createTempFile(dir, "." + name, ".part")
+    Files.write(tmp, bytes)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { // another JVM won the race with identical content: keep theirs
+      case _: java.nio.file.FileSystemException => Files.deleteIfExists(tmp)
+    }
+  }
+
   private def mediaCorpusDir(): String = {
     val dir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-media-corpus")
@@ -2128,13 +2149,13 @@ object SparkEntry {
     for (c <- 0 until 8) {
       val in = getClass.getResourceAsStream(f"/graft/h264/corpus/clip_$c%02d.mp4")
       val bytes = try in.readAllBytes() finally in.close()
-      java.nio.file.Files.write(dir.resolve(f"clip_$c%02d.mp4"), bytes)
+      writeFixtureAtomic(dir, f"clip_$c%02d.mp4", bytes)
     }
     for (id <- 0 until 16) {
       val samples = Array.tabulate(1024) { n =>
         (((id + 3).toLong * ((n.toLong * n) % 977) + 17L * n) % 4096 - 2048).toShort
       }
-      java.nio.file.Files.write(dir.resolve(f"tone_$id%02d.wav"),
+      writeFixtureAtomic(dir, f"tone_$id%02d.wav",
         graft.functions.MultimodalFunctions.AudioCodec.pcm16Wav(samples, 8000))
     }
     dir.toString
@@ -2150,7 +2171,7 @@ object SparkEntry {
     Seq("tiny.warc", "tiny.warc.gz").foreach { name =>
       val in = getClass.getResourceAsStream(s"/graft/warc/$name")
       val bytes = try in.readAllBytes() finally in.close()
-      java.nio.file.Files.write(dir.resolve(name), bytes)
+      writeFixtureAtomic(dir, name, bytes)
     }
     dir.toString
   }

@@ -364,11 +364,13 @@ object MultimodalFunctions {
       * passes but whose slices enable deblocking, or that carries
       * P-slices past the supported subset, would otherwise report
       * decodable while every per-frame decode throws. One keyframe decode
-      * settles it; bounded cost (one frame, first 32 samples scanned). */
+      * settles it; bounded cost (the stss-derived sync flags are scanned
+      * over the WHOLE sample table — table entries, not payload bytes —
+      * so a stream whose first IDR lands late is still found, and exactly
+      * one frame is ever decoded). */
     def probeAvcKeyframe(bytes: Array[Byte], cfg: Array[Byte]): Boolean =
       try {
-        Mp4Demux.sampleFrames(bytes, everyNth = 1, maxFrames = 32)
-          .find(_.sync)
+        Mp4Demux.keyframes(bytes, maxFrames = 1).headOption
           .flatMap(s => Mp4Demux.samplePayloadOpt(bytes, s))
           .exists(p =>
             graft.sources.H264Decode.decodeAvccSamples(cfg, Seq(p)).nonEmpty)

@@ -31,7 +31,9 @@ package graft.sources
   *  - Frame cropping, per-MB QP deltas, chroma QP offset, multi-frame
   *    streams; Annex B and avcC/length-prefixed NAL framing.
   * Rejected loudly (never silently wrong): CABAC, B slices, reference
-  * list reordering, weighted prediction, interlace, slice groups, scaling
+  * list reordering, implicit weighted prediction / weighted_bipred
+  * (EXPLICIT per-ref weights via pred_weight_table are supported),
+  * interlace, slice groups, scaling
   * matrices, constrained intra, multi-slice frames, and — deliberately —
   * streams that ENABLE the in-loop deblocking filter
   * (`disable_deblocking_filter_idc` != 1): decoding those without the
@@ -57,7 +59,10 @@ package graft.sources
   * construction, so the video — not the frame — is the parallel unit;
   * `mapPartitions` over media rows, same as the MJPEG and JP2 kernels);
   * memory is bounded by the declared dimensions, which are validated
-  * against `maxDim` BEFORE any allocation, plus one reference frame.
+  * against `maxDim` BEFORE any allocation, plus a sliding-window DPB
+  * whose TOTAL footprint (declared frame size × max_num_ref_frames) is
+  * capped at two maxDim-sized frames' worth of macroblocks — also
+  * enforced at SPS parse, before any allocation.
   */
 object H264Decode {
 
@@ -296,6 +301,16 @@ object H264Decode {
     val mbH = r.ue() + 1
     require(mbW.toLong * 16 <= maxDim && mbH.toLong * 16 <= maxDim,
       s"declared ${mbW * 16}x${mbH * 16} exceeds maxDim $maxDim")
+    // DPB footprint guard: each retained reference costs a full MbState
+    // (~1.9 KB/macroblock), so a few-KB crafted stream declaring max-dim
+    // frames AND max_num_ref_frames=16 would pin ~8 GB live on an
+    // executor. Budget = two maxDim-sized frames' worth of macroblocks —
+    // generous for real streams (1080p fits 16 refs ~60x over) while
+    // capping a decode task's DPB near 1 GB at the default maxDim.
+    val budgetMbs = 2L * (maxDim / 16) * (maxDim / 16)
+    require(mbW.toLong * mbH * math.max(1, maxRef) <= budgetMbs,
+      s"DPB of $maxRef ${mbW * 16}x${mbH * 16} references exceeds the " +
+        s"$budgetMbs-macroblock decode budget")
     require(r.u(1) == 1, "interlaced (frame_mbs_only=0) unsupported")
     r.u(1) // direct_8x8_inference
     var (cl, cr, ct, cb) = (0, 0, 0, 0)

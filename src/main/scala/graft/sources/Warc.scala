@@ -163,7 +163,11 @@ object Warc {
         }
       }
     } catch {
-      case _: java.io.IOException => // corrupt gzip member: salvage
+      // Salvage on ANY recoverable failure, not just IOException: crafted
+      // or bit-rotted crawl bytes must never fail the Spark task (after
+      // retries, the job). NonFatal keeps OOM/interrupts fatal as they
+      // should be; everything else ends the parse with records-so-far.
+      case scala.util.control.NonFatal(_) =>
     } finally raw.close()
     out.result()
   }
@@ -226,7 +230,11 @@ object Warc {
         val n = Integer.parseInt(hex, 16)
         p = e + 1
         if (n == 0) return Some(out.toByteArray) // final chunk; skip trailer
-        if (p + n > body.length || out.size() + n > MaxRecordBytes) return None
+        // overflow-safe bounds: a crafted size like 7fffffff makes
+        // `p + n` / `out.size() + n` wrap negative, so compare by
+        // subtraction from the known-nonnegative limits instead
+        if (n < 0 || n > body.length - p || n > MaxRecordBytes - out.size())
+          return None
         out.write(body, p, n)
         p += n
         // consume the CRLF after the chunk data

@@ -172,6 +172,33 @@ class H264DecodeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("out of range"))
   }
 
+  test("a crafted max-dim SPS with a 16-deep DPB is rejected before allocation") {
+    def pack(bits: String): Array[Byte] = {
+      val padded = bits + "0" * ((8 - bits.length % 8) % 8)
+      padded.grouped(8).map(b => Integer.parseInt(b, 2).toByte).toArray
+    }
+    def ue(v: Long): String = {
+      val code = v + 1
+      "0" * (64 - java.lang.Long.numberOfLeadingZeros(code) - 1) +
+        code.toBinaryString
+    }
+    // baseline SPS: profile 66, poc type 2 (no poc fields), then
+    // max_num_ref_frames / dimensions / frame_mbs_only / no cropping
+    def sps(mbW: Int, mbH: Int, maxRef: Int): Array[Byte] = pack(
+      "01000010" + "00000000" + "00010100" + ue(0) +
+        ue(0) + ue(2) + ue(maxRef) + "0" +
+        ue(mbW - 1) + ue(mbH - 1) + "1" + "0" + "0")
+    // 8192x8192 frames x 16 refs = ~8 GB of MbState from a few-KB stream:
+    // the per-frame maxDim check passes, the DPB budget must not
+    val e = intercept[IllegalArgumentException](
+      H264Decode.parseSps(sps(512, 512, 16), maxDim = 8192))
+    assert(e.getMessage.contains("decode budget"))
+    // the same 16-deep DPB on a small frame is fine (1080p-class streams
+    // legitimately declare 16), as is a max-dim frame with few refs
+    assert(H264Decode.parseSps(sps(8, 8, 16), maxDim = 8192).maxRefFrames === 16)
+    assert(H264Decode.parseSps(sps(512, 512, 2), maxDim = 8192).mbW === 512)
+  }
+
   test("streams that require the deblocking filter are rejected, not decoded wrong") {
     // patch the slice header: our fixtures write disable_deblocking_filter_idc
     // = ue(1) = bits "010"; flipping it to ue(0)="1" would shift the

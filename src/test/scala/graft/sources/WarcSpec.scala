@@ -134,6 +134,21 @@ class WarcSpec extends SparkSpec {
       new String(rec.head.payload, ISO_8859_1) == "zz\r\nnot a chunk")
   }
 
+  test("overflow-crafted chunk sizes salvage, never index out of bounds") {
+    // after one written byte, 7fffffff makes p+n and out.size()+n wrap
+    // negative — the naive additive bounds check passes and write() throws
+    assert(Warc.dechunk("1\r\nA\r\n7fffffff\r\nX".getBytes(ISO_8859_1)).isEmpty)
+    // same crafted size as the FIRST chunk (p > 0 already from the size line)
+    assert(Warc.dechunk("7fffffff\r\nX".getBytes(ISO_8859_1)).isEmpty)
+    // and through the full record path: raw body salvaged, no task failure
+    val resp = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "1\r\nA\r\n7fffffff\r\nX").getBytes(ISO_8859_1)
+    val rec = Warc.parseWarc(
+      rec0("response", "http://x/of-chunk", "application/http; msgtype=response", resp))
+    assert(rec.size == 1 &&
+      new String(rec.head.payload, ISO_8859_1) == "1\r\nA\r\n7fffffff\r\nX")
+  }
+
   test("a gzip bomb is truncated to None (raw body kept), never inflated") {
     val bomb = gzipBytes(new Array[Byte](Warc.MaxRecordBytes + 1024))
     assert(Warc.gunzipBounded(bomb).isEmpty)
