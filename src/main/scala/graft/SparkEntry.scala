@@ -2111,8 +2111,39 @@ object SparkEntry {
           length(col("mt")).cast("long").as("main_chars"),
           length(col("ft")).cast("long").as("full_chars"))
         .orderBy(col("target_uri"))
+    }),
+    // ---- image perceptual hash: real PNG decode → 32×32 luma grid →
+    // native DCT sign hash (PHash64Expr). The battery PNGs are encoded
+    // from an integer pixel formula, so the DuckDB oracle replays the
+    // ENTIRE pipeline — pixels, 8×8 DCT block, AC median, sign bits —
+    // from literals, proving decode + DCT + hash end-to-end -------------
+    "q169_phash" -> ((s, _) => {
+      import s.implicits._
+      val imgs = (0 until 12).map(i => (i.toLong, phashBatteryPng(i)))
+      graft.functions.MultimodalFunctions
+        .imagePhash(imgs.toDF("img_id", "content"), "img_id", "content")
+        .orderBy(col("img_id"))
     })
   )
+
+  /** One 32×32 grayscale battery PNG: pixel (x, y) of image `img` has
+    * r=g=b = ((x·7 + y·13 + img·29)·(x + y + img + 1) + x·y) mod 256 —
+    * integer-exact through the PNG round-trip AND through the luma
+    * weights ((v·299+v·587+v·114)/1000 = v), so the oracle's
+    * generate_series replay of the same formula IS the decoded grid. The
+    * battery's smallest |coefficient − median| margin is ~0.24 (PHashSpec
+    * pins ≥ 1e-3), so float summation order can never flip a hash bit. */
+  private def phashBatteryPng(img: Int): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = ((x * 7 + y * 13 + img * 29) * (x + y + img + 1) + x * y) % 256
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
 
   /** Materialize the media fixture corpus: 8 committed avc1 clips (IDR+3P
     * each, scripts/gen_h264_fixture.py — together covering the FULL
@@ -3954,7 +3985,36 @@ object SparkEntry {
         |  ('http://fixture.example/chunked', CAST(2 AS BIGINT), CAST(33 AS BIGINT), CAST(202 AS BIGINT)),
         |  ('http://fixture.example/gzipped', CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(275 AS BIGINT)))
         |SELECT keeper_uri, n_copies, main_tokens, main_chars
-        |FROM v ORDER BY keeper_uri""".stripMargin
+        |FROM v ORDER BY keeper_uri""".stripMargin,
+    // full pHash replay from pixel literals: the same integer pixel
+    // formula the battery PNGs were rendered from, the same 8×8 DCT
+    // block (plain cosine sums), the 63-AC median (odd count — DuckDB's
+    // median is the exact middle element), the same bit layout. DuckDB
+    // computes its own cos()/sums, so decode+DCT+hash verify end-to-end.
+    "q169_phash" ->
+      """WITH px AS (
+        |  SELECT img, x, y,
+        |    ((x*7 + y*13 + img*29) * (x + y + img + 1) + x*y) % 256 AS v
+        |  FROM generate_series(0,11) t0(img),
+        |       generate_series(0,31) t1(x), generate_series(0,31) t2(y)
+        |), dct AS (
+        |  SELECT img, u, vv,
+        |    SUM(v * cos((2*x+1)*u*pi()/64) * cos((2*y+1)*vv*pi()/64)) AS c
+        |  FROM px, generate_series(0,7) tu(u), generate_series(0,7) tv(vv)
+        |  GROUP BY img, u, vv
+        |), med AS (
+        |  SELECT img, median(c) AS m FROM dct
+        |  WHERE NOT (u = 0 AND vv = 0) GROUP BY img
+        |), bits AS (
+        |  SELECT d.img, u*8 + vv AS k,
+        |    CASE WHEN d.c > med.m THEN 1 ELSE 0 END AS b
+        |  FROM dct d JOIN med ON d.img = med.img
+        |)
+        |SELECT img AS img_id,
+        |  CAST(SUM(CASE WHEN b = 0 THEN 0
+        |                WHEN k = 63 THEN -9223372036854775808
+        |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS phash
+        |FROM bits GROUP BY img ORDER BY img_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

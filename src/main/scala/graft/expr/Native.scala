@@ -31,6 +31,11 @@ object NativeFunctions {
   def simhash_md5_16(text: Column): Column =
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))
 
+  /** Native 64-bit DCT perceptual hash over a 32×32 luma grid
+    * (array<double>, 1024 values row-major) — see [[PHash64Expr]]. */
+  def phash64(grid: Column): Column =
+    ColumnBridge.column(PHash64Expr(ColumnBridge.expression(grid)))
+
   /** Native bounded top-k (score, id) AGGREGATE: exact (score DESC,
     * id ASC) top-k per group, 2k-bounded buffer with map-side partials
     * ([[TopKPairsAgg]]). Output array<struct<score: double, id: bigint>>,

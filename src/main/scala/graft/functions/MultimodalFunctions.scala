@@ -123,6 +123,37 @@ object MultimodalFunctions {
         out
       }
 
+    /** Mean-pooled integer-luma grid as DOUBLES (0..255 scale) — the
+      * [[graft.expr.PHash64Expr]] input. Same cell layout and luma weights
+      * as [[intensityFeatures]], but unnormalized: for an exactly
+      * `grid`×`grid` image each cell is ONE pixel's integer luma, which is
+      * what lets the DuckDB oracle replay the downstream DCT from pixel
+      * literals bit-for-bit. */
+    def lumaGrid(bytes: Array[Byte], grid: Int = 32): Option[Array[Double]] =
+      read(bytes).map { img =>
+        val sums = new Array[Double](grid * grid)
+        val counts = new Array[Int](grid * grid)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            val cell = math.min(y * grid / h, grid - 1) * grid +
+              math.min(x * grid / w, grid - 1)
+            sums(cell) += luma
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < sums.length) { if (counts(i) > 0) sums(i) /= counts(i); i += 1 }
+        sums
+      }
+
     /** Real resize: decode → bilinear-interpolated redraw → PNG re-encode.
       * None if the payload is not a decodable image. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
@@ -670,6 +701,24 @@ object MultimodalFunctions {
         }
       }
     }
+  }
+
+  /** Perceptual-hash kernel: decode → 32×32 luma grid (mapPartitions, one
+    * codec init per partition, non-images dropped) → native
+    * [[graft.expr.PHash64Expr]] DCT sign hash. Output (idCol, phash:
+    * long) feeds [[DedupFunctions.hamming64]] and the simhash-style
+    * band-prefix LSH bucketing directly — at 100 TB only the 8-byte
+    * signatures ever shuffle; pixels stay in the scan task. */
+  def imagePhash(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ImageCodec.lumaGrid(bytes, graft.expr.PHash64.Grid).map(g => (id, g))
+      })
+      .toDF(idCol, "luma_grid")
+      .select(col(idCol), graft.expr.NativeFunctions.phash64(col("luma_grid")).as("phash"))
   }
 
   /** Frame-sample offsets as a Column (video frame extraction plumbing):
