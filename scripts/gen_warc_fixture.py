@@ -92,6 +92,18 @@ PAGE_C = """<html><body><p>Short.</p>
 <p>visible because the script never closed</p>
 </body></html>"""
 
+PAGE_A_VAR = PAGE_A.replace(
+    "pipelines that clean them decide what models can learn",
+    "pipelines that curate them shape what models can learn").replace(
+    "Corpus page one", "Corpus page one (mirror)")
+
+PAGE_D = """<html><body>
+<div><p>Shard manifests record every exported file with its row count and
+byte size, so a resumable loader can verify completeness before training
+starts rather than failing mid-epoch.</p></div>
+<footer><a href="/terms">Terms</a></footer>
+</body></html>"""
+
 PLAIN_TXT = "robots: disallow nothing\nsitemap: /sitemap.xml\n"
 
 WARCINFO = ("software: graft-fixture/1.0\r\n"
@@ -183,6 +195,18 @@ def build_records():
                                          PAGE_C.encode("ascii"))),
                                      ["Transfer-Encoding: chunked",
                                       "Content-Encoding: gzip"])))
+    # a second registered domain carrying a NEAR-duplicate of page-a (a
+    # few words changed — survives exact dedup, collapses under minhash
+    # LSH) plus a distinct page; the mirror URL needs canonicalization
+    # (host case, default port, trailing slash) before domain grouping
+    recs.append(record(10, "response", "http://MIRROR.example:80/page-a-variant/",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "text/html",
+                                     PAGE_A_VAR.encode("ascii"))))
+    recs.append(record(11, "response", "http://mirror.example/page-d?b=2&a=1#sec",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "text/html",
+                                     PAGE_D.encode("ascii"))))
     return recs
 
 
@@ -195,6 +219,7 @@ def expected_rows():
         2: PAGE_A, 3: PAGE_B, 6: PAGE_C,
         5: "<html><body><p>404 not here</p></body></html>",
         7: PAGE_B, 8: PAGE_A, 9: PAGE_C,
+        10: PAGE_A_VAR, 11: PAGE_D,
     }
     rows = []
     for i, (rtype, uri, status, payload) in enumerate([
@@ -209,6 +234,8 @@ def expected_rows():
         ("response", "http://fixture.example/chunked", 200, PAGE_B),
         ("response", "http://fixture.example/gzipped", 200, PAGE_A),
         ("response", "http://fixture.example/both", 200, PAGE_C),
+        ("response", "http://MIRROR.example:80/page-a-variant/", 200, PAGE_A_VAR),
+        ("response", "http://mirror.example/page-d?b=2&a=1#sec", 200, PAGE_D),
     ]):
         if i in bodies:
             text = html_to_text(bodies[i])
@@ -218,6 +245,173 @@ def expected_rows():
         rows.append((i, rtype, uri, status, len(payload.encode("ascii")),
                      md5, len(text)))
     return rows
+
+
+# ---------- the INDEPENDENT q170 replay: crawl -> training shards --------
+# Mirrors the documented contracts (UrlFunctions scaladoc, DedupFunctions
+# minhash/LSH/dedupNear, SamplingFunctions.capPerGroup/shardByTokenBudget)
+# in plain Python — no Scala involved.
+
+TWO_LEVEL_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.kr", "or.kr", "ac.kr", "go.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "co.za", "org.za", "gov.za",
+    "com.ar", "com.tr", "com.tw", "com.sg", "com.hk", "com.my",
+    "co.nz", "org.nz", "govt.nz",
+    "co.id", "or.id", "ac.id", "go.id"}
+
+
+def canonicalize_url(url: str) -> str:
+    nofrag = re.match(r"^([^#]*)", url.strip()).group(1)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", nofrag)
+    if not m:
+        return nofrag
+    scheme = m.group(1).lower()
+    rest = nofrag[m.end():]
+    authority = re.sub(r"^[^@]*@", "", re.match(r"^([^/?]*)", rest).group(1)).lower()
+    pathquery = re.sub(r"^[^/?]*", "", rest)
+    path = re.match(r"^([^?]*)", pathquery).group(1)
+    query = re.sub(r"^[^?]*\?", "", pathquery) if "?" in pathquery else ""
+    host = re.match(r"^([^:]*)", authority).group(1)
+    port = re.search(r":([0-9]*)$", authority).group(1) if ":" in authority else ""
+    keep = port != "" and not ((scheme == "http" and port == "80") or
+                               (scheme == "https" and port == "443"))
+    auth = host + ((":" + port) if keep else "")
+    stripped = re.sub(r"/+$", "", path)
+    cpath = stripped if stripped else "/"
+    params = sorted(p for p in query.split("&") if p)
+    cquery = ("?" + "&".join(params)) if params else ""
+    return f"{scheme}://{auth}{cpath}{cquery}"
+
+
+def registered_domain(url: str) -> str:
+    nofrag = re.match(r"^([^#]*)", url.strip()).group(1)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", nofrag)
+    rest = nofrag[m.end():] if m else nofrag
+    authority = re.sub(r"^[^@]*@", "", re.match(r"^([^/?]*)", rest).group(1)).lower()
+    host = re.match(r"^([^:]*)", authority).group(1)
+    labels = host.split(".")
+    if re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", host) or len(labels) <= 1:
+        return host
+    if len(labels) >= 3 and ".".join(labels[-2:]) in TWO_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def md5hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def minhash_sig(text: str, n: int, k: int):
+    toks = text.split()
+    shingles = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    if not shingles:
+        return [None] * k
+    return [min(md5hex(f"s{j}" + sh) for sh in shingles) for j in range(k)]
+
+
+def jaccard3(a: str, b: str, n: int = 3) -> float:
+    ta, tb = a.split(), b.split()
+    sa = {" ".join(ta[i:i + n]) for i in range(len(ta) - n + 1)}
+    sb = {" ".join(tb[i:i + n]) for i in range(len(tb) - n + 1)}
+    u = len(sa | sb)
+    return (len(sa & sb) / u) if u else 0.0
+
+
+def q170_rows(bands=4, rows_per_band=2, n=3, tau=0.6, cap=2,
+              seed="crawl", shard_tokens=30, buckets=4096):
+    # 1. the .warc.gz 200 HTML pages (one copy per record)
+    pages = [
+        (2, "http://fixture.example/page-a", PAGE_A),
+        (3, "http://fixture.example/page-b", PAGE_B),
+        (6, "http://fixture.example/page-c", PAGE_C),
+        (7, "http://fixture.example/chunked", PAGE_B),
+        (8, "http://fixture.example/gzipped", PAGE_A),
+        (9, "http://fixture.example/both", PAGE_C),
+        (10, "http://MIRROR.example:80/page-a-variant/", PAGE_A_VAR),
+        (11, "http://mirror.example/page-d?b=2&a=1#sec", PAGE_D),
+    ]
+    # 2. main text + quality gate, canonical url + registered domain
+    docs = []
+    for rid, uri, html in pages:
+        mt = main_text(html)
+        if len(mt) < 40:
+            continue
+        docs.append(dict(rid=rid, canon=canonicalize_url(uri),
+                         dom=registered_domain(uri), mt=mt))
+    # 3. exact dedup by main text: keeper = min canon, rid = min rid
+    groups = {}
+    for d in docs:
+        groups.setdefault(d["mt"], []).append(d)
+    exact = []
+    for mt, ds in groups.items():
+        exact.append(dict(mt=mt, canon=min(x["canon"] for x in ds),
+                          dom=min(x["dom"] for x in ds),
+                          rid=min(x["rid"] for x in ds), n=len(ds)))
+    # 4. near-dedup FIRST (caps must count unique content, not copies):
+    #    minhash LSH candidates -> exact jaccard >= tau -> union-find
+    #    components -> keep min rid
+    k = bands * rows_per_band
+    sigs = {d["rid"]: minhash_sig(d["mt"], n, k) for d in exact}
+    pairs = set()
+    for b in range(bands):
+        keymap = {}
+        for d in exact:
+            key = "|".join(x or "" for x in sigs[d["rid"]][b * rows_per_band:(b + 1) * rows_per_band])
+            keymap.setdefault(key, []).append(d)
+        for ds in keymap.values():
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    a, c = sorted((ds[i], ds[j]), key=lambda d: d["rid"])
+                    if jaccard3(a["mt"], c["mt"], n) >= tau:
+                        pairs.add((a["rid"], c["rid"]))
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent.get(x, x)
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    neared = [d for d in exact if find(d["rid"]) == d["rid"]]
+    # 5. per-domain cap: keep `cap` per dom by (md5(canon), canon)
+    kept = []
+    bydom = {}
+    for d in neared:
+        bydom.setdefault(d["dom"], []).append(d)
+    for dom, ds in bydom.items():
+        ds.sort(key=lambda d: (md5hex(d["canon"]), d["canon"]))
+        kept.extend(ds[:cap])
+    # 6. token counts + shardByTokenBudget(md5(seed||rid) bucketing,
+    #    per-bucket offsets, prefix sums in (h, rid) order)
+    for d in kept:
+        d["tok"] = len(d["mt"].split())
+        d["h"] = md5hex(seed + str(d["rid"]))
+        d["b"] = int(d["h"][:4], 16) * buckets // 65536
+    totals = {}
+    for d in kept:
+        totals[d["b"]] = totals.get(d["b"], 0) + d["tok"]
+    offs, acc = {}, 0
+    for b in sorted(totals):
+        offs[b] = acc
+        acc += totals[b]
+    out = []
+    for b in sorted({d["b"] for d in kept}):
+        run = offs[b]
+        for d in sorted((d for d in kept if d["b"] == b),
+                        key=lambda d: (d["h"], d["rid"])):
+            d["shard"] = run // shard_tokens
+            run += d["tok"]
+    for d in sorted(kept, key=lambda d: d["canon"]):
+        out.append((d["canon"], d["dom"], d["n"], d["tok"], d["shard"]))
+    return out
 
 
 def kept_blocks(html: str, min_chars: int = 25):
@@ -261,7 +455,9 @@ def main():
                       # body-coded records decode to the same pages
                       ("http://fixture.example/chunked", PAGE_B),
                       ("http://fixture.example/gzipped", PAGE_A),
-                      ("http://fixture.example/both", PAGE_C)]:
+                      ("http://fixture.example/both", PAGE_C),
+                      ("http://MIRROR.example:80/page-a-variant/", PAGE_A_VAR),
+                      ("http://mirror.example/page-d?b=2&a=1#sec", PAGE_D)]:
         blocks = kept_blocks(html)
         mt = "\n".join(blocks)
         md5 = hashlib.md5(mt.encode("utf-8")).hexdigest()
@@ -280,7 +476,9 @@ def main():
                       ("http://fixture.example/page-c", PAGE_C),
                       ("http://fixture.example/chunked", PAGE_B),
                       ("http://fixture.example/gzipped", PAGE_A),
-                      ("http://fixture.example/both", PAGE_C)]:
+                      ("http://fixture.example/both", PAGE_C),
+                      ("http://MIRROR.example:80/page-a-variant/", PAGE_A_VAR),
+                      ("http://mirror.example/page-d?b=2&a=1#sec", PAGE_D)]:
         mt = main_text(html)
         if len(mt) < 40:
             continue
@@ -289,6 +487,12 @@ def main():
         print(f"  ('{min(uris)}', CAST({len(uris)} AS BIGINT), "
               f"CAST({len(mt.split())} AS BIGINT), "
               f"CAST({len(mt)} AS BIGINT)),")
+
+    print("\n-- q170 oracle VALUES --")
+    for row in q170_rows():
+        uri, dom, n, tok, shard = row
+        print(f"  ('{uri}', '{dom}', CAST({n} AS BIGINT), "
+              f"CAST({tok} AS BIGINT), CAST({shard} AS BIGINT)),")
 
     print("\n-- main_text(PAGE_A) for the spec --")
     print(repr(main_text(PAGE_A)))

@@ -2123,8 +2123,80 @@ object SparkEntry {
       graft.functions.MultimodalFunctions
         .imagePhash(imgs.toDF("img_id", "content"), "img_id", "content")
         .orderBy(col("img_id"))
+    }),
+    // ---- the FULL front-door-to-training-shards story in one query:
+    // WARC scan → HTTP-200 HTML → density-rule main text → quality gate →
+    // URL canonicalization + registered domain → EXACT dedup by content
+    // (coded twins collapse) → minhash-LSH NEAR-dedup (the mirror's
+    // lightly-edited copy collapses onto the original) → per-domain cap →
+    // token-budget shard assignment. Oracle = the independent python
+    // generator replaying every stage ------------------------------------
+    "q170_crawl_shards" -> ((s, _) => {
+      val H = graft.functions.HtmlFunctions
+      val U = graft.functions.UrlFunctions
+      val D = graft.functions.DedupFunctions
+      val Smp = graft.functions.SamplingFunctions
+      val docs = graft.sources.Warc.readWarc(s, warcFixtureDir())
+        .filter(col("file").endsWith(".warc.gz") &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(col("record_index").cast("long").as("rid"),
+          U.canonicalizeUrl(col("target_uri")).as("keeper_uri"),
+          U.registeredDomain(col("target_uri")).as("regdom"),
+          H.mainText(col("payload").cast("string")).as("mt"))
+        .filter(length(col("mt")) >= 40)
+      val exact = docs.groupBy(col("mt"))
+        .agg(min(col("keeper_uri")).as("keeper_uri"),
+          min(col("regdom")).as("regdom"),
+          min(col("rid")).as("rid"),
+          count(lit(1)).as("n_copies"))
+      val near = D.dedupNear(exact, "mt", "rid",
+        n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.6)
+      val capped = Smp.capPerGroup(near, col("regdom"), col("keeper_uri"), 2)
+        .withColumn("tokens",
+          graft.functions.TextFunctions.tokenCount(col("mt")).cast("long"))
+      Smp.shardByTokenBudget(capped, col("rid"), col("tokens"), "crawl", 30L)
+        .select(col("keeper_uri"), col("regdom"), col("n_copies"),
+          col("tokens"), col("shard"))
+        .orderBy(col("keeper_uri"))
+    }),
+    // ---- URL canonicalization + registered domain (crawl front door):
+    // pure column expressions — scheme/host case, userinfo, default
+    // ports, fragments, trailing slash, query-param order, suffix-list
+    // domain; the oracle replays the whole grammar with DuckDB's OWN
+    // string/list ops over the same literals ----------------------------
+    "q171_url_canon" -> ((s, _) => {
+      import s.implicits._
+      val U = graft.functions.UrlFunctions
+      urlBattery.toDF("url").select(col("url"),
+          U.canonicalizeUrl(col("url")).as("canon"),
+          U.urlHost(col("url")).as("host"),
+          U.registeredDomain(col("url")).as("regdom"))
+        .orderBy(col("url"))
     })
   )
+
+  /** URL battery for q171 — one case per canonicalization rule (case,
+    * userinfo, default/custom ports, fragment, trailing slash incl. the
+    * all-trailing-slashes rule, query sort + empty params + duplicate keys,
+    * missing path, IPv4, single-label host, two-level public suffix,
+    * non-URL salvage). The oracle carries the same literals. */
+  private val urlBattery: Seq[String] = Seq(
+    "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag",
+    "https://Example.com:443/",
+    "https://example.com:8443/x/",
+    "http://user:pw@Shop.CO.UK/cart?item=3&&q=",
+    "http://a.b.shop.co.uk",
+    "http://192.168.10.1:8080/admin#x",
+    "http://example.com/a?z=9&a=2&a=1",
+    "  http://example.com/a/  ",
+    "not a url #frag",
+    "http://localhost:80/x",
+    "HTTPS://news.example.org/path/?UTM=3#a",
+    "http://example.com?x=1",
+    "ftp://Files.Example.com:21/data/",
+    "http://sub.domain.com.au/x",
+    "https://example.com/a//b//")
 
   /** One 32×32 grayscale battery PNG: pixel (x, y) of image `img` has
     * r=g=b = ((x·7 + y·13 + img·29)·(x + y + img + 1) + x·y) mod 256 —
@@ -3961,7 +4033,9 @@ object SparkEntry {
         |  (CAST(6 AS BIGINT), 'response', 'http://fixture.example/page-c', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT)),
         |  (CAST(7 AS BIGINT), 'response', 'http://fixture.example/chunked', CAST(200 AS BIGINT), CAST(409 AS BIGINT), 'e84749f0ddb580a6a1bf8b67c53a2500', CAST(216 AS BIGINT)),
         |  (CAST(8 AS BIGINT), 'response', 'http://fixture.example/gzipped', CAST(200 AS BIGINT), CAST(823 AS BIGINT), 'bc0618804c87b63f9bdde1555c16a220', CAST(334 AS BIGINT)),
-        |  (CAST(9 AS BIGINT), 'response', 'http://fixture.example/both', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT))),
+        |  (CAST(9 AS BIGINT), 'response', 'http://fixture.example/both', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), 'response', 'http://MIRROR.example:80/page-a-variant/', CAST(200 AS BIGINT), CAST(832 AS BIGINT), '3e938e24b1e6f57ae38244ac310715d6', CAST(343 AS BIGINT)),
+        |  (CAST(11 AS BIGINT), 'response', 'http://mirror.example/page-d?b=2&a=1#sec', CAST(200 AS BIGINT), CAST(266 AS BIGINT), '326379951776523ac926ae9c3ea1f35a', CAST(182 AS BIGINT))),
         |k(kind) AS (VALUES ('gz'), ('plain'))
         |SELECT kind, record_index, warc_type, target_uri, http_status,
         |  payload_len, text_md5, text_chars
@@ -3973,7 +4047,9 @@ object SparkEntry {
         |  ('http://fixture.example/page-c', CAST(2 AS BIGINT), '5c3d0254c0cbbf65083a65234e700c41', CAST(90 AS BIGINT), CAST(116 AS BIGINT)),
         |  ('http://fixture.example/chunked', CAST(2 AS BIGINT), '4f6e839a4693ac150824786770f70aa6', CAST(202 AS BIGINT), CAST(216 AS BIGINT)),
         |  ('http://fixture.example/gzipped', CAST(3 AS BIGINT), '7082a12b4c92208d0bef0ef955a0d96e', CAST(275 AS BIGINT), CAST(334 AS BIGINT)),
-        |  ('http://fixture.example/both', CAST(2 AS BIGINT), '5c3d0254c0cbbf65083a65234e700c41', CAST(90 AS BIGINT), CAST(116 AS BIGINT)))
+        |  ('http://fixture.example/both', CAST(2 AS BIGINT), '5c3d0254c0cbbf65083a65234e700c41', CAST(90 AS BIGINT), CAST(116 AS BIGINT)),
+        |  ('http://MIRROR.example:80/page-a-variant/', CAST(3 AS BIGINT), 'bb81b9e00b56488fd33c9b43cb5c5039', CAST(275 AS BIGINT), CAST(343 AS BIGINT)),
+        |  ('http://mirror.example/page-d?b=2&a=1#sec', CAST(1 AS BIGINT), '259e0d152fec0fa47a6b3ff5bb342a2f', CAST(176 AS BIGINT), CAST(182 AS BIGINT)))
         |SELECT target_uri, n_blocks, main_md5, main_chars, full_chars
         |FROM v ORDER BY target_uri""".stripMargin,
     // q168: the composition's results replayed by the python generator
@@ -3981,10 +4057,23 @@ object SparkEntry {
     // the Scala pipeline under test)
     "q168_crawl_pipeline" ->
       """WITH v(keeper_uri, n_copies, main_tokens, main_chars) AS (VALUES
+        |  ('http://MIRROR.example:80/page-a-variant/', CAST(1 AS BIGINT), CAST(40 AS BIGINT), CAST(275 AS BIGINT)),
         |  ('http://fixture.example/both', CAST(2 AS BIGINT), CAST(15 AS BIGINT), CAST(90 AS BIGINT)),
         |  ('http://fixture.example/chunked', CAST(2 AS BIGINT), CAST(33 AS BIGINT), CAST(202 AS BIGINT)),
-        |  ('http://fixture.example/gzipped', CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(275 AS BIGINT)))
+        |  ('http://fixture.example/gzipped', CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(275 AS BIGINT)),
+        |  ('http://mirror.example/page-d?b=2&a=1#sec', CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(176 AS BIGINT)))
         |SELECT keeper_uri, n_copies, main_tokens, main_chars
+        |FROM v ORDER BY keeper_uri""".stripMargin,
+    // q170: the crawl→shards composition replayed end-to-end by the
+    // python generator (extraction, canonicalization, exact dedup,
+    // minhash LSH + jaccard + union-find near-dedup, per-domain cap,
+    // md5-bucketed token-budget sharding — no code shared with Scala)
+    "q170_crawl_shards" ->
+      """WITH v(keeper_uri, regdom, n_copies, tokens, shard) AS (VALUES
+        |  ('http://fixture.example/both', 'fixture.example', CAST(2 AS BIGINT), CAST(15 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('http://fixture.example/chunked', 'fixture.example', CAST(2 AS BIGINT), CAST(33 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('http://mirror.example/page-d?a=1&b=2', 'mirror.example', CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(1 AS BIGINT)))
+        |SELECT keeper_uri, regdom, n_copies, tokens, shard
         |FROM v ORDER BY keeper_uri""".stripMargin,
     // full pHash replay from pixel literals: the same integer pixel
     // formula the battery PNGs were rendered from, the same 8×8 DCT
@@ -4014,7 +4103,43 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN b = 0 THEN 0
         |                WHEN k = 63 THEN -9223372036854775808
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS phash
-        |FROM bits GROUP BY img ORDER BY img_id""".stripMargin
+        |FROM bits GROUP BY img ORDER BY img_id""".stripMargin,
+    // full replay of the URL grammar with DuckDB's own string/list ops
+    // (regexp, string_split, list_filter, list_sort) over the battery
+    // literals — same contract, independent implementation
+    "q171_url_canon" -> {
+      val vals = urlBattery.map(u => s"  ('$u')").mkString(",\n")
+      val suf = graft.functions.UrlFunctions.TwoLevelSuffixes
+        .map(x => s"'$x'").mkString(",")
+      s"""WITH urls(url) AS (VALUES
+         |$vals),
+         |s1 AS (SELECT url, regexp_extract(trim(url), '^([^#]*)', 1) AS nofrag FROM urls),
+         |s2 AS (SELECT url, nofrag,
+         |  lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+         |s3 AS (SELECT *, lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@]*@', '')) AS authority,
+         |  regexp_replace(rest, '^[^/?]*', '') AS pathquery FROM s2),
+         |s4 AS (SELECT *, regexp_extract(pathquery, '^([^?]*)', 1) AS path,
+         |  CASE WHEN contains(pathquery, '?') THEN regexp_replace(pathquery, '^[^?]*\\?', '') ELSE '' END AS query FROM s3),
+         |s5 AS (SELECT *, regexp_extract(authority, '^([^:]*)', 1) AS host,
+         |  CASE WHEN contains(authority, ':') THEN regexp_extract(authority, ':([0-9]*)$$', 1) ELSE '' END AS port FROM s4),
+         |s6 AS (SELECT *, string_split(host, '.') AS labels,
+         |  host || CASE WHEN port <> '' AND NOT ((scheme='http' AND port='80') OR (scheme='https' AND port='443'))
+         |    THEN ':' || port ELSE '' END AS canon_auth,
+         |  CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
+         |       ELSE regexp_replace(path, '/+$$', '') END AS canon_path,
+         |  list_filter(string_split(query, '&'), p -> p <> '') AS params FROM s5),
+         |s7 AS (SELECT *, CASE WHEN len(params) > 0 THEN '?' || array_to_string(list_sort(params), '&') ELSE '' END AS canon_query FROM s6)
+         |SELECT url,
+         |  CASE WHEN scheme = '' THEN regexp_extract(trim(url), '^([^#]*)', 1)
+         |       ELSE scheme || '://' || canon_auth || canon_path || canon_query END AS canon,
+         |  host,
+         |  CASE WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') OR len(labels) <= 1 THEN host
+         |       WHEN len(labels) >= 3 AND (labels[-2] || '.' || labels[-1]) IN ($suf)
+         |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         |       ELSE labels[-2] || '.' || labels[-1] END AS regdom
+         |FROM s7 ORDER BY url""".stripMargin
+    }
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

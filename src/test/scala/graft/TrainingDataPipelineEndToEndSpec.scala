@@ -70,4 +70,56 @@ class TrainingDataPipelineEndToEndSpec extends SparkSpec {
     assert(base.exceptAll(again).count() === 0 && again.exceptAll(base).count() === 0)
     out.unpersist()
   }
+
+  test("crawl front door: WARC -> main text -> canonical URLs -> near-dedup -> shards") {
+    import graft.functions.{HtmlFunctions => H, UrlFunctions => U}
+    // the committed WARC fixture (independent python generator) carries
+    // the duplicate shape a real crawl has: coded-body twins (exact dups),
+    // a lightly-edited mirror copy (near dup), and two registered domains
+    val dir = java.nio.file.Files.createTempDirectory("crawl-e2e")
+    Seq("tiny.warc.gz").foreach { n =>
+      val in = getClass.getResourceAsStream(s"/graft/warc/$n")
+      val bytes = try in.readAllBytes() finally in.close()
+      java.nio.file.Files.write(dir.resolve(n), bytes)
+    }
+    val docs = graft.sources.Warc.readWarc(spark, dir.toString)
+      .filter($"http_status" === 200 && $"http_content_type".startsWith("text/html"))
+      .select($"record_index".cast("long").as("rid"),
+        U.canonicalizeUrl($"target_uri").as("canon"),
+        U.registeredDomain($"target_uri").as("regdom"),
+        H.mainText($"payload".cast("string")).as("mt"))
+      .filter(length($"mt") >= 40)
+    assert(docs.count() === 8) // all 8 html-200 pages clear the quality gate
+    val exact = docs.groupBy($"mt")
+      .agg(min($"canon").as("canon"), min($"regdom").as("regdom"),
+        min($"rid").as("rid"), count(lit(1)).as("n_copies"))
+    // coded twins collapsed: 8 rows -> 5 unique contents
+    assert(exact.count() === 5)
+    val near = D.dedupNear(exact, "mt", "rid",
+      n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.6)
+    // the mirror's lightly-edited page-a copy collapses onto the original
+    assert(near.count() === 4)
+    assert(near.filter($"canon".contains("page-a-variant")).count() === 0)
+    val capped = SamplingFunctions.capPerGroup(near, $"regdom", $"canon", 2)
+      .withColumn("tokens", T.tokenCount($"mt").cast("long"))
+    assert(capped.groupBy("regdom").count().collect().forall(_.getLong(1) <= 2))
+    val sharded = SamplingFunctions.shardByTokenBudget(
+      capped, $"rid", $"tokens", "crawl", 30L)
+    // every doc landed in a shard; shard ids are dense from 0
+    val shards = sharded.select($"shard").distinct().as[Long].collect().sorted
+    assert(shards.head === 0L && shards === (0L until shards.length).toArray)
+    // partition invariance of the whole walk
+    val again = SamplingFunctions.shardByTokenBudget(
+      SamplingFunctions.capPerGroup(
+        D.dedupNear(docs.repartition(7).groupBy($"mt")
+          .agg(min($"canon").as("canon"), min($"regdom").as("regdom"),
+            min($"rid").as("rid"), count(lit(1)).as("n_copies")),
+          "mt", "rid", n = 3, bands = 4, rowsPerBand = 2,
+          jaccardThreshold = 0.6),
+        $"regdom", $"canon", 2).withColumn("tokens", T.tokenCount($"mt").cast("long")),
+      $"rid", $"tokens", "crawl", 30L)
+      .select("canon", "regdom", "n_copies", "tokens", "shard")
+    val base = sharded.select("canon", "regdom", "n_copies", "tokens", "shard")
+    assert(base.exceptAll(again).count() === 0 && again.exceptAll(base).count() === 0)
+  }
 }

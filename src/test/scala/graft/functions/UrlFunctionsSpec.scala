@@ -1,0 +1,111 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the URL canonicalization contract ([[UrlFunctions]]): one case per
+  * rule, validated against the independently-computed expected forms (the
+  * same expectations the q171 DuckDB oracle reproduces with its own
+  * string ops), plus idempotence — a canonical URL must be a fixed point,
+  * or repeated pipeline stages would keep rewriting keys. */
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: Seq[String]): Map[String, (String, String, String)] =
+    urls.toDF("url").select(col("url"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("c"),
+        UrlFunctions.urlHost(col("url")).as("h"),
+        UrlFunctions.registeredDomain(col("url")).as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3))))
+      .toMap
+
+  test("every canonicalization rule, one case each") {
+    val got = canon(Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag",
+      "https://Example.com:443/",
+      "https://example.com:8443/x/",
+      "http://user:pw@Shop.CO.UK/cart?item=3&&q=",
+      "http://a.b.shop.co.uk",
+      "http://192.168.10.1:8080/admin#x",
+      "http://example.com/a?z=9&a=2&a=1",
+      "  http://example.com/a/  ",
+      "http://localhost:80/x",
+      "http://example.com?x=1",
+      "ftp://Files.Example.com:21/data/",
+      "http://sub.domain.com.au/x",
+      "https://example.com/a//b//"))
+    // case + default port + trailing slash + fragment + query sort
+    assert(got("HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag") ===
+      (("http://www.example.com/a/b?a=1&b=2", "www.example.com", "example.com")))
+    // https default port; root path survives
+    assert(got("https://Example.com:443/") ===
+      (("https://example.com/", "example.com", "example.com")))
+    // non-default port kept
+    assert(got("https://example.com:8443/x/") ===
+      (("https://example.com:8443/x", "example.com", "example.com")))
+    // userinfo dropped; empty params dropped, `q=` kept; co.uk registers deep
+    assert(got("http://user:pw@Shop.CO.UK/cart?item=3&&q=") ===
+      (("http://shop.co.uk/cart?item=3&q=", "shop.co.uk", "shop.co.uk")))
+    // empty path becomes /; suffix-list walk from a 4-label host
+    assert(got("http://a.b.shop.co.uk") ===
+      (("http://a.b.shop.co.uk/", "a.b.shop.co.uk", "shop.co.uk")))
+    // IPv4 literal: port kept, domain = the address itself
+    assert(got("http://192.168.10.1:8080/admin#x") ===
+      (("http://192.168.10.1:8080/admin", "192.168.10.1", "192.168.10.1")))
+    // duplicate query keys all kept, sorted
+    assert(got("http://example.com/a?z=9&a=2&a=1")._1 ===
+      "http://example.com/a?a=1&a=2&z=9")
+    // surrounding whitespace trimmed
+    assert(got("  http://example.com/a/  ")._1 === "http://example.com/a")
+    // single-label host registers as itself
+    assert(got("http://localhost:80/x") ===
+      (("http://localhost/x", "localhost", "localhost")))
+    // query with no path
+    assert(got("http://example.com?x=1")._1 === "http://example.com/?x=1")
+    // non-http scheme: port untouched
+    assert(got("ftp://Files.Example.com:21/data/")._1 ===
+      "ftp://files.example.com:21/data")
+    // com.au two-level suffix
+    assert(got("http://sub.domain.com.au/x")._3 === "domain.com.au")
+    // ALL trailing slashes drop — inner empty segments are not rewritten
+    assert(got("https://example.com/a//b//")._1 === "https://example.com/a//b")
+  }
+
+  test("non-URL strings salvage as trimmed+defragmented identity") {
+    val got = canon(Seq("not a url #frag", ""))
+    assert(got("not a url #frag")._1 === "not a url ")
+    assert(got("")._1 === "")
+  }
+
+  test("canonical form is a fixed point (idempotence)") {
+    val urls = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag",
+      "http://user:pw@Shop.CO.UK/cart?item=3&&q=",
+      "http://example.com?x=1",
+      "https://example.com/a//b//")
+    val once = urls.toDF("url")
+      .select(UrlFunctions.canonicalizeUrl(col("url")).as("c"))
+    val twice = once.select(col("c"),
+      UrlFunctions.canonicalizeUrl(col("c")).as("cc")).collect()
+    twice.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"not a fixed point: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
+
+  test("per-domain cap composes: canonical dedup then capPerGroup(regdom)") {
+    // 6 urls, 2 of which are canonical twins -> 5 canonical docs over 2
+    // domains; cap 2 per registered domain -> 4 survivors
+    val urls = Seq(
+      "http://example.com/a", "HTTP://EXAMPLE.com:80/a#x", // twins
+      "http://example.com/b", "http://example.com/c",
+      "http://shop.co.uk/1", "http://shop.co.uk/2")
+    val df = urls.toDF("url")
+      .select(UrlFunctions.canonicalizeUrl(col("url")).as("canon"),
+        UrlFunctions.registeredDomain(col("url")).as("regdom"))
+      .dropDuplicates("canon")
+    assert(df.count() === 5)
+    val capped = SamplingFunctions.capPerGroup(df, col("regdom"), col("canon"), 2)
+    assert(capped.count() === 4)
+    assert(capped.groupBy("regdom").count().collect()
+      .forall(_.getLong(1) <= 2))
+  }
+}

@@ -27,7 +27,7 @@ class WarcSpec extends SparkSpec {
   test("plain and per-record-gzip layouts parse to identical records") {
     val plain = Warc.parseWarc(resource("tiny.warc"))
     val gz = Warc.parseWarc(resource("tiny.warc.gz"))
-    assert(plain.size == 10 && gz.size == 10)
+    assert(plain.size == 12 && gz.size == 12)
     plain.zip(gz).foreach { case (a, b) =>
       assert(a.record_index == b.record_index)
       assert(a.warc_type == b.warc_type && a.target_uri == b.target_uri)
@@ -104,9 +104,9 @@ class WarcSpec extends SparkSpec {
       java.nio.file.Files.write(dir.resolve(n), resource(n))
     }
     val df = Warc.readWarc(spark, dir.toString)
-    assert(df.count() == 20)
+    assert(df.count() == 24)
     val statuses = df.filter("http_status = 200").count()
-    assert(statuses == 14) // 7 OK responses × 2 layouts
+    assert(statuses == 18) // 9 OK responses × 2 layouts
     assert(df.select("file").distinct().count() == 2)
   }
 
