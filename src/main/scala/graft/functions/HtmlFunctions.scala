@@ -113,13 +113,25 @@ object HtmlFunctions {
     })
   }
 
+  /** The regex/HOF-chain main-text extraction — the executable
+    * SPECIFICATION the native [[graft.expr.HtmlMainTextExpr]] is
+    * bit-parity-tested against (HtmlFunctionsSpec: fixture battery +
+    * fuzz corpus). */
+  def mainTextSpec(c: Column, minChars: Int = 25): Column =
+    array_join(
+      transform(keptBlocks(c, minChars), b => b.getField("text")), "\n")
+
   /** Main-content text by the density rule: keep blocks with at least
     * `minChars` extracted characters AND link density ≤ 1/3 (integer
     * comparison `3*link_chars <= chars` — exact on both engines), joined
-    * with '\n'. Navigation, footers, and tag-only blocks drop. */
+    * with '\n'. Navigation, footers, and tag-only blocks drop.
+    * Native fused single-pass scanner (block split + per-segment strip +
+    * anchor density in one walk, short raw segments skipped before any
+    * strip work); [[mainTextSpec]] is its specification. */
   def mainText(c: Column, minChars: Int = 25): Column =
-    array_join(
-      transform(keptBlocks(c, minChars), b => b.getField("text")), "\n")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.HtmlMainTextExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), minChars))
 
   /** The kept blocks themselves (for per-block queries / diagnostics). */
   def keptBlocks(c: Column, minChars: Int = 25): Column =

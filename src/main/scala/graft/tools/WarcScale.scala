@@ -102,6 +102,19 @@ object WarcScale {
           .agg(sum(length(col("text"))) + sum(length(col("mt"))))
           .head().getLong(0)
       }
+      // the fused-density-rule claim: native mainText vs the regex/HOF
+      // specification twin, identical output (bit-parity-tested), the
+      // throughput delta is pure expression cost
+      timeIt("maintext") {
+        scan.filter(col("http_status") === 200)
+          .select(HtmlFunctions.mainText(col("payload").cast("string")).as("mt"))
+          .agg(sum(length(col("mt")))).head().getLong(0)
+      }
+      timeIt("maintext-hof") {
+        scan.filter(col("http_status") === 200)
+          .select(HtmlFunctions.mainTextSpec(col("payload").cast("string")).as("mt"))
+          .agg(sum(length(col("mt")))).head().getLong(0)
+      }
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(dir).iterator().asScala
         .foreach(java.nio.file.Files.delete)

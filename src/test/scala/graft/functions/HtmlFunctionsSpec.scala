@@ -124,11 +124,48 @@ before any tokenizer sees a byte &mdash; order matters.</P>
         HtmlFunctions.stripTagsSpec(col("h")).as("sstrip"),
         HtmlFunctions.dropInvisible(col("h")).as("ndrop"),
         HtmlFunctions.dropInvisibleSpec(col("h")).as("sdrop"),
+        HtmlFunctions.mainText(col("h")).as("nmain"),
+        HtmlFunctions.mainTextSpec(col("h")).as("smain"),
         col("h"))
       .filter(col("native") =!= col("spec") || col("nstrip") =!= col("sstrip")
-        || col("ndrop") =!= col("sdrop"))
+        || col("ndrop") =!= col("sdrop") || col("nmain") =!= col("smain"))
       .collect()
     assert(mismatch.isEmpty, mismatch.take(3).map(_.mkString(" | ")).mkString("\n"))
+  }
+
+  test("native mainText ≡ HOF specification on density-rule-shaped fuzz") {
+    import spark.implicits._
+    // block-tag-heavy fragments: anchors, near-threshold lengths, nested
+    // and unclosed block tags, case variants — the shapes the density
+    // rule actually discriminates on
+    val rnd = new scala.util.Random(101)
+    val words = Seq("data", "cube", "pipeline", "shard", "corpus", "token")
+    def sentence(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+    val frags = Seq("<p>", "</p>", "<DIV>", "</div>", "<br>", "<li>", "</LI>",
+      "<h2 class=t>", "</h2>", "<hr/>", "<table>", "</table>", "<pre>", "</pre>",
+      "<a href=/x>", "</a>", "<a>", "</a >", "<abbr>", "<preface>", "<px>",
+      "<header>", "</header>", "<nav>", "</nav>", "&amp;", "&lt;", " ")
+    val fuzz = (0 until 300).map { _ =>
+      (0 until 4 + rnd.nextInt(20)).map(_ =>
+        if (rnd.nextBoolean()) frags(rnd.nextInt(frags.length))
+        else sentence(1 + rnd.nextInt(10))).mkString(" ")
+    }
+    val battery = Seq(pageA, pageC,
+      "<div><a href=x>" + "link words here " * 10 + "</a></div>",
+      "<p>" + "exactly twenty-five ch!" + "</p>", // near the threshold
+      "<p>0123456789012345678901234</p>",          // 25 chars exactly
+      "<p>012345678901234567890123</p>")           // 24 chars: drops
+    val all = (fuzz ++ battery).toDF("h")
+    val mismatch = all.select(
+        HtmlFunctions.mainText(col("h")).as("n"),
+        HtmlFunctions.mainTextSpec(col("h")).as("s"), col("h"))
+      .filter(col("n") =!= col("s")).collect()
+    assert(mismatch.isEmpty, mismatch.take(3).map(_.mkString(" | ")).mkString("\n"))
+    // and at a non-default threshold
+    val m2 = all.select(HtmlFunctions.mainText(col("h"), 8).as("n"),
+        HtmlFunctions.mainTextSpec(col("h"), 8).as("s"))
+      .filter(col("n") =!= col("s")).collect()
+    assert(m2.isEmpty)
   }
 
   test("blockStats: per-block chars and link_chars are consistent") {
