@@ -1023,4 +1023,56 @@ class FunctionsSpec extends SparkSpec {
     assert(full.getString(5) ===
       "user: view {\"k\":1}\nuser: click {\"k\":2}")
   }
+
+  test("chat hardening: redactPii composes BEFORE assembly — no raw PII in transcripts") {
+    val T_ = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      (1L, T_("2024-01-01 10:00:00"), 1L, "view", 1.0,
+        "contact alice@example.com for help"),
+      (2L, T_("2024-01-01 10:01:00"), 1L, "click", 1.0,
+        "from host 10.1.2.3 port open"),
+      (3L, T_("2024-01-01 10:02:00"), 1L, "purchase", 1.0,
+        "callback +1 555 123 4567 today"),
+      (4L, T_("2024-01-01 09:00:00"), 2L, "error", 1.0, null))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val scrubbed = events.withColumn("props", TextFunctions.redactPii(col("props")))
+    val out = ChatFunctions.assembleConversations(scrubbed, tokenBudget = 1000)
+      .orderBy(col("user_id"), col("session_id")).collect()
+    val transcripts = out.map(_.getString(5)).mkString("\n")
+    // no raw PII survives into any transcript line
+    assert(!transcripts.contains("alice@example.com"))
+    assert(!transcripts.contains("10.1.2.3"))
+    assert(!transcripts.contains("555 123 4567"))
+    // every planted form surfaced as its placeholder
+    assert(transcripts.contains("<EMAIL>") && transcripts.contains("<IP>") &&
+      transcripts.contains("<PHONE>"))
+    // redaction must not change the conversation STRUCTURE: same sessions,
+    // same turn counts as the unscrubbed assembly
+    val raw = ChatFunctions.assembleConversations(events, tokenBudget = 1000)
+      .orderBy(col("user_id"), col("session_id")).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ===
+      raw.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+    // null props stays the pinned trailing-space rendering after scrubbing
+    assert(out.find(_.getLong(0) == 2L).get.getString(5) === "assistant: error ")
+  }
+
+  test("chat hardening: sessions follow time gaps across midnight, not calendar days") {
+    val T_ = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      // 23:55 -> 00:03 next day: 8-min pause < the 10-min gap => SAME session
+      (1L, T_("2024-01-01 23:55:00"), 1L, "view", 1.0, "a"),
+      (2L, T_("2024-01-02 00:03:00"), 1L, "click", 1.0, "b"),
+      // 00:03 -> 12:00: hours of silence => new session, same day
+      (3L, T_("2024-01-02 12:00:00"), 1L, "view", 1.0, "c"),
+      // and a multi-DAY gap is of course a new session too
+      (4L, T_("2024-01-05 12:00:00"), 1L, "view", 1.0, "d"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = ChatFunctions.assembleConversations(events, tokenBudget = 1000)
+      .orderBy(col("session_id"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getString(5)))
+    assert(out.length === 3)
+    assert(out(0)._2 === 2L, "midnight-spanning pair must share a session")
+    assert(out(0)._3 === "user: view a\nuser: click b")
+    assert(out(1)._2 === 1L && out(2)._2 === 1L)
+  }
 }
