@@ -793,9 +793,14 @@ object DedupFunctions {
       .filter(lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
         ceil(lit(tau) / (1 + tau) * (col("n_a") + col("n_b")) - lit(1e-9)))
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b")).distinct()
+    // verify-join order matters downstream: joining id_b FIRST leaves the
+    // verified pair stream hash-partitioned on id_a, which the capped
+    // mode's groupBy(id_a) reuses — the top-k aggregate then plans with
+    // ZERO additional exchange (the pair stream never re-materializes;
+    // measured at sf1 in SCALE.md r15). Same join cost either way here.
     val verify = candidates
-      .join(setsInt.select(col("id").as("id_a"), col("tkr").as("tkr_a")), "id_a")
       .join(setsInt.select(col("id").as("id_b"), col("tkr").as("tkr_b")), "id_b")
+      .join(setsInt.select(col("id").as("id_a"), col("tkr").as("tkr_a")), "id_a")
       .withColumn("inter", size(array_intersect(col("tkr_a"), col("tkr_b"))).cast("double"))
       .withColumn("jaccard", col("inter") /
         (col("n_a") + col("n_b") - col("inter")))
@@ -894,9 +899,12 @@ object DedupFunctions {
       .filter(lit(1) + least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) >=
         ceil(lit(tau) * col("n_a") - lit(1e-9)))
       .select(col("id_a"), col("id_b"), col("n_a")).distinct()
+    // id_b joins first so the verified stream stays hash-partitioned on
+    // id_a — the topK/summary modes' groupBy(id_a) then needs no further
+    // exchange (see jaccardJoinExact, SCALE.md r15)
     val verify = candidates
-      .join(sets.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("tk").as("tk_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
       .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))).cast("double"))
       // no epsilon: both engines compute inter/n_a with the same IEEE
       // division, so the >= comparison agrees bit-for-bit (q115 convention)

@@ -7,6 +7,13 @@ object CappedDiag {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded-buffer native aggregates (TopKPairsAgg: <= 2k (score,id)
+      // pairs per group) do not need the conservative 128-entry sort-based
+      // fallback built for unbounded collect_list state: past 128 groups per
+      // partition the fallback SORTS the whole pair stream, which at sf1 was
+      // the q154 capped-mode constant (SCALE.md r15). 64k entries bounds
+      // the hash map at tens of MB for every aggregate in this suite
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -42,6 +49,14 @@ object CappedDiag {
     println("[diag] SortAggregate occurrences: " + "SortAggregate".r.findAllIn(plan).length)
     println("[diag] SortMergeJoin occurrences: " + "SortMergeJoin".r.findAllIn(plan).length)
     println("[diag] ShuffledHashJoin occurrences: " + "ShuffledHashJoin".r.findAllIn(plan).length)
+    println("[diag] BroadcastHashJoin occurrences: " + "BroadcastHashJoin".r.findAllIn(plan).length)
+    println("[diag] Exchange occurrences (topk): " + "Exchange".r.findAllIn(plan).length)
+    tk.count() // adaptive final plan
+    println("[diag] Exchange (topk, final AQE): " +
+      "Exchange".r.findAllIn(tk.queryExecution.executedPlan.toString).length)
+    pairs.count()
+    println("[diag] Exchange (exact, final AQE): " +
+      "Exchange".r.findAllIn(pairs.queryExecution.executedPlan.toString).length)
     spark.stop()
   }
 }

@@ -19,6 +19,13 @@ object QRows {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded-buffer native aggregates (TopKPairsAgg: <= 2k (score,id)
+      // pairs per group) do not need the conservative 128-entry sort-based
+      // fallback built for unbounded collect_list state: past 128 groups per
+      // partition the fallback SORTS the whole pair stream, which at sf1 was
+      // the q154 capped-mode constant (SCALE.md r15). 64k entries bounds
+      // the hash map at tens of MB for every aggregate in this suite
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
