@@ -2173,6 +2173,24 @@ object SparkEntry {
           U.urlHost(col("url")).as("host"),
           U.registeredDomain(col("url")).as("regdom"))
         .orderBy(col("url"))
+    }),
+    // ---- audio perceptual fingerprint: WAV decode → integer
+    // Walsh–Hadamard sequency-band energies → Haitsma–Kalker
+    // difference-sign hash (Afp64Expr). The oracle replays PCM formula →
+    // WHT → energies → sign bits entirely in DuckDB — integer-exact end
+    // to end, so the WAV container round-trip is independently proven
+    // too (one decoded sample off anywhere flips energy bits) ------------
+    "q172_audio_phash" -> ((s, _) => {
+      import s.implicits._
+      val tones = (0 until 16).map { id =>
+        val samples = Array.tabulate(1024) { n =>
+          (((id + 3).toLong * ((n.toLong * n) % 977) + 17L * n) % 4096 - 2048).toShort
+        }
+        (id.toLong, graft.functions.MultimodalFunctions.AudioCodec.pcm16Wav(samples, 8000))
+      }
+      graft.functions.MultimodalFunctions
+        .audioPhash(tones.toDF("media_id", "content"), "media_id", "content")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -4139,7 +4157,29 @@ object SparkEntry {
          |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
          |       ELSE labels[-2] || '.' || labels[-1] END AS regdom
          |FROM s7 ORDER BY url""".stripMargin
-    }
+    },
+    // full audio-fingerprint replay: PCM formula → Walsh–Hadamard band
+    // energies (integer, the q163 sign convention) → time/frequency
+    // double-difference sign bits → BIGINT, all in DuckDB
+    "q172_audio_phash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 15)) AS id),
+        |s AS (SELECT id, list_transform(generate_series(0, 1023), n ->
+        |    ((id + 3) * ((n*n) % 977) + 17 * n) % 4096 - 2048) AS x FROM ids),
+        |e AS (SELECT id, t, b,
+        |    list_aggregate(list_transform(generate_series(0, 2), j ->
+        |      (list_aggregate(list_transform(generate_series(0, 63), n ->
+        |         x[t*64 + n + 1] * (CASE WHEN bit_count(CAST(n AS BIGINT) & (b*3 + j + 1)) % 2 = 0 THEN 1 ELSE -1 END)), 'sum')) ** 2), 'sum') AS en
+        |  FROM s, generate_series(0, 4) tt(t), generate_series(0, 16) bb(b)),
+        |d AS (SELECT a.id, a.t, a.b, (a.en - c.en) - (p.en - q.en) AS diff
+        |  FROM e a JOIN e c ON c.id = a.id AND c.t = a.t AND c.b = a.b + 1
+        |           JOIN e p ON p.id = a.id AND p.t = a.t - 1 AND p.b = a.b
+        |           JOIN e q ON q.id = a.id AND q.t = a.t - 1 AND q.b = a.b + 1
+        |  WHERE a.t >= 1 AND a.b <= 15)
+        |SELECT id AS media_id,
+        |  CAST(SUM(CASE WHEN diff <= 0 THEN 0
+        |                WHEN (t-1)*16 + b = 63 THEN -9223372036854775808
+        |                ELSE (CAST(1 AS BIGINT) << ((t-1)*16 + b)) END) AS BIGINT) AS afp
+        |FROM d GROUP BY id ORDER BY media_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -36,6 +36,11 @@ object NativeFunctions {
   def phash64(grid: Column): Column =
     ColumnBridge.column(PHash64Expr(ColumnBridge.expression(grid)))
 
+  /** Native 64-bit audio fingerprint over a 5×17 sequency-band energy
+    * grid (array<bigint>, 85 values row-major) — see [[Afp64Expr]]. */
+  def afp64(energies: Column): Column =
+    ColumnBridge.column(Afp64Expr(ColumnBridge.expression(energies)))
+
   /** Native bounded top-k (score, id) AGGREGATE: exact (score DESC,
     * id ASC) top-k per group, 2k-bounded buffer with map-side partials
     * ([[TopKPairsAgg]]). Output array<struct<score: double, id: bigint>>,

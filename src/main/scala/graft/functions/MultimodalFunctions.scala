@@ -228,6 +228,50 @@ object MultimodalFunctions {
         } finally in.close()
       } catch { case _: Exception => None }
 
+    /** Sequency-band energy grid for the audio fingerprint
+      * ([[graft.expr.Afp64Expr]]): `frames` consecutive `frameSize`-sample
+      * windows, each transformed by the Walsh–Hadamard transform (the
+      * q163 convention — sign = parity of `bitCount(n & k)` — chosen
+      * because it is INTEGER-exact, so the DuckDB oracle replays every
+      * energy bit-for-bit from the PCM formula with no float margins to
+      * argue about), energies summed over `binsPerBand`-bin sequency
+      * bands with DC (k = 0) skipped. Output row-major
+      * `(frame, band) → Long`; None when the payload is not decodable
+      * 16-bit PCM or is shorter than `frames·frameSize` samples. */
+    def bandEnergies(bytes: Array[Byte], frames: Int = 5, frameSize: Int = 64,
+                     bands: Int = 17, binsPerBand: Int = 3): Option[Array[Long]] = {
+      require(bands * binsPerBand + 1 <= frameSize,
+        s"bands*binsPerBand+1 = ${bands * binsPerBand + 1} exceeds frameSize $frameSize")
+      decodePcm16(bytes).filter(_.length >= frames * frameSize).map { x =>
+        val out = new Array[Long](frames * bands)
+        var t = 0
+        while (t < frames) {
+          val off = t * frameSize
+          var b = 0
+          while (b < bands) {
+            var e = 0L
+            var j = 0
+            while (j < binsPerBand) {
+              val k = b * binsPerBand + j + 1 // k = 0 (DC) skipped
+              var w = 0L
+              var n = 0
+              while (n < frameSize) {
+                if (java.lang.Integer.bitCount(n & k) % 2 == 0) w += x(off + n)
+                else w -= x(off + n)
+                n += 1
+              }
+              e += w * w
+              j += 1
+            }
+            out(t * bands + b) = e
+            b += 1
+          }
+          t += 1
+        }
+        out
+      }
+    }
+
     /** Canonical 44-byte RIFF/WAVE container around little-endian 16-bit
       * PCM — the export half of the codec (the decode half is the JDK's
       * real parser, so encode→decode round-trips through a genuinely
@@ -719,6 +763,24 @@ object MultimodalFunctions {
       })
       .toDF(idCol, "luma_grid")
       .select(col(idCol), graft.expr.NativeFunctions.phash64(col("luma_grid")).as("phash"))
+  }
+
+  /** Audio-fingerprint kernel — the audio twin of [[imagePhash]]: decode
+    * 16-bit PCM → 5×17 Walsh–Hadamard sequency-band energy grid
+    * (mapPartitions, non-audio rows dropped) → native
+    * [[graft.expr.Afp64Expr]] difference-sign hash. Output (idCol, afp:
+    * long) feeds [[DedupFunctions.hamming64]] / LSH exactly like text
+    * simhash and image phash — three modalities, one near-dup plane. */
+  def audioPhash(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.bandEnergies(bytes).map(e => (id, e))
+      })
+      .toDF(idCol, "band_energies")
+      .select(col(idCol), graft.expr.NativeFunctions.afp64(col("band_energies")).as("afp"))
   }
 
   /** Frame-sample offsets as a Column (video frame extraction plumbing):
