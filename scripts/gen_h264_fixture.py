@@ -622,6 +622,7 @@ def main():
     #     Per-frame luma sums printed as the oracle literals.
     corpus_dir = os.path.join(OUT, "corpus")
     os.makedirs(corpus_dir, exist_ok=True)
+    keyframe_recons = []
     print("-- q167 video oracle VALUES (clip, frame, sum_y) --")
     for clip in range(8):
         w, h = 48, 32
@@ -667,6 +668,50 @@ def main():
             sy = sum(sum(row) for row in rec[0])
             print(f"  (CAST({clip} AS BIGINT), CAST({f} AS BIGINT), "
                   f"CAST({sy} AS BIGINT)),")
+        keyframe_recons.append((clip, recons_c[0]))
+
+    # 14. q173: per-clip keyframe perceptual hash — the video member of
+    #     the near-dup signature plane. Replays the FULL Scala pipeline
+    #     independently: frame-0 reconstruction Y plane -> 32x32
+    #     mean-pooled luma grid (cell = (min(y*32//h,31), min(x*32//w,31)),
+    #     mean as an exact binary double: h=32 gives 1 row/cell, w=48
+    #     gives 1-2 px/cell so means are v or (v1+v2)/2) -> plain-cosine
+    #     8x8 DCT -> 63-AC-median sign bits (the PHash64Expr contract).
+    #     Margins are asserted so float summation order cannot flip a bit.
+    import math as _math
+    print("-- q173 oracle VALUES (clip, phash) --")
+    for clip, rec in keyframe_recons:
+        ybuf = rec[0]
+        h, w = len(ybuf), len(ybuf[0])
+        sums = [[0.0] * 32 for _ in range(32)]
+        cnts = [[0] * 32 for _ in range(32)]
+        for yy in range(h):
+            for x in range(w):
+                cy, cx = min(yy * 32 // h, 31), min(x * 32 // w, 31)
+                sums[cy][cx] += ybuf[yy][x]
+                cnts[cy][cx] += 1
+        g = [[sums[cy][cx] / cnts[cy][cx] if cnts[cy][cx] else 0.0
+              for cx in range(32)] for cy in range(32)]
+        c = [0.0] * 64
+        for u in range(8):
+            for v in range(8):
+                s = 0.0
+                for yy in range(32):
+                    for x in range(32):
+                        s += (g[yy][x] *
+                              _math.cos((2 * x + 1) * u * _math.pi / 64) *
+                              _math.cos((2 * yy + 1) * v * _math.pi / 64))
+                c[u * 8 + v] = s
+        med = sorted(c[1:])[31]
+        margin = min(abs(x - med) for x in c if abs(x - med) > 0)
+        assert margin > 1e-3, f"clip {clip} margin {margin} too small"
+        hsh = 0
+        for k in range(64):
+            if c[k] > med:
+                hsh |= 1 << k
+        if hsh >= 1 << 63:
+            hsh -= 1 << 64
+        print(f"  (CAST({clip} AS BIGINT), CAST({hsh} AS BIGINT)),")
 
 
 if __name__ == "__main__":

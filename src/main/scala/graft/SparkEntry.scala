@@ -2191,6 +2191,25 @@ object SparkEntry {
       graft.functions.MultimodalFunctions
         .audioPhash(tones.toDF("media_id", "content"), "media_id", "content")
         .orderBy(col("media_id"))
+    }),
+    // ---- video perceptual fingerprint over the committed media corpus:
+    // binaryFile scan → demux → FIRST-keyframe H.264 decode → 32×32 luma
+    // grid → the SAME native PHash64Expr as still images. Oracle = the
+    // independent python encoder's frame-0 reconstruction pushed through
+    // a python replay of pooling + DCT + median + sign bits ---------------
+    "q173_video_phash" -> ((s, _) => {
+      import s.implicits._
+      val dir = mediaCorpusDir()
+      val vids = s.read.format("binaryFile").option("pathGlobFilter", "*.mp4")
+        .load(dir)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          ("clip_(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong, bytes)
+        }
+        .toDF("media_id", "content")
+      graft.functions.MultimodalFunctions
+        .videoPhash(vids, "media_id", "content")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -4179,7 +4198,22 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN diff <= 0 THEN 0
         |                WHEN (t-1)*16 + b = 63 THEN -9223372036854775808
         |                ELSE (CAST(1 AS BIGINT) << ((t-1)*16 + b)) END) AS BIGINT) AS afp
-        |FROM d GROUP BY id ORDER BY media_id""".stripMargin
+        |FROM d GROUP BY id ORDER BY media_id""".stripMargin,
+    // q173: literals from scripts/gen_h264_fixture.py — the python
+    // encoder's frame-0 reconstructions pooled + DCT'd + sign-hashed by
+    // an independent python replay of the PHash64Expr contract (margins
+    // asserted > 1e-3 at generation)
+    "q173_video_phash" ->
+      """WITH v(media_id, phash) AS (VALUES
+        |  (CAST(0 AS BIGINT), CAST(8636034951607170629 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(3676657861836354165 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(-6636563845715892555 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(3738160048424576709 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(2853554358855366165 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(-668106281696418235 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(4830352879577429605 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(8303120560622614037 AS BIGINT)))
+        |SELECT media_id, phash FROM v ORDER BY media_id""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

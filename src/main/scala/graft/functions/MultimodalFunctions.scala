@@ -526,6 +526,30 @@ object MultimodalFunctions {
     * counterpart of [[ImageCodec.intensityFeatures]] (same cell layout and
     * 0..1 normalization, so mixed MJPEG/H.264 corpora embed into one
     * feature space). */
+  /** Mean-pooled luma grid from a raw 8-bit plane as DOUBLES (0..255
+    * scale) — the decoded-video analogue of [[ImageCodec.lumaGrid]],
+    * same cell mapping, feeding [[graft.expr.PHash64Expr]]. */
+  private[functions] def planeLumaGrid(y: Array[Byte], w: Int, h: Int,
+                                       grid: Int): Array[Double] = {
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    var yy = 0
+    while (yy < h) {
+      var x = 0
+      while (x < w) {
+        val cell = math.min(yy * grid / h, grid - 1) * grid +
+          math.min(x * grid / w, grid - 1)
+        sums(cell) += (y(yy * w + x) & 0xFF)
+        counts(cell) += 1
+        x += 1
+      }
+      yy += 1
+    }
+    var i = 0
+    while (i < sums.length) { if (counts(i) > 0) sums(i) /= counts(i); i += 1 }
+    sums
+  }
+
   private[functions] def lumaGridFeatures(y: Array[Byte], w: Int, h: Int,
                                           grid: Int): Array[Float] = {
     val out = new Array[Float](grid * grid)
@@ -760,6 +784,40 @@ object MultimodalFunctions {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         ImageCodec.lumaGrid(bytes, graft.expr.PHash64.Grid).map(g => (id, g))
+      })
+      .toDF(idCol, "luma_grid")
+      .select(col(idCol), graft.expr.NativeFunctions.phash64(col("luma_grid")).as("phash"))
+  }
+
+  /** Video-fingerprint kernel — the video member of the signature plane:
+    * demux the MP4, decode the FIRST keyframe (real for baseline H.264
+    * via [[graft.sources.H264Decode]] and for the MJPEG family via
+    * ImageIO), mean-pool its luma plane to the 32×32 grid, and hash with
+    * the SAME native [[graft.expr.PHash64Expr]] as still images — a
+    * re-encoded / re-muxed / brightness-shifted copy of a video lands
+    * within a few hamming bits of the original. One keyframe decode per
+    * clip (not per frame): the signature cost is O(clips), the near-dup
+    * join is the same 8-byte-hamming plane as text/image/audio. Rows
+    * whose keyframe cannot really decode are DROPPED, not stubbed. */
+  def videoPhash(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val grid: Option[Array[Double]] = for {
+          mp4 <- Mp4Demux.demux(bytes)
+          track <- mp4.tracks.find(_.handler == "vide")
+          key <- Mp4Demux.keyframes(bytes, maxFrames = 1).headOption
+          payload <- Mp4Demux.samplePayloadOpt(bytes, key)
+          g <- if (VideoCodec.isAvc(track.codec)) {
+            try graft.sources.H264Decode
+              .decodeAvccSamples(track.codecConfig, Seq(payload)).headOption
+              .map(f => planeLumaGrid(f.y, f.width, f.height, graft.expr.PHash64.Grid))
+            catch { case _: Exception => None }
+          } else ImageCodec.lumaGrid(payload, graft.expr.PHash64.Grid)
+        } yield g
+        grid.map(g => (id, g))
       })
       .toDF(idCol, "luma_grid")
       .select(col(idCol), graft.expr.NativeFunctions.phash64(col("luma_grid")).as("phash"))
