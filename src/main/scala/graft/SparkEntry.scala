@@ -2210,8 +2210,69 @@ object SparkEntry {
       graft.functions.MultimodalFunctions
         .videoPhash(vids, "media_id", "content")
         .orderBy(col("media_id"))
+    }),
+    // ---- the signature plane end-to-end: image + audio + video twins
+    // planted (perturbed PNG, x2-gain and noisy tones, byte-dup clip),
+    // per-modality perceptual hashes unioned into ONE (modality, id, sig)
+    // table, near-dup pairs by hamming ≤ 4. Brute pairs at battery size;
+    // at corpus scale the join becomes the simhash band-prefix bucketing
+    // (same 64-bit signatures). Oracle replays all three hash families
+    // AND the pair join in DuckDB ----------------------------------------
+    "q174_crossmodal_neardup" -> ((s, _) => {
+      import s.implicits._
+      val M = graft.functions.MultimodalFunctions
+      val D = graft.functions.DedupFunctions
+      val imgs = ((0 until 12).map(i => (i.toLong, phashBatteryPng(i))) :+
+        (12L, perturbedBatteryPng())).toDF("id", "content")
+      val isig = M.imagePhash(imgs, "id", "content")
+        .select(lit("image").as("modality"), col("id"), col("phash").as("sig"))
+      def base(tid: Long)(n: Int): Long =
+        ((tid + 3) * ((n.toLong * n) % 977) + 17L * n) % 4096 - 2048
+      def tone(id: Long, f: Int => Short): (Long, Array[Byte]) =
+        (id, M.AudioCodec.pcm16Wav(Array.tabulate(1024)(f), 8000))
+      val tones = ((0 until 16).map(i => tone(i.toLong, n => base(i.toLong)(n).toShort)) :+
+        tone(16L, n => (2 * base(0L)(n)).toShort) :+
+        tone(17L, n => (base(0L)(n) + (if (n % 7 == 0) 1 else 0)).toShort))
+        .toDF("id", "content")
+      val asig = M.audioPhash(tones, "id", "content")
+        .select(lit("audio").as("modality"), col("id"), col("afp").as("sig"))
+      val dir = mediaCorpusDir()
+      val clips = s.read.format("binaryFile").option("pathGlobFilter", "*.mp4")
+        .load(dir)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (p, b) =>
+          val id = "clip_(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+          if (id == 0L) Seq((0L, b), (8L, b)) else Seq((id, b))
+        }.toDF("id", "content")
+      val vsig = M.videoPhash(clips, "id", "content")
+        .select(lit("video").as("modality"), col("id"), col("phash").as("sig"))
+      val sigs = isig.unionByName(asig).unionByName(vsig)
+      sigs.as("a").join(sigs.as("b"),
+          col("a.modality") === col("b.modality") && col("a.id") < col("b.id"))
+        .select(col("a.modality").as("modality"), col("a.id").as("id_a"),
+          col("b.id").as("id_b"),
+          D.hamming64(col("a.sig"), col("b.sig")).cast("long").as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy(col("modality"), col("id_a"), col("id_b"))
     })
   )
+
+  /** Image 12 of the q174 battery: img 0's pixel formula +1 wherever
+    * `(x + y) % 5 == 0` — a true near-duplicate (identical pHash on this
+    * battery); no perturbed position holds a 255 pixel, so the PNG stays
+    * 8-bit-exact against the oracle's formula replay. */
+  private def perturbedBatteryPng(): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v = ((x * 7 + y * 13) * (x + y + 1) + x * y) % 256 +
+        (if ((x + y) % 5 == 0) 1 else 0)
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
 
   /** URL battery for q171 — one case per canonicalization rule (case,
     * userinfo, default/custom ports, fragment, trailing slash incl. the
@@ -4213,7 +4274,81 @@ object SparkEntry {
         |  (CAST(5 AS BIGINT), CAST(-668106281696418235 AS BIGINT)),
         |  (CAST(6 AS BIGINT), CAST(4830352879577429605 AS BIGINT)),
         |  (CAST(7 AS BIGINT), CAST(8303120560622614037 AS BIGINT)))
-        |SELECT media_id, phash FROM v ORDER BY media_id""".stripMargin
+        |SELECT media_id, phash FROM v ORDER BY media_id""".stripMargin,
+    // q174: DuckDB replays ALL THREE hash families (image DCT pHash from
+    // pixel formulas incl. the perturbed twin, audio WHT fingerprint from
+    // PCM formulas incl. the gain/noise twins, video keyframe hashes from
+    // the python-reconstruction literals incl. the byte-dup) AND the
+    // hamming pair join itself
+    "q174_crossmodal_neardup" ->
+      """WITH ipx AS (
+        |  SELECT img, x, y,
+        |    CASE WHEN img <= 11 THEN ((x*7 + y*13 + img*29) * (x + y + img + 1) + x*y) % 256
+        |         ELSE ((x*7 + y*13) * (x + y + 1) + x*y) % 256
+        |              + CASE WHEN (x + y) % 5 = 0 THEN 1 ELSE 0 END END AS v
+        |  FROM generate_series(0,12) t0(img),
+        |       generate_series(0,31) t1(x), generate_series(0,31) t2(y)
+        |), idct AS (
+        |  SELECT img, u, vv,
+        |    SUM(v * cos((2*x+1)*u*pi()/64) * cos((2*y+1)*vv*pi()/64)) AS c
+        |  FROM ipx, generate_series(0,7) tu(u), generate_series(0,7) tv(vv)
+        |  GROUP BY img, u, vv
+        |), imed AS (
+        |  SELECT img, median(c) AS m FROM idct WHERE NOT (u = 0 AND vv = 0) GROUP BY img
+        |), ibits AS (
+        |  SELECT d.img, u*8 + vv AS k, CASE WHEN d.c > imed.m THEN 1 ELSE 0 END AS b
+        |  FROM idct d JOIN imed ON d.img = imed.img
+        |), isig AS (
+        |  SELECT 'image' AS modality, img AS id,
+        |    CAST(SUM(CASE WHEN b = 0 THEN 0 WHEN k = 63 THEN -9223372036854775808
+        |                  ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS sig
+        |  FROM ibits GROUP BY img
+        |), apcm AS (
+        |  SELECT id, CASE
+        |    WHEN id <= 15 THEN list_transform(generate_series(0, 1023), n ->
+        |      ((id + 3) * ((n*n) % 977) + 17 * n) % 4096 - 2048)
+        |    WHEN id = 16 THEN list_transform(generate_series(0, 1023), n ->
+        |      2 * ((3 * ((n*n) % 977) + 17 * n) % 4096 - 2048))
+        |    ELSE list_transform(generate_series(0, 1023), n ->
+        |      (3 * ((n*n) % 977) + 17 * n) % 4096 - 2048
+        |      + CASE WHEN n % 7 = 0 THEN 1 ELSE 0 END) END AS x
+        |  FROM generate_series(0, 17) ti(id)
+        |), aen AS (
+        |  SELECT id, t, b,
+        |    list_aggregate(list_transform(generate_series(0, 2), j ->
+        |      (list_aggregate(list_transform(generate_series(0, 63), n ->
+        |         x[t*64 + n + 1] * (CASE WHEN bit_count(CAST(n AS BIGINT) & (b*3 + j + 1)) % 2 = 0 THEN 1 ELSE -1 END)), 'sum')) ** 2), 'sum') AS en
+        |  FROM apcm, generate_series(0, 4) tt(t), generate_series(0, 16) bb(b)
+        |), adiff AS (
+        |  SELECT a.id, a.t, a.b, (a.en - c.en) - (p.en - q.en) AS diff
+        |  FROM aen a JOIN aen c ON c.id = a.id AND c.t = a.t AND c.b = a.b + 1
+        |             JOIN aen p ON p.id = a.id AND p.t = a.t - 1 AND p.b = a.b
+        |             JOIN aen q ON q.id = a.id AND q.t = a.t - 1 AND q.b = a.b + 1
+        |  WHERE a.t >= 1 AND a.b <= 15
+        |), asig AS (
+        |  SELECT 'audio' AS modality, id,
+        |    CAST(SUM(CASE WHEN diff <= 0 THEN 0 WHEN (t-1)*16 + b = 63 THEN -9223372036854775808
+        |                  ELSE (CAST(1 AS BIGINT) << ((t-1)*16 + b)) END) AS BIGINT) AS sig
+        |  FROM adiff GROUP BY id
+        |), vsig AS (
+        |  SELECT 'video' AS modality, id, sig FROM (VALUES
+        |    (CAST(0 AS BIGINT), CAST(8636034951607170629 AS BIGINT)),
+        |    (CAST(1 AS BIGINT), CAST(3676657861836354165 AS BIGINT)),
+        |    (CAST(2 AS BIGINT), CAST(-6636563845715892555 AS BIGINT)),
+        |    (CAST(3 AS BIGINT), CAST(3738160048424576709 AS BIGINT)),
+        |    (CAST(4 AS BIGINT), CAST(2853554358855366165 AS BIGINT)),
+        |    (CAST(5 AS BIGINT), CAST(-668106281696418235 AS BIGINT)),
+        |    (CAST(6 AS BIGINT), CAST(4830352879577429605 AS BIGINT)),
+        |    (CAST(7 AS BIGINT), CAST(8303120560622614037 AS BIGINT)),
+        |    (CAST(8 AS BIGINT), CAST(8636034951607170629 AS BIGINT))) t(id, sig)
+        |), sigs AS (
+        |  SELECT * FROM isig UNION ALL SELECT * FROM asig UNION ALL SELECT * FROM vsig
+        |)
+        |SELECT a.modality AS modality, a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sigs a JOIN sigs b ON a.modality = b.modality AND a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        |ORDER BY modality, id_a, id_b""".stripMargin
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

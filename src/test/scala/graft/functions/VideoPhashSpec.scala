@@ -62,4 +62,15 @@ class VideoPhashSpec extends SparkSpec {
       .head().getLong(1)
     assert(got === expected)
   }
+
+  test("cross-modal signature plane (q174): exactly the planted twins pair up") {
+    val rows = graft.SparkEntry.queries("q174_crossmodal_neardup")(spark, "")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      ("audio", 0L, 16L, 0L),  // x2 gain: energies scale exactly, all signs hold
+      ("audio", 0L, 17L, 0L),  // +1 every 7th sample
+      ("audio", 16L, 17L, 0L),
+      ("image", 0L, 12L, 0L),  // +1 at a fifth of the pixels
+      ("video", 0L, 8L, 0L)))  // byte-identical clip under a new id
+  }
 }
