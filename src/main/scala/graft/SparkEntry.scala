@@ -2283,8 +2283,8 @@ object SparkEntry {
     "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag",
     "https://Example.com:443/",
     "https://example.com:8443/x/",
-    "http://user:pw@Shop.CO.UK/cart?item=3&&q=",
-    "http://a.b.shop.co.uk",
+    "http://user:pw@Example.CO.UK/cart?item=3&&q=",
+    "http://a.b.example.co.uk",
     "http://192.168.10.1:8080/admin#x",
     "http://example.com/a?z=9&a=2&a=1",
     "  http://example.com/a/  ",
@@ -2293,7 +2293,7 @@ object SparkEntry {
     "HTTPS://news.example.org/path/?UTM=3#a",
     "http://example.com?x=1",
     "ftp://Files.Example.com:21/data/",
-    "http://sub.domain.com.au/x",
+    "http://sub.example.com.au/x",
     "https://example.com/a//b//")
 
   /** One 32×32 grayscale battery PNG: pixel (x, y) of image `img` has

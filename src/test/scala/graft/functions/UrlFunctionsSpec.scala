@@ -24,15 +24,15 @@ class UrlFunctionsSpec extends SparkSpec {
       "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag",
       "https://Example.com:443/",
       "https://example.com:8443/x/",
-      "http://user:pw@Shop.CO.UK/cart?item=3&&q=",
-      "http://a.b.shop.co.uk",
+      "http://user:pw@Example.CO.UK/cart?item=3&&q=",
+      "http://a.b.example.co.uk",
       "http://192.168.10.1:8080/admin#x",
       "http://example.com/a?z=9&a=2&a=1",
       "  http://example.com/a/  ",
       "http://localhost:80/x",
       "http://example.com?x=1",
       "ftp://Files.Example.com:21/data/",
-      "http://sub.domain.com.au/x",
+      "http://sub.example.com.au/x",
       "https://example.com/a//b//"))
     // case + default port + trailing slash + fragment + query sort
     assert(got("HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag") ===
@@ -44,11 +44,11 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(got("https://example.com:8443/x/") ===
       (("https://example.com:8443/x", "example.com", "example.com")))
     // userinfo dropped; empty params dropped, `q=` kept; co.uk registers deep
-    assert(got("http://user:pw@Shop.CO.UK/cart?item=3&&q=") ===
-      (("http://shop.co.uk/cart?item=3&q=", "shop.co.uk", "shop.co.uk")))
+    assert(got("http://user:pw@Example.CO.UK/cart?item=3&&q=") ===
+      (("http://example.co.uk/cart?item=3&q=", "example.co.uk", "example.co.uk")))
     // empty path becomes /; suffix-list walk from a 4-label host
-    assert(got("http://a.b.shop.co.uk") ===
-      (("http://a.b.shop.co.uk/", "a.b.shop.co.uk", "shop.co.uk")))
+    assert(got("http://a.b.example.co.uk") ===
+      (("http://a.b.example.co.uk/", "a.b.example.co.uk", "example.co.uk")))
     // IPv4 literal: port kept, domain = the address itself
     assert(got("http://192.168.10.1:8080/admin#x") ===
       (("http://192.168.10.1:8080/admin", "192.168.10.1", "192.168.10.1")))
@@ -66,7 +66,7 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(got("ftp://Files.Example.com:21/data/")._1 ===
       "ftp://files.example.com:21/data")
     // com.au two-level suffix
-    assert(got("http://sub.domain.com.au/x")._3 === "domain.com.au")
+    assert(got("http://sub.example.com.au/x")._3 === "example.com.au")
     // ALL trailing slashes drop — inner empty segments are not rewritten
     assert(got("https://example.com/a//b//")._1 === "https://example.com/a//b")
   }
@@ -80,7 +80,7 @@ class UrlFunctionsSpec extends SparkSpec {
   test("canonical form is a fixed point (idempotence)") {
     val urls = Seq(
       "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag",
-      "http://user:pw@Shop.CO.UK/cart?item=3&&q=",
+      "http://user:pw@Example.CO.UK/cart?item=3&&q=",
       "http://example.com?x=1",
       "https://example.com/a//b//")
     val once = urls.toDF("url")
@@ -97,7 +97,7 @@ class UrlFunctionsSpec extends SparkSpec {
     val urls = Seq(
       "http://example.com/a", "HTTP://EXAMPLE.com:80/a#x", // twins
       "http://example.com/b", "http://example.com/c",
-      "http://shop.co.uk/1", "http://shop.co.uk/2")
+      "http://example.co.uk/1", "http://example.co.uk/2")
     val df = urls.toDF("url")
       .select(UrlFunctions.canonicalizeUrl(col("url")).as("canon"),
         UrlFunctions.registeredDomain(col("url")).as("regdom"))
