@@ -19,6 +19,11 @@ OUT = os.path.join(os.path.dirname(__file__), "..",
                    "src", "main", "resources", "graft", "warc")
 
 
+def gz(data: bytes) -> bytes:
+    """gzip with mtime pinned to 0 so regeneration is byte-deterministic."""
+    return gzip.compress(data, mtime=0)
+
+
 # ---------- the INDEPENDENT extraction replay (spec: HtmlFunctions) ------
 ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
             ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&")]
@@ -186,12 +191,12 @@ def build_records():
     recs.append(record(8, "response", "http://fixture.example/gzipped",
                        "application/http; msgtype=response",
                        http_response(200, "OK", "text/html",
-                                     gzip.compress(PAGE_A.encode("ascii")),
+                                     gz(PAGE_A.encode("ascii")),
                                      ["Content-Encoding: gzip"])))
     recs.append(record(9, "response", "http://fixture.example/both",
                        "application/http; msgtype=response",
                        http_response(200, "OK", "text/html",
-                                     chunked(gzip.compress(
+                                     chunked(gz(
                                          PAGE_C.encode("ascii"))),
                                      ["Transfer-Encoding: chunked",
                                       "Content-Encoding: gzip"])))
@@ -345,15 +350,18 @@ def q170_rows(bands=4, rows_per_band=2, n=3, tau=0.6, cap=2,
             continue
         docs.append(dict(rid=rid, canon=canonicalize_url(uri),
                          dom=registered_domain(uri), mt=mt))
-    # 3. exact dedup by main text: keeper = min canon, rid = min rid
+    # 3. exact dedup by main text: keeper = the min-rid (first-crawled)
+    #    ROW — canon/dom/rid all come from that one record so they stay
+    #    mutually consistent (a group spanning registered domains reports
+    #    the keeper's domain, not an unrelated min)
     groups = {}
     for d in docs:
         groups.setdefault(d["mt"], []).append(d)
     exact = []
     for mt, ds in groups.items():
-        exact.append(dict(mt=mt, canon=min(x["canon"] for x in ds),
-                          dom=min(x["dom"] for x in ds),
-                          rid=min(x["rid"] for x in ds), n=len(ds)))
+        k = min(ds, key=lambda x: x["rid"])
+        exact.append(dict(mt=mt, canon=k["canon"], dom=k["dom"],
+                          rid=k["rid"], n=len(ds)))
     # 4. near-dedup FIRST (caps must count unique content, not copies):
     #    minhash LSH candidates -> exact jaccard >= tau -> union-find
     #    components -> keep min rid
@@ -436,7 +444,7 @@ def main():
             f.write(r)
     with open(os.path.join(OUT, "tiny.warc.gz"), "wb") as f:
         for r in recs:  # one gzip MEMBER per record (Common-Crawl layout)
-            f.write(gzip.compress(r))
+            f.write(gz(r))
     print("wrote", OUT)
 
     print("\n-- q164 oracle VALUES (one set per file kind) --")

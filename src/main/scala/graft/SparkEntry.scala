@@ -2145,11 +2145,16 @@ object SparkEntry {
           U.registeredDomain(col("target_uri")).as("regdom"),
           H.mainText(col("payload").cast("string")).as("mt"))
         .filter(length(col("mt")) >= 40)
+      // keeper = the min-rid (first-crawled) ROW: one struct-min picks the
+      // row, so keeper_uri/regdom/rid stay mutually consistent even when a
+      // content-duplicate group spans registered domains (three independent
+      // min()s could report a regdom the keeper doesn't live at)
       val exact = docs.groupBy(col("mt"))
-        .agg(min(col("keeper_uri")).as("keeper_uri"),
-          min(col("regdom")).as("regdom"),
-          min(col("rid")).as("rid"),
+        .agg(min(struct(col("rid"), col("keeper_uri"), col("regdom"))).as("k"),
           count(lit(1)).as("n_copies"))
+        .select(col("mt"), col("k.keeper_uri").as("keeper_uri"),
+          col("k.regdom").as("regdom"), col("k.rid").as("rid"),
+          col("n_copies"))
       val near = D.dedupNear(exact, "mt", "rid",
         n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.6)
       val capped = Smp.capPerGroup(near, col("regdom"), col("keeper_uri"), 2)
@@ -2333,7 +2338,11 @@ object SparkEntry {
       bytes: Array[Byte]): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
     val target = dir.resolve(name)
-    if (Files.exists(target) && Files.size(target) == bytes.length) return
+    // byte-compare, not length-compare: a regenerated fixture with
+    // different content but identical size must not reuse a stale copy
+    // from the shared tmpdir across versions
+    if (Files.exists(target) && Files.size(target) == bytes.length &&
+        java.util.Arrays.equals(Files.readAllBytes(target), bytes)) return
     val tmp = Files.createTempFile(dir, "." + name, ".part")
     Files.write(tmp, bytes)
     try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
@@ -4168,8 +4177,8 @@ object SparkEntry {
     // md5-bucketed token-budget sharding — no code shared with Scala)
     "q170_crawl_shards" ->
       """WITH v(keeper_uri, regdom, n_copies, tokens, shard) AS (VALUES
-        |  ('http://fixture.example/both', 'fixture.example', CAST(2 AS BIGINT), CAST(15 AS BIGINT), CAST(1 AS BIGINT)),
-        |  ('http://fixture.example/chunked', 'fixture.example', CAST(2 AS BIGINT), CAST(33 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('http://fixture.example/page-a', 'fixture.example', CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('http://fixture.example/page-c', 'fixture.example', CAST(2 AS BIGINT), CAST(15 AS BIGINT), CAST(1 AS BIGINT)),
         |  ('http://mirror.example/page-d?a=1&b=2', 'mirror.example', CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(1 AS BIGINT)))
         |SELECT keeper_uri, regdom, n_copies, tokens, shard
         |FROM v ORDER BY keeper_uri""".stripMargin,

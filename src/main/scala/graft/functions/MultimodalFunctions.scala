@@ -808,7 +808,9 @@ object MultimodalFunctions {
         val grid: Option[Array[Double]] = for {
           mp4 <- Mp4Demux.demux(bytes)
           track <- mp4.tracks.find(_.handler == "vide")
-          key <- Mp4Demux.keyframes(bytes, maxFrames = 1).headOption
+          // first sync sample off the ALREADY-demuxed inventory (a second
+          // Mp4Demux.keyframes call would re-parse the container per row)
+          key <- mp4.videoSamples.find(_.sync)
           payload <- Mp4Demux.samplePayloadOpt(bytes, key)
           g <- if (VideoCodec.isAvc(track.codec)) {
             try graft.sources.H264Decode
