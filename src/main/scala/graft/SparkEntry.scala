@@ -2145,16 +2145,22 @@ object SparkEntry {
           U.registeredDomain(col("target_uri")).as("regdom"),
           H.mainText(col("payload").cast("string")).as("mt"))
         .filter(length(col("mt")) >= 40)
-      // keeper = the min-rid (first-crawled) ROW: one struct-min picks the
-      // row, so keeper_uri/regdom/rid stay mutually consistent even when a
-      // content-duplicate group spans registered domains (three independent
-      // min()s could report a regdom the keeper doesn't live at)
+      // keeper = the min-rid (first-crawled) ROW: min_by picks
+      // keeper_uri/regdom from that one row, so they stay mutually
+      // consistent even when a content-duplicate group spans registered
+      // domains (three independent min()s could report a regdom the
+      // keeper doesn't live at). min(rid) + min_by(…, rid) — NOT
+      // min(struct(rid, …)) — because rid is unique per group (same row
+      // either way) and the separate aggregates let Catalyst PRUNE the
+      // URL expressions out of every downstream sub-plan that only needs
+      // (mt, rid): with a struct-min, the canonicalization would ride the
+      // LSH checkpoint/probe plans and be re-compiled per action
       val exact = docs.groupBy(col("mt"))
-        .agg(min(struct(col("rid"), col("keeper_uri"), col("regdom"))).as("k"),
+        .agg(min(col("rid")).as("rid"),
+          min_by(struct(col("keeper_uri"), col("regdom")), col("rid")).as("k"),
           count(lit(1)).as("n_copies"))
         .select(col("mt"), col("k.keeper_uri").as("keeper_uri"),
-          col("k.regdom").as("regdom"), col("k.rid").as("rid"),
-          col("n_copies"))
+          col("k.regdom").as("regdom"), col("rid"), col("n_copies"))
       val near = D.dedupNear(exact, "mt", "rid",
         n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.6)
       val capped = Smp.capPerGroup(near, col("regdom"), col("keeper_uri"), 2)
@@ -2282,8 +2288,11 @@ object SparkEntry {
   /** URL battery for q171 — one case per canonicalization rule (case,
     * userinfo, default/custom ports, fragment, trailing slash incl. the
     * all-trailing-slashes rule, query sort + empty params + duplicate keys,
-    * missing path, IPv4, single-label host, two-level public suffix,
-    * non-URL salvage). The oracle carries the same literals. */
+    * missing path, IPv4, bracketed IPv6 with/without/default port,
+    * percent-escape normalization (unreserved decode / hex upcase /
+    * malformed verbatim / reserved never decoded), single-label host,
+    * PSL exception + wildcard + 2- and 3-label exact rules, non-URL
+    * salvage). The oracle carries the same literals. */
   private val urlBattery: Seq[String] = Seq(
     "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag",
     "https://Example.com:443/",
@@ -2299,7 +2308,25 @@ object SparkEntry {
     "http://example.com?x=1",
     "ftp://Files.Example.com:21/data/",
     "http://sub.example.com.au/x",
-    "https://example.com/a//b//")
+    "https://example.com/a//b//",
+    // bracketed IPv6 authorities
+    "http://[2001:DB8::1]/x",
+    "https://[2001:db8::1]:443/a/",
+    "http://[2001:db8::1]:8080/a",
+    // percent-escape normalization
+    "http://example.com/%7euser/",
+    "http://example.com/caf%c3%a9?x=%41&y=%zz",
+    "http://example.com/100%",
+    "http://example.com/a%2Fb?k=%2d%2E",
+    // PSL exception / wildcard / multi-label exact rules
+    "http://foo.www.ck/a",
+    "http://a.b.ck/",
+    "http://x.a.b.ck",
+    "http://sub.city.kawasaki.jp/",
+    "http://a.x.y.kawasaki.jp/p",
+    "http://shop.example.co.ke/",
+    "http://a.b.com.ng",
+    "http://school.district.k12.ca.us/x")
 
   /** One 32×32 grayscale battery PNG: pixel (x, y) of image `img` has
     * r=g=b = ((x·7 + y·13 + img·29)·(x + y + img + 1) + x·y) mod 256 —
@@ -4212,12 +4239,25 @@ object SparkEntry {
         |                ELSE (CAST(1 AS BIGINT) << k) END) AS BIGINT) AS phash
         |FROM bits GROUP BY img ORDER BY img_id""".stripMargin,
     // full replay of the URL grammar with DuckDB's own string/list ops
-    // (regexp, string_split, list_filter, list_sort) over the battery
-    // literals — same contract, independent implementation
+    // (regexp, string_split, list_filter, list_sort, unhex/decode) over
+    // the battery literals — same contract, independent implementation:
+    // IPv6-aware authority split, RFC 3986 percent-escape normalization,
+    // and the PSL algorithm (exceptions > wildcards/exacts > default)
     "q171_url_canon" -> {
+      val U = graft.functions.UrlFunctions
       val vals = urlBattery.map(u => s"  ('$u')").mkString(",\n")
-      val suf = graft.functions.UrlFunctions.TwoLevelSuffixes
-        .map(x => s"'$x'").mkString(",")
+      def set(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(",")
+      // percent normalization of an expression: pieces after each '%' —
+      // unreserved byte (hex-pair regex) decodes, valid hex upcases,
+      // malformed passes through verbatim
+      // coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+      def pct(e: String): String =
+        s"""(string_split($e, '%')[1] || coalesce(array_to_string(
+           |    list_transform(string_split($e, '%')[2:], p -> CASE
+           |      WHEN NOT regexp_matches(upper(p[1:2]), '^[0-9A-F]{2}$$') THEN '%' || p
+           |      WHEN regexp_matches(upper(p[1:2]), '^(3[0-9]|4[1-9A-F]|5[0-9A]|6[1-9A-F]|7[0-9A]|2[DE]|5F|7E)$$')
+           |        THEN decode(unhex(upper(p[1:2]))) || p[3:]
+           |      ELSE '%' || upper(p[1:2]) || p[3:] END), ''), ''))""".stripMargin
       s"""WITH urls(url) AS (VALUES
          |$vals),
          |s1 AS (SELECT url, regexp_extract(trim(url), '^([^#]*)', 1) AS nofrag FROM urls),
@@ -4226,25 +4266,38 @@ object SparkEntry {
          |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
          |s3 AS (SELECT *, lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@]*@', '')) AS authority,
          |  regexp_replace(rest, '^[^/?]*', '') AS pathquery FROM s2),
-         |s4 AS (SELECT *, regexp_extract(pathquery, '^([^?]*)', 1) AS path,
-         |  CASE WHEN contains(pathquery, '?') THEN regexp_replace(pathquery, '^[^?]*\\?', '') ELSE '' END AS query FROM s3),
-         |s5 AS (SELECT *, regexp_extract(authority, '^([^:]*)', 1) AS host,
-         |  CASE WHEN contains(authority, ':') THEN regexp_extract(authority, ':([0-9]*)$$', 1) ELSE '' END AS port FROM s4),
+         |s4 AS (SELECT *, ${pct("regexp_extract(pathquery, '^([^?]*)', 1)")} AS path,
+         |  CASE WHEN contains(pathquery, '?') THEN ${pct("regexp_replace(pathquery, '^[^?]*\\?', '')")} ELSE '' END AS query FROM s3),
+         |s5 AS (SELECT *,
+         |  CASE WHEN authority[1:1] = '[' THEN regexp_extract(authority, '^(\\[[^\\]]*\\])', 1)
+         |       ELSE regexp_extract(authority, '^([^:]*)', 1) END AS host,
+         |  CASE WHEN authority[1:1] = '[' THEN regexp_extract(authority, '^\\[[^\\]]*\\]:([0-9]+)$$', 1)
+         |       WHEN contains(authority, ':') THEN regexp_extract(authority, ':([0-9]*)$$', 1)
+         |       ELSE '' END AS port FROM s4),
          |s6 AS (SELECT *, string_split(host, '.') AS labels,
          |  host || CASE WHEN port <> '' AND NOT ((scheme='http' AND port='80') OR (scheme='https' AND port='443'))
          |    THEN ':' || port ELSE '' END AS canon_auth,
          |  CASE WHEN regexp_replace(path, '/+$$', '') = '' THEN '/'
          |       ELSE regexp_replace(path, '/+$$', '') END AS canon_path,
          |  list_filter(string_split(query, '&'), p -> p <> '') AS params FROM s5),
-         |s7 AS (SELECT *, CASE WHEN len(params) > 0 THEN '?' || array_to_string(list_sort(params), '&') ELSE '' END AS canon_query FROM s6)
+         |s7 AS (SELECT *, CASE WHEN len(params) > 0 THEN '?' || array_to_string(list_sort(params), '&') ELSE '' END AS canon_query,
+         |  len(labels) AS n,
+         |  labels[-1] AS l1,
+         |  labels[-2] || '.' || labels[-1] AS l2,
+         |  labels[-3] || '.' || labels[-2] || '.' || labels[-1] AS l3,
+         |  labels[-4] || '.' || labels[-3] || '.' || labels[-2] || '.' || labels[-1] AS l4 FROM s6)
          |SELECT url,
          |  CASE WHEN scheme = '' THEN regexp_extract(trim(url), '^([^#]*)', 1)
          |       ELSE scheme || '://' || canon_auth || canon_path || canon_query END AS canon,
          |  host,
-         |  CASE WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') OR len(labels) <= 1 THEN host
-         |       WHEN len(labels) >= 3 AND (labels[-2] || '.' || labels[-1]) IN ($suf)
-         |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-         |       ELSE labels[-2] || '.' || labels[-1] END AS regdom
+         |  CASE WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') OR host[1:1] = '[' OR n <= 1 THEN host
+         |       WHEN n >= 3 AND l3 IN (${set(U.Exceptions3)}) THEN l3
+         |       WHEN n >= 2 AND l2 IN (${set(U.Exceptions2)}) THEN l2
+         |       WHEN n >= 2 AND l2 IN (${set(U.WildcardBases2)}) THEN CASE WHEN n >= 4 THEN l4 ELSE host END
+         |       WHEN n >= 3 AND l3 IN (${set(U.ThreeLevelSuffixes)}) THEN CASE WHEN n >= 4 THEN l4 ELSE host END
+         |       WHEN l1 IN (${set(U.WildcardBases1)}) THEN CASE WHEN n >= 3 THEN l3 ELSE host END
+         |       WHEN n >= 2 AND l2 IN (${set(U.TwoLevelSuffixes)}) THEN CASE WHEN n >= 3 THEN l3 ELSE host END
+         |       ELSE l2 END AS regdom
          |FROM s7 ORDER BY url""".stripMargin
     },
     // full audio-fingerprint replay: PCM formula → Walsh–Hadamard band

@@ -13,36 +13,50 @@ import org.apache.spark.sql.functions._
   * (bdc_collection_builder/celery/publish.py:131–156 — strip the
   * configured prefix, re-root, compare in canonical form); a web-crawl
   * catalog needs the same discipline on URLs, where the equivalences are
-  * case (scheme/host), default ports, fragments, trailing slashes, and
-  * query-parameter order. Without it, `HTTP://X.com:80/a?b=1&a=2#f` and
-  * `http://x.com/a?a=2&b=1` count as two documents and defeat per-domain
-  * caps and URL-keyed dedup.
+  * case (scheme/host), default ports, fragments, trailing slashes,
+  * query-parameter order, and percent-escape spelling. Without it,
+  * `HTTP://X.com:80/a?b=1&a=2#f` and `http://x.com/a?a=2&b=1` count as
+  * two documents and defeat per-domain caps and URL-keyed dedup.
   *
   * The CONTRACT (replayed by the DuckDB oracle with ITS string ops):
   *  - scheme and host lowercase; userinfo (`user:pw@`) dropped;
+  *  - bracketed IPv6 authorities parse as `[literal]` + optional port
+  *    (the literal lowercases with the host; brackets are kept);
   *  - default ports removed (http:80, https:443); other ports kept;
   *  - fragment dropped;
   *  - path: empty → `/`; trailing slashes dropped from non-root paths
   *    (`/a/b//` → `/a/b`, a fixed point — canonicalizing twice changes
-  *    nothing); percent-escapes and dot-segments are NOT
-  *    rewritten (lossy rewrites belong to a fetcher, not a dedup key);
-  *  - query: parameters sorted bytewise by their full `k=v` text, empty
-  *    parameters (from `&&` or a trailing `&`) dropped, an empty query
-  *    string drops its `?`. Duplicate keys keep all occurrences (sorted),
-  *    preserving semantics for `a=1&a=2`-style params.
+  *    nothing); dot-segments are NOT rewritten (resolving `..` belongs
+  *    to a fetcher, not a dedup key);
+  *  - percent-escapes in path and query normalize per RFC 3986 §2.3/§6.2.2:
+  *    escapes of unreserved bytes decode (`%7E` → `~`, `%41` → `A`),
+  *    all other escapes uppercase their hex (`%c3%a9` → `%C3%A9`);
+  *    malformed escapes (`%zz`, a trailing `%`) pass through verbatim.
+  *    Reserved bytes (`%2F`, `%26`, `%3D`…) are never decoded, so path
+  *    and query STRUCTURE is decided before normalization and cannot
+  *    change under it — the normalization is a fixed point;
+  *  - query: parameters sorted bytewise by their full `k=v` text (after
+  *    escape normalization), empty parameters (from `&&` or a trailing
+  *    `&`) dropped, an empty query string drops its `?`. Duplicate keys
+  *    keep all occurrences (sorted), preserving semantics for
+  *    `a=1&a=2`-style params.
   *
-  * Registered domain: suffix-list lookup over the bundled multi-label
-  * public suffixes ([[UrlFunctions.TwoLevelSuffixes]], the high-traffic
-  * subset of the public suffix list's two-label entries) — hosts under
-  * `co.uk`-style suffixes register at the third label from the right,
-  * everything else at the second; IPv4 literals and single-label hosts
-  * return unchanged. The set is a broadcast-free literal array (a few
-  * hundred bytes in the plan, not a join).
+  * Registered domain: the public-suffix-list ALGORITHM over a bundled
+  * rule subset — exception rules prevail (the rule itself is the
+  * registrable domain: `foo.www.ck` → `www.ck`), else the longest
+  * matching rule wins among wildcard rules (`*.ck`: any single label
+  * under the base extends the suffix: `a.foo.ck` → `a.foo.ck` is
+  * suffix+1 = registrable... i.e. `x.a.foo.ck` → `a.foo.ck`) and exact
+  * multi-label rules (`co.uk`, `k12.ca.us`), else the default `*` rule
+  * (suffix = last label). Hosts that ARE a public suffix, IPv4/IPv6
+  * literals, and single-label hosts return unchanged. The rule sets are
+  * broadcast-free literal arrays (a few hundred bytes in the plan, not a
+  * join); the full PSL swaps in the same way — bigger literal arrays.
   */
 object UrlFunctions {
 
-  /** High-traffic two-label public suffixes (public-suffix-list subset;
-    * the full list swaps in the same way — a bigger literal array). */
+  /** High-traffic two-label EXACT public-suffix rules (public-suffix-list
+    * subset; the full list swaps in the same way — a bigger array). */
   val TwoLevelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
@@ -55,7 +69,29 @@ object UrlFunctions {
     "co.za", "org.za", "gov.za",
     "com.ar", "com.tr", "com.tw", "com.sg", "com.hk", "com.my",
     "co.nz", "org.nz", "govt.nz",
-    "co.id", "or.id", "ac.id", "go.id")
+    "co.id", "or.id", "ac.id", "go.id",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ng", "org.ng", "gov.ng", "edu.ng", "net.ng")
+
+  /** Three-label EXACT rules (US locality-style PSL entries). */
+  val ThreeLevelSuffixes: Seq[String] = Seq(
+    "k12.ak.us", "k12.al.us", "k12.ca.us", "k12.ny.us", "k12.tx.us",
+    "cc.ak.us", "cc.ca.us", "lib.ak.us", "lib.ca.us")
+
+  /** Wildcard rule bases: `*.base` — every single label directly under
+    * the base is itself a public suffix. One-label and two-label bases. */
+  val WildcardBases1: Seq[String] = Seq("ck", "er", "fk", "gu", "mm", "np", "pg")
+  val WildcardBases2: Seq[String] = Seq(
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** Exception rules (`!rule` in the PSL): the rule itself is the
+    * registrable domain, prevailing over any wildcard that covers it. */
+  val Exceptions2: Seq[String] = Seq("www.ck")
+  val Exceptions3: Seq[String] = Seq(
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
 
   private def splitUrl(url: Column): (Column, Column, Column, Column) = {
     val noFrag = regexp_extract(trim(url), "^([^#]*)", 1)
@@ -71,10 +107,49 @@ object UrlFunctions {
     (scheme, lower(authority), path, query)
   }
 
-  /** Lowercased host (no port, no userinfo) of a URL column. */
+  /** Host of a lowercased authority: the bracketed literal for IPv6
+    * (`[2001:db8::1]:8080` → `[2001:db8::1]`), everything before the
+    * first ':' otherwise. */
+  private def hostOf(authority: Column): Column =
+    when(authority.startsWith("["),
+      regexp_extract(authority, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(regexp_extract(authority, "^([^:]*)", 1))
+
+  /** Port of a lowercased authority ('' when absent) — digits after the
+    * closing bracket for IPv6, after the first ':' otherwise. */
+  private def portOf(authority: Column): Column =
+    when(authority.startsWith("["),
+      regexp_extract(authority, "^\\[[^\\]]*\\]:([0-9]+)$", 1))
+      .otherwise(when(authority.contains(":"),
+        regexp_extract(authority, ":([0-9]*)$", 1)).otherwise(lit("")))
+
+  /** Lowercased host (no port, no userinfo) of a URL column; bracketed
+    * IPv6 literals come back whole (`[2001:db8::1]`). */
   def urlHost(url: Column): Column = {
     val (_, authority, _, _) = splitUrl(url)
-    regexp_extract(authority, "^([^:]*)", 1)
+    hostOf(authority)
+  }
+
+  /** RFC 3986 §6.2.2.2 percent-escape normalization (pure column ops):
+    * split on '%', treat each following piece's first two chars as the
+    * escape — decode when the byte is unreserved (ALPHA / DIGIT / - . _ ~,
+    * hex-pair pattern `3[0-9]|4[1-9A-F]|5[0-9A]|6[1-9A-F]|7[0-9A]|2[DE]|
+    * 5F|7E`), uppercase the hex otherwise, pass malformed escapes through
+    * verbatim. Reserved bytes never decode, so applying this to a path or
+    * a whole query string cannot create new `/` `?` `&` `=` structure. */
+  private def pctNormalize(s: Column): Column = {
+    val max = Int.MaxValue
+    val parts = split(s, "%", -1)
+    val fixed = transform(parts, (p, i) => {
+      val h = upper(substring(p, 1, 2))
+      val rest = substring(p, 3, max)
+      when(i === 0, p)
+        .when(!h.rlike("^[0-9A-F]{2}$"), concat(lit("%"), p))
+        .when(h.rlike("^(3[0-9]|4[1-9A-F]|5[0-9A]|6[1-9A-F]|7[0-9A]|2[DE]|5F|7E)$"),
+          concat(decode(unhex(h), "UTF-8"), rest))
+        .otherwise(concat(lit("%"), h, rest))
+    })
+    array_join(fixed, "")
   }
 
   /** Canonical URL under the contract above. Non-URL strings (no
@@ -82,35 +157,68 @@ object UrlFunctions {
     * identity, never a null that silently drops crawl rows. */
   def canonicalizeUrl(url: Column): Column = {
     val (scheme, authority, path, query) = splitUrl(url)
-    val host = regexp_extract(authority, "^([^:]*)", 1)
-    val port = when(authority.contains(":"),
-      regexp_extract(authority, ":([0-9]*)$", 1)).otherwise(lit(""))
+    val host = hostOf(authority)
+    val port = portOf(authority)
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
     val canonAuth = concat(host, when(keepPort, concat(lit(":"), port)).otherwise(lit("")))
-    val stripped = regexp_replace(path, "/+$", "")
-    val trimmedPath = when(stripped === "", lit("/")).otherwise(stripped)
-    val params = filter(split(query, "&"), p => p =!= "")
-    val canonQuery = when(size(params) > 0,
-      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+    // single-reference forms: Catalyst expressions are trees, so a
+    // `when(x === "", …).otherwise(x)` would INLINE the whole
+    // pct-normalization twice — and the duplication is re-analyzed on
+    // every downstream action of a composed pipeline. `(?!^)/+$` strips
+    // trailing slashes while never emptying the string (root `/` keeps
+    // itself), and the lone-`?` strip plays the same role for the query.
+    val trimmedPath = when(path === "", lit("/"))
+      .otherwise(regexp_replace(pctNormalize(path), "(?!^)/+$", ""))
+    val params = filter(split(pctNormalize(query), "&"), p => p =!= "")
+    val canonQuery = regexp_replace(
+      concat(lit("?"), array_join(array_sort(params), "&")), "^\\?$", "")
     when(scheme === "", regexp_extract(trim(url), "^([^#]*)", 1))
       .otherwise(concat(scheme, lit("://"), canonAuth, trimmedPath, canonQuery))
   }
 
-  /** Registered domain of a URL column under the bundled suffix subset:
-    * `a.b.co.uk` → `b.co.uk`, `x.y.example.com` → `example.com`, IPv4
-    * literals and single-label hosts unchanged. */
+  /** Registered (registrable) domain of a URL column under the bundled
+    * PSL rule subset and the PSL algorithm: exception rules prevail
+    * (`foo.www.ck` → `www.ck`), else the longest matching rule
+    * (wildcards count base+1 labels: `x.y.kawasaki.jp` →
+    * `x.y.kawasaki.jp`, `a.x.y.kawasaki.jp` → `x.y.kawasaki.jp`;
+    * exacts: `a.b.co.uk` → `b.co.uk`, `s.district.k12.ca.us` →
+    * `district.k12.ca.us`), else the default `*` rule
+    * (`x.y.example.com` → `example.com`). Hosts that are themselves a
+    * public suffix, IPv4/IPv6 literals, and single-label hosts return
+    * unchanged. */
   def registeredDomain(url: Column): Column = {
     val host = urlHost(url)
     val labels = split(host, "\\.")
     val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3), last2)
-    val isIpv4 = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
-    val suffixes = array(TwoLevelSuffixes.map(lit): _*)
-    when(isIpv4 || n <= 1, host)
-      .when(n >= 3 && array_contains(suffixes, last2), last3)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    val last1 = element_at(labels, -1)
+    val last2 = lastK(2)
+    val last3 = lastK(3)
+    val last4 = lastK(4)
+    val isIp = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$") ||
+      host.startsWith("[")
+    // isin, not array_contains(array(...)): OptimizeIn folds a literal In
+    // to an O(1) InSet and the plan carries one set, not 90 literal nodes
+    def in(set: Seq[String], c: Column): Column = c.isin(set: _*)
+    // branch order = PSL precedence: exceptions, then suffix-length-3
+    // rules (wildcard base-2 / exact-3), then suffix-length-2 rules
+    // (wildcard base-1 / exact-2), then the default '*' rule. element_at
+    // negative indices stay behind n-guards (ANSI errors on short arrays);
+    // `&&` and CASE branches both evaluate lazily.
+    when(isIp || n <= 1, host)
+      .when(n >= 3 && in(Exceptions3, last3), last3)
+      .when(n >= 2 && in(Exceptions2, last2), last2)
+      .when(n >= 2 && in(WildcardBases2, last2),
+        when(n >= 4, last4).otherwise(host))
+      .when(n >= 3 && in(ThreeLevelSuffixes, last3),
+        when(n >= 4, last4).otherwise(host))
+      .when(in(WildcardBases1, last1),
+        when(n >= 3, last3).otherwise(host))
+      .when(n >= 2 && in(TwoLevelSuffixes, last2),
+        when(n >= 3, last3).otherwise(host))
       .otherwise(last2)
   }
 }

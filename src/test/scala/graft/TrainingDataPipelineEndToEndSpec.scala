@@ -90,13 +90,15 @@ class TrainingDataPipelineEndToEndSpec extends SparkSpec {
         H.mainText($"payload".cast("string")).as("mt"))
       .filter(length($"mt") >= 40)
     assert(docs.count() === 8) // all 8 html-200 pages clear the quality gate
-    // keeper = the min-rid ROW (struct-min), so canon/regdom/rid stay
-    // mutually consistent when a duplicate group spans domains
+    // keeper = the min-rid ROW (min_by), so canon/regdom/rid stay
+    // mutually consistent when a duplicate group spans domains — and the
+    // URL expressions stay prunable from sub-plans that only need (mt, rid)
     val exact = docs.groupBy($"mt")
-      .agg(min(struct($"rid", $"canon", $"regdom")).as("k"),
+      .agg(min($"rid").as("rid"),
+        min_by(struct($"canon", $"regdom"), $"rid").as("k"),
         count(lit(1)).as("n_copies"))
       .select($"mt", $"k.canon".as("canon"), $"k.regdom".as("regdom"),
-        $"k.rid".as("rid"), $"n_copies")
+        $"rid", $"n_copies")
     // coded twins collapsed: 8 rows -> 5 unique contents
     assert(exact.count() === 5)
     val near = D.dedupNear(exact, "mt", "rid",
@@ -116,10 +118,11 @@ class TrainingDataPipelineEndToEndSpec extends SparkSpec {
     val again = SamplingFunctions.shardByTokenBudget(
       SamplingFunctions.capPerGroup(
         D.dedupNear(docs.repartition(7).groupBy($"mt")
-          .agg(min(struct($"rid", $"canon", $"regdom")).as("k"),
+          .agg(min($"rid").as("rid"),
+            min_by(struct($"canon", $"regdom"), $"rid").as("k"),
             count(lit(1)).as("n_copies"))
           .select($"mt", $"k.canon".as("canon"), $"k.regdom".as("regdom"),
-            $"k.rid".as("rid"), $"n_copies"),
+            $"rid", $"n_copies"),
           "mt", "rid", n = 3, bands = 4, rowsPerBand = 2,
           jaccardThreshold = 0.6),
         $"regdom", $"canon", 2).withColumn("tokens", T.tokenCount($"mt").cast("long")),

