@@ -2230,34 +2230,8 @@ object SparkEntry {
     // (same 64-bit signatures). Oracle replays all three hash families
     // AND the pair join in DuckDB ----------------------------------------
     "q174_crossmodal_neardup" -> ((s, _) => {
-      import s.implicits._
-      val M = graft.functions.MultimodalFunctions
       val D = graft.functions.DedupFunctions
-      val imgs = ((0 until 12).map(i => (i.toLong, phashBatteryPng(i))) :+
-        (12L, perturbedBatteryPng())).toDF("id", "content")
-      val isig = M.imagePhash(imgs, "id", "content")
-        .select(lit("image").as("modality"), col("id"), col("phash").as("sig"))
-      def base(tid: Long)(n: Int): Long =
-        ((tid + 3) * ((n.toLong * n) % 977) + 17L * n) % 4096 - 2048
-      def tone(id: Long, f: Int => Short): (Long, Array[Byte]) =
-        (id, M.AudioCodec.pcm16Wav(Array.tabulate(1024)(f), 8000))
-      val tones = ((0 until 16).map(i => tone(i.toLong, n => base(i.toLong)(n).toShort)) :+
-        tone(16L, n => (2 * base(0L)(n)).toShort) :+
-        tone(17L, n => (base(0L)(n) + (if (n % 7 == 0) 1 else 0)).toShort))
-        .toDF("id", "content")
-      val asig = M.audioPhash(tones, "id", "content")
-        .select(lit("audio").as("modality"), col("id"), col("afp").as("sig"))
-      val dir = mediaCorpusDir()
-      val clips = s.read.format("binaryFile").option("pathGlobFilter", "*.mp4")
-        .load(dir)
-        .select(col("path"), col("content")).as[(String, Array[Byte])]
-        .flatMap { case (p, b) =>
-          val id = "clip_(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
-          if (id == 0L) Seq((0L, b), (8L, b)) else Seq((id, b))
-        }.toDF("id", "content")
-      val vsig = M.videoPhash(clips, "id", "content")
-        .select(lit("video").as("modality"), col("id"), col("phash").as("sig"))
-      val sigs = isig.unionByName(asig).unionByName(vsig)
+      val sigs = crossmodalSigs(s)
       sigs.as("a").join(sigs.as("b"),
           col("a.modality") === col("b.modality") && col("a.id") < col("b.id"))
         .select(col("a.modality").as("modality"), col("a.id").as("id_a"),
@@ -2265,8 +2239,87 @@ object SparkEntry {
           D.hamming64(col("a.sig"), col("b.sig")).cast("long").as("dist"))
         .filter(col("dist") <= 4)
         .orderBy(col("modality"), col("id_a"), col("id_b"))
+    }),
+    // ---- the SAME cross-modal pairs through the band-prefix LSH
+    // bucketed join (8 bands of 8 bits; pigeonhole gives total recall at
+    // hamming ≤ 4 < 8, so the output is IDENTICAL to q174's brute join —
+    // and the plan is equi-join-shaped: one hash exchange on
+    // (modality, band, band_key), no cartesian anywhere; HammingLshSpec
+    // asserts the plan). This is the shape the signature plane runs at
+    // corpus scale: 10⁹ media items explode into 8 × 16-byte band rows,
+    // the pixels/PCM never leave the scan ---------------------------------
+    "q176_crossmodal_lsh" -> ((s, _) => {
+      graft.functions.DedupFunctions.neardupPairsByHamming64(
+          crossmodalSigs(s), "sig", "id", partitionCols = Seq("modality"),
+          bands = 8, maxDistance = 4)
+        .select(col("modality"), col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("modality"), col("id_a"), col("id_b"))
+    }),
+    // ---- persisted, appendable hamming signature index — incremental
+    // media dedup, the 64-bit twin of q111's text LSH index: sign the
+    // corpus ONCE into (band, band_key, modality, id, sig) parquet, then
+    // probe each day's new media against it by broadcast equi-join —
+    // no corpus re-decode, no corpus shuffle. Probe batch = the planted
+    // twins (perturbed PNG, ×2-gain + noisy tones, byte-dup clip);
+    // output = which ALREADY-INDEXED item each new item duplicates -------
+    "q177_hamming_index" -> ((s, _) => {
+      val D = graft.functions.DedupFunctions
+      val sigs = crossmodalSigs(s)
+      val corpus = sigs.filter(
+        (col("modality") === "image" && col("id") <= 11) ||
+        (col("modality") === "audio" && col("id") <= 15) ||
+        (col("modality") === "video" && col("id") <= 7))
+      val twins = sigs.filter(
+        (col("modality") === "image" && col("id") === 12) ||
+        (col("modality") === "audio" && col("id") >= 16) ||
+        (col("modality") === "video" && col("id") === 8))
+      val dir = memoLayout("q177_hidx", "battery") { tmp =>
+        D.writeHammingIndex(corpus, "sig", "id", tmp,
+          partitionCols = Seq("modality"), bands = 8)
+      }
+      D.probeHammingIndex(s, dir, twins, "sig", "id",
+          partitionCols = Seq("modality"), bands = 8, maxDistance = 4)
+        .select(col("modality"), col("id_new"), col("id_index"), col("dist"))
+        .orderBy(col("modality"), col("id_new"), col("id_index"))
     })
   )
+
+  /** The cross-modal signature plane battery shared by q174/q176/q177:
+    * image DCT pHashes over the formula PNGs + the perturbed twin (id 12),
+    * audio WHT fingerprints over the formula tones + the ×2-gain (16) and
+    * +1-noise (17) twins, video keyframe pHashes over the committed clip
+    * corpus + a byte-dup of clip 0 re-keyed as id 8 — one (modality, id,
+    * sig) table whose planted twins pair at hamming ≤ 4 in every
+    * modality. */
+  private def crossmodalSigs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val M = graft.functions.MultimodalFunctions
+    val imgs = ((0 until 12).map(i => (i.toLong, phashBatteryPng(i))) :+
+      (12L, perturbedBatteryPng())).toDF("id", "content")
+    val isig = M.imagePhash(imgs, "id", "content")
+      .select(lit("image").as("modality"), col("id"), col("phash").as("sig"))
+    def base(tid: Long)(n: Int): Long =
+      ((tid + 3) * ((n.toLong * n) % 977) + 17L * n) % 4096 - 2048
+    def tone(id: Long, f: Int => Short): (Long, Array[Byte]) =
+      (id, M.AudioCodec.pcm16Wav(Array.tabulate(1024)(f), 8000))
+    val tones = ((0 until 16).map(i => tone(i.toLong, n => base(i.toLong)(n).toShort)) :+
+      tone(16L, n => (2 * base(0L)(n)).toShort) :+
+      tone(17L, n => (base(0L)(n) + (if (n % 7 == 0) 1 else 0)).toShort))
+      .toDF("id", "content")
+    val asig = M.audioPhash(tones, "id", "content")
+      .select(lit("audio").as("modality"), col("id"), col("afp").as("sig"))
+    val dir = mediaCorpusDir()
+    val clips = s.read.format("binaryFile").option("pathGlobFilter", "*.mp4")
+      .load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, b) =>
+        val id = "clip_(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+        if (id == 0L) Seq((0L, b), (8L, b)) else Seq((id, b))
+      }.toDF("id", "content")
+    val vsig = M.videoPhash(clips, "id", "content")
+      .select(lit("video").as("modality"), col("id"), col("phash").as("sig"))
+    isig.unionByName(asig).unionByName(vsig)
+  }
 
   /** Image 12 of the q174 battery: img 0's pixel formula +1 wherever
     * `(x + y) % 5 == 0` — a true near-duplicate (identical pHash on this
@@ -4343,6 +4396,51 @@ object SparkEntry {
     // the python-reconstruction literals incl. the byte-dup) AND the
     // hamming pair join itself
     "q174_crossmodal_neardup" ->
+      (crossmodalSigSql + """
+        |SELECT a.modality AS modality, a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sigs a JOIN sigs b ON a.modality = b.modality AND a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        |ORDER BY modality, id_a, id_b""".stripMargin),
+    // q176: the banded-LSH formulation has TOTAL recall at hamming ≤ 4
+    // (pigeonhole over 8 bands), so its oracle IS the brute pair join —
+    // the same replay as q174; any bucketing loss would hash-mismatch
+    "q176_crossmodal_lsh" ->
+      (crossmodalSigSql + """
+        |SELECT a.modality AS modality, a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sigs a JOIN sigs b ON a.modality = b.modality AND a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 4
+        |ORDER BY modality, id_a, id_b""".stripMargin),
+    // q177: probe twins × indexed corpus — the incremental-index answer
+    // must equal the two-sided brute join restricted to (new, indexed)
+    "q177_hamming_index" ->
+      (crossmodalSigSql + """
+        |SELECT a.modality AS modality, b.id AS id_new, a.id AS id_index,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sigs a JOIN sigs b ON a.modality = b.modality
+        |WHERE ((b.modality = 'image' AND b.id = 12)
+        |    OR (b.modality = 'audio' AND b.id >= 16)
+        |    OR (b.modality = 'video' AND b.id = 8))
+        |  AND ((a.modality = 'image' AND a.id <= 11)
+        |    OR (a.modality = 'audio' AND a.id <= 15)
+        |    OR (a.modality = 'video' AND a.id <= 7))
+        |  AND bit_count(xor(a.sig, b.sig)) <= 4
+        |ORDER BY modality, id_new, id_index""".stripMargin)
+    // q35_simhash / q36_fingerprint intentionally rows-only: they fold
+    // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
+    // q51/q52 are their md5-based oracle-verified parity witnesses.
+  )
+
+  /** Shared DuckDB CTE chain for the cross-modal signature plane
+    * (q174/q176/q177): replays the image DCT pHash from the pixel
+    * formulas (incl. the perturbed twin, id 12), the audio WHT
+    * fingerprint from the PCM formulas (incl. the ×2-gain and +1-noise
+    * twins, ids 16/17), and carries the video keyframe hashes as
+    * literals from the independent python encoder's reconstruction
+    * replay (incl. the byte-dup, id 8) — ending in
+    * sigs(modality, id, sig). */
+  private val crossmodalSigSql: String =
       """WITH ipx AS (
         |  SELECT img, x, y,
         |    CASE WHEN img <= 11 THEN ((x*7 + y*13 + img*29) * (x + y + img + 1) + x*y) % 256
@@ -4405,14 +4503,5 @@ object SparkEntry {
         |    (CAST(8 AS BIGINT), CAST(8636034951607170629 AS BIGINT))) t(id, sig)
         |), sigs AS (
         |  SELECT * FROM isig UNION ALL SELECT * FROM asig UNION ALL SELECT * FROM vsig
-        |)
-        |SELECT a.modality AS modality, a.id AS id_a, b.id AS id_b,
-        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
-        |FROM sigs a JOIN sigs b ON a.modality = b.modality AND a.id < b.id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 4
-        |ORDER BY modality, id_a, id_b""".stripMargin
-    // q35_simhash / q36_fingerprint intentionally rows-only: they fold
-    // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
-    // q51/q52 are their md5-based oracle-verified parity witnesses.
-  )
+        |)""".stripMargin
 }

@@ -513,6 +513,142 @@ object DedupFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // ------------------------------------------------------------------
+  // 64-bit signature plane: hamming band-prefix LSH. One machinery for
+  // every 64-bit perceptual/structural signature the engine produces —
+  // text simhash ([[simhash64]]/[[simhashMd5]]), image DCT pHash
+  // ([[MultimodalFunctions.imagePhash]]), audio WHT fingerprint
+  // ([[MultimodalFunctions.audioPhash]]), video keyframe pHash — so
+  // cross-modal corpora near-dedup through the SAME bucketed join.
+  // ------------------------------------------------------------------
+
+  /** The (band, band_key) explode of a 64-bit signature column: `bands`
+    * contiguous bit-slices of 64/bands bits each. By pigeonhole, two
+    * signatures within hamming distance d < bands agree EXACTLY on at
+    * least one band — so bucketing on (band, band_key) has total recall
+    * for any distance threshold ≤ bands − 1, and the join never
+    * compares signatures outside a shared bucket. */
+  private def hammingKeyed(df: DataFrame, sigCol: String, idCol: String,
+                           partitionCols: Seq[String], bands: Int): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val pcols = partitionCols.map(col)
+    df.select(pcols :+ col(idCol).cast("long").as("id") :+
+        col(sigCol).cast("long").as("sig"): _*)
+      .select(pcols ++ Seq(col("id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "band_key"))): _*)
+  }
+
+  /** Near-dup pairs over 64-bit signatures via band-prefix LSH — the
+    * corpus-scale form of a brute hamming self-join. Returns
+    * (partitionCols…, id_a, id_b, dist) with id_a < id_b and
+    * dist ≤ maxDistance; `partitionCols` scope pairing (e.g. a
+    * `modality` column keeps image/audio/video planes separate inside
+    * ONE job). Recall is total — identical output to the O(n²) join —
+    * whenever maxDistance < bands (pigeonhole over the band slices).
+    *
+    * Scale shape: the same one-exchange bucket-local pattern as
+    * [[neardupPairsLocal]], but the payload per row is 8 BYTES: explode
+    * into (band, band_key), one hash exchange, pair + bit_count inside
+    * each bucket. Keys wider than `maxBucket` (hash-collision buckets,
+    * e.g. the all-zero band of near-blank media) route losslessly
+    * through a band-key self-join off the SAME exchange. At 10⁹ items
+    * the shuffle carries bands × 16 B per item — the corpus itself
+    * (pixels, PCM, text) never moves. */
+  def neardupPairsByHamming64(df: DataFrame, sigCol: String, idCol: String,
+                              partitionCols: Seq[String] = Nil,
+                              bands: Int = 8, maxDistance: Int = 4,
+                              maxBucket: Int = 10000): DataFrame = {
+    require(maxDistance < bands,
+      s"maxDistance=$maxDistance needs bands > maxDistance for total recall")
+    val pcols = partitionCols.map(col)
+    val keyCols = pcols ++ Seq(col("band"), col("band_key"))
+    val keyed = hammingKeyed(df, sigCol, idCol, partitionCols, bands)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+    val sized = keyed.withColumn("cnt", count(lit(1)).over(w))
+    val buckets = sized.filter(col("cnt") <= maxBucket)
+      .groupBy(keyCols: _*)
+      .agg(array_sort(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val ms = col("ms")
+    val localPairs = buckets.select(pcols :+ explode(flatten(transform(ms, (a, i) =>
+        transform(slice(ms, i + lit(2), size(ms)), b => struct(
+          a.getField("id").as("id_a"),
+          b.getField("id").as("id_b"),
+          bit_count(a.getField("sig").bitwiseXOR(b.getField("sig")))
+            .cast("long").as("dist")))))).as("p"): _*)
+      .select(pcols ++ Seq(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.dist").as("dist")): _*)
+    val big = sized.filter(col("cnt") > maxBucket)
+    val bigA = big.select(keyCols ++ Seq(col("id").as("id_a"), col("sig").as("sig_a")): _*)
+    val bigB = big.select(keyCols ++ Seq(col("id").as("id_b"), col("sig").as("sig_b")): _*)
+    val joinPairs = bigA.join(bigB,
+        partitionCols ++ Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(pcols ++ Seq(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).cast("long").as("dist")): _*)
+    localPairs.unionByName(joinPairs)
+      .filter(col("dist") <= maxDistance)
+      .distinct()
+  }
+
+  /** Persist a hamming-LSH signature index — the 64-bit-signature twin of
+    * [[writeLshIndex]] for incremental MEDIA dedup: sign the corpus once
+    * (pHash/afp/simhash upstream), write (band, band_key, …, id, sig)
+    * parquet partitioned by band, then probe each new batch against it
+    * without rescanning or re-decoding a single corpus item. Index size
+    * ≈ bands × 16 B per item — ~1 GB per 10⁹ items per band set, a scan
+    * that prunes to the probe's (band, band_key) buckets. */
+  def writeHammingIndex(df: DataFrame, sigCol: String, idCol: String,
+                        path: String, partitionCols: Seq[String] = Nil,
+                        bands: Int = 8): Unit =
+    hammingKeyed(df, sigCol, idCol, partitionCols, bands)
+      .write.mode("overwrite").partitionBy("band")
+      .option("compression", "zstd").parquet(path)
+
+  /** Append newly-accepted items to a persisted hamming index without
+    * touching existing rows (dynamic partition append; band count and
+    * partition columns must match the build). */
+  def appendToHammingIndex(df: DataFrame, sigCol: String, idCol: String,
+                           path: String, partitionCols: Seq[String] = Nil,
+                           bands: Int = 8): Unit =
+    hammingKeyed(df, sigCol, idCol, partitionCols, bands)
+      .write.mode("append").partitionBy("band")
+      .option("compression", "zstd").parquet(path)
+
+  /** Probe a persisted hamming index with a batch of new signatures:
+    * returns (partitionCols…, id_new, id_index, dist ≤ maxDistance) —
+    * the batch's near-dups of the ALREADY-INDEXED corpus, exactly what
+    * the two-sided join on raw signatures would return (total recall
+    * for maxDistance < bands). The batch side is broadcast-hinted: a
+    * daily media batch is small against a corpus-scale index, so the
+    * index side never exchanges — a pure scan + broadcast-hash join +
+    * in-row bit_count (falls back to a shuffle join past the broadcast
+    * threshold — correct either way). */
+  def probeHammingIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        newSigs: DataFrame, sigCol: String, idCol: String,
+                        partitionCols: Seq[String] = Nil, bands: Int = 8,
+                        maxDistance: Int = 4): DataFrame = {
+    require(maxDistance < bands,
+      s"maxDistance=$maxDistance needs bands > maxDistance for total recall")
+    val pcols = partitionCols.map(col)
+    val idx = spark.read.parquet(path)
+      .withColumnRenamed("id", "id_index")
+      .withColumnRenamed("sig", "sig_index")
+    val probe = broadcast(
+      hammingKeyed(newSigs, sigCol, idCol, partitionCols, bands)
+        .withColumnRenamed("id", "id_new")
+        .withColumnRenamed("sig", "sig_new"))
+    idx.join(probe, partitionCols ++ Seq("band", "band_key"))
+      .select(pcols ++ Seq(col("id_new"), col("id_index"),
+        hamming64(col("sig_new"), col("sig_index")).cast("long").as("dist")): _*)
+      .filter(col("dist") <= maxDistance)
+      .distinct()
+  }
+
   /** 16-bit md5-based SimHash — cross-engine-reproducible variant of
     * [[simhash64]] (md5 token hash instead of xxhash64) so the DuckDB
     * oracle verifies it bit-for-bit. Production uses [[simhash64]]
