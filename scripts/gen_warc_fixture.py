@@ -111,6 +111,105 @@ starts rather than failing mid-epoch.</p></div>
 
 PLAIN_TXT = "robots: disallow nothing\nsitemap: /sitemap.xml\n"
 
+
+# ---------- media payloads (image/audio response records) -----------------
+# The INDEPENDENT replay of the signature plane: PNG/WAV encoded here with
+# stdlib struct+zlib, perceptual hashes recomputed from the same formulas
+# (no Scala involved) — margins asserted so float order can't flip a bit.
+
+def png_gray(pix):
+    """8-bit grayscale PNG around pix[y][x] (0..255)."""
+    import struct
+    import zlib
+    h, w = len(pix), len(pix[0])
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data +
+                struct.pack(">I", zlib.crc32(typ + data) & 0xffffffff))
+    raw = b"".join(b"\x00" + bytes(row) for row in pix)
+    return (b"\x89PNG\r\n\x1a\n" +
+            chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)) +
+            chunk(b"IDAT", zlib.compress(raw, 9)) +
+            chunk(b"IEND", b""))
+
+
+def img_pixels(img, perturb=False):
+    """The q169 battery pixel formula (a different img id), optionally with
+    the +1-where-(x+y)%5==0 near-dup perturbation; 8-bit-exact asserted."""
+    pix = [[((x * 7 + y * 13 + img * 29) * (x + y + img + 1) + x * y) % 256
+            + (1 if perturb and (x + y) % 5 == 0 else 0)
+            for x in range(32)] for y in range(32)]
+    assert all(0 <= v <= 255 for row in pix for v in row)
+    return pix
+
+
+def phash64(g):
+    """The PHash64Expr contract: 8x8 plain-cosine DCT of the 32x32 grid,
+    63-AC exact-middle median, sign bits at u*8+v. Unsigned 64-bit."""
+    import math
+    c = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for yy in range(32):
+                for x in range(32):
+                    s += (g[yy][x] * math.cos((2 * x + 1) * u * math.pi / 64)
+                          * math.cos((2 * yy + 1) * v * math.pi / 64))
+            c[u * 8 + v] = s
+    med = sorted(c[1:])[31]
+    margin = min(abs(x - med) for x in c if abs(x - med) > 0)
+    assert margin > 1e-3, f"phash margin {margin} too small"
+    h = 0
+    for k in range(64):
+        if c[k] > med:
+            h |= 1 << k
+    return h
+
+
+def wav_pcm16(samples, rate=8000):
+    """Canonical 44-byte RIFF/WAVE mono PCM16 (the pcm16Wav layout)."""
+    import struct
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" +
+            b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16) +
+            b"data" + struct.pack("<I", len(data)) + data)
+
+
+def tone_samples(tid, gain=1):
+    return [gain * (((tid + 3) * ((n * n) % 977) + 17 * n) % 4096 - 2048)
+            for n in range(1024)]
+
+
+def afp64(x):
+    """The Afp64Expr contract: 5x64-sample frames -> 17 WHT sequency bands
+    of 3 bins each (integer-exact) -> Haitsma-Kalker double-difference
+    sign bits at (t-1)*16+b. Unsigned 64-bit."""
+    def sgn(n, k):
+        return 1 if bin(n & k).count("1") % 2 == 0 else -1
+    e = [[0] * 17 for _ in range(5)]
+    for t in range(5):
+        for b in range(17):
+            tot = 0
+            for j in range(3):
+                k = b * 3 + j + 1
+                w = sum(x[t * 64 + n] * sgn(n, k) for n in range(64))
+                tot += w * w
+            e[t][b] = tot
+    h = 0
+    for t in range(1, 5):
+        for b in range(16):
+            diff = (e[t][b] - e[t][b + 1]) - (e[t - 1][b] - e[t - 1][b + 1])
+            if diff > 0:
+                h |= 1 << ((t - 1) * 16 + b)
+    return h
+
+
+IMG_A = png_gray(img_pixels(20))
+IMG_A_VAR = png_gray(img_pixels(20, perturb=True))   # near-dup of IMG_A
+IMG_B = png_gray(img_pixels(22))                     # distinct
+TONE_A = wav_pcm16(tone_samples(30))
+TONE_A_GAIN = wav_pcm16(tone_samples(30, gain=2))    # afp-identical twin
+
 WARCINFO = ("software: graft-fixture/1.0\r\n"
             "format: WARC File Format 1.0\r\n")
 
@@ -212,43 +311,70 @@ def build_records():
                        "application/http; msgtype=response",
                        http_response(200, "OK", "text/html",
                                      PAGE_D.encode("ascii"))))
+    # media response records — the multimodal half of the crawl: two PNGs
+    # that are perceptual near-dups across domains (the copy needs URL
+    # canonicalization), one distinct PNG delivered gzip-encoded (binary
+    # body through Content-Encoding), and a WAV with a x2-gain twin
+    # (afp-identical by the fingerprint's gain invariance)
+    recs.append(record(12, "response", "http://fixture.example/img-a.png",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "image/png", IMG_A)))
+    recs.append(record(13, "response", "http://MIRROR.example:80/img-a-copy.png",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "image/png", IMG_A_VAR)))
+    recs.append(record(14, "response", "http://fixture.example/img-b.png",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "image/png", gz(IMG_B),
+                                     ["Content-Encoding: gzip"])))
+    recs.append(record(15, "response", "http://fixture.example/tone-a.wav",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "audio/x-wav", TONE_A)))
+    recs.append(record(16, "response", "http://mirror.example/tone-a-gain.wav",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "audio/x-wav", TONE_A_GAIN)))
     return recs
 
 
 def expected_rows():
-    """(index, type, uri, status, payload_len, text_md5, text_chars) per
-    record — payload is the DECODED entity body (after dechunk/gunzip);
-    text is html_to_text for HTML responses, the raw payload decoded for
-    everything else."""
-    bodies = {
-        2: PAGE_A, 3: PAGE_B, 6: PAGE_C,
-        5: "<html><body><p>404 not here</p></body></html>",
-        7: PAGE_B, 8: PAGE_A, 9: PAGE_C,
-        10: PAGE_A_VAR, 11: PAGE_D,
-    }
+    """(index, type, uri, status, payload_len, payload_md5, text_md5,
+    text_chars) per record — payload is the DECODED entity body (after
+    dechunk/gunzip) and payload_md5 hashes those raw bytes for every
+    record (the binary-integrity witness); text is html_to_text for HTML
+    responses, the decoded payload for other text/non-HTTP records, and
+    '' for binary responses (a crawler never UTF-8-decodes a PNG)."""
+    html = {2, 3, 5, 6, 7, 8, 9, 10, 11}
+    binary = {12, 13, 14, 15, 16}
     rows = []
     for i, (rtype, uri, status, payload) in enumerate([
-        ("warcinfo", "", -1, WARCINFO),
-        ("request", "http://fixture.example/page-a", -1, ""),
-        ("response", "http://fixture.example/page-a", 200, PAGE_A),
-        ("response", "http://fixture.example/page-b", 200, PAGE_B),
-        ("response", "http://fixture.example/robots.txt", 200, PLAIN_TXT),
+        ("warcinfo", "", -1, WARCINFO.encode("ascii")),
+        ("request", "http://fixture.example/page-a", -1, b""),
+        ("response", "http://fixture.example/page-a", 200, PAGE_A.encode("ascii")),
+        ("response", "http://fixture.example/page-b", 200, PAGE_B.encode("ascii")),
+        ("response", "http://fixture.example/robots.txt", 200, PLAIN_TXT.encode("ascii")),
         ("response", "http://fixture.example/missing", 404,
-         "<html><body><p>404 not here</p></body></html>"),
-        ("response", "http://fixture.example/page-c", 200, PAGE_C),
-        ("response", "http://fixture.example/chunked", 200, PAGE_B),
-        ("response", "http://fixture.example/gzipped", 200, PAGE_A),
-        ("response", "http://fixture.example/both", 200, PAGE_C),
-        ("response", "http://MIRROR.example:80/page-a-variant/", 200, PAGE_A_VAR),
-        ("response", "http://mirror.example/page-d?b=2&a=1#sec", 200, PAGE_D),
+         b"<html><body><p>404 not here</p></body></html>"),
+        ("response", "http://fixture.example/page-c", 200, PAGE_C.encode("ascii")),
+        ("response", "http://fixture.example/chunked", 200, PAGE_B.encode("ascii")),
+        ("response", "http://fixture.example/gzipped", 200, PAGE_A.encode("ascii")),
+        ("response", "http://fixture.example/both", 200, PAGE_C.encode("ascii")),
+        ("response", "http://MIRROR.example:80/page-a-variant/", 200, PAGE_A_VAR.encode("ascii")),
+        ("response", "http://mirror.example/page-d?b=2&a=1#sec", 200, PAGE_D.encode("ascii")),
+        ("response", "http://fixture.example/img-a.png", 200, IMG_A),
+        ("response", "http://MIRROR.example:80/img-a-copy.png", 200, IMG_A_VAR),
+        ("response", "http://fixture.example/img-b.png", 200, IMG_B),
+        ("response", "http://fixture.example/tone-a.wav", 200, TONE_A),
+        ("response", "http://mirror.example/tone-a-gain.wav", 200, TONE_A_GAIN),
     ]):
-        if i in bodies:
-            text = html_to_text(bodies[i])
+        if i in html:
+            text = html_to_text(payload.decode("ascii"))
+        elif i in binary:
+            text = ""
         else:
-            text = payload
-        md5 = hashlib.md5(text.encode("utf-8")).hexdigest()
-        rows.append((i, rtype, uri, status, len(payload.encode("ascii")),
-                     md5, len(text)))
+            text = payload.decode("ascii")
+        pmd5 = hashlib.md5(payload).hexdigest()
+        tmd5 = hashlib.md5(text.encode("utf-8")).hexdigest()
+        rows.append((i, rtype, uri, status, len(payload),
+                     pmd5, tmd5, len(text)))
     return rows
 
 
@@ -422,6 +548,95 @@ def q170_rows(bands=4, rows_per_band=2, n=3, tau=0.6, cap=2,
     return out
 
 
+# ---------- the INDEPENDENT q175 replay: multimodal crawl near-dedup -----
+# WARC -> route by content type -> text: mainText + minhash-LSH near-dedup
+# (the q170 front half); image: PNG -> pHash; audio: WAV -> afp -> hamming
+# pairs <= 4 -> union-find per modality -> kept representatives.
+
+def _components(ids, pairs):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent.get(x, x)
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    return comp
+
+
+def q175_rows(bands=4, rows_per_band=2, n=3, tau=0.6, max_dist=4):
+    rows = []
+    # text: the q170 front half (gate -> exact dedup keeper=min-rid row ->
+    # minhash LSH + jaccard pairs -> components); n_members counts CRAWL
+    # RECORDS (exact copies included) collapsing into each keeper
+    pages = [
+        (2, "http://fixture.example/page-a", PAGE_A),
+        (3, "http://fixture.example/page-b", PAGE_B),
+        (6, "http://fixture.example/page-c", PAGE_C),
+        (7, "http://fixture.example/chunked", PAGE_B),
+        (8, "http://fixture.example/gzipped", PAGE_A),
+        (9, "http://fixture.example/both", PAGE_C),
+        (10, "http://MIRROR.example:80/page-a-variant/", PAGE_A_VAR),
+        (11, "http://mirror.example/page-d?b=2&a=1#sec", PAGE_D),
+    ]
+    docs = []
+    for rid, uri, html in pages:
+        mt = main_text(html)
+        if len(mt) >= 40:
+            docs.append(dict(rid=rid, canon=canonicalize_url(uri), mt=mt))
+    groups = {}
+    for d in docs:
+        groups.setdefault(d["mt"], []).append(d)
+    exact = []
+    for mt, ds in groups.items():
+        k = min(ds, key=lambda x: x["rid"])
+        exact.append(dict(mt=mt, canon=k["canon"], rid=k["rid"], n=len(ds)))
+    k = bands * rows_per_band
+    sigs = {d["rid"]: minhash_sig(d["mt"], n, k) for d in exact}
+    pairs = set()
+    for b in range(bands):
+        keymap = {}
+        for d in exact:
+            key = "|".join(x or "" for x in
+                           sigs[d["rid"]][b * rows_per_band:(b + 1) * rows_per_band])
+            keymap.setdefault(key, []).append(d)
+        for ds in keymap.values():
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    a, c = sorted((ds[i], ds[j]), key=lambda d: d["rid"])
+                    if jaccard3(a["mt"], c["mt"], n) >= tau:
+                        pairs.add((a["rid"], c["rid"]))
+    byrid = {d["rid"]: d for d in exact}
+    for root, members in _components([d["rid"] for d in exact], pairs).items():
+        keeper = byrid[min(members)]
+        rows.append(("text", keeper["canon"],
+                     sum(byrid[m]["n"] for m in members)))
+
+    # image / audio: perceptual signature -> hamming <= max_dist pairs
+    def media(modality, items, sig_fn):
+        sigs = {rid: sig_fn(payload) for rid, _, payload in items}
+        uris = {rid: canonicalize_url(uri) for rid, uri, _ in items}
+        ids = sorted(sigs)
+        mpairs = {(a, b) for ai, a in enumerate(ids) for b in ids[ai + 1:]
+                  if bin(sigs[a] ^ sigs[b]).count("1") <= max_dist}
+        for root, members in _components(ids, mpairs).items():
+            rows.append((modality, uris[min(members)], len(members)))
+    media("image", [(12, "http://fixture.example/img-a.png", img_pixels(20)),
+                    (13, "http://MIRROR.example:80/img-a-copy.png", img_pixels(20, True)),
+                    (14, "http://fixture.example/img-b.png", img_pixels(22))],
+          phash64)
+    media("audio", [(15, "http://fixture.example/tone-a.wav", tone_samples(30)),
+                    (16, "http://mirror.example/tone-a-gain.wav", tone_samples(30, 2))],
+          afp64)
+    return sorted(rows)
+
+
 def kept_blocks(html: str, min_chars: int = 25):
     s = re.sub(r"(?s)<!--.*?-->", " ", html)
     s = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", s)
@@ -449,10 +664,10 @@ def main():
 
     print("\n-- q164 oracle VALUES (one set per file kind) --")
     for row in expected_rows():
-        i, rtype, uri, status, plen, md5, nch = row
+        i, rtype, uri, status, plen, pmd5, tmd5, nch = row
         print(f"  (CAST({i} AS BIGINT), '{rtype}', '{uri}', "
               f"CAST({status} AS BIGINT), CAST({plen} AS BIGINT), "
-              f"'{md5}', CAST({nch} AS BIGINT)),")
+              f"'{pmd5}', '{tmd5}', CAST({nch} AS BIGINT)),")
 
     # q165: main-content (density-filtered) extraction over the HTML
     # 200-responses — per page: kept-block count, main-text md5/length.
@@ -501,6 +716,14 @@ def main():
         uri, dom, n, tok, shard = row
         print(f"  ('{uri}', '{dom}', CAST({n} AS BIGINT), "
               f"CAST({tok} AS BIGINT), CAST({shard} AS BIGINT)),")
+
+    print("\n-- q175 oracle VALUES (modality, keeper_uri, n_members) --")
+    for modality, uri, nm in q175_rows():
+        print(f"  ('{modality}', '{uri}', CAST({nm} AS BIGINT)),")
+    ia, iv = phash64(img_pixels(20)), phash64(img_pixels(20, True))
+    print(f"-- img-a vs img-a-copy hamming: {bin(ia ^ iv).count('1')}")
+    aa, ag = afp64(tone_samples(30)), afp64(tone_samples(30, 2))
+    print(f"-- tone-a vs tone-a-gain hamming: {bin(aa ^ ag).count('1')}")
 
     print("\n-- main_text(PAGE_A) for the spec --")
     print(repr(main_text(PAGE_A)))

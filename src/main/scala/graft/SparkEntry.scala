@@ -1990,11 +1990,20 @@ object SparkEntry {
           col("warc_type"), col("target_uri"),
           col("http_status").cast("long").as("http_status"),
           length(col("payload")).cast("long").as("payload_len"),
+          // binary-integrity witness for every record: md5 of the DECODED
+          // entity bytes (after dechunk/gunzip) — proves the body-coding
+          // path bit-exact for binary payloads the text column can't hash
+          md5(col("payload")).as("payload_md5"),
           when(col("http_content_type").startsWith("text/html"),
             H.htmlToText(col("payload").cast("string")))
+            // binary responses (image/*, audio/*, …) are NEVER
+            // UTF-8-decoded — a crawler treats them as opaque bytes
+            .when(col("warc_type") === "response" &&
+              !col("http_content_type").startsWith("text/"), lit(""))
             .otherwise(col("payload").cast("string")).as("text"))
         .select(col("kind"), col("record_index"), col("warc_type"),
           col("target_uri"), col("http_status"), col("payload_len"),
+          col("payload_md5"),
           md5(col("text").cast("binary")).as("text_md5"),
           length(col("text")).cast("long").as("text_chars"))
         .orderBy(col("kind"), col("record_index"))
@@ -2145,6 +2154,12 @@ object SparkEntry {
           U.registeredDomain(col("target_uri")).as("regdom"),
           H.mainText(col("payload").cast("string")).as("mt"))
         .filter(length(col("mt")) >= 40)
+        // stage the extracted corpus ONCE: the composition downstream is
+        // multi-action (LSH checkpoint, probe, final join), and without a
+        // cut each action re-executes and re-plans the WARC scan +
+        // extraction + canonicalization — the same staging a production
+        // crawl pipeline does between extract and dedup
+        .localCheckpoint(true)
       // keeper = the min-rid (first-crawled) ROW: min_by picks
       // keeper_uri/regdom from that one row, so they stay mutually
       // consistent even when a content-duplicate group spans registered
@@ -2281,6 +2296,81 @@ object SparkEntry {
           partitionCols = Seq("modality"), bands = 8, maxDistance = 4)
         .select(col("modality"), col("id_new"), col("id_index"), col("dist"))
         .orderBy(col("modality"), col("id_new"), col("id_index"))
+    }),
+    // ---- the MULTIMODAL crawl front door in one query: WARC → route by
+    // content type → text: density-rule main text + quality gate + exact
+    // dedup + minhash-LSH near-dedup (the q170 front half); image: PNG
+    // decode → DCT pHash; audio: WAV decode → WHT fingerprint → hamming
+    // band-prefix LSH pairs per modality → connected components → kept
+    // representatives with member counts. The fixture plants a
+    // cross-domain perceptual image copy and a ×2-gain audio twin next
+    // to the coded/mirrored text duplicates; the oracle is the python
+    // generator replaying EVERY stage — extraction, canonicalization,
+    // minhash banding, PNG/WAV encode→hash, hamming pairing, union-find --
+    "q175_multimodal_crawl" -> ((s, _) => {
+      val H = graft.functions.HtmlFunctions
+      val U = graft.functions.UrlFunctions
+      val D = graft.functions.DedupFunctions
+      val M = graft.functions.MultimodalFunctions
+      val G = graft.functions.GraphFunctions
+      val warc = graft.sources.Warc.readWarc(s, warcFixtureDir())
+        .filter(col("file").endsWith(".warc.gz") && col("http_status") === 200)
+      val docs = warc.filter(col("http_content_type").startsWith("text/html"))
+        .select(col("record_index").cast("long").as("rid"),
+          U.canonicalizeUrl(col("target_uri")).as("canon"),
+          H.mainText(col("payload").cast("string")).as("mt"))
+        .filter(length(col("mt")) >= 40)
+      // stage each extraction ONCE (same rationale as q170: the component
+      // walk is multi-action, and every action would otherwise re-run the
+      // WARC scan, the text extraction, and the media decode kernels)
+      val exact = docs.groupBy(col("mt"))
+        .agg(min(col("rid")).as("rid"),
+          min_by(col("canon"), col("rid")).as("canon"),
+          count(lit(1)).as("n_copies"))
+        .localCheckpoint(true)
+      val tpairs = D.neardupPairsLocal(exact, "mt", "rid",
+          n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.6)
+        .select(col("id_a"), col("id_b"))
+      val tlabels = G.componentLabels(exact.select(col("rid")), tpairs,
+        idCol = "rid", srcCol = "id_a", dstCol = "id_b")
+      val text = exact
+        .join(tlabels.withColumnRenamed("id", "rid"), "rid")
+        .groupBy(col("label"))
+        .agg(min_by(col("canon"), col("rid")).as("keeper_uri"),
+          sum(col("n_copies")).as("n_members"))
+        .select(lit("text").as("modality"), col("keeper_uri"), col("n_members"))
+      val media = warc.filter(col("http_content_type").startsWith("image/") ||
+          col("http_content_type").startsWith("audio/"))
+        .select(col("record_index").cast("long").as("rid"),
+          U.canonicalizeUrl(col("target_uri")).as("canon"),
+          when(col("http_content_type").startsWith("image/"), "image")
+            .otherwise("audio").as("modality"),
+          col("payload"))
+      // only the 16-byte/row SIGNATURES and the uri map are staged —
+      // never the binary payloads (at corpus scale those stay in the
+      // scan; each kernel's one pass is the last time pixels/PCM move)
+      val mediaMap = media.select(col("rid"), col("canon"), col("modality"))
+        .localCheckpoint(true)
+      val isig = M.imagePhash(media.filter(col("modality") === "image")
+          .select("rid", "payload"), "rid", "payload")
+        .select(lit("image").as("modality"), col("rid"), col("phash").as("sig"))
+      val asig = M.audioPhash(media.filter(col("modality") === "audio")
+          .select("rid", "payload"), "rid", "payload")
+        .select(lit("audio").as("modality"), col("rid"), col("afp").as("sig"))
+      val sigs = isig.unionByName(asig).localCheckpoint(true)
+      val mpairs = D.neardupPairsByHamming64(sigs, "sig", "rid",
+          partitionCols = Seq("modality"), bands = 8, maxDistance = 4)
+        .select(col("id_a"), col("id_b"))
+      val mlabels = G.componentLabels(sigs.select(col("rid")), mpairs,
+        idCol = "rid", srcCol = "id_a", dstCol = "id_b")
+      val mediaKept = mediaMap
+        .join(mlabels.withColumnRenamed("id", "rid"), "rid")
+        .groupBy(col("modality"), col("label"))
+        .agg(min_by(col("canon"), col("rid")).as("keeper_uri"),
+          count(lit(1)).as("n_members"))
+        .select(col("modality"), col("keeper_uri"), col("n_members"))
+      text.unionByName(mediaKept)
+        .orderBy(col("modality"), col("keeper_uri"))
     })
   )
 
@@ -4210,22 +4300,27 @@ object SparkEntry {
     // entity decode, or the density rule breaks a literal.
     "q164_warc_extract" ->
       """WITH r(record_index, warc_type, target_uri, http_status,
-        |       payload_len, text_md5, text_chars) AS (VALUES
-        |  (CAST(0 AS BIGINT), 'warcinfo', '', CAST(-1 AS BIGINT), CAST(59 AS BIGINT), 'bf750d1cf4c3cf46a63dd4777ad49d2b', CAST(59 AS BIGINT)),
-        |  (CAST(1 AS BIGINT), 'request', 'http://fixture.example/page-a', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
-        |  (CAST(2 AS BIGINT), 'response', 'http://fixture.example/page-a', CAST(200 AS BIGINT), CAST(823 AS BIGINT), 'bc0618804c87b63f9bdde1555c16a220', CAST(334 AS BIGINT)),
-        |  (CAST(3 AS BIGINT), 'response', 'http://fixture.example/page-b', CAST(200 AS BIGINT), CAST(409 AS BIGINT), 'e84749f0ddb580a6a1bf8b67c53a2500', CAST(216 AS BIGINT)),
-        |  (CAST(4 AS BIGINT), 'response', 'http://fixture.example/robots.txt', CAST(200 AS BIGINT), CAST(47 AS BIGINT), '504cc27d124aa4267375563c721fd87f', CAST(47 AS BIGINT)),
-        |  (CAST(5 AS BIGINT), 'response', 'http://fixture.example/missing', CAST(404 AS BIGINT), CAST(45 AS BIGINT), '606f595e097047571ca4510cd647285a', CAST(12 AS BIGINT)),
-        |  (CAST(6 AS BIGINT), 'response', 'http://fixture.example/page-c', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT)),
-        |  (CAST(7 AS BIGINT), 'response', 'http://fixture.example/chunked', CAST(200 AS BIGINT), CAST(409 AS BIGINT), 'e84749f0ddb580a6a1bf8b67c53a2500', CAST(216 AS BIGINT)),
-        |  (CAST(8 AS BIGINT), 'response', 'http://fixture.example/gzipped', CAST(200 AS BIGINT), CAST(823 AS BIGINT), 'bc0618804c87b63f9bdde1555c16a220', CAST(334 AS BIGINT)),
-        |  (CAST(9 AS BIGINT), 'response', 'http://fixture.example/both', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT)),
-        |  (CAST(10 AS BIGINT), 'response', 'http://MIRROR.example:80/page-a-variant/', CAST(200 AS BIGINT), CAST(832 AS BIGINT), '3e938e24b1e6f57ae38244ac310715d6', CAST(343 AS BIGINT)),
-        |  (CAST(11 AS BIGINT), 'response', 'http://mirror.example/page-d?b=2&a=1#sec', CAST(200 AS BIGINT), CAST(266 AS BIGINT), '326379951776523ac926ae9c3ea1f35a', CAST(182 AS BIGINT))),
+        |       payload_len, payload_md5, text_md5, text_chars) AS (VALUES
+        |  (CAST(0 AS BIGINT), 'warcinfo', '', CAST(-1 AS BIGINT), CAST(59 AS BIGINT), 'bf750d1cf4c3cf46a63dd4777ad49d2b', 'bf750d1cf4c3cf46a63dd4777ad49d2b', CAST(59 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'request', 'http://fixture.example/page-a', CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'd41d8cd98f00b204e9800998ecf8427e', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'response', 'http://fixture.example/page-a', CAST(200 AS BIGINT), CAST(823 AS BIGINT), 'c7e01f18582742effbf4590997e99c84', 'bc0618804c87b63f9bdde1555c16a220', CAST(334 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'response', 'http://fixture.example/page-b', CAST(200 AS BIGINT), CAST(409 AS BIGINT), '530ec03dc04da42280882d4529c8d077', 'e84749f0ddb580a6a1bf8b67c53a2500', CAST(216 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), 'response', 'http://fixture.example/robots.txt', CAST(200 AS BIGINT), CAST(47 AS BIGINT), '504cc27d124aa4267375563c721fd87f', '504cc27d124aa4267375563c721fd87f', CAST(47 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), 'response', 'http://fixture.example/missing', CAST(404 AS BIGINT), CAST(45 AS BIGINT), '4070cda956e04b568baab9ae986c643d', '606f595e097047571ca4510cd647285a', CAST(12 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), 'response', 'http://fixture.example/page-c', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '8a954749de82c04aa98cca9659407319', '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), 'response', 'http://fixture.example/chunked', CAST(200 AS BIGINT), CAST(409 AS BIGINT), '530ec03dc04da42280882d4529c8d077', 'e84749f0ddb580a6a1bf8b67c53a2500', CAST(216 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), 'response', 'http://fixture.example/gzipped', CAST(200 AS BIGINT), CAST(823 AS BIGINT), 'c7e01f18582742effbf4590997e99c84', 'bc0618804c87b63f9bdde1555c16a220', CAST(334 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), 'response', 'http://fixture.example/both', CAST(200 AS BIGINT), CAST(172 AS BIGINT), '8a954749de82c04aa98cca9659407319', '705afa8578a7f38de6e9b05a12b35f18', CAST(116 AS BIGINT)),
+        |  (CAST(10 AS BIGINT), 'response', 'http://MIRROR.example:80/page-a-variant/', CAST(200 AS BIGINT), CAST(832 AS BIGINT), '49a1bd27d44ea8f71fde4423d5958641', '3e938e24b1e6f57ae38244ac310715d6', CAST(343 AS BIGINT)),
+        |  (CAST(11 AS BIGINT), 'response', 'http://mirror.example/page-d?b=2&a=1#sec', CAST(200 AS BIGINT), CAST(266 AS BIGINT), 'd0ae7fd5a4ee147c86766ab1c7e92c5f', '326379951776523ac926ae9c3ea1f35a', CAST(182 AS BIGINT)),
+        |  (CAST(12 AS BIGINT), 'response', 'http://fixture.example/img-a.png', CAST(200 AS BIGINT), CAST(1057 AS BIGINT), '95884e74971bbaf1063cb9941b0d0e5e', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(13 AS BIGINT), 'response', 'http://MIRROR.example:80/img-a-copy.png', CAST(200 AS BIGINT), CAST(1124 AS BIGINT), 'eb78cc0638bce88fccc6c8b35b496576', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(14 AS BIGINT), 'response', 'http://fixture.example/img-b.png', CAST(200 AS BIGINT), CAST(1106 AS BIGINT), '93bebab32bd65e07e5fb7603594ee844', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(15 AS BIGINT), 'response', 'http://fixture.example/tone-a.wav', CAST(200 AS BIGINT), CAST(2092 AS BIGINT), '2787ee01bfb29c0d230b8cdc625130b7', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(16 AS BIGINT), 'response', 'http://mirror.example/tone-a-gain.wav', CAST(200 AS BIGINT), CAST(2092 AS BIGINT), '6f54b6ce2d76f2c5de7278bf28864cd5', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT))),
         |k(kind) AS (VALUES ('gz'), ('plain'))
         |SELECT kind, record_index, warc_type, target_uri, http_status,
-        |  payload_len, text_md5, text_chars
+        |  payload_len, payload_md5, text_md5, text_chars
         |FROM k CROSS JOIN r ORDER BY kind, record_index""".stripMargin,
     "q165_html_main_text" ->
       """WITH v(target_uri, n_blocks, main_md5, main_chars, full_chars) AS (VALUES
@@ -4412,6 +4507,21 @@ object SparkEntry {
         |FROM sigs a JOIN sigs b ON a.modality = b.modality AND a.id < b.id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 4
         |ORDER BY modality, id_a, id_b""".stripMargin),
+    // q175: the multimodal crawl composition replayed end-to-end by the
+    // python generator (extraction, canonicalization, minhash banding,
+    // union-find, PNG/WAV encode → perceptual hash, hamming pairing —
+    // no code shared with Scala; scripts/gen_warc_fixture.py q175_rows)
+    "q175_multimodal_crawl" ->
+      """WITH v(modality, keeper_uri, n_members) AS (VALUES
+        |  ('audio', 'http://fixture.example/tone-a.wav', CAST(2 AS BIGINT)),
+        |  ('image', 'http://fixture.example/img-a.png', CAST(2 AS BIGINT)),
+        |  ('image', 'http://fixture.example/img-b.png', CAST(1 AS BIGINT)),
+        |  ('text', 'http://fixture.example/page-a', CAST(3 AS BIGINT)),
+        |  ('text', 'http://fixture.example/page-b', CAST(2 AS BIGINT)),
+        |  ('text', 'http://fixture.example/page-c', CAST(2 AS BIGINT)),
+        |  ('text', 'http://mirror.example/page-d?a=1&b=2', CAST(1 AS BIGINT)))
+        |SELECT modality, keeper_uri, n_members
+        |FROM v ORDER BY modality, keeper_uri""".stripMargin,
     // q177: probe twins × indexed corpus — the incremental-index answer
     // must equal the two-sided brute join restricted to (new, indexed)
     "q177_hamming_index" ->

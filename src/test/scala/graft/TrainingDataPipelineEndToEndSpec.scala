@@ -131,4 +131,50 @@ class TrainingDataPipelineEndToEndSpec extends SparkSpec {
     val base = sharded.select("canon", "regdom", "n_copies", "tokens", "shard")
     assert(base.exceptAll(again).count() === 0 && again.exceptAll(base).count() === 0)
   }
+
+  test("multimodal crawl: media records near-dedup on the same signature plane as text") {
+    import graft.functions.{MultimodalFunctions => M, UrlFunctions => U}
+    val dir = java.nio.file.Files.createTempDirectory("crawl-mm")
+    Seq("tiny.warc.gz").foreach { n =>
+      val in = getClass.getResourceAsStream(s"/graft/warc/$n")
+      val bytes = try in.readAllBytes() finally in.close()
+      java.nio.file.Files.write(dir.resolve(n), bytes)
+    }
+    val warc = graft.sources.Warc.readWarc(spark, dir.toString)
+      .filter($"http_status" === 200)
+    val media = warc.filter($"http_content_type".startsWith("image/") ||
+        $"http_content_type".startsWith("audio/"))
+      .select($"record_index".cast("long").as("rid"),
+        U.canonicalizeUrl($"target_uri").as("canon"),
+        when($"http_content_type".startsWith("image/"), "image")
+          .otherwise("audio").as("modality"), $"payload")
+    assert(media.count() === 5) // 3 PNGs + 2 WAVs
+    val isig = M.imagePhash(media.filter($"modality" === "image")
+        .select("rid", "payload"), "rid", "payload")
+      .select(lit("image").as("modality"), $"rid", $"phash".as("sig"))
+    val asig = M.audioPhash(media.filter($"modality" === "audio")
+        .select("rid", "payload"), "rid", "payload")
+      .select(lit("audio").as("modality"), $"rid", $"afp".as("sig"))
+    val sigs = isig.unionByName(asig)
+    // every media payload really decoded (none dropped by the kernels)
+    assert(sigs.count() === 5)
+    val pairs = D.neardupPairsByHamming64(sigs, "sig", "rid",
+        partitionCols = Seq("modality"), bands = 8, maxDistance = 4)
+      .select($"modality", $"id_a", $"id_b", $"dist")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the planted twins — and ONLY the twins — pair, both at distance 0:
+    // the cross-domain PNG copy (12,13) and the ×2-gain WAV (15,16)
+    assert(pairs === Set(("image", 12L, 13L, 0L), ("audio", 15L, 16L, 0L)))
+    // survivors after dropping near-dups: img-a keeps the fixture.example
+    // original, the mirror copy and the gain twin are gone
+    val kept = D.dropByPairGraph(
+        media.select($"rid", $"canon", $"modality"), "rid",
+        spark.createDataFrame(pairs.toSeq.map(p => (p._2, p._3)))
+          .toDF("id_a", "id_b"))
+      .select($"canon").as[String].collect().toSet
+    assert(kept === Set(
+      "http://fixture.example/img-a.png",
+      "http://fixture.example/img-b.png",
+      "http://fixture.example/tone-a.wav"))
+  }
 }

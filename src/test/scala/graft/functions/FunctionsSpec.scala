@@ -550,6 +550,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("componentLabels: driver fast path ≡ distributed propagation, singletons self-label") {
+    import spark.implicits._
+    val vertices = (1L to 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 4L), (7L, 8L))
+      .toDF("src", "dst")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 9L)
+    val driver = GraphFunctions.componentLabels(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val distributed = GraphFunctions
+      .componentLabels(vertices, edges, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver === expected)
+    assert(distributed === expected)
+  }
+
   test("dedupNear distributed label-propagation branch matches the driver union-find") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(maxDriverEdges: Int) =

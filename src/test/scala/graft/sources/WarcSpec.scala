@@ -27,7 +27,7 @@ class WarcSpec extends SparkSpec {
   test("plain and per-record-gzip layouts parse to identical records") {
     val plain = Warc.parseWarc(resource("tiny.warc"))
     val gz = Warc.parseWarc(resource("tiny.warc.gz"))
-    assert(plain.size == 12 && gz.size == 12)
+    assert(plain.size == 17 && gz.size == 17)
     plain.zip(gz).foreach { case (a, b) =>
       assert(a.record_index == b.record_index)
       assert(a.warc_type == b.warc_type && a.target_uri == b.target_uri)
@@ -104,9 +104,9 @@ class WarcSpec extends SparkSpec {
       java.nio.file.Files.write(dir.resolve(n), resource(n))
     }
     val df = Warc.readWarc(spark, dir.toString)
-    assert(df.count() == 24)
+    assert(df.count() == 34)
     val statuses = df.filter("http_status = 200").count()
-    assert(statuses == 18) // 9 OK responses × 2 layouts
+    assert(statuses == 28) // 14 OK responses (9 html/text + 5 media) × 2 layouts
     assert(df.select("file").distinct().count() == 2)
   }
 
@@ -121,6 +121,21 @@ class WarcSpec extends SparkSpec {
       "chunked+gzipped body != plain page-c")
     // the decoded payloads are SMALLER than the blocks that carried them
     assert(rs(9).payload.length < rs(9).content_length)
+  }
+
+  test("media records: binary payloads decode as real PNG/WAV through the body codings") {
+    val rs = Warc.parseWarc(resource("tiny.warc"))
+    import graft.functions.MultimodalFunctions.{AudioCodec, ImageCodec}
+    // 12/13: perceptual near-dup PNGs, byte-distinct but both decodable
+    assert(rs(12).http_content_type == "image/png")
+    assert(!java.util.Arrays.equals(rs(12).payload, rs(13).payload))
+    assert(ImageCodec.lumaGrid(rs(12).payload).isDefined)
+    assert(ImageCodec.lumaGrid(rs(13).payload).isDefined)
+    // 14: gzip Content-Encoding around a binary body decodes to a real PNG
+    assert(ImageCodec.lumaGrid(rs(14).payload).isDefined)
+    // 15/16: WAVs carry decodable 16-bit PCM for the fingerprint kernel
+    assert(AudioCodec.bandEnergies(rs(15).payload).isDefined)
+    assert(AudioCodec.bandEnergies(rs(16).payload).isDefined)
   }
 
   test("malformed chunk framing salvages the RAW body, never throws") {
