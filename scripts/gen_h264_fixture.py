@@ -679,8 +679,11 @@ def main():
     #     8x8 DCT -> 63-AC-median sign bits (the PHash64Expr contract).
     #     Margins are asserted so float summation order cannot flip a bit.
     import math as _math
-    print("-- q173 oracle VALUES (clip, phash) --")
-    for clip, rec in keyframe_recons:
+
+    def recon_phash(rec, signed=True):
+        """PHash64Expr replay over a reconstruction's Y plane: 32x32
+        mean-pooled luma grid -> plain-cosine 8x8 DCT -> 63-AC-median sign
+        bits; margin asserted so float order can't flip a bit."""
         ybuf = rec[0]
         h, w = len(ybuf), len(ybuf[0])
         sums = [[0.0] * 32 for _ in range(32)]
@@ -704,14 +707,71 @@ def main():
                 c[u * 8 + v] = s
         med = sorted(c[1:])[31]
         margin = min(abs(x - med) for x in c if abs(x - med) > 0)
-        assert margin > 1e-3, f"clip {clip} margin {margin} too small"
+        assert margin > 1e-3, f"phash margin {margin} too small"
         hsh = 0
         for k in range(64):
             if c[k] > med:
                 hsh |= 1 << k
-        if hsh >= 1 << 63:
+        if signed and hsh >= 1 << 63:
             hsh -= 1 << 64
-        print(f"  (CAST({clip} AS BIGINT), CAST({hsh} AS BIGINT)),")
+        return hsh
+
+    print("-- q173 oracle VALUES (clip, phash) --")
+    for clip, rec in keyframe_recons:
+        print(f"  (CAST({clip} AS BIGINT), CAST({recon_phash(rec)} AS BIGINT)),")
+
+    # 15. q178: multi-keyframe video signatures + a planted RE-CUT twin.
+    #     gop_00.mp4 = TWO GOPs (IDR_A + P, IDR_B + P; stss marks both
+    #     IDRs); gop_01.mp4 = the re-cut: GOP B alone. Their FIRST
+    #     keyframes differ (hamming > 4 asserted — a first-keyframe-only
+    #     hash misses the pair), but gop_00's SECOND keyframe is byte-
+    #     identical to gop_01's first, so the k-keyframe signature sets
+    #     pair at min-hamming 0. Encoders share identical SPS/PPS so one
+    #     avcC config decodes every GOP.
+    wg, hg = 48, 32
+
+    def gop(seed):
+        enc = H.Encoder(wg, hg, qp_init=24, num_ref_frames=1)
+        y, cb, cr = make_planes(wg, hg, seed)
+        nal_i, st = enc.encode_frame(y, cb, cr, mixed_policy, frame_idx=0)
+        rec_i = crop(st, wg, hg)
+        ys, cbs, crs = make_planes(wg, hg, seed + 1)
+        nal_p, stp = enc.encode_frame_p(ys, cbs, crs, [st], p_mixed,
+                                        frame_idx=1)
+        got = H.Decoder().feed_annexb(
+            H.annexb([enc.sps(), enc.pps(), nal_i, nal_p]))
+        assert len(got) == 2 and got[0] == rec_i and got[1] == crop(stp, wg, hg)
+        return enc, nal_i, nal_p, rec_i
+    enc_a, nal_ai, nal_ap, rec_ai = gop(9100)
+    enc_b, nal_bi, nal_bp, rec_bi = gop(9200)
+    assert enc_a.sps() == enc_b.sps() and enc_a.pps() == enc_b.pps()
+    mp4_gop0 = mux_avc1(wg, hg, [nal_ai, nal_ap, nal_bi, nal_bp],
+                        enc_a.sps(), enc_a.pps(), sync=[1, 3])
+    mp4_gop1 = mux_avc1(wg, hg, [nal_bi, nal_bp],
+                        enc_a.sps(), enc_a.pps(), sync=[1])
+    with open(os.path.join(corpus_dir, "gop_00.mp4"), "wb") as fh:
+        fh.write(mp4_gop0)
+    with open(os.path.join(corpus_dir, "gop_01.mp4"), "wb") as fh:
+        fh.write(mp4_gop1)
+    h_a, h_b = recon_phash(rec_ai, signed=False), recon_phash(rec_bi, signed=False)
+    d_first = bin(h_a ^ h_b).count("1")
+    assert d_first > 4, f"re-cut must ESCAPE a first-keyframe hash (d={d_first})"
+    print(f"gop_00/gop_01: first-keyframe hamming {d_first} (> 4: escapes "
+          "single-keyframe), shared-keyframe hamming 0")
+    # min-hamming pairs over {clips 0-7: 1 keyframe, gop_00 (id 8): 2,
+    # gop_01 (id 9): 1} at threshold 4
+    ksigs = {clip: [recon_phash(rec, signed=False)]
+             for clip, rec in keyframe_recons}
+    ksigs[8] = [h_a, h_b]
+    ksigs[9] = [h_b]
+    print("-- q178 oracle VALUES (id_a, id_b, dist) --")
+    ids = sorted(ksigs)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1:]:
+            d = min(bin(x ^ y).count("1") for x in ksigs[a] for y in ksigs[b])
+            if d <= 4:
+                print(f"  (CAST({a} AS BIGINT), CAST({b} AS BIGINT), "
+                      f"CAST({d} AS BIGINT)),")
 
 
 if __name__ == "__main__":

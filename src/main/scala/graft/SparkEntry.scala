@@ -2371,8 +2371,52 @@ object SparkEntry {
         .select(col("modality"), col("keeper_uri"), col("n_members"))
       text.unionByName(mediaKept)
         .orderBy(col("modality"), col("keeper_uri"))
+    }),
+    // ---- multi-keyframe video signatures + the planted RE-CUT twin:
+    // gop_01 is gop_00 minus its first GOP, so a first-keyframe-only
+    // hash misses it (their first keyframes sit 20 bits apart — the
+    // python generator asserts the escape), but the k-keyframe signature
+    // SETS share gop_00's second keyframe byte-identically. Pairing runs
+    // the exploded per-keyframe signatures through the SAME band-prefix
+    // LSH as everything else (min over shared-bucket keyframe pairs ≡
+    // min-hamming ≤ τ by the total-recall guarantee) — never a clip×clip
+    // cross join --------------------------------------------------------
+    "q178_video_recut" -> ((s, _) => {
+      import s.implicits._
+      val vids = s.read.format("binaryFile").option("pathGlobFilter", "*.mp4")
+        .load(mediaCorpusDir(), mediaGopDir())
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .map { case (p, b) =>
+          val id = "(clip|gop)_(\\d+)".r.findFirstMatchIn(p).map(m =>
+            (if (m.group(1) == "gop") 8L else 0L) + m.group(2).toLong).get
+          (id, b)
+        }.toDF("media_id", "content")
+      val sigs = graft.functions.MultimodalFunctions
+        .videoPhashK(vids, "media_id", "content", maxKeyframes = 4)
+      val perKey = sigs.select(col("media_id"), explode(col("phashes")).as("sig"))
+      graft.functions.DedupFunctions
+        .neardupPairsByHamming64(perKey, "sig", "media_id",
+          bands = 8, maxDistance = 4)
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("dist")).as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** Materialize the two-GOP fixture clips (gop_00 = IDR+P, IDR+P with
+    * both IDRs in stss; gop_01 = the re-cut second GOP alone) from the
+    * committed resources. Idempotent, concurrency-safe. */
+  private def mediaGopDir(): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-media-gop")
+    java.nio.file.Files.createDirectories(dir)
+    for (g <- 0 until 2) {
+      val in = getClass.getResourceAsStream(f"/graft/h264/corpus/gop_$g%02d.mp4")
+      val bytes = try in.readAllBytes() finally in.close()
+      writeFixtureAtomic(dir, f"gop_$g%02d.mp4", bytes)
+    }
+    dir.toString
+  }
 
   /** The cross-modal signature plane battery shared by q174/q176/q177:
     * image DCT pHashes over the formula PNGs + the perturbed twin (id 12),
@@ -4522,6 +4566,13 @@ object SparkEntry {
         |  ('text', 'http://mirror.example/page-d?a=1&b=2', CAST(1 AS BIGINT)))
         |SELECT modality, keeper_uri, n_members
         |FROM v ORDER BY modality, keeper_uri""".stripMargin,
+    // q178: literals from scripts/gen_h264_fixture.py section 15 — the
+    // python encoder replays every keyframe reconstruction's pHash and
+    // the min-hamming pairing; only the re-cut pair survives ≤ 4
+    "q178_video_recut" ->
+      """WITH v(id_a, id_b, dist) AS (VALUES
+        |  (CAST(8 AS BIGINT), CAST(9 AS BIGINT), CAST(0 AS BIGINT)))
+        |SELECT id_a, id_b, dist FROM v ORDER BY id_a, id_b""".stripMargin,
     // q177: probe twins × indexed corpus — the incremental-index answer
     // must equal the two-sided brute join restricted to (new, indexed)
     "q177_hamming_index" ->

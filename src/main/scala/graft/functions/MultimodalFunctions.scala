@@ -825,6 +825,45 @@ object MultimodalFunctions {
       .select(col(idCol), graft.expr.NativeFunctions.phash64(col("luma_grid")).as("phash"))
   }
 
+  /** Multi-keyframe video signatures — the re-cut-robust form of
+    * [[videoPhash]]: decode up to `maxKeyframes` sync samples per clip
+    * (each IDR decodes standalone against the avcC parameter sets) and
+    * hash each with the same native [[graft.expr.PHash64Expr]], returning
+    * (idCol, phashes: array<long>). A re-cut copy (different first GOP)
+    * escapes a first-keyframe-only hash but shares a later keyframe, so
+    * MIN-hamming over the signature sets pairs it; pairing at corpus
+    * scale = explode the arrays and run the SAME band-prefix LSH
+    * ([[DedupFunctions.neardupPairsByHamming64]]) — still ≤ 8·k bytes of
+    * signature per clip, still one exchange, pixels never move. Clips
+    * with no decodable keyframe drop loudly, undecodable individual
+    * keyframes are skipped. */
+  def videoPhashK(df: DataFrame, idCol: String, contentCol: String,
+                  maxKeyframes: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val grids: Seq[Array[Double]] = (for {
+          mp4 <- Mp4Demux.demux(bytes).toSeq
+          track <- mp4.tracks.find(_.handler == "vide").toSeq
+          key <- mp4.videoSamples.filter(_.sync).take(maxKeyframes)
+          payload <- Mp4Demux.samplePayloadOpt(bytes, key).toSeq
+          g <- if (VideoCodec.isAvc(track.codec)) {
+            try graft.sources.H264Decode
+              .decodeAvccSamples(track.codecConfig, Seq(payload)).headOption
+              .map(f => planeLumaGrid(f.y, f.width, f.height, graft.expr.PHash64.Grid))
+            catch { case _: Exception => None }
+          } else ImageCodec.lumaGrid(payload, graft.expr.PHash64.Grid)
+        } yield g)
+        if (grids.isEmpty) None else Some((id, grids))
+      })
+      .toDF(idCol, "grids")
+      .select(col(idCol),
+        transform(col("grids"),
+          g => graft.expr.NativeFunctions.phash64(g)).as("phashes"))
+  }
+
   /** Audio-fingerprint kernel — the audio twin of [[imagePhash]]: decode
     * 16-bit PCM → 5×17 Walsh–Hadamard sequency-band energy grid
     * (mapPartitions, non-audio rows dropped) → native

@@ -63,6 +63,28 @@ class VideoPhashSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("multi-keyframe signatures: the re-cut twin pairs at min-hamming 0, escapes first-keyframe") {
+    val rows = Seq(
+      (8L, resource("/graft/h264/corpus/gop_00.mp4")),   // 2 GOPs, 2 IDRs
+      (9L, resource("/graft/h264/corpus/gop_01.mp4")),   // re-cut: GOP 2 only
+      (0L, resource("/graft/h264/corpus/clip_00.mp4")))
+    val sigs = MultimodalFunctions.videoPhashK(
+        rows.toDF("media_id", "content"), "media_id", "content", maxKeyframes = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(8L).length === 2 && sigs(9L).length === 1 && sigs(0L).length === 1)
+    // the shared keyframe hashes identically; the FIRST keyframes do not
+    assert(sigs(8L)(1) === sigs(9L)(0))
+    assert(java.lang.Long.bitCount(sigs(8L)(0) ^ sigs(9L)(0)) > 4,
+      "a first-keyframe-only hash must MISS the re-cut (the planted escape)")
+    // single-keyframe videoPhash indeed misses it
+    val first = MultimodalFunctions.videoPhash(
+        rows.toDF("media_id", "content"), "media_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(first(8L) ^ first(9L)) > 4)
+    // ...and videoPhashK's first signature matches videoPhash exactly
+    assert(first(8L) === sigs(8L)(0) && first(0L) === sigs(0L)(0))
+  }
+
   test("cross-modal signature plane (q174): exactly the planted twins pair up") {
     val rows = graft.SparkEntry.queries("q174_crossmodal_neardup")(spark, "")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
