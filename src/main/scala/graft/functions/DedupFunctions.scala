@@ -523,23 +523,29 @@ object DedupFunctions {
   // ------------------------------------------------------------------
 
   /** The (band, band_key) explode of a 64-bit signature column: `bands`
-    * contiguous bit-slices of 64/bands bits each. By pigeonhole, two
+    * contiguous bit-slices partitioning the 64 bits as evenly as possible
+    * (bands=8 → 8×8 bits; bands=5 → 13/13/13/13/12). By pigeonhole, two
     * signatures within hamming distance d < bands agree EXACTLY on at
     * least one band — so bucketing on (band, band_key) has total recall
-    * for any distance threshold ≤ bands − 1, and the join never
-    * compares signatures outside a shared bucket. */
+    * for any distance threshold ≤ bands − 1, and the join never compares
+    * signatures outside a shared bucket. Band count is ALSO the bucket-
+    * width knob: expected bucket size on b-bit keys is n/2^b, so a
+    * threshold-4 corpus join wants bands=5 (13-bit keys), not bands=8
+    * (8-bit keys — 32× wider buckets for recall headroom nobody asked
+    * for; PhashScale measures the cliff). */
   private def hammingKeyed(df: DataFrame, sigCol: String, idCol: String,
                            partitionCols: Seq[String], bands: Int): DataFrame = {
-    require(64 % bands == 0, s"bands=$bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
+    require(bands >= 1 && bands <= 64, s"bands=$bands out of range")
+    val bounds = (0 to bands).map(b => b * 64 / bands)
     val pcols = partitionCols.map(col)
     df.select(pcols :+ col(idCol).cast("long").as("id") :+
         col(sigCol).cast("long").as("sig"): _*)
       .select(pcols ++ Seq(col("id"), col("sig"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "band_key"))): _*)
+        posexplode(array((0 until bands).map { b =>
+          val width = bounds(b + 1) - bounds(b)
+          val mask = if (width == 64) -1L else (1L << width) - 1L
+          shiftrightunsigned(col("sig"), bounds(b)).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("band", "band_key"))): _*)
   }
 
   /** Near-dup pairs over 64-bit signatures via band-prefix LSH — the

@@ -67,6 +67,61 @@ object PhashScale {
         MultimodalFunctions.audioPhash(wavs, "id", "content").count())
       imgs.unpersist(); wavs.unpersist()
     }
+
+    // ---- signature-plane JOIN cost at >= 1e5 signatures (SCALE.md r16):
+    // 64-bit signatures synthesized directly (extraction cost measured
+    // above — the join only ever sees 16 B/row), 10% planted near-twins
+    // within 3 flipped bits, banded join + index probe. Two geometries:
+    // 8x8-bit bands (recall to hamming 7, wide buckets) and 4x16-bit
+    // bands (recall to hamming 3, ~256x narrower buckets) — the knob a
+    // 10^9-item corpus turns.
+    def mix(i: Long): Long = {
+      var x = i * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+      x ^= (x >>> 29); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 32); x
+    }
+    val D = graft.functions.DedupFunctions
+    for (n <- Seq(100000, 400000)) {
+      val base = spark.sparkContext.parallelize(0L until n, 32)
+        .map(i => (i, mix(i)))
+      val twins = spark.sparkContext.parallelize(0L until n / 10, 32).map { j =>
+        val i = j * 10
+        val flipped = (0 until (j % 4).toInt)
+          .foldLeft(mix(i))((s, b) => s ^ (1L << ((i * 7 + b * 13) % 64)))
+        (n + i, flipped)
+      }
+      val sigs = base.union(twins).toDF("id", "sig").cache()
+      val total = sigs.count()
+      def timeJoin(tag: String)(body: => Long): Unit = {
+        val warm = body
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[phash-scale] $tag%-18s n=$total%7d $best%6.2f s " +
+          f"${total / best}%,11.0f sigs/s ($warm pairs)")
+      }
+      if (n <= 200000)
+        timeJoin("join-8x8bit")(
+          D.neardupPairsByHamming64(sigs, "sig", "id", Nil, 8, 4).count())
+      else
+        // measured once at n=440k: 229.5 s — the 8-bit-key bucket cliff
+        // (n/256-wide buckets); skipped on reruns, geometry documented
+        println(s"[phash-scale] join-8x8bit        n=$total SKIPPED " +
+          "(8-bit keys are the wrong geometry past ~1e5 — see SCALE.md)")
+      timeJoin("join-5x13bit")(
+        D.neardupPairsByHamming64(sigs, "sig", "id", Nil, 5, 4).count())
+      timeJoin("join-4x16bit")(
+        D.neardupPairsByHamming64(sigs, "sig", "id", Nil, 4, 3).count())
+      val dir = java.nio.file.Files.createTempDirectory(s"phash-idx-$n").toString
+      val t0 = System.nanoTime()
+      D.writeHammingIndex(sigs, "sig", "id", dir, Nil, bands = 8)
+      println(f"[phash-scale] index-write        n=$total%7d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val batch = spark.sparkContext.parallelize(0L until 1000L, 8)
+        .map(j => (10_000_000L + j, mix(j * 10) ^ 1L)).toDF("id", "sig")
+      timeJoin("index-probe-1k")(
+        D.probeHammingIndex(spark, dir, batch, "sig", "id", Nil, 8, 4).count())
+      sigs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -48,7 +48,8 @@ class HammingLshSpec extends SparkSpec {
 
   test("banded pairs ≡ brute pairs at every threshold < bands (total recall)") {
     val df = battery
-    for ((bands, maxDist) <- Seq((8, 4), (8, 7), (16, 4), (4, 3))) {
+    for ((bands, maxDist) <- Seq((8, 4), (8, 7), (16, 4), (4, 3),
+                                 (5, 4), (7, 6), (13, 4))) {
       val brute = bruteSet(df, maxDist)
       val banded = bandedSet(df, bands, maxDist)
       assert(banded === brute, s"bands=$bands maxDist=$maxDist")
