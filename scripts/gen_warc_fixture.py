@@ -210,6 +210,24 @@ IMG_B = png_gray(img_pixels(22))                     # distinct
 TONE_A = wav_pcm16(tone_samples(30))
 TONE_A_GAIN = wav_pcm16(tone_samples(30, gain=2))    # afp-identical twin
 
+# video records embed the committed avc1 corpus clips (generated and
+# round-trip-verified by scripts/gen_h264_fixture.py); CLIP_A is re-hosted
+# byte-identical on a second domain (dist-0 keyframe-pHash pair by
+# construction), CLIP_B is a distinct clip
+H264_CORPUS = os.path.join(os.path.dirname(__file__), "..",
+                           "src", "main", "resources", "graft", "h264",
+                           "corpus")
+with open(os.path.join(H264_CORPUS, "clip_00.mp4"), "rb") as _f:
+    CLIP_A = _f.read()
+with open(os.path.join(H264_CORPUS, "clip_01.mp4"), "rb") as _f:
+    CLIP_B = _f.read()
+# first-keyframe pHashes of clip_00/clip_01 — the q173 oracle literals,
+# produced by gen_h264_fixture.py's INDEPENDENT python-encoder replay
+# (section 14); carried here (as unsigned) to replay the video near-dup
+# distances without re-decoding
+CLIP_A_PHASH = 8636034951607170629 % (1 << 64)
+CLIP_B_PHASH = 3676657861836354165 % (1 << 64)
+
 WARCINFO = ("software: graft-fixture/1.0\r\n"
             "format: WARC File Format 1.0\r\n")
 
@@ -332,6 +350,17 @@ def build_records():
     recs.append(record(16, "response", "http://mirror.example/tone-a-gain.wav",
                        "application/http; msgtype=response",
                        http_response(200, "OK", "audio/x-wav", TONE_A_GAIN)))
+    # video: a clip re-hosted byte-identical on the mirror domain (dist-0
+    # keyframe-pHash pair) and a distinct clip
+    recs.append(record(17, "response", "http://fixture.example/clip-a.mp4",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "video/mp4", CLIP_A)))
+    recs.append(record(18, "response", "http://MIRROR.example:80/clip-a-copy.mp4",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "video/mp4", CLIP_A)))
+    recs.append(record(19, "response", "http://fixture.example/clip-b.mp4",
+                       "application/http; msgtype=response",
+                       http_response(200, "OK", "video/mp4", CLIP_B)))
     return recs
 
 
@@ -343,7 +372,7 @@ def expected_rows():
     responses, the decoded payload for other text/non-HTTP records, and
     '' for binary responses (a crawler never UTF-8-decodes a PNG)."""
     html = {2, 3, 5, 6, 7, 8, 9, 10, 11}
-    binary = {12, 13, 14, 15, 16}
+    binary = {12, 13, 14, 15, 16, 17, 18, 19}
     rows = []
     for i, (rtype, uri, status, payload) in enumerate([
         ("warcinfo", "", -1, WARCINFO.encode("ascii")),
@@ -364,6 +393,9 @@ def expected_rows():
         ("response", "http://fixture.example/img-b.png", 200, IMG_B),
         ("response", "http://fixture.example/tone-a.wav", 200, TONE_A),
         ("response", "http://mirror.example/tone-a-gain.wav", 200, TONE_A_GAIN),
+        ("response", "http://fixture.example/clip-a.mp4", 200, CLIP_A),
+        ("response", "http://MIRROR.example:80/clip-a-copy.mp4", 200, CLIP_A),
+        ("response", "http://fixture.example/clip-b.mp4", 200, CLIP_B),
     ]):
         if i in html:
             text = html_to_text(payload.decode("ascii"))
@@ -634,6 +666,14 @@ def q175_rows(bands=4, rows_per_band=2, n=3, tau=0.6, max_dist=4):
     media("audio", [(15, "http://fixture.example/tone-a.wav", tone_samples(30)),
                     (16, "http://mirror.example/tone-a-gain.wav", tone_samples(30, 2))],
           afp64)
+    # video: byte-identical payloads hash identically BY CONSTRUCTION
+    # (same decoder, same bytes); cross-clip distance replays from the
+    # q173 literals (the independent python-encoder replay in
+    # gen_h264_fixture.py) — sig_fn is identity over those hashes
+    media("video", [(17, "http://fixture.example/clip-a.mp4", CLIP_A_PHASH),
+                    (18, "http://MIRROR.example:80/clip-a-copy.mp4", CLIP_A_PHASH),
+                    (19, "http://fixture.example/clip-b.mp4", CLIP_B_PHASH)],
+          lambda h: h)
     return sorted(rows)
 
 

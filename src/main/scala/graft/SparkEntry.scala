@@ -2300,13 +2300,16 @@ object SparkEntry {
     // ---- the MULTIMODAL crawl front door in one query: WARC → route by
     // content type → text: density-rule main text + quality gate + exact
     // dedup + minhash-LSH near-dedup (the q170 front half); image: PNG
-    // decode → DCT pHash; audio: WAV decode → WHT fingerprint → hamming
-    // band-prefix LSH pairs per modality → connected components → kept
+    // decode → DCT pHash; audio: WAV decode → WHT fingerprint; video:
+    // MP4 demux → keyframe H.264 decode → pHash → hamming band-prefix
+    // LSH pairs per modality → connected components → kept
     // representatives with member counts. The fixture plants a
-    // cross-domain perceptual image copy and a ×2-gain audio twin next
-    // to the coded/mirrored text duplicates; the oracle is the python
-    // generator replaying EVERY stage — extraction, canonicalization,
-    // minhash banding, PNG/WAV encode→hash, hamming pairing, union-find --
+    // cross-domain perceptual image copy, a ×2-gain audio twin, and a
+    // re-hosted byte-identical clip next to the coded/mirrored text
+    // duplicates; the oracle is the python generator replaying EVERY
+    // stage — extraction, canonicalization, minhash banding, PNG/WAV
+    // encode→hash, video distances from the independent encoder's
+    // replayed literals, hamming pairing, union-find ---------------------
     "q175_multimodal_crawl" -> ((s, _) => {
       val H = graft.functions.HtmlFunctions
       val U = graft.functions.UrlFunctions
@@ -2340,11 +2343,13 @@ object SparkEntry {
           sum(col("n_copies")).as("n_members"))
         .select(lit("text").as("modality"), col("keeper_uri"), col("n_members"))
       val media = warc.filter(col("http_content_type").startsWith("image/") ||
-          col("http_content_type").startsWith("audio/"))
+          col("http_content_type").startsWith("audio/") ||
+          col("http_content_type").startsWith("video/"))
         .select(col("record_index").cast("long").as("rid"),
           U.canonicalizeUrl(col("target_uri")).as("canon"),
           when(col("http_content_type").startsWith("image/"), "image")
-            .otherwise("audio").as("modality"),
+            .when(col("http_content_type").startsWith("audio/"), "audio")
+            .otherwise("video").as("modality"),
           col("payload"))
       // only the 16-byte/row SIGNATURES and the uri map are staged —
       // never the binary payloads (at corpus scale those stay in the
@@ -2357,7 +2362,10 @@ object SparkEntry {
       val asig = M.audioPhash(media.filter(col("modality") === "audio")
           .select("rid", "payload"), "rid", "payload")
         .select(lit("audio").as("modality"), col("rid"), col("afp").as("sig"))
-      val sigs = isig.unionByName(asig).localCheckpoint(true)
+      val vsig = M.videoPhash(media.filter(col("modality") === "video")
+          .select("rid", "payload"), "rid", "payload")
+        .select(lit("video").as("modality"), col("rid"), col("phash").as("sig"))
+      val sigs = isig.unionByName(asig).unionByName(vsig).localCheckpoint(true)
       val mpairs = D.neardupPairsByHamming64(sigs, "sig", "rid",
           partitionCols = Seq("modality"), bands = 8, maxDistance = 4)
         .select(col("id_a"), col("id_b"))
@@ -4361,7 +4369,10 @@ object SparkEntry {
         |  (CAST(13 AS BIGINT), 'response', 'http://MIRROR.example:80/img-a-copy.png', CAST(200 AS BIGINT), CAST(1124 AS BIGINT), 'eb78cc0638bce88fccc6c8b35b496576', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
         |  (CAST(14 AS BIGINT), 'response', 'http://fixture.example/img-b.png', CAST(200 AS BIGINT), CAST(1106 AS BIGINT), '93bebab32bd65e07e5fb7603594ee844', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
         |  (CAST(15 AS BIGINT), 'response', 'http://fixture.example/tone-a.wav', CAST(200 AS BIGINT), CAST(2092 AS BIGINT), '2787ee01bfb29c0d230b8cdc625130b7', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
-        |  (CAST(16 AS BIGINT), 'response', 'http://mirror.example/tone-a-gain.wav', CAST(200 AS BIGINT), CAST(2092 AS BIGINT), '6f54b6ce2d76f2c5de7278bf28864cd5', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT))),
+        |  (CAST(16 AS BIGINT), 'response', 'http://mirror.example/tone-a-gain.wav', CAST(200 AS BIGINT), CAST(2092 AS BIGINT), '6f54b6ce2d76f2c5de7278bf28864cd5', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(17 AS BIGINT), 'response', 'http://fixture.example/clip-a.mp4', CAST(200 AS BIGINT), CAST(4159 AS BIGINT), '6cba773aae2826c6b5acf5b2e30c0d3d', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(18 AS BIGINT), 'response', 'http://MIRROR.example:80/clip-a-copy.mp4', CAST(200 AS BIGINT), CAST(4159 AS BIGINT), '6cba773aae2826c6b5acf5b2e30c0d3d', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT)),
+        |  (CAST(19 AS BIGINT), 'response', 'http://fixture.example/clip-b.mp4', CAST(200 AS BIGINT), CAST(4176 AS BIGINT), 'd74b0da80ab80601edddd419f680eb85', 'd41d8cd98f00b204e9800998ecf8427e', CAST(0 AS BIGINT))),
         |k(kind) AS (VALUES ('gz'), ('plain'))
         |SELECT kind, record_index, warc_type, target_uri, http_status,
         |  payload_len, payload_md5, text_md5, text_chars
@@ -4563,7 +4574,9 @@ object SparkEntry {
         |  ('text', 'http://fixture.example/page-a', CAST(3 AS BIGINT)),
         |  ('text', 'http://fixture.example/page-b', CAST(2 AS BIGINT)),
         |  ('text', 'http://fixture.example/page-c', CAST(2 AS BIGINT)),
-        |  ('text', 'http://mirror.example/page-d?a=1&b=2', CAST(1 AS BIGINT)))
+        |  ('text', 'http://mirror.example/page-d?a=1&b=2', CAST(1 AS BIGINT)),
+        |  ('video', 'http://fixture.example/clip-a.mp4', CAST(2 AS BIGINT)),
+        |  ('video', 'http://fixture.example/clip-b.mp4', CAST(1 AS BIGINT)))
         |SELECT modality, keeper_uri, n_members
         |FROM v ORDER BY modality, keeper_uri""".stripMargin,
     // q178: literals from scripts/gen_h264_fixture.py section 15 — the

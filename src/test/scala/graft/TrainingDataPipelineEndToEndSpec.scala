@@ -143,30 +143,37 @@ class TrainingDataPipelineEndToEndSpec extends SparkSpec {
     val warc = graft.sources.Warc.readWarc(spark, dir.toString)
       .filter($"http_status" === 200)
     val media = warc.filter($"http_content_type".startsWith("image/") ||
-        $"http_content_type".startsWith("audio/"))
+        $"http_content_type".startsWith("audio/") ||
+        $"http_content_type".startsWith("video/"))
       .select($"record_index".cast("long").as("rid"),
         U.canonicalizeUrl($"target_uri").as("canon"),
         when($"http_content_type".startsWith("image/"), "image")
-          .otherwise("audio").as("modality"), $"payload")
-    assert(media.count() === 5) // 3 PNGs + 2 WAVs
+          .when($"http_content_type".startsWith("audio/"), "audio")
+          .otherwise("video").as("modality"), $"payload")
+    assert(media.count() === 8) // 3 PNGs + 2 WAVs + 3 MP4s
     val isig = M.imagePhash(media.filter($"modality" === "image")
         .select("rid", "payload"), "rid", "payload")
       .select(lit("image").as("modality"), $"rid", $"phash".as("sig"))
     val asig = M.audioPhash(media.filter($"modality" === "audio")
         .select("rid", "payload"), "rid", "payload")
       .select(lit("audio").as("modality"), $"rid", $"afp".as("sig"))
-    val sigs = isig.unionByName(asig)
+    val vsig = M.videoPhash(media.filter($"modality" === "video")
+        .select("rid", "payload"), "rid", "payload")
+      .select(lit("video").as("modality"), $"rid", $"phash".as("sig"))
+    val sigs = isig.unionByName(asig).unionByName(vsig)
     // every media payload really decoded (none dropped by the kernels)
-    assert(sigs.count() === 5)
+    assert(sigs.count() === 8)
     val pairs = D.neardupPairsByHamming64(sigs, "sig", "rid",
         partitionCols = Seq("modality"), bands = 8, maxDistance = 4)
       .select($"modality", $"id_a", $"id_b", $"dist")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    // the planted twins — and ONLY the twins — pair, both at distance 0:
-    // the cross-domain PNG copy (12,13) and the ×2-gain WAV (15,16)
-    assert(pairs === Set(("image", 12L, 13L, 0L), ("audio", 15L, 16L, 0L)))
-    // survivors after dropping near-dups: img-a keeps the fixture.example
-    // original, the mirror copy and the gain twin are gone
+    // the planted twins — and ONLY the twins — pair, all at distance 0:
+    // the cross-domain PNG copy (12,13), the ×2-gain WAV (15,16), and
+    // the re-hosted byte-identical clip (17,18)
+    assert(pairs === Set(("image", 12L, 13L, 0L), ("audio", 15L, 16L, 0L),
+      ("video", 17L, 18L, 0L)))
+    // survivors after dropping near-dups: the fixture.example originals
+    // keep, the mirror copies and the gain twin are gone
     val kept = D.dropByPairGraph(
         media.select($"rid", $"canon", $"modality"), "rid",
         spark.createDataFrame(pairs.toSeq.map(p => (p._2, p._3)))
@@ -175,6 +182,8 @@ class TrainingDataPipelineEndToEndSpec extends SparkSpec {
     assert(kept === Set(
       "http://fixture.example/img-a.png",
       "http://fixture.example/img-b.png",
-      "http://fixture.example/tone-a.wav"))
+      "http://fixture.example/tone-a.wav",
+      "http://fixture.example/clip-a.mp4",
+      "http://fixture.example/clip-b.mp4"))
   }
 }

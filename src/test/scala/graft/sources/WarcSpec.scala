@@ -27,7 +27,7 @@ class WarcSpec extends SparkSpec {
   test("plain and per-record-gzip layouts parse to identical records") {
     val plain = Warc.parseWarc(resource("tiny.warc"))
     val gz = Warc.parseWarc(resource("tiny.warc.gz"))
-    assert(plain.size == 17 && gz.size == 17)
+    assert(plain.size == 20 && gz.size == 20)
     plain.zip(gz).foreach { case (a, b) =>
       assert(a.record_index == b.record_index)
       assert(a.warc_type == b.warc_type && a.target_uri == b.target_uri)
@@ -104,9 +104,9 @@ class WarcSpec extends SparkSpec {
       java.nio.file.Files.write(dir.resolve(n), resource(n))
     }
     val df = Warc.readWarc(spark, dir.toString)
-    assert(df.count() == 34)
+    assert(df.count() == 40)
     val statuses = df.filter("http_status = 200").count()
-    assert(statuses == 28) // 14 OK responses (9 html/text + 5 media) × 2 layouts
+    assert(statuses == 34) // 17 OK responses (9 html/text + 5 media + 3 video) × 2 layouts
     assert(df.select("file").distinct().count() == 2)
   }
 
@@ -136,6 +136,12 @@ class WarcSpec extends SparkSpec {
     // 15/16: WAVs carry decodable 16-bit PCM for the fingerprint kernel
     assert(AudioCodec.bandEnergies(rs(15).payload).isDefined)
     assert(AudioCodec.bandEnergies(rs(16).payload).isDefined)
+    // 17/18: the re-hosted clip is byte-identical; 19 is a distinct mp4
+    assert(rs(17).http_content_type == "video/mp4")
+    assert(java.util.Arrays.equals(rs(17).payload, rs(18).payload))
+    assert(!java.util.Arrays.equals(rs(17).payload, rs(19).payload))
+    assert(graft.functions.Mp4Demux.demux(rs(17).payload)
+      .exists(_.tracks.exists(_.handler == "vide")))
   }
 
   test("malformed chunk framing salvages the RAW body, never throws") {
