@@ -882,6 +882,54 @@ object MultimodalFunctions {
       .select(col(idCol), graft.expr.NativeFunctions.afp64(col("band_energies")).as("afp"))
   }
 
+  /** One signature kernel for a MIXED-modality media stream: dispatch per
+    * row on a modality column ("image" | "audio" | "video") to the same
+    * decode paths as [[imagePhash]]/[[audioPhash]]/[[videoPhash]] and the
+    * same hash arithmetic (the PHash64/Afp64 companions the native
+    * expressions evaluate through — MediaStreamSpec pins bit-equality
+    * against the per-modality kernels). Stateless mapPartitions, so it
+    * runs unchanged on a STREAMING DataFrame — the ingest half of
+    * streaming media dedup. Returns (idCol, modality, sig); undecodable
+    * rows drop. */
+  def mediaSignatures(df: DataFrame, idCol: String, modalityCol: String,
+                      contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(modalityCol), col(contentCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, modality, bytes) =>
+        signatureOf(modality, bytes).map(s => (id, modality, s))
+      })
+      .toDF(idCol, "modality", "sig")
+  }
+
+  /** Per-row signature dispatch shared by [[mediaSignatures]] and the
+    * streaming kernels: the same decode paths and the same hash
+    * arithmetic the native expressions evaluate through. None when the
+    * payload does not really decode. */
+  def signatureOf(modality: String, bytes: Array[Byte]): Option[Long] =
+    modality match {
+      case "image" =>
+        ImageCodec.lumaGrid(bytes, graft.expr.PHash64.Grid)
+          .map(graft.expr.PHash64.hash)
+      case "audio" =>
+        AudioCodec.bandEnergies(bytes).map(graft.expr.Afp64.hash)
+      case "video" =>
+        for {
+          mp4 <- Mp4Demux.demux(bytes)
+          track <- mp4.tracks.find(_.handler == "vide")
+          key <- mp4.videoSamples.find(_.sync)
+          payload <- Mp4Demux.samplePayloadOpt(bytes, key)
+          g <- if (VideoCodec.isAvc(track.codec)) {
+            try graft.sources.H264Decode
+              .decodeAvccSamples(track.codecConfig, Seq(payload)).headOption
+              .map(f => planeLumaGrid(f.y, f.width, f.height, graft.expr.PHash64.Grid))
+            catch { case _: Exception => None }
+          } else ImageCodec.lumaGrid(payload, graft.expr.PHash64.Grid)
+        } yield graft.expr.PHash64.hash(g)
+      case _ => None
+    }
+
   /** Frame-sample offsets as a Column (video frame extraction plumbing):
     * every `everyNth` byte offset, capped at `maxFrames` — codegen-built-in
     * sequence/slice, ready for `explode` into one row per frame. Caller

@@ -113,6 +113,76 @@ object EventAggregates {
     deduped.drop("__digest", "__simhash")
   }
 
+  /** Streaming MEDIA dedup — the signature plane × streams: decode each
+    * arriving image/audio/video payload scan-side into its 64-bit
+    * perceptual signature ([[graft.functions.MultimodalFunctions
+    * .mediaSignatures]], a stateless mapPartitions that runs unchanged on
+    * a stream) and drop any item whose (modality, signature) was already
+    * seen within the watermark horizon. Catches the dominant duplicate
+    * classes at ingest — byte re-hosts, re-encodes, gain-scaled audio,
+    * brightness-shifted images — because those collide at distance 0;
+    * hamming 1..τ near-dups remain the batch/index side's job
+    * ([[dedupMediaAgainstIndex]] per micro-batch, or the nightly
+    * [[graft.functions.DedupFunctions.neardupPairsByHamming64]] sweep).
+    * State = one (modality, sig) key per horizon, evicted by watermark —
+    * so dropping a duplicate is GUARANTEED when the twin arrives within
+    * the watermark delay of the original and best-effort beyond it
+    * (the standard dropDuplicatesWithinWatermark contract; size the
+    * delay to the re-post horizon you care about). Batch inputs fall
+    * back to plain dropDuplicates. Returns (idCol, modality, sig, tsCol)
+    * survivors. */
+  def dedupMediaStream(media0: DataFrame, idCol: String = "media_id",
+                       modalityCol: String = "modality",
+                       contentCol: String = "content", tsCol: String = "ts",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val media = withEventTime(media0, tsCol)
+    val spark = media.sparkSession
+    import spark.implicits._
+    // ts rides THROUGH the stateless kernel (a post-hoc re-join of sig
+    // rows to their timestamps would be a stream-stream self-join —
+    // unbounded state); the kernel itself is the same signatureOf
+    // dispatch as the batch mediaSignatures
+    val sigs = media
+      .select(col(idCol).cast("long"), col(modalityCol), col(contentCol),
+        col(tsCol).cast("timestamp"))
+      .as[(Long, String, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, modality, bytes, ts) =>
+        graft.functions.MultimodalFunctions.signatureOf(modality, bytes)
+          .map(s => (id, modality, s, ts))
+      })
+      .toDF(idCol, modalityCol, "sig", tsCol)
+    if (media.isStreaming)
+      sigs.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(modalityCol, "sig")
+    else sigs.dropDuplicates(modalityCol, "sig")
+  }
+
+  /** One micro-batch of the INCREMENTAL media-dedup loop (the
+    * `foreachBatch` body for hamming-τ near-dup semantics): probe the
+    * batch's signatures against the persisted hamming index
+    * ([[graft.functions.DedupFunctions.probeHammingIndex]] — broadcast
+    * probe, index side never exchanges), drop every item within
+    * `maxDistance` of an already-indexed one AND batch-internal
+    * near-dups (keep-first by id), then append the survivors so the next
+    * batch sees them. Returns the surviving (modality, id, sig) rows. */
+  def dedupMediaAgainstIndex(batch: DataFrame, indexPath: String,
+                             sigCol: String = "sig", idCol: String = "id",
+                             partitionCols: Seq[String] = Seq("modality"),
+                             bands: Int = 8, maxDistance: Int = 4): DataFrame = {
+    val D = graft.functions.DedupFunctions
+    val hits = D.probeHammingIndex(batch.sparkSession, indexPath, batch,
+        sigCol, idCol, partitionCols, bands, maxDistance)
+      .select(col("id_new").as(idCol)).distinct()
+    val afterIndex = batch.join(hits, Seq(idCol), "left_anti")
+    val internal = D.neardupPairsByHamming64(afterIndex, sigCol, idCol,
+      partitionCols, bands, maxDistance)
+    val survivors = D.dropByPairGraph(afterIndex, idCol, internal)
+      .localCheckpoint(true)
+    D.appendToHammingIndex(survivors, sigCol, idCol, indexPath,
+      partitionCols, bands)
+    survivors
+  }
+
   /** Stream-static enrichment: attach dimension attributes to a live event
     * stream. The dimension side is a plain batch DataFrame — Spark re-reads
     * it per micro-batch (picking up slowly-changing updates) and broadcasts
