@@ -430,6 +430,36 @@ TWO_LEVEL_SUFFIXES = {
     "co.id", "or.id", "ac.id", "go.id"}
 
 
+def pct_normalize(s: str) -> str:
+    """RFC 3986 percent-escape normalization (the UrlFunctions contract):
+    unreserved bytes decode, other valid escapes upcase their hex,
+    malformed escapes pass verbatim."""
+    parts = s.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        h = p[:2].upper()
+        if not re.fullmatch(r"[0-9A-F]{2}", h or ""):
+            out.append("%" + p)
+        elif re.fullmatch(r"3[0-9]|4[1-9A-F]|5[0-9A]|6[1-9A-F]|7[0-9A]|2[DE]|5F|7E", h):
+            out.append(chr(int(h, 16)) + p[2:])
+        else:
+            out.append("%" + h + p[2:])
+    return "".join(out)
+
+
+def split_host_port(authority: str):
+    """IPv6-aware host/port split of a lowercased authority."""
+    if authority.startswith("["):
+        m = re.match(r"^(\[[^\]]*\])", authority)
+        host = m.group(1) if m else ""
+        pm = re.match(r"^\[[^\]]*\]:([0-9]+)$", authority)
+        port = pm.group(1) if pm else ""
+        return host, port
+    host = re.match(r"^([^:]*)", authority).group(1)
+    port = re.search(r":([0-9]*)$", authority).group(1) if ":" in authority else ""
+    return host, port
+
+
 def canonicalize_url(url: str) -> str:
     nofrag = re.match(r"^([^#]*)", url.strip()).group(1)
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", nofrag)
@@ -439,10 +469,9 @@ def canonicalize_url(url: str) -> str:
     rest = nofrag[m.end():]
     authority = re.sub(r"^[^@]*@", "", re.match(r"^([^/?]*)", rest).group(1)).lower()
     pathquery = re.sub(r"^[^/?]*", "", rest)
-    path = re.match(r"^([^?]*)", pathquery).group(1)
-    query = re.sub(r"^[^?]*\?", "", pathquery) if "?" in pathquery else ""
-    host = re.match(r"^([^:]*)", authority).group(1)
-    port = re.search(r":([0-9]*)$", authority).group(1) if ":" in authority else ""
+    path = pct_normalize(re.match(r"^([^?]*)", pathquery).group(1))
+    query = pct_normalize(re.sub(r"^[^?]*\?", "", pathquery)) if "?" in pathquery else ""
+    host, port = split_host_port(authority)
     keep = port != "" and not ((scheme == "http" and port == "80") or
                                (scheme == "https" and port == "443"))
     auth = host + ((":" + port) if keep else "")
@@ -454,13 +483,18 @@ def canonicalize_url(url: str) -> str:
 
 
 def registered_domain(url: str) -> str:
+    """The two-label-suffix SUBSET of the UrlFunctions PSL algorithm —
+    sufficient for the fixture's hosts (the wildcard/exception/3-label
+    rules never fire on fixture.example/mirror.example); the full PSL
+    battery is oracled separately in q171."""
     nofrag = re.match(r"^([^#]*)", url.strip()).group(1)
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", nofrag)
     rest = nofrag[m.end():] if m else nofrag
     authority = re.sub(r"^[^@]*@", "", re.match(r"^([^/?]*)", rest).group(1)).lower()
-    host = re.match(r"^([^:]*)", authority).group(1)
+    host, _ = split_host_port(authority)
     labels = host.split(".")
-    if re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", host) or len(labels) <= 1:
+    if (re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", host)
+            or host.startswith("[") or len(labels) <= 1):
         return host
     if len(labels) >= 3 and ".".join(labels[-2:]) in TWO_LEVEL_SUFFIXES:
         return ".".join(labels[-3:])

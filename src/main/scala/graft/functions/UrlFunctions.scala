@@ -149,7 +149,10 @@ object UrlFunctions {
           concat(decode(unhex(h), "UTF-8"), rest))
         .otherwise(concat(lit("%"), h, rest))
     })
-    array_join(fixed, "")
+    // fast path: almost no real-crawl URL carries an escape, and the
+    // split/transform/join chain is an interpreted higher-order pipeline —
+    // a codegen'd contains() gates it to the rows that need it
+    when(!s.contains("%"), s).otherwise(array_join(fixed, ""))
   }
 
   /** Canonical URL under the contract above. Non-URL strings (no

@@ -154,6 +154,42 @@ class UrlFunctionsSpec extends SparkSpec {
       s"not a fixed point: ${r.getString(0)} -> ${r.getString(1)}"))
   }
 
+  test("fuzz: canonicalization never throws and is idempotent on 600 generated URLs") {
+    // deterministic generator across the grammar's corners: schemes,
+    // userinfo, IPv4/IPv6/deep hosts (incl. PSL wildcard/exception TLDs),
+    // ports, empty/deep/slash-heavy paths, escapes (valid/malformed/
+    // truncated), duplicate+empty query params, fragments, whitespace
+    val rnd = new scala.util.Random(42)
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.length))
+    val urls = (0 until 600).map { _ =>
+      val scheme = pick(Seq("http", "HTTP", "https", "ftp", ""))
+      val user = pick(Seq("", "u:p@", "@"))
+      val host = pick(Seq("Example.COM", "a.b.co.uk", "x.y.ck", "www.ck",
+        "sub.city.kawasaki.jp", "192.168.0.1", "[2001:DB8::1]", "localhost",
+        "k12.ca.us", "a..b", "", "."))
+      val port = pick(Seq("", ":80", ":443", ":8080", ":"))
+      val path = pick(Seq("", "/", "/a/b/", "//", "/%7e", "/%zz", "/100%",
+        "/a%2Fb", "/caf%c3%a9", "/%4", "/%"))
+      val query = pick(Seq("", "?", "?a=1&b=2", "?b=2&a=1&&", "?x=%41",
+        "?k=%2d%2E&k=%2d%2E", "?=", "?a"))
+      val frag = pick(Seq("", "#f", "#"))
+      val ws = pick(Seq("", " ", "  "))
+      if (scheme.isEmpty) s"$ws$host$path$query$frag$ws"
+      else s"$ws$scheme://$user$host$port$path$query$frag$ws"
+    }
+    val out = urls.toDF("url").select(col("url"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("c"),
+        UrlFunctions.registeredDomain(col("url")).as("d"))
+      .select(col("c"), UrlFunctions.canonicalizeUrl(col("c")).as("cc"), col("d"))
+      .collect()
+    assert(out.length === 600) // no row threw (ANSI mode is on)
+    out.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"not a fixed point: '${r.getString(0)}' -> '${r.getString(1)}'")
+      assert(r.getString(2) != null)
+    }
+  }
+
   test("per-domain cap composes: canonical dedup then capPerGroup(regdom)") {
     // 6 urls, 2 of which are canonical twins -> 5 canonical docs over 2
     // domains; cap 2 per registered domain -> 4 survivors
