@@ -54,6 +54,41 @@ object WarcScale {
     g.write(b); g.close(); bos.toByteArray
   }
 
+  private def mediaRecord(idx: Int, ctype: String, body: Array[Byte]): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:uuid:m$idx>\r\n" +
+      s"WARC-Target-URI: http://synth.example/media/$idx\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def png(id: Int): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = ((x * 7 + y * 13 + id * 29) * (x + y + id + 1) + x * y) % 256
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wav(id: Int): Array[Byte] = {
+    val samples = Array.tabulate(2048) { n =>
+      (((id + 3).toLong * ((n.toLong * n) % 977) + 17L * n) % 4096 - 2048).toShort
+    }
+    graft.functions.MultimodalFunctions.AudioCodec.pcm16Wav(samples, 8000)
+  }
+
+  private lazy val clips: IndexedSeq[Array[Byte]] = (0 until 8).map { c =>
+    val in = getClass.getResourceAsStream(f"/graft/h264/corpus/clip_$c%02d.mp4")
+    try in.readAllBytes() finally in.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val configs = (if (args.nonEmpty) args(0) else "8,200:32,200:128,200")
       .split(":").map { c =>
@@ -69,6 +104,7 @@ object WarcScale {
     for ((nFiles, perFile) <- configs) {
       val dir = java.nio.file.Files.createTempDirectory(s"warc-scale-$nFiles")
       var rawBytes = 0L
+      var mediaRecs = 0L
       for (f <- 0 until nFiles) {
         val bos = new java.io.ByteArrayOutputStream()
         for (r <- 0 until perFile) {
@@ -76,6 +112,23 @@ object WarcScale {
             page(f * perFile + r).getBytes("ISO-8859-1"))
           rawBytes += rec.length
           bos.write(gz(rec)) // per-record gzip member, the CC layout
+        }
+        // mixed-in media records — the multimodal crawl shape (q175):
+        // perFile/4 PNGs, perFile/8 WAVs, perFile/16 avc1 clips per segment
+        for (r <- 0 until perFile / 4) {
+          val id = f * perFile + r
+          val rec = mediaRecord(id, "image/png", png(id))
+          rawBytes += rec.length; mediaRecs += 1; bos.write(gz(rec))
+        }
+        for (r <- 0 until perFile / 8) {
+          val id = f * perFile + r
+          val rec = mediaRecord(1000000 + id, "audio/x-wav", wav(id))
+          rawBytes += rec.length; mediaRecs += 1; bos.write(gz(rec))
+        }
+        for (r <- 0 until perFile / 16) {
+          val id = f * perFile + r
+          val rec = mediaRecord(2000000 + id, "video/mp4", clips(id % clips.length))
+          rawBytes += rec.length; mediaRecs += 1; bos.write(gz(rec))
         }
         java.nio.file.Files.write(dir.resolve(f"seg_$f%05d.warc.gz"),
           bos.toByteArray)
@@ -114,6 +167,30 @@ object WarcScale {
         scan.filter(col("http_status") === 200)
           .select(HtmlFunctions.mainTextSpec(col("payload").cast("string")).as("mt"))
           .agg(sum(length(col("mt")))).head().getLong(0)
+      }
+      // the multimodal route: non-text records through the unified
+      // signature kernel (PNG decode → pHash, WAV → afp, MP4 demux →
+      // keyframe H.264 decode → pHash) — still file = task, zero shuffle
+      locally {
+        val media = scan.filter(col("http_status") === 200 &&
+            !col("http_content_type").startsWith("text/"))
+          .select(col("record_index").cast("long").as("id"),
+            when(col("http_content_type").startsWith("image/"), "image")
+              .when(col("http_content_type").startsWith("audio/"), "audio")
+              .otherwise("video").as("modality"),
+            col("payload"))
+        def body: Long = graft.functions.MultimodalFunctions
+          .mediaSignatures(media, "id", "modality", "payload")
+          .agg(count(lit(1))).head().getLong(0)
+        val sigCount = body // warm + sanity
+        require(sigCount == nFiles.toLong * (perFile / 4 + perFile / 8 + perFile / 16),
+          s"every synthesized media payload must decode, got $sigCount of $mediaRecs")
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[warc-scale] media-sig    files=$nFiles%4d recs=$mediaRecs%,8d " +
+          f"raw=${rawBytes / 1e6}%6.1f MB ${best}%6.2f s " +
+          f"${mediaRecs / best}%,9.0f recs/s")
       }
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(dir).iterator().asScala

@@ -83,6 +83,23 @@ class PlanSpec extends SparkSpec {
       "no broadcast side-channel: the oversized-key path must reuse the band-key partitioning")
   }
 
+  test("q176-shape: hamming band join = one band-key shuffle + one pair-dedup shuffle") {
+    import spark.implicits._
+    val sigs = (0L until 400L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("id", "sig")
+    val df = graft.functions.DedupFunctions
+      .neardupPairsByHamming64(sigs, "sig", "id", Nil, bands = 8, maxDistance = 4)
+    df.collect() // drive AQE to the final physical plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the band-key regroup (window + bucket groupBy + both oversized-key
+    // join sides all consume it — ReusedExchange) plus the final pair
+    // distinct (over O(pairs) rows, tiny against the corpus) — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"only the band regroup and the pair distinct may shuffle:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      "the oversized-key path must reuse the band-key partitioning")
+  }
+
   test("q53: blocked all-pairs scoring shuffles once (block regroup), joins blocks not rows") {
     val df = SparkEntry.queries("q53_emb_neighbors")(spark, sf0001)
     df.collect() // drive AQE to the final physical plan
