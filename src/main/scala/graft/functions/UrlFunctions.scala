@@ -191,37 +191,69 @@ object UrlFunctions {
     * (`x.y.example.com` → `example.com`). Hosts that are themselves a
     * public suffix, IPv4/IPv6 literals, and single-label hosts return
     * unchanged. */
-  def registeredDomain(url: Column): Column = {
+  def registeredDomain(url: Column): Column =
+    registeredDomainFromRules(url, BundledPslRules)
+
+  /** The bundled rule subset in PSL file syntax — one instance of what
+    * [[registeredDomainFromRules]] accepts; the REAL public suffix list
+    * (the raw `public_suffix_list.dat` lines) swaps in verbatim. */
+  val BundledPslRules: Seq[String] =
+    TwoLevelSuffixes ++ ThreeLevelSuffixes ++
+      WildcardBases1.map("*." + _) ++ WildcardBases2.map("*." + _) ++
+      Exceptions2.map("!" + _) ++ Exceptions3.map("!" + _)
+
+  /** Registered domain under an ARBITRARY public-suffix rule list in PSL
+    * file syntax: `rule` (exact), `*.base` (wildcard — every single label
+    * under the base is a suffix), `!rule` (exception — the rule itself is
+    * registrable, prevailing over any wildcard that covers it); comment
+    * (`// …`) and blank lines are ignored, so the raw
+    * public_suffix_list.dat feeds in directly. The PSL algorithm:
+    * exceptions prevail, else the longest matching rule (wildcards count
+    * base+1 labels), else the default `*` rule (suffix = last label).
+    *
+    * Still a no-join design at ANY list size: each distinct rule depth
+    * compiles to one `isin` (OptimizeIn folds a literal In to an O(1)
+    * InSet), so the full ~10k-rule PSL is a handful of hashed string
+    * sets riding the plan — never a dimension join, never a UDF. */
+  def registeredDomainFromRules(url: Column, rules: Seq[String]): Column = {
+    val clean = rules.map(_.trim.toLowerCase)
+      .filter(r => r.nonEmpty && !r.startsWith("//"))
+    def byLen(xs: Seq[String]): Map[Int, Seq[String]] =
+      xs.groupBy(_.count(_ == '.') + 1)
+    val exc = byLen(clean.filter(_.startsWith("!")).map(_.drop(1)))
+    val wild = byLen(clean.filter(_.startsWith("*.")).map(_.drop(2)))
+    val exact = byLen(clean.filterNot(r => r.startsWith("!") || r.startsWith("*.")))
+
     val host = urlHost(url)
     val labels = split(host, "\\.")
     val n = size(labels)
     def lastK(k: Int): Column =
-      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
-    val last1 = element_at(labels, -1)
-    val last2 = lastK(2)
-    val last3 = lastK(3)
-    val last4 = lastK(4)
+      if (k == 1) element_at(labels, -1)
+      else concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
     val isIp = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$") ||
       host.startsWith("[")
-    // isin, not array_contains(array(...)): OptimizeIn folds a literal In
-    // to an O(1) InSet and the plan carries one set, not 90 literal nodes
-    def in(set: Seq[String], c: Column): Column = c.isin(set: _*)
-    // branch order = PSL precedence: exceptions, then suffix-length-3
-    // rules (wildcard base-2 / exact-3), then suffix-length-2 rules
-    // (wildcard base-1 / exact-2), then the default '*' rule. element_at
-    // negative indices stay behind n-guards (ANSI errors on short arrays);
-    // `&&` and CASE branches both evaluate lazily.
-    when(isIp || n <= 1, host)
-      .when(n >= 3 && in(Exceptions3, last3), last3)
-      .when(n >= 2 && in(Exceptions2, last2), last2)
-      .when(n >= 2 && in(WildcardBases2, last2),
-        when(n >= 4, last4).otherwise(host))
-      .when(n >= 3 && in(ThreeLevelSuffixes, last3),
-        when(n >= 4, last4).otherwise(host))
-      .when(in(WildcardBases1, last1),
-        when(n >= 3, last3).otherwise(host))
-      .when(n >= 2 && in(TwoLevelSuffixes, last2),
-        when(n >= 3, last3).otherwise(host))
-      .otherwise(last2)
+    // branch order = PSL precedence: exceptions (longest first), then
+    // matching rules by EFFECTIVE suffix length descending (a wildcard of
+    // base length k makes suffixes of k+1 labels), then the default '*'
+    // rule. element_at negative indices stay behind n-guards (ANSI errors
+    // on short arrays); `&&` and CASE branches both evaluate lazily.
+    val start = when(isIp || n <= 1, host)
+    val afterExc = exc.keys.toSeq.sorted.reverse.foldLeft(start) { (c, k) =>
+      c.when(n >= k && lastK(k).isin(exc(k): _*), lastK(k))
+    }
+    val suffixLens = (wild.keys.map(_ + 1) ++ exact.keys).toSeq.distinct.sorted.reverse
+    val chain = suffixLens.foldLeft(afterExc) { (c0, s) =>
+      val c1 = wild.get(s - 1).fold(c0) { bases =>
+        val guard = if (s - 1 >= 2) n >= (s - 1) && lastK(s - 1).isin(bases: _*)
+                    else lastK(1).isin(bases: _*)
+        c0.when(guard, when(n >= s + 1, lastK(s + 1)).otherwise(host))
+      }
+      exact.get(s).fold(c1) { sufs =>
+        val guard = if (s >= 2) n >= s && lastK(s).isin(sufs: _*)
+                    else lastK(1).isin(sufs: _*)
+        c1.when(guard, when(n >= s + 1, lastK(s + 1)).otherwise(host))
+      }
+    }
+    chain.otherwise(lastK(2))
   }
 }

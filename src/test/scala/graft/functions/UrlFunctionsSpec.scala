@@ -154,6 +154,37 @@ class UrlFunctionsSpec extends SparkSpec {
       s"not a fixed point: ${r.getString(0)} -> ${r.getString(1)}"))
   }
 
+  test("registeredDomainFromRules: the raw PSL file syntax swaps in (any depth, comments ignored)") {
+    // a PSL-file-shaped custom list: comments, blanks, a 4-label exact
+    // rule, a 3-label wildcard, and its exception
+    val rules = Seq(
+      "// this is a comment",
+      "",
+      "com", "co.uk",
+      "pvt.k12.ma.us",            // 4-label registrables: school.pvt.k12.ma.us
+      "*.compute.amazonaws.com",  // 3-label wildcard base -> 4-label suffixes
+      "!proxy.compute.amazonaws.com")
+    val got = Seq(
+      "http://school.pvt.k12.ma.us/x",       // 4-label exact -> 5-label regdom
+      "http://deep.school.pvt.k12.ma.us/",
+      "http://x.eu-1.compute.amazonaws.com", // wildcard: eu-1.… is the suffix
+      "http://proxy.compute.amazonaws.com/", // exception: itself registrable
+      "http://a.proxy.compute.amazonaws.com",
+      "http://www.example.com/",             // plain exact TLD
+      "http://a.b.co.uk")
+      .toDF("url")
+      .select(col("url"),
+        UrlFunctions.registeredDomainFromRules(col("url"), rules).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("http://school.pvt.k12.ma.us/x") === "school.pvt.k12.ma.us")
+    assert(got("http://deep.school.pvt.k12.ma.us/") === "school.pvt.k12.ma.us")
+    assert(got("http://x.eu-1.compute.amazonaws.com") === "x.eu-1.compute.amazonaws.com")
+    assert(got("http://proxy.compute.amazonaws.com/") === "proxy.compute.amazonaws.com")
+    assert(got("http://a.proxy.compute.amazonaws.com") === "proxy.compute.amazonaws.com")
+    assert(got("http://www.example.com/") === "example.com")
+    assert(got("http://a.b.co.uk") === "b.co.uk")
+  }
+
   test("fuzz: canonicalization never throws and is idempotent on 600 generated URLs") {
     // deterministic generator across the grammar's corners: schemes,
     // userinfo, IPv4/IPv6/deep hosts (incl. PSL wildcard/exception TLDs),
