@@ -773,6 +773,15 @@ def main():
                 print(f"  (CAST({a} AS BIGINT), CAST({b} AS BIGINT), "
                       f"CAST({d} AS BIGINT)),")
 
+    # q179: every keyframe signature pinned individually (id, keyframe
+    # ordinal, signed pHash) — the multi-keyframe EXTRACTION oracle
+    print("-- q179 oracle VALUES (media_id, k, phash) --")
+    for a in ids:
+        for k, h in enumerate(ksigs[a]):
+            signed = h - (1 << 64) if h >= 1 << 63 else h
+            print(f"  (CAST({a} AS BIGINT), CAST({k} AS BIGINT), "
+                  f"CAST({signed} AS BIGINT)),")
+
 
 if __name__ == "__main__":
     main()

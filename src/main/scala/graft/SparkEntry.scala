@@ -2408,6 +2408,27 @@ object SparkEntry {
         .groupBy(col("id_a"), col("id_b"))
         .agg(min(col("dist")).as("dist"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---- every keyframe signature pinned individually — the
+    // multi-keyframe EXTRACTION oracle behind q178's pairing: demux →
+    // per-IDR standalone decode → pHash, one row per (clip, keyframe
+    // ordinal), hashes from the independent python encoder's replay ------
+    "q179_video_keyframe_sigs" -> ((s, _) => {
+      import s.implicits._
+      val vids = s.read.format("binaryFile").option("pathGlobFilter", "*.mp4")
+        .load(mediaCorpusDir(), mediaGopDir())
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .map { case (p, b) =>
+          val id = "(clip|gop)_(\\d+)".r.findFirstMatchIn(p).map(m =>
+            (if (m.group(1) == "gop") 8L else 0L) + m.group(2).toLong).get
+          (id, b)
+        }.toDF("media_id", "content")
+      graft.functions.MultimodalFunctions
+        .videoPhashK(vids, "media_id", "content", maxKeyframes = 4)
+        .select(col("media_id"),
+          posexplode(col("phashes")).as(Seq("k", "phash")))
+        .select(col("media_id"), col("k").cast("long").as("k"), col("phash"))
+        .orderBy(col("media_id"), col("k"))
     })
   )
 
@@ -4586,6 +4607,23 @@ object SparkEntry {
       """WITH v(id_a, id_b, dist) AS (VALUES
         |  (CAST(8 AS BIGINT), CAST(9 AS BIGINT), CAST(0 AS BIGINT)))
         |SELECT id_a, id_b, dist FROM v ORDER BY id_a, id_b""".stripMargin,
+    // q179: literals from scripts/gen_h264_fixture.py section 15 — one
+    // row per (clip, keyframe ordinal), every signature the independent
+    // python encoder's reconstruction replay produces
+    "q179_video_keyframe_sigs" ->
+      """WITH v(media_id, k, phash) AS (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(8636034951607170629 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(3676657861836354165 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(-6636563845715892555 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(3738160048424576709 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(2853554358855366165 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(-668106281696418235 AS BIGINT)),
+        |  (CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(4830352879577429605 AS BIGINT)),
+        |  (CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(8303120560622614037 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(-2141083071260690843 AS BIGINT)),
+        |  (CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(2463658903366760053 AS BIGINT)),
+        |  (CAST(9 AS BIGINT), CAST(0 AS BIGINT), CAST(2463658903366760053 AS BIGINT)))
+        |SELECT media_id, k, phash FROM v ORDER BY media_id, k""".stripMargin,
     // q177: probe twins × indexed corpus — the incremental-index answer
     // must equal the two-sided brute join restricted to (new, indexed)
     "q177_hamming_index" ->

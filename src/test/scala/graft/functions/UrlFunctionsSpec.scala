@@ -161,16 +161,16 @@ class UrlFunctionsSpec extends SparkSpec {
       "// this is a comment",
       "",
       "com", "co.uk",
-      "pvt.k12.ma.us",            // 4-label registrables: school.pvt.k12.ma.us
-      "*.compute.amazonaws.com",  // 3-label wildcard base -> 4-label suffixes
-      "!proxy.compute.amazonaws.com")
+      "pvt.k12.ma.us",              // 4-label registrables: school.pvt.k12.ma.us
+      "*.compute.cloud.example",    // 3-label wildcard base -> 4-label suffixes
+      "!proxy.compute.cloud.example")
     val got = Seq(
-      "http://school.pvt.k12.ma.us/x",       // 4-label exact -> 5-label regdom
+      "http://school.pvt.k12.ma.us/x",        // 4-label exact -> 5-label regdom
       "http://deep.school.pvt.k12.ma.us/",
-      "http://x.eu-1.compute.amazonaws.com", // wildcard: eu-1.… is the suffix
-      "http://proxy.compute.amazonaws.com/", // exception: itself registrable
-      "http://a.proxy.compute.amazonaws.com",
-      "http://www.example.com/",             // plain exact TLD
+      "http://x.eu-1.compute.cloud.example",  // wildcard: eu-1.… is the suffix
+      "http://proxy.compute.cloud.example/",  // exception: itself registrable
+      "http://a.proxy.compute.cloud.example",
+      "http://www.example.com/",              // plain exact TLD
       "http://a.b.co.uk")
       .toDF("url")
       .select(col("url"),
@@ -178,9 +178,9 @@ class UrlFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got("http://school.pvt.k12.ma.us/x") === "school.pvt.k12.ma.us")
     assert(got("http://deep.school.pvt.k12.ma.us/") === "school.pvt.k12.ma.us")
-    assert(got("http://x.eu-1.compute.amazonaws.com") === "x.eu-1.compute.amazonaws.com")
-    assert(got("http://proxy.compute.amazonaws.com/") === "proxy.compute.amazonaws.com")
-    assert(got("http://a.proxy.compute.amazonaws.com") === "proxy.compute.amazonaws.com")
+    assert(got("http://x.eu-1.compute.cloud.example") === "x.eu-1.compute.cloud.example")
+    assert(got("http://proxy.compute.cloud.example/") === "proxy.compute.cloud.example")
+    assert(got("http://a.proxy.compute.cloud.example") === "proxy.compute.cloud.example")
     assert(got("http://www.example.com/") === "example.com")
     assert(got("http://a.b.co.uk") === "b.co.uk")
   }
