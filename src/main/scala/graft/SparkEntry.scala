@@ -2311,73 +2311,12 @@ object SparkEntry {
     // encode→hash, video distances from the independent encoder's
     // replayed literals, hamming pairing, union-find ---------------------
     "q175_multimodal_crawl" -> ((s, _) => {
-      val H = graft.functions.HtmlFunctions
-      val U = graft.functions.UrlFunctions
-      val D = graft.functions.DedupFunctions
-      val M = graft.functions.MultimodalFunctions
-      val G = graft.functions.GraphFunctions
-      val warc = graft.sources.Warc.readWarc(s, warcFixtureDir())
-        .filter(col("file").endsWith(".warc.gz") && col("http_status") === 200)
-      val docs = warc.filter(col("http_content_type").startsWith("text/html"))
-        .select(col("record_index").cast("long").as("rid"),
-          U.canonicalizeUrl(col("target_uri")).as("canon"),
-          H.mainText(col("payload").cast("string")).as("mt"))
-        .filter(length(col("mt")) >= 40)
-      // stage each extraction ONCE (same rationale as q170: the component
-      // walk is multi-action, and every action would otherwise re-run the
-      // WARC scan, the text extraction, and the media decode kernels)
-      val exact = docs.groupBy(col("mt"))
-        .agg(min(col("rid")).as("rid"),
-          min_by(col("canon"), col("rid")).as("canon"),
-          count(lit(1)).as("n_copies"))
-        .localCheckpoint(true)
-      val tpairs = D.neardupPairsLocal(exact, "mt", "rid",
-          n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.6)
-        .select(col("id_a"), col("id_b"))
-      val tlabels = G.componentLabels(exact.select(col("rid")), tpairs,
-        idCol = "rid", srcCol = "id_a", dstCol = "id_b")
-      val text = exact
-        .join(tlabels.withColumnRenamed("id", "rid"), "rid")
-        .groupBy(col("label"))
-        .agg(min_by(col("canon"), col("rid")).as("keeper_uri"),
-          sum(col("n_copies")).as("n_members"))
-        .select(lit("text").as("modality"), col("keeper_uri"), col("n_members"))
-      val media = warc.filter(col("http_content_type").startsWith("image/") ||
-          col("http_content_type").startsWith("audio/") ||
-          col("http_content_type").startsWith("video/"))
-        .select(col("record_index").cast("long").as("rid"),
-          U.canonicalizeUrl(col("target_uri")).as("canon"),
-          when(col("http_content_type").startsWith("image/"), "image")
-            .when(col("http_content_type").startsWith("audio/"), "audio")
-            .otherwise("video").as("modality"),
-          col("payload"))
-      // only the 16-byte/row SIGNATURES and the uri map are staged —
-      // never the binary payloads (at corpus scale those stay in the
-      // scan; each kernel's one pass is the last time pixels/PCM move)
-      val mediaMap = media.select(col("rid"), col("canon"), col("modality"))
-        .localCheckpoint(true)
-      val isig = M.imagePhash(media.filter(col("modality") === "image")
-          .select("rid", "payload"), "rid", "payload")
-        .select(lit("image").as("modality"), col("rid"), col("phash").as("sig"))
-      val asig = M.audioPhash(media.filter(col("modality") === "audio")
-          .select("rid", "payload"), "rid", "payload")
-        .select(lit("audio").as("modality"), col("rid"), col("afp").as("sig"))
-      val vsig = M.videoPhash(media.filter(col("modality") === "video")
-          .select("rid", "payload"), "rid", "payload")
-        .select(lit("video").as("modality"), col("rid"), col("phash").as("sig"))
-      val sigs = isig.unionByName(asig).unionByName(vsig).localCheckpoint(true)
-      val mpairs = D.neardupPairsByHamming64(sigs, "sig", "rid",
-          partitionCols = Seq("modality"), bands = 8, maxDistance = 4)
-        .select(col("id_a"), col("id_b"))
-      val mlabels = G.componentLabels(sigs.select(col("rid")), mpairs,
-        idCol = "rid", srcCol = "id_a", dstCol = "id_b")
-      val mediaKept = mediaMap
-        .join(mlabels.withColumnRenamed("id", "rid"), "rid")
-        .groupBy(col("modality"), col("label"))
-        .agg(min_by(col("canon"), col("rid")).as("keeper_uri"),
-          count(lit(1)).as("n_members"))
-        .select(col("modality"), col("keeper_uri"), col("n_members"))
-      text.unionByName(mediaKept)
+      graft.functions.CrawlFunctions.multimodalKeepers(
+          graft.sources.Warc.readWarc(s, warcFixtureDir())
+            .filter(col("file").endsWith(".warc.gz")),
+          minMainChars = 40, shingleN = 3, minhashBands = 4,
+          rowsPerBand = 2, jaccardThreshold = 0.6,
+          hammingBands = 8, maxDistance = 4)
         .orderBy(col("modality"), col("keeper_uri"))
     }),
     // ---- multi-keyframe video signatures + the planted RE-CUT twin:
