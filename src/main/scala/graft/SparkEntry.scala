@@ -2368,8 +2368,81 @@ object SparkEntry {
           posexplode(col("phashes")).as(Seq("k", "phash")))
         .select(col("media_id"), col("k").cast("long").as("k"), col("phash"))
         .orderBy(col("media_id"), col("k"))
+    }),
+    // ---- embeddings join the shared 64-bit signature plane: q180 pins
+    // the random-hyperplane sign sketch itself (the DuckDB oracle
+    // RE-DERIVES the 64×64 plane matrix from the integer mixing formula
+    // and replays every projection sign — nothing pinned); q181 runs the
+    // sketches through the SAME banded hamming join as text simhash and
+    // the media perceptual hashes (planted in-query twins: a ×2-gain copy
+    // of vec 0 → dist 0 by gain invariance, a +0.01-shifted copy of vec 1
+    // → dist 1, a negated copy of vec 2 → dist 64, never a pair); q182
+    // closes the loop with semantic dedup over the sketch pair graph.
+    // Geometry: bands=12 > maxDistance=11 → total recall over sketches
+    // (pigeonhole); dist ≤ 11 ≈ cosine ≥ cos(11π/64) ≈ 0.87 -----------
+    "q180_emb_sketch" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          Sim.rhpSketch64(col("embedding"), 64).as("sig"))
+        .orderBy(col("vec_id"))
+    }),
+    "q181_emb_sketch_neardup" -> ((s, d) => {
+      val sigs = embSketchAugmented(s, d)
+        .select(col("vec_id"), Sim.rhpSketch64(col("e"), 64).as("sig"))
+      D.neardupPairsByHamming64(sigs, "sig", "vec_id",
+          bands = 12, maxDistance = 11)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q182_emb_sketch_dedup" -> ((s, d) => {
+      val aug = embSketchAugmented(s, d)
+      val kept = Sim.dedupSemanticSketch(aug, "e", "vec_id", dim = 64,
+        maxDistance = 11, bands = 12)
+      aug.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // ---- the incremental crawl: the q175 record stream split into
+    // yesterday's crawl (records ≤ 12: the text pages + the first image)
+    // and today's (≥ 13: the rest of the media, incl. the cross-batch
+    // image byte-dup 12 ↔ 13). Today's batch pays extraction +
+    // batch-internal pairing + two index probes; the corpus is reached
+    // only through the persisted LSH/hamming buckets and the members
+    // rows of touched components. The oracle is q175's: the incremental
+    // state MUST reproduce the union-batch answer exactly — any probe
+    // recall loss, relabel scope error, or bookkeeping drift
+    // hash-mismatches ---------------------------------------------------
+    "q183_incremental_crawl" -> ((s, _) => {
+      val C = graft.functions.CrawlFunctions
+      val dir = memoLayout("q183_crawl_state", "battery") { tmp =>
+        val warc = graft.sources.Warc.readWarc(s, warcFixtureDir())
+          .filter(col("file").endsWith(".warc.gz"))
+          .localCheckpoint(true)
+        val p = C.CrawlParams() // identical knobs to q175
+        C.initCrawlState(s, tmp, warc.filter(col("record_index") <= 12), p)
+        C.appendCrawlBatch(s, tmp, warc.filter(col("record_index") >= 13), p)
+      }
+      C.crawlKeepers(s, dir)
+        .orderBy(col("modality"), col("keeper_uri"))
     })
   )
+
+  /** The embeddings table (doubles) plus three in-query derived twins for
+    * the sketch-plane queries — same derivations the DuckDB oracle
+    * replays with list_transform: 100000 = vec 0 × 2 (gain invariance ⇒
+    * hamming 0), 100001 = vec 1 + 0.01 (flips only near-zero projections
+    * ⇒ hamming ≈ 1), 100002 = −vec 2 (every sign flips ⇒ hamming 64, the
+    * negative control that must never pair). */
+  private def embSketchAugmented(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+    val twins = base.filter(col("vec_id") <= 2).select(
+      (col("vec_id") + lit(100000L)).as("vec_id"),
+      when(col("vec_id") === 0, transform(col("e"), x => x * lit(2.0)))
+        .when(col("vec_id") === 1, transform(col("e"), x => x + lit(0.01)))
+        .otherwise(transform(col("e"), x => -x)).as("e"))
+    base.unionByName(twins)
+  }
 
   /** Materialize the two-GOP fixture clips (gop_00 = IDR+P, IDR+P with
     * both IDRs in stss; gop_01 = the re-cut second GOP alone) from the
@@ -4563,6 +4636,63 @@ object SparkEntry {
         |  (CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(2463658903366760053 AS BIGINT)),
         |  (CAST(9 AS BIGINT), CAST(0 AS BIGINT), CAST(2463658903366760053 AS BIGINT)))
         |SELECT media_id, k, phash FROM v ORDER BY media_id, k""".stripMargin,
+    // q180–q182: the embedding sign sketch, fully RECOMPUTED — the oracle
+    // re-derives the 64×64 hyperplane matrix from the integer mixing
+    // formula (exact BIGINT arithmetic), replays every projection sign,
+    // assembles the 64-bit signature, and for q181/q182 replays the brute
+    // hamming pair join + connected components the banded engine plan
+    // must equal (total recall: bands=12 > maxDistance=11)
+    "q180_emb_sketch" ->
+      (embSketchPlanesSql + """
+        |, emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |proj AS (SELECT emb.vec_id, pl.i, sum(e[j+1] * p) AS s
+        |         FROM emb, pl GROUP BY 1, 2),
+        |sig AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN s < 0 THEN 0
+        |                WHEN i = 63 THEN -9223372036854775808
+        |                ELSE CAST(1 AS BIGINT) << i END) AS BIGINT) AS sig
+        |  FROM proj GROUP BY vec_id)
+        |SELECT vec_id, sig FROM sig ORDER BY vec_id""".stripMargin),
+    "q181_emb_sketch_neardup" ->
+      (embSketchSigsSql + """
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 11
+        |ORDER BY id_a, id_b""".stripMargin),
+    "q182_emb_sketch_dedup" ->
+      (embSketchSigsSql + """
+        |, pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 11),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |labels AS (
+        |  WITH RECURSIVE reach(id, label) AS (
+        |    SELECT vec_id, vec_id FROM sig
+        |    UNION
+        |    SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.id
+        |    WHERE r.label < e.src)
+        |  SELECT id, min(label) AS label FROM reach GROUP BY id)
+        |SELECT id AS vec_id FROM labels WHERE label < id ORDER BY vec_id""".stripMargin),
+    // q183: the incremental crawl's contract IS q175's answer — same
+    // VALUES (replayed end-to-end by scripts/gen_warc_fixture.py
+    // q175_rows): init(records ≤ 12) + append(records ≥ 13) must equal
+    // the union-batch run bit-for-bit
+    "q183_incremental_crawl" ->
+      """WITH v(modality, keeper_uri, n_members) AS (VALUES
+        |  ('audio', 'http://fixture.example/tone-a.wav', CAST(2 AS BIGINT)),
+        |  ('image', 'http://fixture.example/img-a.png', CAST(2 AS BIGINT)),
+        |  ('image', 'http://fixture.example/img-b.png', CAST(1 AS BIGINT)),
+        |  ('text', 'http://fixture.example/page-a', CAST(3 AS BIGINT)),
+        |  ('text', 'http://fixture.example/page-b', CAST(2 AS BIGINT)),
+        |  ('text', 'http://fixture.example/page-c', CAST(2 AS BIGINT)),
+        |  ('text', 'http://mirror.example/page-d?a=1&b=2', CAST(1 AS BIGINT)),
+        |  ('video', 'http://fixture.example/clip-a.mp4', CAST(2 AS BIGINT)),
+        |  ('video', 'http://fixture.example/clip-b.mp4', CAST(1 AS BIGINT)))
+        |SELECT modality, keeper_uri, n_members
+        |FROM v ORDER BY modality, keeper_uri""".stripMargin,
     // q177: probe twins × indexed corpus — the incremental-index answer
     // must equal the two-sided brute join restricted to (new, indexed)
     "q177_hamming_index" ->
@@ -4582,6 +4712,40 @@ object SparkEntry {
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.
   )
+
+  /** Shared DuckDB CTE for the embedding sketch plane (q180–q182): the
+    * 64×64 hyperplane matrix re-derived from
+    * [[graft.functions.SimilarityFunctions.rhpSketchPlanes]]'s integer
+    * mixing formula — Knuth multiply mod 2^32, xor-fold of the high half
+    * (// 65536 ≡ >> 16 on the non-negative intermediate), a 40503
+    * multiply, top 12 bits recentred to [-2048, 2047]. Exact BIGINT
+    * arithmetic end to end, so both engines hold the identical matrix. */
+  private val embSketchPlanesSql: String =
+      """WITH pl AS (
+        |  SELECT CAST(i AS BIGINT) AS i, j,
+        |    CAST(((xor((CAST(i AS BIGINT)*64 + j + 1) * 2654435761 % 4294967296,
+        |               ((CAST(i AS BIGINT)*64 + j + 1) * 2654435761 % 4294967296) // 65536)
+        |           * 40503) % 4294967296) // 1048576 - 2048 AS DOUBLE) AS p
+        |  FROM generate_series(0,63) t0(i), generate_series(0,63) t1(j))""".stripMargin
+
+  /** [[embSketchPlanesSql]] extended through the augmented corpus (the
+    * three list_transform twins of [[embSketchAugmented]]) to
+    * sig(vec_id, sig) — the shared front half of q181/q182. */
+  private val embSketchSigsSql: String =
+      (embSketchPlanesSql + """
+        |, base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, e FROM base
+        |  UNION ALL SELECT 100000, list_transform(e, x -> x * 2.0) FROM base WHERE vec_id = 0
+        |  UNION ALL SELECT 100001, list_transform(e, x -> x + 0.01) FROM base WHERE vec_id = 1
+        |  UNION ALL SELECT 100002, list_transform(e, x -> -x) FROM base WHERE vec_id = 2),
+        |proj AS (SELECT aug.vec_id, pl.i, sum(e[j+1] * p) AS s
+        |         FROM aug, pl GROUP BY 1, 2),
+        |sig AS (SELECT vec_id,
+        |  CAST(SUM(CASE WHEN s < 0 THEN 0
+        |                WHEN i = 63 THEN -9223372036854775808
+        |                ELSE CAST(1 AS BIGINT) << i END) AS BIGINT) AS sig
+        |  FROM proj GROUP BY vec_id)""".stripMargin)
 
   /** Shared DuckDB CTE chain for the cross-modal signature plane
     * (q174/q176/q177): replays the image DCT pHash from the pixel

@@ -69,4 +69,10 @@ object NativeFunctions {
     * codebooks → array<byte> of m code bytes. */
   def pq_encode(emb: Column, codebooks: Array[Float], m: Int, k: Int, subDim: Int): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(emb), codebooks, m, k, subDim))
+
+  /** Codegen'd 64-bit random-hyperplane sign sketch against a flattened
+    * [64][dim] plane matrix → bigint signature on the shared hamming
+    * plane ([[RhpSketch64Expr]]). */
+  def rhp_sketch64(emb: Column, planes: Array[Float], dim: Int): Column =
+    ColumnBridge.column(RhpSketch64Expr(ColumnBridge.expression(emb), planes, dim))
 }

@@ -1,11 +1,16 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The multimodal crawl front door as a library operator (q175 is one
-  * invocation): route a WARC record frame by content type, reduce every
-  * modality to its near-dup keepers on the shared signature machinery.
+  * invocation), plus its INCREMENTAL form (q183): a persisted crawl
+  * state that new WARC batches append to without re-reading, re-decoding,
+  * or re-pairing the corpus.
+  *
+  * Batch form ([[multimodalKeepers]]) — route a WARC record frame by
+  * content type, reduce every modality to its near-dup keepers on the
+  * shared signature machinery:
   *
   *  - text/html → density-rule main text ([[HtmlFunctions.mainText]]) +
   *    quality gate → exact dedup (keeper = first-crawled row) →
@@ -24,19 +29,75 @@ import org.apache.spark.sql.functions._
   * first-crawled record and n_members counts the crawl records that
   * collapsed into it.
   *
+  * Incremental form ([[initCrawlState]] / [[appendCrawlBatch]] /
+  * [[crawlKeepers]]) — the daily-crawl regime: the corpus lives as a
+  * members table (one row per deduped representative, labeled with its
+  * component) plus the two persisted bucket indices
+  * ([[DedupFunctions.writeLshIndex]] for text shingle bands,
+  * [[DedupFunctions.writeHammingIndex]] for media signatures). A new
+  * batch pays batch-extraction + batch-internal pairing + two index
+  * probes; the corpus is touched only through the indices (16–24 B/row
+  * bucket entries) and the members rows of components the batch actually
+  * hits. The invariant — proven by the q183 oracle and
+  * IncrementalCrawlSpec — is exact equivalence:
+  * `crawlKeepers(init(B1) + append(B2))` ≡ `multimodalKeepers(B1 ∪ B2)`,
+  * INCLUDING the case a batch doc bridges two previously-separate corpus
+  * components (the case naive probe-and-drop incremental dedup gets
+  * wrong: both corpus components must merge into one keeper).
+  *
+  * Why the equivalence is exact and not approximate: both sides run the
+  * SAME deterministic band geometry. Banded-LSH candidate generation is a
+  * pure function of a doc's shingle/minhash (text) or signature bits
+  * (media), so the union-batch pair graph decomposes exactly into
+  * pairs(B1) ∪ pairs(B2) ∪ crossPairs(B2 ↔ B1) — the first is already
+  * folded into the stored labels (star edges rid→label re-encode its
+  * transitive closure), the second is the batch-internal join, the third
+  * is precisely what the index probes return
+  * ([[DedupFunctions.probeLshIndex]] / probeHammingIndex match the
+  * two-sided joins by construction). Exact duplicates across batches are
+  * caught by the same probes (identical text ⇒ identical bands ⇒
+  * jaccard 1 ≥ τ; identical bytes ⇒ hamming 0).
+  *
   * Scale shape: the WARC scan is file = task; text and signatures are
   * staged ONCE (localCheckpoint — the extracted corpus and 16-byte
   * signatures, never the binary payloads, which die in the scan tasks);
   * the near-dup joins are the one-exchange bucketed forms; pair graphs
   * resolve driver-side while verified edges stay small and fall back to
-  * distributed label propagation past `maxDriverEdges`.
+  * distributed label propagation past `maxDriverEdges`. The incremental
+  * relabel is scoped to TOUCHED components (members whose label a cross
+  * pair reaches) — per-batch cost is O(batch + affected), never
+  * O(corpus). Members publish by atomic generation
+  * (`members/gen=N/_SUCCESS`, committer-last, same discipline as
+  * [[DedupFunctions.compactWindowIndex]]): a crashed append leaves an
+  * ignorable marker-less generation plus harmless duplicate index rows
+  * (probes `.distinct()`), so re-running the same batch is idempotent.
+  * Single writer per state dir, like every index family here.
+  *
+  * Id contract: rows are keyed by `record_index`, which [[graft.sources
+  * .Warc.readWarc]] assigns PER FILE — single-file batches (the fixture)
+  * are unique as-is; multi-file batches must pre-map `record_index` to a
+  * globally-unique long (e.g. fileId << 32 | index) before calling in,
+  * and incremental batches must never reuse an id across appends.
   *
   * Role anchor: the reference's collection pipeline reduces each
   * downloaded scene to one published representative before assets fan
-  * out (bdc_collection_builder/celery/publish.py:575–605); this is the
-  * same reduction for a web crawl, per modality.
+  * out (bdc_collection_builder/celery/publish.py:575–605), and re-runs
+  * discover only NEW scenes against the published catalog
+  * (collections_utils.py list/published diff); this is the same
+  * reduction and the same incremental re-run for a web crawl.
   */
 object CrawlFunctions {
+
+  /** Knobs shared by the batch and incremental forms. Must match between
+    * [[initCrawlState]] and every [[appendCrawlBatch]] on one state dir —
+    * band geometry IS the index layout. */
+  final case class CrawlParams(minMainChars: Int = 40,
+                               shingleN: Int = 3,
+                               minhashBands: Int = 4,
+                               rowsPerBand: Int = 2,
+                               jaccardThreshold: Double = 0.6,
+                               hammingBands: Int = 8,
+                               maxDistance: Int = 4)
 
   def multimodalKeepers(warc: DataFrame,
                         minMainChars: Int = 40,
@@ -46,27 +107,11 @@ object CrawlFunctions {
                         jaccardThreshold: Double = 0.6,
                         hammingBands: Int = 8,
                         maxDistance: Int = 4): DataFrame = {
-    val H = HtmlFunctions
-    val U = UrlFunctions
-    val D = DedupFunctions
-    val M = MultimodalFunctions
+    val p = CrawlParams(minMainChars, shingleN, minhashBands, rowsPerBand,
+      jaccardThreshold, hammingBands, maxDistance)
     val G = GraphFunctions
-    val ok = warc.filter(col("http_status") === 200)
-
-    // ---- text path --------------------------------------------------
-    val docs = ok.filter(col("http_content_type").startsWith("text/html"))
-      .select(col("record_index").cast("long").as("rid"),
-        U.canonicalizeUrl(col("target_uri")).as("canon"),
-        H.mainText(col("payload").cast("string")).as("mt"))
-      .filter(length(col("mt")) >= minMainChars)
-    val exact = docs.groupBy(col("mt"))
-      .agg(min(col("rid")).as("rid"),
-        min_by(col("canon"), col("rid")).as("canon"),
-        count(lit(1)).as("n_copies"))
-      .localCheckpoint(true)
-    val tpairs = D.neardupPairsLocal(exact, "mt", "rid",
-        shingleN, minhashBands, rowsPerBand, jaccardThreshold)
-      .select(col("id_a"), col("id_b"))
+    val exact = textGroups(warc, p)
+    val tpairs = textBatchPairs(exact, p)
     val tlabels = G.componentLabels(exact.select(col("rid")), tpairs,
       idCol = "rid", srcCol = "id_a", dstCol = "id_b")
     val text = exact
@@ -76,23 +121,8 @@ object CrawlFunctions {
         sum(col("n_copies")).as("n_members"))
       .select(lit("text").as("modality"), col("keeper_uri"), col("n_members"))
 
-    // ---- media path -------------------------------------------------
-    val media = ok.filter(col("http_content_type").startsWith("image/") ||
-        col("http_content_type").startsWith("audio/") ||
-        col("http_content_type").startsWith("video/"))
-      .select(col("record_index").cast("long").as("rid"),
-        U.canonicalizeUrl(col("target_uri")).as("canon"),
-        when(col("http_content_type").startsWith("image/"), "image")
-          .when(col("http_content_type").startsWith("audio/"), "audio")
-          .otherwise("video").as("modality"),
-        col("payload"))
-    val mediaMap = media.select(col("rid"), col("canon"), col("modality"))
-      .localCheckpoint(true)
-    val sigs = M.mediaSignatures(media, "rid", "modality", "payload")
-      .localCheckpoint(true)
-    val mpairs = D.neardupPairsByHamming64(sigs, "sig", "rid",
-        partitionCols = Seq("modality"), hammingBands, maxDistance)
-      .select(col("id_a"), col("id_b"))
+    val (mediaMap, sigs) = mediaSigFrames(warc)
+    val mpairs = mediaBatchPairs(sigs, p)
     val mlabels = G.componentLabels(sigs.select(col("rid")), mpairs,
       idCol = "rid", srcCol = "id_a", dstCol = "id_b")
     val mediaKept = mediaMap
@@ -103,5 +133,221 @@ object CrawlFunctions {
       .select(col("modality"), col("keeper_uri"), col("n_members"))
 
     text.unionByName(mediaKept)
+  }
+
+  // ---- shared extraction front half ---------------------------------
+
+  /** Text path front half: 200-status text/html records → canonical URL +
+    * main text + quality gate → exact-dup groups
+    * (rid = first-crawled record_index, canon = its canonical URL,
+    * n_copies = collapsed record count). Checkpointed: the extracted
+    * text is staged once, payloads die in the scan tasks. */
+  private def textGroups(warc: DataFrame, p: CrawlParams): DataFrame =
+    warc.filter(col("http_status") === 200)
+      .filter(col("http_content_type").startsWith("text/html"))
+      .select(col("record_index").cast("long").as("rid"),
+        UrlFunctions.canonicalizeUrl(col("target_uri")).as("canon"),
+        HtmlFunctions.mainText(col("payload").cast("string")).as("mt"))
+      .filter(length(col("mt")) >= p.minMainChars)
+      .groupBy(col("mt"))
+      .agg(min(col("rid")).as("rid"),
+        min_by(col("canon"), col("rid")).as("canon"),
+        count(lit(1)).as("n_copies"))
+      .localCheckpoint(true)
+
+  /** Media path front half: (rid → canon/modality map, decoded
+    * signatures). Records whose payload does not really decode drop out
+    * of the signature frame and therefore out of the members table —
+    * same salvage semantics as the batch form. */
+  private def mediaSigFrames(warc: DataFrame): (DataFrame, DataFrame) = {
+    val media = warc.filter(col("http_status") === 200)
+      .filter(col("http_content_type").startsWith("image/") ||
+        col("http_content_type").startsWith("audio/") ||
+        col("http_content_type").startsWith("video/"))
+      .select(col("record_index").cast("long").as("rid"),
+        UrlFunctions.canonicalizeUrl(col("target_uri")).as("canon"),
+        when(col("http_content_type").startsWith("image/"), "image")
+          .when(col("http_content_type").startsWith("audio/"), "audio")
+          .otherwise("video").as("modality"),
+        col("payload"))
+    val mediaMap = media.select(col("rid"), col("canon"), col("modality"))
+      .localCheckpoint(true)
+    val sigs = MultimodalFunctions.mediaSignatures(media, "rid", "modality", "payload")
+      .localCheckpoint(true)
+    (mediaMap, sigs)
+  }
+
+  private def textBatchPairs(groups: DataFrame, p: CrawlParams): DataFrame =
+    DedupFunctions.neardupPairsLocal(groups, "mt", "rid",
+        p.shingleN, p.minhashBands, p.rowsPerBand, p.jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+
+  private def mediaBatchPairs(sigs: DataFrame, p: CrawlParams): DataFrame =
+    DedupFunctions.neardupPairsByHamming64(sigs, "sig", "rid",
+        partitionCols = Seq("modality"), p.hammingBands, p.maxDistance)
+      .select(col("id_a"), col("id_b"))
+
+  // ---- persisted incremental state -----------------------------------
+
+  private def membersRoot(stateDir: String) = s"${stateDir.stripSuffix("/")}/members"
+  private def textIndexDir(stateDir: String) = s"${stateDir.stripSuffix("/")}/text_index"
+  private def mediaIndexDir(stateDir: String) = s"${stateDir.stripSuffix("/")}/media_index"
+
+  /** Highest complete members generation (complete iff the committer's
+    * `_SUCCESS` marker exists — written last, so crashed appends are
+    * invisible). -1 = uninitialized. */
+  private def currentGen(spark: SparkSession, stateDir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(membersRoot(stateDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) -1L
+    else {
+      val gens = fs.listStatus(root).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+          st.getPath.getName.stripPrefix("gen=").toLong
+      }
+      if (gens.isEmpty) -1L else gens.max
+    }
+  }
+
+  /** An index built from a batch with zero rows of its modality is a
+    * marker-only directory (no parquet files — nothing to infer a schema
+    * from, and nothing a probe could pair with): probes skip it. */
+  private def indexHasRows(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    }
+    false
+  }
+
+  private def readMembers(spark: SparkSession, stateDir: String): DataFrame = {
+    val gen = currentGen(spark, stateDir)
+    require(gen >= 0, s"crawl state at $stateDir is not initialized")
+    spark.read.parquet(s"${membersRoot(stateDir)}/gen=$gen")
+  }
+
+  /** Publish members generation N+1 atomically, then GC everything except
+    * the new generation and the one it replaced (an in-flight reader of
+    * gen N finishes its scan; gen N dies at the NEXT publish). */
+  private def publishMembers(spark: SparkSession, stateDir: String,
+                             members: DataFrame): Unit = {
+    val next = currentGen(spark, stateDir) + 1
+    members.write.mode("overwrite")
+      .parquet(s"${membersRoot(stateDir)}/gen=$next")
+    val root = new org.apache.hadoop.fs.Path(membersRoot(stateDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = Set(s"gen=${next - 1}", s"gen=$next")
+    fs.listStatus(root).foreach { st =>
+      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Initialize a crawl state dir from the first batch: members gen=0
+    * (labels from the batch pair graph) + the two bucket indices. */
+  def initCrawlState(spark: SparkSession, stateDir: String, warc: DataFrame,
+                     p: CrawlParams = CrawlParams()): Unit =
+    ingest(spark, stateDir, warc, p, isInit = true)
+
+  /** Append one new batch: batch-internal pairs + index probes + scoped
+    * relabel + atomic members publish + index appends. Equivalent to
+    * rebuilding from the union of every batch (see object doc). */
+  def appendCrawlBatch(spark: SparkSession, stateDir: String, warc: DataFrame,
+                       p: CrawlParams = CrawlParams()): Unit =
+    ingest(spark, stateDir, warc, p, isInit = false)
+
+  /** The deduped corpus view: one row per component —
+    * (modality, keeper_uri, n_members), identical contract to
+    * [[multimodalKeepers]]. */
+  def crawlKeepers(spark: SparkSession, stateDir: String): DataFrame =
+    readMembers(spark, stateDir)
+      .groupBy(col("modality"), col("label"))
+      .agg(min_by(col("canon"), col("rid")).as("keeper_uri"),
+        sum(col("n_copies")).as("n_members"))
+      .select(col("modality"), col("keeper_uri"), col("n_members"))
+
+  private def ingest(spark: SparkSession, stateDir: String, warc: DataFrame,
+                     p: CrawlParams, isInit: Boolean): Unit = {
+    val G = GraphFunctions
+    val tg = textGroups(warc, p)
+    val (mediaMap, sigs) = mediaSigFrames(warc)
+    val batchRows = tg
+      .select(lit("text").as("modality"), col("rid"), col("canon"), col("n_copies"))
+      .unionByName(mediaMap
+        .join(sigs.select(col("rid")), "rid")
+        .select(col("modality"), col("rid"), col("canon"),
+          lit(1L).as("n_copies")))
+
+    val batchPairs = textBatchPairs(tg, p).unionByName(mediaBatchPairs(sigs, p))
+
+    val (vertices, edges, untouched) =
+      if (isInit) (batchRows.select(col("rid")), batchPairs, None)
+      else {
+        val members = readMembers(spark, stateDir).localCheckpoint(true)
+        val noPairs = spark.range(0)
+          .select(col("id").as("id_a"), col("id").as("id_b"))
+        val crossText =
+          if (!indexHasRows(spark, textIndexDir(stateDir))) noPairs
+          else DedupFunctions.probeLshIndex(spark, textIndexDir(stateDir),
+              tg, "mt", "rid", p.shingleN, p.minhashBands, p.rowsPerBand,
+              p.jaccardThreshold)
+            .select(col("id_new").as("id_a"), col("id_index").as("id_b"))
+        val crossMedia =
+          if (!indexHasRows(spark, mediaIndexDir(stateDir))) noPairs
+          else DedupFunctions.probeHammingIndex(spark, mediaIndexDir(stateDir),
+              sigs, "sig", "rid", partitionCols = Seq("modality"),
+              p.hammingBands, p.maxDistance)
+            .select(col("id_new").as("id_a"), col("id_index").as("id_b"))
+        val cross = crossText.unionByName(crossMedia).localCheckpoint(true)
+        // only components a cross pair reaches can change (batch-internal
+        // pairs touch batch docs only; merges need a cross edge) — scope
+        // the relabel to them, everything else keeps its stored label
+        val touched = members
+          .join(cross.select(col("id_b").as("rid")).distinct(), "rid")
+          .select(col("label")).distinct()
+        val affected = members.join(touched, "label")
+        val star = affected.filter(col("rid") =!= col("label"))
+          .select(col("rid").as("id_a"), col("label").as("id_b"))
+        val untouchedRows = members.join(touched, Seq("label"), "left_anti")
+        (affected.select(col("rid")).unionByName(batchRows.select(col("rid"))),
+          batchPairs.unionByName(cross).unionByName(star),
+          Some((affected, untouchedRows)))
+      }
+
+    val labels = G.componentLabels(vertices, edges,
+        idCol = "rid", srcCol = "id_a", dstCol = "id_b")
+      .withColumnRenamed("id", "rid")
+
+    val relabeled = untouched match {
+      case None =>
+        batchRows.join(labels, "rid")
+      case Some((affected, untouchedRows)) =>
+        affected.drop("label")
+          .unionByName(batchRows)
+          .join(labels, "rid")
+          .unionByName(untouchedRows)
+    }
+    val members = relabeled.select(
+      col("modality"), col("rid"), col("canon"), col("n_copies"), col("label"))
+
+    // indices first, members last: a crash between the two leaves
+    // duplicate index rows (probes distinct() them away) and a re-run of
+    // the same batch republishes — never a published generation whose
+    // docs the indices can't see
+    if (isInit) {
+      DedupFunctions.writeLshIndex(tg, "mt", "rid", textIndexDir(stateDir),
+        p.shingleN, p.minhashBands, p.rowsPerBand)
+      DedupFunctions.writeHammingIndex(sigs, "sig", "rid", mediaIndexDir(stateDir),
+        partitionCols = Seq("modality"), p.hammingBands)
+    } else {
+      DedupFunctions.appendToLshIndex(tg, "mt", "rid", textIndexDir(stateDir),
+        p.shingleN, p.minhashBands, p.rowsPerBand)
+      DedupFunctions.appendToHammingIndex(sigs, "sig", "rid", mediaIndexDir(stateDir),
+        partitionCols = Seq("modality"), p.hammingBands)
+    }
+    publishMembers(spark, stateDir, members)
   }
 }

@@ -261,6 +261,56 @@ object SimilarityFunctions {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Engine-replayable hyperplane matrix for [[rhpSketch64]]: 64 planes ×
+    * `dim` components, flattened row-major, each value from an integer
+    * bit-mixing formula over the flat index — Knuth multiplicative hash,
+    * xor-fold of the high half, a second multiply, then the TOP 12 bits
+    * recentred to [-2048, 2047]. Every step is exact 64-bit integer
+    * arithmetic (largest intermediate < 2^48), so the DuckDB oracle
+    * re-derives the identical matrix from the same closed form instead of
+    * trusting pinned literals. Top-bits extraction matters: low bits of a
+    * multiplicative hash walk an arithmetic progression and would give
+    * correlated (low-quality) hyperplane directions. */
+  def rhpSketchPlanes(dim: Int): Array[Float] = {
+    val flat = new Array[Float](64 * dim)
+    var h = 0
+    while (h < flat.length) {
+      val a = ((h + 1L) * 2654435761L) % 4294967296L
+      val b = ((a ^ (a >> 16)) * 40503L) % 4294967296L
+      flat(h) = ((b >> 20) - 2048L).toFloat
+      h += 1
+    }
+    flat
+  }
+
+  /** 64-bit random-hyperplane sign sketch (SimHash for embeddings): bit i
+    * = [dot(emb, plane_i) >= 0], planes from [[rhpSketchPlanes]]. Hamming
+    * distance estimates the angle (E[dist] = 64·θ/π: dist ≤ 11 ≈ cosine
+    * ≥ 0.87, dist ≤ 4 ≈ cosine ≥ 0.98), and the sign-of-dot is
+    * gain-invariant — sig(c·x) = sig(x) for c > 0. This is the embedding
+    * column's on-ramp to the engine's SHARED 64-bit signature plane: the
+    * same [[graft.functions.DedupFunctions.neardupPairsByHamming64]]
+    * banded join, the same persisted writeHammingIndex/probeHammingIndex
+    * buckets, the same 8-byte shuffle payload already carrying text
+    * simhash and image/audio/video perceptual hashes. At 10⁹ vectors the
+    * near-dup join ships 8 GB of signatures; the 256-byte floats never
+    * leave their scan task. Native codegen'd expression
+    * ([[graft.expr.RhpSketch64Expr]]); [[rhpSketch64Hof]] is the
+    * bit-parity spec twin. */
+  def rhpSketch64(emb: Column, dim: Int): Column =
+    graft.expr.NativeFunctions.rhp_sketch64(emb, rhpSketchPlanes(dim), dim)
+
+  /** Composable spec twin of [[rhpSketch64]] (interpreted; tests only):
+    * 64 when(dot >= 0) terms over the same plane rows, same double
+    * accumulation order via the native [[dot]]. */
+  def rhpSketch64Hof(emb: Column, dim: Int): Column = {
+    val flat = rhpSketchPlanes(dim)
+    (0 until 64).map { i =>
+      val plane = Array.tabulate(dim)(j => flat(i * dim + j).toDouble)
+      when(dot(emb, lit(plane)) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** LSH-pruned cosine top-k: score only rows whose bucket matches the
     * query's bucket (recall < 1, cost ≈ 1/2^bits of the scan). */
   def topKCosineLsh(df: DataFrame, embCol: String, idCol: String,
@@ -690,6 +740,28 @@ object SimilarityFunctions {
     graft.functions.DedupFunctions.dropByPairGraph(df, idCol,
       nearDupPairs(df, embCol, idCol, dim, threshold, bits, seed),
       maxIterations, maxDriverEdges)
+
+  /** Semantic dedup on the shared 64-bit hamming plane: sketch every
+    * embedding ([[rhpSketch64]]), band-join the sketches
+    * ([[graft.functions.DedupFunctions.neardupPairsByHamming64]] — total
+    * recall at the sketch level for maxDistance < bands), connected
+    * components, keep min id per cluster. Versus [[dedupSemantic]]'s
+    * bucket-equi-join: the pair graph here is exact OVER THE SKETCHES
+    * (the only approximation is the 64-trial angle estimate itself), the
+    * join payload is 8 bytes/vector instead of the embedding, and the
+    * same geometry/index family serves all modalities. dist ≤ 11 ≈
+    * cosine ≥ 0.87; tighten maxDistance for tighter duplicates. */
+  def dedupSemanticSketch(df: DataFrame, embCol: String, idCol: String,
+                          dim: Int, maxDistance: Int = 11, bands: Int = 12,
+                          maxIterations: Int = 5,
+                          maxDriverEdges: Int = 100_000): DataFrame = {
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      rhpSketch64(col(embCol), dim).as("sig"))
+    graft.functions.DedupFunctions.dropByPairGraph(df, idCol,
+      graft.functions.DedupFunctions.neardupPairsByHamming64(
+        sigs, "sig", "id", bands = bands, maxDistance = maxDistance),
+      maxIterations, maxDriverEdges)
+  }
 
   /** [[dedupSemantic]] with the exact blocked all-pairs scorer as the pair
     * source — recall 1 at quadratic block-pair cost
