@@ -313,12 +313,15 @@ object DedupFunctions {
       .groupBy(col("band"), col("band_key"))
       .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
       .filter(size(col("ms")) > 1)
-    val ms = col("ms")
-    val localPairs = buckets.select(explode(flatten(transform(ms, (a, i) =>
-        transform(slice(ms, i + lit(2), size(ms)), b => struct(
-          a.getField("id").as("id_a"),
+    // anchor-exploded pairing (see neardupPairsByHamming64): intermediate
+    // arrays stay O(bucket), not O(bucket²)
+    val localPairs = buckets
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(explode(transform(
+        slice(col("ms"), col("i") + lit(2), size(col("ms"))), b => struct(
+          col("a").getField("id").as("id_a"),
           b.getField("id").as("id_b"),
-          jaccardFromDistinct(a.getField("sh"), b.getField("sh")).as("jaccard")))))).as("p"))
+          jaccardFromDistinct(col("a").getField("sh"), b.getField("sh")).as("jaccard")))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.jaccard").as("jaccard"))
     val big = sized.filter(col("cnt") > maxBucket)
     val bigA = big.select(col("band"), col("band_key"), col("id").as("id_a"), col("sh").as("sh_a"))
@@ -579,13 +582,19 @@ object DedupFunctions {
       .groupBy(keyCols: _*)
       .agg(array_sort(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) > 1)
-    val ms = col("ms")
-    val localPairs = buckets.select(pcols :+ explode(flatten(transform(ms, (a, i) =>
-        transform(slice(ms, i + lit(2), size(ms)), b => struct(
-          a.getField("id").as("id_a"),
+    // pairing explodes the ANCHOR first (one row per bucket member), then
+    // each anchor row emits only its own tail pairs: intermediate arrays
+    // are O(bucket), never the O(bucket²) all-pairs array a single
+    // flatten(transform(…)) row would materialize — at 6-bit band keys a
+    // 10⁵-signature corpus makes that difference OOM vs streamed
+    val localPairs = buckets
+      .select(pcols ++ Seq(col("ms"), posexplode(col("ms")).as(Seq("i", "a"))): _*)
+      .select(pcols :+ explode(transform(
+        slice(col("ms"), col("i") + lit(2), size(col("ms"))), b => struct(
+          col("a").getField("id").as("id_a"),
           b.getField("id").as("id_b"),
-          bit_count(a.getField("sig").bitwiseXOR(b.getField("sig")))
-            .cast("long").as("dist")))))).as("p"): _*)
+          bit_count(col("a").getField("sig").bitwiseXOR(b.getField("sig")))
+            .cast("long").as("dist")))).as("p"): _*)
       .select(pcols ++ Seq(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.dist").as("dist")): _*)
     val big = sized.filter(col("cnt") > maxBucket)

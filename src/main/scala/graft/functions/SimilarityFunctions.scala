@@ -749,10 +749,14 @@ object SimilarityFunctions {
     * bucket-equi-join: the pair graph here is exact OVER THE SKETCHES
     * (the only approximation is the 64-trial angle estimate itself), the
     * join payload is 8 bytes/vector instead of the embedding, and the
-    * same geometry/index family serves all modalities. dist ≤ 11 ≈
-    * cosine ≥ 0.87; tighten maxDistance for tighter duplicates. */
+    * same geometry/index family serves all modalities. Default geometry
+    * bands=8 → 8-bit band keys, dist ≤ 7 ≈ cosine ≥ 0.94 — TIGHT
+    * near-dups. Wider distance budgets need more bands, which narrows
+    * the band keys and grows candidate verification as n²/2^keyBits —
+    * the measured cliff in SCALE.md r16; past dist ≈ 11 use IVF/PQ
+    * ([[searchIvfIndex]]) instead of the sketch plane. */
   def dedupSemanticSketch(df: DataFrame, embCol: String, idCol: String,
-                          dim: Int, maxDistance: Int = 11, bands: Int = 12,
+                          dim: Int, maxDistance: Int = 7, bands: Int = 8,
                           maxIterations: Int = 5,
                           maxDriverEdges: Int = 100_000): DataFrame = {
     val sigs = df.select(col(idCol).cast("long").as("id"),

@@ -40,13 +40,19 @@ object SketchScale {
 
   private def docText(id: Long, vocab: Array[String]): String = {
     // ~48-token docs over a 4k vocab; every 10th doc is a near-dup of its
-    // predecessor (one token mutated) so the pair graph is non-trivial
+    // predecessor (suffix token added) so the pair graph is non-trivial.
+    // Token selection takes the TOP bits of a two-multiply integer mix —
+    // a low-bit `(a*c + b) % 4096` here makes every doc a rotation of one
+    // cyclic word progression (arithmetic strides mod 2^12) and ~2% of
+    // ALL doc pairs accidental near-dups: a 290k-edge giant component
+    // from 5k docs. Same trap, same fix as the sketch planes.
     val base = if (id % 10 == 9) id - 1 else id
     val sb = new StringBuilder
     var t = 0
     while (t < 48) {
-      val h = (base * 131 + t * 137 + 11) * 2654435761L % 4096
-      sb.append(vocab(h.toInt & 4095)).append(' ')
+      val a = ((base * 1315423911L + t * 2654435761L + 17) % 4294967296L + 4294967296L) % 4294967296L
+      val b = ((a ^ (a >> 16)) * 40503L) % 4294967296L
+      sb.append(vocab(((b >> 20) & 4095L).toInt)).append(' ')
       t += 1
     }
     if (id % 10 == 9) sb.append("mutated").append(id) // breaks exact dup, keeps jaccard high
@@ -56,6 +62,7 @@ object SketchScale {
   def main(args: Array[String]): Unit = {
     val Array(nSmall, nLarge) =
       (if (args.nonEmpty) args(0) else "100000:400000").split(":").map(_.trim.toInt)
+    val mode = if (args.length > 1) args(1) else "all" // all | sketch | crawl
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -72,30 +79,57 @@ object SketchScale {
     }
 
     // ---- 1+2: sketch throughput and the banded join ------------------
-    for (n <- Seq(nSmall, nLarge)) {
+    for (n <- Seq(nSmall, nLarge) if mode != "crawl") {
       val embs = spark.sparkContext.parallelize(0L until n.toLong, 32)
         .map(i => (i, emb(i))).toDF("id", "e").cache()
       embs.count()
+      // fold signatures through a bounded consumer (ANSI mode: a raw
+      // sum of random 64-bit values would overflow-throw)
       val tNat = best3 {
         embs.select(Sim.rhpSketch64(col("e"), 64).as("s"))
-          .agg(sum(col("s"))).head()
+          .agg(sum(col("s") % 1000000L)).head()
       }
       val tHof = best3 {
         embs.select(Sim.rhpSketch64Hof(col("e"), 64).as("s"))
-          .agg(sum(col("s"))).head()
+          .agg(sum(col("s") % 1000000L)).head()
       }
       val sigs = embs.select(col("id"), Sim.rhpSketch64(col("e"), 64).as("sig"))
         .cache()
       sigs.count()
-      val tJoin = best3 {
+      // the dedupSemanticSketch default geometry (8-bit keys, d<=7) and
+      // the tight media geometry (13-bit keys, d<=4)
+      for ((b, d) <- Seq((8, 7), (5, 4))) {
+        val tJoin = best3 {
+          DedupFunctions.neardupPairsByHamming64(sigs, "sig", "id",
+            bands = b, maxDistance = d).count()
+        }
+        val nPairs = DedupFunctions.neardupPairsByHamming64(sigs, "sig", "id",
+          bands = b, maxDistance = d).count()
+        println(f"[sketch] n=$n%7d native=$tNat%6.2f s (${n / tNat / 1e3}%7.1fk vec/s) " +
+          f"hof=$tHof%6.2f s (x${tHof / tNat}%4.2f) join(b=$b,d<=$d)=$tJoin%6.2f s pairs=$nPairs%d")
+      }
+      embs.unpersist(); sigs.unpersist()
+    }
+
+    // the wide-key cliff: bands=12 → 6-bit keys → candidate verification
+    // grows as n²/2^6 — measured at a size where it is merely expensive
+    if (mode != "crawl") {
+      val n = 20000
+      val sigs = spark.sparkContext.parallelize(0L until n.toLong, 32)
+        .map(i => (i, emb(i))).toDF("id", "e")
+        .select(col("id"), Sim.rhpSketch64(col("e"), 64).as("sig")).cache()
+      sigs.count()
+      val tWide = best3 {
         DedupFunctions.neardupPairsByHamming64(sigs, "sig", "id",
           bands = 12, maxDistance = 11).count()
       }
-      val nPairs = DedupFunctions.neardupPairsByHamming64(sigs, "sig", "id",
-        bands = 12, maxDistance = 11).count()
-      println(f"[sketch] n=$n%7d native=$tNat%6.2f s (${n / tNat / 1e3}%7.1fk vec/s) " +
-        f"hof=$tHof%6.2f s (x${tHof / tNat}%4.2f) join(b=12,d<=11)=$tJoin%6.2f s pairs=$nPairs%d")
-      embs.unpersist(); sigs.unpersist()
+      val tTight = best3 {
+        DedupFunctions.neardupPairsByHamming64(sigs, "sig", "id",
+          bands = 8, maxDistance = 7).count()
+      }
+      println(f"[sketch] n=$n%7d cliff: join(b=12,d<=11)=$tWide%6.2f s vs join(b=8,d<=7)=$tTight%6.2f s " +
+        f"(x${tWide / tTight}%5.1f — 6-bit vs 8-bit band keys)")
+      sigs.unpersist()
     }
 
     // ---- 3: incremental crawl append vs full rebuild -----------------
@@ -110,7 +144,7 @@ object SketchScale {
           lit(200).as("http_status"), lit("text/html").as("http_content_type"),
           col("payload"))
     val batchSize = 500
-    for (c <- Seq(nSmall / 20, nLarge / 20)) {
+    for (c <- Seq(nSmall / 20, nLarge / 20) if mode != "sketch") {
       val corpus = warcFrame(0 until c).localCheckpoint(true)
       val batch = warcFrame(c until (c + batchSize)).localCheckpoint(true)
       val p = CrawlFunctions.CrawlParams()
