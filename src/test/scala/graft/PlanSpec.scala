@@ -357,6 +357,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q180/q181: sketch stays in whole-stage codegen; pairing is the band equi-join") {
+    val d180 = SparkEntry.queries("q180_emb_sketch")(spark, sf0001)
+    d180.collect()
+    val p180 = d180.queryExecution.executedPlan.toString
+    assert(p180.contains("rhp_sketch64"), s"native expression must appear:\n$p180")
+    // the sketch evaluates inside a codegen stage (starred operators),
+    // not an interpreted fallback project
+    assert(p180.contains("*(1)"), s"rhp_sketch64 must not fall back to interpreted:\n$p180")
+    val df = SparkEntry.queries("q181_emb_sketch_neardup")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"sketch near-dup must pair inside band buckets, never a cross product:\n$p")
+  }
+
+  test("q183: incremental crawl probes broadcast the batch — the indices never exchange") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // representative probe plan: a 3-row batch against the q183 state's
+    // persisted text index (the corpus side must stream under a
+    // broadcast join, the batch side being the broadcast)
+    val state = java.nio.file.Files.createTempDirectory("planspec-crawl").toString
+    val warc = graft.sources.Warc.readWarc(s, {
+      val dir = java.nio.file.Files.createTempDirectory("planspec-warc")
+      val in = getClass.getResourceAsStream("/graft/warc/tiny.warc.gz")
+      val bytes = try in.readAllBytes() finally in.close()
+      java.nio.file.Files.write(dir.resolve("tiny.warc.gz"), bytes)
+      dir.toString
+    })
+    val p = graft.functions.CrawlFunctions.CrawlParams()
+    graft.functions.CrawlFunctions.initCrawlState(s, state,
+      warc.filter(col("record_index") <= 12), p)
+    val probe = graft.functions.DedupFunctions.probeLshIndex(s,
+      s"$state/text_index",
+      warc.filter(col("record_index") <= 3)
+        .filter(col("http_content_type").startsWith("text/html"))
+        .select((col("record_index").cast("long") + lit(1000L)).as("rid"),
+          graft.functions.HtmlFunctions.mainText(col("payload").cast("string")).as("mt")),
+      "mt", "rid", p.shingleN, p.minhashBands, p.rowsPerBand, p.jaccardThreshold)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the batch side must broadcast against the index scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the index must never exchange for a batch probe:\n$plan")
+  }
+
   test("quicklookScenes: dims join broadcasts — pixel rows never sort-merge") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
