@@ -2396,10 +2396,28 @@ object SparkEntry {
     }),
     "q182_emb_sketch_dedup" -> ((s, d) => {
       val aug = embSketchAugmented(s, d)
+      // multi-probe pair source: the dist ≤ 11 budget from 11-bit keys
+      // (bands=6, probeBits=1) — identical answer to the 12-band exact
+      // form at ~6× less candidate mass (sf1: 20.2 s → the multiprobe
+      // cost; SCALE.md r16)
       val kept = Sim.dedupSemanticSketch(aug, "e", "vec_id", dim = 64,
-        maxDistance = 11, bands = 12)
+        maxDistance = 11, bands = 6, probeBits = 1)
       aug.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    // ---- multi-probe form of q181: the SAME dist ≤ 11 recall bound
+    // from 11-bit band keys (bands=6, each key probed at its exact value
+    // + every 1-bit flip) instead of q181's 6-bit keys (bands=12) —
+    // pigeonhole: distance ≤ 2·bands−1 forces ≤1 flipped bit in some
+    // band. Identical answer, ~19× less candidate mass at corpus scale
+    // (SCALE.md r16); the oracle is the same brute replay --------------
+    "q184_emb_sketch_multiprobe" -> ((s, d) => {
+      val sigs = embSketchAugmented(s, d)
+        .select(col("vec_id"), Sim.rhpSketch64(col("e"), 64).as("sig"))
+      D.neardupPairsByHammingMultiProbe(sigs, "sig", "vec_id",
+          bands = 6, maxDistance = 11)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
     // ---- the incremental crawl: the q175 record stream split into
     // yesterday's crawl (records ≤ 12: the text pages + the first image)
@@ -4654,6 +4672,15 @@ object SparkEntry {
         |  FROM proj GROUP BY vec_id)
         |SELECT vec_id, sig FROM sig ORDER BY vec_id""".stripMargin),
     "q181_emb_sketch_neardup" ->
+      (embSketchSigsSql + """
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 11
+        |ORDER BY id_a, id_b""".stripMargin),
+    // q184: the multi-probe plan must equal the SAME brute replay as
+    // q181 — wide keys + 1-bit probes lose nothing (pigeonhole)
+    "q184_emb_sketch_multiprobe" ->
       (embSketchSigsSql + """
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist

@@ -610,6 +610,64 @@ object DedupFunctions {
       .distinct()
   }
 
+  /** Multi-probe band-prefix LSH over 64-bit signatures — WIDE distance
+    * budgets without narrow band keys. [[neardupPairsByHamming64]] buys
+    * recall by adding bands, which narrows every key: at maxDistance=11
+    * it needs 12 bands → 6-bit keys → n/64-wide buckets of pure hash
+    * collisions (the measured SCALE.md r16 cliff). This variant keeps
+    * the keys WIDE and instead probes each band key's hamming-`probeBits`
+    * neighborhood: pigeonhole over `bands` slices says a pair at
+    * distance ≤ bands·(probeBits+1)−1 differs by ≤ probeBits bits in
+    * SOME band, so the probe set (the exact key + its ≤probeBits-bit
+    * flips) hits the build key — recall stays TOTAL, output ≡ the O(n²)
+    * join. At maxDistance=11 this is bands=6/probeBits=1: 11-bit keys,
+    * ~70 probe rows per item, candidate mass ≈ bands·(keyBits+1)·n²/2^k
+    * — ~19× below the 12-band exact form (measured in SketchScale).
+    *
+    * Scale shape: one (band, band_key) hash equi-join — build side
+    * carries bands rows × 16 B per item, probe side bands+64 rows; the
+    * signatures themselves are the payload, the corpus never moves.
+    * Skewed keys (near-blank media) ride AQE's skew-join split; use the
+    * banded form with `maxBucket` routing when key skew is extreme and
+    * the distance budget fits maxDistance < bands anyway. */
+  def neardupPairsByHammingMultiProbe(df: DataFrame, sigCol: String, idCol: String,
+                                      partitionCols: Seq[String] = Nil,
+                                      bands: Int = 6, maxDistance: Int = 11,
+                                      probeBits: Int = 1): DataFrame = {
+    require(probeBits == 1, "probeBits=1 is the supported neighborhood")
+    require(bands >= 1 && bands <= 64, s"bands=$bands out of range")
+    require(maxDistance < bands * (probeBits + 1),
+      s"maxDistance=$maxDistance needs bands*(probeBits+1) > maxDistance for total recall")
+    val bounds = (0 to bands).map(b => b * 64 / bands)
+    val pcols = partitionCols.map(col)
+    val base = df.select(pcols :+ col(idCol).cast("long").as("id") :+
+      col(sigCol).cast("long").as("sig"): _*)
+    def slice(b: Int): Column = {
+      val width = bounds(b + 1) - bounds(b)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("sig"), bounds(b)).bitwiseAND(lit(mask))
+    }
+    val build = base.select(pcols ++ Seq(col("id").as("id_a"), col("sig").as("sig_a"),
+      posexplode(array((0 until bands).map(slice): _*)).as(Seq("band", "band_key"))): _*)
+    val probeEntries = (0 until bands).flatMap { b =>
+      val width = bounds(b + 1) - bounds(b)
+      struct(lit(b).as("band"), slice(b).as("band_key")) +:
+        (0 until width).map(bit =>
+          struct(lit(b).as("band"),
+            slice(b).bitwiseXOR(lit(1L << bit)).as("band_key")))
+    }
+    val probe = base.select(pcols ++ Seq(col("id").as("id_b"), col("sig").as("sig_b"),
+        explode(array(probeEntries: _*)).as("e")): _*)
+      .select(pcols ++ Seq(col("id_b"), col("sig_b"),
+        col("e.band").as("band"), col("e.band_key").as("band_key")): _*)
+    build.join(probe, partitionCols ++ Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(pcols ++ Seq(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).cast("long").as("dist")): _*)
+      .filter(col("dist") <= maxDistance)
+      .distinct()
+  }
+
   /** Persist a hamming-LSH signature index — the 64-bit-signature twin of
     * [[writeLshIndex]] for incremental MEDIA dedup: sign the corpus once
     * (pHash/afp/simhash upstream), write (band, band_key, …, id, sig)

@@ -751,19 +751,30 @@ object SimilarityFunctions {
     * join payload is 8 bytes/vector instead of the embedding, and the
     * same geometry/index family serves all modalities. Default geometry
     * bands=8 → 8-bit band keys, dist ≤ 7 ≈ cosine ≥ 0.94 — TIGHT
-    * near-dups. Wider distance budgets need more bands, which narrows
-    * the band keys and grows candidate verification as n²/2^keyBits —
-    * the measured cliff in SCALE.md r16; past dist ≈ 11 use IVF/PQ
-    * ([[searchIvfIndex]]) instead of the sketch plane. */
+    * near-dups. Wider distance budgets: pass probeBits=1 to switch the
+    * pair source to the multi-probe join
+    * ([[graft.functions.DedupFunctions.neardupPairsByHammingMultiProbe]]
+    * — total recall to bands·2−1 on WIDE keys; e.g. bands=6,
+    * dist ≤ 11 ≈ cosine ≥ 0.87 at 11-bit keys) instead of adding bands,
+    * which narrows every key and grows candidate verification as
+    * n²/2^keyBits — the measured cliff in SCALE.md r16. Past dist ≈ 11
+    * use IVF/PQ ([[searchIvfIndex]]) instead of the sketch plane. */
   def dedupSemanticSketch(df: DataFrame, embCol: String, idCol: String,
                           dim: Int, maxDistance: Int = 7, bands: Int = 8,
+                          probeBits: Int = 0,
                           maxIterations: Int = 5,
                           maxDriverEdges: Int = 100_000): DataFrame = {
     val sigs = df.select(col(idCol).cast("long").as("id"),
       rhpSketch64(col(embCol), dim).as("sig"))
-    graft.functions.DedupFunctions.dropByPairGraph(df, idCol,
-      graft.functions.DedupFunctions.neardupPairsByHamming64(
-        sigs, "sig", "id", bands = bands, maxDistance = maxDistance),
+    val pairs =
+      if (probeBits == 0)
+        graft.functions.DedupFunctions.neardupPairsByHamming64(
+          sigs, "sig", "id", bands = bands, maxDistance = maxDistance)
+      else
+        graft.functions.DedupFunctions.neardupPairsByHammingMultiProbe(
+          sigs, "sig", "id", bands = bands, maxDistance = maxDistance,
+          probeBits = probeBits)
+    graft.functions.DedupFunctions.dropByPairGraph(df, idCol, pairs,
       maxIterations, maxDriverEdges)
   }
 

@@ -127,8 +127,15 @@ object SketchScale {
         DedupFunctions.neardupPairsByHamming64(sigs, "sig", "id",
           bands = 8, maxDistance = 7).count()
       }
+      // the multi-probe answer to the same dist<=11 budget: 11-bit keys,
+      // 1-bit probe neighborhoods — total recall without the key cliff
+      val tProbe = best3 {
+        DedupFunctions.neardupPairsByHammingMultiProbe(sigs, "sig", "id",
+          bands = 6, maxDistance = 11).count()
+      }
       println(f"[sketch] n=$n%7d cliff: join(b=12,d<=11)=$tWide%6.2f s vs join(b=8,d<=7)=$tTight%6.2f s " +
-        f"(x${tWide / tTight}%5.1f — 6-bit vs 8-bit band keys)")
+        f"(x${tWide / tTight}%5.1f — 6-bit vs 8-bit band keys) " +
+        f"multiprobe(b=6,p=1,d<=11)=$tProbe%6.2f s (x${tWide / tProbe}%5.1f vs exact-key d<=11)")
       sigs.unpersist()
     }
 

@@ -57,6 +57,39 @@ class HammingLshSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe pairs ≡ brute pairs up to bands·2−1 (wide keys, 1-bit probes)") {
+    val df = battery
+    // geometries spanning divisor and non-divisor band widths; every
+    // threshold exercises the range the exact-key form would need twice
+    // the bands (half the key bits) to reach
+    for ((bands, maxDist) <- Seq((6, 11), (6, 7), (4, 7), (5, 9), (8, 4), (3, 5))) {
+      val brute = bruteSet(df, maxDist)
+      val probed = neardupPairsByHammingMultiProbe(df, "sig", "id", Nil, bands, maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(probed === brute, s"bands=$bands maxDist=$maxDist")
+      assert(brute.nonEmpty, "battery must contain planted near pairs")
+    }
+  }
+
+  test("multi-probe partition scoping + recall-bound guard + equi-join plan") {
+    val planes = Seq(("image", 1L, 42L), ("audio", 2L, 42L), ("image", 3L, 40L))
+      .toDF("modality", "id", "sig")
+    val pairs = neardupPairsByHammingMultiProbe(planes, "sig", "id",
+        Seq("modality"), bands = 6, maxDistance = 11)
+      .select("modality", "id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set(("image", 1L, 3L)))
+    intercept[IllegalArgumentException] {
+      neardupPairsByHammingMultiProbe(battery, "sig", "id", Nil,
+        bands = 6, maxDistance = 12)
+    }
+    val plan = neardupPairsByHammingMultiProbe(battery, "sig", "id", Nil, 6, 11)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("oversized-bucket join path is lossless (maxBucket=1 forces it everywhere)") {
     val df = battery
     assert(bandedSet(df, 8, 4, maxBucket = 1) === bruteSet(df, 4))
