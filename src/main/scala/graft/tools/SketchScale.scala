@@ -79,7 +79,7 @@ object SketchScale {
     }
 
     // ---- 1+2: sketch throughput and the banded join ------------------
-    for (n <- Seq(nSmall, nLarge) if mode != "crawl") {
+    for (n <- Seq(nSmall, nLarge) if mode != "crawl" && mode != "cliff") {
       val embs = spark.sparkContext.parallelize(0L until n.toLong, 32)
         .map(i => (i, emb(i))).toDF("id", "e").cache()
       embs.count()
@@ -113,7 +113,7 @@ object SketchScale {
 
     // the wide-key cliff: bands=12 → 6-bit keys → candidate verification
     // grows as n²/2^6 — measured at a size where it is merely expensive
-    if (mode != "crawl") {
+    if (mode != "crawl" && mode != "sketchonly") {
       val n = 20000
       val sigs = spark.sparkContext.parallelize(0L until n.toLong, 32)
         .map(i => (i, emb(i))).toDF("id", "e")
@@ -151,7 +151,7 @@ object SketchScale {
           lit(200).as("http_status"), lit("text/html").as("http_content_type"),
           col("payload"))
     val batchSize = 500
-    for (c <- Seq(nSmall / 20, nLarge / 20) if mode != "sketch") {
+    for (c <- Seq(nSmall / 20, nLarge / 20) if mode == "all" || mode == "crawl") {
       val corpus = warcFrame(0 until c).localCheckpoint(true)
       val batch = warcFrame(c until (c + batchSize)).localCheckpoint(true)
       val p = CrawlFunctions.CrawlParams()
