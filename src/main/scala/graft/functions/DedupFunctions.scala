@@ -634,21 +634,42 @@ object DedupFunctions {
                                       partitionCols: Seq[String] = Nil,
                                       bands: Int = 6, maxDistance: Int = 11,
                                       probeBits: Int = 1): DataFrame = {
+    requireMultiProbeGeometry(bands, maxDistance, probeBits)
+    val pcols = partitionCols.map(col)
+    val build = hammingKeyed(df, sigCol, idCol, partitionCols, bands)
+      .withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    val probe = multiProbeKeyed(df, sigCol, idCol, partitionCols, bands)
+      .withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    build.join(probe, partitionCols ++ Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(pcols ++ Seq(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).cast("long").as("dist")): _*)
+      .filter(col("dist") <= maxDistance)
+      .distinct()
+  }
+
+  private def requireMultiProbeGeometry(bands: Int, maxDistance: Int,
+                                        probeBits: Int): Unit = {
     require(probeBits == 1, "probeBits=1 is the supported neighborhood")
     require(bands >= 1 && bands <= 64, s"bands=$bands out of range")
     require(maxDistance < bands * (probeBits + 1),
       s"maxDistance=$maxDistance needs bands*(probeBits+1) > maxDistance for total recall")
+  }
+
+  /** [[hammingKeyed]] with the 1-bit probe neighborhood: each item emits,
+    * per band, its exact key PLUS every single-bit flip of it —
+    * bands + 64 (band, band_key) rows per item. Joining these against a
+    * frame (or persisted index) of EXACT keys catches every pair whose
+    * keys differ by ≤ 1 bit in some band. */
+  private def multiProbeKeyed(df: DataFrame, sigCol: String, idCol: String,
+                              partitionCols: Seq[String], bands: Int): DataFrame = {
     val bounds = (0 to bands).map(b => b * 64 / bands)
     val pcols = partitionCols.map(col)
-    val base = df.select(pcols :+ col(idCol).cast("long").as("id") :+
-      col(sigCol).cast("long").as("sig"): _*)
     def slice(b: Int): Column = {
       val width = bounds(b + 1) - bounds(b)
       val mask = if (width == 64) -1L else (1L << width) - 1L
       shiftrightunsigned(col("sig"), bounds(b)).bitwiseAND(lit(mask))
     }
-    val build = base.select(pcols ++ Seq(col("id").as("id_a"), col("sig").as("sig_a"),
-      posexplode(array((0 until bands).map(slice): _*)).as(Seq("band", "band_key"))): _*)
     val probeEntries = (0 until bands).flatMap { b =>
       val width = bounds(b + 1) - bounds(b)
       struct(lit(b).as("band"), slice(b).as("band_key")) +:
@@ -656,14 +677,39 @@ object DedupFunctions {
           struct(lit(b).as("band"),
             slice(b).bitwiseXOR(lit(1L << bit)).as("band_key")))
     }
-    val probe = base.select(pcols ++ Seq(col("id").as("id_b"), col("sig").as("sig_b"),
+    df.select(pcols :+ col(idCol).cast("long").as("id") :+
+        col(sigCol).cast("long").as("sig"): _*)
+      .select(pcols ++ Seq(col("id"), col("sig"),
         explode(array(probeEntries: _*)).as("e")): _*)
-      .select(pcols ++ Seq(col("id_b"), col("sig_b"),
+      .select(pcols ++ Seq(col("id"), col("sig"),
         col("e.band").as("band"), col("e.band_key").as("band_key")): _*)
-    build.join(probe, partitionCols ++ Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(pcols ++ Seq(col("id_a"), col("id_b"),
-        hamming64(col("sig_a"), col("sig_b")).cast("long").as("dist")): _*)
+  }
+
+  /** [[probeHammingIndex]] with the 1-bit multi-probe neighborhood: the
+    * batch's probe keys fan out (bands + 64 rows per item, still
+    * broadcast-sized for a daily batch) against the index's EXACT keys —
+    * wide distance budgets (maxDistance < bands·(probeBits+1)) against
+    * an index built at the SAME band count, without rebuilding it with
+    * narrower keys. Returns exactly what the two-sided brute join
+    * restricted to (new, indexed) would. */
+  def probeHammingIndexMultiProbe(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, newSigs: DataFrame,
+                                  sigCol: String, idCol: String,
+                                  partitionCols: Seq[String] = Nil,
+                                  bands: Int = 6, maxDistance: Int = 11,
+                                  probeBits: Int = 1): DataFrame = {
+    requireMultiProbeGeometry(bands, maxDistance, probeBits)
+    val pcols = partitionCols.map(col)
+    val idx = spark.read.parquet(path)
+      .withColumnRenamed("id", "id_index")
+      .withColumnRenamed("sig", "sig_index")
+    val probe = broadcast(
+      multiProbeKeyed(newSigs, sigCol, idCol, partitionCols, bands)
+        .withColumnRenamed("id", "id_new")
+        .withColumnRenamed("sig", "sig_new"))
+    idx.join(probe, partitionCols ++ Seq("band", "band_key"))
+      .select(pcols ++ Seq(col("id_new"), col("id_index"),
+        hamming64(col("sig_new"), col("sig_index")).cast("long").as("dist")): _*)
       .filter(col("dist") <= maxDistance)
       .distinct()
   }

@@ -146,6 +146,32 @@ class HammingLshSpec extends SparkSpec {
     assert(probed.nonEmpty)
   }
 
+  test("multi-probe index probe ≡ two-sided join at dist ≤ 11 on a bands=6 index") {
+    val dir = java.nio.file.Files.createTempDirectory("hidx-mp").toString
+    writeHammingIndex(corpus, "sig", "id", dir, Nil, bands = 6)
+    val probed = probeHammingIndexMultiProbe(spark, dir, batch, "sig", "id",
+        Nil, bands = 6, maxDistance = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = batch.as("a").join(corpus.as("b"), lit(true))
+      .select(col("a.id"), col("b.id"),
+        hamming64(col("a.sig"), col("b.sig")).cast("long").as("d"))
+      .filter(col("d") <= 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed === direct)
+    assert(probed.nonEmpty)
+    // a planted mid-range pair (dist 9, invisible to exact-key dist<=4
+    // probing at these widths) must be found by the 1-bit neighborhood
+    val mid = Seq((7000L, mix(3L) ^ 0x1010101010101L)).toDF("id", "sig") // 7 flips of corpus id 3
+    val midHits = probeHammingIndexMultiProbe(spark, dir, mid, "sig", "id",
+        Nil, bands = 6, maxDistance = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(midHits.contains((7000L, 3L, 7L)), s"got $midHits")
+    intercept[IllegalArgumentException] {
+      probeHammingIndexMultiProbe(spark, dir, batch, "sig", "id",
+        Nil, bands = 6, maxDistance = 12)
+    }
+  }
+
   test("append: an accepted item becomes findable without rebuilding") {
     val dir = java.nio.file.Files.createTempDirectory("hidx-app").toString
     writeHammingIndex(corpus, "sig", "id", dir, Nil, bands = 8)
