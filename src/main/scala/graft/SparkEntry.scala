@@ -2405,6 +2405,21 @@ object SparkEntry {
       aug.join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
+    // ---- winnowing (Schleimer–Wilkerson–Aiken MOSS fingerprints):
+    // q185 pins the fingerprint sets (salted-md5 k-gram hashes → sliding
+    // window minima → distinct — the DuckDB oracle replays every hash
+    // and window), q186 the shared-fingerprint pair detector. Winnowing
+    // witnesses SHARED RUNS (≥ k+w−1 tokens), the local-similarity axis
+    // MinHash's whole-doc Jaccard can't see -----------------------------
+    "q185_winnow_fps" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(D.winnowFingerprints(col("text"), 4, 5)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))),
+    "q186_winnow_pairs" -> ((s, d) =>
+      D.winnowPairs(Tables.documents(s, d), "text", "doc_id",
+          k = 4, w = 5, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))),
     // ---- multi-probe form of q181: the SAME dist ≤ 11 recall bound
     // from 11-bit band keys (bands=6, each key probed at its exact value
     // + every 1-bit flip) instead of q181's 6-bit keys (bands=12) —
@@ -4678,6 +4693,17 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 11
         |ORDER BY id_a, id_b""".stripMargin),
+    // q185/q186: the winnowing replay — every k-gram hash, window
+    // minimum, and shared-fingerprint count recomputed by DuckDB
+    "q185_winnow_fps" ->
+      (winnowFpsSql + """
+        |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin),
+    "q186_winnow_pairs" ->
+      (winnowFpsSql + """
+        |, f AS (SELECT doc_id, unnest(fps) AS fp FROM m)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin),
     // q184: the multi-probe plan must equal the SAME brute replay as
     // q181 — wide keys + 1-bit probes lose nothing (pigeonhole)
     "q184_emb_sketch_multiprobe" ->
@@ -4739,6 +4765,22 @@ object SparkEntry {
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.
   )
+
+  /** Shared DuckDB CTE for the winnowing queries (q185/q186): word
+    * 4-grams → salted md5 hex → sliding 5-windows → distinct minima,
+    * ending in m(doc_id, fps). Short docs (< 4 tokens) drop; docs with
+    * 1..4 hashes take one window over what exists — both matching
+    * [[graft.functions.DedupFunctions.winnowFingerprints]] exactly. */
+  private val winnowFpsSql: String =
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text),'\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks)-3, 0)),
+        |    i -> md5('wn|' || toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS h
+        |  FROM t),
+        |m AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(h)-4, 1)),
+        |    j -> list_aggregate(h[j:j+4], 'min'))) AS fps
+        |  FROM g WHERE len(h) >= 1)""".stripMargin
 
   /** Shared DuckDB CTE for the embedding sketch plane (q180–q182): the
     * 64×64 hyperplane matrix re-derived from

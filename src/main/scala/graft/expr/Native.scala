@@ -70,6 +70,11 @@ object NativeFunctions {
   def pq_encode(emb: Column, codebooks: Array[Float], m: Int, k: Int, subDim: Int): Column =
     ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(emb), codebooks, m, k, subDim))
 
+  /** Native winnowing fingerprints: distinct sliding-window minima over
+    * salted-md5 word-k-gram hashes ([[WinnowExpr]]). */
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), k, w))
+
   /** Codegen'd 64-bit random-hyperplane sign sketch against a flattened
     * [64][dim] plane matrix → bigint signature on the shared hamming
     * plane ([[RhpSketch64Expr]]). */

@@ -131,6 +131,76 @@ object DedupFunctions {
     candidates.minBy(_._2)._1
   }
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every word k-gram (salted md5 hex,
+    * the engine's cross-engine-replayable hash idiom), slide a window of
+    * `w` consecutive hashes, keep each window's minimum, return the
+    * DISTINCT minima. The guarantee that makes this the local-similarity
+    * detector: any shared run of ≥ k+w−1 consecutive tokens between two
+    * documents yields at least one SHARED fingerprint (the windows
+    * covering the run's k-grams pick the same minimum somewhere), while
+    * no match shorter than k tokens can fire at all — position-robust
+    * (content-addressed, so prefix insertions don't move them) and
+    * tunable noise/guarantee thresholds, where MinHash-LSH estimates
+    * WHOLE-document similarity. Short docs: fewer than k tokens → empty;
+    * fewer than w hashes → one window over what exists. ~m/(w/2)
+    * fingerprints per m-token doc in expectation. Native expression
+    * ([[graft.expr.WinnowExpr]] — one tokenize, one MessageDigest, ring
+    * minima); [[winnowFingerprintsHof]] is the bit-parity spec twin. */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 5): Column =
+    graft.expr.NativeFunctions.winnow_fps(text, k, w)
+
+  /** Composable spec twin of [[winnowFingerprints]] (tests only). */
+  def winnowFingerprintsHof(text: Column, k: Int = 4, w: Int = 5): Column = {
+    require(k >= 1 && w >= 1, s"winnow k=$k w=$w out of range")
+    // Every intermediate array is BOUND ONCE as a lambda variable via the
+    // single-element transform(array(x), v => …) pattern. Referencing the
+    // raw sub-expression inside a HOF lambda instead re-evaluates it per
+    // element — with `hashes` under the per-window slice that compounds
+    // to O(windows × grams × k) full regex re-splits per document, which
+    // turned a 5k-doc pass into a ~1 h single-task stage before this
+    // binding (the scan stage is one task on a one-file table).
+    def bind(x: Column)(body: Column => Column): Column =
+      element_at(transform(array(x), body), 1)
+    bind(split(trim(text), "\\s+")) { toks =>
+      // try_element_at: rows shorter than k still EVALUATE this binding
+      // (the masking `when` sits below it) — ANSI element_at would throw
+      // on their out-of-range gram indices; the garbage grams those rows
+      // produce are discarded by the guard
+      bind(transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+        i => md5(concat(lit("wn|"),
+          concat_ws(" ", (0 until k).map(o => try_element_at(toks, i + lit(o))): _*))))) { hashes =>
+        // sequence(1, n) with n < 1 counts DOWN — both sequences are
+        // floored at 1 and the no-gram case is masked by the outer when
+        when(size(toks) >= k, array_distinct(
+          transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+            j => array_min(slice(hashes, j, lit(w))))))
+          .otherwise(array().cast("array<string>"))
+      }
+    }
+  }
+
+  /** Winnowing-based similar-pair detection: explode fingerprints, one
+    * fingerprint-keyed equi-join, count shared minima per pair —
+    * (id_a, id_b, n_shared) with n_shared ≥ `minShared`. Each shared
+    * fingerprint witnesses a shared ≥ k-token run, so `minShared` is a
+    * "how much shared material" knob rather than a whole-doc similarity
+    * threshold — quotes, license blocks, and partial plagiarism fire
+    * here when whole-doc Jaccard stays cold. Viral fingerprints
+    * (corpus-wide boilerplate) make hot join keys; cap them upstream
+    * (cutRepeatedSpans) or dedupe exactly first — this operator is the
+    * MOSS-style detector, not the viral-boilerplate path. */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 4, w: Int = 5, minShared: Int = 2): DataFrame = {
+    val fps = df.select(col(idCol).cast("long").as("id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** LSH band key from a precomputed signature column. */
   def bandKeyFromSignature(sig: Column, band: Int, rowsPerBand: Int): Column =
     concat_ws("|", slice(sig, band * rowsPerBand + 1, rowsPerBand))
