@@ -192,11 +192,31 @@ object DedupFunctions {
     * MOSS-style detector, not the viral-boilerplate path. */
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 4, w: Int = 5, minShared: Int = 2): DataFrame = {
+    // one-exchange bucket pattern (the repo-wide dedup shape): hash the
+    // corpus ONCE, group ids per fingerprint, emit anchor-exploded pairs;
+    // oversized buckets (viral boilerplate fingerprints) route losslessly
+    // through a fp-keyed self-join off the SAME exchange instead of
+    // building unbounded id arrays — a self-join formulation for the
+    // whole corpus would re-run the fingerprint pass on both sides
+    val maxBucket = 10000
     val fps = df.select(col(idCol).cast("long").as("id"),
       explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
-    fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val sized = fps.withColumn("cnt", count(lit(1)).over(w0))
+    val smallPairs = sized.filter(col("cnt") <= maxBucket)
+      .groupBy(col("fp"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+    val big = sized.filter(col("cnt") > maxBucket)
+    val bigPairs = big.select(col("fp"), col("id").as("id_a"))
+      .join(big.select(col("fp"), col("id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    smallPairs.unionByName(bigPairs)
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
