@@ -62,7 +62,9 @@ object SketchScale {
   def main(args: Array[String]): Unit = {
     val Array(nSmall, nLarge) =
       (if (args.nonEmpty) args(0) else "100000:400000").split(":").map(_.trim.toInt)
-    val mode = if (args.length > 1) args(1) else "all" // all | sketch | crawl
+    // all | sketch (throughput+joins+cliff) | cliff (cliff rows only) |
+    // crawl (incremental economics only)
+    val mode = if (args.length > 1) args(1) else "all"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
