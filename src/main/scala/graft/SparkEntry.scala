@@ -2456,8 +2456,115 @@ object SparkEntry {
       }
       C.crawlKeepers(s, dir)
         .orderBy(col("modality"), col("keeper_uri"))
+    }),
+    // ---- DSIR importance resampling (Xie et al. 2023): target LM = the
+    // German slice, source LM = the whole pool; every doc scores
+    // logw = Σ_t [log2 p_tgt(t) − log2 p_src(t)] (one token explode, two
+    // broadcast vocabulary joins) and Gumbel-top-k keeps exactly 50 with
+    // probability ∝ 2^logw. The md5-uniform makes the draw itself
+    // engine-reproducible, so the oracle replays the SELECTION, not just
+    // the weights — a priority-order flip anywhere hash-mismatches ------
+    "q187_dsir" -> ((s, d) => {
+      val C = graft.functions.ClassifierFunctions
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+      val target = C.trainUnigramLm(docs.filter(col("lang") === "de"), "text")
+      val source = C.trainUnigramLm(docs, "text")
+      val w = C.dsirLogWeights(docs, target, source, "text", "doc_id")
+      C.dsirResample(w, "doc_id", "logw", k = 50)
+        .select(col("doc_id"), col("n_tok"), r4(col("logw")).as("logw"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- bigram stupid-backoff LM (Brants et al. 2007): bits/token of
+    // each held-out doc — observed transitions pay −log2(c₂/c₁), unseen
+    // ones −log2 α plus the Laplace unigram; the oracle rebuilds both
+    // dictionaries and every transition from the raw text -----------------
+    "q188_backoff_lm" -> ((s, d) => {
+      val C = graft.functions.ClassifierFunctions
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("hb", T.hashBucket(col("text"), 100))
+      val lm = C.trainBigramLm(docs.filter(col("hb") >= 10), "text")
+      C.backoffBitsPerToken(docs.filter(col("hb") < 10), lm, "text", "doc_id")
+        .select(col("doc_id"), col("n_tok"), r4(col("bits")).as("bits"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- robots.txt politeness (RFC 9309): parse two fixture robots
+    // bodies for the 'graftbot' token (specific-group shadowing, merged
+    // UA runs, comments, unknown directives, empty values) and decide a
+    // deterministic URL stream derived from doc_id — longest-match with
+    // '*'/'$' patterns, allow-wins-ties, absent robots ⇒ allowed. The
+    // oracle replays the parse line-by-line and every regex match --------
+    "q189_robots" -> ((s, d) => {
+      val R = graft.functions.RobotsFunctions
+      val rules = R.robotsRules(robotsFixture(s), "host", "body", "graftbot")
+      R.robotsAllowed(robotsUrls(s, d), rules, "url")
+        .orderBy(col("doc_id"))
+    }),
+    // ---- the politeness-complete frontier: q189's allowed URLs,
+    // scheduled per host at the parsed Crawl-delay (h0 publishes 10 s for
+    // graftbot; 1 s default elsewhere); rank order = md5 of the URL. The
+    // oracle replays the delay parse, the filter and the schedule --------
+    "q190_frontier" -> ((s, d) => {
+      val R = graft.functions.RobotsFunctions
+      val robots = robotsFixture(s)
+      val rules = R.robotsRules(robots, "host", "body", "graftbot")
+      val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
+      // a frontier is a SET of URLs — dedup before scheduling (ranking
+      // duplicate keys would tie-break arbitrarily on any engine)
+      val frontier = R.filterByRobots(robotsUrls(s, d), rules, "url")
+        .select(col("url")).distinct()
+      R.scheduleFrontier(frontier, delays, "url", defaultDelay = 1.0)
+        .select(col("url"),
+          r2(col("crawl_delay")).as("crawl_delay"),
+          r2(col("fetch_at")).as("fetch_at"))
+        .orderBy(col("url"))
     })
   )
+
+  /** The q189/q190 robots.txt fixture — two hosts, same body literals the
+    * oracle's VALUES carry. h0 exercises specific-group shadowing, the
+    * '*'/'$' patterns, the allow-wins tie and a Crawl-delay; h1 exercises
+    * merged UA runs, empty values and a non-applying third group; h2 has
+    * no robots.txt at all (the default-allow path). */
+  private def robotsFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("h0.example", Seq(
+        "# politeness for the fixture crawler",
+        "User-agent: graftbot",
+        "Disallow: /private/",
+        "Allow: /private/public/",
+        "Disallow: /*.pdf$",
+        "Disallow: /admin",
+        "Allow: /admi*",
+        "Crawl-delay: 10",
+        "User-agent: *",
+        "Disallow: /").mkString("\n")),
+      ("h1.example", Seq(
+        "User-agent: otherbot",
+        "User-agent: *",
+        "Disallow: /tmp/",
+        "Disallow: /search?*q=",
+        "Allow:",
+        "Disallow:",
+        "User-agent: thirdbot",
+        "Disallow: /").mkString("\n"))).toDF("host", "body")
+  }
+
+  /** Deterministic URL stream for the robots queries: host and path are
+    * pure doc_id arithmetic, so the oracle rebuilds the identical set. */
+  private def robotsUrls(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("http://h"), pmod(col("doc_id"), lit(3)), lit(".example"),
+        when(pmod(col("doc_id"), lit(8)) === 0, lit("/"))
+          .when(pmod(col("doc_id"), lit(8)) === 1,
+            concat(lit("/public/page"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(8)) === 2, lit("/private/data"))
+          .when(pmod(col("doc_id"), lit(8)) === 3, lit("/private/public/ok"))
+          .when(pmod(col("doc_id"), lit(8)) === 4, lit("/files/report.pdf"))
+          .when(pmod(col("doc_id"), lit(8)) === 5,
+            concat(lit("/search?q=x"), col("doc_id")))
+          .when(pmod(col("doc_id"), lit(8)) === 6, lit("/tmp/cache"))
+          .otherwise(lit("/admin"))).as("url"))
 
   /** The embeddings table (doubles) plus three in-query derived twins for
     * the sketch-plane queries — same derivations the DuckDB oracle
@@ -4760,7 +4867,122 @@ object SparkEntry {
         |    OR (a.modality = 'audio' AND a.id <= 15)
         |    OR (a.modality = 'video' AND a.id <= 7))
         |  AND bit_count(xor(a.sig, b.sig)) <= 4
-        |ORDER BY modality, id_new, id_index""".stripMargin)
+        |ORDER BY modality, id_new, id_index""".stripMargin),
+    // q187's oracle replays BOTH unigram LMs, the per-doc importance
+    // weight, the Gumbel priority (md5-uniform, same 24-bit bucket
+    // construction as q75/q110) and the top-50 selection itself
+    "q187_dsir" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents WHERE n_chars > 0),
+        |tcnt AS (SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM docs WHERE lang = 'de' AND trim(text) <> '') GROUP BY term),
+        |tden AS (SELECT log2(((SELECT sum(cnt) FROM tcnt)
+        |                      + (SELECT count(*) FROM tcnt)) * 1.0) AS den_t),
+        |scnt AS (SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |    FROM docs WHERE trim(text) <> '') GROUP BY term),
+        |sden AS (SELECT log2(((SELECT sum(cnt) FROM scnt)
+        |                      + (SELECT count(*) FROM scnt)) * 1.0) AS den_s),
+        |nt AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        |  FROM docs WHERE trim(text) <> ''),
+        |st AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM docs WHERE trim(text) <> ''),
+        |m AS (SELECT doc_id, sum(coalesce(t.l, 0) - coalesce(s.l, 0)) AS s_diff
+        |  FROM st
+        |  LEFT JOIN (SELECT term, log2(cnt + 1.0) AS l FROM tcnt) t USING (term)
+        |  LEFT JOIN (SELECT term, log2(cnt + 1.0) AS l FROM scnt) s USING (term)
+        |  GROUP BY doc_id),
+        |w AS (SELECT n.doc_id, n.n_tok,
+        |    coalesce(m.s_diff, 0) + n.n_tok * (sd.den_s - td.den_t) AS logw
+        |  FROM nt n LEFT JOIN m USING (doc_id) CROSS JOIN tden td CROSS JOIN sden sd),
+        |pri AS (SELECT doc_id, n_tok, logw,
+        |    logw - log2(-ln((CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+        |        << (4 * (6 - j))), 'sum') AS BIGINT) + 0.5) / 16777216.0)) AS p
+        |  FROM w),
+        |sel AS (SELECT doc_id, n_tok, logw FROM pri ORDER BY p DESC, doc_id ASC LIMIT 50)
+        |SELECT doc_id, n_tok, round(logw, 4) AS logw FROM sel ORDER BY doc_id""".stripMargin,
+    // q188's oracle rebuilds the bigram and unigram dictionaries from the
+    // train split and replays every transition: observed bigrams as
+    // −log2(c₂/c₁), backoffs as −log2 α + the Laplace unigram
+    "q188_backoff_lm" ->
+      """WITH hb AS (SELECT doc_id, text,
+        |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+        |      CAST(strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1 AS BIGINT)
+        |        << (4 * (6 - j))), 'sum') AS BIGINT) % 100 AS hb
+        |  FROM documents WHERE n_chars > 0),
+        |tr AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM hb WHERE hb >= 10 AND trim(text) <> ''),
+        |ucnt AS (SELECT term, count(*) AS cnt
+        |  FROM (SELECT unnest(ts) AS term FROM tr) GROUP BY term),
+        |den AS (SELECT log2(((SELECT sum(cnt) FROM ucnt)
+        |                     + (SELECT count(*) FROM ucnt)) * 1.0) AS log2_denom),
+        |bcnt AS (SELECT p[1] AS wa, p[2] AS wb, count(*) AS cnt2
+        |  FROM (SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p
+        |        FROM tr WHERE len(ts) >= 2)
+        |  GROUP BY 1, 2),
+        |big AS (SELECT wa, wb, log2(cnt2 * 1.0) - log2(u.cnt * 1.0) AS log2_ratio
+        |  FROM bcnt JOIN ucnt u ON u.term = bcnt.wa),
+        |te AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM hb WHERE hb < 10 AND trim(text) <> ''),
+        |firstb AS (SELECT doc_id,
+        |    d.log2_denom - coalesce(log2(u.cnt + 1.0), 0) AS bits
+        |  FROM (SELECT doc_id, ts[1] AS wb FROM te) f
+        |  LEFT JOIN ucnt u ON u.term = f.wb CROSS JOIN den d),
+        |trans AS (SELECT doc_id, p[1] AS wa, p[2] AS wb
+        |  FROM (SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p
+        |        FROM te WHERE len(ts) >= 2)),
+        |tb AS (SELECT t.doc_id,
+        |    CASE WHEN b.log2_ratio IS NOT NULL THEN -b.log2_ratio
+        |         ELSE -(ln(0.4) / ln(2.0)) + d.log2_denom
+        |              - coalesce(log2(u.cnt + 1.0), 0) END AS bits
+        |  FROM trans t
+        |  LEFT JOIN big b ON b.wa = t.wa AND b.wb = t.wb
+        |  LEFT JOIN ucnt u ON u.term = t.wb CROSS JOIN den d),
+        |tot AS (SELECT doc_id, sum(bits) AS total
+        |  FROM (SELECT * FROM firstb UNION ALL SELECT * FROM tb) GROUP BY doc_id)
+        |SELECT t.doc_id, len(e.ts) AS n_tok, round(t.total / len(e.ts), 4) AS bits
+        |FROM tot t JOIN te e USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q189's oracle replays the whole RFC 9309 stack: line explode +
+    // comment strip, directive classification, UA-run group numbering,
+    // specific-shadows-star selection, rule→regex translation ('*'/'$'),
+    // and the longest-match / allow-wins-tie decision per URL
+    "q189_robots" ->
+      (robotsParseSql + """,
+        |cand AS (SELECT u.doc_id, ru.allow, len(ru.rule) AS rl
+        |  FROM urls u JOIN rules ru ON ru.host = u.host AND regexp_matches(u.tgt, ru.pat)),
+        |best AS (SELECT doc_id, allow FROM (
+        |    SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY rl DESC, allow DESC) AS rn FROM cand) WHERE rn = 1)
+        |SELECT u.doc_id, 'http://' || u.host || u.tgt AS url,
+        |  coalesce(b.allow, true) AS allowed
+        |FROM urls u LEFT JOIN best b USING (doc_id) ORDER BY u.doc_id""".stripMargin),
+    // q190: the politeness-complete frontier — q189's allowed URLs,
+    // scheduled per host at the parsed Crawl-delay (min of applying
+    // values; 1 s default), rank order = md5 of the URL
+    "q190_frontier" ->
+      (robotsParseSql + """,
+        |cand AS (SELECT u.doc_id, ru.allow, len(ru.rule) AS rl
+        |  FROM urls u JOIN rules ru ON ru.host = u.host AND regexp_matches(u.tgt, ru.pat)),
+        |best AS (SELECT doc_id, allow FROM (
+        |    SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY rl DESC, allow DESC) AS rn FROM cand) WHERE rn = 1),
+        |allowed AS (SELECT DISTINCT u.host, 'http://' || u.host || u.tgt AS url
+        |  FROM urls u LEFT JOIN best b USING (doc_id)
+        |  WHERE coalesce(b.allow, true)),
+        |delays AS (SELECT host, min(CAST(v AS DOUBLE)) AS crawl_delay
+        |  FROM flags2
+        |  WHERE kind = 'delay' AND regexp_matches(v, '^[0-9]+(\.[0-9]+)?$')
+        |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))
+        |  GROUP BY host),
+        |sched AS (SELECT a.url,
+        |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+        |    (row_number() OVER (PARTITION BY a.host ORDER BY md5(a.url), a.url) - 1)
+        |      * coalesce(d.crawl_delay, 1.0) AS fetch_at
+        |  FROM allowed a LEFT JOIN delays d USING (host))
+        |SELECT url, round(crawl_delay, 2) AS crawl_delay,
+        |  round(fetch_at, 2) AS fetch_at
+        |FROM sched ORDER BY url""".stripMargin)
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.
@@ -4815,6 +5037,56 @@ object SparkEntry {
         |                WHEN i = 63 THEN -9223372036854775808
         |                ELSE CAST(1 AS BIGINT) << i END) AS BIGINT) AS sig
         |  FROM proj GROUP BY vec_id)""".stripMargin)
+
+  /** Shared DuckDB CTE chain for the robots plane (q189/q190): the two
+    * fixture bodies (same literals as the Spark side), the RFC 9309 parse
+    * — line explode, comment strip, directive classification, UA-run
+    * group numbering, specific-shadows-star selection — the rule→regex
+    * translation, and the deterministic URL stream derived from doc_id.
+    * Ends with CTEs `rules`, `flags2` (for Crawl-delay) and `urls`. */
+  private val robotsParseSql: String =
+    """WITH r(host, body) AS (VALUES
+      |  ('h0.example', E'# politeness for the fixture crawler\nUser-agent: graftbot\nDisallow: /private/\nAllow: /private/public/\nDisallow: /*.pdf$\nDisallow: /admin\nAllow: /admi*\nCrawl-delay: 10\nUser-agent: *\nDisallow: /'),
+      |  ('h1.example', E'User-agent: otherbot\nUser-agent: *\nDisallow: /tmp/\nDisallow: /search?*q=\nAllow:\nDisallow:\nUser-agent: thirdbot\nDisallow: /')),
+      |lines AS (
+      |  SELECT host, generate_subscripts(l, 1) AS i,
+      |         trim(regexp_replace(unnest(l), '#.*$', '')) AS ln
+      |  FROM (SELECT host, regexp_split_to_array(body, '\r?\n') AS l FROM r)),
+      |cls AS (SELECT host, i,
+      |    CASE WHEN regexp_matches(ln, '(?i)^user-agent\s*:') THEN 'ua'
+      |         WHEN regexp_matches(ln, '(?i)^allow\s*:') THEN 'allow'
+      |         WHEN regexp_matches(ln, '(?i)^disallow\s*:') THEN 'disallow'
+      |         WHEN regexp_matches(ln, '(?i)^crawl-delay\s*:') THEN 'delay'
+      |         ELSE 'other' END AS kind,
+      |    trim(regexp_extract(ln, '^[^:]*:(.*)$', 1)) AS v
+      |  FROM lines),
+      |lagged AS (SELECT *,
+      |    coalesce(lag(kind) OVER (PARTITION BY host ORDER BY i), '') AS pk FROM cls),
+      |grp AS (SELECT *, sum(CASE WHEN kind = 'ua' AND pk <> 'ua' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY host ORDER BY i) AS g FROM lagged),
+      |flags AS (SELECT *,
+      |    max(CASE WHEN kind = 'ua' AND lower(v) = 'graftbot' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY host, g) AS spec_g,
+      |    max(CASE WHEN kind = 'ua' AND v = '*' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY host, g) AS star_g
+      |  FROM grp WHERE g > 0),
+      |flags2 AS (SELECT *, max(spec_g) OVER (PARTITION BY host) AS spec_h FROM flags),
+      |rules AS (SELECT host, kind = 'allow' AS allow, v AS rule,
+      |    '^' || replace(regexp_replace(
+      |      CASE WHEN v LIKE '%$' THEN v[1:len(v)-1] ELSE v END,
+      |      '([\\.\[\]{}()^$|+?])', '\\\1', 'g'), '*', '.*')
+      |    || CASE WHEN v LIKE '%$' THEN '$' ELSE '' END AS pat
+      |  FROM flags2
+      |  WHERE kind IN ('allow','disallow') AND v <> ''
+      |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))),
+      |urls AS (SELECT doc_id,
+      |    'h' || CAST(doc_id % 3 AS VARCHAR) || '.example' AS host,
+      |    CASE doc_id % 8
+      |      WHEN 0 THEN '/' WHEN 1 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '/private/data' WHEN 3 THEN '/private/public/ok'
+      |      WHEN 4 THEN '/files/report.pdf' WHEN 5 THEN '/search?q=x' || CAST(doc_id AS VARCHAR)
+      |      WHEN 6 THEN '/tmp/cache' ELSE '/admin' END AS tgt
+      |  FROM documents)""".stripMargin
 
   /** Shared DuckDB CTE chain for the cross-modal signature plane
     * (q174/q176/q177): replays the image DCT pHash from the pixel

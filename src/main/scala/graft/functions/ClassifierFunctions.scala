@@ -156,4 +156,183 @@ object ClassifierFunctions {
         (col("log2_denom")
           - coalesce(col("s_match"), lit(0.0)) / col("n_tok")).as("bits"))
   }
+
+  // --------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  // 2023): score every raw-pool document by how much more likely a TARGET
+  // distribution makes it than the SOURCE (raw-pool) distribution, then
+  // resample with probability ∝ that importance weight. The published
+  // method uses hashed n-gram bag features with bigram-bucket LMs; the
+  // engine's feature space is the shared lowercased-whitespace unigram LM
+  // ([[trainUnigramLm]]) so every weight is exactly replayable by the SQL
+  // oracle. Selection is the deterministic Gumbel-top-k form of the
+  // resampling step — the same content-hash-uniform discipline as
+  // [[SamplingFunctions.weightedSample]].
+  // --------------------------------------------------------------------
+
+  /** Per-document log2 importance weight under `target` relative to
+    * `source` (both Laplace-smoothed unigram LMs):
+    *
+    *   logw(d) = Σ_t [log2 p_tgt(t) − log2 p_src(t)]
+    *           = Σ_{t matched} [log2(cnt_tgt(t)+1) − log2(cnt_src(t)+1)]
+    *             + n_tok · (log2(T_src+V_src) − log2(T_tgt+V_tgt))
+    *
+    * OOV terms (in either LM) contribute log2(0+1) = 0 to the matched sum,
+    * so the scan-side shape is ONE token explode with two broadcast
+    * vocabulary joins and one doc-keyed partial-aggregated sum — document
+    * text never crosses an exchange. Zero-token documents are excluded
+    * (their importance ratio is the vacuous 1). Output: (idCol, n_tok,
+    * logw); logw > 0 ⇔ the document looks more target-like than pool-like.
+    */
+  def dsirLogWeights(docs: DataFrame, target: UnigramLm, source: UnigramLm,
+                     textCol: String, idCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), size(toks(col(textCol))).as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val matched = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .join(broadcast(target.termCounts.select(col("term"), col("log2_cnt1").as("lt"))),
+        Seq("term"), "left")
+      .join(broadcast(source.termCounts.select(col("term"), col("log2_cnt1").as("ls"))),
+        Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("lt"), lit(0.0)) - coalesce(col("ls"), lit(0.0))).as("s_diff"))
+    base
+      .join(matched, Seq(idCol), "left")
+      .crossJoin(broadcast(target.stats.select(col("log2_denom").as("den_t"))))
+      .crossJoin(broadcast(source.stats.select(col("log2_denom").as("den_s"))))
+      .select(col(idCol), col("n_tok"),
+        (coalesce(col("s_diff"), lit(0.0))
+          + col("n_tok") * (col("den_s") - col("den_t"))).as("logw"))
+  }
+
+  /** Gumbel-top-k importance resample: select exactly `k` rows with
+    * probability ∝ 2^logw via the Gumbel-max trick. The Gumbel noise is
+    * derived from the engine-reproducible content-hash uniform
+    * u = (hashBucket(id)+0.5)/2^24 (never 0 or 1, so −ln u is finite and
+    * positive), and a common positive rescale by 1/ln 2 keeps priorities
+    * in the weight's own base-2 units:
+    *
+    *   priority = logw − log2(−ln u)
+    *
+    * Same corpus ⇒ same sample on any engine or partitioning; ties break
+    * to the smaller id. Scale shape: priority is scan-side arithmetic and
+    * the top-k is TakeOrderedAndProject — a k-row heap per task, P·k rows
+    * to the driver, no corpus sort. */
+  def dsirResample(weighted: DataFrame, idCol: String, logwCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (TextFunctions.hashBucket(col(idCol).cast("string"), 1 << 24)
+      .cast("double") + lit(0.5)) / lit((1 << 24).toDouble)
+    val pri = SamplingFunctions.tempCol(weighted, "__dsir_pri")
+    weighted
+      .withColumn(pri, col(logwCol) - log2(-log(u)))
+      .orderBy(col(pri).desc, col(idCol).asc)
+      .limit(k)
+      .drop(pri)
+  }
+
+  // --------------------------------------------------------------------
+  // Bigram stupid-backoff LM (Brants et al., EMNLP 2007 — the original
+  // DISTRIBUTED n-gram LM): relative bigram frequency when the bigram was
+  // observed, a fixed-penalty backoff to the Laplace unigram otherwise.
+  // No normalization pass, no discounting iteration — exactly the variant
+  // invented for map-reduce-scale corpora, and the natural step up from
+  // [[unigramBitsPerToken]] as a fluency filter: word-salad text with
+  // plausible unigrams now pays the backoff penalty on every transition.
+  // --------------------------------------------------------------------
+
+  /** Fitted stupid-backoff bigram LM.
+    *
+    * @param bigrams vocabulary²-bounded rows (wa, wb, log2_ratio) with
+    *                log2_ratio = log2(cnt(wa,wb)) − log2(cnt(wa)) ≤ 0
+    * @param unigram the Laplace unigram backoff distribution
+    * @param alpha   backoff penalty factor (Brants et al. use 0.4)
+    */
+  final case class BigramLm(bigrams: DataFrame, unigram: UnigramLm, alpha: Double)
+
+  /** Train the stupid-backoff bigram LM over lowercased whitespace tokens.
+    * Two corpus-keyed aggregates (adjacent-pair counts and token counts),
+    * both with map-side partials; the bigram ratio joins pair counts to
+    * context counts at vocabulary scale, never corpus scale. The exchange
+    * payload is the n-gram dictionary — the Brants et al. shape, where
+    * count shards live keyed by n-gram. */
+  def trainBigramLm(train: DataFrame, textCol: String,
+                    alpha: Double = 0.4): BigramLm = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val ts = train.select(toks(col(textCol)).as("ts")).filter(size(col("ts")) > 0)
+    val uniCnt = ts
+      .select(explode(col("ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val pairCnt = ts
+      .filter(size(col("ts")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cnt2"))
+    val bigrams = pairCnt
+      .join(uniCnt.select(col("term").as("wa"), col("cnt").as("cnt1")), "wa")
+      .select(col("wa"), col("wb"),
+        (log2(col("cnt2").cast("double")) - log2(col("cnt1").cast("double")))
+          .as("log2_ratio"))
+    // the same Laplace unigram [[trainUnigramLm]] fits, derived off the
+    // uniCnt aggregate so the explode + exchange run once per job
+    val stats = uniCnt
+      .agg((sum(col("cnt")) + countDistinct(col("term"))).cast("double").as("t_plus_v"))
+      .select(log2(col("t_plus_v")).as("log2_denom"))
+    val unigram = UnigramLm(
+      uniCnt.select(col("term"), log2(col("cnt") + lit(1.0)).as("log2_cnt1")), stats)
+    BigramLm(bigrams, unigram, alpha)
+  }
+
+  /** Per-document cross-entropy in bits/token under stupid backoff:
+    *
+    *   bits(w_i | w_{i−1}) = −log2( cnt(w_{i−1} w_i) / cnt(w_{i−1}) )
+    *     when the bigram was observed, else
+    *   −log2 α + log2(T+V) − log2(cnt(w_i)+1)   (backoff to the Laplace
+    *     unigram — OOV w_i pays the full log2(T+V) ceiling)
+    *
+    * The first token always scores under the unigram (no context, no α).
+    * Scan shape: one transition explode joining the broadcast bigram and
+    * unigram dictionaries, one first-token broadcast join, one doc-keyed
+    * partial-aggregated sum — the corpus crosses no exchange wider than
+    * (doc, bits). Zero-token documents are excluded.
+    * Output: (idCol, n_tok, bits). */
+  def backoffBitsPerToken(docs: DataFrame, lm: BigramLm, textCol: String,
+                          idCol: String): DataFrame = {
+    val backoffPenalty = -math.log(lm.alpha) / math.log(2.0)
+    val uniDict = broadcast(
+      lm.unigram.termCounts.select(col("term").as("wb"), col("log2_cnt1")))
+    val stats = broadcast(lm.unigram.stats)
+    val base = docs
+      .select(col(idCol), toks(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val first = base
+      .select(col(idCol), element_at(col("ts"), 1).as("wb"))
+      .join(uniDict, Seq("wb"), "left")
+      .crossJoin(stats)
+      .select(col(idCol),
+        (col("log2_denom") - coalesce(col("log2_cnt1"), lit(0.0))).as("bits"))
+    val trans = base
+      .filter(size(col("ts")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .select(col(idCol), col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .join(broadcast(lm.bigrams), Seq("wa", "wb"), "left")
+      .join(uniDict, Seq("wb"), "left")
+      .crossJoin(stats)
+      .select(col(idCol),
+        when(col("log2_ratio").isNotNull, -col("log2_ratio"))
+          .otherwise(lit(backoffPenalty) + col("log2_denom")
+            - coalesce(col("log2_cnt1"), lit(0.0))).as("bits"))
+    first.unionByName(trans)
+      .groupBy(col(idCol)).agg(sum(col("bits")).as("total_bits"))
+      .join(base.select(col(idCol), size(col("ts")).as("n_tok")), Seq(idCol))
+      .select(col(idCol), col("n_tok"),
+        (col("total_bits") / col("n_tok")).as("bits"))
+  }
 }

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robots Exclusion Protocol (RFC 9309) — the crawl-politeness gate a
+  * training-data pipeline must apply before a fetched URL may enter the
+  * corpus. Pure column expressions throughout so the DuckDB oracle can
+  * replay every line of the parse and every match of the decision:
+  *
+  *   - [[robotsRules]] parses raw robots.txt bodies into per-host
+  *     (allow, rule) rows for ONE crawler product token, implementing the
+  *     RFC's group model: a group is a run of consecutive `User-agent`
+  *     lines followed by its rules; comments (`#…`) strip first; directive
+  *     names match case-insensitively; groups for the specific product
+  *     token win — `*` groups apply only when NO group anywhere in the
+  *     file names the token (RFC 9309 §2.2.1); unknown directives
+  *     (Crawl-delay, Sitemap, …) are ignored but do end a User-agent run;
+  *     empty Allow/Disallow values match nothing and are dropped.
+  *   - [[robotsAllowed]] / [[filterByRobots]] decide each URL against its
+  *     host's rules with the RFC match semantics: rules are octet-prefix
+  *     patterns over path + '?query' supporting the REQUIRED `*` wildcard
+  *     and `$` end anchor (§2.2.3); the MOST SPECIFIC match (longest rule
+  *     string) wins and Allow wins length ties (§2.2.2); a URL with no
+  *     matching rule — or no robots.txt at all — is allowed.
+  *   - [[robotsCrawlDelay]] + [[scheduleFrontier]] turn the de-facto
+  *     Crawl-delay extension into per-host fetch scheduling.
+  *
+  * Scale shape: robots bodies are small (the RFC caps mandatory parsing at
+  * 500 KiB) and hosts are vocabulary-sized next to a crawl, so the parse's
+  * per-host windows are bounded and the fitted rule table broadcasts; the
+  * URL stream is then decided SCAN-SIDE — one broadcast hash join on host
+  * plus a fold over the bounded per-host rule array — so the crawl itself
+  * never shuffles for politeness. Percent-encoding equivalence between
+  * rule and target is the fetcher's concern, same boundary as
+  * [[UrlFunctions.canonicalizeUrl]].
+  *
+  * Reference anchor: the reference's downloaders fetch from provider APIs
+  * and never crawl the open web (download.py role), so REP is new surface
+  * along the crawl axis q164–q183 established.
+  */
+object RobotsFunctions {
+
+  /** Regex equivalent of one REP rule pattern: anchored at the start,
+    * `*` → `.*`, a TRAILING `$` → end anchor, every other regex
+    * metacharacter (including interior `$`) escaped literal. Shared by the
+    * decision fold; the oracle mirrors it with the same two rewrites. */
+  private[functions] def ruleRegex(rule: Column): Column = {
+    val hasEnd = rule.endsWith("$")
+    val body = when(hasEnd, rule.substr(lit(1), length(rule) - 1)).otherwise(rule)
+    val esc = regexp_replace(body, "([\\\\.\\[\\]\\{\\}\\(\\)\\^\\$\\|\\+\\?])", "\\\\$1")
+    val wild = regexp_replace(esc, "\\*", ".*")
+    concat(lit("^"), wild, when(hasEnd, lit("$")).otherwise(lit("")))
+  }
+
+  /** Shared relational parse: explode lines, strip comments, classify
+    * directives, number groups by counting User-agent-run starts (a UA
+    * line whose predecessor is not a UA line), then keep only the lines
+    * of groups that APPLY to `userAgent` under RFC 9309 group selection
+    * (exact case-insensitive token match anywhere in the file shadows
+    * every `*` group). Output: (host, kind, v) with kind ∈
+    * {ua, allow, disallow, delay, other}. */
+  private def applyingLines(robots: DataFrame, hostCol: String,
+                            bodyCol: String, userAgent: String): DataFrame = {
+    require(userAgent.nonEmpty && userAgent != "*",
+      s"userAgent must be a concrete product token, got '$userAgent'")
+    val lines = robots.select(col(hostCol).as("host"),
+      posexplode(split(col(bodyCol), "\r?\n")).as(Seq("i", "raw")))
+    val cls = lines
+      .select(col("host"), col("i"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("ln"))
+      .select(col("host"), col("i"),
+        when(col("ln").rlike("(?i)^user-agent\\s*:"), lit("ua"))
+          .when(col("ln").rlike("(?i)^allow\\s*:"), lit("allow"))
+          .when(col("ln").rlike("(?i)^disallow\\s*:"), lit("disallow"))
+          .when(col("ln").rlike("(?i)^crawl-delay\\s*:"), lit("delay"))
+          .otherwise(lit("other")).as("kind"),
+        trim(regexp_extract(col("ln"), "^[^:]*:(.*)$", 1)).as("v"))
+    val wSeq = Window.partitionBy(col("host")).orderBy(col("i"))
+    val wGroup = Window.partitionBy(col("host"), col("g"))
+    val wHost = Window.partitionBy(col("host"))
+    val agentLc = lit(userAgent.toLowerCase(java.util.Locale.ROOT))
+    cls
+      .withColumn("startg",
+        (col("kind") === "ua" &&
+          coalesce(lag(col("kind"), 1).over(wSeq), lit("")) =!= "ua").cast("int"))
+      .withColumn("g", sum(col("startg")).over(wSeq))
+      .filter(col("g") > 0) // lines before any User-agent belong to no group
+      .withColumn("spec_g", max(when(col("kind") === "ua"
+        && lower(col("v")) === agentLc, 1).otherwise(0)).over(wGroup))
+      .withColumn("star_g", max(when(col("kind") === "ua"
+        && col("v") === "*", 1).otherwise(0)).over(wGroup))
+      .withColumn("spec_h", max(col("spec_g")).over(wHost))
+      .filter(col("spec_g") === 1 || (col("star_g") === 1 && col("spec_h") === 0))
+      .select(col("host"), col("kind"), col("v"))
+  }
+
+  /** Parse robots.txt bodies for one crawler product token.
+    * Input: one row per host with the raw body; output: (host, allow,
+    * rule) — the non-empty Allow/Disallow rules of every group that
+    * applies to `userAgent`. */
+  def robotsRules(robots: DataFrame, hostCol: String, bodyCol: String,
+                  userAgent: String): DataFrame =
+    applyingLines(robots, hostCol, bodyCol, userAgent)
+      .filter(col("kind").isin("allow", "disallow") && col("v") =!= "")
+      .select(col("host"), (col("kind") === "allow").as("allow"),
+        col("v").as("rule"))
+
+  /** Per-host Crawl-delay seconds for one crawler token, from the groups
+    * that apply under the same RFC 9309 selection as [[robotsRules]]
+    * (Crawl-delay is a de-facto extension — Google ignores it, Bing and
+    * Yandex honor it; a polite trainer-crawler should too). Hosts with no
+    * applying parseable value are absent — callers supply their default;
+    * multiple values take the MIN (the most conservative crawl is the
+    * deterministic choice). Output: (host, crawl_delay: double). */
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String, bodyCol: String,
+                       userAgent: String): DataFrame =
+    applyingLines(robots, hostCol, bodyCol, userAgent)
+      .filter(col("kind") === "delay"
+        && col("v").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .groupBy(col("host"))
+      .agg(min(col("v").cast("double")).as("crawl_delay"))
+
+  /** Decide every URL against the fitted rule table: adds boolean
+    * `allowed`. Rules group to bounded per-host arrays, broadcast, and the
+    * longest-match/allow-wins fold runs scan-side over each URL's array —
+    * the URL stream crosses no exchange. The match target binds to a real
+    * column BEFORE the fold so the per-rule lambda reads an attribute, not
+    * a re-evaluated sub-expression (the r16 HOF-scoping lesson). */
+  def robotsAllowed(urls: DataFrame, rules: DataFrame, urlCol: String): DataFrame = {
+    val perHost = rules
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("allow"), col("rule"))).as("__rules"))
+    val host = SamplingFunctions.tempCol(urls, "__robots_host")
+    val tgt = SamplingFunctions.tempCol(urls, "__robots_tgt")
+    val emptyRules = array().cast("array<struct<allow:boolean,rule:string>>")
+    val decided = urls
+      .withColumn(host, UrlFunctions.urlHost(col(urlCol)))
+      .withColumn(tgt, UrlFunctions.urlMatchTarget(col(urlCol)))
+      .join(broadcast(perHost), col(host) === perHost("host"), "left")
+      .withColumn("allowed",
+        aggregate(
+          coalesce(col("__rules"), emptyRules),
+          struct(lit(-1).as("len"), lit(true).as("allow")),
+          (acc, r) => {
+            val rl = r.getField("rule")
+            val wins = (length(rl) > acc.getField("len")) ||
+              (length(rl) === acc.getField("len") && r.getField("allow"))
+            when(regexp_like(col(tgt), ruleRegex(rl)) && wins,
+              struct(length(rl).as("len"), r.getField("allow").as("allow")))
+              .otherwise(acc)
+          }).getField("allow"))
+    decided.drop(host, tgt, "host", "__rules")
+  }
+
+  /** [[robotsAllowed]] restricted to the fetchable URLs. */
+  def filterByRobots(urls: DataFrame, rules: DataFrame, urlCol: String): DataFrame =
+    robotsAllowed(urls, rules, urlCol).filter(col("allowed")).drop("allowed")
+
+  /** Politeness-scheduled crawl frontier: assign every URL a fetch offset
+    * so consecutive fetches against one host honor that host's
+    * Crawl-delay (`defaultDelay` seconds where none is published). URLs
+    * rank per host in a deterministic order (md5 of the URL, ties to the
+    * URL itself — spreads paths instead of crawling a directory in lock
+    * step) and fetch_at = rank × delay. URLs must be UNIQUE — a frontier
+    * is a set; duplicate keys would rank in arbitrary engine order, so
+    * dedup upstream (exact dedup or `.distinct()`).
+    *
+    * Scale note: frontier scheduling is per-host SEQUENTIAL by definition
+    * — the rank is one bounded-payload window per host keyed on (host),
+    * and a pathological host with millions of pending URLs skews that
+    * window's task; cap per-host frontier size upstream (the per-domain
+    * cap operator) before scheduling, which a polite crawler needs anyway
+    * (10⁶ URLs × 1 s delay is an 11-day frontier).
+    * Output: input columns + (crawl_delay, fetch_at). */
+  def scheduleFrontier(urls: DataFrame, delays: DataFrame, urlCol: String,
+                       defaultDelay: Double): DataFrame = {
+    require(defaultDelay >= 0, s"defaultDelay must be >= 0, got $defaultDelay")
+    val host = SamplingFunctions.tempCol(urls, "__frontier_host")
+    val w = Window.partitionBy(col(host))
+      .orderBy(md5(col(urlCol)), col(urlCol))
+    urls
+      .withColumn(host, UrlFunctions.urlHost(col(urlCol)))
+      .join(broadcast(delays), col(host) === delays("host"), "left")
+      .withColumn("crawl_delay", coalesce(col("crawl_delay"), lit(defaultDelay)))
+      .withColumn("fetch_at",
+        (row_number().over(w) - 1).cast("double") * col("crawl_delay"))
+      .drop(host, "host")
+  }
+}

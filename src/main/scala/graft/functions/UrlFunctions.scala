@@ -130,6 +130,18 @@ object UrlFunctions {
     hostOf(authority)
   }
 
+  /** REP (RFC 9309 §2.2.2) match target of a URL: the URI path ('/' when
+    * empty) plus '?query' when a non-empty query is present — the string
+    * robots.txt Allow/Disallow patterns are matched against. Path case is
+    * preserved (REP rule matching is case-sensitive); a bare trailing '?'
+    * with no query is dropped, consistent with [[canonicalizeUrl]]. */
+  def urlMatchTarget(url: Column): Column = {
+    val (_, _, path, query) = splitUrl(url)
+    concat(
+      when(path === "", lit("/")).otherwise(path),
+      when(query =!= "", concat(lit("?"), query)).otherwise(lit("")))
+  }
+
   /** RFC 3986 §6.2.2.2 percent-escape normalization (pure column ops):
     * split on '%', treat each following piece's first two chars as the
     * escape — decode when the byte is unreserved (ALPHA / DIGIT / - . _ ~,

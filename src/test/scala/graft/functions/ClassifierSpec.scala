@@ -103,6 +103,119 @@ class ClassifierSpec extends SparkSpec {
     assert(good === n, s"disjoint-vocabulary classes must classify perfectly; got $good/$n")
   }
 
+  test("DSIR log-weights match the closed-form two-LM computation") {
+    // target = de slice {"der hund"}: T=2, V=2 → den_t = log2 4 = 2
+    // source = all three docs: T=6, V=5 → den_s = log2 11
+    val target = trainUnigramLm(train.filter(col("lang") === "de"), "text")
+    val source = trainUnigramLm(train.select(col("text")), "text")
+    val test0 = Seq((1L, "the cat"), (2L, "der der"), (3L, " ")).toDF("doc_id", "text")
+    val got = dsirLogWeights(test0, target, source, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    // "the cat": no target matches; source matches log2(2+1) + log2(1+1)
+    val w1 = -(log2(3.0) + 1.0) + 2.0 * (log2(11.0) - 2.0)
+    // "der der": target 2·log2(1+1) = 2 cancels source 2·log2(1+1) = 2
+    val w2 = 2.0 * (log2(11.0) - 2.0)
+    assert(got(1L)._1 === 2)
+    assert(math.abs(got(1L)._2 - w1) < 1e-12)
+    assert(math.abs(got(2L)._2 - w2) < 1e-12)
+    assert(got(2L)._2 > got(1L)._2, "the target-vocabulary doc must weigh more")
+    assert(!got.contains(3L), "zero-token docs are excluded")
+  }
+
+  test("DSIR resample: exact k, deterministic across partitionings, replayable priorities") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").filter(col("n_chars") > 0)
+    val target = trainUnigramLm(docs.filter(col("lang") === "de"), "text")
+    val source = trainUnigramLm(docs, "text")
+    val w = dsirLogWeights(docs, target, source, "text", "doc_id")
+    val sel = dsirResample(w, "doc_id", "logw", k = 50)
+    assert(sel.count() === 50L)
+    val ids = sel.select("doc_id").collect().map(_.getLong(0)).sorted
+    // same selection under a different parallelism
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val ids2 = dsirResample(
+          dsirLogWeights(docs, target, source, "text", "doc_id"),
+          "doc_id", "logw", k = 50)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(ids2.toSeq === ids.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // the selection is the top-k of the replayable priority: recompute
+    // driver-side from the collected weights and compare
+    val all = w.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    def hb24(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(3)
+      h.foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val expect = all.map { case (id, logw) =>
+      val u = (hb24(id.toString).toDouble + 0.5) / (1 << 24).toDouble
+      (id, logw - math.log(-math.log(u)) / math.log(2.0))
+    }.sortBy { case (id, p) => (-p, id) }.take(50).map(_._1).sorted
+    assert(ids.toSeq === expect.toSeq)
+    // k larger than the pool returns everything
+    assert(dsirResample(w, "doc_id", "logw", k = 100000).count() === w.count())
+  }
+
+  test("stupid-backoff bits/token match the closed form on the tiny corpus") {
+    // bigram counts: (the,cat) 1, (the,dog) 1, (der,hund) 1;
+    // unigram: the 2, cat/dog/der/hund 1; T+V = 11; α = 0.4
+    val lm = trainBigramLm(train.select(col("text")), "text")
+    val test0 = Seq(
+      (1L, "the cat"),   // first log2(11/3); seen bigram −log2(1/2) = 1
+      (2L, "cat der"),   // first log2(11/2); backoff + log2(11) − log2(2)
+      (3L, "zzz qqq"),   // first log2(11); backoff + log2(11) (OOV wb)
+      (4L, "the"),       // single token: unigram only, no α
+      (5L, "")).toDF("doc_id", "text")
+    val got = backoffBitsPerToken(test0, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val pen = -log2(0.4)
+    assert(got(1L)._1 === 2)
+    assert(math.abs(got(1L)._2 - (log2(11.0 / 3) + 1.0) / 2) < 1e-12)
+    assert(math.abs(got(2L)._2 - (log2(11.0 / 2) + pen + log2(11.0) - 1.0) / 2) < 1e-12)
+    assert(math.abs(got(3L)._2 - (log2(11.0) + pen + log2(11.0)) / 2) < 1e-12)
+    assert(math.abs(got(4L)._2 - log2(11.0 / 3)) < 1e-12)
+    assert(!got.contains(5L), "zero-token docs are excluded")
+    // fluency separation: a seen-bigram chain undercuts the same unigrams
+    // scrambled into unseen transitions
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
+  test("backoff LM ranks in-distribution transitions below word salad on a real split") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("n_chars") > 0)
+      .withColumn("hb", TextFunctions.hashBucket(col("text"), 100))
+    val lm = trainBigramLm(docs.filter(col("hb") >= 10), "text")
+    val test0 = docs.filter(col("hb") < 10)
+    val real = backoffBitsPerToken(test0, lm, "text", "doc_id")
+    // scramble: reverse each doc's token order — same unigrams, broken bigrams
+    val scrambled = test0.select(col("doc_id"),
+      concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text"))
+    val mixed = backoffBitsPerToken(scrambled, lm, "text", "doc_id")
+    val a = real.agg(avg(col("bits"))).head().getDouble(0)
+    val b = mixed.agg(avg(col("bits"))).head().getDouble(0)
+    assert(a < b, s"natural order must score fewer bits than reversed ($a vs $b)")
+  }
+
+  test("DSIR and backoff scoring plans broadcast the dictionaries into the token stream") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").filter(col("n_chars") > 0)
+    val target = trainUnigramLm(docs.filter(col("lang") === "de"), "text")
+    val source = trainUnigramLm(docs, "text")
+    val p1 = dsirLogWeights(docs, target, source, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin [term"),
+      "both LM vocabularies must broadcast into the exploded token stream")
+    val lm = trainBigramLm(docs, "text")
+    val p2 = backoffBitsPerToken(docs, lm, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin [wa"),
+      "the bigram dictionary must broadcast into the transition stream")
+    for (line <- p2.linesIterator if line.contains("SortMergeJoin"))
+      assert(line.contains("doc_id"), s"unexpected SMJ not keyed on doc_id: $line")
+  }
+
   test("confusion matrix is deterministic across shuffle parallelisms (float-argmax stability)") {
     def conf(): Map[(String, String), Long] = {
       val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -1,0 +1,162 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[RobotsFunctions]] — RFC 9309 parse + decision semantics pinned on
+  * hand-built robots.txt bodies, plus the scan-side plan property. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val h0 = // specific group must shadow the * group entirely
+    """# politeness for the fixture crawler
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/public/
+      |Disallow: /*.pdf$
+      |Disallow: /admin
+      |Allow: /admi*
+      |Crawl-delay: 10
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  private val h1 = // * group applies when no group names the token
+    """User-agent: otherbot
+      |User-agent: *
+      |Disallow: /tmp/
+      |Disallow: /search?*q=
+      |Allow:
+      |Disallow:
+      |User-agent: thirdbot
+      |Disallow: /
+      |""".stripMargin
+
+  private lazy val robots =
+    Seq(("h0.example", h0), ("h1.example", h1)).toDF("host", "body")
+  private lazy val rules =
+    RobotsFunctions.robotsRules(robots, "host", "body", "graftbot")
+
+  private def decide(urls: Seq[String]): Map[String, Boolean] = {
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    RobotsFunctions.robotsAllowed(df, rules, "url")
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+  }
+
+  test("group selection: specific token shadows *, star applies only without it") {
+    val got = rules.collect().map(r =>
+      (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+    // h0: ONLY the graftbot group's five rules — never the * group's '/'
+    assert(got.filter(_._1 == "h0.example") === Set(
+      ("h0.example", false, "/private/"),
+      ("h0.example", true, "/private/public/"),
+      ("h0.example", false, "/*.pdf$"),
+      ("h0.example", false, "/admin"),
+      ("h0.example", true, "/admi*")))
+    // h1: the merged-UA * group's two non-empty rules; thirdbot's ignored
+    assert(got.filter(_._1 == "h1.example") === Set(
+      ("h1.example", false, "/tmp/"),
+      ("h1.example", false, "/search?*q=")))
+  }
+
+  test("directive names and UA tokens match case-insensitively; empty values drop") {
+    val body = "USER-AGENT: GraftBot\nDISALLOW: /X\ndisallow:\nAllow: /X/y"
+    val r = RobotsFunctions.robotsRules(
+        Seq(("h", body)).toDF("host", "body"), "host", "body", "graftbot")
+      .collect().map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(r === Set((false, "/X"), (true, "/X/y")))
+  }
+
+  test("a User-agent line after rules starts a NEW group") {
+    val body = "User-agent: graftbot\nDisallow: /a\nUser-agent: zbot\nDisallow: /b"
+    val r = RobotsFunctions.robotsRules(
+        Seq(("h", body)).toDF("host", "body"), "host", "body", "graftbot")
+      .collect().map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(r === Set((false, "/a")), "zbot's group must not leak into graftbot's")
+  }
+
+  test("decision: longest match, allow-wins-tie, wildcards, $ anchor, default allow") {
+    val got = decide(Seq(
+      "http://h0.example/",                     // no match → allowed
+      "http://h0.example/private/data",         // Disallow /private/
+      "http://h0.example/private/public/ok",    // longer Allow overrides
+      "http://h0.example/files/report.pdf",     // /*.pdf$ anchors the end
+      "http://h0.example/files/report.pdfx",    // $ must NOT match mid-string
+      "http://h0.example/admin",                // 6-octet tie → Allow wins
+      "http://h1.example/tmp/cache",            // * group Disallow
+      "http://h1.example/search?q=x",           // wildcard across the query
+      "http://h1.example/search",               // no query → no match
+      "http://h2.example/anything"))            // no robots.txt → allowed
+    assert(got("http://h0.example/"))
+    assert(!got("http://h0.example/private/data"))
+    assert(got("http://h0.example/private/public/ok"))
+    assert(!got("http://h0.example/files/report.pdf"))
+    assert(got("http://h0.example/files/report.pdfx"))
+    assert(got("http://h0.example/admin"))
+    assert(!got("http://h1.example/tmp/cache"))
+    assert(!got("http://h1.example/search?q=x"))
+    assert(got("http://h1.example/search"))
+    assert(got("http://h2.example/anything"))
+  }
+
+  test("rule matching is case-sensitive on the path") {
+    val got = decide(Seq(
+      "http://h0.example/PRIVATE/data",  // case differs → no match → allowed
+      "http://h0.example/private/DATA")) // prefix matches (case intact)
+    assert(got("http://h0.example/PRIVATE/data"))
+    assert(!got("http://h0.example/private/DATA"))
+  }
+
+  test("filterByRobots keeps exactly the allowed URLs and drops the verdict column") {
+    val urls = Seq(
+      (1L, "http://h0.example/private/data"),
+      (2L, "http://h0.example/ok")).toDF("id", "url")
+    val kept = RobotsFunctions.filterByRobots(urls, rules, "url")
+    assert(kept.columns.toSeq === Seq("id", "url"))
+    assert(kept.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("Crawl-delay: parsed from the applying group only, min wins, junk ignored") {
+    // h0's graftbot group publishes 10; h1 publishes none
+    val d = RobotsFunctions.robotsCrawlDelay(robots, "host", "body", "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d === Map("h0.example" -> 10.0))
+    // star group's delay applies when no specific group; min of values;
+    // unparseable values are skipped
+    val body = "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: 7\nCrawl-delay: fast\nUser-agent: graftbot2\nCrawl-delay: 1"
+    val d2 = RobotsFunctions.robotsCrawlDelay(
+        Seq(("h", body)).toDF("host", "body"), "host", "body", "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d2 === Map("h" -> 2.5))
+  }
+
+  test("scheduleFrontier: per-host ladders at the host's delay, default elsewhere") {
+    val urls = Seq(
+      (1L, "http://h0.example/a"), (2L, "http://h0.example/b"),
+      (3L, "http://h0.example/c"), (4L, "http://h2.example/x"),
+      (5L, "http://h2.example/y")).toDF("id", "url")
+    val delays = RobotsFunctions.robotsCrawlDelay(robots, "host", "body", "graftbot")
+    val got = RobotsFunctions.scheduleFrontier(urls, delays, "url", defaultDelay = 1.0)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val h0 = got.filter(_._1.contains("h0")).map(_._3).sorted
+    val h2 = got.filter(_._1.contains("h2")).map(_._3).sorted
+    assert(got.filter(_._1.contains("h0")).forall(_._2 == 10.0))
+    assert(got.filter(_._1.contains("h2")).forall(_._2 == 1.0))
+    assert(h0.toSeq === Seq(0.0, 10.0, 20.0), "h0 fetches 10 s apart")
+    assert(h2.toSeq === Seq(0.0, 1.0), "unpublished hosts use the default")
+    // deterministic: the md5 rank assigns the same offsets on every run
+    val again = RobotsFunctions.scheduleFrontier(urls, delays, "url", 1.0)
+      .collect().map(r => (r.getString(1), r.getDouble(3))).toSet
+    assert(again === got.map(t => (t._1, t._3)).toSet)
+  }
+
+  test("decision plan: rules broadcast, the URL stream crosses no exchange") {
+    val urls = spark.range(1000).select(col("id"),
+      concat(lit("http://h"), col("id") % 2, lit(".example/p/"), col("id")).as("url"))
+    val plan = RobotsFunctions.robotsAllowed(urls, rules, "url")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-host rule table must broadcast into the URL scan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+}
