@@ -2517,6 +2517,74 @@ object SparkEntry {
           r2(col("crawl_delay")).as("crawl_delay"),
           r2(col("fetch_at")).as("fetch_at"))
         .orderBy(col("url"))
+    }),
+    // ---- sitemap discovery → politeness → schedule: the whole crawl
+    // front door before any fetch happens. Two fixture sitemaps (entity
+    // escapes, pretty-printed loc, junk priority, loc-less entry) parse
+    // relationally; q189's robots rules gate the discovered URLs; q190's
+    // Crawl-delay ladders schedule what survives. Oracle replays parse,
+    // gate and schedule end to end --------------------------------------
+    "q193_discovery" -> ((s, _) => {
+      val R = graft.functions.RobotsFunctions
+      val robots = robotsFixture(s)
+      val rules = R.robotsRules(robots, "host", "body", "graftbot")
+      val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
+      val urls = graft.functions.SitemapFunctions
+        .sitemapUrls(sitemapFixture(s), "body")
+        .withColumnRenamed("loc", "url")
+        .drop("host")
+      val frontier = R.filterByRobots(urls, rules, "url")
+      R.scheduleFrontier(frontier, delays, "url", defaultDelay = 1.0)
+        .select(col("url"), col("lastmod"), r2(col("priority")).as("priority"),
+          r2(col("crawl_delay")).as("crawl_delay"),
+          r2(col("fetch_at")).as("fetch_at"))
+        .orderBy(col("url"))
+    }),
+    // ---- WEIGHTED (term-frequency) near-dup pairs: the unary expansion
+    // (token → token#occ elements) makes set machinery compute multiset
+    // Jaccard exactly, and the weighted MinHash rides the SAME band-key
+    // bucket join. Planted twins: 200001 = verbatim copy of doc 1
+    // (J = 1, must pair), 200002 = doc 2 + two junk tokens (J ≈ 0.96),
+    // 200000 = doc 0 TRIPLED — J = 1/3 under the weighted measure (the
+    // repetition asymmetry distinct-shingle Jaccard can't see), below
+    // threshold, must NOT appear. The oracle replays elements, both
+    // salted minima, the band join and every verification -----------------
+    "q191_weighted_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("text"))
+      val twins = base.filter(col("doc_id") <= 2).select(
+        (col("doc_id") + lit(200000L)).as("doc_id"),
+        when(col("doc_id") === 0,
+            concat_ws(" ", col("text"), col("text"), col("text")))
+          .when(col("doc_id") === 1, col("text"))
+          .otherwise(concat(col("text"), lit(" zq zq"))).as("text"))
+      D.weightedNeardupPairs(base.unionByName(twins), "text", "doc_id",
+          bands = 1, rowsPerBand = 2, jaccardThreshold = 0.75)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    // ---- PageRank (crawl prioritization): 8 power iterations with
+    // dangling-mass redistribution over a deterministic doc_id link graph
+    // (every 7th vertex dangling, 1–3 arithmetic out-links, self-loops
+    // dropped, parallel edges vote twice). The oracle replays all 8
+    // rounds unrolled; mrank = rank × 1000 so round(…, 6) keeps ~6
+    // significant digits at any SF ---------------------------------------
+    "q192_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val cand = array(
+        pmod(col("doc_id") * 31 + 7, lit(n)),
+        pmod(col("doc_id") * 17 + 3, lit(n)),
+        pmod(col("doc_id") * 13 + 11, lit(n)))
+      val k = when(pmod(col("doc_id"), lit(7)) === 0, lit(0))
+        .otherwise((pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val edges = docs
+        .select(col("doc_id").as("src"), explode(slice(cand, lit(1), k)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.functions.GraphFunctions
+        .pageRank(docs, edges, "doc_id", "src", "dst", iterations = 8)
+        .select(col("id").as("doc_id"), r6(col("rank") * 1000).as("mrank"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2548,6 +2616,36 @@ object SparkEntry {
         "Disallow:",
         "User-agent: thirdbot",
         "Disallow: /").mkString("\n"))).toDF("host", "body")
+  }
+
+  /** The q193 sitemap fixture — two urlset bodies (same literals as the
+    * oracle's VALUES): entity-escaped query URL, pretty-printed loc,
+    * junk priority, lastmod-only entry with no loc. */
+  private def sitemapFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("h0.example", Seq(
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">",
+        "<url><loc>http://h0.example/</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>",
+        "<url><loc>http://h0.example/public/page1</loc><priority>0.8</priority></url>",
+        "<url><loc>http://h0.example/private/data</loc></url>",
+        "<url><loc>http://h0.example/private/public/ok</loc><lastmod>2026-02-11</lastmod></url>",
+        "<url><loc>http://h0.example/files/report.pdf</loc><priority>junk</priority></url>",
+        "<url><loc>http://h0.example/search?a=1&amp;b=2</loc><priority>0.4</priority></url>",
+        "<url><lastmod>2026-03-01</lastmod></url>",
+        "</urlset>").mkString("\n")),
+      ("h1.example", Seq(
+        "<urlset>",
+        "<url><loc>http://h1.example/tmp/cache</loc></url>",
+        "<url><loc>http://h1.example/search?q=x1</loc></url>",
+        "<url><loc>http://h1.example/ok/page</loc><priority>1.0</priority></url>",
+        "<url>",
+        "  <loc>",
+        "    http://h1.example/spaced",
+        "  </loc>",
+        "</url>",
+        "</urlset>").mkString("\n"))).toDF("host", "body")
   }
 
   /** Deterministic URL stream for the robots queries: host and path are
@@ -4982,7 +5080,111 @@ object SparkEntry {
         |  FROM allowed a LEFT JOIN delays d USING (host))
         |SELECT url, round(crawl_delay, 2) AS crawl_delay,
         |  round(fetch_at, 2) AS fetch_at
-        |FROM sched ORDER BY url""".stripMargin)
+        |FROM sched ORDER BY url""".stripMargin),
+    // q193's oracle replays the sitemap parse (block explode, per-tag
+    // extraction, entity decode, whitespace-regex trim, priority
+    // defaulting), the robots gate and the Crawl-delay schedule
+    "q193_discovery" ->
+      (robotsParseSql + """,
+        |sm(host, body) AS (VALUES
+        |  ('h0.example', E'<?xml version="1.0" encoding="UTF-8"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url><loc>http://h0.example/</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>\n<url><loc>http://h0.example/public/page1</loc><priority>0.8</priority></url>\n<url><loc>http://h0.example/private/data</loc></url>\n<url><loc>http://h0.example/private/public/ok</loc><lastmod>2026-02-11</lastmod></url>\n<url><loc>http://h0.example/files/report.pdf</loc><priority>junk</priority></url>\n<url><loc>http://h0.example/search?a=1&amp;b=2</loc><priority>0.4</priority></url>\n<url><lastmod>2026-03-01</lastmod></url>\n</urlset>'),
+        |  ('h1.example', E'<urlset>\n<url><loc>http://h1.example/tmp/cache</loc></url>\n<url><loc>http://h1.example/search?q=x1</loc></url>\n<url><loc>http://h1.example/ok/page</loc><priority>1.0</priority></url>\n<url>\n  <loc>\n    http://h1.example/spaced\n  </loc>\n</url>\n</urlset>')),
+        |blocks AS (SELECT host, unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b FROM sm),
+        |parsed AS (SELECT host,
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1), '^\s+|\s+$', '', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS url,
+        |    nullif(regexp_replace(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1), '^\s+|\s+$', '', 'g'), '') AS lastmod,
+        |    CASE WHEN regexp_matches(regexp_replace(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1), '^\s+|\s+$', '', 'g'), '^[0-9]+(\.[0-9]+)?$')
+        |         THEN CAST(regexp_replace(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1), '^\s+|\s+$', '', 'g') AS DOUBLE)
+        |         ELSE 0.5 END AS priority
+        |  FROM blocks),
+        |smu AS (SELECT host, url, lastmod, priority,
+        |    CASE WHEN regexp_replace(url, '^https?://[^/?]*', '') = '' THEN '/'
+        |         ELSE regexp_replace(url, '^https?://[^/?]*', '') END AS tgt
+        |  FROM parsed WHERE url <> ''),
+        |smc AS (SELECT s.url, ru.allow, len(ru.rule) AS rl
+        |  FROM smu s JOIN rules ru ON ru.host = s.host AND regexp_matches(s.tgt, ru.pat)),
+        |smb AS (SELECT url, allow FROM (
+        |    SELECT url, allow, row_number() OVER (PARTITION BY url
+        |      ORDER BY rl DESC, allow DESC) AS rn FROM smc) WHERE rn = 1),
+        |allowed AS (SELECT s.* FROM smu s LEFT JOIN smb USING (url)
+        |  WHERE coalesce(smb.allow, true)),
+        |delays AS (SELECT host, min(CAST(v AS DOUBLE)) AS crawl_delay
+        |  FROM flags2
+        |  WHERE kind = 'delay' AND regexp_matches(v, '^[0-9]+(\.[0-9]+)?$')
+        |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))
+        |  GROUP BY host),
+        |sched AS (SELECT a.url, a.lastmod, a.priority,
+        |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+        |    (row_number() OVER (PARTITION BY a.host ORDER BY md5(a.url), a.url) - 1)
+        |      * coalesce(d.crawl_delay, 1.0) AS fetch_at
+        |  FROM allowed a LEFT JOIN delays d USING (host))
+        |SELECT url, lastmod, round(priority, 2) AS priority,
+        |  round(crawl_delay, 2) AS crawl_delay, round(fetch_at, 2) AS fetch_at
+        |FROM sched ORDER BY url""".stripMargin),
+    // q191's oracle replays the unary expansion (occurrence index via a
+    // per-term row_number), both salted signature minima, the band-key
+    // join and the exact multiset-Jaccard verification
+    "q191_weighted_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE n_chars > 0),
+        |aug AS (SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    CASE doc_id WHEN 0 THEN text || ' ' || text || ' ' || text
+        |                WHEN 1 THEN text
+        |                ELSE text || ' zq zq' END
+        |  FROM base WHERE doc_id <= 2),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM aug WHERE trim(text) <> ''),
+        |pos AS (SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS pos FROM tk),
+        |el AS (SELECT doc_id,
+        |    term || '#' || CAST(row_number() OVER (PARTITION BY doc_id, term ORDER BY pos) - 1 AS VARCHAR) AS elem
+        |  FROM pos),
+        |sig AS (SELECT doc_id, min(md5('s0' || elem)) || '|' || min(md5('s1' || elem)) AS band_key
+        |  FROM el GROUP BY doc_id),
+        |els AS (SELECT doc_id, list(elem) AS es FROM el GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT id_a, id_b,
+        |    round(CAST(len(list_intersect(ea.es, eb.es)) AS DOUBLE)
+        |      / (len(ea.es) + len(eb.es) - len(list_intersect(ea.es, eb.es))), 4) AS jaccard
+        |  FROM cand JOIN els ea ON ea.doc_id = cand.id_a
+        |            JOIN els eb ON eb.doc_id = cand.id_b)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.75
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q192's oracle replays all 8 power iterations unrolled — the same
+    // dangling-mass anti-join, per-edge 1/outdeg contributions and
+    // damping arithmetic, per round
+    "q192_pagerank" -> {
+      val rounds = (1 to 8).map { i =>
+        val p = s"r${i - 1}"
+        s"""d$i AS (SELECT coalesce(sum(rank), 0) AS dang
+           |  FROM $p LEFT JOIN deg ON $p.id = deg.src WHERE deg.src IS NULL),
+           |r$i AS (SELECT v.id,
+           |    (0.15 / nn.n) + 0.85 * (coalesce(c.s, 0) + (SELECT dang FROM d$i) / nn.n) AS rank
+           |  FROM verts v CROSS JOIN nn
+           |  LEFT JOIN (SELECT e.dst AS id, sum($p.rank / deg.deg) AS s
+           |             FROM edges e JOIN $p ON $p.id = e.src
+           |             JOIN deg ON deg.src = e.src
+           |             GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH verts AS (SELECT doc_id AS id FROM documents),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |ni AS (SELECT count(*) AS n FROM verts),
+         |cand AS (SELECT doc_id AS src,
+         |    [(doc_id*31+7) % ni.n, (doc_id*17+3) % ni.n, (doc_id*13+11) % ni.n] AS cs,
+         |    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(doc_id % 3 + 1 AS INT) END AS k
+         |  FROM documents CROSS JOIN ni),
+         |edges AS (SELECT src, dst FROM
+         |    (SELECT src, unnest(cs[1:k]) AS dst FROM cand WHERE k > 0)
+         |  WHERE src <> dst),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM verts CROSS JOIN nn),
+         |$rounds
+         |SELECT id AS doc_id, round(rank * 1000, 6) AS mrank
+         |FROM r8 ORDER BY doc_id""".stripMargin
+    }
     // q35_simhash / q36_fingerprint intentionally rows-only: they fold
     // xxhash64/crc32 (Spark-native hashes, no DuckDB counterpart);
     // q51/q52 are their md5-based oracle-verified parity witnesses.

@@ -397,14 +397,25 @@ object DedupFunctions {
       .select(col("id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           bandKeyFromSignature(col("__sig"), b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
+    exactPairsFromKeyed(keyed, maxBucket)
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** The one-exchange bucket-local exact-verify core shared by
+    * [[neardupPairsLocal]] (distinct-shingle Jaccard) and
+    * [[weightedNeardupPairs]] (multiset Jaccard): regroup once on
+    * (band, band_key), anchor-exploded pairing inside buckets
+    * (intermediate arrays O(bucket), not O(bucket²)), keys wider than
+    * `maxBucket` routed losslessly through a self-join off the SAME
+    * exchange. Input keyed rows: (id, sh, band, band_key) with `sh` the
+    * already-distinct element array. Returns (id_a, id_b, jaccard). */
+  private def exactPairsFromKeyed(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_key"))
     val sized = keyed.withColumn("cnt", count(lit(1)).over(w))
     val buckets = sized.filter(col("cnt") <= maxBucket)
       .groupBy(col("band"), col("band_key"))
       .agg(array_sort(collect_list(struct(col("id"), col("sh")))).as("ms"))
       .filter(size(col("ms")) > 1)
-    // anchor-exploded pairing (see neardupPairsByHamming64): intermediate
-    // arrays stay O(bucket), not O(bucket²)
     val localPairs = buckets
       .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
       .select(explode(transform(
@@ -420,8 +431,47 @@ object DedupFunctions {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardFromDistinct(col("sh_a"), col("sh_b")).as("jaccard"))
-    localPairs.unionByName(joinPairs).filter(col("jaccard") >= jaccardThreshold)
+    localPairs.unionByName(joinPairs)
   }
+
+  /** WEIGHTED (term-frequency / multiset) near-dup pairs: the unary
+    * expansion turns every token occurrence into the distinct element
+    * `token#k` ([[graft.expr.MultisetElemsExpr]]), so set machinery
+    * computes Σ min(tf)/Σ max(tf) exactly — and the MinHash over those
+    * elements ([[graft.expr.WeightedMinHashSignatureExpr]]) collides with
+    * probability equal to the weighted Jaccard, so the SAME band-key LSH
+    * bucket join applies unchanged. Catches repetition asymmetry that
+    * distinct-shingle Jaccard is blind to: a page repeating one
+    * paragraph 5× scores 1.0 against itself-distinct but only ~1/5
+    * against the single-copy page here. Unigram elements (n = 1 words)
+    * — word order does not move the measure, repetition does.
+    *
+    * Scale shape: identical to [[neardupPairsLocal]] — signatures and
+    * element sets computed scan-side (element payload = the doc's own
+    * token mass), ONE (band, band_key) hash exchange, exact verification
+    * inside buckets, oversized keys through the lossless self-join.
+    * Returns (id_a, id_b, jaccard), id_a < id_b. */
+  def weightedNeardupPairs(df: DataFrame, textCol: String, idCol: String,
+                           bands: Int = 4, rowsPerBand: Int = 2,
+                           jaccardThreshold: Double = 0.8,
+                           maxBucket: Int = 10000): DataFrame = {
+    val keyed = df.select(
+        col(idCol).as("id"),
+        graft.expr.NativeFunctions.multiset_elems(col(textCol)).as("sh"),
+        graft.expr.NativeFunctions
+          .weighted_minhash_signature(col(textCol), bands * rowsPerBand).as("__sig"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          bandKeyFromSignature(col("__sig"), b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
+    exactPairsFromKeyed(keyed, maxBucket)
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Exact weighted (multiset) Jaccard of two texts — the verification
+    * scalar behind [[weightedNeardupPairs]], exposed for spot checks. */
+  def weightedJaccard(a: Column, b: Column): Column =
+    jaccardFromDistinct(graft.expr.NativeFunctions.multiset_elems(a),
+      graft.expr.NativeFunctions.multiset_elems(b))
 
   /** MinHash estimate of Jaccard similarity from two equal-length
     * signatures: the fraction of agreeing components (an unbiased

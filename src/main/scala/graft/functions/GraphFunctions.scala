@@ -123,4 +123,66 @@ object GraphFunctions {
     }
     labels
   }
+
+  /** PageRank by power iteration — crawl prioritization (which hosts or
+    * pages deserve fetch budget, the Common-Crawl frontier-ranking role)
+    * and link-based corpus quality weighting.
+    *
+    *   rank₀(v)     = 1/N
+    *   rankᵢ₊₁(v)   = (1−d)/N + d·( Σ_{u→v} rankᵢ(u)/outdeg(u)
+    *                                + danglingᵢ/N )
+    *
+    * where danglingᵢ is the total rank sitting on vertices with no
+    * out-edges, redistributed uniformly — total rank stays exactly 1, so
+    * ranks are comparable across graphs. A FIXED `iterations` count (not
+    * a convergence test) keeps the result deterministic and lets the SQL
+    * oracle replay the same unrolled rounds. Parallel edges contribute
+    * once each (a page linking twice votes twice); self-loops are the
+    * caller's choice to keep or drop.
+    *
+    * Scale shape: out-degrees are computed ONCE and folded into the edge
+    * list as per-edge weights (contribution = rank·w), so each round is
+    * one src-keyed join of 8-byte ranks against the checkpointed edge
+    * list, one dst-keyed sum, and a vertex left-join — payloads never
+    * exceed (id, double). The dangling mass is a one-row aggregate
+    * cross-joined back (no driver round-trip per iteration), and
+    * `localCheckpoint` truncates lineage so round R plans O(E), not
+    * O(R·E). Returns (id, rank). */
+  def pageRank(vertices: DataFrame, edges: DataFrame,
+               idCol: String = "id",
+               srcCol: String = "src", dstCol: String = "dst",
+               iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
+    val v = vertices.select(col(idCol).cast("long").as("id")).localCheckpoint(true)
+    val n = v.count()
+    require(n > 0, "pageRank needs at least one vertex")
+    val deg = edges.groupBy(col(srcCol).cast("long").as("src"))
+      .agg(count(lit(1)).as("deg"))
+    val weighted = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint(true)
+    val outdeg = deg.select(col("src").as("id")).localCheckpoint(true)
+    var ranks = v.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      // dangling mass: rank on vertices with no out-edges, as ONE row
+      val dangling = ranks.join(outdeg, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+      val contrib = weighted
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * col("w")).as("in_rank"))
+      ranks = v
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit((1.0 - damping) / n) + lit(damping)
+            * (coalesce(col("in_rank"), lit(0.0)) + col("dang") / lit(n.toDouble)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -566,6 +566,47 @@ class FunctionsSpec extends SparkSpec {
     assert(distributed === expected)
   }
 
+  test("pageRank: closed forms, dangling redistribution, conservation, reference equivalence") {
+    import spark.implicits._
+    // two-node cycle: symmetric → both ranks 0.5 at every iteration
+    val cyc = GraphFunctions.pageRank((1L to 2L).toDF("id"),
+        Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(cyc(1L) - 0.5) < 1e-12 && math.abs(cyc(2L) - 0.5) < 1e-12)
+    // edgeless graph: dangling mass recycles uniformly → every rank 1/N
+    val dang = GraphFunctions.pageRank((1L to 4L).toDF("id"),
+        Seq.empty[(Long, Long)].toDF("src", "dst"), iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(dang.values.forall(r => math.abs(r - 0.25) < 1e-12))
+    // star 2,3,4 → 1 (1 dangling): hub outranks leaves; total rank = 1
+    val star = GraphFunctions.pageRank((1L to 4L).toDF("id"),
+        Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst"), iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(star(1L) > star(2L) && star(2L) === star(3L))
+    assert(math.abs(star.values.sum - 1.0) < 1e-9, "rank mass must be conserved")
+    // pseudo-random 40-vertex multigraph vs an independent driver-side
+    // reference (plain loops over maps)
+    val n = 40
+    val es = (0 until 120).map { i =>
+      (((i * 31 + 7) % n).toLong, ((i * i * 17 + 3) % n).toLong)
+    }.filter { case (a, b) => a != b }
+    val got = GraphFunctions.pageRank((0L until n.toLong).toDF("id"),
+        es.toDF("src", "dst"), iterations = 8)
+      .as[(Long, Double)].collect().toMap
+    val outdeg = es.groupBy(_._1).map { case (s, l) => (s, l.size) }
+    var r = Map((0L until n.toLong).map(_ -> 1.0 / n): _*)
+    for (_ <- 1 to 8) {
+      val dangMass = r.collect { case (v, x) if !outdeg.contains(v) => x }.sum
+      val in = es.groupBy(_._2).map { case (d, l) =>
+        (d, l.map { case (s, _) => r(s) / outdeg(s) }.sum)
+      }
+      r = r.keys.map(v => v -> (0.15 / n + 0.85
+        * (in.getOrElse(v, 0.0) + dangMass / n))).toMap
+    }
+    for (v <- r.keys)
+      assert(math.abs(got(v) - r(v)) < 1e-9, s"vertex $v: ${got(v)} vs ${r(v)}")
+  }
+
   test("dedupNear distributed label-propagation branch matches the driver union-find") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(maxDriverEdges: Int) =
