@@ -2541,14 +2541,17 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
     // ---- WEIGHTED (term-frequency) near-dup pairs: the unary expansion
-    // (token → token#occ elements) makes set machinery compute multiset
+    // (gram → gram#occ elements) makes set machinery compute multiset
     // Jaccard exactly, and the weighted MinHash rides the SAME band-key
-    // bucket join. Planted twins: 200001 = verbatim copy of doc 1
-    // (J = 1, must pair), 200002 = doc 2 + two junk tokens (J ≈ 0.96),
-    // 200000 = doc 0 TRIPLED — J = 1/3 under the weighted measure (the
-    // repetition asymmetry distinct-shingle Jaccard can't see), below
-    // threshold, must NOT appear. The oracle replays elements, both
-    // salted minima, the band join and every verification -----------------
+    // bucket join. Bigram elements (n = 2): repetition stays visible but
+    // LSH buckets stay sparse (random-pair J ≈ 0.025 vs 0.33 at n = 1 on
+    // this shared-vocabulary corpus — the n = 1 form is quadratic here).
+    // Planted twins: 200001 = verbatim copy of doc 1 (J = 1, must pair),
+    // 200002 = doc 2 + two junk tokens (J ≈ 0.98), 200000 = doc 0
+    // TRIPLED — J ≈ 1/3 under the weighted measure (the repetition
+    // asymmetry distinct-shingle Jaccard can't see), below threshold,
+    // must NOT appear. The oracle replays elements, all three salted
+    // minima, the band join and every verification -----------------------
     "q191_weighted_neardup" -> ((s, d) => {
       val base = Tables.documents(s, d).filter(col("n_chars") > 0)
         .select(col("doc_id"), col("text"))
@@ -2559,7 +2562,7 @@ object SparkEntry {
           .when(col("doc_id") === 1, col("text"))
           .otherwise(concat(col("text"), lit(" zq zq"))).as("text"))
       D.weightedNeardupPairs(base.unionByName(twins), "text", "doc_id",
-          bands = 1, rowsPerBand = 2, jaccardThreshold = 0.75)
+          n = 2, bands = 1, rowsPerBand = 3, jaccardThreshold = 0.6)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -5123,9 +5126,10 @@ object SparkEntry {
         |SELECT url, lastmod, round(priority, 2) AS priority,
         |  round(crawl_delay, 2) AS crawl_delay, round(fetch_at, 2) AS fetch_at
         |FROM sched ORDER BY url""".stripMargin),
-    // q191's oracle replays the unary expansion (occurrence index via a
-    // per-term row_number), both salted signature minima, the band-key
-    // join and the exact multiset-Jaccard verification
+    // q191's oracle replays the unary expansion (bigram elements with an
+    // occurrence index via a per-gram row_number), all three salted
+    // signature minima, the band-key join and the exact multiset-Jaccard
+    // verification
     "q191_weighted_neardup" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE n_chars > 0),
         |aug AS (SELECT doc_id, text FROM base
@@ -5137,11 +5141,15 @@ object SparkEntry {
         |  FROM base WHERE doc_id <= 2),
         |tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
         |  FROM aug WHERE trim(text) <> ''),
-        |pos AS (SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS pos FROM tk),
+        |bgl AS (SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(len(tk) - 1, 0)),
+        |    i -> tk[i] || ' ' || tk[i+1]) AS bl FROM tk),
+        |pos AS (SELECT doc_id, unnest(bl) AS term, generate_subscripts(bl, 1) AS pos FROM bgl),
         |el AS (SELECT doc_id,
         |    term || '#' || CAST(row_number() OVER (PARTITION BY doc_id, term ORDER BY pos) - 1 AS VARCHAR) AS elem
         |  FROM pos),
-        |sig AS (SELECT doc_id, min(md5('s0' || elem)) || '|' || min(md5('s1' || elem)) AS band_key
+        |sig AS (SELECT doc_id, min(md5('s0' || elem)) || '|' || min(md5('s1' || elem))
+        |    || '|' || min(md5('s2' || elem)) AS band_key
         |  FROM el GROUP BY doc_id),
         |els AS (SELECT doc_id, list(elem) AS es FROM el GROUP BY doc_id),
         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -5151,7 +5159,7 @@ object SparkEntry {
         |      / (len(ea.es) + len(eb.es) - len(list_intersect(ea.es, eb.es))), 4) AS jaccard
         |  FROM cand JOIN els ea ON ea.doc_id = cand.id_a
         |            JOIN els eb ON eb.doc_id = cand.id_b)
-        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.75
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
     // q192's oracle replays all 8 power iterations unrolled — the same
     // dangling-mass anti-join, per-edge 1/outdeg contributions and

@@ -23,15 +23,15 @@ object NativeFunctions {
   def word_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsExpr(ColumnBridge.expression(text), n))
 
-  /** Occurrence-indexed token multiset elements (`token#k`) — set Jaccard
+  /** Occurrence-indexed n-gram multiset elements (`gram#k`) — set Jaccard
     * over these IS weighted/tf Jaccard (unary expansion). */
-  def multiset_elems(text: Column): Column =
-    ColumnBridge.column(MultisetElemsExpr(ColumnBridge.expression(text)))
+  def multiset_elems(text: Column, n: Int = 1): Column =
+    ColumnBridge.column(MultisetElemsExpr(ColumnBridge.expression(text), n))
 
   /** k-hash MinHash signature over the occurrence-indexed multiset —
-    * collision probability = WEIGHTED Jaccard. */
-  def weighted_minhash_signature(text: Column, k: Int): Column =
-    ColumnBridge.column(WeightedMinHashSignatureExpr(ColumnBridge.expression(text), k))
+    * collision probability = WEIGHTED n-gram Jaccard. */
+  def weighted_minhash_signature(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(WeightedMinHashSignatureExpr(ColumnBridge.expression(text), n, k))
 
   /** Native sliding L-token window md5 digests (16-byte binary each). */
   def window_digests(text: Column, l: Int): Column =

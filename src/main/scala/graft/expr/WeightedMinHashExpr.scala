@@ -7,22 +7,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The unary-expansion reduction for WEIGHTED (multiset / term-frequency)
-  * Jaccard: each token occurrence becomes the distinct element
-  * `token#k` (k = how many identical tokens precede it), so plain SET
+  * Jaccard: each word n-gram OCCURRENCE becomes the distinct element
+  * `gram#k` (k = how many identical grams precede it), so plain SET
   * Jaccard over these elements equals the weighted Jaccard
-  * Σ min(tfₐ, tf_b) / Σ max(tfₐ, tf_b) over integer term frequencies —
-  * the classic expansion (Haveliwala et al. 2000; the integer-weight case
-  * of Ioffe's consistent weighted sampling). A page that repeats a
-  * paragraph five times is NOT a 0.9-Jaccard twin of the single-paragraph
-  * page under this measure, where distinct-shingle Jaccard says it is.
+  * Σ min(tfₐ, tf_b) / Σ max(tfₐ, tf_b) over integer gram frequencies —
+  * the classic expansion (the integer-weight case of Ioffe's consistent
+  * weighted sampling). A page that repeats a paragraph five times is NOT
+  * a 0.9-Jaccard twin of the single-paragraph page under this measure,
+  * where distinct-shingle Jaccard says it is.
   *
-  * `multiset_elems(text)` → the occurrence-indexed element set (for exact
-  * verification — already distinct by construction; encounter order).
-  * Expansion size = token count, so the payload equals the document's own
-  * token mass — nothing is amplified.
+  * `n` picks the gram width: n = 1 is the pure tf measure (word order
+  * invisible, repetition visible); n ≥ 2 keeps the repetition semantics
+  * while discriminating shared-vocabulary corpora (measured on the
+  * driver corpus: random-pair weighted J ≈ 0.33 at n = 1 — every doc
+  * shares the small vocabulary with similar tf — vs ≈ 0.025 at n = 2,
+  * which is what makes the LSH buckets sparse at scale).
+  *
+  * `multiset_elems(text, n)` → the occurrence-indexed element set (for
+  * exact verification — already distinct by construction; encounter
+  * order). Expansion size = gram count ≤ token count, so the payload is
+  * bounded by the document's own token mass — nothing is amplified.
   */
-case class MultisetElemsExpr(child: Expression)
+case class MultisetElemsExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "multiset_elems requires n >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -30,14 +39,15 @@ case class MultisetElemsExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = TextTok.tokens(input.asInstanceOf[UTF8String].toString)
-    val seen = new java.util.HashMap[String, Integer](toks.length * 2)
-    val out = new Array[Any](toks.length)
+    val grams = WeightedMinHash.grams(toks, n)
+    val seen = new java.util.HashMap[String, Integer](grams.length * 2)
+    val out = new Array[Any](grams.length)
     var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      val c = seen.getOrDefault(t, 0)
-      seen.put(t, c + 1)
-      out(i) = UTF8String.fromString(t + "#" + c)
+    while (i < grams.length) {
+      val g = grams(i)
+      val c = seen.getOrDefault(g, 0)
+      seen.put(g, c + 1)
+      out(i) = UTF8String.fromString(g + "#" + c)
       i += 1
     }
     new GenericArrayData(out)
@@ -48,17 +58,17 @@ case class MultisetElemsExpr(child: Expression)
 }
 
 /** k-hash MinHash signature over the [[MultisetElemsExpr]] element set —
-  * `weighted_minhash_signature(text, k)` → `array<string>` of k
+  * `weighted_minhash_signature(text, n, k)` → `array<string>` of k
   * lowercase-hex md5 minima, so P[sig_a(j) = sig_b(j)] = the WEIGHTED
-  * Jaccard. Same salt idiom (`s<j>`), same raw-digest comparison and
-  * hex-encode-winners-only discipline as [[MinHashSignatureExpr]]; the
-  * existing band-key slicing and the whole LSH bucket machinery apply
-  * unchanged on top.
+  * Jaccard over n-gram frequencies. Same salt idiom (`s<j>`), same
+  * raw-digest comparison and hex-encode-winners-only discipline as
+  * [[MinHashSignatureExpr]]; the existing band-key slicing and the whole
+  * LSH bucket machinery apply unchanged on top.
   */
-case class WeightedMinHashSignatureExpr(child: Expression, k: Int)
+case class WeightedMinHashSignatureExpr(child: Expression, n: Int, k: Int)
     extends UnaryExpression with CodegenFallback {
 
-  require(k >= 1, "weighted_minhash_signature requires k >= 1")
+  require(n >= 1 && k >= 1, "weighted_minhash_signature requires n >= 1 and k >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = child.nullable
@@ -70,33 +80,65 @@ case class WeightedMinHashSignatureExpr(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any = {
     val mins = new Array[Array[Byte]](k)
     val toks = TextTok.tokens(input.asInstanceOf[UTF8String].toString)
-    if (toks.length > 0) {
+    val grams = WeightedMinHash.grams(toks, n)
+    if (grams.length > 0) {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val seen = new java.util.HashMap[String, Integer](toks.length * 2)
+      val seen = new java.util.HashMap[String, Integer](grams.length * 2)
       var i = 0
-      while (i < toks.length) {
-        val t = toks(i)
-        val c = seen.getOrDefault(t, 0)
-        seen.put(t, c + 1)
-        val elemBytes = (t + "#" + c).getBytes("UTF-8")
+      while (i < grams.length) {
+        val g = grams(i)
+        val c = seen.getOrDefault(g, 0)
+        seen.put(g, c + 1)
+        val elemBytes = (g + "#" + c).getBytes("UTF-8")
         var h = 0
         while (h < k) {
           md.reset()
           md.update(salts(h))
           md.update(elemBytes)
           val digest = md.digest()
-          if (mins(h) == null || unsignedLess(digest, mins(h))) mins(h) = digest
+          if (mins(h) == null || WeightedMinHash.unsignedLess(digest, mins(h)))
+            mins(h) = digest
           h += 1
         }
         i += 1
       }
     }
     new GenericArrayData(mins.map { b =>
-      if (b == null) null else UTF8String.fromString(toHex(b))
+      if (b == null) null else UTF8String.fromString(WeightedMinHash.toHex(b))
     }.asInstanceOf[Array[Any]])
   }
 
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared helpers for the weighted-MinHash expressions. */
+private[expr] object WeightedMinHash {
+
+  /** Space-joined word n-grams in document order (n = 1 → the tokens). */
+  def grams(toks: Array[String], n: Int): Array[String] = {
+    if (n == 1) toks
+    else if (toks.length < n) Array.empty
+    else {
+      val out = new Array[String](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
+  def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
       val ai = a(i) & 0xFF; val bi = b(i) & 0xFF
@@ -106,7 +148,7 @@ case class WeightedMinHashSignatureExpr(child: Expression, k: Int)
     false
   }
 
-  private def toHex(b: Array[Byte]): String = {
+  def toHex(b: Array[Byte]): String = {
     val hexChars = "0123456789abcdef"
     val out = new Array[Char](b.length * 2)
     var i = 0
@@ -117,7 +159,4 @@ case class WeightedMinHashSignatureExpr(child: Expression, k: Int)
     }
     new String(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -443,8 +443,11 @@ object DedupFunctions {
     * bucket join applies unchanged. Catches repetition asymmetry that
     * distinct-shingle Jaccard is blind to: a page repeating one
     * paragraph 5× scores 1.0 against itself-distinct but only ~1/5
-    * against the single-copy page here. Unigram elements (n = 1 words)
-    * — word order does not move the measure, repetition does.
+    * against the single-copy page here. `n` = 1 is the pure tf measure
+    * (word order invisible); n ≥ 2 keeps the repetition semantics while
+    * making LSH buckets sparse on shared-vocabulary corpora (driver
+    * corpus: random-pair weighted J ≈ 0.33 at n = 1 vs ≈ 0.025 at n = 2
+    * — at n = 1 a 50 k-doc corpus generates quadratic candidate mass).
     *
     * Scale shape: identical to [[neardupPairsLocal]] — signatures and
     * element sets computed scan-side (element payload = the doc's own
@@ -452,14 +455,14 @@ object DedupFunctions {
     * inside buckets, oversized keys through the lossless self-join.
     * Returns (id_a, id_b, jaccard), id_a < id_b. */
   def weightedNeardupPairs(df: DataFrame, textCol: String, idCol: String,
-                           bands: Int = 4, rowsPerBand: Int = 2,
+                           n: Int = 1, bands: Int = 4, rowsPerBand: Int = 2,
                            jaccardThreshold: Double = 0.8,
                            maxBucket: Int = 10000): DataFrame = {
     val keyed = df.select(
         col(idCol).as("id"),
-        graft.expr.NativeFunctions.multiset_elems(col(textCol)).as("sh"),
+        graft.expr.NativeFunctions.multiset_elems(col(textCol), n).as("sh"),
         graft.expr.NativeFunctions
-          .weighted_minhash_signature(col(textCol), bands * rowsPerBand).as("__sig"))
+          .weighted_minhash_signature(col(textCol), n, bands * rowsPerBand).as("__sig"))
       .select(col("id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           bandKeyFromSignature(col("__sig"), b, rowsPerBand)): _*)).as(Seq("band", "band_key")))
@@ -467,11 +470,12 @@ object DedupFunctions {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
-  /** Exact weighted (multiset) Jaccard of two texts — the verification
-    * scalar behind [[weightedNeardupPairs]], exposed for spot checks. */
-  def weightedJaccard(a: Column, b: Column): Column =
-    jaccardFromDistinct(graft.expr.NativeFunctions.multiset_elems(a),
-      graft.expr.NativeFunctions.multiset_elems(b))
+  /** Exact weighted (multiset) Jaccard of two texts over n-gram
+    * frequencies — the verification scalar behind
+    * [[weightedNeardupPairs]], exposed for spot checks. */
+  def weightedJaccard(a: Column, b: Column, n: Int = 1): Column =
+    jaccardFromDistinct(graft.expr.NativeFunctions.multiset_elems(a, n),
+      graft.expr.NativeFunctions.multiset_elems(b, n))
 
   /** MinHash estimate of Jaccard similarity from two equal-length
     * signatures: the fraction of agreeing components (an unbiased

@@ -64,7 +64,7 @@ class WeightedMinHashSpec extends SparkSpec {
       array_min(transform(NativeFunctions.multiset_elems(col("text")),
         e => md5(concat(lit(s"s$j"), e)))))
     val rows = df.select(
-        NativeFunctions.weighted_minhash_signature(col("text"), k).as("n"),
+        NativeFunctions.weighted_minhash_signature(col("text"), 1, k).as("n"),
         array(hof: _*).as("h"))
       .collect()
     for (r <- rows) {
@@ -74,9 +74,32 @@ class WeightedMinHashSpec extends SparkSpec {
     }
     // exact duplicates share every signature component
     val sigs = Seq("p q r p", "p q r p").toDF("text")
-      .select(NativeFunctions.weighted_minhash_signature(col("text"), 8))
+      .select(NativeFunctions.weighted_minhash_signature(col("text"), 1, 8))
       .collect().map(_.getSeq[String](0))
     assert(sigs(0) === sigs(1))
+  }
+
+  test("n-gram elements: bigram closed forms and signature parity") {
+    // "a b a b": bigrams (a b)#0, (b a)#0, (a b)#1
+    // "a b":     bigrams (a b)#0  → weighted J = 1/3
+    val df = Seq(("a b a b", "a b")).toDF("x", "y")
+    val j = df.select(DedupFunctions.weightedJaccard(col("x"), col("y"), n = 2))
+      .head().getDouble(0)
+    assert(math.abs(j - 1.0 / 3) < 1e-12)
+    // bigram elements: native ≡ HOF minima over explicit bigram elems
+    val t = Seq("u v u v w", "u", "").toDF("text")
+    val hof = (0 until 3).map(s =>
+      array_min(transform(NativeFunctions.multiset_elems(col("text"), 2),
+        e => md5(concat(lit(s"s$s"), e)))))
+    val rows = t.select(
+        NativeFunctions.weighted_minhash_signature(col("text"), 2, 3).as("n"),
+        array(hof: _*).as("h"))
+      .collect()
+    for (r <- rows) assert(r.getSeq[String](0).toList === r.getSeq[String](1).toList)
+    // sub-n docs have no elements → all-null signature
+    val short = t.filter(col("text") === "u")
+      .select(NativeFunctions.multiset_elems(col("text"), 2)).head().getSeq[String](0)
+    assert(short.isEmpty)
   }
 
   test("weightedNeardupPairs: found ⊆ brute force with identical jaccards; exact dups always pair") {
