@@ -364,6 +364,42 @@ def build_records():
     return recs
 
 
+def q194_rows():
+    """Independent replay of the q194 link graph: out-link extraction
+    (same documented contract as HtmlFunctions.extractLinks — comments/
+    scripts removed first, first href attribute, quote styles, anchor
+    text under the strip_tags semantics) with absolutization via the
+    stdlib's OWN RFC 3986 implementation (urljoin), fragments stripped
+    (a fetch target has no fragment)."""
+    from urllib.parse import urljoin
+    pages = [("http://fixture.example/page-a", PAGE_A),
+             ("http://fixture.example/page-b", PAGE_B),
+             ("http://fixture.example/page-c", PAGE_C),
+             ("http://fixture.example/chunked", PAGE_B),
+             ("http://fixture.example/gzipped", PAGE_A),
+             ("http://fixture.example/both", PAGE_C),
+             ("http://MIRROR.example:80/page-a-variant/", PAGE_A_VAR),
+             ("http://mirror.example/page-d?b=2&a=1#sec", PAGE_D)]
+    out = []
+    for uri, html in pages:
+        s = re.sub(r"(?s)<!--.*?-->", " ", html)
+        s = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", s)
+        s = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", s)
+        for el in re.findall(r"(?is)<a\b[^>]*>.*?</a\s*>", s):
+            m = re.search(
+                r"(?is)<a\b[^>]*?href\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)", el)
+            if not m:
+                continue
+            href = m.group(1)
+            if href[:1] in "\"'":
+                href = href[1:-1]
+            inner = re.search(r"(?is)<a\b[^>]*>(.*?)</a\s*>", el).group(1)
+            anchor = strip_tags(inner)
+            resolved = re.sub(r"#.*$", "", urljoin(uri, href))
+            out.append((uri, href, resolved, anchor))
+    return sorted(out)
+
+
 def expected_rows():
     """(index, type, uri, status, payload_len, payload_md5, text_md5,
     text_chars) per record — payload is the DECODED entity body (after
@@ -790,6 +826,10 @@ def main():
         uri, dom, n, tok, shard = row
         print(f"  ('{uri}', '{dom}', CAST({n} AS BIGINT), "
               f"CAST({tok} AS BIGINT), CAST({shard} AS BIGINT)),")
+
+    print("\n-- q194 oracle VALUES (target_uri, href, resolved, anchor) --")
+    for uri, href, resolved, anchor in q194_rows():
+        print(f"  ('{uri}', '{href}', '{resolved}', '{anchor}'),")
 
     print("\n-- q175 oracle VALUES (modality, keeper_uri, n_members) --")
     for modality, uri, nm in q175_rows():

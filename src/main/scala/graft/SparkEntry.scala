@@ -2518,6 +2518,27 @@ object SparkEntry {
           r2(col("fetch_at")).as("fetch_at"))
         .orderBy(col("url"))
     }),
+    // ---- crawl link graph: the fixture's HTML responses → out-link
+    // extraction (quote styles, anchor text under the stripTags spec,
+    // commented-out/script-embedded anchors excluded) → RFC 3986
+    // resolution against each page's own URI. The oracle's VALUES are
+    // the independent python replay (gen_warc_fixture.q194_rows — own
+    // regexes + the stdlib's urljoin, fragments stripped) -----------------
+    "q194_link_graph" -> ((s, _) => {
+      val pages = graft.sources.Warc.readWarc(s, warcFixtureDir())
+        .filter(col("file").endsWith(".warc.gz"))
+        .filter(col("warc_type") === "response" && col("http_status") === 200
+          && col("http_content_type").contains("text/html"))
+        .select(col("target_uri"), col("payload").cast("string").as("html"))
+      pages
+        .select(col("target_uri"),
+          explode(graft.functions.HtmlFunctions.extractLinks(col("html"))).as("l"))
+        .select(col("target_uri"), col("l.href").as("href"),
+          graft.functions.UrlFunctions
+            .resolveUrl(col("target_uri"), col("l.href")).as("resolved"),
+          col("l.anchor").as("anchor"))
+        .orderBy(col("target_uri"), col("href"))
+    }),
     // ---- sitemap discovery → politeness → schedule: the whole crawl
     // front door before any fetch happens. Two fixture sitemaps (entity
     // escapes, pretty-printed loc, junk priority, loc-less entry) parse
@@ -5084,6 +5105,32 @@ object SparkEntry {
         |SELECT url, round(crawl_delay, 2) AS crawl_delay,
         |  round(fetch_at, 2) AS fetch_at
         |FROM sched ORDER BY url""".stripMargin),
+    // q194's oracle: the independent python replay's rows pinned as
+    // literals (scripts/gen_warc_fixture.py q194_rows — own extraction
+    // regexes, urllib.parse.urljoin resolution, fragments stripped)
+    "q194_link_graph" ->
+      """WITH v(target_uri, href, resolved, anchor) AS (VALUES
+        |  ('http://MIRROR.example:80/page-a-variant/', '/', 'http://MIRROR.example:80/', 'Home'),
+        |  ('http://MIRROR.example:80/page-a-variant/', '/about', 'http://MIRROR.example:80/about', 'About the site'),
+        |  ('http://MIRROR.example:80/page-a-variant/', '/privacy', 'http://MIRROR.example:80/privacy', 'Privacy'),
+        |  ('http://MIRROR.example:80/page-a-variant/', '/terms', 'http://MIRROR.example:80/terms', 'Terms'),
+        |  ('http://fixture.example/chunked', 'a', 'http://fixture.example/a', 'one'),
+        |  ('http://fixture.example/chunked', 'b', 'http://fixture.example/b', 'two'),
+        |  ('http://fixture.example/chunked', 'c', 'http://fixture.example/c', 'three'),
+        |  ('http://fixture.example/gzipped', '/', 'http://fixture.example/', 'Home'),
+        |  ('http://fixture.example/gzipped', '/about', 'http://fixture.example/about', 'About the site'),
+        |  ('http://fixture.example/gzipped', '/privacy', 'http://fixture.example/privacy', 'Privacy'),
+        |  ('http://fixture.example/gzipped', '/terms', 'http://fixture.example/terms', 'Terms'),
+        |  ('http://fixture.example/page-a', '/', 'http://fixture.example/', 'Home'),
+        |  ('http://fixture.example/page-a', '/about', 'http://fixture.example/about', 'About the site'),
+        |  ('http://fixture.example/page-a', '/privacy', 'http://fixture.example/privacy', 'Privacy'),
+        |  ('http://fixture.example/page-a', '/terms', 'http://fixture.example/terms', 'Terms'),
+        |  ('http://fixture.example/page-b', 'a', 'http://fixture.example/a', 'one'),
+        |  ('http://fixture.example/page-b', 'b', 'http://fixture.example/b', 'two'),
+        |  ('http://fixture.example/page-b', 'c', 'http://fixture.example/c', 'three'),
+        |  ('http://mirror.example/page-d?b=2&a=1#sec', '/terms', 'http://mirror.example/terms', 'Terms'))
+        |SELECT target_uri, href, resolved, anchor FROM v
+        |ORDER BY target_uri, href""".stripMargin,
     // q193's oracle replays the sitemap parse (block explode, per-tag
     // extraction, entity decode, whitespace-regex trim, priority
     // defaulting), the robots gate and the Crawl-delay schedule

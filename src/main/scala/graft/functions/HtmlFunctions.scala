@@ -97,6 +97,27 @@ object HtmlFunctions {
       graft.expr.HtmlToTextExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** Out-links of a page: one `struct(href, anchor)` per `<a …>…</a>`
+    * element — href as written (double- or single-quoted or bare; first
+    * href attribute wins) and the anchor's extracted text under
+    * [[stripTagsSpec]] semantics (tags stripped, entity subset decoded,
+    * whitespace collapsed). Elements without an href are dropped.
+    * Scripts/comments are removed first so commented-out markup can't
+    * contribute links. Pure array expressions over the page — the crawl
+    * graph's edge extractor ([[UrlFunctions.resolveUrl]] absolutizes). */
+  def extractLinks(c: Column): Column = {
+    val anchors = regexp_extract_all(dropInvisible(c),
+      lit("(?is)<a\\b[^>]*>.*?</a\\s*>"), lit(0))
+    filter(
+      transform(anchors, a => struct(
+        regexp_replace(
+          regexp_extract(a,
+            "(?is)<a\\b[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)", 1),
+          "^[\"']|[\"']$", "").as("href"),
+        stripTagsSpec(regexp_extract(a, AnchorPat, 1)).as("anchor"))),
+      s => s.getField("href") =!= "")
+  }
+
   /** Per-block stats: split the page on block-level tags, and for each
     * segment emit `struct(text, chars, link_chars)` where `text` is the
     * segment's extracted text and `link_chars` counts characters of

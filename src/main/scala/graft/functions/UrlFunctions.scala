@@ -130,6 +130,53 @@ object UrlFunctions {
     hostOf(authority)
   }
 
+  /** RFC 3986 §5 relative-reference resolution for http(s) crawl graphs —
+    * `resolveUrl(base, ref)` turns an in-page href into the absolute URL
+    * a crawler would fetch. Matches python's `urljoin` (the oracle's
+    * independent replay) on: absolute refs returned VERBATIM (no dot
+    * normalization, §5.3's parse of a full URI); `//authority` refs
+    * adopting the base scheme; absolute paths; query-only refs; empty
+    * refs = the base; relative paths merged against the base directory
+    * with remove-dot-segments (§5.2.4, bounded to 8 nesting rounds —
+    * deeper ../ chains than 8 do not occur in real pages); the base
+    * SCHEME lowercased on merge (urljoin semantics; host case kept).
+    * One deliberate divergence: FRAGMENTS are stripped from the result —
+    * a fetch target has no fragment (the replay strips after urljoin).
+    * Pure column expressions, scan-side. */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val r = regexp_replace(ref, "#.*$", "")
+    val b = regexp_replace(base, "#.*$", "")
+    val bScheme = lower(regexp_extract(b, "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://", 1))
+    val bAuth = regexp_extract(b, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)", 1)
+    val origin = concat(bScheme, lit("://"), bAuth)
+    val bPathQ = regexp_replace(b, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*", "")
+    val bPath = regexp_extract(bPathQ, "^([^?]*)", 1)
+    val dir = when(bPath.contains("/"),
+      regexp_replace(bPath, "/[^/]*$", "/")).otherwise(lit("/"))
+    val merged =
+      when(r === "", b)
+        .when(r.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:"), r)
+        .when(r.startsWith("//"), concat(bScheme, lit(":"), r))
+        .when(r.startsWith("/"), concat(origin, r))
+        .when(r.startsWith("?"),
+          concat(origin, when(bPath === "", lit("/")).otherwise(bPath), r))
+        .otherwise(concat(origin, dir, r))
+    // remove_dot_segments on the merged PATH only (query untouched);
+    // skip for verbatim absolute refs, matching urljoin
+    val mOrigin = regexp_extract(merged, "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)", 1)
+    val mPathQ = regexp_replace(merged, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*", "")
+    val mPath = regexp_extract(mPathQ, "^([^?]*)", 1)
+    val mQuery = when(mPathQ.contains("?"),
+      regexp_replace(mPathQ, "^[^?]*", "")).otherwise(lit(""))
+    val norm = (1 to 8).foldLeft(mPath) { (acc, _) =>
+      val noDot = regexp_replace(acc, "/\\.(/|$)", "/")
+      val noUp = regexp_replace(noDot, "/(?!\\.\\./)[^/]+/\\.\\.(/|$)", "/")
+      regexp_replace(noUp, "^/\\.\\.(/|$)", "/")
+    }
+    when(r.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:"), r)
+      .otherwise(concat(mOrigin, norm, mQuery))
+  }
+
   /** REP (RFC 9309 §2.2.2) match target of a URL: the URI path ('/' when
     * empty) plus '?query' when a non-empty query is present — the string
     * robots.txt Allow/Disallow patterns are matched against. Path case is

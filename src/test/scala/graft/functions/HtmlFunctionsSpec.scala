@@ -179,4 +179,26 @@ before any tokenizer sees a byte &mdash; order matters.</P>
       assert(r.getInt(2) <= r.getInt(1)) // anchor text ⊆ block text
     }
   }
+
+  test("extractLinks: quote styles, missing href, nested tags, commented-out anchors") {
+    import spark.implicits._
+    val html = Seq(
+      "<html><body>" +
+      "<a href=\"/dq\">Double <b>bold</b> quoted</a>" +
+      "<a href='/sq'>single&amp;quoted</a>" +
+      "<a href=/bare>bare</a>" +
+      "<a name=anchor-only>no href</a>" +
+      "<A HREF=\"/UP\" class=x>upper tag</A>" +
+      "<!-- <a href=\"/ghost\">commented out</a> -->" +
+      "<script>var s = '<a href=\"/js\">script link</a>';</script>" +
+      "</body></html>").toDF("html")
+    val got = html.select(explode(HtmlFunctions.extractLinks(col("html"))).as("l"))
+      .select(col("l.href"), col("l.anchor"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("/dq", "Double bold quoted"),
+      ("/sq", "single&quoted"),
+      ("/bare", "bare"),
+      ("/UP", "upper tag")))
+  }
 }

@@ -238,4 +238,40 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(capped.groupBy("regdom").count().collect()
       .forall(_.getLong(1) <= 2))
   }
+
+  test("resolveUrl: the urljoin battery (fragments stripped)") {
+    import spark.implicits._
+    // expectations are python urljoin outputs with fragments stripped
+    // (pinned 2026-08-16; the q194 oracle replays via the same urljoin)
+    val cases = Seq(
+      ("http://h.ex/a/b", "c", "http://h.ex/a/c"),
+      ("http://h.ex/a/b/", "c", "http://h.ex/a/b/c"),
+      ("http://h.ex/a/b", "./c", "http://h.ex/a/c"),
+      ("http://h.ex/a/b", "../c", "http://h.ex/c"),
+      ("http://h.ex/a", "../../c", "http://h.ex/c"),
+      ("http://h.ex/a/b", "/abs", "http://h.ex/abs"),
+      ("http://h.ex/a/b?q=1", "c", "http://h.ex/a/c"),
+      ("http://h.ex/a/b", "?x=1", "http://h.ex/a/b?x=1"),
+      ("http://h.ex/a/b", "", "http://h.ex/a/b"),
+      ("http://h.ex/a/b", "//other.ex/p", "http://other.ex/p"),
+      ("http://h.ex/a/b", "https://o.ex/z", "https://o.ex/z"),
+      ("http://h.ex/a/b", "c#frag", "http://h.ex/a/c"),
+      ("http://h.ex/a/b#f0", "", "http://h.ex/a/b"),
+      ("http://h.ex", "c", "http://h.ex/c"),
+      ("http://h.ex/", "a/../b", "http://h.ex/b"),
+      ("http://h.ex/x/", "a/./b", "http://h.ex/x/a/b"),
+      ("http://h.ex/a/b", "c/", "http://h.ex/a/c/"),
+      ("http://h.ex/a/b", "http://o.ex/a/../z", "http://o.ex/a/../z"),
+      ("http://h.ex/a/", "../../../up", "http://h.ex/up"),
+      ("http://h.ex/a/b", "c?y=2", "http://h.ex/a/c?y=2"),
+      ("HTTP://H.ex/A/b", "c", "http://H.ex/A/c"),
+      ("http://h.ex/a/b", ".", "http://h.ex/a/"),
+      ("http://h.ex/a/b/c", "..", "http://h.ex/a/"))
+    val got = cases.toDF("base", "ref", "want")
+      .select(col("want"), UrlFunctions.resolveUrl(col("base"), col("ref")).as("got"))
+      .collect()
+    for (r <- got)
+      assert(r.getString(1) === r.getString(0),
+        s"resolveUrl gave ${r.getString(1)}, urljoin says ${r.getString(0)}")
+  }
 }
