@@ -2518,6 +2518,25 @@ object SparkEntry {
           r2(col("fetch_at")).as("fetch_at"))
         .orderBy(col("url"))
     }),
+    // ---- redirect-chain resolution: follow the deterministic (src→dst)
+    // fetch-log table from every URL to its terminal address, 8-hop
+    // budget — chains of 0–4 hops plus three genuine loops that exhaust
+    // the budget (terminal = false). The oracle walks the same chains
+    // with a recursive CTE -----------------------------------------------
+    "q195_redirects" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def urlOf(id: Column): Column =
+        concat(lit("http://r"), pmod(id, lit(50)), lit(".example/p/"), id)
+      val urls = docs.select(col("doc_id"), urlOf(col("doc_id")).as("url"))
+      val redirects = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+        .select(urlOf(col("doc_id")).as("src"),
+          urlOf(pmod(col("doc_id") * 9 + 4, lit(n))).as("dst"))
+      graft.functions.CrawlFunctions.resolveRedirects(urls, redirects, "url")
+        .select(col("doc_id"), col("url"), col("final_url"),
+          col("n_hops"), col("terminal"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- crawl link graph: the fixture's HTML responses → out-link
     // extraction (quote styles, anchor text under the stripTags spec,
     // commented-out/script-embedded anchors excluded) → RFC 3986
@@ -5105,6 +5124,29 @@ object SparkEntry {
         |SELECT url, round(crawl_delay, 2) AS crawl_delay,
         |  round(fetch_at, 2) AS fetch_at
         |FROM sched ORDER BY url""".stripMargin),
+    // q195's oracle walks the redirect chains with a recursive CTE (hop
+    // counter bounds the loops exactly like the operator's budget) and
+    // derives terminal from the final URL's out-edge
+    "q195_redirects" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |u AS (SELECT doc_id,
+        |    'http://r' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |red AS (SELECT
+        |    'http://r' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS src,
+        |    'http://r' || CAST(((doc_id*9+4) % nn.n) % 50 AS VARCHAR) || '.example/p/'
+        |      || CAST((doc_id*9+4) % nn.n AS VARCHAR) AS dst
+        |  FROM documents CROSS JOIN nn WHERE doc_id % 3 = 1),
+        |walk(url, cur, n) AS (
+        |  SELECT url, url, 0 FROM u
+        |  UNION ALL
+        |  SELECT w.url, r.dst, w.n + 1 FROM walk w JOIN red r ON r.src = w.cur WHERE w.n < 8),
+        |last AS (SELECT url, max(n) AS mx FROM walk GROUP BY url),
+        |fin AS (SELECT w.url, w.cur AS final_url, w.n AS n_hops
+        |  FROM walk w JOIN last l ON l.url = w.url AND w.n = l.mx)
+        |SELECT u.doc_id, f.url, f.final_url, f.n_hops, (r.src IS NULL) AS terminal
+        |FROM fin f JOIN u ON u.url = f.url LEFT JOIN red r ON r.src = f.final_url
+        |ORDER BY u.doc_id""".stripMargin,
     // q194's oracle: the independent python replay's rows pinned as
     // literals (scripts/gen_warc_fixture.py q194_rows — own extraction
     // regexes, urllib.parse.urljoin resolution, fragments stripped)

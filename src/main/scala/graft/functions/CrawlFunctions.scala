@@ -99,6 +99,51 @@ object CrawlFunctions {
                                hammingBands: Int = 8,
                                maxDistance: Int = 4)
 
+  /** Resolve HTTP redirect chains: follow `redirects` (src → dst, one
+    * hop per fetch — src unique) from every URL to its final target, up
+    * to `maxHops` hops. The canonical-URL step a crawler runs BEFORE
+    * URL-keyed dedup/caps: a page reachable through 301 chains must
+    * count under its terminal address.
+    *
+    * Output: input columns + (final_url, n_hops, terminal). `terminal`
+    * is false when the walk stopped at the hop budget with the chain
+    * still pointing onward (a longer-than-budget chain or a loop — real
+    * crawlers give up the same way; browsers cap around 20).
+    *
+    * Scale shape: the frontier SHRINKS as chains settle — each hop joins
+    * only the still-redirecting rows against the redirect table (keys +
+    * an 8-byte counter cross the exchange; settled rows never re-enter a
+    * join), and per-hop localCheckpoint keeps round R's plan O(R = one
+    * join), not O(R²). maxHops bounds the job count; redirect tables are
+    * fetch-log-sized, joined hash-to-hash. */
+  def resolveRedirects(urls: DataFrame, redirects: DataFrame, urlCol: String,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val red = redirects
+      .select(col(srcCol).as("__cur"), col(dstCol).as("__nxt"))
+      .localCheckpoint(true)
+    var live = urls
+      .withColumn("__cur", col(urlCol))
+      .withColumn("n_hops", lit(0))
+    val settled = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (_ <- 1 to maxHops) {
+      val joined = live.join(red, Seq("__cur"), "left").localCheckpoint(true)
+      settled += joined.filter(col("__nxt").isNull)
+        .drop("__nxt").withColumn("terminal", lit(true))
+      live = joined.filter(col("__nxt").isNotNull)
+        .withColumn("__cur", col("__nxt")).drop("__nxt")
+        .withColumn("n_hops", col("n_hops") + 1)
+    }
+    // budget exhausted: terminal only if the chain happens to end here
+    val leftover = live.join(red, Seq("__cur"), "left")
+      .withColumn("terminal", col("__nxt").isNull).drop("__nxt")
+    (settled.toList :+ leftover).reduce(_.unionByName(_))
+      .withColumnRenamed("__cur", "final_url")
+      .select(urls.columns.map(col).toIndexedSeq
+        ++ Seq(col("final_url"), col("n_hops"), col("terminal")): _*)
+  }
+
   def multimodalKeepers(warc: DataFrame,
                         minMainChars: Int = 40,
                         shingleN: Int = 3,

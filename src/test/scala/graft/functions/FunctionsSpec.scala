@@ -607,6 +607,30 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(got(v) - r(v)) < 1e-9, s"vertex $v: ${got(v)} vs ${r(v)}")
   }
 
+  test("resolveRedirects: chains settle, loops exhaust the budget, passthroughs stay put") {
+    import spark.implicits._
+    val urls = Seq("a", "b", "c", "x", "loop1", "loop2", "solo")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val red = Seq(("a", "b"), ("b", "c"), ("c", "x"),
+      ("loop1", "loop2"), ("loop2", "loop1")).toDF("src", "dst")
+    val got = CrawlFunctions.resolveRedirects(urls, red, "url")
+      .collect().map(r => r.getString(1) ->
+        (r.getString(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(got("a") === (("x", 3, true)))
+    assert(got("b") === (("x", 2, true)))
+    assert(got("x") === (("x", 0, true)))
+    assert(got("solo") === (("solo", 0, true)))
+    // the 2-cycle burns all 8 hops and lands back where parity says
+    assert(got("loop1") === (("loop1", 8, false)))
+    assert(got("loop2") === (("loop2", 8, false)))
+    // a tight budget cuts a real chain non-terminally
+    val cut = CrawlFunctions.resolveRedirects(urls, red, "url", maxHops = 1)
+      .collect().map(r => r.getString(1) ->
+        (r.getString(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(cut("a") === (("b", 1, false)))
+    assert(cut("c") === (("x", 1, true)))
+  }
+
   test("dedupNear distributed label-propagation branch matches the driver union-find") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     def run(maxDriverEdges: Int) =
