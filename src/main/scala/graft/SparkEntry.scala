@@ -2518,6 +2518,31 @@ object SparkEntry {
           r2(col("fetch_at")).as("fetch_at"))
         .orderBy(col("url"))
     }),
+    // ---- Platt calibration: the NB en-vs-de log-odds margin of every
+    // held-out doc, calibrated into P(en | s) by 6 unrolled Newton steps
+    // with Platt's smoothed targets. The oracle replays the NB scores,
+    // both target constants, every Newton iteration (5 sums + the 2×2
+    // solve) and the final sigmoid — any drift in the fit moves every
+    // probability --------------------------------------------------------
+    "q196_calibration" -> ((s, d) => {
+      val C = graft.functions.ClassifierFunctions
+      val docs = Tables.documents(s, d).filter(col("n_chars") > 0)
+        .withColumn("hb", T.hashBucket(col("text"), 100))
+      val model = C.trainNaiveBayes(docs.filter(col("hb") >= 10), "text", "lang")
+      val te = docs.filter(col("hb") < 10)
+      val sc = C.nbScore(te, model, "text", "doc_id")
+      val scored = sc.filter(col("label") === "en")
+        .select(col("doc_id"), col("score").as("s_en"))
+        .join(sc.filter(col("label") === "de")
+          .select(col("doc_id"), col("score").as("s_de")), "doc_id")
+        .join(te.select(col("doc_id"), (col("lang") === "en").as("y")), "doc_id")
+        .select(col("doc_id"), (col("s_en") - col("s_de")).as("s"), col("y"))
+        .localCheckpoint(true)
+      val (a, b) = C.fitPlatt(scored, "s", "y", iterations = 6)
+      scored.select(col("doc_id"), r4(col("s")).as("s"),
+          r4(C.plattProb(col("s"), a, b)).as("p"))
+        .orderBy(col("doc_id"))
+    }),
     // ---- redirect-chain resolution: follow the deterministic (src→dst)
     // fetch-log table from every URL to its terminal address, 8-hop
     // budget — chains of 0–4 hops plus three genuine loops that exhaust
@@ -5124,6 +5149,70 @@ object SparkEntry {
         |SELECT url, round(crawl_delay, 2) AS crawl_delay,
         |  round(fetch_at, 2) AS fetch_at
         |FROM sched ORDER BY url""".stripMargin),
+    // q196's oracle replays the NB margin (q112's replay), Platt's
+    // smoothed targets, all six Newton iterations (five sums + the 2×2
+    // solve each, MATERIALIZED so the chain evaluates once, not
+    // exponentially through the scalar subqueries) and the final sigmoid
+    "q196_calibration" -> {
+      val steps = (1 to 6).map { i =>
+        val p = s"t${i - 1}"
+        s"""g$i AS MATERIALIZED (SELECT
+           |    sum((tt - pp) * s) AS g1, sum(tt - pp) AS g2,
+           |    sum(pp * (1 - pp) * s * s) AS h11,
+           |    sum(pp * (1 - pp) * s) AS h12,
+           |    sum(pp * (1 - pp)) AS h22
+           |  FROM (SELECT s,
+           |      CASE WHEN y THEN (SELECT tpos FROM tgt) ELSE (SELECT tneg FROM tgt) END AS tt,
+           |      1.0 / (1.0 + exp((SELECT a FROM $p) * s + (SELECT b FROM $p))) AS pp
+           |    FROM base)),
+           |t$i AS MATERIALIZED (SELECT
+           |    (SELECT a FROM $p) - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12) AS a,
+           |    (SELECT b FROM $p) - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12) AS b
+           |  FROM g$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH hb AS (SELECT doc_id, lang, text,
+         |    CAST(list_aggregate(list_transform(generate_series(1, 6), j ->
+         |      CAST(strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1 AS BIGINT)
+         |        << (4 * (6 - j))), 'sum') AS BIGINT) % 100 AS hb
+         |  FROM documents WHERE n_chars > 0),
+         |tr AS (SELECT lang, text FROM hb WHERE hb >= 10),
+         |te AS (SELECT doc_id, lang, text FROM hb WHERE hb < 10),
+         |ttok AS (SELECT lang AS label,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM tr WHERE trim(text) <> ''),
+         |cnts AS (SELECT label, term, count(*) AS cnt FROM ttok GROUP BY label, term),
+         |cs AS (SELECT p.label,
+         |    ln(p.n_c * 1.0 / (SELECT count(*) FROM tr)) AS log_prior,
+         |    ln((t.t_c + (SELECT count(DISTINCT term) FROM cnts)) * 1.0) AS log_denom
+         |  FROM (SELECT lang AS label, count(*) AS n_c FROM tr GROUP BY lang) p
+         |  JOIN (SELECT label, sum(cnt) AS t_c FROM cnts GROUP BY label) t USING (label)),
+         |nt AS (SELECT doc_id, lang,
+         |    CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+         |  FROM te),
+         |st AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+         |  FROM te WHERE trim(text) <> ''),
+         |m AS (SELECT st.doc_id, c.label, sum(ln(c.cnt + 1.0)) AS s_match
+         |  FROM st JOIN cnts c USING (term) GROUP BY st.doc_id, c.label),
+         |sc AS (SELECT n.doc_id, n.lang, cs.label,
+         |    cs.log_prior + coalesce(m.s_match, 0) - n.n_tok * cs.log_denom AS score
+         |  FROM nt n CROSS JOIN cs
+         |  LEFT JOIN m ON m.doc_id = n.doc_id AND m.label = cs.label),
+         |sd AS (SELECT e.doc_id, e.lang, e.score - d.score AS s
+         |  FROM (SELECT doc_id, lang, score FROM sc WHERE label = 'en') e
+         |  JOIN (SELECT doc_id, score FROM sc WHERE label = 'de') d USING (doc_id)),
+         |base AS MATERIALIZED (SELECT doc_id, s, (lang = 'en') AS y FROM sd),
+         |ns AS MATERIALIZED (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+         |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn FROM base),
+         |tgt AS MATERIALIZED (SELECT (np + 1.0) / (np + 2.0) AS tpos,
+         |    1.0 / (nn + 2.0) AS tneg FROM ns),
+         |t0 AS MATERIALIZED (SELECT 0.0 AS a, ln((nn + 1.0) / (np + 1.0)) AS b FROM ns),
+         |$steps
+         |SELECT doc_id, round(s, 4) AS s,
+         |  round(1.0 / (1.0 + exp((SELECT a FROM t6) * s + (SELECT b FROM t6))), 4) AS p
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
     // q195's oracle walks the redirect chains with a recursive CTE (hop
     // counter bounds the loops exactly like the operator's budget) and
     // derives terminal from the final URL's out-edge

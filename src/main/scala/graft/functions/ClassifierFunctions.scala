@@ -335,4 +335,61 @@ object ClassifierFunctions {
       .select(col(idCol), col("n_tok"),
         (col("total_bits") / col("n_tok")).as("bits"))
   }
+
+  // --------------------------------------------------------------------
+  // Platt scaling (Platt 1999): calibrate a raw classifier score into a
+  // probability P(y=1 | s) = 1/(1 + exp(a·s + b)) by Newton-Raphson on
+  // the regularized log-loss with Platt's prior-smoothed targets
+  // t⁺ = (N⁺+1)/(N⁺+2), t⁻ = 1/(N⁻+2). A quality filter needs calibrated
+  // probabilities, not raw log-odds, the moment thresholds are set ("keep
+  // docs with P(good) ≥ 0.9") or scores from different models mix.
+  // Deterministic: exact aggregates, a FIXED iteration count, and a
+  // 2-parameter Newton solve — the oracle replays every iteration
+  // unrolled, the same discipline as pageRank's oracle.
+  // --------------------------------------------------------------------
+
+  /** Fit Platt's sigmoid on (score, boolean label) rows. Each of the
+    * `iterations` Newton steps is ONE map-side-partial aggregate (five
+    * scalar sums: gradient and the 2×2 Hessian) with the current (a, b)
+    * baked in as literals; the solve is two divisions on the driver —
+    * bounded scalars, never data. Throws on a degenerate Hessian (all
+    * scores equal). Returns (a, b). */
+  def fitPlatt(scored: DataFrame, scoreCol: String, labelCol: String,
+               iterations: Int = 6): (Double, Double) = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val df = scored.select(col(scoreCol).cast("double").as("s"),
+      col(labelCol).cast("boolean").as("y")).localCheckpoint(true)
+    val cnt = df.agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("y"), 1L).otherwise(0L)).as("nn")).head()
+    val np = cnt.getLong(0); val nn = cnt.getLong(1)
+    require(np > 0 && nn > 0, s"fitPlatt needs both classes, got +$np/-$nn")
+    val tPos = (np + 1.0) / (np + 2.0)
+    val tNeg = 1.0 / (nn + 2.0)
+    var a = 0.0
+    var b = math.log((nn + 1.0) / (np + 1.0))
+    for (_ <- 1 to iterations) {
+      val p = lit(1.0) / (lit(1.0) + exp(lit(a) * col("s") + lit(b)))
+      val t = when(col("y"), lit(tPos)).otherwise(lit(tNeg))
+      val w = p * (lit(1.0) - p)
+      val r = df.agg(
+        sum((t - p) * col("s")).as("g1"),
+        sum(t - p).as("g2"),
+        sum(w * col("s") * col("s")).as("h11"),
+        sum(w * col("s")).as("h12"),
+        sum(w).as("h22")).head()
+      val g1 = r.getDouble(0); val g2 = r.getDouble(1)
+      val h11 = r.getDouble(2); val h12 = r.getDouble(3); val h22 = r.getDouble(4)
+      val det = h11 * h22 - h12 * h12
+      require(math.abs(det) > 0,
+        "fitPlatt: degenerate Hessian (are all scores identical?)")
+      a -= (h22 * g1 - h12 * g2) / det
+      b -= (h11 * g2 - h12 * g1) / det
+    }
+    (a, b)
+  }
+
+  /** Apply a fitted Platt sigmoid: P(y=1 | s) = 1/(1 + exp(a·s + b)). */
+  def plattProb(score: Column, a: Double, b: Double): Column =
+    lit(1.0) / (lit(1.0) + exp(lit(a) * score + lit(b)))
 }

@@ -216,6 +216,45 @@ class ClassifierSpec extends SparkSpec {
       assert(line.contains("doc_id"), s"unexpected SMJ not keyed on doc_id: $line")
   }
 
+  test("Platt scaling: stationary fit, slope recovery, monotone probabilities, determinism") {
+    // deterministic pseudo-labels from a known sigmoid of slope 1.2
+    val rows = (0 until 400).map { i =>
+      val s = (i % 100) / 10.0 - 5.0
+      val u = ((i * 2654435761L) & 0xffffL).toDouble / 65536.0
+      (s, 1.0 / (1.0 + math.exp(-1.2 * s)) > u)
+    }
+    val df = rows.toDF("s", "y")
+    val (a, b) = fitPlatt(df, "s", "y")
+    // Platt form p = 1/(1+exp(a·s+b)) increases in s ⇔ a < 0; slope ≈ −1.2
+    assert(a < 0)
+    assert(math.abs(-a - 1.2) < 0.4, s"slope off: a=$a")
+    // first-order optimality: the gradient vanishes at the fit
+    val np = rows.count(_._2); val nn = rows.size - np
+    val (tp, tn) = ((np + 1.0) / (np + 2.0), 1.0 / (nn + 2.0))
+    val g = rows.map { case (s, y) =>
+      val p = 1.0 / (1.0 + math.exp(a * s + b))
+      val t = if (y) tp else tn
+      (t - p) * s -> (t - p)
+    }
+    assert(math.abs(g.map(_._1).sum) < 1e-6, "d/da not stationary")
+    assert(math.abs(g.map(_._2).sum) < 1e-6, "d/db not stationary")
+    // calibrated probabilities are monotone in the score
+    val ps = Seq(-4.0, -1.0, 0.0, 1.0, 4.0)
+      .map(s => 1.0 / (1.0 + math.exp(a * s + b)))
+    assert(ps === ps.sorted)
+    // determinism across partitionings
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val (a2, b2) = fitPlatt(df.repartition(7), "s", "y")
+      assert(math.abs(a2 - a) < 1e-9 && math.abs(b2 - b) < 1e-9)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // degenerate inputs refuse loudly
+    intercept[IllegalArgumentException] {
+      fitPlatt(Seq((1.0, true), (2.0, true)).toDF("s", "y"), "s", "y")
+    }
+  }
+
   test("confusion matrix is deterministic across shuffle parallelisms (float-argmax stability)") {
     def conf(): Map[(String, String), Long] = {
       val docs = spark.read.parquet(s"$sf0001/documents.parquet")
