@@ -138,7 +138,11 @@ object GraphFunctions {
     * a convergence test) keeps the result deterministic and lets the SQL
     * oracle replay the same unrolled rounds. Parallel edges contribute
     * once each (a page linking twice votes twice); self-loops are the
-    * caller's choice to keep or drop.
+    * caller's choice to keep or drop. Edges must reference known
+    * vertices: rank flowing to a dst absent from `vertices` is DROPPED
+    * and mass conservation quietly fails — include every link target as
+    * a vertex (or pre-filter edges), as q192's fixture does by
+    * construction.
     *
     * Scale shape: out-degrees are computed ONCE and folded into the edge
     * list as per-edge weights (contribution = rank·w), so each round is
