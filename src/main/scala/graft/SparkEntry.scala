@@ -2518,6 +2518,44 @@ object SparkEntry {
           r2(col("fetch_at")).as("fetch_at"))
         .orderBy(col("url"))
     }),
+    // ---- the complete pre-fetch crawl plan in ONE query: discovery
+    // (the crawl stream ∪ sitemap locs, dedup) → redirect-chain
+    // resolution to terminal addresses (loops dropped) → robots gate on
+    // the ACTUAL fetch target → per-host cap (25, md5 rank) →
+    // Crawl-delay frontier schedule. Every stage is a first-class
+    // operator proven alone in q189–q195; the oracle replays the whole
+    // composition ---------------------------------------------------------
+    "q197_crawl_plan" -> ((s, d) => {
+      val R = graft.functions.RobotsFunctions
+      val robots = robotsFixture(s)
+      val rules = R.robotsRules(robots, "host", "body", "graftbot")
+      val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
+      val discovered = robotsUrls(s, d).select(col("url"))
+        .unionByName(graft.functions.SitemapFunctions
+          .sitemapUrls(sitemapFixture(s), "body")
+          .select(col("loc").as("url")))
+        .distinct()
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val redirects = docs.filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select(robotsUrlOf(col("doc_id")).as("src"),
+          robotsUrlOf(pmod(col("doc_id") * 7 + 5, lit(n))).as("dst"))
+        .groupBy(col("src")).agg(min(col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val resolved = graft.functions.CrawlFunctions
+        .resolveRedirects(discovered, redirects, "url")
+        .filter(col("terminal"))
+        .select(col("final_url").as("url")).distinct()
+      val fetchable = R.filterByRobots(resolved, rules, "url")
+        .withColumn("host", graft.functions.UrlFunctions.urlHost(col("url")))
+      val capped = graft.functions.SamplingFunctions
+        .capPerGroup(fetchable, col("host"), col("url"), maxPerGroup = 25)
+        .drop("host")
+      R.scheduleFrontier(capped, delays, "url", defaultDelay = 1.0)
+        .select(col("url"), r2(col("crawl_delay")).as("crawl_delay"),
+          r2(col("fetch_at")).as("fetch_at"))
+        .orderBy(col("url"))
+    }),
     // ---- Platt calibration: the NB en-vs-de log-odds margin of every
     // held-out doc, calibrated into P(en | s) by 6 unrolled Newton steps
     // with Platt's smoothed targets. The oracle replays the NB scores,
@@ -2716,21 +2754,24 @@ object SparkEntry {
         "</urlset>").mkString("\n"))).toDF("host", "body")
   }
 
-  /** Deterministic URL stream for the robots queries: host and path are
-    * pure doc_id arithmetic, so the oracle rebuilds the identical set. */
+  /** Deterministic URL of an arbitrary id under the robots-plane URL
+    * scheme — host and path are pure arithmetic, so the oracle rebuilds
+    * the identical strings for any id expression. */
+  private def robotsUrlOf(id: Column): Column =
+    concat(lit("http://h"), pmod(id, lit(3)), lit(".example"),
+      when(pmod(id, lit(8)) === 0, lit("/"))
+        .when(pmod(id, lit(8)) === 1, concat(lit("/public/page"), id))
+        .when(pmod(id, lit(8)) === 2, lit("/private/data"))
+        .when(pmod(id, lit(8)) === 3, lit("/private/public/ok"))
+        .when(pmod(id, lit(8)) === 4, lit("/files/report.pdf"))
+        .when(pmod(id, lit(8)) === 5, concat(lit("/search?q=x"), id))
+        .when(pmod(id, lit(8)) === 6, lit("/tmp/cache"))
+        .otherwise(lit("/admin")))
+
+  /** Deterministic URL stream for the robots queries (one row per doc). */
   private def robotsUrls(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
-      concat(lit("http://h"), pmod(col("doc_id"), lit(3)), lit(".example"),
-        when(pmod(col("doc_id"), lit(8)) === 0, lit("/"))
-          .when(pmod(col("doc_id"), lit(8)) === 1,
-            concat(lit("/public/page"), col("doc_id")))
-          .when(pmod(col("doc_id"), lit(8)) === 2, lit("/private/data"))
-          .when(pmod(col("doc_id"), lit(8)) === 3, lit("/private/public/ok"))
-          .when(pmod(col("doc_id"), lit(8)) === 4, lit("/files/report.pdf"))
-          .when(pmod(col("doc_id"), lit(8)) === 5,
-            concat(lit("/search?q=x"), col("doc_id")))
-          .when(pmod(col("doc_id"), lit(8)) === 6, lit("/tmp/cache"))
-          .otherwise(lit("/admin"))).as("url"))
+      robotsUrlOf(col("doc_id")).as("url"))
 
   /** The embeddings table (doubles) plus three in-query derived twins for
     * the sketch-plane queries — same derivations the DuckDB oracle
@@ -5149,6 +5190,70 @@ object SparkEntry {
         |SELECT url, round(crawl_delay, 2) AS crawl_delay,
         |  round(fetch_at, 2) AS fetch_at
         |FROM sched ORDER BY url""".stripMargin),
+    // q197's oracle replays the WHOLE crawl plan: discovery union,
+    // redirect walk (recursive CTE), robots gate on terminal addresses,
+    // md5-ranked per-host cap, and the Crawl-delay schedule
+    "q197_crawl_plan" ->
+      (robotsParseSql + """,
+        |sm(host, body) AS (VALUES
+        |  ('h0.example', E'<?xml version="1.0" encoding="UTF-8"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url><loc>http://h0.example/</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>\n<url><loc>http://h0.example/public/page1</loc><priority>0.8</priority></url>\n<url><loc>http://h0.example/private/data</loc></url>\n<url><loc>http://h0.example/private/public/ok</loc><lastmod>2026-02-11</lastmod></url>\n<url><loc>http://h0.example/files/report.pdf</loc><priority>junk</priority></url>\n<url><loc>http://h0.example/search?a=1&amp;b=2</loc><priority>0.4</priority></url>\n<url><lastmod>2026-03-01</lastmod></url>\n</urlset>'),
+        |  ('h1.example', E'<urlset>\n<url><loc>http://h1.example/tmp/cache</loc></url>\n<url><loc>http://h1.example/search?q=x1</loc></url>\n<url><loc>http://h1.example/ok/page</loc><priority>1.0</priority></url>\n<url>\n  <loc>\n    http://h1.example/spaced\n  </loc>\n</url>\n</urlset>')),
+        |blocks AS (SELECT host, unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b FROM sm),
+        |sloc AS (SELECT replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1), '^\s+|\s+$', '', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS url
+        |  FROM blocks),
+        |disc AS (SELECT DISTINCT url FROM (
+        |    SELECT 'http://' || host || tgt AS url FROM urls
+        |    UNION ALL SELECT url FROM sloc WHERE url <> '')),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |dstu AS (SELECT doc_id,
+        |    'http://h' || CAST(j % 3 AS VARCHAR) || '.example' ||
+        |    CASE j % 8
+        |      WHEN 0 THEN '/' WHEN 1 THEN '/public/page' || CAST(j AS VARCHAR)
+        |      WHEN 2 THEN '/private/data' WHEN 3 THEN '/private/public/ok'
+        |      WHEN 4 THEN '/files/report.pdf' WHEN 5 THEN '/search?q=x' || CAST(j AS VARCHAR)
+        |      WHEN 6 THEN '/tmp/cache' ELSE '/admin' END AS dst
+        |  FROM (SELECT doc_id, (doc_id*7+5) % nn.n AS j
+        |        FROM documents CROSS JOIN nn WHERE doc_id % 10 = 2)),
+        |red AS (SELECT 'http://' || u.host || u.tgt AS src, min(d.dst) AS dst
+        |  FROM urls u JOIN dstu d ON d.doc_id = u.doc_id
+        |  GROUP BY 1),
+        |red2 AS (SELECT src, dst FROM red WHERE src <> dst),
+        |walk(url, cur, nh) AS (
+        |  SELECT url, url, 0 FROM disc
+        |  UNION ALL
+        |  SELECT w.url, r2.dst, w.nh + 1 FROM walk w JOIN red2 r2 ON r2.src = w.cur WHERE w.nh < 8),
+        |lastw AS (SELECT url, max(nh) AS mx FROM walk GROUP BY url),
+        |fin AS (SELECT w.url, w.cur AS furl FROM walk w JOIN lastw l ON l.url = w.url AND w.nh = l.mx),
+        |term AS (SELECT DISTINCT f.furl AS url FROM fin f
+        |  LEFT JOIN red2 ON red2.src = f.furl WHERE red2.src IS NULL),
+        |tu AS (SELECT url, regexp_extract(url, '^http://([^/?]*)', 1) AS host,
+        |    CASE WHEN regexp_replace(url, '^https?://[^/?]*', '') = '' THEN '/'
+        |         ELSE regexp_replace(url, '^https?://[^/?]*', '') END AS tgt
+        |  FROM term),
+        |tc AS (SELECT t.url, ru.allow, len(ru.rule) AS rl
+        |  FROM tu t JOIN rules ru ON ru.host = t.host AND regexp_matches(t.tgt, ru.pat)),
+        |tb AS (SELECT url, allow FROM (
+        |    SELECT url, allow, row_number() OVER (PARTITION BY url
+        |      ORDER BY rl DESC, allow DESC) AS rn FROM tc) WHERE rn = 1),
+        |fetchable AS (SELECT t.url, t.host FROM tu t LEFT JOIN tb USING (url)
+        |  WHERE coalesce(tb.allow, true)),
+        |capped AS (SELECT url, host FROM (
+        |    SELECT url, host, row_number() OVER (PARTITION BY host
+        |      ORDER BY md5(url), url) AS rn FROM fetchable) WHERE rn <= 25),
+        |delays AS (SELECT host, min(CAST(v AS DOUBLE)) AS crawl_delay
+        |  FROM flags2
+        |  WHERE kind = 'delay' AND regexp_matches(v, '^[0-9]+(\.[0-9]+)?$')
+        |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))
+        |  GROUP BY host),
+        |sched AS (SELECT c.url,
+        |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+        |    (row_number() OVER (PARTITION BY c.host ORDER BY md5(c.url), c.url) - 1)
+        |      * coalesce(d.crawl_delay, 1.0) AS fetch_at
+        |  FROM capped c LEFT JOIN delays d USING (host))
+        |SELECT url, round(crawl_delay, 2) AS crawl_delay, round(fetch_at, 2) AS fetch_at
+        |FROM sched ORDER BY url""".stripMargin),
     // q196's oracle replays the NB margin (q112's replay), Platt's
     // smoothed targets, all six Newton iterations (five sums + the 2×2
     // solve each, MATERIALIZED so the chain evaluates once, not
@@ -5433,7 +5538,7 @@ object SparkEntry {
     * translation, and the deterministic URL stream derived from doc_id.
     * Ends with CTEs `rules`, `flags2` (for Crawl-delay) and `urls`. */
   private val robotsParseSql: String =
-    """WITH r(host, body) AS (VALUES
+    """WITH RECURSIVE r(host, body) AS (VALUES
       |  ('h0.example', E'# politeness for the fixture crawler\nUser-agent: graftbot\nDisallow: /private/\nAllow: /private/public/\nDisallow: /*.pdf$\nDisallow: /admin\nAllow: /admi*\nCrawl-delay: 10\nUser-agent: *\nDisallow: /'),
       |  ('h1.example', E'User-agent: otherbot\nUser-agent: *\nDisallow: /tmp/\nDisallow: /search?*q=\nAllow:\nDisallow:\nUser-agent: thirdbot\nDisallow: /')),
       |lines AS (
