@@ -5543,7 +5543,8 @@ object SparkEntry {
       |  ('h1.example', E'User-agent: otherbot\nUser-agent: *\nDisallow: /tmp/\nDisallow: /search?*q=\nAllow:\nDisallow:\nUser-agent: thirdbot\nDisallow: /')),
       |lines AS (
       |  SELECT host, generate_subscripts(l, 1) AS i,
-      |         trim(regexp_replace(unnest(l), '#.*$', '')) AS ln
+      |         regexp_replace(regexp_replace(unnest(l), '#.*$', ''),
+      |                        '^\s+|\s+$', '', 'g') AS ln
       |  FROM (SELECT host, regexp_split_to_array(body, '\r?\n') AS l FROM r)),
       |cls AS (SELECT host, i,
       |    CASE WHEN regexp_matches(ln, '(?i)^user-agent\s*:') THEN 'ua'
@@ -5551,7 +5552,8 @@ object SparkEntry {
       |         WHEN regexp_matches(ln, '(?i)^disallow\s*:') THEN 'disallow'
       |         WHEN regexp_matches(ln, '(?i)^crawl-delay\s*:') THEN 'delay'
       |         ELSE 'other' END AS kind,
-      |    trim(regexp_extract(ln, '^[^:]*:(.*)$', 1)) AS v
+      |    regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1),
+      |                   '^\s+|\s+$', '', 'g') AS v
       |  FROM lines),
       |lagged AS (SELECT *,
       |    coalesce(lag(kind) OVER (PARTITION BY host ORDER BY i), '') AS pk FROM cls),

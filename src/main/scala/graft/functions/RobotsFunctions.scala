@@ -67,16 +67,21 @@ object RobotsFunctions {
       s"userAgent must be a concrete product token, got '$userAgent'")
     val lines = robots.select(col(hostCol).as("host"),
       posexplode(split(col(bodyCol), "\r?\n")).as(Seq("i", "raw")))
+    // whitespace-trim with a REGEX, not SQL trim: tab-indented lines and
+    // tab-separated values ("User-agent:\tgraftbot") are valid robots.txt
+    // and SQL trim strips spaces only
     val cls = lines
       .select(col("host"), col("i"),
-        trim(regexp_replace(col("raw"), "#.*$", "")).as("ln"))
+        regexp_replace(regexp_replace(col("raw"), "#.*$", ""),
+          "^\\s+|\\s+$", "").as("ln"))
       .select(col("host"), col("i"),
         when(col("ln").rlike("(?i)^user-agent\\s*:"), lit("ua"))
           .when(col("ln").rlike("(?i)^allow\\s*:"), lit("allow"))
           .when(col("ln").rlike("(?i)^disallow\\s*:"), lit("disallow"))
           .when(col("ln").rlike("(?i)^crawl-delay\\s*:"), lit("delay"))
           .otherwise(lit("other")).as("kind"),
-        trim(regexp_extract(col("ln"), "^[^:]*:(.*)$", 1)).as("v"))
+        regexp_replace(regexp_extract(col("ln"), "^[^:]*:(.*)$", 1),
+          "^\\s+|\\s+$", "").as("v"))
     val wSeq = Window.partitionBy(col("host")).orderBy(col("i"))
     val wGroup = Window.partitionBy(col("host"), col("g"))
     val wHost = Window.partitionBy(col("host"))

@@ -67,6 +67,18 @@ class RobotsSpec extends SparkSpec {
     assert(r === Set((false, "/X"), (true, "/X/y")))
   }
 
+  test("tab-indented lines and tab-separated values parse (whitespace-regex trim)") {
+    val body = "User-agent:\tgraftbot\r\n\tDisallow:\t/tabbed \nCrawl-delay:\t3"
+    val rules2 = RobotsFunctions.robotsRules(
+        Seq(("h", body)).toDF("host", "body"), "host", "body", "graftbot")
+      .collect().map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(rules2 === Set((false, "/tabbed")))
+    val d = RobotsFunctions.robotsCrawlDelay(
+        Seq(("h", body)).toDF("host", "body"), "host", "body", "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d === Map("h" -> 3.0))
+  }
+
   test("a User-agent line after rules starts a NEW group") {
     val body = "User-agent: graftbot\nDisallow: /a\nUser-agent: zbot\nDisallow: /b"
     val r = RobotsFunctions.robotsRules(
