@@ -162,12 +162,13 @@ object Bench {
     }.toMap
     val canaryBefore = timeCanaries()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = runOnce(fn)
       val sec = try {
         val first = once()
         // A single timing conflates the engine's cost with ambient debt
@@ -201,6 +202,35 @@ object Bench {
         case _: Throwable => -1.0
       }
       name -> sec
+    }
+    // Self-defence against transient host stalls (the r16 BENCH record:
+    // q44/q45/q53 printed 37-50x of floor under `regressions: {}` because
+    // a multi-second stall outlasted all three in-place best-of-3 timings
+    // — the inflated set was lexicographically contiguous, i.e. a stretch
+    // of the sorted execution order, not a code path). The in-place
+    // re-runs happen INSIDE the stall window; this pass re-measures any
+    // query that landed >10x of its recorded floor once more AFTER the
+    // whole sweep — minutes later, when a transient stall has passed — and
+    // keeps the better timing. A genuine plan regression is still slow
+    // here and still gets flagged; a stall can no longer print a 50x
+    // warning as if it were the engine's own time.
+    val byName = SparkEntry.queries
+    val results = sweep.map { case (name, sec) =>
+      previous.get(name) match {
+        case Some(floor) if floor > 0 && sec > floor * 10 =>
+          val again =
+            try runOnce(byName(name))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] post-sweep re-run of $name failed, keeping sweep timing: $e")
+                Double.MaxValue
+            }
+          if (again < sec)
+            System.err.println(
+              f"[bench] post-sweep re-run: $name $sec%.2fs -> $again%.2fs (floor $floor%.2fs; mid-sweep stall, keeping re-run)")
+          name -> math.min(sec, again)
+        case _ => name -> sec
+      }
     }
     val canaryAfter = timeCanaries()
     val canaryNow = canaryFns.map { case (n, _) =>

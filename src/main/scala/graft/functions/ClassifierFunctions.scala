@@ -349,11 +349,22 @@ object ClassifierFunctions {
   // --------------------------------------------------------------------
 
   /** Fit Platt's sigmoid on (score, boolean label) rows. Each of the
-    * `iterations` Newton steps is ONE map-side-partial aggregate (five
-    * scalar sums: gradient and the 2×2 Hessian) with the current (a, b)
-    * baked in as literals; the solve is two divisions on the driver —
-    * bounded scalars, never data. Throws on a degenerate Hessian (all
-    * scores equal). Returns (a, b). */
+    * `iterations` Newton steps is ONE map-side-partial aggregate (six
+    * scalar sums: gradient, the 2×2 Hessian and the objective, fused)
+    * with the current (a, b) baked in as literals; the solve is two
+    * divisions on the driver — bounded scalars, never data. Steps are
+    * SAFEGUARDED by the backtracking line search from
+    * Lin-Weng-Keerthi's Platt pseudocode (A Note on Platt's Probabilistic
+    * Outputs for SVM, 2007): a full Newton step is taken only if it
+    * decreases the cross-entropy objective, else it halves (down to
+    * 2⁻¹⁰) — on near-separable score distributions an undamped step can
+    * overshoot and oscillate to a silently miscalibrated fit. Everything
+    * stays deterministic (fixed outer iteration count, data-driven
+    * halvings), and on well-conditioned data every full step is accepted,
+    * so the unrolled undamped oracle replay (q196) is unchanged. If no
+    * halving finds a decrease the iteration stops early at the current
+    * optimum. Throws on a degenerate Hessian (all scores equal). Returns
+    * (a, b). */
   def fitPlatt(scored: DataFrame, scoreCol: String, labelCol: String,
                iterations: Int = 6): (Double, Double) = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -366,10 +377,17 @@ object ClassifierFunctions {
     require(np > 0 && nn > 0, s"fitPlatt needs both classes, got +$np/-$nn")
     val tPos = (np + 1.0) / (np + 2.0)
     val tNeg = 1.0 / (nn + 2.0)
-    var a = 0.0
-    var b = math.log((nn + 1.0) / (np + 1.0))
-    for (_ <- 1 to iterations) {
-      val p = lit(1.0) / (lit(1.0) + exp(lit(a) * col("s") + lit(b)))
+    // One fused corpus-width scan per evaluation point: gradient, the 2×2
+    // Hessian AND the cross-entropy objective (overflow-safe split form —
+    // z ≥ 0: t·z + log1p(e^{-z}); z < 0: (t−1)·z + log1p(e^{z})) as six
+    // scalar sums. The accepted candidate's evaluation doubles as the
+    // next iteration's gradient, so the safeguard costs ONE extra scan
+    // total (the init) on well-conditioned data, not one per step.
+    final case class Eval(g1: Double, g2: Double, h11: Double, h12: Double,
+                          h22: Double, f: Double)
+    def evalAt(a: Double, b: Double): Eval = {
+      val z = lit(a) * col("s") + lit(b)
+      val p = lit(1.0) / (lit(1.0) + exp(z))
       val t = when(col("y"), lit(tPos)).otherwise(lit(tNeg))
       val w = p * (lit(1.0) - p)
       val r = df.agg(
@@ -377,14 +395,36 @@ object ClassifierFunctions {
         sum(t - p).as("g2"),
         sum(w * col("s") * col("s")).as("h11"),
         sum(w * col("s")).as("h12"),
-        sum(w).as("h22")).head()
-      val g1 = r.getDouble(0); val g2 = r.getDouble(1)
-      val h11 = r.getDouble(2); val h12 = r.getDouble(3); val h22 = r.getDouble(4)
-      val det = h11 * h22 - h12 * h12
+        sum(w).as("h22"),
+        sum(when(z >= 0, t * z + log1p(exp(-z)))
+          .otherwise((t - lit(1.0)) * z + log1p(exp(z)))).as("f")).head()
+      Eval(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    }
+    var a = 0.0
+    var b = math.log((nn + 1.0) / (np + 1.0))
+    var cur = evalAt(a, b)
+    var stuck = false
+    for (_ <- 1 to iterations if !stuck) {
+      val det = cur.h11 * cur.h22 - cur.h12 * cur.h12
       require(math.abs(det) > 0,
         "fitPlatt: degenerate Hessian (are all scores identical?)")
-      a -= (h22 * g1 - h12 * g2) / det
-      b -= (h11 * g2 - h12 * g1) / det
+      val da = (cur.h22 * cur.g1 - cur.h12 * cur.g2) / det
+      val db = (cur.h11 * cur.g2 - cur.h12 * cur.g1) / det
+      var step = 1.0
+      var cand = evalAt(a - da, b - db)
+      while (cand.f >= cur.f + 1e-10 && step >= 2.0 / 1024) {
+        step /= 2
+        cand = evalAt(a - step * da, b - step * db)
+      }
+      if (cand.f < cur.f + 1e-10) {
+        a -= step * da; b -= step * db; cur = cand
+      } else {
+        // no decrease at the minimum step: the gradient is numerically
+        // zero — (a, b) already sits at the optimum; further iterations
+        // would re-derive the same rejected step
+        stuck = true
+      }
     }
     (a, b)
   }

@@ -120,26 +120,37 @@ object CrawlFunctions {
                        srcCol: String = "src", dstCol: String = "dst",
                        maxHops: Int = 8): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    // output names are the operator's contract — require them free rather
+    // than silently clobbering (a frontier that already went through a
+    // previous resolve pass carries all three)
+    for (c <- Seq("final_url", "n_hops", "terminal"))
+      require(!urls.columns.contains(c),
+        s"resolveRedirects adds a `$c` column and the input already has one — rename it first")
+    // working columns are tempCol-generated so an input that happens to
+    // carry a __cur/__nxt column (e.g. a redirects table fed back in as
+    // the frontier) can't make the hop join ambiguous
+    val cur = SamplingFunctions.tempCol(urls, "__redirect_cur")
+    val nxt = SamplingFunctions.tempCol(urls, "__redirect_nxt")
     val red = redirects
-      .select(col(srcCol).as("__cur"), col(dstCol).as("__nxt"))
+      .select(col(srcCol).as(cur), col(dstCol).as(nxt))
       .localCheckpoint(true)
     var live = urls
-      .withColumn("__cur", col(urlCol))
+      .withColumn(cur, col(urlCol))
       .withColumn("n_hops", lit(0))
     val settled = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (_ <- 1 to maxHops) {
-      val joined = live.join(red, Seq("__cur"), "left").localCheckpoint(true)
-      settled += joined.filter(col("__nxt").isNull)
-        .drop("__nxt").withColumn("terminal", lit(true))
-      live = joined.filter(col("__nxt").isNotNull)
-        .withColumn("__cur", col("__nxt")).drop("__nxt")
+      val joined = live.join(red, Seq(cur), "left").localCheckpoint(true)
+      settled += joined.filter(col(nxt).isNull)
+        .drop(nxt).withColumn("terminal", lit(true))
+      live = joined.filter(col(nxt).isNotNull)
+        .withColumn(cur, col(nxt)).drop(nxt)
         .withColumn("n_hops", col("n_hops") + 1)
     }
     // budget exhausted: terminal only if the chain happens to end here
-    val leftover = live.join(red, Seq("__cur"), "left")
-      .withColumn("terminal", col("__nxt").isNull).drop("__nxt")
+    val leftover = live.join(red, Seq(cur), "left")
+      .withColumn("terminal", col(nxt).isNull).drop(nxt)
     (settled.toList :+ leftover).reduce(_.unionByName(_))
-      .withColumnRenamed("__cur", "final_url")
+      .withColumnRenamed(cur, "final_url")
       .select(urls.columns.map(col).toIndexedSeq
         ++ Seq(col("final_url"), col("n_hops"), col("terminal")): _*)
   }

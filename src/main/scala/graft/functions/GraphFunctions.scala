@@ -139,10 +139,15 @@ object GraphFunctions {
     * oracle replay the same unrolled rounds. Parallel edges contribute
     * once each (a page linking twice votes twice); self-loops are the
     * caller's choice to keep or drop. Edges must reference known
-    * vertices: rank flowing to a dst absent from `vertices` is DROPPED
-    * and mass conservation quietly fails — include every link target as
-    * a vertex (or pre-filter edges), as q192's fixture does by
-    * construction.
+    * vertices: rank flowing to a dst absent from `vertices` would be
+    * DROPPED and mass conservation would quietly fail, so the contract is
+    * ENFORCED by default — one anti-join at construction (one extra job
+    * next to the existing vertex count) throws on any edge endpoint
+    * absent from `vertices`, the same loud-failure discipline as
+    * [[connectedComponents]]'s convergence require. Callers that
+    * deliberately rank a subgraph (edges pointing at pages they chose not
+    * to model) opt into the documented mass leak with
+    * `allowGhostVertices = true`.
     *
     * Scale shape: out-degrees are computed ONCE and folded into the edge
     * list as per-edge weights (contribution = rank·w), so each round is
@@ -155,16 +160,29 @@ object GraphFunctions {
   def pageRank(vertices: DataFrame, edges: DataFrame,
                idCol: String = "id",
                srcCol: String = "src", dstCol: String = "dst",
-               iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 10, damping: Double = 0.85,
+               allowGhostVertices: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
     val v = vertices.select(col(idCol).cast("long").as("id")).localCheckpoint(true)
     val n = v.count()
     require(n > 0, "pageRank needs at least one vertex")
-    val deg = edges.groupBy(col(srcCol).cast("long").as("src"))
-      .agg(count(lit(1)).as("deg"))
-    val weighted = edges
+    val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    if (!allowGhostVertices) {
+      val ghosts = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id")))
+        .join(v, Seq("id"), "left_anti")
+        .limit(5).collect().map(_.getLong(0)).distinct
+      require(ghosts.isEmpty,
+        s"pageRank: edge endpoints absent from vertices (e.g. ${ghosts.mkString(", ")}) " +
+          "— rank flowing to a ghost dst is dropped and total rank quietly falls " +
+          "below 1. Include every link endpoint as a vertex (or pre-filter the " +
+          "edge list); pass allowGhostVertices = true to accept the mass leak.")
+    }
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val weighted = e
       .join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .localCheckpoint(true)

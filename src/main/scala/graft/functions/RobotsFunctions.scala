@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: robots bodies are small (the RFC caps mandatory parsing at
   * 500 KiB) and hosts are vocabulary-sized next to a crawl, so the parse's
-  * per-host windows are bounded and the fitted rule table broadcasts; the
-  * URL stream is then decided SCAN-SIDE — one broadcast hash join on host
-  * plus a fold over the bounded per-host rule array — so the crawl itself
-  * never shuffles for politeness. Percent-encoding equivalence between
+  * per-host windows are bounded; the URL stream is then decided SCAN-SIDE
+  * — one hash join on host plus a fold over the bounded per-host rule
+  * array. The host-keyed joins carry NO broadcast hint: per-host tables
+  * (rules, delays) are bounded by the crawled-host count, which fits in a
+  * broadcast for per-domain crawls (AQE broadcasts it automatically) but
+  * reaches 10⁷–10⁸ rows on the open web, where the join degrades
+  * gracefully to one (host, url) exchange instead of OOMing the driver. Percent-encoding equivalence between
   * rule and target is the fetcher's concern, same boundary as
   * [[UrlFunctions.canonicalizeUrl]].
   *
@@ -134,19 +137,27 @@ object RobotsFunctions {
     * column BEFORE the fold so the per-rule lambda reads an attribute, not
     * a re-evaluated sub-expression (the r16 HOF-scoping lesson). */
   def robotsAllowed(urls: DataFrame, rules: DataFrame, urlCol: String): DataFrame = {
-    val perHost = rules
-      .groupBy(col("host"))
-      .agg(collect_list(struct(col("allow"), col("rule"))).as("__rules"))
+    require(!urls.columns.contains("allowed"),
+      "robotsAllowed adds an `allowed` column and the input already has one — rename it first")
+    // every rules-side column joins in under a tempCol-generated name:
+    // Spark's drop-by-name removes ALL columns with that name, so dropping
+    // a literal "host" would silently eat a caller's own host column
     val host = SamplingFunctions.tempCol(urls, "__robots_host")
     val tgt = SamplingFunctions.tempCol(urls, "__robots_tgt")
+    val ruleHost = SamplingFunctions.tempCol(urls, "__robots_rule_host")
+    val ruleArr = SamplingFunctions.tempCol(urls, "__robots_rules")
+    val perHost = rules
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("allow"), col("rule"))).as(ruleArr))
+      .withColumnRenamed("host", ruleHost)
     val emptyRules = array().cast("array<struct<allow:boolean,rule:string>>")
     val decided = urls
       .withColumn(host, UrlFunctions.urlHost(col(urlCol)))
       .withColumn(tgt, UrlFunctions.urlMatchTarget(col(urlCol)))
-      .join(broadcast(perHost), col(host) === perHost("host"), "left")
+      .join(perHost, col(host) === col(ruleHost), "left")
       .withColumn("allowed",
         aggregate(
-          coalesce(col("__rules"), emptyRules),
+          coalesce(col(ruleArr), emptyRules),
           struct(lit(-1).as("len"), lit(true).as("allow")),
           (acc, r) => {
             val rl = r.getField("rule")
@@ -156,7 +167,7 @@ object RobotsFunctions {
               struct(length(rl).as("len"), r.getField("allow").as("allow")))
               .otherwise(acc)
           }).getField("allow"))
-    decided.drop(host, tgt, "host", "__rules")
+    decided.drop(host, tgt, ruleHost, ruleArr)
   }
 
   /** [[robotsAllowed]] restricted to the fetchable URLs. */
@@ -166,11 +177,15 @@ object RobotsFunctions {
   /** Politeness-scheduled crawl frontier: assign every URL a fetch offset
     * so consecutive fetches against one host honor that host's
     * Crawl-delay (`defaultDelay` seconds where none is published). URLs
-    * rank per host in a deterministic order (md5 of the URL, ties to the
-    * URL itself — spreads paths instead of crawling a directory in lock
-    * step) and fetch_at = rank × delay. URLs must be UNIQUE — a frontier
-    * is a set; duplicate keys would rank in arbitrary engine order, so
-    * dedup upstream (exact dedup or `.distinct()`).
+    * rank per host in a deterministic order — by default md5 of the URL,
+    * ties to the URL itself (spreads paths instead of crawling a
+    * directory in lock step); pass `orderBy` to rank by something earned
+    * upstream instead (e.g. PageRank descending — the rank-weighted
+    * politeness ladder; the ordering must be TOTAL per host, so end it
+    * with a unique tiebreaker like the URL). fetch_at = rank × delay.
+    * URLs must be UNIQUE — a frontier is a set; duplicate keys would rank
+    * in arbitrary engine order, so dedup upstream (exact dedup or
+    * `.distinct()`).
     *
     * Scale note: frontier scheduling is per-host SEQUENTIAL by definition
     * — the rank is one bounded-payload window per host keyed on (host),
@@ -178,19 +193,33 @@ object RobotsFunctions {
     * window's task; cap per-host frontier size upstream (the per-domain
     * cap operator) before scheduling, which a polite crawler needs anyway
     * (10⁶ URLs × 1 s delay is an 11-day frontier).
+    *
+    * The delays join carries NO broadcast hint: the delay table is one
+    * row per crawled HOST, which at open-web scale is 10⁷–10⁸ rows — a
+    * forced broadcast OOMs the driver no matter what AQE wants. Left
+    * unhinted, AQE broadcasts it automatically whenever it actually fits
+    * (fixture scale, per-domain crawls) and degrades to a shuffled hash
+    * join on host — one (host, url) exchange — when it doesn't.
     * Output: input columns + (crawl_delay, fetch_at). */
   def scheduleFrontier(urls: DataFrame, delays: DataFrame, urlCol: String,
-                       defaultDelay: Double): DataFrame = {
+                       defaultDelay: Double,
+                       orderBy: Seq[Column] = Nil): DataFrame = {
     require(defaultDelay >= 0, s"defaultDelay must be >= 0, got $defaultDelay")
+    for (c <- Seq("crawl_delay", "fetch_at"))
+      require(!urls.columns.contains(c),
+        s"scheduleFrontier adds a `$c` column and the input already has one — rename it first")
     val host = SamplingFunctions.tempCol(urls, "__frontier_host")
-    val w = Window.partitionBy(col(host))
-      .orderBy(md5(col(urlCol)), col(urlCol))
+    val delayHost = SamplingFunctions.tempCol(urls, "__frontier_delay_host")
+    val order = if (orderBy.nonEmpty) orderBy
+                else Seq(md5(col(urlCol)), col(urlCol))
+    val w = Window.partitionBy(col(host)).orderBy(order: _*)
     urls
       .withColumn(host, UrlFunctions.urlHost(col(urlCol)))
-      .join(broadcast(delays), col(host) === delays("host"), "left")
+      .join(delays.select(col("host").as(delayHost), col("crawl_delay")),
+        col(host) === col(delayHost), "left")
       .withColumn("crawl_delay", coalesce(col("crawl_delay"), lit(defaultDelay)))
       .withColumn("fetch_at",
         (row_number().over(w) - 1).cast("double") * col("crawl_delay"))
-      .drop(host, "host")
+      .drop(host, delayHost)
   }
 }

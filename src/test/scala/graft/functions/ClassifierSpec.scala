@@ -255,6 +255,34 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("Platt fit survives near-separable margins (backtracking safeguard)") {
+    // perfectly separable, wide margins — the regime where an undamped
+    // Newton step overshoots: w = p(1−p) → 0 far from the boundary, the
+    // Hessian collapses and the raw step explodes. The safeguarded fit
+    // must land on a finite stationary point with non-increasing loss.
+    val rows = (1 to 60).map(i => (i.toDouble * 3, true)) ++
+      (1 to 60).map(i => (-i.toDouble * 3, false))
+    val df = rows.toDF("s", "y")
+    val (a, b) = fitPlatt(df, "s", "y", iterations = 12)
+    assert(java.lang.Double.isFinite(a) && java.lang.Double.isFinite(b),
+      s"fit diverged: a=$a b=$b")
+    assert(a < 0, "p must increase with the score")
+    // the fitted loss is no worse than Platt's init (a=0, b=log(nn+1/np+1))
+    val np = rows.count(_._2); val nn = rows.size - np
+    val (tp, tn) = ((np + 1.0) / (np + 2.0), 1.0 / (nn + 2.0))
+    def loss(aa: Double, bb: Double) = rows.map { case (s, y) =>
+      val z = aa * s + bb
+      val t = if (y) tp else tn
+      if (z >= 0) t * z + math.log1p(math.exp(-z))
+      else (t - 1) * z + math.log1p(math.exp(z))
+    }.sum
+    assert(loss(a, b) <= loss(0.0, math.log((nn + 1.0) / (np + 1.0))) + 1e-9)
+    // probabilities stay calibrated-monotone and saturate the right way
+    val pLo = 1.0 / (1.0 + math.exp(a * -150 + b))
+    val pHi = 1.0 / (1.0 + math.exp(a * 150 + b))
+    assert(pLo < 0.2 && pHi > 0.8, s"saturation wrong: $pLo / $pHi")
+  }
+
   test("confusion matrix is deterministic across shuffle parallelisms (float-argmax stability)") {
     def conf(): Map[(String, String), Long] = {
       val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -607,6 +607,32 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(got(v) - r(v)) < 1e-9, s"vertex $v: ${got(v)} vs ${r(v)}")
   }
 
+  test("pageRank ghost-vertex contract: loud throw by default, opt-in leak conserved nowhere") {
+    import spark.implicits._
+    val verts = (1L to 3L).toDF("id")
+    val ghostEdges = Seq((1L, 2L), (2L, 9L)).toDF("src", "dst") // 9 unmodeled
+    val e = intercept[IllegalArgumentException] {
+      GraphFunctions.pageRank(verts, ghostEdges, iterations = 2)
+    }
+    assert(e.getMessage.contains("ghost") || e.getMessage.contains("absent"),
+      s"message should name the contract: ${e.getMessage}")
+    // opt-in: the documented subgraph semantics — rank flowing to 9 is
+    // dropped, so total mass falls below 1 (that's the accepted leak)
+    val leaked = GraphFunctions.pageRank(verts, ghostEdges,
+        iterations = 4, allowGhostVertices = true)
+      .as[(Long, Double)].collect().toMap
+    assert(leaked.values.sum < 1.0 - 1e-6, "ghost dst must visibly leak mass")
+    // a ghost SRC is equally a contract violation
+    intercept[IllegalArgumentException] {
+      GraphFunctions.pageRank(verts, Seq((9L, 1L)).toDF("src", "dst"))
+    }
+    // the clean graph is unaffected by the check
+    val ok = GraphFunctions.pageRank(verts,
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(ok.values.sum - 1.0) < 1e-9)
+  }
+
   test("resolveRedirects: chains settle, loops exhaust the budget, passthroughs stay put") {
     import spark.implicits._
     val urls = Seq("a", "b", "c", "x", "loop1", "loop2", "solo")
@@ -629,6 +655,17 @@ class FunctionsSpec extends SparkSpec {
         (r.getString(2), r.getInt(3), r.getBoolean(4))).toMap
     assert(cut("a") === (("b", 1, false)))
     assert(cut("c") === (("x", 1, true)))
+    // a frontier that carries its own __cur column can't break the hop
+    // join (working names are tempCol-generated), and output-name
+    // collisions fail loud instead of silently clobbering
+    val withCur = urls.withColumn("__cur", lit("junk"))
+    val gotCur = CrawlFunctions.resolveRedirects(withCur, red, "url")
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(gotCur("a") === "x")
+    intercept[IllegalArgumentException] {
+      CrawlFunctions.resolveRedirects(
+        urls.withColumn("final_url", lit("x")), red, "url")
+    }
   }
 
   test("dedupNear distributed label-propagation branch matches the driver union-find") {

@@ -162,6 +162,52 @@ class RobotsSpec extends SparkSpec {
     assert(again === got.map(t => (t._1, t._3)).toSet)
   }
 
+  test("caller-owned host/allowed/crawl_delay columns survive or fail loud") {
+    // a urls frame that already carries its own `host` column: the joins
+    // must not eat it (drop-by-name removes ALL same-named columns)
+    val urls = Seq(("mine", "http://h0.example/ok"))
+      .toDF("host", "url")
+    val decided = RobotsFunctions.robotsAllowed(urls, rules, "url")
+    assert(decided.columns.toSeq === Seq("host", "url", "allowed"))
+    assert(decided.head().getString(0) === "mine")
+    val delays = RobotsFunctions.robotsCrawlDelay(robots, "host", "body", "graftbot")
+    val sched = RobotsFunctions.scheduleFrontier(urls, delays, "url", 1.0)
+    assert(sched.columns.toSeq === Seq("host", "url", "crawl_delay", "fetch_at"))
+    assert(sched.head().getString(0) === "mine")
+    // output-name collisions fail loud instead of silently shadowing
+    val withAllowed = urls.withColumn("allowed", lit(false))
+    assertThrows[IllegalArgumentException] {
+      RobotsFunctions.robotsAllowed(withAllowed, rules, "url")
+    }
+    val withDelay = urls.withColumn("crawl_delay", lit(9.0))
+    assertThrows[IllegalArgumentException] {
+      RobotsFunctions.scheduleFrontier(withDelay, delays, "url", 1.0)
+    }
+  }
+
+  test("scheduleFrontier orderBy override: rank-weighted politeness ladder") {
+    val urls = Seq(
+      ("http://h2.example/low", 0.1), ("http://h2.example/high", 0.9),
+      ("http://h2.example/mid", 0.5)).toDF("url", "rank")
+    val delays = RobotsFunctions.robotsCrawlDelay(robots, "host", "body", "graftbot")
+    val got = RobotsFunctions.scheduleFrontier(urls, delays, "url", 1.0,
+        orderBy = Seq(col("rank").desc, col("url")))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(got === Map("http://h2.example/high" -> 0.0,
+      "http://h2.example/mid" -> 1.0, "http://h2.example/low" -> 2.0),
+      "the highest-ranked URL fetches first in the host's ladder")
+  }
+
+  test("frontier plan: the UNHINTED delays join still broadcasts at fixture scale") {
+    val urls = spark.range(1000).select(
+      concat(lit("http://h"), col("id") % 2, lit(".example/p/"), col("id")).as("url"))
+    val delays = RobotsFunctions.robotsCrawlDelay(robots, "host", "body", "graftbot")
+    val plan = RobotsFunctions.scheduleFrontier(urls, delays, "url", 1.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "a small delays table must broadcast without the (scale-unsafe) hard hint")
+  }
+
   test("decision plan: rules broadcast, the URL stream crosses no exchange") {
     val urls = spark.range(1000).select(col("id"),
       concat(lit("http://h"), col("id") % 2, lit(".example/p/"), col("id")).as("url"))
