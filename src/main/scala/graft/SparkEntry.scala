@@ -2519,7 +2519,8 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
     // ---- the complete pre-fetch crawl plan in ONE query: discovery
-    // (the crawl stream ∪ sitemap locs, dedup) → redirect-chain
+    // (the crawl stream ∪ the locs of sitemaps ANNOUNCED by robots
+    // `Sitemap:` directives — the orphan body stays out, dedup) → redirect-chain
     // resolution to terminal addresses (loops dropped) → robots gate on
     // the ACTUAL fetch target → per-host cap (25, md5 rank) →
     // Crawl-delay frontier schedule. Every stage is a first-class
@@ -2532,7 +2533,7 @@ object SparkEntry {
       val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
       val discovered = robotsUrls(s, d).select(col("url"))
         .unionByName(graft.functions.SitemapFunctions
-          .sitemapUrls(sitemapFixture(s), "body")
+          .sitemapUrls(fetchedSitemaps(s), "body")
           .select(col("loc").as("url")))
         .distinct()
       val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -2622,20 +2623,24 @@ object SparkEntry {
         .orderBy(col("target_uri"), col("href"))
     }),
     // ---- sitemap discovery → politeness → schedule: the whole crawl
-    // front door before any fetch happens. Two fixture sitemaps (entity
+    // front door before any fetch happens, now STARTING where a real
+    // crawler starts — the robots fixture's `Sitemap:` directives
+    // (RFC 9309 §2.2.4 "other records", group-independent) select which
+    // fetched sitemap bodies enter discovery at all; the orphan body no
+    // directive references is proven OUT. The selected sitemaps (entity
     // escapes, pretty-printed loc, junk priority, loc-less entry) parse
     // relationally; q189's robots rules gate the discovered URLs; q190's
-    // Crawl-delay ladders schedule what survives. Oracle replays parse,
-    // gate and schedule end to end --------------------------------------
+    // Crawl-delay ladders schedule what survives. Oracle replays the
+    // directive extraction, the gate join, parse, gate and schedule -----
     "q193_discovery" -> ((s, _) => {
       val R = graft.functions.RobotsFunctions
       val robots = robotsFixture(s)
       val rules = R.robotsRules(robots, "host", "body", "graftbot")
       val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
       val urls = graft.functions.SitemapFunctions
-        .sitemapUrls(sitemapFixture(s), "body")
+        .sitemapUrls(fetchedSitemaps(s), "body")
         .withColumnRenamed("loc", "url")
-        .drop("host")
+        .drop("sm_url", "host")
       val frontier = R.filterByRobots(urls, rules, "url")
       R.scheduleFrontier(frontier, delays, "url", defaultDelay = 1.0)
         .select(col("url"), col("lastmod"), r2(col("priority")).as("priority"),
@@ -2704,6 +2709,7 @@ object SparkEntry {
     Seq(
       ("h0.example", Seq(
         "# politeness for the fixture crawler",
+        "Sitemap: http://h0.example/sitemap.xml", // outside any group (§2.2.4)
         "User-agent: graftbot",
         "Disallow: /private/",
         "Allow: /private/public/",
@@ -2721,16 +2727,23 @@ object SparkEntry {
         "Allow:",
         "Disallow:",
         "User-agent: thirdbot",
-        "Disallow: /").mkString("\n"))).toDF("host", "body")
+        "Disallow: /",
+        "sitemap: http://h1.example/sitemap.xml") // lowercase, inside a group
+        .mkString("\n"))).toDF("host", "body")
   }
 
-  /** The q193 sitemap fixture — two urlset bodies (same literals as the
-    * oracle's VALUES): entity-escaped query URL, pretty-printed loc,
-    * junk priority, lastmod-only entry with no loc. */
+  /** The q193 sitemap fixture — FETCHED sitemap bodies keyed by their
+    * address (same literals as the oracle's VALUES): two urlsets that the
+    * robots fixture's `Sitemap:` directives reference (entity-escaped
+    * query URL, pretty-printed loc, junk priority, lastmod-only entry
+    * with no loc) plus one ORPHAN body no directive points at — its URLs
+    * must never reach discovery, which is exactly what the
+    * [[graft.functions.RobotsFunctions.robotsSitemaps]] semi-join gate
+    * proves. */
   private def sitemapFixture(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
-      ("h0.example", Seq(
+      ("http://h0.example/sitemap.xml", "h0.example", Seq(
         "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
         "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">",
         "<url><loc>http://h0.example/</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>",
@@ -2741,7 +2754,7 @@ object SparkEntry {
         "<url><loc>http://h0.example/search?a=1&amp;b=2</loc><priority>0.4</priority></url>",
         "<url><lastmod>2026-03-01</lastmod></url>",
         "</urlset>").mkString("\n")),
-      ("h1.example", Seq(
+      ("http://h1.example/sitemap.xml", "h1.example", Seq(
         "<urlset>",
         "<url><loc>http://h1.example/tmp/cache</loc></url>",
         "<url><loc>http://h1.example/search?q=x1</loc></url>",
@@ -2751,7 +2764,23 @@ object SparkEntry {
         "    http://h1.example/spaced",
         "  </loc>",
         "</url>",
-        "</urlset>").mkString("\n"))).toDF("host", "body")
+        "</urlset>").mkString("\n")),
+      ("http://h2.example/orphan.xml", "h2.example", Seq(
+        "<urlset>",
+        "<url><loc>http://h2.example/only-via-orphan</loc></url>",
+        "</urlset>").mkString("\n"))).toDF("sm_url", "host", "body")
+  }
+
+  /** The sitemap bodies a crawler would actually FETCH: the fixture
+    * gated to the addresses the robots fixture's `Sitemap:` directives
+    * announce (one semi-join — the discovery loop's front edge). The
+    * orphan body drops here. */
+  private def fetchedSitemaps(s: SparkSession): DataFrame = {
+    val discovered = graft.functions.RobotsFunctions
+      .robotsSitemaps(robotsFixture(s), "host", "body")
+      .select(col("sitemap_url"))
+    sitemapFixture(s).join(discovered,
+      col("sm_url") === col("sitemap_url"), "left_semi")
   }
 
   /** Deterministic URL of an arbitrary id under the robots-plane URL
@@ -5195,10 +5224,12 @@ object SparkEntry {
     // md5-ranked per-host cap, and the Crawl-delay schedule
     "q197_crawl_plan" ->
       (robotsParseSql + """,
-        |sm(host, body) AS (VALUES
-        |  ('h0.example', E'<?xml version="1.0" encoding="UTF-8"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url><loc>http://h0.example/</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>\n<url><loc>http://h0.example/public/page1</loc><priority>0.8</priority></url>\n<url><loc>http://h0.example/private/data</loc></url>\n<url><loc>http://h0.example/private/public/ok</loc><lastmod>2026-02-11</lastmod></url>\n<url><loc>http://h0.example/files/report.pdf</loc><priority>junk</priority></url>\n<url><loc>http://h0.example/search?a=1&amp;b=2</loc><priority>0.4</priority></url>\n<url><lastmod>2026-03-01</lastmod></url>\n</urlset>'),
-        |  ('h1.example', E'<urlset>\n<url><loc>http://h1.example/tmp/cache</loc></url>\n<url><loc>http://h1.example/search?q=x1</loc></url>\n<url><loc>http://h1.example/ok/page</loc><priority>1.0</priority></url>\n<url>\n  <loc>\n    http://h1.example/spaced\n  </loc>\n</url>\n</urlset>')),
-        |blocks AS (SELECT host, unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b FROM sm),
+        |sm(sm_url, host, body) AS (VALUES
+        |  ('http://h0.example/sitemap.xml', 'h0.example', E'<?xml version="1.0" encoding="UTF-8"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url><loc>http://h0.example/</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>\n<url><loc>http://h0.example/public/page1</loc><priority>0.8</priority></url>\n<url><loc>http://h0.example/private/data</loc></url>\n<url><loc>http://h0.example/private/public/ok</loc><lastmod>2026-02-11</lastmod></url>\n<url><loc>http://h0.example/files/report.pdf</loc><priority>junk</priority></url>\n<url><loc>http://h0.example/search?a=1&amp;b=2</loc><priority>0.4</priority></url>\n<url><lastmod>2026-03-01</lastmod></url>\n</urlset>'),
+        |  ('http://h1.example/sitemap.xml', 'h1.example', E'<urlset>\n<url><loc>http://h1.example/tmp/cache</loc></url>\n<url><loc>http://h1.example/search?q=x1</loc></url>\n<url><loc>http://h1.example/ok/page</loc><priority>1.0</priority></url>\n<url>\n  <loc>\n    http://h1.example/spaced\n  </loc>\n</url>\n</urlset>'),
+        |  ('http://h2.example/orphan.xml', 'h2.example', E'<urlset>\n<url><loc>http://h2.example/only-via-orphan</loc></url>\n</urlset>')),
+        |blocks AS (SELECT host, unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b
+        |  FROM sm WHERE sm_url IN (SELECT sm_url FROM smdir)),
         |sloc AS (SELECT replace(replace(replace(replace(replace(
         |      regexp_replace(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1), '^\s+|\s+$', '', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS url
@@ -5372,10 +5403,12 @@ object SparkEntry {
     // defaulting), the robots gate and the Crawl-delay schedule
     "q193_discovery" ->
       (robotsParseSql + """,
-        |sm(host, body) AS (VALUES
-        |  ('h0.example', E'<?xml version="1.0" encoding="UTF-8"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url><loc>http://h0.example/</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>\n<url><loc>http://h0.example/public/page1</loc><priority>0.8</priority></url>\n<url><loc>http://h0.example/private/data</loc></url>\n<url><loc>http://h0.example/private/public/ok</loc><lastmod>2026-02-11</lastmod></url>\n<url><loc>http://h0.example/files/report.pdf</loc><priority>junk</priority></url>\n<url><loc>http://h0.example/search?a=1&amp;b=2</loc><priority>0.4</priority></url>\n<url><lastmod>2026-03-01</lastmod></url>\n</urlset>'),
-        |  ('h1.example', E'<urlset>\n<url><loc>http://h1.example/tmp/cache</loc></url>\n<url><loc>http://h1.example/search?q=x1</loc></url>\n<url><loc>http://h1.example/ok/page</loc><priority>1.0</priority></url>\n<url>\n  <loc>\n    http://h1.example/spaced\n  </loc>\n</url>\n</urlset>')),
-        |blocks AS (SELECT host, unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b FROM sm),
+        |sm(sm_url, host, body) AS (VALUES
+        |  ('http://h0.example/sitemap.xml', 'h0.example', E'<?xml version="1.0" encoding="UTF-8"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url><loc>http://h0.example/</loc><lastmod>2026-01-05</lastmod><priority>0.9</priority></url>\n<url><loc>http://h0.example/public/page1</loc><priority>0.8</priority></url>\n<url><loc>http://h0.example/private/data</loc></url>\n<url><loc>http://h0.example/private/public/ok</loc><lastmod>2026-02-11</lastmod></url>\n<url><loc>http://h0.example/files/report.pdf</loc><priority>junk</priority></url>\n<url><loc>http://h0.example/search?a=1&amp;b=2</loc><priority>0.4</priority></url>\n<url><lastmod>2026-03-01</lastmod></url>\n</urlset>'),
+        |  ('http://h1.example/sitemap.xml', 'h1.example', E'<urlset>\n<url><loc>http://h1.example/tmp/cache</loc></url>\n<url><loc>http://h1.example/search?q=x1</loc></url>\n<url><loc>http://h1.example/ok/page</loc><priority>1.0</priority></url>\n<url>\n  <loc>\n    http://h1.example/spaced\n  </loc>\n</url>\n</urlset>'),
+        |  ('http://h2.example/orphan.xml', 'h2.example', E'<urlset>\n<url><loc>http://h2.example/only-via-orphan</loc></url>\n</urlset>')),
+        |blocks AS (SELECT host, unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b
+        |  FROM sm WHERE sm_url IN (SELECT sm_url FROM smdir)),
         |parsed AS (SELECT host,
         |    replace(replace(replace(replace(replace(
         |      regexp_replace(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1), '^\s+|\s+$', '', 'g'),
@@ -5535,12 +5568,14 @@ object SparkEntry {
     * fixture bodies (same literals as the Spark side), the RFC 9309 parse
     * — line explode, comment strip, directive classification, UA-run
     * group numbering, specific-shadows-star selection — the rule→regex
-    * translation, and the deterministic URL stream derived from doc_id.
-    * Ends with CTEs `rules`, `flags2` (for Crawl-delay) and `urls`. */
+    * translation, the group-independent `Sitemap:` directive extraction,
+    * and the deterministic URL stream derived from doc_id. Ends with
+    * CTEs `rules`, `flags2` (for Crawl-delay), `smdir` (announced
+    * sitemap addresses) and `urls`. */
   private val robotsParseSql: String =
     """WITH RECURSIVE r(host, body) AS (VALUES
-      |  ('h0.example', E'# politeness for the fixture crawler\nUser-agent: graftbot\nDisallow: /private/\nAllow: /private/public/\nDisallow: /*.pdf$\nDisallow: /admin\nAllow: /admi*\nCrawl-delay: 10\nUser-agent: *\nDisallow: /'),
-      |  ('h1.example', E'User-agent: otherbot\nUser-agent: *\nDisallow: /tmp/\nDisallow: /search?*q=\nAllow:\nDisallow:\nUser-agent: thirdbot\nDisallow: /')),
+      |  ('h0.example', E'# politeness for the fixture crawler\nSitemap: http://h0.example/sitemap.xml\nUser-agent: graftbot\nDisallow: /private/\nAllow: /private/public/\nDisallow: /*.pdf$\nDisallow: /admin\nAllow: /admi*\nCrawl-delay: 10\nUser-agent: *\nDisallow: /'),
+      |  ('h1.example', E'User-agent: otherbot\nUser-agent: *\nDisallow: /tmp/\nDisallow: /search?*q=\nAllow:\nDisallow:\nUser-agent: thirdbot\nDisallow: /\nsitemap: http://h1.example/sitemap.xml')),
       |lines AS (
       |  SELECT host, generate_subscripts(l, 1) AS i,
       |         regexp_replace(regexp_replace(unnest(l), '#.*$', ''),
@@ -5574,6 +5609,11 @@ object SparkEntry {
       |  FROM flags2
       |  WHERE kind IN ('allow','disallow') AND v <> ''
       |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))),
+      |smdir AS (SELECT DISTINCT sm_url FROM (
+      |    SELECT regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1),
+      |                          '^\s+|\s+$', '', 'g') AS sm_url
+      |    FROM lines WHERE regexp_matches(ln, '(?i)^sitemap\s*:'))
+      |  WHERE sm_url <> ''),
       |urls AS (SELECT doc_id,
       |    'h' || CAST(doc_id % 3 AS VARCHAR) || '.example' AS host,
       |    CASE doc_id % 8

@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   *     matching rule — or no robots.txt at all — is allowed.
   *   - [[robotsCrawlDelay]] + [[scheduleFrontier]] turn the de-facto
   *     Crawl-delay extension into per-host fetch scheduling.
+  *   - [[robotsSitemaps]] lifts the group-independent `Sitemap:` records
+  *     (§2.2.4) that seed a crawler's discovery loop.
   *
   * Scale shape: robots bodies are small (the RFC caps mandatory parsing at
   * 500 KiB) and hosts are vocabulary-sized next to a crawl, so the parse's
@@ -103,6 +105,35 @@ object RobotsFunctions {
       .filter(col("spec_g") === 1 || (col("star_g") === 1 && col("spec_h") === 0))
       .select(col("host"), col("kind"), col("v"))
   }
+
+  /** `Sitemap:` directive extraction — where a real crawler's DISCOVERY
+    * loop starts. RFC 9309 §2.2.4 classes these as "other records":
+    * they live OUTSIDE the group model (a Sitemap line binds to no
+    * User-agent and applies to every crawler, whether it appears before
+    * the first group, inside one, or after the last), so this parse
+    * deliberately ignores groups entirely — unlike [[robotsRules]] /
+    * [[robotsCrawlDelay]] there is no userAgent parameter to pass.
+    * Directive name matches case-insensitively; values trim with the
+    * whitespace regex; comments strip at `#` first (consistent with the
+    * rest of the parser — a sitemap URL carrying a fragment is not a
+    * fetchable sitemap address anyway); empty values drop; duplicates
+    * collapse. Output: (host, sitemap_url).
+    *
+    * Scan-shaped: one line explode per robots body, no window (group
+    * numbering is the rules parse's cost, not this one's), one distinct. */
+  def robotsSitemaps(robots: DataFrame, hostCol: String, bodyCol: String): DataFrame =
+    robots
+      .select(col(hostCol).as("host"),
+        explode(split(col(bodyCol), "\r?\n")).as("raw"))
+      .select(col("host"),
+        regexp_replace(regexp_replace(col("raw"), "#.*$", ""),
+          "^\\s+|\\s+$", "").as("ln"))
+      .filter(col("ln").rlike("(?i)^sitemap\\s*:"))
+      .select(col("host"),
+        regexp_replace(regexp_extract(col("ln"), "^[^:]*:(.*)$", 1),
+          "^\\s+|\\s+$", "").as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
 
   /** Parse robots.txt bodies for one crawler product token.
     * Input: one row per host with the raw body; output: (host, allow,

@@ -162,6 +162,31 @@ class RobotsSpec extends SparkSpec {
     assert(again === got.map(t => (t._1, t._3)).toSet)
   }
 
+  test("Sitemap directives: group-independent, case-insensitive, comments strip, empties drop") {
+    val body = Seq(
+      "Sitemap: http://h.example/before-any-group.xml", // before the first UA line
+      "User-agent: graftbot",
+      "Disallow: /private/",
+      "SITEMAP: http://h.example/inside-group.xml # trailing comment",
+      "User-agent: *",
+      "Disallow: /",
+      "sitemap:\thttp://h.example/tab-separated.xml",
+      "Sitemap:", // empty value drops
+      "Sitemap: http://h.example/before-any-group.xml" // duplicate collapses
+    ).mkString("\n")
+    val got = RobotsFunctions.robotsSitemaps(
+        Seq(("h.example", body)).toDF("host", "body"), "host", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("h.example", "http://h.example/before-any-group.xml"),
+      ("h.example", "http://h.example/inside-group.xml"),
+      ("h.example", "http://h.example/tab-separated.xml")))
+    // and independently of which user agent the RULES parse targets:
+    // robotsSitemaps takes no userAgent — directives bind to none
+    assert(RobotsFunctions.robotsSitemaps(robots, "host", "body")
+      .count() === 0, "the spec fixture bodies carry no Sitemap lines")
+  }
+
   test("caller-owned host/allowed/crawl_delay columns survive or fail loud") {
     // a urls frame that already carries its own `host` column: the joins
     // must not eat it (drop-by-name removes ALL same-named columns)
