@@ -2680,6 +2680,40 @@ object SparkEntry {
     // dropped, parallel edges vote twice). The oracle replays all 8
     // rounds unrolled; mrank = rank × 1000 so round(…, 6) keeps ~6
     // significant digits at any SF ---------------------------------------
+    // ---- registered domain at FULL public-suffix-list width: a 12-way
+    // deterministic host battery (synthetic exact2/exact3 hits, wildcard
+    // suffixes, exception-vs-wildcard discrimination, curated co.uk /
+    // k12.ca.us / kawasaki.jp city exceptions, suffix-itself, IP,
+    // single-label, unlisted-TLD default) resolved by the per-depth
+    // BROADCAST-JOIN geometry over 9,360 rules — the form the literal
+    // arrays can't carry (tools/PslScale measures the plan-width cliff).
+    // The oracle regenerates the same rule set with generate_series and
+    // replays the PSL precedence relationally -----------------------------
+    "q200_psl_full" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val m = pmod(col("doc_id"), lit(8000))
+      val j = pmod(col("doc_id"), lit(400))
+      val j3 = pmod(col("doc_id"), lit(800))
+      val c = pmod(col("doc_id"), lit(12))
+      val host = when(c === 0, concat(lit("a.b.s"), m, lit(".t"), pmod(m, lit(97))))
+        .when(c === 1, concat(lit("a.b.w"), j))
+        .when(c === 2, concat(lit("a.ok.w"), j))
+        .when(c === 3, concat(lit("ex"), col("doc_id"), lit(".com")))
+        .when(c === 4, concat(lit("deep.sub.ex"), col("doc_id"), lit(".co.uk")))
+        .when(c === 5, concat(lit("s"), m, lit(".t"), pmod(m, lit(97))))
+        .when(c === 6, lit("192.168.0.1"))
+        .when(c === 7, lit("localhost"))
+        .when(c === 8, lit("b.city.kawasaki.jp"))
+        .when(c === 9, lit("x.y.kawasaki.jp"))
+        .when(c === 10, concat(lit("a"), col("doc_id"), lit(".k12.ca.us")))
+        .otherwise(concat(lit("u"), j3, lit(".s"), pmod(j3, lit(40)),
+          lit(".t"), pmod(j3, lit(97))))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("http://"), host, lit("/p")).as("url"))
+      graft.functions.UrlFunctions
+        .registeredDomainJoined(urls, "url", fullPslRules, "regdom")
+        .orderBy(col("doc_id"))
+    }),
     "q192_pagerank" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
@@ -2782,6 +2816,22 @@ object SparkEntry {
     sitemapFixture(s).join(discovered,
       col("sm_url") === col("sitemap_url"), "left_semi")
   }
+
+  /** Full-PSL-width synthetic rule set (9,280 rules + the ~80 curated
+    * real entries ≈ the active width of the real public_suffix_list.dat)
+    * from pure arithmetic formulas, so the DuckDB oracle regenerates the
+    * IDENTICAL list with generate_series — no 9k-line literal rides the
+    * SQL. Covers every rule class at width: exact 2-label (8,000), exact
+    * 3-label (800), wildcard bases (400), exceptions under those
+    * wildcards (80). */
+  private[graft] val syntheticPslRules: Seq[String] =
+    (0 until 8000).map(i => s"s$i.t${i % 97}") ++
+      (0 until 800).map(i => s"u$i.s${i % 40}.t${i % 97}") ++
+      (0 until 400).map(i => s"*.w$i") ++
+      (0 until 400 by 5).map(i => s"!ok.w$i")
+
+  private[graft] def fullPslRules: Seq[String] =
+    graft.functions.UrlFunctions.BundledPslRules ++ syntheticPslRules
 
   /** Deterministic URL of an arbitrary id under the robots-plane URL
     * scheme — host and path are pure arithmetic, so the oracle rebuilds
@@ -5477,6 +5527,67 @@ object SparkEntry {
         |            JOIN els eb ON eb.doc_id = cand.id_b)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    // q200's oracle regenerates the synthetic rule set from the same
+    // arithmetic formulas (generate_series — no 9k-line literal), takes
+    // the curated bundle as VALUES, and replays the PSL precedence
+    // relationally: per-depth suffix candidates, exceptions prevail at
+    // max depth, else max effective suffix length (wildcards = base+1),
+    // else the default rule; IP / single-label / suffix-itself guards
+    "q200_psl_full" -> {
+      val curated = graft.functions.UrlFunctions.BundledPslRules
+        .map(r => s"('$r')").mkString(", ")
+      s"""WITH crules(rule) AS (VALUES $curated),
+         |srules AS (
+         |  SELECT 's' || i || '.t' || (i % 97) AS rule FROM generate_series(0, 7999) t(i)
+         |  UNION ALL SELECT 'u' || i || '.s' || (i % 40) || '.t' || (i % 97) FROM generate_series(0, 799) t(i)
+         |  UNION ALL SELECT '*.w' || i FROM generate_series(0, 399) t(i)
+         |  UNION ALL SELECT '!ok.w' || i FROM generate_series(0, 399) t(i) WHERE i % 5 = 0),
+         |rules AS (SELECT rule FROM crules UNION ALL SELECT rule FROM srules),
+         |parsed AS (SELECT
+         |    CASE WHEN rule LIKE '!%' THEN 'e' WHEN rule LIKE '*.%' THEN 'w' ELSE 'x' END AS kind,
+         |    CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+         |         WHEN rule LIKE '*.%' THEN substr(rule, 3) ELSE rule END AS sfx
+         |  FROM rules),
+         |r2 AS (SELECT kind, sfx, len(string_split(sfx, '.')) AS k FROM parsed),
+         |hosts AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 12 AS INT)
+         |      WHEN 0 THEN 'a.b.s' || (doc_id % 8000) || '.t' || ((doc_id % 8000) % 97)
+         |      WHEN 1 THEN 'a.b.w' || (doc_id % 400)
+         |      WHEN 2 THEN 'a.ok.w' || (doc_id % 400)
+         |      WHEN 3 THEN 'ex' || doc_id || '.com'
+         |      WHEN 4 THEN 'deep.sub.ex' || doc_id || '.co.uk'
+         |      WHEN 5 THEN 's' || (doc_id % 8000) || '.t' || ((doc_id % 8000) % 97)
+         |      WHEN 6 THEN '192.168.0.1'
+         |      WHEN 7 THEN 'localhost'
+         |      WHEN 8 THEN 'b.city.kawasaki.jp'
+         |      WHEN 9 THEN 'x.y.kawasaki.jp'
+         |      WHEN 10 THEN 'a' || doc_id || '.k12.ca.us'
+         |      ELSE 'u' || (doc_id % 800) || '.s' || ((doc_id % 800) % 40) || '.t' || ((doc_id % 800) % 97)
+         |    END AS host
+         |  FROM documents),
+         |hl AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+         |    len(string_split(host, '.')) AS n,
+         |    (regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$') OR host LIKE '[%') AS isip
+         |  FROM hosts),
+         |cand AS (SELECT doc_id, k,
+         |    array_to_string(ls[n - k + 1 : n], '.') AS sfx
+         |  FROM hl, generate_series(1, 3) t(k) WHERE k <= n),
+         |m AS (SELECT c.doc_id, r.kind, c.k
+         |  FROM cand c JOIN r2 r ON r.sfx = c.sfx AND r.k = c.k),
+         |excm AS (SELECT doc_id, max(k) AS ke FROM m WHERE kind = 'e' GROUP BY doc_id),
+         |sufm AS (SELECT doc_id, max(CASE WHEN kind = 'w' THEN k + 1 ELSE k END) AS s
+         |  FROM m WHERE kind <> 'e' GROUP BY doc_id),
+         |dec AS (SELECT h.doc_id, h.host,
+         |    CASE WHEN h.isip OR h.n <= 1 THEN h.host
+         |         WHEN e.ke IS NOT NULL THEN array_to_string(h.ls[h.n - e.ke + 1 : h.n], '.')
+         |         WHEN s.s IS NOT NULL THEN
+         |           CASE WHEN h.n >= s.s + 1 THEN array_to_string(h.ls[h.n - s.s : h.n], '.')
+         |                ELSE h.host END
+         |         ELSE array_to_string(h.ls[h.n - 1 : h.n], '.') END AS regdom
+         |  FROM hl h LEFT JOIN excm e USING (doc_id) LEFT JOIN sufm s USING (doc_id))
+         |SELECT doc_id, 'http://' || host || '/p' AS url, regdom
+         |FROM dec ORDER BY doc_id""".stripMargin
+    },
     // q192's oracle replays all 8 power iterations unrolled — the same
     // dangling-mass anti-join, per-edge 1/outdeg contributions and
     // damping arithmetic, per round

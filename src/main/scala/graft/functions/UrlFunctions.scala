@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization + registered-domain extraction for the crawl
@@ -49,9 +49,12 @@ import org.apache.spark.sql.functions._
   * suffix+1 = registrable... i.e. `x.a.foo.ck` → `a.foo.ck`) and exact
   * multi-label rules (`co.uk`, `k12.ca.us`), else the default `*` rule
   * (suffix = last label). Hosts that ARE a public suffix, IPv4/IPv6
-  * literals, and single-label hosts return unchanged. The rule sets are
-  * broadcast-free literal arrays (a few hundred bytes in the plan, not a
-  * join); the full PSL swaps in the same way — bigger literal arrays.
+  * literals, and single-label hosts return unchanged. Two geometries, one
+  * algorithm: curated subsets ride the plan as broadcast-free literal
+  * arrays ([[registeredDomainFromRules]] — a few hundred bytes, no join);
+  * the FULL ~10k-rule PSL moves to per-depth broadcast lookup joins
+  * ([[registeredDomainJoined]]), because literal arrays at that width put
+  * hundreds of KB into every referencing plan (measured: tools/PslScale).
   */
 object UrlFunctions {
 
@@ -274,14 +277,22 @@ object UrlFunctions {
     * compiles to one `isin` (OptimizeIn folds a literal In to an O(1)
     * InSet), so the full ~10k-rule PSL is a handful of hashed string
     * sets riding the plan — never a dimension join, never a UDF. */
-  def registeredDomainFromRules(url: Column, rules: Seq[String]): Column = {
+  /** PSL-file-syntax rule parse shared by the literal and the joined
+    * forms: (exceptions, wildcard bases, exacts), each grouped by label
+    * count; comment and blank lines dropped. */
+  private def parsePslRules(rules: Seq[String])
+      : (Map[Int, Seq[String]], Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
     val clean = rules.map(_.trim.toLowerCase)
       .filter(r => r.nonEmpty && !r.startsWith("//"))
     def byLen(xs: Seq[String]): Map[Int, Seq[String]] =
       xs.groupBy(_.count(_ == '.') + 1)
-    val exc = byLen(clean.filter(_.startsWith("!")).map(_.drop(1)))
-    val wild = byLen(clean.filter(_.startsWith("*.")).map(_.drop(2)))
-    val exact = byLen(clean.filterNot(r => r.startsWith("!") || r.startsWith("*.")))
+    (byLen(clean.filter(_.startsWith("!")).map(_.drop(1))),
+      byLen(clean.filter(_.startsWith("*.")).map(_.drop(2))),
+      byLen(clean.filterNot(r => r.startsWith("!") || r.startsWith("*."))))
+  }
+
+  def registeredDomainFromRules(url: Column, rules: Seq[String]): Column = {
+    val (exc, wild, exact) = parsePslRules(rules)
 
     val host = urlHost(url)
     val labels = split(host, "\\.")
@@ -314,5 +325,92 @@ object UrlFunctions {
       }
     }
     chain.otherwise(lastK(2))
+  }
+
+  /** [[registeredDomainFromRules]] at FULL-public-suffix-list width, as
+    * per-depth broadcast lookup joins instead of literal arrays — the
+    * scale-correct geometry once the rule list stops being a curated
+    * subset. The literal form compiles every rule string into every plan
+    * (and every codegen unit) that references the expression: measured at
+    * ~9.3k rules (tools/PslScale) that is hundreds of KB of plan per
+    * query and a re-analysis cost on each composition. This form ships
+    * the rules ONCE per depth as a broadcast hash relation — the plan
+    * carries only the join, rule updates don't re-derive the expression
+    * tree, and the URL stream still never shuffles (one broadcast join
+    * per distinct rule depth, ≤ 5 for the real PSL).
+    *
+    * The broadcast hint here is CORRECT, unlike the crawl-state joins
+    * that must not hint ([[RobotsFunctions.scheduleFrontier]]): the PSL
+    * is a static artifact bounded at ~10⁴ rows by the list's governance,
+    * not a per-host table that grows with the crawl.
+    *
+    * Decision semantics are IDENTICAL to the literal form (same parse,
+    * same precedence chain, exceptions prevail, longest rule wins,
+    * wildcards count base+1 labels, IP/single-label/suffix-itself hosts
+    * pass through) — UrlFunctionsSpec pins equivalence on a fuzz battery
+    * over both rule sets. Adds `outCol`; input columns untouched. */
+  def registeredDomainJoined(df: DataFrame, urlCol: String,
+                             rules: Seq[String],
+                             outCol: String = "registered_domain"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"registeredDomainJoined adds `$outCol` and the input already has it — rename one")
+    val (exc, wild, exact) = parsePslRules(rules)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val host = SamplingFunctions.tempCol(df, "__rd_host")
+    def labels = split(col(host), "\\.")
+    def n = size(labels)
+    def lastK(k: Int): Column =
+      if (k == 1) element_at(labels, -1)
+      else concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    val isIp = col(host).rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$") ||
+      col(host).startsWith("[")
+
+    // one bounded lookup relation per distinct rule depth: (suffix,
+    // is_exception, is_wildcard_base, is_exact); the join key is the
+    // host's last-k labels, null (⇒ no match) when the host is shorter
+    val depths = (exc.keys ++ wild.keys ++ exact.keys).toSeq.distinct.sorted
+    var cur = df.withColumn(host, urlHost(col(urlCol)))
+    val flags = scala.collection.mutable.Map.empty[(Int, Char), String]
+    for (k <- depths) {
+      val rows = (exc.getOrElse(k, Nil).map((_, 'e')) ++
+        wild.getOrElse(k, Nil).map((_, 'w')) ++
+        exact.getOrElse(k, Nil).map((_, 'x')))
+        .groupBy(_._1).map { case (sfx, ks) =>
+          val kinds = ks.map(_._2).toSet
+          (sfx, kinds('e'), kinds('w'), kinds('x'))
+        }.toSeq
+      val sfx = SamplingFunctions.tempCol(cur, s"__rd_sfx$k")
+      val fe = SamplingFunctions.tempCol(cur, s"__rd_exc$k")
+      val fw = SamplingFunctions.tempCol(cur, s"__rd_wild$k")
+      val fx = SamplingFunctions.tempCol(cur, s"__rd_exact$k")
+      val tbl = spark.createDataset(rows).toDF(sfx, fe, fw, fx)
+      cur = cur.join(broadcast(tbl),
+        when(n >= k, lastK(k)) === col(sfx), "left").drop(sfx)
+      flags((k, 'e')) = fe; flags((k, 'w')) = fw; flags((k, 'x')) = fx
+    }
+    def has(k: Int, kind: Char): Column =
+      flags.get((k, kind)).map(f => coalesce(col(f), lit(false)))
+        .getOrElse(lit(false))
+
+    // the literal form's precedence chain verbatim, flags for isin
+    val start = when(isIp || n <= 1, col(host))
+    val afterExc = exc.keys.toSeq.sorted.reverse.foldLeft(start) { (c, k) =>
+      c.when(has(k, 'e'), lastK(k))
+    }
+    val suffixLens = (wild.keys.map(_ + 1) ++ exact.keys).toSeq.distinct.sorted.reverse
+    val chain = suffixLens.foldLeft(afterExc) { (c0, s) =>
+      val c1 =
+        if (wild.contains(s - 1))
+          c0.when(has(s - 1, 'w'),
+            when(n >= s + 1, lastK(s + 1)).otherwise(col(host)))
+        else c0
+      if (exact.contains(s))
+        c1.when(has(s, 'x'),
+          when(n >= s + 1, lastK(s + 1)).otherwise(col(host)))
+      else c1
+    }
+    cur.withColumn(outCol, chain.otherwise(lastK(2)))
+      .drop(host +: flags.values.toSeq: _*)
   }
 }

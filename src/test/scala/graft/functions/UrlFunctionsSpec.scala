@@ -185,6 +185,42 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(got("http://a.b.co.uk") === "b.co.uk")
   }
 
+  test("registeredDomainJoined ≡ registeredDomainFromRules (both rule sets, fuzz hosts)") {
+    // the broadcast-join geometry must be a pure re-plumbing of the
+    // literal-array algorithm: same parse, same precedence — verified on
+    // a host battery that exercises every branch, under (a) the curated
+    // bundle and (b) a full-width synthetic slice with depth collisions
+    val synth = graft.SparkEntry.syntheticPslRules
+    val ruleSets = Seq(
+      "bundled" -> UrlFunctions.BundledPslRules,
+      "synthetic+bundled" -> (UrlFunctions.BundledPslRules ++ synth),
+      "file-shaped" -> Seq("// c", "", "com", "co.uk", "pvt.k12.ma.us",
+        "*.compute.cloud.example", "!proxy.compute.cloud.example"))
+    val hosts = Seq(
+      "a.b.s17.t17", "s17.t17", "a.b.w3", "a.ok.w5", "a.ok.w7", "ok.w5",
+      "u5.s5.t5", "x.u5.s5.t5", "deep.sub.ex.co.uk", "ex.com", "localhost",
+      "192.168.0.1", "[2001:db8::1]", "b.city.kawasaki.jp", "x.y.kawasaki.jp",
+      "a.k12.ca.us", "s.d.k12.ca.us", "www.ck", "a.www.ck", "x.y.ck", "ck",
+      "school.pvt.k12.ma.us", "x.eu-1.compute.cloud.example",
+      "a.proxy.compute.cloud.example", "a..b", "w3", "t17")
+    val urls = hosts.map(h => s"http://$h/p").toDF("url")
+    for ((name, rules) <- ruleSets) {
+      val literal = urls.select(col("url"),
+          UrlFunctions.registeredDomainFromRules(col("url"), rules).as("d"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val joined = UrlFunctions.registeredDomainJoined(urls, "url", rules, "d")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(joined === literal, s"forms diverge under rule set '$name'")
+    }
+    // input columns untouched, collision fails loud
+    val out = UrlFunctions.registeredDomainJoined(
+      urls.withColumn("keep", lit(1)), "url", UrlFunctions.BundledPslRules, "rd")
+    assert(out.columns.toSeq === Seq("url", "keep", "rd"))
+    assertThrows[IllegalArgumentException] {
+      UrlFunctions.registeredDomainJoined(out, "url", Nil, "rd")
+    }
+  }
+
   test("fuzz: canonicalization never throws and is idempotent on 600 generated URLs") {
     // deterministic generator across the grammar's corners: schemes,
     // userinfo, IPv4/IPv6/deep hosts (incl. PSL wildcard/exception TLDs),
