@@ -650,6 +650,170 @@ def q170_rows(bands=4, rows_per_band=2, n=3, tau=0.6, cap=2,
     return out
 
 
+# ---------- the INDEPENDENT q198 replay: plan -> fetch -> corpus ---------
+
+
+def q198_rows(cap=25, default_delay=1.0, bands=4, rows_per_band=2, n=3,
+              tau=0.6, seed="lifecycle", shard_tokens=30, buckets=4096):
+    """Independent replay of the q198 crawl lifecycle: DISCOVERY (archive
+    addresses + out-links of fetched pages, canonicalized) -> robots gate
+    (graftbot policy over both fixture hosts) -> per-host cap -> Crawl-
+    delay schedule = the PLAN; joined against the .warc.gz archive as the
+    fetch results (hit/miss/status/content-type); the fetched HTML subset
+    then runs gate -> exact dedup -> near dedup -> token shards. One row
+    per planned URL: (url, fetch_at, outcome, shard|None)."""
+    from urllib.parse import urljoin
+    archive = [
+        (2, "http://fixture.example/page-a", 200, "text/html; charset=utf-8", PAGE_A),
+        (3, "http://fixture.example/page-b", 200, "text/html", PAGE_B),
+        (4, "http://fixture.example/robots.txt", 200, "text/plain", None),
+        (5, "http://fixture.example/missing", 404, "text/html", None),
+        (6, "http://fixture.example/page-c", 200, "text/html", PAGE_C),
+        (7, "http://fixture.example/chunked", 200, "text/html", PAGE_B),
+        (8, "http://fixture.example/gzipped", 200, "text/html", PAGE_A),
+        (9, "http://fixture.example/both", 200, "text/html", PAGE_C),
+        (10, "http://MIRROR.example:80/page-a-variant/", 200, "text/html", PAGE_A_VAR),
+        (11, "http://mirror.example/page-d?b=2&a=1#sec", 200, "text/html", PAGE_D),
+        (12, "http://fixture.example/img-a.png", 200, "image/png", None),
+        (13, "http://MIRROR.example:80/img-a-copy.png", 200, "image/png", None),
+        (14, "http://fixture.example/img-b.png", 200, "image/png", None),
+        (15, "http://fixture.example/tone-a.wav", 200, "audio/x-wav", None),
+        (16, "http://mirror.example/tone-a-gain.wav", 200, "audio/x-wav", None),
+        (17, "http://fixture.example/clip-a.mp4", 200, "video/mp4", None),
+        (18, "http://MIRROR.example:80/clip-a-copy.mp4", 200, "video/mp4", None),
+        (19, "http://fixture.example/clip-b.mp4", 200, "video/mp4", None),
+    ]
+    by_canon = {canonicalize_url(u): (rid, st, ct, body)
+                for rid, u, st, ct, body in archive}
+    # discovery: every archive address + every out-link of a fetched page
+    # (q194's extraction/resolution), all canonicalized
+    discovered = set(by_canon)
+    for _, _, resolved, _ in q194_rows():
+        discovered.add(canonicalize_url(resolved))
+    # robots gate (graftbot): fixture.example names the token, mirror's
+    # star group applies; REP longest-match with '*'/'$', allow wins ties
+    rules = {
+        "fixture.example": [(False, "/privacy")],
+        "mirror.example": [(False, "/terms$")],
+    }
+    delays = {"fixture.example": 2.0}
+
+    def rule_re(rule):
+        end = rule.endswith("$")
+        body = rule[:-1] if end else rule
+        return "^" + re.escape(body).replace(r"\*", ".*") + ("$" if end else "")
+
+    def allowed(url):
+        m = re.match(r"^https?://([^/?]*)", url)
+        host = m.group(1)
+        rest = url[m.end():]
+        path = re.match(r"^([^?]*)", rest).group(1) or "/"
+        query = rest[len(path):]
+        tgt = path + (query if query not in ("", "?") else "")
+        best = (-1, True)
+        for allow, rule in rules.get(host, []):
+            if re.match(rule_re(rule), tgt) and (
+                    len(rule) > best[0] or (len(rule) == best[0] and allow)):
+                best = (len(rule), allow)
+        return best[1]
+
+    def host_of(url):
+        return re.match(r"^https?://([^/?]*)", url).group(1)
+
+    fetchable = sorted(u for u in discovered if allowed(u))
+    # per-host cap (md5 rank) then the politeness ladder at the host delay
+    plan = []
+    byhost = {}
+    for u in fetchable:
+        byhost.setdefault(host_of(u), []).append(u)
+    for h, us in byhost.items():
+        us.sort(key=lambda u: (md5hex(u), u))
+        d = delays.get(h, default_delay)
+        for i, u in enumerate(us[:cap]):
+            plan.append(dict(url=u, fetch_at=round(i * d, 2)))
+    # fetch-results join + corpus build over the planned HTML subset
+    docs = []
+    for p in plan:
+        rec = by_canon.get(p["url"])
+        if rec is None:
+            p["outcome"] = "miss"
+            continue
+        rid, st, ct, body = rec
+        if st != 200:
+            p["outcome"] = "error"
+        elif not ct.startswith("text/html"):
+            p["outcome"] = "skip"
+        else:
+            mt = main_text(body)
+            if len(mt) < 40:
+                p["outcome"] = "thin"
+            else:
+                p["outcome"] = None  # decided by dedup below
+                docs.append(dict(plan=p, rid=rid, mt=mt))
+    groups = {}
+    for d in docs:
+        groups.setdefault(d["mt"], []).append(d)
+    keepers = []
+    for mt, ds in groups.items():
+        k = min(ds, key=lambda x: x["rid"])
+        for d in ds:
+            if d is not k:
+                d["plan"]["outcome"] = "dup"
+        keepers.append(k)
+    k = bands * rows_per_band
+    sigs = {d["rid"]: minhash_sig(d["mt"], n, k) for d in keepers}
+    pairs = set()
+    for b in range(bands):
+        keymap = {}
+        for d in keepers:
+            key = "|".join(x or "" for x in
+                           sigs[d["rid"]][b * rows_per_band:(b + 1) * rows_per_band])
+            keymap.setdefault(key, []).append(d)
+        for ds in keymap.values():
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    a, c = sorted((ds[i], ds[j]), key=lambda d: d["rid"])
+                    if jaccard3(a["mt"], c["mt"], n) >= tau:
+                        pairs.add((a["rid"], c["rid"]))
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent.get(x, x)
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    kept = []
+    for d in keepers:
+        if find(d["rid"]) == d["rid"]:
+            kept.append(d)
+        else:
+            d["plan"]["outcome"] = "near"
+    # shardByTokenBudget replay (seed-bucketed prefix sums) over the kept
+    for d in kept:
+        d["tok"] = len(d["mt"].split())
+        d["h"] = md5hex(seed + str(d["rid"]))
+        d["b"] = int(d["h"][:4], 16) * buckets // 65536
+    totals = {}
+    for d in kept:
+        totals[d["b"]] = totals.get(d["b"], 0) + d["tok"]
+    offs, acc = {}, 0
+    for b in sorted(totals):
+        offs[b] = acc
+        acc += totals[b]
+    for b in sorted({d["b"] for d in kept}):
+        run = offs[b]
+        for d in sorted((d for d in kept if d["b"] == b),
+                        key=lambda d: (d["h"], d["rid"])):
+            d["plan"]["outcome"] = "kept"
+            d["plan"]["shard"] = run // shard_tokens
+            run += d["tok"]
+    return [(p["url"], p["fetch_at"], p["outcome"], p.get("shard"))
+            for p in sorted(plan, key=lambda p: p["url"])]
+
+
 # ---------- the INDEPENDENT q175 replay: multimodal crawl near-dedup -----
 # WARC -> route by content type -> text: mainText + minhash-LSH near-dedup
 # (the q170 front half); image: PNG -> pHash; audio: WAV -> afp -> hamming

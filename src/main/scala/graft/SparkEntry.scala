@@ -2680,6 +2680,86 @@ object SparkEntry {
     // dropped, parallel edges vote twice). The oracle replays all 8
     // rounds unrolled; mrank = rank × 1000 so round(…, 6) keeps ~6
     // significant digits at any SF ---------------------------------------
+    // ---- the crawl LIFECYCLE closed in one query: q197 plans a fetch,
+    // q170/q175 process fetches — this composes them. Discovery (archive
+    // addresses ∪ out-links of fetched pages, canonicalized) → robots
+    // gate (graftbot policy over both fixture hosts; /privacy and
+    // $-anchored /terms rules provably bite) → per-host cap → Crawl-delay
+    // schedule = the PLAN; joined against the .warc.gz archive as the
+    // FETCH RESULTS; the fetched HTML subset runs gate → exact dedup →
+    // near dedup → token shards = the CORPUS. One row per planned URL:
+    // outcome ∈ miss/error/skip/thin/dup/near/kept (+ shard for kept).
+    // Oracle = the python generator's independent replay of the whole
+    // composition (gen_warc_fixture.q198_rows: own robots matcher, own
+    // urljoin resolution, own minhash/union-find/shard arithmetic).
+    // Reference anchor: the dispatch→download→publish chain,
+    // tasks.py:135–240 + controller.py:318–365 -----------------------------
+    "q198_crawl_lifecycle" -> ((s, _) => {
+      val R = graft.functions.RobotsFunctions
+      val U = graft.functions.UrlFunctions
+      val H = graft.functions.HtmlFunctions
+      val Smp = graft.functions.SamplingFunctions
+      val warc = graft.sources.Warc.readWarc(s, warcFixtureDir())
+        .filter(col("file").endsWith(".warc.gz") && col("warc_type") === "response")
+      val responses = warc
+        .select(col("record_index").cast("long").as("rid"),
+          U.canonicalizeUrl(col("target_uri")).as("url"),
+          col("http_status"), col("http_content_type"),
+          col("payload"))
+        .localCheckpoint(true) // the archive is staged once; plan, join and
+                               // corpus all read this cut, never the raw scan
+      val links = warc
+        .filter(col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(col("target_uri"), col("payload").cast("string").as("html"))
+        .select(col("target_uri"), explode(H.extractLinks(col("html"))).as("l"))
+        .select(U.canonicalizeUrl(
+          U.resolveUrl(col("target_uri"), col("l.href"))).as("url"))
+      val discovered = responses.select(col("url")).unionByName(links).distinct()
+      val robots = lifecycleRobotsFixture(s)
+      val rules = R.robotsRules(robots, "host", "body", "graftbot")
+      val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
+      val fetchable = R.filterByRobots(discovered, rules, "url")
+        .withColumn("h", U.urlHost(col("url")))
+      val plan = R.scheduleFrontier(
+        Smp.capPerGroup(fetchable, col("h"), col("url"), 25).drop("h"),
+        delays, "url", defaultDelay = 1.0)
+      // cut after the plan × fetch join: both downstream reads (HTML gate,
+      // final classify) would otherwise re-run the robots decision fold
+      // and the two schedule windows — measured 1.4x wall without the cut
+      val joined = plan.join(responses, Seq("url"), "left")
+        .localCheckpoint(true)
+      val html = joined
+        .filter(col("rid").isNotNull && col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .withColumn("mt", H.mainText(col("payload").cast("string")))
+        .filter(length(col("mt")) >= 40)
+        .select(col("url"), col("rid"), col("mt"))
+        .localCheckpoint(true)
+      val keepers = html.join(
+        html.groupBy(col("mt")).agg(min(col("rid")).as("rid")),
+        Seq("mt", "rid"), "left_semi")
+      val kept = graft.functions.DedupFunctions.dedupNear(keepers, "mt", "rid",
+          n = 3, bands = 4, rowsPerBand = 2, jaccardThreshold = 0.6)
+        .withColumn("tokens",
+          graft.functions.TextFunctions.tokenCount(col("mt")).cast("long"))
+      val sharded = Smp.shardByTokenBudget(kept, col("rid"), col("tokens"),
+        "lifecycle", 30L)
+      joined
+        .join(html.select(col("url"), lit(true).as("gated")), Seq("url"), "left")
+        .join(keepers.select(col("url"), lit(true).as("keeper")), Seq("url"), "left")
+        .join(sharded.select(col("url"), col("shard")), Seq("url"), "left")
+        .select(col("url"), r2(col("fetch_at")).as("fetch_at"),
+          when(col("rid").isNull, "miss")
+            .when(col("http_status") =!= 200, "error")
+            .when(!col("http_content_type").startsWith("text/html"), "skip")
+            .when(col("gated").isNull, "thin")
+            .when(col("keeper").isNull, "dup")
+            .when(col("shard").isNull, "near")
+            .otherwise("kept").as("outcome"),
+          col("shard"))
+        .orderBy(col("url"))
+    }),
     // ---- registered domain at FULL public-suffix-list width: a 12-way
     // deterministic host battery (synthetic exact2/exact3 hits, wildcard
     // suffixes, exception-vs-wildcard discrimination, curated co.uk /
@@ -2716,22 +2796,63 @@ object SparkEntry {
     }),
     "q192_pagerank" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      val n = docs.count()
-      val cand = array(
-        pmod(col("doc_id") * 31 + 7, lit(n)),
-        pmod(col("doc_id") * 17 + 3, lit(n)),
-        pmod(col("doc_id") * 13 + 11, lit(n)))
-      val k = when(pmod(col("doc_id"), lit(7)) === 0, lit(0))
-        .otherwise((pmod(col("doc_id"), lit(3)) + 1).cast("int"))
-      val edges = docs
-        .select(col("doc_id").as("src"), explode(slice(cand, lit(1), k)).as("dst"))
-        .filter(col("src") =!= col("dst"))
       graft.functions.GraphFunctions
-        .pageRank(docs, edges, "doc_id", "src", "dst", iterations = 8)
+        .pageRank(docs, pagerankEdges(docs, docs.count()),
+          "doc_id", "src", "dst", iterations = 8)
         .select(col("id").as("doc_id"), r6(col("rank") * 1000).as("mrank"))
         .orderBy(col("doc_id"))
+    }),
+    // ---- the PRIORITY-AWARE frontier — the last piece of the
+    // Common-Crawl frontier story: q192's PageRank over the doc link
+    // graph becomes the fetch budget AND the fetch order. Per URL the
+    // best rank of the docs claiming it (q190's URL scheme maps many
+    // docs to one address) → robots gate → per-host cap keeps the TOP-10
+    // BY RANK (capPerGroup's orderBy override, not the uniform md5
+    // sample) → scheduleFrontier ladders each host BY RANK (highest
+    // first, url tiebreak). Ordering crosses engines through
+    // round(rank·1000, 6) — the same 6-decimal contract q192's hash
+    // parity stands on. The oracle replays all 8 power rounds, the gate,
+    // both rank-ordered windows and the ladder arithmetic ----------------
+    "q199_rank_frontier" -> ((s, d) => {
+      val R = graft.functions.RobotsFunctions
+      val robots = robotsFixture(s)
+      val rules = R.robotsRules(robots, "host", "body", "graftbot")
+      val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val ranks = graft.functions.GraphFunctions
+        .pageRank(docs, pagerankEdges(docs, docs.count()),
+          "doc_id", "src", "dst", iterations = 8)
+        .select(col("id").as("doc_id"), r6(col("rank") * 1000).as("mrank"))
+      val ranked = R.filterByRobots(robotsUrls(s, d), rules, "url")
+        .join(ranks, "doc_id")
+        .groupBy(col("url")).agg(max(col("mrank")).as("mrank"))
+        .withColumn("h", graft.functions.UrlFunctions.urlHost(col("url")))
+      val capped = graft.functions.SamplingFunctions
+        .capPerGroup(ranked, col("h"), col("url"), 10,
+          orderBy = Seq(col("mrank").desc, col("url")))
+        .drop("h")
+      R.scheduleFrontier(capped, delays, "url", defaultDelay = 1.0,
+          orderBy = Seq(col("mrank").desc, col("url")))
+        .select(col("url"), col("mrank"),
+          r2(col("crawl_delay")).as("crawl_delay"),
+          r2(col("fetch_at")).as("fetch_at"))
+        .orderBy(col("url"))
     })
   )
+
+  /** q192/q199's deterministic doc_id link graph: every 7th vertex
+    * dangling, 1–3 arithmetic out-links, self-loops dropped, parallel
+    * edges vote twice. */
+  private def pagerankEdges(docs: DataFrame, n: Long): DataFrame = {
+    val cand = array(
+      pmod(col("doc_id") * 31 + 7, lit(n)),
+      pmod(col("doc_id") * 17 + 3, lit(n)),
+      pmod(col("doc_id") * 13 + 11, lit(n)))
+    val k = when(pmod(col("doc_id"), lit(7)) === 0, lit(0))
+      .otherwise((pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs.select(col("doc_id").as("src"), explode(slice(cand, lit(1), k)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
 
   /** The q189/q190 robots.txt fixture — two hosts, same body literals the
     * oracle's VALUES carry. h0 exercises specific-group shadowing, the
@@ -2764,6 +2885,22 @@ object SparkEntry {
         "Disallow: /",
         "sitemap: http://h1.example/sitemap.xml") // lowercase, inside a group
         .mkString("\n"))).toDF("host", "body")
+  }
+
+  /** The q198 lifecycle robots policy for the WARC fixture's two hosts —
+    * same literals the python replay's rule table carries. fixture.example
+    * names the graftbot token (plain prefix rule + a Crawl-delay);
+    * mirror.example's star group exercises the `$` end anchor. */
+  private def lifecycleRobotsFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("fixture.example", Seq(
+        "User-agent: graftbot",
+        "Disallow: /privacy",
+        "Crawl-delay: 2").mkString("\n")),
+      ("mirror.example", Seq(
+        "User-agent: *",
+        "Disallow: /terms$").mkString("\n"))).toDF("host", "body")
   }
 
   /** The q193 sitemap fixture — FETCHED sitemap bodies keyed by their
@@ -5527,6 +5664,42 @@ object SparkEntry {
         |            JOIN els eb ON eb.doc_id = cand.id_b)
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    // q198's oracle: the python generator's independent replay of the
+    // whole lifecycle pinned as literals (gen_warc_fixture.q198_rows —
+    // own robots matcher over the same policy literals, urljoin link
+    // resolution, own canonicalization, minhash/union-find/shard
+    // arithmetic). 27 planned URLs; /privacy on fixture.example and the
+    // $-anchored /terms on mirror.example are provably ABSENT
+    "q198_crawl_lifecycle" ->
+      """WITH v(url, fetch_at, outcome, shard) AS (VALUES
+        |  ('http://fixture.example/', 26.0, 'miss', CAST(NULL AS BIGINT)),
+        |  ('http://fixture.example/a', 28.0, 'miss', NULL),
+        |  ('http://fixture.example/about', 20.0, 'miss', NULL),
+        |  ('http://fixture.example/b', 4.0, 'miss', NULL),
+        |  ('http://fixture.example/both', 10.0, 'dup', NULL),
+        |  ('http://fixture.example/c', 34.0, 'miss', NULL),
+        |  ('http://fixture.example/chunked', 2.0, 'dup', NULL),
+        |  ('http://fixture.example/clip-a.mp4', 18.0, 'skip', NULL),
+        |  ('http://fixture.example/clip-b.mp4', 12.0, 'skip', NULL),
+        |  ('http://fixture.example/gzipped', 24.0, 'dup', NULL),
+        |  ('http://fixture.example/img-a.png', 22.0, 'skip', NULL),
+        |  ('http://fixture.example/img-b.png', 32.0, 'skip', NULL),
+        |  ('http://fixture.example/missing', 6.0, 'error', NULL),
+        |  ('http://fixture.example/page-a', 0.0, 'kept', 2),
+        |  ('http://fixture.example/page-b', 30.0, 'kept', 1),
+        |  ('http://fixture.example/page-c', 8.0, 'kept', 0),
+        |  ('http://fixture.example/robots.txt', 16.0, 'skip', NULL),
+        |  ('http://fixture.example/terms', 14.0, 'miss', NULL),
+        |  ('http://fixture.example/tone-a.wav', 36.0, 'skip', NULL),
+        |  ('http://mirror.example/', 1.0, 'miss', NULL),
+        |  ('http://mirror.example/about', 4.0, 'miss', NULL),
+        |  ('http://mirror.example/clip-a-copy.mp4', 7.0, 'skip', NULL),
+        |  ('http://mirror.example/img-a-copy.png', 6.0, 'skip', NULL),
+        |  ('http://mirror.example/page-a-variant', 5.0, 'near', NULL),
+        |  ('http://mirror.example/page-d?a=1&b=2', 3.0, 'kept', 0),
+        |  ('http://mirror.example/privacy', 0.0, 'miss', NULL),
+        |  ('http://mirror.example/tone-a-gain.wav', 2.0, 'skip', NULL))
+        |SELECT url, fetch_at, outcome, shard FROM v ORDER BY url""".stripMargin,
     // q200's oracle regenerates the synthetic rule set from the same
     // arithmetic formulas (generate_series — no 9k-line literal), takes
     // the curated bundle as VALUES, and replays the PSL precedence
@@ -5588,15 +5761,76 @@ object SparkEntry {
          |SELECT doc_id, 'http://' || host || '/p' AS url, regdom
          |FROM dec ORDER BY doc_id""".stripMargin
     },
+    // q199's oracle: the q192 power-iteration replay composed with the
+    // robots parse — per-URL best rank, gate, rank-ordered cap window,
+    // rank-ordered politeness ladder; every ordering crosses engines
+    // through round(rank·1000, 6)
+    "q199_rank_frontier" -> {
+      val rounds = (1 to 8).map { i =>
+        val p = s"r${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang
+           |  FROM $p LEFT JOIN deg ON $p.id = deg.src WHERE deg.src IS NULL),
+           |r$i AS MATERIALIZED (SELECT v.id,
+           |    (0.15 / nn.n) + 0.85 * (coalesce(c.s, 0) + (SELECT dang FROM d$i) / nn.n) AS rank
+           |  FROM verts v CROSS JOIN nn
+           |  LEFT JOIN (SELECT e.dst AS id, sum($p.rank / deg.deg) AS s
+           |             FROM edges e JOIN $p ON $p.id = e.src
+           |             JOIN deg ON deg.src = e.src
+           |             GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
+      }.mkString(",\n")
+      robotsParseSql + s""",
+        |verts AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        |ni AS (SELECT count(*) AS n FROM verts),
+        |cand AS (SELECT doc_id AS src,
+        |    [(doc_id*31+7) % ni.n, (doc_id*17+3) % ni.n, (doc_id*13+11) % ni.n] AS cs,
+        |    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(doc_id % 3 + 1 AS INT) END AS k
+        |  FROM documents CROSS JOIN ni),
+        |edges AS MATERIALIZED (SELECT src, dst FROM
+        |    (SELECT src, unnest(cs[1:k]) AS dst FROM cand WHERE k > 0)
+        |  WHERE src <> dst),
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM verts CROSS JOIN nn),
+        |$rounds,
+        |ranks AS (SELECT id AS doc_id, round(rank * 1000, 6) AS mrank FROM r8),
+        |uc AS (SELECT u.doc_id, u.host, 'http://' || u.host || u.tgt AS url, u.tgt
+        |  FROM urls u),
+        |rc AS (SELECT DISTINCT c.url, ru.allow, len(ru.rule) AS rl
+        |  FROM uc c JOIN rules ru ON ru.host = c.host AND regexp_matches(c.tgt, ru.pat)),
+        |rb AS (SELECT url, allow FROM (
+        |    SELECT url, allow, row_number() OVER (PARTITION BY url
+        |      ORDER BY rl DESC, allow DESC) AS rn FROM rc) WHERE rn = 1),
+        |au AS (SELECT c.host, c.url, max(r.mrank) AS mrank
+        |  FROM uc c JOIN ranks r USING (doc_id)
+        |  LEFT JOIN rb ON rb.url = c.url
+        |  WHERE coalesce(rb.allow, true)
+        |  GROUP BY c.host, c.url),
+        |capped AS (SELECT host, url, mrank FROM (
+        |    SELECT host, url, mrank, row_number() OVER (PARTITION BY host
+        |      ORDER BY mrank DESC, url) AS rn FROM au) WHERE rn <= 10),
+        |delays AS (SELECT host, min(CAST(v AS DOUBLE)) AS crawl_delay
+        |  FROM flags2
+        |  WHERE kind = 'delay' AND regexp_matches(v, '^[0-9]+(\\.[0-9]+)?$$')
+        |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))
+        |  GROUP BY host),
+        |sched AS (SELECT c.url, c.mrank,
+        |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+        |    (row_number() OVER (PARTITION BY c.host ORDER BY c.mrank DESC, c.url) - 1)
+        |      * coalesce(d.crawl_delay, 1.0) AS fetch_at
+        |  FROM capped c LEFT JOIN delays d USING (host))
+        |SELECT url, mrank, round(crawl_delay, 2) AS crawl_delay,
+        |  round(fetch_at, 2) AS fetch_at
+        |FROM sched ORDER BY url""".stripMargin
+    },
     // q192's oracle replays all 8 power iterations unrolled — the same
     // dangling-mass anti-join, per-edge 1/outdeg contributions and
     // damping arithmetic, per round
     "q192_pagerank" -> {
       val rounds = (1 to 8).map { i =>
         val p = s"r${i - 1}"
-        s"""d$i AS (SELECT coalesce(sum(rank), 0) AS dang
+        s"""d$i AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS dang
            |  FROM $p LEFT JOIN deg ON $p.id = deg.src WHERE deg.src IS NULL),
-           |r$i AS (SELECT v.id,
+           |r$i AS MATERIALIZED (SELECT v.id,
            |    (0.15 / nn.n) + 0.85 * (coalesce(c.s, 0) + (SELECT dang FROM d$i) / nn.n) AS rank
            |  FROM verts v CROSS JOIN nn
            |  LEFT JOIN (SELECT e.dst AS id, sum($p.rank / deg.deg) AS s
@@ -5611,11 +5845,11 @@ object SparkEntry {
          |    [(doc_id*31+7) % ni.n, (doc_id*17+3) % ni.n, (doc_id*13+11) % ni.n] AS cs,
          |    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(doc_id % 3 + 1 AS INT) END AS k
          |  FROM documents CROSS JOIN ni),
-         |edges AS (SELECT src, dst FROM
+         |edges AS MATERIALIZED (SELECT src, dst FROM
          |    (SELECT src, unnest(cs[1:k]) AS dst FROM cand WHERE k > 0)
          |  WHERE src <> dst),
-         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-         |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM verts CROSS JOIN nn),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM verts CROSS JOIN nn),
          |$rounds
          |SELECT id AS doc_id, round(rank * 1000, 6) AS mrank
          |FROM r8 ORDER BY doc_id""".stripMargin

@@ -91,14 +91,21 @@ object SamplingFunctions {
     * duplicate keys tie even after the tie-break, and which duplicate
     * survives a cut between them would be partition-dependent.
     *
+    * Pass `orderBy` to keep the best-N by something earned upstream
+    * instead of a uniform sample (e.g. PageRank descending — the
+    * rank-weighted per-domain fetch budget); the ordering must stay
+    * TOTAL within each group, so end it with a unique tiebreaker.
+    *
     * Scale shape: ONE shuffle on the group key; within-group sort is
     * bounded by group size, and the only groups that matter are the hot
     * ones the cap exists to trim. */
   def capPerGroup(df: DataFrame, groupCol: Column, keyCol: Column,
-                  maxPerGroup: Int): DataFrame = {
+                  maxPerGroup: Int, orderBy: Seq[Column] = Nil): DataFrame = {
     require(maxPerGroup >= 1, s"maxPerGroup must be >= 1, got $maxPerGroup")
+    val order = if (orderBy.nonEmpty) orderBy
+                else Seq(md5(keyCol.cast("string")).asc, keyCol.asc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(md5(keyCol.cast("string")).asc, keyCol.asc)
+      .partitionBy(groupCol).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerGroup).drop("__rn")
   }

@@ -372,6 +372,16 @@ class PlanSpec extends SparkSpec {
       s"sketch near-dup must pair inside band buckets, never a cross product:\n$p")
   }
 
+  test("q198/q199: lifecycle and rank-frontier compose equi-joins only, no cartesian") {
+    for (q <- Seq("q198_crawl_lifecycle", "q199_rank_frontier")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect() // drive AQE to the final physical plan
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$q: plan x fixture and rank x frontier must join on keys, never cross:\n$p")
+    }
+  }
+
   test("q183: incremental crawl probes broadcast the batch — the indices never exchange") {
     val s = spark
     import org.apache.spark.sql.functions._
