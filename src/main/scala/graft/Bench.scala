@@ -27,6 +27,14 @@ object Bench {
           .agg(sum(col("l_quantity")), count(lit(1))).collect()))
   }
 
+  /** Post-sweep re-run predicate, pure so BenchGateSpec can drive it: a
+    * sweep timing this far over its recorded floor (>4x AND >=0.1 s
+    * absolute — sub-millisecond floors would re-run on pure jitter) is
+    * more likely a transient host stall than a plan regression, so it is
+    * re-measured once AFTER the whole sweep before being recorded. */
+  def needsPostSweepRerun(sec: Double, floor: Option[Double]): Boolean =
+    floor.exists(f => f > 0 && sec > f * 4 && sec - f >= 0.1)
+
   /** The regression gate, pure so BenchGateSpec can drive it: per-query
     * floors scale by `ambient` (canary-derived when canary floors exist,
     * else the legacy heavy-cohort median), a riser needs BOTH >1.5× the
@@ -219,26 +227,55 @@ object Bench {
     // slipped under it.)
     val byName = SparkEntry.queries
     val results = sweep.map { case (name, sec) =>
-      previous.get(name) match {
-        case Some(floor) if floor > 0 && sec > floor * 4 && sec - floor >= 0.1 =>
-          val again =
-            try runOnce(byName(name))
-            catch {
-              case scala.util.control.NonFatal(e) =>
-                System.err.println(s"[bench] post-sweep re-run of $name failed, keeping sweep timing: $e")
-                Double.MaxValue
-            }
-          if (again < sec)
-            System.err.println(
-              f"[bench] post-sweep re-run: $name $sec%.2fs -> $again%.2fs (floor $floor%.2fs; mid-sweep stall, keeping re-run)")
-          name -> math.min(sec, again)
-        case _ => name -> sec
-      }
+      if (needsPostSweepRerun(sec, previous.get(name))) {
+        val floor = previous(name)
+        val again =
+          try runOnce(byName(name))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] post-sweep re-run of $name failed, keeping sweep timing: $e")
+              Double.MaxValue
+          }
+        if (again < sec)
+          System.err.println(
+            f"[bench] post-sweep re-run: $name $sec%.2fs -> $again%.2fs (floor $floor%.2fs; mid-sweep stall, keeping re-run)")
+        name -> math.min(sec, again)
+      } else name -> sec
     }
     val canaryAfter = timeCanaries()
     val canaryNow = canaryFns.map { case (n, _) =>
       n -> math.min(canaryBefore(n), canaryAfter(n))
     }.toMap
+    // Self-defence, second stage: the canary pair brackets the sweep, but
+    // a mid-sweep co-tenant burst is invisible to BOTH ends (measured
+    // twice this round: contiguous 2–3.9x clusters under near-1.0 canary
+    // ambient), and the >4x guard above only catches the wild stalls. So
+    // any query the gate WOULD flag gets one more measurement here —
+    // after the sweep, after the canaries, when a burst has passed — and
+    // the gate re-runs on the cleaned timings. A genuine plan regression
+    // is still slow on its re-run and still flags; a burst can no longer
+    // seed next run's strike set with a page of phantom warnings.
+    val provisional =
+      gate(results, previous, priorStrikes, canaryNow, canaryFloors)
+    val riserNames = (provisional._2 ++ provisional._3).map(_._1).toSet
+    val cleaned =
+      if (riserNames.isEmpty) results
+      else results.map { case (name, sec) =>
+        if (!riserNames(name)) name -> sec
+        else {
+          val again =
+            try runOnce(byName(name))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] riser re-run of $name failed, keeping sweep timing: $e")
+                Double.MaxValue
+            }
+          if (again < sec)
+            System.err.println(
+              f"[bench] riser re-run: $name $sec%.2fs -> $again%.2fs (mid-sweep burst, keeping re-run)")
+          name -> math.min(sec, again)
+        }
+      }
     // Two-strike escalation: per-query spikes (GC pause, co-tenant burst)
     // flag a different random query each run; a genuine code regression
     // flags the SAME query run after run. First occurrence → warning;
@@ -246,7 +283,7 @@ object Bench {
     // workloads no graft change can move — so a genuine 2× regression
     // cannot hide by inflating its own normalizer.
     val (ambient, regressions, warnings) =
-      gate(results, previous, priorStrikes, canaryNow, canaryFloors)
+      gate(cleaned, previous, priorStrikes, canaryNow, canaryFloors)
     regressions.foreach { case (n, r) =>
       System.err.println(f"BENCH REGRESSION $n: ${previous(n)}%.2fs baseline, ${r}%.1fx (ambient $ambient%.2fx, repeated)")
     }
@@ -254,9 +291,9 @@ object Bench {
       System.err.println(f"BENCH WARN $n: ${previous(n)}%.2fs baseline, ${r}%.1fx (ambient $ambient%.2fx, first occurrence)")
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = cleaned.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = cleaned.map(_._2).sum
     def jmap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val cs = canaryNow.toSeq.sortBy(_._1)

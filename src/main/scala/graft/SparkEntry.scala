@@ -2840,18 +2840,36 @@ object SparkEntry {
     })
   )
 
-  /** q192/q199's deterministic doc_id link graph: every 7th vertex
-    * dangling, 1–3 arithmetic out-links, self-loops dropped, parallel
-    * edges vote twice. */
+  /** q192/q199's deterministic link graph, valid over ANY doc_id space:
+    * vertices take dense ranks (vid = row_number over doc_id order),
+    * out-links are arithmetic in vid space (every 7th vertex dangling,
+    * 1–3 out-links, self-loops dropped, parallel edges vote twice), and
+    * edges map back to real doc_ids through the vid↔doc_id bijection. On
+    * contiguous 0..N−1 corpora (the verify SFs) vid = doc_id and the
+    * graph is bit-identical to the pre-r17 arithmetic form; on replicated
+    * corpora (MakeSf1's offset id space) the graph stays CLOSED over real
+    * vertices — which is precisely what pageRank's strict ghost-vertex
+    * contract caught at sf1: the old form aimed most edges at ids that
+    * existed only in modular arithmetic, silently leaking rank mass. The
+    * global row_number is the fixture generator's cost, not the
+    * operator's — a real crawl graph arrives with its own closed vertex
+    * set. */
   private def pagerankEdges(docs: DataFrame, n: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val vmap = docs
+      .select(col("doc_id"), (row_number().over(w) - 1).cast("long").as("vid"))
+      .localCheckpoint(true)
     val cand = array(
-      pmod(col("doc_id") * 31 + 7, lit(n)),
-      pmod(col("doc_id") * 17 + 3, lit(n)),
-      pmod(col("doc_id") * 13 + 11, lit(n)))
-    val k = when(pmod(col("doc_id"), lit(7)) === 0, lit(0))
-      .otherwise((pmod(col("doc_id"), lit(3)) + 1).cast("int"))
-    docs.select(col("doc_id").as("src"), explode(slice(cand, lit(1), k)).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      pmod(col("vid") * 31 + 7, lit(n)),
+      pmod(col("vid") * 17 + 3, lit(n)),
+      pmod(col("vid") * 13 + 11, lit(n)))
+    val k = when(pmod(col("vid"), lit(7)) === 0, lit(0))
+      .otherwise((pmod(col("vid"), lit(3)) + 1).cast("int"))
+    vmap.select(col("vid"), explode(slice(cand, lit(1), k)).as("dvid"))
+      .filter(col("vid") =!= col("dvid"))
+      .join(vmap.select(col("vid"), col("doc_id").as("src")), "vid")
+      .join(vmap.select(col("vid").as("dvid"), col("doc_id").as("dst")), "dvid")
+      .select(col("src"), col("dst"))
   }
 
   /** The q189/q190 robots.txt fixture — two hosts, same body literals the
@@ -5779,16 +5797,20 @@ object SparkEntry {
            |             GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
       }.mkString(",\n")
       robotsParseSql + s""",
-        |verts AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+        |vmap AS MATERIALIZED (SELECT doc_id,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS vid FROM documents),
+        |verts AS MATERIALIZED (SELECT doc_id AS id FROM vmap),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
         |ni AS (SELECT count(*) AS n FROM verts),
-        |cand AS (SELECT doc_id AS src,
-        |    [(doc_id*31+7) % ni.n, (doc_id*17+3) % ni.n, (doc_id*13+11) % ni.n] AS cs,
-        |    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(doc_id % 3 + 1 AS INT) END AS k
-        |  FROM documents CROSS JOIN ni),
-        |edges AS MATERIALIZED (SELECT src, dst FROM
-        |    (SELECT src, unnest(cs[1:k]) AS dst FROM cand WHERE k > 0)
-        |  WHERE src <> dst),
+        |cand AS (SELECT vid,
+        |    [(vid*31+7) % ni.n, (vid*17+3) % ni.n, (vid*13+11) % ni.n] AS cs,
+        |    CASE WHEN vid % 7 = 0 THEN 0 ELSE CAST(vid % 3 + 1 AS INT) END AS k
+        |  FROM vmap CROSS JOIN ni),
+        |edges AS MATERIALIZED (SELECT sv.doc_id AS src, dv.doc_id AS dst
+        |  FROM (SELECT vid, unnest(cs[1:k]) AS dvid FROM cand WHERE k > 0) e
+        |  JOIN vmap sv ON sv.vid = e.vid
+        |  JOIN vmap dv ON dv.vid = e.dvid
+        |  WHERE sv.doc_id <> dv.doc_id),
         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
         |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM verts CROSS JOIN nn),
         |$rounds,
@@ -5838,16 +5860,20 @@ object SparkEntry {
            |             JOIN deg ON deg.src = e.src
            |             GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
       }.mkString(",\n")
-      s"""WITH verts AS (SELECT doc_id AS id FROM documents),
+      s"""WITH vmap AS MATERIALIZED (SELECT doc_id,
+         |    row_number() OVER (ORDER BY doc_id) - 1 AS vid FROM documents),
+         |verts AS MATERIALIZED (SELECT doc_id AS id FROM vmap),
          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
          |ni AS (SELECT count(*) AS n FROM verts),
-         |cand AS (SELECT doc_id AS src,
-         |    [(doc_id*31+7) % ni.n, (doc_id*17+3) % ni.n, (doc_id*13+11) % ni.n] AS cs,
-         |    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE CAST(doc_id % 3 + 1 AS INT) END AS k
-         |  FROM documents CROSS JOIN ni),
-         |edges AS MATERIALIZED (SELECT src, dst FROM
-         |    (SELECT src, unnest(cs[1:k]) AS dst FROM cand WHERE k > 0)
-         |  WHERE src <> dst),
+         |cand AS (SELECT vid,
+         |    [(vid*31+7) % ni.n, (vid*17+3) % ni.n, (vid*13+11) % ni.n] AS cs,
+         |    CASE WHEN vid % 7 = 0 THEN 0 ELSE CAST(vid % 3 + 1 AS INT) END AS k
+         |  FROM vmap CROSS JOIN ni),
+         |edges AS MATERIALIZED (SELECT sv.doc_id AS src, dv.doc_id AS dst
+         |  FROM (SELECT vid, unnest(cs[1:k]) AS dvid FROM cand WHERE k > 0) e
+         |  JOIN vmap sv ON sv.vid = e.vid
+         |  JOIN vmap dv ON dv.vid = e.dvid
+         |  WHERE sv.doc_id <> dv.doc_id),
          |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          |r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM verts CROSS JOIN nn),
          |$rounds

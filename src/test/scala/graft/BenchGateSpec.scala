@@ -90,4 +90,18 @@ class BenchGateSpec extends AnyFunSuite {
       canaryFloors, canaryFloors)
     assert(regs.isEmpty && warns.isEmpty)
   }
+
+  test("post-sweep re-run fires on stall-shaped timings only") {
+    // a 9x stall on a small floor (the r16 cluster that slipped under the
+    // first 10x cut) re-runs; a first-round query (no floor), a failed
+    // query, a genuine-but-small 5x on a millisecond floor (jitter), and
+    // a steady heavy query do not
+    assert(Bench.needsPostSweepRerun(0.45, Some(0.05)))          // 9x, +0.4 s
+    assert(Bench.needsPostSweepRerun(4.41, Some(0.095)))         // the r16 q44
+    assert(!Bench.needsPostSweepRerun(0.45, None))               // no floor yet
+    assert(!Bench.needsPostSweepRerun(-1.0, Some(0.5)))          // failed run
+    assert(!Bench.needsPostSweepRerun(0.010, Some(0.002)))       // 5x but 8 ms
+    assert(!Bench.needsPostSweepRerun(3.0, Some(1.0)))           // 3x: gate's job
+    assert(!Bench.needsPostSweepRerun(0.45, Some(0.0)))          // degenerate floor
+  }
 }
