@@ -2802,6 +2802,39 @@ object SparkEntry {
         .select(col("id").as("doc_id"), r6(col("rank") * 1000).as("mrank"))
         .orderBy(col("doc_id"))
     }),
+    // ---- the discovery RECURSION: robots `Sitemap:` directive →
+    // sitemapINDEX fetch → child references (pretty-printed loc trims,
+    // loc-less entry drops) → child sitemap fetches (the orphan child the
+    // index never lists stays out) → urlset parse (entity-escaped query
+    // URL) → robots gate (/private/ bites inside a child) → Crawl-delay
+    // ladder. Depth-2 discovery exactly as a crawler walks it; every
+    // fetch edge is a semi-join on announced addresses. Oracle replays
+    // directive extraction, both parse levels, both gates and the
+    // schedule from the same body literals ---------------------------------
+    "q201_sitemap_recursion" -> ((s, _) => {
+      val R = graft.functions.RobotsFunctions
+      val SM = graft.functions.SitemapFunctions
+      val robots = indexRobotsFixture(s)
+      val rules = R.robotsRules(robots, "host", "body", "graftbot")
+      val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
+      val bodies = sitemapIndexFixture(s)
+      val announced = R.robotsSitemaps(robots, "host", "body")
+        .select(col("sitemap_url"))
+      val indexBodies = bodies.join(announced,
+        col("sm_url") === col("sitemap_url"), "left_semi")
+      val children = SM.sitemapChildren(indexBodies, "body")
+        .select(col("child_loc"))
+      val childBodies = bodies.join(children,
+        col("sm_url") === col("child_loc"), "left_semi")
+      val urls = SM.sitemapUrls(childBodies, "body")
+        .withColumnRenamed("loc", "url").drop("sm_url")
+      val frontier = R.filterByRobots(urls, rules, "url")
+      R.scheduleFrontier(frontier, delays, "url", defaultDelay = 1.0)
+        .select(col("url"), r2(col("priority")).as("priority"),
+          r2(col("crawl_delay")).as("crawl_delay"),
+          r2(col("fetch_at")).as("fetch_at"))
+        .orderBy(col("url"))
+    }),
     // ---- the PRIORITY-AWARE frontier — the last piece of the
     // Common-Crawl frontier story: q192's PageRank over the doc link
     // graph becomes the fetch budget AND the fetch order. Per URL the
@@ -2970,6 +3003,51 @@ object SparkEntry {
       .select(col("sitemap_url"))
     sitemapFixture(s).join(discovered,
       col("sm_url") === col("sitemap_url"), "left_semi")
+  }
+
+  /** The q201 recursion fixture — one host whose robots announces a
+    * sitemapINDEX; the fetched-bodies table carries the index, its two
+    * children (one with a pretty-printed loc; the index also has a
+    * loc-less child entry that must drop) and an ORPHAN child the index
+    * never lists. Same literals as the oracle's VALUES. */
+  private def indexRobotsFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("hx.example", Seq(
+      "User-agent: graftbot",
+      "Disallow: /private/",
+      "Crawl-delay: 3",
+      "Sitemap: http://hx.example/sitemap_index.xml").mkString("\n")))
+      .toDF("host", "body")
+  }
+
+  private def sitemapIndexFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("http://hx.example/sitemap_index.xml", Seq(
+        "<?xml version=\"1.0\"?>",
+        "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">",
+        "<sitemap><loc>http://hx.example/sm/a.xml</loc><lastmod>2026-04-01</lastmod></sitemap>",
+        "<sitemap>",
+        "  <loc>",
+        "    http://hx.example/sm/b.xml",
+        "  </loc>",
+        "</sitemap>",
+        "<sitemap><lastmod>2026-04-02</lastmod></sitemap>",
+        "</sitemapindex>").mkString("\n")),
+      ("http://hx.example/sm/a.xml", Seq(
+        "<urlset>",
+        "<url><loc>http://hx.example/page1</loc><priority>0.7</priority></url>",
+        "<url><loc>http://hx.example/private/secret</loc></url>",
+        "<url><loc>http://hx.example/page2?b=2&amp;a=1</loc></url>",
+        "</urlset>").mkString("\n")),
+      ("http://hx.example/sm/b.xml", Seq(
+        "<urlset>",
+        "<url><loc>http://hx.example/page3</loc></url>",
+        "</urlset>").mkString("\n")),
+      ("http://hx.example/sm/c.xml", Seq(
+        "<urlset>",
+        "<url><loc>http://hx.example/only-via-orphan-child</loc></url>",
+        "</urlset>").mkString("\n"))).toDF("sm_url", "body")
   }
 
   /** Full-PSL-width synthetic rule set (9,280 rules + the ~80 curated
@@ -5779,6 +5857,66 @@ object SparkEntry {
          |SELECT doc_id, 'http://' || host || '/p' AS url, regdom
          |FROM dec ORDER BY doc_id""".stripMargin
     },
+    // q201's oracle replays the depth-2 discovery from the same body
+    // literals: directive extraction, index parse (child gate: announced
+    // only), child parse (orphan stays out), urlset parse, the robots
+    // rule derived from the body, and the Crawl-delay ladder
+    "q201_sitemap_recursion" ->
+      """WITH r(host, body) AS (VALUES
+        |  ('hx.example', E'User-agent: graftbot\nDisallow: /private/\nCrawl-delay: 3\nSitemap: http://hx.example/sitemap_index.xml')),
+        |lines AS (SELECT host,
+        |    regexp_replace(regexp_replace(unnest(regexp_split_to_array(body, '\r?\n')), '#.*$', ''), '^\s+|\s+$', '', 'g') AS ln
+        |  FROM r),
+        |smdir AS (SELECT DISTINCT regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1), '^\s+|\s+$', '', 'g') AS u
+        |  FROM lines WHERE regexp_matches(ln, '(?i)^sitemap\s*:')),
+        |rules AS (SELECT host, false AS allow, v AS rule,
+        |    '^' || replace(regexp_replace(CASE WHEN v LIKE '%$' THEN v[1:len(v)-1] ELSE v END,
+        |      '([\\.\[\]{}()^$|+?])', '\\\1', 'g'), '*', '.*')
+        |    || CASE WHEN v LIKE '%$' THEN '$' ELSE '' END AS pat
+        |  FROM (SELECT host, regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1), '^\s+|\s+$', '', 'g') AS v
+        |        FROM lines WHERE regexp_matches(ln, '(?i)^disallow\s*:')) WHERE v <> ''),
+        |delays AS (SELECT host, min(CAST(v AS DOUBLE)) AS crawl_delay
+        |  FROM (SELECT host, regexp_replace(regexp_extract(ln, '^[^:]*:(.*)$', 1), '^\s+|\s+$', '', 'g') AS v
+        |        FROM lines WHERE regexp_matches(ln, '(?i)^crawl-delay\s*:'))
+        |  WHERE regexp_matches(v, '^[0-9]+(\.[0-9]+)?$') GROUP BY host),
+        |sm(sm_url, body) AS (VALUES
+        |  ('http://hx.example/sitemap_index.xml', E'<?xml version="1.0"?>\n<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<sitemap><loc>http://hx.example/sm/a.xml</loc><lastmod>2026-04-01</lastmod></sitemap>\n<sitemap>\n  <loc>\n    http://hx.example/sm/b.xml\n  </loc>\n</sitemap>\n<sitemap><lastmod>2026-04-02</lastmod></sitemap>\n</sitemapindex>'),
+        |  ('http://hx.example/sm/a.xml', E'<urlset>\n<url><loc>http://hx.example/page1</loc><priority>0.7</priority></url>\n<url><loc>http://hx.example/private/secret</loc></url>\n<url><loc>http://hx.example/page2?b=2&amp;a=1</loc></url>\n</urlset>'),
+        |  ('http://hx.example/sm/b.xml', E'<urlset>\n<url><loc>http://hx.example/page3</loc></url>\n</urlset>'),
+        |  ('http://hx.example/sm/c.xml', E'<urlset>\n<url><loc>http://hx.example/only-via-orphan-child</loc></url>\n</urlset>')),
+        |chb AS (SELECT unnest(regexp_extract_all(body, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b
+        |  FROM sm WHERE sm_url IN (SELECT u FROM smdir)),
+        |children AS (SELECT child FROM (
+        |    SELECT replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1), '^\s+|\s+$', '', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS child
+        |    FROM chb) WHERE child <> ''),
+        |ub AS (SELECT unnest(regexp_extract_all(body, '(?s)<url>(.*?)</url>', 1)) AS b
+        |  FROM sm WHERE sm_url IN (SELECT child FROM children)),
+        |parsed AS (SELECT
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1), '^\s+|\s+$', '', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS url,
+        |    CASE WHEN regexp_matches(regexp_replace(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1), '^\s+|\s+$', '', 'g'), '^[0-9]+(\.[0-9]+)?$')
+        |         THEN CAST(regexp_replace(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1), '^\s+|\s+$', '', 'g') AS DOUBLE)
+        |         ELSE 0.5 END AS priority
+        |  FROM ub),
+        |pu AS (SELECT url, priority,
+        |    regexp_extract(url, '^http://([^/?]*)', 1) AS host,
+        |    CASE WHEN regexp_replace(url, '^https?://[^/?]*', '') = '' THEN '/'
+        |         ELSE regexp_replace(url, '^https?://[^/?]*', '') END AS tgt
+        |  FROM parsed WHERE url <> ''),
+        |pc AS (SELECT p.url, ru.allow, len(ru.rule) AS rl
+        |  FROM pu p JOIN rules ru ON ru.host = p.host AND regexp_matches(p.tgt, ru.pat)),
+        |pb AS (SELECT url, allow FROM (
+        |    SELECT url, allow, row_number() OVER (PARTITION BY url ORDER BY rl DESC, allow DESC) AS rn FROM pc) WHERE rn = 1),
+        |allowed AS (SELECT p.* FROM pu p LEFT JOIN pb USING (url) WHERE coalesce(pb.allow, true)),
+        |sched AS (SELECT a.url, a.priority,
+        |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+        |    (row_number() OVER (PARTITION BY a.host ORDER BY md5(a.url), a.url) - 1) * coalesce(d.crawl_delay, 1.0) AS fetch_at
+        |  FROM allowed a LEFT JOIN delays d USING (host))
+        |SELECT url, round(priority, 2) AS priority, round(crawl_delay, 2) AS crawl_delay, round(fetch_at, 2) AS fetch_at
+        |FROM sched ORDER BY url""".stripMargin,
     // q199's oracle: the q192 power-iteration replay composed with the
     // robots parse — per-URL best rank, gate, rank-ordered cap window,
     // rank-ordered politeness ladder; every ordering crosses engines
