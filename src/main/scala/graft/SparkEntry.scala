@@ -2706,6 +2706,16 @@ object SparkEntry {
           U.canonicalizeUrl(col("target_uri")).as("url"),
           col("http_status"), col("http_content_type"),
           col("payload"))
+        // ONE record per canonical URL before the plan join: the python
+        // replay's by_canon dict keeps the LAST archive record per
+        // canonical address, and two records canonicalizing to the same
+        // URL would otherwise fan plan rows out. Keep-max-rid = last in
+        // record order; a left_semi on the per-URL max, same shape as the
+        // exact-dedup keeper step below.
+        .withColumn("__maxrid",
+          max(col("rid")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("url"))))
+        .filter(col("rid") === col("__maxrid")).drop("__maxrid")
         .localCheckpoint(true) // the archive is staged once; plan, join and
                                // corpus all read this cut, never the raw scan
       val links = warc
@@ -2883,14 +2893,15 @@ object SparkEntry {
     * corpora (MakeSf1's offset id space) the graph stays CLOSED over real
     * vertices — which is precisely what pageRank's strict ghost-vertex
     * contract caught at sf1: the old form aimed most edges at ids that
-    * existed only in modular arithmetic, silently leaking rank mass. The
-    * global row_number is the fixture generator's cost, not the
-    * operator's — a real crawl graph arrives with its own closed vertex
-    * set. */
+    * existed only in modular arithmetic, silently leaking rank mass.
+    * Dense vids come from [[graft.functions.GraphFunctions.densifyIds]]
+    * (range-partition + per-partition offsets), NOT a global row_number
+    * window — the r17 form's Exchange SinglePartition serialized graph
+    * construction on one task and was the q192 weak; identical vids, no
+    * single-partition stage (PlanSpec asserts). */
   private def pagerankEdges(docs: DataFrame, n: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-    val vmap = docs
-      .select(col("doc_id"), (row_number().over(w) - 1).cast("long").as("vid"))
+    val vmap = graft.functions.GraphFunctions
+      .densifyIds(docs.select(col("doc_id")), "doc_id", "vid")
       .localCheckpoint(true)
     val cand = array(
       pmod(col("vid") * 31 + 7, lit(n)),
@@ -3063,8 +3074,21 @@ object SparkEntry {
       (0 until 400).map(i => s"*.w$i") ++
       (0 until 400 by 5).map(i => s"!ok.w$i")
 
-  private[graft] def fullPslRules: Seq[String] =
-    graft.functions.UrlFunctions.BundledPslRules ++ syntheticPslRules
+  private[graft] def fullPslRules: Seq[String] = {
+    val rules = graft.functions.UrlFunctions.BundledPslRules ++ syntheticPslRules
+    // the q200 oracle's candidate generator is generate_series(1, 3) —
+    // suffix depth is hardcoded to the rule set's current maximum. A
+    // 4-label rule (the real PSL has pvt.k12.ma.us) would silently
+    // under-match on the DuckDB side, so fail LOUDLY here the moment one
+    // lands; bumping the series bound in the oracle is the paired fix.
+    val maxDepth = rules.iterator
+      .map(r => r.stripPrefix("!").stripPrefix("*.").count(_ == '.') + 1).max
+    require(maxDepth <= 3,
+      s"q200 oracle generates suffix candidates to depth 3 but the rule set " +
+        s"now reaches depth $maxDepth — raise generate_series(1, 3) in the " +
+        "q200 oracle alongside this bound")
+    rules
+  }
 
   /** Deterministic URL of an arbitrary id under the robots-plane URL
     * scheme — host and path are pure arithmetic, so the oracle rebuilds

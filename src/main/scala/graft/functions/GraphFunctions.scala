@@ -54,6 +54,43 @@ object GraphFunctions {
     }
   }
 
+  /** Dense 0-based ids in `idCol` sort order — the graph-construction
+    * step real crawl corpora need before arithmetic id tricks, vid↔id
+    * bijections, or array-indexed rank vectors: external ids (URL
+    * hashes, doc ids with holes) become contiguous 0..N−1 longs.
+    *
+    * WITHOUT a single-partition window: the naive
+    * `row_number().over(Window.orderBy(id))` plans Exchange
+    * SinglePartition — the whole vertex set serializes through one task
+    * (at fixture scale milliseconds; at 10⁹ vertices the stage that
+    * never finishes). This form range-partitions by `idCol`, sorts
+    * within partitions, and assigns per-partition offsets with
+    * `zipWithIndex` (ONE extra count job for the offsets — the same
+    * distributed-rank shape as [[DedupFunctions.jaccardJoinExact]]'s
+    * vocabulary bijection; PlanSpec asserts no single-partition
+    * exchange survives in the consumers).
+    *
+    * The assigned id equals the row's 0-based rank in `idCol` order, so
+    * a SQL oracle replays it as `row_number() over (order by id) - 1`.
+    * `idCol` values must be DISTINCT (the rank is only a bijection on a
+    * set — duplicate keys would take partition-dependent tie order);
+    * nulls sort first, same as Spark's sort. Output: input columns +
+    * `outCol` (long). */
+  def densifyIds(df: DataFrame, idCol: String, outCol: String = "vid"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"densifyIds adds a `$outCol` column and the input already has one — rename it first")
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Connected components by iterative min-label propagation.
     *
     * `edges` is an undirected edge list (src, dst); `vertices` one id per
@@ -171,10 +208,15 @@ object GraphFunctions {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(true)
     if (!allowGhostVertices) {
+      // null endpoints (a non-numeric src/dst the cast nulled) never
+      // equi-join, so they survive the anti-join too — render them as
+      // "null" instead of letting getLong NPE past the contract message
       val ghosts = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id")))
         .join(v, Seq("id"), "left_anti")
-        .limit(5).collect().map(_.getLong(0)).distinct
+        .limit(5).collect()
+        .map(r => if (r.isNullAt(0)) "null" else r.getLong(0).toString)
+        .distinct
       require(ghosts.isEmpty,
         s"pageRank: edge endpoints absent from vertices (e.g. ${ghosts.mkString(", ")}) " +
           "— rank flowing to a ghost dst is dropped and total rank quietly falls " +

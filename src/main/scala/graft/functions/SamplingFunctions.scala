@@ -106,8 +106,11 @@ object SamplingFunctions {
                 else Seq(md5(keyCol.cast("string")).asc, keyCol.asc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxPerGroup).drop("__rn")
+    // collision-proof working column: a caller's own __rn must not be
+    // silently clobbered (and then dropped) by the rank
+    val rn = tempCol(df, "__rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= maxPerGroup).drop(rn)
   }
 
   /** Deterministic weighted repetition — the upsampling half of corpus

@@ -631,6 +631,58 @@ class FunctionsSpec extends SparkSpec {
         Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), iterations = 5)
       .as[(Long, Double)].collect().toMap
     assert(math.abs(ok.values.sum - 1.0) < 1e-9)
+    // a NULL endpoint (ANSI mode throws on malformed casts, but a null
+    // src/dst flows through) is still a loud IllegalArgumentException
+    // naming the contract, never an NPE from reading the sampled row
+    val nullEdge = intercept[IllegalArgumentException] {
+      GraphFunctions.pageRank(verts,
+        Seq((Option.empty[Long], Option(1L))).toDF("src", "dst"),
+        iterations = 2)
+    }
+    assert(nullEdge.getMessage.contains("absent"), nullEdge.getMessage)
+    assert(nullEdge.getMessage.contains("null"), nullEdge.getMessage)
+  }
+
+  test("densifyIds: vid = 0-based rank in id order, distributed, no clobber") {
+    import spark.implicits._
+    // scrambled, non-contiguous id space with payload columns riding along
+    val ids = Seq(907L, 3L, 500L, 42L, 7000L, 0L, 61L, 999999L)
+    val df = scala.util.Random.shuffle(ids)
+      .map(i => (i, s"p$i")).toDF("doc_id", "payload")
+    val got = GraphFunctions.densifyIds(df, "doc_id")
+      .select(col("doc_id"), col("payload"), col("vid"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val expected = ids.sorted.zipWithIndex
+      .map { case (id, i) => (id, s"p$id", i.toLong) }
+    assert(got.toSeq === expected)
+    // the whole point: the assignment is NOT a single-partition sort —
+    // the range partitioning spreads the rows. AQE legitimately coalesces
+    // a KB-sized test shuffle to one partition (advisory, size-based),
+    // so pin coalescing off to observe the shape itself: unlike
+    // row_number over a global window, nothing here REQUIRES one task.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val big = spark.range(0, 4000).select((col("id") * 7).as("doc_id"))
+      val dense = GraphFunctions.densifyIds(big, "doc_id")
+      assert(dense.rdd.getNumPartitions > 1,
+        "densifyIds must range-partition, not serialize on one task")
+      val sample = dense.filter(col("doc_id") === 21 * 7)
+        .select(col("vid")).as[Long].head()
+      assert(sample === 21L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    // contract: refuses to clobber an existing output column
+    intercept[IllegalArgumentException] {
+      GraphFunctions.densifyIds(df.withColumn("vid", lit(1)), "doc_id")
+    }
+    // empty input stays empty, schema carries the new column
+    val empty = GraphFunctions.densifyIds(df.limit(0), "doc_id", "rank_id")
+    assert(empty.columns.toSeq === Seq("doc_id", "payload", "rank_id"))
+    assert(empty.count() === 0)
   }
 
   test("resolveRedirects: chains settle, loops exhaust the budget, passthroughs stay put") {
@@ -855,6 +907,14 @@ class FunctionsSpec extends SparkSpec {
     assert(kept.count(_._1 == "small") == 10, "small group kept whole")
     assert(run(df.repartition(7, col("doc_id"))) === kept,
       "membership is a pure function of content, not partitioning")
+    // a caller's own __rn column must survive the cap (the rank now runs
+    // under a collision-free tempCol, not a hardcoded name)
+    val withRn = df.withColumn("__rn", col("doc_id") * 100)
+    val keptRn = SamplingFunctions
+      .capPerGroup(withRn, col("source"), col("doc_id"), 10)
+    assert(keptRn.columns.toSeq === Seq("source", "doc_id", "__rn"))
+    assert(keptRn.filter(col("__rn") =!= col("doc_id") * 100).count() === 0,
+      "caller's __rn values must pass through untouched")
   }
 
   test("dedupSpans drops repeated spans keep-first and reassembles documents") {
