@@ -2721,7 +2721,8 @@ object SparkEntry {
       val links = warc
         .filter(col("http_status") === 200 &&
           col("http_content_type").startsWith("text/html"))
-        .select(col("target_uri"), col("payload").cast("string").as("html"))
+        .select(col("target_uri"),
+          H.decodeBody(col("payload"), col("http_content_type")).as("html"))
         .select(col("target_uri"), explode(H.extractLinks(col("html"))).as("l"))
         .select(U.canonicalizeUrl(
           U.resolveUrl(col("target_uri"), col("l.href"))).as("url"))
@@ -2742,7 +2743,10 @@ object SparkEntry {
       val html = joined
         .filter(col("rid").isNotNull && col("http_status") === 200 &&
           col("http_content_type").startsWith("text/html"))
-        .withColumn("mt", H.mainText(col("payload").cast("string")))
+        // charset-aware decode (identity on this all-ASCII fixture; the
+        // q202 battery pins the legacy-charset behavior)
+        .withColumn("mt", H.mainText(
+          H.decodeBody(col("payload"), col("http_content_type"))))
         .filter(length(col("mt")) >= 40)
         .select(col("url"), col("rid"), col("mt"))
         .localCheckpoint(true)
@@ -2843,6 +2847,29 @@ object SparkEntry {
         .select(col("url"), r2(col("priority")).as("priority"),
           r2(col("crawl_delay")).as("crawl_delay"),
           r2(col("fetch_at")).as("fetch_at"))
+        .orderBy(col("url"))
+    }),
+    // ---- charset-aware body decode: the dedicated WARC battery whose
+    // bodies are NOT all UTF-8 (ISO-8859-1 accents, Windows-1252 curly
+    // quotes in the 0x80–0x9F gap, GBK, an http-equiv meta sniff, a
+    // bogus charset falling back, plain UTF-8). The oracle rows are
+    // literal VALUES from the INDEPENDENT python decode replay
+    // (scripts/gen_charset_fixture.py), which ASSERTS that a naive
+    // cast("string") decode yields a DIFFERENT main-text md5 on every
+    // legacy-charset record — these hashes are only reachable through
+    // correct charset resolution --------------------------------------
+    "q202_charset_decode" -> ((s, _) => {
+      val H = graft.functions.HtmlFunctions
+      graft.sources.Warc.readWarc(s, charsetWarcDir())
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .withColumn("mt", H.mainText(
+          H.decodeBody(col("payload"), col("http_content_type"))))
+        .select(col("target_uri").as("url"),
+          H.bodyCharset(col("payload"), col("http_content_type")).as("cs"),
+          md5(col("mt").cast("binary")).as("mt_md5"),
+          length(col("mt")).cast("long").as("n_chars"))
         .orderBy(col("url"))
     }),
     // ---- the PRIORITY-AWARE frontier — the last piece of the
@@ -3321,6 +3348,19 @@ object SparkEntry {
       val bytes = try in.readAllBytes() finally in.close()
       writeFixtureAtomic(dir, name, bytes)
     }
+    dir.toString
+  }
+
+  /** The charset-decode WARC battery (scripts/gen_charset_fixture.py) —
+    * its OWN directory so the q198 lifecycle's `*.warc.gz` scan over the
+    * main fixture dir never picks these records up. Idempotent. */
+  private def charsetWarcDir(): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-warc-charset")
+    java.nio.file.Files.createDirectories(dir)
+    val in = getClass.getResourceAsStream("/graft/warc/charset.warc.gz")
+    val bytes = try in.readAllBytes() finally in.close()
+    writeFixtureAtomic(dir, "charset.warc.gz", bytes)
     dir.toString
   }
 
@@ -5941,6 +5981,21 @@ object SparkEntry {
         |  FROM allowed a LEFT JOIN delays d USING (host))
         |SELECT url, round(priority, 2) AS priority, round(crawl_delay, 2) AS crawl_delay, round(fetch_at, 2) AS fetch_at
         |FROM sched ORDER BY url""".stripMargin,
+    // q202's oracle: literal VALUES from the independent python decode
+    // replay (scripts/gen_charset_fixture.py) — resolved charset name,
+    // main-text md5 and char count per record; the generator asserts
+    // these md5s are UNREACHABLE under a naive UTF-8 decode for every
+    // legacy-charset record, so a hash match proves charset resolution
+    "q202_charset_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('http://charset.example/iso', 'ISO-8859-1', 'cf1c2f526863cd849b38d846890653eb', CAST(174 AS BIGINT)),
+        |  ('http://charset.example/win1252', 'windows-1252', '16ee0637097f1811caf5a0fe64ba58d2', CAST(222 AS BIGINT)),
+        |  ('http://charset.example/meta-utf8', 'UTF-8', '4c69809aab130cc612b782f9c386f017', CAST(124 AS BIGINT)),
+        |  ('http://charset.example/sniff1252', 'windows-1252', 'a04c48948953287154a318d2a3bf8a31', CAST(116 AS BIGINT)),
+        |  ('http://charset.example/plain-utf8', 'UTF-8', '9febace1e10e47d51ebc3ef361dd957b', CAST(137 AS BIGINT)),
+        |  ('http://charset.example/bogus', 'UTF-8', 'f06d540b859c6f37bfb6646cc4f37567', CAST(134 AS BIGINT)),
+        |  ('http://charset.example/gbk', 'GBK', '5bb5b6e420132c10d10c1a3e32eef7bb', CAST(34 AS BIGINT))
+        |) AS t(url, cs, mt_md5, n_chars) ORDER BY url""".stripMargin,
     // q199's oracle: the q192 power-iteration replay composed with the
     // robots parse — per-URL best rank, gate, rank-ordered cap window,
     // rank-ordered politeness ladder; every ordering crosses engines

@@ -203,7 +203,11 @@ object CrawlFunctions {
       .filter(col("http_content_type").startsWith("text/html"))
       .select(col("record_index").cast("long").as("rid"),
         UrlFunctions.canonicalizeUrl(col("target_uri")).as("canon"),
-        HtmlFunctions.mainText(col("payload").cast("string")).as("mt"))
+        // charset-aware decode (charset param → meta sniff → UTF-8):
+        // a legacy-encoding page must enter dedup under its TRUE text,
+        // not the mojibake cast("string") would produce
+        HtmlFunctions.mainText(HtmlFunctions.decodeBody(
+          col("payload"), col("http_content_type"))).as("mt"))
       .filter(length(col("mt")) >= p.minMainChars)
       .groupBy(col("mt"))
       .agg(min(col("rid")).as("rid"),

@@ -159,4 +159,29 @@ object HtmlFunctions {
     filter(blockStats(c), b =>
       b.getField("chars") >= minChars &&
         b.getField("link_chars") * 3 <= b.getField("chars"))
+
+  /** Charset-aware HTTP body decode (binary payload + Content-Type →
+    * string): charset parameter → `<meta charset>`/http-equiv sniff over
+    * the first 1024 bytes → UTF-8, unknown names falling back to UTF-8
+    * and malformed sequences decoding to U+FFFD — the full spec lives on
+    * [[graft.expr.BodyDecode]]. `cast("string")` is the UTF-8-only
+    * special case; crawl text paths should come through here so
+    * ISO-8859-1 / Windows-1252 / GBK pages stop mojibaking through
+    * [[mainText]], dedup keys and n-grams. A null Content-Type means
+    * "no header" (sniff/UTF-8), not a null result. */
+  def decodeBody(payload: Column, contentType: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.DecodeBodyExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(payload),
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(contentType, lit("")))))
+
+  /** The charset [[decodeBody]] resolves for each row (canonical JVM
+    * name) — the audit column next to the decode. */
+  def bodyCharset(payload: Column, contentType: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expr.BodyCharsetExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(payload),
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          coalesce(contentType, lit("")))))
 }

@@ -201,4 +201,47 @@ before any tokenizer sees a byte &mdash; order matters.</P>
       ("/bare", "bare"),
       ("/UP", "upper tag")))
   }
+
+  test("decodeBody: charset param, meta sniff, fallback, replacement, audit column") {
+    import spark.implicits._
+    def dec(payload: Array[Byte], ct: Option[String]): (String, String) = {
+      val df = Seq((payload, ct)).toDF("payload", "ct")
+        .select(
+          HtmlFunctions.decodeBody(col("payload"), col("ct")).as("txt"),
+          HtmlFunctions.bodyCharset(col("payload"), col("ct")).as("cs"))
+      val r = df.head(); (r.getString(0), r.getString(1))
+    }
+    // 1. header charset parameter wins (quoted, mixed case)
+    val iso = "café niña".getBytes("ISO-8859-1")
+    assert(dec(iso, Some("text/html; charset=\"ISO-8859-1\"")) ===
+      (("café niña", "ISO-8859-1")))
+    // the same bytes under a UTF-8 decode would mojibake (0xE9 alone is
+    // malformed UTF-8) — proving the parameter actually routed
+    assert(dec(iso, Some("text/html"))._1.contains("�"))
+    // 2. Windows-1252 curly quotes live in ISO-8859-1's control gap
+    val w = "“quoted” — dash".getBytes("windows-1252")
+    assert(dec(w, Some("text/html; charset=windows-1252")) ===
+      (("“quoted” — dash", "windows-1252")))
+    // 3. meta sniff (http-equiv form) when the header has no parameter;
+    //    content-type may be NULL entirely (missing header)
+    val sniffed = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head>" +
+      "<body>…</body></html>").getBytes("windows-1252")
+    assert(dec(sniffed, None)._2 === "windows-1252")
+    assert(dec(sniffed, None)._1.contains("…"))
+    // 4. unknown charset name falls back to UTF-8, loudly in the audit col
+    assert(dec("plain ascii".getBytes("US-ASCII"),
+      Some("text/html; charset=klingon-9")) === (("plain ascii", "UTF-8")))
+    // 5. malformed bytes under the resolved charset replace, never throw
+    val bad = Array[Byte]('o', 'k', ' ', 0xC3.toByte) // truncated UTF-8 pair
+    assert(dec(bad, Some("text/html; charset=utf-8"))._1 === "ok �")
+    // 6. GBK round-trips through the JVM registry
+    val gbk = "数据".getBytes("GBK")
+    assert(dec(gbk, Some("text/html; charset=gbk")) === (("数据", "GBK")))
+    // 7. null payload stays null (nullSafeEval contract)
+    val nulls = Seq((Option.empty[Array[Byte]], Option("text/html")))
+      .toDF("payload", "ct")
+      .select(HtmlFunctions.decodeBody(col("payload"), col("ct")).as("t"))
+    assert(nulls.head().isNullAt(0))
+  }
 }
