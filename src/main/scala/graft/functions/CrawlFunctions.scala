@@ -155,6 +155,74 @@ object CrawlFunctions {
         ++ Seq(col("final_url"), col("n_hops"), col("terminal")): _*)
   }
 
+  /** Depth-N sitemap discovery — the fixed-point operator behind a
+    * crawler's discovery loop, generalizing the hand-unrolled depth-2
+    * walk q201 pinned: robots `Sitemap:` directives seed the frontier;
+    * each depth fetches ONLY announced addresses (a semi-join of the
+    * fetched-bodies table against the frontier — an orphan body nobody
+    * announced is never read), parses `<urlset>` entries AND
+    * `<sitemapindex>` children from every fetched body, and the children
+    * not yet visited become the next frontier. The
+    * [[resolveRedirects]] shrinking-frontier shape: settled addresses
+    * leave the loop, a per-depth localCheckpoint keeps depth D's plan
+    * O(one join), and already-visited addresses never refetch (cycle
+    * guard — mutually-referencing indices terminate).
+    *
+    * LOUD depth cap, like [[GraphFunctions.connectedComponents]]'s
+    * convergence require: if children announced past `maxDepth` actually
+    * HAVE bodies in `bodies`, returning silently would mean silently
+    * undiscovered URLs — the operator THROWS naming a sample; raise
+    * `maxDepth` (real sitemap trees are ≤ 2–3 deep; browsers of the
+    * protocol cap similarly). Announced children with NO body are fetch
+    * misses, not depth overflow — they simply stay undiscovered, at any
+    * depth.
+    *
+    * Output: one row per discovered URL entry —
+    * (sm_url, depth, loc, lastmod, priority) where sm_url is the sitemap
+    * that announced the entry and depth its distance from robots.txt
+    * (1 = announced directly). Robots GATING of the discovered URLs is
+    * deliberately downstream ([[RobotsFunctions.filterByRobots]]), as is
+    * scheduling — discovery says what EXISTS.
+    *
+    * Scale shape: per depth, one semi-join on sitemap address + two
+    * scan-side parses; sitemap bodies never cross an exchange (the
+    * explode happens where the body lives), and the frontier is
+    * addresses only. Job count = maxDepth, not corpus size. */
+  def discoverSitemaps(robots: DataFrame, bodies: DataFrame,
+                       hostCol: String = "host", robotsBodyCol: String = "body",
+                       smUrlCol: String = "sm_url", smBodyCol: String = "body",
+                       maxDepth: Int = 3): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val body = SamplingFunctions.tempCol(bodies, "__discover_body")
+    val smBodies = bodies
+      .select(col(smUrlCol).as("sm_url"), col(smBodyCol).as(body))
+      .localCheckpoint(true)
+    var frontier = RobotsFunctions
+      .robotsSitemaps(robots, hostCol, robotsBodyCol)
+      .select(col("sitemap_url").as("sm_url")).distinct()
+      .localCheckpoint(true)
+    var visited = frontier
+    val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (depth <- 1 to maxDepth) {
+      val fetched = smBodies.join(frontier, Seq("sm_url"), "left_semi")
+      levels += SitemapFunctions.sitemapUrls(fetched, body)
+        .select(col("sm_url"), lit(depth).as("depth"),
+          col("loc"), col("lastmod"), col("priority"))
+      val children = SitemapFunctions.sitemapChildren(fetched, body)
+        .select(col("child_loc").as("sm_url")).distinct()
+      frontier = children.join(visited, Seq("sm_url"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    val overflow = smBodies.join(frontier, Seq("sm_url"), "left_semi")
+      .select(col("sm_url")).limit(5).collect().map(_.getString(0))
+    require(overflow.isEmpty,
+      s"discoverSitemaps: sitemap children announced beyond maxDepth=$maxDepth " +
+        s"have bodies to parse (e.g. ${overflow.mkString(", ")}) — their URLs " +
+        "would be silently undiscovered; raise maxDepth")
+    levels.reduce(_.unionByName(_))
+  }
+
   def multimodalKeepers(warc: DataFrame,
                         minMainChars: Int = 40,
                         shingleN: Int = 3,

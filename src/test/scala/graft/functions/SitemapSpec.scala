@@ -71,4 +71,65 @@ class SitemapSpec extends SparkSpec {
     assert(sched.keySet === Set("http://h/ok1", "http://h/ok2"))
     assert(sched.values.toSeq.sorted === Seq(0.0, 2.0), "2 s Crawl-delay ladder")
   }
+
+  // ---- depth-N discovery operator ----------------------------------
+
+  private def urlset(locs: String*): String =
+    ("<urlset>" +: locs.map(l => s"<url><loc>$l</loc></url>") :+ "</urlset>")
+      .mkString("\n")
+  private def index(children: String*): String =
+    ("<sitemapindex>" +: children.map(c => s"<sitemap><loc>$c</loc></sitemap>")
+      :+ "</sitemapindex>").mkString("\n")
+
+  test("discoverSitemaps: depth-3 tree = the hand-unrolled walk; orphans and misses stay out") {
+    val robots = Seq(
+      ("h", "User-agent: *\nDisallow: /x\nSitemap: http://h/root.xml"),
+      ("g", "Sitemap: http://g/flat.xml")).toDF("host", "body")
+    val bodies = Seq(
+      // h: index -> (index, urlset) -> urlset  (depth 3)
+      ("http://h/root.xml", index("http://h/mid.xml", "http://h/leaf-a.xml",
+        "http://h/missing.xml")), // announced but NO body: a fetch miss
+      ("http://h/mid.xml", index("http://h/leaf-b.xml")),
+      ("http://h/leaf-a.xml", urlset("http://h/a1", "http://h/a2")),
+      ("http://h/leaf-b.xml", urlset("http://h/b1")),
+      // orphan: has a body but nobody announces it — never parsed
+      ("http://h/orphan.xml", urlset("http://h/orphan-url")),
+      // g: flat urlset announced directly (depth 1)
+      ("http://g/flat.xml", urlset("http://g/f1"))).toDF("sm_url", "body")
+    val got = CrawlFunctions.discoverSitemaps(robots, bodies, maxDepth = 3)
+      .select(col("sm_url"), col("depth"), col("loc"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // the hand-unrolled replay (what q201 did at depth 2, one level more)
+    val expected = Set(
+      ("http://g/flat.xml", 1, "http://g/f1"),
+      ("http://h/leaf-a.xml", 2, "http://h/a1"),
+      ("http://h/leaf-a.xml", 2, "http://h/a2"),
+      ("http://h/leaf-b.xml", 3, "http://h/b1"))
+    assert(got === expected)
+    // loud depth cap: the same tree at maxDepth=2 leaves leaf-b's BODY
+    // unparsed — that must throw, not silently shrink the corpus
+    val e = intercept[IllegalArgumentException] {
+      CrawlFunctions.discoverSitemaps(robots, bodies, maxDepth = 2)
+    }
+    assert(e.getMessage.contains("leaf-b"), e.getMessage)
+    // ...whereas a tree whose deepest announced children are all fetch
+    // misses settles fine at the same budget
+    val noLeafB = bodies.filter(col("sm_url") =!= "http://h/leaf-b.xml")
+    val shallow = CrawlFunctions.discoverSitemaps(robots, noLeafB, maxDepth = 2)
+      .select(col("loc")).collect().map(_.getString(0)).toSet
+    assert(shallow === Set("http://g/f1", "http://h/a1", "http://h/a2"))
+  }
+
+  test("discoverSitemaps: mutually-referencing indices terminate (cycle guard)") {
+    val robots = Seq(("h", "Sitemap: http://h/a.xml")).toDF("host", "body")
+    val bodies = Seq(
+      ("http://h/a.xml", index("http://h/b.xml") + "\n" + urlset("http://h/ua")),
+      ("http://h/b.xml", index("http://h/a.xml") + "\n" + urlset("http://h/ub")))
+      .toDF("sm_url", "body")
+    val got = CrawlFunctions.discoverSitemaps(robots, bodies, maxDepth = 4)
+      .select(col("depth"), col("loc"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got === Set((1, "http://h/ua"), (2, "http://h/ub")),
+      "each address parses exactly once; the cycle never refetches")
+  }
 }
