@@ -256,6 +256,32 @@ object UrlFunctions {
   def registeredDomain(url: Column): Column =
     registeredDomainFromRules(url, BundledPslRules)
 
+  /** Load public-suffix rules from a file in PSL syntax — the ingestion
+    * path a VENDORED `public_suffix_list.dat` snapshot drops into the
+    * moment one is available ([[registeredDomainJoined]] takes the
+    * result directly). Per the PSL format spec: a rule is the portion of
+    * each line BEFORE the first whitespace (trailing annotations drop);
+    * `//` comment lines — including the `===BEGIN/END ICANN DOMAINS===`
+    * section markers, which live inside comments — and blank lines are
+    * skipped; everything else (punycode `xn--` labels, raw Unicode
+    * labels, wildcards, exceptions) passes through AS-IS for
+    * [[parsePslRules]] to classify.
+    *
+    * Status note: this build runs zero-egress, so [[BundledPslRules]] is
+    * a curated-real + synthetic set, NOT the publicsuffix.org snapshot —
+    * per-domain caps on a real crawl mis-group under uncovered suffixes
+    * until a vendored snapshot is loaded through this function.
+    *
+    * Driver-side read by design: the PSL is a ~240 KB static artifact
+    * (bounded by the list's governance), and the rules become broadcast
+    * lookup tables anyway; `spark.read.textFile` keeps every Hadoop
+    * filesystem scheme usable. */
+  def loadPslRules(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Seq[String] =
+    spark.read.textFile(path).collect().toSeq
+      .map(l => l.trim.split("\\s+", 2)(0))
+      .filter(r => r.nonEmpty && !r.startsWith("//"))
+
   /** The bundled rule subset in PSL file syntax — one instance of what
     * [[registeredDomainFromRules]] accepts; the REAL public suffix list
     * (the raw `public_suffix_list.dat` lines) swaps in verbatim. */

@@ -310,4 +310,42 @@ class UrlFunctionsSpec extends SparkSpec {
       assert(r.getString(1) === r.getString(0),
         s"resolveUrl gave ${r.getString(1)}, urljoin says ${r.getString(0)}")
   }
+
+  test("loadPslRules: PSL file syntax — comments, section markers, annotations, punycode") {
+    val file = java.nio.file.Files.createTempFile("psl-fixture", ".dat")
+    java.nio.file.Files.writeString(file, Seq(
+      "// This Source Code Form is subject to the terms of the MPL 2.0.",
+      "",
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "// uk : https://example.invalid/registry",
+      "uk",
+      "co.uk",
+      "  co.jp\t// indented + trailing annotation after whitespace",
+      "*.ck",
+      "!www.ck",
+      "xn--p1ai   // punycode stays as-is",
+      "中国",
+      "// ===END ICANN DOMAINS===",
+      "// ===BEGIN PRIVATE DOMAINS===",
+      "pvt.k12.ma.us",
+      "// ===END PRIVATE DOMAINS===").mkString("\n"))
+    val rules = UrlFunctions.loadPslRules(spark, file.toString)
+    assert(rules === Seq("uk", "co.uk", "co.jp", "*.ck", "!www.ck",
+      "xn--p1ai", "中国", "pvt.k12.ma.us"))
+    // and the loaded set drives the algorithm exactly like a literal one
+    val got = Seq(
+      "http://a.b.co.uk/", "http://x.foo.ck/", "http://sub.www.ck/",
+      "http://site.xn--p1ai/", "http://school.pvt.k12.ma.us/")
+      .toDF("url")
+      .select(col("url"),
+        UrlFunctions.registeredDomainFromRules(col("url"), rules).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("http://a.b.co.uk/") === "b.co.uk")
+    assert(got("http://x.foo.ck/") === "x.foo.ck") // wildcard base+1
+    assert(got("http://sub.www.ck/") === "www.ck") // exception prevails
+    assert(got("http://site.xn--p1ai/") === "site.xn--p1ai")
+    assert(got("http://school.pvt.k12.ma.us/") === "school.pvt.k12.ma.us")
+    java.nio.file.Files.delete(file)
+  }
 }
