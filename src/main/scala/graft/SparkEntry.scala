@@ -2827,21 +2827,16 @@ object SparkEntry {
     // schedule from the same body literals ---------------------------------
     "q201_sitemap_recursion" -> ((s, _) => {
       val R = graft.functions.RobotsFunctions
-      val SM = graft.functions.SitemapFunctions
       val robots = indexRobotsFixture(s)
       val rules = R.robotsRules(robots, "host", "body", "graftbot")
       val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
       val bodies = sitemapIndexFixture(s)
-      val announced = R.robotsSitemaps(robots, "host", "body")
-        .select(col("sitemap_url"))
-      val indexBodies = bodies.join(announced,
-        col("sm_url") === col("sitemap_url"), "left_semi")
-      val children = SM.sitemapChildren(indexBodies, "body")
-        .select(col("child_loc"))
-      val childBodies = bodies.join(children,
-        col("sm_url") === col("child_loc"), "left_semi")
-      val urls = SM.sitemapUrls(childBodies, "body")
-        .withColumnRenamed("loc", "url").drop("sm_url")
+      // the first-class fixed-point operator (the r17 form hand-unrolled
+      // these two depths; CrawlSpec pins operator ≡ unrolled at depth 3)
+      val urls = graft.functions.CrawlFunctions
+        .discoverSitemaps(robots, bodies, maxDepth = 2)
+        .withColumnRenamed("loc", "url")
+        .drop("sm_url", "depth", "lastmod")
       val frontier = R.filterByRobots(urls, rules, "url")
       R.scheduleFrontier(frontier, delays, "url", defaultDelay = 1.0)
         .select(col("url"), r2(col("priority")).as("priority"),
@@ -2870,6 +2865,32 @@ object SparkEntry {
           H.bodyCharset(col("payload"), col("http_content_type")).as("cs"),
           md5(col("mt").cast("binary")).as("mt_md5"),
           length(col("mt")).cast("long").as("n_chars"))
+        .orderBy(col("url"))
+    }),
+    // ---- the PERSISTED robots cache serving a frontier: init from h0's
+    // body alone, append the full fixture (h0's unchanged body is caught
+    // by the digest anti-join and re-derives NOTHING — RobotsSpec
+    // asserts the zero; h1 is new and parses) — then the schedule is
+    // built ENTIRELY from cache-served rules/delays. The oracle is
+    // q190's from-scratch replay VERBATIM: cache-served ≡ re-derived is
+    // the cache's correctness contract ---------------------------------
+    "q203_robots_cache" -> ((s, d) => {
+      val R = graft.functions.RobotsFunctions
+      val dir = memoLayout("q203_robots_cache", "battery") { tmp =>
+        val robots = robotsFixture(s).localCheckpoint(true)
+        R.writeRobotsCache(s, tmp,
+          robots.filter(col("host") === "h0.example"),
+          "host", "body", "graftbot")
+        R.appendRobotsCache(s, tmp, robots, "host", "body", "graftbot")
+      }
+      val rules = R.cachedRules(s, dir)
+      val delays = R.cachedDelays(s, dir)
+      val frontier = R.filterByRobots(robotsUrls(s, d), rules, "url")
+        .select(col("url")).distinct()
+      R.scheduleFrontier(frontier, delays, "url", defaultDelay = 1.0)
+        .select(col("url"),
+          r2(col("crawl_delay")).as("crawl_delay"),
+          r2(col("fetch_at")).as("fetch_at"))
         .orderBy(col("url"))
     }),
     // ---- the PRIORITY-AWARE frontier — the last piece of the
@@ -5543,29 +5564,12 @@ object SparkEntry {
     // q190: the politeness-complete frontier — q189's allowed URLs,
     // scheduled per host at the parsed Crawl-delay (min of applying
     // values; 1 s default), rank order = md5 of the URL
-    "q190_frontier" ->
-      (robotsParseSql + """,
-        |cand AS (SELECT u.doc_id, ru.allow, len(ru.rule) AS rl
-        |  FROM urls u JOIN rules ru ON ru.host = u.host AND regexp_matches(u.tgt, ru.pat)),
-        |best AS (SELECT doc_id, allow FROM (
-        |    SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY rl DESC, allow DESC) AS rn FROM cand) WHERE rn = 1),
-        |allowed AS (SELECT DISTINCT u.host, 'http://' || u.host || u.tgt AS url
-        |  FROM urls u LEFT JOIN best b USING (doc_id)
-        |  WHERE coalesce(b.allow, true)),
-        |delays AS (SELECT host, min(CAST(v AS DOUBLE)) AS crawl_delay
-        |  FROM flags2
-        |  WHERE kind = 'delay' AND regexp_matches(v, '^[0-9]+(\.[0-9]+)?$')
-        |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))
-        |  GROUP BY host),
-        |sched AS (SELECT a.url,
-        |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
-        |    (row_number() OVER (PARTITION BY a.host ORDER BY md5(a.url), a.url) - 1)
-        |      * coalesce(d.crawl_delay, 1.0) AS fetch_at
-        |  FROM allowed a LEFT JOIN delays d USING (host))
-        |SELECT url, round(crawl_delay, 2) AS crawl_delay,
-        |  round(fetch_at, 2) AS fetch_at
-        |FROM sched ORDER BY url""".stripMargin),
+    "q190_frontier" -> frontierScheduleSql,
+    // q203 ≡ q190 on the RESULT — the from-scratch parse and the
+    // cache-served rules must schedule identically (that IS the cache's
+    // correctness contract); the incremental machinery (zero
+    // re-derivation on unchanged bodies) is asserted in RobotsSpec
+    "q203_robots_cache" -> frontierScheduleSql,
     // q197's oracle replays the WHOLE crawl plan: discovery union,
     // redirect walk (recursive CTE), robots gate on terminal addresses,
     // md5-ranked per-host cap, and the Crawl-delay schedule
@@ -6151,6 +6155,33 @@ object SparkEntry {
         |                WHEN i = 63 THEN -9223372036854775808
         |                ELSE CAST(1 AS BIGINT) << i END) AS BIGINT) AS sig
         |  FROM proj GROUP BY vec_id)""".stripMargin)
+
+  /** The q190 frontier-schedule oracle (rules decision + Crawl-delay
+    * ladder over the fixture URL stream) — SHARED verbatim by q203,
+    * whose cache-served rules must produce the identical schedule. */
+  private lazy val frontierScheduleSql: String =
+    robotsParseSql + """,
+      |cand AS (SELECT u.doc_id, ru.allow, len(ru.rule) AS rl
+      |  FROM urls u JOIN rules ru ON ru.host = u.host AND regexp_matches(u.tgt, ru.pat)),
+      |best AS (SELECT doc_id, allow FROM (
+      |    SELECT doc_id, allow, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY rl DESC, allow DESC) AS rn FROM cand) WHERE rn = 1),
+      |allowed AS (SELECT DISTINCT u.host, 'http://' || u.host || u.tgt AS url
+      |  FROM urls u LEFT JOIN best b USING (doc_id)
+      |  WHERE coalesce(b.allow, true)),
+      |delays AS (SELECT host, min(CAST(v AS DOUBLE)) AS crawl_delay
+      |  FROM flags2
+      |  WHERE kind = 'delay' AND regexp_matches(v, '^[0-9]+(\.[0-9]+)?$')
+      |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))
+      |  GROUP BY host),
+      |sched AS (SELECT a.url,
+      |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+      |    (row_number() OVER (PARTITION BY a.host ORDER BY md5(a.url), a.url) - 1)
+      |      * coalesce(d.crawl_delay, 1.0) AS fetch_at
+      |  FROM allowed a LEFT JOIN delays d USING (host))
+      |SELECT url, round(crawl_delay, 2) AS crawl_delay,
+      |  round(fetch_at, 2) AS fetch_at
+      |FROM sched ORDER BY url""".stripMargin
 
   /** Shared DuckDB CTE chain for the robots plane (q189/q190): the two
     * fixture bodies (same literals as the Spark side), the RFC 9309 parse

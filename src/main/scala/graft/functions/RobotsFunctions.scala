@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,6 +204,139 @@ object RobotsFunctions {
   /** [[robotsAllowed]] restricted to the fetchable URLs. */
   def filterByRobots(urls: DataFrame, rules: DataFrame, urlCol: String): DataFrame =
     robotsAllowed(urls, rules, urlCol).filter(col("allowed")).drop("allowed")
+
+  // ---- persisted robots-rules cache -----------------------------------
+  // An incremental crawl re-fetches robots.txt every batch, but bodies
+  // rarely change: re-deriving the per-host rule windows for 10⁸ hosts
+  // per batch is pure waste. The cache persists (host, body-digest) →
+  // parsed rules + crawl delay, keyed the same way the hamming/LSH
+  // indices persist signatures: append-only parquet generations, commit
+  // marker written LAST, probes tolerant of crash debris.
+  //
+  // Layout: dir/rules (host, gen, allow, rule), dir/delays (host, gen,
+  // crawl_delay), dir/hosts (host, digest, gen) — hosts is the COMMIT
+  // record: rules/delays rows whose (host, gen) never landed in hosts
+  // are invisible to readers, so a crashed append is ignorable and the
+  // re-run (which re-derives the same gen) merely leaves duplicate rows
+  // that the readers collapse (rules .distinct(); delays min()).
+  // One userAgent per cache dir (rules are UA-specific) — recorded in
+  // dir/_user_agent and REQUIRED to match on append/read.
+
+  private def cachePath(dir: String, part: String) =
+    s"${dir.stripSuffix("/")}/$part"
+
+  private def uaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(cachePath(dir, "_user_agent"))
+
+  private def writeUa(spark: SparkSession, dir: String, userAgent: String): Unit = {
+    val p = uaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(userAgent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def requireUa(spark: SparkSession, dir: String, userAgent: String): Unit = {
+    val p = uaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"robots cache at $dir is not initialized")
+    val in = fs.open(p)
+    val stored = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(stored == userAgent,
+      s"robots cache at $dir was built for user-agent '$stored', not '$userAgent' " +
+        "— rule selection is UA-specific; use a separate cache dir per product token")
+  }
+
+  private def stampDigests(robots: DataFrame, hostCol: String,
+                           bodyCol: String): DataFrame =
+    robots.select(col(hostCol).as("host"), col(bodyCol).as("body"),
+      xxhash64(col(bodyCol)).as("digest"))
+
+  /** Parse `stamped` (host, body, digest) and persist as generation
+    * `gen`: rules, delays, then the hosts commit record LAST. */
+  private def writeGen(spark: SparkSession, dir: String, stamped: DataFrame,
+                       userAgent: String, gen: Long, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    robotsRules(stamped, "host", "body", userAgent)
+      .withColumn("gen", lit(gen))
+      .select(col("host"), col("gen"), col("allow"), col("rule"))
+      .write.mode(mode).parquet(cachePath(dir, "rules"))
+    robotsCrawlDelay(stamped, "host", "body", userAgent)
+      .withColumn("gen", lit(gen))
+      .select(col("host"), col("gen"), col("crawl_delay"))
+      .write.mode(mode).parquet(cachePath(dir, "delays"))
+    stamped.select(col("host"), col("digest"), lit(gen).as("gen"))
+      .write.mode(mode).parquet(cachePath(dir, "hosts"))
+  }
+
+  private def readHosts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(cachePath(dir, "hosts"))
+
+  /** (host, gen) of each host's LATEST committed generation. */
+  private def latestHostGen(spark: SparkSession, dir: String): DataFrame =
+    readHosts(spark, dir).groupBy(col("host")).agg(max(col("gen")).as("gen"))
+
+  /** Initialize a robots cache from the first batch of fetched bodies. */
+  def writeRobotsCache(spark: SparkSession, dir: String, robots: DataFrame,
+                       hostCol: String, bodyCol: String,
+                       userAgent: String): Unit = {
+    require(userAgent.nonEmpty && userAgent != "*",
+      s"userAgent must be a concrete product token, got '$userAgent'")
+    writeUa(spark, dir, userAgent)
+    writeGen(spark, dir,
+      stampDigests(robots, hostCol, bodyCol).localCheckpoint(true),
+      userAgent, gen = 0L, overwrite = true)
+  }
+
+  /** Append one batch of fetched robots bodies: ONLY hosts whose body
+    * digest differs from their latest cached digest (or that are new)
+    * re-derive rules — a batch of unchanged bodies parses NOTHING (the
+    * anti-join is the entire cost). Returns the number of hosts
+    * (re)parsed, so callers (and RobotsSpec) can assert the zero. A host
+    * whose body CHANGED gets a new generation; readers resolve to the
+    * latest per host. Single writer per cache dir, like every index
+    * family here. */
+  def appendRobotsCache(spark: SparkSession, dir: String, robots: DataFrame,
+                        hostCol: String, bodyCol: String,
+                        userAgent: String): Long = {
+    requireUa(spark, dir, userAgent)
+    val stamped = stampDigests(robots, hostCol, bodyCol).localCheckpoint(true)
+    val latestDigests = readHosts(spark, dir)
+      .join(latestHostGen(spark, dir), Seq("host", "gen"), "left_semi")
+      .select(col("host"), col("digest"))
+    val changed = stamped
+      .join(latestDigests, Seq("host", "digest"), "left_anti")
+      .localCheckpoint(true)
+    val n = changed.count()
+    if (n > 0) {
+      val maxGen = readHosts(spark, dir)
+        .agg(max(col("gen"))).head().getLong(0)
+      writeGen(spark, dir, changed, userAgent, gen = maxGen + 1L,
+        overwrite = false)
+    }
+    n
+  }
+
+  /** The cached rule table, latest generation per host — feed straight
+    * into [[robotsAllowed]]/[[filterByRobots]]. Crash-debris duplicate
+    * rows collapse under the distinct (decisions are idempotent in
+    * duplicate rules anyway: the longest-match fold revisits the same
+    * (allow, rule) without changing the winner). */
+  def cachedRules(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(cachePath(dir, "rules"))
+      .join(latestHostGen(spark, dir), Seq("host", "gen"), "left_semi")
+      .select(col("host"), col("allow"), col("rule"))
+      .distinct()
+
+  /** The cached per-host Crawl-delay, latest generation per host — feed
+    * straight into [[scheduleFrontier]]. min() collapses crash-debris
+    * duplicates (same value). */
+  def cachedDelays(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(cachePath(dir, "delays"))
+      .join(latestHostGen(spark, dir), Seq("host", "gen"), "left_semi")
+      .groupBy(col("host"))
+      .agg(min(col("crawl_delay")).as("crawl_delay"))
 
   /** Politeness-scheduled crawl frontier: assign every URL a fetch offset
     * so consecutive fetches against one host honor that host's
