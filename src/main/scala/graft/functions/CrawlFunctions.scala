@@ -352,6 +352,12 @@ object CrawlFunctions {
     false
   }
 
+  /** Whether a crawl state dir has a committed members generation —
+    * streaming callers route the first batch to [[initCrawlState]] and
+    * the rest to [[appendCrawlBatch]] off this. */
+  def stateInitialized(spark: SparkSession, stateDir: String): Boolean =
+    currentGen(spark, stateDir) >= 0
+
   private def readMembers(spark: SparkSession, stateDir: String): DataFrame = {
     val gen = currentGen(spark, stateDir)
     require(gen >= 0, s"crawl state at $stateDir is not initialized")
@@ -400,21 +406,43 @@ object CrawlFunctions {
   private def ingest(spark: SparkSession, stateDir: String, warc: DataFrame,
                      p: CrawlParams, isInit: Boolean): Unit = {
     val G = GraphFunctions
-    val tg = textGroups(warc, p)
-    val (mediaMap, sigs) = mediaSigFrames(warc)
+    val tgAll = textGroups(warc, p)
+    val (mediaMapAll, sigsAll) = mediaSigFrames(warc)
+    // REPLAY SHIELD (append path): rows whose rid is already a member are
+    // a re-delivered batch (an at-least-once stream, a retried job), not
+    // new corpus — one anti-join drops them before they can pair against
+    // their own index entries and inflate n_members. A batch-internal
+    // exact-dup group keys by its min rid, so a fully re-sent batch
+    // collapses to ZERO rows here (CrawlStreamSpec pins it); a mixed
+    // batch keeps exactly its new docs. Reusing an id for DIFFERENT
+    // content violates the id contract above and reads as a replay (the
+    // stored row wins).
+    val membersPrev =
+      if (isInit) None
+      else Some(readMembers(spark, stateDir).localCheckpoint(true))
+    val (tg, mediaMap, sigs) = membersPrev match {
+      case None => (tgAll, mediaMapAll, sigsAll)
+      case Some(members) =>
+        val known = members.select(col("rid"))
+        (tgAll.join(known, Seq("rid"), "left_anti").localCheckpoint(true),
+          mediaMapAll.join(known, Seq("rid"), "left_anti").localCheckpoint(true),
+          sigsAll.join(known, Seq("rid"), "left_anti").localCheckpoint(true))
+    }
     val batchRows = tg
       .select(lit("text").as("modality"), col("rid"), col("canon"), col("n_copies"))
       .unionByName(mediaMap
         .join(sigs.select(col("rid")), "rid")
         .select(col("modality"), col("rid"), col("canon"),
           lit(1L).as("n_copies")))
+    // a pure replay appends nothing: no index growth, no generation churn
+    if (!isInit && batchRows.isEmpty) return
 
     val batchPairs = textBatchPairs(tg, p).unionByName(mediaBatchPairs(sigs, p))
 
     val (vertices, edges, untouched) =
       if (isInit) (batchRows.select(col("rid")), batchPairs, None)
       else {
-        val members = readMembers(spark, stateDir).localCheckpoint(true)
+        val members = membersPrev.get
         val noPairs = spark.range(0)
           .select(col("id").as("id_a"), col("id").as("id_b"))
         val crossText =

@@ -2,68 +2,69 @@ package graft.streaming
 
 import graft.SparkSpec
 import graft.functions.CrawlFunctions
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The incremental crawl × Structured Streaming: appendCrawlBatch as a
-  * foreachBatch body over a file-source stream of crawl record frames —
-  * the continuous-ingestion twin of q183. Each micro-batch pays
-  * extraction + batch-internal pairing + index probes; the persisted
-  * state converges to EXACTLY the batch answer over everything streamed,
-  * in any arrival order the batch contract allows. */
+/** Streaming crawl lifecycle ≡ batch — the StatefulAggregates
+  * discipline applied to the persisted crawl state: micro-batched
+  * appends land bit-identically to one batch over the union, and
+  * re-delivery (same batchId OR a re-sent identical batch under a new
+  * one) changes nothing. */
 class CrawlStreamSpec extends SparkSpec {
-  private val C = CrawlFunctions
+  import spark.implicits._
 
-  /** The committed fixture's record frame (the columns the crawl front
-    * half reads), parsed once driver-side. */
-  private lazy val recordRows: Seq[(Long, String, Int, String, Array[Byte])] = {
-    val in = getClass.getResourceAsStream("/graft/warc/tiny.warc")
+  private def warcFixture() = {
+    val dir = java.nio.file.Files.createTempDirectory("crawlstream-warc")
+    val in = getClass.getResourceAsStream("/graft/warc/tiny.warc.gz")
     val bytes = try in.readAllBytes() finally in.close()
-    graft.sources.Warc.parseWarc(bytes).map { r =>
-      (r.record_index.toLong, r.target_uri, r.http_status,
-        r.http_content_type, r.payload)
-    }
+    java.nio.file.Files.write(dir.resolve("tiny.warc.gz"), bytes)
+    graft.sources.Warc.readWarc(spark, dir.toString)
   }
 
-  private def frame(rows: Seq[(Long, String, Int, String, Array[Byte])]): DataFrame = {
-    import spark.implicits._
-    rows.toDF("record_index", "target_uri", "http_status",
-      "http_content_type", "payload")
-  }
-
-  test("streamed micro-batches converge to the batch-union keepers") {
-    val all = frame(recordRows)
-    val expected = C.multimodalKeepers(all)
+  private def keepersOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("modality"), col("keeper_uri"), col("n_members"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
 
-    val dir = java.nio.file.Files.createTempDirectory("crawl-stream")
-    val state = java.nio.file.Files.createTempDirectory("crawl-stream-state").toString
-    // three arrival waves: the text pages, the images + first tone, the
-    // rest — cross-micro-batch dup pairs in every modality
-    frame(recordRows.filter(_._1 <= 11)).write.parquet(dir.resolve("f0").toString)
-    Thread.sleep(1100) // distinct mtimes => deterministic file order
-    frame(recordRows.filter(r => r._1 >= 12 && r._1 <= 15))
-      .write.parquet(dir.resolve("f1").toString)
-    Thread.sleep(1100)
-    frame(recordRows.filter(_._1 >= 16)).write.parquet(dir.resolve("f2").toString)
+  test("streaming two-batch ≡ batch union; re-sent batch dedupes to zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val warc = warcFixture().localCheckpoint(true)
+    val rows = warc
+      .select(col("record_index"), col("target_uri"), col("http_status"),
+        col("http_content_type"), col("payload"))
+      .as[(Int, String, Int, String, Array[Byte])].collect()
+    val (batch1, batch2) = rows.partition(_._1 <= 12) // the q183 split
+    assert(batch1.nonEmpty && batch2.nonEmpty)
 
-    val p = C.CrawlParams()
-    val stream = spark.readStream.schema(all.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString + "/f*")
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          if (batchId == 0L) C.initCrawlState(spark, state, batch, p)
-          else C.appendCrawlBatch(spark, state, batch, p)
-        }
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val state = java.nio.file.Files.createTempDirectory("crawlstream-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("crawlstream-ckpt").toString
+    val mem = MemoryStream[(Int, String, Int, String, Array[Byte])]
+    val q = CrawlStream.run(spark, state,
+      mem.toDF().toDF("record_index", "target_uri", "http_status",
+        "http_content_type", "payload"),
+      ckpt)
+    try {
+      mem.addData(batch1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = keepersOf(CrawlFunctions.crawlKeepers(spark, state))
+      val batch = keepersOf(CrawlFunctions.multimodalKeepers(warc))
+      assert(streamed === batch,
+        "streaming state after two micro-batches must equal the one-batch corpus")
+      assert(streamed.nonEmpty)
 
-    val got = C.crawlKeepers(spark, state)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    assert(got === expected,
-      s"streamed state must equal the batch union, got $got")
+      // re-send batch2 verbatim: a NEW micro-batch id, identical rows —
+      // the replay shield (rid anti-join) must append nothing at all
+      val hwBefore = CrawlStream.lastCommittedBatch(spark, state)
+      mem.addData(batch2.toIndexedSeq: _*); q.processAllAvailable()
+      assert(CrawlStream.lastCommittedBatch(spark, state) > hwBefore,
+        "the re-sent batch was processed (new id), not skipped")
+      assert(keepersOf(CrawlFunctions.crawlKeepers(spark, state)) === batch,
+        "a re-sent batch must dedupe to zero: no n_members inflation")
+    } finally q.stop()
+
+    // layer 1: Spark's own re-delivery (same batchId after a restart)
+    // short-circuits on the high-water mark without touching the state
+    val replayed = CrawlStream.processBatch(spark, state,
+      warc.filter(col("record_index") >= 13), batchId = 0L)
+    assert(!replayed, "an already-committed batchId must be skipped")
   }
 }
