@@ -40,10 +40,19 @@ object Bench {
     * else the legacy heavy-cohort median), a riser needs BOTH >1.5× the
     * scaled floor AND ≥0.15 s absolute excess, and it escalates from
     * warning to regression only when the SAME query rose in the previous
-    * run (two strikes). Returns (ambient, regressions, warnings). */
+    * run (two strikes). `stretchAmbient` is the INTERLEAVED cpu-canary
+    * ratio for the sweep stretch each query ran in: the bracketing canary
+    * pair is blind to a mid-sweep co-tenant burst (measured repeatedly as
+    * contiguous 2–4× clusters under near-1.0 ambient), but a canary
+    * timed every ~25 queries sits INSIDE the burst — a query's floor
+    * scales by max(global, its stretch), so a burst that the stretch
+    * canary measured excuses its stretch and nothing else, while a
+    * genuine regression (which cannot move the canary) still trips.
+    * Returns (ambient, regressions, warnings). */
   def gate(results: Seq[(String, Double)], previous: Map[String, Double],
            priorStrikes: Set[String],
-           canaryNow: Map[String, Double], canaryFloors: Map[String, Double])
+           canaryNow: Map[String, Double], canaryFloors: Map[String, Double],
+           stretchAmbient: Map[String, Double] = Map.empty)
       : (Double, Seq[(String, Double)], Seq[(String, Double)]) = {
     val canaryRatios = canaryNow.toSeq.sortBy(_._1).flatMap { case (n, cur) =>
       canaryFloors.get(n).filter(_ > 0).map(cur / _)
@@ -62,9 +71,11 @@ object Bench {
     val ambient = // median ratio, floored at 1 so a fast machine can't mask risers
       if (ratios.isEmpty) 1.0 else math.max(1.0, ratios(ratios.length / 2))
     val risers = results.flatMap { case (name, sec) =>
+      val amb = math.max(ambient,
+        math.max(1.0, stretchAmbient.getOrElse(name, 1.0)))
       previous.get(name) match {
-        case Some(old) if old > 0 && sec > old * ambient * 1.5 &&
-            sec - old * ambient >= 0.15 =>
+        case Some(old) if old > 0 && sec > old * amb * 1.5 &&
+            sec - old * amb >= 0.15 =>
           Some(name -> (sec / old))
         case _ => None
       }
@@ -150,7 +161,13 @@ object Bench {
         }
         (b.toMap, rows.lastOption.map { n =>
           val names = scala.collection.mutable.Set.empty[String]
-          for (f <- Seq("warnings", "regressions")) {
+          if (n.has("strikes")) {
+            // the full strike record (includes provisional risers whose
+            // re-run passed — an intermittent regression must not reset
+            // its escalation by winning one timing lottery per run)
+            val it = n.path("strikes").elements()
+            while (it.hasNext) names += it.next().asText()
+          } else for (f <- Seq("warnings", "regressions")) {
             val it = n.path(f).properties().iterator()
             while (it.hasNext) names += it.next().getKey
           }
@@ -175,7 +192,20 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val sweep = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Interleaved cpu canary: one timing every `stretchEvery` queries.
+    // The before/after pair brackets the sweep; these sit INSIDE it, so a
+    // mid-sweep co-tenant burst is MEASURED (and excuses exactly its
+    // stretch via the gate's stretchAmbient) instead of inferred from
+    // lexicographic clustering after the fact. ~9 timings × ~0.3 s/run.
+    val stretchEvery = 25
+    val cpuCanaryFn = canaryFns.head._2
+    val stretchTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweep = sortedQueries.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi % stretchEvery == 0) {
+        val t0 = System.nanoTime(); cpuCanaryFn()
+        stretchTimes += (System.nanoTime() - t0) / 1e9
+      }
       def once(): Double = runOnce(fn)
       val sec = try {
         val first = once()
@@ -246,6 +276,15 @@ object Bench {
     val canaryNow = canaryFns.map { case (n, _) =>
       n -> math.min(canaryBefore(n), canaryAfter(n))
     }.toMap
+    // per-query stretch ambient: the interleaved cpu timing of the
+    // stretch each query ran in, as a ratio of the cpu canary's floor
+    val stretchAmbient: Map[String, Double] =
+      canaryFloors.get("canary_cpu").filter(_ > 0) match {
+        case Some(f) => sortedQueries.zipWithIndex.map { case ((name, _), qi) =>
+          name -> math.max(1.0, stretchTimes(qi / stretchEvery) / f)
+        }.toMap
+        case None => Map.empty
+      }
     // Self-defence, second stage: the canary pair brackets the sweep, but
     // a mid-sweep co-tenant burst is invisible to BOTH ends (measured
     // twice this round: contiguous 2–3.9x clusters under near-1.0 canary
@@ -256,7 +295,8 @@ object Bench {
     // is still slow on its re-run and still flags; a burst can no longer
     // seed next run's strike set with a page of phantom warnings.
     val provisional =
-      gate(results, previous, priorStrikes, canaryNow, canaryFloors)
+      gate(results, previous, priorStrikes, canaryNow, canaryFloors,
+        stretchAmbient)
     val riserNames = (provisional._2 ++ provisional._3).map(_._1).toSet
     val cleaned =
       if (riserNames.isEmpty) results
@@ -283,7 +323,8 @@ object Bench {
     // workloads no graft change can move — so a genuine 2× regression
     // cannot hide by inflating its own normalizer.
     val (ambient, regressions, warnings) =
-      gate(cleaned, previous, priorStrikes, canaryNow, canaryFloors)
+      gate(cleaned, previous, priorStrikes, canaryNow, canaryFloors,
+        stretchAmbient)
     regressions.foreach { case (n, r) =>
       System.err.println(f"BENCH REGRESSION $n: ${previous(n)}%.2fs baseline, ${r}%.1fx (ambient $ambient%.2fx, repeated)")
     }
@@ -298,8 +339,15 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val cs = canaryNow.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // strikes = provisional risers ∪ final risers: a riser whose re-run
+    // cleared still ARMS the two-strike escalation (it does not PRINT) —
+    // an intermittent regression that is slow in every sweep but fast in
+    // every singleton re-run can no longer reset its strike each round
+    val strikes = (riserNames ++ (regressions ++ warnings).map(_._1))
+      .toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val stretchesJson = stretchTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canaries":$cs,"regressions":${jmap(regressions)},"warnings":${jmap(warnings)},"sf":"$sfDir","cpus":"$cpus"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canaries":$cs,"canary_stretches":$stretchesJson,"regressions":${jmap(regressions)},"warnings":${jmap(warnings)},"strikes":$strikes,"sf":"$sfDir","cpus":"$cpus"}"""
     println(line)
     // persist AFTER computing the comparison so this run becomes the next baseline
     java.nio.file.Files.write(historyPath, java.util.List.of(line),

@@ -2085,7 +2085,8 @@ object SparkEntry {
           col("http_status") === 200 &&
           col("http_content_type").startsWith("text/html"))
         .select(col("target_uri"),
-          H.mainText(col("payload").cast("string")).as("mt"))
+          H.mainText(H.decodeBody(col("payload"),
+            col("http_content_type"))).as("mt"))
         .filter(length(col("mt")) >= 40) // quality gate: enough main content
         .select(col("target_uri"), col("mt"),
           graft.functions.TextFunctions.tokenCount(col("mt"))
@@ -2110,7 +2111,8 @@ object SparkEntry {
         .filter(col("file").endsWith(".warc.gz") &&
           col("http_status") === 200 &&
           col("http_content_type").startsWith("text/html"))
-        .select(col("target_uri"), col("payload").cast("string").as("html"))
+        .select(col("target_uri"),
+          H.decodeBody(col("payload"), col("http_content_type")).as("html"))
         .select(col("target_uri"),
           size(H.keptBlocks(col("html"))).cast("long").as("n_blocks"),
           H.mainText(col("html")).as("mt"),
@@ -2152,7 +2154,8 @@ object SparkEntry {
         .select(col("record_index").cast("long").as("rid"),
           U.canonicalizeUrl(col("target_uri")).as("keeper_uri"),
           U.registeredDomain(col("target_uri")).as("regdom"),
-          H.mainText(col("payload").cast("string")).as("mt"))
+          H.mainText(H.decodeBody(col("payload"),
+            col("http_content_type"))).as("mt"))
         .filter(length(col("mt")) >= 40)
         // stage the extracted corpus ONCE: the composition downstream is
         // multi-action (LSH checkpoint, probe, final join), and without a
@@ -2608,11 +2611,13 @@ object SparkEntry {
     // the independent python replay (gen_warc_fixture.q194_rows — own
     // regexes + the stdlib's urljoin, fragments stripped) -----------------
     "q194_link_graph" -> ((s, _) => {
+      val H = graft.functions.HtmlFunctions
       val pages = graft.sources.Warc.readWarc(s, warcFixtureDir())
         .filter(col("file").endsWith(".warc.gz"))
         .filter(col("warc_type") === "response" && col("http_status") === 200
           && col("http_content_type").contains("text/html"))
-        .select(col("target_uri"), col("payload").cast("string").as("html"))
+        .select(col("target_uri"),
+          H.decodeBody(col("payload"), col("http_content_type")).as("html"))
       pages
         .select(col("target_uri"),
           explode(graft.functions.HtmlFunctions.extractLinks(col("html"))).as("l"))

@@ -221,6 +221,13 @@ object RobotsFunctions {
   // that the readers collapse (rules .distinct(); delays min()).
   // One userAgent per cache dir (rules are UA-specific) — recorded in
   // dir/_user_agent and REQUIRED to match on append/read.
+  //
+  // Growth: stale generations accumulate at the per-host CHANGE rate
+  // (unchanged bodies append nothing), so the live fraction stays high;
+  // when a rewrite is due, build a fresh dir from the latest views
+  // (writeRobotsCache over re-fetched bodies, or cachedRules/cachedDelays
+  // dumped and reloaded) and swap the path — the single-writer contract
+  // makes that a maintenance-window operation, not a reader-visible one.
 
   private def cachePath(dir: String, part: String) =
     s"${dir.stripSuffix("/")}/$part"

@@ -91,6 +91,31 @@ class BenchGateSpec extends AnyFunSuite {
     assert(regs.isEmpty && warns.isEmpty)
   }
 
+  test("stretch ambient: a MEASURED mid-sweep burst excuses its stretch and nothing else") {
+    // the r17 driver pattern: a contiguous cluster at 2.5x while the
+    // bracketing canaries read ~1.0 — invisible to the global ambient.
+    // The interleaved canary times the burst stretch at 2.5x: queries in
+    // that stretch are excused; an identical riser in a QUIET stretch
+    // still warns (a genuine regression cannot move the canary).
+    val burstStretch = Set("q115", "q125")
+    val results = (floors +
+      ("q115" -> 0.80 * 2.5) + ("q125" -> 1.50 * 2.5) + // inside the burst
+      ("q130" -> 1.80 * 2.5)).toSeq                     // quiet stretch
+    val stretch = (floors.keySet.map(_ -> 1.0).toMap ++
+      burstStretch.map(_ -> 2.5)).toMap
+    val (_, regs, warns) = Bench.gate(results, floors, Set.empty,
+      canaryFloors, canaryFloors, stretch)
+    assert(regs.isEmpty)
+    assert(warns.map(_._1) === Seq("q130"),
+      "only the riser the stretch canary did NOT measure as a burst flags")
+    // a sub-1.0 stretch ratio (fast stretch) floors at 1 — it can never
+    // TIGHTEN the gate below the recorded floor
+    val fast = floors.keySet.map(_ -> 0.4).toMap
+    val (_, _, w2) = Bench.gate((floors + ("q125" -> 1.50 * 1.7)).toSeq,
+      floors, Set.empty, canaryFloors, canaryFloors, fast)
+    assert(w2.map(_._1) === Seq("q125"))
+  }
+
   test("post-sweep re-run fires on stall-shaped timings only") {
     // a 9x stall on a small floor (the r16 cluster that slipped under the
     // first 10x cut) re-runs; a first-round query (no floor), a failed
