@@ -8,7 +8,7 @@ object ShowQ {
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong","true")
       .config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SHOWQ_LOG","ERROR"))
     val d = sys.env.getOrElse("SHOWQ_SF","/root/testdata/sf0.001")
     for (q <- sys.env.getOrElse("SHOWQ_QS","q202_charset_decode").split(",").toSeq) {
       println(s"===== $q =====")

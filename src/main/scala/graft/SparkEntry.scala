@@ -2872,6 +2872,20 @@ object SparkEntry {
           length(col("mt")).cast("long").as("n_chars"))
         .orderBy(col("url"))
     }),
+    // ---- distributed dense-id assignment as its own oracled surface:
+    // a non-contiguous, scrambled id space (7·doc_id + a bucket offset)
+    // densifies to 0..N−1 in sort order WITHOUT a single-partition
+    // window (range partition + per-partition zipWithIndex offsets; the
+    // operator q192/q199's vid map runs on). The oracle is the
+    // definition itself: row_number() over (order by id) − 1 ------------
+    "q204_densify_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select((col("doc_id") * 7 + pmod(col("doc_id"), lit(13)) * 1000000).as("ext_id"),
+          col("doc_id"))
+      graft.functions.GraphFunctions.densifyIds(docs, "ext_id", "vid")
+        .select(col("ext_id"), col("doc_id"), col("vid"))
+        .orderBy(col("ext_id"))
+    }),
     // ---- the PERSISTED robots cache serving a frontier: init from h0's
     // body alone, append the full fixture (h0's unchanged body is caught
     // by the digest anti-join and re-derives NOTHING — RobotsSpec
@@ -5570,6 +5584,15 @@ object SparkEntry {
     // scheduled per host at the parsed Crawl-delay (min of applying
     // values; 1 s default), rank order = md5 of the URL
     "q190_frontier" -> frontierScheduleSql,
+    // q204's oracle IS the operator's definition: dense id = 0-based
+    // rank in id order (densifyIds assigns it distributed; the SQL
+    // window is the single-partition form it replaces)
+    "q204_densify_ids" ->
+      """SELECT ext_id, doc_id,
+        |  row_number() OVER (ORDER BY ext_id) - 1 AS vid
+        |FROM (SELECT doc_id * 7 + (doc_id % 13) * 1000000 AS ext_id, doc_id
+        |      FROM documents)
+        |ORDER BY ext_id""".stripMargin,
     // q203 ≡ q190 on the RESULT — the from-scratch parse and the
     // cache-served rules must schedule identically (that IS the cache's
     // correctness contract); the incremental machinery (zero
