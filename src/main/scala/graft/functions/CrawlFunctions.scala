@@ -194,9 +194,22 @@ object CrawlFunctions {
                        maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val body = SamplingFunctions.tempCol(bodies, "__discover_body")
+    // one body per sitemap address: identical re-fetches collapse here;
+    // DIFFERING bodies under one address would silently fan out every
+    // downstream parse (doubled URL entries defeat per-host caps), so
+    // that contract violation fails LOUDLY — resolve re-fetches upstream
+    // (keep the latest, the q198 by-canon discipline)
     val smBodies = bodies
       .select(col(smUrlCol).as("sm_url"), col(smBodyCol).as(body))
+      .distinct()
       .localCheckpoint(true)
+    val dupAddr = smBodies.groupBy(col("sm_url")).count()
+      .filter(col("count") > 1).select(col("sm_url"))
+      .limit(3).collect().map(_.getString(0))
+    require(dupAddr.isEmpty,
+      s"discoverSitemaps: multiple DIFFERING bodies share one sitemap address " +
+        s"(e.g. ${dupAddr.mkString(", ")}) — every parse downstream would fan " +
+        "out; keep one body per address (latest fetch wins) before calling in")
     var frontier = RobotsFunctions
       .robotsSitemaps(robots, hostCol, robotsBodyCol)
       .select(col("sitemap_url").as("sm_url")).distinct()

@@ -120,6 +120,25 @@ class SitemapSpec extends SparkSpec {
     assert(shallow === Set("http://g/f1", "http://h/a1", "http://h/a2"))
   }
 
+  test("discoverSitemaps: duplicate addresses — identical re-fetches collapse, differing bodies throw") {
+    val robots = Seq(("h", "Sitemap: http://h/s.xml")).toDF("host", "body")
+    // the same fetch twice: collapses, parses once
+    val dup = Seq(
+      ("http://h/s.xml", urlset("http://h/u1")),
+      ("http://h/s.xml", urlset("http://h/u1"))).toDF("sm_url", "body")
+    val got = CrawlFunctions.discoverSitemaps(robots, dup, maxDepth = 1)
+      .select(col("loc")).collect().map(_.getString(0)).toSeq
+    assert(got === Seq("http://h/u1"), "identical re-fetches must not fan out")
+    // two DIFFERING bodies under one address: loud contract failure
+    val conflicting = Seq(
+      ("http://h/s.xml", urlset("http://h/u1")),
+      ("http://h/s.xml", urlset("http://h/u2"))).toDF("sm_url", "body")
+    val e = intercept[IllegalArgumentException] {
+      CrawlFunctions.discoverSitemaps(robots, conflicting, maxDepth = 1)
+    }
+    assert(e.getMessage.contains("s.xml"), e.getMessage)
+  }
+
   test("discoverSitemaps: mutually-referencing indices terminate (cycle guard)") {
     val robots = Seq(("h", "Sitemap: http://h/a.xml")).toDF("host", "body")
     val bodies = Seq(
