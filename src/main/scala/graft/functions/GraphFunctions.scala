@@ -193,12 +193,26 @@ object GraphFunctions {
     * exceed (id, double). The dangling mass is a one-row aggregate
     * cross-joined back (no driver round-trip per iteration), and
     * `localCheckpoint` truncates lineage so round R plans O(E), not
-    * O(R·E). Returns (id, rank). */
+    * O(R·E). Returns (id, rank).
+    *
+    * WARM START (`initialRanks`): an incremental crawl re-ranks a grown
+    * graph every batch, and starting the power iteration from the
+    * PREVIOUS rank vector instead of uniform reaches the same fixed
+    * point in far fewer rounds (the iteration is a contraction at rate
+    * `damping`). `initialRanks` is (id, rank); vertices it misses — the
+    * NEW pages of the batch — default to 1/N, rows for ids not in
+    * `vertices` are ignored. The contract is exact chaining on an
+    * unchanged graph: `pageRank(init = pageRank(uniform, k), m)` ≡
+    * `pageRank(uniform, k+m)` bit-for-bit (q205's oracle replays all
+    * k+m rounds; FunctionsSpec pins the identity). Total input mass
+    * need not be exactly 1 — each round pulls the total toward 1
+    * geometrically (the (1−d) term is mass-independent). */
   def pageRank(vertices: DataFrame, edges: DataFrame,
                idCol: String = "id",
                srcCol: String = "src", dstCol: String = "dst",
                iterations: Int = 10, damping: Double = 0.85,
-               allowGhostVertices: Boolean = false): DataFrame = {
+               allowGhostVertices: Boolean = false,
+               initialRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
     val v = vertices.select(col(idCol).cast("long").as("id")).localCheckpoint(true)
@@ -229,7 +243,16 @@ object GraphFunctions {
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .localCheckpoint(true)
     val outdeg = deg.select(col("src").as("id")).localCheckpoint(true)
-    var ranks = v.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint(true)
+    var ranks = (initialRanks match {
+      case None => v.select(col("id"), lit(1.0 / n).as("rank"))
+      case Some(init) =>
+        // vertices the prior vector misses (new pages) start uniform;
+        // prior rows for ids no longer in `vertices` drop with the join
+        v.join(init.select(col("id").cast("long").as("id"),
+            col("rank").cast("double").as("__init_rank")), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__init_rank"), lit(1.0 / n)).as("rank"))
+    }).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       // dangling mass: rank on vertices with no out-edges, as ONE row
       val dangling = ranks.join(outdeg, Seq("id"), "left_anti")

@@ -643,6 +643,40 @@ class FunctionsSpec extends SparkSpec {
     assert(nullEdge.getMessage.contains("null"), nullEdge.getMessage)
   }
 
+  test("pageRank warm start: chained rounds identity, new-vertex default, unknown ids ignored") {
+    import spark.implicits._
+    val n = 30
+    val verts = (0L until n.toLong).toDF("id")
+    val edges = (0 until 90).map { i =>
+      (((i * 31 + 7) % n).toLong, ((i * i * 17 + 3) % n).toLong)
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    // the contract: pageRank(init = pageRank(uniform, 5), 3) ≡ 8 rounds
+    val full = GraphFunctions.pageRank(verts, edges, iterations = 8)
+      .as[(Long, Double)].collect().toMap
+    val warm5 = GraphFunctions.pageRank(verts, edges, iterations = 5)
+    val chained = GraphFunctions.pageRank(verts, edges, iterations = 3,
+        initialRanks = Some(warm5))
+      .as[(Long, Double)].collect().toMap
+    for (v <- full.keys)
+      assert(math.abs(full(v) - chained(v)) < 1e-12, s"vertex $v")
+    // grown graph: a vertex the prior vector never saw starts uniform;
+    // prior rows for ids outside `vertices` are ignored — one round from
+    // that init equals one round from the hand-built equivalent vector
+    val grown = (0L to n.toLong).toDF("id") // vertex n is NEW
+    val priorPlusJunk = warm5.unionByName(
+      Seq((999L, 0.5)).toDF("id", "rank")) // 999 is not a vertex
+    val viaOperator = GraphFunctions.pageRank(grown, edges, iterations = 1,
+        initialRanks = Some(priorPlusJunk))
+      .as[(Long, Double)].collect().toMap
+    val handInit = warm5.unionByName(
+      Seq((n.toLong, 1.0 / (n + 1))).toDF("id", "rank"))
+    val viaHandInit = GraphFunctions.pageRank(grown, edges, iterations = 1,
+        initialRanks = Some(handInit))
+      .as[(Long, Double)].collect().toMap
+    for (v <- viaHandInit.keys)
+      assert(math.abs(viaOperator(v) - viaHandInit(v)) < 1e-15, s"vertex $v")
+  }
+
   test("densifyIds: vid = 0-based rank in id order, distributed, no clobber") {
     import spark.implicits._
     // scrambled, non-contiguous id space with payload columns riding along
