@@ -83,11 +83,27 @@ object BodyDecode {
           java.nio.charset.StandardCharsets.UTF_8
       }
 
+  // CharsetDecoders are stateful and not thread-safe but cheap to RESET:
+  // cache one per (thread, charset) so the per-row cost is the decode
+  // loop, not decoder construction — a crawl partition decodes millions
+  // of rows through a handful of charsets
+  private val decoders =
+    new ThreadLocal[java.util.HashMap[java.nio.charset.Charset,
+        java.nio.charset.CharsetDecoder]] {
+      override def initialValue() = new java.util.HashMap()
+    }
+
   def decode(payload: Array[Byte], contentType: String): String = {
     val cs = resolveCharset(payload, contentType)
-    val dec = cs.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val cache = decoders.get()
+    var dec = cache.get(cs)
+    if (dec == null) {
+      dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      cache.put(cs, dec)
+    }
+    dec.reset()
     dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
   }
 }

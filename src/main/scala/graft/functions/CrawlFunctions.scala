@@ -194,22 +194,31 @@ object CrawlFunctions {
                        maxDepth: Int = 3): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val body = SamplingFunctions.tempCol(bodies, "__discover_body")
-    // one body per sitemap address: identical re-fetches collapse here;
-    // DIFFERING bodies under one address would silently fan out every
-    // downstream parse (doubled URL entries defeat per-host caps), so
-    // that contract violation fails LOUDLY — resolve re-fetches upstream
-    // (keep the latest, the q198 by-canon discipline)
-    val smBodies = bodies
+    // one body per sitemap address — enforced WITHOUT moving bodies: a
+    // keys-only digest aggregate (xxhash64 computed map-side; only
+    // (address, count, distinct-digest) partials cross the exchange)
+    // finds duplicates. DIFFERING bodies under one address fail LOUDLY
+    // (a silent parse fan-out would double URL entries and defeat
+    // per-host caps — resolve re-fetches upstream, latest wins, the q198
+    // by-canon discipline); IDENTICAL re-fetches collapse, paying the
+    // one body exchange only when duplicates actually exist (the common
+    // clean input keeps the bodies-never-shuffle plan).
+    val stamped = bodies
       .select(col(smUrlCol).as("sm_url"), col(smBodyCol).as(body))
-      .distinct()
+    val dupStats = stamped.groupBy(col("sm_url"))
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(xxhash64(col(body))).as("__nd"))
+      .filter(col("__n") > 1)
       .localCheckpoint(true)
-    val dupAddr = smBodies.groupBy(col("sm_url")).count()
-      .filter(col("count") > 1).select(col("sm_url"))
-      .limit(3).collect().map(_.getString(0))
-    require(dupAddr.isEmpty,
+    val conflicting = dupStats.filter(col("__nd") > 1)
+      .select(col("sm_url")).limit(3).collect().map(_.getString(0))
+    require(conflicting.isEmpty,
       s"discoverSitemaps: multiple DIFFERING bodies share one sitemap address " +
-        s"(e.g. ${dupAddr.mkString(", ")}) — every parse downstream would fan " +
+        s"(e.g. ${conflicting.mkString(", ")}) — every parse downstream would fan " +
         "out; keep one body per address (latest fetch wins) before calling in")
+    val smBodies =
+      (if (dupStats.isEmpty) stamped else stamped.dropDuplicates("sm_url"))
+        .localCheckpoint(true)
     var frontier = RobotsFunctions
       .robotsSitemaps(robots, hostCol, robotsBodyCol)
       .select(col("sitemap_url").as("sm_url")).distinct()
