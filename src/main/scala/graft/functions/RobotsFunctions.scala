@@ -308,17 +308,22 @@ object RobotsFunctions {
                         hostCol: String, bodyCol: String,
                         userAgent: String): Long = {
     requireUa(spark, dir, userAgent)
-    val stamped = stampDigests(robots, hostCol, bodyCol).localCheckpoint(true)
-    val latestDigests = readHosts(spark, dir)
-      .join(latestHostGen(spark, dir), Seq("host", "gen"), "left_semi")
+    // the batch is scanned ONCE (into the anti-join) — checkpoint only
+    // `changed`, which is EMPTY for an unchanged batch: the no-change
+    // fast path materializes zero bodies, and its whole cost is the
+    // keys-only digest anti-join plus one hosts read
+    val stamped = stampDigests(robots, hostCol, bodyCol)
+    val hosts = readHosts(spark, dir).localCheckpoint(true)
+    val latestDigests = hosts
+      .join(hosts.groupBy(col("host")).agg(max(col("gen")).as("gen")),
+        Seq("host", "gen"), "left_semi")
       .select(col("host"), col("digest"))
     val changed = stamped
       .join(latestDigests, Seq("host", "digest"), "left_anti")
       .localCheckpoint(true)
     val n = changed.count()
     if (n > 0) {
-      val maxGen = readHosts(spark, dir)
-        .agg(max(col("gen"))).head().getLong(0)
+      val maxGen = hosts.agg(max(col("gen"))).head().getLong(0)
       writeGen(spark, dir, changed, userAgent, gen = maxGen + 1L,
         overwrite = false)
     }
