@@ -2878,6 +2878,42 @@ object SparkEntry {
     // window (range partition + per-partition zipWithIndex offsets; the
     // operator q192/q199's vid map runs on). The oracle is the
     // definition itself: row_number() over (order by id) − 1 ------------
+    // ---- the INCREMENTAL crawl plan — the capstone of the cache/
+    // anti-join loop: rules and delays come ENTIRELY from the persisted
+    // robots cache (q203's machinery; batch 2's unchanged bodies cost
+    // one anti-join), the already-fetched set (the first 3 scheduled per
+    // host — capPerGroup's default md5 order IS scheduleFrontier's
+    // ladder order, so "first K scheduled" is expressible as a cap)
+    // leaves by anti-join, and only the REMAINING URLs ladder. This is
+    // what batch N+1 of a real crawl plans: no robots re-derivation, no
+    // re-planning of what's already fetched. Oracle replays gate, the
+    // first-3 window, the set difference and the re-ladder from scratch -
+    "q206_incremental_plan" -> ((s, d) => {
+      val R = graft.functions.RobotsFunctions
+      val U = graft.functions.UrlFunctions
+      val dir = memoLayout("q203_robots_cache", "battery") { tmp =>
+        val robots = robotsFixture(s).localCheckpoint(true)
+        R.writeRobotsCache(s, tmp,
+          robots.filter(col("host") === "h0.example"),
+          "host", "body", "graftbot")
+        R.appendRobotsCache(s, tmp, robots, "host", "body", "graftbot")
+      }
+      val rules = R.cachedRules(s, dir)
+      val delays = R.cachedDelays(s, dir)
+      val fetchable = R.filterByRobots(robotsUrls(s, d), rules, "url")
+        .select(col("url")).distinct()
+        .withColumn("h", U.urlHost(col("url")))
+      val fetched = graft.functions.SamplingFunctions
+        .capPerGroup(fetchable, col("h"), col("url"), 3)
+      val remaining = fetchable
+        .join(fetched.select(col("url")), Seq("url"), "left_anti")
+        .drop("h")
+      R.scheduleFrontier(remaining, delays, "url", defaultDelay = 1.0)
+        .select(col("url"),
+          r2(col("crawl_delay")).as("crawl_delay"),
+          r2(col("fetch_at")).as("fetch_at"))
+        .orderBy(col("url"))
+    }),
     // ---- warm-start pageRank: the incremental re-rank an ongoing crawl
     // runs every batch — start the power iteration from the PREVIOUS
     // rank vector instead of uniform. The contract is exact chaining on
@@ -5616,6 +5652,7 @@ object SparkEntry {
     // correctness contract); the incremental machinery (zero
     // re-derivation on unchanged bodies) is asserted in RobotsSpec
     "q203_robots_cache" -> frontierScheduleSql,
+    "q206_incremental_plan" -> incrementalPlanSql,
     // q197's oracle replays the WHOLE crawl plan: discovery union,
     // redirect walk (recursive CTE), robots gate on terminal addresses,
     // md5-ranked per-host cap, and the Crawl-delay schedule
@@ -6211,10 +6248,10 @@ object SparkEntry {
         |                ELSE CAST(1 AS BIGINT) << i END) AS BIGINT) AS sig
         |  FROM proj GROUP BY vec_id)""".stripMargin)
 
-  /** The q190 frontier-schedule oracle (rules decision + Crawl-delay
-    * ladder over the fixture URL stream) — SHARED verbatim by q203,
-    * whose cache-served rules must produce the identical schedule. */
-  private lazy val frontierScheduleSql: String =
+  /** robots parse + decision + per-host delays over the fixture URL
+    * stream, ending at CTEs `allowed` and `delays` — the shared gate
+    * half of the q190/q203/q206 oracles. */
+  private lazy val frontierGateSql: String =
     robotsParseSql + """,
       |cand AS (SELECT u.doc_id, ru.allow, len(ru.rule) AS rl
       |  FROM urls u JOIN rules ru ON ru.host = u.host AND regexp_matches(u.tgt, ru.pat)),
@@ -6228,12 +6265,37 @@ object SparkEntry {
       |  FROM flags2
       |  WHERE kind = 'delay' AND regexp_matches(v, '^[0-9]+(\.[0-9]+)?$')
       |    AND (spec_g = 1 OR (star_g = 1 AND spec_h = 0))
-      |  GROUP BY host),
+      |  GROUP BY host)""".stripMargin
+
+  /** The q190 frontier-schedule oracle (rules decision + Crawl-delay
+    * ladder over the fixture URL stream) — SHARED verbatim by q203,
+    * whose cache-served rules must produce the identical schedule. */
+  private lazy val frontierScheduleSql: String =
+    frontierGateSql + """,
       |sched AS (SELECT a.url,
       |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
       |    (row_number() OVER (PARTITION BY a.host ORDER BY md5(a.url), a.url) - 1)
       |      * coalesce(d.crawl_delay, 1.0) AS fetch_at
       |  FROM allowed a LEFT JOIN delays d USING (host))
+      |SELECT url, round(crawl_delay, 2) AS crawl_delay,
+      |  round(fetch_at, 2) AS fetch_at
+      |FROM sched ORDER BY url""".stripMargin
+
+  /** q206's oracle: the gate, MINUS the first-3-per-host already-fetched
+    * set (the same md5 ladder order the schedule uses), re-laddered —
+    * the incremental plan replayed from scratch. */
+  private lazy val incrementalPlanSql: String =
+    frontierGateSql + """,
+      |fetched AS (SELECT url FROM (
+      |    SELECT url, row_number() OVER (PARTITION BY host
+      |      ORDER BY md5(url), url) AS rn FROM allowed) WHERE rn <= 3),
+      |rem AS (SELECT a.* FROM allowed a
+      |  LEFT JOIN fetched f USING (url) WHERE f.url IS NULL),
+      |sched AS (SELECT a.url,
+      |    coalesce(d.crawl_delay, 1.0) AS crawl_delay,
+      |    (row_number() OVER (PARTITION BY a.host ORDER BY md5(a.url), a.url) - 1)
+      |      * coalesce(d.crawl_delay, 1.0) AS fetch_at
+      |  FROM rem a LEFT JOIN delays d USING (host))
       |SELECT url, round(crawl_delay, 2) AS crawl_delay,
       |  round(fetch_at, 2) AS fetch_at
       |FROM sched ORDER BY url""".stripMargin
