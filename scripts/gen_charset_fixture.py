@@ -8,7 +8,9 @@ VALUES rows for q202's oracle: per record the resolved charset name, the
 md5/length of main_text computed under THIS script's own implementation
 of the documented decode spec (BodyDecode scaladoc): charset parameter →
 <meta charset> sniff over the first 1024 bytes read as ISO-8859-1 →
-UTF-8; unknown charsets fall back to UTF-8; errors replace.
+undeclared heuristic (UTF-8 when the payload validates as strict UTF-8,
+Windows-1252 otherwise — the WET-extractor convention); DECLARED but
+unknown charsets fall back to UTF-8; errors replace.
 
 The script also ASSERTS, for every legacy-charset record, that a naive
 UTF-8 decode produces a DIFFERENT main-text md5 — i.e. the oracle rows
@@ -46,7 +48,16 @@ def resolve_charset(body: bytes, ctype: str) -> str:
             r"(?is)<meta\b[^>]*charset\s*=\s*[\"']?\s*([A-Za-z0-9][A-Za-z0-9._:\-]*)",
             prefix)
         name = m.group(1) if m else ""
-    # unknown names → UTF-8 (mirrors the Charset.forName fallback)
+    if not name:
+        # NOTHING declared: strict-UTF-8 validity decides (the heuristic
+        # for undeclared legacy pages; pure ASCII validates as UTF-8)
+        try:
+            body.decode("utf-8", errors="strict")
+            return "UTF-8"
+        except UnicodeDecodeError:
+            return "windows-1252"
+    # DECLARED but unknown names → UTF-8 (mirrors the Charset.forName
+    # fallback; the heuristic is only for the undeclared path)
     return JVM_NAME.get(name.lower(), "UTF-8")
 
 
@@ -99,6 +110,12 @@ PAGE_BOGUS = """<!DOCTYPE html><html><head><title>Bogus charset</title></head><b
 UTF-8 and keep serving this perfectly ordinary ASCII paragraph.</p>
 </body></html>"""
 
+PAGE_UNDECLARED_1252 = """<!DOCTYPE html><html><head><title>Forum archive</title></head><body>
+<p>No header parameter, no meta element — yet the body carries “smart
+quotes”, an em—dash and a stray euro € from a 2003 message board whose
+server never learned to label what its templates emit.</p>
+</body></html>"""
+
 PAGE_GBK = """<!DOCTYPE html><html><head><title>GBK page</title></head><body>
 <p>数据管道在大规模训练中
 处理数十亿网页，编码检测
@@ -121,6 +138,11 @@ BATTERY = [
      "text/html; charset=klingon-9", PAGE_BOGUS, "utf-8"),
     (6, "http://charset.example/gbk",
      "text/html; charset=gbk", PAGE_GBK, "gbk"),
+    # NO declaration anywhere + bytes that break strict UTF-8: only the
+    # undeclared-page heuristic (valid-UTF-8 check → Windows-1252) can
+    # reach this record's md5
+    (7, "http://charset.example/undeclared1252",
+     "text/html", PAGE_UNDECLARED_1252, "windows-1252"),
 ]
 
 

@@ -35,6 +35,19 @@ object Bench {
   def needsPostSweepRerun(sec: Double, floor: Option[Double]): Boolean =
     floor.exists(f => f > 0 && sec > f * 4 && sec - f >= 0.1)
 
+  /** The strike record carried into the NEXT run's gate input, pure so
+    * BenchGateSpec can drive it: every query whose SWEEP timing flagged
+    * stays armed even when a later re-run cleared it — the provisional
+    * gate risers AND the post-sweep >4x re-run candidates (previously
+    * the re-run's math.min cleared those before the gate ever saw them,
+    * so an intermittent regression could reset its two-strike escalation
+    * by winning one timing lottery per run). A strike alone prints
+    * nothing; it only escalates the NEXT flag from warning to
+    * regression. */
+  def strikeSet(provisionalRisers: Set[String], finalRisers: Set[String],
+                postSweepFlagged: Set[String]): Set[String] =
+    provisionalRisers ++ finalRisers ++ postSweepFlagged
+
   /** The regression gate, pure so BenchGateSpec can drive it: per-query
     * floors scale by `ambient` (canary-derived when canary floors exist,
     * else the legacy heavy-cohort median), a riser needs BOTH >1.5× the
@@ -256,6 +269,9 @@ object Bench {
     // guard used 10x; the very next run's stall cluster peaked at 9.1x and
     // slipped under it.)
     val byName = SparkEntry.queries
+    val postSweepFlagged = sweep.collect {
+      case (name, sec) if needsPostSweepRerun(sec, previous.get(name)) => name
+    }.toSet
     val results = sweep.map { case (name, sec) =>
       if (needsPostSweepRerun(sec, previous.get(name))) {
         val floor = previous(name)
@@ -339,11 +355,13 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val cs = canaryNow.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // strikes = provisional risers ∪ final risers: a riser whose re-run
-    // cleared still ARMS the two-strike escalation (it does not PRINT) —
-    // an intermittent regression that is slow in every sweep but fast in
-    // every singleton re-run can no longer reset its strike each round
-    val strikes = (riserNames ++ (regressions ++ warnings).map(_._1))
+    // strikes = provisional risers ∪ final risers ∪ post-sweep >4x
+    // candidates: a riser whose re-run cleared still ARMS the two-strike
+    // escalation (it does not PRINT) — an intermittent regression that is
+    // slow in every sweep but fast in every singleton re-run can no
+    // longer reset its strike each round, on EITHER re-run path
+    val strikes = strikeSet(riserNames,
+        (regressions ++ warnings).map(_._1).toSet, postSweepFlagged)
       .toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stretchesJson = stretchTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     val line =

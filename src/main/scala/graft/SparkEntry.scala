@@ -2852,7 +2852,9 @@ object SparkEntry {
     // ---- charset-aware body decode: the dedicated WARC battery whose
     // bodies are NOT all UTF-8 (ISO-8859-1 accents, Windows-1252 curly
     // quotes in the 0x80–0x9F gap, GBK, an http-equiv meta sniff, a
-    // bogus charset falling back, plain UTF-8). The oracle rows are
+    // bogus charset falling back, plain UTF-8, and an UNDECLARED
+    // Windows-1252 page only the valid-UTF-8→cp1252 heuristic can
+    // decode — the WET-extractor convention). The oracle rows are
     // literal VALUES from the INDEPENDENT python decode replay
     // (scripts/gen_charset_fixture.py), which ASSERTS that a naive
     // cast("string") decode yields a DIFFERENT main-text md5 on every
@@ -2955,6 +2957,45 @@ object SparkEntry {
           robots.filter(col("host") === "h0.example"),
           "host", "body", "graftbot")
         R.appendRobotsCache(s, tmp, robots, "host", "body", "graftbot")
+      }
+      val rules = R.cachedRules(s, dir)
+      val delays = R.cachedDelays(s, dir)
+      val frontier = R.filterByRobots(robotsUrls(s, d), rules, "url")
+        .select(col("url")).distinct()
+      R.scheduleFrontier(frontier, delays, "url", defaultDelay = 1.0)
+        .select(col("url"),
+          r2(col("crawl_delay")).as("crawl_delay"),
+          r2(col("fetch_at")).as("fetch_at"))
+        .orderBy(col("url"))
+    }),
+    // ---- robots-cache COMPACTION serving a frontier: the cache takes
+    // h0, then the full fixture, then a CHANGED h1 body, then h1's
+    // REVERT to the fixture body — four generations, two of them stale
+    // — and compactRobotsCache rewrites the latest views as one gen-0
+    // epoch (atomic `c=N/_SUCCESS` flip, the compactWindowIndex
+    // discipline). The schedule then builds ENTIRELY from the compacted
+    // cache; the oracle is q190's from-scratch replay VERBATIM —
+    // compacted ≡ cache-served ≡ re-derived is the compaction's
+    // correctness contract ------------------------------------------------
+    "q207_compacted_cache" -> ((s, d) => {
+      val R = graft.functions.RobotsFunctions
+      val dir = memoLayout("q207_compacted_cache", "battery") { tmp =>
+        val robots = robotsFixture(s).localCheckpoint(true)
+        R.writeRobotsCache(s, tmp,
+          robots.filter(col("host") === "h0.example"),
+          "host", "body", "graftbot")
+        R.appendRobotsCache(s, tmp, robots, "host", "body", "graftbot")
+        // a stale change + its revert: compaction must drop both stale
+        // generations and serve exactly the fixture's latest rules
+        R.appendRobotsCache(s, tmp,
+          robots.filter(col("host") === "h1.example")
+            .withColumn("body",
+              lit("User-agent: graftbot\nDisallow: /interim/\nCrawl-delay: 9")),
+          "host", "body", "graftbot")
+        R.appendRobotsCache(s, tmp,
+          robots.filter(col("host") === "h1.example"),
+          "host", "body", "graftbot")
+        R.compactRobotsCache(s, tmp)
       }
       val rules = R.cachedRules(s, dir)
       val delays = R.cachedDelays(s, dir)
@@ -5652,6 +5693,9 @@ object SparkEntry {
     // correctness contract); the incremental machinery (zero
     // re-derivation on unchanged bodies) is asserted in RobotsSpec
     "q203_robots_cache" -> frontierScheduleSql,
+    // q207 ≡ q203 ≡ q190 on the RESULT — compaction must be invisible
+    // to readers, so the compacted cache replays the identical schedule
+    "q207_compacted_cache" -> frontierScheduleSql,
     "q206_incremental_plan" -> incrementalPlanSql,
     // q197's oracle replays the WHOLE crawl plan: discovery union,
     // redirect walk (recursive CTE), robots gate on terminal addresses,
@@ -6081,7 +6125,8 @@ object SparkEntry {
         |  ('http://charset.example/sniff1252', 'windows-1252', 'a04c48948953287154a318d2a3bf8a31', CAST(116 AS BIGINT)),
         |  ('http://charset.example/plain-utf8', 'UTF-8', '9febace1e10e47d51ebc3ef361dd957b', CAST(137 AS BIGINT)),
         |  ('http://charset.example/bogus', 'UTF-8', 'f06d540b859c6f37bfb6646cc4f37567', CAST(134 AS BIGINT)),
-        |  ('http://charset.example/gbk', 'GBK', '5bb5b6e420132c10d10c1a3e32eef7bb', CAST(34 AS BIGINT))
+        |  ('http://charset.example/gbk', 'GBK', '5bb5b6e420132c10d10c1a3e32eef7bb', CAST(34 AS BIGINT)),
+        |  ('http://charset.example/undeclared1252', 'windows-1252', 'd13be9eeb4e96f617cda4f043c685974', CAST(192 AS BIGINT))
         |) AS t(url, cs, mt_md5, n_chars) ORDER BY url""".stripMargin,
     // q199's oracle: the q192 power-iteration replay composed with the
     // robots parse — per-URL best rank, gate, rank-ordered cap window,

@@ -21,13 +21,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     bytes read as ISO-8859-1 (total: every byte maps) — this catches
   *     both `<meta charset="x">` and the http-equiv form, whose content
   *     attribute also reads `charset=x`;
-  *  3. else UTF-8.
-  * The resolved name maps through the JVM charset registry; an unknown,
-  * illegal, or unsupported name falls back to UTF-8 rather than failing
-  * the row (a crawler must not die on `charset=klingon`). Malformed and
-  * unmappable byte sequences decode to U+FFFD (CodingErrorAction.REPLACE)
-  * — salvage semantics, consistent with [[graft.sources.Warc]]'s entity
-  * de-framing.
+  *  3. else, NOTHING declared: UTF-8 when the payload validates as
+  *     UTF-8 (pure ASCII included), Windows-1252 otherwise — the
+  *     de-facto WET-extractor heuristic for undeclared legacy pages
+  *     (bytes that break UTF-8 on such pages are overwhelmingly cp1252
+  *     punctuation: curly quotes, dashes, €; cp1252 is the WHATWG
+  *     default and a superset of ISO-8859-1 on the 0x80–0x9F gap, so it
+  *     also covers undeclared latin-1). The validity scan is a single
+  *     byte pass, paid only by undeclared non-ASCII pages.
+  * A DECLARED-but-unknown/illegal name still falls back to UTF-8, not
+  * the heuristic, rather than failing the row (a crawler must not die
+  * on `charset=klingon`). Malformed and unmappable byte sequences
+  * decode to U+FFFD (CodingErrorAction.REPLACE) — salvage semantics,
+  * consistent with [[graft.sources.Warc]]'s entity de-framing.
   *
   * Scale shape: scalar per-row expression, decode runs scan-side where
   * the payload already lives; only the decoded text (usually smaller
@@ -70,7 +76,48 @@ object BodyDecode {
         val m = MetaCharset.matcher(prefix)
         if (m.find()) m.group(1) else ""
       }
-    lookup(name)
+    if (name.isEmpty) {
+      // undeclared: the validity heuristic, not a blind UTF-8 cast
+      if (isValidUtf8(payload)) java.nio.charset.StandardCharsets.UTF_8
+      else Windows1252
+    } else lookup(name)
+  }
+
+  private val Windows1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** Strict single-pass UTF-8 validity scan (RFC 3629 table: no
+    * overlongs, no surrogates, max U+10FFFF) — the undeclared-page
+    * heuristic's one extra byte pass. */
+  private[graft] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) return false // continuation byte or overlong lead
+      else {
+        val (len, lo, hi) =
+          if (c < 0xE0) (2, 0x80, 0xBF)
+          else if (c == 0xE0) (3, 0xA0, 0xBF) // no overlong 3-byte
+          else if (c == 0xED) (3, 0x80, 0x9F) // no surrogates
+          else if (c < 0xF0) (3, 0x80, 0xBF)
+          else if (c == 0xF0) (4, 0x90, 0xBF) // no overlong 4-byte
+          else if (c < 0xF4) (4, 0x80, 0xBF)
+          else if (c == 0xF4) (4, 0x80, 0x8F) // max U+10FFFF
+          else return false
+        if (i + len > n) return false
+        val first = b(i + 1) & 0xFF
+        if (first < lo || first > hi) return false
+        var j = i + 2
+        while (j < i + len) {
+          val cc = b(j) & 0xFF
+          if (cc < 0x80 || cc > 0xBF) return false
+          j += 1
+        }
+        i += len
+      }
+    }
+    true
   }
 
   private def lookup(name: String): java.nio.charset.Charset =

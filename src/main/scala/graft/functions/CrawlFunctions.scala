@@ -187,7 +187,13 @@ object CrawlFunctions {
     * Scale shape: per depth, one semi-join on sitemap address + two
     * scan-side parses; sitemap bodies never cross an exchange (the
     * explode happens where the body lives), and the frontier is
-    * addresses only. Job count = maxDepth, not corpus size. */
+    * addresses only. Job count = maxDepth, not corpus size — and the
+    * FIXED per-call action count is kept minimal (one fused duplicate/
+    * conflict aggregate, one body stage, one frontier checkpoint per
+    * depth with `visited` a lazy union of those checkpoints, and the
+    * overflow contract folded into the final depth's materialization:
+    * ~maxDepth + 3 eager jobs) because a crawler invokes this per
+    * batch, where per-call overhead dominates small frontiers. */
   def discoverSitemaps(robots: DataFrame, bodies: DataFrame,
                        hostCol: String = "host", robotsBodyCol: String = "body",
                        smUrlCol: String = "sm_url", smBodyCol: String = "body",
@@ -202,28 +208,40 @@ object CrawlFunctions {
     // per-host caps — resolve re-fetches upstream, latest wins, the q198
     // by-canon discipline); IDENTICAL re-fetches collapse, paying the
     // one body exchange only when duplicates actually exist (the common
-    // clean input keeps the bodies-never-shuffle plan).
+    // clean input keeps the bodies-never-shuffle plan). The duplicate
+    // count and the conflict samples come back in ONE driver action —
+    // bounded aggregates (count + min/max sample), no collected list —
+    // because this operator runs per crawl batch and its FIXED per-call
+    // job count is the cost that dominates small batches.
     val stamped = bodies
       .select(col(smUrlCol).as("sm_url"), col(smBodyCol).as(body))
-    val dupStats = stamped.groupBy(col("sm_url"))
+    val dup = stamped.groupBy(col("sm_url"))
       .agg(count(lit(1)).as("__n"),
         countDistinct(xxhash64(col(body))).as("__nd"))
       .filter(col("__n") > 1)
-      .localCheckpoint(true)
-    val conflicting = dupStats.filter(col("__nd") > 1)
-      .select(col("sm_url")).limit(3).collect().map(_.getString(0))
+      .agg(count(lit(1)).as("n_dup"),
+        min(when(col("__nd") > 1, col("sm_url"))).as("conf_a"),
+        max(when(col("__nd") > 1, col("sm_url"))).as("conf_b"))
+      .head()
+    val conflicting =
+      Seq(Option(dup.getString(1)), Option(dup.getString(2))).flatten.distinct
     require(conflicting.isEmpty,
       s"discoverSitemaps: multiple DIFFERING bodies share one sitemap address " +
         s"(e.g. ${conflicting.mkString(", ")}) — every parse downstream would fan " +
         "out; keep one body per address (latest fetch wins) before calling in")
     val smBodies =
-      (if (dupStats.isEmpty) stamped else stamped.dropDuplicates("sm_url"))
+      (if (dup.getLong(0) == 0L) stamped else stamped.dropDuplicates("sm_url"))
         .localCheckpoint(true)
     var frontier = RobotsFunctions
       .robotsSitemaps(robots, hostCol, robotsBodyCol)
       .select(col("sitemap_url").as("sm_url")).distinct()
       .localCheckpoint(true)
-    var visited = frontier
+    // `visited` stays a LAZY union of the already-checkpointed per-depth
+    // frontiers — each depth pays ONE checkpoint (the new frontier), and
+    // the anti-join's other side is a union of materialized inputs whose
+    // plan grows O(depth), never a second materialization
+    val visitedParts = scala.collection.mutable.ListBuffer(frontier)
+    def visited = visitedParts.reduce(_.unionByName(_))
     val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (depth <- 1 to maxDepth) {
       val fetched = smBodies.join(frontier, Seq("sm_url"), "left_semi")
@@ -232,16 +250,22 @@ object CrawlFunctions {
           col("loc"), col("lastmod"), col("priority"))
       val children = SitemapFunctions.sitemapChildren(fetched, body)
         .select(col("child_loc").as("sm_url")).distinct()
-      frontier = children.join(visited, Seq("sm_url"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.unionByName(frontier).localCheckpoint(true)
+      val fresh = children.join(visited, Seq("sm_url"), "left_anti")
+      if (depth < maxDepth) {
+        frontier = fresh.localCheckpoint(true)
+        visitedParts += frontier
+      } else {
+        // the final depth's frontier is only ever read by the overflow
+        // contract check — fold the require into its one materialization
+        // instead of checkpoint-then-collect
+        val overflow = smBodies.join(fresh, Seq("sm_url"), "left_semi")
+          .select(col("sm_url")).limit(5).collect().map(_.getString(0))
+        require(overflow.isEmpty,
+          s"discoverSitemaps: sitemap children announced beyond maxDepth=$maxDepth " +
+            s"have bodies to parse (e.g. ${overflow.mkString(", ")}) — their URLs " +
+            "would be silently undiscovered; raise maxDepth")
+      }
     }
-    val overflow = smBodies.join(frontier, Seq("sm_url"), "left_semi")
-      .select(col("sm_url")).limit(5).collect().map(_.getString(0))
-    require(overflow.isEmpty,
-      s"discoverSitemaps: sitemap children announced beyond maxDepth=$maxDepth " +
-        s"have bodies to parse (e.g. ${overflow.mkString(", ")}) — their URLs " +
-        "would be silently undiscovered; raise maxDepth")
     levels.reduce(_.unionByName(_))
   }
 
@@ -283,12 +307,15 @@ object CrawlFunctions {
 
   // ---- shared extraction front half ---------------------------------
 
-  /** Text path front half: 200-status text/html records → canonical URL +
-    * main text + quality gate → exact-dup groups
-    * (rid = first-crawled record_index, canon = its canonical URL,
-    * n_copies = collapsed record count). Checkpointed: the extracted
-    * text is staged once, payloads die in the scan tasks. */
-  private def textGroups(warc: DataFrame, p: CrawlParams): DataFrame =
+  /** Text path, per-record half: 200-status text/html records →
+    * (rid, canon, mt) — canonical URL + gated main text, one row per
+    * record. Kept separate from [[groupText]] so the append path's
+    * replay shield can anti-join HERE, before exact-dup grouping: a
+    * mixed batch holding a replayed member record plus a NEW record with
+    * byte-identical text must keep the new record (grouping first would
+    * key the group by the old member rid and the anti-join would drop
+    * the whole group — the new record silently lost). */
+  private def textRecords(warc: DataFrame, p: CrawlParams): DataFrame =
     warc.filter(col("http_status") === 200)
       .filter(col("http_content_type").startsWith("text/html"))
       .select(col("record_index").cast("long").as("rid"),
@@ -299,11 +326,21 @@ object CrawlFunctions {
         HtmlFunctions.mainText(HtmlFunctions.decodeBody(
           col("payload"), col("http_content_type"))).as("mt"))
       .filter(length(col("mt")) >= p.minMainChars)
+
+  /** Exact-dup grouping over per-record text rows: (rid = first-crawled
+    * record_index, canon = its canonical URL, n_copies = collapsed
+    * record count). Checkpointed: the extracted text is staged once,
+    * payloads die in the scan tasks. */
+  private def groupText(records: DataFrame): DataFrame =
+    records
       .groupBy(col("mt"))
       .agg(min(col("rid")).as("rid"),
         min_by(col("canon"), col("rid")).as("canon"),
         count(lit(1)).as("n_copies"))
       .localCheckpoint(true)
+
+  private def textGroups(warc: DataFrame, p: CrawlParams): DataFrame =
+    groupText(textRecords(warc, p))
 
   /** Media path front half: (rid → canon/modality map, decoded
     * signatures). Records whose payload does not really decode drop out
@@ -428,13 +465,16 @@ object CrawlFunctions {
   private def ingest(spark: SparkSession, stateDir: String, warc: DataFrame,
                      p: CrawlParams, isInit: Boolean): Unit = {
     val G = GraphFunctions
-    val tgAll = textGroups(warc, p)
     val (mediaMapAll, sigsAll) = mediaSigFrames(warc)
     // REPLAY SHIELD (append path): rows whose rid is already a member are
     // a re-delivered batch (an at-least-once stream, a retried job), not
     // new corpus — one anti-join drops them before they can pair against
-    // their own index entries and inflate n_members. A batch-internal
-    // exact-dup group keys by its min rid, so a fully re-sent batch
+    // their own index entries and inflate n_members. The TEXT anti-join
+    // runs on the PER-RECORD frame, before exact-dup grouping, so groups
+    // form over genuinely-new records only (grouping first would key a
+    // mixed replayed+new identical-text group by the old member rid and
+    // lose the new record); the media frames are per-record already, so
+    // their rid anti-join needs no such reorder. A fully re-sent batch
     // collapses to ZERO rows here (CrawlStreamSpec pins it); a mixed
     // batch keeps exactly its new docs. Reusing an id for DIFFERENT
     // content violates the id contract above and reads as a replay (the
@@ -443,10 +483,10 @@ object CrawlFunctions {
       if (isInit) None
       else Some(readMembers(spark, stateDir).localCheckpoint(true))
     val (tg, mediaMap, sigs) = membersPrev match {
-      case None => (tgAll, mediaMapAll, sigsAll)
+      case None => (textGroups(warc, p), mediaMapAll, sigsAll)
       case Some(members) =>
         val known = members.select(col("rid"))
-        (tgAll.join(known, Seq("rid"), "left_anti").localCheckpoint(true),
+        (groupText(textRecords(warc, p).join(known, Seq("rid"), "left_anti")),
           mediaMapAll.join(known, Seq("rid"), "left_anti").localCheckpoint(true),
           sigsAll.join(known, Seq("rid"), "left_anti").localCheckpoint(true))
     }

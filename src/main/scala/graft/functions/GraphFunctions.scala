@@ -212,7 +212,36 @@ object GraphFunctions {
                srcCol: String = "src", dstCol: String = "dst",
                iterations: Int = 10, damping: Double = 0.85,
                allowGhostVertices: Boolean = false,
-               initialRanks: Option[DataFrame] = None): DataFrame = {
+               initialRanks: Option[DataFrame] = None,
+               tolerance: Option[Double] = None): DataFrame =
+    pageRankWithRounds(vertices, edges, idCol, srcCol, dstCol, iterations,
+      damping, allowGhostVertices, initialRanks, tolerance)._1
+
+  /** [[pageRank]] plus the number of rounds actually executed — the
+    * observable that makes the warm-start payoff measurable (a warm
+    * vector converges in fewer rounds than uniform; FunctionsSpec pins
+    * it, tools/PageRankConverge measures it).
+    *
+    * CONVERGENCE EARLY-EXIT (`tolerance`): when set, each round pays one
+    * extra aggregate — the L1 delta ‖r_t − r_{t−1}‖₁ — and the loop
+    * stops as soon as it drops below `tolerance` (capped at
+    * `iterations`, which becomes the round BUDGET rather than the exact
+    * count). The fixed-round form (`tolerance = None`, the default)
+    * stays the deterministic oracle twin: an early-exit result is
+    * within `tolerance` L1 of wherever more rounds would land (the
+    * iteration contracts at rate `damping`), but the ROUND COUNT a given
+    * tolerance yields depends on a float sum whose addend order is
+    * partition-dependent — so oracled queries pin fixed rounds, and
+    * tolerance is for production re-ranks where "converged" beats
+    * "bit-reproducible round count". */
+  def pageRankWithRounds(vertices: DataFrame, edges: DataFrame,
+               idCol: String = "id",
+               srcCol: String = "src", dstCol: String = "dst",
+               iterations: Int = 10, damping: Double = 0.85,
+               allowGhostVertices: Boolean = false,
+               initialRanks: Option[DataFrame] = None,
+               tolerance: Option[Double] = None): (DataFrame, Int) = {
+    tolerance.foreach(t => require(t > 0, s"tolerance must be > 0, got $t"))
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
     val v = vertices.select(col(idCol).cast("long").as("id")).localCheckpoint(true)
@@ -253,7 +282,9 @@ object GraphFunctions {
           .select(col("id"),
             coalesce(col("__init_rank"), lit(1.0 / n)).as("rank"))
     }).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
       // dangling mass: rank on vertices with no out-edges, as ONE row
       val dangling = ranks.join(outdeg, Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
@@ -261,7 +292,7 @@ object GraphFunctions {
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") * col("w")).as("in_rank"))
-      ranks = v
+      val next = v
         .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
@@ -269,7 +300,19 @@ object GraphFunctions {
             * (coalesce(col("in_rank"), lit(0.0)) + col("dang") / lit(n.toDouble)))
             .as("rank"))
         .localCheckpoint(true)
+      rounds += 1
+      // L1 delta vs the previous vector — one keys-only join + aggregate
+      // per round, paid ONLY when a tolerance is requested (the
+      // fixed-round oracle path stays action-free inside the loop)
+      if (tolerance.isDefined && rounds < iterations) {
+        val delta = next
+          .join(ranks.select(col("id"), col("rank").as("__prev")), Seq("id"))
+          .agg(sum(abs(col("rank") - col("__prev"))).as("d"))
+          .head().getDouble(0)
+        converged = delta < tolerance.get
+      }
+      ranks = next
     }
-    ranks
+    (ranks, rounds)
   }
 }

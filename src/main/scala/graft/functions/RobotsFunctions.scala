@@ -213,24 +213,68 @@ object RobotsFunctions {
   // indices persist signatures: append-only parquet generations, commit
   // marker written LAST, probes tolerant of crash debris.
   //
-  // Layout: dir/rules (host, gen, allow, rule), dir/delays (host, gen,
-  // crawl_delay), dir/hosts (host, digest, gen) — hosts is the COMMIT
-  // record: rules/delays rows whose (host, gen) never landed in hosts
-  // are invisible to readers, so a crashed append is ignorable and the
-  // re-run (which re-derives the same gen) merely leaves duplicate rows
-  // that the readers collapse (rules .distinct(); delays min()).
+  // Layout: dir/c=K/ is a compaction EPOCH (committed iff c=K/_SUCCESS
+  // exists — the marker writes LAST, so a crashed compaction is
+  // invisible and readers stay on the previous epoch). Within the
+  // current epoch: rules (host, gen, allow, rule), delays (host, gen,
+  // crawl_delay), hosts (host, digest, gen) — hosts is the per-append
+  // COMMIT record: rules/delays rows whose (host, gen) never landed in
+  // hosts are invisible to readers, so a crashed append is ignorable.
+  // The NEXT generation derives from max(gen) across ALL THREE tables,
+  // not hosts alone: a crashed append leaves uncommitted rules/delays
+  // debris at gen G with hosts still at G−1, and reusing G for a LATER
+  // (different) batch would commit the stale debris into visibility —
+  // deriving from the three-table max skips the debris gen forever.
   // One userAgent per cache dir (rules are UA-specific) — recorded in
   // dir/_user_agent and REQUIRED to match on append/read.
   //
   // Growth: stale generations accumulate at the per-host CHANGE rate
-  // (unchanged bodies append nothing), so the live fraction stays high;
-  // when a rewrite is due, build a fresh dir from the latest views
-  // (writeRobotsCache over re-fetched bodies, or cachedRules/cachedDelays
-  // dumped and reloaded) and swap the path — the single-writer contract
-  // makes that a maintenance-window operation, not a reader-visible one.
+  // (unchanged bodies append nothing) and every read resolves
+  // latest-per-host over all of them, so a daily crawl eventually pays
+  // read cost proportional to generation COUNT, not host count.
+  // [[compactRobotsCache]] is the fix: rewrite the latest views as one
+  // gen-0 generation in epoch K+1 with the compactWindowIndex
+  // atomic-publish discipline (tables first, `_SUCCESS` flip last, GC
+  // after) — crash debris invisible, readers never see a half-epoch,
+  // and the single-writer contract serializes it against appends.
 
   private def cachePath(dir: String, part: String) =
     s"${dir.stripSuffix("/")}/$part"
+
+  private def epochPath(dir: String, epoch: Long, part: String) =
+    s"${dir.stripSuffix("/")}/c=$epoch/$part"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed compaction epoch (c=K with its `_SUCCESS`
+    * marker); -1 before [[writeRobotsCache]]. */
+  private def currentEpoch(spark: SparkSession, dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(root)) -1L
+    else {
+      val epochs = fs.listStatus(root).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("c=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+          st.getPath.getName.stripPrefix("c=").toLong
+      }
+      if (epochs.isEmpty) -1L else epochs.max
+    }
+  }
+
+  private def markEpoch(spark: SparkSession, dir: String, epoch: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.create(new org.apache.hadoop.fs.Path(
+      epochPath(dir, epoch, "_SUCCESS")), true).close()
+  }
+
+  /** Whether `dir` holds an initialized robots cache — streaming callers
+    * route the first batch to [[writeRobotsCache]] and the rest to
+    * [[appendRobotsCache]] off this. */
+  def cacheInitialized(spark: SparkSession, dir: String): Boolean =
+    currentEpoch(spark, dir) >= 0
 
   private def uaPath(dir: String) =
     new org.apache.hadoop.fs.Path(cachePath(dir, "_user_agent"))
@@ -261,28 +305,44 @@ object RobotsFunctions {
       xxhash64(col(bodyCol)).as("digest"))
 
   /** Parse `stamped` (host, body, digest) and persist as generation
-    * `gen`: rules, delays, then the hosts commit record LAST. */
-  private def writeGen(spark: SparkSession, dir: String, stamped: DataFrame,
-                       userAgent: String, gen: Long, overwrite: Boolean): Unit = {
+    * `gen` of epoch `epoch`: rules, delays, then the hosts commit record
+    * LAST. */
+  private def writeGen(spark: SparkSession, dir: String, epoch: Long,
+                       stamped: DataFrame, userAgent: String, gen: Long,
+                       overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     robotsRules(stamped, "host", "body", userAgent)
       .withColumn("gen", lit(gen))
       .select(col("host"), col("gen"), col("allow"), col("rule"))
-      .write.mode(mode).parquet(cachePath(dir, "rules"))
+      .write.mode(mode).parquet(epochPath(dir, epoch, "rules"))
     robotsCrawlDelay(stamped, "host", "body", userAgent)
       .withColumn("gen", lit(gen))
       .select(col("host"), col("gen"), col("crawl_delay"))
-      .write.mode(mode).parquet(cachePath(dir, "delays"))
+      .write.mode(mode).parquet(epochPath(dir, epoch, "delays"))
     stamped.select(col("host"), col("digest"), lit(gen).as("gen"))
-      .write.mode(mode).parquet(cachePath(dir, "hosts"))
+      .write.mode(mode).parquet(epochPath(dir, epoch, "hosts"))
   }
 
-  private def readHosts(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(cachePath(dir, "hosts"))
+  private def readPart(spark: SparkSession, dir: String, epoch: Long,
+                       part: String): DataFrame =
+    spark.read.parquet(epochPath(dir, epoch, part))
 
-  /** (host, gen) of each host's LATEST committed generation. */
-  private def latestHostGen(spark: SparkSession, dir: String): DataFrame =
-    readHosts(spark, dir).groupBy(col("host")).agg(max(col("gen")).as("gen"))
+  private def requireEpoch(spark: SparkSession, dir: String): Long = {
+    val e = currentEpoch(spark, dir)
+    require(e >= 0, s"robots cache at $dir is not initialized")
+    e
+  }
+
+  /** (host, gen) of each host's LATEST committed generation within the
+    * current epoch. */
+  private def latestHostGen(hosts: DataFrame): DataFrame =
+    hosts.groupBy(col("host")).agg(max(col("gen")).as("gen"))
+
+  /** max(gen) over one table, -1 when it is empty (an empty FIRST batch
+    * initializes all three tables with zero rows — the null aggregate
+    * must read as "no generations yet", not NPE). */
+  private def maxGenOf(df: DataFrame): Long =
+    df.agg(coalesce(max(col("gen")), lit(-1L))).head().getLong(0)
 
   /** Initialize a robots cache from the first batch of fetched bodies. */
   def writeRobotsCache(spark: SparkSession, dir: String, robots: DataFrame,
@@ -291,9 +351,10 @@ object RobotsFunctions {
     require(userAgent.nonEmpty && userAgent != "*",
       s"userAgent must be a concrete product token, got '$userAgent'")
     writeUa(spark, dir, userAgent)
-    writeGen(spark, dir,
+    writeGen(spark, dir, epoch = 0L,
       stampDigests(robots, hostCol, bodyCol).localCheckpoint(true),
       userAgent, gen = 0L, overwrite = true)
+    markEpoch(spark, dir, 0L)
   }
 
   /** Append one batch of fetched robots bodies: ONLY hosts whose body
@@ -308,23 +369,29 @@ object RobotsFunctions {
                         hostCol: String, bodyCol: String,
                         userAgent: String): Long = {
     requireUa(spark, dir, userAgent)
+    val epoch = requireEpoch(spark, dir)
     // the batch is scanned ONCE (into the anti-join) — checkpoint only
     // `changed`, which is EMPTY for an unchanged batch: the no-change
     // fast path materializes zero bodies, and its whole cost is the
     // keys-only digest anti-join plus one hosts read
     val stamped = stampDigests(robots, hostCol, bodyCol)
-    val hosts = readHosts(spark, dir).localCheckpoint(true)
+    val hosts = readPart(spark, dir, epoch, "hosts").localCheckpoint(true)
     val latestDigests = hosts
-      .join(hosts.groupBy(col("host")).agg(max(col("gen")).as("gen")),
-        Seq("host", "gen"), "left_semi")
+      .join(latestHostGen(hosts), Seq("host", "gen"), "left_semi")
       .select(col("host"), col("digest"))
     val changed = stamped
       .join(latestDigests, Seq("host", "digest"), "left_anti")
       .localCheckpoint(true)
     val n = changed.count()
     if (n > 0) {
-      val maxGen = hosts.agg(max(col("gen"))).head().getLong(0)
-      writeGen(spark, dir, changed, userAgent, gen = maxGen + 1L,
+      // next gen from the max across ALL THREE tables: a crashed append
+      // leaves rules/delays debris one gen past hosts, and reusing that
+      // gen for a different batch would commit the debris into
+      // visibility — skipping it keeps the debris unreachable forever
+      val maxGen = math.max(maxGenOf(hosts),
+        math.max(maxGenOf(readPart(spark, dir, epoch, "rules")),
+          maxGenOf(readPart(spark, dir, epoch, "delays"))))
+      writeGen(spark, dir, epoch, changed, userAgent, gen = maxGen + 1L,
         overwrite = false)
     }
     n
@@ -335,20 +402,60 @@ object RobotsFunctions {
     * rows collapse under the distinct (decisions are idempotent in
     * duplicate rules anyway: the longest-match fold revisits the same
     * (allow, rule) without changing the winner). */
-  def cachedRules(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(cachePath(dir, "rules"))
-      .join(latestHostGen(spark, dir), Seq("host", "gen"), "left_semi")
+  def cachedRules(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = requireEpoch(spark, dir)
+    readPart(spark, dir, epoch, "rules")
+      .join(latestHostGen(readPart(spark, dir, epoch, "hosts")),
+        Seq("host", "gen"), "left_semi")
       .select(col("host"), col("allow"), col("rule"))
       .distinct()
+  }
 
   /** The cached per-host Crawl-delay, latest generation per host — feed
     * straight into [[scheduleFrontier]]. min() collapses crash-debris
     * duplicates (same value). */
-  def cachedDelays(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(cachePath(dir, "delays"))
-      .join(latestHostGen(spark, dir), Seq("host", "gen"), "left_semi")
+  def cachedDelays(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = requireEpoch(spark, dir)
+    readPart(spark, dir, epoch, "delays")
+      .join(latestHostGen(readPart(spark, dir, epoch, "hosts")),
+        Seq("host", "gen"), "left_semi")
       .groupBy(col("host"))
       .agg(min(col("crawl_delay")).as("crawl_delay"))
+  }
+
+  /** Compact the cache: rewrite each host's LATEST rules/delays/digest as
+    * ONE gen-0 generation in epoch K+1, flip the `_SUCCESS` marker, GC
+    * epochs older than the one replaced. Read cost goes back to O(hosts)
+    * no matter how many change generations accumulated; a crash anywhere
+    * before the marker leaves readers on epoch K bit-for-bit (the
+    * debris epoch is overwritten by the re-run); an in-flight reader of
+    * epoch K finishes its scan (K survives until the NEXT compaction).
+    * Single writer per cache dir — compaction serializes against appends
+    * like every other write here. */
+  def compactRobotsCache(spark: SparkSession, dir: String): Unit = {
+    val epoch = requireEpoch(spark, dir)
+    val next = epoch + 1
+    val hosts = readPart(spark, dir, epoch, "hosts")
+    val latest = latestHostGen(hosts).localCheckpoint(true)
+    cachedRules(spark, dir)
+      .select(col("host"), lit(0L).as("gen"), col("allow"), col("rule"))
+      .write.mode("overwrite").parquet(epochPath(dir, next, "rules"))
+    cachedDelays(spark, dir)
+      .select(col("host"), lit(0L).as("gen"), col("crawl_delay"))
+      .write.mode("overwrite").parquet(epochPath(dir, next, "delays"))
+    hosts.join(latest, Seq("host", "gen"), "left_semi")
+      .select(col("host"), col("digest"), lit(0L).as("gen"))
+      .write.mode("overwrite").parquet(epochPath(dir, next, "hosts"))
+    markEpoch(spark, dir, next)
+    val root = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val fs = fsOf(spark, dir)
+    val keep = Set(s"c=$epoch", s"c=$next")
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("c=") && !keep.contains(name))
+        fs.delete(st.getPath, true)
+    }
+  }
 
   /** Politeness-scheduled crawl frontier: assign every URL a fetch offset
     * so consecutive fetches against one host honor that host's

@@ -44,27 +44,37 @@ object CrawlStream {
     new org.apache.hadoop.fs.Path(
       s"${stateDir.stripSuffix("/")}/_stream_batch")
 
-  /** Highest micro-batch id whose append committed; -1 before the first. */
+  /** Highest micro-batch id whose append committed; -1 before the first.
+    * An empty or unparsable high-water file (a crash inside a non-atomic
+    * writer, manual truncation) reads as -1 rather than wedging every
+    * restart — the worst case is one re-delivered batch, which the
+    * append path's rid anti-join (layer 2) dedupes to zero rows. */
   def lastCommittedBatch(spark: SparkSession, stateDir: String): Long = {
     val p = hwPath(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L
     else {
       val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
+      s.toLongOption.getOrElse(-1L)
     }
   }
 
+  /** Write-temp-then-rename: a crash between create and write must never
+    * leave a truncated marker in place of the committed one. */
   private def writeHighWater(spark: SparkSession, stateDir: String,
                              batchId: Long): Unit = {
     val p = hwPath(stateDir)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   /** One micro-batch through the lifecycle (public so a spec — or a
@@ -94,6 +104,150 @@ object CrawlStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, stateDir, batch, batchId, p); ()
+      }
+      .start()
+
+  // ---- the CLOSED crawler loop: plan → fetch → ingest → re-plan -------
+  // q206's incremental plan is batch; these close it per micro-batch:
+  // each batch of fetch results (a) appends its robots.txt bodies to the
+  // persisted rules cache (unchanged bodies cost one digest anti-join),
+  // (b) ingests content through the dedup state, (c) logs what was
+  // fetched and what the batch's pages announce (out-links), and (d)
+  // emits batch N+1's frontier — cache-served rules/delays, fetched-set
+  // anti-join, politeness re-ladder. Same exactly-once layers as
+  // [[processBatch]]; the url logs are append-only and read through
+  // distinct(), so a replayed append is idempotent. Reference anchor:
+  // the dispatch-only-NEW-scenes discipline against the published
+  // catalog, tasks.py:135–240.
+
+  private def dirOf(stateDir: String, part: String) =
+    s"${stateDir.stripSuffix("/")}/$part"
+
+  /** Where the loop keeps its robots cache inside the crawl state dir. */
+  def robotsCacheDir(stateDir: String): String = dirOf(stateDir, "robots_cache")
+
+  /** robots.txt responses of a micro-batch → (host, body), latest record
+    * per host winning (the q198 by-canon discipline for re-fetches
+    * within one batch). */
+  def robotsOf(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    batch
+      .filter(col("http_status") === 200 &&
+        col("target_uri").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+/robots\\.txt$"))
+      .select(graft.functions.UrlFunctions.urlHost(col("target_uri")).as("host"),
+        graft.functions.HtmlFunctions.decodeBody(
+          col("payload"), col("http_content_type")).as("body"),
+        col("record_index").cast("long").as("__rid"))
+      .groupBy(col("host"))
+      .agg(max_by(col("body"), col("__rid")).as("body"))
+  }
+
+  /** Canonical URLs the batch actually fetched (every response record,
+    * any status — a 404 is still a spent fetch the next plan must not
+    * re-schedule). */
+  private def fetchedOf(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    batch.select(graft.functions.UrlFunctions
+      .canonicalizeUrl(col("target_uri")).as("url")).distinct()
+  }
+
+  /** Canonical URLs the batch DISCOVERED: its own fetched addresses plus
+    * the out-links of its 200 text/html pages (resolved against the
+    * fetching page, canonicalized) — the candidate universe the next
+    * plan gates and anti-joins. */
+  private def discoveredOf(batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val U = graft.functions.UrlFunctions
+    val H = graft.functions.HtmlFunctions
+    val links = batch
+      .filter(col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri"),
+        H.decodeBody(col("payload"), col("http_content_type")).as("html"))
+      .select(col("target_uri"), explode(H.extractLinks(col("html"))).as("l"))
+      .select(U.canonicalizeUrl(
+        U.resolveUrl(col("target_uri"), col("l.href"))).as("url"))
+    fetchedOf(batch).unionByName(links).distinct()
+  }
+
+  private def appendUrls(urls: DataFrame, dir: String): Unit =
+    urls.write.mode("append").parquet(dir)
+
+  private def readUrls(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(dir).select("url").distinct()
+    else
+      spark.createDataset(Seq.empty[String])(
+        org.apache.spark.sql.Encoders.STRING).toDF("url")
+  }
+
+  /** Batch N+1's frontier from the current state: cache-served rules
+    * gate the discovered universe, the fetched set leaves by anti-join,
+    * the rest ladders under cache-served Crawl-delays — q206's
+    * composition, served entirely from what the loop has persisted.
+    * Output: (url, crawl_delay, fetch_at). */
+  def planFrontier(spark: SparkSession, stateDir: String,
+                   defaultDelay: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val R = graft.functions.RobotsFunctions
+    val cache = robotsCacheDir(stateDir)
+    val rules = R.cachedRules(spark, cache)
+    val delays = R.cachedDelays(spark, cache)
+    val remaining = R
+      .filterByRobots(readUrls(spark, dirOf(stateDir, "discovered")), rules, "url")
+      .join(readUrls(spark, dirOf(stateDir, "fetched")), Seq("url"), "left_anti")
+    R.scheduleFrontier(remaining, delays, "url", defaultDelay)
+      .select(col("url"), col("crawl_delay"), col("fetch_at"))
+  }
+
+  /** One micro-batch through the CLOSED loop: robots-cache append +
+    * content ingest + fetched/discovered logs, then the next frontier.
+    * A re-delivered batch (same batchId) skips every write and re-plans
+    * from unchanged state — the returned plan is identical and schedules
+    * zero new fetches (CrawlStreamSpec pins both). */
+  def ingestAndPlan(spark: SparkSession, stateDir: String, batch: DataFrame,
+                    batchId: Long, userAgent: String,
+                    defaultDelay: Double = 1.0,
+                    p: CrawlParams = CrawlParams()): DataFrame = {
+    val R = graft.functions.RobotsFunctions
+    if (batchId > lastCommittedBatch(spark, stateDir)) {
+      // the batch is read by four consumers (robots, ingest, fetched,
+      // discovered) — stage it once; payloads still die in this stage
+      val b = batch.localCheckpoint(true)
+      val cache = robotsCacheDir(stateDir)
+      val robots = robotsOf(b)
+      if (!R.cacheInitialized(spark, cache))
+        R.writeRobotsCache(spark, cache, robots, "host", "body", userAgent)
+      else
+        R.appendRobotsCache(spark, cache, robots, "host", "body", userAgent)
+      if (!CrawlFunctions.stateInitialized(spark, stateDir))
+        CrawlFunctions.initCrawlState(spark, stateDir, b, p)
+      else
+        CrawlFunctions.appendCrawlBatch(spark, stateDir, b, p)
+      appendUrls(fetchedOf(b), dirOf(stateDir, "fetched"))
+      appendUrls(discoveredOf(b), dirOf(stateDir, "discovered"))
+      writeHighWater(spark, stateDir, batchId)
+    }
+    planFrontier(spark, stateDir, defaultDelay)
+  }
+
+  /** Start the closed-loop stream: per micro-batch, ingest + re-plan,
+    * handing each emitted frontier to `onPlan` (write it to the fetch
+    * queue, hand it to the fetcher fleet — the loop does not prescribe
+    * the sink). */
+  def runPlanned(spark: SparkSession, stateDir: String, warcStream: DataFrame,
+                 checkpointDir: String, userAgent: String,
+                 defaultDelay: Double = 1.0,
+                 p: CrawlParams = CrawlParams())
+                (onPlan: (DataFrame, Long) => Unit): StreamingQuery =
+    warcStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPlan(ingestAndPlan(spark, stateDir, batch, batchId, userAgent,
+          defaultDelay, p), batchId)
+        ()
       }
       .start()
 }

@@ -17,8 +17,14 @@ import org.apache.spark.sql.functions._
   *   append1% — appendRobotsCache with 1% of hosts changed (the steady
   *              daily regime: anti-join + parse of the 1%).
   *
-  * Usage: sbt "runMain graft.tools.RobotsCacheScale [nHosts] [padLines]"
-  * (default 200000, 0). padLines appends that many comment lines per
+  * Then the COMPACTION story (the r18 verdict's gap): `gens` more
+  * 1%-changed appends accumulate change generations, the latest-per-host
+  * read is timed against the stacked cache, [[graft.functions
+  * .RobotsFunctions.compactRobotsCache]] rewrites it to one generation,
+  * and the read re-times — flat-vs-generation-count is the claim.
+  *
+  * Usage: sbt "runMain graft.tools.RobotsCacheScale [nHosts] [padLines] [gens]"
+  * (default 200000, 0, 20). padLines appends that many comment lines per
   * body — real robots.txt average ~1–2 KB and cap at 500 KiB, and the
   * parse's cost scales with LINES×WINDOWS while the digest stays a
   * linear byte scan, so the pad shows the gap at realistic sizes. */
@@ -26,6 +32,7 @@ object RobotsCacheScale {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
     val pad = args.drop(1).headOption.map(_.toInt).getOrElse(0)
+    val gens = args.drop(2).headOption.map(_.toInt).getOrElse(20)
     val padding = (0 until pad).map(i => s"# filler annotation line $i\n").mkString
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -69,6 +76,41 @@ object RobotsCacheScale {
     println(f"[robots-cache-scale] cache init (parse + write): $tInit%.2f s (once)")
     println(f"[robots-cache-scale] append unchanged: $tSame%.2f s (parses 0) — ${tParse / tSame}%.1fx cheaper than re-parsing")
     println(f"[robots-cache-scale] append 1%% changed: $tDelta%.2f s (parses $reparsedDelta%,d)")
+
+    // ---- compaction: read cost vs accumulated change generations ------
+    val (tReadFresh, rulesFresh) =
+      time(R.cachedRules(spark, dir).count())
+    // each round flips a DIFFERENT 1% (rotating window over id space), so
+    // generations stack the way a daily crawl's do
+    for (g <- 1 to gens) {
+      val batch = spark.range(n).select(
+        concat(lit("h"), col("id"), lit(".example")).as("host"),
+        concat(
+          lit("User-agent: graftbot\nDisallow: /private"), col("id") % 7,
+          lit("/\nAllow: /private"), col("id") % 7, lit("/pub/\nCrawl-delay: "),
+          (col("id") % 9) + 1,
+          lit("\nUser-agent: *\nDisallow: /\n"),
+          when((col("id") + g) % 100 < 1,
+            concat(lit("Disallow: /gen"), lit(g), lit("/\n")))
+            .otherwise(lit("")),
+          lit(padding)).as("body"))
+      R.appendRobotsCache(spark, dir, batch, "host", "body", "graftbot")
+    }
+    val (tReadStacked, rulesStacked) =
+      time(R.cachedRules(spark, dir).count())
+    val (tCompact, _) = time(R.compactRobotsCache(spark, dir))
+    val (tReadCompacted, rulesCompacted) =
+      time(R.cachedRules(spark, dir).count())
+    require(rulesCompacted == rulesStacked,
+      s"compaction changed the served rules: $rulesStacked -> $rulesCompacted")
+    val (tAppendAfter, reparsedAfter) =
+      time(R.appendRobotsCache(spark, dir,
+        bodies(0.01), "host", "body", "graftbot"))
+    println(f"[robots-cache-scale] read @2 gens: $tReadFresh%.2f s ($rulesFresh%,d rules); " +
+      f"read @${gens + 2} gens: $tReadStacked%.2f s; " +
+      f"compact: $tCompact%.2f s; read after: $tReadCompacted%.2f s " +
+      f"(${tReadStacked / tReadCompacted}%.1fx)")
+    println(f"[robots-cache-scale] append after compact: $tAppendAfter%.2f s (parses $reparsedAfter%,d — digests survive)")
     spark.stop()
   }
 }

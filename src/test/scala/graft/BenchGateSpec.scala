@@ -129,4 +129,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.needsPostSweepRerun(3.0, Some(1.0)))           // 3x: gate's job
     assert(!Bench.needsPostSweepRerun(0.45, Some(0.0)))          // degenerate floor
   }
+
+  test("strikes stick when the sweep flagged, even if every re-run cleared") {
+    // q201's r18 shape: the sweep timing trips the post-sweep >4x guard,
+    // the re-run clears it, the gate never sees a riser — the strike
+    // must still arm so a repeat next round escalates to regression
+    val postSweep = Set("q201").filter(_ =>
+      Bench.needsPostSweepRerun(1.61, Some(0.40)))
+    assert(postSweep === Set("q201"), "the r18 q201 timing trips the guard")
+    assert(Bench.strikeSet(Set.empty, Set.empty, postSweep) === Set("q201"))
+    // the provisional-gate path: flagged in the raw sweep, cleared by the
+    // riser re-run (finalRisers empty) — still armed
+    assert(Bench.strikeSet(Set("q44"), Set.empty, Set.empty) === Set("q44"))
+    // all three sources union; a printed riser is of course armed too
+    assert(Bench.strikeSet(Set("qa"), Set("qb"), Set("qc")) ===
+      Set("qa", "qb", "qc"))
+  }
 }

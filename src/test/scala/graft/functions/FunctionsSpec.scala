@@ -677,6 +677,51 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(viaOperator(v) - viaHandInit(v)) < 1e-15, s"vertex $v")
   }
 
+  test("pageRank tolerance: early exit lands within tolerance, warm start converges in fewer rounds") {
+    import spark.implicits._
+    val n = 30
+    val verts = (0L until n.toLong).toDF("id")
+    val edges = (0 until 90).map { i =>
+      (((i * 31 + 7) % n).toLong, ((i * i * 17 + 3) % n).toLong)
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    // damping 0.5 so the geometric tail is short enough to watch inside
+    // a test budget (at the 0.85 default, 1e-6 takes ~80 rounds — the
+    // mechanics under test are damping-independent)
+    val tol = 1e-9
+    val (convergedDf, coldRounds) = GraphFunctions.pageRankWithRounds(
+      verts, edges, iterations = 60, damping = 0.5, tolerance = Some(tol))
+    val converged = convergedDf.as[(Long, Double)].collect().toMap
+    assert(coldRounds < 45, s"a contraction at rate 0.5 must exit well under the budget, took $coldRounds")
+    // the early-exit result is within tolerance of where more rounds land:
+    // the L1 distance to a deep fixed-round run is bounded by the
+    // stopping delta times damping / (1 − damping) = tol here
+    val deep = GraphFunctions.pageRank(verts, edges, iterations = 100,
+        damping = 0.5)
+      .as[(Long, Double)].collect().toMap
+    val l1 = deep.keys.map(v => math.abs(deep(v) - converged(v))).sum
+    assert(l1 < tol * 2, f"early-exit drifted $l1%.2e from the fixed point")
+    // warm start from the converged vector: re-converges in FEWER rounds
+    // than cold uniform (the q205 payoff, now observable)
+    val (_, warmRounds) = GraphFunctions.pageRankWithRounds(
+      verts, edges, iterations = 60, damping = 0.5, tolerance = Some(tol),
+      initialRanks = Some(convergedDf))
+    assert(warmRounds < coldRounds,
+      s"warm start took $warmRounds rounds vs cold $coldRounds")
+    // no tolerance → the fixed-round oracle twin, bit-identical to pageRank
+    val (fixedDf, fixedRounds) = GraphFunctions.pageRankWithRounds(
+      verts, edges, iterations = 8)
+    assert(fixedRounds === 8)
+    val fixed = fixedDf.as[(Long, Double)].collect().toMap
+    val plain = GraphFunctions.pageRank(verts, edges, iterations = 8)
+      .as[(Long, Double)].collect().toMap
+    for (v <- plain.keys) assert(fixed(v) === plain(v), s"vertex $v")
+    // budget exhaustion: tolerance set but unreachable in the budget —
+    // the loop runs exactly `iterations` rounds and returns that count
+    val (_, capped) = GraphFunctions.pageRankWithRounds(
+      verts, edges, iterations = 3, tolerance = Some(1e-18))
+    assert(capped === 3)
+  }
+
   test("densifyIds: vid = 0-based rank in id order, distributed, no clobber") {
     import spark.implicits._
     // scrambled, non-contiguous id space with payload columns riding along

@@ -215,9 +215,11 @@ before any tokenizer sees a byte &mdash; order matters.</P>
     val iso = "café niña".getBytes("ISO-8859-1")
     assert(dec(iso, Some("text/html; charset=\"ISO-8859-1\"")) ===
       (("café niña", "ISO-8859-1")))
-    // the same bytes under a UTF-8 decode would mojibake (0xE9 alone is
-    // malformed UTF-8) — proving the parameter actually routed
-    assert(dec(iso, Some("text/html"))._1.contains("�"))
+    // the same bytes UNDECLARED route through the validity heuristic:
+    // 0xE9 alone is malformed UTF-8, so the page decodes as
+    // Windows-1252 (which agrees with latin-1 on these bytes) — the
+    // audit column shows the heuristic, not the header, decided
+    assert(dec(iso, Some("text/html")) === (("café niña", "windows-1252")))
     // 2. Windows-1252 curly quotes live in ISO-8859-1's control gap
     val w = "“quoted” — dash".getBytes("windows-1252")
     assert(dec(w, Some("text/html; charset=windows-1252")) ===
@@ -243,5 +245,45 @@ before any tokenizer sees a byte &mdash; order matters.</P>
       .toDF("payload", "ct")
       .select(HtmlFunctions.decodeBody(col("payload"), col("ct")).as("t"))
     assert(nulls.head().isNullAt(0))
+  }
+
+  test("undeclared-page heuristic: valid UTF-8 stays UTF-8, broken UTF-8 goes Windows-1252, declared names bypass it") {
+    import spark.implicits._
+    def dec(payload: Array[Byte], ct: Option[String]): (String, String) = {
+      val r = Seq((payload, ct)).toDF("payload", "ct")
+        .select(HtmlFunctions.decodeBody(col("payload"), col("ct")).as("txt"),
+          HtmlFunctions.bodyCharset(col("payload"), col("ct")).as("cs"))
+        .head()
+      (r.getString(0), r.getString(1))
+    }
+    // undeclared + valid multi-byte UTF-8 → UTF-8 (the heuristic must
+    // not misroute genuine UTF-8 pages to cp1252)
+    assert(dec("naïve café — 数据".getBytes("UTF-8"), Some("text/html")) ===
+      (("naïve café — 数据", "UTF-8")))
+    // undeclared pure ASCII validates as UTF-8
+    assert(dec("just ascii".getBytes("US-ASCII"), None) ===
+      (("just ascii", "UTF-8")))
+    // undeclared + cp1252 punctuation in the 0x80–0x9F gap → the
+    // WET-extractor default, decoded losslessly instead of U+FFFD soup
+    assert(dec("“smart” — dash €".getBytes("windows-1252"), Some("text/html")) ===
+      (("“smart” — dash €", "windows-1252")))
+    // a DECLARED-but-unknown name still falls back to UTF-8 (replacement
+    // chars and all): the heuristic is scoped to the undeclared path,
+    // so the q202 bogus-charset record's pinned md5 stays reachable
+    val legacy = "café".getBytes("ISO-8859-1")
+    val (bogusTxt, bogusCs) = dec(legacy, Some("text/html; charset=klingon-9"))
+    assert(bogusCs === "UTF-8" && bogusTxt.contains("�"))
+    // the UTF-8 validity scanner itself: RFC 3629 edges
+    val V = graft.expr.BodyDecode
+    assert(V.isValidUtf8("plain".getBytes("US-ASCII")))
+    assert(V.isValidUtf8("数据 naïve".getBytes("UTF-8")))
+    assert(V.isValidUtf8("😀".getBytes("UTF-8"))) // 4-byte emoji
+    assert(!V.isValidUtf8(Array(0xC0.toByte, 0xAF.toByte))) // overlong '/'
+    assert(!V.isValidUtf8(Array(0xE0.toByte, 0x80.toByte, 0x80.toByte))) // overlong NUL
+    assert(!V.isValidUtf8(Array(0xED.toByte, 0xA0.toByte, 0x80.toByte))) // surrogate D800
+    assert(!V.isValidUtf8(Array(0xF4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte))) // > U+10FFFF
+    assert(!V.isValidUtf8(Array('a'.toByte, 0xC3.toByte))) // truncated pair
+    assert(!V.isValidUtf8(Array(0x92.toByte))) // bare cp1252 right-quote
+    assert(V.isValidUtf8(Array(0xF0.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte))) // U+10000
   }
 }

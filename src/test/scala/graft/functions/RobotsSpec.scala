@@ -289,4 +289,91 @@ class RobotsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("user-agent"), e.getMessage)
   }
+
+  private def rulesSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+  private def delaysMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("robots cache compaction: read-after ≡ read-before, appends keep working, old epochs GC") {
+    val R = RobotsFunctions
+    val dir = java.nio.file.Files.createTempDirectory("robots-compact").toString
+    R.writeRobotsCache(spark, dir, robots, "host", "body", "graftbot")
+    // several change generations for h1, so compaction has stale rows to drop
+    for (i <- 1 to 3)
+      assert(R.appendRobotsCache(spark, dir,
+        Seq(("h1.example", s"User-agent: graftbot\nDisallow: /v$i/\nCrawl-delay: $i"))
+          .toDF("host", "body"), "host", "body", "graftbot") === 1L)
+    val rulesBefore = rulesSet(R.cachedRules(spark, dir))
+    val delaysBefore = delaysMap(R.cachedDelays(spark, dir))
+    R.compactRobotsCache(spark, dir)
+    assert(rulesSet(R.cachedRules(spark, dir)) === rulesBefore,
+      "compaction must be invisible to rule readers")
+    assert(delaysMap(R.cachedDelays(spark, dir)) === delaysBefore)
+    // the compacted epoch serves from ONE generation: every stored row is gen 0
+    assert(spark.read.parquet(s"$dir/c=1/rules")
+      .filter(col("gen") =!= 0L).isEmpty, "compaction rewrites to a single gen-0")
+    // append AFTER compaction: unchanged batch parses zero; a change lands
+    val latestBodies = Seq(("h0.example", h0),
+      ("h1.example", "User-agent: graftbot\nDisallow: /v3/\nCrawl-delay: 3"))
+      .toDF("host", "body")
+    assert(R.appendRobotsCache(spark, dir, latestBodies, "host", "body", "graftbot") === 0L,
+      "compaction must preserve digests — unchanged bodies still anti-join away")
+    assert(R.appendRobotsCache(spark, dir,
+      Seq(("h1.example", "User-agent: graftbot\nDisallow: /v4/"))
+        .toDF("host", "body"), "host", "body", "graftbot") === 1L)
+    assert(rulesSet(R.cachedRules(spark, dir)
+      .filter(col("host") === "h1.example")) === Set(("h1.example", false, "/v4/")))
+    // second compaction GCs epoch 0 (keeps the replaced epoch 1 and new 2)
+    R.compactRobotsCache(spark, dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!names.contains("c=0") && names.contains("c=1") && names.contains("c=2"), names.toString)
+  }
+
+  test("robots cache compaction: a crash before the marker leaves readers on the old epoch") {
+    val R = RobotsFunctions
+    val dir = java.nio.file.Files.createTempDirectory("robots-crash").toString
+    R.writeRobotsCache(spark, dir, robots, "host", "body", "graftbot")
+    val before = rulesSet(R.cachedRules(spark, dir))
+    // simulate a compaction that died after writing tables but BEFORE the
+    // _SUCCESS flip: a debris epoch with garbage content and no marker
+    Seq(("junk.example", 0L, false, "/nope/")).toDF("host", "gen", "allow", "rule")
+      .write.parquet(s"$dir/c=1/rules")
+    assert(rulesSet(R.cachedRules(spark, dir)) === before,
+      "an uncommitted epoch must be invisible")
+    // the re-run overwrites the debris and commits
+    R.compactRobotsCache(spark, dir)
+    assert(rulesSet(R.cachedRules(spark, dir)) === before)
+    assert(!rulesSet(R.cachedRules(spark, dir)).exists(_._1 == "junk.example"))
+  }
+
+  test("robots cache: a crashed append's uncommitted gen is never reused (debris stays invisible)") {
+    val R = RobotsFunctions
+    val dir = java.nio.file.Files.createTempDirectory("robots-debris").toString
+    R.writeRobotsCache(spark, dir, robots, "host", "body", "graftbot")
+    // simulate an append that crashed between the rules write and the
+    // hosts commit: stale-body rules for h1 sit at gen 1, hosts max is 0
+    Seq(("h1.example", 1L, false, "/stale-crashed/"))
+      .toDF("host", "gen", "allow", "rule")
+      .write.mode("append").parquet(s"$dir/c=0/rules")
+    // a LATER append with a DIFFERENT h1 body must skip gen 1 — committing
+    // at gen 1 would union the crashed batch's rules with this one's
+    assert(R.appendRobotsCache(spark, dir,
+      Seq(("h1.example", "User-agent: graftbot\nDisallow: /fresh/"))
+        .toDF("host", "body"), "host", "body", "graftbot") === 1L)
+    assert(rulesSet(R.cachedRules(spark, dir).filter(col("host") === "h1.example")) ===
+      Set(("h1.example", false, "/fresh/")),
+      "the crashed append's rules must never become visible")
+  }
+
+  test("robots cache: empty first batch initializes; the first real append lands cleanly") {
+    val R = RobotsFunctions
+    val dir = java.nio.file.Files.createTempDirectory("robots-empty").toString
+    val empty = Seq.empty[(String, String)].toDF("host", "body")
+    R.writeRobotsCache(spark, dir, empty, "host", "body", "graftbot")
+    assert(R.cachedRules(spark, dir).isEmpty)
+    assert(R.appendRobotsCache(spark, dir, robots, "host", "body", "graftbot") === 2L)
+    assert(rulesSet(R.cachedRules(spark, dir)) ===
+      rulesSet(RobotsFunctions.robotsRules(robots, "host", "body", "graftbot")))
+  }
 }
