@@ -206,7 +206,11 @@ object GraphFunctions {
     * `pageRank(uniform, k+m)` bit-for-bit (q205's oracle replays all
     * k+m rounds; FunctionsSpec pins the identity). Total input mass
     * need not be exactly 1 — each round pulls the total toward 1
-    * geometrically (the (1−d) term is mass-independent). */
+    * geometrically (the (1−d) term is mass-independent) — EXCEPT on
+    * the `tolerance` path, where the init is renormalized to mass 1:
+    * the mass excess of a grown graph decays at exactly rate `damping`
+    * and would otherwise floor the L1-delta stop far above the shape's
+    * actual convergence (see [[pageRankWithRounds]]). */
   def pageRank(vertices: DataFrame, edges: DataFrame,
                idCol: String = "id",
                srcCol: String = "src", dstCol: String = "dst",
@@ -277,10 +281,28 @@ object GraphFunctions {
       case Some(init) =>
         // vertices the prior vector misses (new pages) start uniform;
         // prior rows for ids no longer in `vertices` drop with the join
-        v.join(init.select(col("id").cast("long").as("id"),
+        val merged = v
+          .join(init.select(col("id").cast("long").as("id"),
             col("rank").cast("double").as("__init_rank")), Seq("id"), "left")
           .select(col("id"),
             coalesce(col("__init_rank"), lit(1.0 / n)).as("rank"))
+        if (tolerance.isDefined) {
+          // TOLERANCE PATH ONLY: renormalize the warm vector to total
+          // mass 1. A grown graph's merged init sums to ~1 + newN/n, and
+          // that mass excess decays at EXACTLY rate `damping` — its
+          // contribution to the per-round L1 delta floors at
+          // (1−d)·ε₀·d^(t−1), so an un-renormalized warm start needs
+          // ~log(tol)/log(d) rounds to silence it even when the SHAPE
+          // converged in a handful (measured: 89 warm vs 24 cold rounds
+          // at 2M vertices, tol 1e-8 — tools/PageRankConverge, SCALE.md
+          // r19). One extra aggregate at init fixes it. The fixed-round
+          // path keeps the raw vector: q205's oracle contract is exact
+          // chaining (init = round-k vector ⇒ ≡ k+m uniform rounds
+          // bit-for-bit), which renormalization would break.
+          val total = merged.agg(sum(col("rank")).as("m"))
+          merged.crossJoin(broadcast(total))
+            .select(col("id"), (col("rank") / col("m")).as("rank"))
+        } else merged
     }).localCheckpoint(true)
     var rounds = 0
     var converged = false

@@ -722,6 +722,42 @@ class FunctionsSpec extends SparkSpec {
     assert(capped === 3)
   }
 
+  test("pageRank tolerance: grown-graph warm start beats cold (init renormalized)") {
+    import spark.implicits._
+    // the incremental-crawl regime: converge on a 27-vertex subgraph,
+    // then re-rank the 30-vertex grown graph from that vector. The
+    // merged init sums to ~1.1 (3 new vertices at 1/30), and WITHOUT
+    // renormalization that mass excess decays at exactly rate d=0.85 —
+    // ~60 rounds to push its (1−d)·ε₀·d^(t−1) L1-delta floor under
+    // 1e-6, vs ~20 cold (spectral rate ≪ d on this graph). With the
+    // tolerance-path renormalization, warm must beat cold outright.
+    val n = 30
+    val verts = (0L until n.toLong).toDF("id")
+    val edges = (0 until 120).map { i =>
+      (((i * 31 + 7) % n).toLong, ((i * i * 17 + 3) % n).toLong)
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    val oldN = 27L
+    val oldVerts = verts.filter($"id" < oldN)
+    val oldEdges = edges.filter($"src" < oldN && $"dst" < oldN)
+    val tol = 1e-6
+    val (prev, _) = GraphFunctions.pageRankWithRounds(
+      oldVerts, oldEdges, iterations = 150, tolerance = Some(tol))
+    val (_, coldRounds) = GraphFunctions.pageRankWithRounds(
+      verts, edges, iterations = 150, tolerance = Some(tol))
+    val (warmDf, warmRounds) = GraphFunctions.pageRankWithRounds(
+      verts, edges, iterations = 150, tolerance = Some(tol),
+      initialRanks = Some(prev))
+    assert(warmRounds < coldRounds,
+      s"grown-graph warm start took $warmRounds rounds vs cold $coldRounds — " +
+        "the un-renormalized mass excess is leaking into the L1-delta stop")
+    // and the warm answer still lands at the same fixed point
+    val deep = GraphFunctions.pageRank(verts, edges, iterations = 200)
+      .as[(Long, Double)].collect().toMap
+    val warm = warmDf.as[(Long, Double)].collect().toMap
+    val l1 = deep.keys.map(v => math.abs(deep(v) - warm(v))).sum
+    assert(l1 < tol * 10, f"warm early-exit drifted $l1%.2e from the fixed point")
+  }
+
   test("densifyIds: vid = 0-based rank in id order, distributed, no clobber") {
     import spark.implicits._
     // scrambled, non-contiguous id space with payload columns riding along
