@@ -170,17 +170,85 @@ object CrawlStream {
     fetchedOf(batch).unionByName(links).distinct()
   }
 
-  private def appendUrls(urls: DataFrame, dir: String): Unit =
-    urls.write.mode("append").parquet(dir)
+  // ---- epoch URL logs ------------------------------------------------
+  // The fetched/discovered logs are append-only but DUPLICATE-
+  // ACCUMULATING: every batch appends its full (re)discovered set, and
+  // the same popular URLs re-appear in batch after batch, so the rows a
+  // planFrontier read must distinct() through grow with TOTAL APPENDS,
+  // not with unique URLs — over months of micro-batches that read cost
+  // is the loop's one unbounded term. Same cure as the robots cache and
+  // the window index: compaction epochs. Appends land in the current
+  // committed epoch `c=K/urls`; [[compactUrlLog]] rewrites the DISTINCT
+  // set as `c=K+1/urls`, flips the `_SUCCESS` marker LAST, then GCs
+  // older epochs — a crash anywhere before the marker leaves readers on
+  // epoch K bit-for-bit, and a crashed plain append re-runs under the
+  // high-water/distinct contract exactly as before.
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedEpoch(spark: SparkSession, dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(root)) -1L
+    else {
+      val epochs = fs.listStatus(root).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("c=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+          st.getPath.getName.stripPrefix("c=").toLong
+      }
+      if (epochs.isEmpty) -1L else epochs.max
+    }
+  }
+
+  private def epochUrls(dir: String, epoch: Long): String =
+    s"${dir.stripSuffix("/")}/c=$epoch/urls"
+
+  private def markEpoch(spark: SparkSession, dir: String, epoch: Long): Unit =
+    fsOf(spark, dir).create(new org.apache.hadoop.fs.Path(
+      s"${dir.stripSuffix("/")}/c=$epoch/_SUCCESS"), true).close()
+
+  private def appendUrls(spark: SparkSession, urls: DataFrame,
+                         dir: String): Unit = {
+    val k = committedEpoch(spark, dir)
+    if (k < 0) {
+      urls.write.mode("overwrite").parquet(epochUrls(dir, 0L))
+      markEpoch(spark, dir, 0L)
+    } else
+      urls.write.mode("append").parquet(epochUrls(dir, k))
+  }
 
   private def readUrls(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.parquet(dir).select("url").distinct()
+    val k = committedEpoch(spark, dir)
+    if (k >= 0)
+      spark.read.parquet(epochUrls(dir, k)).select("url").distinct()
     else
       spark.createDataset(Seq.empty[String])(
         org.apache.spark.sql.Encoders.STRING).toDF("url")
+  }
+
+  /** Rewrite a URL log as its distinct set in a fresh compaction epoch
+    * (marker flipped last, older epochs GC'd after — the
+    * compactRobotsCache discipline). Bounds the planFrontier read at
+    * O(unique URLs) no matter how many batches appended; a no-op on an
+    * uninitialized log. Single writer per state dir, like every write
+    * here. */
+  def compactUrlLog(spark: SparkSession, dir: String): Unit = {
+    val k = committedEpoch(spark, dir)
+    if (k < 0) return
+    val next = k + 1
+    spark.read.parquet(epochUrls(dir, k)).select("url").distinct()
+      .write.mode("overwrite").parquet(epochUrls(dir, next))
+    markEpoch(spark, dir, next)
+    val root = new org.apache.hadoop.fs.Path(dir.stripSuffix("/"))
+    val fs = fsOf(spark, dir)
+    val keep = Set(s"c=$k", s"c=$next")
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("c=") && !keep.contains(name))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Batch N+1's frontier from the current state: cache-served rules
@@ -206,11 +274,21 @@ object CrawlStream {
     * content ingest + fetched/discovered logs, then the next frontier.
     * A re-delivered batch (same batchId) skips every write and re-plans
     * from unchanged state — the returned plan is identical and schedules
-    * zero new fetches (CrawlStreamSpec pins both). */
+    * zero new fetches (CrawlStreamSpec pins both).
+    *
+    * `compactEvery` (0 = never) is the loop's MAINTENANCE CADENCE: after
+    * every Nth batch commits, the robots cache and both URL logs compact
+    * — reads stay O(hosts) / O(unique URLs) instead of growing with the
+    * stream's lifetime, and compaction is read-transparent (RobotsSpec /
+    * CrawlStreamSpec pin read-after ≡ read-before bit-for-bit), so plans
+    * are unaffected. A crash between the high-water write and the
+    * compaction skips that cadence point (re-delivery skips the whole
+    * block); the next one catches up — maintenance, not correctness. */
   def ingestAndPlan(spark: SparkSession, stateDir: String, batch: DataFrame,
                     batchId: Long, userAgent: String,
                     defaultDelay: Double = 1.0,
-                    p: CrawlParams = CrawlParams()): DataFrame = {
+                    p: CrawlParams = CrawlParams(),
+                    compactEvery: Int = 0): DataFrame = {
     val R = graft.functions.RobotsFunctions
     if (batchId > lastCommittedBatch(spark, stateDir)) {
       // the batch is read by four consumers (robots, ingest, fetched,
@@ -226,9 +304,14 @@ object CrawlStream {
         CrawlFunctions.initCrawlState(spark, stateDir, b, p)
       else
         CrawlFunctions.appendCrawlBatch(spark, stateDir, b, p)
-      appendUrls(fetchedOf(b), dirOf(stateDir, "fetched"))
-      appendUrls(discoveredOf(b), dirOf(stateDir, "discovered"))
+      appendUrls(spark, fetchedOf(b), dirOf(stateDir, "fetched"))
+      appendUrls(spark, discoveredOf(b), dirOf(stateDir, "discovered"))
       writeHighWater(spark, stateDir, batchId)
+      if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
+        if (R.cacheInitialized(spark, cache)) R.compactRobotsCache(spark, cache)
+        compactUrlLog(spark, dirOf(stateDir, "fetched"))
+        compactUrlLog(spark, dirOf(stateDir, "discovered"))
+      }
     }
     planFrontier(spark, stateDir, defaultDelay)
   }
@@ -240,13 +323,14 @@ object CrawlStream {
   def runPlanned(spark: SparkSession, stateDir: String, warcStream: DataFrame,
                  checkpointDir: String, userAgent: String,
                  defaultDelay: Double = 1.0,
-                 p: CrawlParams = CrawlParams())
+                 p: CrawlParams = CrawlParams(),
+                 compactEvery: Int = 0)
                 (onPlan: (DataFrame, Long) => Unit): StreamingQuery =
     warcStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onPlan(ingestAndPlan(spark, stateDir, batch, batchId, userAgent,
-          defaultDelay, p), batchId)
+          defaultDelay, p, compactEvery), batchId)
         ()
       }
       .start()

@@ -187,4 +187,60 @@ class CrawlStreamSpec extends SparkSpec {
     val resent = planSet(CrawlStream.ingestAndPlan(spark, state, b2, 2L, "graftbot"))
     assert(resent === batchPlan)
   }
+
+  test("closed loop maintenance cadence: compaction is plan-transparent and bounds the log read") {
+    val text1 = "landing page body with enough characters to clear the main text gate comfortably today"
+    val text2 = "a second page whose body also stretches past the gate so the corpus keeps both documents"
+    val aRobots = "User-agent: graftbot\nDisallow: /private/\nCrawl-delay: 2\n"
+    val b1 = Seq(
+      robotsRow(0L, "a.example", aRobots),
+      pageRow(1L, "http://a.example/", text1,
+        Seq("/p1", "/private/x", "http://b.example/q1"))).toDF(warcCols: _*)
+    val b2 = Seq(
+      pageRow(2L, "http://a.example/p1", text2, Seq("/p2", "/p3")),
+      pageRow(3L, "http://b.example/q1", text2 + " twin", Seq.empty)).toDF(warcCols: _*)
+
+    // two state dirs: plain vs compact-after-every-batch — every emitted
+    // plan must be bit-identical (compaction is read-transparent)
+    val plain = java.nio.file.Files.createTempDirectory("crawl-plain").toString
+    val caded = java.nio.file.Files.createTempDirectory("crawl-caded").toString
+    for ((b, id) <- Seq((b1, 0L), (b2, 1L), (b2, 2L))) { // incl. a re-SEND
+      val p0 = planSet(CrawlStream.ingestAndPlan(spark, plain, b, id, "graftbot"))
+      val p1 = planSet(CrawlStream.ingestAndPlan(spark, caded, b, id, "graftbot",
+        compactEvery = 1))
+      assert(p1 === p0, s"batch $id: cadenced plan diverged from plain")
+    }
+
+    // the bound: the re-sent batch appended its whole discovered set again,
+    // so the PLAIN log carries duplicate rows; the compacted log's raw row
+    // count equals its distinct count — the planFrontier read is O(unique)
+    def logDir(state: String) = s"$state/discovered"
+    def rawRows(state: String) = {
+      val root = new java.io.File(logDir(state))
+      val epochs = root.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("c=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      val latest = epochs.maxBy(_.getName.stripPrefix("c=").toLong)
+      spark.read.parquet(s"$latest/urls")
+    }
+    val plainRaw = rawRows(plain).count()
+    val cadedRaw = rawRows(caded).count()
+    val uniq = rawRows(plain).distinct().count()
+    assert(plainRaw > uniq, "the plain log must carry the re-send's duplicate rows")
+    assert(cadedRaw === uniq, "the compacted log must be exactly the distinct set")
+    // GC: at most two epochs remain (the replaced one and the live one)
+    val epochDirs = new java.io.File(logDir(caded)).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c=")).map(_.getName)
+    assert(epochDirs.length <= 2, s"stale epochs not GC'd: ${epochDirs.mkString(",")}")
+
+    // crash-mid-compact: an UNCOMMITTED epoch (no _SUCCESS) is invisible —
+    // readers stay on the last committed epoch and the plan is unchanged
+    val before = planSet(CrawlStream.planFrontier(spark, caded))
+    val debris = java.nio.file.Paths.get(logDir(caded), "c=99", "urls")
+    java.nio.file.Files.createDirectories(debris)
+    Seq("http://evil.example/phantom").toDF("url")
+      .write.mode("overwrite").parquet(debris.toString)
+    assert(planSet(CrawlStream.planFrontier(spark, caded)) === before,
+      "an uncommitted compaction epoch must never serve reads")
+  }
 }
