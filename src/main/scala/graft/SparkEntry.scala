@@ -3007,6 +3007,40 @@ object SparkEntry {
           r2(col("fetch_at")).as("fetch_at"))
         .orderBy(col("url"))
     }),
+    // ---- registered-domain extraction against the REAL public suffix
+    // list (UrlFunctions.vendoredPslRules — the verbatim publicsuffix.org
+    // snapshot from the Debian `publicsuffix` package, 9,506 rules,
+    // ICANN + PRIVATE sections), through the broadcast-join geometry
+    // built for full width (registeredDomainJoined, SCALE.md r17). The
+    // battery exercises every precedence branch on REAL rules: exact
+    // 2–5-label suffixes, *.ck / *.kawasaki.jp / *.compute.amazonaws.com
+    // wildcards, !www.ck / !city.kawasaki.jp exceptions, PRIVATE-section
+    // rules (blogspot.com, s3.amazonaws.com), a U-label IDN rule
+    // (公司.cn), the default '*' rule, IP / single-label / suffix-itself
+    // pass-throughs. Oracle rows are literal VALUES from the INDEPENDENT
+    // python PSL replay (scripts/gen_psl_oracle.py), which asserts that
+    // on 16 of the 28 rows the naive last-2-labels fallback yields a
+    // DIFFERENT answer — a hash match proves real rule resolution ------
+    "q208_psl_vendored" -> ((s, _) => {
+      import s.implicits._
+      val hosts = Seq(
+        "example.com", "www.example.com", "deep.a.b.example.com",
+        "example.co.uk", "www.example.co.uk",
+        "b.test.ck", "a.b.test.ck", "www.ck", "www.www.ck", "test.ck",
+        "www.city.kawasaki.jp", "a.b.kawasaki.jp", "kawasaki.jp",
+        "myblog.blogspot.com", "www.myblog.blogspot.com",
+        "bucket.s3.amazonaws.com", "s3.amazonaws.com",
+        "x.y.eu-west-1.compute.amazonaws.com",
+        "host.pvt.k12.ma.us", "sub.host.pvt.k12.ma.us",
+        "b.s3.cn-north-1.amazonaws.com.cn", "c.b.s3.cn-north-1.amazonaws.com.cn",
+        "example.公司.cn", "example.unknowntld", "a.example.unknowntld",
+        "192.168.0.1", "localhost", "a.schools.nsw.edu.au")
+      val urls = hosts.map(h => s"http://$h/x").toDF("url")
+      graft.functions.UrlFunctions
+        .registeredDomainJoined(urls, "url",
+          graft.functions.UrlFunctions.vendoredPslRules, "regdom")
+        .orderBy(col("url"))
+    }),
     // ---- the PRIORITY-AWARE frontier — the last piece of the
     // Common-Crawl frontier story: q192's PageRank over the doc link
     // graph becomes the fetch budget AND the fetch order. Per URL the
@@ -5696,6 +5730,42 @@ object SparkEntry {
     // q207 ≡ q203 ≡ q190 on the RESULT — compaction must be invisible
     // to readers, so the compacted cache replays the identical schedule
     "q207_compacted_cache" -> frontierScheduleSql,
+    // q208's oracle: literal VALUES from the independent python PSL
+    // replay (scripts/gen_psl_oracle.py) over the SAME vendored
+    // publicsuffix.org snapshot — the generator implements the PSL
+    // algorithm from the spec and asserts the naive last-2-labels
+    // heuristic DIFFERS on 16 of the 28 rows
+    "q208_psl_vendored" ->
+      """SELECT * FROM (VALUES
+        |  ('http://example.com/x', 'example.com'),
+        |  ('http://www.example.com/x', 'example.com'),
+        |  ('http://deep.a.b.example.com/x', 'example.com'),
+        |  ('http://example.co.uk/x', 'example.co.uk'),
+        |  ('http://www.example.co.uk/x', 'example.co.uk'),
+        |  ('http://b.test.ck/x', 'b.test.ck'),
+        |  ('http://a.b.test.ck/x', 'b.test.ck'),
+        |  ('http://www.ck/x', 'www.ck'),
+        |  ('http://www.www.ck/x', 'www.ck'),
+        |  ('http://test.ck/x', 'test.ck'),
+        |  ('http://www.city.kawasaki.jp/x', 'city.kawasaki.jp'),
+        |  ('http://a.b.kawasaki.jp/x', 'a.b.kawasaki.jp'),
+        |  ('http://kawasaki.jp/x', 'kawasaki.jp'),
+        |  ('http://myblog.blogspot.com/x', 'myblog.blogspot.com'),
+        |  ('http://www.myblog.blogspot.com/x', 'myblog.blogspot.com'),
+        |  ('http://bucket.s3.amazonaws.com/x', 'bucket.s3.amazonaws.com'),
+        |  ('http://s3.amazonaws.com/x', 's3.amazonaws.com'),
+        |  ('http://x.y.eu-west-1.compute.amazonaws.com/x', 'y.eu-west-1.compute.amazonaws.com'),
+        |  ('http://host.pvt.k12.ma.us/x', 'host.pvt.k12.ma.us'),
+        |  ('http://sub.host.pvt.k12.ma.us/x', 'host.pvt.k12.ma.us'),
+        |  ('http://b.s3.cn-north-1.amazonaws.com.cn/x', 'b.s3.cn-north-1.amazonaws.com.cn'),
+        |  ('http://c.b.s3.cn-north-1.amazonaws.com.cn/x', 'b.s3.cn-north-1.amazonaws.com.cn'),
+        |  ('http://example.公司.cn/x', 'example.公司.cn'),
+        |  ('http://example.unknowntld/x', 'example.unknowntld'),
+        |  ('http://a.example.unknowntld/x', 'example.unknowntld'),
+        |  ('http://192.168.0.1/x', '192.168.0.1'),
+        |  ('http://localhost/x', 'localhost'),
+        |  ('http://a.schools.nsw.edu.au/x', 'a.schools.nsw.edu.au')
+        |) AS t(url, regdom) ORDER BY url""".stripMargin,
     "q206_incremental_plan" -> incrementalPlanSql,
     // q197's oracle replays the WHOLE crawl plan: discovery union,
     // redirect walk (recursive CTE), robots gate on terminal addresses,

@@ -267,10 +267,12 @@ object UrlFunctions {
     * labels, wildcards, exceptions) passes through AS-IS for
     * [[parsePslRules]] to classify.
     *
-    * Status note: this build runs zero-egress, so [[BundledPslRules]] is
-    * a curated-real + synthetic set, NOT the publicsuffix.org snapshot —
-    * per-domain caps on a real crawl mis-group under uncovered suffixes
-    * until a vendored snapshot is loaded through this function.
+    * Status note: the REAL publicsuffix.org snapshot is vendored at
+    * [[vendoredPslRules]] (r19 — sourced from the Debian `publicsuffix`
+    * package already on this zero-egress host); [[BundledPslRules]]
+    * remains the small curated set for plan-geometry comparisons. Use
+    * this function when the rules live outside the jar (a newer
+    * snapshot on HDFS/S3).
     *
     * Driver-side read by design: the PSL is a ~240 KB static artifact
     * (bounded by the list's governance), and the rules become broadcast
@@ -282,9 +284,32 @@ object UrlFunctions {
       .map(l => l.trim.split("\\s+", 2)(0))
       .filter(r => r.nonEmpty && !r.startsWith("//"))
 
+  /** The REAL public suffix list, vendored: the verbatim
+    * publicsuffix.org `public_suffix_list.dat` snapshot as packaged by
+    * Debian (`publicsuffix 20230209.2326-1`,
+    * /usr/share/publicsuffix/public_suffix_list.dat; Mozilla Public
+    * License 2.0 — see the file's own header) at
+    * `graft/psl/public_suffix_list.dat` on the classpath. 9,506 rules,
+    * ICANN + PRIVATE sections, exact/wildcard/exception forms, rule
+    * depths 1–5, punycode and U-label IDN entries — the list
+    * [[registeredDomainJoined]] was built for (per-depth broadcast
+    * lookups, plan flat at ~5 KB regardless of width; SCALE.md r17).
+    * Refresh by overwriting the resource with a newer snapshot — the
+    * parse accepts the raw file verbatim, like [[loadPslRules]]. */
+  lazy val vendoredPslRules: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/psl/public_suffix_list.dat")
+    require(in != null, "vendored PSL resource missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines()
+      .map(l => l.trim.split("\\s+", 2)(0))
+      .filter(r => r.nonEmpty && !r.startsWith("//"))
+      .toList
+    finally src.close()
+  }
+
   /** The bundled rule subset in PSL file syntax — one instance of what
     * [[registeredDomainFromRules]] accepts; the REAL public suffix list
-    * (the raw `public_suffix_list.dat` lines) swaps in verbatim. */
+    * is vendored at [[vendoredPslRules]] and swaps in verbatim. */
   val BundledPslRules: Seq[String] =
     TwoLevelSuffixes ++ ThreeLevelSuffixes ++
       WildcardBases1.map("*." + _) ++ WildcardBases2.map("*." + _) ++

@@ -348,4 +348,40 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(got("http://school.pvt.k12.ma.us/") === "school.pvt.k12.ma.us")
     java.nio.file.Files.delete(file)
   }
+
+  test("vendoredPslRules: the real publicsuffix.org snapshot drives both geometries") {
+    val rules = UrlFunctions.vendoredPslRules
+    // the snapshot's exact shape (drift between the resource and the
+    // python oracle replay's EXPECTED_RULES is loud on both sides)
+    assert(rules.size === 9506)
+    assert(rules.contains("com"))
+    assert(rules.contains("*.ck") && rules.contains("!www.ck"))
+    assert(rules.contains("*.kawasaki.jp") && rules.contains("!city.kawasaki.jp"))
+    assert(rules.contains("blogspot.com"), "PRIVATE section must be included")
+    // the modern list is canonical in U-labels (punycode entries were
+    // dropped upstream in 2022) — IDN rules appear in Unicode form
+    assert(rules.contains("公司.cn"), "U-label IDN rules present")
+    assert(rules.forall(r => r.nonEmpty && !r.startsWith("//")))
+    // official publicsuffix.org test-vector spot checks through the
+    // broadcast-join geometry (what q208 runs)
+    val urls = Seq("http://www.example.co.uk/", "http://a.b.test.ck/",
+      "http://www.www.ck/", "http://www.city.kawasaki.jp/",
+      "http://x.y.eu-west-1.compute.amazonaws.com/",
+      "http://sub.host.pvt.k12.ma.us/").toDF("url")
+    val joined = UrlFunctions.registeredDomainJoined(urls, "url", rules, "rd")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(joined("http://www.example.co.uk/") === "example.co.uk")
+    assert(joined("http://a.b.test.ck/") === "b.test.ck")
+    assert(joined("http://www.www.ck/") === "www.ck")
+    assert(joined("http://www.city.kawasaki.jp/") === "city.kawasaki.jp")
+    assert(joined("http://x.y.eu-west-1.compute.amazonaws.com/")
+      === "y.eu-west-1.compute.amazonaws.com")
+    assert(joined("http://sub.host.pvt.k12.ma.us/") === "host.pvt.k12.ma.us")
+    // and the literal isin geometry agrees at full width (the r17
+    // equivalence contract holds on the real list, not just the fuzz set)
+    val literal = urls.select(col("url"),
+        UrlFunctions.registeredDomainFromRules(col("url"), rules).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(literal === joined)
+  }
 }
