@@ -217,9 +217,10 @@ object GraphFunctions {
                iterations: Int = 10, damping: Double = 0.85,
                allowGhostVertices: Boolean = false,
                initialRanks: Option[DataFrame] = None,
-               tolerance: Option[Double] = None): DataFrame =
+               tolerance: Option[Double] = None,
+               maxDriverEdges: Int = 200_000): DataFrame =
     pageRankWithRounds(vertices, edges, idCol, srcCol, dstCol, iterations,
-      damping, allowGhostVertices, initialRanks, tolerance)._1
+      damping, allowGhostVertices, initialRanks, tolerance, maxDriverEdges)._1
 
   /** [[pageRank]] plus the number of rounds actually executed — the
     * observable that makes the warm-start payoff measurable (a warm
@@ -244,7 +245,8 @@ object GraphFunctions {
                iterations: Int = 10, damping: Double = 0.85,
                allowGhostVertices: Boolean = false,
                initialRanks: Option[DataFrame] = None,
-               tolerance: Option[Double] = None): (DataFrame, Int) = {
+               tolerance: Option[Double] = None,
+               maxDriverEdges: Int = 200_000): (DataFrame, Int) = {
     tolerance.foreach(t => require(t > 0, s"tolerance must be > 0, got $t"))
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
@@ -254,6 +256,23 @@ object GraphFunctions {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    // Small-graph fast path, the [[componentLabels]] discipline: below
+    // `maxDriverEdges` vertices+edges the whole iteration is driver-side
+    // maps over two bounded collects — zero per-round Spark jobs where
+    // the distributed loop pays one checkpointed join+aggregate job per
+    // round of pure fixed overhead (measured 0.35–0.45 s/round at
+    // local[32] on a 5k-vertex graph whose arithmetic costs
+    // microseconds). The arithmetic mirrors the distributed path
+    // operation-for-operation (same dangling redistribution, same ghost
+    // contract, same warm-init merge and tolerance renormalization), so
+    // results agree to float-addend order — inside the round-6 contract
+    // every oracled consumer pins (FunctionsSpec pins driver ≡
+    // distributed directly). Past the bound, the distributed loop below
+    // is the 100 TB path, unchanged.
+    if (n <= maxDriverEdges &&
+        e.limit(maxDriverEdges + 1).count() <= maxDriverEdges)
+      return pageRankOnDriver(v, e, n, iterations, damping,
+        allowGhostVertices, initialRanks, tolerance)
     if (!allowGhostVertices) {
       // null endpoints (a non-numeric src/dst the cast nulled) never
       // equi-join, so they survive the anti-join too — render them as
@@ -275,17 +294,36 @@ object GraphFunctions {
       .join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .localCheckpoint(true)
-    val outdeg = deg.select(col("src").as("id")).localCheckpoint(true)
+    // static dangling flag folded into the vertex table (and carried in
+    // the rank vector): the per-round dangling mass becomes a filter+sum
+    // scan of the previous vector instead of an anti-join against a
+    // separate out-degree table — one fewer checkpoint at setup, and the
+    // per-round dangling sub-job drops its join stages. (An alternative
+    // that persist()ed the loop's tables to carry hash partitioning
+    // across rounds — removing the per-round join exchanges outright —
+    // was measured and reverted: nested InMemoryRelation plans grow one
+    // level per round, and Spark's per-action plan-string machinery
+    // (AQE listener updates) goes super-linear in that nesting, burning
+    // minutes of driver CPU by round ~40 and OOMing on plan strings.
+    // Checkpoint leaves keep every round's plan O(1); the contribution
+    // join's exchanges remain, which AQE broadcast-optimizes at small
+    // scale, and at cluster scale are the honest per-round cost of
+    // DataFrame-API power iteration.)
+    val vd = v
+      .join(deg.select(col("src").as("id"), lit(true).as("__out")), Seq("id"), "left")
+      .select(col("id"), col("__out").isNull.as("__dang"))
+      .localCheckpoint(true)
     var ranks = (initialRanks match {
-      case None => v.select(col("id"), lit(1.0 / n).as("rank"))
+      case None => vd.select(col("id"), lit(1.0 / n).as("rank"), col("__dang"))
       case Some(init) =>
         // vertices the prior vector misses (new pages) start uniform;
         // prior rows for ids no longer in `vertices` drop with the join
-        val merged = v
+        val merged = vd
           .join(init.select(col("id").cast("long").as("id"),
             col("rank").cast("double").as("__init_rank")), Seq("id"), "left")
           .select(col("id"),
-            coalesce(col("__init_rank"), lit(1.0 / n)).as("rank"))
+            coalesce(col("__init_rank"), lit(1.0 / n)).as("rank"),
+            col("__dang"))
         if (tolerance.isDefined) {
           // TOLERANCE PATH ONLY: renormalize the warm vector to total
           // mass 1. A grown graph's merged init sums to ~1 + newN/n, and
@@ -301,26 +339,30 @@ object GraphFunctions {
           // bit-for-bit), which renormalization would break.
           val total = merged.agg(sum(col("rank")).as("m"))
           merged.crossJoin(broadcast(total))
-            .select(col("id"), (col("rank") / col("m")).as("rank"))
+            .select(col("id"), (col("rank") / col("m")).as("rank"),
+              col("__dang"))
         } else merged
     }).localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (rounds < iterations && !converged) {
-      // dangling mass: rank on vertices with no out-edges, as ONE row
-      val dangling = ranks.join(outdeg, Seq("id"), "left_anti")
+      // dangling mass: rank on the flagged vertices, as ONE row — a
+      // filter+sum scan of the checkpoint leaf (no join), broadcast back
+      // into the round's single action
+      val dangling = ranks.filter(col("__dang"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
       val contrib = weighted
         .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") * col("w")).as("in_rank"))
-      val next = v
+      val next = vd
         .join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping)
             * (coalesce(col("in_rank"), lit(0.0)) + col("dang") / lit(n.toDouble)))
-            .as("rank"))
+            .as("rank"),
+          col("__dang"))
         .localCheckpoint(true)
       rounds += 1
       // L1 delta vs the previous vector — one keys-only join + aggregate
@@ -335,6 +377,114 @@ object GraphFunctions {
       }
       ranks = next
     }
-    (ranks, rounds)
+    (ranks.select(col("id"), col("rank")), rounds)
+  }
+
+  /** The small-graph driver loop behind [[pageRankWithRounds]]: the same
+    * power iteration over two collected arrays, mirroring the distributed
+    * path operation-for-operation — deg counts EVERY edge row per
+    * non-null src (ghost/null dsts included, exactly like the groupBy);
+    * a cast-nulled vertex id joins nothing, so it is dangling and
+    * receives only the teleport + dangling terms; ghost-src edges
+    * contribute nothing (their src has no rank row); ghost-dst
+    * contributions drop (the vertex re-attach is a left join); warm-init
+    * rows with unknown ids are ignored, null init ranks default to 1/n,
+    * and the tolerance path renormalizes the merged init to mass 1.
+    * Returns a LocalRelation, so downstream joins see an honest (small)
+    * size estimate instead of a checkpoint's unknown. */
+  private def pageRankOnDriver(v: DataFrame, e: DataFrame, n: Long,
+      iterations: Int, damping: Double, allowGhostVertices: Boolean,
+      initialRanks: Option[DataFrame], tolerance: Option[Double])
+      : (DataFrame, Int) = {
+    val spark = v.sparkSession
+    val ids: Array[java.lang.Long] = v.collect().map(r =>
+      if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
+    val edgePairs: Array[(java.lang.Long, java.lang.Long)] = e.collect().map { r =>
+      (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))
+    }
+    val index = new java.util.HashMap[java.lang.Long, Int](ids.length * 2)
+    for (j <- ids.indices; if ids(j) != null) index.put(ids(j), j)
+    if (!allowGhostVertices) {
+      val ghosts = edgePairs.iterator
+        .flatMap(p => Iterator(p._1, p._2))
+        .filter(x => x == null || !index.containsKey(x))
+        .map(x => if (x == null) "null" else x.toString)
+        .distinct.take(5).toSeq
+      require(ghosts.isEmpty,
+        s"pageRank: edge endpoints absent from vertices (e.g. ${ghosts.mkString(", ")}) " +
+          "— rank flowing to a ghost dst is dropped and total rank quietly falls " +
+          "below 1. Include every link endpoint as a vertex (or pre-filter the " +
+          "edge list); pass allowGhostVertices = true to accept the mass leak.")
+    }
+    val deg = new java.util.HashMap[java.lang.Long, Long]()
+    for ((s, _) <- edgePairs; if s != null)
+      deg.merge(s, 1L, (a, b) => a + b)
+    val dangFlag: Array[Boolean] =
+      ids.map(id => id == null || !deg.containsKey(id))
+    val srcIdx = edgePairs.map(p =>
+      if (p._1 == null) -1 else index.getOrDefault(p._1, -1))
+    val dstIdx = edgePairs.map(p =>
+      if (p._2 == null) -1 else index.getOrDefault(p._2, -1))
+    val w = edgePairs.map(p =>
+      if (p._1 == null) 0.0 else 1.0 / deg.get(p._1))
+    var ranks: Array[Double] = initialRanks match {
+      case None => Array.fill(ids.length)(1.0 / n)
+      case Some(init) =>
+        val m = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+        init
+          .select(col("id").cast("long").as("id"),
+            col("rank").cast("double").as("rank"))
+          .collect().foreach { r =>
+            if (!r.isNullAt(0))
+              m.put(r.getLong(0),
+                if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))
+          }
+        val merged = ids.map { id =>
+          val x = if (id == null) null else m.get(id)
+          if (x == null) 1.0 / n else x.doubleValue()
+        }
+        if (tolerance.isDefined) {
+          val total = merged.sum
+          merged.map(_ / total)
+        } else merged
+    }
+    var rounds = 0
+    var converged = false
+    while (rounds < iterations && !converged) {
+      var dang = 0.0
+      var j = 0
+      while (j < ids.length) { if (dangFlag(j)) dang += ranks(j); j += 1 }
+      val in = new Array[Double](ids.length)
+      var k = 0
+      while (k < edgePairs.length) {
+        val si = srcIdx(k); val di = dstIdx(k)
+        if (si >= 0 && di >= 0) in(di) += ranks(si) * w(k)
+        k += 1
+      }
+      val next = new Array[Double](ids.length)
+      j = 0
+      while (j < ids.length) {
+        next(j) = (1.0 - damping) / n + damping * (in(j) + dang / n)
+        j += 1
+      }
+      rounds += 1
+      if (tolerance.isDefined && rounds < iterations) {
+        var delta = 0.0
+        j = 0
+        while (j < ids.length) { delta += math.abs(next(j) - ranks(j)); j += 1 }
+        converged = delta < tolerance.get
+      }
+      ranks = next
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    for (j <- ids.indices)
+      rows.add(org.apache.spark.sql.Row(ids(j), ranks(j)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    (spark.createDataFrame(rows, schema), rounds)
   }
 }

@@ -677,6 +677,46 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(viaOperator(v) - viaHandInit(v)) < 1e-15, s"vertex $v")
   }
 
+  test("pageRank: driver fast path ≡ distributed loop (fixed rounds, warm chaining, tolerance)") {
+    import spark.implicits._
+    // maxDriverEdges = 0 forces the distributed loop; the default takes
+    // the driver fast path on this small graph — same answers required
+    val n = 40
+    val verts = (0L until n.toLong).toDF("id")
+    val edges = (0 until 120).map { i =>
+      (((i * 31 + 7) % n).toLong, ((i * i * 17 + 3) % n).toLong)
+    }.filter { case (a, b) => a != b }.toDF("src", "dst")
+    val fast = GraphFunctions.pageRank(verts, edges, iterations = 8)
+      .as[(Long, Double)].collect().toMap
+    val dist = GraphFunctions.pageRank(verts, edges, iterations = 8,
+        maxDriverEdges = 0)
+      .as[(Long, Double)].collect().toMap
+    for (v <- dist.keys)
+      assert(math.abs(fast(v) - dist(v)) < 1e-12, s"vertex $v")
+    // warm chaining CROSSES the paths: a driver-path round-5 vector feeds
+    // the distributed loop's init merge and must land on the 8-round point
+    val warm5 = GraphFunctions.pageRank(verts, edges, iterations = 5)
+    val chained = GraphFunctions.pageRank(verts, edges, iterations = 3,
+        initialRanks = Some(warm5), maxDriverEdges = 0)
+      .as[(Long, Double)].collect().toMap
+    for (v <- dist.keys)
+      assert(math.abs(chained(v) - dist(v)) < 1e-12, s"chained vertex $v")
+    // tolerance early-exit on the distributed loop (the driver path is
+    // covered by the tolerance tests below): both converge to the same
+    // fixed point within tolerance
+    val tol = 1e-9
+    val (fastTolDf, fastRounds) = GraphFunctions.pageRankWithRounds(
+      verts, edges, iterations = 60, damping = 0.5, tolerance = Some(tol))
+    val (distTolDf, distRounds) = GraphFunctions.pageRankWithRounds(
+      verts, edges, iterations = 60, damping = 0.5, tolerance = Some(tol),
+      maxDriverEdges = 0)
+    assert(fastRounds < 60 && distRounds < 60)
+    val ft = fastTolDf.as[(Long, Double)].collect().toMap
+    val dt = distTolDf.as[(Long, Double)].collect().toMap
+    val l1 = dt.keys.map(v => math.abs(dt(v) - ft(v))).sum
+    assert(l1 < tol * 4, f"paths drifted $l1%.2e apart at the stop")
+  }
+
   test("pageRank tolerance: early exit lands within tolerance, warm start converges in fewer rounds") {
     import spark.implicits._
     val n = 30
