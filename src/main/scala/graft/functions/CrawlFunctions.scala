@@ -110,12 +110,19 @@ object CrawlFunctions {
     * still pointing onward (a longer-than-budget chain or a loop — real
     * crawlers give up the same way; browsers cap around 20).
     *
-    * Scale shape: the frontier SHRINKS as chains settle — each hop joins
-    * only the still-redirecting rows against the redirect table (keys +
-    * an 8-byte counter cross the exchange; settled rows never re-enter a
-    * join), and per-hop localCheckpoint keeps round R's plan O(R = one
-    * join), not O(R²). maxHops bounds the job count; redirect tables are
-    * fetch-log-sized, joined hash-to-hash. */
+    * Scale shape (r19, binary lifting): the redirect map is DOUBLED
+    * log₂(maxHops) times (jump table J_{2k} = J_k ∘ J_k — an entry
+    * exists iff the chain continues for the full 2k hops; src unique
+    * makes composition exact), then the frontier walks the jump tables
+    * once, largest first, taking a jump when its entry exists and the
+    * hop budget allows — greedy binary decomposition lands every row at
+    * exactly min(chain length, maxHops) hops. The frontier crosses
+    * O(log maxHops) joins in ONE lazy plan instead of materializing
+    * maxHops+1 times (the old shape checkpointed the whole frontier per
+    * hop — 9 eager jobs at maxHops = 8, paid even after every chain had
+    * settled); only the fetch-log-sized jump tables checkpoint. At a
+    * browser-style budget of 20 that is 5 frontier joins, not 21
+    * frontier materializations. */
   def resolveRedirects(urls: DataFrame, redirects: DataFrame, urlCol: String,
                        srcCol: String = "src", dstCol: String = "dst",
                        maxHops: Int = 8): DataFrame = {
@@ -134,22 +141,47 @@ object CrawlFunctions {
     val red = redirects
       .select(col(srcCol).as(cur), col(dstCol).as(nxt))
       .localCheckpoint(true)
-    var live = urls
+    // the documented src-unique contract, enforced LOUD: composed jump
+    // tables (and the greedy walk) are only exact over a functional map —
+    // a duplicated src would silently splice different chains together
+    // where the old per-hop form fanned out. One bounded job on the
+    // (small) redirect table.
+    val dup = red.groupBy(col(cur)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"resolveRedirects requires one dst per src (redirect tables are " +
+        s"one Location per URL); src '${if (dup.nonEmpty) dup(0).get(0) else ""}' has multiple rows")
+    // jump tables J_1, J_2, J_4, … (largest ≤ maxHops), each checkpointed
+    // so the next doubling and the walk read a leaf, not a growing tree
+    var jumps: List[(Int, DataFrame)] = List((1, red))
+    while (jumps.head._1 * 2 <= maxHops) {
+      val (k, jk) = jumps.head
+      val mid = SamplingFunctions.tempCol(urls, "__redirect_mid")
+      val composed = jk.select(col(cur), col(nxt).as(mid))
+        .join(jk.select(col(cur).as(mid), col(nxt)), mid)
+        .select(col(cur), col(nxt))
+        .localCheckpoint(true)
+      jumps ::= (k * 2, composed)
+    }
+    // walk largest-jump-first: take a jump iff the entry exists (chain
+    // runs ≥ k more hops) and the budget allows; greedy binary
+    // decomposition yields n_hops = min(chain length, maxHops) exactly
+    var state = urls
       .withColumn(cur, col(urlCol))
       .withColumn("n_hops", lit(0))
-    val settled = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    for (_ <- 1 to maxHops) {
-      val joined = live.join(red, Seq(cur), "left").localCheckpoint(true)
-      settled += joined.filter(col(nxt).isNull)
-        .drop(nxt).withColumn("terminal", lit(true))
-      live = joined.filter(col(nxt).isNotNull)
-        .withColumn(cur, col(nxt)).drop(nxt)
-        .withColumn("n_hops", col("n_hops") + 1)
+    for ((k, jk) <- jumps) {
+      // `took` references the PRE-jump n_hops; update cur before n_hops
+      // so both when()s resolve against it (withColumn rebinds names)
+      val took = col(nxt).isNotNull && (col("n_hops") + lit(k) <= lit(maxHops))
+      state = state.join(jk, Seq(cur), "left")
+        .withColumn(cur, when(took, col(nxt)).otherwise(col(cur)))
+        .withColumn("n_hops",
+          when(took, col("n_hops") + lit(k)).otherwise(col("n_hops")))
+        .drop(nxt)
     }
-    // budget exhausted: terminal only if the chain happens to end here
-    val leftover = live.join(red, Seq(cur), "left")
+    // terminal iff the landing address has no outgoing redirect
+    state.join(red, Seq(cur), "left")
       .withColumn("terminal", col(nxt).isNull).drop(nxt)
-    (settled.toList :+ leftover).reduce(_.unionByName(_))
       .withColumnRenamed(cur, "final_url")
       .select(urls.columns.map(col).toIndexedSeq
         ++ Seq(col("final_url"), col("n_hops"), col("terminal")): _*)

@@ -1134,6 +1134,10 @@ object DedupFunctions {
       .select(col(idCol).as("id"),
         array_distinct(TextFunctions.tokens(lower(col(textCol)))).as("tk"))
       .filter(size(col("tk")) > 0)
+    // (r19 note: materializing `exploded` itself was measured a LOSS —
+    // full token-row frames cost more to checkpoint+reread than the
+    // scan+tokenize they save, same result as the containment A/B; the
+    // wins below are the REDUCED shared frames, setsInt and prefix)
     val exploded = sets.select(col("id"), size(col("tk")).as("n"),
       explode(col("tk")).as("term"))
     val dfreq = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1163,8 +1167,12 @@ object DedupFunctions {
     // no broadcast hint: word vocabularies would fit, but open-vocab
     // corpora (URLs, hashes) would not — both term-keyed joins below
     // share one exchange of `exploded`, so the shuffle is paid once
+    // materialized once: both verify sides read this aggregate (the
+    // unmaterialized form ran the join+collect_list twice — the two
+    // ObjectHashAggregate subtrees in the before-plan)
     val setsInt = exploded.join(ranked, "term").groupBy(col("id"), col("n"))
       .agg(sort_array(collect_list(col("rank"))).as("tkr"))
+      .localCheckpoint(true)
     // rarest-first prefix via the (df, term) lexicographic total order —
     // the containmentJoinExact shape; no dense global rank needed here
     val withDf = exploded.join(dfreq, "term")
@@ -1174,6 +1182,8 @@ object DedupFunctions {
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
       .select(col("term"), col("id"), col("n"), col("rn"))
+      // both candidate sides read the same prefix — one window, not two
+      .localCheckpoint(true)
     val a = prefix.select(col("term"), col("id").as("id_a"),
       col("n").as("n_a"), col("rn").as("rn_a"))
     val b = prefix.select(col("term"), col("id").as("id_b"),
@@ -1264,6 +1274,12 @@ object DedupFunctions {
                            tau: Double, ngram: Int = 3): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    // (r19 note: checkpointing `sets`/`withRn` here was MEASURED and
+    // reverted — interleaved A/B at sf1, median 0.80× i.e. 25% slower:
+    // shingle arrays and full token-row frames cost more to materialize
+    // and re-read than the word_ngrams/window recompute they save. The
+    // jaccard path's checkpoints survive because its shared frames are
+    // REDUCED — per-doc int arrays and the ~10% prefix.)
     val sets = docs
       .select(col(idCol).as("id"),
         graft.expr.NativeFunctions.word_ngrams(col(textCol), ngram).as("tk"))

@@ -211,14 +211,50 @@ object EntityResolution {
         .select(col("id_a"), col("id_b"), lit(0).as("dist"))
     }
     require(q >= 2, s"q must be >= 2, got $q")
-    val verified = candidateStream(df, nameCol, idCol, maxDist, q, blocking)
+    if (blocking == "band") {
+      // r19: verify on DISTINCT names, expand to id pairs afterwards. The
+      // band path exists for corpora whose name mass CONCENTRATES on a
+      // small value set (the q125 distribution: 4k ids over 64 distinct
+      // names at sf0.1) — exactly the corpora where the id-level band
+      // join enumerates Σ n_len² pairs (5.0M at sf0.1, ~500M at sf1) and
+      // pays a levenshtein on EVERY one, even though the distance only
+      // depends on the (name_a, name_b) value pair. Shrinking the band
+      // join to distinct names verifies each value pair once (64² bound
+      // ≫ covered by the band), and the two expansion equi-joins then
+      // enumerate exactly the OUTPUT pairs — the bound no algorithm can
+      // beat — in codegen with no per-row DP. On a mostly-unique corpus
+      // distinct ≈ identity and the shape degrades to the old one plus a
+      // map-side distinct; guide §2.3/§3 (shuffle keys and verified
+      // values, not payload rows; pre-shrink the join's inputs).
+      // Both orders of each name pair are kept (a name's band covers its
+      // partner's length and vice versa), so the expansion filter
+      // id_a < id_b keeps each unordered id pair exactly once.
+      val base = df.select(col(idCol).as("id"), col(nameCol).as("name"))
+      val dn = base.select(col("name")).distinct()
+        .withColumn("len", length(col("name")))
+      val da = dn
+        .withColumn("len_key",
+          explode(sequence(col("len") - maxDist, col("len") + maxDist)))
+        .select(col("len_key"), col("name").as("name_a"))
+      val db = dn.select(col("len").as("len_key"), col("name").as("name_b"))
+      val namePairs = da.join(db, "len_key")
+        // thresholded levenshtein = banded DP, O(d·n) per VALUE pair
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+        .filter(col("dist") >= 0)
+        .select(col("name_a"), col("name_b"), col("dist"))
+      return base.select(col("name").as("name_a"), col("id").as("id_a"))
+        .join(namePairs, "name_a")
+        .join(base.select(col("name").as("name_b"), col("id").as("id_b")), "name_b")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }
+    candidateStream(df, nameCol, idCol, maxDist, q, blocking)
       // thresholded levenshtein = banded DP, O(d·n) per pair instead of
       // O(n²), and returns −1 past the bound
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
-    // band pairs arise exactly once — only the qgram stream needs dedup
-    if (blocking == "band") verified else verified.distinct()
+      .distinct()
   }
 
   /** [[fuzzyPairs]] capped at the `k` CLOSEST partners per id_a — exact

@@ -22,10 +22,13 @@ object GraphFunctions {
                       srcCol: String = "src", dstCol: String = "dst",
                       maxIterations: Int = 10,
                       maxDriverEdges: Int = 100_000): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
-    if (e.limit(maxDriverEdges + 1).count() <= maxDriverEdges) {
-      val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eSel = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // detection fused into the bounded collect (the pageRank discipline):
+    // one job either yields the full edge set or proves it too big
+    val eRows = eSel.limit(maxDriverEdges + 1).collect()
+    if (eRows.length <= maxDriverEdges) {
+      val pairs = eRows.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -48,7 +51,8 @@ object GraphFunctions {
         .join(labelMap, Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     } else {
-      connectedComponents(vertices.select(col(idCol).cast("long").as("id")), e,
+      connectedComponents(vertices.select(col(idCol).cast("long").as("id")),
+        eSel.localCheckpoint(true),
         idCol = "id", srcCol = "src", dstCol = "dst",
         maxIterations = maxIterations)
     }
@@ -250,29 +254,39 @@ object GraphFunctions {
     tolerance.foreach(t => require(t > 0, s"tolerance must be > 0, got $t"))
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
-    val v = vertices.select(col(idCol).cast("long").as("id")).localCheckpoint(true)
-    val n = v.count()
-    require(n > 0, "pageRank needs at least one vertex")
-    val e = edges
+    val vSel = vertices.select(col(idCol).cast("long").as("id"))
+    val eSel = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
     // Small-graph fast path, the [[componentLabels]] discipline: below
     // `maxDriverEdges` vertices+edges the whole iteration is driver-side
     // maps over two bounded collects — zero per-round Spark jobs where
     // the distributed loop pays one checkpointed join+aggregate job per
     // round of pure fixed overhead (measured 0.35–0.45 s/round at
     // local[32] on a 5k-vertex graph whose arithmetic costs
-    // microseconds). The arithmetic mirrors the distributed path
-    // operation-for-operation (same dangling redistribution, same ghost
-    // contract, same warm-init merge and tolerance renormalization), so
-    // results agree to float-addend order — inside the round-6 contract
-    // every oracled consumer pins (FunctionsSpec pins driver ≡
-    // distributed directly). Past the bound, the distributed loop below
-    // is the 100 TB path, unchanged.
-    if (n <= maxDriverEdges &&
-        e.limit(maxDriverEdges + 1).count() <= maxDriverEdges)
-      return pageRankOnDriver(v, e, n, iterations, damping,
-        allowGhostVertices, initialRanks, tolerance)
+    // microseconds). The detection IS the collect: limit(bound+1) either
+    // returns ≤ bound rows (which are then the exact vertex/edge sets —
+    // no separate count, checkpoint or re-collect jobs; r19 measured the
+    // old shape spending ~6 eager jobs per call on a graph whose driver
+    // loop runs in microseconds) or proves the side too big with one
+    // bounded job and falls through. The arithmetic mirrors the
+    // distributed path operation-for-operation (same dangling
+    // redistribution, same ghost contract, same warm-init merge and
+    // tolerance renormalization), so results agree to float-addend
+    // order — inside the round-6 contract every oracled consumer pins
+    // (FunctionsSpec pins driver ≡ distributed directly). Past the
+    // bound, the distributed loop below is the 100 TB path, unchanged.
+    val vRows = vSel.limit(maxDriverEdges + 1).collect()
+    if (vRows.length <= maxDriverEdges) {
+      require(vRows.nonEmpty, "pageRank needs at least one vertex")
+      val eRows = eSel.limit(maxDriverEdges + 1).collect()
+      if (eRows.length <= maxDriverEdges)
+        return pageRankOnDriver(vertices.sparkSession, vRows, eRows,
+          iterations, damping, allowGhostVertices, initialRanks, tolerance)
+    }
+    val v = vSel.localCheckpoint(true)
+    val n = v.count()
+    require(n > 0, "pageRank needs at least one vertex")
+    val e = eSel.localCheckpoint(true)
     if (!allowGhostVertices) {
       // null endpoints (a non-numeric src/dst the cast nulled) never
       // equi-join, so they survive the anti-join too — render them as
@@ -392,14 +406,16 @@ object GraphFunctions {
     * and the tolerance path renormalizes the merged init to mass 1.
     * Returns a LocalRelation, so downstream joins see an honest (small)
     * size estimate instead of a checkpoint's unknown. */
-  private def pageRankOnDriver(v: DataFrame, e: DataFrame, n: Long,
+  private def pageRankOnDriver(spark: org.apache.spark.sql.SparkSession,
+      vRows: Array[org.apache.spark.sql.Row],
+      eRows: Array[org.apache.spark.sql.Row],
       iterations: Int, damping: Double, allowGhostVertices: Boolean,
       initialRanks: Option[DataFrame], tolerance: Option[Double])
       : (DataFrame, Int) = {
-    val spark = v.sparkSession
-    val ids: Array[java.lang.Long] = v.collect().map(r =>
+    val n: Long = vRows.length.toLong
+    val ids: Array[java.lang.Long] = vRows.map(r =>
       if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)))
-    val edgePairs: Array[(java.lang.Long, java.lang.Long)] = e.collect().map { r =>
+    val edgePairs: Array[(java.lang.Long, java.lang.Long)] = eRows.map { r =>
       (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
         if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))
     }
