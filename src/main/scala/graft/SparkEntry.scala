@@ -2552,10 +2552,12 @@ object SparkEntry {
         .select(col("final_url").as("url")).distinct()
       val fetchable = R.filterByRobots(resolved, rules, "url")
         .withColumn("host", graft.functions.UrlFunctions.urlHost(col("url")))
+      // host carried from cap into the schedule: same attribute ⇒ the
+      // schedule window reuses cap's exchange AND sort (r19)
       val capped = graft.functions.SamplingFunctions
         .capPerGroup(fetchable, col("host"), col("url"), maxPerGroup = 25)
-        .drop("host")
-      R.scheduleFrontier(capped, delays, "url", defaultDelay = 1.0)
+      R.scheduleFrontier(capped, delays, "url", defaultDelay = 1.0,
+          hostCol = Some("host"))
         .select(col("url"), r2(col("crawl_delay")).as("crawl_delay"),
           r2(col("fetch_at")).as("fetch_at"))
         .orderBy(col("url"))
@@ -2704,8 +2706,15 @@ object SparkEntry {
       val U = graft.functions.UrlFunctions
       val H = graft.functions.HtmlFunctions
       val Smp = graft.functions.SamplingFunctions
+      // staged once: BOTH the response plane and the out-link plane read
+      // this cut — unmaterialized, each branch re-ran the gunzip+parse of
+      // the whole archive (r19; the checkpoint carries only the columns
+      // the two branches need)
       val warc = graft.sources.Warc.readWarc(s, warcFixtureDir())
         .filter(col("file").endsWith(".warc.gz") && col("warc_type") === "response")
+        .select(col("record_index"), col("target_uri"), col("http_status"),
+          col("http_content_type"), col("payload"))
+        .localCheckpoint(true)
       val responses = warc
         .select(col("record_index").cast("long").as("rid"),
           U.canonicalizeUrl(col("target_uri")).as("url"),
@@ -2737,9 +2746,12 @@ object SparkEntry {
       val delays = R.robotsCrawlDelay(robots, "host", "body", "graftbot")
       val fetchable = R.filterByRobots(discovered, rules, "url")
         .withColumn("h", U.urlHost(col("url")))
+      // h carried through the cap: the schedule window reuses the cap
+      // window's exchange and sort (r19)
       val plan = R.scheduleFrontier(
-        Smp.capPerGroup(fetchable, col("h"), col("url"), 25).drop("h"),
-        delays, "url", defaultDelay = 1.0)
+        Smp.capPerGroup(fetchable, col("h"), col("url"), 25),
+        delays, "url", defaultDelay = 1.0, hostCol = Some("h"))
+        .drop("h")
       // cut after the plan × fetch join: both downstream reads (HTML gate,
       // final classify) would otherwise re-run the robots decision fold
       // and the two schedule windows — measured 1.4x wall without the cut
@@ -2907,10 +2919,12 @@ object SparkEntry {
         .withColumn("h", U.urlHost(col("url")))
       val fetched = graft.functions.SamplingFunctions
         .capPerGroup(fetchable, col("h"), col("url"), 3)
+      // h kept through the anti-join (broadcast at this scale, so cap's
+      // host partitioning survives into the schedule window — r19)
       val remaining = fetchable
         .join(fetched.select(col("url")), Seq("url"), "left_anti")
-        .drop("h")
-      R.scheduleFrontier(remaining, delays, "url", defaultDelay = 1.0)
+      R.scheduleFrontier(remaining, delays, "url", defaultDelay = 1.0,
+          hostCol = Some("h"))
         .select(col("url"),
           r2(col("crawl_delay")).as("crawl_delay"),
           r2(col("fetch_at")).as("fetch_at"))
@@ -3066,12 +3080,13 @@ object SparkEntry {
         .join(ranks, "doc_id")
         .groupBy(col("url")).agg(max(col("mrank")).as("mrank"))
         .withColumn("h", graft.functions.UrlFunctions.urlHost(col("url")))
+      // h carried from cap to schedule: same attribute, same order ⇒ the
+      // schedule window reuses the cap window's exchange and sort (r19)
       val capped = graft.functions.SamplingFunctions
         .capPerGroup(ranked, col("h"), col("url"), 10,
           orderBy = Seq(col("mrank").desc, col("url")))
-        .drop("h")
       R.scheduleFrontier(capped, delays, "url", defaultDelay = 1.0,
-          orderBy = Seq(col("mrank").desc, col("url")))
+          orderBy = Seq(col("mrank").desc, col("url")), hostCol = Some("h"))
         .select(col("url"), col("mrank"),
           r2(col("crawl_delay")).as("crawl_delay"),
           r2(col("fetch_at")).as("fetch_at"))

@@ -483,26 +483,45 @@ object RobotsFunctions {
     * unhinted, AQE broadcasts it automatically whenever it actually fits
     * (fixture scale, per-domain crawls) and degrades to a shuffled hash
     * join on host — one (host, url) exchange — when it doesn't.
+    * `hostCol` (r19): a frontier that already carries its host column —
+    * every cap-then-schedule pipeline computes one for the per-host cap —
+    * can pass it instead of having the host re-derived into a temp
+    * column. Beyond skipping the urlHost recompute, this lets the
+    * schedule window PARTITION ON THE SAME ATTRIBUTE the cap window
+    * partitioned and sorted on, so Spark's EnsureRequirements plans zero
+    * additional Exchange and zero additional Sort for the schedule — the
+    * old shape re-shuffled and re-sorted the whole frontier on a
+    * same-valued but distinct host attribute. The column is kept in the
+    * output (it is the caller's own data).
+    *
     * Output: input columns + (crawl_delay, fetch_at). */
   def scheduleFrontier(urls: DataFrame, delays: DataFrame, urlCol: String,
                        defaultDelay: Double,
-                       orderBy: Seq[Column] = Nil): DataFrame = {
+                       orderBy: Seq[Column] = Nil,
+                       hostCol: Option[String] = None): DataFrame = {
     require(defaultDelay >= 0, s"defaultDelay must be >= 0, got $defaultDelay")
     for (c <- Seq("crawl_delay", "fetch_at"))
       require(!urls.columns.contains(c),
         s"scheduleFrontier adds a `$c` column and the input already has one — rename it first")
-    val host = SamplingFunctions.tempCol(urls, "__frontier_host")
-    val delayHost = SamplingFunctions.tempCol(urls, "__frontier_delay_host")
+    hostCol.foreach(h => require(urls.columns.contains(h),
+      s"scheduleFrontier: hostCol '$h' not found in the frontier"))
+    val (withHost, host, dropHost) = hostCol match {
+      case Some(h) => (urls, h, false)
+      case None =>
+        val h = SamplingFunctions.tempCol(urls, "__frontier_host")
+        (urls.withColumn(h, UrlFunctions.urlHost(col(urlCol))), h, true)
+    }
+    val delayHost = SamplingFunctions.tempCol(withHost, "__frontier_delay_host")
     val order = if (orderBy.nonEmpty) orderBy
                 else Seq(md5(col(urlCol)), col(urlCol))
     val w = Window.partitionBy(col(host)).orderBy(order: _*)
-    urls
-      .withColumn(host, UrlFunctions.urlHost(col(urlCol)))
+    val scheduled = withHost
       .join(delays.select(col("host").as(delayHost), col("crawl_delay")),
         col(host) === col(delayHost), "left")
       .withColumn("crawl_delay", coalesce(col("crawl_delay"), lit(defaultDelay)))
       .withColumn("fetch_at",
         (row_number().over(w) - 1).cast("double") * col("crawl_delay"))
-      .drop(host, delayHost)
+      .drop(delayHost)
+    if (dropHost) scheduled.drop(host) else scheduled
   }
 }
