@@ -51,6 +51,13 @@ object NativeFunctions {
   def afp64(energies: Column): Column =
     ColumnBridge.column(Afp64Expr(ColumnBridge.expression(energies)))
 
+  /** Intersection COUNT of two SORTED array<bigint> columns — two-pointer
+    * merge in codegen, no allocation ([[SortedIntersectCountExpr]]; the
+    * exact-join verify kernel). Arrays MUST be sorted ascending. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Native bounded top-k (score, id) AGGREGATE: exact (score DESC,
     * id ASC) top-k per group, 2k-bounded buffer with map-side partials
     * ([[TopKPairsAgg]]). Output array<struct<score: double, id: bigint>>,

@@ -565,12 +565,10 @@ object DedupFunctions {
     // near-dups survive Jaccard), so components resolve driver-side with
     // union-find on the collected edges and the drop-set broadcasts back —
     // zero iterative jobs. Distributed min-label propagation remains the
-    // fallback for a pathological edge volume. The pair pipeline is
-    // materialized ONCE (localCheckpoint) before the size probe, so the
-    // pathological branch neither recomputes it nor collects a 10M-row
-    // probe to the driver — the probe is a limit+count on the
-    // checkpointed frame and rows reach the driver only on the small
-    // branch that actually wants them.
+    // fallback for a pathological edge volume; the size probe is the
+    // bounded collect itself (dropByPairGraph), so the common branch
+    // pays ONE job and only the pathological branch re-runs the pair
+    // pipeline for its checkpoint.
     val pairs = neardupPairsLocal(df, textCol, idCol, n, bands, rowsPerBand, jaccardThreshold)
     dropByPairGraph(df, idCol, pairs, maxIterations, maxDriverEdges)
   }
@@ -586,11 +584,16 @@ object DedupFunctions {
   def dropByPairGraph(df: DataFrame, idCol: String, pairs: DataFrame,
                       maxIterations: Int = 5,
                       maxDriverEdges: Int = 100_000): DataFrame = {
-    val verified = pairs
-      .select("id_a", "id_b")
-      .localCheckpoint(true)
-    if (verified.limit(maxDriverEdges + 1).count() <= maxDriverEdges) {
-      val edges = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // detection fused into the bounded collect (the pageRank discipline,
+    // r19): one job either yields the edge set the union-find needs or
+    // proves it too big. The pathological big branch re-runs the pair
+    // pipeline once for its checkpoint — the common branch saves two
+    // eager jobs per call (the old shape checkpointed, counted, then
+    // collected).
+    val vSel = pairs.select("id_a", "id_b")
+    val probe = vSel.limit(maxDriverEdges + 1).collect()
+    if (probe.length <= maxDriverEdges) {
+      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -620,7 +623,7 @@ object DedupFunctions {
     } else {
       // canonical = min id per component; keep only canonical rows
       val labels = GraphFunctions.connectedComponents(
-        df.select(col(idCol)), verified,
+        df.select(col(idCol)), vSel.localCheckpoint(true),
         idCol = idCol, srcCol = "id_a", dstCol = "id_b",
         maxIterations = maxIterations)
       val keep = labels.filter(col("id") === col("label")).select(col("id"))
@@ -1210,7 +1213,14 @@ object DedupFunctions {
     val verify = candidates
       .join(setsInt.select(col("id").as("id_b"), col("tkr").as("tkr_b")), "id_b")
       .join(setsInt.select(col("id").as("id_a"), col("tkr").as("tkr_a")), "id_a")
-      .withColumn("inter", size(array_intersect(col("tkr_a"), col("tkr_b"))).cast("double"))
+      // r19: two-pointer merge COUNT over the sorted rank arrays instead
+      // of size(array_intersect(...)) — the hash-set + materialized
+      // intersection array cost ~5 µs per candidate pair (Q115Prof, 9.6 s
+      // of q115's sf1 wall); the count is all the measure needs and the
+      // arrays are sorted by construction. Same integer count ⇒ same IEEE
+      // division ⇒ bit-identical jaccard.
+      .withColumn("inter", graft.expr.NativeFunctions
+        .sorted_intersect_count(col("tkr_a"), col("tkr_b")).cast("double"))
       .withColumn("jaccard", col("inter") /
         (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= tau)
