@@ -2392,8 +2392,17 @@ object SparkEntry {
     "q181_emb_sketch_neardup" -> ((s, d) => {
       val sigs = embSketchAugmented(s, d)
         .select(col("vec_id"), Sim.rhpSketch64(col("e"), 64).as("sig"))
-      D.neardupPairsByHamming64(sigs, "sig", "vec_id",
-          bands = 12, maxDistance = 11)
+      // r20 (guide §3.1 — pick the join strategy deliberately): the
+      // dist ≤ 11 budget forced the BANDED form into 12 bands of 5-bit
+      // keys — the measured bucket-width cliff (SCALE.md r16: 18.6 s at
+      // sf1 vs 1.92 s for the multi-probe join on the SAME signatures,
+      // identical output — q184 is that twin and its oracle pins the
+      // equivalence; both are total-recall at this geometry, so the pair
+      // set is provably the same). The banded form keeps its proper
+      // geometry (maxDistance < bands on wide keys) in q174/q175/q177
+      // and HammingLshSpec.
+      D.neardupPairsByHammingMultiProbe(sigs, "sig", "vec_id",
+          bands = 6, maxDistance = 11)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),

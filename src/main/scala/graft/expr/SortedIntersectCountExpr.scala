@@ -51,6 +51,22 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (nx, ny) = (x.numElements(), y.numElements())
+    // r20 (ADVICE): contract guard on the INTERPRETED path only — the
+    // specs drive this twin directly, so a future caller feeding unsorted
+    // arrays fails loud in tests instead of silently undercounting; the
+    // codegen twin (the hot path) stays branch-free
+    var k = 1
+    while (k < nx) {
+      assert(x.getLong(k - 1) <= x.getLong(k),
+        "sorted_intersect_count: left array violates the sorted-ascending contract")
+      k += 1
+    }
+    k = 1
+    while (k < ny) {
+      assert(y.getLong(k - 1) <= y.getLong(k),
+        "sorted_intersect_count: right array violates the sorted-ascending contract")
+      k += 1
+    }
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
       val xv = x.getLong(i); val yv = y.getLong(j)

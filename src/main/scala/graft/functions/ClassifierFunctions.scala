@@ -365,42 +365,14 @@ object ClassifierFunctions {
     * halving finds a decrease the iteration stops early at the current
     * optimum. Throws on a degenerate Hessian (all scores equal). Returns
     * (a, b). */
-  def fitPlatt(scored: DataFrame, scoreCol: String, labelCol: String,
-               iterations: Int = 6): (Double, Double) = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val df = scored.select(col(scoreCol).cast("double").as("s"),
-      col(labelCol).cast("boolean").as("y")).localCheckpoint(true)
-    val cnt = df.agg(
-      sum(when(col("y"), 1L).otherwise(0L)).as("np"),
-      sum(when(!col("y"), 1L).otherwise(0L)).as("nn")).head()
-    val np = cnt.getLong(0); val nn = cnt.getLong(1)
-    require(np > 0 && nn > 0, s"fitPlatt needs both classes, got +$np/-$nn")
-    val tPos = (np + 1.0) / (np + 2.0)
-    val tNeg = 1.0 / (nn + 2.0)
-    // One fused corpus-width scan per evaluation point: gradient, the 2×2
-    // Hessian AND the cross-entropy objective (overflow-safe split form —
-    // z ≥ 0: t·z + log1p(e^{-z}); z < 0: (t−1)·z + log1p(e^{z})) as six
-    // scalar sums. The accepted candidate's evaluation doubles as the
-    // next iteration's gradient, so the safeguard costs ONE extra scan
-    // total (the init) on well-conditioned data, not one per step.
-    final case class Eval(g1: Double, g2: Double, h11: Double, h12: Double,
-                          h22: Double, f: Double)
-    def evalAt(a: Double, b: Double): Eval = {
-      val z = lit(a) * col("s") + lit(b)
-      val p = lit(1.0) / (lit(1.0) + exp(z))
-      val t = when(col("y"), lit(tPos)).otherwise(lit(tNeg))
-      val w = p * (lit(1.0) - p)
-      val r = df.agg(
-        sum((t - p) * col("s")).as("g1"),
-        sum(t - p).as("g2"),
-        sum(w * col("s") * col("s")).as("h11"),
-        sum(w * col("s")).as("h12"),
-        sum(w).as("h22"),
-        sum(when(z >= 0, t * z + log1p(exp(-z)))
-          .otherwise((t - lit(1.0)) * z + log1p(exp(z)))).as("f")).head()
-      Eval(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5))
-    }
+  private final case class PlattEval(g1: Double, g2: Double, h11: Double,
+                                     h12: Double, h22: Double, f: Double)
+
+  /** The safeguarded Newton loop, shared by the driver and distributed
+    * paths of [[fitPlatt]] — identical arithmetic either way, only the
+    * evaluation of the six sums differs. */
+  private def plattSolve(np: Long, nn: Long, iterations: Int,
+                         evalAt: (Double, Double) => PlattEval): (Double, Double) = {
     var a = 0.0
     var b = math.log((nn + 1.0) / (np + 1.0))
     var cur = evalAt(a, b)
@@ -427,6 +399,94 @@ object ClassifierFunctions {
       }
     }
     (a, b)
+  }
+
+  def fitPlatt(scored: DataFrame, scoreCol: String, labelCol: String,
+               iterations: Int = 6,
+               maxDriverRows: Int = 2000000): (Double, Double) = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val base = scored.select(col(scoreCol).cast("double").as("s"),
+      col(labelCol).cast("boolean").as("y"))
+    // r20 (guide §1.2 — don't run one corpus scan per evaluation point):
+    // the fit consumes only (s, y) — ~9 bytes a row — and the unrolled
+    // Newton previously paid ~8 eager jobs (checkpoint + count + one agg
+    // per evaluation). Up to `maxDriverRows` (~32 MB collected) the probe
+    // IS the data: limit(bound+1).collect() either feeds the driver loop
+    // or proves the frame too big in one job (the pageRank r19
+    // discipline). The distributed twin below is intact for bigger
+    // frames; ClassifierSpec pins driver ≡ distributed on the same rows.
+    // Null semantics replicate the aggregate path exactly: a null label
+    // counts as false in np/nn, a row with null s contributes to NO sum
+    // (every per-row term is null) but still counts in np/nn.
+    val probe = base.limit(maxDriverRows + 1).collect()
+    if (probe.length <= maxDriverRows) {
+      var np = 0L; var nn = 0L
+      for (r <- probe) { if (!r.isNullAt(1) && r.getBoolean(1)) np += 1 else nn += 1 }
+      require(np > 0 && nn > 0, s"fitPlatt needs both classes, got +$np/-$nn")
+      val tPos = (np + 1.0) / (np + 2.0)
+      val tNeg = 1.0 / (nn + 2.0)
+      val rows = probe.filter(!_.isNullAt(0))
+      val n = rows.length
+      val ss = new Array[Double](n)
+      val tt = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        ss(i) = rows(i).getDouble(0)
+        tt(i) = if (!rows(i).isNullAt(1) && rows(i).getBoolean(1)) tPos else tNeg
+        i += 1
+      }
+      def evalAt(a: Double, b: Double): PlattEval = {
+        var g1 = 0.0; var g2 = 0.0; var h11 = 0.0; var h12 = 0.0
+        var h22 = 0.0; var f = 0.0
+        var j = 0
+        while (j < n) {
+          val s = ss(j); val t = tt(j)
+          val z = a * s + b
+          val p = 1.0 / (1.0 + math.exp(z))
+          val w = p * (1.0 - p)
+          g1 += (t - p) * s; g2 += t - p
+          h11 += w * s * s; h12 += w * s; h22 += w
+          f += (if (z >= 0) t * z + math.log1p(math.exp(-z))
+                else (t - 1.0) * z + math.log1p(math.exp(z)))
+          j += 1
+        }
+        PlattEval(g1, g2, h11, h12, h22, f)
+      }
+      plattSolve(np, nn, iterations, evalAt)
+    } else {
+      val df = base.localCheckpoint(true)
+      val cnt = df.agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("nn")).head()
+      val np = cnt.getLong(0); val nn = cnt.getLong(1)
+      require(np > 0 && nn > 0, s"fitPlatt needs both classes, got +$np/-$nn")
+      val tPos = (np + 1.0) / (np + 2.0)
+      val tNeg = 1.0 / (nn + 2.0)
+      // One fused corpus-width scan per evaluation point: gradient, the
+      // 2×2 Hessian AND the cross-entropy objective (overflow-safe split
+      // form — z ≥ 0: t·z + log1p(e^{-z}); z < 0: (t−1)·z + log1p(e^{z}))
+      // as six scalar sums. The accepted candidate's evaluation doubles
+      // as the next iteration's gradient, so the safeguard costs ONE
+      // extra scan total (the init) on well-conditioned data, not one
+      // per step.
+      def evalAt(a: Double, b: Double): PlattEval = {
+        val z = lit(a) * col("s") + lit(b)
+        val p = lit(1.0) / (lit(1.0) + exp(z))
+        val t = when(col("y"), lit(tPos)).otherwise(lit(tNeg))
+        val w = p * (lit(1.0) - p)
+        val r = df.agg(
+          sum((t - p) * col("s")).as("g1"),
+          sum(t - p).as("g2"),
+          sum(w * col("s") * col("s")).as("h11"),
+          sum(w * col("s")).as("h12"),
+          sum(w).as("h22"),
+          sum(when(z >= 0, t * z + log1p(exp(-z)))
+            .otherwise((t - lit(1.0)) * z + log1p(exp(z)))).as("f")).head()
+        PlattEval(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      }
+      plattSolve(np, nn, iterations, evalAt)
+    }
   }
 
   /** Apply a fitted Platt sigmoid: P(y=1 | s) = 1/(1 + exp(a·s + b)). */

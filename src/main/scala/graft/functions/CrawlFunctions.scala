@@ -140,6 +140,13 @@ object CrawlFunctions {
     val nxt = SamplingFunctions.tempCol(urls, "__redirect_nxt")
     val red = redirects
       .select(col(srcCol).as(cur), col(dstCol).as(nxt))
+      // r20 (ADVICE): tolerate what the old per-hop walk tolerated —
+      // exact-duplicate (src, dst) observations (the same redirect seen
+      // twice in a fetch log) dedup away, and null srcs (which can never
+      // equi-join a frontier row) drop; only a true src→{dst1, dst2}
+      // CONFLICT trips the require below
+      .filter(col(cur).isNotNull)
+      .distinct()
       .localCheckpoint(true)
     // the documented src-unique contract, enforced LOUD: composed jump
     // tables (and the greedy walk) are only exact over a functional map —

@@ -1093,6 +1093,33 @@ object DedupFunctions {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** Global rarest-first rank bijection over a (term, df) dictionary:
+    * rank 1, 2, … assigned in (df, term) lexicographic order — ties are
+    * impossible (term is unique) so the rank is deterministic under any
+    * partitioning. Assigned DISTRIBUTED: range-partition by (df, term),
+    * sort within partitions, zipWithIndex (one extra count job for the
+    * per-partition offsets) — no single-partition vocabulary window, no
+    * vocabulary broadcast, so open-vocab corpora (URLs, hashes, shingles)
+    * survive. Because rank order IS the rarest-first total order, a doc's
+    * sorted rank array doubles as its prefix-filter order: element i
+    * (1-based, ascending) is the doc's i-th rarest token. Shared by
+    * [[jaccardJoinExact]] and [[containmentJoinExact]]. */
+  private def rankByDfTerm(dfreq: DataFrame): DataFrame = {
+    val spark = dfreq.sparkSession
+    val rankedRdd = dfreq
+      .repartitionByRange(col("df"), col("term"))
+      .sortWithinPartitions(col("df"), col("term"))
+      .select(col("term"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i + 1L) }
+    spark.createDataFrame(rankedRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin,
     * Bayardo et al. 2007 / Xiao et al. 2008): every pair with token-set
     * Jaccard ≥ `tau`, with NO probabilistic recall loss — the exact
@@ -1117,15 +1144,14 @@ object DedupFunctions {
     * A PPJoin positional bound prunes candidates whose best-case overlap
     * already misses ⌈τ/(1+τ)·(n_a+n_b)⌉ before anything is shipped.
     *
-    * No stage converges on one partition: the rarest-first prefix order
-    * is (df, term) lexicographic per document (the [[containmentJoinExact]]
-    * shape — a total order needs no dense global rank), and the verify
-    * currency's rank bijection is assigned DISTRIBUTED — range-partition
-    * the vocabulary by (df, term), sort within partitions, zipWithIndex
-    * (per-partition offsets from one count job). Web-scale corpora grow
-    * token vocabularies with URLs/hashes, so neither a single-partition
-    * vocabulary window nor a vocabulary broadcast survives open-vocab
-    * input; both are gone (PlanSpec asserts no single-partition exchange).
+    * No stage converges on one partition: the [[rankByDfTerm]] bijection
+    * is assigned distributed, and because rank order IS the rarest-first
+    * (df, term) total order, the per-doc prefix is a SLICE of the sorted
+    * rank array — no per-doc window, no second pass over the exploded
+    * token rows. Web-scale corpora grow token vocabularies with
+    * URLs/hashes, so neither a single-partition vocabulary window nor a
+    * vocabulary broadcast survives open-vocab input; both are gone
+    * (PlanSpec asserts no single-partition exchange).
     *
     * The ⌈τ·n⌉ is computed with a 1e-9 epsilon pulled DOWN so float error
     * can only lengthen the prefix (more candidates, never lost recall);
@@ -1140,7 +1166,7 @@ object DedupFunctions {
     // (r19 note: materializing `exploded` itself was measured a LOSS —
     // full token-row frames cost more to checkpoint+reread than the
     // scan+tokenize they save, same result as the containment A/B; the
-    // wins below are the REDUCED shared frames, setsInt and prefix)
+    // win below is the ONE reduced shared frame, setsInt)
     val exploded = sets.select(col("id"), size(col("tk")).as("n"),
       explode(col("tk")).as("term"))
     val dfreq = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1149,49 +1175,35 @@ object DedupFunctions {
     // unchanged, but candidate pairs then ship ~8-byte ints instead of
     // strings and intersect without per-pair string hashing (measured 8×
     // on a degenerate small-vocabulary corpus where candidates are dense).
-    // The rank is assigned DISTRIBUTED: range-partition by (df, term),
-    // sort within partitions, zipWithIndex (one extra count job for the
-    // per-partition offsets) — the (df, term) order is total (term is
-    // unique), so the rank is deterministic under any partitioning and no
-    // single-partition vocabulary window exists anywhere in the plan
-    val spark = docs.sparkSession
-    val rankedRdd = dfreq
-      .repartitionByRange(col("df"), col("term"))
-      .sortWithinPartitions(col("df"), col("term"))
-      .select(col("term"))
-      .rdd.zipWithIndex()
-      .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i + 1L) }
-    val ranked = spark.createDataFrame(rankedRdd,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("term",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    val ranked = rankByDfTerm(dfreq)
     // no broadcast hint: word vocabularies would fit, but open-vocab
     // corpora (URLs, hashes) would not — both term-keyed joins below
-    // share one exchange of `exploded`, so the shuffle is paid once
-    // materialized once: both verify sides read this aggregate (the
-    // unmaterialized form ran the join+collect_list twice — the two
-    // ObjectHashAggregate subtrees in the before-plan)
+    // share one exchange of `exploded`, so the shuffle is paid once.
+    // Materialized once: EVERY downstream frame (prefix sides a and b,
+    // both verify sides) reads this one reduced aggregate.
     val setsInt = exploded.join(ranked, "term").groupBy(col("id"), col("n"))
       .agg(sort_array(collect_list(col("rank"))).as("tkr"))
       .localCheckpoint(true)
-    // rarest-first prefix via the (df, term) lexicographic total order —
-    // the containmentJoinExact shape; no dense global rank needed here
-    val withDf = exploded.join(dfreq, "term")
-    val wDoc = Window.partitionBy(col("id"))
-      .orderBy(col("df").asc, col("term").asc)
-    val prefix = withDf
-      .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-      .select(col("term"), col("id"), col("n"), col("rn"))
-      // both candidate sides read the same prefix — one window, not two
-      .localCheckpoint(true)
-    val a = prefix.select(col("term"), col("id").as("id_a"),
+    // r20: the rarest-first prefix IS a slice of tkr. rank order ==
+    // (df, term) lexicographic order by construction, so sort_array put
+    // each doc's tokens in exactly the order the r19 window produced —
+    // element i (1-based) of tkr has window rn = i. The prefix frame is
+    // posexplode(slice(...)) over the checkpoint: the second checkpoint,
+    // the window (full exploded⋈dfreq shuffle + per-doc sort) and the
+    // third scan+tokenize of the corpus all disappear (guide §2.4 —
+    // remove shuffles outright; the r19 sf0.1 regression was these two
+    // eager checkpoints' fixed cost, gone with the second checkpoint).
+    val prefix = setsInt.select(col("id"), col("n"),
+        posexplode(slice(col("tkr"), lit(1),
+          (col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1).cast("int")))
+          .as(Seq("pos", "rk")))
+      .select(col("rk"), col("id"), col("n"),
+        (col("pos") + 1).cast("int").as("rn"))
+    val a = prefix.select(col("rk"), col("id").as("id_a"),
       col("n").as("n_a"), col("rn").as("rn_a"))
-    val b = prefix.select(col("term"), col("id").as("id_b"),
+    val b = prefix.select(col("rk"), col("id").as("id_b"),
       col("n").as("n_b"), col("rn").as("rn_b"))
-    val candidates = a.join(b, "term")
+    val candidates = a.join(b, "rk")
       .filter(col("id_a") < col("id_b"))
       // J ≥ τ forces |A∩B| ≥ τ|A∪B| ≥ τ·max(|A|,|B|), and |A∩B| ≤ min —
       // so min ≥ τ·max, with the same downward epsilon
@@ -1270,26 +1282,28 @@ object DedupFunctions {
     * large) and posts all shingles, with the size bound n_b ≥ t applied
     * at candidate time.
     *
-    * Scale shape: the shingle dictionary is corpus-sized, so unlike the
-    * word-vocabulary jaccard path NOTHING here broadcasts or converges on
-    * one partition — document frequency attaches via a shuffle equi-join
-    * on the shingle, the per-doc prefix rank is a window keyed by doc,
-    * and candidates verify on the candidate set only. Verification keeps
-    * STRING arrays deliberately: rare-shingle prefixes make candidates
-    * sparse (the dense-candidate regime that justified q115's int-rank
-    * currency is a small-vocabulary property word shingles don't have),
-    * and an int dictionary would itself need a corpus-sized global
-    * rank. */
+    * Scale shape: the shingle dictionary is corpus-sized, so NOTHING here
+    * broadcasts or converges on one partition — the [[rankByDfTerm]]
+    * bijection is assigned distributed, document frequency attaches via a
+    * shuffle equi-join on the shingle, and candidates verify on the
+    * candidate set only. r20: verification currency is the same SORTED
+    * INT RANK arrays as [[jaccardJoinExact]] — one reduced per-doc frame
+    * (setsInt) is the single materialized intermediate, and because rank
+    * order is the rarest-first total order, BOTH the probing prefix (a
+    * slice) and the full postings (a posexplode) fall out of that array:
+    * the per-doc window, the exploded⋈dfreq re-join and the 4 extra
+    * corpus scans of the r19 shape are gone, the candidate equi-join keys
+    * are 8-byte longs instead of ~25-char shingle strings, and the verify
+    * intersects int arrays via `sorted_intersect_count` instead of
+    * hashing string arrays. (The r19 A/B that measured checkpointing a
+    * LOSS here checkpointed the FULL frames — string shingle arrays and
+    * token rows; this is the reduced-frame discipline that won for
+    * jaccard, applied with the shingle dictionary ranked instead of
+    * carried.) */
   def containmentJoinExact(docs: DataFrame, textCol: String, idCol: String,
                            tau: Double, ngram: Int = 3): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(ngram >= 1, s"ngram must be >= 1, got $ngram")
-    // (r19 note: checkpointing `sets`/`withRn` here was MEASURED and
-    // reverted — interleaved A/B at sf1, median 0.80× i.e. 25% slower:
-    // shingle arrays and full token-row frames cost more to materialize
-    // and re-read than the word_ngrams/window recompute they save. The
-    // jaccard path's checkpoints survive because its shared frames are
-    // REDUCED — per-doc int arrays and the ~10% prefix.)
     val sets = docs
       .select(col(idCol).as("id"),
         graft.expr.NativeFunctions.word_ngrams(col(textCol), ngram).as("tk"))
@@ -1297,24 +1311,30 @@ object DedupFunctions {
     val exploded = sets.select(col("id"), size(col("tk")).as("n"),
       explode(col("tk")).as("term"))
     val dfreq = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // rarest-first WITHOUT a dense global rank: (df, term) lexicographic
-    // order is already total, so no single-partition vocabulary window
-    val withDf = exploded.join(dfreq, "term")
-    val wDoc = Window.partitionBy(col("id"))
-      .orderBy(col("df").asc, col("term").asc)
-    val withRn = withDf.withColumn("rn", row_number().over(wDoc))
-    val prefixA = withRn
-      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
-      .select(col("term"), col("id").as("id_a"),
-        col("n").as("n_a"), col("rn").as("rn_a"))
+    val ranked = rankByDfTerm(dfreq)
+    // the ONE materialized frame: per-doc sorted rank arrays (ints, not
+    // shingle strings — word_ngrams output is distinct, so the bijection
+    // preserves set sizes and intersection counts exactly)
+    val setsInt = exploded.join(ranked, "term").groupBy(col("id"), col("n"))
+      .agg(sort_array(collect_list(col("rank"))).as("tkr"))
+      .localCheckpoint(true)
+    // probing side explodes only its prefix: a slice of tkr (rank order ==
+    // (df, term) order, so element i has the r19 window's rn = i)
+    val prefixA = setsInt.select(col("id"), col("n"),
+        posexplode(slice(col("tkr"), lit(1),
+          (col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1).cast("int")))
+          .as(Seq("pos", "rk")))
+      .select(col("rk"), col("id").as("id_a"), col("n").as("n_a"),
+        (col("pos") + 1).cast("int").as("rn_a"))
     // B posts ALL tokens but carries its rank position: the positional
     // bound below kills matches deep in B at join time (B cannot be
     // statically prefixed — the required overlap depends on the partner —
     // but per-row it prunes exactly as hard)
-    val postingsB = withRn
-      .select(col("term"), col("id").as("id_b"),
-        col("n").as("n_b"), col("rn").as("rn_b"))
-    val candidates = prefixA.join(postingsB, "term")
+    val postingsB = setsInt.select(col("id"), col("n"),
+        posexplode(col("tkr")).as(Seq("pos", "rk")))
+      .select(col("rk"), col("id").as("id_b"), col("n").as("n_b"),
+        (col("pos") + 1).cast("int").as("rn_b"))
+    val candidates = prefixA.join(postingsB, "rk")
       .filter(col("id_a") =!= col("id_b"))
       // the containing side must at least hold the required overlap
       .filter(col("n_b") >= ceil(lit(tau) * col("n_a") - lit(1e-9)))
@@ -1328,9 +1348,13 @@ object DedupFunctions {
     // id_a — the topK/summary modes' groupBy(id_a) then needs no further
     // exchange (see jaccardJoinExact, SCALE.md r15)
     val verify = candidates
-      .join(sets.select(col("id").as("id_b"), col("tk").as("tk_b")), "id_b")
-      .join(sets.select(col("id").as("id_a"), col("tk").as("tk_a")), "id_a")
-      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))).cast("double"))
+      .join(setsInt.select(col("id").as("id_b"), col("tkr").as("tkr_b")), "id_b")
+      .join(setsInt.select(col("id").as("id_a"), col("tkr").as("tkr_a")), "id_a")
+      // two-pointer merge count over sorted distinct rank arrays — the
+      // same integer as size(array_intersect) over the shingle strings
+      // (rank is a bijection), without per-pair string hashing
+      .withColumn("inter", graft.expr.NativeFunctions
+        .sorted_intersect_count(col("tkr_a"), col("tkr_b")).cast("double"))
       // no epsilon: both engines compute inter/n_a with the same IEEE
       // division, so the >= comparison agrees bit-for-bit (q115 convention)
       .withColumn("containment", col("inter") / col("n_a"))

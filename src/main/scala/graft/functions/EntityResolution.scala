@@ -237,11 +237,25 @@ object EntityResolution {
           explode(sequence(col("len") - maxDist, col("len") + maxDist)))
         .select(col("len_key"), col("name").as("name_a"))
       val db = dn.select(col("len").as("len_key"), col("name").as("name_b"))
+      // r20 (ADVICE): verify each unordered VALUE pair once — the band
+      // join yields both orientations, so name_a <= name_b halves the DP
+      // work (levenshtein is symmetric); the verified pair then expands
+      // to both orientations in the SAME subtree (explode, not a union of
+      // two reads that would re-run the DP), and the id_a < id_b filter
+      // below still keeps each unordered id pair exactly once
       val namePairs = da.join(db, "len_key")
+        .filter(col("name_a") <= col("name_b"))
         // thresholded levenshtein = banded DP, O(d·n) per VALUE pair
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
         .filter(col("dist") >= 0)
-        .select(col("name_a"), col("name_b"), col("dist"))
+        .select(explode(when(col("name_a") === col("name_b"),
+            array(struct(col("name_a"), col("name_b"), col("dist"))))
+          .otherwise(array(
+            struct(col("name_a"), col("name_b"), col("dist")),
+            struct(col("name_b").as("name_a"), col("name_a").as("name_b"),
+              col("dist"))))).as("pr"))
+        .select(col("pr.name_a").as("name_a"), col("pr.name_b").as("name_b"),
+          col("pr.dist").as("dist"))
       return base.select(col("name").as("name_a"), col("id").as("id_a"))
         .join(namePairs, "name_a")
         .join(base.select(col("name").as("name_b"), col("id").as("id_b")), "name_b")

@@ -274,7 +274,12 @@ object GraphFunctions {
     // tolerance renormalization), so results agree to float-addend
     // order — inside the round-6 contract every oracled consumer pins
     // (FunctionsSpec pins driver ≡ distributed directly). Past the
-    // bound, the distributed loop below is the 100 TB path, unchanged.
+    // bound, the distributed loop below is the 100 TB path, unchanged —
+    // note (ADVICE r19) the over-bound path pays the probe's bounded
+    // collect (≤ bound+1 rows, CollectLimit short-circuits) and then
+    // re-evaluates the vertex/edge pipelines into the checkpoints: one
+    // extra bounded scan, the deliberate price of making detection free
+    // for the small-graph regime every bench/oracle caller is in.
     val vRows = vSel.limit(maxDriverEdges + 1).collect()
     if (vRows.length <= maxDriverEdges) {
       require(vRows.nonEmpty, "pageRank needs at least one vertex")

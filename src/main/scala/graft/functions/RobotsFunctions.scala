@@ -504,7 +504,11 @@ object RobotsFunctions {
       require(!urls.columns.contains(c),
         s"scheduleFrontier adds a `$c` column and the input already has one — rename it first")
     hostCol.foreach(h => require(urls.columns.contains(h),
-      s"scheduleFrontier: hostCol '$h' not found in the frontier"))
+      s"scheduleFrontier: hostCol '$h' not found in the frontier. Value " +
+        s"contract: '$h' must equal UrlFunctions.urlHost($urlCol) row for " +
+        s"row — it is a precomputed copy saving the derivation, NOT an " +
+        s"alternative grouping; a stale or differently-derived column " +
+        s"misgroups the per-host politeness ladder (ADVICE r19)"))
     val (withHost, host, dropHost) = hostCol match {
       case Some(h) => (urls, h, false)
       case None =>

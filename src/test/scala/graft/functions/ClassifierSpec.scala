@@ -249,6 +249,11 @@ class ClassifierSpec extends SparkSpec {
       val (a2, b2) = fitPlatt(df.repartition(7), "s", "y")
       assert(math.abs(a2 - a) < 1e-9 && math.abs(b2 - b) < 1e-9)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // r20: the bounded driver fast path ≡ the distributed twin on the
+    // same rows (maxDriverRows = 0 forces the aggregate path)
+    val (a3, b3) = fitPlatt(df, "s", "y", maxDriverRows = 0)
+    assert(math.abs(a3 - a) < 1e-9 && math.abs(b3 - b) < 1e-9,
+      s"driver fast path diverged from distributed: ($a,$b) vs ($a3,$b3)")
     // degenerate inputs refuse loudly
     intercept[IllegalArgumentException] {
       fitPlatt(Seq((1.0, true), (2.0, true)).toDF("s", "y"), "s", "y")
